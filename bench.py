@@ -1,0 +1,69 @@
+#!/usr/bin/env python
+"""Benchmark harness: runs every registered query at $SPARK_GRAFT_SF_DIR
+(default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints ONE
+JSON line:
+
+    {"metric": "total_query_sec", "value": N, "unit": "sec",
+     "queries": {"q01_...": sec, ...}, "sf": 0.1}
+
+Each query is forced end-to-end with a noop-format write (full computation,
+no driver-side collect).  A warmup query amortizes JVM/codegen startup so the
+numbers measure the plans, not session boot.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from tulflow_spark.io import DEFAULT_SF_DIR  # noqa: E402
+from tulflow_spark.plans import QUERIES, load_all  # noqa: E402
+from tulflow_spark.session import get_spark  # noqa: E402
+
+
+def materialize(df) -> None:
+    df.write.mode("overwrite").format("noop").save()
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", DEFAULT_SF_DIR).rstrip("/")
+    try:
+        sf = float(os.path.basename(sf_dir).replace("sf", ""))
+    except ValueError:
+        sf = -1.0
+
+    spark = get_spark(app_name="tulflow_spark-bench")
+    spark.sparkContext.setLogLevel("ERROR")
+    load_all()
+
+    # Warmup: touch every table + spin up codegen/arrow paths once.
+    from tulflow_spark.io import load_tables
+
+    for df in load_tables(spark, sf_dir).values():
+        df.limit(1).count()
+
+    timings: dict[str, float] = {}
+    for name in sorted(QUERIES):
+        t0 = time.perf_counter()
+        materialize(QUERIES[name](spark, sf_dir))
+        timings[name] = round(time.perf_counter() - t0, 3)
+
+    print(
+        json.dumps(
+            {
+                "metric": "total_query_sec",
+                "value": round(sum(timings.values()), 3),
+                "unit": "sec",
+                "queries": timings,
+                "sf": sf,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

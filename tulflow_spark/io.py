@@ -1,0 +1,63 @@
+"""Table loading for the driver-generated synthetic corpus (TESTDATA.md).
+
+``load_tables`` is the single entry point every query plan uses; reads are
+plain parquet scans so Catalyst gets predicate pushdown / column pruning /
+partition pruning for free.
+
+One wrinkle: some driver parquet files carry TIMESTAMP(NANOS) columns
+(e.g. ``events.ts``), which Spark's vectorized reader rejects.  We read those
+as raw nanosecond longs (``spark.sql.legacy.parquet.nanosAsLong``) and
+convert to microsecond timestamps with integer division — matching DuckDB's
+ns→µs truncation, so oracle comparisons stay exact.  The conversion is a
+cheap map expression; the scan itself stays columnar.
+"""
+
+from __future__ import annotations
+
+import os
+from functools import lru_cache
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+TABLES = (
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+)
+
+DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+_NANOS_CONF = "spark.sql.legacy.parquet.nanosAsLong"
+
+
+@lru_cache(maxsize=None)
+def _nanos_columns(path: str) -> tuple[str, ...]:
+    """Columns stored as timestamp[ns] in the parquet footer (driver-side
+    metadata peek, cached per path)."""
+    import pyarrow.parquet as pq
+
+    schema = pq.read_schema(path)
+    return tuple(f.name for f in schema if str(f.type) == "timestamp[ns]")
+
+
+def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    path = os.path.join(sf_dir, f"{name}.parquet")
+    ns_cols = _nanos_columns(path)
+    if ns_cols:
+        spark.conf.set(_NANOS_CONF, "true")
+    df = spark.read.parquet(path)
+    for c in ns_cols:
+        df = df.withColumn(c, F.timestamp_micros(F.expr(f"`{c}` div 1000")))
+    return df
+
+
+def load_tables(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
+    return {name: table(spark, sf_dir, name) for name in TABLES}

@@ -1,0 +1,462 @@
+"""Star-schema query inventory: the reference's dataflow operators (SURVEY.md
+§2) re-expressed over the driver's TPC-H-ish synthetic corpus, each with a
+DuckDB oracle.
+
+Scale notes (100 TB stance), applied throughout:
+- dimension joins (region/nation/customer/part/supplier) are explicitly
+  ``F.broadcast`` — no shuffle of the fact table for enrichment joins;
+- fact-side aggregations rely on map-side partial aggregation (groupBy over
+  low-cardinality keys shuffles only the partials);
+- float SUM/AVG uses decimal-exact accumulation (tulflow_spark.functions.dsum)
+  so results are order/partitioning-insensitive — correct under ANY degree of
+  parallelism, which is also what makes the oracle hash match;
+- top-k uses window row_number with a total tie-break order, not a global sort.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from tulflow_spark.functions import davg_sql, dsum, dsum_sql
+from tulflow_spark.io import table
+from tulflow_spark.operators.routing import harvest_counts, with_route
+from tulflow_spark.plans import register
+
+# ---------------------------------------------------------------------------
+# Aggregation / counter surface (SURVEY §2.5) — TPC-H Q1-shaped rollup
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q01_pricing_summary",
+    oracle=f"""
+    SELECT l_returnflag, l_linestatus,
+           {dsum_sql('l_quantity')} AS sum_qty,
+           {dsum_sql('l_extendedprice')} AS sum_base_price,
+           {dsum_sql('l_extendedprice * (1 - l_discount)')} AS sum_disc_price,
+           {davg_sql('l_quantity')} AS avg_qty,
+           {davg_sql('l_extendedprice')} AS avg_price,
+           COUNT(*) AS count_order
+    FROM lineitem
+    WHERE l_shipdate <= TIMESTAMP '2001-09-02'
+    GROUP BY l_returnflag, l_linestatus
+    """,
+)
+def q01_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = table(spark, sf_dir, "lineitem")
+    return (
+        li.filter(F.col("l_shipdate") <= F.lit("2001-09-02").cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            dsum("l_quantity", "sum_qty"),
+            dsum("l_extendedprice", "sum_base_price"),
+            dsum(
+                F.col("l_extendedprice") * (1 - F.col("l_discount")),
+                "sum_disc_price",
+            ),
+            (dsum("l_quantity") / F.count("l_quantity")).alias("avg_qty"),
+            (dsum("l_extendedprice") / F.count("l_extendedprice")).alias("avg_price"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Join surface (SURVEY §2.6) — broadcast enrichment, multi-join, anti-join
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q03_top_revenue_orders",
+    oracle=f"""
+    SELECT o_orderkey, o_orderdate, o_orderpriority,
+           {dsum_sql('l_extendedprice * (1 - l_discount)')} AS revenue
+    FROM customer JOIN orders ON c_custkey = o_custkey
+                  JOIN lineitem ON l_orderkey = o_orderkey
+    WHERE c_mktsegment = 'BUILDING' AND o_orderdate < TIMESTAMP '1998-01-01'
+    GROUP BY o_orderkey, o_orderdate, o_orderpriority
+    ORDER BY revenue DESC, o_orderkey
+    LIMIT 10
+    """,
+)
+def q03_top_revenue_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q3 shape. customer is a dimension → broadcast; orders⋈lineitem is
+    the one necessary fact-fact shuffle (co-partitioned on orderkey)."""
+    c = table(spark, sf_dir, "customer").filter(F.col("c_mktsegment") == "BUILDING")
+    o = table(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate") < F.lit("1998-01-01").cast("timestamp")
+    )
+    li = table(spark, sf_dir, "lineitem")
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .groupBy("o_orderkey", "o_orderdate", "o_orderpriority")
+        .agg(
+            dsum(F.col("l_extendedprice") * (1 - F.col("l_discount")), "revenue")
+        )
+        .orderBy(F.col("revenue").desc(), F.col("o_orderkey"))
+        .limit(10)
+    )
+
+
+@register(
+    "q05_region_revenue",
+    oracle=f"""
+    SELECT n_name, {dsum_sql('l_extendedprice * (1 - l_discount)')} AS revenue
+    FROM customer
+      JOIN orders   ON c_custkey = o_custkey
+      JOIN lineitem ON l_orderkey = o_orderkey
+      JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+      JOIN nation   ON s_nationkey = n_nationkey
+      JOIN region   ON n_regionkey = r_regionkey
+    WHERE r_name = 'ASIA'
+      AND o_orderdate >= TIMESTAMP '1996-01-01'
+      AND o_orderdate <  TIMESTAMP '1998-01-01'
+    GROUP BY n_name
+    """,
+)
+def q05_region_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q5 shape: all dimensions broadcast; the only shuffle is
+    lineitem⋈orders on orderkey + the final tiny group-by."""
+    r = table(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    n = table(spark, sf_dir, "nation")
+    c = table(spark, sf_dir, "customer")
+    s = table(spark, sf_dir, "supplier")
+    o = table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1998-01-01").cast("timestamp"))
+    )
+    li = table(spark, sf_dir, "lineitem")
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(
+            F.broadcast(s),
+            (li.l_suppkey == s.s_suppkey) & (c.c_nationkey == s.s_nationkey),
+        )
+        .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .groupBy("n_name")
+        .agg(dsum(F.col("l_extendedprice") * (1 - F.col("l_discount")), "revenue"))
+    )
+
+
+@register(
+    "j1_broadcast_enrich",
+    oracle=f"""
+    SELECT p_brand,
+           COUNT(*) AS n_items,
+           {dsum_sql('l_extendedprice * (1 - l_discount)')} AS revenue
+    FROM lineitem JOIN part ON l_partkey = p_partkey
+    GROUP BY p_brand
+    """,
+)
+def j1_broadcast_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The boundwith-lookup join shape (reference: harvest.py:235-247 — small
+    CSV fetched once and probed per record): small side broadcast, fact side
+    never shuffled for the join."""
+    li = table(spark, sf_dir, "lineitem")
+    p = table(spark, sf_dir, "part")
+    return (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .groupBy("p_brand")
+        .agg(
+            F.count(F.lit(1)).alias("n_items"),
+            dsum(F.col("l_extendedprice") * (1 - F.col("l_discount")), "revenue"),
+        )
+    )
+
+
+@register(
+    "j2_anti_join",
+    oracle="""
+    SELECT c_custkey, c_name
+    FROM customer
+    WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+    """,
+)
+def j2_anti_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Set-difference shape (reference: generate_oai_sets excluded-sets path,
+    harvest.py:87-89): left anti join."""
+    c = table(spark, sf_dir, "customer")
+    o = table(spark, sf_dir, "orders")
+    return c.join(o, c.c_custkey == o.o_custkey, "left_anti").select(
+        "c_custkey", "c_name"
+    )
+
+
+@register(
+    "j3_semi_join",
+    oracle="""
+    SELECT s_suppkey, s_name
+    FROM supplier
+    WHERE EXISTS (
+      SELECT 1 FROM lineitem
+      WHERE l_suppkey = s_suppkey AND l_quantity >= 49
+    )
+    """,
+)
+def j3_semi_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    s = table(spark, sf_dir, "supplier")
+    li = table(spark, sf_dir, "lineitem").filter(F.col("l_quantity") >= 49)
+    return s.join(li, s.s_suppkey == li.l_suppkey, "left_semi").select(
+        "s_suppkey", "s_name"
+    )
+
+
+# ---------------------------------------------------------------------------
+# Routing / projection / scalar-validation surface (SURVEY §2.3)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "p1_route_split",
+    oracle=f"""
+    SELECT CASE WHEN event_type = 'error' THEN 'deleted' ELSE 'updated' END AS route,
+           COUNT(*) AS n,
+           {dsum_sql('value')} AS total_value
+    FROM events
+    GROUP BY 1
+    """,
+)
+def p1_route_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``process_xml`` updated/deleted routing (reference: harvest.py:196-203)
+    as a single-pass route column — one scan feeds both output streams."""
+    ev = table(spark, sf_dir, "events")
+    routed = with_route(ev, F.col("event_type") == "error")
+    return routed.groupBy("route").agg(
+        F.count(F.lit(1)).alias("n"), dsum("value", "total_value")
+    )
+
+
+@register(
+    "a1_harvest_counts",
+    oracle="""
+    SELECT event_type AS source_set,
+           CAST(SUM(CASE WHEN value <= 100 THEN 1 ELSE 0 END) AS BIGINT) AS updated,
+           CAST(SUM(CASE WHEN value >  100 THEN 1 ELSE 0 END) AS BIGINT) AS deleted
+    FROM events
+    GROUP BY event_type
+    """,
+)
+def a1_harvest_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-set updated/deleted counters (reference: harvest.py:55-65)."""
+    ev = table(spark, sf_dir, "events").withColumnRenamed("event_type", "source_set")
+    return harvest_counts(ev, "source_set", F.col("value") > 100)
+
+
+@register(
+    "p4_exactly_one",
+    oracle="""
+    SELECT o_custkey AS record_key, MAX(o_orderkey) AS record_id
+    FROM orders
+    WHERE o_orderstatus = 'O'
+    GROUP BY o_custkey
+    HAVING COUNT(*) = 1
+    """,
+)
+def p4_exactly_one(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``get_record_001`` semantics (reference: process.py:66-80): a key is
+    valid only when EXACTLY ONE non-empty candidate exists; zero or duplicates
+    → dropped to the error side."""
+    o = table(spark, sf_dir, "orders").filter(F.col("o_orderstatus") == "O")
+    return (
+        o.groupBy(F.col("o_custkey").alias("record_key"))
+        .agg(
+            F.max("o_orderkey").alias("record_id"),
+            F.count(F.lit(1)).alias("_n"),
+        )
+        .filter(F.col("_n") == 1)
+        .select("record_key", "record_id")
+    )
+
+
+@register(
+    "a4_latest_version",
+    oracle="""
+    WITH named AS (
+      SELECT p_brand || '-' || CAST(p_size AS VARCHAR) AS configset FROM part
+    )
+    SELECT regexp_replace(configset, '-(\\d+)$', '') AS name,
+           MAX(CAST(regexp_extract(configset, '-(\\d+)$', 1) AS INT)) AS latest_version
+    FROM named
+    GROUP BY 1
+    """,
+)
+def a4_latest_version(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``most_recent_configsets`` (reference: solr_api_utils.py:81-92): parse
+    ``name-N``, group by name, keep max version — the reference's one real
+    group-by+max, here with the same regex split."""
+    p = table(spark, sf_dir, "part").select(
+        F.concat(F.col("p_brand"), F.lit("-"), F.col("p_size").cast("string")).alias(
+            "configset"
+        )
+    )
+    return (
+        p.select(
+            F.regexp_replace("configset", r"-(\d+)$", "").alias("name"),
+            F.regexp_extract("configset", r"-(\d+)$", 1).cast("int").alias("v"),
+        )
+        .groupBy("name")
+        .agg(F.max("v").alias("latest_version"))
+    )
+
+
+@register(
+    "f1_md5_content_keys",
+    oracle="""
+    SELECT COUNT(*) AS n_docs,
+           COUNT(DISTINCT md5(text)) AS n_unique,
+           MIN(md5(text)) AS min_key
+    FROM documents
+    """,
+)
+def f1_md5_content_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Content-addressed keys (reference: harvest.py:260 md5-of-content S3
+    keys): F.md5 is JVM-side, no Python in the loop."""
+    d = table(spark, sf_dir, "documents")
+    return d.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.countDistinct(F.md5(F.col("text").cast("binary"))).alias("n_unique"),
+        F.min(F.md5(F.col("text").cast("binary"))).alias("min_key"),
+    )
+
+
+@register(
+    "p8_identifier_fallback",
+    oracle="""
+    SELECT doc_id,
+           CASE WHEN n_chars > 120
+                THEN array_to_string(string_split(text, ' ')[1:3], chr(10))
+                ELSE text END AS display_id
+    FROM documents
+    """,
+)
+def p8_identifier_fallback(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``identifier_or_full_record`` (reference: validate.py:202-216):
+    newline-join of extracted identifiers when present, else the full record."""
+    d = table(spark, sf_dir, "documents")
+    ids = F.slice(F.split(F.col("text"), " "), 1, 3)
+    return d.select(
+        "doc_id",
+        F.when(F.col("n_chars") > 120, F.array_join(ids, "\n"))
+        .otherwise(F.col("text"))
+        .alias("display_id"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Window / event-time surface (SURVEY §2.7 — capabilities the reference lacks
+# but the engine provides as first-class operators)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "w1_topk_per_group",
+    oracle="""
+    SELECT o_orderpriority, o_orderkey, o_totalprice
+    FROM (
+      SELECT o_orderpriority, o_orderkey, o_totalprice,
+             ROW_NUMBER() OVER (PARTITION BY o_orderpriority
+                                ORDER BY o_totalprice DESC, o_orderkey) AS rn
+      FROM orders
+    ) t WHERE rn <= 3
+    """,
+)
+def w1_topk_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-k per group via window row_number — no global sort; at scale this
+    shuffles once on the partition key with AQE skew handling."""
+    o = table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_orderpriority").orderBy(
+        F.col("o_totalprice").desc(), F.col("o_orderkey")
+    )
+    return (
+        o.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 3)
+        .select("o_orderpriority", "o_orderkey", "o_totalprice")
+    )
+
+
+@register(
+    "w2_running_total",
+    oracle="""
+    SELECT event_id, user_id,
+           CAST(SUM(CAST(value AS DECIMAL(30,6)))
+                OVER (PARTITION BY user_id ORDER BY ts, event_id) AS DOUBLE)
+             AS running_value
+    FROM events
+    """,
+)
+def w2_running_total(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user cumulative sum (decimal-exact so the prefix sums are
+    order-of-evaluation independent)."""
+    ev = table(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return ev.select(
+        "event_id",
+        "user_id",
+        F.sum(F.col("value").cast("decimal(30,6)"))
+        .over(w)
+        .cast("double")
+        .alias("running_value"),
+    )
+
+
+@register(
+    "ev1_hourly_rollup",
+    oracle=f"""
+    SELECT date_trunc('hour', ts) AS bucket, event_type,
+           COUNT(*) AS n, {dsum_sql('value')} AS total_value
+    FROM events
+    GROUP BY 1, 2
+    """,
+)
+def ev1_hourly_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tumbling-window rollup; in streaming mode the identical expression runs
+    under ``withWatermark`` (see tulflow_spark.streaming.events)."""
+    ev = table(spark, sf_dir, "events")
+    return ev.groupBy(
+        F.date_trunc("hour", F.col("ts")).alias("bucket"), F.col("event_type")
+    ).agg(F.count(F.lit(1)).alias("n"), dsum("value", "total_value"))
+
+
+@register(
+    "ev2_sessionize",
+    oracle=f"""
+    WITH flagged AS (
+      SELECT user_id, ts, value,
+             CASE WHEN ts - LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                       >= INTERVAL 30 MINUTE OR
+                       LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+                  THEN 1 ELSE 0 END AS new_session
+      FROM events
+    ), numbered AS (
+      SELECT user_id, ts, value,
+             SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts
+                                    ROWS UNBOUNDED PRECEDING) AS session_no
+      FROM flagged
+    )
+    SELECT user_id, MIN(ts) AS session_start,
+           COUNT(*) AS n_events, {dsum_sql('value')} AS session_value
+    FROM numbered
+    GROUP BY user_id, session_no
+    """,
+)
+def ev2_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Session windows (30-min gap) via ``F.session_window`` — the native
+    Spark operator (state-store backed in streaming; hash-agg in batch)."""
+    ev = table(spark, sf_dir, "events")
+    return (
+        ev.groupBy("user_id", F.session_window("ts", "30 minutes"))
+        .agg(
+            F.min("ts").alias("session_start"),
+            F.count(F.lit(1)).alias("n_events"),
+            dsum("value", "session_value"),
+        )
+        .select("user_id", "session_start", "n_events", "session_value")
+    )

@@ -1,0 +1,53 @@
+"""SparkSession factory tuned for this engine.
+
+Defaults target the test/bench harness (``local[$SPARK_GRAFT_CPUS]``) but every
+setting is chosen so the same plan scales to a large cluster:
+
+- AQE on (runtime coalescing, skew-join splitting, dynamic broadcast demotion)
+- Arrow on (pandas UDF / toPandas paths are vectorized)
+- shuffle partitions sized to cores locally; on a real cluster AQE coalesces
+  from a deliberately-high initial number, so we do not hand-pick per query.
+- UTC session timezone so timestamp semantics match the DuckDB oracle and are
+  environment-independent.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+DEFAULT_CONF: dict[str, str] = {
+    "spark.sql.adaptive.enabled": "true",
+    "spark.sql.adaptive.coalescePartitions.enabled": "true",
+    "spark.sql.adaptive.skewJoin.enabled": "true",
+    "spark.sql.execution.arrow.pyspark.enabled": "true",
+    "spark.sql.session.timeZone": "UTC",
+    # Small files in the test corpus: don't explode task counts on tiny scans.
+    "spark.sql.files.maxPartitionBytes": "134217728",
+    # Keep broadcast threshold at default 10MB; dimension tables here are tiny
+    # and at 100 TB the fact tables must never be broadcast anyway.
+    "spark.sql.autoBroadcastJoinThreshold": "10485760",
+    "spark.sql.shuffle.partitions": "32",
+    "spark.driver.memory": "8g",
+}
+
+
+def cpus() -> int:
+    return int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+
+
+def get_spark(
+    app_name: str = "tulflow_spark",
+    master: str | None = None,
+    extra_conf: dict[str, str] | None = None,
+) -> SparkSession:
+    """Build (or reuse) a SparkSession with the engine's default tuning."""
+    builder = SparkSession.builder.appName(app_name)
+    builder = builder.master(master or f"local[{cpus()}]")
+    conf = dict(DEFAULT_CONF)
+    if extra_conf:
+        conf.update(extra_conf)
+    for k, v in conf.items():
+        builder = builder.config(k, v)
+    return builder.getOrCreate()
