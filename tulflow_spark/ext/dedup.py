@@ -66,14 +66,12 @@ def minhash_signature(shingles: Column, k: int = 32) -> Column:
 
     Permutation i is xxhash64 salted with i; the signature element is the min
     over shingles.  Empty shingle sets get NULL elements (never match)."""
-    return F.array(
-        *[
-            F.array_min(
-                F.transform(shingles, lambda s, i=i: F.xxhash64(F.lit(i), s))
-            ).alias(f"mh{i}")
-            for i in range(k)
-        ]
-    )
+    def _perm(i: int) -> Column:
+        return F.array_min(
+            F.transform(shingles, lambda s: F.xxhash64(F.lit(i), s))
+        ).alias(f"mh{i}")
+
+    return F.array(*[_perm(i) for i in range(k)])
 
 
 def band_keys(sig: Column, bands: int, rows: int) -> Column:

@@ -34,4 +34,8 @@ def register(name: str, oracle: str | None = None):
 
 def load_all() -> None:
     """Import every plan module so registration side effects run."""
-    from tulflow_spark.plans import ext_queries, star_queries  # noqa: F401
+    from tulflow_spark.plans import (  # noqa: F401
+        ext_queries,
+        star_queries,
+        xml_queries,
+    )

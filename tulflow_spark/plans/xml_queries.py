@@ -1,0 +1,132 @@
+"""XML-surface correctness queries: build XML from star-table columns inside
+Spark, push it through the real parsing/extraction/validation operators, and
+compare the round-trip against the original columns via the DuckDB oracle.
+
+This is how the XML stack (xpath functions, MARC struct parser + record_001,
+schematron-subset compiler) gets driver-gate coverage even though the oracle
+tables contain no XML.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from tulflow_spark.io import table
+from tulflow_spark.plans import register
+
+# ---------------------------------------------------------------------------
+# x1: Spark SQL xpath family (SURVEY §2.8 — XPath evaluation surface)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "x1_xpath_extract",
+    oracle="""
+    SELECT lang, COUNT(*) AS n, CAST(SUM(doc_id) AS BIGINT) AS id_sum
+    FROM documents GROUP BY lang
+    """,
+)
+def x1_xpath_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Round-trip: columns → XML string → xpath_string/xpath_long → rollup.
+    Uses Spark's built-in JVM xpath expressions (no UDF)."""
+    d = table(spark, sf_dir, "documents")
+    xml = F.concat(
+        F.lit("<rec><id>"), F.col("doc_id").cast("string"), F.lit("</id><lang>"),
+        F.col("lang"), F.lit("</lang></rec>"),
+    )
+    return (
+        d.withColumn("xml", xml)
+        .select(
+            F.expr("xpath_string(xml, '/rec/lang')").alias("lang"),
+            F.expr("xpath_long(xml, '/rec/id')").alias("id"),
+        )
+        .groupBy("lang")
+        .agg(F.count(F.lit(1)).alias("n"), F.sum("id").cast("bigint").alias("id_sum"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# x2: MARC struct parser + record_001 extraction (SURVEY §2.3 P3/P4/S3)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "x2_marc_roundtrip",
+    oracle="""
+    SELECT CAST(o_orderkey AS VARCHAR) AS record_id,
+           o_orderpriority AS priority
+    FROM orders
+    """,
+)
+def x2_marc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Build MARC21/slim XML per order, parse with the Arrow-batched
+    xml.etree UDF, extract 001 + a subfield with the struct operators —
+    the full ingest path of the reference (process.py:66-92) under oracle
+    check."""
+    from tulflow_spark.model.xml_parse import register_udfs
+    from tulflow_spark.operators.marc import record_001, subfield_values
+
+    udfs = register_udfs()
+    o = table(spark, sf_dir, "orders")
+    xml = F.concat(
+        F.lit('<record xmlns="http://www.loc.gov/MARC21/slim">'
+              '<controlfield tag="001">'),
+        F.col("o_orderkey").cast("string"),
+        F.lit('</controlfield><datafield tag="900" ind1=" " ind2=" ">'
+              '<subfield code="a">'),
+        F.col("o_orderpriority"),
+        F.lit("</subfield></datafield></record>"),
+    )
+    marc = o.withColumn("marc", udfs["parse_marc"](xml))
+    return marc.select(
+        record_001(F.col("marc")).alias("record_id"),
+        F.get(subfield_values(F.col("marc"), "900", "a"), 0).alias("priority"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# x3: schematron-subset rule compiler (SURVEY §2.4 V1-V3)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "x3_validation_rules",
+    oracle="""
+    SELECT doc_id,
+           (CASE WHEN n_chars > 60 THEN 0 ELSE 1 END)
+           + (CASE WHEN doc_id % 2 = 0 THEN 0 ELSE 1 END) AS n_violations
+    FROM documents
+    """,
+)
+def x3_validation_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Map documents into DC-ish field maps with synthetic presence/URL
+    defects, run the compiled rule predicates, count violations per record —
+    the validation compiler under oracle check."""
+    from tulflow_spark.validation.rules import Rule, violations_column
+
+    rules = [
+        Rule("R1", "required", "dcterms:title", "no title"),
+        Rule("T1", "non_empty", "dcterms:title", "empty title"),
+        Rule("U1", "starts_with", "edm:isShownAt", "bad url", arg="http"),
+    ]
+    d = table(spark, sf_dir, "documents")
+    empty = F.array().cast("array<string>")
+    fields = F.map_from_arrays(
+        F.array(F.lit("dcterms:title"), F.lit("edm:isShownAt")),
+        F.array(
+            F.when(F.col("n_chars") > 60, F.array(F.col("text"))).otherwise(empty),
+            F.array(
+                F.when(
+                    F.col("doc_id") % 2 == 0,
+                    F.concat(F.lit("http://host/"), F.col("doc_id").cast("string")),
+                ).otherwise(
+                    F.concat(F.lit("ftp://host/"), F.col("doc_id").cast("string"))
+                )
+            ),
+        ),
+    )
+    return d.select(
+        "doc_id",
+        F.size(violations_column(rules, fields)).alias("n_violations"),
+    )
