@@ -47,31 +47,70 @@ def exact_dedup(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
 
 
 def word_shingles(col: Column | str, n: int = 3) -> Column:
-    """Distinct word n-gram shingles, computed map-side with array exprs
-    (no explode): slide an index window over the token array."""
+    """Distinct word n-gram shingles, computed map-side with array exprs.
+
+    Built by zipping n shifted views of the token array (O(tokens) work —
+    the naive slice-per-position construction is O(tokens²) and measurably
+    dominates dedup plans).  zip_with pads the shorter side with NULL and
+    concat propagates it, so trailing partial grams drop out in the filter.
+    """
     c = F.col(col) if isinstance(col, str) else col
     toks = F.split(F.trim(c), r"\s+")
-    grams = F.when(
-        F.size(toks) >= n,
-        F.transform(
-            F.sequence(F.lit(0), F.size(toks) - n),
-            lambda i: F.array_join(F.slice(toks, i + 1, n), " "),
-        ),
-    ).otherwise(F.array().cast("array<string>"))
-    return F.array_distinct(grams)
+    grams = toks
+    for i in range(1, n):
+        shifted = F.slice(toks, i + 1, F.size(toks))
+        grams = F.zip_with(
+            grams, shifted, lambda g, t: F.concat(g, F.lit(" "), t)
+        )
+    return F.array_distinct(F.filter(grams, lambda g: g.isNotNull()))
+
+
+_MERSENNE_61 = (1 << 61) - 1
+
+
+def _minhash_salts(k: int, seed: int = 42) -> list[tuple[int, int]]:
+    """Deterministic affine-permutation coefficients (a, b).  a < 2^29 keeps
+    a*h (h < 2^32) inside 63 bits — no ANSI overflow."""
+    import random
+
+    rng = random.Random(seed)
+    return [
+        (rng.randrange(1, 1 << 29), rng.randrange(0, _MERSENNE_61))
+        for _ in range(k)
+    ]
 
 
 def minhash_signature(shingles: Column, k: int = 32) -> Column:
     """k-permutation MinHash signature, fully map-side.
 
-    Permutation i is xxhash64 salted with i; the signature element is the min
-    over shingles.  Empty shingle sets get NULL elements (never match)."""
-    def _perm(i: int) -> Column:
-        return F.array_min(
-            F.transform(shingles, lambda s: F.xxhash64(F.lit(i), s))
-        ).alias(f"mh{i}")
+    One base hash per shingle (murmur3, JVM-side), then k affine
+    permutations ``(a_i·h + b_i) mod (2^61−1)`` — long arithmetic instead of
+    k string hashes per shingle (the difference between an interpreter-bound
+    plan and a cheap one).  Empty shingle sets get NULL signature elements
+    (never matching any band)."""
+    return minhash_signature_from_hashes(shingle_hashes(shingles), k)
 
-    return F.array(*[_perm(i) for i in range(k)])
+
+def shingle_hashes(shingles: Column) -> Column:
+    """Base 32-bit hash per shingle, widened to non-negative long.
+    Materialize this as its own column before building the signature —
+    Catalyst does not CSE the subexpression across the k permutations."""
+    return F.transform(
+        shingles,
+        lambda s: F.hash(s).cast("bigint").bitwiseAND(F.lit(0xFFFFFFFF)),
+    )
+
+
+def minhash_signature_from_hashes(hashes: Column, k: int = 32) -> Column:
+    def _perm(a: int, b: int) -> Column:
+        return F.array_min(
+            F.transform(
+                hashes,
+                lambda h: F.pmod(h * F.lit(a) + F.lit(b), F.lit(_MERSENNE_61)),
+            )
+        )
+
+    return F.array(*[_perm(a, b) for a, b in _minhash_salts(k)])
 
 
 def band_keys(sig: Column, bands: int, rows: int) -> Column:
@@ -114,37 +153,60 @@ def minhash_lsh_pairs(
     base = df.select(
         F.col(id_col).alias("_id"),
         word_shingles(text_col, n).alias("_sh"),
-    ).withColumn("_bands", band_keys(minhash_signature(F.col("_sh"), k), bands, rows))
-
-    exploded = base.select(
-        "_id", "_sh", F.posexplode("_bands").alias("_band_idx", "_band_key")
+    )
+    banded = (
+        base.withColumn("_h32", shingle_hashes(F.col("_sh")))
+        .withColumn("_sig", minhash_signature_from_hashes(F.col("_h32"), k))
+        .select(
+            "_id",
+            F.posexplode(band_keys(F.col("_sig"), bands, rows)).alias(
+                "_band_idx", "_band_key"
+            ),
+        )
     )
 
-    # prune oversized buckets before the self-join
-    bucket_sizes = exploded.groupBy("_band_idx", "_band_key").count()
-    pruned = exploded.join(
-        bucket_sizes.filter(F.col("count") <= max_bucket).drop("count"),
-        ["_band_idx", "_band_key"],
+    # bucket → posting list (capped) → in-row pair generation.  Only
+    # (band, id) pairs ever shuffle; shingle arrays stay out of the exchange.
+    buckets = banded.groupBy("_band_idx", "_band_key").agg(
+        F.sort_array(F.collect_list(F.struct(F.col("_id")))).alias("_docs")
     )
-
-    a = pruned.select(
-        F.col("_band_idx"), F.col("_band_key"),
-        F.col("_id").alias("id_a"), F.col("_sh").alias("_sh_a"),
+    buckets = buckets.filter(
+        (F.size("_docs") >= 2) & (F.size("_docs") <= max_bucket)
     )
-    b = pruned.select(
-        F.col("_band_idx"), F.col("_band_key"),
-        F.col("_id").alias("id_b"), F.col("_sh").alias("_sh_b"),
-    )
-    pairs = (
-        a.join(b, ["_band_idx", "_band_key"])
-        .filter(F.col("id_a") < F.col("id_b"))
-        .select("id_a", "id_b", "_sh_a", "_sh_b")
+    candidates = (
+        buckets.select(F.explode(_ordered_pairs(F.col("_docs"))).alias("_p"))
+        .select(
+            F.col("_p.a._id").alias("id_a"), F.col("_p.b._id").alias("id_b")
+        )
         .dropDuplicates(["id_a", "id_b"])
     )
+
+    # verify candidates with exact Jaccard: rejoin the (cheap, map-side)
+    # shingle projection by id
+    sh_a = base.select(F.col("_id").alias("id_a"), F.col("_sh").alias("_sh_a"))
+    sh_b = base.select(F.col("_id").alias("id_b"), F.col("_sh").alias("_sh_b"))
     return (
-        pairs.withColumn("jaccard_sim", jaccard(F.col("_sh_a"), F.col("_sh_b")))
+        candidates.join(sh_a, "id_a")
+        .join(sh_b, "id_b")
+        .withColumn("jaccard_sim", jaccard(F.col("_sh_a"), F.col("_sh_b")))
         .filter(F.col("jaccard_sim") >= threshold)
         .select("id_a", "id_b", "jaccard_sim")
+    )
+
+
+def _ordered_pairs(docs: Column) -> Column:
+    """All (docs[i], docs[j]) i<j combinations from a sorted struct array —
+    pair generation stays inside one row, no self-join."""
+    return F.flatten(
+        F.transform(
+            F.sequence(F.lit(1), F.size(docs) - 1),
+            lambda i: F.transform(
+                F.slice(docs, i + 1, F.size(docs)),
+                lambda d: F.struct(
+                    F.element_at(docs, i).alias("a"), d.alias("b")
+                ),
+            ),
+        )
     )
 
 
@@ -154,28 +216,39 @@ def ngram_jaccard_pairs(
     text_col: str,
     n: int = 3,
     threshold: float = 0.3,
+    max_gram_docs: int | None = None,
 ) -> DataFrame:
-    """Exact all-pairs n-gram Jaccard via inverted-index join.
+    """Exact all-pairs n-gram Jaccard via an inverted index.
 
     Output: (id_a, id_b, jaccard_sim), id_a < id_b, sim >= threshold.
-    The shuffle key is the shingle — the classic similarity-join; at scale,
-    prefix filtering / minhash candidates bound the pair explosion.
+
+    One pass: shingles are computed once, grouped by shingle, and pairs are
+    generated inside each posting list (vs. the classic self-join, which
+    recomputes the shingle projection for both sides).  ``max_gram_docs``
+    skips ultra-common shingles (stopword grams) — at 100 TB this cap is
+    mandatory and is the standard prefix-filtering trade-off; leave None for
+    exact results on modest corpora.
     """
     sh = df.select(
         F.col(id_col).alias("_id"), word_shingles(text_col, n).alias("_sh")
     )
     flat = sh.select("_id", F.size("_sh").alias("_n"), F.explode("_sh").alias("_g"))
-    a = flat.select(
-        F.col("_g"), F.col("_id").alias("id_a"), F.col("_n").alias("_na")
+    postings = flat.groupBy("_g").agg(
+        F.sort_array(F.collect_list(F.struct("_id", "_n"))).alias("_docs")
     )
-    b = flat.select(
-        F.col("_g"), F.col("_id").alias("id_b"), F.col("_n").alias("_nb")
+    postings = postings.filter(F.size("_docs") >= 2)
+    if max_gram_docs is not None:
+        postings = postings.filter(F.size("_docs") <= max_gram_docs)
+    pairs = postings.select(
+        F.explode(_ordered_pairs(F.col("_docs"))).alias("_p")
+    ).select(
+        F.col("_p.a._id").alias("id_a"),
+        F.col("_p.b._id").alias("id_b"),
+        F.col("_p.a._n").alias("_na"),
+        F.col("_p.b._n").alias("_nb"),
     )
-    inter = (
-        a.join(b, "_g")
-        .filter(F.col("id_a") < F.col("id_b"))
-        .groupBy("id_a", "id_b", "_na", "_nb")
-        .agg(F.count(F.lit(1)).alias("_i"))
+    inter = pairs.groupBy("id_a", "id_b", "_na", "_nb").agg(
+        F.count(F.lit(1)).alias("_i")
     )
     return (
         inter.withColumn(
@@ -216,13 +289,42 @@ def simhash64(col: str) -> Column:
     )
 
 
+def with_simhash(
+    df: DataFrame, id_col: str, text_col: str, out_col: str = "_sig"
+) -> DataFrame:
+    """SimHash via explode + 64 codegen'd aggregates — same signature as
+    :func:`simhash64` but an order of magnitude cheaper: the per-bit votes
+    become vectorized SUM(CASE…) expressions in a hash aggregate instead of
+    nested interpreted array folds."""
+    toks = df.select(
+        F.col(id_col).alias("_id"),
+        F.explode(F.split(F.trim(F.col(text_col)), r"\s+")).alias("_t"),
+    ).select("_id", F.xxhash64("_t").alias("_h"))
+    votes = [
+        F.sum(
+            F.when(
+                F.shiftright(F.col("_h"), i).bitwiseAND(F.lit(1)) == 1, 1
+            ).otherwise(-1)
+        ).alias(f"_v{i}")
+        for i in range(64)
+    ]
+    voted = toks.groupBy("_id").agg(*votes)
+    sig = None
+    for i in range(64):
+        bit = F.when(
+            F.col(f"_v{i}") > 0, F.shiftleft(F.lit(1).cast("long"), i)
+        ).otherwise(F.lit(0).cast("long"))
+        sig = bit if sig is None else sig + bit
+    return voted.select("_id", sig.alias(out_col))
+
+
 def simhash_pairs(
     df: DataFrame, id_col: str, text_col: str, max_hamming: int = 3
 ) -> DataFrame:
     """Near-dup pairs by SimHash: band the 64-bit signature into 4 16-bit
     chunks (pigeonhole guarantees recall for hamming <= 3), verify with
     bit_count(a XOR b)."""
-    sig = df.select(F.col(id_col).alias("_id"), simhash64(text_col).alias("_sig"))
+    sig = with_simhash(df, id_col, text_col)
     chunks = sig.select(
         "_id",
         "_sig",
