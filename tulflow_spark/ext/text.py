@@ -36,15 +36,11 @@ def token_count(col: Column | str) -> Column:
 
 
 def bpe_ish_token_count(col: Column | str) -> Column:
-    """Sub-word-ish token count: split on word/number/punctuation boundaries
-    (a cheap deterministic proxy for BPE tokenizers)."""
+    """Sub-word-ish token count: word runs plus individual punctuation marks
+    (a cheap deterministic proxy for BPE tokenizers).  Expressed as a
+    lookaround-free regex so the same formula runs on RE2 engines too."""
     c = F.col(col) if isinstance(col, str) else col
-    return F.size(
-        F.filter(
-            F.split(c, r"(?<=\W)|(?=\W)"),
-            lambda t: F.trim(t) != "",
-        )
-    )
+    return F.size(F.regexp_extract_all(c, F.lit(r"\w+|[^\w\s]"), F.lit(0)))
 
 
 def stopword_ratio(col: Column | str, stopwords: tuple[str, ...] = STOPWORDS_EN) -> Column:

@@ -1,0 +1,35 @@
+"""CDC / upsert semantics for deleted-record streams.
+
+The reference marks deletions with ``status="deleted"`` headers and routes
+them to a separate output prefix (harvest.py:196-203); the downstream index
+applies them as deletes.  This operator is the engine-native form: collapse
+a keyed change stream to its latest snapshot, dropping keys whose newest
+version is a delete — MERGE semantics without a mutable sink.
+
+Scale: one shuffle on the key (window partition), AQE-skew-aware; in
+streaming the same semantics come from ``stream_dedupe`` + deleted-flag
+filtering at the sink.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def latest_snapshot(
+    df: DataFrame,
+    keys: list[str],
+    order_by: list[str],
+    deleted: Column | str = "deleted",
+) -> DataFrame:
+    """Latest row per key (by ``order_by``, ties broken by the full list),
+    with keys whose latest version is deleted removed entirely."""
+    cond = F.col(deleted) if isinstance(deleted, str) else deleted
+    w = Window.partitionBy(*keys).orderBy(*[F.col(c).desc() for c in order_by])
+    return (
+        df.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .filter(~cond)
+        .drop("_rn")
+    )

@@ -36,6 +36,7 @@ def load_all() -> None:
     """Import every plan module so registration side effects run."""
     from tulflow_spark.plans import (  # noqa: F401
         ext_queries,
+        olap_queries,
         star_queries,
         xml_queries,
     )

@@ -1,0 +1,217 @@
+"""OLAP-surface queries: set operations, grouping sets, exact percentiles,
+analytic windows, CDC snapshots, and the scalar-function matrix — rounding
+out the SQL capability inventory with oracle pairs."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from tulflow_spark.functions import dsum, dsum_sql
+from tulflow_spark.io import table
+from tulflow_spark.operators.cdc import latest_snapshot
+from tulflow_spark.plans import register
+
+
+@register(
+    "set1_nation_intersect",
+    oracle="""
+    SELECT n_nationkey AS nationkey FROM customer JOIN nation ON c_nationkey = n_nationkey
+    INTERSECT
+    SELECT n_nationkey FROM supplier JOIN nation ON s_nationkey = n_nationkey
+    """,
+)
+def set1_nation_intersect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INTERSECT surface: nations with both customers and suppliers."""
+    n = table(spark, sf_dir, "nation")
+    c = table(spark, sf_dir, "customer").join(
+        F.broadcast(n), F.col("c_nationkey") == F.col("n_nationkey")
+    ).select(F.col("n_nationkey").alias("nationkey"))
+    s = table(spark, sf_dir, "supplier").join(
+        F.broadcast(n), F.col("s_nationkey") == F.col("n_nationkey")
+    ).select(F.col("n_nationkey").alias("nationkey"))
+    return c.intersect(s)
+
+
+@register(
+    "a5_rollup",
+    oracle=f"""
+    SELECT COALESCE(l_returnflag, 'ALL') AS returnflag,
+           COALESCE(l_linestatus, 'ALL') AS linestatus,
+           CAST(GROUPING(l_returnflag) AS INT) AS g_flag,
+           CAST(GROUPING(l_linestatus) AS INT) AS g_status,
+           {dsum_sql('l_quantity')} AS sum_qty
+    FROM lineitem
+    GROUP BY ROLLUP (l_returnflag, l_linestatus)
+    """,
+)
+def a5_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Grouping-sets surface: ROLLUP with GROUPING() markers."""
+    li = table(spark, sf_dir, "lineitem")
+    return (
+        li.rollup("l_returnflag", "l_linestatus")
+        .agg(
+            F.grouping("l_returnflag").cast("int").alias("g_flag"),
+            F.grouping("l_linestatus").cast("int").alias("g_status"),
+            dsum("l_quantity", "sum_qty"),
+        )
+        .select(
+            F.coalesce("l_returnflag", F.lit("ALL")).alias("returnflag"),
+            F.coalesce("l_linestatus", F.lit("ALL")).alias("linestatus"),
+            "g_flag",
+            "g_status",
+            "sum_qty",
+        )
+    )
+
+
+@register(
+    "a6_percentiles",
+    oracle="""
+    SELECT c_mktsegment,
+           quantile_cont(c_acctbal, 0.5) AS median_bal,
+           quantile_cont(c_acctbal, 0.9) AS p90_bal,
+           CAST(MIN(c_acctbal) AS DOUBLE) AS min_bal,
+           CAST(MAX(c_acctbal) AS DOUBLE) AS max_bal
+    FROM customer GROUP BY c_mktsegment
+    """,
+)
+def a6_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact interpolated percentiles (Spark `percentile` ≙ DuckDB
+    quantile_cont); min/max ride along."""
+    c = table(spark, sf_dir, "customer")
+    return c.groupBy("c_mktsegment").agg(
+        F.expr("percentile(c_acctbal, 0.5)").alias("median_bal"),
+        F.expr("percentile(c_acctbal, 0.9)").alias("p90_bal"),
+        F.min("c_acctbal").alias("min_bal"),
+        F.max("c_acctbal").alias("max_bal"),
+    )
+
+
+@register(
+    "w3_lag_delta",
+    oracle="""
+    SELECT event_id,
+           CAST(date_diff('microsecond',
+                LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id),
+                ts) AS BIGINT) AS us_since_prev
+    FROM events
+    """,
+)
+def w3_lag_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LAG window: per-user inter-event gap (exact integer microseconds —
+    millisecond division is where engines disagree on truncation)."""
+    ev = table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    prev = F.lag("ts").over(w)
+    return ev.select(
+        "event_id",
+        (F.unix_micros(F.col("ts")) - F.unix_micros(prev)).alias("us_since_prev"),
+    )
+
+
+@register(
+    "w4_rank",
+    oracle="""
+    SELECT c_custkey,
+           RANK() OVER (PARTITION BY c_mktsegment ORDER BY c_acctbal DESC) AS bal_rank,
+           NTILE(4) OVER (PARTITION BY c_mktsegment
+                          ORDER BY c_acctbal DESC, c_custkey) AS quartile
+    FROM customer
+    """,
+)
+def w4_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RANK (tie-stable) + NTILE windows."""
+    c = table(spark, sf_dir, "customer")
+    by_bal = Window.partitionBy("c_mktsegment").orderBy(F.col("c_acctbal").desc())
+    by_bal_stable = Window.partitionBy("c_mktsegment").orderBy(
+        F.col("c_acctbal").desc(), F.col("c_custkey")
+    )
+    return c.select(
+        "c_custkey",
+        F.rank().over(by_bal).alias("bal_rank"),
+        F.ntile(4).over(by_bal_stable).alias("quartile"),
+    )
+
+
+@register(
+    "cdc1_latest_snapshot",
+    oracle="""
+    WITH ranked AS (
+      SELECT user_id, event_id, event_type, value,
+             ROW_NUMBER() OVER (PARTITION BY user_id
+                                ORDER BY ts DESC, event_id DESC) AS rn
+      FROM events
+    )
+    SELECT user_id, event_id AS last_event_id, value AS last_value
+    FROM ranked WHERE rn = 1 AND event_type <> 'error'
+    """,
+)
+def cdc1_latest_snapshot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deleted-record CDC semantics (reference: harvest.py:196-203 deleted
+    routing → index deletes): latest version per key, keys whose newest
+    change is a delete dropped."""
+    ev = table(spark, sf_dir, "events")
+    snap = latest_snapshot(
+        ev, keys=["user_id"], order_by=["ts", "event_id"],
+        deleted=F.col("event_type") == "error",
+    )
+    return snap.select(
+        "user_id",
+        F.col("event_id").alias("last_event_id"),
+        F.col("value").alias("last_value"),
+    )
+
+
+@register(
+    "f2_scalar_matrix",
+    oracle="""
+    SELECT o_orderkey,
+           CAST(regexp_extract(o_orderpriority, '^(\\d+)', 1) AS INT) AS prio_num,
+           strftime(o_orderdate, '%Y-%m-%d') AS order_day,
+           md5(o_orderstatus || '|' || o_orderpriority) AS row_key,
+           length(o_orderpriority) AS prio_len,
+           upper(o_orderstatus) AS status_uc,
+           array_to_string(string_split(o_orderpriority, '-'), chr(10)) AS prio_lines
+    FROM orders
+    """,
+)
+def f2_scalar_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The reference's scalar surface in one projection (SURVEY §2.8):
+    regexp extract/version parse, timestamp formatting, md5 keys, length,
+    case mapping, split + newline-join."""
+    o = table(spark, sf_dir, "orders")
+    return o.select(
+        "o_orderkey",
+        F.regexp_extract("o_orderpriority", r"^(\d+)", 1)
+        .cast("int")
+        .alias("prio_num"),
+        F.date_format("o_orderdate", "yyyy-MM-dd").alias("order_day"),
+        F.md5(
+            F.concat(F.col("o_orderstatus"), F.lit("|"), F.col("o_orderpriority"))
+            .cast("binary")
+        ).alias("row_key"),
+        F.length("o_orderpriority").alias("prio_len"),
+        F.upper("o_orderstatus").alias("status_uc"),
+        F.array_join(F.split("o_orderpriority", "-"), "\n").alias("prio_lines"),
+    )
+
+
+@register(
+    "tx5_subword_tokens",
+    oracle="""
+    SELECT source,
+           CAST(SUM(len(regexp_extract_all(text, '\\w+|[^\\w\\s]'))) AS BIGINT)
+             AS total_subword_tokens
+    FROM documents GROUP BY source
+    """,
+)
+def tx5_subword_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE-ish subword token counting rollup (lookaround-free regex — same
+    formula on Java regex and RE2)."""
+    from tulflow_spark.ext.text import bpe_ish_token_count
+
+    d = table(spark, sf_dir, "documents")
+    return d.groupBy("source").agg(
+        F.sum(bpe_ish_token_count("text")).alias("total_subword_tokens")
+    )
