@@ -284,3 +284,14 @@ def tx4_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_docs"),
         F.countDistinct(T.doc_fingerprint("text")).alias("n_unique_fp"),
     )
+
+
+@register("dd5_lsh_blocked_neardup")  # plane signs are seed-specific → rows-only
+def dd5_lsh_blocked_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Production-path embedding near-dup: sign-LSH bucket as the blocking
+    key (quadratic work bounded per bucket) instead of a label column."""
+    emb = table(spark, sf_dir, "embeddings")
+    bucketed = similarity.signature_buckets(emb, n_planes=8)
+    return similarity.blocked_near_dup_pairs(
+        bucketed, block_col="lsh_bucket", threshold=0.3
+    )

@@ -460,3 +460,33 @@ def ev2_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select("user_id", "session_start", "n_events", "session_value")
     )
+
+
+@register(
+    "a2_empty_sets",
+    oracle="""
+    WITH requested(source_set) AS (
+      VALUES ('click'), ('view'), ('purchase'), ('signup'), ('error'),
+             ('ghost-set'), ('another-empty')
+    )
+    SELECT r.source_set FROM requested r
+    WHERE NOT EXISTS (
+      SELECT 1 FROM events e WHERE e.event_type = r.source_set
+    )
+    """,
+)
+def a2_empty_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Requested-but-empty harvest sets (reference: harvest.py:41-51
+    sets_with_no_records) — anti-join of the requested list against what
+    actually produced records."""
+    from tulflow_spark.operators.routing import sets_with_no_records
+
+    requested = spark.createDataFrame(
+        [("click",), ("view",), ("purchase",), ("signup",), ("error",),
+         ("ghost-set",), ("another-empty",)],
+        "source_set string",
+    )
+    harvested = table(spark, sf_dir, "events").withColumnRenamed(
+        "event_type", "source_set"
+    )
+    return sets_with_no_records(requested, harvested)

@@ -155,7 +155,12 @@ def _split_csv(s: str | None) -> list[str]:
 
 
 try:  # DataSource API requires pyspark >= 4 (present here; guarded anyway)
-    from pyspark.sql.datasource import DataSource, DataSourceReader, InputPartition
+    from pyspark.sql.datasource import (
+        DataSource,
+        DataSourceReader,
+        InputPartition,
+        SimpleDataSourceStreamReader,
+    )
 
     class OaiInputPartition(InputPartition):
         def __init__(self, set_spec: str | None):
@@ -198,8 +203,71 @@ try:  # DataSource API requires pyspark >= 4 (present here; guarded anyway)
                     row["source_set"],
                 )
 
+    class OaiStreamReader(SimpleDataSourceStreamReader):
+        """Incremental harvest as a stream: each micro-batch covers the
+        datestamp window ``(last_until, now]`` using the protocol's own
+        from/until predicates — the streaming face of the reference's
+        scheduled re-harvest DAGs (SURVEY §2.7: from/until ≙ event-time
+        range; deleted records arrive as CDC flags).
+
+        Offsets are ISO-second datestamps, so restarts resume exactly where
+        the checkpoint stopped and ``readBetweenOffsets`` replays any window
+        deterministically (OAI harvests are repeatable by contract).
+        """
+
+        def __init__(self, options: dict):
+            self.endpoint = options["endpoint"]
+            self.metadata_prefix = options.get("metadataprefix", "oai_dc")
+            self.included = _split_csv(options.get("includedsets")) or [None]
+            self.ignore_deleted = (
+                str(options.get("ignoredeleted", "false")).lower() == "true"
+            )
+            self.start_from = options.get("from", "1970-01-01T00:00:00Z")
+
+        def initialOffset(self) -> dict:
+            return {"until": self.start_from}
+
+        def _harvest_window(self, frm: str, until: str) -> list:
+            # materialized (not a generator): the streaming runner copies the
+            # iterator for its prefetch cache, and generators can't be copied
+            return list(self._iter_window(frm, until))
+
+        def _iter_window(self, frm: str, until: str):
+            for set_spec in self.included:
+                for row in list_records(
+                    self.endpoint,
+                    metadata_prefix=self.metadata_prefix,
+                    set_spec=set_spec,
+                    from_date=frm,
+                    until_date=until,
+                    ignore_deleted=self.ignore_deleted,
+                ):
+                    yield (
+                        row["identifier"],
+                        row["datestamp"],
+                        row["set_specs"],
+                        row["deleted"],
+                        row["metadata_xml"],
+                        row["source_set"],
+                    )
+
+        def read(self, start: dict):
+            import datetime as _dt
+
+            now = _dt.datetime.now(_dt.timezone.utc).strftime(
+                "%Y-%m-%dT%H:%M:%SZ"
+            )
+            if now <= start["until"]:
+                return iter(()), start
+            rows = self._harvest_window(start["until"], now)
+            return iter(rows), {"until": now}
+
+        def readBetweenOffsets(self, start: dict, end: dict):
+            return iter(self._harvest_window(start["until"], end["until"]))
+
     class OaiDataSource(DataSource):
-        """``spark.read.format("oai").option("endpoint", …).load()``"""
+        """``spark.read.format("oai")`` (batch) and
+        ``spark.readStream.format("oai")`` (incremental harvest)."""
 
         @classmethod
         def name(cls) -> str:
@@ -210,6 +278,9 @@ try:  # DataSource API requires pyspark >= 4 (present here; guarded anyway)
 
         def reader(self, schema):
             return OaiDataSourceReader(self.options)
+
+        def simpleStreamReader(self, schema):
+            return OaiStreamReader(self.options)
 
 except ImportError:  # pragma: no cover
     OaiDataSource = None  # type: ignore[assignment]
