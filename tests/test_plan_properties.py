@@ -1,0 +1,81 @@
+"""Physical-plan regression tests: the properties that make these plans
+viable at 100 TB must not silently regress — filter pushdown, column
+pruning, broadcast join selection, absence of cartesian products, partial
+aggregation."""
+
+from __future__ import annotations
+
+import re
+
+import pytest
+
+from tulflow_spark.plans import QUERIES, load_all
+
+load_all()
+
+
+def _plan(spark, sf_dir, name) -> str:
+    return QUERIES[name](spark, sf_dir)._jdf.queryExecution().executedPlan().toString()
+
+
+def test_q01_pushdown_and_pruning(spark, sf_dir):
+    plan = _plan(spark, sf_dir, "q01_pricing_summary")
+    assert "PushedFilters: [IsNotNull(l_shipdate), LessThanOrEqual(l_shipdate" in plan
+    m = re.search(r"ReadSchema: struct<([^>]*)", plan)
+    read_cols = m.group(1)
+    # pruned: only the 6 needed columns reach the scan
+    assert "l_orderkey" not in read_cols and "l_partkey" not in read_cols
+    assert "l_quantity" in read_cols and "l_returnflag" in read_cols
+
+
+def test_q05_all_dimension_joins_broadcast(spark, sf_dir):
+    plan = _plan(spark, sf_dir, "q05_region_revenue")
+    assert plan.count("BroadcastHashJoin") == 5
+    assert "SortMergeJoin" not in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_j1_fact_side_never_shuffled_for_join(spark, sf_dir):
+    plan = _plan(spark, sf_dir, "j1_broadcast_enrich")
+    assert "BroadcastHashJoin" in plan
+    # the only exchanges: the broadcast itself + the final partial-agg merge
+    assert plan.count("Exchange") <= 2
+
+
+def test_aggregates_are_partial(spark, sf_dir):
+    """Map-side partial aggregation (two HashAggregate levels) on the big
+    rollups — the thing that keeps shuffles tiny at scale."""
+    for name in ["q01_pricing_summary", "ev1_hourly_rollup", "a1_harvest_counts"]:
+        plan = _plan(spark, sf_dir, name)
+        assert plan.count("HashAggregate") >= 2, name
+
+
+def test_topk_is_take_ordered_not_global_sort(spark, sf_dir):
+    plan = _plan(spark, sf_dir, "q03_top_revenue_orders")
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_no_cartesian_anywhere(spark, sf_dir):
+    for name in sorted(QUERIES):
+        plan = _plan(spark, sf_dir, name)
+        assert "CartesianProduct" not in plan, name
+
+
+def test_boundwith_enrich_is_broadcast(spark):
+    """The lookup join must broadcast the small side (reference semantics:
+    the CSV is fetched once, never shipped per record)."""
+    from tulflow_spark.model.schemas import MARC_TYPE
+    from tulflow_spark.operators.marc import boundwith_enrich
+
+    records = spark.createDataFrame(
+        [("r", {"leader": None, "controlfields": [], "datafields": []})],
+        f"name string, marc {MARC_TYPE.simpleString()}",
+    )
+    lookup = spark.createDataFrame(
+        [(1, 2, "<x/>")], "child_id bigint, parent_id bigint, parent_xml string"
+    )
+    plan = (
+        boundwith_enrich(records, lookup)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "BroadcastHashJoin" in plan

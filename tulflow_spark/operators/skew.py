@@ -1,0 +1,40 @@
+"""Skew-resistant aggregation: two-phase salted group-by.
+
+At 100 TB a handful of hot keys (one giant OAI set, one viral document
+source) can stall a single reducer.  Salting splits each key's rows across
+``buckets`` partial groups (phase 1, map-side + small shuffle), then merges
+the partials (phase 2, #keys × buckets rows — tiny).  With decimal-exact
+accumulation the result is bit-identical to the unsalted aggregate, so this
+is a pure physical rewrite.  (AQE's skew-join splitting covers joins; this
+covers aggregations, which AQE does not re-balance.)
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+_DEC = "decimal(30,6)"
+
+
+def salted_sum(
+    df: DataFrame,
+    keys: list[str],
+    value: Column | str,
+    buckets: int = 16,
+    alias: str = "total",
+) -> DataFrame:
+    """groupBy(keys).sum(value), executed as salt-partial → merge."""
+    v = F.col(value) if isinstance(value, str) else value
+    salted = df.withColumn(
+        "_salt",
+        F.pmod(F.xxhash64(F.monotonically_increasing_id()), F.lit(buckets)),
+    )
+    partials = salted.groupBy(*keys, "_salt").agg(
+        F.sum(v.cast(_DEC)).alias("_partial"),
+        F.count(F.lit(1)).alias("_n"),
+    )
+    return partials.groupBy(*keys).agg(
+        F.sum("_partial").cast("double").alias(alias),
+        F.sum("_n").alias("n_rows"),
+    )

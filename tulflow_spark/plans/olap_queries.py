@@ -215,3 +215,39 @@ def tx5_subword_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
     return d.groupBy("source").agg(
         F.sum(bpe_ish_token_count("text")).alias("total_subword_tokens")
     )
+
+
+@register(
+    "j4_json_extract",
+    oracle=f"""
+    SELECT event_type,
+           COUNT(*) AS n,
+           CAST(SUM(CAST(json_extract(props, '$.k') AS INT)) AS BIGINT) AS sum_k
+    FROM events
+    GROUP BY event_type
+    """,
+)
+def j4_json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi-structured surface: JSON property extraction from the events
+    props column (JVM get_json_object — no Python)."""
+    ev = table(spark, sf_dir, "events")
+    return ev.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.get_json_object("props", "$.k").cast("int")).alias("sum_k"),
+    )
+
+
+@register(
+    "sk1_salted_sum",
+    oracle=f"""
+    SELECT event_type, {dsum_sql('value')} AS total, COUNT(*) AS n_rows
+    FROM events GROUP BY event_type
+    """,
+)
+def sk1_salted_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skew-resistant two-phase salted aggregation — must be bit-identical
+    to the plain group-by (the oracle IS the plain group-by)."""
+    from tulflow_spark.operators.skew import salted_sum
+
+    ev = table(spark, sf_dir, "events")
+    return salted_sum(ev, ["event_type"], "value", buckets=16, alias="total")

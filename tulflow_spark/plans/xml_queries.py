@@ -130,3 +130,35 @@ def x3_validation_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id",
         F.size(violations_column(rules, fields)).alias("n_violations"),
     )
+
+
+@register(
+    "x2b_marc_native",
+    oracle="""
+    SELECT CAST(o_orderkey AS VARCHAR) AS record_id,
+           o_orderpriority AS priority
+    FROM orders
+    """,
+)
+def x2b_marc_native(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Same round-trip as x2, through the JVM-native from_xml parser — the
+    bulk-ingest hot path (zero Python; compare timings against x2 in bench
+    output)."""
+    from tulflow_spark.model.xml_native import parse_marc_native
+    from tulflow_spark.operators.marc import record_001, subfield_values
+
+    o = table(spark, sf_dir, "orders")
+    xml = F.concat(
+        F.lit('<record xmlns="http://www.loc.gov/MARC21/slim">'
+              '<controlfield tag="001">'),
+        F.col("o_orderkey").cast("string"),
+        F.lit('</controlfield><datafield tag="900" ind1=" " ind2=" ">'
+              '<subfield code="a">'),
+        F.col("o_orderpriority"),
+        F.lit("</subfield></datafield></record>"),
+    )
+    marc = o.withColumn("marc", parse_marc_native(xml))
+    return marc.select(
+        record_001(F.col("marc")).alias("record_id"),
+        F.get(subfield_values(F.col("marc"), "900", "a"), 0).alias("priority"),
+    )
