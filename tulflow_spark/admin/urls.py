@@ -27,3 +27,20 @@ def get_solr_url(conn: Connection, core: str) -> str:
     if conn.port:
         host = f"{host}:{conn.port}"
     return f"{host}/solr/{core}"
+
+
+def get_solr_url_template(conn_id: str, core: str) -> str:
+    """Jinja-templated variant for orchestrator connection resolution
+    (reference: tasks.py get_solr_url_template — the URL is assembled at
+    task-render time from a named connection)."""
+    host = f"{{{{ conn.{conn_id}.host }}}}"
+    schema = f"{{{{ conn.{conn_id}.schema }}}}"
+    port = f"{{{{ conn.{conn_id}.port }}}}"
+    return f"{schema}://{host}:{port}/solr/{core}"
+
+
+def should_trigger(condition_param: str, config: dict) -> bool:
+    """Conditional downstream-pipeline trigger predicate (reference:
+    tasks.py:108-118 conditionally_trigger): truthy config[condition_param]
+    → run the downstream job."""
+    return bool(config.get(condition_param))

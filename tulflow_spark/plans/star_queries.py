@@ -490,3 +490,56 @@ def a2_empty_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_type", "source_set"
     )
     return sets_with_no_records(requested, harvested)
+
+
+@register(
+    "q17_small_quantity",
+    oracle=f"""
+    SELECT {dsum_sql('l_extendedprice')} / 7.0 AS avg_yearly
+    FROM lineitem JOIN part ON p_partkey = l_partkey
+    WHERE p_brand = 'Brand#11'
+      AND l_quantity < (
+        SELECT 0.2 * AVG(l_quantity) FROM lineitem l2
+        WHERE l2.l_partkey = p_partkey
+      )
+    """,
+)
+def q17_small_quantity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q17 shape: correlated scalar subquery (decorrelated by Catalyst
+    into an aggregate + join — no per-row re-execution)."""
+    table(spark, sf_dir, "lineitem").createOrReplaceTempView("lineitem_v")
+    table(spark, sf_dir, "part").createOrReplaceTempView("part_v")
+    return spark.sql(f"""
+        SELECT CAST(SUM(CAST(l_extendedprice AS DECIMAL(30,6))) AS DOUBLE) / 7.0
+                 AS avg_yearly
+        FROM lineitem_v JOIN part_v ON p_partkey = l_partkey
+        WHERE p_brand = 'Brand#11'
+          AND l_quantity < (
+            SELECT 0.2 * AVG(l_quantity) FROM lineitem_v l2
+            WHERE l2.l_partkey = p_partkey
+          )
+    """)
+
+
+@register(
+    "sql1_pure_sql",
+    oracle=f"""
+    SELECT o_orderpriority, COUNT(*) AS n_orders,
+           {dsum_sql('o_totalprice')} AS total_price
+    FROM orders
+    WHERE o_orderdate >= TIMESTAMP '1997-01-01'
+    GROUP BY o_orderpriority
+    """,
+)
+def sql1_pure_sql(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The spark.sql() API surface: identical SQL text runs on both engines
+    (modulo the registered view names)."""
+    table(spark, sf_dir, "orders").createOrReplaceTempView("orders_v")
+    return spark.sql("""
+        SELECT o_orderpriority, COUNT(*) AS n_orders,
+               CAST(SUM(CAST(o_totalprice AS DECIMAL(30,6))) AS DOUBLE)
+                 AS total_price
+        FROM orders_v
+        WHERE o_orderdate >= TIMESTAMP '1997-01-01'
+        GROUP BY o_orderpriority
+    """)

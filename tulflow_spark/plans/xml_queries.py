@@ -162,3 +162,57 @@ def x2b_marc_native(spark: SparkSession, sf_dir: str) -> DataFrame:
         record_001(F.col("marc")).alias("record_id"),
         F.get(subfield_values(F.col("marc"), "900", "a"), 0).alias("priority"),
     )
+
+
+@register(
+    "x4_transform_rules",
+    oracle="""
+    SELECT doc_id,
+           CASE WHEN regexp_matches(lower(trim(text)), '^the')
+                THEN 'Leading Article' END AS doc_class,
+           CASE WHEN NOT regexp_matches(lower(trim(text)), '^the')
+                THEN trim(regexp_replace(text, '\\s+', ' ', 'g')) END AS doc_text
+    FROM documents
+    WHERE lang <> 'zh'
+    """,
+)
+def x4_transform_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The XSLT-subset transform compiler under oracle check: documents →
+    DC-ish maps → compiled stylesheet semantics (record filter + regex
+    vocabulary dispatch with otherwise-routing + normalize-space)."""
+    from tulflow_spark.transform.rules import (
+        CompiledStylesheet,
+        FieldTemplate,
+        RecordFilter,
+        ValueCase,
+        apply_templates,
+        record_keep_predicate,
+    )
+
+    sheet = CompiledStylesheet(
+        templates=(
+            FieldTemplate(
+                match_field="dc:text",
+                cases=(
+                    ValueCase(out_field="doc_class", pattern="^the",
+                              out_value="Leading Article"),
+                    ValueCase(out_field="doc_text"),  # otherwise: normalized text
+                ),
+            ),
+        ),
+        record_filters=(RecordFilter("dc:lang", "zh"),),
+    )
+    d = table(spark, sf_dir, "documents")
+    fields = F.map_from_arrays(
+        F.array(F.lit("dc:text"), F.lit("dc:lang")),
+        F.array(F.array(F.col("text")), F.array(F.col("lang"))),
+    )
+    kept = d.withColumn("_f", fields).filter(
+        record_keep_predicate(sheet, F.col("_f"))
+    )
+    out = kept.withColumn("_out", apply_templates(sheet, F.col("_f")))
+    return out.select(
+        "doc_id",
+        F.get(F.element_at(F.col("_out"), F.lit("doc_class")), 0).alias("doc_class"),
+        F.get(F.element_at(F.col("_out"), F.lit("doc_text")), 0).alias("doc_text"),
+    )

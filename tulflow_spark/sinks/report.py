@@ -21,3 +21,18 @@ def write_invalid_report(
     if single_file:
         df = df.coalesce(1)
     df.write.mode("overwrite").option("header", True).csv(path)
+
+
+def log_sink(df, logger=None, max_rows: int = 20, level: str = "info") -> int:
+    """Debug sink (reference: harvest.py:265-268 ``write_log`` — log instead
+    of writing): logs a bounded sample plus the total count, returns the
+    count.  The sample is a LIMIT, not a collect of the full frame."""
+    import logging
+
+    log = logger or logging.getLogger("tulflow_spark")
+    emit = getattr(log, level)
+    total = df.count()
+    for row in df.limit(max_rows).collect():
+        emit("%s", row.asDict())
+    emit("log_sink: %d rows total (%d shown)", total, min(total, max_rows))
+    return total
