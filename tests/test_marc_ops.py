@@ -110,3 +110,28 @@ def test_boundwith_enrich(spark, marc_df):
     # join is broadcast (no fact-side shuffle)
     plan = M.boundwith_enrich(marc_df, lookup)._jdf.queryExecution().executedPlan().toString()
     assert "BroadcastHashJoin" in plan
+
+
+def _uppercase_hook(el):
+    """module-level (picklable) Element hook used by the parser-kwarg test."""
+    for child in el.iter():
+        if child.text and child.text.strip():
+            child.text = child.text.upper()
+    return None if el.get("drop") == "yes" else el
+
+
+def test_apply_record_parser_hook(spark):
+    from tulflow_spark.operators.parser_hook import apply_record_parser
+
+    df = spark.createDataFrame(
+        [
+            ("keep", "<rec><v>hello</v></rec>"),
+            ("drop", '<rec drop="yes"><v>bye</v></rec>'),
+            ("null", None),
+        ],
+        "name string, metadata_xml string",
+    )
+    out = {r.name: r.metadata_xml for r in apply_record_parser(df, _uppercase_hook).collect()}
+    assert set(out) == {"keep", "null"}          # hook dropped one record
+    assert "<v>HELLO</v>" in out["keep"]         # hook transformed payload
+    assert out["null"] is None                   # NULL passes through

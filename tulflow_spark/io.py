@@ -61,3 +61,28 @@ def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
 
 def load_tables(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
     return {name: table(spark, sf_dir, name) for name in TABLES}
+
+
+def remove_object(spark: SparkSession, path: str) -> bool:
+    """Delete one object/file via the Hadoop FileSystem API (reference:
+    process.py:105-110 ``remove_s3_object``) — works for any scheme the
+    cluster's Hadoop conf knows (file://, s3a://, …).  Returns True when
+    something was deleted."""
+    jvm = spark._jvm
+    hpath = jvm.org.apache.hadoop.fs.Path(path)
+    fs = hpath.getFileSystem(spark._jsc.hadoopConfiguration())
+    return bool(fs.delete(hpath, False))
+
+
+def read_object(spark: SparkSession, path: str) -> bytes:
+    """Point read of one object's bytes (reference: process.py:113-121
+    ``get_s3_content``) — driver-side, for small config/rule artifacts; bulk
+    data goes through DataFrame scans."""
+    jvm = spark._jvm
+    hpath = jvm.org.apache.hadoop.fs.Path(path)
+    fs = hpath.getFileSystem(spark._jsc.hadoopConfiguration())
+    stream = fs.open(hpath)
+    try:
+        return bytes(jvm.org.apache.commons.io.IOUtils.toByteArray(stream))
+    finally:
+        stream.close()

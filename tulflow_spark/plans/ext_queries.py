@@ -295,3 +295,15 @@ def dd5_lsh_blocked_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return similarity.blocked_near_dup_pairs(
         bucketed, block_col="lsh_bucket", threshold=0.3
     )
+
+
+@register("ss4_ivf_topk")  # centroid assignment is model-specific → rows-only
+def ss4_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-Flat approximate top-k (KMeans coarse quantizer, 4-of-16 probes)
+    — the data-adaptive scale path alongside sign-LSH (ss3)."""
+    from tulflow_spark.ext.ivf import build_ivf_index
+
+    emb = table(spark, sf_dir, "embeddings")
+    vec = similarity.query_vector(emb, "vec_id", "embedding", 0)
+    index = build_ivf_index(emb, n_clusters=16)
+    return index.search(vec, k=10, n_probes=4)
