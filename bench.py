@@ -40,11 +40,12 @@ def main() -> None:
     spark.sparkContext.setLogLevel("ERROR")
     load_all()
 
-    # Warmup: touch every table + spin up codegen/arrow paths once.
+    # Warmup: full scan of every table (page cache + codegen + arrow paths)
+    # so per-query numbers measure plans, not first-touch I/O.
     from tulflow_spark.io import load_tables
 
     for df in load_tables(spark, sf_dir).values():
-        df.limit(1).count()
+        df.count()
 
     timings: dict[str, float] = {}
     for name in sorted(QUERIES):

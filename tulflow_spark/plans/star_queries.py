@@ -543,3 +543,28 @@ def sql1_pure_sql(spark: SparkSession, sf_dir: str) -> DataFrame:
         WHERE o_orderdate >= TIMESTAMP '1997-01-01'
         GROUP BY o_orderpriority
     """)
+
+
+@register(
+    "ev3_sliding_window",
+    oracle=f"""
+    WITH shifted AS (
+      SELECT time_bucket(INTERVAL '30 minutes', ts)
+               - o.off * INTERVAL '30 minutes' AS window_start,
+             value
+      FROM events CROSS JOIN (VALUES (0), (1)) o(off)
+    )
+    SELECT window_start, COUNT(*) AS n, {dsum_sql('value')} AS total_value
+    FROM shifted GROUP BY window_start
+    """,
+)
+def ev3_sliding_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding windows (1h window, 30m slide): every event lands in exactly
+    two overlapping windows — F.window's sliding form; oracle replicates via
+    the two-shifted-tumbling-buckets identity."""
+    ev = table(spark, sf_dir, "events")
+    return (
+        ev.groupBy(F.window("ts", "1 hour", "30 minutes").alias("win"))
+        .agg(F.count(F.lit(1)).alias("n"), dsum("value", "total_value"))
+        .select(F.col("win.start").alias("window_start"), "n", "total_value")
+    )
