@@ -1,0 +1,52 @@
+"""Bucketed co-located joins: same-bucketed fact tables must join with NO
+shuffle exchange — the write-once/join-many layout for 100 TB fact joins."""
+
+from __future__ import annotations
+
+import pytest
+
+from tulflow_spark.io import table
+from tulflow_spark.io_bucketing import read_table, write_bucketed
+
+SF = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def bucketed(spark, tmp_path_factory):
+    warehouse = tmp_path_factory.mktemp("warehouse")
+    write_bucketed(
+        table(spark, SF, "lineitem"), "li_b", "l_orderkey", 8,
+        path=str(warehouse / "li_b"),
+    )
+    write_bucketed(
+        table(spark, SF, "orders"), "o_b", "o_orderkey", 8,
+        path=str(warehouse / "o_b"),
+    )
+    yield
+    spark.sql("DROP TABLE IF EXISTS li_b")
+    spark.sql("DROP TABLE IF EXISTS o_b")
+
+
+def test_bucketed_join_has_no_shuffle(spark, bucketed):
+    li, o = read_table(spark, "li_b"), read_table(spark, "o_b")
+    # force sort-merge (tiny test tables would otherwise broadcast; at real
+    # fact-fact scale the planner picks SMJ itself)
+    joined = li.hint("merge").join(o, li.l_orderkey == o.o_orderkey)
+    plan = joined._jdf.queryExecution().executedPlan().toString()
+    # co-located buckets: a sort-merge join with ZERO shuffle exchanges
+    assert "SortMergeJoin" in plan
+    assert "ShuffleExchange" not in plan and "Exchange hashpartitioning" not in plan
+    assert "Bucketed: true" in plan
+    # and it is still correct
+    assert joined.count() == 6000
+
+
+def test_bucketed_agg_has_no_shuffle(spark, bucketed):
+    import pyspark.sql.functions as F
+
+    li = read_table(spark, "li_b")
+    agg = li.groupBy("l_orderkey").agg(F.sum("l_quantity"))
+    plan = agg._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan
+    expected = table(spark, SF, "lineitem").select("l_orderkey").distinct().count()
+    assert agg.count() == expected

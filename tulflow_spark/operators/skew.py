@@ -38,3 +38,31 @@ def salted_sum(
         F.sum("_partial").cast("double").alias(alias),
         F.sum("_n").alias("n_rows"),
     )
+
+
+def salted_join(
+    big: DataFrame,
+    small: DataFrame,
+    on: list[str],
+    buckets: int = 8,
+    how: str = "inner",
+) -> DataFrame:
+    """Skew-resistant equi-join: salt the big side, replicate the small side
+    across every salt value.
+
+    For when a hot key is too big for one reducer but the other side is too
+    large to broadcast: each of the hot key's row groups meets its own copy
+    of the matching small-side rows.  Cost: small side × buckets (bounded,
+    explicit).  Semantics identical to ``big.join(small, on, how)`` for
+    inner/left joins.  AQE's skew-join handles sort-merge skew
+    automatically; this is the manual tool for the cases AQE can't re-plan
+    (e.g. when the skewed side feeds a co-partitioned downstream op).
+    """
+    big_s = big.withColumn(
+        "_salt",
+        F.pmod(F.xxhash64(F.monotonically_increasing_id()), F.lit(buckets)),
+    )
+    small_s = small.withColumn(
+        "_salt", F.explode(F.sequence(F.lit(0), F.lit(buckets - 1)))
+    )
+    return big_s.join(small_s, [*on, "_salt"], how).drop("_salt")

@@ -129,3 +129,52 @@ def running_user_totals(events: DataFrame) -> DataFrame:
             timeoutConf=GroupStateTimeout.NoTimeout,
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# CDC snapshot sink (foreachBatch upsert)
+# ---------------------------------------------------------------------------
+
+
+def cdc_snapshot_sink(
+    changes: DataFrame,
+    path: str,
+    keys: list[str],
+    order_by: list[str],
+    deleted: str = "deleted",
+    checkpoint: str | None = None,
+):
+    """Maintain a latest-snapshot parquet table from a change stream
+    (deleted-record CDC — the streaming face of operators.cdc).
+
+    Each micro-batch merges into the snapshot via foreachBatch:
+    existing ∪ batch → latest-per-key → atomic directory swap.  On a lake
+    table format (Delta/Iceberg) this becomes a MERGE; the plain-parquet
+    swap here is the dependency-free equivalent with the same semantics.
+    Returns the started StreamingQuery.
+    """
+    import os
+    import shutil
+
+    from tulflow_spark.operators.cdc import latest_snapshot
+
+    def apply_batch(batch_df: DataFrame, batch_id: int) -> None:
+        spark = batch_df.sparkSession
+        if os.path.isdir(path) and any(
+            f.endswith(".parquet") for f in os.listdir(path)
+        ):
+            existing = spark.read.parquet(path).select(*batch_df.columns)
+            union = existing.unionByName(batch_df)
+        else:
+            union = batch_df
+        merged = latest_snapshot(union, keys, order_by, deleted)
+        tmp = f"{path}.tmp-{batch_id}"
+        merged.write.mode("overwrite").parquet(tmp)
+        if os.path.isdir(path):
+            shutil.rmtree(path)
+        os.replace(tmp, path)
+
+    writer = changes.writeStream.foreachBatch(apply_batch).outputMode("update")
+    if checkpoint:
+        writer = writer.option("checkpointLocation", checkpoint)
+    return writer.start()
