@@ -48,22 +48,26 @@ def main() -> None:
         df.count()
 
     timings: dict[str, float] = {}
+    failures: list[str] = []
     for name in sorted(QUERIES):
         t0 = time.perf_counter()
-        materialize(QUERIES[name](spark, sf_dir))
-        timings[name] = round(time.perf_counter() - t0, 3)
+        try:
+            materialize(QUERIES[name](spark, sf_dir))
+            timings[name] = round(time.perf_counter() - t0, 3)
+        except Exception as exc:  # one bad query must not zero the bench
+            failures.append(name)
+            print(f"bench: {name} FAILED: {exc}", file=sys.stderr)
 
-    print(
-        json.dumps(
-            {
-                "metric": "total_query_sec",
-                "value": round(sum(timings.values()), 3),
-                "unit": "sec",
-                "queries": timings,
-                "sf": sf,
-            }
-        )
-    )
+    result = {
+        "metric": "total_query_sec",
+        "value": round(sum(timings.values()), 3),
+        "unit": "sec",
+        "queries": timings,
+        "sf": sf,
+    }
+    if failures:
+        result["failed"] = failures
+    print(json.dumps(result))
 
 
 if __name__ == "__main__":
