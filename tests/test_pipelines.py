@@ -177,3 +177,35 @@ def test_all_filtered_guard_fires(spark, tmp_path):
         P.validate_staging(
             spark, src, os.path.join(base, "v"), os.path.join(base, "r"), SCH
         )
+
+
+def test_parquet_staging_end_to_end(spark, tmp_path):
+    """stage_format='parquet': same pipeline semantics, columnar staging
+    (no XML re-parse at stage boundaries)."""
+    base = str(tmp_path)
+    env = spark.createDataFrame(
+        [
+            (ident, datetime(2026, 1, 1, tzinfo=timezone.utc), ["s"], dele, md)
+            for ident, dele, md in ROWS
+        ],
+        "identifier string, datestamp timestamp, set_specs array<string>, "
+        "deleted boolean, metadata_xml string",
+    )
+    res = P.harvest_to_staging(env, base, "pq", "t", stage_format="parquet")
+    assert res.updated == 3 and res.deleted == 1
+    hdir = os.path.join(base, "pq", "t")
+    n_tx = P.transform_staging(
+        spark, os.path.join(hdir, "new-updated"),
+        os.path.join(hdir, "transformed"), XSL, stage_format="parquet",
+    )
+    assert n_tx == 3
+    val = P.validate_staging(
+        spark, os.path.join(hdir, "transformed"),
+        os.path.join(hdir, "validated"), os.path.join(hdir, "report"),
+        SCH, stage_format="parquet",
+    )
+    assert (val.total, val.valid, val.filtered) == (3, 2, 1)
+    out = spark.read.parquet(os.path.join(hdir, "validated"))
+    assert {r.identifier for r in out.collect()} == {"oai:p:1", "oai:p:4"}
+    # the staged files really are parquet, not XML
+    assert any(f.endswith(".parquet") for f in os.listdir(os.path.join(hdir, "new-updated")))

@@ -30,6 +30,44 @@ from tulflow_spark.validation.ops import filter_with_report, guard_not_all_filte
 from tulflow_spark.validation.schematron import parse_schematron
 
 
+ENVELOPE_COLS = ("identifier", "datestamp", "set_specs", "deleted", "metadata_xml")
+
+
+def _write_stage(
+    df: DataFrame,
+    out_dir: str,
+    stage_format: str,
+    records_per_file: int,
+    dag_id: str,
+    timestamp: str,
+) -> None:
+    if stage_format == "parquet":
+        (
+            df.select(*ENVELOPE_COLS)
+            .write.mode("overwrite")
+            .option("maxRecordsPerFile", records_per_file)
+            .parquet(out_dir)
+        )
+    elif stage_format == "xml":
+        write_oai_collections(
+            df, out_dir,
+            records_per_file=records_per_file, dag_id=dag_id, timestamp=timestamp,
+        )
+    else:
+        raise ValueError(f"unknown stage_format {stage_format!r}")
+
+
+def _read_stage(spark: SparkSession, src_dir: str) -> DataFrame:
+    """Read a staging prefix in either format (parquet dirs are
+    self-identifying via their file extensions)."""
+    entries = os.listdir(src_dir) if os.path.isdir(src_dir) else []
+    if any(e.endswith(".parquet") for e in entries):
+        return spark.read.parquet(src_dir).withColumn(
+            "source_file", F.input_file_name()
+        )
+    return read_oai_collections(spark, src_dir)
+
+
 @dataclass
 class HarvestResult:
     updated: int
@@ -42,6 +80,7 @@ def harvest_to_staging(
     dag_id: str,
     timestamp: str,
     records_per_file: int = 1000,
+    stage_format: str = "xml",
 ) -> HarvestResult:
     """Route updated/deleted and write both chunked stages
     (reference: harvest.py:170-215 process_xml + writers).
@@ -49,16 +88,21 @@ def harvest_to_staging(
     ``records`` is an envelope DataFrame from any source (OAI harvest, staged
     collections, tarballs) — the pipeline is source-agnostic like
     ``process_xml``'s iterator argument.
+
+    ``stage_format``: ``"xml"`` reproduces the reference's collection-file
+    staging byte-compatibly in shape; ``"parquet"`` stages the parsed
+    envelope columnar — the 100 TB default (no XML re-parse at every stage
+    boundary, predicate pushdown between stages; see DESIGN.md §1).
     """
     updated, deleted = route_updated_deleted(records)
     prefix = os.path.join(base_dir, dag_prefix(dag_id, timestamp))
-    write_oai_collections(
+    _write_stage(
         updated, os.path.join(prefix, "new-updated"),
-        records_per_file=records_per_file, dag_id=dag_id, timestamp=timestamp,
+        stage_format, records_per_file, dag_id, timestamp,
     )
-    write_oai_collections(
+    _write_stage(
         deleted, os.path.join(prefix, "deleted"),
-        records_per_file=records_per_file, dag_id=dag_id, timestamp=timestamp,
+        stage_format, records_per_file, dag_id, timestamp,
     )
     counts = records.agg(
         F.sum(F.when(~F.col("deleted"), 1).otherwise(0)).alias("u"),
@@ -68,9 +112,9 @@ def harvest_to_staging(
 
 
 def _with_dc_fields(spark: SparkSession, source_dir: str) -> DataFrame:
-    """Staged collections → envelope + parsed DC ``fields`` column."""
+    """Staged records (either format) → envelope + parsed DC ``fields``."""
     udfs = register_udfs()
-    return read_oai_collections(spark, source_dir).withColumn(
+    return _read_stage(spark, source_dir).withColumn(
         "fields", udfs["parse_dc"](F.col("metadata_xml"))
     )
 
@@ -82,6 +126,7 @@ def transform_staging(
     stylesheet: str | bytes,
     dag_id: str = "",
     timestamp: str = "",
+    stage_format: str = "xml",
 ) -> int:
     """XSLT-subset transform of a staged prefix (reference: transform.py:20-78,
     minus the per-record JVM fork and minus its cross-file accumulator bug).
@@ -93,9 +138,7 @@ def transform_staging(
     transformed = transform_records(records, sheet)
     # re-serialize the transformed field map as an oai_dc payload
     out = transformed.withColumn("metadata_xml", _dc_to_xml(F.col("fields")))
-    write_oai_collections(
-        out, dest_dir, dag_id=dag_id, timestamp=timestamp
-    )
+    _write_stage(out, dest_dir, stage_format, 1000, dag_id, timestamp)
     return transformed.count()
 
 
@@ -142,6 +185,7 @@ def validate_staging(
     schematron: str | bytes,
     dag_id: str = "",
     timestamp: str = "",
+    stage_format: str = "xml",
 ) -> ValidationResult:
     """Schematron-subset filter of a staged prefix: valid records → XML
     stage, invalid rows → CSV report, all-filtered guard
@@ -151,7 +195,7 @@ def validate_staging(
         "record_id", F.col("identifier")
     )
     valid, invalid = filter_with_report(records, rules)
-    write_oai_collections(valid, dest_dir, dag_id=dag_id, timestamp=timestamp)
+    _write_stage(valid, dest_dir, stage_format, 1000, dag_id, timestamp)
     write_invalid_report(invalid, report_dir)
     total = records.count()
     n_valid = valid.count()
