@@ -55,6 +55,12 @@ def assert_frames_match(spark_pdf: pd.DataFrame, oracle_pdf: pd.DataFrame, name:
         f"{name}: column mismatch spark={sorted(spark_pdf.columns)} "
         f"oracle={sorted(oracle_pdf.columns)}"
     )
+    # dtype parity (timestamp resolution normalized): int32-vs-int64 drift
+    # between engines is a schema mismatch at the driver's gate
+    for col in spark_pdf.columns:
+        sd = str(spark_pdf[col].dtype).replace("[us]", "[ns]")
+        od = str(oracle_pdf[col].dtype).replace("[us]", "[ns]")
+        assert sd == od, f"{name}.{col}: dtype spark={sd} oracle={od}"
     s, o = normalize(spark_pdf), normalize(oracle_pdf)
     assert len(s) == len(o), f"{name}: row count spark={len(s)} oracle={len(o)}"
     diffs = [(a, b) for a, b in zip(s, o) if a != b]

@@ -127,10 +127,12 @@ def w4_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
     by_bal_stable = Window.partitionBy("c_mktsegment").orderBy(
         F.col("c_acctbal").desc(), F.col("c_custkey")
     )
+    # bigint casts: Spark's rank/ntile are int32, DuckDB's are int64 — align
+    # the schema the driver compares
     return c.select(
         "c_custkey",
-        F.rank().over(by_bal).alias("bal_rank"),
-        F.ntile(4).over(by_bal_stable).alias("quartile"),
+        F.rank().over(by_bal).cast("bigint").alias("bal_rank"),
+        F.ntile(4).over(by_bal_stable).cast("bigint").alias("quartile"),
     )
 
 
@@ -191,7 +193,7 @@ def f2_scalar_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.concat(F.col("o_orderstatus"), F.lit("|"), F.col("o_orderpriority"))
             .cast("binary")
         ).alias("row_key"),
-        F.length("o_orderpriority").alias("prio_len"),
+        F.length("o_orderpriority").cast("bigint").alias("prio_len"),
         F.upper("o_orderstatus").alias("status_uc"),
         F.array_join(F.split("o_orderpriority", "-"), "\n").alias("prio_lines"),
     )
