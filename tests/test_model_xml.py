@@ -150,3 +150,30 @@ def test_parser_udfs(spark):
     got = df.select("marc").collect()
     assert got[0].marc.controlfields[0].value == "9"
     assert got[1].marc.leader is None
+
+
+def test_large_record_regression():
+    """Very large single record (the reference carries a 24k-line fixture
+    for a historical lxml crash, tests/test_devo-256_lxml_bug.py) — our
+    parser must handle megabyte-scale records with thousands of fields."""
+    datafields = "".join(
+        f'<datafield tag="{500 + (i % 400)}" ind1=" " ind2=" ">'
+        f'<subfield code="a">value {i} {"x" * 80}</subfield></datafield>'
+        for i in range(10_000)
+    )
+    xml = (
+        f'<record xmlns="{X.MARC_NS}"><leader>L</leader>'
+        f'<controlfield tag="001">big</controlfield>{datafields}</record>'
+    )
+    assert len(xml) > 1_000_000
+    marc = X.parse_marc(xml)
+    assert len(marc["datafields"]) == 10_000
+    assert marc["controlfields"][0]["value"] == "big"
+    # and the envelope path survives it too
+    doc = (
+        f'<collection xmlns="{X.OAI_NS}"><record><header>'
+        f"<identifier>oai:big:1</identifier></header>"
+        f"<metadata>{xml}</metadata></record></collection>"
+    )
+    recs = list(X.iter_oai_records(doc))
+    assert len(recs) == 1 and len(recs[0]["metadata_xml"]) > 1_000_000

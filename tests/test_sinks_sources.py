@@ -121,3 +121,32 @@ def test_write_invalid_report(spark, tmp_path):
     content = open(os.path.join(out, csvs[0])).read()
     assert content.splitlines()[0] == "id,report,record,source_file"
     assert "r1,bad,<rec/>,f.xml" in content
+
+
+def test_missing_staging_dir_yields_empty_frame(spark, tmp_path):
+    """Empty harvest → no staging dir → downstream stages see 0 records,
+    not PATH_NOT_FOUND (reference: empty prefixes yield zero counts)."""
+    df = read_oai_collections(spark, str(tmp_path / "never-written"))
+    assert df.count() == 0
+    assert "identifier" in df.columns
+
+
+def test_golden_content_addressed_name(spark, tmp_path):
+    """Byte-golden pin: a fixed input row must always serialize to the same
+    bytes, i.e. the same md5 filename.  If serialization changes shape,
+    this constant changes — update it CONSCIOUSLY (idempotent-retry naming
+    depends on byte stability)."""
+    df = spark.createDataFrame(
+        [(
+            "oai:golden:1",
+            datetime(2026, 1, 2, 3, 4, 5, tzinfo=timezone.utc),
+            ["s1", "s2"],
+            False,
+            '<rec xmlns="urn:g"><v>7</v></rec>',
+        )],
+        ENVELOPE_DDL,
+    ).coalesce(1)
+    out = str(tmp_path / "golden")
+    write_oai_collections(df, out, dag_id="g", timestamp="ts")
+    names = os.listdir(out)
+    assert names == ["d323ccfded1f1c6bdf985f3acd65a4cd"], names

@@ -278,6 +278,14 @@ def read_oai_collections(spark, path, glob: str | None = None):
         list(OAI_RECORD_SCHEMA.fields) + [StructField("source_file", StringType())]
     )
 
+    import os as _os
+
+    if not _os.path.exists(path):
+        # an empty harvest writes no staging dir at all; downstream stages
+        # must see an empty frame, not PATH_NOT_FOUND (reference semantics:
+        # empty prefixes yield zero counts, not failures)
+        return spark.createDataFrame([], out_schema)
+
     def gen(batches):
         for pdf in batches:
             rows = []

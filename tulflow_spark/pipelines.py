@@ -59,13 +59,14 @@ def _write_stage(
 
 def _read_stage(spark: SparkSession, src_dir: str) -> DataFrame:
     """Read a staging prefix in either format (parquet dirs are
-    self-identifying via their file extensions)."""
+    self-identifying via their file extensions).  Missing/empty prefixes
+    yield an empty frame — empty harvests must not fail downstream stages."""
     entries = os.listdir(src_dir) if os.path.isdir(src_dir) else []
     if any(e.endswith(".parquet") for e in entries):
         return spark.read.parquet(src_dir).withColumn(
             "source_file", F.input_file_name()
         )
-    return read_oai_collections(spark, src_dir)
+    return read_oai_collections(spark, src_dir)  # handles missing path
 
 
 @dataclass
