@@ -307,3 +307,62 @@ def ss4_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     vec = similarity.query_vector(emb, "vec_id", "embedding", 0)
     index = build_ivf_index(emb, n_clusters=16)
     return index.search(vec, k=10, n_probes=4)
+
+
+@register(
+    "dd6_boilerplate_ngrams",
+    oracle=f"""
+    WITH {_GRAMS_CTE}
+    SELECT g AS gram, COUNT(*) AS doc_frequency
+    FROM dg GROUP BY g HAVING COUNT(*) >= 3
+    """,
+)
+def dd6_boilerplate_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-document repeated shingles (boilerplate detection) — the
+    document-frequency rollup that feeds a broadcast strip-filter."""
+    from tulflow_spark.ext.curation import boilerplate_ngrams
+
+    return boilerplate_ngrams(
+        table(spark, sf_dir, "documents"), "doc_id", "text", min_doc_frequency=3
+    )
+
+
+@register(
+    "cur1_curate_exact",
+    oracle=f"""
+    WITH scored AS (
+      SELECT doc_id, text,
+             (least(length(text) / 500.0, 1.0)
+              + least((len(list_filter({_TOKS}, x -> lower(x) IN {_STOPS}))
+                       / len({_TOKS})) * 4, 1.0)
+              + (1.0 - least(((length(text)
+                   - length(regexp_replace(text, '[^\\w\\s]', '', 'g')))
+                   / length(text)) * 5, 1.0))) / 3 AS quality
+      FROM documents
+    ), gated AS (
+      SELECT * FROM scored WHERE quality >= 0.5
+    ), keepers AS (
+      SELECT MIN(doc_id) AS doc_id FROM gated GROUP BY md5(text)
+    )
+    SELECT g.doc_id, g.quality
+    FROM gated g JOIN keepers k ON g.doc_id = k.doc_id
+    """,
+)
+def cur1_curate_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Composed curation (quality gate + exact dedup) under oracle check."""
+    from tulflow_spark.ext.curation import curate_exact
+
+    return curate_exact(
+        table(spark, sf_dir, "documents"), "doc_id", "text", min_quality=0.5
+    )
+
+
+@register("cur2_curate_near_dup")  # minhash stage → rows-only check
+def cur2_curate_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full curation incl. near-dup removal (the production composition)."""
+    from tulflow_spark.ext.curation import curate_near_dup
+
+    return curate_near_dup(
+        table(spark, sf_dir, "documents"), "doc_id", "text",
+        min_quality=0.4, near_dup_threshold=0.8,
+    )
