@@ -366,3 +366,15 @@ def cur2_curate_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
         table(spark, sf_dir, "documents"), "doc_id", "text",
         min_quality=0.4, near_dup_threshold=0.8,
     )
+
+
+@register("a7_hll_sketch_rollup")  # HLL estimates are impl-specific → rows-only
+def a7_hll_sketch_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mergeable distinct-count sketches: per-day HLL partials merged to a
+    per-event-type estimate — the no-rescan incremental-rollup pattern
+    (store partials, answer unions by merging)."""
+    from tulflow_spark.ext.sketches import distinct_sketch, merge_sketches
+
+    ev = table(spark, sf_dir, "events").withColumn("day", F.to_date("ts"))
+    daily = distinct_sketch(ev, ["event_type", "day"], "user_id")
+    return merge_sketches(daily, ["event_type"])
