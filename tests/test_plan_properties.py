@@ -7,6 +7,7 @@ from __future__ import annotations
 
 import re
 
+import pyspark.sql.functions as F
 import pytest
 
 from tulflow_spark.plans import QUERIES, load_all
@@ -79,3 +80,26 @@ def test_boundwith_enrich_is_broadcast(spark):
         ._jdf.queryExecution().executedPlan().toString()
     )
     assert "BroadcastHashJoin" in plan
+
+
+def test_ns_timestamp_range_scan_pushes_down(spark, sf_dir):
+    """events.ts is TIMESTAMP(NANOS): the range helper must push the filter
+    to the scan as an int64 predicate (plain filtering after conversion
+    cannot)."""
+    from datetime import datetime, timezone
+
+    from tulflow_spark.io import table, table_with_time_range
+
+    start = datetime(2024, 1, 10, tzinfo=timezone.utc)
+    end = datetime(2024, 1, 20, tzinfo=timezone.utc)
+    fast = table_with_time_range(spark, sf_dir, "events", "ts", start, end)
+    plan = fast._jdf.queryExecution().executedPlan().toString()
+    assert "PushedFilters: [IsNotNull(ts), GreaterThanOrEqual(ts," in plan
+    # and it returns exactly what post-conversion filtering returns
+    slow = table(spark, sf_dir, "events").filter(
+        (F.col("ts") >= F.lit(start)) & (F.col("ts") < F.lit(end))
+    )
+    slow_plan = slow._jdf.queryExecution().executedPlan().toString()
+    assert "GreaterThanOrEqual(ts" not in slow_plan  # the mismatch being fixed
+    assert fast.count() == slow.count() > 0
+

@@ -63,6 +63,46 @@ def load_tables(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
     return {name: table(spark, sf_dir, name) for name in TABLES}
 
 
+def table_with_time_range(
+    spark: SparkSession,
+    sf_dir: str,
+    name: str,
+    ts_col: str,
+    start=None,
+    end=None,
+) -> DataFrame:
+    """Time-range scan that keeps predicate pushdown even for TIMESTAMP(NANOS)
+    columns: the range filter is applied to the RAW nanosecond long BEFORE
+    the µs conversion, so it reaches the parquet footer (`PushedFilters` on
+    the int64).  ``start``/``end`` are datetimes (end exclusive).  For normal
+    µs/ms timestamp columns this is just a filtered :func:`table` — Catalyst
+    pushes those on its own."""
+    import datetime as _dt
+
+    path = os.path.join(sf_dir, f"{name}.parquet")
+    ns_cols = _nanos_columns(path)
+
+    def _ns(dt: "_dt.datetime") -> int:
+        return int(dt.timestamp() * 1_000_000) * 1000
+
+    if ts_col in ns_cols:
+        spark.conf.set(_NANOS_CONF, "true")
+        df = spark.read.parquet(path)
+        if start is not None:
+            df = df.filter(F.col(ts_col) >= F.lit(_ns(start)))
+        if end is not None:
+            df = df.filter(F.col(ts_col) < F.lit(_ns(end)))
+        for c in ns_cols:
+            df = df.withColumn(c, F.timestamp_micros(F.expr(f"`{c}` div 1000")))
+        return df
+    df = table(spark, sf_dir, name)
+    if start is not None:
+        df = df.filter(F.col(ts_col) >= F.lit(start))
+    if end is not None:
+        df = df.filter(F.col(ts_col) < F.lit(end))
+    return df
+
+
 def remove_object(spark: SparkSession, path: str) -> bool:
     """Delete one object/file via the Hadoop FileSystem API (reference:
     process.py:105-110 ``remove_s3_object``) — works for any scheme the
