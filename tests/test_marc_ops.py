@@ -135,3 +135,20 @@ def test_apply_record_parser_hook(spark):
     assert set(out) == {"keep", "null"}          # hook dropped one record
     assert "<v>HELLO</v>" in out["keep"]         # hook transformed payload
     assert out["null"] is None                   # NULL passes through
+
+
+def test_boundwith_enrich_dedupes_lookup(spark, marc_df):
+    """Duplicated child_id rows in the lookup must not multiply record rows —
+    the reference uses only the first match (harvest.py:239-241); here the
+    deterministic 'first' is the lowest parent_id."""
+    lookup = spark.createDataFrame(
+        [(123, 901, "<b>late</b>"), (123, 900, "<a>first</a>")],
+        "child_id bigint, parent_id bigint, parent_xml string",
+    )
+    out = M.boundwith_enrich(marc_df, lookup).collect()
+    names = [r.name for r in out]
+    assert len(names) == len(set(names))  # no duplication from the join
+    hit = {r.name: r for r in out}["one"]
+    assert hit.parent_fragments == ["<a>first</a>"]
+    adf = [d for d in hit.marc.datafields if d.tag == "ADF"]
+    assert [s.value for s in adf[0].subfields] == ["900"]

@@ -81,12 +81,35 @@ def test_streaming_incremental_harvest(spark, endpoint, tmp_path):
         first = {r.identifier for r in spark.table("oai_stream").collect()}
         assert first == {"oai:s:1", "oai:s:2"}
 
-        # corpus grows AFTER the first batch → next batch must pick it up
+        # corpus grows AFTER the first batch → next batch must pick it up:
+        # a window's `until` lags 1s behind the wall clock (the current
+        # second is still open), so wait two full seconds for the appended
+        # record's second to close and enter a window
         now = datetime.now(timezone.utc).strftime("%Y-%m-%dT%H:%M:%SZ")
         CORPUS.append(("oai:s:3", now))
-        time.sleep(1.1)  # ensure the next window's `now` passes the datestamp
+        time.sleep(2.2)
         q.processAllAvailable()
-        ids = {r.identifier for r in spark.table("oai_stream").collect()}
+        rows = spark.table("oai_stream").collect()
+        ids = [r.identifier for r in rows]
         assert "oai:s:3" in ids
+        # inclusive-boundary records must NOT be emitted twice across windows
+        assert len(ids) == len(set(ids))
     finally:
         q.stop()
+
+
+def test_stream_window_advances_past_inclusive_until():
+    from tulflow_spark.sources.oai import OaiStreamReader
+
+    r = OaiStreamReader({"endpoint": "http://unused"})
+    # first window: the user's `from` stays inclusive
+    assert (
+        r._next_from({"until": "2026-01-01T00:00:00Z", "first": True})
+        == "2026-01-01T00:00:00Z"
+    )
+    # subsequent windows: advance one granularity unit past the previous
+    # (inclusive) until so boundary datestamps aren't harvested twice
+    assert (
+        r._next_from({"until": "2026-01-01T00:00:00Z"})
+        == "2026-01-01T00:00:01Z"
+    )

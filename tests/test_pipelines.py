@@ -209,3 +209,20 @@ def test_parquet_staging_end_to_end(spark, tmp_path):
     assert {r.identifier for r in out.collect()} == {"oai:p:1", "oai:p:4"}
     # the staged files really are parquet, not XML
     assert any(f.endswith(".parquet") for f in os.listdir(os.path.join(hdir, "new-updated")))
+
+
+def test_dc_to_xml_escapes_entities(spark):
+    """Values containing XML entities must serialize to well-formed XML
+    (ADVICE r1: 'AT&T' previously produced malformed metadata_xml)."""
+    import xml.etree.ElementTree as ET
+
+    from pyspark.sql import functions as F
+
+    df = spark.createDataFrame([("AT&T <scores> 3>2 &amp; raw",)], "v string")
+    xml = df.select(
+        P._dc_to_xml(
+            F.create_map(F.lit("dc:title"), F.array(F.col("v")))
+        ).alias("x")
+    ).head().x
+    el = ET.fromstring(xml)  # must parse
+    assert el[0].text == "AT&T <scores> 3>2 &amp; raw"

@@ -161,3 +161,11 @@ def test_index_to_solr_sink(spark, solr_url):
     assert len(STATE["posted_docs"]) == 20
     assert {d["id"] for d in STATE["posted_docs"]} == set(range(20))
     assert STATE["commits"] == 1  # one driver-side commit, never per batch
+
+
+def test_add_collection_drops_init(client):
+    """Re-pointing an alias drops the '-init' bootstrap collection — the
+    reference's deliberate blue/green semantics (solr_api_utils.py:227-235)."""
+    STATE["aliases"]["cat2"] = "cat2-blue,cat2-init"
+    client.add_collection_to_alias("cat2-green", "cat2")
+    assert client.get_alias_collections("cat2") == ["cat2-blue", "cat2-green"]

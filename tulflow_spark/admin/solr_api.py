@@ -149,9 +149,13 @@ class SolrCloudClient:
         self.set_alias_collections(alias, [collection])
 
     def add_collection_to_alias(self, collection: str, alias: str) -> None:
-        current = self.get_alias_collections(alias)
+        # base membership on the init-filtered list so the '-init' bootstrap
+        # collection is dropped when the alias is (re)written — the reference's
+        # deliberate blue/green semantics (solr_api_utils.py:227-235)
+        current = self.get_alias_collections_without_init(alias)
         if collection not in current:
-            self.set_alias_collections(alias, current + [collection])
+            current = current + [collection]
+        self.set_alias_collections(alias, current)
 
     def remove_collection_from_alias(self, collection: str, alias: str) -> None:
         remaining = [c for c in self.get_alias_collections(alias) if c != collection]

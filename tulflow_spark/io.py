@@ -51,7 +51,11 @@ def _nanos_columns(path: str) -> tuple[str, ...]:
 def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     path = os.path.join(sf_dir, f"{name}.parquet")
     ns_cols = _nanos_columns(path)
-    if ns_cols:
+    # session.get_spark sets this at build; re-assert it here for foreign
+    # sessions (the driver's vanilla session).  The set is monotonic — only
+    # ever flipped to "true", never back — so concurrent queries in one
+    # session cannot race it into an inconsistent state.
+    if ns_cols and spark.conf.get(_NANOS_CONF, "false") != "true":
         spark.conf.set(_NANOS_CONF, "true")
     df = spark.read.parquet(path)
     for c in ns_cols:

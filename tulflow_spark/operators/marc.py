@@ -105,6 +105,13 @@ def boundwith_enrich(
     keyed = records.withColumn("_rec001", record_001(m)).withColumn(
         "_rec001", F.expr("try_cast(_rec001 AS bigint)")
     )
+    # one lookup row per child: the reference probes the pandas frame and uses
+    # only the first match (harvest.py:239-241); a duplicated child_id must
+    # not multiply record rows.  Deterministic "first" = lowest parent_id.
+    lookup = lookup.groupBy("child_id").agg(
+        F.min("parent_id").alias("parent_id"),
+        F.expr("min_by(parent_xml, parent_id)").alias("parent_xml"),
+    )
     joined = keyed.join(
         F.broadcast(lookup),
         keyed["_rec001"] == lookup["child_id"],

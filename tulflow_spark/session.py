@@ -30,6 +30,10 @@ DEFAULT_CONF: dict[str, str] = {
     "spark.sql.autoBroadcastJoinThreshold": "10485760",
     "spark.sql.shuffle.partitions": "32",
     "spark.driver.memory": "8g",
+    # Some driver parquet carries TIMESTAMP(NANOS) columns; set once at build
+    # so io.table never has to mutate a live session's conf (io.py only
+    # re-asserts it, idempotently, for foreign sessions like the driver's).
+    "spark.sql.legacy.parquet.nanosAsLong": "true",
 }
 
 

@@ -52,8 +52,10 @@ def _record_element(row) -> ET.Element:
     rec = ET.Element(f"{{{OAI_NS}}}record")
     if row["identifier"] is not None:
         # durable record id stamped as an attribute so it survives
-        # transformation (reference: harvest.py:191-193 airflow-record-id)
-        rec.set("record-id", row["identifier"])
+        # transformation — same attribute NAME as the reference staging format
+        # (harvest.py:193 writes, validate.py:68 reads 'airflow-record-id') so
+        # reference-layout consumers find it
+        rec.set("airflow-record-id", row["identifier"])
     header = ET.SubElement(rec, f"{{{OAI_NS}}}header")
     if row["deleted"]:
         header.set("status", "deleted")

@@ -213,6 +213,17 @@ try:  # DataSource API requires pyspark >= 4 (present here; guarded anyway)
         Offsets are ISO-second datestamps, so restarts resume exactly where
         the checkpoint stopped and ``readBetweenOffsets`` replays any window
         deterministically (OAI harvests are repeatable by contract).
+
+        OAI-PMH ``from``/``until`` are BOTH inclusive, so consecutive windows
+        sharing a boundary would emit boundary-datestamped records twice; the
+        next window's ``from`` therefore advances one granularity unit
+        (second) past the previous ``until``.  The very first window keeps the
+        user's ``from`` inclusive (marked by ``first`` in the offset).
+
+        Symmetrically, ``until`` lags one second behind the wall clock: the
+        current second is still open — a record committed "now" with a
+        datestamp of the current second would otherwise land just behind an
+        already-consumed window boundary and be skipped forever.
         """
 
         def __init__(self, options: dict):
@@ -225,7 +236,17 @@ try:  # DataSource API requires pyspark >= 4 (present here; guarded anyway)
             self.start_from = options.get("from", "1970-01-01T00:00:00Z")
 
         def initialOffset(self) -> dict:
-            return {"until": self.start_from}
+            return {"until": self.start_from, "first": True}
+
+        @staticmethod
+        def _next_from(offset: dict) -> str:
+            """Inclusive window start for the window AFTER ``offset``."""
+            import datetime as _dt
+
+            if offset.get("first"):
+                return offset["until"]
+            t = _dt.datetime.strptime(offset["until"], "%Y-%m-%dT%H:%M:%SZ")
+            return (t + _dt.timedelta(seconds=1)).strftime("%Y-%m-%dT%H:%M:%SZ")
 
         def _harvest_window(self, frm: str, until: str) -> list:
             # materialized (not a generator): the streaming runner copies the
@@ -254,16 +275,17 @@ try:  # DataSource API requires pyspark >= 4 (present here; guarded anyway)
         def read(self, start: dict):
             import datetime as _dt
 
-            now = _dt.datetime.now(_dt.timezone.utc).strftime(
-                "%Y-%m-%dT%H:%M:%SZ"
-            )
-            if now <= start["until"]:
+            # harvest only up to the last CLOSED second (see class docstring)
+            until = (
+                _dt.datetime.now(_dt.timezone.utc) - _dt.timedelta(seconds=1)
+            ).strftime("%Y-%m-%dT%H:%M:%SZ")
+            if until <= start["until"]:
                 return iter(()), start
-            rows = self._harvest_window(start["until"], now)
-            return iter(rows), {"until": now}
+            rows = self._harvest_window(self._next_from(start), until)
+            return iter(rows), {"until": until}
 
         def readBetweenOffsets(self, start: dict, end: dict):
-            return iter(self._harvest_window(start["until"], end["until"]))
+            return iter(self._harvest_window(self._next_from(start), end["until"]))
 
     class OaiDataSource(DataSource):
         """``spark.read.format("oai")`` (batch) and
