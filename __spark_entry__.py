@@ -28,10 +28,13 @@ def entry(spark: SparkSession) -> DataFrame:
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    from tulflow_spark.plans import load_all, QUERIES
+    from tulflow_spark.plans import load_all, ordered_queries
 
     load_all()
-    return dict(QUERIES)
+    # gate order: oracle-paired queries first (50 of them — the driver
+    # adjudicates ~50 entries per round), rows-only approximations last
+    # (their quality bounds are themselves oracle-gated by vr1_approx_bounds)
+    return ordered_queries()
 
 
 def oracle_sql() -> dict[str, str]:

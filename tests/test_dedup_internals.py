@@ -33,3 +33,24 @@ def test_word_shingles_edges(spark):
     assert got[2] == []  # empty text
     assert got[3] == []  # whitespace only
     assert got[4] == ["a a a"]  # distinct
+
+
+def test_simhash_pairs_bucket_cap(spark):
+    """A hot chunk value (many identical short docs) must not explode into a
+    quadratic self-join: buckets wider than max_bucket are dropped, and the
+    plan contains no raw join on the chunk value (posting-list pattern)."""
+    from tulflow_spark.ext.dedup import simhash_pairs
+
+    rows = [(i, "same short doc") for i in range(1000)]
+    rows += [(2000, "alpha beta gamma delta"), (2001, "alpha beta gamma delta")]
+    df = spark.createDataFrame(rows, "id bigint, text string")
+
+    out = simhash_pairs(df, "id", "text", max_hamming=3, max_bucket=100)
+    pairs = {(r.id_a, r.id_b) for r in out.collect()}
+    # the 1000-identical bucket (499,500 candidate pairs) is capped away;
+    # the small genuine near-dup pair survives
+    assert (2000, 2001) in pairs
+    assert all(a >= 2000 for a, _ in pairs)
+
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "SortMergeJoin" not in plan and "ShuffledHashJoin" not in plan

@@ -103,3 +103,23 @@ def test_ns_timestamp_range_scan_pushes_down(spark, sf_dir):
     assert "GreaterThanOrEqual(ts" not in slow_plan  # the mismatch being fixed
     assert fast.count() == slow.count() > 0
 
+
+
+def test_q14_parity(spark, duck, sf_dir):
+    """q14 was de-registered from the gate (slot budget) — keep its
+    correctness pinned here instead."""
+    from tests.compare import assert_frames_match
+    from tulflow_spark.functions import dsum_sql
+    from tulflow_spark.plans.star_queries import q14_promo_revenue
+
+    sdf = q14_promo_revenue(spark, sf_dir).toPandas()
+    odf = duck.sql(f"""
+        SELECT 100.0 * {dsum_sql("CASE WHEN p_type LIKE 'PROMO%' "
+                                 "THEN l_extendedprice * (1 - l_discount) "
+                                 "ELSE 0 END")}
+               / {dsum_sql('l_extendedprice * (1 - l_discount)')} AS promo_pct
+        FROM lineitem JOIN part ON l_partkey = p_partkey
+        WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+          AND l_shipdate <  TIMESTAMP '1998-01-01'
+    """).df()
+    assert_frames_match(sdf, odf, "q14_promo_revenue")

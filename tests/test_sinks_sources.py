@@ -149,4 +149,6 @@ def test_golden_content_addressed_name(spark, tmp_path):
     out = str(tmp_path / "golden")
     write_oai_collections(df, out, dag_id="g", timestamp="ts")
     names = os.listdir(out)
-    assert names == ["d323ccfded1f1c6bdf985f3acd65a4cd"], names
+    # r2: constant updated consciously — the record-id attribute was renamed
+    # to 'airflow-record-id' to match the reference staging format (ADVICE r1)
+    assert names == ["5fd72bbbef4e483de54950e9ea8992a6"], names

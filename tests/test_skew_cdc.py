@@ -78,3 +78,98 @@ def test_cdc_snapshot_sink(spark, tmp_path):
 
     final = {r.k: r.v for r in spark.read.parquet(snap).collect()}
     assert final == {1: "a2", 3: "c1", 4: "d1"}  # k2 deleted, k1 updated
+
+
+def test_cdc_snapshot_partition_pruned_merge(spark, tmp_path):
+    """A micro-batch must rewrite ONLY the snapshot buckets its keys touch:
+    untouched bucket directories stay byte-identical (r1 rewrote the whole
+    snapshot per batch — O(snapshot), a scale-killer)."""
+    import hashlib
+
+    changes_dir = tmp_path / "flat"
+    changes_dir.mkdir()
+    snap = str(tmp_path / "snapshot")
+    ddl = "k bigint, v string, ts timestamp, deleted boolean"
+
+    # batch 1: many keys spread over several buckets
+    spark.createDataFrame(
+        [(k, f"v{k}", _ts(1), False) for k in range(20)], ddl
+    ).coalesce(1).write.parquet(str(tmp_path / "b1"))
+    # batch 2: update a single key
+    spark.createDataFrame([(7, "v7b", _ts(2), False)], ddl).coalesce(
+        1
+    ).write.parquet(str(tmp_path / "b2"))
+    i = 0
+    for sub in ["b1", "b2"]:
+        for f in os.listdir(tmp_path / sub):
+            if f.endswith(".parquet"):
+                os.link(tmp_path / sub / f, changes_dir / f"{i:03d}.parquet")
+                i += 1
+
+    def snapshot_digests():
+        out = {}
+        for bucket in os.listdir(snap):
+            if not bucket.startswith("_bucket="):
+                continue
+            for f in sorted(os.listdir(os.path.join(snap, bucket))):
+                if f.endswith(".parquet"):
+                    with open(os.path.join(snap, bucket, f), "rb") as fh:
+                        out.setdefault(bucket, []).append(
+                            (f, hashlib.md5(fh.read()).hexdigest())
+                        )
+        return out
+
+    stream = (
+        spark.readStream.schema(ddl)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(changes_dir))
+    )
+    q = cdc_snapshot_sink(
+        stream, snap, keys=["k"], order_by=["ts"],
+        checkpoint=str(tmp_path / "ckpt"), n_buckets=8,
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+
+    final = {r.k: r.v for r in spark.read.parquet(snap).collect()}
+    assert final[7] == "v7b" and len(final) == 20
+
+    # replay only batch 2 against a rebuilt batch-1 snapshot to capture the
+    # before/after digests of the second merge
+    snap2 = str(tmp_path / "snap2")
+    b1 = spark.read.parquet(str(tmp_path / "b1"))
+    q2 = cdc_snapshot_sink(
+        spark.readStream.schema(ddl).parquet(str(tmp_path / "b1")),
+        snap2, keys=["k"], order_by=["ts"],
+        checkpoint=str(tmp_path / "ckpt2"), n_buckets=8,
+    )
+    try:
+        q2.processAllAvailable()
+    finally:
+        q2.stop()
+    snap = snap2
+    before = snapshot_digests()
+    q3 = cdc_snapshot_sink(
+        spark.readStream.schema(ddl).parquet(str(tmp_path / "b2")),
+        snap2, keys=["k"], order_by=["ts"],
+        checkpoint=str(tmp_path / "ckpt3"), n_buckets=8,
+    )
+    try:
+        q3.processAllAvailable()
+    finally:
+        q3.stop()
+    after = snapshot_digests()
+
+    from pyspark.sql import functions as SF
+    touched = "_bucket=" + str(
+        b1.select(
+            SF.pmod(SF.xxhash64(SF.col("k")), SF.lit(8)).cast("int").alias("b")
+        ).filter(SF.col("k") == 7).head().b
+    )
+    assert touched in after
+    for bucket, digests in before.items():
+        if bucket != touched:
+            assert after[bucket] == digests, f"{bucket} was rewritten"
+    assert after[touched] != before.get(touched)

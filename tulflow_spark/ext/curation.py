@@ -44,6 +44,63 @@ def boilerplate_ngrams(
     )
 
 
+def strip_boilerplate_spans(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int = 3,
+    min_doc_frequency: int = 3,
+    out_col: str = "clean_text",
+) -> DataFrame:
+    """Sub-document dedup: remove every token covered by a high-document-
+    frequency n-gram (header/footer/license boilerplate), keeping the rest
+    of the document intact.
+
+    Shape at 100 TB: the hot-gram list is the (small) output of
+    :func:`boilerplate_ngrams` and is BROADCAST; per document the only work
+    is one positional-gram projection, a broadcast semi-join, and an array
+    filter — no shuffle of document bodies, and the gram rollup itself is the
+    same one dd6 already materializes (compute once, reuse).
+
+    Returns the input rows plus ``out_col`` (tokens joined by single
+    spaces; fully-stripped documents become the empty string).
+    """
+    hot = boilerplate_ngrams(
+        df, id_col, text_col, n, min_doc_frequency
+    ).select("gram")
+
+    toks = F.split(F.trim(F.col(text_col)), r"\s+")
+    # positional (non-distinct) grams: grams[p] covers tokens p..p+n-1
+    # (0-based); trailing positions null-pad and never match a hot gram
+    grams = toks
+    for i in range(1, n):
+        grams = F.zip_with(
+            grams,
+            F.slice(toks, i + 1, F.size(toks)),
+            lambda g, t: F.concat(g, F.lit(" "), t),
+        )
+
+    pos_grams = df.select(
+        F.col(id_col).alias("_id"), F.posexplode(grams).alias("_p", "_g")
+    )
+    hits = pos_grams.join(
+        F.broadcast(hot), pos_grams["_g"] == hot["gram"], "left_semi"
+    )
+    hotp = hits.groupBy("_id").agg(F.collect_set("_p").alias("_hp"))
+
+    out = df.join(hotp, df[id_col] == hotp["_id"], "left").drop("_id")
+    covered = F.array_distinct(
+        F.flatten(
+            F.transform(
+                F.coalesce(F.col("_hp"), F.array().cast("array<int>")),
+                lambda p: F.sequence(p, p + F.lit(n - 1)),
+            )
+        )
+    )
+    kept = F.filter(toks, lambda t, i: ~F.array_contains(covered, i))
+    return out.withColumn(out_col, F.array_join(kept, " ")).drop("_hp")
+
+
 def curate_exact(
     df: DataFrame,
     id_col: str,

@@ -319,11 +319,24 @@ def with_simhash(
 
 
 def simhash_pairs(
-    df: DataFrame, id_col: str, text_col: str, max_hamming: int = 3
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    max_hamming: int = 3,
+    max_bucket: int = 1000,
 ) -> DataFrame:
     """Near-dup pairs by SimHash: band the 64-bit signature into 4 16-bit
     chunks (pigeonhole guarantees recall for hamming <= 3), verify with
-    bit_count(a XOR b)."""
+    bit_count(a XOR b).
+
+    Candidate generation is the same posting-list shape as
+    :func:`minhash_lsh_pairs` — collect (id, sig) per (chunk_idx, chunk
+    value), cap the bucket width, generate pairs inside the row.  A raw
+    self-join on the chunk value is quadratic on hot chunks (near-empty /
+    short documents collapse onto few signatures), which is exactly the skew
+    failure ``max_bucket`` exists to bound; buckets wider than the cap are
+    dropped, trading recall on degenerate content for a bounded plan.
+    """
     sig = with_simhash(df, id_col, text_col)
     chunks = sig.select(
         "_id",
@@ -337,17 +350,26 @@ def simhash_pairs(
             )
         ).alias("_chunk_idx", "_chunk"),
     )
-    a = chunks.select(
-        "_chunk_idx", "_chunk", F.col("_id").alias("id_a"), F.col("_sig").alias("_sa")
+    buckets = chunks.groupBy("_chunk_idx", "_chunk").agg(
+        F.sort_array(F.collect_list(F.struct("_id", "_sig"))).alias("_docs")
     )
-    b = chunks.select(
-        "_chunk_idx", "_chunk", F.col("_id").alias("id_b"), F.col("_sig").alias("_sb")
+    buckets = buckets.filter(
+        (F.size("_docs") >= 2) & (F.size("_docs") <= max_bucket)
+    )
+    # sorted posting list ⇒ pairs come out with id_a < id_b already; the
+    # signature rides along so no verify-side rejoin is needed
+    pairs = (
+        buckets.select(F.explode(_ordered_pairs(F.col("_docs"))).alias("_p"))
+        .select(
+            F.col("_p.a._id").alias("id_a"),
+            F.col("_p.b._id").alias("id_b"),
+            F.col("_p.a._sig").alias("_sa"),
+            F.col("_p.b._sig").alias("_sb"),
+        )
+        .dropDuplicates(["id_a", "id_b"])
     )
     return (
-        a.join(b, ["_chunk_idx", "_chunk"])
-        .filter(F.col("id_a") < F.col("id_b"))
-        .dropDuplicates(["id_a", "id_b"])
-        .withColumn(
+        pairs.withColumn(
             "hamming", F.bit_count(F.col("_sa").bitwiseXOR(F.col("_sb")))
         )
         .filter(F.col("hamming") <= max_hamming)

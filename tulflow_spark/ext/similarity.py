@@ -183,7 +183,12 @@ def lsh_topk(
     seed: int = 42,
 ) -> DataFrame:
     """Approximate top-k: score only rows whose sign-LSH bucket matches the
-    query's — the IVF-style scale path (scan 1/2^n_planes of the data)."""
+    query's — the IVF-style scale path (scan 1/2^n_planes of the data).
+
+    A single AND-bucket has recall ≈ (1−θ/π)^n_planes, which collapses for
+    anything but true near-duplicates; prefer :func:`lsh_topk_banded` (OR of
+    many bands) when the query's neighbors aren't near-copies.
+    """
     planes = np.random.default_rng(seed).standard_normal((dim, n_planes))
     weights = (1 << np.arange(n_planes)).astype(np.int64)
     qsig = int(((np.asarray(vec) @ planes > 0) @ weights))
@@ -197,4 +202,136 @@ def lsh_topk(
         .select(F.col(id_col), cosine(F.col(vec_col), qcol).alias("cosine_sim"))
         .orderBy(F.col("cosine_sim").desc(), F.col(id_col))
         .limit(k)
+    )
+
+
+def banded_buckets(
+    df: DataFrame,
+    vec_col: str = "embedding",
+    bands: int = 16,
+    rows_per_band: int = 8,
+    dim: int = 64,
+    seed: int = 42,
+    out_col: str = "lsh_buckets",
+) -> DataFrame:
+    """OR-amplified sign-LSH: ``bands`` encoded bucket ids per vector, one
+    per r-plane band (band index packed into the high bits so bucket values
+    are globally unique across bands).
+
+    Same amplification construction as MinHash banding: a pair/query-match
+    is a candidate if ANY band agrees — P(candidate) = 1−(1−p^r)^B for
+    per-plane agreement p = 1−θ/π.  One numpy matmul per Arrow batch for all
+    bands at once.  At scale, store this column and explode it into a
+    (bucket, id) inverted index, bucketed on write — lookups then touch only
+    matching buckets.
+    """
+    planes = np.random.default_rng(seed).standard_normal(
+        (dim, bands * rows_per_band)
+    )
+    weights = (1 << np.arange(rows_per_band)).astype(np.int64)
+    band_base = (np.arange(bands, dtype=np.int64) << rows_per_band)
+
+    @pandas_udf("array<long>")
+    def buckets(v: pd.Series) -> pd.Series:
+        mat = np.vstack(v.to_numpy())  # (batch, dim)
+        signs = (mat @ planes > 0).reshape(len(mat), bands, rows_per_band)
+        raw = signs @ weights  # (batch, bands)
+        return pd.Series(list(raw | band_base))
+
+    return df.withColumn(out_col, buckets(F.col(vec_col)))
+
+
+def _query_band_buckets(
+    vec, bands: int, rows_per_band: int, dim: int, seed: int
+) -> list[int]:
+    planes = np.random.default_rng(seed).standard_normal(
+        (dim, bands * rows_per_band)
+    )
+    weights = (1 << np.arange(rows_per_band)).astype(np.int64)
+    signs = (np.asarray(list(vec), dtype=float) @ planes > 0).reshape(
+        bands, rows_per_band
+    )
+    raw = signs @ weights
+    return [int(b) for b in raw | (np.arange(bands, dtype=np.int64) << rows_per_band)]
+
+
+def lsh_topk_banded(
+    df: DataFrame,
+    vec: list[float],
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 10,
+    bands: int = 16,
+    rows_per_band: int = 8,
+    dim: int = 64,
+    seed: int = 42,
+) -> DataFrame:
+    """Approximate top-k over the banded index: exact-rerank only rows
+    sharing at least one band bucket with the query."""
+    qbuckets = _query_band_buckets(vec, bands, rows_per_band, dim, seed)
+    bucketed = banded_buckets(
+        df, vec_col=vec_col, bands=bands, rows_per_band=rows_per_band,
+        dim=dim, seed=seed,
+    )
+    qcol = F.array(*[F.lit(float(x)) for x in vec])
+    return (
+        bucketed.filter(
+            F.arrays_overlap(
+                F.col("lsh_buckets"), F.array(*[F.lit(b) for b in qbuckets])
+            )
+        )
+        .select(F.col(id_col), cosine(F.col(vec_col), qcol).alias("cosine_sim"))
+        .orderBy(F.col("cosine_sim").desc(), F.col(id_col))
+        .limit(k)
+    )
+
+
+def lsh_banded_pairs(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    threshold: float = 0.5,
+    bands: int = 16,
+    rows_per_band: int = 6,
+    dim: int = 64,
+    seed: int = 42,
+    max_bucket: int = 1000,
+) -> DataFrame:
+    """Embedding near-dup pairs over the banded index: candidates from any
+    shared band bucket (posting-list pair generation, capped per bucket —
+    the same skew-safe shape as MinHash/SimHash banding), then exact cosine
+    verification on the candidate set only.
+
+    Output: (id_a, id_b, cosine_sim) with id_a < id_b, sim >= threshold.
+    """
+    from tulflow_spark.ext.dedup import _ordered_pairs
+
+    bucketed = banded_buckets(
+        df, vec_col=vec_col, bands=bands, rows_per_band=rows_per_band,
+        dim=dim, seed=seed,
+    )
+    exploded = bucketed.select(
+        F.col(id_col).alias("_id"), F.explode("lsh_buckets").alias("_bkt")
+    )
+    buckets = exploded.groupBy("_bkt").agg(
+        F.sort_array(F.collect_list(F.struct(F.col("_id")))).alias("_docs")
+    )
+    buckets = buckets.filter(
+        (F.size("_docs") >= 2) & (F.size("_docs") <= max_bucket)
+    )
+    candidates = (
+        buckets.select(F.explode(_ordered_pairs(F.col("_docs"))).alias("_p"))
+        .select(
+            F.col("_p.a._id").alias("id_a"), F.col("_p.b._id").alias("id_b")
+        )
+        .dropDuplicates(["id_a", "id_b"])  # a pair can agree on many bands
+    )
+    va = df.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("_va"))
+    vb = df.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("_vb"))
+    return (
+        candidates.join(va, "id_a")
+        .join(vb, "id_b")
+        .withColumn("cosine_sim", cosine(F.col("_va"), F.col("_vb")))
+        .filter(F.col("cosine_sim") >= threshold)
+        .select("id_a", "id_b", "cosine_sim")
     )

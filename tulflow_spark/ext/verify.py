@@ -1,0 +1,206 @@
+"""Verification operators for the approximate paths: every LSH/sketch/ANN
+query gets a quantitative check against its exact in-repo counterpart, so
+"approximate" means "bounded error", never just "it ran".
+
+Each check returns a one-row DataFrame ``(metric STRING, ok BOOLEAN)``; the
+``vr1_approx_bounds`` gate query unions them and the driver hash-compares
+the booleans against a constant oracle — a bound regression flips a row to
+false and fails the gate.
+
+Bounds are derived from the LSH parameters (amplification
+``P = 1−(1−p^r)^B`` at the threshold similarity) with margin, and were
+validated empirically at sf0.001/0.01/0.1 (see each check's docstring).
+Everything is deterministic: fixed seeds, fixed permutation salts,
+tie-broken orderings.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def _one_row(name: str, ok_col) -> DataFrame:
+    """Tag a 1-row boolean aggregate with its metric name."""
+    return ok_col.select(F.lit(name).alias("metric"), F.col("ok"))
+
+
+def pair_set_checks(
+    exact: DataFrame,
+    approx: DataFrame,
+    prefix: str,
+    recall_bound: float,
+    require_subset: bool = True,
+) -> list[DataFrame]:
+    """Recall/precision of an approximate pair set vs its exact counterpart,
+    computed in ONE pass via a full-outer join on (id_a, id_b).
+
+    - recall = |approx ∩ exact| / |exact|  (vacuously true when exact is ∅)
+    - precision (when ``require_subset``): approx ⊆ exact exactly — right for
+      methods that verify candidates with the exact measure (MinHash verifies
+      with exact Jaccard, banded-LSH with exact cosine), where any violation
+      is a bug, not an approximation.
+    """
+    e = exact.select("id_a", "id_b").withColumn("_e", F.lit(1))
+    a = approx.select("id_a", "id_b").withColumn("_a", F.lit(1))
+    j = e.join(a, ["id_a", "id_b"], "full_outer")
+    counts = j.agg(
+        F.count("_e").alias("n_exact"),
+        F.sum(F.when(F.col("_e").isNotNull() & F.col("_a").isNotNull(), 1)
+              .otherwise(0)).alias("n_both"),
+        F.sum(F.when(F.col("_e").isNull() & F.col("_a").isNotNull(), 1)
+              .otherwise(0)).alias("n_extra"),
+    )
+    out = [
+        _one_row(
+            f"{prefix}_recall_ge_{recall_bound}",
+            counts.select(
+                (
+                    (F.col("n_exact") == 0)
+                    | (F.col("n_both") / F.col("n_exact") >= recall_bound)
+                ).alias("ok")
+            ),
+        )
+    ]
+    if require_subset:
+        out.append(
+            _one_row(
+                f"{prefix}_subset_of_exact",
+                counts.select((F.col("n_extra") == 0).alias("ok")),
+            )
+        )
+    return out
+
+
+def pair_set_equality_check(
+    exact: DataFrame, approx: DataFrame, name: str
+) -> DataFrame:
+    """Exact set equality — for banding schemes whose pigeonhole argument
+    guarantees full recall (SimHash 4×16-bit chunks at hamming ≤ 3) as long
+    as no bucket got capped."""
+    e = exact.select("id_a", "id_b").withColumn("_e", F.lit(1))
+    a = approx.select("id_a", "id_b").withColumn("_a", F.lit(1))
+    sym = (
+        e.join(a, ["id_a", "id_b"], "full_outer")
+        .agg(
+            F.sum(
+                F.when(F.col("_e").isNull() | F.col("_a").isNull(), 1).otherwise(0)
+            ).alias("n_diff")
+        )
+    )
+    return _one_row(
+        name, sym.select((F.coalesce(F.col("n_diff"), F.lit(0)) == 0).alias("ok"))
+    )
+
+
+def topk_overlap_check(
+    exact_topk: DataFrame,
+    approx_topk: DataFrame,
+    id_col: str,
+    k: int,
+    bound: float,
+    name: str,
+) -> DataFrame:
+    """overlap@k = |approx ∩ exact-top-k| / k ≥ bound."""
+    e = exact_topk.select(F.col(id_col).alias("_id"))
+    a = approx_topk.select(F.col(id_col).alias("_id"))
+    inter = a.join(e, "_id", "left_semi").agg(F.count(F.lit(1)).alias("n"))
+    return _one_row(name, inter.select((F.col("n") / k >= bound).alias("ok")))
+
+
+def id_set_agreement_check(
+    exact: DataFrame,
+    approx: DataFrame,
+    id_col: str,
+    tolerance: float,
+    name: str,
+) -> DataFrame:
+    """|exact Δ approx| / |exact| ≤ tolerance, one full-outer pass."""
+    e = exact.select(F.col(id_col).alias("_id")).withColumn("_e", F.lit(1))
+    a = approx.select(F.col(id_col).alias("_id")).withColumn("_a", F.lit(1))
+    counts = e.join(a, "_id", "full_outer").agg(
+        F.count("_e").alias("n_exact"),
+        F.sum(
+            F.when(F.col("_e").isNull() | F.col("_a").isNull(), 1).otherwise(0)
+        ).alias("n_diff"),
+    )
+    return _one_row(
+        name,
+        counts.select(
+            (
+                (F.col("n_exact") == 0)
+                | (F.coalesce(F.col("n_diff"), F.lit(0)) / F.col("n_exact")
+                   <= tolerance)
+            ).alias("ok")
+        ),
+    )
+
+
+def simhash_bruteforce_pairs(
+    df: DataFrame, id_col: str, text_col: str, max_hamming: int = 3
+) -> DataFrame:
+    """All-pairs SimHash hamming pairs — the exact (quadratic) baseline the
+    banded path is checked against.  Signatures are tiny (one long per doc)
+    so the cross join broadcasts one side; use only for verification scale."""
+    from tulflow_spark.ext.dedup import with_simhash
+
+    sig = with_simhash(df, id_col, text_col)
+    a = sig.select(F.col("_id").alias("id_a"), F.col("_sig").alias("_sa"))
+    b = sig.select(F.col("_id").alias("id_b"), F.col("_sig").alias("_sb"))
+    return (
+        a.crossJoin(F.broadcast(b))
+        .filter(F.col("id_a") < F.col("id_b"))
+        .withColumn("hamming", F.bit_count(F.col("_sa").bitwiseXOR(F.col("_sb"))))
+        .filter(F.col("hamming") <= max_hamming)
+        .select("id_a", "id_b")
+    )
+
+
+def cosine_bruteforce_pairs(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    threshold: float = 0.3,
+) -> DataFrame:
+    """All-pairs exact cosine pairs — the unblocked truth for the banded-LSH
+    pair path.  Quadratic; verification scale only."""
+    from tulflow_spark.ext.similarity import cosine
+
+    a = df.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("_va"))
+    b = df.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("_vb"))
+    return (
+        a.crossJoin(b)
+        .filter(F.col("id_a") < F.col("id_b"))
+        .withColumn("cosine_sim", cosine(F.col("_va"), F.col("_vb")))
+        .filter(F.col("cosine_sim") >= threshold)
+        .select("id_a", "id_b")
+    )
+
+
+def curate_near_dup_exact(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    min_quality: float = 0.4,
+    near_dup_threshold: float = 0.8,
+) -> DataFrame:
+    """The curation pipeline with the EXACT n-gram-Jaccard near-dup stage in
+    place of MinHash — same greedy drop-higher-id policy, so any disagreement
+    with ``curate_near_dup`` is exactly the LSH recall loss."""
+    from tulflow_spark.ext.curation import curate_exact
+    from tulflow_spark.ext.dedup import ngram_jaccard_pairs
+
+    base = curate_exact(df, id_col, text_col, min_quality)
+    survivors = df.join(base.select(id_col), id_col)
+    pairs = ngram_jaccard_pairs(
+        survivors, id_col, text_col, threshold=near_dup_threshold
+    )
+    losers = pairs.select(F.col("id_b").alias(id_col)).distinct()
+    return base.join(losers, id_col, "left_anti")
+
+
+def union_checks(checks: list[DataFrame]) -> DataFrame:
+    out = checks[0]
+    for c in checks[1:]:
+        out = out.unionByName(c)
+    return out

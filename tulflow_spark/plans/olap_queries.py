@@ -89,28 +89,6 @@ def a6_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
-    "w3_lag_delta",
-    oracle="""
-    SELECT event_id,
-           CAST(date_diff('microsecond',
-                LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id),
-                ts) AS BIGINT) AS us_since_prev
-    FROM events
-    """,
-)
-def w3_lag_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """LAG window: per-user inter-event gap (exact integer microseconds —
-    millisecond division is where engines disagree on truncation)."""
-    ev = table(spark, sf_dir, "events")
-    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
-    prev = F.lag("ts").over(w)
-    return ev.select(
-        "event_id",
-        (F.unix_micros(F.col("ts")) - F.unix_micros(prev)).alias("us_since_prev"),
-    )
-
-
-@register(
     "w4_rank",
     oracle="""
     SELECT c_custkey,

@@ -306,20 +306,31 @@ def a4_latest_version(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "f1_md5_content_keys",
     oracle="""
+    WITH norm AS (
+      SELECT text, trim(regexp_replace(text, '\\s+', ' ', 'g')) AS t
+      FROM documents
+    )
     SELECT COUNT(*) AS n_docs,
            COUNT(DISTINCT md5(text)) AS n_unique,
-           MIN(md5(text)) AS min_key
-    FROM documents
+           MIN(md5(text)) AS min_key,
+           COUNT(DISTINCT md5(substr(t, 1, 64) || '|' || substr(reverse(t), 1, 64)))
+             AS n_unique_fp
+    FROM norm
     """,
 )
 def f1_md5_content_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Content-addressed keys (reference: harvest.py:260 md5-of-content S3
-    keys): F.md5 is JVM-side, no Python in the loop."""
+    keys): F.md5 is JVM-side, no Python in the loop.  Also rolls up the
+    normalized head/tail document fingerprint (ext.text.doc_fingerprint) —
+    absorbed r1's tx4_fingerprints gate (registry slot budget)."""
+    from tulflow_spark.ext.text import doc_fingerprint
+
     d = table(spark, sf_dir, "documents")
     return d.agg(
         F.count(F.lit(1)).alias("n_docs"),
         F.countDistinct(F.md5(F.col("text").cast("binary"))).alias("n_unique"),
         F.min(F.md5(F.col("text").cast("binary"))).alias("min_key"),
+        F.countDistinct(doc_fingerprint("text")).alias("n_unique_fp"),
     )
 
 
@@ -384,26 +395,32 @@ def w1_topk_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT event_id, user_id,
            CAST(SUM(CAST(value AS DECIMAL(30,6)))
                 OVER (PARTITION BY user_id ORDER BY ts, event_id) AS DOUBLE)
-             AS running_value
+             AS running_value,
+           CAST(date_diff('microsecond',
+                LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id),
+                ts) AS BIGINT) AS us_since_prev
     FROM events
     """,
 )
 def w2_running_total(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-user cumulative sum (decimal-exact so the prefix sums are
-    order-of-evaluation independent)."""
+    order-of-evaluation independent) + LAG inter-event gap in exact integer
+    microseconds (millisecond division is where engines disagree on
+    truncation).  One shuffle on user_id serves both window frames —
+    absorbed r1's separate w3_lag_delta gate (registry slot budget: the
+    driver adjudicates only the first ~50 queries)."""
     ev = table(spark, sf_dir, "events")
-    w = (
-        Window.partitionBy("user_id")
-        .orderBy("ts", "event_id")
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    )
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    wsum = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    prev = F.lag("ts").over(w)
     return ev.select(
         "event_id",
         "user_id",
         F.sum(F.col("value").cast("decimal(30,6)"))
-        .over(w)
+        .over(wsum)
         .cast("double")
         .alias("running_value"),
+        (F.unix_micros(F.col("ts")) - F.unix_micros(prev)).alias("us_since_prev"),
     )
 
 
@@ -570,21 +587,14 @@ def ev3_sliding_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register(
-    "q14_promo_revenue",
-    oracle=f"""
-    SELECT 100.0 * {dsum_sql("CASE WHEN p_type LIKE 'PROMO%' "
-                             "THEN l_extendedprice * (1 - l_discount) "
-                             "ELSE 0 END")}
-           / {dsum_sql('l_extendedprice * (1 - l_discount)')} AS promo_pct
-    FROM lineitem JOIN part ON l_partkey = p_partkey
-    WHERE l_shipdate >= TIMESTAMP '1997-01-01'
-      AND l_shipdate <  TIMESTAMP '1998-01-01'
-    """,
-)
 def q14_promo_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q14 shape: conditional-aggregation ratio over a broadcast
-    dimension join."""
+    dimension join.
+
+    NOT registered as a gate query (registry slot budget: the driver
+    adjudicates only the first ~50 queries; its conditional-aggregation
+    pattern is already gated by q01/q12) — parity is pinned instead by
+    ``tests/test_plan_properties.py::test_q14_parity``."""
     li = table(spark, sf_dir, "lineitem").filter(
         (F.col("l_shipdate") >= F.lit("1997-01-01").cast("timestamp"))
         & (F.col("l_shipdate") < F.lit("1998-01-01").cast("timestamp"))

@@ -143,14 +143,27 @@ def cdc_snapshot_sink(
     order_by: list[str],
     deleted: str = "deleted",
     checkpoint: str | None = None,
+    n_buckets: int = 64,
 ):
     """Maintain a latest-snapshot parquet table from a change stream
     (deleted-record CDC — the streaming face of operators.cdc).
 
-    Each micro-batch merges into the snapshot via foreachBatch:
-    existing ∪ batch → latest-per-key → atomic directory swap.  On a lake
-    table format (Delta/Iceberg) this becomes a MERGE; the plain-parquet
-    swap here is the dependency-free equivalent with the same semantics.
+    The snapshot is hash-bucketed on the key
+    (``_bucket = pmod(xxhash64(keys), n_buckets)`` as a partition column),
+    and each micro-batch touches ONLY the buckets its keys fall into:
+
+    1. compute the batch's bucket set (≤ n_buckets values, driver-side);
+    2. read just those partitions of the snapshot (partition pruning on
+       ``_bucket``) and union the batch;
+    3. latest-per-key merge;
+    4. dynamic partition overwrite — untouched bucket directories are never
+       rewritten (their files stay byte-identical).
+
+    Per-batch cost is therefore O(touched buckets), not O(snapshot) — the
+    r1 full-directory swap re-wrote a 100 TB table every micro-batch.  On a
+    lake format (Delta/Iceberg) steps 2-4 collapse into a transactional
+    MERGE with the same call shape; plain parquet's dynamic overwrite is
+    per-partition (not globally) atomic, the dependency-free equivalent.
     Returns the started StreamingQuery.
     """
     import os
@@ -158,21 +171,51 @@ def cdc_snapshot_sink(
 
     from tulflow_spark.operators.cdc import latest_snapshot
 
+    _OVERWRITE_MODE = "spark.sql.sources.partitionOverwriteMode"
+
+    def bucket_of(df: DataFrame):
+        return F.pmod(
+            F.xxhash64(*[F.col(k) for k in keys]), F.lit(n_buckets)
+        ).cast("int")
+
     def apply_batch(batch_df: DataFrame, batch_id: int) -> None:
         spark = batch_df.sparkSession
+        cols = batch_df.columns
+        b = batch_df.withColumn("_bucket", bucket_of(batch_df))
+        touched = [r["_bucket"] for r in b.select("_bucket").distinct().collect()]
+        if not touched:
+            return
         if os.path.isdir(path) and any(
-            f.endswith(".parquet") for f in os.listdir(path)
+            e.startswith("_bucket=") for e in os.listdir(path)
         ):
-            existing = spark.read.parquet(path).select(*batch_df.columns)
-            union = existing.unionByName(batch_df)
+            existing = (
+                spark.read.parquet(path)
+                .filter(F.col("_bucket").isin(touched))  # pruned scan
+                .select(*cols)
+            )
+            union = existing.withColumn("_bucket", bucket_of(existing)).unionByName(b)
         else:
-            union = batch_df
-        merged = latest_snapshot(union, keys, order_by, deleted)
-        tmp = f"{path}.tmp-{batch_id}"
-        merged.write.mode("overwrite").parquet(tmp)
-        if os.path.isdir(path):
-            shutil.rmtree(path)
-        os.replace(tmp, path)
+            union = b
+        merged = latest_snapshot(union, keys, order_by, deleted).persist()
+        try:
+            prev = spark.conf.get(_OVERWRITE_MODE, "static")
+            spark.conf.set(_OVERWRITE_MODE, "dynamic")
+            try:
+                merged.write.mode("overwrite").partitionBy("_bucket").parquet(path)
+            finally:
+                spark.conf.set(_OVERWRITE_MODE, prev)
+            # dynamic overwrite only replaces partitions PRESENT in the
+            # output: a touched bucket whose keys all ended deleted must be
+            # dropped explicitly or stale rows would survive
+            survived = {
+                r["_bucket"] for r in merged.select("_bucket").distinct().collect()
+            }
+            for bk in set(touched) - survived:
+                bucket_dir = os.path.join(path, f"_bucket={bk}")
+                if os.path.isdir(bucket_dir):
+                    shutil.rmtree(bucket_dir)
+        finally:
+            merged.unpersist()
 
     writer = changes.writeStream.foreachBatch(apply_batch).outputMode("update")
     if checkpoint:
