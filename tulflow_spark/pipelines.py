@@ -25,9 +25,22 @@ from tulflow_spark.model.xml_parse import read_oai_collections, register_udfs
 from tulflow_spark.operators.routing import route_updated_deleted
 from tulflow_spark.sinks.report import write_invalid_report
 from tulflow_spark.sinks.xml_sink import dag_prefix, write_oai_collections
-from tulflow_spark.transform.xslt import compile_xslt, transform_records
-from tulflow_spark.validation.ops import filter_with_report, guard_not_all_filtered
-from tulflow_spark.validation.schematron import parse_schematron
+from tulflow_spark.transform.xslt import (
+    UnsupportedXslt,
+    compile_xslt,
+    transform_records,
+    transform_xml_with_engine,
+)
+from tulflow_spark.validation.ops import (
+    filter_with_report,
+    guard_not_all_filtered,
+    split_on_violations,
+)
+from tulflow_spark.validation.schematron import (
+    UnsupportedSchematron,
+    parse_schematron,
+    validate_xml_with_engine,
+)
 
 
 ENVELOPE_COLS = ("identifier", "datestamp", "set_specs", "deleted", "metadata_xml")
@@ -128,17 +141,37 @@ def transform_staging(
     dag_id: str = "",
     timestamp: str = "",
     stage_format: str = "xml",
+    engine_factory=None,
 ) -> int:
-    """XSLT-subset transform of a staged prefix (reference: transform.py:20-78,
+    """XSLT transform of a staged prefix (reference: transform.py:20-78,
     minus the per-record JVM fork and minus its cross-file accumulator bug).
+
+    Routing: stylesheets inside the compilable subset run as pure column
+    algebra; anything else falls back to a per-partition XSLT engine when
+    ``engine_factory`` is provided (pass
+    ``transform.xslt.default_xslt_engine_factory`` for lxml where
+    installed, or any ``factory(stylesheet) -> fn(xml) -> xml``).  With no
+    factory the subset compiler's typed ``UnsupportedXslt`` propagates —
+    the compiler is an optimization, not a capability wall.
 
     Returns the number of records written.
     """
-    sheet = compile_xslt(stylesheet)
-    records = _with_dc_fields(spark, source_dir)
-    transformed = transform_records(records, sheet)
-    # re-serialize the transformed field map as an oai_dc payload
-    out = transformed.withColumn("metadata_xml", _dc_to_xml(F.col("fields")))
+    try:
+        sheet = compile_xslt(stylesheet)
+    except UnsupportedXslt:
+        if engine_factory is None:
+            raise
+        sheet = None
+    if sheet is None:
+        records = _read_stage(spark, source_dir)
+        out = transform_xml_with_engine(records, stylesheet, engine_factory)
+        # engine-dropped records (empty output / parse failure) leave the set
+        out = out.filter(F.col("metadata_xml").isNotNull())
+    else:
+        records = _with_dc_fields(spark, source_dir)
+        transformed = transform_records(records, sheet)
+        # re-serialize the transformed field map as an oai_dc payload
+        out = transformed.withColumn("metadata_xml", _dc_to_xml(F.col("fields")))
     # persist so the parse+transform lineage runs once: the write and the
     # counter both read the materialized frame (one pass + the write, not two
     # full recomputations of the mapInPandas parse at 100 TB)
@@ -205,11 +238,23 @@ def validate_staging(
     dag_id: str = "",
     timestamp: str = "",
     stage_format: str = "xml",
+    engine_factory=None,
 ) -> ValidationResult:
-    """Schematron-subset filter of a staged prefix: valid records → XML
-    stage, invalid rows → CSV report, all-filtered guard
-    (reference: validate.py:10-123)."""
-    rules = parse_schematron(schematron)
+    """Schematron filter of a staged prefix: valid records → XML stage,
+    invalid rows → CSV report, all-filtered guard
+    (reference: validate.py:10-123).
+
+    Routing mirrors :func:`transform_staging`: rule sets inside the subset
+    grammar compile to predicates; arbitrary ISO Schematron falls back to a
+    per-partition engine when ``engine_factory`` is provided — both paths
+    produce the same ``violations`` column, so the split/report/guard
+    machinery is shared."""
+    try:
+        rules = parse_schematron(schematron)
+    except UnsupportedSchematron:
+        if engine_factory is None:
+            raise
+        rules = None
     records = _with_dc_fields(spark, source_dir).withColumn(
         "record_id", F.col("identifier")
     )
@@ -220,7 +265,13 @@ def validate_staging(
     # scalars)
     records = records.persist()
     try:
-        valid, invalid = filter_with_report(records, rules)
+        if rules is None:
+            checked = validate_xml_with_engine(
+                records, schematron, engine_factory
+            )
+            valid, invalid = split_on_violations(checked)
+        else:
+            valid, invalid = filter_with_report(records, rules)
         _write_stage(valid, dest_dir, stage_format, 1000, dag_id, timestamp)
         write_invalid_report(invalid, report_dir)
         total = records.count()

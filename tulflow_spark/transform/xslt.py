@@ -33,9 +33,13 @@ from __future__ import annotations
 
 import re
 import xml.etree.ElementTree as ET
+from collections.abc import Iterator
+
+import pandas as pd
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql.functions import pandas_udf
 
 from tulflow_spark.transform.rules import (
     CompiledStylesheet,
@@ -61,6 +65,75 @@ PREFIXES = {
 class UnsupportedXslt(ValueError):
     """Stylesheet uses constructs outside the compilable subset (and no
     per-partition XSLT engine is available in this environment)."""
+
+
+class EngineUnavailable(RuntimeError):
+    """No XSLT/Schematron engine importable in this environment — the typed
+    skip for the arbitrary-stylesheet fallback path."""
+
+
+def default_xslt_engine_factory(stylesheet_text: str):
+    """lxml-backed engine factory: ``factory(stylesheet) -> fn(xml) -> xml``.
+
+    Called once per PARTITION by :func:`transform_xml_with_engine` (one
+    compiled transform reused across all rows — never a subprocess, never
+    per-record compilation).  Raises :class:`EngineUnavailable` when lxml is
+    absent, so callers fail fast with a typed reason instead of degrading.
+    """
+    try:
+        from lxml import etree
+    except ImportError as exc:  # pragma: no cover - lxml absent here
+        raise EngineUnavailable(
+            "arbitrary-XSLT fallback needs lxml (or a custom engine_factory);"
+            " not installed in this environment"
+        ) from exc
+    transform = etree.XSLT(etree.fromstring(stylesheet_text.encode("utf-8")))
+
+    def fn(xml: str) -> str:
+        return str(transform(etree.fromstring(xml.encode("utf-8"))))
+
+    return fn
+
+
+def transform_xml_with_engine(
+    df: DataFrame,
+    stylesheet: str | bytes,
+    engine_factory=default_xslt_engine_factory,
+    xml_col: str = "metadata_xml",
+):
+    """Arbitrary-stylesheet transform: one engine instance per partition
+    (iterator pandas UDF), applied row-wise to the raw record XML.
+
+    This is the reference's general path (transform.py:39-66, any Saxon
+    stylesheet) re-expressed without the per-record JVM fork: the engine is
+    injected (``engine_factory``), compiled once per partition, and rows
+    whose transform fails or returns empty become NULL (dropped records /
+    parse failures route to the deleted side downstream).
+
+    The factory is probed once on the driver at plan-build time so a
+    missing engine raises :class:`EngineUnavailable` immediately, not as an
+    executor-side task failure mid-job.
+    """
+    text = stylesheet.decode("utf-8") if isinstance(stylesheet, bytes) else stylesheet
+    engine_factory(text)  # driver-side probe: typed failure, fail-fast
+
+    @pandas_udf("string")
+    def run(batches: Iterator[pd.Series]) -> Iterator[pd.Series]:
+        fn = engine_factory(text)  # once per partition, reused per row
+        for s in batches:
+            out = []
+            for xml in s:
+                if xml is None:
+                    out.append(None)
+                    continue
+                try:
+                    res = fn(xml)
+                    out.append(res if res and res.strip() else None)
+                except Exception:
+                    out.append(None)
+            yield pd.Series(out, dtype="object")
+
+    return df.withColumn(xml_col, run(F.col(xml_col)))
 
 
 def _xsl(tag: str) -> str:

@@ -51,6 +51,19 @@ def with_violations(
     )
 
 
+def split_on_violations(
+    checked: DataFrame, fields_col: str = "fields", **proj_kwargs
+) -> tuple[DataFrame, DataFrame]:
+    """Split a frame carrying a ``violations ARRAY<STRING>`` column into
+    (valid_records, invalid_report) — shared by the rule-compiler path and
+    the arbitrary-Schematron engine path (both produce the same column)."""
+    valid = checked.filter(F.size("violations") == 0).drop("violations")
+    invalid = checked.filter(F.size("violations") > 0).select(
+        *_report_projection(checked, fields_col=fields_col, **proj_kwargs)
+    )
+    return valid, invalid
+
+
 def filter_with_report(
     df: DataFrame,
     rules: list[Rule],
@@ -64,11 +77,7 @@ def filter_with_report(
     check, kept separate so callers control when the action runs.
     """
     checked = with_violations(df, rules, fields_col)
-    valid = checked.filter(F.size("violations") == 0).drop("violations")
-    invalid = checked.filter(F.size("violations") > 0).select(
-        *_report_projection(checked, fields_col=fields_col, **proj_kwargs)
-    )
-    return valid, invalid
+    return split_on_violations(checked, fields_col=fields_col, **proj_kwargs)
 
 
 def report_all(

@@ -24,6 +24,9 @@ from __future__ import annotations
 
 import re
 import xml.etree.ElementTree as ET
+from collections.abc import Iterator
+
+import pandas as pd
 
 from tulflow_spark.validation.rules import Rule
 
@@ -32,6 +35,84 @@ SCH_NS = "http://purl.oclc.org/dsdl/schematron"
 
 class UnsupportedSchematron(ValueError):
     pass
+
+
+def default_schematron_engine_factory(schema_text: str):
+    """lxml-isoschematron engine factory:
+    ``factory(schema) -> fn(xml) -> list[failed-assert messages]``.
+
+    Called once per partition by :func:`validate_xml_with_engine` (compiled
+    schema reused across rows — the reference compiles once per process,
+    validate.py:35-42).  Raises
+    :class:`~tulflow_spark.transform.xslt.EngineUnavailable` when lxml is
+    absent — a typed skip, not a silent wrong answer.
+    """
+    try:
+        from lxml import etree, isoschematron
+    except ImportError as exc:  # pragma: no cover - lxml absent here
+        from tulflow_spark.transform.xslt import EngineUnavailable
+
+        raise EngineUnavailable(
+            "arbitrary-Schematron fallback needs lxml (or a custom"
+            " engine_factory); not installed in this environment"
+        ) from exc
+    schema = isoschematron.Schematron(
+        etree.fromstring(schema_text.encode("utf-8")), store_report=True
+    )
+    svrl_ns = {"svrl": "http://purl.oclc.org/dsdl/svrl"}
+
+    def fn(xml: str) -> list[str]:
+        if schema.validate(etree.fromstring(xml.encode("utf-8"))):
+            return []
+        return [
+            t.strip()
+            for t in schema.validation_report.xpath(
+                "//svrl:failed-assert/svrl:text/text()", namespaces=svrl_ns
+            )
+        ]
+
+    return fn
+
+
+def validate_xml_with_engine(
+    df,
+    schema: str | bytes,
+    engine_factory=default_schematron_engine_factory,
+    xml_col: str = "metadata_xml",
+    out_col: str = "violations",
+):
+    """Arbitrary-Schematron validation: one compiled engine per partition
+    (iterator pandas UDF) producing the same ``violations ARRAY<STRING>``
+    column the subset compiler produces — so the filter/report split and the
+    all-filtered guard downstream are identical for both paths.
+
+    Unparseable records yield a single synthetic violation (they must route
+    to the invalid report, mirroring the reference where a parse failure
+    fails validation).  The factory is probed driver-side for a typed
+    fail-fast when no engine is available.
+    """
+    from pyspark.sql import functions as F
+    from pyspark.sql.functions import pandas_udf
+
+    text = schema.decode("utf-8") if isinstance(schema, bytes) else schema
+    engine_factory(text)  # driver-side probe
+
+    @pandas_udf("array<string>")
+    def run(batches: Iterator[pd.Series]) -> Iterator[pd.Series]:
+        fn = engine_factory(text)
+        for s in batches:
+            out = []
+            for xml in s:
+                if xml is None:
+                    out.append(["record has no metadata"])
+                    continue
+                try:
+                    out.append(fn(xml))
+                except Exception as exc:
+                    out.append([f"validation error: {str(exc)[:200]}"])
+            yield pd.Series(out, dtype="object")
+
+    return df.withColumn(out_col, run(F.col(xml_col)))
 
 
 _FIELD_RE = re.compile(r"^[\w.-]+:[\w.-]+$")
