@@ -7,23 +7,31 @@ from __future__ import annotations
 import pytest
 
 from tests.compare import assert_frames_match
-from tulflow_spark.plans import ORACLE, QUERIES, load_all
+from tulflow_spark.plans import (
+    EXTRA_ORACLE,
+    EXTRA_QUERIES,
+    ORACLE,
+    QUERIES,
+    load_all,
+)
 
 load_all()
 
-WITH_ORACLE = sorted(n for n in QUERIES if n in ORACLE)
-ROWS_ONLY = sorted(n for n in QUERIES if n not in ORACLE)
+ALL_QUERIES = {**QUERIES, **EXTRA_QUERIES}
+ALL_ORACLE = {**ORACLE, **EXTRA_ORACLE}
+WITH_ORACLE = sorted(n for n in ALL_QUERIES if n in ALL_ORACLE)
+ROWS_ONLY = sorted(n for n in ALL_QUERIES if n not in ALL_ORACLE)
 
 
 @pytest.mark.parametrize("name", WITH_ORACLE)
 def test_oracle_parity(spark, duck, sf_dir, name):
-    sdf = QUERIES[name](spark, sf_dir).toPandas()
-    odf = duck.sql(ORACLE[name]).df()
+    sdf = ALL_QUERIES[name](spark, sf_dir).toPandas()
+    odf = duck.sql(ALL_ORACLE[name]).df()
     assert_frames_match(sdf, odf, name)
 
 
 @pytest.mark.parametrize("name", ROWS_ONLY)
 def test_rows_only_smoke(spark, sf_dir, name):
-    df = QUERIES[name](spark, sf_dir)
+    df = ALL_QUERIES[name](spark, sf_dir)
     assert df.columns, f"{name}: no columns"
     assert df.count() >= 0

@@ -101,6 +101,42 @@ def strip_boilerplate_spans(
     return out.withColumn(out_col, F.array_join(kept, " ")).drop("_hp")
 
 
+def ngram_decontaminate(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    is_eval,
+    n: int = 3,
+    min_shared: int = 1,
+) -> DataFrame:
+    """Benchmark decontamination: flag training documents sharing at least
+    ``min_shared`` distinct word ``n``-grams with any held-out/eval document
+    (``is_eval`` is a boolean Column splitting the corpus).
+
+    Returns (id, n_shared_grams) for contaminated TRAIN documents.
+
+    Shape at 100 TB: eval sets are small (benchmarks, not corpora), so the
+    distinct eval-gram list is BROADCAST; the train side is one map-side
+    shingle explode, a broadcast hash join, and an (id)-keyed partial-agg
+    count — no shuffle of document bodies, no all-pairs anything.
+    """
+    g = df.select(
+        F.col(id_col),
+        is_eval.alias("_is_eval"),
+        F.explode(word_shingles(text_col, n)).alias("gram"),
+    )
+    eval_grams = g.filter(F.col("_is_eval")).select("gram").distinct()
+    return (
+        g.filter(~F.col("_is_eval"))
+        .join(F.broadcast(eval_grams), "gram")
+        # shingles are distinct per document, so COUNT(*) is the number of
+        # distinct shared grams
+        .groupBy(id_col)
+        .agg(F.count(F.lit(1)).alias("n_shared_grams"))
+        .filter(F.col("n_shared_grams") >= min_shared)
+    )
+
+
 def curate_exact(
     df: DataFrame,
     id_col: str,
@@ -131,7 +167,11 @@ def curate_near_dup(
     higher id — the transitive result keeps exactly the minimum id of each
     connected near-dup component reachable by the candidate pairs.
     """
-    base = curate_exact(df, id_col, text_col, min_quality)
+    # persist: the gated+exact-deduped base (id, quality — tiny relative to
+    # the corpus) is consumed twice (survivor join for pair generation, final
+    # anti-join); without it the quality-score + exact-dedup lineage runs
+    # twice over the full corpus
+    base = curate_exact(df, id_col, text_col, min_quality).persist()
     survivors = df.join(base.select(id_col), id_col)
     pairs = minhash_lsh_pairs(
         survivors, id_col, text_col,

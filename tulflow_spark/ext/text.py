@@ -94,6 +94,109 @@ def doc_fingerprint(col: Column | str, n_chars: int = 64) -> Column:
     return F.md5(F.concat(head, F.lit("|"), tail).cast("binary"))
 
 
+def ngrams(col: Column | str, n: int) -> Column:
+    """Positional word n-grams (space-joined), trailing partials dropped."""
+    toks = tokens(col)
+    grams = toks
+    for i in range(1, n):
+        grams = F.zip_with(
+            grams,
+            F.slice(toks, i + 1, F.size(toks)),
+            lambda g, t: F.concat(g, F.lit(" "), t),
+        )
+    return F.filter(grams, lambda g: g.isNotNull())
+
+
+# --- PII scrubbing -----------------------------------------------------------
+# Deterministic, regex-only redaction — pure column algebra, no Python in the
+# loop.  Patterns are deliberately conservative (high precision); swap in a
+# model-backed NER pass via mapInPandas when recall matters more.
+
+PII_PATTERNS: tuple[tuple[str, str], ...] = (
+    ("email", r"[\w.+-]+@[\w-]+(\.[\w-]+)+"),
+    ("ssn", r"\b\d{3}-\d{2}-\d{4}\b"),
+    ("ipv4", r"\b\d{1,3}(\.\d{1,3}){3}\b"),
+    ("phone", r"\+?\d[\d ().-]{7,}\d"),
+)
+
+
+def redact_pii(
+    col: Column | str, patterns: tuple[tuple[str, str], ...] = PII_PATTERNS
+) -> Column:
+    """Replace each PII match with an uppercase ``[KIND]`` placeholder."""
+    c = F.col(col) if isinstance(col, str) else col
+    for kind, pat in patterns:
+        c = F.regexp_replace(c, pat, f"[{kind.upper()}]")
+    return c
+
+
+def mask_digits(col: Column | str, repl: str = "X") -> Column:
+    """Blanket digit masking (account numbers, ids embedded in names)."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.regexp_replace(c, r"[0-9]", repl)
+
+
+def pseudonymize(col: Column | str, salt: str = "") -> Column:
+    """Deterministic keyed pseudonym: same input → same token, so joins and
+    group-bys on the pseudonym still work after scrubbing."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.md5(F.concat(F.lit(salt), c).cast("binary"))
+
+
+# --- Repetition filters (Gopher/C4-style) ------------------------------------
+
+
+def repetition_profile(
+    df: DataFrame, id_col: str, text_col: str
+) -> DataFrame:
+    """Per-document repetition metrics as exact parts-per-million integers
+    (integer arithmetic → bit-identical across engines and partitionings):
+
+    - ``dup_token_ppm``: 1 - distinct/total tokens
+    - ``dup_bigram_ppm``: 1 - distinct/total word bigrams
+    - ``top_token_ppm``: frequency of the single most common token
+    - ``keep``: Gopher-style gate (top token < 30%, dup bigrams < 20%)
+
+    Shape at 100 TB: the bigram metrics are per-row column algebra; the
+    top-token count needs one explode + (id, token) partial-aggregated
+    shuffle — the same cost as a word-count, no corpus-wide state.  Empty
+    documents are excluded (metrics undefined).
+    """
+    toks = tokens(text_col)
+    bi = ngrams(text_col, 2)
+    row_side = df.filter(F.size(toks) > 0).select(
+        F.col(id_col),
+        F.size(toks).cast("bigint").alias("n_tokens"),
+        F.size(F.array_distinct(toks)).cast("bigint").alias("_n_distinct"),
+        F.size(bi).cast("bigint").alias("_n_bi"),
+        F.size(F.array_distinct(bi)).cast("bigint").alias("_n_bi_distinct"),
+    )
+    top = (
+        df.select(F.col(id_col), F.explode(toks).alias("_tok"))
+        .groupBy(id_col, "_tok")
+        .agg(F.count(F.lit(1)).alias("_cnt"))
+        .groupBy(id_col)
+        .agg(F.max("_cnt").cast("bigint").alias("_top_cnt"))
+    )
+    j = row_side.join(top, id_col)
+    dup_token = F.expr("CAST(1000000 * (n_tokens - _n_distinct) DIV n_tokens AS BIGINT)")
+    dup_bigram = F.when(
+        F.col("_n_bi") > 0,
+        F.expr("CAST(1000000 * (_n_bi - _n_bi_distinct) DIV _n_bi AS BIGINT)"),
+    ).otherwise(F.lit(0).cast("bigint"))
+    top_token = F.expr("CAST(1000000 * _top_cnt DIV n_tokens AS BIGINT)")
+    return j.select(
+        id_col,
+        "n_tokens",
+        dup_token.alias("dup_token_ppm"),
+        dup_bigram.alias("dup_bigram_ppm"),
+        top_token.alias("top_token_ppm"),
+        (
+            (top_token < 300_000) & (dup_bigram < 200_000)
+        ).alias("keep"),
+    )
+
+
 def text_profile(df: DataFrame, text_col: str = "text") -> DataFrame:
     """One-pass per-document profile used by the rollup queries."""
     c = F.col(text_col)

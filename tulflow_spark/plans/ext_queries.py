@@ -588,3 +588,109 @@ def vr1_approx_bounds(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return union_checks(checks)
+
+
+# ---------------------------------------------------------------------------
+# PII scrubbing, repetition filters, decontamination
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "tx6_pii_scrub",
+    oracle="""
+    SELECT c_custkey,
+           md5(c_name) AS pseudonym,
+           regexp_replace(c_name, '[0-9]', 'X', 'g') AS masked_name
+    FROM customer
+    """,
+)
+def tx6_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII scrubbing surface: deterministic keyed pseudonymization (joinable
+    after scrubbing) + digit masking, demonstrated on the one table with
+    identifier-bearing strings.  The full regex redaction set
+    (email/phone/SSN/IP → typed placeholders, ext/text.py:redact_pii) is
+    pinned by tests/test_pii.py on realistic strings."""
+    c = table(spark, sf_dir, "customer")
+    return c.select(
+        "c_custkey",
+        T.pseudonymize("c_name").alias("pseudonym"),
+        T.mask_digits("c_name").alias("masked_name"),
+    )
+
+
+@register(
+    "tx7_repetition_filters",
+    oracle=f"""
+    WITH l AS (
+      SELECT doc_id, {_TOKS} AS toks FROM documents WHERE trim(text) <> ''
+    ), t AS (
+      SELECT doc_id, unnest(toks) AS tok FROM l
+    ), c AS (
+      SELECT doc_id, tok, COUNT(*) AS cnt FROM t GROUP BY 1, 2
+    ), s AS (
+      SELECT doc_id, CAST(SUM(cnt) AS BIGINT) AS n_tokens,
+             CAST(COUNT(*) AS BIGINT) AS n_distinct,
+             CAST(MAX(cnt) AS BIGINT) AS top_cnt
+      FROM c GROUP BY 1
+    ), b AS (
+      SELECT doc_id,
+             list_transform(range(1, len(toks)),
+                            i -> toks[i] || ' ' || toks[i + 1]) AS bigrams
+      FROM l
+    ), bs AS (
+      SELECT doc_id, CAST(len(bigrams) AS BIGINT) AS n_bi,
+             CAST(len(list_distinct(bigrams)) AS BIGINT) AS n_bi_distinct
+      FROM b
+    ), m AS (
+      SELECT s.doc_id, n_tokens,
+             CAST(1000000 * (n_tokens - n_distinct) // n_tokens AS BIGINT)
+               AS dup_token_ppm,
+             CAST(CASE WHEN n_bi > 0
+                  THEN 1000000 * (n_bi - n_bi_distinct) // n_bi
+                  ELSE 0 END AS BIGINT) AS dup_bigram_ppm,
+             CAST(1000000 * top_cnt // n_tokens AS BIGINT) AS top_token_ppm
+      FROM s JOIN bs USING (doc_id)
+    )
+    SELECT doc_id, n_tokens, dup_token_ppm, dup_bigram_ppm, top_token_ppm,
+           (top_token_ppm < 300000 AND dup_bigram_ppm < 200000) AS keep
+    FROM m
+    """,
+)
+def tx7_repetition_filters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher/C4-style repetition gate: per-document duplicate-token,
+    duplicate-bigram, and top-token fractions as exact ppm integers, with the
+    keep/drop decision.  One explode + (id, token) shuffle — word-count
+    cost — everything else per-row column algebra."""
+    d = table(spark, sf_dir, "documents")
+    return T.repetition_profile(d, "doc_id", "text")
+
+
+@register(
+    "dd7_decontaminate",
+    oracle=f"""
+    WITH l AS (
+      SELECT doc_id, source, {_TOKS} AS toks FROM documents
+    ), g AS (
+      SELECT doc_id, source,
+             unnest(list_distinct(list_transform(range(1, len(toks) - 1),
+               i -> toks[i] || ' ' || toks[i + 1] || ' ' || toks[i + 2])))
+               AS gram
+      FROM l
+    )
+    SELECT t.doc_id, CAST(COUNT(*) AS BIGINT) AS n_shared_grams
+    FROM (SELECT doc_id, gram FROM g WHERE source <> 'src0') t
+    JOIN (SELECT DISTINCT gram FROM g WHERE source = 'src0') e USING (gram)
+    GROUP BY t.doc_id
+    HAVING COUNT(*) >= 2
+    """,
+)
+def dd7_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination: train docs (source <> 'src0') sharing >= 2
+    distinct trigrams with the held-out slice (source = 'src0').  Eval grams
+    are broadcast — the train side never shuffles document bodies."""
+    from tulflow_spark.ext.curation import ngram_decontaminate
+
+    d = table(spark, sf_dir, "documents")
+    return ngram_decontaminate(
+        d, "doc_id", "text", F.col("source") == "src0", n=3, min_shared=2
+    ).withColumn("n_shared_grams", F.col("n_shared_grams").cast("bigint"))

@@ -20,6 +20,7 @@ from tulflow_spark.plans import register
     INTERSECT
     SELECT n_nationkey FROM supplier JOIN nation ON s_nationkey = n_nationkey
     """,
+    gate=False,  # slot budget: parity-pinned locally, not driver-gated
 )
 def set1_nation_intersect(spark: SparkSession, sf_dir: str) -> DataFrame:
     """INTERSECT surface: nations with both customers and suppliers."""
@@ -97,6 +98,7 @@ def a6_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
                           ORDER BY c_acctbal DESC, c_custkey) AS quartile
     FROM customer
     """,
+    gate=False,  # slot budget: w1/w2 carry the window gate signal
 )
 def w4_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
     """RANK (tie-stable) + NTILE windows."""
@@ -231,3 +233,38 @@ def sk1_salted_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     ev = table(spark, sf_dir, "events")
     return salted_sum(ev, ["event_type"], "value", buckets=16, alias="total")
+
+
+@register(
+    "j5_variant_json",
+    oracle="""
+    SELECT event_type,
+           COUNT(*) AS n,
+           CAST(SUM(CAST(json_extract(props, '$.k') AS BIGINT)) AS BIGINT)
+             AS sum_k,
+           CAST(MAX(CAST(json_extract(props, '$.k') AS BIGINT)) AS BIGINT)
+             AS max_k,
+           CAST(COUNT(DISTINCT CAST(json_extract(props, '$.k') AS BIGINT))
+             AS BIGINT) AS n_distinct_k
+    FROM events
+    GROUP BY event_type
+    """,
+)
+def j5_variant_json(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi-structured surface via Spark 4 VariantType: ``parse_json`` once,
+    typed ``try_variant_get`` extraction — the open-schema path for event
+    properties (no schema inference pass, no per-field regex).  The variant
+    parse stays inside codegen; aggregation is an ordinary partial-agg
+    group-by."""
+    ev = table(spark, sf_dir, "events")
+    k = F.try_variant_get(F.parse_json("props"), "$.k", "bigint")
+    return (
+        ev.select("event_type", k.alias("k"))
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("k").alias("sum_k"),
+            F.max("k").alias("max_k"),
+            F.count_distinct(F.col("k")).alias("n_distinct_k"),
+        )
+    )

@@ -196,6 +196,7 @@ def j2_anti_join(spark: SparkSession, sf_dir: str) -> DataFrame:
       WHERE l_suppkey = s_suppkey AND l_quantity >= 49
     )
     """,
+    gate=False,  # slot budget: j2 carries the membership-join gate signal
 )
 def j3_semi_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     s = table(spark, sf_dir, "supplier")
@@ -619,6 +620,7 @@ def q14_promo_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
       AND l_discount BETWEEN 0.05 AND 0.07
       AND l_quantity < 24
     """,
+    gate=False,  # slot budget: q19 carries the predicate-shape gate signal
 )
 def q06_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q6 shape: pure scan-side conjunctive predicates (date range +
@@ -651,6 +653,7 @@ def q06_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
       AND l_shipdate <  TIMESTAMP '1997-01-01'
     GROUP BY l_linestatus
     """,
+    gate=False,  # slot budget: q01/q19 carry the conditional-agg gate signal
 )
 def q12_priority_by_status(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q12 shape: conditional counting with IN-list predicates over a
@@ -703,4 +706,47 @@ def q19_disjunctive_predicates(spark: SparkSession, sf_dir: str) -> DataFrame:
     return j.filter(cond).agg(
         dsum(F.col("l_extendedprice") * (1 - F.col("l_discount")), "revenue"),
         F.count(F.lit(1)).alias("n"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# As-of join (custom operator — Spark has no native ASOF JOIN; DuckDB does,
+# which makes it a perfect oracle pair)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "aj1_asof_join",
+    oracle="""
+    WITH clicks AS (
+      SELECT event_id, user_id, ts FROM events WHERE event_type = 'click'
+    ), views AS (
+      SELECT user_id, ts, MAX(value) AS view_value
+      FROM events WHERE event_type = 'view' GROUP BY 1, 2
+    )
+    SELECT c.event_id, c.user_id, c.ts,
+           v.ts AS asof_ts, v.view_value AS asof_view_value
+    FROM clicks c ASOF LEFT JOIN views v
+      ON c.user_id = v.user_id AND c.ts >= v.ts
+    """,
+)
+def aj1_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Point-in-time enrichment: each click joined to the newest same-user
+    view at-or-before it.  Implemented with the union-tag/window carry
+    (operators/asof.py) — one shuffle on the key, no range-join pair
+    explosion; DuckDB's native ASOF LEFT JOIN is the oracle."""
+    from tulflow_spark.operators.asof import asof_join
+
+    ev = table(spark, sf_dir, "events")
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "event_id", "user_id", "ts"
+    )
+    views = (
+        ev.filter(F.col("event_type") == "view")
+        .groupBy("user_id", "ts")
+        .agg(F.max("value").alias("view_value"))
+    )
+    return asof_join(
+        clicks, views, on=["user_id"], left_ts="ts", right_ts="ts",
+        payload=["view_value"],
     )
