@@ -75,6 +75,28 @@ def test_left_columns_preserved(spark):
     assert out.count() == left.count()
 
 
+def test_null_payload_carried_atomically(spark):
+    """A matching right row whose payload value is legitimately NULL must
+    carry that NULL — not silently fall back to an older right row's value
+    (r2 ADVICE: per-column last(ignorenulls) mixed rows)."""
+    left = spark.createDataFrame(
+        [(1, "k1", _ts("2024-01-01T12:00:00"))], "id INT, k STRING, ts TIMESTAMP"
+    )
+    right = spark.createDataFrame(
+        [
+            ("k1", _ts("2024-01-01T10:00:00"), 1.0, "old"),
+            ("k1", _ts("2024-01-01T11:00:00"), None, "new"),  # newest match
+        ],
+        "k STRING, ts TIMESTAMP, v DOUBLE, label STRING",
+    )
+    out = asof_join(left, right, on=["k"], left_ts="ts", right_ts="ts",
+                    payload=["v", "label"])
+    row = out.collect()[0]
+    assert row["asof_ts"] == _ts("2024-01-01T11:00:00")
+    assert row["asof_label"] == "new"
+    assert row["asof_v"] is None  # NOT 1.0 from the stale 10:00 row
+
+
 def test_single_shuffle_plan(spark):
     """The union-tag rewrite must cost ONE exchange (the window partition) —
     no range-join pair explosion, no extra shuffle."""

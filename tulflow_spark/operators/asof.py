@@ -6,12 +6,15 @@ Spark has no native ASOF JOIN (DuckDB/Pandas do).  A range join
 (``l.ts >= r.ts``) explodes to O(|L|·|R|) per key before aggregation, so
 this operator uses the union-tag trick instead:
 
-1. tag right rows 0 and left rows 1, union them with the right payload
-   columns nulled on left rows;
+1. tag right rows 0 and left rows 1, union them with ONE struct column
+   holding the whole right payload (null struct on left rows);
 2. one window per key ordered by ``(ts, tag)`` carries the last non-null
-   payload forward (``last(..., ignorenulls=True)``) — at equal timestamps
-   the right row sorts first, giving the inclusive ``>=`` match;
-3. keep only left rows.
+   struct forward (``last(..., ignorenulls=True)``) — at equal timestamps
+   the right row sorts first, giving the inclusive ``>=`` match.  The
+   struct makes the carry atomic: a matching right row whose payload
+   value is legitimately NULL carries that NULL, instead of each column
+   independently falling back to an older row's value;
+3. keep only left rows and unpack the struct.
 
 Scale: ONE shuffle on the key columns (the window partition) and a
 per-key sort — same cost as the group-by any range-join rewrite would
@@ -49,28 +52,39 @@ def asof_join(
     ``right`` must be unique per ``(on, right_ts)`` — pre-aggregate
     otherwise, or the carried payload is an arbitrary member of the tie.
     """
+    from pyspark.sql.types import StructField, StructType
+
     ts = "_asof_ts"
     tag = "_asof_tag"
+    pay = "_asof_payload"
     pcols = [f"{prefix}{c}" for c in payload]
     ptscol = f"{prefix}{right_ts}"
 
+    # One struct per right row — carried atomically so a NULL payload value
+    # in the matching right row stays NULL (never replaced by an older
+    # row's value, which would mix rows and diverge from ASOF semantics).
+    pay_type = StructType(
+        [StructField(ptscol, right.schema[right_ts].dataType)]
+        + [
+            StructField(p, right.schema[c].dataType)
+            for c, p in zip(payload, pcols)
+        ]
+    )
     r = right.select(
         *on,
         F.col(right_ts).alias(ts),
         F.lit(0).alias(tag),
-        F.col(right_ts).alias(ptscol),
-        *[F.col(c).alias(p) for c, p in zip(payload, pcols)],
+        F.struct(
+            F.col(right_ts).alias(ptscol),
+            *[F.col(c).alias(p) for c, p in zip(payload, pcols)],
+        ).alias(pay),
         *[F.lit(None).alias(f"_l_{c}") for c in left.columns],
     )
     l = left.select(
         *on,
         F.col(left_ts).alias(ts),
         F.lit(1).alias(tag),
-        F.lit(None).cast(right.schema[right_ts].dataType).alias(ptscol),
-        *[
-            F.lit(None).cast(right.schema[c].dataType).alias(p)
-            for c, p in zip(payload, pcols)
-        ],
+        F.lit(None).cast(pay_type).alias(pay),
         *[F.col(c).alias(f"_l_{c}") for c in left.columns],
     )
 
@@ -83,26 +97,17 @@ def asof_join(
         tag,
         ts,
         *[f"_l_{c}" for c in left.columns],
-        *[F.last(c, ignorenulls=True).over(w).alias(c) for c in [ptscol, *pcols]],
+        F.last(pay, ignorenulls=True).over(w).alias(pay),
     )
 
     out = carried.filter(F.col(tag) == 1)
     if tolerance is not None:
         secs = tolerance.total_seconds()
-        in_range = F.col(ptscol) >= F.col(ts) - F.expr(
+        in_range = F.col(pay)[ptscol] >= F.col(ts) - F.expr(
             f"INTERVAL {secs} SECOND"
         )
-        out = out.select(
-            tag,
-            ts,
-            *[f"_l_{c}" for c in left.columns],
-            *[
-                F.when(in_range, F.col(c)).alias(c)
-                for c in [ptscol, *pcols]
-            ],
-        )
+        out = out.withColumn(pay, F.when(in_range, F.col(pay)))
     return out.select(
         *[F.col(f"_l_{c}").alias(c) for c in left.columns],
-        ptscol,
-        *pcols,
+        *[F.col(pay)[c].alias(c) for c in [ptscol, *pcols]],
     )
