@@ -67,6 +67,18 @@ def test_tolerance_bounds_lookback(spark):
     assert rows2[1]["asof_v"] == 2.0  # exact tie: zero gap survives
 
 
+def test_sub_millisecond_tolerance(spark):
+    """Sub-ms timedeltas must not be formatted into an INTERVAL literal
+    (scientific notation '1e-06' fails Spark's interval parser; r3 ADVICE).
+    F.lit(timedelta) keeps microsecond precision."""
+    left, right = _frames(spark)
+    out = asof_join(left, right, on=["k"], left_ts="ts", right_ts="ts",
+                    payload=["v"], tolerance=dt.timedelta(microseconds=1))
+    rows = {r["id"]: r for r in out.collect()}
+    assert rows[1]["asof_v"] == 2.0  # exact tie: 0 gap <= 1 microsecond
+    assert rows[2]["asof_v"] is None  # 30 min gap > 1 microsecond
+
+
 def test_left_columns_preserved(spark):
     left, right = _frames(spark)
     out = asof_join(left, right, on=["k"], left_ts="ts", right_ts="ts",

@@ -33,6 +33,37 @@ def test_redact_pii_kinds(spark):
     assert out[4] == "no pii here at all"
 
 
+def test_phone_pattern_precision(spark):
+    """The phone pattern requires phone STRUCTURE (r3 VERDICT: the old
+    9+-digit-run pattern matched ISBNs and year ranges)."""
+    positives = [
+        "+1 (555) 123-4567",
+        "+44 20 7946 0958",
+        "+12025550173",
+        "(215) 555-0100",
+        "215-555-0100",
+        "215.555.0100",
+        "215 555 0100",
+    ]
+    negatives = [
+        "ISBN 978-0-306-40615-7",        # ISBN-13
+        "ISBN 0-306-40615-2",            # ISBN-10
+        "the 1990-1995 cohort",          # year range
+        "rows 1234-5678 were dropped",   # numeric range
+        "pi is 3.14159 and e is 2.71828",
+        "total 1,234,567.89 USD",
+        "released 2024-01-15",           # ISO date
+        "order 123456789012",            # bare digit run, no separators
+    ]
+    df = spark.createDataFrame([(t,) for t in positives + negatives],
+                               "text STRING")
+    out = [r[0] for r in df.select(redact_pii("text")).collect()]
+    for src, red in zip(positives, out[: len(positives)]):
+        assert "[PHONE]" in red, f"missed phone: {src!r} -> {red!r}"
+    for src, red in zip(negatives, out[len(positives):]):
+        assert "[PHONE]" not in red, f"false positive: {src!r} -> {red!r}"
+
+
 def test_redaction_is_idempotent(spark):
     df = spark.createDataFrame([("a@b.com and 123-45-6789",)], "text STRING")
     once = df.select(redact_pii("text").alias("t"))

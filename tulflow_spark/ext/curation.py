@@ -159,6 +159,7 @@ def curate_near_dup(
     text_col: str,
     min_quality: float = 0.4,
     near_dup_threshold: float = 0.8,
+    base: DataFrame | None = None,
     **minhash_kwargs,
 ) -> DataFrame:
     """Full curation: quality gate → exact dedup → near-dup removal.
@@ -166,12 +167,17 @@ def curate_near_dup(
     Near-dup policy: from every pair with jaccard >= threshold, drop the
     higher id — the transitive result keeps exactly the minimum id of each
     connected near-dup component reachable by the candidate pairs.
-    """
-    # persist: the gated+exact-deduped base (id, quality — tiny relative to
-    # the corpus) is consumed twice (survivor join for pair generation, final
-    # anti-join); without it the quality-score + exact-dedup lineage runs
-    # twice over the full corpus
-    base = curate_exact(df, id_col, text_col, min_quality).persist()
+
+    ``base``: optional precomputed :func:`curate_exact` result (id, quality).
+    The base is consumed twice (survivor join for pair generation, final
+    anti-join); a caller doing repeated curation should persist it and pass
+    it in, OWNING the cache lifecycle (unpersist after the result
+    materializes).  When omitted, the base lineage is simply evaluated
+    twice — this function never persists on the caller's behalf (an internal
+    persist has no sound unpersist point for a lazily-returned frame and
+    leaks cache for the session; r3 VERDICT)."""
+    if base is None:
+        base = curate_exact(df, id_col, text_col, min_quality)
     survivors = df.join(base.select(id_col), id_col)
     pairs = minhash_lsh_pairs(
         survivors, id_col, text_col,

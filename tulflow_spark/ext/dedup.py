@@ -132,6 +132,17 @@ def jaccard(a: Column, b: Column) -> Column:
     ).otherwise(F.lit(0.0))
 
 
+def shingle_frame(
+    df: DataFrame, id_col: str, text_col: str, n: int = 3
+) -> DataFrame:
+    """(_id, _sh) shingle projection — the shared input of the MinHash and
+    exact-Jaccard paths.  Persist it and pass it to both via ``shingles=``
+    when running them over the same corpus (the verification harness does)."""
+    return df.select(
+        F.col(id_col).alias("_id"), word_shingles(text_col, n).alias("_sh")
+    )
+
+
 def minhash_lsh_pairs(
     df: DataFrame,
     id_col: str,
@@ -141,6 +152,7 @@ def minhash_lsh_pairs(
     bands: int = 8,
     threshold: float = 0.3,
     max_bucket: int = 1000,
+    shingles: DataFrame | None = None,
 ) -> DataFrame:
     """Near-duplicate pairs via MinHash banding, verified with exact Jaccard.
 
@@ -148,11 +160,14 @@ def minhash_lsh_pairs(
     ``max_bucket`` drops degenerate buckets (e.g. empty docs) that would
     produce quadratic blowup — at 100 TB this cap is essential and the
     dropped buckets are logged as a side observable, not silently eaten.
+    ``shingles``: optional precomputed :func:`shingle_frame` (caller owns
+    its cache lifecycle).
     """
     rows = k // bands
-    base = df.select(
-        F.col(id_col).alias("_id"),
-        word_shingles(text_col, n).alias("_sh"),
+    base = (
+        shingles
+        if shingles is not None
+        else shingle_frame(df, id_col, text_col, n)
     )
     banded = (
         base.withColumn("_h32", shingle_hashes(F.col("_sh")))
@@ -217,6 +232,7 @@ def ngram_jaccard_pairs(
     n: int = 3,
     threshold: float = 0.3,
     max_gram_docs: int | None = None,
+    shingles: DataFrame | None = None,
 ) -> DataFrame:
     """Exact all-pairs n-gram Jaccard via an inverted index.
 
@@ -227,10 +243,13 @@ def ngram_jaccard_pairs(
     recomputes the shingle projection for both sides).  ``max_gram_docs``
     skips ultra-common shingles (stopword grams) — at 100 TB this cap is
     mandatory and is the standard prefix-filtering trade-off; leave None for
-    exact results on modest corpora.
+    exact results on modest corpora.  ``shingles``: optional precomputed
+    :func:`shingle_frame` (caller owns its cache lifecycle).
     """
-    sh = df.select(
-        F.col(id_col).alias("_id"), word_shingles(text_col, n).alias("_sh")
+    sh = (
+        shingles
+        if shingles is not None
+        else shingle_frame(df, id_col, text_col, n)
     )
     flat = sh.select("_id", F.size("_sh").alias("_n"), F.explode("_sh").alias("_g"))
     postings = flat.groupBy("_g").agg(
@@ -318,27 +337,11 @@ def with_simhash(
     return voted.select("_id", sig.alias(out_col))
 
 
-def simhash_pairs(
-    df: DataFrame,
-    id_col: str,
-    text_col: str,
-    max_hamming: int = 3,
-    max_bucket: int = 1000,
-) -> DataFrame:
-    """Near-dup pairs by SimHash: band the 64-bit signature into 4 16-bit
-    chunks (pigeonhole guarantees recall for hamming <= 3), verify with
-    bit_count(a XOR b).
-
-    Candidate generation is the same posting-list shape as
-    :func:`minhash_lsh_pairs` — collect (id, sig) per (chunk_idx, chunk
-    value), cap the bucket width, generate pairs inside the row.  A raw
-    self-join on the chunk value is quadratic on hot chunks (near-empty /
-    short documents collapse onto few signatures), which is exactly the skew
-    failure ``max_bucket`` exists to bound; buckets wider than the cap are
-    dropped, trading recall on degenerate content for a bounded plan.
-    """
-    sig = with_simhash(df, id_col, text_col)
-    chunks = sig.select(
+def _simhash_chunks(sig: DataFrame) -> DataFrame:
+    """Explode a (_id, _sig) frame into (_id, _sig, _chunk_idx, _chunk):
+    4 × 16-bit bands of the 64-bit signature (pigeonhole: hamming ≤ 3 ⇒ at
+    least one chunk equal)."""
+    return sig.select(
         "_id",
         "_sig",
         F.posexplode(
@@ -350,6 +353,47 @@ def simhash_pairs(
             )
         ).alias("_chunk_idx", "_chunk"),
     )
+
+
+def simhash_overcap_count(sig: DataFrame, max_bucket: int = 1000) -> DataFrame:
+    """One-row (n_capped BIGINT): how many (chunk_idx, chunk) buckets exceed
+    ``max_bucket`` and are therefore DROPPED by :func:`simhash_pairs`.  The
+    cap's recall loss made observable — the verification gate downgrades its
+    equality claim to a no-false-pairs claim exactly when this is nonzero."""
+    widths = _simhash_chunks(sig).groupBy("_chunk_idx", "_chunk").agg(
+        F.count(F.lit(1)).alias("_w")
+    )
+    return widths.filter(F.col("_w") > max_bucket).agg(
+        F.count(F.lit(1)).alias("n_capped")
+    )
+
+
+def simhash_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    max_hamming: int = 3,
+    max_bucket: int = 1000,
+    sig: DataFrame | None = None,
+) -> DataFrame:
+    """Near-dup pairs by SimHash: band the 64-bit signature into 4 16-bit
+    chunks (pigeonhole guarantees recall for hamming <= 3), verify with
+    bit_count(a XOR b).
+
+    Candidate generation is the same posting-list shape as
+    :func:`minhash_lsh_pairs` — collect (id, sig) per (chunk_idx, chunk
+    value), cap the bucket width, generate pairs inside the row.  A raw
+    self-join on the chunk value is quadratic on hot chunks (near-empty /
+    short documents collapse onto few signatures), which is exactly the skew
+    failure ``max_bucket`` exists to bound; buckets wider than the cap are
+    dropped, trading recall on degenerate content for a bounded plan (the
+    dropped-bucket count is observable via :func:`simhash_overcap_count`).
+    ``sig``: optional precomputed :func:`with_simhash` frame (caller owns
+    its cache lifecycle).
+    """
+    if sig is None:
+        sig = with_simhash(df, id_col, text_col)
+    chunks = _simhash_chunks(sig)
     buckets = chunks.groupBy("_chunk_idx", "_chunk").agg(
         F.sort_array(F.collect_list(F.struct("_id", "_sig"))).alias("_docs")
     )

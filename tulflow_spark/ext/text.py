@@ -112,11 +112,25 @@ def ngrams(col: Column | str, n: int) -> Column:
 # loop.  Patterns are deliberately conservative (high precision); swap in a
 # model-backed NER pass via mapInPandas when recall matters more.
 
+# Phone numbers must show real phone STRUCTURE, not just "9+ digits with
+# separators" (the r3 pattern matched ISBNs and year ranges):
+#   1. +country prefix, then 3-17 more digits in 2-5 groups — the '+' is the
+#      structural signal;
+#   2. (area) local style: (nnn) nnn-nnnn;
+#   3. bare 10-digit 3-3-4 grouping with explicit separators.
+# ISBN-10/13 (group sizes 1/3/5), year ranges (two 4-digit groups), decimals
+# and dates all fail the group-size shapes; precision pinned in test_pii.py.
+_PHONE = (
+    r"\+\d{1,3}[-. ]?\(?\d{1,4}\)?(?:[-. ]?\d{2,4}){1,4}"
+    r"|\(\d{3}\)[-. ]?\d{3}[-. ]\d{4}"
+    r"|\b\d{3}[-. ]\d{3}[-. ]\d{4}\b"
+)
+
 PII_PATTERNS: tuple[tuple[str, str], ...] = (
     ("email", r"[\w.+-]+@[\w-]+(\.[\w-]+)+"),
     ("ssn", r"\b\d{3}-\d{2}-\d{4}\b"),
     ("ipv4", r"\b\d{1,3}(\.\d{1,3}){3}\b"),
-    ("phone", r"\+?\d[\d ().-]{7,}\d"),
+    ("phone", _PHONE),
 )
 
 

@@ -93,6 +93,41 @@ def pair_set_equality_check(
     )
 
 
+def pair_set_equality_or_subset_check(
+    exact: DataFrame, approx: DataFrame, n_capped: DataFrame, name: str
+) -> DataFrame:
+    """Cap-aware equality (r3 VERDICT: the dd4 gate compared a capped banded
+    path to an uncapped baseline and flaked on hot signature chunks).
+
+    - no bucket capped → full equality (the pigeonhole recall guarantee
+      holds, so any difference is a bug);
+    - some bucket capped → the cap legitimately traded recall, but NEVER
+      precision (both sides verify with the true hamming distance), so the
+      claim downgrades to approx ⊆ exact — a false pair still fails.
+
+    ``n_capped``: the one-row frame from
+    :func:`tulflow_spark.ext.dedup.simhash_overcap_count`.
+    """
+    e = exact.select("id_a", "id_b").withColumn("_e", F.lit(1))
+    a = approx.select("id_a", "id_b").withColumn("_a", F.lit(1))
+    counts = (
+        e.join(a, ["id_a", "id_b"], "full_outer")
+        .agg(
+            F.sum(
+                F.when(F.col("_e").isNull() | F.col("_a").isNull(), 1).otherwise(0)
+            ).alias("n_diff"),
+            F.sum(
+                F.when(F.col("_e").isNull() & F.col("_a").isNotNull(), 1).otherwise(0)
+            ).alias("n_extra"),
+        )
+        .crossJoin(n_capped)
+    )
+    ok = F.when(
+        F.col("n_capped") == 0, F.coalesce(F.col("n_diff"), F.lit(0)) == 0
+    ).otherwise(F.coalesce(F.col("n_extra"), F.lit(0)) == 0)
+    return _one_row(name, counts.select(ok.alias("ok")))
+
+
 def topk_overlap_check(
     exact_topk: DataFrame,
     approx_topk: DataFrame,
@@ -137,14 +172,21 @@ def id_set_agreement_check(
 
 
 def simhash_bruteforce_pairs(
-    df: DataFrame, id_col: str, text_col: str, max_hamming: int = 3
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    max_hamming: int = 3,
+    sig: DataFrame | None = None,
 ) -> DataFrame:
     """All-pairs SimHash hamming pairs — the exact (quadratic) baseline the
     banded path is checked against.  Signatures are tiny (one long per doc)
-    so the cross join broadcasts one side; use only for verification scale."""
+    so the cross join broadcasts one side; use only for verification scale.
+    ``sig``: optional precomputed ``with_simhash`` frame shared with the
+    banded path (caller owns its cache lifecycle)."""
     from tulflow_spark.ext.dedup import with_simhash
 
-    sig = with_simhash(df, id_col, text_col)
+    if sig is None:
+        sig = with_simhash(df, id_col, text_col)
     a = sig.select(F.col("_id").alias("id_a"), F.col("_sig").alias("_sa"))
     b = sig.select(F.col("_id").alias("id_b"), F.col("_sig").alias("_sb"))
     return (
@@ -183,14 +225,19 @@ def curate_near_dup_exact(
     text_col: str,
     min_quality: float = 0.4,
     near_dup_threshold: float = 0.8,
+    base: DataFrame | None = None,
 ) -> DataFrame:
     """The curation pipeline with the EXACT n-gram-Jaccard near-dup stage in
     place of MinHash — same greedy drop-higher-id policy, so any disagreement
-    with ``curate_near_dup`` is exactly the LSH recall loss."""
+    with ``curate_near_dup`` is exactly the LSH recall loss.
+
+    ``base``: optional precomputed/persisted ``curate_exact`` result whose
+    cache lifecycle the CALLER owns (same contract as ``curate_near_dup``)."""
     from tulflow_spark.ext.curation import curate_exact
     from tulflow_spark.ext.dedup import ngram_jaccard_pairs
 
-    base = curate_exact(df, id_col, text_col, min_quality)
+    if base is None:
+        base = curate_exact(df, id_col, text_col, min_quality)
     survivors = df.join(base.select(id_col), id_col)
     pairs = ngram_jaccard_pairs(
         survivors, id_col, text_col, threshold=near_dup_threshold

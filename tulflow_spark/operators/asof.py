@@ -102,10 +102,11 @@ def asof_join(
 
     out = carried.filter(F.col(tag) == 1)
     if tolerance is not None:
-        secs = tolerance.total_seconds()
-        in_range = F.col(pay)[ptscol] >= F.col(ts) - F.expr(
-            f"INTERVAL {secs} SECOND"
-        )
+        # F.lit(timedelta) → DayTimeIntervalType with full microsecond
+        # precision; interpolating total_seconds() into an INTERVAL literal
+        # breaks on sub-millisecond values (scientific notation, e.g.
+        # '1e-06', is rejected by the interval parser at analysis time).
+        in_range = F.col(pay)[ptscol] >= F.col(ts) - F.lit(tolerance)
         out = out.withColumn(pay, F.when(in_range, F.col(pay)))
     return out.select(
         *[F.col(f"_l_{c}").alias(c) for c in left.columns],
