@@ -178,6 +178,20 @@ def cdc_snapshot_sink(
             F.xxhash64(*[F.col(k) for k in keys]), F.lit(n_buckets)
         ).cast("int")
 
+    def snapshot_layout() -> tuple[str, list[str]]:
+        """('bucketed'|'flat'|'none', flat-file names).  A pre-existing
+        snapshot written WITHOUT ``_bucket=`` partition dirs (e.g. a plain
+        ``df.write.parquet`` bootstrap) must not be treated as empty — that
+        silently dropped every bootstrap row and mixed two layouts in one
+        directory (r3 VERDICT)."""
+        if not os.path.isdir(path):
+            return "none", []
+        entries = os.listdir(path)
+        if any(e.startswith("_bucket=") for e in entries):
+            return "bucketed", []
+        flat = [e for e in entries if e.endswith(".parquet")]
+        return ("flat", flat) if flat else ("none", [])
+
     def apply_batch(batch_df: DataFrame, batch_id: int) -> None:
         spark = batch_df.sparkSession
         cols = batch_df.columns
@@ -185,19 +199,33 @@ def cdc_snapshot_sink(
         touched = [r["_bucket"] for r in b.select("_bucket").distinct().collect()]
         if not touched:
             return
-        if os.path.isdir(path) and any(
-            e.startswith("_bucket=") for e in os.listdir(path)
-        ):
+        layout, flat_files = snapshot_layout()
+        if layout == "bucketed":
             existing = (
                 spark.read.parquet(path)
                 .filter(F.col("_bucket").isin(touched))  # pruned scan
                 .select(*cols)
             )
             union = existing.withColumn("_bucket", bucket_of(existing)).unionByName(b)
+        elif layout == "flat":
+            # one-time migration: fold the ENTIRE flat snapshot into this
+            # batch's merge (no bucket pruning possible yet), write it back
+            # bucketed, then drop the flat files.  touched widens to every
+            # bucket so fully-deleted buckets are still cleaned up below.
+            existing = spark.read.parquet(path).select(*cols)
+            union = existing.withColumn("_bucket", bucket_of(existing)).unionByName(b)
+            touched = list(range(n_buckets))
         else:
             union = b
         merged = latest_snapshot(union, keys, order_by, deleted).persist()
         try:
+            # materialize the merge (and the bucket set) BEFORE the write:
+            # the write mutates the directory the merge's lineage reads, so
+            # any post-write recompute would read its own output (observed
+            # as a failed scan during the flat-layout migration)
+            survived = {
+                r["_bucket"] for r in merged.select("_bucket").distinct().collect()
+            }
             prev = spark.conf.get(_OVERWRITE_MODE, "static")
             spark.conf.set(_OVERWRITE_MODE, "dynamic")
             try:
@@ -207,13 +235,16 @@ def cdc_snapshot_sink(
             # dynamic overwrite only replaces partitions PRESENT in the
             # output: a touched bucket whose keys all ended deleted must be
             # dropped explicitly or stale rows would survive
-            survived = {
-                r["_bucket"] for r in merged.select("_bucket").distinct().collect()
-            }
             for bk in set(touched) - survived:
                 bucket_dir = os.path.join(path, f"_bucket={bk}")
                 if os.path.isdir(bucket_dir):
                     shutil.rmtree(bucket_dir)
+            # flat files are dropped only AFTER the bucketed write landed,
+            # so a failed migration leaves the original snapshot readable
+            for name in flat_files:
+                flat_path = os.path.join(path, name)
+                if os.path.isfile(flat_path):
+                    os.remove(flat_path)
         finally:
             merged.unpersist()
 
