@@ -1,0 +1,74 @@
+"""Filesystem access for the custom writers (content-addressed XML sink,
+CDC snapshot maintenance).
+
+Spark's own ``df.read``/``df.write`` paths go through the Hadoop FileSystem
+API and already speak every scheme the cluster conf knows.  The CUSTOM
+writers — ``foreachPartition`` sinks and driver-side snapshot maintenance —
+were the only places touching ``os``/``open`` directly, which silently pins
+them to executor-local disk.  They now route through ``pyarrow.fs``:
+
+- resolves ``file://``, plain absolute paths, ``s3://``, ``hdfs://``,
+  ``gs://`` from the URI alone (no JVM needed, so it works inside
+  ``foreachPartition`` on executors where py4j is unavailable);
+- one resolved (filesystem, path) pair per call site, reused across a
+  partition's chunks.
+
+The reference's equivalents are boto3 point calls (process.py:105-142);
+here the same helper serves local tests and object-store deployments.
+"""
+
+from __future__ import annotations
+
+from pyarrow import fs as pafs
+
+
+def resolve(path: str) -> tuple[pafs.FileSystem, str]:
+    """(filesystem, fs-internal path) for a URI or absolute local path."""
+    return pafs.FileSystem.from_uri(path)
+
+
+def exists(path: str) -> bool:
+    fs, p = resolve(path)
+    return fs.get_file_info(p).type != pafs.FileType.NotFound
+
+
+def is_dir(path: str) -> bool:
+    fs, p = resolve(path)
+    return fs.get_file_info(p).type == pafs.FileType.Directory
+
+
+def list_names(path: str) -> list[str]:
+    """Immediate child base names of a directory; [] when absent.  (On
+    object stores this is a single LIST call, not a recursive walk.)"""
+    fs, p = resolve(path)
+    if fs.get_file_info(p).type != pafs.FileType.Directory:
+        return []
+    return [
+        i.base_name
+        for i in fs.get_file_info(pafs.FileSelector(p, recursive=False))
+    ]
+
+
+def delete(path: str, recursive: bool = False) -> bool:
+    """Delete a file or directory tree; False when nothing existed."""
+    fs, p = resolve(path)
+    info = fs.get_file_info(p)
+    if info.type == pafs.FileType.NotFound:
+        return False
+    if info.type == pafs.FileType.Directory:
+        if not recursive:
+            raise IsADirectoryError(path)
+        fs.delete_dir(p)
+    else:
+        fs.delete_file(p)
+    return True
+
+
+def write_text(path: str, content: str) -> None:
+    """Create parent dirs (no-op on object stores) and write one object."""
+    fs, p = resolve(path)
+    parent = p.rsplit("/", 1)[0] if "/" in p else ""
+    if parent:
+        fs.create_dir(parent, recursive=True)
+    with fs.open_output_stream(p) as out:
+        out.write(content.encode("utf-8"))

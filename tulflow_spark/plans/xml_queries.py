@@ -216,3 +216,159 @@ def x4_transform_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.get(F.element_at(F.col("_out"), F.lit("doc_class")), 0).alias("doc_class"),
         F.get(F.element_at(F.col("_out"), F.lit("doc_text")), 0).alias("doc_text"),
     )
+
+
+_X5_XSL = """<?xml version="1.0" encoding="UTF-8"?>
+<xsl:stylesheet xmlns:xsl="http://www.w3.org/1999/XSL/Transform"
+    xmlns:dc="http://purl.org/dc/elements/1.1/"
+    xmlns:dcterms="http://purl.org/dc/terms/"
+    xmlns:edm="http://www.europeana.eu/schemas/edm/"
+    xmlns:oai_dc="http://www.openarchives.org/OAI/2.0/oai_dc/"
+    xmlns:oai="http://www.openarchives.org/OAI/2.0/"
+    version="2.0">
+  <xsl:template match="text() | @*"/>
+  <xsl:template match="//oai_dc:dc[not(dc:relation[string()= 'skip'])]">
+    <oai_dc:dc
+        xmlns:dc="http://purl.org/dc/elements/1.1/"
+        xmlns:dcterms="http://purl.org/dc/terms/"
+        xmlns:edm="http://www.europeana.eu/schemas/edm/"
+        xmlns:oai_dc="http://www.openarchives.org/OAI/2.0/oai_dc/">
+      <xsl:apply-templates />
+      <xsl:call-template name="hub"/>
+    </oai_dc:dc>
+  </xsl:template>
+  <xsl:template match="dc:title">
+    <xsl:if test="normalize-space(.)!=''">
+      <xsl:element name="dcterms:title">
+        <xsl:value-of select="normalize-space(.)"/>
+      </xsl:element>
+    </xsl:if>
+  </xsl:template>
+  <xsl:template match="dc:rights">
+    <xsl:choose>
+      <xsl:when test="starts-with(., 'https://creativecommons.org/')">
+        <xsl:element name="edm:rights">
+          <xsl:value-of select="."/>
+        </xsl:element>
+      </xsl:when>
+      <xsl:otherwise>
+        <xsl:element name="dcterms:rights">
+          <xsl:value-of select="."/>
+        </xsl:element>
+      </xsl:otherwise>
+    </xsl:choose>
+  </xsl:template>
+  <xsl:template match="dc:subject">
+    <xsl:call-template name="subj_template">
+      <xsl:with-param name="stringz" select="."/>
+      <xsl:with-param name="delimiter" select="';'"/>
+    </xsl:call-template>
+  </xsl:template>
+  <xsl:template name="hub">
+    <xsl:element name="edm:provider">
+      <xsl:value-of>PA Digital</xsl:value-of>
+    </xsl:element>
+  </xsl:template>
+  <xsl:template name="subj_template">
+    <xsl:param name="stringz"/>
+    <xsl:param name="delimiter"/>
+    <xsl:choose>
+      <xsl:when test="contains($stringz, $delimiter)">
+        <xsl:variable name="newstem" select="substring-after($stringz, $delimiter)"/>
+        <dcterms:subject>
+          <xsl:value-of select="substring-before($stringz, $delimiter)"/>
+        </dcterms:subject>
+        <xsl:call-template name="subj_template">
+          <xsl:with-param name="stringz" select="$newstem"/>
+          <xsl:with-param name="delimiter" select="';'"/>
+        </xsl:call-template>
+      </xsl:when>
+      <xsl:otherwise>
+        <dcterms:subject>
+          <xsl:value-of select="normalize-space($stringz)"/>
+        </dcterms:subject>
+      </xsl:otherwise>
+    </xsl:choose>
+  </xsl:template>
+</xsl:stylesheet>
+"""
+
+
+@register(
+    "x5_byte_serialize",
+    gate=False,
+    oracle="""
+    SELECT n_nationkey AS nation_key,
+           '<?xml version="1.0" encoding="UTF-8"?>' || chr(10)
+           || '<oai_dc:dc xmlns:dc="http://purl.org/dc/elements/1.1/"'
+           || ' xmlns:dcterms="http://purl.org/dc/terms/"'
+           || ' xmlns:edm="http://www.europeana.eu/schemas/edm/"'
+           || ' xmlns:oai_dc="http://www.openarchives.org/OAI/2.0/oai_dc/"'
+           || ' xmlns:oai="http://www.openarchives.org/OAI/2.0/">'
+           || '<dcterms:title>' || n_name || '</dcterms:title>'
+           || CASE WHEN n_nationkey % 2 = 0
+                   THEN '<edm:rights>https://creativecommons.org/pd/'
+                        || n_name || '</edm:rights>'
+                   ELSE '<dcterms:rights>All rights held by ' || n_name
+                        || '</dcterms:rights>' END
+           || '<dcterms:subject>' || n_name || '</dcterms:subject>'
+           || '<dcterms:subject> middle topic </dcterms:subject>'
+           || '<dcterms:subject>tail topic</dcterms:subject>'
+           || '<edm:provider>PA Digital</edm:provider>'
+           || '</oai_dc:dc>' || chr(10) AS xml
+    FROM nation
+    WHERE n_regionkey <> 0
+    """,
+)
+def x5_byte_serialize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Byte-golden serialization under oracle check: the widened XSLT subset
+    (starts-with dispatch, delimiter-split named template, hub constant,
+    record marker filter) plus the Saxon output layout (namespace order,
+    input-document element order, trailing constants) reproduced as one
+    whole-stage-codegen string expression — the DuckDB oracle rebuilds the
+    EXACT bytes with SQL concatenation.  Parity target: the reference's
+    byte-equality assertions (tests/test_transform.py:114-121)."""
+    from tulflow_spark.transform.serialize import transform_to_xml
+
+    n = table(spark, sf_dir, "nation")
+    fields = F.map_from_arrays(
+        F.array(
+            F.lit("dc:title"), F.lit("dc:rights"),
+            F.lit("dc:subject"), F.lit("dc:relation"),
+        ),
+        F.array(
+            F.array(F.concat(F.lit("  "), F.col("n_name"), F.lit("  "))),
+            F.array(
+                F.when(
+                    F.col("n_nationkey") % 2 == 0,
+                    F.concat(
+                        F.lit("https://creativecommons.org/pd/"),
+                        F.col("n_name"),
+                    ),
+                ).otherwise(
+                    F.concat(
+                        F.lit("All rights held by "), F.col("n_name")
+                    )
+                )
+            ),
+            F.array(
+                F.concat(F.col("n_name"), F.lit("; middle topic ;  tail topic "))
+            ),
+            F.array(
+                F.when(F.col("n_regionkey") == 0, F.lit("skip")).otherwise(
+                    F.lit("keep")
+                )
+            ),
+        ),
+    )
+    src = n.select(
+        F.col("n_nationkey").alias("nation_key"),
+        fields.alias("fields"),
+        F.array(
+            F.lit("dc:title"), F.lit("dc:rights"), F.lit("dc:subject")
+        ).alias("forder"),
+    )
+    out = transform_to_xml(
+        src, _X5_XSL, order_col="forder", deleted_col=None
+    )
+    return out.select("nation_key", "xml")

@@ -13,15 +13,15 @@ Implementation: ``foreachPartition`` writer — Spark's FileFormatWriter names
 files by task id, so content-addressed naming needs a custom writer (SURVEY
 §4.3).  Each partition streams rows, buffers up to ``records_per_file``,
 serializes one collection per chunk, writes, and clears — memory is bounded
-by chunk size, not partition size.  Paths are filesystem URIs; on a cluster
-the same code writes to any fsspec/posix-mounted store (s3a handled at the
-``df.write`` layer for the non-custom sinks).
+by chunk size, not partition size.  Writes go through ``tulflow_spark.fsio``
+(pyarrow filesystems), so ``out_dir`` may be a local path or an object-store
+URI (s3://, hdfs://, gs://) — the same partition writer runs unchanged on a
+cluster, with no py4j dependency executor-side.
 """
 
 from __future__ import annotations
 
 import hashlib
-import os
 import xml.etree.ElementTree as ET
 from collections.abc import Iterator
 
@@ -39,11 +39,11 @@ def dag_prefix(dag_id: str, timestamp: str) -> str:
 def write_string_content_addressed(content: str, out_dir: str) -> str:
     """Write one string object keyed by its md5 (reference: harvest.py:253-262).
     Returns the path written."""
+    from tulflow_spark import fsio
+
     key = hashlib.md5(content.encode("utf-8")).hexdigest()
-    os.makedirs(out_dir, exist_ok=True)
-    path = os.path.join(out_dir, key)
-    with open(path, "w", encoding="utf-8") as fh:
-        fh.write(content)
+    path = f"{out_dir.rstrip('/')}/{key}"
+    fsio.write_text(path, content)
     return path
 
 
@@ -85,9 +85,10 @@ def write_oai_collections(
 
     def write_partition(rows: Iterator) -> None:
         import hashlib as _hashlib
-        import os as _os
         import uuid as _uuid
         import xml.etree.ElementTree as _ET
+
+        from tulflow_spark import fsio as _fsio
 
         def flush(buffer: list) -> None:
             if not buffer:
@@ -104,9 +105,7 @@ def write_oai_collections(
                 name = _hashlib.md5(content.encode("utf-8")).hexdigest()
             else:
                 name = _uuid.uuid4().hex
-            _os.makedirs(out_dir, exist_ok=True)
-            with open(_os.path.join(out_dir, name), "w", encoding="utf-8") as fh:
-                fh.write(content)
+            _fsio.write_text(f"{out_dir.rstrip('/')}/{name}", content)
 
         buffer: list = []
         for row in rows:

@@ -166,9 +166,7 @@ def cdc_snapshot_sink(
     per-partition (not globally) atomic, the dependency-free equivalent.
     Returns the started StreamingQuery.
     """
-    import os
-    import shutil
-
+    from tulflow_spark import fsio
     from tulflow_spark.operators.cdc import latest_snapshot
 
     _OVERWRITE_MODE = "spark.sql.sources.partitionOverwriteMode"
@@ -184,9 +182,7 @@ def cdc_snapshot_sink(
         ``df.write.parquet`` bootstrap) must not be treated as empty — that
         silently dropped every bootstrap row and mixed two layouts in one
         directory (r3 VERDICT)."""
-        if not os.path.isdir(path):
-            return "none", []
-        entries = os.listdir(path)
+        entries = fsio.list_names(path)
         if any(e.startswith("_bucket=") for e in entries):
             return "bucketed", []
         flat = [e for e in entries if e.endswith(".parquet")]
@@ -236,15 +232,13 @@ def cdc_snapshot_sink(
             # output: a touched bucket whose keys all ended deleted must be
             # dropped explicitly or stale rows would survive
             for bk in set(touched) - survived:
-                bucket_dir = os.path.join(path, f"_bucket={bk}")
-                if os.path.isdir(bucket_dir):
-                    shutil.rmtree(bucket_dir)
+                bucket_dir = f"{path.rstrip('/')}/_bucket={bk}"
+                if fsio.is_dir(bucket_dir):
+                    fsio.delete(bucket_dir, recursive=True)
             # flat files are dropped only AFTER the bucketed write landed,
             # so a failed migration leaves the original snapshot readable
             for name in flat_files:
-                flat_path = os.path.join(path, name)
-                if os.path.isfile(flat_path):
-                    os.remove(flat_path)
+                fsio.delete(f"{path.rstrip('/')}/{name}")
         finally:
             merged.unpersist()
 
