@@ -1,0 +1,136 @@
+"""Versioned-manifest CDC snapshot: globally-atomic commits on plain
+parquet (the dependency-free lake-format equivalent; r3 VERDICT missing #4).
+
+Pinned invariants: the manifest write is the commit point (readers see one
+complete version, never a bucket mix); data files are immutable and carried
+across versions by reference; fully-deleted buckets leave the manifest;
+vacuum removes only unreferenced files and keeps the live version readable.
+"""
+
+from __future__ import annotations
+
+import os
+from datetime import datetime, timezone
+
+from tulflow_spark.streaming.manifest_snapshot import (
+    ManifestSnapshot,
+    cdc_snapshot_sink_atomic,
+)
+
+DDL = "k bigint, v string, ts timestamp, deleted boolean"
+
+
+def _ts(m):
+    return datetime(2026, 4, 1, 0, m, tzinfo=timezone.utc)
+
+
+def _stage(spark, tmp_path, name, rows):
+    spark.createDataFrame(rows, DDL).coalesce(1).write.parquet(
+        str(tmp_path / name)
+    )
+
+
+def _run_batch(spark, tmp_path, snap_path, batch_dir, ckpt, n_buckets=8):
+    q = cdc_snapshot_sink_atomic(
+        spark.readStream.schema(DDL).parquet(str(tmp_path / batch_dir)),
+        snap_path, keys=["k"], order_by=["ts"],
+        checkpoint=str(tmp_path / ckpt), n_buckets=n_buckets,
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+
+
+def test_atomic_sink_end_to_end(spark, tmp_path):
+    snap_path = str(tmp_path / "snap")
+    _stage(spark, tmp_path, "b1",
+           [(1, "a1", _ts(1), False), (2, "b1", _ts(1), False),
+            (3, "c1", _ts(1), False)])
+    _stage(spark, tmp_path, "b2",
+           [(1, "a2", _ts(2), False), (2, None, _ts(2), True),
+            (4, "d1", _ts(2), False)])
+
+    _run_batch(spark, tmp_path, snap_path, "b1", "ck1")
+    snap = ManifestSnapshot(snap_path)
+    v1 = snap.latest_version()
+    assert v1 == 1
+    got = {r.k: r.v for r in snap.read(spark).collect()}
+    assert got == {1: "a1", 2: "b1", 3: "c1"}
+
+    _run_batch(spark, tmp_path, snap_path, "b2", "ck2")
+    assert snap.latest_version() == 2
+    got = {r.k: r.v for r in snap.read(spark).collect()}
+    assert got == {1: "a2", 3: "c1", 4: "d1"}  # k2 deleted, k1 updated
+
+    # version 1 is still fully readable until vacuum — that's the
+    # atomicity guarantee (a reader pinned to v1 sees the old table whole)
+    old = snap._read_manifest(1)
+    old_files = [f for fs in old.values() for f in fs]
+    assert old_files and all(os.path.isfile(f) for f in old_files)
+    got_v1 = {
+        r.k: r.v for r in spark.read.parquet(*old_files).collect()
+    }
+    assert got_v1 == {1: "a1", 2: "b1", 3: "c1"}
+
+
+def test_untouched_buckets_carry_by_reference(spark, tmp_path):
+    """A bucket not touched by a batch must keep its exact file paths in
+    the next manifest — no rewrite, O(touched) commit cost."""
+    snap_path = str(tmp_path / "snap")
+    _stage(spark, tmp_path, "b1",
+           [(k, f"v{k}", _ts(1), False) for k in range(20)])
+    _stage(spark, tmp_path, "b2", [(7, "v7b", _ts(2), False)])
+    _run_batch(spark, tmp_path, snap_path, "b1", "ck1")
+    snap = ManifestSnapshot(snap_path)
+    before = snap.buckets()
+    _run_batch(spark, tmp_path, snap_path, "b2", "ck2")
+    after = snap.buckets()
+
+    from pyspark.sql import functions as F
+
+    b1 = spark.read.parquet(str(tmp_path / "b1"))
+    touched = str(
+        b1.select(
+            F.pmod(F.xxhash64("k"), F.lit(8)).cast("int").alias("b")
+        ).filter(F.col("k") == 7).head().b
+    )
+    assert after[touched] != before[touched]
+    for bk, files in before.items():
+        if bk != touched:
+            assert after[bk] == files, f"bucket {bk} was rewritten"
+    # and the merged result is right
+    got = {r.k: r.v for r in snap.read(spark).collect()}
+    assert got[7] == "v7b" and len(got) == 20
+
+
+def test_fully_deleted_bucket_leaves_manifest(spark, tmp_path):
+    snap_path = str(tmp_path / "snap")
+    _stage(spark, tmp_path, "b1", [(5, "x", _ts(1), False)])
+    _stage(spark, tmp_path, "b2", [(5, None, _ts(2), True)])
+    _run_batch(spark, tmp_path, snap_path, "b1", "ck1")
+    snap = ManifestSnapshot(snap_path)
+    assert len(snap.buckets()) == 1
+    _run_batch(spark, tmp_path, snap_path, "b2", "ck2")
+    assert snap.buckets() == {}
+    assert snap.read(spark) is None
+
+
+def test_vacuum_drops_only_unreferenced(spark, tmp_path):
+    snap_path = str(tmp_path / "snap")
+    _stage(spark, tmp_path, "b1",
+           [(k, f"v{k}", _ts(1), False) for k in range(10)])
+    _stage(spark, tmp_path, "b2", [(3, "v3b", _ts(2), False)])
+    _run_batch(spark, tmp_path, snap_path, "b1", "ck1")
+    _run_batch(spark, tmp_path, snap_path, "b2", "ck2")
+    snap = ManifestSnapshot(snap_path)
+    live = {f for fs in snap.buckets().values() for f in fs}
+
+    deleted = snap.vacuum(keep_versions=1)
+    assert deleted  # superseded bucket file + old manifest went away
+    assert not (set(deleted) & live)
+    assert snap.latest_version() == 2  # live manifest retained
+    got = {r.k: r.v for r in snap.read(spark).collect()}
+    assert got[3] == "v3b" and len(got) == 10
+    # second vacuum is a no-op
+    assert snap.vacuum(keep_versions=1) == []
