@@ -1,0 +1,417 @@
+"""Stdlib micro XSLT/XPath engine: golden-output parity with the
+reference's Saxon results and unit coverage of the XPath 1.0 evaluator.
+
+The micro-engine (`transform/xpath1.py` + `transform/microxslt.py`) is the
+default per-partition fallback for stylesheets outside the compiled-to-
+columns subset, so its parity bar is the reference's own transform
+assertions: `tests/fixtures/xsl-sample-{simple,complex}-output-record{1-3}
+.xml` (reference tests/test_transform.py:53-58,114-121), modulo
+insignificant whitespace (Saxon's indent) and namespace-declaration order —
+compared via inclusive-C14N after whitespace-only text removal, which DOES
+still require the exact namespace set on each element (literal-result-
+element namespace copying), exact attribute sets, and exact text."""
+
+from __future__ import annotations
+
+import os
+import xml.etree.ElementTree as ET
+
+import pytest
+
+from tulflow_spark.transform.microxslt import MicroXSLT, UnsupportedFeature
+from tulflow_spark.transform.xpath1 import (
+    Context,
+    compile_expr,
+    compile_pattern,
+    parse_document,
+    string_value,
+)
+
+REF_FX = "/root/reference/tests/fixtures"
+TEMPLE_HREF = (
+    "https://raw.githubusercontent.com/tulibraries/aggregator_mdx/"
+    "main/transforms/temple.xsl"
+)
+
+NS = {
+    "oai": "http://www.openarchives.org/OAI/2.0/",
+    "dc": "http://purl.org/dc/elements/1.1/",
+}
+
+DOC = parse_document(
+    """
+<oai:record xmlns:oai="http://www.openarchives.org/OAI/2.0/"
+            xmlns:dc="http://purl.org/dc/elements/1.1/">
+  <oai:header status="deleted"><oai:identifier>oai:x:1</oai:identifier></oai:header>
+  <oai:metadata>
+    <dc:title>  First Title </dc:title>
+    <dc:title>Second</dc:title>
+    <dc:type>Moving image</dc:type>
+    <dc:relation>pdcp_noharvest</dc:relation>
+  </oai:metadata>
+</oai:record>
+"""
+)
+
+
+def ev(expr, ctx=None):
+    return compile_expr(expr).evaluate(ctx or Context(DOC, nsmap=NS))
+
+
+# ---------------------------------------------------------------------------
+# XPath evaluator
+# ---------------------------------------------------------------------------
+
+class TestXPath:
+    def test_paths_and_predicates(self):
+        assert len(ev("//dc:title")) == 2
+        assert string_value(ev("//dc:title[2]")[0]) == "Second"
+        assert len(ev("//oai:record[oai:header[@status='deleted']]")) == 1
+        assert ev("//oai:header/@status = 'deleted'") is True
+        assert ev("not(//dc:relation[string()= 'pdcp_noharvest'])") is False
+        assert len(ev("//dc:title | //dc:type")) == 3
+
+    def test_string_functions(self):
+        assert ev("normalize-space(//dc:title[1])") == "First Title"
+        assert ev("substring-before('a;b;c', ';')") == "a"
+        assert ev("substring-after('a;b;c', ';')") == "b;c"
+        assert ev("substring('12345', 2, 3)") == "234"
+        assert ev("translate('abc', 'abc', 'AB')") == "AB"
+        assert ev("concat('a', 'b', 1+1)") == "ab2"
+        assert ev("string-length('abcd')") == 4.0
+        assert ev(
+            "starts-with(normalize-space(//dc:title[1]), 'First')"
+        ) is True
+
+    def test_xpath2_extras_the_reference_uses(self):
+        assert ev(
+            r"matches('Moving image',"
+            r" '^(movingimage.*$|moving\simage.*$)', 'i')"
+        ) is True
+        assert ev("lower-case('AbC')") == "abc"
+        assert ev("replace('a-b', '-', '+')") == "a+b"
+        assert ev("ends-with('abc', 'bc')") is True
+
+    def test_numbers_and_booleans(self):
+        assert ev("1 + 2 * 3") == 7.0
+        assert ev("10 mod 3") == 1.0
+        assert ev("string(3.0)") == "3"
+        assert ev("count(//dc:title)") == 2.0
+        assert ev("count(//dc:title) > 1") is True
+        assert ev("boolean(//nope:x"
+                  .replace("nope:x", "dc:missing") + ")") is False
+
+    def test_axes_and_context(self):
+        t2 = ev("//dc:title[2]")[0]
+        c2 = Context(t2, nsmap=NS)
+        assert string_value(
+            ev("preceding-sibling::dc:title[1]", c2)[0]
+        ) == "  First Title "
+        assert ev("name(..)", c2) == "oai:metadata"
+        assert ev("local-name(.)", c2) == "title"
+        assert (
+            ev("namespace-uri(.)", c2)
+            == "http://purl.org/dc/elements/1.1/"
+        )
+        assert len(ev("ancestor::*", c2)) == 2
+        assert ev("position()", Context(t2, 3, 5, nsmap=NS)) == 3.0
+        assert ev("last()", Context(t2, 3, 5, nsmap=NS)) == 5.0
+
+    def test_variables_and_rtf_paths(self):
+        lookup = parse_document(
+            "<t xmlns:p='urn:p'><p:u string='ok'>match-me</p:u></t>"
+        )
+        ctx = Context(
+            DOC, vars={"v": "a;b", "tbl": [lookup]},
+            nsmap={"p": "urn:p"},
+        )
+        assert ev("contains($v, ';')", ctx) is True
+        # the reference's lookup-table idiom: $rtf/path[. = val]/@attr
+        assert ev("string($tbl/t/p:u[. = 'match-me']/@string)", ctx) == "ok"
+
+    def test_patterns(self):
+        pctx = Context(DOC, nsmap=NS)
+        rec = ev("//oai:record")[0]
+        hdr = ev("//oai:header")[0]
+        title = ev("//dc:title[1]")[0]
+        assert compile_pattern("oai:record").matches(rec, pctx)
+        assert compile_pattern("dc:title").matches(title, pctx)
+        assert not compile_pattern("dc:title").matches(hdr, pctx)
+        assert compile_pattern("text() | @*").matches(hdr.attrs[0], pctx)
+        assert compile_pattern(
+            "//oai:record[oai:header[@status='deleted']]/*"
+        ).matches(hdr, pctx)
+        assert compile_pattern("oai:metadata/dc:title").matches(title, pctx)
+        assert not compile_pattern("oai:header/dc:title").matches(
+            title, pctx
+        )
+
+    def test_default_priorities(self):
+        assert compile_pattern("*").default_priority() == -0.5
+        assert compile_pattern("dc:title").default_priority() == 0.0
+        assert compile_pattern("dc:*").default_priority() == -0.25
+        assert compile_pattern(
+            "oai:metadata/dc:title"
+        ).default_priority() == 0.5
+
+
+# ---------------------------------------------------------------------------
+# Golden parity with the reference's Saxon outputs
+# ---------------------------------------------------------------------------
+
+def _norm(xml: str) -> str:
+    """Inclusive C14N after stripping whitespace-only text (Saxon indent)."""
+
+    def strip(el):
+        if el.text is not None and not el.text.strip():
+            el.text = None
+        for c in el:
+            if c.tail is not None and not c.tail.strip():
+                c.tail = None
+            strip(c)
+
+    if xml.lstrip().startswith("<?xml"):
+        xml = xml.split("?>", 1)[-1]
+    root = ET.fromstring(xml)
+    strip(root)
+    return ET.canonicalize(ET.tostring(root, encoding="unicode"))
+
+
+needs_ref = pytest.mark.skipif(
+    not os.path.isdir(REF_FX), reason="reference checkout not present"
+)
+
+
+@needs_ref
+@pytest.mark.parametrize("name", ["simple", "complex"])
+def test_micro_engine_matches_reference_golden_records(name):
+    includes = {}
+    if name == "complex":
+        includes[TEMPLE_HREF] = open(f"{REF_FX}/temple.xsl").read()
+    eng = MicroXSLT(
+        open(f"{REF_FX}/xsl-sample-{name}.xsl").read(),
+        includes=includes,
+        ignore_missing_includes=True,  # temple's remediation lookup.xsl
+    )
+    coll = ET.fromstring(open(f"{REF_FX}/xsl-sample.xml").read())
+    for i, rec in enumerate(coll, 1):
+        out = eng(ET.tostring(rec, encoding="unicode"))
+        golden = open(
+            f"{REF_FX}/xsl-sample-{name}-output-record{i}.xml"
+        ).read()
+        assert _norm(out) == _norm(golden), f"{name} record{i} differs"
+
+
+@needs_ref
+def test_micro_engine_agrees_with_compiled_subset(spark):
+    """Two independent implementations (column-compiled subset vs the
+    interpreter) must agree on the same stylesheet + records."""
+    from tulflow_spark.model.xml_parse import iter_oai_records, parse_dc
+    from tulflow_spark.transform.serialize import transform_to_xml
+
+    xsl = open(f"{REF_FX}/xsl-sample-simple.xsl").read()
+    recs = list(iter_oai_records(open(f"{REF_FX}/xsl-sample.xml").read()))
+    rows = []
+    for r in recs:
+        fields = parse_dc(r["metadata_xml"])
+        rows.append((r["identifier"], r["deleted"], fields, list(fields)))
+    df = spark.createDataFrame(
+        rows,
+        "id string, deleted boolean,"
+        " fields map<string,array<string>>, forder array<string>",
+    )
+    compiled = {
+        r.id: r.xml
+        for r in transform_to_xml(df, xsl, order_col="forder").collect()
+    }
+    eng = MicroXSLT(xsl)
+    for r in recs:
+        interp = eng(r["metadata_xml"])
+        assert _norm(interp) == _norm(compiled[r["identifier"]])
+
+
+# ---------------------------------------------------------------------------
+# Engine mechanics
+# ---------------------------------------------------------------------------
+
+SIMPLE = """<xsl:stylesheet xmlns:xsl="http://www.w3.org/1999/XSL/Transform"
+ version="1.0"><xsl:output omit-xml-declaration="yes"/>
+ <xsl:template match="/"><r><xsl:apply-templates/></r></xsl:template>
+ <xsl:template match="text()"/>
+ {body}
+</xsl:stylesheet>"""
+
+
+def _run(body_templates: str, src: str) -> str:
+    return MicroXSLT(SIMPLE.replace("{body}", body_templates))(src)
+
+
+class TestEngine:
+    def test_for_each_with_sort(self):
+        out = _run(
+            '<xsl:template match="d"><xsl:for-each select="v">'
+            '<xsl:sort select="." data-type="number" order="descending"/>'
+            '<x><xsl:value-of select="."/></x></xsl:for-each>'
+            "</xsl:template>",
+            "<d><v>2</v><v>10</v><v>1</v></d>",
+        )
+        assert out == "<r><x>10</x><x>2</x><x>1</x></r>"
+
+    def test_choose_and_avt(self):
+        out = _run(
+            '<xsl:template match="v"><o k="{.}-{string-length(.)}">'
+            "<xsl:choose>"
+            '<xsl:when test=". = \'a\'">A</xsl:when>'
+            "<xsl:otherwise>other</xsl:otherwise>"
+            "</xsl:choose></o></xsl:template>",
+            "<d><v>a</v><v>bc</v></d>",
+        )
+        assert out == '<r><o k="a-1">A</o><o k="bc-2">other</o></r>'
+
+    def test_copy_of_and_attribute(self):
+        out = _run(
+            '<xsl:template match="d"><o>'
+            '<xsl:attribute name="n"><xsl:value-of select="count(v)"/>'
+            "</xsl:attribute>"
+            '<xsl:copy-of select="v[1]"/></o></xsl:template>',
+            '<d><v a="1">x</v><v>y</v></d>',
+        )
+        assert out == '<r><o n="2"><v a="1">x</v></o></r>'
+
+    def test_named_template_recursion(self):
+        out = _run(
+            '<xsl:template match="v">'
+            '<xsl:call-template name="split">'
+            '<xsl:with-param name="s" select="."/>'
+            "</xsl:call-template></xsl:template>"
+            '<xsl:template name="split"><xsl:param name="s"/>'
+            "<xsl:choose>"
+            '<xsl:when test="contains($s, \';\')">'
+            "<p><xsl:value-of"
+            " select=\"normalize-space(substring-before($s, ';'))\"/></p>"
+            '<xsl:call-template name="split">'
+            '<xsl:with-param name="s"'
+            " select=\"substring-after($s, ';')\"/>"
+            "</xsl:call-template></xsl:when>"
+            "<xsl:otherwise><p><xsl:value-of"
+            ' select="normalize-space($s)"/></p></xsl:otherwise>'
+            "</xsl:choose></xsl:template>",
+            "<d><v>a; b ;c</v></d>",
+        )
+        assert out == "<r><p>a</p><p>b</p><p>c</p></r>"
+
+    def test_mode_dispatch(self):
+        out = _run(
+            '<xsl:template match="d"><xsl:apply-templates select="v"'
+            ' mode="m"/></xsl:template>'
+            '<xsl:template match="v">WRONG</xsl:template>'
+            '<xsl:template match="v" mode="m">'
+            "<m><xsl:value-of select='.'/></m></xsl:template>",
+            "<d><v>x</v></d>",
+        )
+        assert out == "<r><m>x</m></r>"
+
+    def test_builtin_rules_walk_and_copy_text(self):
+        # no template for <d> or <v>: built-ins descend and copy text
+        out = MicroXSLT(
+            '<xsl:stylesheet xmlns:xsl="http://www.w3.org/1999/XSL/'
+            'Transform" version="1.0">'
+            '<xsl:output omit-xml-declaration="yes"/>'
+            "</xsl:stylesheet>"
+        )("<d><v>a</v><v>b</v></d>")
+        assert out == "ab"
+
+    def test_priority_conflict_last_highest_wins(self):
+        out = _run(
+            '<xsl:template match="v">generic</xsl:template>'
+            '<xsl:template match="d/v">specific</xsl:template>',
+            "<d><v>x</v></d>",
+        )
+        assert out == "<r>specific</r>"
+
+    def test_unsupported_instruction_is_typed(self):
+        with pytest.raises(UnsupportedFeature):
+            MicroXSLT(
+                '<xsl:stylesheet xmlns:xsl="http://www.w3.org/1999/XSL/'
+                'Transform" version="1.0">'
+                '<xsl:key name="k" match="v" use="."/></xsl:stylesheet>'
+            )
+
+    def test_missing_include_typed_or_recorded(self):
+        sheet = (
+            '<xsl:stylesheet xmlns:xsl="http://www.w3.org/1999/XSL/'
+            'Transform" version="1.0">'
+            '<xsl:include href="http://nowhere/x.xsl"/></xsl:stylesheet>'
+        )
+        with pytest.raises(UnsupportedFeature):
+            MicroXSLT(sheet)
+        eng = MicroXSLT(sheet, ignore_missing_includes=True)
+        assert eng.skipped_includes == ["http://nowhere/x.xsl"]
+
+
+# ---------------------------------------------------------------------------
+# Generic Schematron engine
+# ---------------------------------------------------------------------------
+
+@needs_ref
+def test_micro_schematron_matches_subset_compiler(spark):
+    """The generic XPath-evaluating engine and the column-compiled subset
+    must produce identical violation sets on the reference's own rule set
+    and OAI fixtures."""
+    from tulflow_spark.model.xml_parse import parse_dc
+    from tulflow_spark.validation.ops import with_violations
+    from tulflow_spark.validation.schematron import (
+        micro_schematron_engine,
+        parse_schematron,
+    )
+
+    sch = open(f"{REF_FX}/sch-sample.sch").read()
+    engine = micro_schematron_engine(sch)
+    rules = parse_schematron(sch)
+
+    from tulflow_spark.model.xml_parse import tostring
+
+    any_invalid = False
+    for fixture in ("sch-oai-valid.xml", "sch-oai-invalid.xml",
+                    "sch-oai-mix.xml"):
+        # these fixtures are <metadata> wrappers of oai_dc:dc payloads
+        # (reference validate.py consumes them record-wise)
+        root = ET.fromstring(open(f"{REF_FX}/{fixture}").read())
+        recs = [
+            (el.get("airflow-record-id") or str(i), tostring(el))
+            for i, el in enumerate(root)
+        ]
+        assert recs
+        df = spark.createDataFrame(
+            [(rid, parse_dc(xml)) for rid, xml in recs],
+            "record_id string, fields map<string,array<string>>",
+        )
+        subset = {
+            r.record_id: sorted(r.violations)
+            for r in with_violations(df, rules).collect()
+        }
+        for rid, xml in recs:
+            got = sorted(engine(xml))
+            assert got == subset[rid], rid
+            any_invalid = any_invalid or bool(got)
+    assert any_invalid  # the invalid/mix fixtures must exercise failures
+
+
+def test_micro_schematron_arbitrary_xpath():
+    """Rules OUTSIDE the subset grammar (count(), arithmetic) — the whole
+    point of the generic engine."""
+    from tulflow_spark.validation.schematron import micro_schematron_engine
+
+    fn = micro_schematron_engine(
+        """<schema xmlns="http://purl.oclc.org/dsdl/schematron">
+          <pattern><rule context="rec">
+            <assert test="count(v) &gt;= 2">needs two v</assert>
+            <assert test="string-length(normalize-space(name)) &gt; 3">
+              name too short</assert>
+          </rule></pattern>
+        </schema>"""
+    )
+    assert fn("<rec><v/><v/><name>long enough</name></rec>") == []
+    assert fn("<rec><v/><name> ab </name></rec>") == [
+        "needs two v", "name too short",
+    ]

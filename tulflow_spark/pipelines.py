@@ -147,12 +147,13 @@ def transform_staging(
     minus the per-record JVM fork and minus its cross-file accumulator bug).
 
     Routing: stylesheets inside the compilable subset run as pure column
-    algebra; anything else falls back to a per-partition XSLT engine when
-    ``engine_factory`` is provided (pass
-    ``transform.xslt.default_xslt_engine_factory`` for lxml where
-    installed, or any ``factory(stylesheet) -> fn(xml) -> xml``).  With no
-    factory the subset compiler's typed ``UnsupportedXslt`` propagates —
-    the compiler is an optimization, not a capability wall.
+    algebra; anything else falls back to a per-partition XSLT engine —
+    the injected ``engine_factory`` if given, else
+    ``transform.xslt.default_xslt_engine_factory`` (lxml where installed,
+    otherwise the stdlib micro-interpreter
+    :class:`~tulflow_spark.transform.microxslt.MicroXSLT`).  The compiler
+    is an optimization, not a capability wall; a stylesheet outside both
+    engines' surface raises a typed error at driver-side probe time.
 
     Returns the number of records written.
     """
@@ -160,7 +161,11 @@ def transform_staging(
         sheet = compile_xslt(stylesheet)
     except UnsupportedXslt:
         if engine_factory is None:
-            raise
+            from tulflow_spark.transform.xslt import (
+                default_xslt_engine_factory,
+            )
+
+            engine_factory = default_xslt_engine_factory
         sheet = None
     if sheet is None:
         records = _read_stage(spark, source_dir)
@@ -246,14 +251,19 @@ def validate_staging(
 
     Routing mirrors :func:`transform_staging`: rule sets inside the subset
     grammar compile to predicates; arbitrary ISO Schematron falls back to a
-    per-partition engine when ``engine_factory`` is provided — both paths
-    produce the same ``violations`` column, so the split/report/guard
-    machinery is shared."""
+    per-partition engine — injected ``engine_factory`` or the default
+    (lxml-isoschematron where installed, else the stdlib
+    ``micro_schematron_engine``) — and both paths produce the same
+    ``violations`` column, so the split/report/guard machinery is shared."""
     try:
         rules = parse_schematron(schematron)
     except UnsupportedSchematron:
         if engine_factory is None:
-            raise
+            from tulflow_spark.validation.schematron import (
+                default_schematron_engine_factory,
+            )
+
+            engine_factory = default_schematron_engine_factory
         rules = None
     records = _with_dc_fields(spark, source_dir).withColumn(
         "record_id", F.col("identifier")

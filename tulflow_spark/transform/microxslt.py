@@ -1,0 +1,723 @@
+"""Stdlib-only XSLT 1.0 interpreter (micro-engine) on top of
+:mod:`tulflow_spark.transform.xpath1`.
+
+This is the arbitrary-stylesheet fallback engine for
+``transform_xml_with_engine``: the reference executes ANY stylesheet via
+Saxon (``/root/reference/tulflow/transform.py:63-66``); this container has
+neither Saxon nor lxml, so the per-partition engine is this interpreter —
+compiled once per partition, applied row-wise.  The compiled-to-columns
+subset in :mod:`tulflow_spark.transform.xslt` remains the fast path; the
+micro-engine exists so stylesheets OUTSIDE that subset still run instead of
+raising ``EngineUnavailable``.
+
+Coverage: the XSLT 1.0 instruction set the reference corpus exercises —
+template rules (match/name/mode/priority, default-priority conflict
+resolution, built-in rules), ``apply-templates`` (select/mode/sort/params),
+``call-template``/``with-param``, ``for-each`` (+``sort``), ``if``,
+``choose``/``when``/``otherwise``, ``value-of``, ``text``, ``element``/
+``attribute`` (attribute-value templates everywhere), ``copy``/``copy-of``,
+``variable``/``param`` with result-tree-fragment bodies usable as node-sets
+(the reference's lookup-table idiom: ``$lexvoLang/padig:language[...]``),
+``comment``, ``include``/``import`` via an explicit ``includes`` mapping
+(no network), and XML output with literal-result-element namespace copying
+(Saxon's visible behavior in the reference golden files:
+``tests/fixtures/xsl-sample-simple-output-record1.xml`` declares the
+stylesheet's full in-scope namespace set on the result root).
+
+Out of scope (raises :class:`UnsupportedFeature`): ``xsl:key``,
+``xsl:number``, ``xsl:decimal-format``, ``document()``, the namespace axis.
+"""
+
+from __future__ import annotations
+
+import re
+
+from tulflow_spark.transform.xpath1 import (
+    ATTR, COMMENT, ELEM, PI, ROOT, TEXT,
+    CompiledExpr, CompiledPattern, Context, Node, XPathError,
+    compile_expr, compile_pattern, parse_document, string_value,
+)
+
+XSL_NS = "http://www.w3.org/1999/XSL/Transform"
+XML_NS = "http://www.w3.org/XML/1998/namespace"
+
+
+class UnsupportedFeature(XPathError):
+    """Stylesheet uses an instruction outside the micro-engine's surface."""
+
+
+class _Template:
+    __slots__ = ("pattern", "priority", "name", "mode", "params", "body",
+                 "nsmap", "precedence", "index")
+
+    def __init__(self, pattern, priority, name, mode, params, body, nsmap,
+                 precedence, index):
+        self.pattern = pattern
+        self.priority = priority
+        self.name = name
+        self.mode = mode
+        self.params = params      # [(qname, select_expr|body_nodes)]
+        self.body = body
+        self.nsmap = nsmap
+        self.precedence = precedence
+        self.index = index
+
+
+_AVT_RE = re.compile(r"\{\{|\}\}|\{([^}]*)\}")
+
+
+def _compile_avt(value: str):
+    """Attribute value template → list of str | CompiledExpr parts."""
+    parts: list[object] = []
+    pos = 0
+    for m in _AVT_RE.finditer(value):
+        if m.start() > pos:
+            parts.append(value[pos:m.start()])
+        tok = m.group()
+        if tok == "{{":
+            parts.append("{")
+        elif tok == "}}":
+            parts.append("}")
+        else:
+            parts.append(compile_expr(m.group(1)))
+        pos = m.end()
+    if pos < len(value):
+        parts.append(value[pos:])
+    return parts
+
+
+def _xsl(tag: str) -> str:
+    return f"{{{XSL_NS}}}{tag}"
+
+
+class MicroXSLT:
+    """Compile once (driver or per-partition), call per record:
+    ``engine = MicroXSLT(stylesheet_text); out_xml = engine(record_xml)``."""
+
+    def __init__(self, stylesheet_text: str | bytes,
+                 includes: dict[str, str] | None = None,
+                 ignore_missing_includes: bool = False):
+        if isinstance(stylesheet_text, bytes):
+            stylesheet_text = stylesheet_text.decode("utf-8")
+        self.templates: list[_Template] = []
+        self.globals: list[tuple[str, object, dict]] = []  # (name, spec, nsmap)
+        self.output: dict[str, str] = {}
+        self._includes = includes or {}
+        self._ignore_missing = ignore_missing_includes
+        self.skipped_includes: list[str] = []
+        self._index = 0
+        self._load(stylesheet_text, precedence=0)
+        # name → template (last same-precedence declaration wins)
+        self.named = {}
+        for t in sorted(self.templates, key=lambda t: (t.precedence, t.index)):
+            if t.name:
+                self.named[t.name] = t
+
+    # ------------------------------------------------------------------
+    # Stylesheet loading
+    # ------------------------------------------------------------------
+    def _load(self, text: str, precedence: int) -> None:
+        root = parse_document(text)
+        sheet = root.children[0]
+        if sheet.tag not in (_xsl("stylesheet"), _xsl("transform")):
+            raise UnsupportedFeature(
+                f"not a stylesheet root: {sheet.tag!r}"
+            )
+        for el in sheet.children:
+            if el.kind != ELEM:
+                continue
+            local = el.ns_local()[1] if el.tag.startswith(f"{{{XSL_NS}}}") \
+                else None
+            if local in ("include", "import"):
+                href = _attr(el, "href") or ""
+                text_inc = self._includes.get(href)
+                if text_inc is None:  # allow basename keys for remote hrefs
+                    text_inc = self._includes.get(href.rsplit("/", 1)[-1])
+                if text_inc is None:
+                    if self._ignore_missing:
+                        self.skipped_includes.append(href)
+                        continue
+                    raise UnsupportedFeature(
+                        f"xsl:{local} href {href!r} not provided; pass"
+                        " includes={href: stylesheet_text} (or"
+                        " ignore_missing_includes=True to record and skip)"
+                    )
+                self._load(
+                    text_inc,
+                    precedence - 1 if local == "import" else precedence,
+                )
+            elif local == "output":
+                for a in el.attrs:
+                    self.output[a.ns_local()[1]] = a.value
+            elif local == "template":
+                self._add_template(el, precedence)
+            elif local in ("variable", "param"):
+                name = _attr(el, "name")
+                sel = _attr(el, "select")
+                spec = compile_expr(sel) if sel is not None else \
+                    _strip_body(el.children)
+                self.globals.append((name, spec, el.nsmap or {}))
+            elif local in ("strip-space", "preserve-space", "namespace-alias",
+                           "attribute-set"):
+                continue  # whitespace/alias tuning — no-op at this fidelity
+            elif local in ("key", "decimal-format"):
+                raise UnsupportedFeature(f"xsl:{local} is not supported")
+
+    def _add_template(self, el: Node, precedence: int) -> None:
+        match = _attr(el, "match")
+        name = _attr(el, "name")
+        mode = _attr(el, "mode")
+        prio = _attr(el, "priority")
+        params = []
+        body = []
+        for c in el.children:
+            if c.kind == ELEM and c.tag == _xsl("param"):
+                sel = _attr(c, "select")
+                params.append((
+                    _attr(c, "name"),
+                    compile_expr(sel) if sel is not None
+                    else _strip_body(c.children),
+                ))
+            else:
+                body.append(c)
+        body = _strip_body(body)
+        nsmap = el.nsmap or {}
+        if match is None:
+            if not name:
+                raise UnsupportedFeature("template needs match= or name=")
+            self._index += 1
+            self.templates.append(_Template(
+                None, 0.0, name, mode, params, body, nsmap, precedence,
+                self._index,
+            ))
+            return
+        compiled = compile_pattern(match)
+        # one rule per '|'-alternative so default priorities apply per alt
+        for alt in compiled.alts:
+            self._index += 1
+            pat = CompiledPattern([alt], match)
+            priority = float(prio) if prio is not None else alt[2]
+            self.templates.append(_Template(
+                pat, priority, name, mode, params, body, nsmap, precedence,
+                self._index,
+            ))
+
+    # ------------------------------------------------------------------
+    # Execution
+    # ------------------------------------------------------------------
+    def __call__(self, xml_text: str) -> str:
+        src = parse_document(xml_text)
+        out_root = Node(ROOT)
+        gvars: dict[str, object] = {}
+        for name, spec, nsmap in self.globals:
+            gvars[name] = self._value_of_spec(
+                spec, Context(src, 1, 1, gvars, nsmap)
+            )
+        self._apply([src], None, out_root, gvars, {})
+        return self._serialize(out_root)
+
+    def transform_node(self, src_root: Node) -> Node:
+        """Apply to an already-parsed document; returns the result ROOT."""
+        out_root = Node(ROOT)
+        gvars: dict[str, object] = {}
+        for name, spec, nsmap in self.globals:
+            gvars[name] = self._value_of_spec(
+                spec, Context(src_root, 1, 1, gvars, nsmap)
+            )
+        self._apply([src_root], None, out_root, gvars, {})
+        return out_root
+
+    def _value_of_spec(self, spec, ctx: Context):
+        """A variable/param value: select expression or RTF body."""
+        if isinstance(spec, CompiledExpr):
+            return spec.evaluate(ctx)
+        rtf = Node(ROOT)
+        self._instantiate(spec, ctx, rtf, dict(ctx.vars))
+        return [rtf]
+
+    def _best_template(self, node: Node, mode, ctx: Context):
+        best = None
+        for t in self.templates:
+            if t.pattern is None or t.mode != mode:
+                continue
+            # patterns resolve prefixes against the nsmap where they were
+            # WRITTEN (the template element), not the runtime context
+            tctx = Context(node, ctx.pos, ctx.size, ctx.vars, t.nsmap,
+                           ctx.current)
+            if t.pattern.matches(node, tctx):
+                key = (t.precedence, t.priority, t.index)
+                if best is None or key > (best.precedence, best.priority,
+                                          best.index):
+                    best = t
+        return best
+
+    def _apply(self, nodes, mode, out, gvars, params) -> None:
+        size = len(nodes)
+        for pos, node in enumerate(nodes, 1):
+            ctx = Context(node, pos, size, gvars, {})
+            t = self._best_template(node, mode, ctx)
+            if t is None:
+                self._builtin(node, mode, out, gvars)
+                continue
+            vars_ = dict(gvars)
+            for pname, default in t.params:
+                if pname in params:
+                    vars_[pname] = params[pname]
+                else:
+                    vars_[pname] = self._value_of_spec(
+                        default, Context(node, pos, size, vars_, t.nsmap)
+                    )
+            self._instantiate(t.body, Context(node, pos, size, vars_,
+                                              t.nsmap), out, vars_)
+
+    def _builtin(self, node: Node, mode, out, gvars) -> None:
+        if node.kind in (ROOT, ELEM):
+            self._apply(list(node.children), mode, out, gvars, {})
+        elif node.kind in (TEXT, ATTR):
+            _emit_text(out, string_value(node))
+
+    # ------------------------------------------------------------------
+    def _instantiate(self, body, ctx: Context, out, vars_) -> None:
+        for instr in body:
+            if instr.kind == TEXT:
+                # stylesheet whitespace stripping (XSLT 1.0 §3.4): text
+                # nodes that are all-whitespace never reach the output;
+                # xsl:text bodies are read by their handler, not here
+                if (instr.value or "").strip():
+                    _emit_text(out, instr.value or "")
+                continue
+            if instr.kind != ELEM:
+                continue
+            if not instr.tag.startswith(f"{{{XSL_NS}}}"):
+                self._literal(instr, ctx, out, vars_)
+                continue
+            local = instr.ns_local()[1]
+            handler = getattr(self, f"_i_{local.replace('-', '_')}", None)
+            if handler is None:
+                raise UnsupportedFeature(f"xsl:{local} is not supported")
+            handler(instr, ctx, out, vars_)
+
+    def _ctx(self, ctx: Context, instr: Node, vars_) -> Context:
+        return Context(ctx.node, ctx.pos, ctx.size, vars_,
+                       instr.nsmap or {}, ctx.current)
+
+    def _literal(self, instr: Node, ctx: Context, out, vars_) -> None:
+        nsmap = {
+            p: u for p, u in (instr.nsmap or {}).items() if u != XSL_NS
+        }
+        el = Node(ELEM, instr.tag, parent=out, prefix=instr.prefix,
+                  nsmap=nsmap)
+        for a in instr.attrs:
+            el.attrs.append(Node(
+                ATTR, a.tag,
+                _eval_avt(_compile_avt(a.value),
+                          self._ctx(ctx, instr, vars_)),
+                parent=el, prefix=a.prefix,
+            ))
+        out.children.append(el)
+        self._instantiate(instr.children, ctx, el, dict(vars_))
+
+    # --- instructions -------------------------------------------------
+    def _i_value_of(self, instr, ctx, out, vars_):
+        sel = _attr(instr, "select")
+        if sel is None:
+            # XSLT 2.0 form: body sequence constructor instead of select=
+            rtf = Node(ROOT)
+            self._instantiate(_strip_body(instr.children), ctx, rtf,
+                              dict(vars_))
+            _emit_text(out, string_value(rtf))
+            return
+        expr = compile_expr(sel)
+        _emit_text(out, expr.string(self._ctx(ctx, instr, vars_)))
+
+    def _i_text(self, instr, ctx, out, vars_):
+        _emit_text(out, "".join(
+            c.value or "" for c in instr.children if c.kind == TEXT
+        ))
+
+    def _i_apply_templates(self, instr, ctx, out, vars_):
+        sel = _attr(instr, "select")
+        mode = _attr(instr, "mode")
+        ectx = self._ctx(ctx, instr, vars_)
+        if sel is not None:
+            nodes = compile_expr(sel).nodeset(ectx)
+        else:
+            nodes = list(ctx.node.children)
+        nodes = self._sorted(instr, nodes, ectx)
+        params = self._with_params(instr, ectx, vars_)
+        self._apply(nodes, mode, out, vars_, params)
+
+    def _i_call_template(self, instr, ctx, out, vars_):
+        name = _attr(instr, "name")
+        t = self.named.get(name)
+        if t is None:
+            raise UnsupportedFeature(f"no template named {name!r}")
+        ectx = self._ctx(ctx, instr, vars_)
+        params = self._with_params(instr, ectx, vars_)
+        call_vars = dict(vars_)
+        for pname, default in t.params:
+            if pname in params:
+                call_vars[pname] = params[pname]
+            else:
+                call_vars[pname] = self._value_of_spec(
+                    default,
+                    Context(ctx.node, ctx.pos, ctx.size, call_vars, t.nsmap),
+                )
+        self._instantiate(
+            t.body,
+            Context(ctx.node, ctx.pos, ctx.size, call_vars, t.nsmap,
+                    ctx.current),
+            out, call_vars,
+        )
+
+    def _i_for_each(self, instr, ctx, out, vars_):
+        ectx = self._ctx(ctx, instr, vars_)
+        nodes = compile_expr(_attr(instr, "select")).nodeset(ectx)
+        nodes = self._sorted(instr, nodes, ectx)
+        body = [c for c in _strip_body(instr.children)
+                if not (c.kind == ELEM and c.tag == _xsl("sort"))]
+        size = len(nodes)
+        for pos, n in enumerate(nodes, 1):
+            self._instantiate(
+                body, Context(n, pos, size, vars_, instr.nsmap or {}),
+                out, dict(vars_),
+            )
+
+    def _i_if(self, instr, ctx, out, vars_):
+        test = compile_expr(_attr(instr, "test"))
+        if test.boolean(self._ctx(ctx, instr, vars_)):
+            self._instantiate(_strip_body(instr.children), ctx, out,
+                              dict(vars_))
+
+    def _i_choose(self, instr, ctx, out, vars_):
+        for c in instr.children:
+            if c.kind != ELEM:
+                continue
+            local = c.ns_local()[1]
+            if local == "when":
+                test = compile_expr(_attr(c, "test"))
+                if test.boolean(self._ctx(ctx, c, vars_)):
+                    self._instantiate(_strip_body(c.children), ctx, out,
+                                      dict(vars_))
+                    return
+            elif local == "otherwise":
+                self._instantiate(_strip_body(c.children), ctx, out,
+                                  dict(vars_))
+                return
+
+    def _i_element(self, instr, ctx, out, vars_):
+        ectx = self._ctx(ctx, instr, vars_)
+        qname = _eval_avt(_compile_avt(_attr(instr, "name")), ectx)
+        ns_attr = _attr(instr, "namespace")
+        nsmap = instr.nsmap or {}
+        if ":" in qname:
+            prefix, lname = qname.split(":", 1)
+            uri = ns_attr if ns_attr is not None else nsmap.get(prefix)
+            if uri is None:
+                raise UnsupportedFeature(
+                    f"xsl:element prefix {prefix!r} undeclared"
+                )
+        else:
+            prefix, lname = None, qname
+            uri = ns_attr if ns_attr is not None else nsmap.get("")
+        tag = f"{{{uri}}}{lname}" if uri else lname
+        el = Node(ELEM, tag, parent=out, prefix=prefix)
+        out.children.append(el)
+        self._instantiate(_strip_body(instr.children), ctx, el, dict(vars_))
+
+    def _i_attribute(self, instr, ctx, out, vars_):
+        ectx = self._ctx(ctx, instr, vars_)
+        qname = _eval_avt(_compile_avt(_attr(instr, "name")), ectx)
+        nsmap = instr.nsmap or {}
+        if ":" in qname:
+            prefix, lname = qname.split(":", 1)
+            uri = nsmap.get(prefix)
+            tag = f"{{{uri}}}{lname}" if uri else lname
+        else:
+            prefix, tag = None, qname
+        rtf = Node(ROOT)
+        self._instantiate(_strip_body(instr.children), ctx, rtf, dict(vars_))
+        if out.kind != ELEM:
+            raise UnsupportedFeature(
+                "xsl:attribute outside an element constructor"
+            )
+        out.attrs.append(Node(ATTR, tag, string_value(rtf), parent=out,
+                              prefix=prefix))
+
+    def _i_copy(self, instr, ctx, out, vars_):
+        n = ctx.node
+        if n.kind in (ROOT,):
+            self._instantiate(_strip_body(instr.children), ctx, out,
+                              dict(vars_))
+        elif n.kind == ELEM:
+            el = Node(ELEM, n.tag, parent=out, prefix=n.prefix,
+                      nsmap=n.nsmap)
+            out.children.append(el)
+            self._instantiate(_strip_body(instr.children), ctx, el,
+                              dict(vars_))
+        elif n.kind == TEXT:
+            _emit_text(out, n.value or "")
+        elif n.kind == ATTR and out.kind == ELEM:
+            out.attrs.append(Node(ATTR, n.tag, n.value, parent=out,
+                                  prefix=n.prefix))
+
+    def _i_copy_of(self, instr, ctx, out, vars_):
+        v = compile_expr(_attr(instr, "select")).evaluate(
+            self._ctx(ctx, instr, vars_)
+        )
+        if not isinstance(v, list):
+            from tulflow_spark.transform.xpath1 import _str
+            _emit_text(out, _str(v))
+            return
+        for n in v:
+            _deep_copy_into(n, out)
+
+    def _i_variable(self, instr, ctx, out, vars_):
+        name = _attr(instr, "name")
+        sel = _attr(instr, "select")
+        spec = compile_expr(sel) if sel is not None else \
+            _strip_body(instr.children)
+        vars_[name] = self._value_of_spec(self._spec_ok(spec),
+                                          self._ctx(ctx, instr, vars_))
+        ctx.vars[name] = vars_[name]
+
+    _i_param = _i_variable   # template-body params already bound; rebind-safe
+
+    def _spec_ok(self, spec):
+        return spec
+
+    def _i_comment(self, instr, ctx, out, vars_):
+        rtf = Node(ROOT)
+        self._instantiate(_strip_body(instr.children), ctx, rtf, dict(vars_))
+        out.children.append(Node(COMMENT, value=string_value(rtf),
+                                 parent=out))
+
+    def _i_processing_instruction(self, instr, ctx, out, vars_):
+        rtf = Node(ROOT)
+        self._instantiate(_strip_body(instr.children), ctx, rtf, dict(vars_))
+        name = _attr(instr, "name") or "pi"
+        out.children.append(Node(PI, name, string_value(rtf), parent=out))
+
+    def _i_message(self, instr, ctx, out, vars_):
+        return  # diagnostics sink — deliberately silent executor-side
+
+    def _i_number(self, instr, ctx, out, vars_):
+        raise UnsupportedFeature("xsl:number is not supported")
+
+    # --- helpers ------------------------------------------------------
+    def _with_params(self, instr, ectx, vars_):
+        params = {}
+        for c in instr.children:
+            if c.kind == ELEM and c.tag == _xsl("with-param"):
+                sel = _attr(c, "select")
+                spec = compile_expr(sel) if sel is not None else \
+                    _strip_body(c.children)
+                params[_attr(c, "name")] = self._value_of_spec(
+                    spec, Context(ectx.node, ectx.pos, ectx.size, vars_,
+                                  c.nsmap or {}, ectx.current)
+                )
+        return params
+
+    def _sorted(self, instr, nodes, ectx):
+        sorts = [c for c in instr.children
+                 if c.kind == ELEM and c.tag == _xsl("sort")]
+        if not sorts:
+            return nodes
+        keyed = []
+        size = len(nodes)
+        for pos, n in enumerate(nodes, 1):
+            keys = []
+            for s in sorts:
+                sel = _attr(s, "select") or "."
+                sctx = Context(n, pos, size, ectx.vars, s.nsmap or {}, n)
+                val = compile_expr(sel).string(sctx)
+                if (_attr(s, "data-type") or "text") == "number":
+                    try:
+                        num = float(val)
+                    except ValueError:
+                        num = float("-inf")
+                    key = num
+                else:
+                    key = val
+                desc = (_attr(s, "order") or "ascending") == "descending"
+                keys.append((key, desc))
+            keyed.append((keys, pos - 1, n))
+        # stable multi-key sort, honoring per-key direction
+        for ki in range(len(sorts) - 1, -1, -1):
+            desc = keyed and keyed[0][0][ki][1]
+            keyed.sort(key=lambda kv: kv[0][ki][0], reverse=bool(desc))
+        return [n for _, _, n in keyed]
+
+    # ------------------------------------------------------------------
+    # Serialization
+    # ------------------------------------------------------------------
+    def _serialize(self, out_root: Node) -> str:
+        buf: list[str] = []
+        omit = (self.output.get("omit-xml-declaration", "no") == "yes")
+        if not omit:
+            enc = self.output.get("encoding", "UTF-8")
+            buf.append(f'<?xml version="1.0" encoding="{enc}"?>\n')
+        for c in out_root.children:
+            _ser_node(c, buf, {"xml": XML_NS})
+        return "".join(buf)
+
+
+def _attr(el: Node, name: str) -> str | None:
+    for a in el.attrs:
+        if a.tag == name:
+            return a.value
+    return None
+
+
+def _strip_body(children) -> list[Node]:
+    """XSLT source whitespace stripping: drop whitespace-only text nodes
+    (xsl:text bodies are read directly by their handler, unaffected)."""
+    out = []
+    for c in children:
+        if c.kind == TEXT and not (c.value or "").strip():
+            continue
+        if c.kind == COMMENT:
+            continue
+        out.append(c)
+    return out
+
+
+def _emit_text(out: Node, text: str) -> None:
+    if not text:
+        return
+    if out.children and out.children[-1].kind == TEXT:
+        out.children[-1].value = (out.children[-1].value or "") + text
+    else:
+        out.children.append(Node(TEXT, value=text, parent=out))
+
+
+def _eval_avt(parts, ctx: Context) -> str:
+    out = []
+    for p in parts:
+        out.append(p if isinstance(p, str) else p.string(ctx))
+    return "".join(out)
+
+
+def _deep_copy_into(n: Node, out: Node) -> None:
+    if n.kind in (ROOT,):
+        for c in n.children:
+            _deep_copy_into(c, out)
+    elif n.kind == ELEM:
+        el = Node(ELEM, n.tag, parent=out, prefix=n.prefix, nsmap=n.nsmap)
+        for a in n.attrs:
+            el.attrs.append(Node(ATTR, a.tag, a.value, parent=el,
+                                 prefix=a.prefix))
+        out.children.append(el)
+        for c in n.children:
+            _deep_copy_into(c, el)
+    elif n.kind == TEXT:
+        _emit_text(out, n.value or "")
+    elif n.kind == ATTR and out.kind == ELEM:
+        out.attrs.append(Node(ATTR, n.tag, n.value, parent=out,
+                              prefix=n.prefix))
+    elif n.kind == COMMENT:
+        out.children.append(Node(COMMENT, value=n.value, parent=out))
+
+
+def _esc_text(s: str) -> str:
+    return s.replace("&", "&amp;").replace("<", "&lt;").replace(">", "&gt;")
+
+
+def _esc_attr(s: str) -> str:
+    return (s.replace("&", "&amp;").replace("<", "&lt;")
+            .replace('"', "&quot;"))
+
+
+# canonical prefixes for namespaces that need inventing at serialize time
+_FALLBACK_PREFIXES = {
+    "http://purl.org/dc/elements/1.1/": "dc",
+    "http://purl.org/dc/terms/": "dcterms",
+    "http://www.europeana.eu/schemas/edm/": "edm",
+    "http://www.openarchives.org/OAI/2.0/": "oai",
+    "http://www.openarchives.org/OAI/2.0/oai_dc/": "oai_dc",
+    "http://www.loc.gov/MARC21/slim": "marc21",
+}
+
+
+def _ser_node(n: Node, buf: list[str], inscope: dict[str, str]) -> None:
+    if n.kind == TEXT:
+        buf.append(_esc_text(n.value or ""))
+        return
+    if n.kind == COMMENT:
+        buf.append(f"<!--{n.value or ''}-->")
+        return
+    if n.kind == PI:
+        buf.append(f"<?{n.tag} {n.value or ''}?>")
+        return
+    if n.kind != ELEM:
+        return
+
+    scope = dict(inscope)
+    decls: list[tuple[str, str]] = []   # (prefix or '', uri)
+
+    def ensure(uri: str, want_prefix: str | None) -> str:
+        """Return the prefix to use for uri, adding a declaration if the
+        uri is not reachable in scope."""
+        if not uri:
+            # no-namespace name: needs default ns to be undeclared
+            if scope.get("") not in (None, ""):
+                decls.append(("", ""))
+                scope[""] = ""
+            return ""
+        for p, u in scope.items():
+            if u == uri and (want_prefix is None or p == want_prefix):
+                return p
+        if want_prefix is not None and want_prefix not in scope:
+            decls.append((want_prefix, uri))
+            scope[want_prefix] = uri
+            return want_prefix
+        for p, u in scope.items():
+            if u == uri:
+                return p
+        p = _FALLBACK_PREFIXES.get(uri)
+        if p is None or (p in scope and scope[p] != uri):
+            i = 0
+            while f"ns{i}" in scope:
+                i += 1
+            p = f"ns{i}"
+        decls.append((p, uri))
+        scope[p] = uri
+        return p
+
+    # literal-result-element namespace copying: declare the element's
+    # recorded in-scope namespaces (Saxon behavior, see module docstring)
+    if n.nsmap:
+        for p, u in n.nsmap.items():
+            if u == XSL_NS or p == "xml":
+                continue
+            if scope.get(p) != u:
+                decls.append((p, u))
+                scope[p] = u
+
+    uri, local = n.ns_local()
+    prefix = ensure(uri, n.prefix)
+    name = f"{prefix}:{local}" if prefix else local
+
+    attr_parts = []
+    for a in n.attrs:
+        auri, alocal = a.ns_local()
+        if auri:
+            ap = ensure(auri, a.prefix)
+            attr_parts.append(f'{ap}:{alocal}="{_esc_attr(a.value or "")}"')
+        else:
+            attr_parts.append(f'{alocal}="{_esc_attr(a.value or "")}"')
+
+    ns_parts = [
+        (f'xmlns="{_esc_attr(u)}"' if p == "" else
+         f'xmlns:{p}="{_esc_attr(u)}"')
+        for p, u in decls
+    ]
+
+    head = " ".join([name] + ns_parts + attr_parts)
+    if not n.children:
+        buf.append(f"<{head}/>")
+        return
+    buf.append(f"<{head}>")
+    for c in n.children:
+        _ser_node(c, buf, scope)
+    buf.append(f"</{name}>")

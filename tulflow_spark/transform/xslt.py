@@ -85,20 +85,24 @@ class EngineUnavailable(RuntimeError):
 
 
 def default_xslt_engine_factory(stylesheet_text: str):
-    """lxml-backed engine factory: ``factory(stylesheet) -> fn(xml) -> xml``.
+    """Engine factory: ``factory(stylesheet) -> fn(xml) -> xml``.
 
     Called once per PARTITION by :func:`transform_xml_with_engine` (one
     compiled transform reused across all rows — never a subprocess, never
-    per-record compilation).  Raises :class:`EngineUnavailable` when lxml is
-    absent, so callers fail fast with a typed reason instead of degrading.
+    per-record compilation).  Prefers lxml's XSLT when importable; otherwise
+    compiles the stylesheet with the stdlib-only micro-interpreter
+    (:class:`tulflow_spark.transform.microxslt.MicroXSLT`), which covers the
+    XSLT 1.0 instruction set the reference corpus uses and is golden-output
+    verified against the reference's Saxon results
+    (tests/fixtures/xsl-sample-*-output-record*.xml).  A stylesheet outside
+    BOTH engines' surface raises a typed error at driver-side probe time.
     """
     try:
         from lxml import etree
-    except ImportError as exc:  # pragma: no cover - lxml absent here
-        raise EngineUnavailable(
-            "arbitrary-XSLT fallback needs lxml (or a custom engine_factory);"
-            " not installed in this environment"
-        ) from exc
+    except ImportError:
+        from tulflow_spark.transform.microxslt import MicroXSLT
+
+        return MicroXSLT(stylesheet_text)
     transform = etree.XSLT(etree.fromstring(stylesheet_text.encode("utf-8")))
 
     def fn(xml: str) -> str:

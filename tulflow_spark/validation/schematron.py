@@ -14,10 +14,11 @@ Supported test grammar (everything the reference's rule sets use):
 - ``starts-with(normalize-space(.), 'x')``
   / ``starts-with(., 'x')``                 → starts_with (field context)
 
-Anything else raises ``UnsupportedSchematron`` — fail fast rather than
-validate wrongly.  (A generic XSLT-based Schematron engine would need lxml,
-which is unavailable here; the subset covers the reference's entire observed
-rule surface.)
+Anything else raises ``UnsupportedSchematron`` from the column compiler —
+but no longer hits a wall: :func:`validate_xml_with_engine` falls back to
+:func:`micro_schematron_engine`, a generic engine that evaluates ARBITRARY
+XPath 1.0 assert tests via the stdlib-only evaluator in
+:mod:`tulflow_spark.transform.xpath1` (no lxml required).
 """
 
 from __future__ import annotations
@@ -38,24 +39,21 @@ class UnsupportedSchematron(ValueError):
 
 
 def default_schematron_engine_factory(schema_text: str):
-    """lxml-isoschematron engine factory:
-    ``factory(schema) -> fn(xml) -> list[failed-assert messages]``.
+    """Engine factory: ``factory(schema) -> fn(xml) -> list[failed-assert
+    messages]``.
 
     Called once per partition by :func:`validate_xml_with_engine` (compiled
     schema reused across rows — the reference compiles once per process,
-    validate.py:35-42).  Raises
-    :class:`~tulflow_spark.transform.xslt.EngineUnavailable` when lxml is
-    absent — a typed skip, not a silent wrong answer.
+    validate.py:35-42).  Prefers lxml-isoschematron when importable;
+    otherwise compiles the schema with the stdlib-only micro-engine
+    (:func:`micro_schematron_engine`), which evaluates arbitrary XPath 1.0
+    assert tests — not just the column-compiled subset — via
+    :mod:`tulflow_spark.transform.xpath1`.
     """
     try:
         from lxml import etree, isoschematron
-    except ImportError as exc:  # pragma: no cover - lxml absent here
-        from tulflow_spark.transform.xslt import EngineUnavailable
-
-        raise EngineUnavailable(
-            "arbitrary-Schematron fallback needs lxml (or a custom"
-            " engine_factory); not installed in this environment"
-        ) from exc
+    except ImportError:
+        return micro_schematron_engine(schema_text)
     schema = isoschematron.Schematron(
         etree.fromstring(schema_text.encode("utf-8")), store_report=True
     )
@@ -113,6 +111,87 @@ def validate_xml_with_engine(
             yield pd.Series(out, dtype="object")
 
     return df.withColumn(out_col, run(F.col(xml_col)))
+
+
+def micro_schematron_engine(schema_text: str):
+    """Generic ISO-Schematron engine over the stdlib XPath 1.0 evaluator:
+    ``fn(xml) -> list[failed-assert messages]`` for ARBITRARY assert tests.
+
+    Semantics follow ISO Schematron default query binding (the subset lxml's
+    isoschematron implements for the reference's usage): per pattern, each
+    document node is claimed by the FIRST rule whose ``context`` pattern
+    matches it; every failing ``<assert test>`` contributes its message text.
+    Message order is (pattern, document-order, assert-order) — the same
+    order the reference's SVRL report yields for its rule sets.
+    """
+    from tulflow_spark.transform.xpath1 import (
+        ELEM, TEXT, Context, compile_expr, compile_pattern, parse_document,
+    )
+
+    root = parse_document(schema_text)
+    schema_el = root.children[0]
+    nsmap: dict[str, str] = {}
+    for el in schema_el.children:
+        if el.kind == ELEM and el.tag == f"{{{SCH_NS}}}ns":
+            prefix = uri = None
+            for a in el.attrs:
+                if a.tag == "prefix":
+                    prefix = a.value
+                elif a.tag == "uri":
+                    uri = a.value
+            if prefix and uri:
+                nsmap[prefix] = uri
+
+    patterns = []
+    for pat in root.children[0].children:
+        if pat.kind != ELEM or pat.tag != f"{{{SCH_NS}}}pattern":
+            continue
+        rules = []
+        for r in pat.children:
+            if r.kind != ELEM or r.tag != f"{{{SCH_NS}}}rule":
+                continue
+            context = next(
+                (a.value for a in r.attrs if a.tag == "context"), ""
+            )
+            asserts = []
+            for a_el in r.children:
+                if a_el.kind != ELEM or a_el.tag != f"{{{SCH_NS}}}assert":
+                    continue
+                test = next(
+                    (a.value for a in a_el.attrs if a.tag == "test"), ""
+                )
+                message = " ".join(
+                    "".join(
+                        c.value or "" for c in a_el.children if c.kind == TEXT
+                    ).split()
+                )
+                asserts.append((compile_expr(test), message))
+            rules.append((compile_pattern(context), asserts))
+        if rules:
+            patterns.append(rules)
+
+    def fn(xml: str) -> list[str]:
+        doc = parse_document(xml)
+        elems = []
+        stack = list(doc.children)
+        while stack:
+            n = stack.pop(0)
+            if n.kind == ELEM:
+                elems.append(n)
+                stack = n.children + stack
+        out: list[str] = []
+        for rules in patterns:
+            for node in elems:
+                ctx = Context(node, 1, 1, {}, nsmap)
+                for pat, asserts in rules:
+                    if pat.matches(node, ctx):
+                        for test, message in asserts:
+                            if not test.boolean(ctx):
+                                out.append(message)
+                        break  # first matching rule claims the node
+        return out
+
+    return fn
 
 
 _FIELD_RE = re.compile(r"^[\w.-]+:[\w.-]+$")
