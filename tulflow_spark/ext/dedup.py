@@ -34,7 +34,8 @@ def exact_dedup(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
 
     Returns (keeper id, n_copies, content key).  `min(id)` keeps selection
     deterministic under any partitioning (unlike dropDuplicates, which keeps
-    an arbitrary row).
+    an arbitrary row).  No io.widen here: md5 is cheap relative to an
+    exchange and the groupBy redistributes immediately anyway.
     """
     return (
         df.select(F.col(id_col), content_key(text_col).alias("ck"))

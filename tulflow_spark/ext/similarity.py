@@ -119,6 +119,9 @@ def blocked_near_dup_pairs(
 
     Norms are precomputed per ROW before the join (one norm per vector, not
     one per pair — 3× less array math on the quadratic side)."""
+    # no io.widen: the expensive pair compute runs AFTER the block join's
+    # own shuffle (already at shuffle-partition width); widening the input
+    # would just add an exchange of the embedding arrays
     norm_sq = norm_sq_scaled if exact_parity else (lambda v: dot(v, v))
     dot_fn = dot_scaled if exact_parity else dot
     with_norm = df.select(

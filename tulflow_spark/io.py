@@ -130,3 +130,23 @@ def read_object(spark: SparkSession, path: str) -> bytes:
         return bytes(jvm.org.apache.commons.io.IOUtils.toByteArray(stream))
     finally:
         stream.close()
+
+
+def widen(df: DataFrame, min_partitions: int | None = None) -> DataFrame:
+    """Ensure an expensive per-row stage runs at cluster width.
+
+    Parquet cannot split a single row group, so a small or
+    single-row-group file scans as ONE partition no matter what
+    ``maxPartitionBytes``/``minPartitionNum`` say — and any costly map
+    stage chained onto it (XML parse, shingling, signature computation)
+    runs on one core while the rest of the cluster idles.  Operators with
+    genuinely expensive per-row compute call this on their input: when the
+    scan already yields at least ``min_partitions`` splits (the 100 TB
+    case — thousands of row groups), it is a NO-OP and adds no shuffle;
+    only narrow inputs pay one small exchange of the raw rows, which the
+    parallel speedup of the following stage repays immediately.
+    """
+    target = min_partitions or df.sparkSession.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < target:
+        return df.repartition(target)
+    return df

@@ -64,11 +64,12 @@ def x2_marc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     xml.etree UDF, extract 001 + a subfield with the struct operators —
     the full ingest path of the reference (process.py:66-92) under oracle
     check."""
+    from tulflow_spark.io import widen
     from tulflow_spark.model.xml_parse import register_udfs
     from tulflow_spark.operators.marc import record_001, subfield_values
 
     udfs = register_udfs()
-    o = table(spark, sf_dir, "orders")
+    o = widen(table(spark, sf_dir, "orders"))
     xml = F.concat(
         F.lit('<record xmlns="http://www.loc.gov/MARC21/slim">'
               '<controlfield tag="001">'),
@@ -144,10 +145,13 @@ def x2b_marc_native(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Same round-trip as x2, through the JVM-native from_xml parser — the
     bulk-ingest hot path (zero Python; compare timings against x2 in bench
     output)."""
+    from tulflow_spark.io import widen
     from tulflow_spark.model.xml_native import parse_marc_native
     from tulflow_spark.operators.marc import record_001, subfield_values
 
-    o = table(spark, sf_dir, "orders")
+    # XML build+parse is the expensive map stage; widen past the
+    # single-row-group scan so it runs at cluster width (no-op at scale)
+    o = widen(table(spark, sf_dir, "orders"))
     xml = F.concat(
         F.lit('<record xmlns="http://www.loc.gov/MARC21/slim">'
               '<controlfield tag="001">'),
