@@ -329,12 +329,26 @@ def lsh_banded_pairs(
         )
         .dropDuplicates(["id_a", "id_b"])  # a pair can agree on many bands
     )
-    va = df.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("_va"))
-    vb = df.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("_vb"))
+    # norms once per VECTOR before the join, not once per pair: the
+    # candidate set is O(pairs) >> O(vectors), and the higher-order-function
+    # array math is interpreted (no codegen) — dropping two of the three
+    # per-pair aggregates halves the verify stage (measured 2x at sf0.1)
+    va = df.select(
+        F.col(id_col).alias("id_a"), F.col(vec_col).alias("_va"),
+        dot(F.col(vec_col), F.col(vec_col)).alias("_nna"),
+    )
+    vb = df.select(
+        F.col(id_col).alias("id_b"), F.col(vec_col).alias("_vb"),
+        dot(F.col(vec_col), F.col(vec_col)).alias("_nnb"),
+    )
     return (
         candidates.join(va, "id_a")
         .join(vb, "id_b")
-        .withColumn("cosine_sim", cosine(F.col("_va"), F.col("_vb")))
+        .withColumn(
+            "cosine_sim",
+            dot(F.col("_va"), F.col("_vb"))
+            / (F.sqrt(F.col("_nna")) * F.sqrt(F.col("_nnb"))),
+        )
         .filter(F.col("cosine_sim") >= threshold)
         .select("id_a", "id_b", "cosine_sim")
     )
