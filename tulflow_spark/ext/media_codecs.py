@@ -1,0 +1,212 @@
+"""Real media decoders for the formats the Python stdlib can parse.
+
+The container has no Pillow/ffmpeg, but that does NOT make every decode a
+stub: uncompressed formats decode with ``struct``/``wave``/numpy alone —
+
+- **BMP** (24/32-bit uncompressed ``BITMAPINFOHEADER``) → ``(H, W, 3)``
+  uint8 RGB array,
+- **PPM/PGM** (binary ``P6``/``P5``) → ``(H, W, 3)`` / ``(H, W)`` uint8,
+- **WAV** (PCM, any width the stdlib ``wave``/``audioop`` handles) →
+  float32 mono samples + sample rate.
+
+``sniff_format`` dispatches on magic bytes; compressed formats (PNG, JPEG,
+GIF, MP3/MP4, OGG) are recognized and raise :class:`UnsupportedMedia`
+naming the dependency a real deployment would add — a typed wall, never a
+silent fake.  The deterministic stub decoder in
+:mod:`tulflow_spark.ext.multimodal` remains for shape-only tests.
+
+Everything here is plain bytes→numpy: it runs inside Arrow-batched
+``mapInPandas`` stages executor-side with no extra imports.
+"""
+
+from __future__ import annotations
+
+import io
+import struct
+import wave
+
+import numpy as np
+
+
+class UnsupportedMedia(ValueError):
+    """Recognized format that needs a library this container lacks."""
+
+
+_MAGIC = (
+    (b"BM", "bmp"),
+    (b"P6", "ppm"),
+    (b"P5", "pgm"),
+    (b"\x89PNG", "png"),
+    (b"\xff\xd8\xff", "jpeg"),
+    (b"GIF8", "gif"),
+    (b"OggS", "ogg"),
+    (b"ID3", "mp3"),
+)
+
+
+def sniff_format(content: bytes) -> str:
+    if content[:4] == b"RIFF" and content[8:12] == b"WAVE":
+        return "wav"
+    if content[4:8] == b"ftyp":
+        return "mp4"
+    for magic, name in _MAGIC:
+        if content[: len(magic)] == magic:
+            return name
+    return "unknown"
+
+
+_NEEDS = {
+    "png": "Pillow (PNG is DEFLATE-compressed)",
+    "jpeg": "Pillow (JPEG entropy coding)",
+    "gif": "Pillow (LZW)",
+    "mp3": "ffmpeg/audioread",
+    "ogg": "ffmpeg/audioread",
+    "mp4": "ffmpeg (container demux + codec)",
+}
+
+
+def decode_image(content: bytes) -> np.ndarray:
+    """Image bytes → uint8 array, ``(H, W, 3)`` RGB or ``(H, W)`` gray.
+
+    Real decode for BMP/PPM/PGM; typed :class:`UnsupportedMedia` for
+    compressed formats.
+    """
+    fmt = sniff_format(content)
+    if fmt == "bmp":
+        return _decode_bmp(content)
+    if fmt in ("ppm", "pgm"):
+        return _decode_pnm(content)
+    if fmt in _NEEDS:
+        raise UnsupportedMedia(f"{fmt} decode needs {_NEEDS[fmt]}")
+    raise UnsupportedMedia(f"unrecognized image bytes ({content[:8]!r})")
+
+
+def _decode_bmp(content: bytes) -> np.ndarray:
+    if len(content) < 54:
+        raise UnsupportedMedia("truncated BMP header")
+    pixel_off, = struct.unpack_from("<I", content, 10)
+    header_size, = struct.unpack_from("<I", content, 14)
+    if header_size < 40:
+        raise UnsupportedMedia("BMP core-header variant not supported")
+    width, height = struct.unpack_from("<ii", content, 18)
+    planes, bpp = struct.unpack_from("<HH", content, 26)
+    compression, = struct.unpack_from("<I", content, 30)
+    if compression != 0:
+        raise UnsupportedMedia(f"compressed BMP (method {compression})")
+    if bpp not in (24, 32):
+        raise UnsupportedMedia(f"{bpp}-bit BMP not supported (24/32 only)")
+    flipped = height > 0          # positive height = bottom-up rows
+    height = abs(height)
+    bytes_pp = bpp // 8
+    stride = (width * bytes_pp + 3) & ~3
+    need = pixel_off + stride * height
+    if len(content) < need:
+        raise UnsupportedMedia("truncated BMP pixel data")
+    rows = np.frombuffer(
+        content, dtype=np.uint8, count=stride * height, offset=pixel_off
+    ).reshape(height, stride)
+    px = rows[:, : width * bytes_pp].reshape(height, width, bytes_pp)
+    rgb = px[:, :, 2::-1]         # BGR(A) → RGB
+    if flipped:
+        rgb = rgb[::-1]
+    return np.ascontiguousarray(rgb)
+
+
+def _decode_pnm(content: bytes) -> np.ndarray:
+    """Binary PPM (P6) / PGM (P5): ASCII header then raw samples."""
+    tokens: list[bytes] = []
+    pos = 2
+    while len(tokens) < 3 and pos < len(content):
+        # skip whitespace and '#' comments between header tokens
+        while pos < len(content) and content[pos : pos + 1].isspace():
+            pos += 1
+        if content[pos : pos + 1] == b"#":
+            nl = content.find(b"\n", pos)
+            pos = nl + 1 if nl >= 0 else len(content)
+            continue
+        start = pos
+        while pos < len(content) and not content[pos : pos + 1].isspace():
+            pos += 1
+        tokens.append(content[start:pos])
+    if len(tokens) < 3:
+        raise UnsupportedMedia("truncated PNM header")
+    width, height, maxval = (int(t) for t in tokens)
+    if maxval > 255:
+        raise UnsupportedMedia("16-bit PNM not supported")
+    pos += 1  # single whitespace after maxval
+    channels = 3 if content[:2] == b"P6" else 1
+    need = width * height * channels
+    data = np.frombuffer(content, dtype=np.uint8, count=need, offset=pos)
+    if data.size < need:
+        raise UnsupportedMedia("truncated PNM pixel data")
+    arr = data.reshape(height, width, channels)
+    return arr if channels == 3 else arr[:, :, 0]
+
+
+def decode_audio(content: bytes) -> tuple[np.ndarray, int]:
+    """Audio bytes → (float32 mono samples in [-1, 1], sample_rate).
+
+    Real decode for PCM WAV via the stdlib ``wave`` module; typed
+    :class:`UnsupportedMedia` for compressed audio.
+    """
+    fmt = sniff_format(content)
+    if fmt != "wav":
+        if fmt in _NEEDS:
+            raise UnsupportedMedia(f"{fmt} decode needs {_NEEDS[fmt]}")
+        raise UnsupportedMedia(f"unrecognized audio bytes ({content[:8]!r})")
+    with wave.open(io.BytesIO(content), "rb") as w:
+        n_channels = w.getnchannels()
+        width = w.getsampwidth()
+        rate = w.getframerate()
+        frames = w.readframes(w.getnframes())
+    if width == 2:
+        samples = np.frombuffer(frames, dtype="<i2").astype(np.float32)
+        samples /= 32768.0
+    elif width == 1:  # unsigned 8-bit
+        samples = np.frombuffer(frames, dtype=np.uint8).astype(np.float32)
+        samples = (samples - 128.0) / 128.0
+    elif width == 4:
+        samples = np.frombuffer(frames, dtype="<i4").astype(np.float32)
+        samples /= 2147483648.0
+    else:
+        raise UnsupportedMedia(f"{width * 8}-bit WAV not supported")
+    if n_channels > 1:
+        samples = samples.reshape(-1, n_channels).mean(axis=1)
+    return samples, rate
+
+
+def to_gray(img: np.ndarray) -> np.ndarray:
+    """RGB/gray uint8 → gray float32 (ITU-R 601 luma)."""
+    if img.ndim == 2:
+        return img.astype(np.float32)
+    w = np.array([0.299, 0.587, 0.114], dtype=np.float32)
+    return img[:, :, :3].astype(np.float32) @ w
+
+
+def resize_area(img: np.ndarray, out_w: int, out_h: int) -> np.ndarray:
+    """Box-filter resize of a 2-D array via bucketed row/col averaging —
+    the numpy equivalent of OpenCV INTER_AREA for downsampling (and
+    nearest-bucket upsampling), no imaging library needed."""
+    h, in_w = img.shape[:2]
+    row_idx = (np.arange(h) * out_h) // h
+    col_idx = (np.arange(in_w) * out_w) // in_w
+    out = np.zeros((out_h, out_w), dtype=np.float64)
+    counts = np.zeros((out_h, out_w), dtype=np.int64)
+    np.add.at(out, (row_idx[:, None], col_idx[None, :]), img)
+    np.add.at(counts, (row_idx[:, None], col_idx[None, :]), 1)
+    counts[counts == 0] = 1
+    return (out / counts).astype(np.float32)
+
+
+def audio_band_energies(
+    samples: np.ndarray, n_bands: int = 16
+) -> np.ndarray:
+    """Normalized spectral band energies (rfft power split into ``n_bands``
+    equal-width bands) — a real, deterministic audio feature vector."""
+    if samples.size == 0:
+        return np.zeros(n_bands, dtype=np.float32)
+    power = np.abs(np.fft.rfft(samples)) ** 2
+    bands = np.array_split(power, n_bands)
+    e = np.array([b.sum() for b in bands], dtype=np.float64)
+    total = e.sum()
+    return (e / total if total > 0 else e).astype(np.float32)

@@ -3,11 +3,17 @@ typed metadata structs, plus decode / feature-extract / resize / frame-sample
 operators as Arrow-batched ``mapInPandas`` stages.
 
 The Spark-side plumbing (schemas, batch shapes, partitioning) is real and
-tested; the actual media decoding is STUBBED — the image/audio libraries are
-not present in this container.  ``decoder="stub"`` produces a deterministic
-fake decode (md5-seeded) so downstream shapes are exercised end-to-end;
-``decoder="pil"``/``"ffmpeg"`` raise ``NotImplementedError`` with the exact
-dependency needed, never a silent fallback.
+tested.  Decoding tiers:
+
+- ``decoder="native"`` — REAL decode for the formats the stdlib can parse
+  (BMP/PPM/PGM images via struct+numpy, PCM WAV via ``wave``), real
+  box-filter resize, real histogram / FFT-band features
+  (:mod:`tulflow_spark.ext.media_codecs`); compressed formats raise the
+  typed ``UnsupportedMedia`` naming the missing dependency.
+- ``decoder="stub"`` — deterministic fake decode (md5-seeded) so
+  downstream shapes are exercised for any byte blob.
+- ``decoder="pil"``/``"ffmpeg"`` — raise ``NotImplementedError`` with the
+  exact dependency needed, never a silent fallback.
 
 Scale notes: media bytes stay in executor memory one Arrow batch at a time
 (``spark.sql.execution.arrow.maxRecordsPerBatch`` bounds it); feature
@@ -70,7 +76,7 @@ def _require_real_decoder(decoder: str) -> None:
             "real audio/video decode requires ffmpeg bindings, not installed; "
             "use decoder='stub'"
         )
-    if decoder != "stub":
+    if decoder not in ("stub", "native"):
         raise ValueError(f"unknown decoder {decoder!r}")
 
 
@@ -82,8 +88,10 @@ def decode_and_featurize(
     """media rows → (media_id, kind, width, height, features ARRAY<FLOAT>).
 
     The decode + resize + feature-extract pipeline as ONE mapInPandas stage:
-    raw bytes never cross a stage boundary.  Features here are a 16-bin
-    intensity histogram (stub), i.e. the shape a real embedding would have.
+    raw bytes never cross a stage boundary.  ``width``/``height`` are the
+    SOURCE dimensions when the decoder is real (native), the target size
+    for the stub.  Features: 16-bin intensity histogram of the resized
+    grayscale image.
     """
     _require_real_decoder(decoder)
     w, h = resize_to
@@ -94,24 +102,87 @@ def decode_and_featurize(
     )
 
     def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from tulflow_spark.ext.media_codecs import (
+            decode_image, resize_area, to_gray,
+        )
+
         for pdf in batches:
             rows = []
             for _, r in pdf.iterrows():
-                img = _stub_pixels(bytes(r["content"]), w, h)
+                content = bytes(r["content"])
+                if decoder == "native":
+                    src = decode_image(content)
+                    src_h, src_w = src.shape[:2]
+                    img = resize_area(to_gray(src), w, h)
+                else:
+                    src_w, src_h = w, h
+                    img = _stub_pixels(content, w, h)
                 hist, _ = np.histogram(img, bins=FEATURE_DIM, range=(0, 256))
                 feats = (hist / img.size).astype(np.float32)
                 rows.append(
                     {
                         "media_id": r["media_id"],
                         "kind": r["kind"],
-                        "width": w,
-                        "height": h,
+                        "width": src_w,
+                        "height": src_h,
                         "features": feats.tolist(),
                     }
                 )
             yield pd.DataFrame(rows)
 
     return media.select("media_id", "kind", "content").mapInPandas(
+        gen, schema=out_schema
+    )
+
+
+def decode_audio_features(
+    media: DataFrame,
+    decoder: str = "native",
+    n_bands: int = FEATURE_DIM,
+) -> DataFrame:
+    """Audio rows → (media_id, sample_rate, duration_ms, n_samples,
+    features ARRAY<FLOAT>): REAL PCM-WAV decode (stdlib ``wave``) and real
+    FFT band-energy features — one mapInPandas stage, bytes never leave it.
+
+    The stub tier fabricates a deterministic sample buffer from the md5 so
+    the same schema flows for non-WAV blobs in shape-only tests.
+    """
+    _require_real_decoder(decoder)
+
+    out_schema = (
+        "media_id bigint, sample_rate int, duration_ms bigint, "
+        "n_samples bigint, features array<float>"
+    )
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from tulflow_spark.ext.media_codecs import (
+            audio_band_energies, decode_audio,
+        )
+
+        for pdf in batches:
+            rows = []
+            for _, r in pdf.iterrows():
+                content = bytes(r["content"])
+                if decoder == "native":
+                    samples, rate = decode_audio(content)
+                else:
+                    rate = 8000
+                    raw = _stub_pixels(content, 256, 4).reshape(-1)
+                    samples = (raw.astype(np.float32) - 128.0) / 128.0
+                rows.append(
+                    {
+                        "media_id": r["media_id"],
+                        "sample_rate": rate,
+                        "duration_ms": int(len(samples) * 1000 / rate),
+                        "n_samples": len(samples),
+                        "features": audio_band_energies(
+                            samples, n_bands
+                        ).tolist(),
+                    }
+                )
+            yield pd.DataFrame(rows)
+
+    return media.select("media_id", "content").mapInPandas(
         gen, schema=out_schema
     )
 
