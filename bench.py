@@ -47,6 +47,27 @@ def main() -> None:
     for df in load_tables(spark, sf_dir).values():
         df.count()
 
+    # Warm the Python worker pools too: the first pickled-UDF and first
+    # pandas-UDF stage each pay several seconds of executor-side worker
+    # spawn (32 interpreters), which otherwise lands on whichever query
+    # happens to run one first and shows up as a phantom regression.
+    from pyspark.sql import functions as F
+    from pyspark.sql.functions import pandas_udf, udf
+
+    @udf("int")
+    def _py(x):
+        return x
+
+    @pandas_udf("int")
+    def _pd(s):
+        return s
+
+    warm = spark.range(64, numPartitions=64).select(
+        _py(F.col("id").cast("int")).alias("a"),
+        _pd(F.col("id").cast("int")).alias("b"),
+    )
+    warm.count()
+
     timings: dict[str, float] = {}
     failures: list[str] = []
     for name in sorted(QUERIES):
