@@ -165,8 +165,11 @@ def curate_near_dup(
     """Full curation: quality gate → exact dedup → near-dup removal.
 
     Near-dup policy: from every pair with jaccard >= threshold, drop the
-    higher id — the transitive result keeps exactly the minimum id of each
-    connected near-dup component reachable by the candidate pairs.
+    higher id — this keeps every LOCAL minimum (any doc never the larger
+    end of a pair), which always includes each component's global minimum
+    but may keep additional members of a chain-shaped cluster.  For exact
+    one-representative-per-cluster semantics use
+    :func:`curate_near_dup_cc` (connected-components resolution).
 
     ``base``: optional precomputed :func:`curate_exact` result (id, quality).
     The base is consumed twice (survivor join for pair generation, final
@@ -184,4 +187,43 @@ def curate_near_dup(
         threshold=near_dup_threshold, **minhash_kwargs,
     )
     losers = pairs.select(F.col("id_b").alias(id_col)).distinct()
+    return base.join(losers, id_col, "left_anti")
+
+
+def curate_near_dup_cc(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    min_quality: float = 0.4,
+    near_dup_threshold: float = 0.8,
+    base: DataFrame | None = None,
+    **minhash_kwargs,
+) -> DataFrame:
+    """Exact-cluster variant of :func:`curate_near_dup`: resolve the
+    candidate-pair graph into connected components and keep exactly ONE
+    representative (the minimum id) per near-dup cluster.
+
+    The greedy pairwise rule keeps every *local* minimum — in a component
+    {1,3}-{2,3} it keeps both 1 and 2.  This variant keeps only the global
+    component minimum, the semantics production dedup pipelines
+    (CCNet/RefinedWeb-style) actually want.
+
+    Cost over the greedy variant: the O(log^2 n)-round component
+    resolution of :func:`tulflow_spark.ext.components.connected_components`
+    over the (small) pair list — document payloads still shuffle zero
+    extra times.
+    """
+    from tulflow_spark.ext.components import connected_components
+
+    if base is None:
+        base = curate_exact(df, id_col, text_col, min_quality)
+    survivors = df.join(base.select(id_col), id_col)
+    pairs = minhash_lsh_pairs(
+        survivors, id_col, text_col,
+        threshold=near_dup_threshold, **minhash_kwargs,
+    )
+    comp = connected_components(pairs, "id_a", "id_b")
+    losers = comp.filter(F.col("node") != F.col("component")).select(
+        F.col("node").alias(id_col)
+    )
     return base.join(losers, id_col, "left_anti")

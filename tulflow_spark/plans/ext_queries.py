@@ -93,6 +93,58 @@ def dd4_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "dd8_components",
+    gate=False,
+    oracle=f"""
+    WITH RECURSIVE {_GRAMS_CTE},
+    sizes AS (SELECT doc_id, COUNT(*) AS n FROM dg GROUP BY doc_id),
+    inter AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS i
+      FROM dg a JOIN dg b USING (g)
+      WHERE a.doc_id < b.doc_id
+      GROUP BY 1, 2
+    ),
+    pairs AS (
+      SELECT id_a, id_b
+      FROM inter
+        JOIN sizes sa ON id_a = sa.doc_id
+        JOIN sizes sb ON id_b = sb.doc_id
+      WHERE i / (sa.n + sb.n - i) >= 0.1
+    ),
+    sym AS (
+      SELECT id_a AS u, id_b AS v FROM pairs
+      UNION SELECT id_b, id_a FROM pairs
+    ),
+    reach AS (
+      SELECT u, v FROM sym
+      UNION
+      SELECT r.u, s.v FROM reach r JOIN sym s ON r.v = s.u WHERE s.v <> r.u
+    ),
+    comp AS (
+      SELECT u AS node, LEAST(u, MIN(v)) AS component FROM reach GROUP BY u
+    )
+    SELECT d.doc_id, COALESCE(c.component, d.doc_id) AS component
+    FROM documents d LEFT JOIN comp c ON d.doc_id = c.node
+    """,
+)
+def dd8_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Duplicate-cluster assignment: exact n-gram Jaccard pairs (the same
+    edge set dd3 oracle-matches) resolved into connected components by the
+    alternating large-star/small-star rounds of
+    :mod:`tulflow_spark.ext.components`; every document gets its cluster's
+    minimum id as a deterministic label.  The DuckDB oracle recomputes the
+    closure with a recursive CTE — exact transitive semantics on both
+    sides."""
+    from tulflow_spark.ext.components import assign_components
+
+    docs = table(spark, sf_dir, "documents")
+    pairs = dedup.ngram_jaccard_pairs(docs, "doc_id", "text", n=3, threshold=0.1)
+    return assign_components(docs, "doc_id", pairs).select(
+        "doc_id", "component"
+    )
+
+
 # ---------------------------------------------------------------------------
 # Similarity search
 # ---------------------------------------------------------------------------
