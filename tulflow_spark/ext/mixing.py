@@ -1,0 +1,175 @@
+"""Training-data mixing: domain-weighted token-budget sampling and
+sequence packing, built on a range-bucketed grouped prefix sum.
+
+A training run doesn't take a corpus as-is: it SAMPLES each domain to a
+token budget (the data-mixing weights of an LLM pretraining recipe) and
+PACKS the survivors into fixed-length sequences.  Both need a running
+token total in a deterministic global order — and a naive
+``SUM() OVER (PARTITION BY domain ORDER BY k)`` puts an entire domain
+into ONE window partition: a 10 TB domain would sort and scan on a
+single task.
+
+:func:`grouped_prefix_sum` is the scale-correct primitive both are built
+on.  The deterministic order key is ``md5(id)`` (identically computable
+by any SQL engine, so results are reproducible across systems); its
+leading hex pair splits the key range into 256 ordered buckets, and the
+running total becomes:
+
+1. per-(group, bucket) token totals — a map-side-combinable aggregate;
+2. a cumulative window over that TINY aggregated frame (256 rows per
+   group) to get each bucket's starting offset;
+3. a broadcast join of the offsets back, then a per-row cumulative
+   window partitioned by (group, bucket) — parallelism is
+   ``n_groups x 256`` and each sort is bounded by a bucket, not a domain.
+
+The composed result is bit-identical to the naive global window (bucket
+order is a prefix of key order), which is exactly what the DuckDB
+oracles for mx1/mx2 compute.
+
+No reference-repo analogue (the reference moves records, it doesn't mix
+corpora); this extends the LLM-pipeline surface alongside ext.dedup and
+ext.curation.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+from tulflow_spark.ext.text import token_count
+
+
+def order_key(id_col: Column | str) -> Column:
+    """Deterministic, engine-portable shuffle key: lowercase hex md5 of the
+    id's decimal string.  Any SQL engine reproduces it, so a sample drawn
+    here can be re-drawn (or audited) elsewhere byte-for-byte."""
+    c = F.col(id_col) if isinstance(id_col, str) else id_col
+    return F.md5(c.cast("string").cast("binary"))
+
+
+def grouped_prefix_sum(
+    df: DataFrame,
+    group_cols: list[str],
+    key: Column,
+    tie_col: str,
+    value: Column,
+    out_col: str = "cum_value",
+    key_out: str = "_ok",
+) -> DataFrame:
+    """Inclusive running total of ``value`` ordered by ``(key, tie_col)``
+    within each group, WITHOUT a per-group single-partition window.
+
+    ``key`` must be a lowercase-hex string (see :func:`order_key`); its
+    first two characters define 256 range-ordered buckets.  The broadcast
+    offsets frame is ``n_groups x 256`` rows — suitable while group
+    cardinality is moderate (domains, languages, shards); for millions of
+    groups, swap the broadcast for a shuffle join on the same frame.
+
+    The returned frame carries ``key_out`` (the order key) for downstream
+    deterministic ordering, plus ``out_col``.
+    """
+    d = df.withColumn(key_out, key).withColumn(
+        "_bkt", F.substring(key_out, 1, 2)
+    ).withColumn("_val", value.cast("long"))
+
+    totals = d.groupBy(*group_cols, "_bkt").agg(F.sum("_val").alias("_bt"))
+    w_off = (
+        Window.partitionBy(*group_cols)
+        .orderBy("_bkt")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    offsets = totals.select(
+        *group_cols,
+        "_bkt",
+        F.coalesce(F.sum("_bt").over(w_off), F.lit(0)).alias("_off"),
+    )
+
+    d = d.join(F.broadcast(offsets), [*group_cols, "_bkt"])
+    w_row = Window.partitionBy(*group_cols, "_bkt").orderBy(key_out, tie_col)
+    return d.withColumn(
+        out_col, (F.col("_off") + F.sum("_val").over(w_row)).cast("long")
+    ).drop("_bkt", "_off", "_val")
+
+
+def domain_token_sample(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    domain_col: str,
+    budgets: dict[str, int],
+    default_budget: int | None = None,
+) -> DataFrame:
+    """Deterministic domain-weighted sampling: within each domain, take
+    documents in md5-of-id order until the running whitespace-token total
+    exceeds the domain's budget (a document is kept iff its INCLUSIVE
+    running total fits).  ``default_budget=None`` keeps unbudgeted domains
+    whole.
+
+    Output: ``(id, domain, n_tokens, cum_tokens)`` of kept documents.
+    Reproducible anywhere: the order key is md5, the budget rule is pure
+    arithmetic — re-running the sample on another engine yields the same
+    document set.
+    """
+    d = df.select(
+        F.col(id_col),
+        F.col(domain_col),
+        token_count(text_col).cast("long").alias("n_tokens"),
+    )
+    d = grouped_prefix_sum(
+        d,
+        [domain_col],
+        order_key(id_col),
+        id_col,
+        F.col("n_tokens"),
+        out_col="cum_tokens",
+    )
+    budget = None
+    for dom, b in sorted(budgets.items()):
+        clause = F.when(F.col(domain_col) == dom, F.lit(b))
+        budget = clause if budget is None else budget.when(
+            F.col(domain_col) == dom, F.lit(b)
+        )
+    fallback = F.lit(
+        default_budget if default_budget is not None else (1 << 62)
+    )
+    budget = fallback if budget is None else budget.otherwise(fallback)
+    return d.filter(F.col("cum_tokens") <= budget).select(
+        id_col, domain_col, "n_tokens", "cum_tokens"
+    )
+
+
+def pack_sequences(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    seq_len: int = 2048,
+) -> DataFrame:
+    """Greedy sequence packing: lay documents end-to-end in md5-of-id
+    order and cut the stream into fixed ``seq_len``-token training
+    sequences.  Each document is assigned the sequence its FIRST token
+    lands in plus its offset there — the bookkeeping a packed-pretraining
+    data loader needs to locate every document.
+
+    Output: ``(id, n_tokens, seq_id, seq_offset)``.
+
+    The global running total uses :func:`grouped_prefix_sum` with no
+    groups: 256-way parallel, no single-partition window — the classic
+    scale trap of ``ROW_NUMBER() OVER (ORDER BY ...)``-style packing.
+    """
+    d = df.select(
+        F.col(id_col), token_count(text_col).cast("long").alias("n_tokens")
+    )
+    d = grouped_prefix_sum(
+        d, [], order_key(id_col), id_col, F.col("n_tokens"), out_col="_cum"
+    )
+    start = F.col("_cum") - F.col("n_tokens")
+    return d.select(
+        F.col(id_col),
+        "n_tokens",
+        start.cast("long").alias("_start"),
+    ).select(
+        id_col,
+        "n_tokens",
+        F.expr(f"_start DIV {int(seq_len)}").alias("seq_id"),
+        (F.col("_start") % seq_len).cast("long").alias("seq_offset"),
+    )

@@ -806,3 +806,87 @@ def dd7_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ngram_decontaminate(
         d, "doc_id", "text", F.col("source") == "src0", n=3, min_shared=2
     ).withColumn("n_shared_grams", F.col("n_shared_grams").cast("bigint"))
+
+
+# ---------------------------------------------------------------------------
+# Data mixing / packing (ext.mixing)
+# ---------------------------------------------------------------------------
+
+_OK = "md5(CAST(doc_id AS VARCHAR))"
+
+
+@register(
+    "mx1_domain_mix",
+    gate=False,
+    oracle=f"""
+    WITH t AS (
+      SELECT doc_id, source,
+             CAST(len({_TOKS}) AS BIGINT) AS n_tokens,
+             {_OK} AS ok
+      FROM documents
+    ), c AS (
+      SELECT doc_id, source, n_tokens,
+             CAST(SUM(n_tokens) OVER (
+               PARTITION BY source ORDER BY ok, doc_id) AS BIGINT)
+               AS cum_tokens
+      FROM t
+    )
+    SELECT doc_id, source, n_tokens, cum_tokens
+    FROM c
+    WHERE cum_tokens <= CASE source WHEN 'src0' THEN 700
+                                    WHEN 'src1' THEN 900
+                                    ELSE 500 END
+    """,
+)
+def mx1_domain_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Domain-weighted token-budget sampling (data-mixing weights): take
+    each domain's documents in md5-of-id order until the running token
+    total exceeds the domain budget.  The Spark side computes the running
+    total with the range-bucketed two-phase prefix sum of
+    :mod:`tulflow_spark.ext.mixing` (no single-partition-per-domain
+    window); the oracle computes the naive global window — the two are
+    defined to be bit-identical."""
+    from tulflow_spark.ext.mixing import domain_token_sample
+
+    return domain_token_sample(
+        table(spark, sf_dir, "documents"),
+        "doc_id",
+        "text",
+        "source",
+        budgets={"src0": 700, "src1": 900},
+        default_budget=500,
+    )
+
+
+@register(
+    "mx2_pack_sequences",
+    gate=False,
+    oracle=f"""
+    WITH t AS (
+      SELECT doc_id,
+             CAST(len({_TOKS}) AS BIGINT) AS n_tokens,
+             {_OK} AS ok
+      FROM documents
+    ), c AS (
+      SELECT doc_id, n_tokens,
+             CAST(SUM(n_tokens) OVER (ORDER BY ok, doc_id) AS BIGINT)
+               - n_tokens AS strt
+      FROM t
+    )
+    SELECT doc_id, n_tokens,
+           strt // 2048 AS seq_id,
+           strt % 2048 AS seq_offset
+    FROM c
+    """,
+)
+def mx2_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Greedy sequence packing for pretraining: documents laid end-to-end
+    in md5-of-id order, cut into 2048-token sequences; every document gets
+    (seq_id, seq_offset) — the index a packed data loader uses.  The
+    global running total is the grouped prefix sum with zero groups:
+    256-way parallel instead of the single-partition ROW_NUMBER trap."""
+    from tulflow_spark.ext.mixing import pack_sequences
+
+    return pack_sequences(
+        table(spark, sf_dir, "documents"), "doc_id", "text", seq_len=2048
+    )
