@@ -16,7 +16,8 @@ from tulflow_spark.sources import oai as O
 OAI = "http://www.openarchives.org/OAI/2.0/"
 
 
-def _rec(ident, deleted=False, with_md=True, sets=("alpha",)):
+def _rec(ident, deleted=False, with_md=True, sets=("alpha",),
+         ds="2026-01-02T03:04:05Z"):
     status = ' status="deleted"' if deleted else ""
     setspecs = "".join(f"<setSpec>{s}</setSpec>" for s in sets)
     md = (
@@ -26,8 +27,15 @@ def _rec(ident, deleted=False, with_md=True, sets=("alpha",)):
     )
     return (
         f"<record><header{status}><identifier>{ident}</identifier>"
-        f"<datestamp>2026-01-02T03:04:05Z</datestamp>{setspecs}</header>{md}</record>"
+        f"<datestamp>{ds}</datestamp>{setspecs}</header>{md}</record>"
     )
+
+
+# a set whose server honors from/until (second granularity): one record per
+# day across four days — the surface the datestamp-sliced harvest exercises
+WIN_RECORDS = [
+    (f"oai:w:{d}", f"2026-01-0{d}T12:00:00Z") for d in (1, 2, 3, 4)
+]
 
 
 def _page(records, token=None):
@@ -75,6 +83,15 @@ class Handler(BaseHTTPRequestHandler):
                 body = ERROR_NO_RECORDS
             elif set_spec == "gamma":
                 body = _page([_rec("oai:g:1", sets=("gamma",))])
+            elif set_spec == "win":
+                frm = q.get("from", [""])[0]
+                untl = q.get("until", ["9999"])[0]
+                hits = [
+                    _rec(i, sets=("win",), ds=ds)
+                    for i, ds in WIN_RECORDS
+                    if frm <= ds <= untl
+                ]
+                body = _page(hits) if hits else ERROR_NO_RECORDS
             elif set_spec == "flaky":
                 _flaky_hits["n"] += 1
                 if _flaky_hits["n"] <= 2:
@@ -131,6 +148,55 @@ def test_resolve_sets(endpoint):
     assert O.resolve_sets(endpoint, excluded=["beta"]) == ["alpha", "gamma"]
     assert O.resolve_sets(endpoint, all_sets=True) == ["alpha", "beta", "gamma"]
     assert O.resolve_sets(endpoint) == [None]
+
+
+def test_datestamp_slices_partition_exactly():
+    s = O.datestamp_slices(
+        "2026-01-01T00:00:00Z", "2026-01-04T23:59:59Z", 4
+    )
+    assert s == [
+        ("2026-01-01T00:00:00Z", "2026-01-01T23:59:59Z"),
+        ("2026-01-02T00:00:00Z", "2026-01-02T23:59:59Z"),
+        ("2026-01-03T00:00:00Z", "2026-01-03T23:59:59Z"),
+        ("2026-01-04T00:00:00Z", "2026-01-04T23:59:59Z"),
+    ]
+    # uneven split still covers exactly, no overlap, no gap
+    s = O.datestamp_slices("2026-01-01T00:00:00Z", "2026-01-01T00:00:09Z", 3)
+    assert s[0][0] == "2026-01-01T00:00:00Z"
+    assert s[-1][1] == "2026-01-01T00:00:09Z"
+    for (_, a_end), (b_start, _) in zip(s, s[1:]):
+        assert a_end < b_start
+    # n clamped to the window's seconds; date-only widened to midnight
+    assert O.datestamp_slices("2026-01-01", "2026-01-01", 10) == [
+        ("2026-01-01T00:00:00Z", "2026-01-01T00:00:00Z")
+    ]
+    with pytest.raises(ValueError):
+        O.datestamp_slices("2026-01-02", "2026-01-01", 2)
+
+
+def test_datasource_sliced_harvest(spark, endpoint):
+    df = O.harvest_oai(
+        spark,
+        endpoint,
+        includedSets="win",
+        **{
+            "from": "2026-01-01T00:00:00Z",
+            "until": "2026-01-04T23:59:59Z",
+            "slices": "4",
+        },
+    )
+    # one partition per (set x slice); all records exactly once
+    assert df.rdd.getNumPartitions() == 4
+    ids = sorted(r.identifier for r in df.collect())
+    assert ids == ["oai:w:1", "oai:w:2", "oai:w:3", "oai:w:4"]
+    # per-partition counts prove the windows actually split the work
+    sizes = df.rdd.glom().map(len).collect()
+    assert sizes == [1, 1, 1, 1]
+
+
+def test_sliced_harvest_requires_bounds(spark, endpoint):
+    with pytest.raises(Exception):
+        O.harvest_oai(spark, endpoint, includedSets="win", slices="4").collect()
 
 
 def test_datasource_harvest(spark, endpoint):

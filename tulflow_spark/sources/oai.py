@@ -154,6 +154,55 @@ def _split_csv(s: str | None) -> list[str]:
     return [x.strip() for x in (s or "").split(",") if x.strip()]
 
 
+_DS_FMT = "%Y-%m-%dT%H:%M:%SZ"
+
+
+def _parse_datestamp(s: str):
+    from datetime import datetime
+
+    if len(s) == 10:  # date-only granularity
+        return datetime.strptime(s, "%Y-%m-%d")
+    return datetime.strptime(s, _DS_FMT)
+
+
+def datestamp_slices(
+    from_date: str, until_date: str, n: int
+) -> list[tuple[str, str]]:
+    """Partition the INCLUSIVE second-granularity window
+    ``[from_date, until_date]`` into at most ``n`` disjoint inclusive
+    sub-windows that cover it exactly.
+
+    This is the batch face of the streaming reader's window mechanism
+    (and the answer to single-set harvests at scale): OAI-PMH resumption
+    tokens are inherently sequential WITHIN a request, but the protocol's
+    own ``from``/``until`` predicates let N executors page N disjoint
+    datestamp windows concurrently.  Windows never overlap — both bounds
+    are inclusive per the spec, so consecutive windows abut at a
+    one-second step, the same arithmetic the streaming offsets use
+    (sources/oai.py OaiStreamReader; reference surface: the from/until
+    kwargs of harvest.py:24-65).
+
+    Requires a repository supporting second granularity (date-only inputs
+    are widened to midnight).  ``n`` is clamped to the window's seconds.
+    """
+    from datetime import timedelta
+
+    start, end = _parse_datestamp(from_date), _parse_datestamp(until_date)
+    if end < start:
+        raise ValueError(f"until {until_date!r} precedes from {from_date!r}")
+    total = int((end - start).total_seconds()) + 1  # inclusive seconds
+    n = max(1, min(int(n), total))
+    step, rem = divmod(total, n)
+    out: list[tuple[str, str]] = []
+    cur = start
+    for i in range(n):
+        width = step + (1 if i < rem else 0)
+        wend = cur + timedelta(seconds=width - 1)
+        out.append((cur.strftime(_DS_FMT), wend.strftime(_DS_FMT)))
+        cur = wend + timedelta(seconds=1)
+    return out
+
+
 try:  # DataSource API requires pyspark >= 4 (present here; guarded anyway)
     from pyspark.sql.datasource import (
         DataSource,
@@ -163,8 +212,15 @@ try:  # DataSource API requires pyspark >= 4 (present here; guarded anyway)
     )
 
     class OaiInputPartition(InputPartition):
-        def __init__(self, set_spec: str | None):
+        def __init__(
+            self,
+            set_spec: str | None,
+            from_date: str | None = None,
+            until_date: str | None = None,
+        ):
             self.set_spec = set_spec
+            self.from_date = from_date
+            self.until_date = until_date
 
     class OaiDataSourceReader(DataSourceReader):
         def __init__(self, options: dict):
@@ -178,20 +234,36 @@ try:  # DataSource API requires pyspark >= 4 (present here; guarded anyway)
             self.included = _split_csv(options.get("includedsets"))
             self.excluded = _split_csv(options.get("excludedsets"))
             self.all_sets = str(options.get("allsets", "false")).lower() == "true"
+            self.slices = int(options.get("slices", "1"))
+            if self.slices > 1 and not (self.from_date and self.until_date):
+                raise ValueError(
+                    "slices > 1 requires both 'from' and 'until': datestamp "
+                    "slicing parallelizes a BOUNDED window (resumption "
+                    "tokens are sequential; windows are not)"
+                )
 
         def partitions(self):
             sets = resolve_sets(
                 self.endpoint, self.included, self.excluded, self.all_sets
             )
-            return [OaiInputPartition(s) for s in sets]
+            if self.slices <= 1:
+                return [OaiInputPartition(s) for s in sets]
+            windows = datestamp_slices(
+                self.from_date, self.until_date, self.slices
+            )
+            return [
+                OaiInputPartition(s, frm, untl)
+                for s in sets
+                for (frm, untl) in windows
+            ]
 
         def read(self, partition: OaiInputPartition):
             for row in list_records(
                 self.endpoint,
                 metadata_prefix=self.metadata_prefix,
                 set_spec=partition.set_spec,
-                from_date=self.from_date,
-                until_date=self.until_date,
+                from_date=partition.from_date or self.from_date,
+                until_date=partition.until_date or self.until_date,
                 ignore_deleted=self.ignore_deleted,
             ):
                 yield (
