@@ -158,7 +158,7 @@ def test_default_engine_factories_work_without_lxml():
     with pytest.raises(UnsupportedFeature):
         default_xslt_engine_factory(
             '<xsl:stylesheet xmlns:xsl="http://www.w3.org/1999/XSL/Transform"'
-            ' version="1.0"><xsl:key name="k" match="v" use="."/>'
+            ' version="1.0"><xsl:decimal-format name="d"/>'
             "</xsl:stylesheet>"
         )
 

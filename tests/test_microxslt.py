@@ -242,8 +242,10 @@ SIMPLE = """<xsl:stylesheet xmlns:xsl="http://www.w3.org/1999/XSL/Transform"
 </xsl:stylesheet>"""
 
 
-def _run(body_templates: str, src: str) -> str:
-    return MicroXSLT(SIMPLE.replace("{body}", body_templates))(src)
+def _run(body_templates: str, src: str, extra_top: str = "") -> str:
+    return MicroXSLT(
+        SIMPLE.replace("{body}", extra_top + body_templates)
+    )(src)
 
 
 class TestEngine:
@@ -334,7 +336,65 @@ class TestEngine:
             MicroXSLT(
                 '<xsl:stylesheet xmlns:xsl="http://www.w3.org/1999/XSL/'
                 'Transform" version="1.0">'
-                '<xsl:key name="k" match="v" use="."/></xsl:stylesheet>'
+                '<xsl:decimal-format name="d"/></xsl:stylesheet>'
+            )
+
+    def test_key_lookup(self):
+        out = _run(
+            '<xsl:template match="d">'
+            "<xsl:for-each select=\"key('by-id', 'b')\">"
+            "<hit><xsl:value-of select='@t'/></hit>"
+            "</xsl:for-each></xsl:template>",
+            '<d><v id="a" t="1"/><v id="b" t="2"/><v id="b" t="3"/></d>',
+            extra_top='<xsl:key name="by-id" match="v" use="@id"/>',
+        )
+        assert out == "<r><hit>2</hit><hit>3</hit></r>"
+
+    def test_key_muenchian_grouping(self):
+        # classic XSLT 1.0 grouping: first-in-group detection via key()
+        out = _run(
+            '<xsl:template match="d">'
+            '<xsl:for-each select="v[generate-id() = '
+            "generate-id(key('by-g', @g)[1])]\">"
+            "<g name=\"{@g}\"><xsl:value-of select="
+            "\"count(key('by-g', @g))\"/></g>"
+            "</xsl:for-each></xsl:template>",
+            '<d><v g="x"/><v g="y"/><v g="x"/><v g="x"/><v g="y"/></d>',
+            extra_top='<xsl:key name="by-g" match="v" use="@g"/>',
+        )
+        assert out == '<r><g name="x">3</g><g name="y">2</g></r>'
+
+    def test_number_level_single_and_formats(self):
+        out = _run(
+            '<xsl:template match="v">'
+            '<n><xsl:number/>:<xsl:number format="01"/>:'
+            '<xsl:number format="a"/>:<xsl:number format="(I) "/>'
+            "</n></xsl:template>",
+            "<d><v/><o/><v/><v/></d>",
+        )
+        assert out == (
+            "<r><n>1:01:a:(I) </n><n>2:02:b:(II) </n>"
+            "<n>3:03:c:(III) </n></r>"
+        )
+
+    def test_number_level_any_with_count_and_value(self):
+        out = _run(
+            '<xsl:template match="m">'
+            '<n><xsl:number level="any" count="v"/></n></xsl:template>'
+            '<xsl:template match="t">'
+            '<t><xsl:number value="count(//v) * 2" format="i"/></t>'
+            "</xsl:template>",
+            "<d><v/><s><v/><m/></s><v/><m/><t/></d>",
+        )
+        # first m: two v's precede it anywhere; second m: three
+        assert out == "<r><n>2</n><n>3</n><t>vi</t></r>"
+
+    def test_number_level_multi_is_typed_unsupported(self):
+        with pytest.raises(UnsupportedFeature):
+            _run(
+                '<xsl:template match="v">'
+                '<xsl:number level="multi"/></xsl:template>',
+                "<d><v/></d>",
             )
 
     def test_missing_include_typed_or_recorded(self):

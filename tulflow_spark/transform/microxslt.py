@@ -23,9 +23,13 @@ resolution, built-in rules), ``apply-templates`` (select/mode/sort/params),
 (Saxon's visible behavior in the reference golden files:
 ``tests/fixtures/xsl-sample-simple-output-record1.xml`` declares the
 stylesheet's full in-scope namespace set on the result root).
+Also: ``xsl:key`` + the ``key()`` function (document-order indexes built
+once per document — the Muenchian-grouping idiom works), and
+``xsl:number`` at level single/any with count/from patterns and
+1/01/a/A/i/I formats.
 
-Out of scope (raises :class:`UnsupportedFeature`): ``xsl:key``,
-``xsl:number``, ``xsl:decimal-format``, ``document()``, the namespace axis.
+Out of scope (raises :class:`UnsupportedFeature`): ``xsl:number``
+level="multi", ``xsl:decimal-format``, ``document()``, the namespace axis.
 """
 
 from __future__ import annotations
@@ -35,7 +39,7 @@ import re
 from tulflow_spark.transform.xpath1 import (
     ATTR, COMMENT, ELEM, PI, ROOT, TEXT,
     CompiledExpr, CompiledPattern, Context, Node, XPathError,
-    compile_expr, compile_pattern, parse_document, string_value,
+    compile_expr, compile_pattern, parse_document, string_value, to_string,
 )
 
 XSL_NS = "http://www.w3.org/1999/XSL/Transform"
@@ -90,6 +94,58 @@ def _xsl(tag: str) -> str:
     return f"{{{XSL_NS}}}{tag}"
 
 
+_FMT_TOKEN_RE = re.compile(r"[0-9a-zA-Z]+")
+
+
+def _to_alpha(n: int, upper: bool) -> str:
+    s = ""
+    while n > 0:
+        n, r = divmod(n - 1, 26)
+        s = chr(ord("a") + r) + s
+    return s.upper() if upper else s
+
+
+_ROMAN = [
+    (1000, "m"), (900, "cm"), (500, "d"), (400, "cd"), (100, "c"),
+    (90, "xc"), (50, "l"), (40, "xl"), (10, "x"), (9, "ix"), (5, "v"),
+    (4, "iv"), (1, "i"),
+]
+
+
+def _to_roman(n: int, upper: bool) -> str:
+    s = ""
+    for v, sym in _ROMAN:
+        while n >= v:
+            s += sym
+            n -= v
+    return s.upper() if upper else s
+
+
+def _format_one(n: int, token: str) -> str:
+    if token == "a":
+        return _to_alpha(n, False)
+    if token == "A":
+        return _to_alpha(n, True)
+    if token == "i":
+        return _to_roman(n, False)
+    if token == "I":
+        return _to_roman(n, True)
+    if token and token[0].isdigit():  # 1, 01, 001 — zero-pad to width
+        return str(n).zfill(len(token))
+    return str(n)
+
+
+def _format_number(nums: list[int], fmt: str) -> str:
+    """xsl:number @format for a single number: literal prefix + one
+    format token (1/01/a/A/i/I) + literal suffix."""
+    if not nums:
+        return ""
+    m = _FMT_TOKEN_RE.search(fmt)
+    if m is None:
+        return fmt + str(nums[0])
+    return fmt[: m.start()] + _format_one(nums[0], m.group()) + fmt[m.end():]
+
+
 class MicroXSLT:
     """Compile once (driver or per-partition), call per record:
     ``engine = MicroXSLT(stylesheet_text); out_xml = engine(record_xml)``."""
@@ -101,6 +157,7 @@ class MicroXSLT:
             stylesheet_text = stylesheet_text.decode("utf-8")
         self.templates: list[_Template] = []
         self.globals: list[tuple[str, object, dict]] = []  # (name, spec, nsmap)
+        self.key_decls: list[tuple] = []  # (name, pattern, use, nsmap)
         self.output: dict[str, str] = {}
         self._includes = includes or {}
         self._ignore_missing = ignore_missing_includes
@@ -160,7 +217,14 @@ class MicroXSLT:
             elif local in ("strip-space", "preserve-space", "namespace-alias",
                            "attribute-set"):
                 continue  # whitespace/alias tuning — no-op at this fidelity
-            elif local in ("key", "decimal-format"):
+            elif local == "key":
+                self.key_decls.append((
+                    _attr(el, "name"),
+                    compile_pattern(_attr(el, "match")),
+                    compile_expr(_attr(el, "use")),
+                    el.nsmap or {},
+                ))
+            elif local == "decimal-format":
                 raise UnsupportedFeature(f"xsl:{local} is not supported")
 
     def _add_template(self, el: Node, precedence: int) -> None:
@@ -206,26 +270,53 @@ class MicroXSLT:
     # Execution
     # ------------------------------------------------------------------
     def __call__(self, xml_text: str) -> str:
-        src = parse_document(xml_text)
-        out_root = Node(ROOT)
-        gvars: dict[str, object] = {}
-        for name, spec, nsmap in self.globals:
-            gvars[name] = self._value_of_spec(
-                spec, Context(src, 1, 1, gvars, nsmap)
-            )
-        self._apply([src], None, out_root, gvars, {})
-        return self._serialize(out_root)
+        return self._serialize(self.transform_node(parse_document(xml_text)))
 
     def transform_node(self, src_root: Node) -> Node:
         """Apply to an already-parsed document; returns the result ROOT."""
         out_root = Node(ROOT)
         gvars: dict[str, object] = {}
+        if self.key_decls:
+            # built before globals (XSLT 1.0 forbids variable refs inside
+            # key match/use, so the empty bindings are sufficient) and
+            # threaded to key() through the shared bindings dict
+            gvars["__xslt_keys__"] = self._build_key_indexes(src_root)
         for name, spec, nsmap in self.globals:
             gvars[name] = self._value_of_spec(
                 spec, Context(src_root, 1, 1, gvars, nsmap)
             )
         self._apply([src_root], None, out_root, gvars, {})
         return out_root
+
+    @staticmethod
+    def _walk(n: Node):
+        yield n
+        for a in n.attrs:
+            yield a
+        for c in n.children:
+            yield from MicroXSLT._walk(c)
+
+    def _build_key_indexes(self, src_root: Node) -> dict:
+        """xsl:key → {key name: {use value: [nodes in doc order]}}."""
+        nodes = list(self._walk(src_root))
+        indexes: dict[str, dict[str, list[Node]]] = {}
+        for kname, pattern, use, nsmap in self.key_decls:
+            idx = indexes.setdefault(kname, {})
+            for node in nodes:
+                if node.kind not in (ELEM, ATTR, TEXT):
+                    continue
+                ctx = Context(node, 1, 1, {}, nsmap)
+                if not pattern.matches(node, ctx):
+                    continue
+                v = use.evaluate(ctx)
+                vals = (
+                    [string_value(x) for x in v]
+                    if isinstance(v, list)
+                    else [to_string(v)]
+                )
+                for val in vals:
+                    idx.setdefault(val, []).append(node)
+        return indexes
 
     def _value_of_spec(self, spec, ctx: Context):
         """A variable/param value: select expression or RTF body."""
@@ -370,6 +461,85 @@ class MicroXSLT:
             out, call_vars,
         )
 
+    def _i_number(self, instr, ctx, out, vars_):
+        """xsl:number — value= expressions, and counting at level=
+        "single" (1 + matching preceding siblings of the nearest
+        matching ancestor-or-self) and level="any" (matching nodes at or
+        before the context node in document order, reset at from=
+        boundaries).  Formats: 1, 01, a, A, i, I with literal prefix/
+        suffix separators.  level="multi" stays typed-unsupported."""
+        ectx = self._ctx(ctx, instr, vars_)
+        value = _attr(instr, "value")
+        if value is not None:
+            n = compile_expr(value).evaluate(ectx)
+            try:
+                num = float(n) if isinstance(n, (int, float, bool)) else \
+                    float(to_string(n))
+            except ValueError:
+                num = float("nan")
+            nums = [] if num != num else [int(round(num))]
+        else:
+            nums = [self._count_number(instr, ctx, vars_)]
+            if nums == [0]:
+                nums = []
+        _emit_text(out, _format_number(nums, _attr(instr, "format") or "1"))
+
+    def _count_number(self, instr, ctx, vars_) -> int:
+        nsmap = instr.nsmap or {}
+        count = _attr(instr, "count")
+        frm = _attr(instr, "from")
+        count_pat = compile_pattern(count) if count else None
+        from_pat = compile_pattern(frm) if frm else None
+        node = ctx.node
+
+        def pctx(n):
+            return Context(n, 1, 1, vars_, nsmap)
+
+        def matches_count(n: Node) -> bool:
+            if count_pat is not None:
+                return count_pat.matches(n, pctx(n))
+            if node.kind == ELEM:
+                return n.kind == ELEM and n.tag == node.tag
+            return n.kind == node.kind
+
+        level = _attr(instr, "level") or "single"
+        if level == "single":
+            target = None
+            n = node
+            while n is not None and n.kind != ROOT:
+                if matches_count(n):
+                    target = n
+                    break
+                if from_pat is not None and from_pat.matches(n, pctx(n)):
+                    break
+                n = n.parent
+            if target is None:
+                return 0
+            cnt = 1
+            for sib in (target.parent.children if target.parent else ()):
+                if sib is target:
+                    break
+                if matches_count(sib):
+                    cnt += 1
+            return cnt
+        if level == "any":
+            root = node
+            while root.parent is not None:
+                root = root.parent
+            cnt = 0
+            for nd in self._walk(root):
+                if nd.kind == ATTR:
+                    continue
+                if nd.order > node.order:
+                    break
+                if from_pat is not None and from_pat.matches(nd, pctx(nd)):
+                    cnt = 0  # reset at the from= boundary
+                    continue
+                if matches_count(nd):
+                    cnt += 1
+            return cnt
+        raise UnsupportedFeature(f"xsl:number level={level!r}")
+
     def _i_for_each(self, instr, ctx, out, vars_):
         ectx = self._ctx(ctx, instr, vars_)
         nodes = compile_expr(_attr(instr, "select")).nodeset(ectx)
@@ -500,9 +670,6 @@ class MicroXSLT:
 
     def _i_message(self, instr, ctx, out, vars_):
         return  # diagnostics sink — deliberately silent executor-side
-
-    def _i_number(self, instr, ctx, out, vars_):
-        raise UnsupportedFeature("xsl:number is not supported")
 
     # --- helpers ------------------------------------------------------
     def _with_params(self, instr, ectx, vars_):

@@ -882,6 +882,25 @@ def _call(name, args, ctx: Context):
     if name == "generate-id":
         nodes = a(0) if n else [ctx.node]
         return f"id{id(nodes[0]):x}" if nodes else ""
+    if name == "key":
+        # index built by the XSLT layer from xsl:key declarations and
+        # threaded through the (shared) variable bindings under a reserved
+        # name — XSLT 1.0 forbids variable references inside xsl:key
+        # match/use, so the name cannot collide with user bindings
+        kname = _str(a(0))
+        idx = ctx.vars.get("__xslt_keys__", {}).get(kname)
+        if idx is None:
+            raise XPathError(f"key {kname!r} is not declared")
+        v = a(1)
+        vals = (
+            [string_value(x) for x in v]
+            if isinstance(v, list)
+            else [_str(v)]
+        )
+        out: list[Node] = []
+        for val in vals:
+            out.extend(idx.get(val, ()))
+        return _doc_sort(out)
     # XPath 2.0 extras the reference stylesheets rely on (Saxon ran them)
     if name == "matches":
         flags = _re_flags(_str(a(2))) if n > 2 else 0
@@ -932,6 +951,10 @@ class CompiledExpr:
 
 def compile_expr(expr: str) -> CompiledExpr:
     return CompiledExpr(_Parser(_tokenize(expr), expr).parse(), expr)
+
+
+# XPath string() conversion for already-evaluated values (public alias)
+to_string = _str
 
 
 # ---------------------------------------------------------------------------
