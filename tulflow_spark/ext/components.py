@@ -102,10 +102,35 @@ def connected_components(
     violates the numeric-id contract, and a silent partial clustering would
     corrupt a dedup downstream).
     """
+    sc = edges.sparkSession.sparkContext
+
+    def _persistent_ids() -> set:
+        return {
+            int(i) for i in sc._jsc.getPersistentRDDs().keySet().toArray()
+        }
+
+    def _unpersist(ids: set) -> None:
+        jmap = sc._jsc.getPersistentRDDs()
+        for rid in ids:
+            jrdd = jmap.get(rid)
+            if jrdd is not None:
+                jrdd.unpersist(False)
+
     # Materialize the canonical edge list up front: every star round
     # references its input several times (symmetrize-union, min-aggregate,
     # join-back), so an un-checkpointed upstream lineage — often a full
     # candidate-pair pipeline — would be re-evaluated 3-4x in round one.
+    #
+    # Checkpoint-block hygiene: each round's localCheckpoint persists
+    # blocks for the session; once the NEXT round has materialized, the
+    # previous round's blocks are dead weight, so they are unpersisted as
+    # the loop advances (identified by diffing the persistent-RDD registry
+    # around each checkpoint — assumes no concurrent persist activity in
+    # the same session during the rounds, which holds for a batch job).
+    # Only the FINAL round's blocks stay: the returned DataFrame reads
+    # them, and a lazily-returned frame has no sound internal unpersist
+    # point (same doctrine as ext.curation's no-internal-persist rule).
+    pre_existing = _persistent_ids()
     e = (
         edges.select(
             F.col(src).cast("long").alias("u"),
@@ -115,11 +140,15 @@ def connected_components(
         .dropDuplicates()
         .localCheckpoint(eager=True)
     )
+    own_ids = _persistent_ids() - pre_existing
 
     prev: tuple | None = None
     converged = False
     for _ in range(max_iters):
         e = _small_star(_large_star(e)).localCheckpoint(eager=True)
+        now = _persistent_ids() - pre_existing
+        _unpersist(own_ids)
+        own_ids = now - own_ids
         # order-insensitive, overflow-free (ANSI mode) edge-set fingerprint:
         # xor over xxhash64 of the (distinct) edges + the edge count
         sig = tuple(
