@@ -123,3 +123,33 @@ def test_q14_parity(spark, duck, sf_dir):
           AND l_shipdate <  TIMESTAMP '1998-01-01'
     """).df()
     assert_frames_match(sdf, odf, "q14_promo_revenue")
+
+
+def _extra_plan(spark, sf_dir, name) -> str:
+    from tulflow_spark.plans import EXTRA_QUERIES
+
+    return (
+        EXTRA_QUERIES[name](spark, sf_dir)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+
+
+def test_mx1_no_single_partition_window(spark, sf_dir):
+    """The domain-mix running total must never degrade to a
+    single-partition-per-domain window: the per-row cumsum partitions by
+    (domain, bucket) and the offsets come back via broadcast."""
+    plan = _extra_plan(spark, sf_dir, "mx1_domain_mix")
+    assert "SinglePartition" not in plan
+    assert "SortMergeJoin" not in plan and "CartesianProduct" not in plan
+    assert plan.count("BroadcastHashJoin") == 1
+    assert "_bkt" in plan  # per-row window keyed by (source, _bkt)
+
+
+def test_mx2_single_partition_only_for_offsets_frame(spark, sf_dir):
+    """Global packing: the ONLY SinglePartition allowed is the cumulative
+    window over the tiny per-bucket totals frame (<=256 rows); the
+    full-data window partitions by _bkt."""
+    plan = _extra_plan(spark, sf_dir, "mx2_pack_sequences")
+    assert plan.count("SinglePartition") == 1
+    assert "SortMergeJoin" not in plan and "CartesianProduct" not in plan
+    assert plan.count("BroadcastHashJoin") == 1
