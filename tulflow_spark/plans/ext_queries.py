@@ -890,3 +890,98 @@ def mx2_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pack_sequences(
         table(spark, sf_dir, "documents"), "doc_id", "text", seq_len=2048
     )
+
+
+# ---------------------------------------------------------------------------
+# Line-level dedup (ext.linedup) and bigram-LM scoring (ext.lm)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "dd9_line_dedup",
+    gate=False,
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id, {_TOKS} AS t FROM documents
+    ), flat AS (
+      SELECT doc_id, unnest(t) AS tok, generate_subscripts(t, 1) AS i
+      FROM toks
+    ), lns AS (
+      SELECT doc_id, CAST((i - 1) // 3 AS INTEGER) AS li,
+             string_agg(tok, ' ' ORDER BY i) AS line
+      FROM flat GROUP BY doc_id, (i - 1) // 3
+    ), ranked AS (
+      SELECT doc_id, li, line,
+             ROW_NUMBER() OVER (PARTITION BY line ORDER BY doc_id, li) AS rn
+      FROM lns
+    ), agg AS (
+      SELECT doc_id,
+             COUNT(*) AS n_lines,
+             COUNT(*) FILTER (WHERE rn = 1) AS n_kept,
+             COALESCE(
+               string_agg(line, chr(10) ORDER BY li) FILTER (WHERE rn = 1),
+               '') AS text_dedup
+      FROM ranked GROUP BY doc_id
+    )
+    SELECT d.doc_id,
+           COALESCE(a.n_lines, 0) AS n_lines,
+           COALESCE(a.n_kept, 0) AS n_kept,
+           COALESCE(a.text_dedup, '') AS text_dedup
+    FROM documents d LEFT JOIN agg a USING (doc_id)
+    """,
+)
+def dd9_line_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact line-level dedup, first occurrence wins (Lee et al. 2022 /
+    CCNet paragraph hashing), on deterministic 3-word pseudo-lines (this
+    corpus has no newline structure; real corpora pass
+    ``lines_from_delimiter``).  First-occurrence resolution is a
+    map-side-combinable ``groupBy(line).min(struct(doc, idx))`` — NOT a
+    per-line window sort — so a line repeated in millions of documents
+    shuffles one row per map task."""
+    from tulflow_spark.ext.linedup import dedup_lines, pseudo_lines
+
+    docs = table(spark, sf_dir, "documents")
+    return dedup_lines(docs, "doc_id", pseudo_lines("text", 3))
+
+
+@register(
+    "tx8_bigram_lm_score",
+    gate=False,
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id, {_TOKS} AS t FROM documents
+    ), flat AS (
+      SELECT doc_id, unnest(t) AS tok, generate_subscripts(t, 1) AS i
+      FROM toks
+    ), bg AS (
+      SELECT doc_id, tok AS w1,
+             lead(tok) OVER (PARTITION BY doc_id ORDER BY i) AS w2
+      FROM flat
+    ), bge AS (
+      SELECT doc_id, w1, w2 FROM bg WHERE w2 IS NOT NULL
+    ), bc AS (
+      SELECT w1, w2, COUNT(*) AS c_big FROM bge GROUP BY 1, 2
+    ), cc AS (
+      SELECT w1, CAST(SUM(c_big) AS BIGINT) AS c_ctx FROM bc GROUP BY 1
+    ), m AS (
+      SELECT bc.w1, bc.w2, c_big, c_ctx FROM bc JOIN cc USING (w1)
+    ), terms AS (
+      SELECT doc_id,
+             ROUND(CAST(c_ctx AS DOUBLE) / CAST(c_big AS DOUBLE), 9) AS term
+      FROM bge JOIN m USING (w1, w2)
+    )
+    SELECT doc_id, COUNT(*) AS n_bigrams,
+           CAST(SUM(CAST(term AS DECIMAL(30,9))) AS DOUBLE) AS sum_inv_p
+    FROM terms GROUP BY doc_id
+    """,
+)
+def tx8_bigram_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Self-trained MLE bigram-LM scoring (the hash-exact arithmetic
+    analogue of CCNet perplexity filtering): per document, the count of
+    bigrams and the DECIMAL-exact sum of inverse conditional
+    probabilities round(c(w1.)/c(w1 w2), 9).  Model = two map-side
+    combinable aggregates (vocabulary-sized); scoring join broadcasts
+    the model."""
+    from tulflow_spark.ext.lm import bigram_score
+
+    return bigram_score(table(spark, sf_dir, "documents"), "doc_id", "text")
