@@ -102,3 +102,76 @@ def test_pack_sequences_invariants(spark):
         assert r["seq_id"] * 64 + r["seq_offset"] == pos
         assert 0 <= r["seq_offset"] < 64
         pos += r["n_tokens"]
+
+
+class TestHashSample:
+    def _docs(self, spark, n=400):
+        rows = [(i, "src0" if i % 2 else "src1") for i in range(n)]
+        return spark.createDataFrame(rows, ["doc_id", "source"])
+
+    def test_deterministic_and_rate_shaped(self, spark):
+        from tulflow_spark.ext.mixing import hash_sample
+
+        df = self._docs(spark)
+        a = hash_sample(df, "doc_id", "source", {"src0": 0.5, "src1": 1.0})
+        b = hash_sample(df, "doc_id", "source", {"src0": 0.5, "src1": 1.0})
+        ids_a = sorted(r.doc_id for r in a.collect())
+        assert ids_a == sorted(r.doc_id for r in b.collect())
+        # rate 1.0 keeps every src1 row
+        n_src1 = a.where("source = 'src1'").count()
+        assert n_src1 == df.where("source = 'src1'").count()
+        # rate 0.5 keeps roughly half of src0 (md5 is uniform)
+        n_src0 = a.where("source = 'src0'").count()
+        assert 0.3 * 200 < n_src0 < 0.7 * 200
+
+    def test_nested_samples(self, spark):
+        from tulflow_spark.ext.mixing import hash_sample
+
+        df = self._docs(spark)
+        small = {
+            r.doc_id
+            for r in hash_sample(
+                df, "doc_id", "source", {}, default_rate=0.2
+            ).collect()
+        }
+        big = {
+            r.doc_id
+            for r in hash_sample(
+                df, "doc_id", "source", {}, default_rate=0.6
+            ).collect()
+        }
+        assert small <= big
+
+    def test_rate_zero_and_validation(self, spark):
+        import pytest
+
+        from tulflow_spark.ext.mixing import hash_sample
+
+        df = self._docs(spark, 50)
+        assert hash_sample(df, "doc_id", "source", {}, default_rate=0.0).count() == 0
+        with pytest.raises(ValueError):
+            hash_sample(df, "doc_id", "source", {"src0": 1.5})
+
+
+def test_rarity_terms_hand_computed(spark):
+    from tulflow_spark.ext.text import rarity_terms
+
+    # 4 docs; 'rare' appears in exactly one doc (idf 4.0), 'common' in all
+    # (idf 1.0).  doc 0: tf(rare)=2 -> score 8.0 tops everything.
+    rows = [
+        (0, "rare rare common alpha"),
+        (1, "common beta beta"),
+        (2, "common alpha"),
+        (3, "common alpha beta"),
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    out = rarity_terms(df, "doc_id", "text", k=2).collect()
+    by_doc = {}
+    for r in out:
+        by_doc.setdefault(r.doc_id, []).append(r)
+    top0 = sorted(by_doc[0], key=lambda r: r.rank)
+    assert top0[0].term == "rare" and top0[0].score == 8.0
+    assert all(len(v) == 2 for v in by_doc.values())
+    # deterministic tie-break: doc 2 has alpha (2.0) then common (1.0)
+    top2 = sorted(by_doc[2], key=lambda r: r.rank)
+    assert [r.term for r in top2] == ["alpha", "common"]

@@ -173,3 +173,43 @@ def pack_sequences(
         F.expr(f"_start DIV {int(seq_len)}").alias("seq_id"),
         (F.col("_start") % seq_len).cast("long").alias("seq_offset"),
     )
+
+
+def hash_sample(
+    df: DataFrame,
+    id_col: str,
+    group_col: str,
+    rates: dict[str, float],
+    default_rate: float = 1.0,
+) -> DataFrame:
+    """Deterministic per-domain Bernoulli sampling — the importance-
+    resampling step that applies mixing weights: keep each row of domain
+    ``d`` with probability ``rates[d]`` (``default_rate`` otherwise),
+    decided by the row's own id hash, never by an RNG.
+
+    The coin is :func:`order_key`'s md5 hex: a row survives iff its first
+    8 hex chars compare below the 8-hex-digit threshold
+    ``floor(rate * 16^8)``.  String comparison on fixed-width lowercase
+    hex == numeric comparison, and any SQL engine reproduces it — the
+    sample is re-drawable and auditable elsewhere byte-for-byte, and
+    resampling at a higher rate yields a SUPERSET of a lower-rate sample
+    (nested samples, the property reservoir sampling can't give you).
+
+    Map-only: no shuffle, no RNG state, trivially 100 TB-safe.
+    """
+    for name, r in list(rates.items()) + [("default", default_rate)]:
+        if not (0.0 <= r <= 1.0):
+            raise ValueError(f"rate for {name!r} must be in [0, 1], got {r}")
+
+    def threshold(rate: float) -> str:
+        # fixed 8-hex-width so string order == numeric order; rate 1.0 gets
+        # a sentinel above every hex digit ('g' > 'f') to keep all rows
+        if rate >= 1.0:
+            return "g"
+        return format(int(rate * 16**8), "08x")
+
+    expr = F.lit(threshold(default_rate))
+    for dom, r in sorted(rates.items()):
+        expr = F.when(F.col(group_col) == dom, F.lit(threshold(r))).otherwise(expr)
+    key8 = F.substring(order_key(id_col), 1, 8)
+    return df.where(key8 < expr)

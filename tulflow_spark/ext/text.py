@@ -223,3 +223,53 @@ def text_profile(df: DataFrame, text_col: str = "text") -> DataFrame:
         predict_lang(c).alias("pred_lang"),
         doc_fingerprint(c).alias("fingerprint"),
     )
+
+
+def rarity_terms(
+    df: DataFrame,
+    id_col: str,
+    text_col: str = "text",
+    k: int = 3,
+) -> DataFrame:
+    """Top-``k`` characteristic terms per document by TF-IDF shape with a
+    LINEAR idf: ``score = tf * round(N/df, 9)`` (the classic ``log`` idf
+    is transcendental and would break hash-exact cross-engine parity; the
+    linear ratio ranks identically for fixed tf).
+
+    Output: ``(id, term, tf BIGINT, score DOUBLE, rank BIGINT)``, rank
+    1..k per document ordered by score desc then term asc (deterministic
+    ties).
+
+    Scale shape: token explode is map-only; the (doc, term) tf aggregate
+    and the vocabulary-sized document-frequency aggregate are both
+    map-side combinable; idf joins back via broadcast (vocabulary ≪
+    corpus — swap for a shuffle join past ~100M distinct terms); the
+    final window sorts only within one document's distinct terms.
+    """
+    terms = df.select(
+        F.col(id_col), F.explode(tokens(text_col)).alias("term")
+    )
+    tf = terms.groupBy(id_col, "term").agg(F.count(F.lit(1)).alias("tf"))
+    dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    n_docs = df.select(F.count(F.lit(1)).alias("_nd"))
+
+    from pyspark.sql import Window
+
+    scored = (
+        tf.join(F.broadcast(dfreq), "term")
+        .join(F.broadcast(n_docs))
+        .withColumn(
+            "score",
+            F.round(
+                F.col("tf")
+                * F.round(F.col("_nd").cast("double") / F.col("df").cast("double"), 9),
+                9,
+            ),
+        )
+    )
+    w = Window.partitionBy(id_col).orderBy(F.desc("score"), F.asc("term"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("long"))
+        .where(F.col("rank") <= k)
+        .select(id_col, "term", "tf", "score", "rank")
+    )

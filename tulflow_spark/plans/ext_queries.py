@@ -985,3 +985,70 @@ def tx8_bigram_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     from tulflow_spark.ext.lm import bigram_score
 
     return bigram_score(table(spark, sf_dir, "documents"), "doc_id", "text")
+
+
+@register(
+    "mx3_hash_sample",
+    gate=False,
+    oracle=f"""
+    SELECT doc_id, source
+    FROM documents
+    WHERE substr({_OK}, 1, 8) <
+          CASE source WHEN 'src0' THEN '40000000'
+                      WHEN 'src1' THEN 'g'
+                      ELSE '0ccccccc' END
+    """,
+)
+def mx3_hash_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic per-domain Bernoulli sampling by md5-hash threshold
+    (importance resampling for mixing weights): src0 at 25%, src1 at
+    100%, everything else at 5%.  Map-only — no shuffle, no RNG; the
+    same SQL reproduces the exact sample on any engine, and raising a
+    rate yields a superset of the smaller sample."""
+    from tulflow_spark.ext.mixing import hash_sample
+
+    return hash_sample(
+        table(spark, sf_dir, "documents").select("doc_id", "source"),
+        "doc_id",
+        "source",
+        rates={"src0": 0.25, "src1": 1.0},
+        default_rate=0.05,
+    )
+
+
+@register(
+    "tx9_rarity_terms",
+    gate=False,
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id, {_TOKS} AS t FROM documents
+    ), flat AS (
+      SELECT doc_id, unnest(t) AS tok FROM toks
+    ), tf AS (
+      SELECT doc_id, tok AS term, COUNT(*) AS tf FROM flat GROUP BY 1, 2
+    ), dfreq AS (
+      SELECT term, COUNT(*) AS df FROM tf GROUP BY 1
+    ), scored AS (
+      SELECT doc_id, term, tf,
+             ROUND(tf * ROUND(
+               CAST((SELECT COUNT(*) FROM documents) AS DOUBLE)
+                 / CAST(df AS DOUBLE), 9), 9) AS score
+      FROM tf JOIN dfreq USING (term)
+    ), ranked AS (
+      SELECT doc_id, term, tf, score,
+             ROW_NUMBER() OVER (
+               PARTITION BY doc_id ORDER BY score DESC, term) AS rank
+      FROM scored
+    )
+    SELECT doc_id, term, tf, score, CAST(rank AS BIGINT) AS rank
+    FROM ranked WHERE rank <= 3
+    """,
+)
+def tx9_rarity_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-3 characteristic terms per document: TF-IDF with a linear idf
+    ratio (hash-exact across engines; log idf ranks identically at fixed
+    tf).  Vocabulary-sized df aggregate broadcast back; per-doc window
+    sorts only a document's own distinct terms."""
+    from tulflow_spark.ext.text import rarity_terms
+
+    return rarity_terms(table(spark, sf_dir, "documents"), "doc_id", "text", k=3)
