@@ -153,3 +153,41 @@ def test_mx2_single_partition_only_for_offsets_frame(spark, sf_dir):
     assert plan.count("SinglePartition") == 1
     assert "SortMergeJoin" not in plan and "CartesianProduct" not in plan
     assert plan.count("BroadcastHashJoin") == 1
+
+
+def test_dd9_keeper_agg_is_partial_not_window(spark, sf_dir):
+    """Line-dedup first-occurrence resolution must be the map-side
+    combinable min(struct) aggregate, never a per-line window sort (a hot
+    line would serialize onto one task)."""
+    plan = _extra_plan(spark, sf_dir, "dd9_line_dedup")
+    assert "partial_min" in plan
+    assert "Window" not in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_tx8_model_joins_broadcast(spark, sf_dir):
+    """The bigram model is vocabulary-sized: both the ctx attach and the
+    scoring join must broadcast; the only exchanges are the aggregates'."""
+    plan = _extra_plan(spark, sf_dir, "tx8_bigram_lm_score")
+    assert plan.count("BroadcastHashJoin") == 2
+    assert "SortMergeJoin" not in plan
+    assert "partial_count" in plan and "partial_sum" in plan
+
+
+def test_mx3_is_map_only(spark, sf_dir):
+    """Hash-threshold sampling is a pure filter: no shuffle, no join."""
+    plan = _extra_plan(spark, sf_dir, "mx3_hash_sample")
+    assert "Exchange" not in plan
+    assert "Join" not in plan
+
+
+def test_tx9_idf_broadcast_and_doc_window(spark, sf_dir):
+    """Rarity terms: df/N frames broadcast back; the only window
+    partitions by doc_id (bounded by one document's vocabulary)."""
+    plan = _extra_plan(spark, sf_dir, "tx9_rarity_terms")
+    assert "SortMergeJoin" not in plan
+    # the lone single-partition spot is the 1-row global count(*) frame
+    assert plan.count("SinglePartition") == 1
+    assert plan.count("Window [") == 1
+    # top-k pushed below the doc_id exchange (partial WindowGroupLimit)
+    assert "WindowGroupLimit" in plan and "Partial" in plan
