@@ -227,3 +227,73 @@ def curate_near_dup_cc(
         F.col("node").alias(id_col)
     )
     return base.join(losers, id_col, "left_anti")
+
+
+def curate_pipeline(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    group_col: str,
+    min_quality: float = 0.5,
+    words_per_line: int = 3,
+    rates: dict[str, float] | None = None,
+    default_rate: float = 1.0,
+    seq_len: int = 2048,
+) -> DataFrame:
+    """The full EXACT preprocessing pipeline a pretraining corpus goes
+    through, composed end-to-end in one declarative plan:
+
+    1. quality gate (``quality_score >= min_quality``);
+    2. exact document dedup (md5 groupBy, min-id keeper);
+    3. corpus-wide line-level dedup (first occurrence wins) rewriting
+       each survivor's text;
+    4. deterministic hash-threshold domain sampling (mixing weights);
+    5. greedy sequence packing of the deduped text.
+
+    Every stage is hash-exact (no approximation), so the WHOLE
+    composition is oracle-checkable — the approximate variants
+    (near-dup, LSH) slot between 2 and 3 via :func:`curate_near_dup_cc`.
+
+    Returns one row per surviving document:
+    ``(id, group, quality, n_lines, n_kept, n_tokens, seq_id,
+    seq_offset)`` where ``n_tokens`` counts the line-deduped text and
+    ``(seq_id, seq_offset)`` locate the document in the packed stream.
+
+    Scale: stages 1-2 are cur1's shape (map + one md5-keyed agg + join);
+    stage 3 is dd9's (map-side-combinable keeper agg); stage 4 is a pure
+    filter; stage 5 is the bucketed grouped prefix sum.  Nothing
+    collects, nothing is quadratic, every join key is either broadcast
+    or the data's natural id.
+    """
+    from tulflow_spark.ext.linedup import dedup_lines, pseudo_lines
+    from tulflow_spark.ext.mixing import hash_sample, pack_sequences
+
+    scored = df.select(
+        F.col(id_col),
+        F.col(group_col),
+        F.col(text_col),
+        quality_score(text_col).alias("quality"),
+    ).filter(F.col("quality") >= min_quality)
+    keepers = exact_dedup(scored, id_col, text_col).select(
+        F.col("keeper").alias(id_col)
+    )
+    base = keepers.join(scored, id_col)
+
+    lined = dedup_lines(base, id_col, pseudo_lines(text_col, words_per_line))
+    cur = base.select(id_col, group_col, "quality").join(lined, id_col)
+
+    sampled = hash_sample(cur, id_col, group_col, rates or {}, default_rate)
+
+    packed = pack_sequences(sampled, id_col, "text_dedup", seq_len=seq_len)
+    return sampled.select(
+        id_col, group_col, "quality", "n_lines", "n_kept"
+    ).join(packed, id_col).select(
+        id_col,
+        group_col,
+        "quality",
+        "n_lines",
+        "n_kept",
+        "n_tokens",
+        "seq_id",
+        "seq_offset",
+    )

@@ -1052,3 +1052,96 @@ def tx9_rarity_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     from tulflow_spark.ext.text import rarity_terms
 
     return rarity_terms(table(spark, sf_dir, "documents"), "doc_id", "text", k=3)
+
+
+@register(
+    "cur4_full_pipeline",
+    gate=False,
+    oracle=f"""
+    WITH scored AS (
+      SELECT doc_id, source, text,
+             (least(length(text) / 500.0, 1.0)
+              + least((len(list_filter({_TOKS}, x -> lower(x) IN {_STOPS}))
+                       / len({_TOKS})) * 4, 1.0)
+              + (1.0 - least(((length(text)
+                   - length(regexp_replace(text, '[^\\w\\s]', '', 'g')))
+                   / length(text)) * 5, 1.0))) / 3 AS quality
+      FROM documents
+    ), gated AS (
+      SELECT * FROM scored WHERE quality >= 0.5
+    ), keep AS (
+      SELECT MIN(doc_id) AS doc_id FROM gated GROUP BY md5(text)
+    ), base AS (
+      SELECT g.* FROM gated g JOIN keep USING (doc_id)
+    ), toks AS (
+      SELECT doc_id, {_TOKS} AS t FROM base
+    ), flat AS (
+      SELECT doc_id, unnest(t) AS tok, generate_subscripts(t, 1) AS i
+      FROM toks
+    ), lns AS (
+      SELECT doc_id, CAST((i - 1) // 3 AS INTEGER) AS li,
+             string_agg(tok, ' ' ORDER BY i) AS line
+      FROM flat GROUP BY doc_id, (i - 1) // 3
+    ), ranked AS (
+      SELECT doc_id, li, line,
+             ROW_NUMBER() OVER (PARTITION BY line ORDER BY doc_id, li) AS rn
+      FROM lns
+    ), lagg AS (
+      SELECT doc_id,
+             COUNT(*) AS n_lines,
+             COUNT(*) FILTER (WHERE rn = 1) AS n_kept,
+             COALESCE(
+               string_agg(line, chr(10) ORDER BY li) FILTER (WHERE rn = 1),
+               '') AS text_dedup
+      FROM ranked GROUP BY doc_id
+    ), cur AS (
+      SELECT b.doc_id, b.source, b.quality,
+             COALESCE(a.n_lines, 0) AS n_lines,
+             COALESCE(a.n_kept, 0) AS n_kept,
+             COALESCE(a.text_dedup, '') AS text_dedup
+      FROM base b LEFT JOIN lagg a USING (doc_id)
+    ), samp AS (
+      SELECT * FROM cur
+      WHERE substr({_OK}, 1, 8) <
+            CASE source WHEN 'src0' THEN '80000000'
+                        WHEN 'src1' THEN 'g'
+                        ELSE '40000000' END
+    ), sized AS (
+      SELECT doc_id, source, quality, n_lines, n_kept,
+             CASE WHEN trim(text_dedup) = '' THEN 0
+                  ELSE CAST(len(string_split_regex(trim(text_dedup), '\\s+'))
+                            AS BIGINT) END AS n_tokens,
+             {_OK} AS ok
+      FROM samp
+    ), packed AS (
+      SELECT doc_id, source, quality, n_lines, n_kept, n_tokens,
+             CAST(SUM(n_tokens) OVER (ORDER BY ok, doc_id) AS BIGINT)
+               - n_tokens AS strt
+      FROM sized
+    )
+    SELECT doc_id, source, quality, n_lines, n_kept, n_tokens,
+           strt // 2048 AS seq_id,
+           strt % 2048 AS seq_offset
+    FROM packed
+    """,
+)
+def cur4_full_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The whole exact preprocessing pipeline in ONE declarative plan —
+    quality gate, exact doc dedup, corpus-wide line dedup, deterministic
+    domain sampling (src0 50%, src1 100%, else 25%), sequence packing —
+    oracle-checked end-to-end.  The demonstration that the engine's
+    stages COMPOSE: Catalyst sees one DAG and pipelines the map stages;
+    every shuffle key is an aggregate's natural key."""
+    from tulflow_spark.ext.curation import curate_pipeline
+
+    return curate_pipeline(
+        table(spark, sf_dir, "documents"),
+        "doc_id",
+        "text",
+        "source",
+        min_quality=0.5,
+        words_per_line=3,
+        rates={"src0": 0.5, "src1": 1.0},
+        default_rate=0.25,
+        seq_len=2048,
+    )
