@@ -4,12 +4,14 @@
 plain parquet scans so Catalyst gets predicate pushdown / column pruning /
 partition pruning for free.
 
-One wrinkle: some driver parquet files carry TIMESTAMP(NANOS) columns
-(e.g. ``events.ts``), which Spark's vectorized reader rejects.  We read those
-as raw nanosecond longs (``spark.sql.legacy.parquet.nanosAsLong``) and
-convert to microsecond timestamps with integer division — matching DuckDB's
-ns→µs truncation, so oracle comparisons stay exact.  The conversion is a
-cheap map expression; the scan itself stays columnar.
+One historical wrinkle: earlier driver corpora carried TIMESTAMP(NANOS)
+columns (e.g. ``events.ts``), which Spark's vectorized reader rejects.  We
+read those as raw nanosecond longs (``spark.sql.legacy.parquet.nanosAsLong``)
+and convert to microsecond timestamps with integer division — matching
+DuckDB's ns→µs truncation, so oracle comparisons stay exact.  The current
+corpus stores ``timestamp[us]`` (naive), which Spark reads directly as
+TIMESTAMP_NTZ — the ns path below is then a no-op, and query code must not
+assume LTZ (use type-agnostic expressions like ``timestamp_diff``).
 """
 
 from __future__ import annotations

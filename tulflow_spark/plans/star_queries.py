@@ -421,7 +421,10 @@ def w2_running_total(spark: SparkSession, sf_dir: str) -> DataFrame:
         .over(wsum)
         .cast("double")
         .alias("running_value"),
-        (F.unix_micros(F.col("ts")) - F.unix_micros(prev)).alias("us_since_prev"),
+        # timestamp_diff works on both TIMESTAMP and TIMESTAMP_NTZ — the
+        # driver's regenerated events.ts is now timestamp[us] (naive), which
+        # Spark reads as NTZ, and unix_micros accepts only LTZ.
+        F.timestamp_diff("MICROSECOND", prev, F.col("ts")).alias("us_since_prev"),
     )
 
 
