@@ -191,3 +191,19 @@ def test_tx9_idf_broadcast_and_doc_window(spark, sf_dir):
     assert plan.count("Window [") == 1
     # top-k pushed below the doc_id exchange (partial WindowGroupLimit)
     assert "WindowGroupLimit" in plan and "Partial" in plan
+
+
+def test_ss5_assignment_is_map_only(spark, sf_dir):
+    """Nearest-centroid assignment (parity path) is pure column algebra over
+    the scan: no shuffle, no join — the property that lets every k-means
+    iteration and the SemDeDup blocking pass stream 100 TB map-side."""
+    plan = _extra_plan(spark, sf_dir, "ss5_kmeans_assign")
+    assert "Exchange" not in plan
+    assert "Join" not in plan
+
+
+def test_ss6_pairs_bounded_by_cluster_join(spark, sf_dir):
+    """SemDeDup pair generation shuffles only on the cluster blocking key —
+    no cartesian product, no broadcast of the full embedding table."""
+    plan = _extra_plan(spark, sf_dir, "ss6_semantic_dedup")
+    assert "CartesianProduct" not in plan

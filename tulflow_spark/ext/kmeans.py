@@ -1,0 +1,295 @@
+"""K-means clustering over embedding columns + SemDeDup-style semantic dedup.
+
+LLM-pipeline extension (no reference analogue — ``tulflow`` has no vector
+operations; cf. ``/root/reference/tulflow/process.py`` which is all XML/S3
+helpers).  Public-knowledge algorithms: Lloyd's k-means iterations and the
+cluster-then-dedup-within-cluster recipe of SemDeDup (Abbas et al. 2023,
+arXiv:2303.09540) / DataComp-style semantic filtering.
+
+Scale shape (100 TB, 1000 executors):
+
+- **fit** — per iteration: one *map-only* assignment pass (iterator pandas
+  UDF, a single numpy matmul per Arrow batch; the k×d model rides along in
+  the UDF closure, i.e. a broadcast) plus one (cluster, dim)-keyed mean.
+  The mean is a plain ``groupBy`` → Spark plans map-side partial aggregates,
+  so shuffle volume is bounded by ``n_partitions × k × d`` tiny rows —
+  **the embedding vectors themselves never shuffle during fit**.  Driver
+  state is the k×d centroid matrix (the model), nothing data-sized.
+- **assignment / dedup** — the cluster id becomes a blocking key exactly
+  like the sign-LSH bucket in :mod:`tulflow_spark.ext.similarity`: the
+  quadratic candidate space of semantic dedup is bounded per cluster
+  (``k`` ≈ √n-ish in practice; SemDeDup uses k in the tens of thousands at
+  corpus scale so clusters stay ~10³–10⁴ docs), and per-row norms are
+  computed once before the pair join, not per pair.
+
+Parity: ``exact_parity=True`` routes every dot product through the
+scaled-integer helpers (:func:`similarity.cosine_scaled` — exact,
+associative, order-insensitive BIGINT sums), so cluster assignment and the
+within-cluster cosine threshold are bit-identical to the DuckDB oracle
+regardless of partitioning.  Argmax ties break toward the smallest centroid
+index on both engines.
+"""
+
+from __future__ import annotations
+
+from typing import Iterator, Sequence
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.functions import pandas_udf
+
+from tulflow_spark.ext.similarity import cosine_scaled
+
+Centroids = Sequence[Sequence[float]]
+
+
+def seed_centroids(
+    df: DataFrame, id_col: str = "vec_id", vec_col: str = "embedding", k: int = 8
+) -> list[list[float]]:
+    """Deterministic seeds: the vectors of the ``k`` smallest ids.
+
+    Oracle-expressible (``ORDER BY id LIMIT k``) and stable across runs and
+    partitionings — unlike k-means++ sampling, which would make every
+    downstream gate seed-dependent.  ``head(k)`` moves k vectors (model
+    bootstrap), not data.
+    """
+    rows = df.select(id_col, vec_col).orderBy(id_col).head(k)
+    if len(rows) < k:
+        raise ValueError(f"need at least k={k} rows to seed, got {len(rows)}")
+    return [[float(x) for x in r[1]] for r in rows]
+
+
+def _lit_vec(c: Sequence[float]):
+    return F.array(*[F.lit(float(x)) for x in c])
+
+
+def assign_clusters(
+    df: DataFrame,
+    centroids: Centroids,
+    vec_col: str = "embedding",
+    out_col: str = "cluster",
+    sim_col: str | None = None,
+    exact_parity: bool = False,
+) -> DataFrame:
+    """Nearest-centroid (max-cosine) assignment; ties → smallest index.
+
+    Production path: iterator pandas UDF, one ``(batch × d) @ (d × k)``
+    numpy matmul per Arrow batch against unit-normalized centroids — the
+    same legitimate-Python shape as :func:`similarity.signature_buckets`.
+    Parity path: k scaled-integer cosine columns folded with ``array_max``
+    over ``struct(cos, -index)`` (max cosine, then smallest index) — pure
+    column algebra, hash-identical to the DuckDB oracle.
+    """
+    k = len(centroids)
+    if k == 0:
+        raise ValueError("centroids must be non-empty")
+    if exact_parity:
+        packed = F.array_max(
+            F.array(
+                *[
+                    F.struct(
+                        cosine_scaled(F.col(vec_col), _lit_vec(c)).alias("cos"),
+                        F.lit(-j).alias("negj"),
+                    )
+                    for j, c in enumerate(centroids)
+                ]
+            )
+        )
+        out = df.withColumn("_best", packed).withColumn(
+            out_col, (-F.col("_best.negj")).cast("int")
+        )
+        if sim_col is not None:
+            out = out.withColumn(sim_col, F.col("_best.cos"))
+        return out.drop("_best")
+
+    cmat = np.asarray(centroids, dtype=np.float64)  # (k, d)
+    cnorm = np.linalg.norm(cmat, axis=1)
+    cnorm[cnorm == 0.0] = 1.0
+    cunit = cmat / cnorm[:, None]
+
+    @pandas_udf("struct<cluster:int,centroid_sim:double>")
+    def nearest(batches: Iterator[pd.Series]) -> Iterator[pd.DataFrame]:
+        for v in batches:
+            mat = np.vstack(v.to_numpy()).astype(np.float64)  # (b, d)
+            norms = np.linalg.norm(mat, axis=1)
+            norms[norms == 0.0] = 1.0
+            sims = (mat / norms[:, None]) @ cunit.T  # (b, k)
+            # argmax returns the FIRST max → smallest index on ties,
+            # matching the parity path's struct ordering
+            idx = sims.argmax(axis=1)
+            yield pd.DataFrame(
+                {
+                    "cluster": idx.astype(np.int32),
+                    "centroid_sim": sims[np.arange(len(idx)), idx],
+                }
+            )
+
+    out = df.withColumn("_best", nearest(F.col(vec_col))).withColumn(
+        out_col, F.col("_best.cluster")
+    )
+    if sim_col is not None:
+        out = out.withColumn(sim_col, F.col("_best.centroid_sim"))
+    return out.drop("_best")
+
+
+def kmeans_fit(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 8,
+    max_iter: int = 10,
+    tol: float = 1e-6,
+    centroids: Centroids | None = None,
+) -> list[list[float]]:
+    """Lloyd's iterations; returns the k×d centroid list (the model).
+
+    Per iteration: assignment (map-only, see :func:`assign_clusters`) then a
+    (cluster, dim) mean via ``posexplode`` + ``groupBy().avg()`` — partial
+    aggregation bounds shuffle rows at ``partitions × k × d``; the k×d
+    result is collected to the driver because it IS the model, the only
+    driver-side state.  Empty clusters keep their previous centroid (the
+    standard Lloyd fallback).  Stops when the max centroid L2 shift < tol.
+    """
+    base = df.select(id_col, vec_col)
+    cmat = np.asarray(
+        centroids if centroids is not None else seed_centroids(base, id_col, vec_col, k),
+        dtype=np.float64,
+    )
+    k = len(cmat)
+    for _ in range(max_iter):
+        assigned = assign_clusters(base, cmat.tolist(), vec_col=vec_col)
+        rows = (
+            assigned.select("cluster", F.posexplode(vec_col).alias("pos", "val"))
+            .groupBy("cluster", "pos")
+            .agg(F.avg("val").alias("m"))
+            .collect()
+        )
+        new = cmat.copy()
+        for r in rows:
+            new[r["cluster"], r["pos"]] = r["m"]
+        shift = float(np.sqrt(((new - cmat) ** 2).sum(axis=1)).max())
+        cmat = new
+        if shift < tol:
+            break
+    return cmat.tolist()
+
+
+def semantic_dedup_pairs(
+    df: DataFrame,
+    centroids: Centroids,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    threshold: float = 0.4,
+    exact_parity: bool = False,
+) -> DataFrame:
+    """Within-cluster near-duplicate pairs (id_a < id_b, cosine ≥ threshold).
+
+    The cluster id is the blocking key — same bounded-quadratic shape as
+    :func:`similarity.blocked_near_dup_pairs`, which this reuses (per-row
+    norms precomputed before the pair join)."""
+    from tulflow_spark.ext.similarity import blocked_near_dup_pairs
+
+    assigned = assign_clusters(
+        df.select(id_col, vec_col),
+        centroids,
+        vec_col=vec_col,
+        exact_parity=exact_parity,
+    )
+    return blocked_near_dup_pairs(
+        assigned,
+        id_col=id_col,
+        vec_col=vec_col,
+        block_col="cluster",
+        threshold=threshold,
+        exact_parity=exact_parity,
+    )
+
+
+def semantic_dedup(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 8,
+    threshold: float = 0.4,
+    max_iter: int = 10,
+    centroids: Centroids | None = None,
+    exact_parity: bool = False,
+) -> DataFrame:
+    """SemDeDup: cluster, then drop every vector that has a same-cluster
+    neighbor with a SMALLER id at cosine ≥ threshold (first-occurrence-wins,
+    the same greedy keeper rule as ``curation.curate_near_dup``).
+
+    Returns the surviving rows of ``df`` plus their ``cluster`` column.
+    Passing ``centroids`` skips the fit (and is what the oracle pair does,
+    pinning assignment+pair+survivor semantics; the iterative fit is
+    pytest-covered instead — it is model training, not a query).
+    """
+    from tulflow_spark.ext.similarity import blocked_near_dup_pairs
+
+    if centroids is None:
+        centroids = kmeans_fit(
+            df, id_col=id_col, vec_col=vec_col, k=k, max_iter=max_iter
+        )
+    assigned = assign_clusters(
+        df, centroids, vec_col=vec_col, exact_parity=exact_parity
+    )
+    # one assignment pass feeds both the pair join and the survivor output
+    pairs = blocked_near_dup_pairs(
+        assigned,
+        id_col=id_col,
+        vec_col=vec_col,
+        block_col="cluster",
+        threshold=threshold,
+        exact_parity=exact_parity,
+    )
+    dropped = pairs.select(F.col("id_b").alias(id_col)).distinct()
+    return assigned.join(dropped, id_col, "left_anti")
+
+
+def cluster_summary(
+    df: DataFrame,
+    centroids: Centroids,
+    vec_col: str = "embedding",
+    exact_parity: bool = False,
+) -> DataFrame:
+    """Per-cluster size and mean cosine-to-centroid — the fit-quality
+    diagnostic (map-side-combinable aggregate over the assignment pass)."""
+    assigned = assign_clusters(
+        df,
+        centroids,
+        vec_col=vec_col,
+        sim_col="centroid_sim",
+        exact_parity=exact_parity,
+    )
+    return assigned.groupBy("cluster").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.avg("centroid_sim").alias("mean_sim"),
+    )
+
+
+def production_assignment(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 8,
+    max_iter: int = 5,
+) -> DataFrame:
+    """Fit + assign with the production (numpy) path — the rows-only demo
+    query; its agreement with the parity path is pinned by pytest."""
+    model = kmeans_fit(df, id_col=id_col, vec_col=vec_col, k=k, max_iter=max_iter)
+    return assign_clusters(
+        df.select(id_col, vec_col), model, vec_col=vec_col, sim_col="centroid_sim"
+    ).select(id_col, "cluster", F.round("centroid_sim", 6).alias("centroid_sim"))
+
+
+__all__ = [
+    "seed_centroids",
+    "assign_clusters",
+    "kmeans_fit",
+    "semantic_dedup_pairs",
+    "semantic_dedup",
+    "cluster_summary",
+    "production_assignment",
+]

@@ -356,6 +356,129 @@ def ss4_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return index.search(vec, k=10, n_probes=6)
 
 
+# k-means / semantic dedup (ext.kmeans) — deterministic seed centroids =
+# vectors of the 8 smallest vec_ids, so assignment is oracle-expressible.
+_CENT_CTE = f"""
+    cent AS (
+      SELECT ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS cid, embedding AS ce
+      FROM (SELECT vec_id, embedding FROM embeddings ORDER BY vec_id LIMIT 8)
+    ),
+    vnorm AS (
+      SELECT e.vec_id, {_DOT.format(a='e.embedding', b='e.embedding')} AS nn
+      FROM embeddings e CROSS JOIN generate_series(1, 64) g(i)
+      GROUP BY e.vec_id
+    ),
+    cnorm AS (
+      SELECT c.cid, {_DOT.format(a='c.ce', b='c.ce')} AS nn
+      FROM cent c CROSS JOIN generate_series(1, 64) g(i)
+      GROUP BY c.cid
+    ),
+    adot AS (
+      SELECT e.vec_id, c.cid, {_DOT.format(a='e.embedding', b='c.ce')} AS ds
+      FROM embeddings e CROSS JOIN cent c CROSS JOIN generate_series(1, 64) g(i)
+      GROUP BY e.vec_id, c.cid
+    ),
+    best AS (
+      SELECT a.vec_id, a.cid,
+             CAST(a.ds AS DOUBLE) /
+               (sqrt(CAST(v.nn AS DOUBLE)) * sqrt(CAST(c.nn AS DOUBLE))) AS cs,
+             ROW_NUMBER() OVER (
+               PARTITION BY a.vec_id
+               ORDER BY CAST(a.ds AS DOUBLE) /
+                 (sqrt(CAST(v.nn AS DOUBLE)) * sqrt(CAST(c.nn AS DOUBLE))) DESC,
+                 a.cid
+             ) AS rn
+      FROM adot a JOIN vnorm v USING (vec_id) JOIN cnorm c USING (cid)
+    ),
+    asg AS (SELECT vec_id, cid AS cluster, cs FROM best WHERE rn = 1)
+"""
+
+
+@register(
+    "ss5_kmeans_assign",
+    gate=False,  # slot budget: driver adjudicates ~50; local parity suite runs this
+    oracle=f"""
+    WITH {_CENT_CTE}
+    SELECT vec_id, CAST(cluster AS INT) AS cluster,
+           ROUND(cs, 9) AS centroid_sim
+    FROM asg
+    """,
+)
+def ss5_kmeans_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Nearest-centroid assignment (max cosine, ties → smallest centroid
+    index) against deterministic seed centroids — the map-only pass every
+    k-means iteration and SemDeDup blocking run.  Parity mode: scaled-int
+    cosine column algebra, hash-identical to the DuckDB argmax."""
+    from tulflow_spark.ext import kmeans
+
+    emb = table(spark, sf_dir, "embeddings")
+    cents = kmeans.seed_centroids(emb, "vec_id", "embedding", k=8)
+    return kmeans.assign_clusters(
+        emb.select("vec_id", "embedding"),
+        cents,
+        sim_col="centroid_sim",
+        exact_parity=True,
+    ).select("vec_id", "cluster", F.round("centroid_sim", 9).alias("centroid_sim"))
+
+
+@register(
+    "ss6_semantic_dedup",
+    gate=False,  # slot budget — see ss5
+    oracle=f"""
+    WITH {_CENT_CTE},
+    pdot AS (
+      SELECT pa.vec_id AS id_a, pb.vec_id AS id_b,
+             {_DOT.format(a='ea.embedding', b='eb.embedding')} AS ds
+      FROM asg pa
+        JOIN asg pb ON pa.cluster = pb.cluster AND pa.vec_id < pb.vec_id
+        JOIN embeddings ea ON ea.vec_id = pa.vec_id
+        JOIN embeddings eb ON eb.vec_id = pb.vec_id
+        CROSS JOIN generate_series(1, 64) g(i)
+      GROUP BY 1, 2
+    ),
+    dropped AS (
+      SELECT DISTINCT p.id_b FROM pdot p
+        JOIN vnorm na ON na.vec_id = p.id_a
+        JOIN vnorm nb ON nb.vec_id = p.id_b
+      WHERE CAST(p.ds AS DOUBLE) /
+              (sqrt(CAST(na.nn AS DOUBLE)) * sqrt(CAST(nb.nn AS DOUBLE))) >= 0.4
+    )
+    SELECT a.vec_id, CAST(a.cluster AS INT) AS cluster
+    FROM asg a WHERE a.vec_id NOT IN (SELECT id_b FROM dropped)
+    """,
+)
+def ss6_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup (Abbas et al. 2023): cluster by nearest centroid, then drop
+    every vector with a same-cluster neighbor at cosine ≥ 0.4 and a smaller
+    id (first-occurrence-wins keeper, same greedy rule as curate_near_dup).
+    Fixed seed centroids pin assignment+pair+survivor semantics to SQL; the
+    iterative fit is covered by ss7 + pytest."""
+    from tulflow_spark.ext import kmeans
+
+    emb = table(spark, sf_dir, "embeddings")
+    cents = kmeans.seed_centroids(emb, "vec_id", "embedding", k=8)
+    return kmeans.semantic_dedup(
+        emb.select("vec_id", "embedding"),
+        centroids=cents,
+        threshold=0.4,
+        exact_parity=True,
+    ).select("vec_id", "cluster")
+
+
+@register("ss7_kmeans_fit", gate=False)  # iterative model fit → rows-only;
+# production-vs-parity assignment agreement is pinned by tests/test_kmeans.py
+def ss7_kmeans_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full Lloyd's fit (5 iterations, numpy production path) + assignment —
+    the model-training query SQL cannot express; per-iteration shuffle is
+    bounded at partitions × k × d partial-mean rows."""
+    from tulflow_spark.ext import kmeans
+
+    emb = table(spark, sf_dir, "embeddings")
+    return kmeans.production_assignment(
+        emb, "vec_id", "embedding", k=8, max_iter=5
+    )
+
+
 @register(
     "dd6_boilerplate_ngrams",
     oracle=f"""
