@@ -44,3 +44,57 @@ def test_sketch_column_is_storable(spark, tmp_path):
     est = merge_sketches(back, ["_all"]).head().distinct_estimate
     exact = ev.select("user_id").distinct().count()
     assert abs(est - exact) / exact < 0.05
+
+
+# ---------------------------------------------------------------------------
+# Misra-Gries heavy hitters
+# ---------------------------------------------------------------------------
+
+
+def test_heavy_hitters_exact_vs_plain_groupby(spark):
+    """MG-candidates + recount must equal the exact HAVING answer on a
+    zipf-ish corpus, regardless of partitioning."""
+    import numpy as np
+
+    from tulflow_spark.ext.sketches import heavy_hitters
+
+    rng = np.random.default_rng(5)
+    vals = [f"k{int(v)}" for v in rng.zipf(1.3, size=20_000) % 500]
+    df = spark.createDataFrame([(v,) for v in vals], "tok string").repartition(13)
+    got = {
+        (r["tok"], r["cnt"]) for r in heavy_hitters(df, "tok", k=32).collect()
+    }
+    exact = {
+        (r["tok"], r["cnt"])
+        for r in df.groupBy("tok")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .filter(F.col("cnt") * 32 > len(vals))
+        .collect()
+    }
+    assert got == exact and exact  # non-trivial answer set
+
+
+def test_misra_gries_partial_is_bounded_and_superset(spark):
+    """Each partition emits ≤ width rows; every true heavy hitter appears in
+    the candidate union (the guarantee the recount pass relies on)."""
+    from tulflow_spark.ext.sketches import misra_gries_partial
+
+    # 4 partitions, one dominant key + noise
+    rows = [("hot",)] * 4000 + [(f"n{i}",) for i in range(4000)]
+    df = spark.createDataFrame(rows, "tok string").repartition(4)
+    width = 16
+    sk = misra_gries_partial(df, "tok", width=width).collect()
+    per_part = {}
+    for r in sk:
+        per_part[r["tok"]] = per_part.get(r["tok"], 0) + 1
+    assert len(sk) <= 4 * width
+    assert "hot" in {r["tok"] for r in sk}
+
+
+def test_heavy_hitters_empty_answer(spark):
+    """Uniform data above the threshold cardinality → empty result, no error."""
+    from tulflow_spark.ext.sketches import heavy_hitters
+
+    rows = [(f"u{i % 200}",) for i in range(2000)]
+    df = spark.createDataFrame(rows, "tok string")
+    assert heavy_hitters(df, "tok", k=64).count() == 0

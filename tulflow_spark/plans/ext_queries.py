@@ -576,6 +576,32 @@ def a7_hll_sketch_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "a8_heavy_hitters",
+    gate=False,  # slot budget — local parity suite adjudicates
+    oracle=f"""
+    WITH toks AS (
+      SELECT unnest({_TOKS}) AS tok FROM documents
+    ),
+    tot AS (SELECT COUNT(*) AS n FROM toks),
+    cnts AS (SELECT tok, COUNT(*) AS cnt FROM toks GROUP BY tok)
+    SELECT tok, cnt FROM cnts CROSS JOIN tot WHERE cnt * 64 > n
+    """,
+)
+def a8_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT frequent tokens (freq > 1/64 of the corpus) via per-partition
+    Misra-Gries candidate sketches + an exact recount of candidates only —
+    bounded memory at any key cardinality, exact (not estimated) output, so
+    the oracle is a plain HAVING filter rather than an error bound."""
+    from tulflow_spark.ext.sketches import heavy_hitters
+
+    toks = (
+        table(spark, sf_dir, "documents")
+        .select(F.explode(T.tokens("text")).alias("tok"))
+    )
+    return heavy_hitters(toks, "tok", k=64)
+
+
+@register(
     "dd3b_ngram_capped",
     oracle=f"""
     WITH {_GRAMS_CTE},
