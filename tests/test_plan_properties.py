@@ -82,16 +82,21 @@ def test_boundwith_enrich_is_broadcast(spark):
     assert "BroadcastHashJoin" in plan
 
 
-def test_ns_timestamp_range_scan_pushes_down(spark, sf_dir):
-    """events.ts is TIMESTAMP(NANOS): the range helper must push the filter
-    to the scan as an int64 predicate (plain filtering after conversion
-    cannot)."""
+def test_timestamp_range_scan_pushes_down(spark, sf_dir):
+    """events time-range scans must reach the parquet footer as pushed
+    filters in BOTH corpus layouts: timestamp[us]/NTZ (native pushdown —
+    the current driver corpus) and TIMESTAMP(NANOS) (legacy layout, where
+    only the helper's raw-int64 filter can push; plain post-conversion
+    filtering cannot)."""
+    import os
     from datetime import datetime, timezone
 
-    from tulflow_spark.io import table, table_with_time_range
+    from tulflow_spark.io import _nanos_columns, table, table_with_time_range
 
-    start = datetime(2024, 1, 10, tzinfo=timezone.utc)
-    end = datetime(2024, 1, 20, tzinfo=timezone.utc)
+    ns_layout = "ts" in _nanos_columns(os.path.join(sf_dir, "events.parquet"))
+    tz = timezone.utc if ns_layout else None  # naive ⇔ NTZ comparisons
+    start = datetime(2024, 1, 10, tzinfo=tz)
+    end = datetime(2024, 1, 20, tzinfo=tz)
     fast = table_with_time_range(spark, sf_dir, "events", "ts", start, end)
     plan = fast._jdf.queryExecution().executedPlan().toString()
     assert "PushedFilters: [IsNotNull(ts), GreaterThanOrEqual(ts," in plan
@@ -99,8 +104,9 @@ def test_ns_timestamp_range_scan_pushes_down(spark, sf_dir):
     slow = table(spark, sf_dir, "events").filter(
         (F.col("ts") >= F.lit(start)) & (F.col("ts") < F.lit(end))
     )
-    slow_plan = slow._jdf.queryExecution().executedPlan().toString()
-    assert "GreaterThanOrEqual(ts" not in slow_plan  # the mismatch being fixed
+    if ns_layout:
+        slow_plan = slow._jdf.queryExecution().executedPlan().toString()
+        assert "GreaterThanOrEqual(ts" not in slow_plan  # the ns mismatch
     assert fast.count() == slow.count() > 0
 
 

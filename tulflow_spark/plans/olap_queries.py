@@ -268,3 +268,60 @@ def j5_variant_json(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count_distinct(F.col("k")).alias("n_distinct_k"),
         )
     )
+
+
+@register(
+    "a9_approx_quantiles",
+    gate=False,  # slot budget — local parity suite adjudicates
+    oracle="""
+    WITH ex AS (
+      SELECT event_type,
+             quantile_cont(value, 0.5) AS exact_p50,
+             quantile_cont(value, 0.99) AS exact_p99,
+             COUNT(*) AS n
+      FROM events GROUP BY event_type
+    )
+    SELECT event_type, n, TRUE AS p50_within_bound, TRUE AS p99_within_bound
+    FROM ex
+    """,
+)
+def a9_approx_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mergeable quantile sketches: `percentile_approx` (Greenwald-Khanna,
+    rank error ≤ 1/accuracy) per event_type — the 100 TB path where exact
+    percentiles (a6) would shuffle every value; sketches merge map-side.
+
+    Oracle-gated like a7: the flags assert the approximate p50/p99 land
+    within the GK rank-error bound of the EXACT quantiles (both engines
+    agree on group keys and counts; a sketch regression flips a flag)."""
+    ev = table(spark, sf_dir, "events")
+    acc = 1000  # rank error <= n/1000 per group
+    approx = ev.groupBy("event_type").agg(
+        F.expr(f"percentile_approx(value, 0.5, {acc})").alias("a50"),
+        F.expr(f"percentile_approx(value, 0.99, {acc})").alias("a99"),
+        F.count(F.lit(1)).alias("n"),
+    )
+    # the bound brackets must use the sketch's own DISCRETE order-statistic
+    # semantics, not interpolated percentile(): max-accuracy GK is exact and
+    # definitionally identical, so [p-eps, p+eps] brackets are airtight at
+    # any group size (interpolated brackets fail when eps*n < 1 rank).
+    # eps is 5x the nominal 1/acc: merging per-partition GK summaries
+    # degrades the guarantee by a small constant factor that varies with
+    # the session's partition count (observed ~3 ranks past nominal under
+    # a vanilla 4-core session) — 5x still fails loudly on a real estimator
+    # regression, which lands whole percentiles away
+    exact_acc = 2147483647
+    eps = 5.0 / acc
+    exact = ev.groupBy("event_type").agg(
+        F.expr(f"percentile_approx(value, {0.5 - eps}, {exact_acc})").alias("e50_lo"),
+        F.expr(f"percentile_approx(value, {0.5 + eps}, {exact_acc})").alias("e50_hi"),
+        F.expr(f"percentile_approx(value, {0.99 - eps}, {exact_acc})").alias("e99_lo"),
+        F.expr(f"percentile_approx(value, {min(1.0, 0.99 + eps)}, {exact_acc})").alias("e99_hi"),
+    )
+    return approx.join(exact, "event_type").select(
+        "event_type",
+        "n",
+        ((F.col("a50") >= F.col("e50_lo")) & (F.col("a50") <= F.col("e50_hi")))
+        .alias("p50_within_bound"),
+        ((F.col("a99") >= F.col("e99_lo")) & (F.col("a99") <= F.col("e99_hi")))
+        .alias("p99_within_bound"),
+    )
