@@ -465,6 +465,26 @@ def ss6_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("vec_id", "cluster")
 
 
+@register("ss8_pq_topk", gate=False)  # lossy quantization → rows-only;
+# overlap@10 >= 0.5 (with 50-candidate exact re-rank) is pinned by
+# tests/test_pq.py::test_pq_overlap_vs_brute_force, and exact-recovery
+# semantics by ::test_pq_reconstructs_exactly_when_codebook_covers_data
+def ss8_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product-quantization ANN (Jégou et al. 2011): 8×16 codebook trained
+    in-corpus (all subspaces per pass, vectors never shuffle), vectors
+    stored as 8-byte codes (32× scan compression), query scored by a pure
+    JVM ADC lookup-table aggregate over the codes column, exact re-rank of
+    the top 50 only — the storable-index scale path beside sign-LSH (ss3)
+    and IVF (ss4)."""
+    from tulflow_spark.ext import pq as _pq
+
+    emb = table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    vec = similarity.query_vector(emb, "vec_id", "embedding", 0)
+    cb = _pq.pq_train(emb, dim=64, m=8, ksub=16, max_iter=3)
+    enc = _pq.pq_encode(emb.filter(F.col("vec_id") != 0), cb)
+    return _pq.pq_topk(enc, cb, vec, k=10, rerank=50)
+
+
 @register("ss7_kmeans_fit", gate=False)  # iterative model fit → rows-only;
 # production-vs-parity assignment agreement is pinned by tests/test_kmeans.py
 def ss7_kmeans_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
