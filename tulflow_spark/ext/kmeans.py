@@ -40,7 +40,9 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.functions import pandas_udf
 
-from tulflow_spark.ext.similarity import cosine_scaled
+import math
+
+from tulflow_spark.ext.similarity import SCALE, dot_scaled, norm_sq_scaled
 
 Centroids = Sequence[Sequence[float]]
 
@@ -86,11 +88,23 @@ def assign_clusters(
     if k == 0:
         raise ValueError("centroids must be non-empty")
     if exact_parity:
+        # the row norm is computed ONCE (not per centroid) and centroid
+        # norms are folded to literals driver-side with the identical IEEE
+        # arithmetic (floor(x*x*SCALE) summed as exact ints) — k+1 array
+        # reductions in the plan instead of 3k, which is what keeps the
+        # codegen tree (and its compile time) linear in k
+        def _scaled_norm(c: Sequence[float]) -> int:
+            return sum(int(math.floor(float(x) * float(x) * float(SCALE))) for x in c)
+
+        vn = F.sqrt(norm_sq_scaled(F.col(vec_col)).cast("double"))
         packed = F.array_max(
             F.array(
                 *[
                     F.struct(
-                        cosine_scaled(F.col(vec_col), _lit_vec(c)).alias("cos"),
+                        (
+                            dot_scaled(F.col(vec_col), _lit_vec(c))
+                            / (vn * F.lit(math.sqrt(float(_scaled_norm(c)))))
+                        ).alias("cos"),
                         F.lit(-j).alias("negj"),
                     )
                     for j, c in enumerate(centroids)
