@@ -1157,6 +1157,71 @@ def tx8_bigram_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "tx10_nb_langid",
+    gate=False,  # slot budget — local parity suite adjudicates
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id, lang = 'en' AS y, unnest({_TOKS}) AS tok FROM documents
+    ),
+    sc AS (
+      SELECT CAST(SUM(CASE WHEN y THEN 1 ELSE 0 END) AS BIGINT) AS tot_pos,
+             CAST(COUNT(*) AS BIGINT) AS tot_all,
+             CAST(COUNT(DISTINCT tok) AS BIGINT) AS v
+      FROM toks
+    ),
+    m AS (
+      SELECT tok, SUM(CASE WHEN y THEN 1 ELSE 0 END) AS c_pos,
+             COUNT(*) AS c_all
+      FROM toks GROUP BY tok
+    ),
+    terms AS (
+      SELECT tok,
+             CAST(FLOOR(CAST(c_pos + 1 AS DOUBLE)
+                        / CAST(tot_pos + v AS DOUBLE) * 1e9) AS BIGINT)
+               AS t_pos,
+             CAST(FLOOR(CAST(c_all - c_pos + 1 AS DOUBLE)
+                        / CAST(tot_all - tot_pos + v AS DOUBLE) * 1e9)
+                  AS BIGINT) AS t_neg
+      FROM m CROSS JOIN sc
+    ),
+    pri AS (
+      SELECT CAST(FLOOR(CAST(SUM(CASE WHEN lang = 'en' THEN 1 ELSE 0 END)
+                              AS DOUBLE) / COUNT(*) * 1e9) AS BIGINT)
+               AS p_pos,
+             CAST(FLOOR(CAST(SUM(CASE WHEN lang <> 'en' THEN 1 ELSE 0 END)
+                              AS DOUBLE) / COUNT(*) * 1e9) AS BIGINT)
+               AS p_neg
+      FROM documents
+    ),
+    doc AS (
+      SELECT doc_id,
+             CAST(SUM(t_pos) AS BIGINT) AS sp,
+             CAST(SUM(t_neg) AS BIGINT) AS sn
+      FROM toks JOIN terms USING (tok) GROUP BY doc_id
+    )
+    SELECT doc_id,
+           CAST(sp + p_pos AS DOUBLE) / 1e9 AS s_pos,
+           CAST(sn + p_neg AS DOUBLE) / 1e9 AS s_neg,
+           (sp + p_pos) > (sn + p_neg) AS pred
+    FROM doc CROSS JOIN pri
+    """,
+)
+def tx10_nb_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Self-trained multinomial Naive Bayes (is-English from bag of
+    tokens) — the trained-classifier quality-filter shape (fastText-style
+    classifiers in DCLM/FineWeb pipelines).  Model = two map-side
+    aggregates broadcast into the scoring join; the engine-exact additive
+    scorer makes per-document scores and predictions hash-match DuckDB
+    (the log-space production scorer is nb_log_scores — a different
+    decision rule; pytest pins >=80% agreement here and exact agreement
+    on separable corpora)."""
+    from tulflow_spark.ext.nb import nb_scores
+
+    d = table(spark, sf_dir, "documents")
+    return nb_scores(d, "doc_id", "text", F.col("lang") == "en")
+
+
+@register(
     "mx3_hash_sample",
     gate=False,
     oracle=f"""
