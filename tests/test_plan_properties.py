@@ -213,3 +213,10 @@ def test_ss6_pairs_bounded_by_cluster_join(spark, sf_dir):
     no cartesian product, no broadcast of the full embedding table."""
     plan = _extra_plan(spark, sf_dir, "ss6_semantic_dedup")
     assert "CartesianProduct" not in plan
+
+
+def test_mx4_stratified_sample_has_partial_group_limit(spark, sf_dir):
+    """Hash-order per-group top-k must prune below the exchange: each map
+    task forwards at most k rows per group (partial WindowGroupLimit)."""
+    plan = _extra_plan(spark, sf_dir, "mx4_stratified_sample")
+    assert "WindowGroupLimit" in plan and "Partial" in plan

@@ -213,3 +213,29 @@ def hash_sample(
         expr = F.when(F.col(group_col) == dom, F.lit(threshold(r))).otherwise(expr)
     key8 = F.substring(order_key(id_col), 1, 8)
     return df.where(key8 < expr)
+
+
+def stratified_sample(
+    df: DataFrame, id_col: str, group_col: str, k: int
+) -> DataFrame:
+    """Exact-k-per-group deterministic sample: the k rows with the smallest
+    md5 order keys in each group — reservoir sampling's output contract
+    (uniform exact-k per stratum) without its RNG or sequential state, so
+    any engine re-draws the identical sample (test-set carving, per-domain
+    eval slices).
+
+    Scale shape: the hash-order window top-k compiles to a PARTIAL
+    ``WindowGroupLimit`` below the group exchange (same plan property as
+    ``text.rarity_terms``) — each map task forwards at most k rows per
+    group, so a 100 TB stratum shuffles ~k×partitions rows, not the
+    stratum."""
+    if k < 1:
+        raise ValueError(f"k must be >= 1, got {k}")
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(group_col).orderBy(order_key(id_col), F.col(id_col))
+    return (
+        df.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") <= k)
+        .drop("_rn")
+    )

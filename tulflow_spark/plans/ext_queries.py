@@ -1157,6 +1157,35 @@ def tx8_bigram_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "mx4_stratified_sample",
+    gate=False,  # slot budget — local parity suite adjudicates
+    oracle="""
+    SELECT doc_id, source FROM (
+      SELECT doc_id, source,
+             ROW_NUMBER() OVER (
+               PARTITION BY source
+               ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id
+             ) AS rn
+      FROM documents
+    ) WHERE rn <= 20
+    """,
+)
+def mx4_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-20-per-source deterministic sample (hash-order top-k):
+    reservoir sampling's contract without RNG — re-drawable byte-for-byte
+    on any engine; the window top-k prunes to <=k rows per map task
+    before the group exchange (partial WindowGroupLimit, pinned)."""
+    from tulflow_spark.ext.mixing import stratified_sample
+
+    return stratified_sample(
+        table(spark, sf_dir, "documents").select("doc_id", "source"),
+        "doc_id",
+        "source",
+        k=20,
+    )
+
+
+@register(
     "tx10_nb_langid",
     gate=False,  # slot budget — local parity suite adjudicates
     oracle=f"""
