@@ -57,6 +57,20 @@ def estimate(sketch: Column | str) -> Column:
 # ---------------------------------------------------------------------------
 
 
+def mg_merge_counts(counters: dict, items, width: int) -> dict:
+    """Fold ``(value, count)`` pairs into a Misra-Gries summary of at most
+    ``width`` counters — the mergeable-summaries reduction (Agarwal et al.,
+    PODS'12): add pointwise; when more than ``width`` counters remain,
+    subtract the (width+1)-th largest value from all and drop non-positive.
+    Shared by the batch sketch and the streaming stateful operator."""
+    for v, c in items:
+        counters[v] = counters.get(v, 0) + int(c)
+    if len(counters) > width:
+        delta = sorted(counters.values(), reverse=True)[width]
+        counters = {v: c - delta for v, c in counters.items() if c > delta}
+    return counters
+
+
 def misra_gries_partial(
     df: DataFrame, key_col: str, width: int = 128
 ) -> DataFrame:
@@ -83,14 +97,9 @@ def misra_gries_partial(
     def sketch(batches):
         counters: dict = {}
         for pdf in batches:
-            vc = pdf[key_col].value_counts()
-            for v, c in vc.items():
-                counters[v] = counters.get(v, 0) + int(c)
-            if len(counters) > width:
-                delta = sorted(counters.values(), reverse=True)[width]
-                counters = {
-                    v: c - delta for v, c in counters.items() if c > delta
-                }
+            counters = mg_merge_counts(
+                counters, pdf[key_col].value_counts().items(), width
+            )
         yield pd.DataFrame(
             {key_col: list(counters.keys()), "mg_count": list(counters.values())}
         )
