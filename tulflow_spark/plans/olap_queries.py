@@ -325,3 +325,44 @@ def a9_approx_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
         ((F.col("a99") >= F.col("e99_lo")) & (F.col("a99") <= F.col("e99_hi")))
         .alias("p99_within_bound"),
     )
+
+
+@register(
+    "ev4_funnel",
+    gate=False,  # slot budget — local parity suite adjudicates
+    oracle="""
+    WITH v AS (SELECT user_id, ts FROM events WHERE event_type = 'view'),
+    c AS (SELECT user_id, ts FROM events WHERE event_type = 'click')
+    SELECT COUNT(*) AS conversions,
+           COUNT(DISTINCT user_id) AS converted_users
+    FROM v
+    WHERE EXISTS (
+      SELECT 1 FROM c
+      WHERE c.user_id = v.user_id
+        AND c.ts > v.ts
+        AND c.ts <= v.ts + INTERVAL 30 MINUTE
+    )
+    """,
+)
+def ev4_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Funnel conversion (view → click within 30 min): EXISTS decorrelated
+    to a LEFT SEMI self-join on user_id with range conjuncts — both sides
+    pre-filtered at the scan, one shuffle on the user key, per-user pair
+    space bounded by a user's own activity."""
+    ev = table(spark, sf_dir, "events")
+    v = ev.filter(F.col("event_type") == "view").select("user_id", "ts")
+    c = (
+        ev.filter(F.col("event_type") == "click")
+        .select(F.col("user_id").alias("c_uid"), F.col("ts").alias("c_ts"))
+    )
+    hits = v.join(
+        c,
+        (F.col("user_id") == F.col("c_uid"))
+        & (F.col("c_ts") > F.col("ts"))
+        & (F.col("c_ts") <= F.col("ts") + F.expr("INTERVAL 30 MINUTES")),
+        "left_semi",
+    )
+    return hits.agg(
+        F.count(F.lit(1)).alias("conversions"),
+        F.countDistinct("user_id").alias("converted_users"),
+    )
