@@ -57,8 +57,18 @@ def test_topk_is_take_ordered_not_global_sort(spark, sf_dir):
 
 
 def test_no_cartesian_anywhere(spark, sf_dir):
+    from tulflow_spark.plans import EXTRA_QUERIES
+
     for name in sorted(QUERIES):
         plan = _plan(spark, sf_dir, name)
+        assert "CartesianProduct" not in plan, name
+    # the de-gated extras are held to the same bar (broadcast-nested-loop
+    # of a 1-row totals frame is fine; a true cartesian is not)
+    for name in sorted(EXTRA_QUERIES):
+        plan = (
+            EXTRA_QUERIES[name](spark, sf_dir)
+            ._jdf.queryExecution().executedPlan().toString()
+        )
         assert "CartesianProduct" not in plan, name
 
 

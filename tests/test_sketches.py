@@ -98,3 +98,40 @@ def test_heavy_hitters_empty_answer(spark):
     rows = [(f"u{i % 200}",) for i in range(2000)]
     df = spark.createDataFrame(rows, "tok string")
     assert heavy_hitters(df, "tok", k=64).count() == 0
+
+
+def test_mg_merge_bound_property():
+    """Hypothesis property: for any stream and width, MG estimates never
+    overcount and undercount at most n/(width+1) — the guarantee the
+    candidate-superset argument rests on."""
+    from collections import Counter
+
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from tulflow_spark.ext.sketches import mg_merge_counts
+
+    @settings(max_examples=200, deadline=None)
+    @given(
+        st.lists(st.integers(min_value=0, max_value=30), max_size=300),
+        st.integers(min_value=1, max_value=8),
+        st.integers(min_value=1, max_value=10),
+    )
+    def prop(stream, width, n_chunks):
+        exact = Counter(stream)
+        counters: dict = {}
+        size = max(1, len(stream) // n_chunks) if stream else 1
+        for i in range(0, len(stream), size):
+            chunk = Counter(stream[i : i + size])
+            counters = mg_merge_counts(counters, chunk.items(), width)
+        n = len(stream)
+        assert len(counters) <= width
+        for v, est in counters.items():
+            assert est <= exact[v], "overcount"
+        for v, true in exact.items():
+            est = counters.get(v, 0)
+            assert true - est <= n / (width + 1) + 1e-9, (
+                f"undercount bound broken for {v}: {true}-{est} > n/(w+1)"
+            )
+
+    prop()
