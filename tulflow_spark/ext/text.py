@@ -273,3 +273,35 @@ def rarity_terms(
         .where(F.col("rank") <= k)
         .select(id_col, "term", "tf", "score", "rank")
     )
+
+
+def compression_ratio(
+    df: DataFrame, text_col: str = "text", out_col: str = "zlib_ratio"
+) -> DataFrame:
+    """Per-document zlib compression ratio (compressed/raw bytes) — the
+    classic cheap repetitiveness signal (low ratio ⇒ highly repetitive /
+    templated text; near-1 ⇒ high-entropy or random).  Complements the
+    token-level Gopher/C4 repetition filters (:func:`repetition_profile`)
+    with a tokenizer-free, language-agnostic view.
+
+    Arrow-batched ``pandas_udf`` calling C zlib per row (stdlib, level 6);
+    SQL engines have no zlib, so this op is pytest-pinned (monotonicity,
+    bounds), not oracle-paired.  Empty text gets ratio NULL."""
+    import zlib
+
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+
+    # no type hints: `from __future__ import annotations` stringifies them
+    # and pandas_udf rejects string signatures; hint-less = scalar form
+    @pandas_udf("double")
+    def ratio(s):
+        return s.map(
+            lambda t: (
+                len(zlib.compress(t.encode("utf-8"), 6)) / len(t.encode("utf-8"))
+                if t
+                else None
+            )
+        )
+
+    return df.withColumn(out_col, ratio(F.col(text_col)))
