@@ -236,6 +236,34 @@ def sk1_salted_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "sk2_salted_join",
+    gate=False,  # slot budget: sk1 carries the skew gate signal
+    oracle=f"""
+    SELECT n_name, COUNT(*) AS n_cust,
+           {dsum_sql('c_acctbal')} AS total_bal
+    FROM customer JOIN nation ON c_nationkey = n_nationkey
+    GROUP BY n_name
+    """,
+)
+def sk2_salted_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skew-resistant salted equi-join — must be row-identical to the plain
+    join (the oracle IS the plain join + rollup).  The hot-key shape: the
+    big side salts, the small side replicates x buckets, each hot-key row
+    group meets its own small-side copy on its own reducer."""
+    from tulflow_spark.operators.skew import salted_join
+
+    c = table(spark, sf_dir, "customer")
+    n = table(spark, sf_dir, "nation").withColumnRenamed(
+        "n_nationkey", "c_nationkey"
+    )
+    joined = salted_join(c, n, ["c_nationkey"], buckets=8)
+    return joined.groupBy("n_name").agg(
+        F.count(F.lit(1)).alias("n_cust"),
+        dsum("c_acctbal", "total_bal"),
+    )
+
+
+@register(
     "j5_variant_json",
     oracle="""
     SELECT event_type,
