@@ -726,6 +726,7 @@ of O(corpus²) (r3 VERDICT: vr1 at full sf0.1 was 48% of bench wall time)."""
       ('dd5_banded_lsh_recall_ge_0.45', true),
       ('ss3_lsh_overlap10_ge_0.2', true),
       ('ss4_ivf_overlap10_ge_0.5', true),
+      ('ss8_pq_overlap10_ge_0.5', true),
       ('cur2_neardup_agreement_le_2pct', true)
     ) AS t(metric, ok)
     """,
@@ -750,15 +751,17 @@ def vr1_approx_bounds(spark: SparkSession, sf_dir: str) -> DataFrame:
       the 0.3 threshold (amplified theory 0.525; measured 0.56).
     - ss3/ss4 ANN: overlap@10 vs ss1 brute force (measured 0.3-0.7 for the
       banded index, 0.6-0.9 for IVF at 6 probes).
+    - ss8 PQ: overlap@10 >= 0.5 for ADC + 50-candidate exact re-rank vs the
+      same brute-force top-10 (measured 0.7-0.9 on the slice).
     - cur2 pipeline: kept-id set within 2% symmetric difference of the
       exact-Jaccard pipeline with the same greedy policy (measured 0-0.04%).
 
     Cost design (r3 VERDICT #1): every shared input — the document/embedding
     slices, the shingle frame, the SimHash signature frame, the curate_exact
     base — is persisted ONCE and reused by both sides of each comparison;
-    the 7 boolean rows are materialized eagerly inside the call so every
+    the 8 boolean rows are materialized eagerly inside the call so every
     cache is unpersisted before returning (no session-lifetime leak).  The
-    7-row collect is a verification-harness read, not a data-plane collect.
+    8-row collect is a verification-harness read, not a data-plane collect.
     """
     from tulflow_spark.ext.curation import curate_exact, curate_near_dup
     from tulflow_spark.ext.ivf import build_ivf_index
@@ -846,6 +849,20 @@ def vr1_approx_bounds(spark: SparkSession, sf_dir: str) -> DataFrame:
         checks.append(
             topk_overlap_check(
                 bf10, ivf, "vec_id", 10, 0.5, "ss4_ivf_overlap10_ge_0.5"
+            )
+        )
+
+        # ss8: PQ ADC + 50-candidate exact re-rank vs the same brute-force
+        # top-10 (measured 0.7-0.9 on the slice across SFs)
+        from tulflow_spark.ext import pq as _pq
+
+        pq_cb = _pq.pq_train(emb, dim=64, m=8, ksub=16, max_iter=3)
+        pq10 = _pq.pq_topk(
+            _pq.pq_encode(rest, pq_cb), pq_cb, vec, k=10, rerank=50
+        )
+        checks.append(
+            topk_overlap_check(
+                bf10, pq10, "vec_id", 10, 0.5, "ss8_pq_overlap10_ge_0.5"
             )
         )
 
