@@ -239,6 +239,14 @@ def semantic_dedup(
     Passing ``centroids`` skips the fit (and is what the oracle pair does,
     pinning assignment+pair+survivor semantics; the iterative fit is
     pytest-covered instead — it is model training, not a query).
+
+    At 100 TB: the assigned frame feeds three plan branches (both pair-join
+    sides + the survivor anti-join); materialize it once —
+    ``assigned.persist()`` or write the (id, cluster) columns as a bucketed
+    table keyed on ``cluster`` — so the assignment pass runs once, the same
+    encode-once pattern as :mod:`tulflow_spark.ext.pq`.  At test scale the
+    recompute is cheaper than the cache churn, so this function leaves
+    caching to the caller.
     """
     from tulflow_spark.ext.similarity import blocked_near_dup_pairs
 

@@ -394,3 +394,75 @@ def ev4_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("conversions"),
         F.countDistinct("user_id").alias("converted_users"),
     )
+
+
+@register(
+    "a10_cube",
+    gate=False,  # slot budget: a5 carries the grouping-sets gate signal
+    oracle=f"""
+    SELECT COALESCE(l_returnflag, 'ALL') AS returnflag,
+           COALESCE(l_linestatus, 'ALL') AS linestatus,
+           CAST(GROUPING(l_returnflag) AS INT) AS g_flag,
+           CAST(GROUPING(l_linestatus) AS INT) AS g_status,
+           {dsum_sql('l_extendedprice')} AS sum_price
+    FROM lineitem
+    GROUP BY CUBE (l_returnflag, l_linestatus)
+    """,
+)
+def a10_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUBE grouping sets (all 2^n slices in one pass — Spark plans a
+    single Expand + partial aggregate, not n separate scans)."""
+    li = table(spark, sf_dir, "lineitem")
+    return (
+        li.cube("l_returnflag", "l_linestatus")
+        .agg(
+            F.grouping("l_returnflag").cast("int").alias("g_flag"),
+            F.grouping("l_linestatus").cast("int").alias("g_status"),
+            dsum("l_extendedprice", "sum_price"),
+        )
+        .select(
+            F.coalesce("l_returnflag", F.lit("ALL")).alias("returnflag"),
+            F.coalesce("l_linestatus", F.lit("ALL")).alias("linestatus"),
+            "g_flag",
+            "g_status",
+            "sum_price",
+        )
+    )
+
+
+@register(
+    "a11_pivot",
+    gate=False,  # slot budget
+    oracle=f"""
+    SELECT user_id % 10 AS user_bucket,
+           {dsum_sql("CASE WHEN event_type = 'view' THEN value ELSE 0 END")}
+             AS view_value,
+           {dsum_sql("CASE WHEN event_type = 'click' THEN value ELSE 0 END")}
+             AS click_value,
+           {dsum_sql("CASE WHEN event_type = 'purchase' THEN value ELSE 0 END")}
+             AS purchase_value
+    FROM events
+    GROUP BY user_id % 10
+    """,
+)
+def a11_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PIVOT surface: wide per-bucket columns from the long event stream.
+    The explicit value list keeps it one pass (no distinct-values pre-scan);
+    decimal-exact sums make the wide cells hash-stable."""
+    ev = table(spark, sf_dir, "events")
+    piv = (
+        ev.withColumn("user_bucket", F.col("user_id") % 10)
+        .groupBy("user_bucket")
+        .pivot("event_type", ["view", "click", "purchase"])
+        .agg(
+            F.sum(F.coalesce(F.col("value"), F.lit(0.0)).cast("decimal(30,6)"))
+        )
+    )
+    return piv.select(
+        "user_bucket",
+        F.coalesce(F.col("view").cast("double"), F.lit(0.0)).alias("view_value"),
+        F.coalesce(F.col("click").cast("double"), F.lit(0.0)).alias("click_value"),
+        F.coalesce(F.col("purchase").cast("double"), F.lit(0.0)).alias(
+            "purchase_value"
+        ),
+    )
