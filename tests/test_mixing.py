@@ -175,3 +175,41 @@ def test_rarity_terms_hand_computed(spark):
     # deterministic tie-break: doc 2 has alpha (2.0) then common (1.0)
     top2 = sorted(by_doc[2], key=lambda r: r.rank)
     assert [r.term for r in top2] == ["alpha", "common"]
+
+
+class TestChunkTokens:
+    def test_overlap_and_truncation(self, spark):
+        from tulflow_spark.ext.mixing import chunk_tokens
+
+        text = " ".join(f"t{i}" for i in range(10))  # 10 tokens
+        df = spark.createDataFrame([(1, text)], "doc_id long, text string")
+        rows = {
+            r["chunk_id"]: r
+            for r in chunk_tokens(df, "doc_id", "text", max_len=4, stride=3).collect()
+        }
+        # starts at 0,3,6,9 → 4 windows; last truncated to 1 token
+        assert sorted(rows) == [0, 1, 2, 3]
+        assert rows[0]["chunk_text"] == "t0 t1 t2 t3"
+        assert rows[1]["chunk_text"] == "t3 t4 t5 t6"  # 1-token overlap
+        assert rows[3]["chunk_text"] == "t9"
+        assert rows[3]["n_chunk_tokens"] == 1
+
+    def test_no_overlap_default_stride(self, spark):
+        from tulflow_spark.ext.mixing import chunk_tokens
+
+        text = " ".join(f"t{i}" for i in range(6))
+        df = spark.createDataFrame([(1, text)], "doc_id long, text string")
+        rows = chunk_tokens(df, "doc_id", "text", max_len=3).collect()
+        assert sorted(r["chunk_text"] for r in rows) == ["t0 t1 t2", "t3 t4 t5"]
+
+    def test_chunking_is_map_only(self, spark, sf_dir):
+        from tulflow_spark.ext.mixing import chunk_tokens
+        from tulflow_spark.io import table
+
+        plan = (
+            chunk_tokens(
+                table(spark, sf_dir, "documents"), "doc_id", "text", 64, 48
+            )
+            ._jdf.queryExecution().executedPlan().toString()
+        )
+        assert "Exchange" not in plan and "Join" not in plan

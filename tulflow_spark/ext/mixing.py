@@ -239,3 +239,51 @@ def stratified_sample(
         .filter(F.col("_rn") <= k)
         .drop("_rn")
     )
+
+
+def chunk_tokens(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    max_len: int,
+    stride: int | None = None,
+) -> DataFrame:
+    """Sliding-window document chunking — the max-length/stride segmentation
+    every pretraining pipeline runs before packing: windows of ``max_len``
+    tokens starting every ``stride`` tokens (overlap = max_len - stride),
+    the final window truncated.
+
+    Pure column algebra (tokens → `sequence` of window starts → posexplode
+    → `slice`): map-only, no shuffle, no Python — a 100 TB corpus chunks at
+    scan speed.  Returns (id, chunk_id, n_chunk_tokens, chunk_text).
+    """
+    from tulflow_spark.ext.text import tokens
+
+    stride = stride or max_len
+    if stride < 1 or max_len < 1:
+        raise ValueError("max_len and stride must be >= 1")
+    t = tokens(text_col)
+    return (
+        df.select(F.col(id_col), t.alias("_t"))
+        .select(
+            id_col,
+            "_t",
+            F.posexplode(
+                F.sequence(
+                    F.lit(0),
+                    F.floor((F.size("_t") - 1) / stride).cast("int"),
+                )
+            ).alias("chunk_id", "_i"),
+        )
+        .select(
+            id_col,
+            "chunk_id",
+            F.slice(F.col("_t"), F.col("_i") * stride + 1, max_len).alias("_c"),
+        )
+        .select(
+            id_col,
+            "chunk_id",
+            F.size("_c").cast("long").alias("n_chunk_tokens"),
+            F.array_join("_c", " ").alias("chunk_text"),
+        )
+    )

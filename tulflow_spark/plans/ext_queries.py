@@ -1173,6 +1173,46 @@ def tx8_bigram_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     return bigram_score(table(spark, sf_dir, "documents"), "doc_id", "text")
 
 
+@register(
+    "mx5_chunk_docs",
+    gate=False,  # slot budget — local parity suite adjudicates
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id, {_TOKS} AS t FROM documents
+    ),
+    w AS (
+      -- DuckDB's generate_series can't take a lateral column bound; fixed
+      -- 0..7 covers 8 windows = 384 tokens (corpus max is 100 tokens/doc)
+      SELECT doc_id, t, g.i AS chunk_id
+      FROM toks CROSS JOIN generate_series(0, 7) g(i)
+      WHERE g.i <= FLOOR((len(t) - 1) / 48)
+    )
+    SELECT doc_id, CAST(chunk_id AS INT) AS chunk_id,
+           CAST(len(t[chunk_id * 48 + 1 : chunk_id * 48 + 64]) AS BIGINT)
+             AS n_chunk_tokens,
+           md5(array_to_string(t[chunk_id * 48 + 1 : chunk_id * 48 + 64], ' '))
+             AS chunk_md5
+    FROM w
+    """,
+)
+def mx5_chunk_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding-window chunking (max_len=64, stride=48 → 16-token overlap):
+    the segmentation step before sequence packing.  Map-only column
+    algebra — windows explode from a `sequence`, chunks come from `slice`;
+    no shuffle, no Python."""
+    from tulflow_spark.ext.mixing import chunk_tokens
+
+    c = chunk_tokens(
+        table(spark, sf_dir, "documents"), "doc_id", "text", max_len=64, stride=48
+    )
+    return c.select(
+        "doc_id",
+        "chunk_id",
+        "n_chunk_tokens",
+        F.md5(F.col("chunk_text").cast("binary")).alias("chunk_md5"),
+    )
+
+
 @register("tx11_compression_ratio", gate=False)  # zlib has no SQL analogue →
 # rows-only; monotonicity/bounds pinned by tests/test_text_extras.py
 def tx11_compression_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
