@@ -77,21 +77,27 @@ def main() -> None:
         t0 = time.perf_counter()
         try:
             materialize(all_queries[name](spark, sf_dir))
-            timings[name] = round(time.perf_counter() - t0, 3)
+            timings[name] = round(time.perf_counter() - t0, 2)
         except Exception as exc:  # one bad query must not zero the bench
             failures.append(name)
             print(f"bench: {name} FAILED: {exc}", file=sys.stderr)
 
     result = {
         "metric": "total_query_sec",
-        "value": round(sum(timings.values()), 3),
+        "value": round(sum(timings.values()), 2),
         "unit": "sec",
         "queries": timings,
         "sf": sf,
     }
     if failures:
         result["failed"] = failures
-    print(json.dumps(result))
+    # ONE compact line: the driver captures only a bounded tail of stdout
+    # and BENCH_r04 came back "parsed": null because the default-separator
+    # line outgrew it (r4 VERDICT).  Compact separators + 2-decimal timings
+    # keep ~90 queries under ~2.7 KB.
+    sys.stdout.flush()
+    print(json.dumps(result, separators=(",", ":")))
+    sys.stdout.flush()
 
 
 if __name__ == "__main__":

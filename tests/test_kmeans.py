@@ -57,6 +57,26 @@ def test_production_matches_parity_assignment(spark, sf_dir):
     assert not mismatches, f"{len(mismatches)} assignment disagreements"
 
 
+def test_parity_assignment_handles_zero_vectors(spark):
+    # r4 ADVICE: zero-norm rows/centroids used to divide by zero in the
+    # exact_parity path (NULL cosine → undefined assignment) while the
+    # numpy path guarded them; both must now agree on degenerate inputs
+    df = spark.createDataFrame(
+        [(0, [0.0, 0.0]), (1, [1.0, 0.0]), (2, [0.0, 2.0])],
+        "vec_id long, embedding array<float>",
+    )
+    cents = [[0.0, 0.0], [1.0, 0.0], [0.0, 1.0]]
+    parity = kmeans.assign_clusters(df, cents, exact_parity=True, sim_col="sim")
+    prod = kmeans.assign_clusters(df, cents, exact_parity=False, sim_col="sim")
+    p = {r["vec_id"]: r for r in parity.collect()}
+    q = {r["vec_id"]: r for r in prod.collect()}
+    for vid in (0, 1, 2):
+        assert p[vid]["cluster"] is not None and p[vid]["sim"] is not None
+        assert p[vid]["cluster"] == q[vid]["cluster"], vid
+    # zero vector: every cosine is 0 → tie breaks to smallest index
+    assert p[0]["cluster"] == 0
+
+
 def test_semantic_dedup_first_occurrence_wins(spark):
     v = [1.0, 0.0, 0.0, 0.0]
     w = [0.0, 1.0, 0.0, 0.0]

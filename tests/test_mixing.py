@@ -194,6 +194,23 @@ class TestChunkTokens:
         assert rows[3]["chunk_text"] == "t9"
         assert rows[3]["n_chunk_tokens"] == 1
 
+    def test_empty_docs_emit_no_chunks(self, spark):
+        # r4 ADVICE: size(_t)=0 used to make sequence(0,-1) DESCENDING,
+        # emitting two phantom empty chunks per empty doc — and with
+        # stride=1 crashing slice (INVALID_PARAMETER_VALUE.START).  The
+        # oracle emits zero rows for empty docs; so must we.
+        from tulflow_spark.ext.mixing import chunk_tokens
+
+        df = spark.createDataFrame(
+            [(1, ""), (2, "   "), (3, "a b c")], "doc_id long, text string"
+        )
+        for stride in (1, 2, None):
+            rows = chunk_tokens(
+                df, "doc_id", "text", max_len=2, stride=stride
+            ).collect()
+            assert {r["doc_id"] for r in rows} == {3}
+            assert all(r["n_chunk_tokens"] > 0 for r in rows)
+
     def test_no_overlap_default_stride(self, spark):
         from tulflow_spark.ext.mixing import chunk_tokens
 

@@ -24,6 +24,18 @@ def test_both_scorers_perfect_on_separable_corpus(spark):
         assert got == {0: True, 1: True, 2: True, 10: False, 11: False, 12: False}, fn
 
 
+def test_log_scorer_finite_on_single_class_corpus(spark):
+    # r4 ADVICE: an all-one-class corpus used to make log(prior)=log(0)
+    # NULL out every score; Laplace-smoothed priors keep them finite
+    rows = [(i, t) for i, t in enumerate(["the cat sat", "a dog ran", "the end"])]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = nb_log_scores(df, "doc_id", "text", F.lit(True)).collect()
+    assert len(got) == 3
+    for r in got:
+        assert r["log_pos"] is not None and r["log_neg"] is not None
+        assert r["pred"] is True  # all-positive corpus → positive wins
+
+
 def test_additive_and_log_scorers_mostly_agree(spark, sf_dir):
     from tulflow_spark.io import table
 

@@ -40,6 +40,34 @@ def test_parity_suite_covers_exactly_all_oracle_pairs():
 
 
 def test_gate_budget():
-    """The driver adjudicates ~50 entries: oracle-paired gate queries must
-    number exactly 50 so none falls off the end unadjudicated."""
-    assert len([n for n in QUERIES if n in ORACLE]) == 50
+    """The driver adjudicates ~50 entries: the gated registry must number
+    exactly 50 so none falls off the end unadjudicated, with oracle pairs
+    ordered before rows-only queries (hard checks can't be displaced by
+    weak ones)."""
+    from tulflow_spark.plans import GATED, ordered_queries
+
+    names = list(ordered_queries())
+    assert len(names) == 50
+    assert set(names) == set(GATED) == set(QUERIES)
+    n_pairs = len([n for n in names if n in ORACLE])
+    assert all(n in ORACLE for n in names[:n_pairs])
+    assert all(n not in ORACLE for n in names[n_pairs:])
+
+
+def test_r5_rotation_promotes_never_adjudicated_pairs():
+    """r4 VERDICT #1: every oracle pair absent from CORRECTNESS_r01..r04
+    must hold a driver-gate slot this round (37 of them)."""
+    import json
+    import pathlib
+
+    root = pathlib.Path(__file__).resolve().parent.parent
+    ever: set[str] = set()
+    for p in root.glob("CORRECTNESS_r0[1-4].json"):
+        ever |= set(json.loads(p.read_text()))
+    never = (set(QUERIES) | set(EXTRA_QUERIES)) - ever
+    assert never <= set(QUERIES), (
+        f"never-adjudicated but de-gated: {sorted(never - set(QUERIES))}"
+    )
+    # the r4 verdict's ">=35 previously-ungated" is relative to the r4 gate
+    r4 = set(json.loads((root / "CORRECTNESS_r04.json").read_text()))
+    assert len(set(QUERIES) - r4) >= 35

@@ -31,6 +31,30 @@ def test_salted_join_matches_plain_join(spark):
         ), how
 
 
+def test_salted_join_semi_anti_match_plain(spark):
+    big = spark.createDataFrame(
+        [(1, i) for i in range(50)] + [(2, 0), (3, 0), (7, 0)],
+        "k int, payload int",
+    )
+    small = spark.createDataFrame([(1,), (3,), (999,)], "k int")
+    for how in ("left_semi", "left_anti"):
+        plain = big.join(small, ["k"], how)
+        salted = salted_join(big, small, ["k"], buckets=4, how=how)
+        assert sorted(map(tuple, plain.collect())) == sorted(
+            map(tuple, salted.collect())
+        ), how
+
+
+def test_salted_join_rejects_right_and_full(spark):
+    # r4 ADVICE: right/full would emit each unmatched small-side row once
+    # per salt bucket — must fail loudly, not silently multiply rows
+    big = spark.createDataFrame([(1, 0)], "k int, payload int")
+    small = spark.createDataFrame([(1, "a")], "k int, name string")
+    for how in ("right", "full", "outer", "full_outer", "cross"):
+        with pytest.raises(ValueError, match="per salt bucket"):
+            salted_join(big, small, ["k"], buckets=2, how=how)
+
+
 def _ts(m):
     return datetime(2026, 4, 1, 0, m, tzinfo=timezone.utc)
 

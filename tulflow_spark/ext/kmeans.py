@@ -96,14 +96,18 @@ def assign_clusters(
         def _scaled_norm(c: Sequence[float]) -> int:
             return sum(int(math.floor(float(x) * float(x) * float(SCALE))) for x in c)
 
-        vn = F.sqrt(norm_sq_scaled(F.col(vec_col)).cast("double"))
+        # zero-norm guard mirrors the numpy path (norms==0 → 1.0): a
+        # zero vector or zero centroid must yield cos=0, not NULL, so
+        # the two assignment paths agree on degenerate inputs
+        vn_raw = F.sqrt(norm_sq_scaled(F.col(vec_col)).cast("double"))
+        vn = F.when(vn_raw == 0.0, F.lit(1.0)).otherwise(vn_raw)
         packed = F.array_max(
             F.array(
                 *[
                     F.struct(
                         (
                             dot_scaled(F.col(vec_col), _lit_vec(c))
-                            / (vn * F.lit(math.sqrt(float(_scaled_norm(c)))))
+                            / (vn * F.lit(math.sqrt(float(_scaled_norm(c))) or 1.0))
                         ).alias("cos"),
                         F.lit(-j).alias("negj"),
                     )

@@ -265,6 +265,11 @@ def chunk_tokens(
     t = tokens(text_col)
     return (
         df.select(F.col(id_col), t.alias("_t"))
+        # empty/whitespace-only docs emit NO chunks: without this,
+        # floor((0-1)/stride) = -1 makes sequence(0,-1) a DESCENDING
+        # [0,-1] (two phantom empty chunks; with stride=1 the _i=-1
+        # window crashes slice with INVALID_PARAMETER_VALUE.START)
+        .where(F.size("_t") > 0)
         .select(
             id_col,
             "_t",

@@ -158,12 +158,17 @@ def nb_log_scores(
     if broadcast_model:
         terms = F.broadcast(terms)
     toks = _token_frame(df, id_col, text_col, positive)
+    # Laplace-smoothed priors ((c+1)/(n+2)): a single-class corpus must
+    # yield a finite (strongly skewed) prior, not log(0) = NULL for every
+    # document
     priors = df.agg(
         F.log(
-            F.sum(positive.cast("int")).cast("double") / F.count(F.lit(1))
+            (F.sum(positive.cast("int")) + 1).cast("double")
+            / (F.count(F.lit(1)) + 2)
         ).alias("lp_pos"),
         F.log(
-            F.sum((~positive).cast("int")).cast("double") / F.count(F.lit(1))
+            (F.sum((~positive).cast("int")) + 1).cast("double")
+            / (F.count(F.lit(1)) + 2)
         ).alias("lp_neg"),
     )
     doc = (

@@ -57,7 +57,30 @@ def salted_join(
     inner/left joins.  AQE's skew-join handles sort-merge skew
     automatically; this is the manual tool for the cases AQE can't re-plan
     (e.g. when the skewed side feeds a co-partitioned downstream op).
+
+    Only joins whose output rows are driven by the (salted) big side are
+    legal: right/full/outer would emit each unmatched small-side row once
+    PER SALT BUCKET — silently wrong — so they are rejected.  Semi/anti
+    are fine (each big row carries exactly one salt; the small side is
+    replicated to every salt, so key-match ⇔ salted-match).
     """
+    allowed = {
+        "inner",
+        "left",
+        "left_outer",
+        "leftouter",
+        "left_semi",
+        "leftsemi",
+        "semi",
+        "left_anti",
+        "leftanti",
+        "anti",
+    }
+    if how.lower() not in allowed:
+        raise ValueError(
+            f"salted_join: how={how!r} would duplicate unmatched small-side "
+            f"rows once per salt bucket; use one of {sorted(allowed)}"
+        )
     big_s = big.withColumn(
         "_salt",
         F.pmod(F.xxhash64(F.monotonically_increasing_id()), F.lit(buckets)),

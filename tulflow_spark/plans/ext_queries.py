@@ -95,7 +95,6 @@ def dd4_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "dd8_components",
-    gate=False,
     oracle=f"""
     WITH RECURSIVE {_GRAMS_CTE},
     sizes AS (SELECT doc_id, COUNT(*) AS n FROM dg GROUP BY doc_id),
@@ -396,7 +395,6 @@ _CENT_CTE = f"""
 
 @register(
     "ss5_kmeans_assign",
-    gate=False,  # slot budget: driver adjudicates ~50; local parity suite runs this
     oracle=f"""
     WITH {_CENT_CTE}
     SELECT vec_id, CAST(cluster AS INT) AS cluster,
@@ -423,7 +421,6 @@ def ss5_kmeans_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "ss6_semantic_dedup",
-    gate=False,  # slot budget — see ss5
     oracle=f"""
     WITH {_CENT_CTE},
     pdot AS (
@@ -465,7 +462,7 @@ def ss6_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("vec_id", "cluster")
 
 
-@register("ss8_pq_topk", gate=False)  # lossy quantization → rows-only;
+@register("ss8_pq_topk")  # lossy quantization → rows-only;
 # overlap@10 >= 0.5 (with 50-candidate exact re-rank) is pinned by
 # tests/test_pq.py::test_pq_overlap_vs_brute_force, and exact-recovery
 # semantics by ::test_pq_reconstructs_exactly_when_codebook_covers_data
@@ -485,7 +482,7 @@ def ss8_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _pq.pq_topk(enc, cb, vec, k=10, rerank=50)
 
 
-@register("ss7_kmeans_fit", gate=False)  # iterative model fit → rows-only;
+@register("ss7_kmeans_fit")  # iterative model fit → rows-only;
 # production-vs-parity assignment agreement is pinned by tests/test_kmeans.py
 def ss7_kmeans_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Full Lloyd's fit (5 iterations, numpy production path) + assignment —
@@ -597,7 +594,6 @@ def a7_hll_sketch_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "a8_heavy_hitters",
-    gate=False,  # slot budget — local parity suite adjudicates
     oracle=f"""
     WITH toks AS (
       SELECT unnest({_TOKS}) AS tok FROM documents
@@ -1003,7 +999,6 @@ _OK = "md5(CAST(doc_id AS VARCHAR))"
 
 @register(
     "mx1_domain_mix",
-    gate=False,
     oracle=f"""
     WITH t AS (
       SELECT doc_id, source,
@@ -1046,7 +1041,6 @@ def mx1_domain_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "mx2_pack_sequences",
-    gate=False,
     oracle=f"""
     WITH t AS (
       SELECT doc_id,
@@ -1085,7 +1079,6 @@ def mx2_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "dd9_line_dedup",
-    gate=False,
     oracle=f"""
     WITH toks AS (
       SELECT doc_id, {_TOKS} AS t FROM documents
@@ -1132,7 +1125,6 @@ def dd9_line_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "tx8_bigram_lm_score",
-    gate=False,
     oracle=f"""
     WITH toks AS (
       SELECT doc_id, {_TOKS} AS t FROM documents
@@ -1175,7 +1167,6 @@ def tx8_bigram_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "mx5_chunk_docs",
-    gate=False,  # slot budget — local parity suite adjudicates
     oracle=f"""
     WITH toks AS (
       SELECT doc_id, {_TOKS} AS t FROM documents
@@ -1213,7 +1204,7 @@ def mx5_chunk_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("tx11_compression_ratio", gate=False)  # zlib has no SQL analogue →
+@register("tx11_compression_ratio")  # zlib has no SQL analogue →
 # rows-only; monotonicity/bounds pinned by tests/test_text_extras.py
 def tx11_compression_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-source zlib compression-ratio profile — the tokenizer-free,
@@ -1231,7 +1222,6 @@ def tx11_compression_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "mx4_stratified_sample",
-    gate=False,  # slot budget — local parity suite adjudicates
     oracle="""
     SELECT doc_id, source FROM (
       SELECT doc_id, source,
@@ -1260,7 +1250,6 @@ def mx4_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "tx10_nb_langid",
-    gate=False,  # slot budget — local parity suite adjudicates
     oracle=f"""
     WITH toks AS (
       SELECT doc_id, lang = 'en' AS y, unnest({_TOKS}) AS tok FROM documents
@@ -1325,7 +1314,6 @@ def tx10_nb_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "mx3_hash_sample",
-    gate=False,
     oracle=f"""
     SELECT doc_id, source
     FROM documents
@@ -1354,7 +1342,6 @@ def mx3_hash_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "tx9_rarity_terms",
-    gate=False,
     oracle=f"""
     WITH toks AS (
       SELECT doc_id, {_TOKS} AS t FROM documents
@@ -1392,7 +1379,6 @@ def tx9_rarity_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "cur4_full_pipeline",
-    gate=False,
     oracle=f"""
     WITH scored AS (
       SELECT doc_id, source, text,

@@ -20,7 +20,6 @@ from tulflow_spark.plans import register
     INTERSECT
     SELECT n_nationkey FROM supplier JOIN nation ON s_nationkey = n_nationkey
     """,
-    gate=False,  # slot budget: parity-pinned locally, not driver-gated
 )
 def set1_nation_intersect(spark: SparkSession, sf_dir: str) -> DataFrame:
     """INTERSECT surface: nations with both customers and suppliers."""
@@ -98,7 +97,6 @@ def a6_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
                           ORDER BY c_acctbal DESC, c_custkey) AS quartile
     FROM customer
     """,
-    gate=False,  # slot budget: w1/w2 carry the window gate signal
 )
 def w4_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
     """RANK (tie-stable) + NTILE windows."""
@@ -237,7 +235,6 @@ def sk1_salted_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "sk2_salted_join",
-    gate=False,  # slot budget: sk1 carries the skew gate signal
     oracle=f"""
     SELECT n_name, COUNT(*) AS n_cust,
            {dsum_sql('c_acctbal')} AS total_bal
@@ -300,7 +297,6 @@ def j5_variant_json(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "a9_approx_quantiles",
-    gate=False,  # slot budget — local parity suite adjudicates
     oracle="""
     WITH ex AS (
       SELECT event_type,
@@ -357,7 +353,6 @@ def a9_approx_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "ev4_funnel",
-    gate=False,  # slot budget — local parity suite adjudicates
     oracle="""
     WITH v AS (SELECT user_id, ts FROM events WHERE event_type = 'view'),
     c AS (SELECT user_id, ts FROM events WHERE event_type = 'click')
@@ -398,7 +393,6 @@ def ev4_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "a10_cube",
-    gate=False,  # slot budget: a5 carries the grouping-sets gate signal
     oracle=f"""
     SELECT COALESCE(l_returnflag, 'ALL') AS returnflag,
            COALESCE(l_linestatus, 'ALL') AS linestatus,
@@ -432,7 +426,6 @@ def a10_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "a11_pivot",
-    gate=False,  # slot budget
     oracle=f"""
     SELECT user_id % 10 AS user_bucket,
            {dsum_sql("CASE WHEN event_type = 'view' THEN value ELSE 0 END")}

@@ -196,7 +196,6 @@ def j2_anti_join(spark: SparkSession, sf_dir: str) -> DataFrame:
       WHERE l_suppkey = s_suppkey AND l_quantity >= 49
     )
     """,
-    gate=False,  # slot budget: j2 carries the membership-join gate signal
 )
 def j3_semi_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     s = table(spark, sf_dir, "supplier")
@@ -623,7 +622,6 @@ def q14_promo_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
       AND l_discount BETWEEN 0.05 AND 0.07
       AND l_quantity < 24
     """,
-    gate=False,  # slot budget: q19 carries the predicate-shape gate signal
 )
 def q06_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q6 shape: pure scan-side conjunctive predicates (date range +
@@ -656,7 +654,6 @@ def q06_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
       AND l_shipdate <  TIMESTAMP '1997-01-01'
     GROUP BY l_linestatus
     """,
-    gate=False,  # slot budget: q01/q19 carry the conditional-agg gate signal
 )
 def q12_priority_by_status(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q12 shape: conditional counting with IN-list predicates over a
@@ -767,7 +764,6 @@ def aj1_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
                     AND l.l_shipdate > o.o_orderdate)
     GROUP BY o_orderpriority
     """,
-    gate=False,  # slot budget: j2/a2 carry the semi/anti-join gate signal
 )
 def q04_order_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q4 shape: EXISTS decorrelated to a LEFT SEMI join with a
@@ -807,7 +803,6 @@ def q04_order_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     ORDER BY revenue DESC, c.c_custkey
     LIMIT 20
     """,
-    gate=False,  # slot budget: q03/q05 carry the star-join gate signal
 )
 def q10_returned_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q10 shape: lost-revenue top-20 — fact-fact join on the order
@@ -839,7 +834,6 @@ def q10_returned_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     WHERE p_type NOT LIKE 'MEDIUM%' AND p_brand <> 'Brand#33'
     GROUP BY p_brand, p_size
     """,
-    gate=False,  # slot budget
 )
 def q16_supplier_cardinality(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q16 shape (partsupp absent from the corpus → lineitem is the

@@ -300,7 +300,6 @@ _X5_XSL = """<?xml version="1.0" encoding="UTF-8"?>
 
 @register(
     "x5_byte_serialize",
-    gate=False,
     oracle="""
     SELECT n_nationkey AS nation_key,
            '<?xml version="1.0" encoding="UTF-8"?>' || chr(10)
