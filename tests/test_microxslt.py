@@ -397,6 +397,146 @@ class TestEngine:
                 "<d><v/></d>",
             )
 
+    def test_for_each_group_by(self):
+        # value groups in first-occurrence order; context item = initial
+        # item; current-group()/current-grouping-key() bound in the body
+        out = _run(
+            '<xsl:template match="d">'
+            '<xsl:for-each-group select="v" group-by="@k">'
+            '<g key="{current-grouping-key()}" n="{count(current-group())}"'
+            ' pos="{position()}" of="{last()}">'
+            '<xsl:value-of select="string-join(current-group(), \',\')"/>'
+            "</g></xsl:for-each-group></xsl:template>",
+            '<d><v k="b">1</v><v k="a">2</v><v k="b">3</v><v k="a">4</v>'
+            '<v k="c">5</v></d>',
+        )
+        assert out == (
+            '<r><g key="b" n="2" pos="1" of="3">1,3</g>'
+            '<g key="a" n="2" pos="2" of="3">2,4</g>'
+            '<g key="c" n="1" pos="3" of="3">5</g></r>'
+        )
+
+    def test_for_each_group_adjacent(self):
+        out = _run(
+            '<xsl:template match="d">'
+            '<xsl:for-each-group select="v" group-adjacent="@k">'
+            "<g><xsl:value-of select=\"string-join(current-group(), '')\"/>"
+            "</g></xsl:for-each-group></xsl:template>",
+            '<d><v k="a">1</v><v k="a">2</v><v k="b">3</v><v k="a">4</v>'
+            "</d>",
+        )
+        assert out == "<r><g>12</g><g>3</g><g>4</g></r>"
+
+    def test_for_each_group_starting_with(self):
+        out = _run(
+            '<xsl:template match="d">'
+            '<xsl:for-each-group select="*" group-starting-with="h">'
+            '<sec t="{.}"><xsl:value-of select="count(current-group())"/>'
+            "</sec></xsl:for-each-group></xsl:template>",
+            "<d><h>A</h><p>x</p><p>y</p><h>B</h><p>z</p></d>",
+        )
+        assert out == '<r><sec t="A">3</sec><sec t="B">2</sec></r>'
+
+    def test_for_each_group_with_sort(self):
+        out = _run(
+            '<xsl:template match="d">'
+            '<xsl:for-each-group select="v" group-by="@k">'
+            '<xsl:sort select="@k"/>'
+            '<g><xsl:value-of select="current-grouping-key()"/>'
+            "</g></xsl:for-each-group></xsl:template>",
+            '<d><v k="c"/><v k="a"/><v k="b"/><v k="a"/></d>',
+        )
+        assert out == "<r><g>a</g><g>b</g><g>c</g></r>"
+
+    def test_tokenize_in_for_each(self):
+        out = _run(
+            '<xsl:template match="d">'
+            "<xsl:for-each select=\"tokenize(., ';\\s*')\">"
+            '<t><xsl:value-of select="."/></t></xsl:for-each>'
+            "</xsl:template>",
+            "<d>alpha; beta;gamma</d>",
+        )
+        assert out == "<r><t>alpha</t><t>beta</t><t>gamma</t></r>"
+
+    def test_tokenize_empty_input_and_count(self):
+        out = _run(
+            '<xsl:template match="d">'
+            "<n><xsl:value-of select=\"count(tokenize(a, ','))\"/></n>"
+            "<m><xsl:value-of select=\"count(tokenize(b, ','))\"/></m>"
+            "</xsl:template>",
+            "<d><a></a><b>x,y</b></d>",
+        )
+        assert out == "<r><n>0</n><m>2</m></r>"
+
+    def test_tokenize_zero_length_pattern_rejected(self):
+        with pytest.raises(Exception, match="zero-length"):
+            _run(
+                '<xsl:template match="d">'
+                "<xsl:value-of select=\"count(tokenize(., 'x?'))\"/>"
+                "</xsl:template>",
+                "<d>abc</d>",
+            )
+
+    def test_analyze_string_matching_and_groups(self):
+        out = _run(
+            '<xsl:template match="d">'
+            '<xsl:analyze-string select="." regex="(\\d{{4}})-(\\d{{2}})">'
+            "<xsl:matching-substring>"
+            '<date y="{regex-group(1)}" m="{regex-group(2)}">'
+            '<xsl:value-of select="."/></date>'
+            "</xsl:matching-substring>"
+            "<xsl:non-matching-substring>"
+            '<txt p="{position()}"><xsl:value-of select="."/></txt>'
+            "</xsl:non-matching-substring>"
+            "</xsl:analyze-string></xsl:template>",
+            "<d>from 2024-03 to 2025-11 end</d>",
+        )
+        assert out == (
+            '<r><txt p="1">from </txt>'
+            '<date y="2024" m="03">2024-03</date>'
+            '<txt p="3"> to </txt>'
+            '<date y="2025" m="11">2025-11</date>'
+            '<txt p="5"> end</txt></r>'
+        )
+
+    def test_analyze_string_regex_is_avt(self):
+        # regex= is an attribute value template per the 2.0 spec
+        out = _run(
+            '<xsl:template match="d">'
+            '<xsl:variable name="sep" select="\';\'"/>'
+            '<xsl:analyze-string select="." regex="{$sep}">'
+            "<xsl:non-matching-substring>"
+            "<t><xsl:value-of select=\"normalize-space(.)\"/></t>"
+            "</xsl:non-matching-substring>"
+            "</xsl:analyze-string></xsl:template>",
+            "<d>a; b; c</d>",
+        )
+        assert out == "<r><t>a</t><t>b</t><t>c</t></r>"
+
+    def test_v2_stylesheet_tokenize_then_group_dedup(self):
+        # the DPLA/funcake 2.0 idiom: split a ';'-packed subject field,
+        # then value-group to emit each distinct subject once
+        sheet = (
+            '<xsl:stylesheet xmlns:xsl="http://www.w3.org/1999/XSL/'
+            'Transform" version="2.0">'
+            '<xsl:output omit-xml-declaration="yes"/>'
+            '<xsl:template match="/rec">'
+            "<subjects>"
+            '<xsl:for-each-group select="tokenize(subj, \';\\s*\')"'
+            ' group-by="lower-case(normalize-space(.))">'
+            '<s n="{count(current-group())}">'
+            '<xsl:value-of select="normalize-space(.)"/></s>'
+            "</xsl:for-each-group>"
+            "</subjects></xsl:template></xsl:stylesheet>"
+        )
+        out = MicroXSLT(sheet)(
+            "<rec><subj>Maps; history;maps ; Law</subj></rec>"
+        )
+        assert out == (
+            '<subjects><s n="2">Maps</s><s n="1">history</s>'
+            '<s n="1">Law</s></subjects>'
+        )
+
     def test_missing_include_typed_or_recorded(self):
         sheet = (
             '<xsl:stylesheet xmlns:xsl="http://www.w3.org/1999/XSL/'

@@ -28,6 +28,15 @@ once per document — the Muenchian-grouping idiom works), and
 ``xsl:number`` at level single/any with count/from patterns and
 1/01/a/A/i/I formats.
 
+XSLT 2.0 surface (the features real DPLA/funcake stylesheets use beyond
+what Saxon-only 1.0 covers): ``xsl:for-each-group`` (group-by /
+group-adjacent / group-starting-with, with ``current-group()`` and
+``current-grouping-key()``), ``xsl:analyze-string`` (matching /
+non-matching substrings, ``regex-group()``), ``tokenize()``, plus the 2.0
+functions in :mod:`tulflow_spark.transform.xpath1` (``matches``,
+``replace``, ``lower-case``, ``upper-case``, ``ends-with``,
+``string-join``).
+
 Out of scope (raises :class:`UnsupportedFeature`): ``xsl:number``
 level="multi", ``xsl:decimal-format``, ``document()``, the namespace axis.
 """
@@ -39,7 +48,8 @@ import re
 from tulflow_spark.transform.xpath1 import (
     ATTR, COMMENT, ELEM, PI, ROOT, TEXT,
     CompiledExpr, CompiledPattern, Context, Node, XPathError,
-    compile_expr, compile_pattern, parse_document, string_value, to_string,
+    _re_flags, compile_expr, compile_pattern, parse_document, string_value,
+    to_string,
 )
 
 XSL_NS = "http://www.w3.org/1999/XSL/Transform"
@@ -551,6 +561,139 @@ class MicroXSLT:
             self._instantiate(
                 body, Context(n, pos, size, vars_, instr.nsmap or {}),
                 out, dict(vars_),
+            )
+
+    def _i_for_each_group(self, instr, ctx, out, vars_):
+        """XSLT 2.0 grouping (r4 VERDICT #4): group-by (value groups in
+        first-occurrence order), group-adjacent (runs of equal keys), and
+        group-starting-with (pattern-split runs).  Inside the body the
+        context item is the group's initial item, position()/last() are
+        group number/count, and ``current-group()`` /
+        ``current-grouping-key()`` resolve via reserved bindings (same
+        threading idiom as ``key()``)."""
+        ectx = self._ctx(ctx, instr, vars_)
+        sel = _attr(instr, "select")
+        if sel is None:
+            raise UnsupportedFeature("xsl:for-each-group needs select=")
+        population = compile_expr(sel).nodeset(ectx)
+        gb = _attr(instr, "group-by")
+        ga = _attr(instr, "group-adjacent")
+        gsw = _attr(instr, "group-starting-with")
+        if sum(x is not None for x in (gb, ga, gsw)) != 1:
+            raise UnsupportedFeature(
+                "xsl:for-each-group needs exactly one of group-by=/"
+                "group-adjacent=/group-starting-with="
+            )
+        nsmap = instr.nsmap or {}
+        size = len(population)
+        groups: list[tuple[object, list[Node]]] = []
+        if gsw is not None:
+            pat = compile_pattern(gsw)
+            for item in population:
+                pctx = Context(item, 1, 1, vars_, nsmap, ctx.current)
+                if pat.matches(item, pctx) or not groups:
+                    # pattern groups have no grouping key (empty sequence)
+                    groups.append(([], [item]))
+                else:
+                    groups[-1][1].append(item)
+        else:
+            kexpr = compile_expr(gb if gb is not None else ga)
+            index: dict[str, int] = {}
+            prev: str | None = None
+            for pos, item in enumerate(population, 1):
+                kctx = Context(item, pos, size, vars_, nsmap, ctx.current)
+                key = kexpr.string(kctx)
+                if gb is not None:
+                    if key in index:
+                        groups[index[key]][1].append(item)
+                    else:
+                        index[key] = len(groups)
+                        groups.append((key, [item]))
+                else:  # group-adjacent: runs of equal keys
+                    if groups and key == prev:
+                        groups[-1][1].append(item)
+                    else:
+                        groups.append((key, [item]))
+                    prev = key
+        sorts = [c for c in instr.children
+                 if c.kind == ELEM and c.tag == _xsl("sort")]
+        if sorts:
+            # 2.0: sort keys are evaluated with the group's initial item
+            # as context item; reuse _sorted over initial items
+            by_initial = {id(items[0]): (k, items) for k, items in groups}
+            ordered = self._sorted(instr, [g[1][0] for g in groups], ectx)
+            groups = [by_initial[id(n)] for n in ordered]
+        body = [c for c in _strip_body(instr.children)
+                if not (c.kind == ELEM and c.tag == _xsl("sort"))]
+        ngroups = len(groups)
+        for pos, (key, items) in enumerate(groups, 1):
+            gvars = dict(vars_)
+            gvars["__current_group__"] = list(items)
+            gvars["__current_grouping_key__"] = key
+            self._instantiate(
+                body,
+                Context(items[0], pos, ngroups, gvars, nsmap, items[0]),
+                out, gvars,
+            )
+
+    def _i_analyze_string(self, instr, ctx, out, vars_):
+        """XSLT 2.0 regex dispatch (r4 VERDICT #4): the select string is
+        split into matching/non-matching substrings in order; each
+        substring becomes the context item (a text node) with
+        position()/last() counting over ALL substrings, and
+        ``regex-group(n)`` bound from the current match (empty string in
+        non-matching bodies, per F&O)."""
+        ectx = self._ctx(ctx, instr, vars_)
+        sel = _attr(instr, "select")
+        regex_raw = _attr(instr, "regex")
+        if sel is None or regex_raw is None:
+            raise UnsupportedFeature(
+                "xsl:analyze-string needs select= and regex="
+            )
+        s = compile_expr(sel).string(ectx)
+        # regex= and flags= are AVTs per spec (unlike match patterns)
+        pattern = _eval_avt(_compile_avt(regex_raw), ectx)
+        flags = _re_flags(
+            _eval_avt(_compile_avt(_attr(instr, "flags") or ""), ectx)
+        )
+        if re.search(pattern, "", flags):
+            raise XPathError(
+                f"xsl:analyze-string regex {pattern!r} matches a "
+                "zero-length string"
+            )
+        matching = non_matching = None
+        for c in instr.children:
+            if c.kind != ELEM:
+                continue
+            if c.tag == _xsl("matching-substring"):
+                matching = _strip_body(c.children)
+            elif c.tag == _xsl("non-matching-substring"):
+                non_matching = _strip_body(c.children)
+        subs: list[tuple[str, re.Match | None]] = []
+        last = 0
+        for m in re.finditer(pattern, s, flags):
+            if m.start() > last:
+                subs.append((s[last:m.start()], None))
+            subs.append((m.group(0), m))
+            last = m.end()
+        if last < len(s):
+            subs.append((s[last:], None))
+        size = len(subs)
+        for pos, (text, m) in enumerate(subs, 1):
+            body = matching if m is not None else non_matching
+            if body is None:
+                continue
+            svars = dict(vars_)
+            svars["__regex_groups__"] = (
+                (m.group(0), *(g or "" for g in m.groups()))
+                if m is not None
+                else ()
+            )
+            node = Node(TEXT, value=text)
+            self._instantiate(
+                body, Context(node, pos, size, svars, instr.nsmap or {},
+                              node),
+                out, svars,
             )
 
     def _i_if(self, instr, ctx, out, vars_):

@@ -919,6 +919,40 @@ def _call(name, args, ctx: Context):
         if isinstance(v, list):
             return sep.join(string_value(x) for x in v)
         return _str(v)
+    if name == "tokenize":
+        # XSLT 2.0 F&O: split by regex occurrences; result modeled as a
+        # sequence of synthetic text nodes so 1.0-style node-set ops
+        # (for-each, count, predicates, string()) compose with it
+        s = _str(a(0))
+        if n < 2:  # 2.0's single-arg form splits on whitespace
+            return [Node(TEXT, value=t) for t in s.split()]
+        flags = _re_flags(_str(a(2))) if n > 2 else 0
+        pat = _str(a(1))
+        if re.search(pat, "", flags):
+            raise XPathError(
+                f"tokenize() pattern {pat!r} matches a zero-length string"
+            )
+        if s == "":
+            return []
+        return [Node(TEXT, value=t) for t in re.split(pat, s, flags=flags)]
+    if name == "current-group":
+        g = ctx.vars.get("__current_group__")
+        if g is None:
+            raise XPathError("current-group() outside xsl:for-each-group")
+        return list(g)
+    if name == "current-grouping-key":
+        k = ctx.vars.get("__current_grouping_key__")
+        if k is None:
+            raise XPathError(
+                "current-grouping-key() outside xsl:for-each-group"
+            )
+        return k
+    if name == "regex-group":
+        groups = ctx.vars.get("__regex_groups__")
+        if groups is None:
+            raise XPathError("regex-group() outside xsl:matching-substring")
+        i = int(_num(a(0)))
+        return groups[i] if 0 <= i < len(groups) else ""
     raise XPathError(f"unknown function {name}()")
 
 
