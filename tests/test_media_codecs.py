@@ -24,6 +24,40 @@ from tulflow_spark.ext.media_codecs import (
 )
 
 
+def _make_png_raw(
+    width: int,
+    height: int,
+    color_type: int,
+    filtered_scanlines: bytes,
+    bit_depth: int = 8,
+    interlace: int = 0,
+    corrupt_idat: bool = False,
+) -> bytes:
+    """Assemble a PNG from ALREADY-FILTERED scanline bytes, so golden
+    tests can pin spec-mandated filter arithmetic without trusting any
+    encoder (the fixtures were filtered by hand from the spec)."""
+    import zlib
+
+    def chunk(ctype: bytes, data: bytes) -> bytes:
+        return (
+            struct.pack(">I", len(data))
+            + ctype
+            + data
+            + struct.pack(">I", zlib.crc32(ctype + data))
+        )
+
+    ihdr = struct.pack(
+        ">IIBBBBB", width, height, bit_depth, color_type, 0, 0, interlace
+    )
+    idat = b"not-deflate" if corrupt_idat else zlib.compress(filtered_scanlines)
+    return (
+        b"\x89PNG\r\n\x1a\n"
+        + chunk(b"IHDR", ihdr)
+        + chunk(b"IDAT", idat)
+        + chunk(b"IEND", b"")
+    )
+
+
 def make_bmp(pixels: np.ndarray) -> bytes:
     """24-bit bottom-up BMP from an (H, W, 3) uint8 RGB array."""
     h, w, _ = pixels.shape
@@ -90,12 +124,69 @@ class TestImage:
         assert np.array_equal(out, gray)
 
     def test_compressed_formats_typed(self):
-        with pytest.raises(UnsupportedMedia, match="Pillow"):
-            decode_image(b"\x89PNG\r\n\x1a\n....")
+        with pytest.raises(UnsupportedMedia, match="IHDR"):
+            decode_image(b"\x89PNG\r\n\x1a\n....")  # signature, no chunks
         with pytest.raises(UnsupportedMedia, match="Pillow"):
             decode_image(b"\xff\xd8\xff\xe0....")
         with pytest.raises(UnsupportedMedia):
             decode_image(b"garbage-bytes")
+
+    def test_png_gray_golden_all_filters(self):
+        # Checked-in scanlines filtered BY HAND from the PNG spec (§9.4):
+        # row0 Paeth-with-zero-history (≡ Sub), row1 Average, row2 true
+        # Paeth — the expected array below was derived independently of
+        # the decoder, so this is a golden byte-exact contract.
+        scanlines = bytes(
+            [4, 100, 10, 10]  # Paeth, no prior row: predictor = left
+            + [3, 55, 8, 8]  # Average: floor((left+up)/2)
+            + [4, 95, 10, 10]  # Paeth with full (a,b,c) history
+        )
+        out = decode_image(_make_png_raw(3, 3, 0, scanlines))
+        expect = np.array(
+            [[100, 110, 120], [105, 115, 125], [200, 210, 220]], np.uint8
+        )
+        assert np.array_equal(out, expect)
+
+    def test_png_rgb_golden_sub_and_up(self):
+        scanlines = bytes(
+            [1, 10, 20, 30, 30, 40, 50]  # Sub: delta vs left pixel
+            + [2, 5, 5, 5, 10, 10, 10]  # Up: delta vs row above
+        )
+        out = decode_image(_make_png_raw(2, 2, 2, scanlines))
+        expect = np.array(
+            [[[10, 20, 30], [40, 60, 80]], [[15, 25, 35], [50, 70, 90]]],
+            np.uint8,
+        )
+        assert np.array_equal(out, expect)
+
+    def test_png_rgba_unfiltered(self):
+        scanlines = bytes([0, 1, 2, 3, 4, 5, 6, 7, 8])
+        out = decode_image(_make_png_raw(2, 1, 6, scanlines))
+        expect = np.array([[[1, 2, 3, 4], [5, 6, 7, 8]]], np.uint8)
+        assert np.array_equal(out, expect)
+
+    def test_png_roundtrip_random(self):
+        rng = np.random.default_rng(11)
+        for color_type, ch in ((0, 1), (2, 3), (6, 4)):
+            shape = (5, 7) if ch == 1 else (5, 7, ch)
+            img = rng.integers(0, 256, size=shape, dtype=np.uint8)
+            flat = img.reshape(5, -1)
+            scan = b"".join(b"\x00" + flat[y].tobytes() for y in range(5))
+            out = decode_image(_make_png_raw(7, 5, color_type, scan))
+            assert np.array_equal(out, img), color_type
+
+    def test_png_unsupported_variants_typed(self):
+        scan = bytes([0, 0])
+        with pytest.raises(UnsupportedMedia, match="16-bit"):
+            decode_image(_make_png_raw(1, 1, 0, scan, bit_depth=16))
+        with pytest.raises(UnsupportedMedia, match="Adam7"):
+            decode_image(_make_png_raw(1, 1, 0, scan, interlace=1))
+        with pytest.raises(UnsupportedMedia, match="palette"):
+            decode_image(_make_png_raw(1, 1, 3, scan))
+        with pytest.raises(UnsupportedMedia, match="inflate"):
+            decode_image(
+                _make_png_raw(1, 1, 0, scan, corrupt_idat=True)
+            )
 
     def test_sniff(self):
         assert sniff_format(make_bmp(RGB)) == "bmp"
@@ -185,7 +276,7 @@ class TestSparkPipeline:
         from tulflow_spark.ext.multimodal import decode_and_featurize
 
         df = spark.createDataFrame(
-            [(1, "image", b"\x89PNG\r\n\x1a\nxxxx", None)],
+            [(1, "image", b"\xff\xd8\xff\xe0JFIFxxxx", None)],
             "media_id bigint, kind string, content binary, meta string",
         )
         with pytest.raises(Exception, match="Pillow"):

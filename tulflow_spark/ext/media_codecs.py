@@ -6,10 +6,12 @@ stub: uncompressed formats decode with ``struct``/``wave``/numpy alone —
 - **BMP** (24/32-bit uncompressed ``BITMAPINFOHEADER``) → ``(H, W, 3)``
   uint8 RGB array,
 - **PPM/PGM** (binary ``P6``/``P5``) → ``(H, W, 3)`` / ``(H, W)`` uint8,
+- **PNG** (8-bit gray / gray+alpha / RGB / RGBA, non-interlaced) → uint8
+  array via stdlib zlib inflate + Sub/Up/Average/Paeth defiltering,
 - **WAV** (PCM, any width the stdlib ``wave``/``audioop`` handles) →
   float32 mono samples + sample rate.
 
-``sniff_format`` dispatches on magic bytes; compressed formats (PNG, JPEG,
+``sniff_format`` dispatches on magic bytes; entropy-coded formats (JPEG,
 GIF, MP3/MP4, OGG) are recognized and raise :class:`UnsupportedMedia`
 naming the dependency a real deployment would add — a typed wall, never a
 silent fake.  The deterministic stub decoder in
@@ -56,7 +58,6 @@ def sniff_format(content: bytes) -> str:
 
 
 _NEEDS = {
-    "png": "Pillow (PNG is DEFLATE-compressed)",
     "jpeg": "Pillow (JPEG entropy coding)",
     "gif": "Pillow (LZW)",
     "mp3": "ffmpeg/audioread",
@@ -66,19 +67,117 @@ _NEEDS = {
 
 
 def decode_image(content: bytes) -> np.ndarray:
-    """Image bytes → uint8 array, ``(H, W, 3)`` RGB or ``(H, W)`` gray.
+    """Image bytes → uint8 array: ``(H, W, 3)`` RGB, ``(H, W, 4)`` RGBA,
+    ``(H, W, 2)`` gray+alpha, or ``(H, W)`` gray.
 
-    Real decode for BMP/PPM/PGM; typed :class:`UnsupportedMedia` for
-    compressed formats.
+    Real decode for BMP/PPM/PGM and 8-bit non-interlaced PNG (zlib
+    inflate + Sub/Up/Average/Paeth defilter — all stdlib); typed
+    :class:`UnsupportedMedia` for entropy-coded formats (JPEG/GIF/...).
     """
     fmt = sniff_format(content)
     if fmt == "bmp":
         return _decode_bmp(content)
     if fmt in ("ppm", "pgm"):
         return _decode_pnm(content)
+    if fmt == "png":
+        return _decode_png(content)
     if fmt in _NEEDS:
         raise UnsupportedMedia(f"{fmt} decode needs {_NEEDS[fmt]}")
     raise UnsupportedMedia(f"unrecognized image bytes ({content[:8]!r})")
+
+
+_PNG_CHANNELS = {0: 1, 2: 3, 4: 2, 6: 4}  # color type → samples/pixel
+
+
+def _png_paeth(a: int, b: int, c: int) -> int:
+    """PNG spec §9.4 Paeth predictor (left, up, up-left)."""
+    p = a + b - c
+    pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+    if pa <= pb and pa <= pc:
+        return a
+    return b if pb <= pc else c
+
+
+def _decode_png(content: bytes) -> np.ndarray:
+    """8-bit truecolor/gray(+alpha) non-interlaced PNG (r4 VERDICT #5):
+    chunk walk → concatenated-IDAT zlib inflate → per-row defilter.
+
+    Up is vectorized; Sub/Average/Paeth carry an in-row left dependency,
+    so those rows defilter byte-wise over a bytearray — decode runs
+    per-document inside Arrow-batched ``mapInPandas``, so the loop is
+    executor-side and bounded by one image."""
+    import zlib
+
+    if content[:8] != b"\x89PNG\r\n\x1a\n":
+        raise UnsupportedMedia("bad PNG signature")
+    pos = 8
+    ihdr = None
+    idat: list[bytes] = []
+    while pos + 8 <= len(content):
+        (length,) = struct.unpack_from(">I", content, pos)
+        ctype = content[pos + 4 : pos + 8]
+        data = content[pos + 8 : pos + 8 + length]
+        pos += 12 + length  # length + type + data + CRC
+        if ctype == b"IHDR":
+            ihdr = struct.unpack(">IIBBBBB", data)
+        elif ctype == b"IDAT":
+            idat.append(data)
+        elif ctype == b"IEND":
+            break
+    if ihdr is None or not idat:
+        raise UnsupportedMedia("PNG missing IHDR/IDAT")
+    width, height, bit_depth, color_type, comp, filt, interlace = ihdr
+    if comp != 0 or filt != 0:
+        raise UnsupportedMedia("nonstandard PNG compression/filter method")
+    if interlace != 0:
+        raise UnsupportedMedia("Adam7-interlaced PNG not supported")
+    if bit_depth != 8:
+        raise UnsupportedMedia(f"{bit_depth}-bit PNG not supported (8 only)")
+    if color_type not in _PNG_CHANNELS:
+        raise UnsupportedMedia(
+            f"PNG color type {color_type} not supported (palette needs PLTE "
+            "indexing; gray/RGB/alpha only)"
+        )
+    channels = _PNG_CHANNELS[color_type]
+    stride = width * channels
+    try:
+        raw = zlib.decompress(b"".join(idat))
+    except zlib.error as exc:
+        raise UnsupportedMedia(f"PNG IDAT inflate failed: {exc}") from exc
+    if len(raw) < (stride + 1) * height:
+        raise UnsupportedMedia("truncated PNG scanline data")
+    bpp = channels  # bytes per pixel at bit depth 8
+    out = np.empty((height, stride), dtype=np.uint8)
+    prev = np.zeros(stride, dtype=np.uint8)
+    pos = 0
+    for y in range(height):
+        ft = raw[pos]
+        row = bytearray(raw[pos + 1 : pos + 1 + stride])
+        pos += 1 + stride
+        if ft == 0:
+            pass
+        elif ft == 1:  # Sub
+            for i in range(bpp, stride):
+                row[i] = (row[i] + row[i - bpp]) & 0xFF
+        elif ft == 2:  # Up — no in-row dependency, vectorize
+            row = bytearray(
+                (np.frombuffer(bytes(row), np.uint8) + prev).astype(np.uint8)
+            )
+        elif ft == 3:  # Average
+            for i in range(stride):
+                left = row[i - bpp] if i >= bpp else 0
+                row[i] = (row[i] + ((left + int(prev[i])) >> 1)) & 0xFF
+        elif ft == 4:  # Paeth
+            for i in range(stride):
+                a = row[i - bpp] if i >= bpp else 0
+                c = int(prev[i - bpp]) if i >= bpp else 0
+                row[i] = (row[i] + _png_paeth(a, int(prev[i]), c)) & 0xFF
+        else:
+            raise UnsupportedMedia(f"PNG filter type {ft}")
+        out[y] = np.frombuffer(bytes(row), np.uint8)
+        prev = out[y]
+    arr = out.reshape(height, width, channels)
+    return arr[:, :, 0] if channels == 1 else arr
 
 
 def _decode_bmp(content: bytes) -> np.ndarray:
