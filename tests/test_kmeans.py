@@ -97,6 +97,38 @@ def test_semantic_dedup_first_occurrence_wins(spark):
     assert clusters == {1: 0, 10: 1}
 
 
+def test_auto_k_holds_block_size():
+    assert kmeans.auto_k(2_000) == 8  # floor k_min
+    assert kmeans.auto_k(20_000) == 79  # ceil(20000/256)
+    assert kmeans.auto_k(20_000, target_block=100) == 200
+    assert kmeans.auto_k(0) == 8
+    # the invariant the sf1 probe relies on: mean block size bounded
+    for n in (10_000, 1_000_000, 10_000_000):
+        assert n / kmeans.auto_k(n) <= 256
+
+
+def test_semantic_dedup_auto_k_removes_tiled_neardups(spark):
+    # 3 copies of each blob point with tiny noise → ~1 survivor per point;
+    # k=None must pick auto_k and still dedup correctly
+    rng = np.random.default_rng(3)
+    base = rng.normal(0, 1, size=(40, 8))
+    rows = []
+    for c in range(3):
+        pts = base + rng.normal(0, 1e-3, size=base.shape)
+        for i, p in enumerate(pts):
+            rows.append((c * 1000 + i, [float(x) for x in p]))
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    kept = kmeans.semantic_dedup(
+        df, k=None, threshold=0.99, max_iter=3, target_block=16
+    )
+    ids = [r["vec_id"] for r in kept.select("vec_id").collect()]
+    # every base point keeps AT LEAST one representative; near-total dedup
+    # of the copies (copies can straddle a cluster boundary, so allow a
+    # small remainder rather than exactly 40)
+    assert {i % 1000 for i in ids} == set(range(40))
+    assert len(ids) <= 48
+
+
 def test_assignment_tie_breaks_to_smallest_index(spark):
     v = [1.0, 0.0]
     df = spark.createDataFrame([(1, v)], "vec_id long, embedding array<float>")

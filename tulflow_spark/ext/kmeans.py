@@ -225,15 +225,28 @@ def semantic_dedup_pairs(
     )
 
 
+def auto_k(n_rows: int, target_block: int = 256, k_min: int = 8) -> int:
+    """Scale-aware cluster count: k = ceil(n / target_block).
+
+    The SemDeDup pair join is quadratic WITHIN each cluster, so a fixed k
+    makes cost grow as (n/k)² — the round-5 sf1 probe measured 71× wall
+    time for 10× rows at k=8.  Holding the mean block size constant
+    instead keeps per-block work flat and total candidate pairs linear in
+    n (n/target_block blocks × target_block²/2); the fit itself is
+    map-only and stays linear because the model is k×d in the closure."""
+    return max(k_min, -(-n_rows // target_block))
+
+
 def semantic_dedup(
     df: DataFrame,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
-    k: int = 8,
+    k: int | None = 8,
     threshold: float = 0.4,
     max_iter: int = 10,
     centroids: Centroids | None = None,
     exact_parity: bool = False,
+    target_block: int = 256,
 ) -> DataFrame:
     """SemDeDup: cluster, then drop every vector that has a same-cluster
     neighbor with a SMALLER id at cosine ≥ threshold (first-occurrence-wins,
@@ -243,6 +256,11 @@ def semantic_dedup(
     Passing ``centroids`` skips the fit (and is what the oracle pair does,
     pinning assignment+pair+survivor semantics; the iterative fit is
     pytest-covered instead — it is model training, not a query).
+
+    ``k=None`` picks :func:`auto_k` from a count — the 100 TB default: a
+    PINNED k is a scale bug (within-cluster pair cost grows (n/k)²; the
+    sf1 probe measured 71× time for 10× rows at k=8, vs ~linear with the
+    mean block size held at ``target_block``).
 
     At 100 TB: the assigned frame feeds three plan branches (both pair-join
     sides + the survivor anti-join); materialize it once —
@@ -255,6 +273,8 @@ def semantic_dedup(
     from tulflow_spark.ext.similarity import blocked_near_dup_pairs
 
     if centroids is None:
+        if k is None:
+            k = auto_k(df.count(), target_block)
         centroids = kmeans_fit(
             df, id_col=id_col, vec_col=vec_col, k=k, max_iter=max_iter
         )
