@@ -333,10 +333,10 @@ class TestEngine:
 
     def test_unsupported_instruction_is_typed(self):
         with pytest.raises(UnsupportedFeature):
-            MicroXSLT(
-                '<xsl:stylesheet xmlns:xsl="http://www.w3.org/1999/XSL/'
-                'Transform" version="1.0">'
-                '<xsl:decimal-format name="d"/></xsl:stylesheet>'
+            _run(
+                '<xsl:template match="d"><xsl:evaluate select="."/>'
+                "</xsl:template>",
+                "<d/>",
             )
 
     def test_key_lookup(self):
@@ -536,6 +536,98 @@ class TestEngine:
             '<subjects><s n="2">Maps</s><s n="1">history</s>'
             '<s n="1">Law</s></subjects>'
         )
+
+    def test_format_number_pictures(self):
+        out = _run(
+            '<xsl:template match="d">'
+            "<a><xsl:value-of select=\"format-number(1234.5678, '#,##0.00')\"/></a>"
+            "<b><xsl:value-of select=\"format-number(0.25, '0%')\"/></b>"
+            "<c><xsl:value-of select=\"format-number(-42, '0.0')\"/></c>"
+            "<e><xsl:value-of select=\"format-number(-7, '0;(0)')\"/></e>"
+            "<f><xsl:value-of select=\"format-number(2.345, '0.00')\"/></f>"
+            "<g><xsl:value-of select=\"format-number(5, '000')\"/></g>"
+            "</xsl:template>",
+            "<d/>",
+        )
+        # 2.345 → 2.34: round-half-EVEN, the JDK/Saxon behavior
+        assert out == (
+            "<r><a>1,234.57</a><b>25%</b><c>-42.0</c>"
+            "<e>(7)</e><f>2.34</f><g>005</g></r>"
+        )
+
+    def test_decimal_format_declaration(self):
+        out = _run(
+            '<xsl:template match="d">'
+            "<xsl:value-of select=\"format-number(1234.5, '#.##0,00', 'eu')\"/>"
+            "</xsl:template>",
+            "<d/>",
+            extra_top=(
+                '<xsl:decimal-format name="eu" decimal-separator=","'
+                ' grouping-separator="."/>'
+            ),
+        )
+        assert out == "<r>1.234,50</r>"
+
+    def test_format_number_nan_and_undeclared_format(self):
+        out = _run(
+            '<xsl:template match="d">'
+            "<xsl:value-of select=\"format-number(0 div 0, '0')\"/>"
+            "</xsl:template>",
+            "<d/>",
+        )
+        assert out == "<r>NaN</r>"
+        with pytest.raises(Exception, match="not declared"):
+            _run(
+                '<xsl:template match="d">'
+                "<xsl:value-of select=\"format-number(1, '0', 'nope')\"/>"
+                "</xsl:template>",
+                "<d/>",
+            )
+
+    def test_document_injected_mapping(self):
+        sheet = (
+            '<xsl:stylesheet xmlns:xsl="http://www.w3.org/1999/XSL/'
+            'Transform" version="1.0">'
+            '<xsl:output omit-xml-declaration="yes"/>'
+            '<xsl:template match="/d">'
+            '<out><xsl:for-each select="document(\'lut.xml\')//entry'
+            "[@k=current()/@code]\">"
+            '<xsl:value-of select="."/></xsl:for-each></out>'
+            "</xsl:template></xsl:stylesheet>"
+        )
+        lut = "<lut><entry k='a'>Alpha</entry><entry k='b'>Beta</entry></lut>"
+        eng = MicroXSLT(sheet, documents={"lut.xml": lut})
+        assert eng("<d code='b'/>") == "<out>Beta</out>"
+
+    def test_document_empty_uri_is_stylesheet(self):
+        # document('') = the stylesheet document itself (XSLT 1.0 §12.1):
+        # the classic self-contained lookup-table idiom
+        sheet = (
+            '<xsl:stylesheet xmlns:xsl="http://www.w3.org/1999/XSL/'
+            'Transform" xmlns:my="urn:my" version="1.0">'
+            '<xsl:output omit-xml-declaration="yes"/>'
+            "<my:langs><my:l code='en'>English</my:l>"
+            "<my:l code='fr'>French</my:l></my:langs>"
+            '<xsl:template match="/d">'
+            "<out><xsl:value-of select=\"document('')//my:l"
+            "[@code=current()/@lang]\"/></out>"
+            "</xsl:template></xsl:stylesheet>"
+        )
+        # literal-result-element namespace copying puts the stylesheet's
+        # in-scope namespaces on the result root (Saxon-visible behavior)
+        assert (
+            MicroXSLT(sheet)("<d lang='fr'/>")
+            == '<out xmlns:my="urn:my">French</out>'
+        )
+
+    def test_document_unknown_uri_typed(self):
+        with pytest.raises(Exception, match="injected mapping"):
+            _run(
+                '<xsl:template match="d">'
+                "<xsl:value-of select=\"document('http://x/y.xml')\"/>"
+                "</xsl:template>",
+                "<d/>",
+            )
 
     def test_missing_include_typed_or_recorded(self):
         sheet = (

@@ -10,13 +10,22 @@ import re
 import pyspark.sql.functions as F
 import pytest
 
-from tulflow_spark.plans import QUERIES, load_all
+from tulflow_spark.plans import EXTRA_QUERIES, QUERIES, load_all
 
 load_all()
 
+# merged: plan pins hold regardless of which side of the rotating driver
+# gate a query currently sits on
+ALL_QUERIES = {**QUERIES, **EXTRA_QUERIES}
+
 
 def _plan(spark, sf_dir, name) -> str:
-    return QUERIES[name](spark, sf_dir)._jdf.queryExecution().executedPlan().toString()
+    return (
+        ALL_QUERIES[name](spark, sf_dir)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
 
 
 def test_q01_pushdown_and_pruning(spark, sf_dir):
@@ -142,12 +151,7 @@ def test_q14_parity(spark, duck, sf_dir):
 
 
 def _extra_plan(spark, sf_dir, name) -> str:
-    from tulflow_spark.plans import EXTRA_QUERIES
-
-    return (
-        EXTRA_QUERIES[name](spark, sf_dir)
-        ._jdf.queryExecution().executedPlan().toString()
-    )
+    return _plan(spark, sf_dir, name)
 
 
 def test_mx1_no_single_partition_window(spark, sf_dir):

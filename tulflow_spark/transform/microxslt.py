@@ -37,8 +37,13 @@ functions in :mod:`tulflow_spark.transform.xpath1` (``matches``,
 ``replace``, ``lower-case``, ``upper-case``, ``ends-with``,
 ``string-join``).
 
+Also: ``xsl:decimal-format`` + ``format-number()`` (JDK-picture subset,
+half-even rounding), and ``document()`` resolved offline against an
+injected ``documents={uri: xml}`` mapping ('' = the stylesheet, per spec)
+— the same no-network policy as ``include``/``import``.
+
 Out of scope (raises :class:`UnsupportedFeature`): ``xsl:number``
-level="multi", ``xsl:decimal-format``, ``document()``, the namespace axis.
+level="multi", the namespace axis.
 """
 
 from __future__ import annotations
@@ -162,17 +167,25 @@ class MicroXSLT:
 
     def __init__(self, stylesheet_text: str | bytes,
                  includes: dict[str, str] | None = None,
-                 ignore_missing_includes: bool = False):
+                 ignore_missing_includes: bool = False,
+                 documents: dict[str, str] | None = None):
         if isinstance(stylesheet_text, bytes):
             stylesheet_text = stylesheet_text.decode("utf-8")
         self.templates: list[_Template] = []
         self.globals: list[tuple[str, object, dict]] = []  # (name, spec, nsmap)
         self.key_decls: list[tuple] = []  # (name, pattern, use, nsmap)
         self.output: dict[str, str] = {}
+        self.decimal_formats: dict[str, object] = {}
         self._includes = includes or {}
         self._ignore_missing = ignore_missing_includes
         self.skipped_includes: list[str] = []
         self._index = 0
+        # document() resolves offline against this mapping ('' = the
+        # stylesheet document, per XSLT 1.0 §12.1) — same no-network
+        # policy as includes
+        self._documents = {"": parse_document(stylesheet_text)}
+        for uri, text in (documents or {}).items():
+            self._documents[uri] = parse_document(text)
         self._load(stylesheet_text, precedence=0)
         # name → template (last same-precedence declaration wins)
         self.named = {}
@@ -235,7 +248,26 @@ class MicroXSLT:
                     el.nsmap or {},
                 ))
             elif local == "decimal-format":
-                raise UnsupportedFeature(f"xsl:{local} is not supported")
+                from tulflow_spark.transform.xpath1 import DecimalFormat
+
+                kw = {}
+                for attr_name, slot in (
+                    ("decimal-separator", "decimal_sep"),
+                    ("grouping-separator", "grouping_sep"),
+                    ("minus-sign", "minus"),
+                    ("percent", "percent"),
+                    ("per-mille", "permille"),
+                    ("zero-digit", "zero"),
+                    ("digit", "digit"),
+                    ("pattern-separator", "pattern_sep"),
+                    ("infinity", "infinity"),
+                    ("NaN", "nan"),
+                ):
+                    v = _attr(el, attr_name)
+                    if v is not None:
+                        kw[slot] = v
+                self.decimal_formats[_attr(el, "name") or ""] = \
+                    DecimalFormat(**kw)
 
     def _add_template(self, el: Node, precedence: int) -> None:
         match = _attr(el, "match")
@@ -285,7 +317,16 @@ class MicroXSLT:
     def transform_node(self, src_root: Node) -> Node:
         """Apply to an already-parsed document; returns the result ROOT."""
         out_root = Node(ROOT)
-        gvars: dict[str, object] = {}
+        gvars: dict[str, object] = {
+            "__xslt_documents__": self._documents,
+        }
+        if self.decimal_formats:
+            from tulflow_spark.transform.xpath1 import DecimalFormat
+
+            gvars["__decimal_formats__"] = {
+                "": DecimalFormat(),
+                **self.decimal_formats,
+            }
         if self.key_decls:
             # built before globals (XSLT 1.0 forbids variable refs inside
             # key match/use, so the empty bindings are sufficient) and

@@ -486,6 +486,103 @@ class Context:
         return Context(node, pos, size, self.vars, self.nsmap, self.current)
 
 
+class DecimalFormat:
+    """``xsl:decimal-format`` attribute bundle (XSLT 1.0 §12.3) with the
+    spec defaults; consumed by ``format-number()``."""
+
+    __slots__ = (
+        "decimal_sep", "grouping_sep", "minus", "percent", "permille",
+        "zero", "digit", "pattern_sep", "infinity", "nan",
+    )
+
+    def __init__(self, decimal_sep=".", grouping_sep=",", minus="-",
+                 percent="%", permille="‰", zero="0", digit="#",
+                 pattern_sep=";", infinity="Infinity", nan="NaN"):
+        self.decimal_sep = decimal_sep
+        self.grouping_sep = grouping_sep
+        self.minus = minus
+        self.percent = percent
+        self.permille = permille
+        self.zero = zero
+        self.digit = digit
+        self.pattern_sep = pattern_sep
+        self.infinity = infinity
+        self.nan = nan
+
+
+def format_number(value: float, picture: str, fmt: DecimalFormat) -> str:
+    """JDK-DecimalFormat-style picture formatting (XSLT 1.0
+    ``format-number()``): 0/# digits, grouping, min/max fraction from the
+    picture, percent/per-mille multipliers, a negative subpicture after
+    the pattern separator (default: minus-sign prefix), half-even
+    rounding (the JDK/Saxon behavior)."""
+    import math
+    from decimal import ROUND_HALF_EVEN, Decimal
+
+    if value != value:
+        return fmt.nan
+    if value in (float("inf"), float("-inf")):
+        return (fmt.minus if value < 0 else "") + fmt.infinity
+    parts = picture.split(fmt.pattern_sep)
+    negative = value < 0 or (value == 0 and math.copysign(1.0, value) < 0)
+    sub = parts[1] if (negative and len(parts) > 1) else parts[0]
+    digit_idx = [i for i, ch in enumerate(sub) if ch in (fmt.zero, fmt.digit)]
+    if not digit_idx:
+        raise XPathError(f"format-number picture {picture!r} has no digits")
+    s0, s1 = digit_idx[0], digit_idx[-1]
+    # a decimal separator directly after the last digit belongs to the
+    # numeric part ("0.‰" etc. keep it out; "0." keeps trailing point off)
+    prefix, numpart, suffix = sub[:s0], sub[s0 : s1 + 1], sub[s1 + 1 :]
+    mult = 1
+    if fmt.percent in prefix or fmt.percent in suffix:
+        mult = 100
+    elif fmt.permille in prefix or fmt.permille in suffix:
+        mult = 1000
+    if fmt.decimal_sep in numpart:
+        int_pic, frac_pic = numpart.split(fmt.decimal_sep, 1)
+    else:
+        int_pic, frac_pic = numpart, ""
+    min_int = int_pic.count(fmt.zero)
+    min_frac = frac_pic.count(fmt.zero)
+    max_frac = min_frac + frac_pic.count(fmt.digit)
+    group = 0
+    if fmt.grouping_sep in int_pic:
+        digits_after = 0
+        for ch in reversed(int_pic):
+            if ch == fmt.grouping_sep:
+                group = digits_after
+                break
+            if ch in (fmt.zero, fmt.digit):
+                digits_after += 1
+    q = (Decimal(repr(abs(value))) * mult).quantize(
+        Decimal(1).scaleb(-max_frac), rounding=ROUND_HALF_EVEN
+    )
+    text = format(q, "f")
+    int_str, _, frac_str = text.partition(".")
+    frac_str = frac_str.rstrip("0")
+    if len(frac_str) < min_frac:
+        frac_str += "0" * (min_frac - len(frac_str))
+    if len(int_str) < min_int:
+        int_str = "0" * (min_int - len(int_str)) + int_str
+    if group:
+        rev = int_str[::-1]
+        int_str = fmt.grouping_sep.join(
+            rev[i : i + group] for i in range(0, len(rev), group)
+        )[::-1]
+    if fmt.zero != "0":
+        base = ord(fmt.zero)
+        tr = {ord(str(d)): chr(base + d) for d in range(10)}
+        int_str = int_str.translate(tr)
+        frac_str = frac_str.translate(tr)
+    out = prefix + int_str
+    if frac_str:
+        out += fmt.decimal_sep + frac_str
+    out += suffix
+    if negative and len(parts) == 1:
+        out = fmt.minus + out
+    return out
+
+
 def _num(v) -> float:
     if isinstance(v, bool):
         return 1.0 if v else 0.0
@@ -953,6 +1050,37 @@ def _call(name, args, ctx: Context):
             raise XPathError("regex-group() outside xsl:matching-substring")
         i = int(_num(a(0)))
         return groups[i] if 0 <= i < len(groups) else ""
+    if name == "format-number":
+        fmts = ctx.vars.get("__decimal_formats__") or {"": DecimalFormat()}
+        fname = _str(a(2)) if n > 2 else ""
+        fmt = fmts.get(fname)
+        if fmt is None:
+            raise XPathError(f"decimal-format {fname!r} is not declared")
+        return format_number(_num(a(0)), _str(a(1)), fmt)
+    if name == "document":
+        # no I/O in the engine: URIs resolve against the mapping injected
+        # at construction (MicroXSLT(documents={uri: xml}); '' = the
+        # stylesheet document, per spec) — the same offline-injection
+        # policy as xsl:include/import
+        docs = ctx.vars.get("__xslt_documents__")
+        if docs is None:
+            raise XPathError(
+                "document() needs an injected mapping: "
+                "MicroXSLT(..., documents={uri: xml_text})"
+            )
+        v = a(0)
+        uris = (
+            [string_value(x) for x in v] if isinstance(v, list) else [_str(v)]
+        )
+        out = []
+        for u in uris:
+            root = docs.get(u)
+            if root is None:
+                raise XPathError(
+                    f"document({u!r}): URI not in the injected mapping"
+                )
+            out.append(root)
+        return out
     raise XPathError(f"unknown function {name}()")
 
 
