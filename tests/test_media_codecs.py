@@ -58,6 +58,85 @@ def _make_png_raw(
     )
 
 
+def _gif_lzw_encode_literal(indices, min_code: int) -> bytes:
+    """Minimal VALID GIF-LZW stream: emit every pixel as a root code (the
+    decoder still builds its table, so widths must track its growth), with
+    a clear code whenever the simulated table nears the 12-bit cap.
+    Independent of the decoder under test — it only mirrors the spec's
+    width-growth rule."""
+    clear = 1 << min_code
+    end = clear + 1
+    bits: list[int] = []
+
+    def emit(code: int, width: int) -> None:
+        for i in range(width):
+            bits.append((code >> i) & 1)
+
+    width = min_code + 1
+    table_len = clear + 2
+    emit(clear, width)
+    prev = False
+    for idx in indices:
+        if table_len >= 4095:
+            emit(clear, width)
+            width = min_code + 1
+            table_len = clear + 2
+            prev = False
+        emit(int(idx), width)
+        if prev:
+            table_len += 1
+            if table_len == (1 << width) and width < 12:
+                width += 1
+        prev = True
+    emit(end, width)
+    out = bytearray()
+    for i in range(0, len(bits), 8):
+        b = 0
+        for j, bit in enumerate(bits[i : i + 8]):
+            b |= bit << j
+        out.append(b)
+    return bytes(out)
+
+
+def make_gif(indices: np.ndarray, palette: list[tuple[int, int, int]],
+             interlaced: bool = False) -> bytes:
+    """Assemble a single-frame GIF from an (H, W) index array."""
+    h, w = indices.shape
+    n = len(palette)
+    size_field = max(1, (n - 1).bit_length()) - 1 if n > 2 else 0
+    size_field = max(size_field, 1)  # >= 4 entries so min_code >= 2
+    n_entries = 1 << (size_field + 1)
+    gct = b"".join(
+        bytes(palette[i]) if i < n else b"\x00\x00\x00"
+        for i in range(n_entries)
+    )
+    min_code = max(2, size_field + 1)
+    order = indices
+    ipacked = 0
+    if interlaced:
+        passes = [y for s, st in ((0, 8), (4, 8), (2, 4), (1, 2))
+                  for y in range(s, h, st)]
+        order = indices[passes]
+        ipacked |= 0x40
+    lzw = _gif_lzw_encode_literal(order.reshape(-1).tolist(), min_code)
+    blocks = bytearray()
+    for i in range(0, len(lzw), 255):
+        chunk = lzw[i : i + 255]
+        blocks += bytes([len(chunk)]) + chunk
+    blocks += b"\x00"
+    return (
+        b"GIF89a"
+        + struct.pack("<HH", w, h)
+        + bytes([0x80 | size_field, 0, 0])
+        + gct
+        + b"\x2c"
+        + struct.pack("<HHHH", 0, 0, w, h)
+        + bytes([ipacked, min_code])
+        + blocks
+        + b"\x3b"
+    )
+
+
 def make_bmp(pixels: np.ndarray) -> bytes:
     """24-bit bottom-up BMP from an (H, W, 3) uint8 RGB array."""
     h, w, _ = pixels.shape
@@ -187,6 +266,49 @@ class TestImage:
             decode_image(
                 _make_png_raw(1, 1, 0, scan, corrupt_idat=True)
             )
+
+    def test_gif_golden_handpacked_bytes(self):
+        # 2x2, 4-entry palette, pixels [0,1,1,0]; the LZW stream below was
+        # bit-packed BY HAND from the spec (clear=4 end=5, width 3 growing
+        # to 4 after the table reaches 8) — a golden byte-exact contract
+        # independent of any encoder
+        gif = (
+            b"GIF89a"
+            + struct.pack("<HH", 2, 2)
+            + bytes([0x91, 0, 0])
+            + bytes([255, 0, 0, 0, 255, 0, 0, 0, 0, 0, 0, 0])
+            + b"\x2c" + struct.pack("<HHHH", 0, 0, 2, 2)
+            + bytes([0, 2])            # no LCT; min code size 2
+            + bytes([3, 0x44, 0x02, 0x05, 0])  # hand-packed LZW
+            + b"\x3b"
+        )
+        out = decode_image(gif)
+        expect = np.array(
+            [[[255, 0, 0], [0, 255, 0]], [[0, 255, 0], [255, 0, 0]]],
+            np.uint8,
+        )
+        assert np.array_equal(out, expect)
+
+    def test_gif_roundtrip_random(self):
+        rng = np.random.default_rng(13)
+        palette = [(i * 17 % 256, i * 41 % 256, i * 89 % 256)
+                   for i in range(8)]
+        idx = rng.integers(0, 8, size=(9, 13), dtype=np.uint8)
+        out = decode_image(make_gif(idx, palette))
+        expect = np.array(palette, np.uint8)[idx]
+        assert np.array_equal(out, expect)
+
+    def test_gif_interlaced(self):
+        rng = np.random.default_rng(29)
+        palette = [(0, 0, 0), (255, 255, 255), (128, 0, 128), (0, 128, 0)]
+        idx = rng.integers(0, 4, size=(11, 5), dtype=np.uint8)
+        out = decode_image(make_gif(idx, palette, interlaced=True))
+        expect = np.array(palette, np.uint8)[idx]
+        assert np.array_equal(out, expect)
+
+    def test_gif_truncated_typed(self):
+        with pytest.raises(UnsupportedMedia):
+            decode_image(b"GIF89a" + struct.pack("<HH", 2, 2) + b"\x00\x00")
 
     def test_sniff(self):
         assert sniff_format(make_bmp(RGB)) == "bmp"

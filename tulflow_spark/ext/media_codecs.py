@@ -8,11 +8,13 @@ stub: uncompressed formats decode with ``struct``/``wave``/numpy alone —
 - **PPM/PGM** (binary ``P6``/``P5``) → ``(H, W, 3)`` / ``(H, W)`` uint8,
 - **PNG** (8-bit gray / gray+alpha / RGB / RGBA, non-interlaced) → uint8
   array via stdlib zlib inflate + Sub/Up/Average/Paeth defiltering,
+- **GIF** (87a/89a first frame, incl. interlaced) → ``(H, W, 3)`` uint8
+  via a pure-Python variable-width LZW decoder + palette lookup,
 - **WAV** (PCM, any width the stdlib ``wave``/``audioop`` handles) →
   float32 mono samples + sample rate.
 
 ``sniff_format`` dispatches on magic bytes; entropy-coded formats (JPEG,
-GIF, MP3/MP4, OGG) are recognized and raise :class:`UnsupportedMedia`
+MP3/MP4, OGG) are recognized and raise :class:`UnsupportedMedia`
 naming the dependency a real deployment would add — a typed wall, never a
 silent fake.  The deterministic stub decoder in
 :mod:`tulflow_spark.ext.multimodal` remains for shape-only tests.
@@ -59,7 +61,6 @@ def sniff_format(content: bytes) -> str:
 
 _NEEDS = {
     "jpeg": "Pillow (JPEG entropy coding)",
-    "gif": "Pillow (LZW)",
     "mp3": "ffmpeg/audioread",
     "ogg": "ffmpeg/audioread",
     "mp4": "ffmpeg (container demux + codec)",
@@ -81,9 +82,122 @@ def decode_image(content: bytes) -> np.ndarray:
         return _decode_pnm(content)
     if fmt == "png":
         return _decode_png(content)
+    if fmt == "gif":
+        return _decode_gif(content)
     if fmt in _NEEDS:
         raise UnsupportedMedia(f"{fmt} decode needs {_NEEDS[fmt]}")
     raise UnsupportedMedia(f"unrecognized image bytes ({content[:8]!r})")
+
+
+def _gif_lzw_decode(data: bytes, min_code: int, limit: int) -> list[int]:
+    """GIF variable-width LZW (LSB-first bit packing, clear/end codes,
+    width grows when the table reaches 2^width, capped at 12 bits)."""
+    clear = 1 << min_code
+    end = clear + 1
+
+    def fresh():
+        return [(i,) for i in range(clear)] + [None, None]
+
+    table = fresh()
+    width = min_code + 1
+    out: list[int] = []
+    prev: tuple | None = None
+    acc = nbits = 0
+    for byte in data:
+        acc |= byte << nbits
+        nbits += 8
+        while nbits >= width:
+            code = acc & ((1 << width) - 1)
+            acc >>= width
+            nbits -= width
+            if code == clear:
+                table = fresh()
+                width = min_code + 1
+                prev = None
+                continue
+            if code == end:
+                return out[:limit]
+            if code < len(table) and table[code] is not None:
+                entry = table[code]
+                if prev is not None and len(table) < 4096:
+                    table.append(prev + (entry[0],))
+            elif code == len(table) and prev is not None:
+                entry = prev + (prev[0],)  # the KwKwK case
+                table.append(entry)
+            else:
+                raise UnsupportedMedia("corrupt GIF LZW stream")
+            out.extend(entry)
+            prev = entry
+            if len(table) == (1 << width) and width < 12:
+                width += 1
+            if len(out) >= limit:
+                return out[:limit]
+    return out[:limit]
+
+
+_GIF_INTERLACE_PASSES = ((0, 8), (4, 8), (2, 4), (1, 2))
+
+
+def _decode_gif(content: bytes) -> np.ndarray:
+    """First frame of a GIF87a/89a → (H, W, 3) uint8 RGB: block walk +
+    stdlib-only LZW + palette lookup; interlaced row order restored.
+    Animation frames beyond the first and transparency compositing are out
+    of scope (first-frame semantics, the Pillow ``convert('RGB')``
+    default)."""
+    if content[:6] not in (b"GIF87a", b"GIF89a"):
+        raise UnsupportedMedia("bad GIF signature")
+    packed = content[10]
+    pos = 13
+    gct = None
+    if packed & 0x80:
+        n = 1 << ((packed & 0x07) + 1)
+        gct = np.frombuffer(content, np.uint8, n * 3, pos).reshape(n, 3)
+        pos += n * 3
+    while pos < len(content):
+        block = content[pos]
+        if block == 0x3B:  # trailer
+            break
+        if block == 0x21:  # extension: label + length-prefixed sub-blocks
+            pos += 2
+            while pos < len(content) and content[pos] != 0:
+                pos += content[pos] + 1
+            pos += 1
+        elif block == 0x2C:  # image descriptor
+            _, _, iw, ih = struct.unpack_from("<HHHH", content, pos + 1)
+            ipacked = content[pos + 9]
+            pos += 10
+            ct = gct
+            if ipacked & 0x80:  # local color table wins
+                n = 1 << ((ipacked & 0x07) + 1)
+                ct = np.frombuffer(content, np.uint8, n * 3, pos).reshape(n, 3)
+                pos += n * 3
+            if ct is None:
+                raise UnsupportedMedia("GIF image has no color table")
+            min_code = content[pos]
+            pos += 1
+            data = bytearray()
+            while pos < len(content) and content[pos] != 0:
+                ln = content[pos]
+                data += content[pos + 1 : pos + 1 + ln]
+                pos += ln + 1
+            pos += 1
+            idx = _gif_lzw_decode(bytes(data), min_code, iw * ih)
+            if len(idx) < iw * ih:
+                raise UnsupportedMedia("truncated GIF pixel data")
+            arr = ct[np.asarray(idx, np.int32)].reshape(ih, iw, 3)
+            if ipacked & 0x40:  # interlaced: rows arrive in 4 passes
+                order = [
+                    y
+                    for start, step in _GIF_INTERLACE_PASSES
+                    for y in range(start, ih, step)
+                ]
+                restored = np.empty_like(arr)
+                restored[order] = arr
+                arr = restored
+            return np.ascontiguousarray(arr)
+        else:
+            raise UnsupportedMedia(f"GIF: unexpected block 0x{block:02x}")
+    raise UnsupportedMedia("GIF contains no image data")
 
 
 _PNG_CHANNELS = {0: 1, 2: 3, 4: 2, 6: 4}  # color type → samples/pixel
