@@ -389,13 +389,28 @@ class TestEngine:
         # first m: two v's precede it anywhere; second m: three
         assert out == "<r><n>2</n><n>3</n><t>vi</t></r>"
 
-    def test_number_level_multi_is_typed_unsupported(self):
-        with pytest.raises(UnsupportedFeature):
-            _run(
-                '<xsl:template match="v">'
-                '<xsl:number level="multi"/></xsl:template>',
-                "<d><v/></d>",
-            )
+    def test_number_level_multi_hierarchical(self):
+        out = _run(
+            '<xsl:template match="item">'
+            '<n><xsl:number level="multi" count="sec|item"'
+            ' format="1.1 "/></n><xsl:apply-templates/></xsl:template>'
+            '<xsl:template match="sec"><xsl:apply-templates/></xsl:template>',
+            "<d><sec><item/><item/></sec><sec><sec><item/></sec></sec></d>",
+        )
+        # outermost count first: 1.1, 1.2, then sec 2 > sec 1 > item 1
+        assert out == "<r><n>1.1 </n><n>1.2 </n><n>2.1.1 </n></r>"
+
+    def test_number_level_multi_token_reuse_and_formats(self):
+        out = _run(
+            '<xsl:template match="item">'
+            '<n><xsl:number level="multi" count="sec|item"'
+            ' format="A-i"/></n><xsl:apply-templates/></xsl:template>'
+            '<xsl:template match="sec"><xsl:apply-templates/></xsl:template>',
+            "<d><sec><sec><item/></sec></sec></d>",
+        )
+        # three levels, two tokens: A, i, then the last token reused with
+        # the last separator
+        assert out == "<r><n>A-i-i</n></r>"
 
     def test_for_each_group_by(self):
         # value groups in first-occurrence order; context item = initial

@@ -42,8 +42,8 @@ half-even rounding), and ``document()`` resolved offline against an
 injected ``documents={uri: xml}`` mapping ('' = the stylesheet, per spec)
 — the same no-network policy as ``include``/``import``.
 
-Out of scope (raises :class:`UnsupportedFeature`): ``xsl:number``
-level="multi", the namespace axis.
+Out of scope (raises :class:`UnsupportedFeature`): the namespace axis
+and XSLT-3.0-only instructions (``xsl:evaluate`` etc.).
 """
 
 from __future__ import annotations
@@ -151,14 +151,28 @@ def _format_one(n: int, token: str) -> str:
 
 
 def _format_number(nums: list[int], fmt: str) -> str:
-    """xsl:number @format for a single number: literal prefix + one
-    format token (1/01/a/A/i/I) + literal suffix."""
+    """xsl:number @format: literal prefix, format tokens (1/01/a/A/i/I)
+    with literal separators between them, literal suffix.  level="multi"
+    lists reuse the last token/separator when the format runs out (spec
+    §7.7.1); the default separator is '.'."""
     if not nums:
         return ""
-    m = _FMT_TOKEN_RE.search(fmt)
-    if m is None:
-        return fmt + str(nums[0])
-    return fmt[: m.start()] + _format_one(nums[0], m.group()) + fmt[m.end():]
+    tokens = list(_FMT_TOKEN_RE.finditer(fmt))
+    if not tokens:
+        return fmt + ".".join(str(n) for n in nums)
+    out = fmt[: tokens[0].start()]
+    for i, n in enumerate(nums):
+        tok = tokens[i] if i < len(tokens) else tokens[-1]
+        if i > 0:
+            if i < len(tokens):
+                sep = fmt[tokens[i - 1].end() : tokens[i].start()]
+            elif len(tokens) > 1:
+                sep = fmt[tokens[-2].end() : tokens[-1].start()]
+            else:
+                sep = "."
+            out += sep or "."
+        out += _format_one(n, tok.group())
+    return out + fmt[tokens[-1].end() :]
 
 
 class MicroXSLT:
@@ -515,10 +529,12 @@ class MicroXSLT:
     def _i_number(self, instr, ctx, out, vars_):
         """xsl:number — value= expressions, and counting at level=
         "single" (1 + matching preceding siblings of the nearest
-        matching ancestor-or-self) and level="any" (matching nodes at or
+        matching ancestor-or-self), level="any" (matching nodes at or
         before the context node in document order, reset at from=
-        boundaries).  Formats: 1, 01, a, A, i, I with literal prefix/
-        suffix separators.  level="multi" stays typed-unsupported."""
+        boundaries), and level="multi" (one count per matching
+        ancestor-or-self, outermost first — hierarchical 1.2.3
+        numbering).  Formats: 1, 01, a, A, i, I with literal prefix/
+        separator/suffix text; multi reuses the last token/separator."""
         ectx = self._ctx(ctx, instr, vars_)
         value = _attr(instr, "value")
         if value is not None:
@@ -530,12 +546,10 @@ class MicroXSLT:
                 num = float("nan")
             nums = [] if num != num else [int(round(num))]
         else:
-            nums = [self._count_number(instr, ctx, vars_)]
-            if nums == [0]:
-                nums = []
+            nums = self._count_number(instr, ctx, vars_)
         _emit_text(out, _format_number(nums, _attr(instr, "format") or "1"))
 
-    def _count_number(self, instr, ctx, vars_) -> int:
+    def _count_number(self, instr, ctx, vars_) -> list[int]:
         nsmap = instr.nsmap or {}
         count = _attr(instr, "count")
         frm = _attr(instr, "from")
@@ -553,19 +567,7 @@ class MicroXSLT:
                 return n.kind == ELEM and n.tag == node.tag
             return n.kind == node.kind
 
-        level = _attr(instr, "level") or "single"
-        if level == "single":
-            target = None
-            n = node
-            while n is not None and n.kind != ROOT:
-                if matches_count(n):
-                    target = n
-                    break
-                if from_pat is not None and from_pat.matches(n, pctx(n)):
-                    break
-                n = n.parent
-            if target is None:
-                return 0
+        def sibling_position(target: Node) -> int:
             cnt = 1
             for sib in (target.parent.children if target.parent else ()):
                 if sib is target:
@@ -573,6 +575,17 @@ class MicroXSLT:
                 if matches_count(sib):
                     cnt += 1
             return cnt
+
+        level = _attr(instr, "level") or "single"
+        if level == "single":
+            n = node
+            while n is not None and n.kind != ROOT:
+                if matches_count(n):
+                    return [sibling_position(n)]
+                if from_pat is not None and from_pat.matches(n, pctx(n)):
+                    break
+                n = n.parent
+            return []
         if level == "any":
             root = node
             while root.parent is not None:
@@ -588,7 +601,17 @@ class MicroXSLT:
                     continue
                 if matches_count(nd):
                     cnt += 1
-            return cnt
+            return [cnt] if cnt else []
+        if level == "multi":
+            counts: list[int] = []
+            n = node
+            while n is not None and n.kind != ROOT:
+                if from_pat is not None and from_pat.matches(n, pctx(n)):
+                    break
+                if matches_count(n):
+                    counts.append(sibling_position(n))
+                n = n.parent
+            return counts[::-1]  # outermost ancestor first
         raise UnsupportedFeature(f"xsl:number level={level!r}")
 
     def _i_for_each(self, instr, ctx, out, vars_):
