@@ -205,8 +205,8 @@ class TestImage:
     def test_compressed_formats_typed(self):
         with pytest.raises(UnsupportedMedia, match="IHDR"):
             decode_image(b"\x89PNG\r\n\x1a\n....")  # signature, no chunks
-        with pytest.raises(UnsupportedMedia, match="Pillow"):
-            decode_image(b"\xff\xd8\xff\xe0....")
+        with pytest.raises(UnsupportedMedia, match="jpeg"):
+            decode_image(b"\xff\xd8\xff\xe0....")  # SOI then garbage
         with pytest.raises(UnsupportedMedia):
             decode_image(b"garbage-bytes")
 
@@ -395,11 +395,14 @@ class TestSparkPipeline:
         assert int(np.argmax(r.features)) == 4
 
     def test_native_decoder_typed_failure_on_compressed(self, spark):
+        # mp4 remains a real wall (codec work a container without ffmpeg
+        # cannot do); the error must surface executor-side with the
+        # dependency named
         from tulflow_spark.ext.multimodal import decode_and_featurize
 
         df = spark.createDataFrame(
-            [(1, "image", b"\xff\xd8\xff\xe0JFIFxxxx", None)],
+            [(1, "image", b"\x00\x00\x00\x18ftypmp42xxxx", None)],
             "media_id bigint, kind string, content binary, meta string",
         )
-        with pytest.raises(Exception, match="Pillow"):
+        with pytest.raises(Exception, match="ffmpeg"):
             decode_and_featurize(df, decoder="native").collect()

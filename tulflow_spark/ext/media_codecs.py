@@ -60,7 +60,6 @@ def sniff_format(content: bytes) -> str:
 
 
 _NEEDS = {
-    "jpeg": "Pillow (JPEG entropy coding)",
     "mp3": "ffmpeg/audioread",
     "ogg": "ffmpeg/audioread",
     "mp4": "ffmpeg (container demux + codec)",
@@ -84,6 +83,13 @@ def decode_image(content: bytes) -> np.ndarray:
         return _decode_png(content)
     if fmt == "gif":
         return _decode_gif(content)
+    if fmt == "jpeg":
+        from tulflow_spark.ext.jpeg import UnsupportedJpeg, decode_jpeg
+
+        try:
+            return decode_jpeg(content)
+        except UnsupportedJpeg as exc:
+            raise UnsupportedMedia(f"jpeg: {exc}") from exc
     if fmt in _NEEDS:
         raise UnsupportedMedia(f"{fmt} decode needs {_NEEDS[fmt]}")
     raise UnsupportedMedia(f"unrecognized image bytes ({content[:8]!r})")
