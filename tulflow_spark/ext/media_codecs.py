@@ -10,11 +10,13 @@ stub: uncompressed formats decode with ``struct``/``wave``/numpy alone —
   array via stdlib zlib inflate + Sub/Up/Average/Paeth defiltering,
 - **GIF** (87a/89a first frame, incl. interlaced) → ``(H, W, 3)`` uint8
   via a pure-Python variable-width LZW decoder + palette lookup,
+- **JPEG** (baseline sequential, 8-bit, gray/YCbCr, sampling ≤ 2×2) →
+  uint8 via :mod:`tulflow_spark.ext.jpeg` (Huffman + numpy IDCT),
 - **WAV** (PCM, any width the stdlib ``wave``/``audioop`` handles) →
   float32 mono samples + sample rate.
 
-``sniff_format`` dispatches on magic bytes; entropy-coded formats (JPEG,
-MP3/MP4, OGG) are recognized and raise :class:`UnsupportedMedia`
+``sniff_format`` dispatches on magic bytes; the remaining compressed
+formats (MP3/MP4, OGG; progressive JPEG) raise :class:`UnsupportedMedia`
 naming the dependency a real deployment would add — a typed wall, never a
 silent fake.  The deterministic stub decoder in
 :mod:`tulflow_spark.ext.multimodal` remains for shape-only tests.
