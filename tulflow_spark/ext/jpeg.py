@@ -49,7 +49,13 @@ for _k in range(8):
 
 
 def _idct2(block: np.ndarray) -> np.ndarray:
-    return _C.T @ block @ _C
+    px = _C.T @ block @ _C
+    # Snap to the half-integer grid when within float-noise distance: the
+    # exact IDCT of integer (coeff × quant) inputs can land exactly on x.5
+    # (e.g. a DC-only block), where an ulp of basis-matrix error would flip
+    # the final round() by a full level vs exact arithmetic.
+    snapped = np.round(px * 2.0) / 2.0
+    return np.where(np.abs(px - snapped) < 1e-8, snapped, px)
 
 
 class _HuffTable:

@@ -126,6 +126,7 @@ def load_all() -> None:
         ext_queries,
         olap_queries,
         star_queries,
+        tpch_extras,
         xml_queries,
     )
 
