@@ -1,0 +1,306 @@
+"""Header-level media probing: MP4 box walk + sample tables, MP3 frame
+walk, image-dimension probes.  The MP4/MP3 fixtures are built by
+independent in-test writers straight from the public specs (ISO 14496-12
+box layout; ISO 11172-3 header fields), so the decoder can't be "tested
+against itself"."""
+
+from __future__ import annotations
+
+import struct
+
+import pytest
+
+from tulflow_spark.ext.media_codecs import UnsupportedMedia
+from tulflow_spark.ext.mediaprobe import (
+    mp4_sample_at,
+    probe_media_bytes,
+    probe_mp3,
+    probe_mp4,
+)
+
+# ---------------------------------------------------------------------------
+# in-test MP4 writer (boxes laid out by hand)
+# ---------------------------------------------------------------------------
+
+
+def _box(fourcc: bytes, body: bytes) -> bytes:
+    return struct.pack(">I", 8 + len(body)) + fourcc + body
+
+
+def _full(fourcc: bytes, body: bytes, version: int = 0) -> bytes:
+    return _box(fourcc, bytes([version, 0, 0, 0]) + body)
+
+
+def make_mp4(
+    frames: list[bytes],
+    timescale: int = 1000,
+    frame_delta: int = 40,  # 25 fps in a 1000 timescale
+    width: int = 64,
+    height: int = 48,
+    sync: list[int] | None = None,  # 1-based keyframe sample numbers
+    chunks: list[int] | None = None,  # frames per chunk; default all-in-one
+) -> bytes:
+    """Minimal ftyp+moov+mdat file with one 'vide' track whose sample table
+    places every frame payload at a known mdat offset."""
+    n = len(frames)
+    duration = n * frame_delta
+    chunks = chunks or [n]
+    assert sum(chunks) == n
+
+    mvhd = _full(
+        b"mvhd",
+        struct.pack(">II", 0, 0)  # creation, modification
+        + struct.pack(">II", timescale, duration)
+        + struct.pack(">I", 0x00010000)  # rate
+        + b"\x00" * 6  # volume + reserved
+        + b"\x00" * 8
+        + struct.pack(">9I", 0x10000, 0, 0, 0, 0x10000, 0, 0, 0, 0x40000000)
+        + b"\x00" * 24
+        + struct.pack(">I", 2),  # next track id
+    )
+    tkhd = _full(
+        b"tkhd",
+        struct.pack(">II", 0, 0)
+        + struct.pack(">I", 1)  # track id
+        + struct.pack(">I", 0)  # reserved
+        + struct.pack(">I", duration)
+        + b"\x00" * 8
+        + struct.pack(">hhhh", 0, 0, 0, 0)  # layer, group, volume, reserved
+        + struct.pack(">9I", 0x10000, 0, 0, 0, 0x10000, 0, 0, 0, 0x40000000)
+        + struct.pack(">II", width << 16, height << 16),
+    )
+    mdhd = _full(
+        b"mdhd",
+        struct.pack(">II", 0, 0)
+        + struct.pack(">II", timescale, duration)
+        + struct.pack(">HH", 0x55C4, 0),  # language 'und', predefined
+    )
+    hdlr = _full(
+        b"hdlr", struct.pack(">I", 0) + b"vide" + b"\x00" * 12 + b"probe\x00"
+    )
+    # stsd with a fake 'fake' sample entry (only fourcc is read for video)
+    entry = _box(b"fake", b"\x00" * 6 + struct.pack(">H", 1) + b"\x00" * 70)
+    stsd = _full(b"stsd", struct.pack(">I", 1) + entry)
+    stts = _full(b"stts", struct.pack(">III", 1, n, frame_delta))
+    stsz = _full(
+        b"stsz",
+        struct.pack(">II", 0, n) + b"".join(struct.pack(">I", len(f)) for f in frames),
+    )
+    # stsc: runs of frames-per-chunk
+    runs = []
+    first = 1
+    for i, c in enumerate(chunks):
+        if i == 0 or c != chunks[i - 1]:
+            runs.append((first, c))
+        first += 1
+    stsc = _full(
+        b"stsc",
+        struct.pack(">I", len(runs))
+        + b"".join(struct.pack(">III", fc, spc, 1) for fc, spc in runs),
+    )
+    stss_box = b""
+    if sync is not None:
+        stss_box = _full(
+            b"stss",
+            struct.pack(">I", len(sync)) + b"".join(struct.pack(">I", s) for s in sync),
+        )
+
+    # chunk offsets depend on final layout: build everything with a stco
+    # placeholder, then patch.
+    def build(chunk_offsets: list[int]) -> bytes:
+        stco = _full(
+            b"stco",
+            struct.pack(">I", len(chunk_offsets))
+            + b"".join(struct.pack(">I", o) for o in chunk_offsets),
+        )
+        stbl = _box(b"stbl", stsd + stts + stsc + stsz + stco + stss_box)
+        minf = _box(b"minf", stbl)
+        mdia = _box(b"mdia", mdhd + hdlr + minf)
+        trak = _box(b"trak", tkhd + mdia)
+        moov = _box(b"moov", mvhd + trak)
+        ftyp = _box(b"ftyp", b"isom" + struct.pack(">I", 512) + b"isomiso2")
+        mdat = _box(b"mdat", b"".join(frames))
+        return ftyp + moov + mdat
+
+    placeholder = build([0] * len(chunks))
+    mdat_body = placeholder.rindex(b"mdat") + 4
+    offsets = []
+    pos = mdat_body
+    fi = 0
+    for c in chunks:
+        offsets.append(pos)
+        for _ in range(c):
+            pos += len(frames[fi])
+            fi += 1
+    out = build(offsets)
+    assert len(out) == len(placeholder)
+    return out
+
+
+def test_mp4_probe_metadata():
+    frames = [b"AAAA", b"BBBBBB", b"CC", b"DDDDD"]
+    data = make_mp4(frames, width=320, height=240)
+    info = probe_mp4(data)
+    assert info.brand == "isom"
+    assert info.timescale == 1000 and info.duration == 160
+    assert info.duration_ms == 160
+    (tr,) = info.tracks
+    assert tr.handler == "vide" and tr.codec == "fake"
+    assert (tr.width, tr.height) == (320, 240)
+    assert tr.sample_sizes == [4, 6, 2, 5]
+    assert tr.sample_times == [0, 40, 80, 120]
+
+
+def test_mp4_sample_offsets_resolve_payloads():
+    frames = [b"frame0!", b"frame1!!", b"frame2", b"frame3##"]
+    data = make_mp4(frames)
+    (tr,) = probe_mp4(data).tracks
+    for i, f in enumerate(frames):
+        off, size = tr.sample_offsets[i], tr.sample_sizes[i]
+        assert data[off : off + size] == f
+
+
+def test_mp4_multi_chunk_offsets():
+    frames = [b"k0", b"k111", b"k22222", b"k3", b"k44"]
+    data = make_mp4(frames, chunks=[2, 2, 1])
+    (tr,) = probe_mp4(data).tracks
+    for i, f in enumerate(frames):
+        off, size = tr.sample_offsets[i], tr.sample_sizes[i]
+        assert data[off : off + size] == f
+
+
+def test_mp4_sample_at_timestamp_and_keyframe_snap():
+    frames = [b"IDR0", b"p1", b"p2", b"IDR3", b"p4"]
+    data = make_mp4(frames, frame_delta=40, sync=[1, 4])
+    (tr,) = probe_mp4(data).tracks
+    idx, ts, payload = mp4_sample_at(data, tr, 85)  # 85ms → sample 2 (80ms)
+    assert (idx, ts, payload) == (2, 80, b"p2")
+    idx, ts, payload = mp4_sample_at(data, tr, 85, keyframe_only=True)
+    assert (idx, ts, payload) == (0, 0, b"IDR0")
+    idx, ts, payload = mp4_sample_at(data, tr, 170, keyframe_only=True)
+    assert (idx, ts, payload) == (3, 120, b"IDR3")
+
+
+def test_mp4_no_moov_is_typed():
+    data = _box(b"ftyp", b"isom" + b"\x00" * 8) + _box(b"mdat", b"xx")
+    with pytest.raises(UnsupportedMedia, match="moov"):
+        probe_mp4(data)
+
+
+# ---------------------------------------------------------------------------
+# in-test MP3 writer
+# ---------------------------------------------------------------------------
+
+
+def make_mp3_frames(
+    n: int, kbps: int = 128, rate: int = 44100, pad_every: int = 0
+) -> bytes:
+    """Valid MPEG1 Layer III headers with zeroed payloads.  Frame length =
+    144*bitrate/rate + padding (spec formula, independent of the module)."""
+    br_table = [0, 32, 40, 48, 56, 64, 80, 96, 112, 128, 160, 192, 224, 256, 320]
+    sr_table = [44100, 48000, 32000]
+    out = bytearray()
+    for i in range(n):
+        padding = 1 if pad_every and (i % pad_every == 0) else 0
+        hdr = (
+            0x7FF << 21
+            | 0x3 << 19  # MPEG1
+            | 0x1 << 17  # Layer III
+            | 0x1 << 16  # no CRC
+            | br_table.index(kbps) << 12
+            | sr_table.index(rate) << 10
+            | padding << 9
+            | 0x0 << 6  # stereo
+        )
+        frame_len = 144 * kbps * 1000 // rate + padding
+        out += struct.pack(">I", hdr) + b"\x00" * (frame_len - 4)
+    return bytes(out)
+
+
+def test_mp3_frame_walk_exact_count_and_duration():
+    data = make_mp3_frames(38, kbps=128, rate=44100)
+    info = probe_mp3(data)
+    assert info.n_frames == 38
+    assert info.sample_rate == 44100
+    assert info.bitrate_kbps == 128.0
+    assert not info.vbr
+    # 38 frames * 1152 samples / 44100 Hz = 992.65.. ms
+    assert info.duration_ms == 38 * 1152 * 1000 // 44100
+
+
+def test_mp3_id3_prefix_and_padding_bit():
+    body = make_mp3_frames(10, kbps=64, rate=32000, pad_every=3)
+    sz = 200
+    id3 = b"ID3\x04\x00\x00" + bytes(
+        [(sz >> 21) & 0x7F, (sz >> 14) & 0x7F, (sz >> 7) & 0x7F, sz & 0x7F]
+    ) + b"\x00" * sz
+    info = probe_mp3(id3 + body)
+    assert info.n_frames == 10 and info.sample_rate == 32000
+
+
+def test_mp3_vbr_mixed_bitrates():
+    data = make_mp3_frames(4, kbps=128) + make_mp3_frames(4, kbps=192)
+    info = probe_mp3(data)
+    assert info.vbr and info.n_frames == 8
+    assert info.bitrate_kbps == pytest.approx(160.0)
+
+
+def test_mp3_garbage_is_typed():
+    with pytest.raises(UnsupportedMedia):
+        probe_mp3(b"\x00" * 64)
+
+
+# ---------------------------------------------------------------------------
+# probe_media_bytes dispatch
+# ---------------------------------------------------------------------------
+
+
+def test_probe_image_headers():
+    from tests.test_media_codecs import _make_png_raw
+
+    png = _make_png_raw(5, 3, 0, b"".join(b"\x00" + b"\x10" * 5 for _ in range(3)))
+    m = probe_media_bytes(png)
+    assert (m["format"], m["width"], m["height"]) == ("png", 5, 3)
+
+    bmp_hdr = (
+        b"BM" + struct.pack("<IHHI", 122, 0, 0, 54)
+        + struct.pack("<IiiHHIIiiII", 40, 7, 4, 1, 24, 0, 0, 0, 0, 0, 0)
+    )
+    m = probe_media_bytes(bmp_hdr + b"\x00" * 96)
+    assert (m["format"], m["width"], m["height"]) == ("bmp", 7, 4)
+
+    m = probe_media_bytes(b"P5 9 6 255\n" + b"\x00" * 54)
+    assert (m["format"], m["width"], m["height"]) == ("pgm", 9, 6)
+
+
+def test_probe_jpeg_sof_dims():
+    from tests.test_jpeg import _encode_dc_only
+    import numpy as np
+
+    data = _encode_dc_only([np.zeros((16, 24))])
+    m = probe_media_bytes(data)
+    assert (m["format"], m["width"], m["height"]) == ("jpeg", 24, 16)
+
+
+def test_probe_wav_duration():
+    import io
+    import wave
+
+    buf = io.BytesIO()
+    with wave.open(buf, "wb") as wf:
+        wf.setnchannels(1)
+        wf.setsampwidth(2)
+        wf.setframerate(8000)
+        wf.writeframes(b"\x00\x00" * 4000)  # 500 ms
+    m = probe_media_bytes(buf.getvalue())
+    assert m["format"] == "wav"
+    assert m["sample_rate"] == 8000 and m["duration_ms"] == 500
+
+
+def test_probe_mp4_fills_video_meta():
+    data = make_mp4([b"x" * 10] * 25, width=640, height=360)
+    m = probe_media_bytes(data)
+    assert m["format"] == "mp4"
+    assert (m["width"], m["height"]) == (640, 360)
+    assert m["n_frames"] == 25 and m["duration_ms"] == 1000
+    assert m["codec"] == "fake"

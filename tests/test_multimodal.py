@@ -55,3 +55,52 @@ def test_real_decoders_gate(media_df):
         MM.sample_frames(media_df, decoder="ffmpeg")
     with pytest.raises(ValueError):
         MM.decode_and_featurize(media_df, decoder="nope")
+
+
+def test_probe_media_fills_meta_from_real_bytes(spark, tmp_path_factory):
+    import struct as _s
+
+    from tests.test_media_codecs import _make_png_raw
+    from tests.test_mediaprobe import make_mp3_frames, make_mp4
+
+    d = tmp_path_factory.mktemp("probe")
+    png = _make_png_raw(6, 4, 0, b"".join(b"\x00" + b"\x20" * 6 for _ in range(4)))
+    (d / "img.png").write_bytes(png)
+    (d / "clip.mp4").write_bytes(make_mp4([b"f" * 9] * 50, width=128, height=96))
+    (d / "song.mp3").write_bytes(make_mp3_frames(20, kbps=128, rate=44100))
+    (d / "junk.bin").write_bytes(b"\x00\x01\x02 not media")
+
+    probed = MM.probe_media(MM.read_media_dir(spark, str(d), kind="mixed"))
+    rows = {r.meta.format: r for r in probed.collect()}
+    assert (rows["png"].meta.width, rows["png"].meta.height) == (6, 4)
+    assert rows["mp4"].meta.n_frames == 50
+    assert rows["mp4"].meta.duration_ms == 2000
+    assert (rows["mp4"].meta.width, rows["mp4"].meta.height) == (128, 96)
+    assert rows["mp3"].meta.sample_rate == 44100
+    assert rows["mp3"].meta.n_frames == 20
+    assert rows["unknown"].meta.width is None
+
+
+def test_sample_frames_native_mp4(spark, tmp_path_factory):
+    from tests.test_mediaprobe import make_mp4
+
+    d = tmp_path_factory.mktemp("vids")
+    frames = [f"FRAME{i}".encode() * (i + 1) for i in range(25)]  # 25fps, 1s
+    (d / "v.mp4").write_bytes(make_mp4(frames, frame_delta=40, sync=[1, 13]))
+
+    media = MM.read_media_dir(spark, str(d), kind="video")
+    out = MM.sample_frames(
+        media, every_ms=200, duration_ms=10_000, decoder="native"
+    ).collect()
+    # horizon clamps to the real 1000ms duration → 5 ticks (0,200,...,800)
+    assert len(out) == 5
+    by_idx = {r.frame_idx: r for r in out}
+    assert bytes(by_idx[0].frame) == frames[0] and by_idx[0].ts_ms == 0
+    # 200ms at 40ms/frame → sample 5
+    assert bytes(by_idx[1].frame) == frames[5] and by_idx[1].ts_ms == 200
+    # keyframe-only: every tick snaps back to sync samples 1/13 (0ms, 480ms)
+    kf = MM.sample_frames(
+        media, every_ms=200, duration_ms=10_000, decoder="native",
+        keyframe_only=True,
+    ).collect()
+    assert {bytes(r.frame) for r in kf} <= {frames[0], frames[12]}

@@ -25,6 +25,7 @@ from __future__ import annotations
 
 import hashlib
 from collections.abc import Iterator
+from struct import error as struct_error
 
 import numpy as np
 import pandas as pd
@@ -187,35 +188,121 @@ def decode_audio_features(
     )
 
 
+def probe_media(media: DataFrame) -> DataFrame:
+    """Fill the typed ``meta`` struct from the actual bytes: one
+    header-level probe per blob (dimensions, duration, sample rate, frame
+    count, codec) — REAL parsing for PNG/GIF/BMP/JPEG/PPM/PGM headers, WAV
+    chunks, MP3 frame walks, and MP4 box trees
+    (:mod:`tulflow_spark.ext.mediaprobe`); unknown formats keep NULL metadata
+    rather than erroring, so one bad blob can't kill a 100 TB pass.
+
+    This is the first stage of a multimodal pipeline at scale: later stages
+    filter/partition on the probed metadata columns (e.g. ``width >= 512``)
+    *before* any decode is paid for — the probe reads only header bytes.
+    """
+    out_schema = (
+        "media_id bigint, kind string, content binary, "
+        "meta struct<format:string, width:int, height:int, "
+        "duration_ms:bigint, sample_rate:int, n_frames:int, codec:string>"
+    )
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from tulflow_spark.ext.media_codecs import UnsupportedMedia
+        from tulflow_spark.ext.mediaprobe import probe_media_bytes
+
+        for pdf in batches:
+            rows = []
+            for _, r in pdf.iterrows():
+                content = bytes(r["content"])
+                try:
+                    m = probe_media_bytes(content)
+                except (UnsupportedMedia, ValueError, struct_error):
+                    m = {"format": "unknown"}
+                rows.append(
+                    {
+                        "media_id": r["media_id"],
+                        "kind": r["kind"],
+                        "content": content,
+                        "meta": {
+                            "format": m.get("format"),
+                            "width": m.get("width"),
+                            "height": m.get("height"),
+                            "duration_ms": m.get("duration_ms"),
+                            "sample_rate": m.get("sample_rate"),
+                            "n_frames": m.get("n_frames"),
+                            "codec": m.get("codec"),
+                        },
+                    }
+                )
+            yield pd.DataFrame(rows)
+
+    return media.select("media_id", "kind", "content").mapInPandas(
+        gen, schema=out_schema
+    )
+
+
 def sample_frames(
     media: DataFrame,
     every_ms: int = 1000,
     duration_ms: int = 5000,
     decoder: str = "stub",
+    keyframe_only: bool = False,
 ) -> DataFrame:
     """Video → one row per sampled frame (media_id, frame_idx, ts_ms,
-    frame binary).  Stub: frames are md5-derived slices; a real decoder
-    plugs into the same row-expansion shape (mapInPandas is allowed to
-    yield MORE rows than it consumes — this is the UDTF-ish path)."""
+    frame binary).
+
+    ``decoder="native"``: REAL ISO-BMFF demux — the sample table
+    (stts/stsz/stsc/stco) is resolved and the emitted ``frame`` is the
+    exact compressed sample payload from ``mdat`` at the latest decode
+    timestamp ≤ each requested tick (``keyframe_only`` snaps to the
+    preceding stss sync sample); ``ts_ms`` is the sample's true timestamp.
+    Codec payload decode (H.264 …) remains a typed wall downstream.
+
+    ``decoder="stub"``: frames are md5-derived tags at the requested ticks
+    (same row-expansion shape for any byte blob — mapInPandas is allowed to
+    yield MORE rows than it consumes; this is the UDTF-ish path)."""
     _require_real_decoder(decoder)
 
     out_schema = "media_id bigint, frame_idx int, ts_ms bigint, frame binary"
 
     def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from tulflow_spark.ext.mediaprobe import mp4_sample_at, probe_mp4
+
         for pdf in batches:
             rows = []
             for _, r in pdf.iterrows():
                 content = bytes(r["content"])
-                for i, ts in enumerate(range(0, duration_ms, every_ms)):
-                    tag = hashlib.md5(content + str(ts).encode()).digest()
-                    rows.append(
-                        {
-                            "media_id": r["media_id"],
-                            "frame_idx": i,
-                            "ts_ms": ts,
-                            "frame": tag,
-                        }
+                if decoder == "native":
+                    info = probe_mp4(content)
+                    vid = next(
+                        (t for t in info.tracks if t.handler == "vide"), None
                     )
+                    if vid is None:
+                        raise ValueError("mp4 has no video track")
+                    horizon = min(duration_ms, vid.duration_ms or duration_ms)
+                    for i, ts in enumerate(range(0, horizon, every_ms)):
+                        _, actual_ms, payload = mp4_sample_at(
+                            content, vid, ts, keyframe_only=keyframe_only
+                        )
+                        rows.append(
+                            {
+                                "media_id": r["media_id"],
+                                "frame_idx": i,
+                                "ts_ms": actual_ms,
+                                "frame": payload,
+                            }
+                        )
+                else:
+                    for i, ts in enumerate(range(0, duration_ms, every_ms)):
+                        tag = hashlib.md5(content + str(ts).encode()).digest()
+                        rows.append(
+                            {
+                                "media_id": r["media_id"],
+                                "frame_idx": i,
+                                "ts_ms": ts,
+                                "frame": tag,
+                            }
+                        )
             yield pd.DataFrame(rows)
 
     return media.select("media_id", "content").mapInPandas(gen, schema=out_schema)
