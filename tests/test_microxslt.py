@@ -722,3 +722,43 @@ def test_micro_schematron_arbitrary_xpath():
     assert fn("<rec><v/><name> ab </name></rec>") == [
         "needs two v", "name too short",
     ]
+
+
+class TestNamespaceAxis:
+    """XPath 1.0 §2.2 namespace axis — one node per in-scope binding, the
+    implicit 'xml' prefix included, default namespace named '', string-value
+    = the URI.  Completes the thirteen-axis surface (Saxon parity)."""
+
+    NSDOC = parse_document(
+        '<r xmlns:a="urn:aa" xmlns="urn:def">'
+        '<a:x xmlns:b="urn:bb"/><y xmlns=""/></r>'
+    )
+
+    def _eval(self, expr):
+        return compile_expr(expr).evaluate(Context(self.NSDOC))
+
+    def test_in_scope_bindings_with_xml_and_default(self):
+        got = {(n.tag, n.value) for n in self._eval("/*/namespace::*")}
+        assert got == {
+            ("", "urn:def"),
+            ("a", "urn:aa"),
+            ("xml", "http://www.w3.org/XML/1998/namespace"),
+        }
+
+    def test_inner_element_inherits_and_adds(self):
+        got = {(n.tag, n.value)
+               for n in self._eval('//*[local-name()="x"]/namespace::*')}
+        assert ("b", "urn:bb") in got and ("a", "urn:aa") in got
+
+    def test_name_test_selects_one_prefix(self):
+        assert self._eval("string(/*/namespace::a)") == "urn:aa"
+        assert self._eval("local-name(/*/namespace::a)") == "a"
+        assert self._eval("namespace-uri(/*/namespace::a)") == ""
+
+    def test_undeclaration_removes_default(self):
+        got = {n.tag for n in self._eval('//*[local-name()="y"]/namespace::*')}
+        assert got == {"a", "xml"}  # xmlns="" removed the default binding
+
+    def test_count_and_predicates(self):
+        assert self._eval("count(/*/namespace::*)") == 3.0
+        assert self._eval('count(//namespace::*[. = "urn:bb"])') == 1.0

@@ -167,3 +167,69 @@ def test_streaming_frequent_items_bounded_state(spark, stream_dir):
     assert len(final_items) <= 6
     # the MG bound: the duplicated event_id 3 (count 2) must survive batch 1
     assert any(r.item == "3" and r.mg_count >= 1 for r in rows)
+
+
+def test_watermark_evicts_late_data_append_mode(spark, tmp_path_factory):
+    """The scale contract of the watermark: once the watermark passes a
+    window's end, its state is EVICTED and emitted (append mode), and rows
+    for that window arriving in any later micro-batch are dropped — so an
+    unbounded stream holds bounded state.  Spark's semantics make this a
+    four-batch dance: the input filter uses the watermark computed from
+    batches 0..N-1, and eviction runs at the END of each batch, so the late
+    row must arrive one full batch after the one whose input advanced the
+    watermark past the window end.  (A late row arriving while the window
+    state is still live is MERGED — the watermark is a bounded-staleness
+    guarantee, not an exactness guarantee; batch 2 here would still accept
+    it.)"""
+    import time
+
+    d = tmp_path_factory.mktemp("late_stream")
+    batches = [
+        # b0: two on-time rows in the [00:00, 01:00) window
+        [(1, _ts(0, 5), 1, "view", 1.0, None),
+         (2, _ts(0, 10), 1, "view", 2.0, None)],
+        # b1: advances max event time to 02:00 → watermark (for b2) 01:30
+        [(3, _ts(2, 0), 2, "view", 3.0, None)],
+        # b2: runs with wm=01:30 > window end → evicts + emits the window
+        [(6, _ts(2, 5), 2, "view", 5.0, None)],
+        # b3: the LATE row (00:15 < wm) must be dropped, not merged
+        [(4, _ts(0, 15), 1, "view", 99.0, None),
+         (5, _ts(2, 10), 2, "view", 4.0, None)],
+    ]
+    for bi, rows in enumerate(batches):
+        spark.createDataFrame(rows, DDL).coalesce(1).write.parquet(
+            str(d / f"{bi:03d}")
+        )
+    flat = tmp_path_factory.mktemp("late_flat")
+    i = 0
+    for sub in sorted(os.listdir(d)):
+        for f in sorted(os.listdir(d / sub)):
+            if f.endswith(".parquet"):
+                os.link(d / sub / f, flat / f"{i:03d}.parquet")
+                # stagger mtimes: the file source orders by timestamp
+                os.utime(flat / f"{i:03d}.parquet",
+                         (time.time() + i * 10, time.time() + i * 10))
+                i += 1
+
+    stream = stream_events(spark, str(flat), max_files_per_trigger=1)
+    q = (
+        windowed_rollup(stream, window="1 hour", watermark="30 minutes")
+        .writeStream.format("memory")
+        .queryName("late_rollup")
+        .outputMode("append")
+        .start()
+    )
+    q.processAllAvailable()
+    dropped = sum(
+        p["stateOperators"][0].get("numRowsDroppedByWatermark", 0)
+        for p in q.recentProgress
+        if p["stateOperators"]
+    )
+    q.stop()
+    out = spark.table("late_rollup").collect()
+    by_window = {(r.window_start.hour, r.event_type): r for r in out}
+    # the finalized 00:00 window contains ONLY the two on-time events; the
+    # late 99.0-value row was dropped by the watermark, not merged
+    r = by_window[(0, "view")]
+    assert r.n == 2 and r.total_value == 3.0
+    assert dropped == 1

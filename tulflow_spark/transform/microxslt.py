@@ -42,8 +42,9 @@ half-even rounding), and ``document()`` resolved offline against an
 injected ``documents={uri: xml}`` mapping ('' = the stylesheet, per spec)
 — the same no-network policy as ``include``/``import``.
 
-Out of scope (raises :class:`UnsupportedFeature`): the namespace axis
-and XSLT-3.0-only instructions (``xsl:evaluate`` etc.).
+Out of scope (raises :class:`UnsupportedFeature`): XSLT-3.0-only
+instructions (``xsl:evaluate`` etc.).  The XPath engine covers all
+thirteen XPath 1.0 axes including ``namespace::``.
 """
 
 from __future__ import annotations

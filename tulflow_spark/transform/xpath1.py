@@ -45,7 +45,7 @@ class XPathError(ValueError):
     """Lex/parse/eval failure with the offending expression in the message."""
 
 
-ROOT, ELEM, TEXT, ATTR, COMMENT, PI = range(6)
+ROOT, ELEM, TEXT, ATTR, COMMENT, PI, NSNODE = range(7)
 
 
 class Node:
@@ -79,12 +79,12 @@ class Node:
         return f"{self.prefix}:{local}" if self.prefix else local
 
     def __repr__(self):  # pragma: no cover - debug aid
-        k = "root elem text attr comment pi".split()[self.kind]
+        k = "root elem text attr comment pi ns".split()[self.kind]
         return f"<Node {k} {self.tag or self.value!r} @{self.order}>"
 
 
 def string_value(node: Node) -> str:
-    if node.kind in (TEXT, ATTR, COMMENT, PI):
+    if node.kind in (TEXT, ATTR, COMMENT, PI, NSNODE):
         return node.value or ""
     parts: list[str] = []
     stack = list(reversed(node.children))
@@ -204,6 +204,7 @@ _AXES = {
     "child", "descendant", "descendant-or-self", "self", "parent",
     "ancestor", "ancestor-or-self", "following-sibling",
     "preceding-sibling", "following", "preceding", "attribute",
+    "namespace",
 }
 
 
@@ -660,22 +661,58 @@ def _test_node(node: Node, test, nsmap, axis) -> bool:
         return node.kind == COMMENT
     if kind == "processing-instruction":
         return node.kind == PI
-    # name test: principal node type = attr for attribute axis, elem else
-    want = ATTR if axis == "attribute" else ELEM
+    # name test: principal node type = attr for attribute axis,
+    # namespace node for the namespace axis, elem otherwise
+    want = (ATTR if axis == "attribute"
+            else NSNODE if axis == "namespace" else ELEM)
     if node.kind != want:
         return False
     name = test[1]
     if name == "*":
         return True
+    if want == NSNODE:
+        # a namespace node's name is the prefix, in no namespace
+        return node.tag == name
     resolved = _resolve_qname(name, nsmap)
     if resolved.endswith("}*"):
         return (node.tag or "").startswith(resolved[:-1])
     return node.tag == resolved
 
 
+def _namespace_nodes(node: Node) -> list[Node]:
+    """XPath 1.0 namespace axis: one namespace node per in-scope binding
+    (including the implicit ``xml`` prefix and the default namespace, whose
+    node has an empty name).  Parsed documents carry full per-element
+    snapshots; constructed trees fall back to an ancestor-merge walk."""
+    if node.kind != ELEM:
+        return []
+    if node.nsmap is not None:
+        nsmap = dict(node.nsmap)
+    else:
+        chain = []
+        cur = node
+        while cur is not None:
+            chain.append(cur)
+            cur = cur.parent
+        nsmap = {}
+        for el in reversed(chain):
+            if getattr(el, "nsmap", None):
+                nsmap.update(el.nsmap)
+    nsmap["xml"] = "http://www.w3.org/XML/1998/namespace"
+    out = []
+    for p, uri in sorted(nsmap.items()):
+        if not uri:  # xmlns="" un-declaration removes the binding
+            continue
+        out.append(Node(NSNODE, tag=p, value=uri, parent=node,
+                        order=node.order))
+    return out
+
+
 def _axis_nodes(node: Node, axis: str):
     if axis == "child":
         return list(node.children)
+    if axis == "namespace":
+        return _namespace_nodes(node)
     if axis == "attribute":
         return list(node.attrs)
     if axis == "self":
