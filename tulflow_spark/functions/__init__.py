@@ -85,3 +85,80 @@ def starts_with_http(col: Column | str) -> Column:
     """Schematron ``starts-with(., 'http')`` (reference: sch-sample.sch:41)."""
     c = F.col(col) if isinstance(col, str) else col
     return c.startswith("http")
+
+
+def canonicalize_url(col: Column | str) -> Column:
+    """Crawl-style URL canonicalization, entirely in JVM column algebra (no
+    UDF): lowercase scheme+host, strip default ports (:80 http / :443
+    https), drop tracking query params (``utm_*``, ``fbclid``, ``gclid``),
+    sort surviving params, drop the fragment, strip a trailing slash on the
+    path.  The dedup key for URL-level dedup of a 100 TB crawl — applied
+    map-side, so only (canonical_url, id) pairs ever shuffle."""
+    c = F.col(col) if isinstance(col, str) else col
+    c = F.regexp_replace(c, r"#.*$", "")  # fragment
+    scheme = F.lower(F.regexp_extract(c, r"^([A-Za-z][A-Za-z0-9+.-]*)://", 1))
+    hostport = F.lower(F.regexp_extract(c, r"^[^:]+://([^/?#]*)", 1))
+    host = (
+        F.when(
+            (scheme == "https") & hostport.endswith(":443"),
+            hostport.substr(F.lit(1), F.length(hostport) - 4),
+        )
+        .when(
+            (scheme == "http") & hostport.endswith(":80"),
+            hostport.substr(F.lit(1), F.length(hostport) - 3),
+        )
+        .otherwise(hostport)
+    )
+    path = F.regexp_extract(c, r"^[^:]+://[^/?#]*([^?#]*)", 1)
+    path = F.when(
+        (F.length(path) > 1) & path.endswith("/"),
+        path.substr(F.lit(1), F.length(path) - 1),
+    ).otherwise(path)
+    query = F.regexp_extract(c, r"\?([^#]*)", 1)
+    params = F.filter(
+        F.split(query, "&"),
+        lambda p: (p != "")
+        & ~p.startswith("utm_")
+        & ~p.startswith("fbclid=")
+        & ~p.startswith("gclid="),
+    )
+    sorted_q = F.array_join(F.array_sort(params), "&")
+    return F.concat(
+        scheme,
+        F.lit("://"),
+        host,
+        path,
+        F.when(sorted_q != "", F.concat(F.lit("?"), sorted_q)).otherwise(
+            F.lit("")
+        ),
+    )
+
+
+def canonicalize_url_sql(expr: str) -> str:
+    """DuckDB mirror of :func:`canonicalize_url` (same canonical form)."""
+    nofrag = f"regexp_replace({expr}, '#.*$', '')"
+    scheme = f"lower(regexp_extract({nofrag}, '^([A-Za-z][A-Za-z0-9+.-]*)://', 1))"
+    hostport = f"lower(regexp_extract({nofrag}, '^[^:]+://([^/?#]*)', 1))"
+    host = (
+        f"CASE WHEN {scheme} = 'https' AND {hostport} LIKE '%:443' "
+        f"THEN substr({hostport}, 1, length({hostport}) - 4) "
+        f"WHEN {scheme} = 'http' AND {hostport} LIKE '%:80' "
+        f"THEN substr({hostport}, 1, length({hostport}) - 3) "
+        f"ELSE {hostport} END"
+    )
+    rawpath = f"regexp_extract({nofrag}, '^[^:]+://[^/?#]*([^?#]*)', 1)"
+    path = (
+        f"CASE WHEN length({rawpath}) > 1 AND {rawpath} LIKE '%/' "
+        f"THEN substr({rawpath}, 1, length({rawpath}) - 1) ELSE {rawpath} END"
+    )
+    query = f"regexp_extract({nofrag}, '\\?([^#]*)', 1)"
+    params = (
+        f"list_filter(string_split({query}, '&'), p -> p <> '' "
+        f"AND p NOT LIKE 'utm\\_%' ESCAPE '\\' "
+        f"AND p NOT LIKE 'fbclid=%' AND p NOT LIKE 'gclid=%')"
+    )
+    sq = f"array_to_string(list_sort({params}), '&')"
+    return (
+        f"{scheme} || '://' || {host} || {path} || "
+        f"CASE WHEN {sq} <> '' THEN '?' || {sq} ELSE '' END"
+    )

@@ -127,6 +127,7 @@ def load_all() -> None:
         olap_queries,
         star_queries,
         tpch_extras,
+        web_queries,
         xml_queries,
     )
 

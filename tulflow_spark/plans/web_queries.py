@@ -1,0 +1,132 @@
+"""Web-crawl curation shapes: URL canonicalization/dedup and the
+deterministic global training shuffle — the two pipeline stages that sit
+immediately before and after the text-dedup stack in a crawl-to-training
+pipeline (SURVEY.md §2.11 extensions).
+
+The corpus has no URL column, so both queries derive deterministic URLs
+from doc_id inside the query — same derivation in the oracle —
+which keeps the operators honest end-to-end without synthesizing new input
+files.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from tulflow_spark.functions import canonicalize_url, canonicalize_url_sql
+from tulflow_spark.io import table
+from tulflow_spark.plans import register
+
+# deterministic messy-URL derivation, identical Spark/DuckDB: odd doc_ids
+# get tracking params + uppercase host + default port, even ones are clean —
+# so every (doc_id div 2) pair collides post-canonicalization (a pair never
+# straddles a doc_id div 10 subdomain boundary: the crossing is odd->even).
+_URL_SQL = (
+    "CASE WHEN doc_id % 2 = 1 THEN "
+    "'HTTPS://D' || CAST(doc_id // 10 AS VARCHAR) || '.Example.COM:443/docs/' "
+    "|| CAST(doc_id // 2 AS VARCHAR) || '/?utm_source=feed&b=2&a=1#sec' "
+    "ELSE 'https://d' || CAST(doc_id // 10 AS VARCHAR) || '.example.com/docs/' "
+    "|| CAST(doc_id // 2 AS VARCHAR) || '?a=1&b=2' END"
+)
+
+
+def _url_col() -> F.Column:
+    half = (F.col("doc_id") / 2).cast("long").cast("string")
+    sub = (F.col("doc_id") / 10).cast("long").cast("string")
+    messy = F.concat(
+        F.lit("HTTPS://D"),
+        sub,
+        F.lit(".Example.COM:443/docs/"),
+        half,
+        F.lit("/?utm_source=feed&b=2&a=1#sec"),
+    )
+    clean = F.concat(
+        F.lit("https://d"),
+        sub,
+        F.lit(".example.com/docs/"),
+        half,
+        F.lit("?a=1&b=2"),
+    )
+    return F.when(F.col("doc_id") % 2 == 1, messy).otherwise(clean)
+
+
+@register(
+    "url1_canonical_dedup",
+    oracle=f"""
+    WITH urls AS (
+      SELECT doc_id, {canonicalize_url_sql(_URL_SQL)} AS canonical_url
+      FROM documents
+    )
+    SELECT canonical_url,
+           COUNT(*) AS n_dups,
+           MIN(doc_id) AS keep_doc_id
+    FROM urls
+    GROUP BY canonical_url
+    HAVING COUNT(*) > 1
+    """,
+)
+def url1_canonical_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """URL-level dedup of a crawl: canonicalize (lowercase host, strip
+    default port, drop utm_*/fbclid/gclid, sort params, drop fragment,
+    trailing-slash) then keep the smallest doc_id per canonical URL.
+
+    100 TB shape: canonicalization is pure map-side JVM column algebra (no
+    UDF anywhere — regexp/array built-ins); the groupBy shuffles only
+    (canonical_url, doc_id) pairs, never document bodies.  Every odd/even
+    doc-id pair collides by construction, exercising all the rules at once.
+    """
+    docs = table(spark, sf_dir, "documents")
+    return (
+        docs.select(
+            "doc_id", canonicalize_url(_url_col()).alias("canonical_url")
+        )
+        .groupBy("canonical_url")
+        .agg(
+            F.count(F.lit(1)).alias("n_dups"),
+            F.min("doc_id").alias("keep_doc_id"),
+        )
+        .filter(F.col("n_dups") > 1)
+    )
+
+
+@register(
+    "tr1_train_shuffle",
+    oracle="""
+    SELECT doc_id,
+           CAST(substr(md5(CAST(doc_id AS VARCHAR) || ':shuffle-epoch-0'), 1, 2)
+                AS VARCHAR) AS bucket,
+           CAST(ROW_NUMBER() OVER (
+             PARTITION BY substr(md5(CAST(doc_id AS VARCHAR) || ':shuffle-epoch-0'), 1, 2)
+             ORDER BY md5(CAST(doc_id AS VARCHAR) || ':shuffle-epoch-0'), doc_id
+           ) AS BIGINT) AS shuffle_rank
+    FROM documents
+    """,
+)
+def tr1_train_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic global shuffle for training-data export: every epoch
+    seed induces a reproducible pseudo-random total order (md5 of
+    id+seed), realized as 256 hash buckets each sorted internally.
+
+    100 TB shape: this is how you shuffle a trillion documents WITHOUT a
+    global sort — the bucket is a map-side column, the window sorts within
+    buckets only (256-way parallel, no single-partition window), and the
+    training reader concatenates buckets in name order for the full
+    permutation.  Seed change ⇒ completely different order, same engine
+    plan.  (A plain ``ORDER BY rand()`` is neither reproducible nor
+    resumable; md5-of-id is both.)
+    """
+    docs = table(spark, sf_dir, "documents")
+    key = F.md5(F.concat(F.col("doc_id").cast("string"), F.lit(":shuffle-epoch-0")))
+    w = (
+        Window.partitionBy("bucket").orderBy("shuffle_key", "doc_id")
+    )
+    return (
+        docs.select(
+            "doc_id",
+            key.alias("shuffle_key"),
+            F.substring(key, 1, 2).alias("bucket"),
+        )
+        .withColumn("shuffle_rank", F.row_number().over(w).cast("bigint"))
+        .select("doc_id", "bucket", "shuffle_rank")
+    )
