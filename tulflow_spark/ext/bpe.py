@@ -1,0 +1,192 @@
+"""Learned byte-pair-encoding: distributed BPE vocabulary training and
+subword encoding over a document corpus.
+
+The classic BPE trainer (Sennrich et al. 2016 — public algorithm) iterates:
+count adjacent symbol pairs weighted by word frequency, merge the most
+frequent pair everywhere, repeat.  The Spark-first shaping:
+
+- the corpus collapses to the **word-frequency vocabulary** first (one
+  map-side-combinable shuffle of (word, count) — the only pass over
+  document bodies);
+- every merge round then runs on the vocab DataFrame only: pair counts are
+  an explode+groupBy whose key space is the pair vocabulary, the argmax is
+  a 1-row sort-limit, and the merge itself is a higher-order-function fold
+  (``F.aggregate``) applied map-side — document text is never touched
+  again, and nothing larger than one (pair, count) row is ever collected;
+- the vocab DataFrame is cached and localCheckpoint'd every few rounds so
+  the lineage doesn't grow linearly with merges (same trade as the
+  connected-components loop in ext/components.py).
+
+At 100 TB the word vocab is orders of magnitude smaller than the corpus
+(Heaps' law) and stays distributed; a driver-side trainer (subword-nmt
+style) would need the whole vocab in one process.  ``num_merges`` rounds
+cost 2 vocab-sized shuffles each — the same asymptotics as any published
+distributed BPE.
+
+Ties break deterministically by (count DESC, left ASC, right ASC), making
+the learned merge table reproducible across partitionings — pinned by
+``tests/test_bpe.py`` against an independent in-test reference trainer.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+END = "</w>"  # end-of-word sentinel symbol
+
+
+def word_vocab(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Corpus → (word, freq) vocabulary: the single pass over bodies."""
+    w = F.explode(F.split(F.lower(F.col(text_col)), r"\s+")).alias("word")
+    return (
+        docs.select(w)
+        .filter(F.col("word") != "")
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).alias("freq"))
+    )
+
+
+def _initial_symbols(vocab: DataFrame) -> DataFrame:
+    """word → array of single-character symbols + the end sentinel."""
+    return vocab.select(
+        "freq",
+        F.concat(
+            # split strictly BETWEEN characters (lookbehind+lookahead):
+            # Spark's split keeps trailing empties (limit -1), so the usual
+            # "(?!^)" pattern would inject a phantom '' symbol at the end
+            F.split("word", "(?<=.)(?=.)"),
+            F.array(F.lit(END)),
+        ).alias("syms"),
+    )
+
+
+def _pair_counts(symdf: DataFrame) -> DataFrame:
+    """Adjacent-pair counts weighted by word frequency (every occurrence
+    counts, overlaps included — same convention as the reference trainer)."""
+    n = F.size("syms")
+    pairs = F.zip_with(
+        F.slice("syms", 1, n - 1),
+        F.slice("syms", 2, n - 1),
+        lambda a, b: F.struct(a.alias("left"), b.alias("right")),
+    )
+    return (
+        symdf.filter(n >= 2)
+        .select("freq", F.explode(pairs).alias("p"))
+        .groupBy(F.col("p.left").alias("left"), F.col("p.right").alias("right"))
+        .agg(F.sum("freq").alias("n"))
+    )
+
+
+def _apply_merge(symdf: DataFrame, left: str, right: str) -> DataFrame:
+    """Replace every adjacent (left, right) with the fused symbol, greedy
+    left-to-right, as a map-side array fold — no shuffle."""
+    la, ra = F.lit(left), F.lit(right)
+    merged = F.aggregate(
+        "syms",
+        F.array().cast("array<string>"),
+        lambda acc, x: F.when(
+            (F.size(acc) > 0)
+            & (F.element_at(acc, -1) == la)
+            & (x == ra),
+            F.concat(
+                F.slice(acc, 1, F.size(acc) - 1),
+                F.array(F.concat(la, ra)),
+            ),
+        ).otherwise(F.concat(acc, F.array(x))),
+    )
+    return symdf.select("freq", merged.alias("syms"))
+
+
+def bpe_train(
+    docs: DataFrame,
+    num_merges: int,
+    text_col: str = "text",
+    min_freq: int = 2,
+    checkpoint_every: int = 8,
+) -> list[tuple[str, str]]:
+    """Learn ``num_merges`` BPE merge rules from the corpus.
+
+    Returns the ordered merge list (the model — merge-count-sized, the only
+    thing that ever reaches the driver).  Stops early when the best pair
+    falls below ``min_freq``.
+    """
+    symdf = _initial_symbols(word_vocab(docs, text_col)).localCheckpoint(
+        eager=True
+    )
+    merges: list[tuple[str, str]] = []
+    for i in range(num_merges):
+        # ONE job per round: the 1-row argmax collect is the only action;
+        # up to checkpoint_every merge folds ride along lazily on top of
+        # the last checkpoint (driver round-trips, not shuffles, dominate
+        # the loop at vocab scale — lineage is re-truncated periodically)
+        top = (
+            _pair_counts(symdf)
+            .orderBy(F.col("n").desc(), F.col("left"), F.col("right"))
+            .limit(1)
+            .collect()
+        )
+        if not top or top[0]["n"] < min_freq:
+            break
+        left, right = top[0]["left"], top[0]["right"]
+        merges.append((left, right))
+        symdf = _apply_merge(symdf, left, right)
+        if (i + 1) % checkpoint_every == 0:
+            symdf = symdf.localCheckpoint(eager=True)
+    return merges
+
+
+def _encode_word(word: str, ranks: dict[tuple[str, str], int]) -> list[str]:
+    """Classic BPE encode: repeatedly fuse the lowest-rank adjacent pair."""
+    syms = list(word) + [END]
+    while len(syms) >= 2:
+        best_rank, best_i = None, None
+        for i in range(len(syms) - 1):
+            r = ranks.get((syms[i], syms[i + 1]))
+            if r is not None and (best_rank is None or r < best_rank):
+                best_rank, best_i = r, i
+        if best_i is None:
+            break
+        syms[best_i : best_i + 2] = [syms[best_i] + syms[best_i + 1]]
+    return syms
+
+
+def bpe_encode(
+    docs: DataFrame,
+    merges: list[tuple[str, str]],
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Encode documents with a learned merge table →
+    (id, tokens array<string>, n_tokens).
+
+    The model (merge ranks) rides in the closure — broadcast once per
+    executor; encoding is an Arrow-batched pandas_udf with a per-batch word
+    cache (Zipf makes the hit rate high), never per-row Python dispatch.
+    """
+    ranks = {pair: i for i, pair in enumerate(merges)}
+
+    @F.pandas_udf("array<string>")
+    def encode(texts: Iterator[pd.Series]) -> Iterator[pd.Series]:
+        cache: dict[str, list[str]] = {}
+
+        def enc(text: str) -> list[str]:
+            out: list[str] = []
+            for w in (text or "").lower().split():
+                toks = cache.get(w)
+                if toks is None:
+                    toks = _encode_word(w, ranks)
+                    cache[w] = toks
+                out.extend(toks)
+            return out
+
+        for s in texts:
+            yield s.map(enc)
+
+    return docs.select(
+        F.col(id_col),
+        encode(F.col(text_col)).alias("tokens"),
+    ).withColumn("n_tokens", F.size("tokens"))

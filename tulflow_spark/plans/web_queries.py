@@ -130,3 +130,23 @@ def tr1_train_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("shuffle_rank", F.row_number().over(w).cast("bigint"))
         .select("doc_id", "bucket", "shuffle_rank")
     )
+
+
+@register("tx12_bpe_merges")
+def tx12_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Learned BPE vocabulary: train 16 merges on the documents corpus and
+    return the ordered merge table (rank, left, right).
+
+    No SQL oracle exists for an iterative trainer (rows-only driver check);
+    exactness is pinned by tests/test_bpe.py, where the distributed trainer
+    reproduces an independent single-process implementation of the
+    published algorithm merge-for-merge, and determinism is total-order
+    tie-broken so any partitioning yields the same table."""
+    from tulflow_spark.ext.bpe import bpe_train
+
+    docs = table(spark, sf_dir, "documents")
+    merges = bpe_train(docs, 16, checkpoint_every=8)
+    return spark.createDataFrame(
+        [(i, l, r) for i, (l, r) in enumerate(merges)],
+        "rank int, left string, right string",
+    )
