@@ -233,3 +233,25 @@ def test_watermark_evicts_late_data_append_mode(spark, tmp_path_factory):
     r = by_window[(0, "view")]
     assert r.n == 2 and r.total_value == 3.0
     assert dropped == 1
+
+
+def test_stream_static_broadcast_enrich(spark, stream_dir):
+    """Stream-static join: the streaming face of the boundwith lookup
+    enrichment (P2) — a static dimension broadcast against an unbounded
+    stream, left-outer so unmatched rows pass through.  No watermark is
+    needed (static side never changes mid-batch) and the stream is never
+    shuffled for the join."""
+    from pyspark.sql import functions as F
+
+    stream = stream_events(spark, stream_dir)
+    users = spark.createDataFrame(
+        [(1, "alice"), (99, "nobody")], "user_id bigint, name string"
+    )
+    joined = stream.join(F.broadcast(users), "user_id", "left").select(
+        "event_id", "user_id", "name"
+    )
+    out = _run_to_memory(spark, joined, "enriched_stream", "append").collect()
+    by_event = {r.event_id: r.name for r in out}
+    assert by_event[1] == "alice" and by_event[2] == "alice"
+    assert by_event[3] is None  # user 2 has no lookup row → passes through
+    assert len(out) == 6  # every stream row survives exactly once
