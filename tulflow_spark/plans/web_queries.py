@@ -150,3 +150,27 @@ def tx12_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
         [(i, l, r) for i, (l, r) in enumerate(merges)],
         "rank int, left string, right string",
     )
+
+
+@register(
+    "dd10_repeated_spans",
+    oracle=None,  # set below: built by repeated_spans_sql for n=8
+)
+def dd10_repeated_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact substring dedup (Lee et al. 2022 shape): every maximal token
+    span whose 8-token windows all occur >= 2 times corpus-wide — the
+    distributed windowed-hash equivalent of their suffix-array pass.
+    Window hashing and span interval-merge are pure JVM column algebra;
+    only (hash, doc, pos) triples shuffle.  See ext/substring.py."""
+    from tulflow_spark.ext.substring import repeated_spans
+
+    return repeated_spans(
+        table(spark, sf_dir, "documents"), n=8, min_count=2
+    )
+
+
+# the oracle is programmatic (shared n/min_count constants with the query)
+from tulflow_spark.ext.substring import repeated_spans_sql as _rs_sql  # noqa: E402
+from tulflow_spark.plans import EXTRA_ORACLE as _EO, ORACLE as _O, GATED as _G  # noqa: E402
+
+(_O if "dd10_repeated_spans" in _G else _EO)["dd10_repeated_spans"] = _rs_sql(8, 2)
