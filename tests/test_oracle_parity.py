@@ -35,3 +35,19 @@ def test_rows_only_smoke(spark, sf_dir, name):
     df = ALL_QUERIES[name](spark, sf_dir)
     assert df.columns, f"{name}: no columns"
     assert df.count() >= 0
+
+
+def test_profile_table_hll_variant_close(spark, sf_dir):
+    """The scale path (approx_count_distinct) must agree with exact
+    within HLL tolerance on every profiled column."""
+    from tulflow_spark.io import table
+    from tulflow_spark.operators.profile import profile_table
+
+    li = table(spark, sf_dir, "lineitem")
+    cols = ["l_orderkey", "l_returnflag"]
+    exact = {r.column: r.n_distinct
+             for r in profile_table(li, cols).collect()}
+    approx = {r.column: r.n_distinct
+              for r in profile_table(li, cols, exact_distinct=False).collect()}
+    for c in cols:
+        assert abs(approx[c] - exact[c]) <= max(2, 0.1 * exact[c])

@@ -174,3 +174,27 @@ from tulflow_spark.ext.substring import repeated_spans_sql as _rs_sql  # noqa: E
 from tulflow_spark.plans import EXTRA_ORACLE as _EO, ORACLE as _O, GATED as _G  # noqa: E402
 
 (_O if "dd10_repeated_spans" in _G else _EO)["dd10_repeated_spans"] = _rs_sql(8, 2)
+
+
+@register("pr1_profile_lineitem")
+def pr1_profile_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-pass table profile of lineitem (nulls / exact distinct /
+    min/max per column) — the ANALYZE-TABLE surface.  One scan, one wide
+    map-side-combinable aggregate, unpivoted to a row per column; see
+    operators/profile.py for the HLL scale variant."""
+    from tulflow_spark.operators.profile import profile_table
+
+    return profile_table(
+        table(spark, sf_dir, "lineitem"),
+        ["l_orderkey", "l_quantity", "l_extendedprice", "l_returnflag",
+         "l_linestatus", "l_shipdate"],
+    )
+
+
+from tulflow_spark.operators.profile import profile_sql as _pr_sql  # noqa: E402
+
+(_O if "pr1_profile_lineitem" in _G else _EO)["pr1_profile_lineitem"] = _pr_sql(
+    "lineitem",
+    [("l_orderkey", True), ("l_quantity", True), ("l_extendedprice", True),
+     ("l_returnflag", False), ("l_linestatus", False), ("l_shipdate", False)],
+)
