@@ -33,3 +33,32 @@ def latest_snapshot(
         .filter(~cond)
         .drop("_rn")
     )
+
+
+def merge_upsert(
+    base: DataFrame,
+    changes: DataFrame,
+    keys: list[str],
+    op_col: str = "op",
+) -> DataFrame:
+    """Batch MERGE INTO semantics without a mutable sink: apply a keyed
+    change set (``op`` ∈ I/U/D) to a base table and return the merged
+    relation.
+
+    - D: key disappears;
+    - U: the change row replaces the base row (full-row replace);
+    - I: the change row appears (insert-only keys must not exist in base —
+      enforced upstream; here I and U behave identically, matching the
+      WHEN MATCHED UPDATE / WHEN NOT MATCHED INSERT pair).
+
+    Shape: one left-anti join of base against the change keys (shuffles
+    keys only, or broadcasts when the change set is dimension-sized — the
+    common CDC case) + a union with the non-delete change rows.  No window,
+    no full-table rewrite — this is the plan a MERGE would compile to when
+    the target has no sort/cluster requirement.
+    """
+    cols = base.columns
+    chg_keys = changes.select(*keys)
+    kept = base.join(F.broadcast(chg_keys), keys, "left_anti")
+    applied = changes.filter(F.col(op_col) != "D").select(*cols)
+    return kept.unionByName(applied)

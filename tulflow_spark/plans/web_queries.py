@@ -198,3 +198,78 @@ from tulflow_spark.operators.profile import profile_sql as _pr_sql  # noqa: E402
     [("l_orderkey", True), ("l_quantity", True), ("l_extendedprice", True),
      ("l_returnflag", False), ("l_linestatus", False), ("l_shipdate", False)],
 )
+
+
+@register(
+    "cdc2_merge_upsert",
+    oracle="""
+    WITH changes AS (
+      SELECT o_orderkey, 'D' AS op,
+             CAST(NULL AS VARCHAR) AS o_orderstatus,
+             CAST(NULL AS DOUBLE) AS o_totalprice
+      FROM orders WHERE o_orderkey % 101 = 0
+      UNION ALL
+      SELECT o_orderkey, 'U', 'U', o_totalprice + 10.0
+      FROM orders WHERE o_orderkey % 97 = 0 AND o_orderkey % 101 <> 0
+      UNION ALL
+      SELECT o_orderkey + 10000000, 'I', 'N', 1.0
+      FROM orders WHERE o_orderkey % 103 = 0
+    ),
+    merged AS (
+      SELECT b.o_orderkey, b.o_orderstatus, b.o_totalprice
+      FROM (SELECT o_orderkey, o_orderstatus, o_totalprice FROM orders) b
+      WHERE NOT EXISTS (SELECT 1 FROM changes c
+                        WHERE c.o_orderkey = b.o_orderkey)
+      UNION ALL
+      SELECT o_orderkey, o_orderstatus, o_totalprice
+      FROM changes WHERE op <> 'D'
+    )
+    SELECT o_orderstatus,
+           COUNT(*) AS n_orders,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(30,6))) AS DOUBLE)
+             AS total_price,
+           MIN(o_orderkey) AS min_key, MAX(o_orderkey) AS max_key
+    FROM merged GROUP BY o_orderstatus
+    """,
+)
+def cdc2_merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch MERGE INTO (CDC apply): a deterministic keyed change set
+    (deletes %101, updates %97, inserts %103 with shifted keys) applied to
+    orders via operators/cdc.py::merge_upsert — anti-join + union, no
+    window — then rolled up so the oracle hash pins every merge rule
+    (delete keys vanish from counts, update rows carry the new status and
+    +10 price, insert keys extend max_key past 10M)."""
+    from tulflow_spark.functions import dsum
+    from tulflow_spark.operators.cdc import merge_upsert
+
+    o = table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderstatus", "o_totalprice"
+    )
+    deletes = o.filter(F.col("o_orderkey") % 101 == 0).select(
+        "o_orderkey",
+        F.lit("D").alias("op"),
+        F.lit(None).cast("string").alias("o_orderstatus"),
+        F.lit(None).cast("double").alias("o_totalprice"),
+    )
+    updates = o.filter(
+        (F.col("o_orderkey") % 97 == 0) & (F.col("o_orderkey") % 101 != 0)
+    ).select(
+        "o_orderkey",
+        F.lit("U").alias("op"),
+        F.lit("U").alias("o_orderstatus"),
+        (F.col("o_totalprice") + 10.0).alias("o_totalprice"),
+    )
+    inserts = o.filter(F.col("o_orderkey") % 103 == 0).select(
+        (F.col("o_orderkey") + 10_000_000).alias("o_orderkey"),
+        F.lit("I").alias("op"),
+        F.lit("N").alias("o_orderstatus"),
+        F.lit(1.0).alias("o_totalprice"),
+    )
+    changes = deletes.unionByName(updates).unionByName(inserts)
+    merged = merge_upsert(o, changes, keys=["o_orderkey"])
+    return merged.groupBy("o_orderstatus").agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        dsum("o_totalprice", "total_price"),
+        F.min("o_orderkey").alias("min_key"),
+        F.max("o_orderkey").alias("max_key"),
+    )
