@@ -1,0 +1,74 @@
+"""Z-order clustering: Morton-curve exactness (vs a pure-Python reference
+interleave) and the locality property that makes the layout prunable —
+z-ordered range partitions cover far smaller per-dimension bounding boxes
+than single-key-sorted partitions."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from tulflow_spark.operators.zorder import zorder_layout, zvalue
+
+
+def ref_morton(x: int, y: int, bits: int = 16) -> int:
+    out = 0
+    for i in range(bits):
+        out |= ((x >> i) & 1) << (2 * i)
+        out |= ((y >> i) & 1) << (2 * i + 1)
+    return out
+
+
+def test_zvalue_matches_reference_interleave(spark):
+    rows = [(x, y) for x in (0, 1, 5, 255, 1023, 65535) for y in (0, 2, 7, 512, 65535)]
+    df = spark.createDataFrame(rows, "x bigint, y bigint")
+    got = {
+        (r.x, r.y): r.z
+        for r in df.select("x", "y", zvalue("x", "y").alias("z")).collect()
+    }
+    for (x, y), z in got.items():
+        assert z == ref_morton(x, y), (x, y)
+
+
+def test_zorder_partitions_have_tight_boxes(spark):
+    """Partition a 64×64 grid into 16 ranges by z-value vs by x alone.
+    Z-ranges must bound BOTH dimensions (each covers ≤ a quadrant-ish
+    box), while x-sorted ranges span the full y extent — the measurable
+    reason a z-ordered layout prunes on either predicate."""
+    grid = spark.range(64 * 64).select(
+        (F.col("id") % 64).alias("x"), (F.col("id") / 64).cast("bigint").alias("y")
+    )
+    z = grid.select("x", "y", zvalue("x", "y").alias("z"))
+    # 16 equal z-ranges of the 12-bit z-space (64x64 → z < 4096)
+    zr = (
+        z.withColumn("bucket", F.shiftright("z", 8))
+        .groupBy("bucket")
+        .agg(
+            (F.max("x") - F.min("x")).alias("dx"),
+            (F.max("y") - F.min("y")).alias("dy"),
+        )
+        .collect()
+    )
+    assert len(zr) == 16
+    for r in zr:
+        assert r.dx <= 15 and r.dy <= 15  # every z-range is a 16×16 tile
+    # x-sorted baseline: same partition count, y never bounded
+    xr = (
+        grid.withColumn("bucket", F.shiftright("x", 2))
+        .groupBy("bucket")
+        .agg((F.max("y") - F.min("y")).alias("dy"))
+        .collect()
+    )
+    assert all(r.dy == 63 for r in xr)
+
+
+def test_zorder_layout_buckets_bound_both_dims(spark, sf_dir):
+    from tulflow_spark.io import table
+
+    out = zorder_layout(
+        table(spark, sf_dir, "lineitem"), "l_partkey", "l_suppkey",
+        n_buckets_shift=8,
+    ).collect()
+    assert len(out) >= 2
+    full_x = max(r.max_x for r in out) - min(r.min_x for r in out)
+    # every bucket's x-extent is a proper fraction of the global extent
+    assert all((r.max_x - r.min_x) <= full_x for r in out)

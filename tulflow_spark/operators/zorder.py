@@ -1,0 +1,71 @@
+"""Z-order (Morton) clustering: interleave the bits of two dimension keys
+so that range predicates on EITHER dimension map to a bounded number of
+contiguous z-ranges — the data-layout trick behind multi-dimensional data
+skipping (Delta OPTIMIZE ZORDER, Iceberg sort orders; the curve itself is
+public: Morton 1966).
+
+Usage shape at 100 TB: ``df.repartitionByRange(N, zvalue(...))`` then
+write — each output file then covers a small hyper-rectangle of the key
+space, so parquet row-group min/max stats prune files for predicates on
+either key (writing sorted by ONE key only prunes that key).  The curve
+computation itself is pure JVM bit algebra (shiftleft/or over a fixed
+16-term expansion — no UDF, codegen-friendly), and is mirrored term-for-
+term in DuckDB SQL for the oracle.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+BITS = 16  # per-dimension resolution (32-bit z-values)
+
+
+def zvalue(x: Column | str, y: Column | str, bits: int = BITS) -> Column:
+    """Morton-interleave two non-negative ints (x in even bit positions)."""
+    xc = (F.col(x) if isinstance(x, str) else x).cast("bigint")
+    yc = (F.col(y) if isinstance(y, str) else y).cast("bigint")
+    # the terms occupy disjoint bit positions, so + realizes the bitwise OR
+    # (Column.__or__ is LOGICAL or in Spark; bitwiseOR exists but + keeps
+    # the expression associative for codegen)
+    out = F.lit(0).cast("bigint")
+    for i in range(bits):
+        out = (
+            out
+            + F.shiftleft(F.shiftright(xc, i) % 2, 2 * i)
+            + F.shiftleft(F.shiftright(yc, i) % 2, 2 * i + 1)
+        )
+    return out
+
+
+def zvalue_sql(x: str, y: str, bits: int = BITS) -> str:
+    """DuckDB mirror of :func:`zvalue` (same term expansion)."""
+    terms = []
+    for i in range(bits):
+        terms.append(f"((({x} >> {i}) & 1) << {2 * i})")
+        terms.append(f"((({y} >> {i}) & 1) << {2 * i + 1})")
+    return "(" + " | ".join(terms) + ")"
+
+
+def zorder_layout(
+    df: DataFrame, x: str, y: str, n_buckets_shift: int = 22
+) -> DataFrame:
+    """Cluster-quality view: bucket rows by z-value prefix and report each
+    bucket's (x, y) bounding box.  Tight per-bucket boxes are exactly what
+    makes file-level min/max stats prunable after a z-ordered write."""
+    z = zvalue(x, y)
+    return (
+        df.select(
+            F.col(x).cast("bigint").alias("x"),
+            F.col(y).cast("bigint").alias("y"),
+            F.shiftright(z, n_buckets_shift).alias("zbucket"),
+        )
+        .groupBy("zbucket")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.min("x").alias("min_x"),
+            F.max("x").alias("max_x"),
+            F.min("y").alias("min_y"),
+            F.max("y").alias("max_y"),
+        )
+    )

@@ -273,3 +273,28 @@ def cdc2_merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("o_orderkey").alias("min_key"),
         F.max("o_orderkey").alias("max_key"),
     )
+
+
+@register("zo1_zorder_layout")
+def zo1_zorder_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Z-order clustering quality over lineitem (l_partkey, l_suppkey):
+    bucket by 10-bit z-prefix and report per-bucket bounding boxes — the
+    pure-JVM Morton interleave whose tight boxes drive two-dimensional
+    file skipping after a repartitionByRange(zvalue) write.  See
+    operators/zorder.py."""
+    from tulflow_spark.operators.zorder import zorder_layout
+
+    return zorder_layout(
+        table(spark, sf_dir, "lineitem"), "l_partkey", "l_suppkey"
+    )
+
+
+from tulflow_spark.operators.zorder import zvalue_sql as _zv_sql  # noqa: E402
+
+(_O if "zo1_zorder_layout" in _G else _EO)["zo1_zorder_layout"] = f"""
+    SELECT ({_zv_sql('l_partkey', 'l_suppkey')} >> 22) AS zbucket,
+           COUNT(*) AS n_rows,
+           MIN(l_partkey) AS min_x, MAX(l_partkey) AS max_x,
+           MIN(l_suppkey) AS min_y, MAX(l_suppkey) AS max_y
+    FROM lineitem GROUP BY zbucket
+"""
