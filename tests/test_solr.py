@@ -169,3 +169,48 @@ def test_add_collection_drops_init(client):
     STATE["aliases"]["cat2"] = "cat2-blue,cat2-init"
     client.add_collection_to_alias("cat2-green", "cat2")
     assert client.get_alias_collections("cat2") == ["cat2-blue", "cat2-green"]
+
+
+def test_index_stream_to_solr(spark, solr_url, tmp_path):
+    """The harvest→index tail as a stream: two file-source micro-batches
+    each posted and committed; a document re-indexed in batch 2 overwrites
+    by id (at-least-once + idempotent id = exactly-once visible state)."""
+    from tulflow_spark.sinks.solr import index_stream_to_solr
+
+    STATE["posted_docs"].clear()
+    STATE["commits"] = 0
+    src = tmp_path / "stream_src"
+    src.mkdir()
+    spark.createDataFrame(
+        [(1, "one"), (2, "two")], "id int, title string"
+    ).coalesce(1).write.parquet(str(src / "b0"))
+    for f in (src / "b0").iterdir():
+        if f.suffix == ".parquet":
+            f.rename(src / "000.parquet")
+
+    stream = spark.readStream.schema("id int, title string").option(
+        "maxFilesPerTrigger", 1
+    ).parquet(str(src))
+    q = index_stream_to_solr(
+        stream, solr_url, "catalog-blue", str(tmp_path / "ckpt"), batch_size=1
+    )
+    try:
+        q.processAllAvailable()
+        assert {d["id"] for d in STATE["posted_docs"]} == {1, 2}
+        first_commits = STATE["commits"]
+        assert first_commits >= 1
+
+        spark.createDataFrame(
+            [(2, "two-revised"), (3, "three")], "id int, title string"
+        ).coalesce(1).write.parquet(str(src / "b1"))
+        for f in (src / "b1").iterdir():
+            if f.suffix == ".parquet":
+                f.rename(src / "001.parquet")
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    assert {d["id"] for d in STATE["posted_docs"]} == {1, 2, 3}
+    assert [d["title"] for d in STATE["posted_docs"] if d["id"] == 2] == [
+        "two", "two-revised",
+    ]
+    assert STATE["commits"] > first_commits  # commit per micro-batch

@@ -57,3 +57,34 @@ def index_to_solr(
         _post_json(
             f"{solr_url.rstrip('/')}/{collection}/update?commit=true", b"[]"
         )
+
+
+def index_stream_to_solr(
+    stream_df: DataFrame,
+    solr_url: str,
+    collection: str,
+    checkpoint: str,
+    batch_size: int = 500,
+):
+    """Continuous Solr indexing: the streaming face of :func:`index_to_solr`.
+
+    ``foreachBatch`` reuses the batch poster verbatim per micro-batch (one
+    commit per micro-batch — the visibility point of streaming indexing;
+    checkpointed batch ids give at-least-once delivery, which is correct
+    for Solr because re-posting a document with the same ``id`` is an
+    idempotent overwrite).
+
+    Returns the started StreamingQuery; the caller owns its lifecycle.
+    """
+
+    def apply_batch(batch_df: DataFrame, batch_id: int) -> None:
+        index_to_solr(
+            batch_df, solr_url, collection, batch_size=batch_size, commit=True
+        )
+
+    return (
+        stream_df.writeStream.foreachBatch(apply_batch)
+        .option("checkpointLocation", checkpoint)
+        .outputMode("append")
+        .start()
+    )
