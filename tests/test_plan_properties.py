@@ -234,3 +234,70 @@ def test_mx4_stratified_sample_has_partial_group_limit(spark, sf_dir):
     task forwards at most k rows per group (partial WindowGroupLimit)."""
     plan = _extra_plan(spark, sf_dir, "mx4_stratified_sample")
     assert "WindowGroupLimit" in plan and "Partial" in plan
+
+
+# --- second round-5 session additions --------------------------------------
+
+
+def test_q21_existentials_decorrelate_to_joins(spark, sf_dir):
+    """EXISTS / NOT EXISTS must compile to semi/anti hash joins — never a
+    per-row subquery re-execution."""
+    plan = _plan(spark, sf_dir, "q21_sole_return_supplier")
+    assert "LeftSemi" in plan and "LeftAnti" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_q18_in_subquery_is_semi_join(spark, sf_dir):
+    plan = _plan(spark, sf_dir, "q18_large_volume")
+    assert "LeftSemi" in plan
+
+
+def test_q07_q08_q09_dimensions_broadcast(spark, sf_dir):
+    for name, n_bcast in [
+        ("q07_nation_volume", 4),
+        ("q08_market_share", 6),
+        ("q09_product_profit", 3),
+    ]:
+        plan = _plan(spark, sf_dir, name)
+        assert plan.count("BroadcastHashJoin") >= n_bcast, name
+        # the single allowed SortMergeJoin is lineitem⋈orders
+        assert plan.count("SortMergeJoin") <= 1, name
+
+
+def test_url1_tr1_are_jvm_only(spark, sf_dir):
+    """URL canonicalization and the train shuffle must stay whole-stage
+    JVM — no Python workers in the plan."""
+    for name in ["url1_canonical_dedup", "tr1_train_shuffle"]:
+        plan = _plan(spark, sf_dir, name)
+        # (no WholeStageCodegen assertion: AQE prints the pre-final plan,
+        # and higher-order-function lambdas run as JVM expression eval
+        # outside codegen spans — still no Python boundary)
+        assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan, name
+
+
+def test_tr1_window_is_bucket_partitioned(spark, sf_dir):
+    """The shuffle-rank window partitions by bucket — a single-partition
+    window (empty PARTITION BY) would serialize the sort at scale."""
+    plan = _plan(spark, sf_dir, "tr1_train_shuffle")
+    assert "SinglePartition" not in plan
+
+
+def test_dd10_window_is_doc_partitioned_no_python(spark, sf_dir):
+    plan = _plan(spark, sf_dir, "dd10_repeated_spans")
+    assert "SinglePartition" not in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    assert plan.count("HashAggregate") >= 2  # hot-hash count is partial
+
+
+def test_zo1_interleave_is_codegen(spark, sf_dir):
+    plan = _plan(spark, sf_dir, "zo1_zorder_layout")
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    assert plan.count("HashAggregate") >= 2
+
+
+def test_cdc2_change_keys_broadcast(spark, sf_dir):
+    """merge_upsert's anti-join must broadcast the (dimension-sized)
+    change-key set, never shuffle the base."""
+    plan = _plan(spark, sf_dir, "cdc2_merge_upsert")
+    assert "BroadcastHashJoin" in plan and "LeftAnti" in plan
+    assert "SortMergeJoin" not in plan
