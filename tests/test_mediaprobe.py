@@ -304,3 +304,85 @@ def test_probe_mp4_fills_video_meta():
     assert (m["width"], m["height"]) == (640, 360)
     assert m["n_frames"] == 25 and m["duration_ms"] == 1000
     assert m["codec"] == "fake"
+
+
+# ---------------------------------------------------------------------------
+# in-test Ogg writer (RFC 3533 pages built by hand)
+# ---------------------------------------------------------------------------
+
+
+def _ogg_page(granule: int, serial: int, seq: int, payload: bytes,
+              header_type: int = 0) -> bytes:
+    segs = []
+    rest = len(payload)
+    while rest >= 255:
+        segs.append(255)
+        rest -= 255
+    segs.append(rest)
+    return (
+        b"OggS" + bytes([0, header_type])
+        + struct.pack("<q", granule)
+        + struct.pack("<I", serial)
+        + struct.pack("<I", seq)
+        + b"\x00\x00\x00\x00"  # CRC (probe does not verify)
+        + bytes([len(segs)]) + bytes(segs)
+        + payload
+    )
+
+
+def make_ogg_vorbis(rate: int, channels: int, total_samples: int) -> bytes:
+    ident = (
+        b"\x01vorbis" + struct.pack("<I", 0) + bytes([channels])
+        + struct.pack("<I", rate) + b"\x00" * 16 + b"\x01"
+    )
+    return (
+        _ogg_page(0, 7, 0, ident, header_type=2)
+        + _ogg_page(total_samples // 2, 7, 1, b"\x00" * 64)
+        + _ogg_page(total_samples, 7, 2, b"\x00" * 64, header_type=4)
+    )
+
+
+def make_ogg_opus(preskip: int, granule_end: int) -> bytes:
+    head = (
+        b"OpusHead" + bytes([1, 2])  # version, channels
+        + struct.pack("<H", preskip)
+        + struct.pack("<I", 48000)
+        + struct.pack("<h", 0) + bytes([0])
+    )
+    return (
+        _ogg_page(0, 9, 0, head, header_type=2)
+        + _ogg_page(granule_end, 9, 1, b"\x00" * 32, header_type=4)
+    )
+
+
+def test_ogg_vorbis_duration_from_last_granule():
+    from tulflow_spark.ext.mediaprobe import probe_ogg
+
+    data = make_ogg_vorbis(44100, 2, total_samples=44100 * 3)
+    info = probe_ogg(data)
+    assert info.codec == "vorbis"
+    assert info.sample_rate == 44100 and info.channels == 2
+    assert info.duration_ms == 3000
+    assert info.n_pages == 3
+
+
+def test_ogg_opus_preskip_subtracted():
+    from tulflow_spark.ext.mediaprobe import probe_ogg
+
+    data = make_ogg_opus(preskip=312, granule_end=48000 + 312)
+    info = probe_ogg(data)
+    assert info.codec == "opus" and info.channels == 2
+    assert info.duration_ms == 1000  # (granule - preskip) / 48k
+
+
+def test_ogg_probe_media_dispatch():
+    m = probe_media_bytes(make_ogg_vorbis(8000, 1, 4000))
+    assert m["format"] == "ogg" and m["codec"] == "vorbis"
+    assert m["sample_rate"] == 8000 and m["duration_ms"] == 500
+
+
+def test_ogg_garbage_typed():
+    from tulflow_spark.ext.mediaprobe import probe_ogg
+
+    with pytest.raises(UnsupportedMedia):
+        probe_ogg(b"not an ogg at all")

@@ -15,8 +15,10 @@ stub: uncompressed formats decode with ``struct``/``wave``/numpy alone —
 - **WAV** (PCM, any width the stdlib ``wave``/``audioop`` handles) →
   float32 mono samples + sample rate.
 
-``sniff_format`` dispatches on magic bytes; the remaining compressed
-formats (MP3/MP4, OGG; progressive JPEG) raise :class:`UnsupportedMedia`
+``sniff_format`` dispatches on magic bytes; compressed AUDIO/VIDEO codec
+payloads (MP3/MP4/OGG decode; progressive JPEG) raise :class:`UnsupportedMedia`
+— but their container metadata and frame payload extraction are REAL, see
+:mod:`tulflow_spark.ext.mediaprobe` —
 naming the dependency a real deployment would add — a typed wall, never a
 silent fake.  The deterministic stub decoder in
 :mod:`tulflow_spark.ext.multimodal` remains for shape-only tests.

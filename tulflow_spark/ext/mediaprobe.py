@@ -18,6 +18,8 @@ pure-stdlib parsing of public container formats:
 - Image headers: PNG IHDR, GIF logical screen, BMP info header, JPEG SOF
   scan, PPM/PGM ASCII header — dimensions only, no pixel work.
 - WAV: fmt/data chunk walk → channels/rate/bits/duration.
+- Ogg (RFC 3533): page walk → exact duration from the final granule
+  position; Vorbis/Opus identification headers → codec/rate/channels.
 
 Reference parity: the reference pipeline treats payloads as opaque bytes and
 never decodes media at all; this module is part of the §2.11 multimodal
@@ -478,6 +480,13 @@ def probe_media_bytes(content: bytes) -> dict:
             duration_ms=info.duration_ms,
             codec="mp3",
         )
+    elif fmt == "ogg":
+        og = probe_ogg(content)
+        meta.update(
+            sample_rate=og.sample_rate or None,
+            duration_ms=og.duration_ms or None,
+            codec=og.codec,
+        )
     elif fmt == "mp4":
         info = probe_mp4(content)
         meta.update(duration_ms=info.duration_ms, codec=info.brand)
@@ -493,3 +502,72 @@ def probe_media_bytes(content: bytes) -> dict:
         if aud and not meta["sample_rate"]:
             meta["sample_rate"] = aud.sample_rate or None
     return meta
+
+
+# ---------------------------------------------------------------------------
+# Ogg container (RFC 3533) + Vorbis/Opus identification headers
+# ---------------------------------------------------------------------------
+
+
+@dataclass
+class OggInfo:
+    codec: str  # 'vorbis' | 'opus' | 'unknown'
+    sample_rate: int
+    channels: int
+    duration_ms: int
+    n_pages: int
+
+
+def probe_ogg(content: bytes) -> OggInfo:
+    """Walk Ogg pages (RFC 3533: capture 'OggS', granule position, lacing
+    segments) and parse the first packet's identification header —
+    Vorbis I §4.2.2 (``\\x01vorbis``: channels u8, rate u32le) or OPUS
+    (RFC 7845 'OpusHead': channels u8, pre-skip u16le, input rate u32le).
+
+    Duration comes from the LAST page's granule position: PCM sample count
+    for Vorbis (÷ rate), 48 kHz sample count minus pre-skip for Opus —
+    exact without touching a single codec payload byte.  Header-hop only:
+    each page advances by 27 + segments + payload.
+    """
+    if content[:4] != b"OggS":
+        raise UnsupportedMedia("not an Ogg stream (no OggS capture)")
+    pos = 0
+    n_pages = 0
+    last_granule = 0
+    first_payload = b""
+    while pos + 27 <= len(content):
+        if content[pos : pos + 4] != b"OggS":
+            raise UnsupportedMedia(f"ogg: lost page sync at {pos}")
+        granule = struct.unpack_from("<q", content, pos + 6)[0]
+        n_segs = content[pos + 26]
+        seg_table = content[pos + 27 : pos + 27 + n_segs]
+        payload_len = sum(seg_table)
+        body = pos + 27 + n_segs
+        if n_pages == 0:
+            first_payload = content[body : body + payload_len]
+        if granule >= 0:
+            last_granule = granule
+        n_pages += 1
+        pos = body + payload_len
+    codec, rate, channels, preskip = "unknown", 0, 0, 0
+    if first_payload[:7] == b"\x01vorbis":
+        codec = "vorbis"
+        channels = first_payload[11]
+        rate = struct.unpack_from("<I", first_payload, 12)[0]
+        duration_ms = int(last_granule * 1000 // rate) if rate else 0
+    elif first_payload[:8] == b"OpusHead":
+        codec = "opus"
+        channels = first_payload[9]
+        preskip = struct.unpack_from("<H", first_payload, 10)[0]
+        rate = struct.unpack_from("<I", first_payload, 12)[0]
+        # granule is ALWAYS 48 kHz for Opus regardless of input rate
+        duration_ms = int(max(0, last_granule - preskip) * 1000 // 48000)
+    else:
+        duration_ms = 0
+    return OggInfo(
+        codec=codec,
+        sample_rate=rate,
+        channels=channels,
+        duration_ms=duration_ms,
+        n_pages=n_pages,
+    )
