@@ -214,3 +214,37 @@ def test_index_stream_to_solr(spark, solr_url, tmp_path):
         "two", "two-revised",
     ]
     assert STATE["commits"] > first_commits  # commit per micro-batch
+
+
+def test_index_stream_restart_resumes_from_checkpoint(spark, solr_url, tmp_path):
+    """Kill the streaming query, add data, restart with the SAME
+    checkpoint: already-committed micro-batches must not be re-posted
+    (Spark's batch-id tracking), only the new file flows."""
+    from tulflow_spark.sinks.solr import index_stream_to_solr
+
+    STATE["posted_docs"].clear()
+    src = tmp_path / "restart_src"
+    src.mkdir()
+    ckpt = str(tmp_path / "restart_ckpt")
+
+    def add_file(name, rows):
+        d = src / f"_{name}"
+        spark.createDataFrame(rows, "id int, title string").coalesce(1)\
+            .write.parquet(str(d))
+        for f in d.iterdir():
+            if f.suffix == ".parquet":
+                f.rename(src / f"{name}.parquet")
+
+    add_file("000", [(1, "one")])
+    stream = lambda: spark.readStream.schema("id int, title string").parquet(str(src))  # noqa: E731
+    q = index_stream_to_solr(stream(), solr_url, "catalog-blue", ckpt)
+    q.processAllAvailable()
+    q.stop()
+    assert [d["id"] for d in STATE["posted_docs"]] == [1]
+
+    add_file("001", [(2, "two")])
+    q2 = index_stream_to_solr(stream(), solr_url, "catalog-blue", ckpt)
+    q2.processAllAvailable()
+    q2.stop()
+    ids = [d["id"] for d in STATE["posted_docs"]]
+    assert ids == [1, 2]  # batch 0 NOT re-posted after restart
