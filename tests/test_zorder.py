@@ -72,3 +72,59 @@ def test_zorder_layout_buckets_bound_both_dims(spark, sf_dir):
     full_x = max(r.max_x for r in out) - min(r.min_x for r in out)
     # every bucket's x-extent is a proper fraction of the global extent
     assert all((r.max_x - r.min_x) <= full_x for r in out)
+
+
+def test_write_zordered_footer_stats_prune_both_dims(spark, tmp_path):
+    """The payoff test: after write_zordered, the real parquet footers
+    bound BOTH dimensions per file, and a rectangle predicate would prune
+    most files on either column — against an x-sorted layout where y
+    stats never prune anything."""
+    import pyarrow.parquet as pq
+    from pathlib import Path
+
+    from tulflow_spark.operators.zorder import write_zordered
+
+    grid = spark.range(64 * 64).select(
+        (F.col("id") % 64).alias("x"),
+        (F.col("id") / 64).cast("bigint").alias("y"),
+    )
+    zdir = tmp_path / "zorder"
+    write_zordered(grid, str(zdir), "x", "y", n_files=16)
+
+    def file_boxes(d):
+        boxes = []
+        for f in Path(d).glob("*.parquet"):
+            md = pq.ParquetFile(f).metadata
+            xs, ys = [], []
+            for rg in range(md.num_row_groups):
+                for ci in range(md.num_columns):
+                    col = md.row_group(rg).column(ci)
+                    name = col.path_in_schema
+                    st = col.statistics
+                    (xs if name == "x" else ys).append((st.min, st.max))
+            boxes.append(
+                (
+                    min(a for a, _ in xs), max(b for _, b in xs),
+                    min(a for a, _ in ys), max(b for _, b in ys),
+                )
+            )
+        return boxes
+
+    boxes = file_boxes(zdir)
+    assert len(boxes) == 16
+    # a query for x in [0,15] AND y in [0,15] must prune >= half the files
+    hit = [
+        b for b in boxes
+        if not (b[1] < 0 or b[0] > 15) and not (b[3] < 0 or b[2] > 15)
+    ]
+    assert len(hit) <= len(boxes) // 2
+    # and EVERY file bounds y as well as x (two-dimensional locality)
+    for x0, x1, y0, y1 in boxes:
+        assert (x1 - x0) <= 32 and (y1 - y0) <= 32
+
+    # baseline: x-sorted layout never bounds y
+    xdir = tmp_path / "xsorted"
+    grid.repartitionByRange(16, "x").sortWithinPartitions("x")\
+        .write.parquet(str(xdir))
+    xboxes = file_boxes(xdir)
+    assert all((y1 - y0) == 63 for _, _, y0, y1 in xboxes)

@@ -69,3 +69,29 @@ def zorder_layout(
             F.max("y").alias("max_y"),
         )
     )
+
+
+def write_zordered(
+    df: DataFrame,
+    path: str,
+    x: str,
+    y: str,
+    n_files: int,
+    bits: int = BITS,
+) -> None:
+    """Write ``df`` as parquet clustered on the (x, y) z-curve:
+    ``repartitionByRange`` over the z-value (sampled range boundaries →
+    equal-sized files) with an intra-partition sort so row groups inside a
+    file are tight too.  After this layout, parquet footer min/max stats
+    bound BOTH x and y per file — a reader with a predicate on either
+    column prunes most files (verified against real footers in
+    tests/test_zorder.py)."""
+    z = zvalue(x, y, bits).alias("_z")
+    (
+        df.withColumn("_z", z)
+        .repartitionByRange(n_files, "_z")
+        .sortWithinPartitions("_z")
+        .drop("_z")
+        .write.mode("overwrite")
+        .parquet(path)
+    )
