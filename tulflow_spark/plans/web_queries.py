@@ -298,3 +298,38 @@ from tulflow_spark.operators.zorder import zvalue_sql as _zv_sql  # noqa: E402
            MIN(l_suppkey) AS min_y, MAX(l_suppkey) AS max_y
     FROM lineitem GROUP BY zbucket
 """
+
+
+@register(
+    "tx13_html_extract",
+    oracle="""
+    SELECT doc_id,
+           'Doc ' || CAST(doc_id AS VARCHAR) AS title,
+           regexp_replace(trim(text), '\\s+', ' ', 'g') AS text,
+           CAST(2 AS INT) AS n_links
+    FROM documents
+    """,
+)
+def tx13_html_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HTML → text extraction round-trip, oracle-checked end to end: wrap
+    each document's text in deterministic markup (title, nav links, a
+    script block that must NOT leak into the text), run the REAL stdlib
+    extractor (ext/html.py, Arrow-batched mapInPandas), and compare
+    against the analytically-predicted output — title recovered, script
+    dropped, body text whitespace-normalized, both links counted."""
+    from tulflow_spark.ext.html import extract_text
+
+    docs = table(spark, sf_dir, "documents")
+    html = F.concat(
+        F.lit("<html><head><title>Doc "),
+        F.col("doc_id").cast("string"),
+        F.lit("</title><script>var skip_me = 1;</script></head><body>"
+              "<a href='/a'></a><a href='/b'></a><p>"),
+        F.col("text"),
+        F.lit("</p></body></html>"),
+    )
+    wrapped = docs.select("doc_id", html.alias("html"))
+    out = extract_text(wrapped, "html", "doc_id")
+    return out.select(
+        "doc_id", "title", "text", F.size("links").alias("n_links")
+    )
