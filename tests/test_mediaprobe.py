@@ -386,3 +386,90 @@ def test_ogg_garbage_typed():
 
     with pytest.raises(UnsupportedMedia):
         probe_ogg(b"not an ogg at all")
+
+
+# ---------------------------------------------------------------------------
+# fragmented MP4 (in-test fMP4 writer: moov has no samples; moof/trun do)
+# ---------------------------------------------------------------------------
+
+
+def make_fmp4(fragments: list[list[bytes]], timescale: int = 1000,
+              delta: int = 40, width: int = 48, height: int = 32) -> bytes:
+    """init segment (moov with empty stbl + trex defaults) followed by one
+    moof+mdat per fragment, per-sample sizes in trun, default-base-is-moof."""
+    mvhd = _full(b"mvhd", struct.pack(">II", 0, 0)
+                 + struct.pack(">II", timescale, 0)
+                 + struct.pack(">I", 0x00010000) + b"\x00" * 6 + b"\x00" * 8
+                 + struct.pack(">9I", 0x10000, 0, 0, 0, 0x10000, 0, 0, 0, 0x40000000)
+                 + b"\x00" * 24 + struct.pack(">I", 2))
+    tkhd = _full(b"tkhd", struct.pack(">II", 0, 0) + struct.pack(">I", 1)
+                 + struct.pack(">I", 0) + struct.pack(">I", 0) + b"\x00" * 8
+                 + struct.pack(">hhhh", 0, 0, 0, 0)
+                 + struct.pack(">9I", 0x10000, 0, 0, 0, 0x10000, 0, 0, 0, 0x40000000)
+                 + struct.pack(">II", width << 16, height << 16))
+    mdhd = _full(b"mdhd", struct.pack(">II", 0, 0)
+                 + struct.pack(">II", timescale, 0)
+                 + struct.pack(">HH", 0x55C4, 0))
+    hdlr = _full(b"hdlr", struct.pack(">I", 0) + b"vide" + b"\x00" * 12 + b"f\x00")
+    entry = _box(b"fake", b"\x00" * 6 + struct.pack(">H", 1) + b"\x00" * 70)
+    stsd = _full(b"stsd", struct.pack(">I", 1) + entry)
+    stbl = _box(b"stbl", stsd
+                + _full(b"stts", struct.pack(">I", 0))
+                + _full(b"stsc", struct.pack(">I", 0))
+                + _full(b"stsz", struct.pack(">II", 0, 0))
+                + _full(b"stco", struct.pack(">I", 0)))
+    minf = _box(b"minf", stbl)
+    mdia = _box(b"mdia", mdhd + hdlr + minf)
+    trak = _box(b"trak", tkhd + mdia)
+    trex = _full(b"trex", struct.pack(">5I", 1, 1, delta, 0, 0))
+    mvex = _box(b"mvex", trex)
+    moov = _box(b"moov", mvhd + trak + mvex)
+    ftyp = _box(b"ftyp", b"iso5" + struct.pack(">I", 512) + b"iso5dash")
+    out = bytearray(ftyp + moov)
+
+    t = 0
+    for seq, frames in enumerate(fragments, start=1):
+        mfhd = _full(b"mfhd", struct.pack(">I", seq))
+        # tfhd: default-base-is-moof (0x20000), no explicit defaults
+        tfhd = _box(b"tfhd", bytes([0, 0x02, 0x00, 0x00]) + struct.pack(">I", 1))
+        tfdt = _box(b"tfdt", bytes([1, 0, 0, 0]) + struct.pack(">Q", t))
+        # trun: data-offset (0x1) + sample-size (0x200)
+        trun_body = bytes([0, 0x00, 0x02, 0x01]) + struct.pack(">I", len(frames))
+        # placeholder data offset patched below
+        trun_body += struct.pack(">i", 0)
+        trun_body += b"".join(struct.pack(">I", len(f)) for f in frames)
+        trun = _box(b"trun", trun_body)
+        traf = _box(b"traf", tfhd + tfdt + trun)
+        moof = _box(b"moof", mfhd + traf)
+        # data offset = moof start → first payload byte (moof size + mdat hdr)
+        data_off = len(moof) + 8
+        moof = bytearray(moof)
+        # trun data_offset field: locate it (after moof hdr+mfhd+traf hdr+tfhd+tfdt+trun hdr+flags+count)
+        idx = moof.rindex(struct.pack(">i", 0) + struct.pack(">I", len(frames[0])))
+        moof[idx : idx + 4] = struct.pack(">i", data_off)
+        mdat = _box(b"mdat", b"".join(frames))
+        out += bytes(moof) + mdat
+        t += delta * len(frames)
+    return bytes(out)
+
+
+def test_fmp4_fragments_resolve_samples():
+    frags = [[b"F0!", b"F1!!!"], [b"F2", b"F3####", b"F4!"]]
+    data = make_fmp4(frags)
+    info = probe_mp4(data)
+    (tr,) = info.tracks
+    flat = [f for fr in frags for f in fr]
+    assert tr.sample_sizes == [len(f) for f in flat]
+    assert tr.sample_times == [0, 40, 80, 120, 160]
+    for i, f in enumerate(flat):
+        off, size = tr.sample_offsets[i], tr.sample_sizes[i]
+        assert data[off : off + size] == f, i
+    assert tr.duration == 200  # extended by the fragment walk
+
+
+def test_fmp4_sample_at_works_across_fragments():
+    frags = [[b"AA", b"BB"], [b"CC", b"DD"]]
+    data = make_fmp4(frags)
+    (tr,) = probe_mp4(data).tracks
+    idx, ts, payload = mp4_sample_at(data, tr, 100)
+    assert (idx, ts, payload) == (2, 80, b"CC")

@@ -118,7 +118,7 @@ def probe_mp4(content: bytes) -> Mp4Info:
     brand = content[ftyp[0] : ftyp[0] + 4].decode("latin1") if ftyp else "????"
     moov = _find(content, 0, end, "moov")
     if not moov:
-        raise UnsupportedMedia("mp4: no moov box (fragmented/streaming layout?)")
+        raise UnsupportedMedia("mp4: no moov box (raw stream fragment?)")
 
     mvhd = _find(content, moov[0], moov[1], "mvhd")
     if not mvhd:
@@ -136,6 +136,14 @@ def probe_mp4(content: bytes) -> Mp4Info:
         if fc != "trak":
             continue
         tracks.append(_probe_trak(content, b, e))
+    # fragmented layout (fMP4/DASH): samples live in moof/traf/trun runs,
+    # not in the moov sample tables — walk every fragment and extend
+    if _find(content, 0, end, "moof"):
+        trex = _parse_trex(content, moov)
+        _walk_fragments(content, {t.track_id: t for t in tracks}, trex)
+        for t in tracks:
+            if t.duration == 0 and t.sample_times:
+                t.duration = t.sample_times[-1]
     return Mp4Info(brand=brand, timescale=timescale, duration=duration, tracks=tracks)
 
 
@@ -571,3 +579,100 @@ def probe_ogg(content: bytes) -> OggInfo:
         duration_ms=duration_ms,
         n_pages=n_pages,
     )
+
+
+# ---------------------------------------------------------------------------
+# Fragmented MP4 (fMP4 / DASH): moof/traf/trun walking
+# ---------------------------------------------------------------------------
+
+
+def _parse_trex(data: bytes, moov: tuple[int, int]) -> dict[int, tuple[int, int]]:
+    """trex boxes → {track_id: (default_sample_duration, default_sample_size)}."""
+    out: dict[int, tuple[int, int]] = {}
+    mvex = _find(data, moov[0], moov[1], "mvex")
+    if not mvex:
+        return out
+    for fc, b, e in _boxes(data, mvex[0], mvex[1]):
+        if fc == "trex":
+            _, p = _fullbox(data, b)
+            tid, _sdi, sdur, ssize, _flags = struct.unpack_from(">5I", data, p)
+            out[tid] = (sdur, ssize)
+    return out
+
+
+def _walk_fragments(content: bytes, tracks: dict[int, Mp4Track],
+                    trex: dict[int, tuple[int, int]]) -> None:
+    """Append every moof fragment's samples to its track's tables
+    (ISO 14496-12 §8.8: tfhd defaults → trun per-sample overrides;
+    default-base-is-moof anchors data offsets at the moof start)."""
+    for fc, body, box_end in _boxes(content, 0, len(content)):
+        if fc != "moof":
+            continue
+        moof_start = body - 8
+        for tfc, tb, te in _boxes(content, body, box_end):
+            if tfc != "traf":
+                continue
+            tfhd = _find(content, tb, te, "tfhd")
+            if not tfhd:
+                continue
+            flags = int.from_bytes(content[tfhd[0] + 1 : tfhd[0] + 4], "big")
+            p = tfhd[0] + 4
+            track_id = struct.unpack_from(">I", content, p)[0]
+            p += 4
+            base_offset = moof_start  # default-base-is-moof (0x20000) or fallback
+            if flags & 0x1:  # base-data-offset present
+                base_offset = struct.unpack_from(">Q", content, p)[0]
+                p += 8
+            if flags & 0x2:  # sample-description-index
+                p += 4
+            d_dur, d_size = trex.get(track_id, (0, 0))
+            if flags & 0x8:  # default-sample-duration
+                d_dur = struct.unpack_from(">I", content, p)[0]
+                p += 4
+            if flags & 0x10:  # default-sample-size
+                d_size = struct.unpack_from(">I", content, p)[0]
+                p += 4
+            tr = tracks.get(track_id)
+            if tr is None:
+                continue
+            t = tr.sample_times[-1] + (
+                tr.sample_times[-1] - tr.sample_times[-2]
+                if len(tr.sample_times) >= 2 else d_dur
+            ) if tr.sample_times else 0
+            tfdt = _find(content, tb, te, "tfdt")
+            if tfdt:
+                ver, p2 = _fullbox(content, tfdt[0])
+                t = (struct.unpack_from(">Q", content, p2)[0] if ver == 1
+                     else struct.unpack_from(">I", content, p2)[0])
+            trun = _find(content, tb, te, "trun")
+            if not trun:
+                continue
+            tflags = int.from_bytes(content[trun[0] + 1 : trun[0] + 4], "big")
+            p3 = trun[0] + 4
+            n = struct.unpack_from(">I", content, p3)[0]
+            p3 += 4
+            off = base_offset
+            if tflags & 0x1:  # data-offset present
+                off = base_offset + struct.unpack_from(">i", content, p3)[0]
+                p3 += 4
+            if tflags & 0x4:  # first-sample-flags
+                p3 += 4
+            for _ in range(n):
+                dur, size = d_dur, d_size
+                if tflags & 0x100:
+                    dur = struct.unpack_from(">I", content, p3)[0]
+                    p3 += 4
+                if tflags & 0x200:
+                    size = struct.unpack_from(">I", content, p3)[0]
+                    p3 += 4
+                if tflags & 0x400:  # sample-flags
+                    p3 += 4
+                if tflags & 0x800:  # cts offset
+                    p3 += 4
+                tr.sample_offsets.append(off)
+                tr.sample_sizes.append(size)
+                tr.sample_times.append(t)
+                off += size
+                t += dur
+            if t > tr.duration:
+                tr.duration = t
