@@ -333,3 +333,41 @@ def tx13_html_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select(
         "doc_id", "title", "text", F.size("links").alias("n_links")
     )
+
+
+_PG_NODES = "SELECT doc_id AS node FROM documents"
+_PG_EDGES = """
+  SELECT doc_id AS src, (doc_id * 7 + 1) % (SELECT COUNT(*) FROM documents) AS dst
+  FROM documents
+  UNION ALL
+  SELECT doc_id, (doc_id * 13 + 2) % (SELECT COUNT(*) FROM documents)
+  FROM documents
+"""
+
+
+@register("pg1_pagerank", oracle=None)  # oracle attached below (programmatic)
+def pg1_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PageRank (3 synchronous iterations, d=0.85) over a deterministic
+    2-out-regular link graph derived from doc_ids (the shape ext/html.py's
+    link extraction feeds at crawl scale).  One edge-sized shuffle per
+    iteration; decimal-exact contribution sums make the double ranks
+    hash-equal to the DuckDB unrolled-CTE mirror."""
+    from tulflow_spark.ext.pagerank import pagerank
+
+    docs = table(spark, sf_dir, "documents")
+    nodes = docs.select(F.col("doc_id").alias("node"))
+    n = F.lit(docs.count())
+    e1 = docs.select(
+        F.col("doc_id").alias("src"), ((F.col("doc_id") * 7 + 1) % n).alias("dst")
+    )
+    e2 = docs.select(
+        F.col("doc_id").alias("src"), ((F.col("doc_id") * 13 + 2) % n).alias("dst")
+    )
+    return pagerank(e1.unionByName(e2), nodes, n_iter=3)
+
+
+from tulflow_spark.ext.pagerank import pagerank_sql as _pg_sql  # noqa: E402
+
+(_O if "pg1_pagerank" in _G else _EO)["pg1_pagerank"] = _pg_sql(
+    _PG_NODES, _PG_EDGES, "SELECT COUNT(*) FROM documents", n_iter=3
+)
