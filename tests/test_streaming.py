@@ -255,3 +255,44 @@ def test_stream_static_broadcast_enrich(spark, stream_dir):
     assert by_event[1] == "alice" and by_event[2] == "alice"
     assert by_event[3] is None  # user 2 has no lookup row → passes through
     assert len(out) == 6  # every stream row survives exactly once
+
+
+def test_stream_stream_join_with_watermarks(spark, tmp_path_factory):
+    """Watermarked stream-stream inner join (the §2.7 surface a
+    stream-static join can't cover): clicks join views on user within a
+    ±30-minute event-time band; both sides watermark so join state is
+    evicted, not unbounded."""
+    from pyspark.sql import functions as F
+
+    d = tmp_path_factory.mktemp("ss_join")
+    views = [(1, _ts(0, 0), 1, "view", 1.0, None),
+             (2, _ts(0, 10), 2, "view", 1.0, None),
+             (3, _ts(3, 0), 3, "view", 1.0, None)]
+    clicks = [(11, _ts(0, 20), 1, "click", 1.0, None),   # 20m after view 1 → joins
+              (12, _ts(1, 30), 2, "click", 1.0, None),   # 80m after view 2 → outside band
+              (13, _ts(3, 5), 3, "click", 1.0, None)]    # 5m after view 3 → joins
+    vd = tmp_path_factory.mktemp("views_src")
+    cd = tmp_path_factory.mktemp("clicks_src")
+    spark.createDataFrame(views, DDL).coalesce(1).write.parquet(str(vd / "b"))
+    spark.createDataFrame(clicks, DDL).coalesce(1).write.parquet(str(cd / "b"))
+
+    vs = (
+        spark.readStream.schema(DDL).parquet(str(vd / "b"))
+        .select(F.col("user_id").alias("v_user"), F.col("ts").alias("v_ts"))
+        .withWatermark("v_ts", "1 hour")
+    )
+    cs = (
+        spark.readStream.schema(DDL).parquet(str(cd / "b"))
+        .select(F.col("user_id").alias("c_user"),
+                F.col("ts").alias("c_ts"),
+                F.col("event_id").alias("click_id"))
+        .withWatermark("c_ts", "1 hour")
+    )
+    joined = vs.join(
+        cs,
+        (F.col("v_user") == F.col("c_user"))
+        & (F.col("c_ts") >= F.col("v_ts"))
+        & (F.col("c_ts") <= F.col("v_ts") + F.expr("INTERVAL 30 MINUTES")),
+    )
+    out = _run_to_memory(spark, joined, "ss_join", "append").collect()
+    assert {r.click_id for r in out} == {11, 13}  # the 80-minute gap never joins
