@@ -86,12 +86,15 @@ def repeated_spans(
     )
 
 
-def repeated_spans_sql(n: int = 10, min_count: int = 2) -> str:
-    """DuckDB oracle mirroring :func:`repeated_spans` over ``documents``."""
+def repeated_spans_sql(
+    n: int = 10, min_count: int = 2, source: str = "documents"
+) -> str:
+    """DuckDB oracle mirroring :func:`repeated_spans` over ``source``
+    (any relation/CTE name with (doc_id, text))."""
     return f"""
     WITH toks AS (
       SELECT doc_id, string_split_regex(trim(text), '\\s+') AS t
-      FROM documents
+      FROM {source}
     ),
     wins AS (
       SELECT doc_id, i - 1 AS pos,

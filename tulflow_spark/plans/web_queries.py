@@ -371,3 +371,120 @@ from tulflow_spark.ext.pagerank import pagerank_sql as _pg_sql  # noqa: E402
 (_O if "pg1_pagerank" in _G else _EO)["pg1_pagerank"] = _pg_sql(
     _PG_NODES, _PG_EDGES, "SELECT COUNT(*) FROM documents", n_iter=3
 )
+
+
+from tulflow_spark.ext.substring import repeated_spans_sql as _rs_sql2  # noqa: E402
+
+_CUR5_ORACLE = f"""
+    WITH extracted AS (
+      -- HTML wrap + real-parser extraction collapses to whitespace
+      -- normalization for markup-free bodies (pinned by tx13)
+      SELECT doc_id,
+             regexp_replace(trim(text), '\\s+', ' ', 'g') AS text
+      FROM documents
+    ),
+    url_keep AS (
+      -- url1 semantics: keep the smallest doc_id per canonical URL; the
+      -- derivation collides exactly the (doc_id // 2) pairs → even ids
+      SELECT doc_id, text FROM extracted
+      WHERE doc_id IN (
+        SELECT MIN(doc_id) FROM extracted GROUP BY doc_id // 2
+      )
+    ),
+    exact_keep AS (
+      SELECT doc_id, text FROM url_keep
+      WHERE doc_id IN (
+        SELECT MIN(doc_id) FROM url_keep GROUP BY md5(text)
+      )
+    ),
+    spans AS ({_rs_sql2(8, 2, source="exact_keep")}),
+    tok AS (
+      SELECT doc_id, t[i] AS tok, i AS pos
+      FROM (SELECT doc_id, string_split_regex(trim(text), '\\s+') AS t
+            FROM exact_keep),
+           UNNEST(range(1, len(t) + 1)) AS r(i)
+    ),
+    cut AS (
+      SELECT tok.doc_id,
+             COALESCE(STRING_AGG(tok.tok, ' ' ORDER BY tok.pos)
+               FILTER (WHERE NOT EXISTS (
+                 SELECT 1 FROM spans s
+                 WHERE s.doc_id = tok.doc_id
+                   AND tok.pos - 1 >= s.span_start
+                   AND tok.pos - 1 < s.span_end
+               )), '') AS text
+      FROM tok GROUP BY tok.doc_id
+    )
+    SELECT doc_id,
+           CAST(len(string_split_regex(trim(text), '\\s+')) AS INT)
+             AS n_tokens,
+           md5(text) AS text_md5
+    FROM cut
+    WHERE trim(text) <> '' AND len(string_split_regex(trim(text), '\\s+')) >= 10
+"""
+
+
+@register("cur5_web_pipeline", oracle=None)
+def cur5_web_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The full crawl-curation story as ONE oracle-checked composition:
+
+    HTML extract (REAL stdlib parser over deterministic markup)
+      → URL canonical dedup (keep smallest doc_id per canonical URL)
+      → exact dedup (keep smallest doc_id per md5(text))
+      → exact-substring cut (maximal repeated 8-token spans removed)
+      → quality floor (≥ 10 surviving tokens).
+
+    Every stage is the production operator (ext/html.py, functions
+    .canonicalize_url, ext/substring.py) — no stage is re-implemented for
+    the test — and the DuckDB oracle mirrors the pipeline stage by stage,
+    so the final (doc_id, n_tokens, md5(text)) hash pins all five stages
+    composed.  At 100 TB the stages chain map-side except the three keyed
+    shuffles (url group, hash group, span hash group)."""
+    from tulflow_spark.ext.html import extract_text
+    from tulflow_spark.ext.substring import cut_spans, repeated_spans
+
+    docs = table(spark, sf_dir, "documents")
+    html = F.concat(
+        F.lit("<html><head><title>Doc "),
+        F.col("doc_id").cast("string"),
+        F.lit("</title><script>var skip_me = 1;</script></head><body>"
+              "<a href='/a'></a><a href='/b'></a><p>"),
+        F.col("text"),
+        F.lit("</p></body></html>"),
+    )
+    extracted = extract_text(
+        docs.select("doc_id", html.alias("html")), "html", "doc_id"
+    ).select("doc_id", "text")
+
+    w_url = Window.partitionBy("curl")
+    url_keep = (
+        extracted.select(
+            "doc_id", "text", canonicalize_url(_url_col()).alias("curl")
+        )
+        .withColumn("_keep", F.min("doc_id").over(w_url))
+        .filter(F.col("doc_id") == F.col("_keep"))
+        .select("doc_id", "text")
+    )
+
+    w_hash = Window.partitionBy(F.md5("text"))
+    exact_keep = (
+        url_keep.withColumn("_keep", F.min("doc_id").over(w_hash))
+        .filter(F.col("doc_id") == F.col("_keep"))
+        .select("doc_id", "text")
+    )
+
+    spans = repeated_spans(exact_keep, n=8, min_count=2)
+    cut = cut_spans(exact_keep, spans)
+    toks = F.split(F.trim("text"), r"\s+")
+    return (
+        cut.filter(F.trim("text") != "")
+        .select(
+            "doc_id",
+            F.size(toks).cast("int").alias("n_tokens"),
+            F.md5("text").alias("text_md5"),
+        )
+        .filter(F.col("n_tokens") >= 10)
+    )
+
+
+(_O if "cur5_web_pipeline" in _G else _EO)["cur5_web_pipeline"] = _CUR5_ORACLE
