@@ -473,3 +473,44 @@ def test_fmp4_sample_at_works_across_fragments():
     (tr,) = probe_mp4(data).tracks
     idx, ts, payload = mp4_sample_at(data, tr, 100)
     assert (idx, ts, payload) == (2, 80, b"CC")
+
+
+def _id3_frame(fid: bytes, text: str, v4: bool = False) -> bytes:
+    body = b"\x03" + text.encode("utf-8")
+    if v4:
+        n = len(body)
+        size = bytes([(n >> 21) & 0x7F, (n >> 14) & 0x7F, (n >> 7) & 0x7F, n & 0x7F])
+    else:
+        size = struct.pack(">I", len(body))
+    return fid + size + b"\x00\x00" + body
+
+
+def make_id3v2(frames: list[tuple[bytes, str]], version: int = 3) -> bytes:
+    body = b"".join(_id3_frame(f, t, v4=(version == 4)) for f, t in frames)
+    body += b"\x00" * 20  # padding
+    n = len(body)
+    size = bytes([(n >> 21) & 0x7F, (n >> 14) & 0x7F, (n >> 7) & 0x7F, n & 0x7F])
+    return b"ID3" + bytes([version, 0, 0]) + size + body
+
+
+def test_id3v2_text_frames():
+    from tulflow_spark.ext.mediaprobe import parse_id3v2
+
+    tag = make_id3v2([(b"TIT2", "Some Title"), (b"TPE1", "The Artist"),
+                      (b"TALB", "An Album")])
+    got = parse_id3v2(tag + make_mp3_frames(3))
+    assert got == {"TIT2": "Some Title", "TPE1": "The Artist",
+                   "TALB": "An Album"}
+
+
+def test_id3v2_v4_syncsafe_sizes():
+    from tulflow_spark.ext.mediaprobe import parse_id3v2
+
+    tag = make_id3v2([(b"TIT2", "x" * 200)], version=4)
+    assert parse_id3v2(tag)["TIT2"] == "x" * 200
+
+
+def test_id3v2_absent_returns_empty():
+    from tulflow_spark.ext.mediaprobe import parse_id3v2
+
+    assert parse_id3v2(make_mp3_frames(2)) == {}

@@ -676,3 +676,43 @@ def _walk_fragments(content: bytes, tracks: dict[int, Mp4Track],
                 t += dur
             if t > tr.duration:
                 tr.duration = t
+
+
+# ---------------------------------------------------------------------------
+# ID3v2 text frames (title/artist/album metadata)
+# ---------------------------------------------------------------------------
+
+_ID3_ENCODINGS = {0: "latin1", 1: "utf-16", 2: "utf-16-be", 3: "utf-8"}
+
+
+def parse_id3v2(content: bytes) -> dict[str, str]:
+    """ID3v2.3/2.4 text frames → {frame_id: text} (TIT2 title, TPE1
+    artist, TALB album, TDRC/TYER year, …).  Stops at the first non-frame
+    byte (padding); unsynchronisation and extended headers of v2.4 are
+    rare in practice and skipped conservatively (frame walk just ends)."""
+    if content[:3] != b"ID3" or len(content) < 10:
+        return {}
+    total = _id3v2_size(content)
+    pos = 10
+    out: dict[str, str] = {}
+    while pos + 10 <= min(total, len(content)):
+        fid = content[pos : pos + 4]
+        if not fid.isalnum() or not fid.isupper():
+            break  # padding or corrupt
+        if content[3] == 4:  # v2.4: syncsafe frame sizes
+            b = content[pos + 4 : pos + 8]
+            size = (b[0] & 0x7F) << 21 | (b[1] & 0x7F) << 14 \
+                | (b[2] & 0x7F) << 7 | (b[3] & 0x7F)
+        else:
+            size = struct.unpack_from(">I", content, pos + 4)[0]
+        body = content[pos + 10 : pos + 10 + size]
+        if fid.startswith(b"T") and size >= 1:
+            enc = _ID3_ENCODINGS.get(body[0], "latin1")
+            try:
+                out[fid.decode("ascii")] = (
+                    body[1:].decode(enc).strip("\x00").strip()
+                )
+            except UnicodeDecodeError:
+                pass
+        pos += 10 + size
+    return out
