@@ -285,12 +285,12 @@ def mp4_sample_at(
     if not track.sample_times or not track.sample_offsets:
         raise UnsupportedMedia("mp4: track has no resolved sample table")
     target = ts_ms * track.timescale // 1000
-    idx = 0
-    for i, t in enumerate(track.sample_times):
-        if t <= target:
-            idx = i
-        else:
-            break
+    # sample_times are nondecreasing: binary search, not a linear scan —
+    # sample_frames calls this once per tick, so long videos would
+    # otherwise pay O(ticks × samples)
+    import bisect
+
+    idx = max(0, bisect.bisect_right(track.sample_times, target) - 1)
     if keyframe_only and track.sync_samples:
         syncs = [s - 1 for s in track.sync_samples if s - 1 <= idx]
         idx = syncs[-1] if syncs else track.sync_samples[0] - 1

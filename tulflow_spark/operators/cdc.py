@@ -40,6 +40,7 @@ def merge_upsert(
     changes: DataFrame,
     keys: list[str],
     op_col: str = "op",
+    broadcast_changes: bool = True,
 ) -> DataFrame:
     """Batch MERGE INTO semantics without a mutable sink: apply a keyed
     change set (``op`` ∈ I/U/D) to a base table and return the merged
@@ -59,6 +60,10 @@ def merge_upsert(
     """
     cols = base.columns
     chg_keys = changes.select(*keys)
-    kept = base.join(F.broadcast(chg_keys), keys, "left_anti")
+    if broadcast_changes:
+        chg_keys = F.broadcast(chg_keys)
+    # broadcast_changes=False for change sets too large to broadcast
+    # (rare in CDC; the anti-join then shuffles keys on both sides)
+    kept = base.join(chg_keys, keys, "left_anti")
     applied = changes.filter(F.col(op_col) != "D").select(*cols)
     return kept.unionByName(applied)

@@ -33,6 +33,8 @@ def profile_table(
     """→ one row per profiled column: (column, n_nulls, n_distinct,
     min_num, max_num, min_str, max_str)."""
     cols = columns or df.columns
+    if not cols:
+        raise ValueError("profile_table: no columns to profile")
     fields = {f.name: f.dataType for f in df.schema.fields}
     # One single-distinct aggregate PER COLUMN, unioned.  A combined
     # multi-distinct aggregate plans an Expand (row-multiplication by the
