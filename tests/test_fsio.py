@@ -47,3 +47,24 @@ def test_xml_sink_accepts_file_uri(spark, tmp_path):
     key = hashlib.md5(b"<x/>").hexdigest()
     assert out.endswith(key)
     assert (tmp_path / "stage" / key).read_text() == "<x/>"
+
+
+def test_parquet_schema_evolution_mergeschema(spark, tmp_path):
+    """Schema evolution across partitioned writes: a later batch adds a
+    column; mergeSchema reads the union (old rows NULL-filled) — the
+    staging-prefix contract when a harvest adds fields mid-stream."""
+    d = str(tmp_path / "evolving")
+    spark.createDataFrame(
+        [(1, "a")], "id bigint, title string"
+    ).write.parquet(d + "/batch=1")
+    spark.createDataFrame(
+        [(2, "b", "extra")], "id bigint, title string, note string"
+    ).write.parquet(d + "/batch=2")
+
+    merged = spark.read.option("mergeSchema", "true").parquet(d)
+    assert set(merged.columns) == {"id", "title", "note", "batch"}
+    rows = {r.id: r for r in merged.collect()}
+    assert rows[1].note is None and rows[2].note == "extra"
+    # without mergeSchema the footer of one file wins — column may be absent
+    plain = spark.read.parquet(d)
+    assert set(plain.columns) <= {"id", "title", "note", "batch"}
