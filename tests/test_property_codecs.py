@@ -96,3 +96,47 @@ def test_tokenize_matches_re_split(s):
     got = compile_expr("tokenize($s, ';')").evaluate(ctx)
     texts = [n.value for n in got]
     assert texts == ([] if s == "" else re.split(";", s))
+
+
+@given(
+    st.integers(min_value=1, max_value=60),
+    st.sampled_from([32, 64, 128, 192, 320]),
+    st.sampled_from([44100, 48000, 32000]),
+)
+@settings(max_examples=40, deadline=None)
+def test_mp3_walk_roundtrip_property(n, kbps, rate):
+    from tests.test_mediaprobe import make_mp3_frames
+    from tulflow_spark.ext.mediaprobe import probe_mp3
+
+    info = probe_mp3(make_mp3_frames(n, kbps=kbps, rate=rate))
+    assert info.n_frames == n
+    assert info.sample_rate == rate
+    assert info.bitrate_kbps == float(kbps)
+    assert info.duration_ms == n * 1152 * 1000 // rate
+
+
+@given(st.lists(st.integers(min_value=1, max_value=64), min_size=1, max_size=20))
+@settings(max_examples=30, deadline=None)
+def test_mp4_sample_table_roundtrip_property(sizes):
+    from tests.test_mediaprobe import make_mp4
+    from tulflow_spark.ext.mediaprobe import probe_mp4
+
+    frames = [bytes([65 + (i % 26)]) * s for i, s in enumerate(sizes)]
+    data = make_mp4(frames)
+    (tr,) = probe_mp4(data).tracks
+    assert tr.sample_sizes == sizes
+    for i, f in enumerate(frames):
+        off, sz = tr.sample_offsets[i], tr.sample_sizes[i]
+        assert data[off : off + sz] == f
+
+
+@given(st.lists(st.sampled_from(["alpha", "beta", "g", "dd", "e5"]),
+                min_size=0, max_size=30))
+@settings(max_examples=40, deadline=None)
+def test_html_extract_plain_words_identity(words):
+    # markup-free word text must extract to exactly its normalized form
+    from tulflow_spark.ext.html import extract_html
+
+    text = "  ".join(words)
+    got = extract_html("<html><body><p>" + text + "</p></body></html>")
+    assert got["text"] == " ".join(text.split())
