@@ -492,3 +492,89 @@ def a12_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
             "sum_price",
         )
     )
+
+
+@register(
+    "w5_month_delta",
+    oracle=f"""
+    WITH monthly AS (
+      SELECT n_name,
+             CAST(EXTRACT(year FROM o_orderdate) * 100
+                  + EXTRACT(month FROM o_orderdate) AS BIGINT) AS ym,
+             {dsum_sql('l_extendedprice * (1 - l_discount)')} AS revenue
+      FROM lineitem
+        JOIN orders   ON l_orderkey = o_orderkey
+        JOIN customer ON o_custkey = c_custkey
+        JOIN nation   ON c_nationkey = n_nationkey
+      GROUP BY n_name, ym
+    )
+    SELECT n_name, ym, revenue,
+           revenue - LAG(revenue) OVER (PARTITION BY n_name ORDER BY ym)
+             AS delta
+    FROM monthly
+    """,
+)
+def w5_month_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Month-over-month revenue delta per nation (the TPC-DS-flavored LAG
+    shape): decimal-exact monthly rollup first, then LAG over the tiny
+    (nation × month) frame — the window runs on aggregate-sized data, so
+    the per-nation sort is negligible at any scale.  First-month rows keep
+    NULL delta."""
+    li = table(spark, sf_dir, "lineitem")
+    o = table(spark, sf_dir, "orders")
+    c = table(spark, sf_dir, "customer")
+    n = table(spark, sf_dir, "nation")
+    ym = (F.year("o_orderdate") * 100 + F.month("o_orderdate")).cast("bigint")
+    monthly = (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .groupBy("n_name", ym.alias("ym"))
+        .agg(dsum(F.col("l_extendedprice") * (1 - F.col("l_discount")), "revenue"))
+    )
+    w = Window.partitionBy("n_name").orderBy("ym")
+    return monthly.select(
+        "n_name", "ym", "revenue",
+        (F.col("revenue") - F.lag("revenue").over(w)).alias("delta"),
+    )
+
+
+@register(
+    "w6_moving_avg",
+    oracle=f"""
+    WITH daily AS (
+      SELECT CAST(o_orderdate AS DATE) AS d,
+             {dsum_sql('o_totalprice')} AS revenue
+      FROM orders GROUP BY d
+    )
+    SELECT CAST(d AS TIMESTAMP) AS day, revenue,
+           CAST(SUM(CAST(revenue AS DECIMAL(30,6))) OVER (
+             ORDER BY d ROWS BETWEEN 6 PRECEDING AND CURRENT ROW
+           ) AS DOUBLE)
+           / COUNT(revenue) OVER (
+             ORDER BY d ROWS BETWEEN 6 PRECEDING AND CURRENT ROW
+           ) AS avg_7d
+    FROM daily
+    """,
+)
+def w6_moving_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """7-row trailing moving average of daily revenue (ROWS frame): the
+    rollup collapses orders to one row per day BEFORE the window, so the
+    unpartitioned ORDER BY runs over ~2,400 rows regardless of fact-table
+    scale (window-on-aggregate, never window-on-fact).  Decimal-exact
+    frame sums; COUNT handles the short head frames exactly like the
+    oracle."""
+    o = table(spark, sf_dir, "orders")
+    daily = (
+        o.groupBy(F.col("o_orderdate").cast("date").alias("d"))
+        .agg(dsum("o_totalprice", "revenue"))
+    )
+    w = Window.orderBy("d").rowsBetween(-6, Window.currentRow)
+    return daily.select(
+        F.col("d").cast("timestamp").alias("day"),
+        "revenue",
+        (
+            F.sum(F.col("revenue").cast("decimal(30,6)")).over(w).cast("double")
+            / F.count("revenue").over(w)
+        ).alias("avg_7d"),
+    )
