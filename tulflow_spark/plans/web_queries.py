@@ -488,3 +488,69 @@ def cur5_web_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 (_O if "cur5_web_pipeline" in _G else _EO)["cur5_web_pipeline"] = _CUR5_ORACLE
+
+
+@register(
+    "mm1_media_roundtrip",
+    oracle="""
+    SELECT doc_id,
+           CAST(2 + doc_id % 7 AS INT) AS width,
+           CAST(2 + doc_id % 5 AS INT) AS height,
+           CAST(doc_id % 256 AS DOUBLE) AS mean_px
+    FROM documents
+    """,
+)
+def mm1_media_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal decode path, oracle-checked end to end: synthesize a
+    real 24-bit BMP per row (independent in-query writer — struct.pack,
+    4-byte row padding), run the PRODUCTION decoder
+    (ext.media_codecs.decode_image) in the same Arrow batch, and emit the
+    decoded dimensions and mean pixel — all analytically predictable from
+    doc_id, so the driver's hash pins the binary-column plumbing AND the
+    decoder.  Bytes never leave the mapInPandas stage (the multimodal
+    doctrine)."""
+    import struct as _struct
+    from collections.abc import Iterator
+
+    import pandas as pd
+
+    docs = table(spark, sf_dir, "documents").select("doc_id")
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        from tulflow_spark.ext.media_codecs import decode_image
+
+        def make_bmp(w: int, h: int, v: int) -> bytes:
+            row = bytes([v, v, v] * w)
+            row += b"\x00" * ((4 - len(row) % 4) % 4)
+            px = row * h
+            header_size = 14 + 40
+            bmp = b"BM" + _struct.pack(
+                "<IHHI", header_size + len(px), 0, 0, header_size
+            )
+            bmp += _struct.pack(
+                "<IiiHHIIiiII", 40, w, h, 1, 24, 0, len(px), 0, 0, 0, 0
+            )
+            return bmp + px
+
+        for pdf in batches:
+            rows = []
+            for doc_id in pdf["doc_id"]:
+                d = int(doc_id)
+                w, h, v = 2 + d % 7, 2 + d % 5, d % 256
+                img = decode_image(make_bmp(w, h, v))
+                ih, iw = img.shape[:2]
+                rows.append(
+                    {
+                        "doc_id": d,
+                        "width": iw,
+                        "height": ih,
+                        "mean_px": float(np.mean(img)),
+                    }
+                )
+            yield pd.DataFrame(rows)
+
+    return docs.mapInPandas(
+        gen, schema="doc_id bigint, width int, height int, mean_px double"
+    )
