@@ -554,3 +554,125 @@ def mm1_media_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     return docs.mapInPandas(
         gen, schema="doc_id bigint, width int, height int, mean_px double"
     )
+
+
+@register(
+    "mm2_png_roundtrip",
+    oracle="""
+    SELECT doc_id,
+           CAST(2 + doc_id % 5 AS INT) AS width,
+           CAST(2 + doc_id % 4 AS INT) AS height,
+           CAST(doc_id % 256 AS DOUBLE) AS mean_px
+    FROM documents
+    """,
+)
+def mm2_png_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PNG decode path oracle-checked: in-query chunk-level PNG writer
+    (zlib-deflated unfiltered scanlines, CRC32 — independent of the
+    decoder's inflate+defilter path) → production ``decode_image`` →
+    analytically-predicted dims and mean."""
+    import struct as _struct
+    import zlib as _zlib
+    from collections.abc import Iterator
+
+    import pandas as pd
+
+    docs = table(spark, sf_dir, "documents").select("doc_id")
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        from tulflow_spark.ext.media_codecs import decode_image
+
+        def chunk(tag: bytes, body: bytes) -> bytes:
+            return (
+                _struct.pack(">I", len(body)) + tag + body
+                + _struct.pack(">I", _zlib.crc32(tag + body))
+            )
+
+        def make_png(w: int, h: int, v: int) -> bytes:
+            ihdr = _struct.pack(">IIBBBBB", w, h, 8, 0, 0, 0, 0)  # 8-bit gray
+            raw = b"".join(b"\x00" + bytes([v] * w) for _ in range(h))
+            return (
+                b"\x89PNG\r\n\x1a\n"
+                + chunk(b"IHDR", ihdr)
+                + chunk(b"IDAT", _zlib.compress(raw))
+                + chunk(b"IEND", b"")
+            )
+
+        for pdf in batches:
+            rows = []
+            for doc_id in pdf["doc_id"]:
+                d = int(doc_id)
+                w, h, v = 2 + d % 5, 2 + d % 4, d % 256
+                img = decode_image(make_png(w, h, v))
+                rows.append(
+                    {
+                        "doc_id": d,
+                        "width": int(img.shape[1]),
+                        "height": int(img.shape[0]),
+                        "mean_px": float(np.mean(img)),
+                    }
+                )
+            yield pd.DataFrame(rows)
+
+    return docs.mapInPandas(
+        gen, schema="doc_id bigint, width int, height int, mean_px double"
+    )
+
+
+@register(
+    "mm3_wav_roundtrip",
+    oracle="""
+    SELECT doc_id,
+           CAST(8000 AS INT) AS sample_rate,
+           CAST(800 + doc_id % 400 AS BIGINT) AS n_samples,
+           CAST((800 + doc_id % 400) * 1000 // 8000 AS BIGINT) AS duration_ms
+    FROM documents
+    """,
+)
+def mm3_wav_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PCM-WAV decode path oracle-checked: stdlib ``wave`` writer in-query
+    → production ``decode_audio`` → exact sample counts / rate / duration
+    (all integers, analytically predicted)."""
+    import io as _io
+    import wave as _wave
+    from collections.abc import Iterator
+
+    import pandas as pd
+
+    docs = table(spark, sf_dir, "documents").select("doc_id")
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from tulflow_spark.ext.media_codecs import decode_audio
+
+        def make_wav(n: int, v: int) -> bytes:
+            buf = _io.BytesIO()
+            with _wave.open(buf, "wb") as w:
+                w.setnchannels(1)
+                w.setsampwidth(2)
+                w.setframerate(8000)
+                w.writeframes(v.to_bytes(2, "little", signed=True) * n)
+            return buf.getvalue()
+
+        for pdf in batches:
+            rows = []
+            for doc_id in pdf["doc_id"]:
+                d = int(doc_id)
+                n = 800 + d % 400
+                samples, rate = decode_audio(make_wav(n, d % 1000))
+                rows.append(
+                    {
+                        "doc_id": d,
+                        "sample_rate": rate,
+                        "n_samples": len(samples),
+                        "duration_ms": len(samples) * 1000 // rate,
+                    }
+                )
+            yield pd.DataFrame(rows)
+
+    return docs.mapInPandas(
+        gen,
+        schema="doc_id bigint, sample_rate int, n_samples bigint, "
+               "duration_ms bigint",
+    )
