@@ -676,3 +676,64 @@ def mm3_wav_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         schema="doc_id bigint, sample_rate int, n_samples bigint, "
                "duration_ms bigint",
     )
+
+
+@register(
+    "mm4_mp3_probe",
+    oracle="""
+    SELECT doc_id,
+           CAST(10 + doc_id % 30 AS INT) AS n_frames,
+           CAST(44100 AS INT) AS sample_rate,
+           CAST((10 + doc_id % 30) * 1152 * 1000 // 44100 AS BIGINT)
+             AS duration_ms
+    FROM documents
+    """,
+)
+def mm4_mp3_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MP3 frame-walk probe oracle-checked: in-query MPEG1 Layer III
+    frame writer (spec header fields + the 144·kbps/rate+padding length
+    formula — independent of the probe's walk) → production ``probe_mp3``
+    → exact frame count / rate / duration."""
+    import struct as _struct
+    from collections.abc import Iterator
+
+    import pandas as pd
+
+    docs = table(spark, sf_dir, "documents").select("doc_id")
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from tulflow_spark.ext.mediaprobe import probe_mp3
+
+        def make_mp3(n: int, pad_every: int) -> bytes:
+            out = bytearray()
+            for i in range(n):
+                padding = 1 if pad_every and i % pad_every == 0 else 0
+                hdr = (0x7FF << 21 | 0x3 << 19 | 0x1 << 17 | 0x1 << 16
+                       | 9 << 12  # 128 kbps (index 9, MPEG1 L3)
+                       | 0 << 10  # 44100 Hz
+                       | padding << 9)
+                frame_len = 144 * 128 * 1000 // 44100 + padding
+                out += _struct.pack(">I", hdr) + b"\x00" * (frame_len - 4)
+            return bytes(out)
+
+        for pdf in batches:
+            rows = []
+            for doc_id in pdf["doc_id"]:
+                d = int(doc_id)
+                n = 10 + d % 30
+                info = probe_mp3(make_mp3(n, pad_every=2 + d % 3))
+                rows.append(
+                    {
+                        "doc_id": d,
+                        "n_frames": info.n_frames,
+                        "sample_rate": info.sample_rate,
+                        "duration_ms": info.duration_ms,
+                    }
+                )
+            yield pd.DataFrame(rows)
+
+    return docs.mapInPandas(
+        gen,
+        schema="doc_id bigint, n_frames int, sample_rate int, "
+               "duration_ms bigint",
+    )
