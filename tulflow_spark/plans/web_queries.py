@@ -737,3 +737,79 @@ def mm4_mp3_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
         schema="doc_id bigint, n_frames int, sample_rate int, "
                "duration_ms bigint",
     )
+
+
+@register(
+    "mm5_ogg_id3_probe",
+    oracle="""
+    SELECT doc_id,
+           'vorbis' AS codec,
+           CAST(44100 AS INT) AS sample_rate,
+           CAST((44100 + doc_id * 100) * 1000 // 44100 AS BIGINT)
+             AS ogg_duration_ms,
+           'Title ' || CAST(doc_id AS VARCHAR) AS id3_title
+    FROM documents
+    """,
+)
+def mm5_ogg_id3_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ogg page-walk + ID3v2 tag probes oracle-checked: in-query RFC-3533
+    page writer (granule positions, lacing) and ID3v2.3 frame writer —
+    both independent of the probes' parsers — through the production
+    ``probe_ogg`` / ``parse_id3v2``."""
+    import struct as _struct
+    from collections.abc import Iterator
+
+    import pandas as pd
+
+    docs = table(spark, sf_dir, "documents").select("doc_id")
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from tulflow_spark.ext.mediaprobe import parse_id3v2, probe_ogg
+
+        def page(granule: int, seq: int, payload: bytes, htype: int = 0) -> bytes:
+            segs = []
+            rest = len(payload)
+            while rest >= 255:
+                segs.append(255)
+                rest -= 255
+            segs.append(rest)
+            return (b"OggS" + bytes([0, htype]) + _struct.pack("<q", granule)
+                    + _struct.pack("<I", 7) + _struct.pack("<I", seq)
+                    + b"\x00" * 4 + bytes([len(segs)]) + bytes(segs) + payload)
+
+        def make_ogg(total_samples: int) -> bytes:
+            ident = (b"\x01vorbis" + _struct.pack("<I", 0) + bytes([2])
+                     + _struct.pack("<I", 44100) + b"\x00" * 16 + b"\x01")
+            return (page(0, 0, ident, htype=2)
+                    + page(total_samples, 1, b"\x00" * 16, htype=4))
+
+        def make_id3(title: str) -> bytes:
+            body = b"\x03" + title.encode("utf-8")
+            frame = b"TIT2" + _struct.pack(">I", len(body)) + b"\x00\x00" + body
+            n = len(frame)
+            size = bytes([(n >> 21) & 0x7F, (n >> 14) & 0x7F,
+                          (n >> 7) & 0x7F, n & 0x7F])
+            return b"ID3\x03\x00\x00" + size + frame
+
+        for pdf in batches:
+            rows = []
+            for doc_id in pdf["doc_id"]:
+                d = int(doc_id)
+                og = probe_ogg(make_ogg(44100 + d * 100))
+                tags = parse_id3v2(make_id3(f"Title {d}"))
+                rows.append(
+                    {
+                        "doc_id": d,
+                        "codec": og.codec,
+                        "sample_rate": og.sample_rate,
+                        "ogg_duration_ms": og.duration_ms,
+                        "id3_title": tags["TIT2"],
+                    }
+                )
+            yield pd.DataFrame(rows)
+
+    return docs.mapInPandas(
+        gen,
+        schema="doc_id bigint, codec string, sample_rate int, "
+               "ogg_duration_ms bigint, id3_title string",
+    )
