@@ -226,3 +226,47 @@ def test_dc_to_xml_escapes_entities(spark):
     ).head().x
     el = ET.fromstring(xml)  # must parse
     assert el[0].text == "AT&T <scores> 3>2 &amp; raw"
+
+
+def test_full_dag_indexes_to_solr(staged, spark):
+    """The reference's complete DAG in one pass — harvest → transform →
+    validate → index to SolrCloud (reference: cob_datapipeline /
+    funcake_dags wiring around tulflow): the validated stage's records are
+    projected to JSON docs and posted to a live fake SolrCloud; only the
+    record that survived transformation AND validation lands in the index."""
+    import threading
+    from http.server import HTTPServer
+
+    from pyspark.sql import functions as F
+
+    from tests.test_solr import STATE, FakeSolr
+    from tulflow_spark.model.xml_parse import read_oai_collections
+    from tulflow_spark.sinks.solr import index_to_solr
+
+    _, harvest_dir, _, _, _ = staged
+    validated = read_oai_collections(
+        spark, os.path.join(harvest_dir, "validated")
+    )
+    docs = validated.select(
+        F.col("identifier").alias("id"),
+        F.expr(
+            "xpath_string(metadata_xml, \"//*[local-name()='title']\")"
+        ).alias("title"),
+    )
+
+    server = HTTPServer(("127.0.0.1", 0), FakeSolr)
+    threading.Thread(target=server.serve_forever, daemon=True).start()
+    try:
+        STATE["posted_docs"].clear()
+        STATE["commits"] = 0
+        url = f"http://127.0.0.1:{server.server_address[1]}/solr"
+        index_to_solr(docs, url, "catalog-blue", batch_size=10)
+    finally:
+        server.shutdown()
+
+    by_id = {d["id"]: d for d in STATE["posted_docs"]}
+    # record 1 survived (valid after transform); 2 was dropped by
+    # validation (empty title); 3 was deleted at harvest; 4 survived
+    assert set(by_id) == {"oai:p:1", "oai:p:4"}
+    assert by_id["oai:p:1"]["title"] == "Good Record"
+    assert STATE["commits"] == 1
