@@ -1,12 +1,13 @@
-"""Web-crawl curation shapes: URL canonicalization/dedup and the
-deterministic global training shuffle — the two pipeline stages that sit
-immediately before and after the text-dedup stack in a crawl-to-training
-pipeline (SURVEY.md §2.11 extensions).
+"""Second-session extras registry: the crawl-to-training pipeline stages
+(URL canonicalization/dedup, training shuffle, BPE vocabulary, exact
+substring dedup, HTML extraction, PageRank, the cur5 composition), engine
+surfaces (profiling, MERGE upsert, z-order), and the multimodal decode
+oracle pairs (SURVEY.md §2.11/§2.12 extensions).
 
-The corpus has no URL column, so both queries derive deterministic URLs
-from doc_id inside the query — same derivation in the oracle —
-which keeps the operators honest end-to-end without synthesizing new input
-files.
+Where the corpus lacks an input modality (URLs, HTML, media bytes), the
+query derives it deterministically from doc_id with an INDEPENDENT
+in-query writer and the oracle predicts the production operator's output
+analytically — honest end-to-end checks without synthesizing input files.
 """
 
 from __future__ import annotations
@@ -812,4 +813,93 @@ def mm5_ogg_id3_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
         gen,
         schema="doc_id bigint, codec string, sample_rate int, "
                "ogg_duration_ms bigint, id3_title string",
+    )
+
+
+@register(
+    "mm6_mp4_probe",
+    oracle="""
+    SELECT doc_id,
+           CAST(5 + doc_id % 20 AS INT) AS n_frames,
+           CAST((5 + doc_id % 20) * 40 AS BIGINT) AS duration_ms,
+           CAST(16 * (1 + doc_id % 40) AS INT) AS width,
+           'fram' AS codec
+    FROM documents
+    """,
+)
+def mm6_mp4_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ISO-BMFF probe oracle-checked: compact in-query box writer (ftyp +
+    moov with mvhd/tkhd/mdhd/hdlr/stbl sample tables — independent byte
+    layout, not the probe's parser) → production ``probe_mp4`` → exact
+    frame count / duration / dimensions / sample-entry fourcc."""
+    import struct as _struct
+    from collections.abc import Iterator
+
+    import pandas as pd
+
+    docs = table(spark, sf_dir, "documents").select("doc_id")
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from tulflow_spark.ext.mediaprobe import probe_mp4
+
+        def box(tag: bytes, body: bytes) -> bytes:
+            return _struct.pack(">I", 8 + len(body)) + tag + body
+
+        def full(tag: bytes, body: bytes) -> bytes:
+            return box(tag, b"\x00\x00\x00\x00" + body)
+
+        def make_mp4(n: int, w: int, h: int) -> bytes:
+            dur = n * 40
+            mat = _struct.pack(">9I", 0x10000, 0, 0, 0, 0x10000, 0, 0, 0,
+                               0x40000000)
+            mvhd = full(b"mvhd", _struct.pack(">II", 0, 0)
+                        + _struct.pack(">II", 1000, dur)
+                        + _struct.pack(">I", 0x10000) + b"\x00" * 14 + mat
+                        + b"\x00" * 24 + _struct.pack(">I", 2))
+            tkhd = full(b"tkhd", _struct.pack(">II", 0, 0)
+                        + _struct.pack(">II", 1, 0) + _struct.pack(">I", dur)
+                        + b"\x00" * 8 + _struct.pack(">hhhh", 0, 0, 0, 0)
+                        + mat + _struct.pack(">II", w << 16, h << 16))
+            mdhd = full(b"mdhd", _struct.pack(">II", 0, 0)
+                        + _struct.pack(">II", 1000, dur)
+                        + _struct.pack(">HH", 0x55C4, 0))
+            hdlr = full(b"hdlr", _struct.pack(">I", 0) + b"vide"
+                        + b"\x00" * 12 + b"p\x00")
+            entry = box(b"fram", b"\x00" * 6 + _struct.pack(">H", 1)
+                        + b"\x00" * 70)
+            stbl = box(b"stbl",
+                       full(b"stsd", _struct.pack(">I", 1) + entry)
+                       + full(b"stts", _struct.pack(">III", 1, n, 40))
+                       + full(b"stsc", _struct.pack(">I", 0))
+                       + full(b"stsz", _struct.pack(">II", 0, n)
+                              + _struct.pack(">I", 2) * n)
+                       + full(b"stco", _struct.pack(">I", 0)))
+            trak = box(b"trak", tkhd + box(b"mdia", mdhd + hdlr
+                                           + box(b"minf", stbl)))
+            return (box(b"ftyp", b"isom" + _struct.pack(">I", 512))
+                    + box(b"moov", mvhd + trak)
+                    + box(b"mdat", b"\x00" * (2 * n)))
+
+        for pdf in batches:
+            rows = []
+            for doc_id in pdf["doc_id"]:
+                d = int(doc_id)
+                n, w, h = 5 + d % 20, 16 * (1 + d % 40), 16
+                info = probe_mp4(make_mp4(n, w, h))
+                (tr,) = info.tracks
+                rows.append(
+                    {
+                        "doc_id": d,
+                        "n_frames": len(tr.sample_sizes),
+                        "duration_ms": tr.duration_ms,
+                        "width": tr.width,
+                        "codec": tr.codec,
+                    }
+                )
+            yield pd.DataFrame(rows)
+
+    return docs.mapInPandas(
+        gen,
+        schema="doc_id bigint, n_frames int, duration_ms bigint, "
+               "width int, codec string",
     )
