@@ -242,3 +242,45 @@ def test_cdc_snapshot_partition_pruned_merge(spark, tmp_path):
         if bucket != touched:
             assert after[bucket] == digests, f"{bucket} was rewritten"
     assert after[touched] != before.get(touched)
+
+
+def test_aqe_splits_skewed_join_partitions(spark):
+    """The built-in half of the skew story (operators/skew.py salting is
+    the explicit half): with AQE skew-join enabled, a hot join key makes
+    the runtime SPLIT the oversized shuffle partition — the executed plan
+    says so (SortMergeJoin(skew=true), AQEShuffleRead 'skewed') and the
+    join result is unchanged.  Thresholds are lowered in-test so local-
+    scale data trips the same code path a 100 TB hot key would."""
+    from pyspark.sql import functions as F
+
+    overrides = {
+        "spark.sql.adaptive.skewJoin.skewedPartitionFactor": "2",
+        "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes": "64KB",
+        "spark.sql.adaptive.advisoryPartitionSizeInBytes": "32KB",
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+    }
+    saved = {k: spark.conf.get(k, None) for k in overrides}
+    try:
+        for k, v in overrides.items():
+            spark.conf.set(k, v)
+        big = spark.range(100_000).select(
+            F.when(F.col("id") % 2 == 0, F.lit(7))
+            .otherwise(F.col("id") % 1000)
+            .alias("k"),
+            F.concat(F.lit("payload-"), F.col("id").cast("string")).alias("v"),
+        )
+        small = spark.range(1000).select(
+            F.col("id").alias("k"), F.lit("dim").alias("d")
+        )
+        j = big.join(small, "k")
+        rows = j.collect()
+        assert len(rows) == 100_000  # every big row matches exactly once
+        plan = j._jdf.queryExecution().executedPlan().toString()
+        assert "isFinalPlan=true" in plan
+        assert "skew=true" in plan, plan[:800]
+    finally:
+        for k, v in saved.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
