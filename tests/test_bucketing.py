@@ -50,3 +50,27 @@ def test_bucketed_agg_has_no_shuffle(spark, bucketed):
     assert "Exchange" not in plan
     expected = table(spark, SF, "lineitem").select("l_orderkey").distinct().count()
     assert agg.count() == expected
+
+
+def test_dynamic_partition_pruning_on_dim_filter(spark, tmp_path):
+    """DPP: a filter that lives on the DIMENSION side prunes the fact
+    table's partition directories at runtime (the partition filter is a
+    dynamicpruning subquery in the scan) — the mechanism that lets a
+    100 TB date-partitioned fact read only the partitions a dim filter
+    selects."""
+    from pyspark.sql import functions as F
+
+    d = str(tmp_path / "orders_part")
+    spark.range(50_000).select(
+        F.col("id").alias("o_orderkey"),
+        (F.col("id") % 5).alias("prio"),
+    ).write.partitionBy("prio").parquet(d)
+    fact = spark.read.parquet(d)
+    dim = spark.range(5).select(
+        F.col("id").alias("prio"),
+        F.when(F.col("id") == 3, "HOT").otherwise("cold").alias("name"),
+    )
+    j = fact.join(dim, "prio").filter(F.col("name") == "HOT")
+    assert j.count() == 10_000  # exactly the one partition's rows
+    plan = j._jdf.queryExecution().executedPlan().toString()
+    assert "dynamicpruning" in plan.lower(), plan[:600]
