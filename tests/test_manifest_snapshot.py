@@ -134,3 +134,35 @@ def test_vacuum_drops_only_unreferenced(spark, tmp_path):
     assert got[3] == "v3b" and len(got) == 10
     # second vacuum is a no-op
     assert snap.vacuum(keep_versions=1) == []
+
+
+def test_time_travel_reads_historical_version(spark, tmp_path):
+    """Version-pinned reads: after two commits, version 1 still shows the
+    pre-update state until vacuumed away; vacuum(keep_versions=1) then
+    removes its manifest and time travel to it fails loudly."""
+    import pytest
+    from pyspark.sql import functions as F
+
+    from tulflow_spark.streaming.manifest_snapshot import ManifestSnapshot
+
+    path = str(tmp_path / "tt")
+    ms = ManifestSnapshot(path)
+
+    def bucketed(rows):
+        return spark.createDataFrame(rows, "id bigint, v string").withColumn(
+            "_bucket", (F.col("id") % 2).cast("int")
+        )
+
+    v1 = ms.commit(bucketed([(1, "a"), (2, "b")]), [0, 1], "b1")
+    v2 = ms.commit(bucketed([(1, "a2"), (3, "c")]), [0, 1], "b2")
+    assert ms.versions() == [v1, v2]
+
+    old = {r.id: r.v for r in ms.read(spark, version=v1).collect()}
+    assert old == {1: "a", 2: "b"}
+    new = {r.id: r.v for r in ms.read(spark).collect()}
+    assert new == {1: "a2", 3: "c"}
+
+    ms.vacuum(keep_versions=1)
+    assert ms.versions() == [v2]
+    with pytest.raises((FileNotFoundError, OSError)):
+        ms.read(spark, version=v1)

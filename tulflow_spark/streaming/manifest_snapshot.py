@@ -67,19 +67,34 @@ class ManifestSnapshot:
         with fs.open_input_stream(p) as stream:
             return json.loads(stream.read().decode("utf-8"))["buckets"]
 
-    def buckets(self) -> dict[str, list[str]]:
-        """bucket (as str) → absolute data-file paths of the live version."""
-        v = self.latest_version()
+    def versions(self) -> list[int]:
+        """All committed versions still present, ascending."""
+        return [
+            int(n[len(_MANIFEST_PREFIX):-len(".json")])
+            for n in self._manifest_names()
+        ]
+
+    def buckets(self, version: int | None = None) -> dict[str, list[str]]:
+        """bucket (as str) → absolute data-file paths of the live version
+        (or of ``version`` for time travel)."""
+        v = self.latest_version() if version is None else version
         return {} if v is None else self._read_manifest(v)
 
     # -- read path ----------------------------------------------------------
 
-    def read(self, spark: SparkSession, bucket_filter=None) -> DataFrame | None:
+    def read(
+        self,
+        spark: SparkSession,
+        bucket_filter=None,
+        version: int | None = None,
+    ) -> DataFrame | None:
         """The live snapshot (None when the table has no commits).
         ``bucket_filter``: optional iterable of bucket ids — reads ONLY those
         buckets' files (the manifest is the index; no footer or directory
-        scan of the rest of the table)."""
-        buckets = self.buckets()
+        scan of the rest of the table).  ``version``: time travel — read a
+        historical committed version (its manifest must not have been
+        vacuumed; raises FileNotFoundError if it was)."""
+        buckets = self.buckets(version)
         if bucket_filter is not None:
             wanted = {str(b) for b in bucket_filter}
             buckets = {b: fs for b, fs in buckets.items() if b in wanted}
