@@ -1,0 +1,75 @@
+"""ANN index persistence: loaded indexes reproduce in-memory search
+exactly, and the IVF on-disk layout partition-prunes probes."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from tulflow_spark.ext.ann_store import (
+    load_ivf_index,
+    load_pq,
+    save_ivf_index,
+    save_pq,
+)
+from tulflow_spark.ext.ivf import build_ivf_index
+from tulflow_spark.io import table
+
+
+def _emb(spark, sf_dir):
+    return table(spark, sf_dir, "embeddings")
+
+
+def test_ivf_save_load_identical_results(spark, sf_dir, tmp_path):
+    emb = _emb(spark, sf_dir)
+    idx = build_ivf_index(emb, n_clusters=8)
+    path = str(tmp_path / "ivf")
+    save_ivf_index(idx, path)
+    loaded = load_ivf_index(spark, path)
+
+    from tulflow_spark.ext.similarity import query_vector
+
+    vec = query_vector(emb, "vec_id", "embedding", 0)
+    a = idx.search(vec, k=10, n_probes=4).collect()
+    b = loaded.search(vec, k=10, n_probes=4).collect()
+    assert [(r.vec_id, round(r.cosine_sim, 12)) for r in a] == [
+        (r.vec_id, round(r.cosine_sim, 12)) for r in b
+    ]
+
+
+def test_ivf_loaded_probe_is_partition_pruned(spark, sf_dir, tmp_path):
+    """The on-disk payoff: probing k clusters reads ONLY their partition
+    directories (PartitionFilters on cluster in the scan)."""
+    emb = _emb(spark, sf_dir)
+    idx = build_ivf_index(emb, n_clusters=8)
+    path = str(tmp_path / "ivf2")
+    save_ivf_index(idx, path)
+    loaded = load_ivf_index(spark, path)
+
+    from tulflow_spark.ext.similarity import query_vector
+
+    vec = query_vector(emb, "vec_id", "embedding", 0)
+    df = loaded.search(vec, k=5, n_probes=2)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    pf = plan.split("PartitionFilters: [", 1)[1].split("]", 1)[0]
+    assert "cluster" in pf, pf  # probe filter reached the directory level
+
+
+def test_pq_save_load_identical_topk(spark, sf_dir, tmp_path):
+    from tulflow_spark.ext import pq as P
+    from tulflow_spark.ext.similarity import query_vector
+
+    emb = _emb(spark, sf_dir)
+    cb = P.pq_train(emb, dim=64, m=8, ksub=16, max_iter=2)
+    rest = emb.filter(F.col("vec_id") != 0)
+    codes = P.pq_encode(rest, cb)
+    path = str(tmp_path / "pq")
+    save_pq(cb, codes, path)
+    cb2, codes2 = load_pq(spark, path)
+    assert (cb2 == cb).all()
+
+    vec = query_vector(emb, "vec_id", "embedding", 0)
+    a = P.pq_topk(codes, cb, vec, k=10, rerank=30)
+    b = P.pq_topk(codes2, cb2, vec, k=10, rerank=30)
+    ids_a = [r.vec_id for r in a.collect()]
+    ids_b = [r.vec_id for r in b.collect()]
+    assert ids_a == ids_b

@@ -1,0 +1,79 @@
+"""ANN index persistence: save/load for the IVF index and PQ codebook —
+at 100 TB an index is trained once and served by many jobs, never
+retrained per query.
+
+Layout on disk (any pyarrow-reachable filesystem via fsio):
+
+- IVF:  ``{path}/assigned/cluster=<k>/*.parquet`` (the vectors,
+  PARTITIONED BY cluster — so a probe of ``n_probes`` clusters is a
+  partition-pruned scan reading only those directories, the on-disk
+  analogue of the in-memory probe filter) + ``{path}/centroids.json``.
+- PQ:   ``{path}/codes/*.parquet`` (id + m-byte codes) +
+  ``{path}/codebook.json`` ((m, ksub, dsub) nested lists).
+
+Loaded indexes reproduce the in-memory search results exactly (pinned by
+tests/test_ann_store.py, including the partition-pruning plan property).
+"""
+
+from __future__ import annotations
+
+import json
+
+import numpy as np
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from tulflow_spark import fsio
+from tulflow_spark.ext.ivf import IvfIndex
+
+
+class LoadedIvfIndex(IvfIndex):
+    """IvfIndex whose centroids came from disk (no pyspark.ml model)."""
+
+    def __init__(self, centroids: np.ndarray, assigned: DataFrame,
+                 vec_col: str, id_col: str):
+        self.model = None
+        self.assigned = assigned
+        self.vec_col = vec_col
+        self.id_col = id_col
+        self.centroids = centroids
+
+
+def save_ivf_index(index: IvfIndex, path: str) -> None:
+    """Write the assigned vectors partitioned by cluster + the centroid
+    sidecar.  The partitioned layout is the point: a later probe scans
+    only the probed clusters' directories."""
+    index.assigned.write.mode("overwrite").partitionBy("cluster").parquet(
+        f"{path}/assigned"
+    )
+    fs, p = fsio.resolve(f"{path}/centroids.json")
+    with fs.open_output_stream(p) as out:
+        out.write(json.dumps(index.centroids.tolist()).encode("utf-8"))
+
+
+def load_ivf_index(
+    spark: SparkSession,
+    path: str,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> LoadedIvfIndex:
+    fs, p = fsio.resolve(f"{path}/centroids.json")
+    with fs.open_input_stream(p) as stream:
+        centroids = np.asarray(json.loads(stream.read().decode("utf-8")))
+    assigned = spark.read.parquet(f"{path}/assigned")
+    return LoadedIvfIndex(centroids, assigned, vec_col, id_col)
+
+
+def save_pq(codebook: np.ndarray, codes: DataFrame, path: str) -> None:
+    """Persist the (m, ksub, dsub) codebook + the encoded-codes frame."""
+    codes.write.mode("overwrite").parquet(f"{path}/codes")
+    fs, p = fsio.resolve(f"{path}/codebook.json")
+    with fs.open_output_stream(p) as out:
+        out.write(json.dumps(codebook.tolist()).encode("utf-8"))
+
+
+def load_pq(spark: SparkSession, path: str) -> tuple[np.ndarray, DataFrame]:
+    fs, p = fsio.resolve(f"{path}/codebook.json")
+    with fs.open_input_stream(p) as stream:
+        codebook = np.asarray(json.loads(stream.read().decode("utf-8")))
+    return codebook, spark.read.parquet(f"{path}/codes")
