@@ -73,3 +73,30 @@ def test_pq_save_load_identical_topk(spark, sf_dir, tmp_path):
     ids_a = [r.vec_id for r in a.collect()]
     ids_b = [r.vec_id for r in b.collect()]
     assert ids_a == ids_b
+
+
+def test_append_to_saved_index_without_retrain(spark, sf_dir, tmp_path):
+    """Incremental maintenance: new vectors join the saved index under its
+    OWN (euclidean) metric and become searchable; existing data is
+    untouched (append, not rewrite)."""
+    emb = _emb(spark, sf_dir)
+    idx = build_ivf_index(emb, n_clusters=8)
+    path = str(tmp_path / "ivf3")
+    save_ivf_index(idx, path)
+
+    # a new vector: near-duplicate of vec 1 with a huge id
+    from tulflow_spark.ext.ann_store import append_to_ivf_index
+    from tulflow_spark.ext.similarity import query_vector
+
+    v1 = list(query_vector(emb, "vec_id", "embedding", 1))
+    new = spark.createDataFrame(
+        [(99_999, [float(x) + 1e-4 for x in v1], 0)],
+        "vec_id bigint, embedding array<float>, label int",
+    )
+    n = append_to_ivf_index(spark, path, new)
+    assert n == 1
+
+    loaded = load_ivf_index(spark, path)
+    hits = loaded.search(v1, k=3, n_probes=8).collect()
+    ids = [r.vec_id for r in hits]
+    assert 99_999 in ids and 1 in ids  # appended vector is searchable

@@ -18,8 +18,10 @@ tests/test_ann_store.py, including the partition-pruning plan property).
 from __future__ import annotations
 
 import json
+from collections.abc import Iterator
 
 import numpy as np
+import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -77,3 +79,49 @@ def load_pq(spark: SparkSession, path: str) -> tuple[np.ndarray, DataFrame]:
     with fs.open_input_stream(p) as stream:
         codebook = np.asarray(json.loads(stream.read().decode("utf-8")))
     return codebook, spark.read.parquet(f"{path}/codes")
+
+
+def assign_euclidean(
+    df: DataFrame, centroids: np.ndarray, vec_col: str = "embedding"
+) -> DataFrame:
+    """Nearest-centroid assignment under EUCLIDEAN distance (the metric
+    pyspark.ml KMeans trained the IVF coarse quantizer with — assignment
+    for maintenance must match the index's own metric, not cosine).
+    Map-only: one ``(batch × d)·(d × k)`` numpy computation per Arrow
+    batch, centroids ride in the closure."""
+    C = np.ascontiguousarray(centroids, dtype=np.float64)
+    c_sq = (C * C).sum(axis=1)
+
+    @F.pandas_udf("int")
+    def nearest(batches: Iterator[pd.Series]) -> Iterator[pd.Series]:
+        for s in batches:
+            X = np.asarray([np.asarray(v, dtype=np.float64) for v in s])
+            # argmin ||x-c||² = argmin (c·c − 2 x·c); x·x is constant per row
+            d2 = c_sq[None, :] - 2.0 * (X @ C.T)
+            yield pd.Series(np.argmin(d2, axis=1).astype("int32"))
+
+    return df.withColumn("cluster", nearest(F.col(vec_col)))
+
+
+def append_to_ivf_index(
+    spark: SparkSession,
+    path: str,
+    new_df: DataFrame,
+    vec_col: str = "embedding",
+) -> int:
+    """Incremental index maintenance: assign a batch of NEW vectors to the
+    saved index's existing centroids (no retrain) and append them into the
+    cluster-partitioned layout.  Returns the number of appended rows.
+
+    The 100 TB operating mode: the coarse quantizer is retrained rarely
+    (distribution drift), while daily ingest appends — a map-only
+    assignment plus a partitioned append, no shuffle of existing data."""
+    fs, p = fsio.resolve(f"{path}/centroids.json")
+    with fs.open_input_stream(p) as stream:
+        centroids = np.asarray(json.loads(stream.read().decode("utf-8")))
+    assigned = assign_euclidean(new_df, centroids, vec_col)
+    n = assigned.count()
+    assigned.write.mode("append").partitionBy("cluster").parquet(
+        f"{path}/assigned"
+    )
+    return n
