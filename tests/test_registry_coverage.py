@@ -70,7 +70,7 @@ def test_r5_rotation_promotes_never_adjudicated_pairs():
     # this round and queue for the r6 rotation.
     added_post_rotation = {n for n in never if n.split("_")[0] in {
         "q02", "q07", "q08", "q09", "q11", "q13", "q15", "q18", "q20",
-        "q21", "q22", "url1", "tr1", "tx12", "dd10", "pr1", "cdc2", "zo1", "a12", "q14", "tx13", "pg1", "cur5", "w5", "w6", "mm1", "mm2", "mm3", "mm4", "mm5", "mm6",
+        "q21", "q22", "url1", "tr1", "tx12", "dd10", "pr1", "cdc2", "zo1", "a12", "q14", "tx13", "pg1", "cur5", "w5", "w6", "mm1", "mm2", "mm3", "mm4", "mm5", "mm6", "mx6",
     }}
     never -= added_post_rotation
     assert never <= set(QUERIES), (

@@ -1483,3 +1483,91 @@ def cur4_full_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         default_rate=0.25,
         seq_len=2048,
     )
+
+
+@register(
+    "mx6_quality_mix",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id, {_TOKS} AS t FROM documents
+    ), flat AS (
+      SELECT doc_id, unnest(t) AS tok, generate_subscripts(t, 1) AS i
+      FROM toks
+    ), bg AS (
+      SELECT doc_id, tok AS w1,
+             lead(tok) OVER (PARTITION BY doc_id ORDER BY i) AS w2
+      FROM flat
+    ), bge AS (
+      SELECT doc_id, w1, w2 FROM bg WHERE w2 IS NOT NULL
+    ), bc AS (
+      SELECT w1, w2, COUNT(*) AS c_big FROM bge GROUP BY 1, 2
+    ), cc AS (
+      SELECT w1, CAST(SUM(c_big) AS BIGINT) AS c_ctx FROM bc GROUP BY 1
+    ), m AS (
+      SELECT bc.w1, bc.w2, c_big, c_ctx FROM bc JOIN cc USING (w1)
+    ), terms AS (
+      SELECT doc_id,
+             ROUND(CAST(c_ctx AS DOUBLE) / CAST(c_big AS DOUBLE), 9) AS term
+      FROM bge JOIN m USING (w1, w2)
+    ), scored AS (
+      SELECT doc_id, COUNT(*) AS n_bigrams,
+             CAST(SUM(CAST(term AS DECIMAL(30,9))) AS DOUBLE)
+               / COUNT(*) AS quality
+      FROM terms GROUP BY doc_id
+    ), bucketed AS (
+      SELECT doc_id, n_bigrams,
+             CAST(NTILE(4) OVER (ORDER BY quality, doc_id) AS INT) AS bucket
+      FROM scored
+    ), picked AS (
+      SELECT doc_id, n_bigrams, bucket,
+             ROW_NUMBER() OVER (
+               PARTITION BY bucket
+               ORDER BY md5(CAST(doc_id AS VARCHAR) || ':mix'), doc_id
+             ) AS rk
+      FROM bucketed
+    )
+    SELECT bucket,
+           COUNT(*) AS n_docs,
+           CAST(SUM(n_bigrams) AS BIGINT) AS total_bigrams,
+           MIN(doc_id) AS min_doc_id
+    FROM picked WHERE rk <= 25
+    GROUP BY bucket
+    """,
+)
+def mx6_quality_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-bucketed mixing (the CCNet recipe as one plan): score every
+    document with the self-trained bigram LM (tx8's decimal-exact
+    arithmetic), NTILE into quality quartiles, then take an exact-k
+    hash-ordered sample per quartile (mx4's selection) — the composition a
+    pretraining mix actually runs.
+
+    Scale note: the NTILE runs on the SCORED frame (doc-count rows of
+    (id, score), not bodies); its global sort is the one knowingly
+    centralized step — at 100 TB you'd swap exact quartiles for the
+    mergeable approx-quantile thresholds the a9 gate pins, keeping
+    bucketing map-side.  Selection windows partition by bucket (4-way)."""
+    from pyspark.sql import Window
+
+    from tulflow_spark.ext.lm import bigram_score
+
+    scored = bigram_score(
+        table(spark, sf_dir, "documents"), "doc_id", "text"
+    ).select(
+        "doc_id",
+        "n_bigrams",
+        (F.col("sum_inv_p") / F.col("n_bigrams")).alias("quality"),
+    )
+    wq = Window.orderBy("quality", "doc_id")
+    bucketed = scored.withColumn("bucket", F.ntile(4).over(wq).cast("int"))
+    key = F.md5(F.concat(F.col("doc_id").cast("string"), F.lit(":mix")))
+    wp = Window.partitionBy("bucket").orderBy(key, F.col("doc_id"))
+    return (
+        bucketed.withColumn("rk", F.row_number().over(wp))
+        .filter(F.col("rk") <= 25)
+        .groupBy("bucket")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_bigrams").alias("total_bigrams"),
+            F.min("doc_id").alias("min_doc_id"),
+        )
+    )
