@@ -29,11 +29,15 @@ def zvalue(x: Column | str, y: Column | str, bits: int = BITS) -> Column:
     # (Column.__or__ is LOGICAL or in Spark; bitwiseOR exists but + keeps
     # the expression associative for codegen)
     out = F.lit(0).cast("bigint")
+    one = F.lit(1)
     for i in range(bits):
+        # bitwiseAND, not % 2: Spark's % keeps the dividend's sign (-1 for
+        # negative odd values) while the DuckDB mirror's & 1 is always 0/1
+        # — & matches on both engines for any input sign
         out = (
             out
-            + F.shiftleft(F.shiftright(xc, i) % 2, 2 * i)
-            + F.shiftleft(F.shiftright(yc, i) % 2, 2 * i + 1)
+            + F.shiftleft(F.shiftright(xc, i).bitwiseAND(one), 2 * i)
+            + F.shiftleft(F.shiftright(yc, i).bitwiseAND(one), 2 * i + 1)
         )
     return out
 
