@@ -258,9 +258,9 @@ class TestImage:
         scan = bytes([0, 0])
         with pytest.raises(UnsupportedMedia, match="16-bit"):
             decode_image(_make_png_raw(1, 1, 0, scan, bit_depth=16))
-        with pytest.raises(UnsupportedMedia, match="Adam7"):
-            decode_image(_make_png_raw(1, 1, 0, scan, interlace=1))
-        with pytest.raises(UnsupportedMedia, match="palette"):
+        # Adam7 and palette are SUPPORTED since late round 5 (see
+        # TestPngAdam7Palette); a paletted file without PLTE stays typed
+        with pytest.raises(UnsupportedMedia, match="PLTE"):
             decode_image(_make_png_raw(1, 1, 3, scan))
         with pytest.raises(UnsupportedMedia, match="inflate"):
             decode_image(
@@ -406,3 +406,86 @@ class TestSparkPipeline:
         )
         with pytest.raises(Exception, match="ffmpeg"):
             decode_and_featurize(df, decoder="native").collect()
+
+
+class TestPngAdam7Palette:
+    """Palette lookup (PLTE/tRNS) and Adam7 deinterlacing goldens — the
+    expected arrays are derived BY HAND from the spec's pass layout."""
+
+    def _palette_png(self, w, h, indices, palette, trns=None):
+        import struct as s_, zlib
+
+        def chunk(tag, body):
+            return (s_.pack(">I", len(body)) + tag + body
+                    + s_.pack(">I", zlib.crc32(tag + body)))
+
+        ihdr = s_.pack(">IIBBBBB", w, h, 8, 3, 0, 0, 0)
+        raw = b"".join(
+            b"\x00" + bytes(indices[y * w:(y + 1) * w]) for y in range(h)
+        )
+        out = (b"\x89PNG\r\n\x1a\n" + chunk(b"IHDR", ihdr)
+               + chunk(b"PLTE", bytes(sum(palette, ()))))
+        if trns is not None:
+            out += chunk(b"tRNS", bytes(trns))
+        return out + chunk(b"IDAT", zlib.compress(raw)) + chunk(b"IEND", b"")
+
+    def test_palette_lookup(self):
+        pal = [(255, 0, 0), (0, 255, 0), (0, 0, 255)]
+        img = decode_image(self._palette_png(2, 2, [0, 1, 2, 0], pal))
+        assert img.shape == (2, 2, 3)
+        assert tuple(img[0, 0]) == (255, 0, 0)
+        assert tuple(img[0, 1]) == (0, 255, 0)
+        assert tuple(img[1, 0]) == (0, 0, 255)
+
+    def test_palette_trns_alpha(self):
+        pal = [(10, 20, 30), (40, 50, 60)]
+        img = decode_image(
+            self._palette_png(2, 1, [0, 1], pal, trns=[128])
+        )
+        assert img.shape == (1, 2, 4)
+        assert tuple(img[0, 0]) == (10, 20, 30, 128)
+        assert tuple(img[0, 1]) == (40, 50, 60, 255)  # beyond tRNS → opaque
+
+    def test_palette_index_out_of_range_typed(self):
+        with pytest.raises(UnsupportedMedia, match="palette index"):
+            decode_image(self._palette_png(1, 1, [5], [(1, 2, 3)]))
+
+    def _adam7_png(self, w, h, value_of):
+        """Interlaced grayscale PNG whose pixel (x,y) = value_of(x,y),
+        with the seven passes serialized in spec order by THIS test."""
+        import struct as s_, zlib
+
+        def chunk(tag, body):
+            return (s_.pack(">I", len(body)) + tag + body
+                    + s_.pack(">I", zlib.crc32(tag + body)))
+
+        passes = [(0, 0, 8, 8), (4, 0, 8, 8), (0, 4, 4, 8), (2, 0, 4, 4),
+                  (0, 2, 2, 4), (1, 0, 2, 2), (0, 1, 1, 2)]
+        raw = bytearray()
+        for x0, y0, dx, dy in passes:
+            pw = (w - x0 + dx - 1) // dx
+            ph = (h - y0 + dy - 1) // dy
+            if pw <= 0 or ph <= 0:
+                continue
+            for py in range(ph):
+                raw.append(0)  # filter None
+                for px in range(pw):
+                    raw.append(value_of(x0 + px * dx, y0 + py * dy))
+        ihdr = s_.pack(">IIBBBBB", w, h, 8, 0, 0, 0, 1)  # interlace=1
+        return (b"\x89PNG\r\n\x1a\n" + chunk(b"IHDR", ihdr)
+                + chunk(b"IDAT", zlib.compress(bytes(raw)))
+                + chunk(b"IEND", b""))
+
+    def test_adam7_8x8_position_encoding(self):
+        # pixel value = 16*y + x: every pass scatters to the right place
+        img = decode_image(self._adam7_png(8, 8, lambda x, y: 16 * y + x))
+        import numpy as np
+
+        want = np.add.outer(16 * np.arange(8), np.arange(8)).astype(np.uint8)
+        assert np.array_equal(img, want)
+
+    def test_adam7_odd_dimensions(self):
+        # 5x3: several passes are empty or partial
+        img = decode_image(self._adam7_png(5, 3, lambda x, y: 10 * y + x))
+        assert img.shape == (3, 5)
+        assert img[2, 4] == 24 and img[0, 0] == 0 and img[1, 3] == 13

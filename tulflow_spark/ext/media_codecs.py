@@ -222,58 +222,18 @@ def _png_paeth(a: int, b: int, c: int) -> int:
     return b if pb <= pc else c
 
 
-def _decode_png(content: bytes) -> np.ndarray:
-    """8-bit truecolor/gray(+alpha) non-interlaced PNG (r4 VERDICT #5):
-    chunk walk → concatenated-IDAT zlib inflate → per-row defilter.
-
-    Up is vectorized; Sub/Average/Paeth carry an in-row left dependency,
-    so those rows defilter byte-wise over a bytearray — decode runs
-    per-document inside Arrow-batched ``mapInPandas``, so the loop is
-    executor-side and bounded by one image."""
-    import zlib
-
-    if content[:8] != b"\x89PNG\r\n\x1a\n":
-        raise UnsupportedMedia("bad PNG signature")
-    pos = 8
-    ihdr = None
-    idat: list[bytes] = []
-    while pos + 8 <= len(content):
-        (length,) = struct.unpack_from(">I", content, pos)
-        ctype = content[pos + 4 : pos + 8]
-        data = content[pos + 8 : pos + 8 + length]
-        pos += 12 + length  # length + type + data + CRC
-        if ctype == b"IHDR":
-            ihdr = struct.unpack(">IIBBBBB", data)
-        elif ctype == b"IDAT":
-            idat.append(data)
-        elif ctype == b"IEND":
-            break
-    if ihdr is None or not idat:
-        raise UnsupportedMedia("PNG missing IHDR/IDAT")
-    width, height, bit_depth, color_type, comp, filt, interlace = ihdr
-    if comp != 0 or filt != 0:
-        raise UnsupportedMedia("nonstandard PNG compression/filter method")
-    if interlace != 0:
-        raise UnsupportedMedia("Adam7-interlaced PNG not supported")
-    if bit_depth != 8:
-        raise UnsupportedMedia(f"{bit_depth}-bit PNG not supported (8 only)")
-    if color_type not in _PNG_CHANNELS:
-        raise UnsupportedMedia(
-            f"PNG color type {color_type} not supported (palette needs PLTE "
-            "indexing; gray/RGB/alpha only)"
-        )
-    channels = _PNG_CHANNELS[color_type]
+def _png_defilter(raw: bytes, pos: int, width: int, height: int,
+                  channels: int) -> tuple[np.ndarray, int]:
+    """Defilter ``height`` scanlines of ``width*channels`` bytes starting
+    at ``pos`` → ((height, stride) array, new pos).  Up is vectorized;
+    Sub/Average/Paeth carry an in-row left dependency and run byte-wise
+    (executor-side, bounded by one image)."""
     stride = width * channels
-    try:
-        raw = zlib.decompress(b"".join(idat))
-    except zlib.error as exc:
-        raise UnsupportedMedia(f"PNG IDAT inflate failed: {exc}") from exc
-    if len(raw) < (stride + 1) * height:
+    if len(raw) < pos + (stride + 1) * height:
         raise UnsupportedMedia("truncated PNG scanline data")
-    bpp = channels  # bytes per pixel at bit depth 8
+    bpp = channels
     out = np.empty((height, stride), dtype=np.uint8)
     prev = np.zeros(stride, dtype=np.uint8)
-    pos = 0
     for y in range(height):
         ft = raw[pos]
         row = bytearray(raw[pos + 1 : pos + 1 + stride])
@@ -300,8 +260,94 @@ def _decode_png(content: bytes) -> np.ndarray:
             raise UnsupportedMedia(f"PNG filter type {ft}")
         out[y] = np.frombuffer(bytes(row), np.uint8)
         prev = out[y]
-    arr = out.reshape(height, width, channels)
-    return arr[:, :, 0] if channels == 1 else arr
+    return out, pos
+
+
+# Adam7 pass origins/strides: (x0, y0, dx, dy), PNG spec §8.2
+_ADAM7 = [
+    (0, 0, 8, 8), (4, 0, 8, 8), (0, 4, 4, 8), (2, 0, 4, 4),
+    (0, 2, 2, 4), (1, 0, 2, 2), (0, 1, 1, 2),
+]
+
+
+def _decode_png(content: bytes) -> np.ndarray:
+    """8-bit PNG: gray / gray+alpha / RGB / RGBA / PALETTE (PLTE lookup,
+    tRNS → RGBA), non-interlaced AND Adam7-interlaced (seven defiltered
+    sub-images scattered back, spec §8.2) — chunk walk → concatenated-IDAT
+    zlib inflate → per-(sub)image defilter (r4 VERDICT #5 + r5 handoff)."""
+    import zlib
+
+    if content[:8] != b"\x89PNG\r\n\x1a\n":
+        raise UnsupportedMedia("bad PNG signature")
+    pos = 8
+    ihdr = None
+    idat: list[bytes] = []
+    plte: bytes | None = None
+    trns: bytes | None = None
+    while pos + 8 <= len(content):
+        (length,) = struct.unpack_from(">I", content, pos)
+        ctype = content[pos + 4 : pos + 8]
+        data = content[pos + 8 : pos + 8 + length]
+        pos += 12 + length  # length + type + data + CRC
+        if ctype == b"IHDR":
+            ihdr = struct.unpack(">IIBBBBB", data)
+        elif ctype == b"IDAT":
+            idat.append(data)
+        elif ctype == b"PLTE":
+            plte = data
+        elif ctype == b"tRNS":
+            trns = data
+        elif ctype == b"IEND":
+            break
+    if ihdr is None or not idat:
+        raise UnsupportedMedia("PNG missing IHDR/IDAT")
+    width, height, bit_depth, color_type, comp, filt, interlace = ihdr
+    if comp != 0 or filt != 0:
+        raise UnsupportedMedia("nonstandard PNG compression/filter method")
+    if bit_depth != 8:
+        raise UnsupportedMedia(f"{bit_depth}-bit PNG not supported (8 only)")
+    paletted = color_type == 3
+    if paletted:
+        if plte is None or len(plte) % 3:
+            raise UnsupportedMedia("paletted PNG missing/invalid PLTE")
+        channels = 1
+    elif color_type in _PNG_CHANNELS:
+        channels = _PNG_CHANNELS[color_type]
+    else:
+        raise UnsupportedMedia(f"PNG color type {color_type} not supported")
+    try:
+        raw = zlib.decompress(b"".join(idat))
+    except zlib.error as exc:
+        raise UnsupportedMedia(f"PNG IDAT inflate failed: {exc}") from exc
+
+    if interlace == 0:
+        flat, _ = _png_defilter(raw, 0, width, height, channels)
+        img = flat.reshape(height, width, channels)
+    elif interlace == 1:
+        img = np.zeros((height, width, channels), dtype=np.uint8)
+        at = 0
+        for x0, y0, dx, dy in _ADAM7:
+            pw = (width - x0 + dx - 1) // dx
+            ph = (height - y0 + dy - 1) // dy
+            if pw <= 0 or ph <= 0:
+                continue
+            sub, at = _png_defilter(raw, at, pw, ph, channels)
+            img[y0::dy, x0::dx, :] = sub.reshape(ph, pw, channels)
+    else:
+        raise UnsupportedMedia(f"PNG interlace method {interlace}")
+
+    if paletted:
+        lut = np.frombuffer(plte, np.uint8).reshape(-1, 3)
+        idx = img[:, :, 0]
+        if idx.max() >= lut.shape[0]:
+            raise UnsupportedMedia("PNG palette index out of range")
+        rgb = lut[idx]
+        if trns is not None:
+            alpha = np.full(lut.shape[0], 255, np.uint8)
+            alpha[: len(trns)] = np.frombuffer(trns, np.uint8)
+            return np.dstack([rgb, alpha[idx]])
+        return rgb
+    return img[:, :, 0] if channels == 1 else img
 
 
 def _decode_bmp(content: bytes) -> np.ndarray:
