@@ -296,3 +296,91 @@ def test_stream_stream_join_with_watermarks(spark, tmp_path_factory):
     )
     out = _run_to_memory(spark, joined, "ss_join", "append").collect()
     assert {r.click_id for r in out} == {11, 13}  # the 80-minute gap never joins
+
+
+def test_stream_minhash_neardup_across_batches(spark, tmp_path_factory):
+    """Streaming near-dup: a document arriving in micro-batch 2 is caught
+    against its near-duplicate from micro-batch 1 (banded-LSH state holds
+    signatures only, never text), while unrelated docs emit nothing."""
+    import time as _time
+
+    from tulflow_spark.streaming.neardup import stream_minhash_neardup
+
+    base = ("the quick brown fox jumps over the lazy dog again and again "
+            "while the storm rolls across the wide open plain at dusk")
+    nearly = base + " tonight"
+    other = ("completely different content about spark shuffles and "
+             "parquet footers with nothing shared at all in any shingle "
+             "of this second unrelated document body text")
+
+    d = tmp_path_factory.mktemp("nd_src")
+    spark.createDataFrame(
+        [(1, base), (2, other)], "doc_id bigint, text string"
+    ).coalesce(1).write.parquet(str(d / "b0"))
+    spark.createDataFrame(
+        [(3, nearly)], "doc_id bigint, text string"
+    ).coalesce(1).write.parquet(str(d / "b1"))
+    flat = tmp_path_factory.mktemp("nd_flat")
+    i = 0
+    for sub in sorted(os.listdir(d)):
+        for f in sorted(os.listdir(d / sub)):
+            if f.endswith(".parquet"):
+                os.link(d / sub / f, flat / f"{i:03d}.parquet")
+                os.utime(flat / f"{i:03d}.parquet",
+                         (_time.time() + i * 10, _time.time() + i * 10))
+                i += 1
+
+    stream = spark.readStream.schema("doc_id bigint, text string").option(
+        "maxFilesPerTrigger", 1
+    ).parquet(str(flat))
+    out = _run_to_memory(
+        spark,
+        stream_minhash_neardup(stream, threshold=0.5),
+        "nd_pairs",
+        "append",
+    ).collect()
+    pairs = {(r.doc_id, r.dup_of) for r in out}
+    assert (3, 1) in pairs  # batch-2 doc caught against batch-1 state
+    assert all(2 not in p for p in pairs)  # unrelated doc never pairs
+    est = max(r.est_jaccard for r in out if (r.doc_id, r.dup_of) == (3, 1))
+    assert est >= 0.5
+
+
+def test_stream_minhash_neardup_bounded_state(spark, tmp_path_factory):
+    """max_bucket caps per-bucket state oldest-first: with a cap of 1, an
+    identical doc arriving two batches later only pairs against the most
+    recent stored copy (recall traded for bounded state — the streaming
+    face of the batch max_bucket contract)."""
+    import time as _time
+
+    from tulflow_spark.streaming.neardup import stream_minhash_neardup
+
+    text = ("same exact words repeated in every copy of this document "
+            "for the minhash signatures to match perfectly across batches")
+    d = tmp_path_factory.mktemp("ndb_src")
+    for bi, doc_id in enumerate([10, 11, 12]):
+        spark.createDataFrame(
+            [(doc_id, text)], "doc_id bigint, text string"
+        ).coalesce(1).write.parquet(str(d / f"b{bi}"))
+    flat = tmp_path_factory.mktemp("ndb_flat")
+    i = 0
+    for sub in sorted(os.listdir(d)):
+        for f in sorted(os.listdir(d / sub)):
+            if f.endswith(".parquet"):
+                os.link(d / sub / f, flat / f"{i:03d}.parquet")
+                os.utime(flat / f"{i:03d}.parquet",
+                         (_time.time() + i * 10, _time.time() + i * 10))
+                i += 1
+    stream = spark.readStream.schema("doc_id bigint, text string").option(
+        "maxFilesPerTrigger", 1
+    ).parquet(str(flat))
+    out = _run_to_memory(
+        spark,
+        stream_minhash_neardup(stream, threshold=0.9, max_bucket=1),
+        "ndb_pairs",
+        "append",
+    ).collect()
+    pairs = {(r.doc_id, r.dup_of) for r in out}
+    assert (11, 10) in pairs
+    assert (12, 11) in pairs
+    assert (12, 10) not in pairs  # doc 10 evicted by the cap before batch 3
