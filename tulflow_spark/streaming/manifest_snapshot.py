@@ -228,3 +228,43 @@ def cdc_snapshot_sink_atomic(
     if checkpoint:
         writer = writer.option("checkpointLocation", checkpoint)
     return writer.start()
+
+
+def compact(
+    snapshot: ManifestSnapshot,
+    spark: SparkSession,
+    max_files_per_bucket: int = 4,
+    batch_id: str = "compact",
+) -> int | None:
+    """Small-file compaction (the operational counterpart of incremental
+    commits: every micro-batch adds a file per touched bucket, and reads
+    degrade as manifests grow): rewrite every bucket holding MORE than
+    ``max_files_per_bucket`` files into one file each, and publish the
+    result as a normal versioned commit — readers see either the old or
+    the new complete version (same atomicity as any commit), time travel
+    to pre-compaction versions keeps working until their files are
+    vacuumed, and untouched buckets carry over by reference without
+    rewriting a byte.
+
+    Returns the new version, or None when nothing needed compacting."""
+    from pyspark.sql import functions as F
+
+    buckets = snapshot.buckets()
+    fat = {bk: fs for bk, fs in buckets.items()
+           if len(fs) > max_files_per_bucket}
+    if not fat:
+        return None
+    # spark.read over an explicit file list does not carry the partition
+    # directory, so read per bucket (the fat-bucket count is small by
+    # definition here) and restamp _bucket
+    parts = []
+    for bk, fs in fat.items():
+        parts.append(
+            spark.read.parquet(*fs)
+            .withColumn("_bucket", F.lit(int(bk)).cast("int"))
+            .coalesce(1)
+        )
+    merged = parts[0]
+    for p_ in parts[1:]:
+        merged = merged.unionByName(p_)
+    return snapshot.commit(merged, [int(b) for b in fat], batch_id)
