@@ -230,3 +230,44 @@ class TestChunkTokens:
             ._jdf.queryExecution().executedPlan().toString()
         )
         assert "Exchange" not in plan and "Join" not in plan
+
+
+def test_quality_mix_approx_tracks_exact_quartiles(spark, sf_dir):
+    """The approx-threshold mixer must produce buckets that agree with the
+    exact NTILE quartiles for almost every document (ties at thresholds
+    are the only legitimate drift), and its per-bucket picks are exactly
+    k."""
+    from pyspark.sql import Window
+
+    from tulflow_spark.ext.lm import bigram_score
+    from tulflow_spark.ext.mixing import quality_mix_approx
+    from tulflow_spark.io import table
+
+    scored = bigram_score(
+        table(spark, sf_dir, "documents"), "doc_id", "text"
+    ).select(
+        "doc_id",
+        (F.col("sum_inv_p") / F.col("n_bigrams")).alias("quality"),
+    ).cache()
+    try:
+        picked = quality_mix_approx(scored, per_bucket=10)
+        by_bucket = {
+            r.bucket: r.n
+            for r in picked.groupBy("bucket").agg(F.count("*").alias("n")).collect()
+        }
+        assert set(by_bucket) == {1, 2, 3, 4}
+        assert all(n == 10 for n in by_bucket.values())
+
+        # agreement with exact NTILE on bucket assignment (pre-pick)
+        exact = scored.withColumn(
+            "ebucket",
+            F.ntile(4).over(Window.orderBy("quality", "doc_id")).cast("int"),
+        )
+        approx_all = quality_mix_approx(scored, per_bucket=10**9)
+        joined = approx_all.join(exact, "doc_id").select(
+            (F.col("bucket") == F.col("ebucket")).cast("int").alias("same")
+        )
+        agree = joined.agg(F.avg("same")).head()[0]
+        assert agree >= 0.95, agree
+    finally:
+        scored.unpersist()

@@ -292,3 +292,39 @@ def chunk_tokens(
             F.array_join("_c", " ").alias("chunk_text"),
         )
     )
+
+
+def quality_mix_approx(
+    scored: DataFrame,
+    quality_col: str = "quality",
+    id_col: str = "doc_id",
+    n_buckets: int = 4,
+    per_bucket: int = 25,
+    accuracy: int = 10_000,
+    salt: str = ":mix",
+) -> DataFrame:
+    """The scale path of quality-bucketed mixing (mx6's NTILE is exact but
+    globally sorted): bucket thresholds come from ``percentile_approx``
+    (mergeable sketches — one map-side-combinable pass), bucketing is then
+    a pure map-side comparison against broadcast literals, and the per-
+    bucket exact-k pick is the same hash-ordered window.  Bucket sizes are
+    approximate near threshold ties (the accuracy knob bounds it); the
+    selection within each bucket is exact."""
+    from pyspark.sql import Window
+
+    probs = [i / n_buckets for i in range(1, n_buckets)]
+    row = scored.select(
+        F.percentile_approx(quality_col, probs, accuracy).alias("t")
+    ).head()
+    thresholds = [float(x) for x in row["t"]]
+    bucket = F.lit(1)
+    for i, t in enumerate(thresholds):
+        bucket = F.when(F.col(quality_col) > t, i + 2).otherwise(bucket)
+    key = F.md5(F.concat(F.col(id_col).cast("string"), F.lit(salt)))
+    w = Window.partitionBy("bucket").orderBy(key, F.col(id_col))
+    return (
+        scored.withColumn("bucket", bucket.cast("int"))
+        .withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= per_bucket)
+        .drop("rk")
+    )
