@@ -73,10 +73,12 @@ def main() -> None:
     all_queries = {**QUERIES, **EXTRA_QUERIES}
     timings: dict[str, float] = {}
     failures: list[str] = []
-    # SPARK_GRAFT_BENCH_REPEAT=N (default 1): run each query N times and
-    # report the MEDIAN — for quiet-machine re-measurement sessions; the
-    # driver's default single-run behavior is unchanged.
-    repeat = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_REPEAT", "1")))
+    # SPARK_GRAFT_BENCH_REPEAT=N (default 3): run each query N times and
+    # report the MEDIAN.  Medians are the DEFAULT for the official run
+    # because single-shot numbers on this VM carry 3x co-tenant spikes
+    # (x2 19.6 s benched vs 1.1-1.6 s warm, r5 VERDICT); set =1 for a
+    # quick smoke pass.
+    repeat = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_REPEAT", "3")))
     for name in sorted(all_queries):
         runs: list[float] = []
         try:
@@ -90,21 +92,34 @@ def main() -> None:
             failures.append(name)
             print(f"bench: {name} FAILED: {exc}", file=sys.stderr)
 
-    result = {
-        "metric": "total_query_sec",
-        "value": round(sum(timings.values()), 2),
-        "unit": "sec",
+    # Two lines, big one FIRST: the driver captures only a ~2 KB tail of
+    # stdout and json-parses the LAST line.  The full per-query map (~3 KB
+    # at 119 queries) outgrew that tail in r4 AND r5 ("parsed": null), so
+    # the map now goes on its own earlier line and the final line is a
+    # compact summary guaranteed under ~400 bytes at any query count.
+    per_query = {
+        "metric": "per_query_sec",
         "queries": timings,
         "sf": sf,
     }
+    total = round(sum(timings.values()), 2)
+    # "queries" here is the 5 slowest only (schema-compatible name->sec
+    # map); the complete map is the per_query_sec line above.
+    slowest = dict(sorted(timings.items(), key=lambda kv: -kv[1])[:5])
+    summary = {
+        "metric": "total_query_sec",
+        "value": total,
+        "unit": "sec",
+        "sf": sf,
+        "n_queries": len(timings),
+        "repeat": repeat,
+        "queries": slowest,
+    }
     if failures:
-        result["failed"] = failures
-    # ONE compact line: the driver captures only a bounded tail of stdout
-    # and BENCH_r04 came back "parsed": null because the default-separator
-    # line outgrew it (r4 VERDICT).  Compact separators + 2-decimal timings
-    # keep ~90 queries under ~2.7 KB.
+        summary["failed"] = failures
     sys.stdout.flush()
-    print(json.dumps(result, separators=(",", ":")))
+    print(json.dumps(per_query, separators=(",", ":")))
+    print(json.dumps(summary, separators=(",", ":")))
     sys.stdout.flush()
 
 

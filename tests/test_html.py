@@ -38,6 +38,16 @@ def test_nested_script_and_noscript_skipped():
     assert got["text"] == "keep this"
 
 
+def test_skip_subtrees_contribute_no_links_or_title():
+    got = extract_html(
+        '<title>real</title><a href="/seen">ok</a>'
+        '<noscript><a href="/hidden">no</a><title>fake</title></noscript>'
+        '<template><a href="/tpl">no</a></template>'
+    )
+    assert got["links"] == ["/seen"]
+    assert got["title"] == "real"
+
+
 def test_links_resolved_against_base():
     got = extract_html(
         '<a href="/x">x</a><a href="https://o.net/y">y</a><a>no href</a>',

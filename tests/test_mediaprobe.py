@@ -467,6 +467,51 @@ def test_fmp4_fragments_resolve_samples():
     assert tr.duration == 200  # extended by the fragment walk
 
 
+def make_fmp4_multirun(runs: list[list[bytes]], delta: int = 40) -> bytes:
+    """One moof whose single traf carries MULTIPLE trun boxes (ISO
+    14496-12 §8.8.8): the first run has an explicit data-offset, later runs
+    omit the flag and continue contiguously after the previous run."""
+    init = make_fmp4([])  # ftyp+moov only (trex default duration = delta)
+
+    def build(data_off: int) -> bytes:
+        mfhd = _full(b"mfhd", struct.pack(">I", 1))
+        tfhd = _box(b"tfhd", bytes([0, 0x02, 0x00, 0x00]) + struct.pack(">I", 1))
+        tfdt = _box(b"tfdt", bytes([1, 0, 0, 0]) + struct.pack(">Q", 0))
+        truns = b""
+        for i, frames in enumerate(runs):
+            if i == 0:  # data-offset (0x1) + sample-size (0x200)
+                body = bytes([0, 0x00, 0x02, 0x01])
+                body += struct.pack(">I", len(frames))
+                body += struct.pack(">i", data_off)
+            else:  # sample-size only: contiguous continuation
+                body = bytes([0, 0x00, 0x02, 0x00])
+                body += struct.pack(">I", len(frames))
+            body += b"".join(struct.pack(">I", len(f)) for f in frames)
+            truns += _box(b"trun", body)
+        traf = _box(b"traf", tfhd + tfdt + truns)
+        return _box(b"moof", mfhd + traf)
+
+    moof = build(0)
+    moof = build(len(moof) + 8)  # moof start -> first mdat payload byte
+    payload = b"".join(f for fr in runs for f in fr)
+    return init + moof + _box(b"mdat", payload)
+
+
+def test_fmp4_multiple_trun_per_traf():
+    """All trun boxes in a traf must contribute samples — a single-_find
+    walk silently drops every run after the first (r5 ADVICE)."""
+    runs = [[b"R0a!", b"R0bb"], [b"R1ccc"], [b"R2d", b"R2ee!!"]]
+    data = make_fmp4_multirun(runs)
+    (tr,) = probe_mp4(data).tracks
+    flat = [f for r in runs for f in r]
+    assert tr.sample_sizes == [len(f) for f in flat]
+    assert tr.sample_times == [0, 40, 80, 120, 160]
+    for i, f in enumerate(flat):
+        off, size = tr.sample_offsets[i], tr.sample_sizes[i]
+        assert data[off : off + size] == f, i
+    assert tr.duration == 200
+
+
 def test_fmp4_sample_at_works_across_fragments():
     frags = [[b"AA", b"BB"], [b"CC", b"DD"]]
     data = make_fmp4(frags)

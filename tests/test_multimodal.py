@@ -81,6 +81,31 @@ def test_probe_media_fills_meta_from_real_bytes(spark, tmp_path_factory):
     assert rows["unknown"].meta.width is None
 
 
+def test_probe_media_survives_malformed_blobs(spark, tmp_path_factory):
+    """One bad blob must degrade to format=unknown, never fail the task
+    (r5 ADVICE): malformed WAV (wave.Error), MP4 with a trak missing mdhd
+    (TypeError), and truncated box trees all ride the same escape hatch."""
+    from tests.test_mediaprobe import make_mp4
+
+    d = tmp_path_factory.mktemp("badmedia")
+    # RIFF/WAVE magic but garbage chunk layout -> wave.open raises
+    (d / "bad.wav").write_bytes(b"RIFF\x24\x00\x00\x00WAVE" + b"\xff" * 40)
+    # valid mp4 start, box tree truncated mid-moov
+    good = make_mp4([b"f" * 9] * 5)
+    (d / "trunc.mp4").write_bytes(good[: len(good) // 3])
+    # ftyp + moov containing a trak with no mdhd
+    (d / "nomdhd.mp4").write_bytes(
+        b"\x00\x00\x00\x14ftypisom\x00\x00\x00\x00isom"
+        b"\x00\x00\x00\x10moov\x00\x00\x00\x08trak"
+    )
+
+    probed = MM.probe_media(MM.read_media_dir(spark, str(d), kind="mixed"))
+    rows = probed.collect()
+    assert len(rows) == 3
+    for r in rows:
+        assert r.meta.width is None and r.meta.n_frames is None
+
+
 def test_sample_frames_native_mp4(spark, tmp_path_factory):
     from tests.test_mediaprobe import make_mp4
 

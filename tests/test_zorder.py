@@ -128,3 +128,18 @@ def test_write_zordered_footer_stats_prune_both_dims(spark, tmp_path):
         .write.parquet(str(xdir))
     xboxes = file_boxes(xdir)
     assert all((y1 - y0) == 63 for _, _, y0, y1 in xboxes)
+
+
+def test_write_zordered_rejects_overflowing_keys(spark, tmp_path):
+    """Explicit bits + keys >= 2**bits must raise, not silently alias
+    distant values into the same z-range (r5 ADVICE)."""
+    import pytest
+
+    from tulflow_spark.operators.zorder import write_zordered
+
+    df = spark.range(70000).selectExpr("id AS x", "id % 100 AS y")
+    with pytest.raises(ValueError, match="alias"):
+        write_zordered(df, str(tmp_path / "z"), "x", "y", n_files=4, bits=16)
+    # bits=None derives resolution from the data and succeeds
+    write_zordered(df, str(tmp_path / "z2"), "x", "y", n_files=4)
+    assert spark.read.parquet(str(tmp_path / "z2")).count() == 70000

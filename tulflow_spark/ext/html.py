@@ -47,7 +47,14 @@ class _Extractor(HTMLParser):
     def handle_starttag(self, tag, attrs):
         if tag in _SKIP:
             self._skip_depth += 1
-        elif tag == "title":
+            return
+        if self._skip_depth:
+            # Inside script/style/noscript/template: the subtree
+            # contributes NOTHING — not text, not <title>, and not
+            # a[href] edges (a <noscript> link would otherwise pollute
+            # the link graph PageRank consumes; r5 ADVICE).
+            return
+        if tag == "title":
             self._in_title = True
         elif tag == "a":
             href = dict(attrs).get("href")

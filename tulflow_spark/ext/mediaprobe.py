@@ -278,9 +278,14 @@ def mp4_sample_at(
     content: bytes, track: Mp4Track, ts_ms: int, keyframe_only: bool = False
 ) -> tuple[int, int, bytes]:
     """Return ``(sample_idx, actual_ts_ms, payload)`` for the sample whose
-    decode timestamp is the latest ≤ ``ts_ms`` (optionally snapped back to
-    the nearest preceding sync sample).  The payload is the *compressed*
-    sample bytes straight out of ``mdat`` — real container demux, no codec.
+    decode timestamp is the latest ≤ ``ts_ms``.  With ``keyframe_only``
+    the pick snaps BACK to the nearest preceding sync sample; in the
+    pre-first-keyframe window (no sync at or before the pick) it snaps
+    FORWARD to the first sync sample instead — a frame from a later
+    timestamp is decodable, whereas a non-sync frame before the first
+    keyframe is not, so ``actual_ts_ms`` may exceed ``ts_ms`` in exactly
+    that window.  The payload is the *compressed* sample bytes straight
+    out of ``mdat`` — real container demux, no codec.
     """
     if not track.sample_times or not track.sample_offsets:
         raise UnsupportedMedia("mp4: track has no resolved sample table")
@@ -644,37 +649,50 @@ def _walk_fragments(content: bytes, tracks: dict[int, Mp4Track],
                 ver, p2 = _fullbox(content, tfdt[0])
                 t = (struct.unpack_from(">Q", content, p2)[0] if ver == 1
                      else struct.unpack_from(">I", content, p2)[0])
-            trun = _find(content, tb, te, "trun")
-            if not trun:
-                continue
-            tflags = int.from_bytes(content[trun[0] + 1 : trun[0] + 4], "big")
-            p3 = trun[0] + 4
-            n = struct.unpack_from(">I", content, p3)[0]
-            p3 += 4
-            off = base_offset
-            if tflags & 0x1:  # data-offset present
-                off = base_offset + struct.unpack_from(">i", content, p3)[0]
+            # A traf may carry MULTIPLE trun boxes (ISO 14496-12 §8.8.8);
+            # walk them all, accumulating decode time and — when a run has
+            # no explicit data-offset — continuing contiguously from the
+            # previous run's end.
+            next_off: int | None = None
+            saw_trun = False
+            for rfc, rb, _re in _boxes(content, tb, te):
+                if rfc != "trun":
+                    continue
+                saw_trun = True
+                tflags = int.from_bytes(content[rb + 1 : rb + 4], "big")
+                p3 = rb + 4
+                n = struct.unpack_from(">I", content, p3)[0]
                 p3 += 4
-            if tflags & 0x4:  # first-sample-flags
-                p3 += 4
-            for _ in range(n):
-                dur, size = d_dur, d_size
-                if tflags & 0x100:
-                    dur = struct.unpack_from(">I", content, p3)[0]
+                if tflags & 0x1:  # data-offset present
+                    off = base_offset + struct.unpack_from(
+                        ">i", content, p3
+                    )[0]
                     p3 += 4
-                if tflags & 0x200:
-                    size = struct.unpack_from(">I", content, p3)[0]
+                elif next_off is not None:
+                    off = next_off
+                else:
+                    off = base_offset
+                if tflags & 0x4:  # first-sample-flags
                     p3 += 4
-                if tflags & 0x400:  # sample-flags
-                    p3 += 4
-                if tflags & 0x800:  # cts offset
-                    p3 += 4
-                tr.sample_offsets.append(off)
-                tr.sample_sizes.append(size)
-                tr.sample_times.append(t)
-                off += size
-                t += dur
-            if t > tr.duration:
+                for _ in range(n):
+                    dur, size = d_dur, d_size
+                    if tflags & 0x100:
+                        dur = struct.unpack_from(">I", content, p3)[0]
+                        p3 += 4
+                    if tflags & 0x200:
+                        size = struct.unpack_from(">I", content, p3)[0]
+                        p3 += 4
+                    if tflags & 0x400:  # sample-flags
+                        p3 += 4
+                    if tflags & 0x800:  # cts offset
+                        p3 += 4
+                    tr.sample_offsets.append(off)
+                    tr.sample_sizes.append(size)
+                    tr.sample_times.append(t)
+                    off += size
+                    t += dur
+                next_off = off
+            if saw_trun and t > tr.duration:
                 tr.duration = t
 
 

@@ -216,7 +216,14 @@ def probe_media(media: DataFrame) -> DataFrame:
                 content = bytes(r["content"])
                 try:
                     m = probe_media_bytes(content)
-                except (UnsupportedMedia, ValueError, struct_error):
+                except UnsupportedMedia:
+                    m = {"format": "unknown"}
+                except Exception:
+                    # Any malformed blob (truncated box tree, non-PCM WAV
+                    # via wave.Error, missing mdhd -> TypeError, short
+                    # reads -> IndexError/EOFError/struct.error) must
+                    # degrade to format=unknown, not kill the task: the
+                    # "one bad blob can't fail a 100 TB pass" contract.
                     m = {"format": "unknown"}
                 rows.append(
                     {

@@ -22,7 +22,13 @@ BITS = 16  # per-dimension resolution (32-bit z-values)
 
 
 def zvalue(x: Column | str, y: Column | str, bits: int = BITS) -> Column:
-    """Morton-interleave two non-negative ints (x in even bit positions)."""
+    """Morton-interleave two non-negative ints (x in even bit positions).
+
+    Range contract: only the low ``bits`` bits of each key participate —
+    keys >= 2**bits alias distant values into the same z-range and the
+    two-dimensional clustering silently degrades.  :func:`write_zordered`
+    enforces this (derives ``bits`` from the data by default); callers
+    composing ``zvalue`` directly own the check."""
     xc = (F.col(x) if isinstance(x, str) else x).cast("bigint")
     yc = (F.col(y) if isinstance(y, str) else y).cast("bigint")
     # the terms occupy disjoint bit positions, so + realizes the bitwise OR
@@ -81,7 +87,7 @@ def write_zordered(
     x: str,
     y: str,
     n_files: int,
-    bits: int = BITS,
+    bits: int | None = None,
 ) -> None:
     """Write ``df`` as parquet clustered on the (x, y) z-curve:
     ``repartitionByRange`` over the z-value (sampled range boundaries →
@@ -89,7 +95,24 @@ def write_zordered(
     file are tight too.  After this layout, parquet footer min/max stats
     bound BOTH x and y per file — a reader with a predicate on either
     column prunes most files (verified against real footers in
-    tests/test_zorder.py)."""
+    tests/test_zorder.py).
+
+    ``bits=None`` (default) derives the per-dimension resolution from the
+    keys' actual max (one column-pruned pre-scan — cheap next to the
+    shuffle+write it guards); an explicit ``bits`` raises ``ValueError``
+    if either key exceeds 2**bits, because silent bit truncation quietly
+    destroys the two-dimensional file skipping this writer exists for."""
+    mx, my = df.agg(
+        F.max(F.col(x).cast("bigint")), F.max(F.col(y).cast("bigint"))
+    ).head()
+    need = max(int(mx or 0).bit_length(), int(my or 0).bit_length(), 1)
+    if bits is None:
+        bits = min(need, 31)
+    elif need > bits:
+        raise ValueError(
+            f"write_zordered: max({x})={mx} / max({y})={my} need {need} "
+            f"bits but bits={bits}; keys >= 2**bits would alias z-ranges"
+        )
     z = zvalue(x, y, bits).alias("_z")
     (
         df.withColumn("_z", z)

@@ -30,70 +30,72 @@ EXTRA_ORACLE: dict[str, str] = {}
 # the gate each round so every oracle pair eventually gets a hard driver
 # CORRECTNESS row, not just local-parity evidence).
 #
-# Round-5 rotation: the 37 pairs added in r3/r4 that the driver's
-# independent oracle has never adjudicated are promoted; 37 multi-round
-# veterans (green in CORRECTNESS_r01..r04) move to the local parity suite.
-# The 13 veterans kept gated are the ones whose implementation changes this
-# round (XPath/XSLT engine: x1/x3/x4/x2b; skew: sk1; curation: cur1/cur3;
-# approx-quality bounds: vr1) or that the r4 verdict flagged for
-# re-measurement (q17/q19), plus the flagship star/dedup anchors (q01,
-# dd1, aj1).
+# Round-6 rotation (r5 VERDICT #1): the 31 oracle pairs the driver has
+# NEVER adjudicated (missed every 50-slot gate since registration) are all
+# promoted — this is the round's whole point, converting the last
+# locally-green-only 26% of the registry into hard driver rows.  All r5
+# gate members rotate OUT to the local parity suite except 18 kept anchors:
+# veterans whose code this round touches (html.py -> cur3/cur4; media
+# probes covered by the promoted mm1-mm6; mixing -> mx6/mx7) plus one
+# flagship per module family so every subsystem keeps a fresh driver row.
 GATED: frozenset[str] = frozenset(
     {
-        # kept veterans (13)
-        "vr1_approx_bounds",
-        "x1_xpath_extract",
-        "x2b_marc_native",
-        "x3_validation_rules",
-        "x4_transform_rules",
+        # never-adjudicated oracle pairs, promoted (30)
+        "a12_rollup",
+        "cdc2_merge_upsert",
+        "cur5_web_pipeline",
+        "dd10_repeated_spans",
+        "mm1_media_roundtrip",
+        "mm2_png_roundtrip",
+        "mm3_wav_roundtrip",
+        "mm4_mp3_probe",
+        "mm5_ogg_id3_probe",
+        "mm6_mp4_probe",
+        "mx6_quality_mix",
+        "pg1_pagerank",
+        "pr1_profile_lineitem",
+        "q02_min_acctbal_supplier",
+        "q07_nation_volume",
+        "q08_market_share",
+        "q09_product_profit",
+        "q11_important_parts",
+        "q13_customer_distribution",
+        "q15_top_supplier",
+        "q18_large_volume",
+        "q20_promotable_suppliers",
+        "q21_sole_return_supplier",
+        "q22_dormant_customers",
+        "tr1_train_shuffle",
+        "tx13_html_extract",
+        "url1_canonical_dedup",
+        "w5_month_delta",
+        "w6_moving_avg",
+        "zo1_zorder_layout",
+        # never-adjudicated rows-only query (1): BPE merge table — quality
+        # oracle-gated locally (merge-exact vs independent trainer)
+        "tx12_bpe_merges",
+        # new this round (1): scale variant of quality mixing, driver-gated
+        # so the production path (not just the exact NTILE) gets a hard row
+        "mx7_quality_mix_approx",
+        # kept anchors (18)
         "q01_pricing_summary",
-        "q17_small_quantity",
-        "q19_disjunctive_predicates",
-        "sk1_salted_sum",
-        "aj1_asof_join",
-        "cur1_curate_exact",
-        "cur3_strip_boilerplate",
+        "q03_top_revenue_orders",
+        "q05_region_revenue",
+        "q14_promo_revenue",
         "dd1_exact_dedup",
-        # promoted oracle pairs, never driver-adjudicated before r5 (28)
-        "a8_heavy_hitters",
-        "a9_approx_quantiles",
-        "a10_cube",
-        "a11_pivot",
+        "dd3_ngram_jaccard",
+        "aj1_asof_join",
+        "vr1_approx_bounds",
+        "x2b_marc_native",
+        "x4_transform_rules",
+        "cur3_strip_boilerplate",
         "cur4_full_pipeline",
-        "dd8_components",
-        "dd9_line_dedup",
-        "ev4_funnel",
-        "j3_semi_join",
-        "mx1_domain_mix",
-        "mx2_pack_sequences",
-        "mx3_hash_sample",
-        "mx4_stratified_sample",
-        "mx5_chunk_docs",
-        "q04_order_priority",
-        "q06_forecast_revenue",
-        "q10_returned_revenue",
-        "q12_priority_by_status",
-        "q16_supplier_cardinality",
-        "set1_nation_intersect",
-        "sk2_salted_join",
-        "ss5_kmeans_assign",
-        "ss6_semantic_dedup",
-        "tx8_bigram_lm_score",
-        "tx9_rarity_terms",
-        "tx10_nb_langid",
-        "w4_rank",
-        "x5_byte_serialize",
-        # rows-only approximations, promoted for weak driver rows (9) —
-        # their quality bounds are oracle-gated inside vr1_approx_bounds
-        "dd2_minhash_lsh",
-        "dd4_simhash",
-        "dd5_lsh_blocked_neardup",
-        "ss3_lsh_topk",
-        "ss4_ivf_topk",
-        "cur2_curate_near_dup",
-        "ss7_kmeans_fit",
-        "ss8_pq_topk",
-        "tx11_compression_ratio",
+        "ev2_sessionize",
+        "w1_topk_per_group",
+        "f1_md5_content_keys",
+        "j1_broadcast_enrich",
+        "tx2_quality_scores",
+        "sk1_salted_sum",
     }
 )
 

@@ -1485,9 +1485,22 @@ def cur4_full_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register(
-    "mx6_quality_mix",
-    oracle=f"""
+def _mx6_scored(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shared scoring stage for mx6/mx7: bigram-LM quality per document."""
+    from tulflow_spark.ext.lm import bigram_score
+
+    return bigram_score(
+        table(spark, sf_dir, "documents"), "doc_id", "text"
+    ).select(
+        "doc_id",
+        "n_bigrams",
+        (F.col("sum_inv_p") / F.col("n_bigrams")).alias("quality"),
+    )
+
+
+# Shared oracle CTE chain for mx6/mx7: bigram-LM quality per document
+# (decimal-exact term sum, identical to tulflow_spark.ext.lm.bigram_score).
+_MX_SCORED_SQL = f"""
     WITH toks AS (
       SELECT doc_id, {_TOKS} AS t FROM documents
     ), flat AS (
@@ -1514,7 +1527,12 @@ def cur4_full_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
              CAST(SUM(CAST(term AS DECIMAL(30,9))) AS DOUBLE)
                / COUNT(*) AS quality
       FROM terms GROUP BY doc_id
-    ), bucketed AS (
+    )"""
+
+
+@register(
+    "mx6_quality_mix",
+    oracle=f"""{_MX_SCORED_SQL}, bucketed AS (
       SELECT doc_id, n_bigrams,
              CAST(NTILE(4) OVER (ORDER BY quality, doc_id) AS INT) AS bucket
       FROM scored
@@ -1548,15 +1566,7 @@ def mx6_quality_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
     bucketing map-side.  Selection windows partition by bucket (4-way)."""
     from pyspark.sql import Window
 
-    from tulflow_spark.ext.lm import bigram_score
-
-    scored = bigram_score(
-        table(spark, sf_dir, "documents"), "doc_id", "text"
-    ).select(
-        "doc_id",
-        "n_bigrams",
-        (F.col("sum_inv_p") / F.col("n_bigrams")).alias("quality"),
-    )
+    scored = _mx6_scored(spark, sf_dir)
     wq = Window.orderBy("quality", "doc_id")
     bucketed = scored.withColumn("bucket", F.ntile(4).over(wq).cast("int"))
     key = F.md5(F.concat(F.col("doc_id").cast("string"), F.lit(":mix")))
@@ -1570,4 +1580,80 @@ def mx6_quality_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("n_bigrams").alias("total_bigrams"),
             F.min("doc_id").alias("min_doc_id"),
         )
+    )
+
+
+@register(
+    "mx7_quality_mix_approx",
+    oracle=f"""{_MX_SCORED_SQL}, ranked AS (
+      SELECT quality,
+             ROW_NUMBER() OVER (ORDER BY quality) AS r,
+             COUNT(*) OVER () AS n
+      FROM scored
+    ), th AS (
+      -- Spark's percentile_approx in exact mode (accuracy >= n) returns
+      -- the element at rank ceil(p*n); mirror that rank pick exactly.
+      SELECT
+        MAX(CASE WHEN r = CAST(CEIL(0.25 * n) AS BIGINT)
+                 THEN quality END) AS t1,
+        MAX(CASE WHEN r = CAST(CEIL(0.50 * n) AS BIGINT)
+                 THEN quality END) AS t2,
+        MAX(CASE WHEN r = CAST(CEIL(0.75 * n) AS BIGINT)
+                 THEN quality END) AS t3
+      FROM ranked
+    ), bucketed AS (
+      SELECT s.doc_id, s.n_bigrams,
+             CAST(1
+               + (CASE WHEN s.quality > th.t1 THEN 1 ELSE 0 END)
+               + (CASE WHEN s.quality > th.t2 THEN 1 ELSE 0 END)
+               + (CASE WHEN s.quality > th.t3 THEN 1 ELSE 0 END)
+               AS INT) AS bucket
+      FROM scored s CROSS JOIN th
+    ), picked AS (
+      SELECT doc_id, n_bigrams, bucket,
+             ROW_NUMBER() OVER (
+               PARTITION BY bucket
+               ORDER BY md5(CAST(doc_id AS VARCHAR) || ':mix'), doc_id
+             ) AS rk
+      FROM bucketed
+    )
+    SELECT bucket,
+           COUNT(*) AS n_docs,
+           CAST(SUM(n_bigrams) AS BIGINT) AS total_bigrams,
+           MIN(doc_id) AS min_doc_id
+    FROM picked WHERE rk <= 25
+    GROUP BY bucket
+    """,
+)
+def mx7_quality_mix_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The SCALE variant of quality-bucketed mixing, driver-gated (r5
+    VERDICT #6): thresholds come from ``percentile_approx`` (mergeable
+    sketch, one map-side-combinable pass — no global sort), bucketing is a
+    map-side comparison against broadcast literals, selection is the same
+    per-bucket exact-k hash-ordered window as mx6.
+
+    The gate runs the REAL production code path
+    (:func:`tulflow_spark.ext.mixing.quality_mix_approx`) with accuracy
+    high enough that the GK sketch is exact at gate scale (n_docs <<
+    accuracy), which makes the thresholds deterministic: the element at
+    rank ceil(p*n), mirrored rank-for-rank in the DuckDB oracle.  At 100 TB
+    the same plan runs with the default accuracy=10k (bounded rank error,
+    thresholds still a single ~KB driver value); the 95%-quartile-agreement
+    test in tests/test_mixing.py pins approx-vs-exact behavior at low
+    accuracy."""
+    from tulflow_spark.ext.mixing import quality_mix_approx
+
+    scored = _mx6_scored(spark, sf_dir)
+    picked = quality_mix_approx(
+        scored,
+        quality_col="quality",
+        id_col="doc_id",
+        n_buckets=4,
+        per_bucket=25,
+        accuracy=1_000_000,
+    )
+    return picked.groupBy("bucket").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_bigrams").alias("total_bigrams"),
+        F.min("doc_id").alias("min_doc_id"),
     )
