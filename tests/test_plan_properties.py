@@ -301,3 +301,39 @@ def test_cdc2_change_keys_broadcast(spark, sf_dir):
     plan = _plan(spark, sf_dir, "cdc2_merge_upsert")
     assert "BroadcastHashJoin" in plan and "LeftAnti" in plan
     assert "SortMergeJoin" not in plan
+
+
+# --- round-6 additions ------------------------------------------------------
+
+
+def _final_plan_after_run(spark, sf_dir, name) -> str:
+    """Execute the query so AQE finalizes, then return ONLY the final-plan
+    section (the initial plan still shows the pre-fusion duplicates)."""
+    df = ALL_QUERIES[name](spark, sf_dir)
+    df.write.mode("overwrite").format("noop").save()
+    df.collect()
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    return plan.split("== Initial Plan ==")[0]
+
+
+def test_q15_max_reuses_revenue_exchange(spark, sf_dir):
+    """Q15's scalar MAX must NOT re-scan lineitem: both branches of the
+    revenue subtree canonicalize to one shuffle, fused by AQE at runtime.
+    Run at sf0.01 — at sf0.001 the result is empty and AQE prunes the
+    whole plan to a local scan."""
+    plan = _final_plan_after_run(
+        spark, "/root/testdata/sf0.01", "q15_top_supplier"
+    )
+    assert plan.count("ReusedExchange") >= 1, plan
+    assert plan.count("lineitem.parquet") == 1, plan
+
+
+def test_q11_threshold_reuses_shipped_exchange(spark, sf_dir):
+    """Q11's global-total threshold is a one-row broadcast computed off the
+    SAME shipped shuffle as the probe side — one lineitem scan total."""
+    plan = _final_plan_after_run(
+        spark, "/root/testdata/sf0.01", "q11_important_parts"
+    )
+    assert plan.count("ReusedExchange") >= 1, plan
+    assert plan.count("lineitem.parquet") == 1, plan
+    assert "BroadcastExchange" in plan

@@ -282,22 +282,39 @@ def q11_important_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q11 shape: per-part value vs a fraction of the global total.
     No ``partsupp`` ⇒ value = shipped revenue from NATION_7 suppliers.  The
     scalar global total is a one-row aggregate broadcast into the comparison
-    join — Catalyst plans the HAVING as a broadcast nested-loop over one row,
-    never a driver collect.  Note the threshold re-sums the decimal-exact
-    per-part doubles (again as decimals) so both engines derive it identically."""
-    _views(spark, sf_dir, "lineitem", "supplier")
-    return spark.sql(f"""
-        WITH shipped AS (
-          SELECT l_partkey,
-                 {_DSUM.format(e='l_extendedprice * (1 - l_discount)')} AS value
-          FROM lineitem_v JOIN supplier_v ON l_suppkey = s_suppkey
-          WHERE s_nationkey = 7
-          GROUP BY l_partkey
+    join (nested-loop over ONE row), never a driver collect.
+
+    Built as DataFrame ops branching from a single ``shipped`` subtree
+    rather than a SQL scalar subquery: Spark compiles scalar subqueries as
+    separate plans that RE-SCAN lineitem (verified: 2 FileScans, no reuse),
+    while the branched-DataFrame form canonicalizes both branches to the
+    same shuffle and AQE fuses them (final plan: 1 lineitem scan + a
+    ReusedExchange — pinned in tests/test_plan_properties.py).  The
+    threshold re-sums the decimal-exact per-part doubles (again as
+    decimals) so both engines derive it identically."""
+    li = table(spark, sf_dir, "lineitem")
+    s = (
+        table(spark, sf_dir, "supplier")
+        .filter(F.col("s_nationkey") == 7)
+        .select("s_suppkey")
+    )
+    shipped = (
+        li.join(F.broadcast(s), F.col("l_suppkey") == F.col("s_suppkey"))
+        .groupBy("l_partkey")
+        .agg(
+            dsum(
+                F.col("l_extendedprice") * (1 - F.col("l_discount")), "value"
+            )
         )
-        SELECT l_partkey, value
-        FROM shipped
-        WHERE value > (SELECT {_DSUM.format(e='value')} * 0.002 FROM shipped)
-    """)
+        .filter(F.col("value").isNotNull())
+    )
+    threshold = shipped.agg(
+        (dsum("value") * F.lit(0.002)).alias("threshold")
+    )
+    return (
+        shipped.join(F.broadcast(threshold), F.col("value") > F.col("threshold"))
+        .select("l_partkey", "value")
+    )
 
 
 # ---------------------------------------------------------------------------
@@ -359,25 +376,39 @@ def q13_customer_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """TPC-H Q15 shape: the revenue "view" is computed once (CTE), its MAX is
-    a one-row broadcast, and the equality join returns every supplier tying
+    """TPC-H Q15 shape: the revenue "view" is computed ONCE, its MAX is a
+    one-row broadcast, and the equality join returns every supplier tying
     the max.  Decimal-exact revenue makes the double equality deterministic
-    on both engines."""
-    _views(spark, sf_dir, "lineitem", "supplier")
-    return spark.sql(f"""
-        WITH revenue AS (
-          SELECT l_suppkey AS supplier_no,
-                 {_DSUM.format(e='l_extendedprice * (1 - l_discount)')}
-                   AS total_revenue
-          FROM lineitem_v
-          WHERE l_shipdate >= TIMESTAMP '1997-01-01'
-            AND l_shipdate <  TIMESTAMP '1997-04-01'
-          GROUP BY l_suppkey
+    on both engines.
+
+    Like q11, built as DataFrame branches off one ``revenue`` subtree (not
+    a SQL scalar subquery, which re-scans lineitem for the MAX): the
+    explicit symmetric isNotNull filters keep both branches' shuffle
+    subtrees canonically identical, so AQE replaces the MAX branch's
+    exchange with a ReusedExchange — one lineitem scan total (pinned)."""
+    li = table(spark, sf_dir, "lineitem")
+    s = table(spark, sf_dir, "supplier")
+    revenue = (
+        li.filter(
+            (F.col("l_shipdate") >= "1997-01-01")
+            & (F.col("l_shipdate") < "1997-04-01")
         )
-        SELECT s_suppkey, s_name, total_revenue
-        FROM supplier_v JOIN revenue ON s_suppkey = supplier_no
-        WHERE total_revenue = (SELECT MAX(total_revenue) FROM revenue)
-    """)
+        .filter(F.col("l_suppkey").isNotNull())
+        .groupBy(F.col("l_suppkey").alias("supplier_no"))
+        .agg(
+            dsum(
+                F.col("l_extendedprice") * (1 - F.col("l_discount")),
+                "total_revenue",
+            )
+        )
+        .filter(F.col("total_revenue").isNotNull())
+    )
+    mx = revenue.agg(F.max("total_revenue").alias("mx"))
+    return (
+        revenue.join(F.broadcast(mx), F.col("total_revenue") == F.col("mx"))
+        .join(F.broadcast(s), F.col("supplier_no") == F.col("s_suppkey"))
+        .select("s_suppkey", "s_name", "total_revenue")
+    )
 
 
 # ---------------------------------------------------------------------------
