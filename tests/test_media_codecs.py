@@ -256,16 +256,70 @@ class TestImage:
 
     def test_png_unsupported_variants_typed(self):
         scan = bytes([0, 0])
-        with pytest.raises(UnsupportedMedia, match="16-bit"):
-            decode_image(_make_png_raw(1, 1, 0, scan, bit_depth=16))
-        # Adam7 and palette are SUPPORTED since late round 5 (see
-        # TestPngAdam7Palette); a paletted file without PLTE stays typed
+        # 16-bit is SUPPORTED since round 6 (TestPng16Bit); other depths
+        # and the spec-invalid 16-bit palette stay typed walls
+        with pytest.raises(UnsupportedMedia, match="4-bit"):
+            decode_image(_make_png_raw(1, 1, 0, scan, bit_depth=4))
+        with pytest.raises(UnsupportedMedia, match="16-bit paletted"):
+            decode_image(_make_png_raw(1, 1, 3, scan, bit_depth=16))
+        # a paletted file without PLTE stays typed
         with pytest.raises(UnsupportedMedia, match="PLTE"):
             decode_image(_make_png_raw(1, 1, 3, scan))
         with pytest.raises(UnsupportedMedia, match="inflate"):
             decode_image(
                 _make_png_raw(1, 1, 0, scan, corrupt_idat=True)
             )
+
+    def test_png16_gray_golden_sub_and_up(self):
+        """16-bit goldens filtered BY HAND (spec §9: filtering is byte-wise
+        with bpp=2 for 16-bit gray; samples are big-endian §7.1)."""
+        scanlines = bytes(
+            [1, 0x12, 0x34, 0x00, 0x60]  # Sub: P1 = bytes(P0)+(0,0x60)
+            + [2, 0x10, 0x00, 0x00, 0x10]  # Up: byte deltas vs row above
+        )
+        out = decode_image(_make_png_raw(2, 2, 0, scanlines, bit_depth=16))
+        expect = np.array(
+            [[0x1234, 0x1294], [0x2234, 0x12A4]], np.uint16
+        )
+        assert out.dtype == np.uint16
+        assert np.array_equal(out, expect)
+
+    def test_png16_filtering_is_bytewise_not_samplewise(self):
+        """Discriminating golden: Sub across a low-byte overflow.  P0 =
+        0x00FF, stored second-pixel deltas (0x01, 0x01) byte-wise give
+        P1 = 0x0100; a (wrong) sample-wise Sub would yield 0x0200."""
+        scanlines = bytes([1, 0x00, 0xFF, 0x01, 0x01])
+        out = decode_image(_make_png_raw(2, 1, 0, scanlines, bit_depth=16))
+        assert np.array_equal(out, np.array([[0x00FF, 0x0100]], np.uint16))
+
+    def test_png16_rgb_rgba_roundtrip_random(self):
+        rng = np.random.default_rng(13)
+        for color_type, ch in ((0, 1), (2, 3), (4, 2), (6, 4)):
+            shape = (5, 7) if ch == 1 else (5, 7, ch)
+            img = rng.integers(0, 65536, size=shape, dtype=np.uint16)
+            flat = img.reshape(5, -1)
+            scan = b"".join(
+                b"\x00" + flat[y].astype(">u2").tobytes() for y in range(5)
+            )
+            out = decode_image(
+                _make_png_raw(7, 5, color_type, scan, bit_depth=16)
+            )
+            assert out.dtype == np.uint16
+            assert np.array_equal(out, img), color_type
+
+    def test_png16_adam7_interlaced(self):
+        """2x2 16-bit gray Adam7: passes 1/6/7 carry one, one, and two
+        pixels respectively (pass origins from spec §8.2)."""
+        a, b, c, d = 0x0102, 0x0304, 0x0506, 0x0708
+        scan = (
+            bytes([0]) + struct.pack(">H", a)      # pass 1 → (0,0)
+            + bytes([0]) + struct.pack(">H", b)    # pass 6 → (0,1)
+            + bytes([0]) + struct.pack(">2H", c, d)  # pass 7 → (1,0),(1,1)
+        )
+        out = decode_image(
+            _make_png_raw(2, 2, 0, scan, bit_depth=16, interlace=1)
+        )
+        assert np.array_equal(out, np.array([[a, b], [c, d]], np.uint16))
 
     def test_gif_golden_handpacked_bytes(self):
         # 2x2, 4-entry palette, pixels [0,1,1,0]; the LZW stream below was
@@ -489,3 +543,22 @@ class TestPngAdam7Palette:
         img = decode_image(self._adam7_png(5, 3, lambda x, y: 10 * y + x))
         assert img.shape == (3, 5)
         assert img[2, 4] == 24 and img[0, 0] == 0 and img[1, 3] == 13
+
+
+class TestGrayAndFeatures16:
+    def test_to_gray_16bit_rescales_to_8bit_range(self):
+        from tulflow_spark.ext.media_codecs import to_gray
+
+        g16 = np.array([[0, 0xFFFF], [0x8080, 0x0101]], np.uint16)
+        g = to_gray(g16)
+        assert g.dtype == np.float32
+        assert np.allclose(g, [[0.0, 255.0], [128.0, 1.0]], atol=1e-3)
+
+    def test_to_gray_gray_alpha_uses_luma_channel(self):
+        from tulflow_spark.ext.media_codecs import to_gray
+
+        ga = np.dstack([
+            np.array([[10, 20]], np.uint8),
+            np.array([[255, 0]], np.uint8),
+        ])
+        assert np.array_equal(to_gray(ga), np.array([[10.0, 20.0]], np.float32))

@@ -223,15 +223,17 @@ def _png_paeth(a: int, b: int, c: int) -> int:
 
 
 def _png_defilter(raw: bytes, pos: int, width: int, height: int,
-                  channels: int) -> tuple[np.ndarray, int]:
-    """Defilter ``height`` scanlines of ``width*channels`` bytes starting
-    at ``pos`` → ((height, stride) array, new pos).  Up is vectorized;
-    Sub/Average/Paeth carry an in-row left dependency and run byte-wise
-    (executor-side, bounded by one image)."""
-    stride = width * channels
+                  channels: int, sample_bytes: int = 1) -> tuple[np.ndarray, int]:
+    """Defilter ``height`` scanlines of ``width*channels*sample_bytes``
+    bytes starting at ``pos`` → ((height, stride) byte array, new pos).
+    PNG filtering always operates on BYTES (spec §9: for 16-bit samples the
+    left-predictor distance bpp doubles, the arithmetic stays byte-wise).
+    Up is vectorized; Sub/Average/Paeth carry an in-row left dependency and
+    run byte-wise (executor-side, bounded by one image)."""
+    stride = width * channels * sample_bytes
     if len(raw) < pos + (stride + 1) * height:
         raise UnsupportedMedia("truncated PNG scanline data")
-    bpp = channels
+    bpp = channels * sample_bytes
     out = np.empty((height, stride), dtype=np.uint8)
     prev = np.zeros(stride, dtype=np.uint8)
     for y in range(height):
@@ -271,10 +273,11 @@ _ADAM7 = [
 
 
 def _decode_png(content: bytes) -> np.ndarray:
-    """8-bit PNG: gray / gray+alpha / RGB / RGBA / PALETTE (PLTE lookup,
-    tRNS → RGBA), non-interlaced AND Adam7-interlaced (seven defiltered
-    sub-images scattered back, spec §8.2) — chunk walk → concatenated-IDAT
-    zlib inflate → per-(sub)image defilter (r4 VERDICT #5 + r5 handoff)."""
+    """8- and 16-bit PNG: gray / gray+alpha / RGB / RGBA / PALETTE (PLTE
+    lookup, tRNS → RGBA; palette is 8-bit by spec), non-interlaced AND
+    Adam7-interlaced (seven defiltered sub-images scattered back, spec
+    §8.2) — chunk walk → concatenated-IDAT zlib inflate → per-(sub)image
+    byte-wise defilter → big-endian sample view (uint8 / uint16 out)."""
     import zlib
 
     if content[:8] != b"\x89PNG\r\n\x1a\n":
@@ -304,10 +307,14 @@ def _decode_png(content: bytes) -> np.ndarray:
     width, height, bit_depth, color_type, comp, filt, interlace = ihdr
     if comp != 0 or filt != 0:
         raise UnsupportedMedia("nonstandard PNG compression/filter method")
-    if bit_depth != 8:
-        raise UnsupportedMedia(f"{bit_depth}-bit PNG not supported (8 only)")
+    if bit_depth not in (8, 16):
+        raise UnsupportedMedia(
+            f"{bit_depth}-bit PNG not supported (8/16 only)"
+        )
     paletted = color_type == 3
     if paletted:
+        if bit_depth == 16:  # spec §11.2.2: palette depth is at most 8
+            raise UnsupportedMedia("16-bit paletted PNG is not valid PNG")
         if plte is None or len(plte) % 3:
             raise UnsupportedMedia("paletted PNG missing/invalid PLTE")
         channels = 1
@@ -315,24 +322,39 @@ def _decode_png(content: bytes) -> np.ndarray:
         channels = _PNG_CHANNELS[color_type]
     else:
         raise UnsupportedMedia(f"PNG color type {color_type} not supported")
+    sample_bytes = bit_depth // 8
+    dtype = np.uint16 if sample_bytes == 2 else np.uint8
+
+    def to_px(flat_u8: np.ndarray, h: int, w: int) -> np.ndarray:
+        """(h, stride) defiltered bytes → (h, w, channels) samples
+        (16-bit samples are big-endian on the wire, spec §7.1)."""
+        if sample_bytes == 2:
+            return (
+                np.ascontiguousarray(flat_u8)
+                .view(">u2")
+                .astype(np.uint16)
+                .reshape(h, w, channels)
+            )
+        return flat_u8.reshape(h, w, channels)
+
     try:
         raw = zlib.decompress(b"".join(idat))
     except zlib.error as exc:
         raise UnsupportedMedia(f"PNG IDAT inflate failed: {exc}") from exc
 
     if interlace == 0:
-        flat, _ = _png_defilter(raw, 0, width, height, channels)
-        img = flat.reshape(height, width, channels)
+        flat, _ = _png_defilter(raw, 0, width, height, channels, sample_bytes)
+        img = to_px(flat, height, width)
     elif interlace == 1:
-        img = np.zeros((height, width, channels), dtype=np.uint8)
+        img = np.zeros((height, width, channels), dtype=dtype)
         at = 0
         for x0, y0, dx, dy in _ADAM7:
             pw = (width - x0 + dx - 1) // dx
             ph = (height - y0 + dy - 1) // dy
             if pw <= 0 or ph <= 0:
                 continue
-            sub, at = _png_defilter(raw, at, pw, ph, channels)
-            img[y0::dy, x0::dx, :] = sub.reshape(ph, pw, channels)
+            sub, at = _png_defilter(raw, at, pw, ph, channels, sample_bytes)
+            img[y0::dy, x0::dx, :] = to_px(sub, ph, pw)
     else:
         raise UnsupportedMedia(f"PNG interlace method {interlace}")
 
@@ -445,11 +467,16 @@ def decode_audio(content: bytes) -> tuple[np.ndarray, int]:
 
 
 def to_gray(img: np.ndarray) -> np.ndarray:
-    """RGB/gray uint8 → gray float32 (ITU-R 601 luma)."""
+    """RGB(A)/gray(+alpha) uint8/uint16 → gray float32 (ITU-R 601 luma),
+    rescaled to the 0-255 range regardless of input sample depth so every
+    downstream feature (histograms etc.) sees one scale."""
+    scale = np.float32(257.0) if img.dtype == np.uint16 else np.float32(1.0)
     if img.ndim == 2:
-        return img.astype(np.float32)
+        return img.astype(np.float32) / scale
+    if img.shape[2] < 3:  # gray or gray+alpha planes: luma = channel 0
+        return img[:, :, 0].astype(np.float32) / scale
     w = np.array([0.299, 0.587, 0.114], dtype=np.float32)
-    return img[:, :, :3].astype(np.float32) @ w
+    return (img[:, :, :3].astype(np.float32) @ w) / scale
 
 
 def resize_area(img: np.ndarray, out_w: int, out_h: int) -> np.ndarray:
