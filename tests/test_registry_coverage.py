@@ -54,28 +54,21 @@ def test_gate_budget():
     assert all(n not in ORACLE for n in names[n_pairs:])
 
 
-def test_r5_rotation_promotes_never_adjudicated_pairs():
-    """r4 VERDICT #1: every oracle pair absent from CORRECTNESS_r01..r04
-    must hold a driver-gate slot this round (37 of them)."""
+def test_r6_rotation_promotes_never_adjudicated_pairs():
+    """r5 VERDICT #1: every query never adjudicated in CORRECTNESS_r01..r05
+    (31 of them, plus anything registered this round) must hold a
+    driver-gate slot this round."""
     import json
     import pathlib
 
     root = pathlib.Path(__file__).resolve().parent.parent
     ever: set[str] = set()
-    for p in root.glob("CORRECTNESS_r0[1-4].json"):
+    for p in root.glob("CORRECTNESS_r0[1-5].json"):
         ever |= set(json.loads(p.read_text()))
     never = (set(QUERIES) | set(EXTRA_QUERIES)) - ever
-    # Pairs added AFTER the r5 rotation can't displace the promoted set
-    # (the gate budget is a hard 50): they run in the local parity suite
-    # this round and queue for the r6 rotation.
-    added_post_rotation = {n for n in never if n.split("_")[0] in {
-        "q02", "q07", "q08", "q09", "q11", "q13", "q15", "q18", "q20",
-        "q21", "q22", "url1", "tr1", "tx12", "dd10", "pr1", "cdc2", "zo1", "a12", "q14", "tx13", "pg1", "cur5", "w5", "w6", "mm1", "mm2", "mm3", "mm4", "mm5", "mm6", "mx6",
-    }}
-    never -= added_post_rotation
     assert never <= set(QUERIES), (
         f"never-adjudicated but de-gated: {sorted(never - set(QUERIES))}"
     )
-    # the r4 verdict's ">=35 previously-ungated" is relative to the r4 gate
-    r4 = set(json.loads((root / "CORRECTNESS_r04.json").read_text()))
-    assert len(set(QUERIES) - r4) >= 35
+    # at least the 31 r5-verdict names + mx7 must be newly gated vs r5
+    r5 = set(json.loads((root / "CORRECTNESS_r05.json").read_text()))
+    assert len(set(QUERIES) - r5) >= 32
