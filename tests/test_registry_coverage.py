@@ -66,6 +66,13 @@ def test_r6_rotation_promotes_never_adjudicated_pairs():
     for p in root.glob("CORRECTNESS_r0[1-5].json"):
         ever |= set(json.loads(p.read_text()))
     never = (set(QUERIES) | set(EXTRA_QUERIES)) - ever
+    # Queries added AFTER the r6 rotation froze can't displace the
+    # promoted set (the gate budget is a hard 50): they run in the local
+    # parity suite this round and queue for the r7 rotation.
+    added_post_rotation = {
+        "ss9_ivfpq_topk",
+    }
+    never -= added_post_rotation
     assert never <= set(QUERIES), (
         f"never-adjudicated but de-gated: {sorted(never - set(QUERIES))}"
     )

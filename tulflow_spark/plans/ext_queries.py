@@ -482,6 +482,29 @@ def ss8_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _pq.pq_topk(enc, cb, vec, k=10, rerank=50)
 
 
+@register("ss9_ivfpq_topk")  # lossy quantization → rows-only;
+# overlap@10 >= 0.5 (6/8 probes, 50-candidate exact re-rank) is pinned by
+# tests/test_ivfpq.py::test_ivfpq_overlap_vs_brute_force; probe pruning,
+# the IP-ADC offset decomposition, and byte-for-byte index determinism
+# under repartition are pinned by the other three tests there
+def ss9_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-PQ / IVFADC (Jégou et al. 2011 §V): deterministic coarse
+    quantizer (ext.kmeans) prunes the corpus to 6 of 8 probed clusters,
+    a residual PQ codebook scores candidates from 8-byte codes via one
+    shared ADC LUT + per-cluster q·centroid offsets (pure JVM aggregate),
+    exact re-rank of the top 50 — the billion-scale ANN composition of
+    ss4's partition pruning and ss8's scan compression."""
+    from tulflow_spark.ext.ivfpq import build_ivfpq, ivfpq_topk
+
+    emb = table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    vec = similarity.query_vector(emb, "vec_id", "embedding", 0)
+    idx = build_ivfpq(
+        emb.filter(F.col("vec_id") != 0),
+        n_clusters=8, dim=64, m=8, ksub=16, max_iter=3,
+    )
+    return ivfpq_topk(idx, vec, k=10, n_probes=6, rerank=50)
+
+
 @register("ss7_kmeans_fit")  # iterative model fit → rows-only;
 # production-vs-parity assignment agreement is pinned by tests/test_kmeans.py
 def ss7_kmeans_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
