@@ -71,6 +71,9 @@ def test_r6_rotation_promotes_never_adjudicated_pairs():
     # parity suite this round and queue for the r7 rotation.
     added_post_rotation = {
         "ss9_ivfpq_topk",
+        "ss10_int8_quant",
+        "mx8_temperature_mix",
+        "pr2_drift_psi",
     }
     never -= added_post_rotation
     assert never <= set(QUERIES), (

@@ -17,7 +17,13 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 import duckdb  # noqa: E402
 
 from tests.compare import normalize  # noqa: E402
-from tulflow_spark.plans import ORACLE, QUERIES, load_all  # noqa: E402
+from tulflow_spark.plans import (  # noqa: E402
+    EXTRA_ORACLE,
+    EXTRA_QUERIES,
+    ORACLE,
+    QUERIES,
+    load_all,
+)
 from tulflow_spark.session import get_spark  # noqa: E402
 
 TABLES = (
@@ -39,7 +45,15 @@ def main() -> None:
             f"read_parquet('{sf_dir}/{t}.parquet')"
         )
     bad = []
-    for name, fn in QUERIES.items():
+    # gated queries by default; explicit names may come from EXTRA too
+    pool = dict(QUERIES)
+    oracles = dict(ORACLE)
+    if only:
+        pool.update({n: EXTRA_QUERIES[n] for n in only if n in EXTRA_QUERIES})
+        oracles.update(
+            {n: EXTRA_ORACLE[n] for n in only if n in EXTRA_ORACLE}
+        )
+    for name, fn in pool.items():
         if only and name not in only:
             continue
         t0 = time.perf_counter()
@@ -49,12 +63,12 @@ def main() -> None:
             print(f"FAIL {name}: spark error {exc}")
             bad.append(name)
             continue
-        if name not in ORACLE:
+        if name not in oracles:
             print(f"rows {name}: {len(sdf)} rows "
                   f"({time.perf_counter() - t0:.1f}s)")
             continue
         try:
-            odf = con.sql(ORACLE[name]).df()
+            odf = con.sql(oracles[name]).df()
         except Exception as exc:
             print(f"FAIL {name}: oracle error {exc}")
             bad.append(name)

@@ -328,3 +328,77 @@ def quality_mix_approx(
         .filter(F.col("rk") <= per_bucket)
         .drop("rk")
     )
+
+
+def temperature_rates(
+    scored: DataFrame,
+    group_col: str,
+    token_col: str,
+    budget_tokens: float,
+    temperature: float = 2.0,
+) -> dict[str, float]:
+    """Temperature-scaled domain sampling rates (the multilingual /
+    multi-source mixing recipe: weight_d ∝ p_d^(1/T), concentrating or
+    flattening the natural distribution — T=1 keeps it, T→∞ is uniform):
+
+        s_d    = round(n_docs_d ^ (1/T), 9)
+        S      = Σ_d decimal(s_d)                (order-insensitive, exact)
+        rate_d = min(1, round(((budget · s_d) / S) / tokens_d, 9))
+
+    The arithmetic runs IN SPARK (one job over a #domains-sized frame) so
+    every rounding step is the engine ROUND that the DuckDB oracles mirror
+    exactly; the returned dict is a model-sized driver value feeding
+    :func:`hash_sample`.  The default T=2 makes the power a correctly-
+    rounded IEEE sqrt on every engine."""
+    if temperature <= 0:
+        raise ValueError(f"temperature must be > 0, got {temperature}")
+    st = scored.groupBy(group_col).agg(
+        F.count(F.lit(1)).alias("_n"),
+        F.sum(F.col(token_col).cast("long")).alias("_tok"),
+    )
+    if temperature == 2.0:  # sqrt is correctly rounded IEEE; pow is not
+        s9 = F.round(F.sqrt(F.col("_n").cast("double")), 9)
+    else:
+        s9 = F.round(
+            F.pow(F.col("_n").cast("double"), 1.0 / temperature), 9
+        )
+    sq = st.withColumn("_s9", s9)
+    total = sq.agg(
+        F.sum(F.col("_s9").cast("decimal(30,9)")).cast("double").alias("_S")
+    )
+    rows = (
+        sq.crossJoin(F.broadcast(total))
+        .withColumn(
+            "_rate",
+            F.least(
+                F.lit(1.0),
+                F.round(
+                    ((F.lit(float(budget_tokens)) * F.col("_s9"))
+                     / F.col("_S"))
+                    / F.col("_tok").cast("double"),
+                    9,
+                ),
+            ),
+        )
+        .select(group_col, "_rate")
+        .collect()
+    )
+    return {r[group_col]: float(r["_rate"]) for r in rows}
+
+
+def temperature_mix(
+    df: DataFrame,
+    id_col: str,
+    group_col: str,
+    token_col: str,
+    budget_tokens: float,
+    temperature: float = 2.0,
+) -> DataFrame:
+    """Temperature-scaled mixing end to end: derive per-domain rates
+    (:func:`temperature_rates`) and apply them with the deterministic
+    hash-threshold sampler (:func:`hash_sample`) — map-only selection, no
+    RNG, engine-reproducible byte-for-byte."""
+    rates = temperature_rates(
+        df, group_col, token_col, budget_tokens, temperature
+    )
+    return hash_sample(df, id_col, group_col, rates, default_rate=0.0)

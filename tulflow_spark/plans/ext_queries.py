@@ -1680,3 +1680,170 @@ def mx7_quality_mix_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("n_bigrams").alias("total_bigrams"),
         F.min("doc_id").alias("min_doc_id"),
     )
+
+
+@register(
+    "ss10_int8_quant",
+    oracle="""
+    WITH flat AS (
+      SELECT vec_id,
+             CAST(unnest(embedding) AS DOUBLE) AS val,
+             generate_subscripts(embedding, 1) AS pos
+      FROM embeddings
+    ), mm AS (
+      SELECT pos, MIN(val) AS mn, (MAX(val) - MIN(val)) / 255 AS scale
+      FROM flat GROUP BY pos
+    ), coded AS (
+      SELECT f.vec_id, f.val, mm.mn, mm.scale,
+             CASE WHEN mm.scale = 0 THEN 0
+                  ELSE CAST(FLOOR((f.val - mm.mn) / mm.scale + 0.5) AS INT)
+             END AS code
+      FROM flat f JOIN mm USING (pos)
+    )
+    SELECT vec_id,
+           CAST(SUM(code) AS BIGINT) AS code_sum,
+           ROUND(MAX(ABS((mn + (CAST(code AS DOUBLE) * scale)) - val)), 9)
+             AS max_abs_err
+    FROM coded
+    GROUP BY vec_id
+    """,
+)
+def ss10_int8_quant(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Int8 scalar quantization of the embedding column (ext/quant.py):
+    one min/max fit pass (d-row model), then pure-JVM affine encoding with
+    the exact per-vector max reconstruction error.  Every arithmetic step
+    (scale = (mx-mn)/255, code = floor((x-mn)/scale + 0.5), recon error)
+    is IEEE-deterministic and mirrored op-for-op in the DuckDB oracle —
+    the codes are engine-reproducible byte-for-byte, which is what makes a
+    quantized 100 TB embedding store auditable."""
+    from tulflow_spark.ext.quant import fit_minmax, quantize
+
+    emb = table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    mins, maxs = fit_minmax(emb)
+    coded = quantize(emb, mins, maxs)
+    return coded.select(
+        "vec_id",
+        F.aggregate(
+            "q_codes", F.lit(0).cast("bigint"), lambda a, c: a + c
+        ).alias("code_sum"),
+        F.round(F.col("max_abs_err"), 9).alias("max_abs_err"),
+    )
+
+
+@register(
+    "mx8_temperature_mix",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id, source, len({_TOKS}) AS n_tok FROM documents
+    ), st AS (
+      SELECT source, COUNT(*) AS n_docs,
+             CAST(SUM(n_tok) AS BIGINT) AS tok_d
+      FROM toks GROUP BY source
+    ), sq AS (
+      SELECT source, tok_d,
+             ROUND(SQRT(CAST(n_docs AS DOUBLE)), 9) AS s9
+      FROM st
+    ), tot AS (
+      SELECT CAST(SUM(CAST(s9 AS DECIMAL(30,9))) AS DOUBLE) AS S FROM sq
+    ), rt AS (
+      SELECT source,
+             LEAST(1.0,
+                   ROUND(((20000.0 * s9) / S) / CAST(tok_d AS DOUBLE), 9))
+               AS rate
+      FROM sq CROSS JOIN tot
+    ), th AS (
+      SELECT source,
+             CASE WHEN rate >= 1.0 THEN 'g'
+                  ELSE lpad(lower(to_hex(CAST(FLOOR(rate * 4294967296.0)
+                                              AS BIGINT))), 8, '0')
+             END AS thr
+      FROM rt
+    ), sel AS (
+      SELECT t.doc_id, t.source, t.n_tok
+      FROM toks t JOIN th USING (source)
+      WHERE substr({_OK}, 1, 8) < thr
+    )
+    SELECT source,
+           COUNT(*) AS n_docs,
+           CAST(SUM(n_tok) AS BIGINT) AS total_tokens
+    FROM sel GROUP BY source
+    """,
+)
+def mx8_temperature_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-scaled domain mixing (weight_d ∝ p_d^(1/T), T=2): the
+    standard recipe for flattening a skewed multi-source corpus toward a
+    token budget.  Rates are derived in Spark (sqrt is correctly-rounded
+    IEEE on every engine; the two ROUND(…,9) steps are the proven
+    cross-engine pair), then applied via the deterministic md5-threshold
+    sampler — map-only selection, rates are a #domains-sized driver model.
+    The oracle re-derives the rates and the exact sample independently."""
+    from tulflow_spark.ext.mixing import temperature_mix
+
+    docs = table(spark, sf_dir, "documents").select(
+        "doc_id",
+        "source",
+        F.size(F.split(F.trim(F.col("text")), r"\s+")).alias("n_tok"),
+    )
+    picked = temperature_mix(
+        docs, "doc_id", "source", "n_tok", budget_tokens=20000.0
+    )
+    return picked.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(F.col("n_tok").cast("long")).alias("total_tokens"),
+    )
+
+
+@register(
+    "pr2_drift_psi",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id,
+             CAST(doc_id % 2 AS INT) AS split,
+             LEAST(9, CAST(FLOOR(len({_TOKS}) / 20) AS INT)) AS bucket
+      FROM documents
+    ), counts AS (
+      SELECT bucket,
+             CAST(SUM(CASE WHEN split = 0 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_a,
+             CAST(SUM(CASE WHEN split = 1 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_b
+      FROM toks GROUP BY bucket
+    ), spine AS (
+      SELECT CAST(range AS INT) AS bucket FROM range(10)
+    ), filled AS (
+      SELECT s.bucket,
+             COALESCE(c.n_a, 0) AS n_a,
+             COALESCE(c.n_b, 0) AS n_b
+      FROM spine s LEFT JOIN counts c USING (bucket)
+    ), tot AS (
+      SELECT CAST(SUM(n_a) AS DOUBLE) AS ta,
+             CAST(SUM(n_b) AS DOUBLE) AS tb
+      FROM filled
+    )
+    SELECT bucket, n_a, n_b,
+           ROUND(
+             ((CAST(n_a + 1 AS DOUBLE) / (ta + 10.0))
+              - (CAST(n_b + 1 AS DOUBLE) / (tb + 10.0)))
+             * LN((CAST(n_a + 1 AS DOUBLE) / (ta + 10.0))
+                  / (CAST(n_b + 1 AS DOUBLE) / (tb + 10.0))),
+             9) AS term
+    FROM filled CROSS JOIN tot
+    """,
+)
+def pr2_drift_psi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus drift monitor (ext/monitor.py): PSI terms between the two
+    doc_id-parity halves of the corpus over token-count deciles-by-width
+    (bucket = min(9, n_tokens/20), Laplace-smoothed).  The two halves of a
+    uniform corpus should sit near PSI 0 — the query exposes the
+    per-bucket terms the health check sums.  Shuffle: ≤ 2×10 rows after
+    map-side partials; totals broadcast from the shared counts subtree."""
+    from tulflow_spark.ext.monitor import psi_table
+
+    docs = table(spark, sf_dir, "documents").select(
+        (F.col("doc_id") % 2).alias("split"),
+        F.least(
+            F.lit(9),
+            (F.size(F.split(F.trim(F.col("text")), r"\s+")) / 20).cast("int"),
+        ).alias("bucket"),
+    )
+    return psi_table(docs, "split", "bucket", n_buckets=10)
