@@ -74,6 +74,7 @@ def test_r6_rotation_promotes_never_adjudicated_pairs():
         "ss10_int8_quant",
         "mx8_temperature_mix",
         "pr2_drift_psi",
+        "j6_range_join",
     }
     never -= added_post_rotation
     assert never <= set(QUERIES), (

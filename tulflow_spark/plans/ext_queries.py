@@ -1847,3 +1847,58 @@ def pr2_drift_psi(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("bucket"),
     )
     return psi_table(docs, "split", "bucket", n_buckets=10)
+
+
+@register(
+    "j6_range_join",
+    oracle=f"""
+    WITH pts AS (
+      SELECT datediff('day', DATE '1992-01-01', CAST(l_shipdate AS DATE))
+               AS day,
+             l_quantity
+      FROM lineitem
+    ), win AS (
+      SELECT o_orderkey AS window_id,
+             datediff('day', DATE '1992-01-01', CAST(o_orderdate AS DATE))
+               AS w_start
+      FROM orders WHERE o_orderkey % 97 = 0
+    )
+    SELECT window_id,
+           COUNT(*) AS n_points,
+           {dsum_sql('l_quantity')} AS total_qty
+    FROM pts JOIN win
+      ON day >= w_start AND day < w_start + 7
+    GROUP BY window_id
+    """,
+)
+def j6_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interval (range) join via bucketization (operators/rangejoin.py):
+    every lineitem shipment day joined to the 7-day promo windows opened
+    by sampled orders, then per-window counts.  The naive BETWEEN join is
+    a BroadcastNestedLoopJoin (O(|P|·|I|)); the bucket rewrite replicates
+    each interval to ceil(7/W)=1 bucket rows and equi-joins — a plain
+    hash join, AQE/skew/broadcast eligible (no-nested-loop plan pinned).
+    The oracle runs the naive BETWEEN join, proving the rewrite exact."""
+    from tulflow_spark.functions import dsum
+    from tulflow_spark.operators.rangejoin import interval_join
+
+    base = F.to_date(F.lit("1992-01-01"))
+    pts = table(spark, sf_dir, "lineitem").select(
+        F.datediff(F.to_date("l_shipdate"), base).alias("day"),
+        "l_quantity",
+    )
+    win = (
+        table(spark, sf_dir, "orders")
+        .filter(F.col("o_orderkey") % 97 == 0)
+        .select(
+            F.col("o_orderkey").alias("window_id"),
+            F.datediff(F.to_date("o_orderdate"), base).alias("w_start"),
+        )
+        .withColumn("w_end", F.col("w_start") + 7)
+    )
+    joined = interval_join(pts, win, "day", "w_start", "w_end",
+                           bucket_width=7)
+    return joined.groupBy("window_id").agg(
+        F.count(F.lit(1)).alias("n_points"),
+        dsum("l_quantity", "total_qty"),
+    )
