@@ -75,6 +75,7 @@ def test_r6_rotation_promotes_never_adjudicated_pairs():
         "mx8_temperature_mix",
         "pr2_drift_psi",
         "j6_range_join",
+        "cdc3_scd2_history",
     }
     never -= added_post_rotation
     assert never <= set(QUERIES), (

@@ -284,3 +284,77 @@ def test_aqe_splits_skewed_join_partitions(spark):
                 spark.conf.unset(k)
             else:
                 spark.conf.set(k, v)
+
+
+def test_scd2_history_semantics(spark):
+    """Hand-checked SCD2: no-op coalescing, delete closes without opening,
+    re-insert after delete opens a new version, is_current only on the
+    open latest non-deleted version."""
+    from tulflow_spark.operators.cdc import scd2_history
+
+    log = spark.createDataFrame(
+        [
+            # key A: v1 -> noop -> v2 -> delete -> re-insert
+            ("A", 1, "x", "I"),
+            ("A", 2, "x", "U"),   # no-op: same payload+op class? op differs I/U -> kept
+            ("A", 3, "y", "U"),
+            ("A", 4, "y", "D"),
+            ("A", 5, "z", "I"),
+            # key B: single live version
+            ("B", 1, "q", "I"),
+            # key C: deleted at the end -> nothing current
+            ("C", 1, "r", "I"),
+            ("C", 2, "r", "D"),
+        ],
+        "k string, seq int, v string, op string",
+    )
+    got = {
+        (r["k"], r["valid_from"]): (r["v"], r["valid_to"], r["is_current"])
+        for r in scd2_history(
+            log, ["k"], ["seq"], ["v"], op_col="op"
+        ).collect()
+    }
+    # A: ('x' I at 1) then ('x' U at 2) differ in op -> both versions kept
+    assert got[("A", 1)] == ("x", 2, False)
+    assert got[("A", 2)] == ("x", 3, False)
+    assert got[("A", 3)] == ("y", 4, False)   # closed by the delete
+    assert got[("A", 5)] == ("z", None, True)
+    assert got[("B", 1)] == ("q", None, True)
+    assert got[("C", 1)] == ("r", 2, False)
+    assert ("C", 2) not in got                # delete rows emit no version
+    assert len(got) == 6
+
+
+def test_scd2_noop_coalesces_identical_updates(spark):
+    from tulflow_spark.operators.cdc import scd2_history
+
+    log = spark.createDataFrame(
+        [("A", 1, "x", "U"), ("A", 2, "x", "U"), ("A", 3, "x", "U"),
+         ("A", 4, "y", "U")],
+        "k string, seq int, v string, op string",
+    )
+    got = sorted(
+        (r["valid_from"], r["valid_to"])
+        for r in scd2_history(log, ["k"], ["seq"], ["v"], op_col="op")
+        .collect()
+    )
+    # the three identical x-updates collapse to ONE version [1, 4)
+    assert got == [(1, 4), (4, None)]
+
+
+def test_scd2_single_exchange(spark):
+    """Both windows partition on the key: the plan must contain exactly
+    one hash-partitioning exchange (the second sort reuses it)."""
+    from tulflow_spark.operators.cdc import scd2_history
+
+    log = spark.createDataFrame(
+        [("A", i, f"v{i//3}", "U") for i in range(12)],
+        "k string, seq int, v string, op string",
+    )
+    plan = (
+        scd2_history(log, ["k"], ["seq"], ["v"], op_col="op")
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert plan.count("Exchange hashpartitioning") == 1, plan

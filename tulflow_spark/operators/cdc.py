@@ -67,3 +67,63 @@ def merge_upsert(
     kept = base.join(chg_keys, keys, "left_anti")
     applied = changes.filter(F.col(op_col) != "D").select(*cols)
     return kept.unionByName(applied)
+
+
+def scd2_history(
+    changes: DataFrame,
+    keys: list[str],
+    order_by: list[str],
+    payload: list[str],
+    op_col: str | None = None,
+    drop_noop: bool = True,
+) -> DataFrame:
+    """Slowly-changing-dimension TYPE 2 history from a keyed change log:
+    one row per version with its validity interval — the
+    dimension-history pattern a lakehouse MERGE maintains incrementally,
+    derived here in one pass over the full log.
+
+    Output = key + payload + ``valid_from`` (the first ``order_by``
+    column), ``valid_to`` (the next version's valid_from; NULL while
+    open) and ``is_current``.  With ``op_col`` (values I/U/D), a D row
+    CLOSES the previous version's interval without opening one.  With
+    ``drop_noop``, an update carrying an identical payload (and op) to
+    its predecessor is removed first, so versions always represent real
+    changes and their intervals coalesce.
+
+    Scale: both windows partition on the key — ONE hash exchange (the
+    second window reuses the first's partitioning/sort), per-key cost
+    linear in versions; AQE skew handling applies to the exchange.
+    """
+    w = Window.partitionBy(*keys).orderBy(*order_by)
+    sig_cols = payload + ([op_col] if op_col else [])
+    out = changes
+    if drop_noop:
+        same_as_prev = F.lit(True)
+        for c in sig_cols:
+            same_as_prev = same_as_prev & F.lag(c).over(w).eqNullSafe(
+                F.col(c)
+            )
+        # first row per key has lag NULL on every column: eqNullSafe is
+        # only True when the value is also NULL, so guard explicitly
+        is_first = F.row_number().over(w) == 1
+        out = (
+            out.withColumn("_noop", ~is_first & same_as_prev)
+            .filter(~F.col("_noop"))
+            .drop("_noop")
+        )
+    w2 = Window.partitionBy(*keys).orderBy(*order_by)
+    vf = F.col(order_by[0])
+    vt = F.lead(order_by[0]).over(w2)
+    out = out.select(
+        *keys,
+        *payload,
+        vf.alias("valid_from"),
+        vt.alias("valid_to"),
+        (vt.isNull()
+         & (F.col(op_col) != "D" if op_col else F.lit(True))
+         ).alias("is_current"),
+        *([op_col] if op_col else []),
+    )
+    if op_col:
+        out = out.filter(F.col(op_col) != "D").drop(op_col)
+    return out

@@ -1902,3 +1902,56 @@ def j6_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_points"),
         dsum("l_quantity", "total_qty"),
     )
+
+
+@register(
+    "cdc3_scd2_history",
+    oracle="""
+    WITH log AS (
+      SELECT CAST(o_custkey % 100 AS BIGINT) AS cust_bucket,
+             o_orderkey AS seq,
+             o_orderpriority AS prio,
+             CASE WHEN o_orderkey % 53 = 0 THEN 'D' ELSE 'U' END AS op
+      FROM orders
+    ), dedup AS (
+      SELECT * FROM (
+        SELECT *,
+               (prio IS NOT DISTINCT FROM
+                  LAG(prio) OVER (PARTITION BY cust_bucket ORDER BY seq))
+               AND (op IS NOT DISTINCT FROM
+                  LAG(op) OVER (PARTITION BY cust_bucket ORDER BY seq))
+               AND ROW_NUMBER() OVER (
+                     PARTITION BY cust_bucket ORDER BY seq) > 1 AS noop
+        FROM log
+      ) WHERE NOT noop
+    ), versioned AS (
+      SELECT cust_bucket, prio, op,
+             seq AS valid_from,
+             LEAD(seq) OVER (
+               PARTITION BY cust_bucket ORDER BY seq) AS valid_to
+      FROM dedup
+    )
+    SELECT cust_bucket, prio, valid_from, valid_to,
+           (valid_to IS NULL AND op <> 'D') AS is_current
+    FROM versioned WHERE op <> 'D'
+    """,
+)
+def cdc3_scd2_history(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SCD TYPE 2 dimension history (operators/cdc.py::scd2_history): the
+    orders table viewed as a change log (key = customer bucket, sequence
+    = orderkey, payload = priority, every 53rd order a delete) compiled
+    into versioned validity intervals with no-op coalescing.  One hash
+    exchange on the key; the oracle derives the same history with
+    LAG/LEAD windows independently."""
+    from tulflow_spark.operators.cdc import scd2_history
+
+    log = table(spark, sf_dir, "orders").select(
+        (F.col("o_custkey") % 100).cast("long").alias("cust_bucket"),
+        F.col("o_orderkey").alias("seq"),
+        F.col("o_orderpriority").alias("prio"),
+        F.when(F.col("o_orderkey") % 53 == 0, "D").otherwise("U").alias("op"),
+    )
+    return scd2_history(
+        log, keys=["cust_bucket"], order_by=["seq"],
+        payload=["prio"], op_col="op",
+    )
