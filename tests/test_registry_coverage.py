@@ -76,6 +76,7 @@ def test_r6_rotation_promotes_never_adjudicated_pairs():
         "pr2_drift_psi",
         "j6_range_join",
         "cdc3_scd2_history",
+        "zo2_zorder3_layout",
     }
     never -= added_post_rotation
     assert never <= set(QUERIES), (

@@ -143,3 +143,38 @@ def test_write_zordered_rejects_overflowing_keys(spark, tmp_path):
     # bits=None derives resolution from the data and succeeds
     write_zordered(df, str(tmp_path / "z2"), "x", "y", n_files=4)
     assert spark.read.parquet(str(tmp_path / "z2")).count() == 70000
+
+
+def test_zvalue_n_matches_zvalue_for_two_dims(spark):
+    from tulflow_spark.operators.zorder import zvalue, zvalue_n
+
+    df = spark.range(64).selectExpr("id AS x", "id * 7 % 64 AS y")
+    got = df.select(
+        (zvalue("x", "y") == zvalue_n(["x", "y"])).alias("eq")
+    ).collect()
+    assert all(r["eq"] for r in got)
+
+
+def test_zvalue_n_three_dims_hand_computed(spark):
+    """(x,y,w)=(1,0,0)->bit0 ; (0,1,0)->bit1 ; (0,0,1)->bit2 ;
+    (2,3,1) -> x bit1 -> pos 3 (8), y bits {0,1} -> pos 1,4 (2+16),
+    w bit0 -> pos 2 (4): z = 8+2+16+4 = 30."""
+    from tulflow_spark.operators.zorder import zvalue_n
+
+    df = spark.createDataFrame(
+        [(1, 0, 0), (0, 1, 0), (0, 0, 1), (2, 3, 1)],
+        "x int, y int, w int",
+    )
+    got = [r[0] for r in df.select(zvalue_n(["x", "y", "w"])).collect()]
+    assert got == [1, 2, 4, 30]
+
+
+def test_zvalue_n_validates(spark):
+    import pytest
+
+    from tulflow_spark.operators.zorder import zvalue_n
+
+    with pytest.raises(ValueError, match=">= 2"):
+        zvalue_n(["x"])
+    with pytest.raises(ValueError, match="63"):
+        zvalue_n(["a", "b", "c", "d"], bits=16)

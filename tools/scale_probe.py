@@ -44,7 +44,9 @@ def main() -> None:
     spark.sparkContext.setLogLevel("ERROR")
     load_all()
     allq = {**QUERIES, **EXTRA_QUERIES, "ss6_autok": _ss6_autok}
-    probe = [n for n in (*PROBE, "ss6_autok") if only is None or n in only]
+    # an explicit name list probes exactly those queries (any registry
+    # entry), not just the default bucket-cap five
+    probe = sorted(only & set(allq)) if only else [*PROBE, "ss6_autok"]
 
     out: dict[str, dict] = {"metric": "scale_probe"}
     rows: dict[str, dict] = {}

@@ -309,7 +309,13 @@ def quality_mix_approx(
     a pure map-side comparison against broadcast literals, and the per-
     bucket exact-k pick is the same hash-ordered window.  Bucket sizes are
     approximate near threshold ties (the accuracy knob bounds it); the
-    selection within each bucket is exact."""
+    selection within each bucket is exact.
+
+    This is a TWO-pass operator over ``scored`` (threshold sketch, then
+    bucket+select).  When scoring is expensive (e.g. the bigram-LM
+    pipeline feeding mx7), persist/checkpoint ``scored`` before calling —
+    at 100 TB the scored frame is (id, score) rows, cheap to materialize
+    next to re-deriving it from document bodies."""
     from pyspark.sql import Window
 
     probs = [i / n_buckets for i in range(1, n_buckets)]

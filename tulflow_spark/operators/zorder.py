@@ -122,3 +122,39 @@ def write_zordered(
         .write.mode("overwrite")
         .parquet(path)
     )
+
+
+def zvalue_n(cols: list[Column | str], bits: int = BITS) -> Column:
+    """N-dimensional Morton interleave (dimension i occupies bit positions
+    ``j*n + i``): the generalization :func:`zvalue` is the n=2 case of.
+    Same JVM bit-algebra shape — n*bits shiftleft/add terms, codegen-
+    friendly, no UDF.  Same range contract: only the low ``bits`` bits of
+    each key participate (callers validate, as in write_zordered)."""
+    n = len(cols)
+    if n < 2:
+        raise ValueError("zvalue_n needs >= 2 key columns")
+    cs = [
+        (F.col(c) if isinstance(c, str) else c).cast("bigint") for c in cols
+    ]
+    if n * bits > 63:
+        raise ValueError(
+            f"{n} dims x {bits} bits = {n * bits} > 63 z-value bits"
+        )
+    one = F.lit(1)
+    out = F.lit(0).cast("bigint")
+    for j in range(bits):
+        for i, c in enumerate(cs):
+            out = out + F.shiftleft(
+                F.shiftright(c, j).bitwiseAND(one), j * n + i
+            )
+    return out
+
+
+def zvalue_n_sql(cols: list[str], bits: int = BITS) -> str:
+    """DuckDB mirror of :func:`zvalue_n` (same term expansion)."""
+    n = len(cols)
+    terms = []
+    for j in range(bits):
+        for i, c in enumerate(cols):
+            terms.append(f"((({c} >> {j}) & 1) << {j * n + i})")
+    return "(" + " | ".join(terms) + ")"

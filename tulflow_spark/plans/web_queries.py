@@ -301,6 +301,49 @@ from tulflow_spark.operators.zorder import zvalue_sql as _zv_sql  # noqa: E402
 """
 
 
+@register("zo2_zorder3_layout")
+def zo2_zorder3_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """THREE-dimensional Morton clustering quality (zvalue_n, the n-dim
+    generalization of zo1): lineitem keyed by (l_partkey, l_suppkey,
+    l_orderkey % 256), bucketed by z-prefix with per-bucket bounding
+    boxes on all three dims — the layout a three-predicate workload
+    would write.  Pure JVM bit algebra, mirrored term-for-term in SQL."""
+    from tulflow_spark.operators.zorder import zvalue_n
+
+    li = table(spark, sf_dir, "lineitem").select(
+        F.col("l_partkey").cast("bigint").alias("x"),
+        F.col("l_suppkey").cast("bigint").alias("y"),
+        (F.col("l_orderkey") % 256).cast("bigint").alias("w"),
+    )
+    z = zvalue_n(["x", "y", "w"])
+    return (
+        li.withColumn("zbucket", F.shiftright(z, 24))
+        .groupBy("zbucket")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.min("x").alias("min_x"), F.max("x").alias("max_x"),
+            F.min("y").alias("min_y"), F.max("y").alias("max_y"),
+            F.min("w").alias("min_w"), F.max("w").alias("max_w"),
+        )
+    )
+
+
+from tulflow_spark.operators.zorder import zvalue_n_sql as _zvn_sql  # noqa: E402
+
+(_O if "zo2_zorder3_layout" in _G else _EO)["zo2_zorder3_layout"] = f"""
+    WITH keyed AS (
+      SELECT l_partkey AS x, l_suppkey AS y, l_orderkey % 256 AS w
+      FROM lineitem
+    )
+    SELECT ({_zvn_sql(['x', 'y', 'w'])} >> 24) AS zbucket,
+           COUNT(*) AS n_rows,
+           MIN(x) AS min_x, MAX(x) AS max_x,
+           MIN(y) AS min_y, MAX(y) AS max_y,
+           MIN(w) AS min_w, MAX(w) AS max_w
+    FROM keyed GROUP BY zbucket
+"""
+
+
 @register(
     "tx13_html_extract",
     oracle="""
