@@ -100,3 +100,37 @@ def test_append_to_saved_index_without_retrain(spark, sf_dir, tmp_path):
     hits = loaded.search(v1, k=3, n_probes=8).collect()
     ids = [r.vec_id for r in hits]
     assert 99_999 in ids and 1 in ids  # appended vector is searchable
+
+
+def test_ivfpq_save_load_search_exact(spark, sf_dir, tmp_path):
+    """Loaded IVF-PQ search must equal in-memory search (without rerank —
+    the codes-only store keeps no raw vectors), and the probe filter must
+    prune cluster directories in the scan."""
+    from tulflow_spark.ext.ann_store import load_ivfpq, save_ivfpq
+    from tulflow_spark.ext.ivfpq import build_ivfpq, ivfpq_topk
+    from tulflow_spark.ext.similarity import query_vector
+    from tulflow_spark.io import table
+
+    emb = table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    vec = query_vector(emb, "vec_id", "embedding", 0)
+    idx = build_ivfpq(emb, n_clusters=8, dim=64, m=8, ksub=16, max_iter=2,
+                      keep_vectors=False)
+    mem = [(r["vec_id"], r["pq_score"])
+           for r in ivfpq_topk(idx, vec, k=10, n_probes=4).collect()]
+
+    save_ivfpq(idx, str(tmp_path / "ivfpq"))
+    loaded = load_ivfpq(spark, str(tmp_path / "ivfpq"))
+    got = [(r["vec_id"], r["pq_score"])
+           for r in ivfpq_topk(loaded, vec, k=10, n_probes=4).collect()]
+    assert got == mem
+
+    plan = (
+        ivfpq_topk(loaded, vec, k=10, n_probes=4)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    # the probe filter must reach the scan as a PARTITION filter (pruned
+    # cluster directories), not a post-scan row filter
+    assert "PartitionFilters" in plan
+    assert plan.count("PartitionFilters: []") == 0, plan

@@ -125,3 +125,46 @@ def append_to_ivf_index(
         f"{path}/assigned"
     )
     return n
+
+
+def save_ivfpq(index, path: str) -> None:
+    """Persist an :class:`~tulflow_spark.ext.ivfpq.IvfPqIndex`: the encoded
+    (id, cluster, codes) frame PARTITIONED BY cluster — so a probe of
+    n_probes clusters is a partition-pruned directory scan over m-byte
+    codes, the full serving layout (train once / serve many) — plus the
+    centroid and residual-codebook sidecars."""
+    index.encoded.select(
+        index.id_col, "cluster", "pq_codes"
+    ).write.mode("overwrite").partitionBy("cluster").parquet(
+        f"{path}/codes"
+    )
+    fs, p = fsio.resolve(f"{path}/meta.json")
+    with fs.open_output_stream(p) as out:
+        out.write(json.dumps({
+            "centroids": index.centroids.tolist(),
+            "codebook": index.codebook.tolist(),
+            "id_col": index.id_col,
+            "vec_col": index.vec_col,
+        }).encode("utf-8"))
+
+
+def load_ivfpq(spark: SparkSession, path: str):
+    """Load a served IVF-PQ index: codes come back cluster-partitioned
+    (probe filters prune directories), the model sidecars rebuild the
+    driver-side centroids/codebook.  Loaded search == in-memory search
+    (pinned in tests/test_ann_store.py); exact re-rank is unavailable
+    (codes-only store keeps no raw vectors — rerank against the source
+    table instead)."""
+    from tulflow_spark.ext.ivfpq import IvfPqIndex
+
+    fs, p = fsio.resolve(f"{path}/meta.json")
+    with fs.open_input_stream(p) as stream:
+        meta = json.loads(stream.read().decode("utf-8"))
+    encoded = spark.read.parquet(f"{path}/codes")
+    return IvfPqIndex(
+        centroids=np.asarray(meta["centroids"]),
+        codebook=np.asarray(meta["codebook"]),
+        encoded=encoded,
+        id_col=meta["id_col"],
+        vec_col=meta["vec_col"],
+    )

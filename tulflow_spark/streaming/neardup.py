@@ -40,8 +40,18 @@ _OUT_SCHEMA = "doc_id bigint, dup_of bigint, est_jaccard double"
 _STATE_SCHEMA = "ids array<long>, sigs array<array<long>>"
 
 
-def _update_factory(threshold: float, max_bucket: int):
+def _update_factory(threshold: float, max_bucket: int,
+                    ttl_ms: int | None = None):
     def update(key: tuple[Any, ...], batches, state: GroupState):
+        if ttl_ms is not None and state.hasTimedOut:
+            # idle bucket expired: drop its signatures entirely — the
+            # knob that makes total state corpus-INDEPENDENT (recent
+            # window only) instead of corpus-linear-until-cap
+            state.remove()
+            yield pd.DataFrame(
+                [], columns=["doc_id", "dup_of", "est_jaccard"]
+            )
+            return
         if state.exists:
             ids, sigs = state.get
             ids = list(ids)
@@ -73,6 +83,10 @@ def _update_factory(threshold: float, max_bucket: int):
             ids = ids[-max_bucket:]
             sigs = sigs[-max_bucket:]
         state.update((ids, sigs))
+        if ttl_ms is not None:
+            # sliding idle-expiry: every batch that touches the bucket
+            # re-arms the clock
+            state.setTimeoutDuration(ttl_ms)
         yield pd.DataFrame(
             out_rows, columns=["doc_id", "dup_of", "est_jaccard"]
         )
@@ -89,23 +103,40 @@ def stream_minhash_neardup(
     bands: int = 8,
     threshold: float = 0.8,
     max_bucket: int = 1000,
+    state_ttl_minutes: float | None = None,
 ) -> DataFrame:
     """Document stream → candidate near-dup pairs across ALL micro-batches
     seen so far.  ``threshold`` is on the signature-agreement estimate of
     Jaccard; band/row amplification matches the batch operator (bands ×
-    rows = k)."""
+    rows = k).
+
+    ``state_ttl_minutes`` bounds TOTAL state independently of corpus size:
+    a band bucket idle for that long is evicted wholesale (processing-time
+    timeout), trading recall against very old documents for a
+    recent-window memory footprint — the operational knob SCALE.md §5's
+    probe motivates (without it, state grows linearly with distinct
+    buckets until each hits ``max_bucket``)."""
     rows = k // bands
     sig = minhash_signature(word_shingles(F.col(text_col), n=n), k=k)
     keyed = (
         docs.select(F.col(id_col).alias("doc_id"), sig.alias("_sig"))
         .withColumn("_band", F.explode(band_keys(F.col("_sig"), bands, rows)))
     )
+    ttl_ms = (
+        int(state_ttl_minutes * 60_000)
+        if state_ttl_minutes is not None
+        else None
+    )
     return keyed.groupBy("_band").applyInPandasWithState(
-        _update_factory(threshold, max_bucket),
+        _update_factory(threshold, max_bucket, ttl_ms),
         outputStructType=_OUT_SCHEMA,
         stateStructType=_STATE_SCHEMA,
         outputMode="append",
-        timeoutConf=GroupStateTimeout.NoTimeout,
+        timeoutConf=(
+            GroupStateTimeout.ProcessingTimeTimeout
+            if ttl_ms is not None
+            else GroupStateTimeout.NoTimeout
+        ),
     )
 
 
