@@ -746,6 +746,7 @@ of O(corpus²) (r3 VERDICT: vr1 at full sf0.1 was 48% of bench wall time)."""
       ('ss3_lsh_overlap10_ge_0.2', true),
       ('ss4_ivf_overlap10_ge_0.5', true),
       ('ss8_pq_overlap10_ge_0.5', true),
+      ('ss9_ivfpq_overlap10_ge_0.5', true),
       ('ss7_kmeans_fit_gain_ge_0.02', true),
       ('cur2_neardup_agreement_le_2pct', true)
     ) AS t(metric, ok)
@@ -773,6 +774,8 @@ def vr1_approx_bounds(spark: SparkSession, sf_dir: str) -> DataFrame:
       banded index, 0.6-0.9 for IVF at 6 probes).
     - ss8 PQ: overlap@10 >= 0.5 for ADC + 50-candidate exact re-rank vs the
       same brute-force top-10 (measured 0.7-0.9 on the slice).
+    - ss9 IVF-PQ: same floor for the coarse-pruned residual-ADC composition
+      at 6/8 probes + the same exact re-rank.
     - ss7 k-means fit: mean assigned-centroid cosine after 5 Lloyd
       iterations >= seed-centroid quality + 0.02 (measured gain
       +0.079..0.087 across SFs) — the inertia-decrease analogue.
@@ -782,9 +785,9 @@ def vr1_approx_bounds(spark: SparkSession, sf_dir: str) -> DataFrame:
     Cost design (r3 VERDICT #1): every shared input — the document/embedding
     slices, the shingle frame, the SimHash signature frame, the curate_exact
     base — is persisted ONCE and reused by both sides of each comparison;
-    the 9 boolean rows are materialized eagerly inside the call so every
+    the 10 boolean rows are materialized eagerly inside the call so every
     cache is unpersisted before returning (no session-lifetime leak).  The
-    9-row collect is a verification-harness read, not a data-plane collect.
+    10-row collect is a verification-harness read, not a data-plane collect.
     """
     from tulflow_spark.ext.curation import curate_exact, curate_near_dup
     from tulflow_spark.ext.ivf import build_ivf_index
@@ -886,6 +889,24 @@ def vr1_approx_bounds(spark: SparkSession, sf_dir: str) -> DataFrame:
         checks.append(
             topk_overlap_check(
                 bf10, pq10, "vec_id", 10, 0.5, "ss8_pq_overlap10_ge_0.5"
+            )
+        )
+
+        # ss9: IVF-PQ (coarse-pruned residual ADC) + 100-candidate exact
+        # re-rank at 6/8 probes vs the same brute-force top-10 (measured
+        # 0.8 on the slice at both gate SFs; 50-candidate re-rank measured
+        # 0.4-0.6 — residual codes on a 500-vector slice need the larger
+        # candidate pool, which is still k-row scale)
+        from tulflow_spark.ext.ivfpq import build_ivfpq, ivfpq_topk
+
+        ivfpq = build_ivfpq(
+            rest, n_clusters=8, dim=64, m=8, ksub=16, max_iter=3
+        )
+        checks.append(
+            topk_overlap_check(
+                bf10,
+                ivfpq_topk(ivfpq, vec, k=10, n_probes=6, rerank=100),
+                "vec_id", 10, 0.5, "ss9_ivfpq_overlap10_ge_0.5",
             )
         )
 
