@@ -77,6 +77,7 @@ def test_r6_rotation_promotes_never_adjudicated_pairs():
         "j6_range_join",
         "cdc3_scd2_history",
         "zo2_zorder3_layout",
+        "mm7_png16_roundtrip",
     }
     never -= added_post_rotation
     assert never <= set(QUERIES), (

@@ -946,3 +946,74 @@ def mm6_mp4_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
         schema="doc_id bigint, n_frames int, duration_ms bigint, "
                "width int, codec string",
     )
+
+
+@register(
+    "mm7_png16_roundtrip",
+    oracle="""
+    SELECT doc_id,
+           CAST(2 + doc_id % 5 AS INT) AS width,
+           CAST(2 + doc_id % 4 AS INT) AS height,
+           CAST((doc_id * 257) % 65536 AS DOUBLE) AS mean_px
+    FROM documents
+    """,
+)
+def mm7_png16_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """16-BIT PNG decode path oracle-checked (the round-6 decoder
+    addition): in-query writer emits Sub-FILTERED 16-bit gray scanlines
+    (first pixel literal big-endian, the rest zero deltas — a constant
+    image only if the defilter strides bpp=2 bytes and the sample view is
+    big-endian; a 1-byte-bpp or little-endian bug shifts every mean) →
+    production ``decode_image`` → analytically-predicted dims + mean."""
+    import struct as _struct
+    import zlib as _zlib
+    from collections.abc import Iterator
+
+    import pandas as pd
+
+    docs = table(spark, sf_dir, "documents").select("doc_id")
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        from tulflow_spark.ext.media_codecs import decode_image
+
+        def chunk(tag: bytes, body: bytes) -> bytes:
+            return (
+                _struct.pack(">I", len(body)) + tag + body
+                + _struct.pack(">I", _zlib.crc32(tag + body))
+            )
+
+        def make_png16(w: int, h: int, v16: int) -> bytes:
+            ihdr = _struct.pack(">IIBBBBB", w, h, 16, 0, 0, 0, 0)
+            row = (
+                bytes([1])                      # Sub filter
+                + _struct.pack(">H", v16)       # first pixel literal
+                + b"\x00\x00" * (w - 1)         # zero deltas at bpp=2
+            )
+            return (
+                b"\x89PNG\r\n\x1a\n"
+                + chunk(b"IHDR", ihdr)
+                + chunk(b"IDAT", _zlib.compress(row * h))
+                + chunk(b"IEND", b"")
+            )
+
+        for pdf in batches:
+            rows = []
+            for doc_id in pdf["doc_id"]:
+                d = int(doc_id)
+                w, h, v = 2 + d % 5, 2 + d % 4, (d * 257) % 65536
+                img = decode_image(make_png16(w, h, v))
+                rows.append(
+                    {
+                        "doc_id": d,
+                        "width": int(img.shape[1]),
+                        "height": int(img.shape[0]),
+                        "mean_px": float(np.mean(img)),
+                    }
+                )
+            yield pd.DataFrame(rows)
+
+    return docs.mapInPandas(
+        gen, schema="doc_id bigint, width int, height int, mean_px double"
+    )
