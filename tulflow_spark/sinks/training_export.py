@@ -1,0 +1,146 @@
+"""Training-data export sink: write a corpus as deterministic shards with
+a verifiable manifest — the last stage of the pipeline, where a trainer
+consumes the data.
+
+Layout: ``{path}/shard=<xx>/*.parquet`` (xx = first two hex chars of
+md5(id + ':' + seed) — the SAME keying as the tr1 training shuffle, so
+reading shards in name order and rows in shuffle_rank order reproduces the
+epoch permutation) plus ``{path}/manifest.json``:
+
+    {"seed": ..., "n_shards": 256, "total_rows": N, "total_tokens": T,
+     "shards": {"00": {"rows": n, "tokens": t, "id_checksum": "..."}, ...}}
+
+``id_checksum`` is an order-insensitive aggregate (sum of each id's
+md5-prefix as a 63-bit int, mod 2^63) so a reader can verify shard
+completeness without re-listing ids.  All manifest numbers come from ONE
+aggregate over the written data (read back, so the manifest describes what
+is actually on disk, not what the writer intended).
+
+Scale: the shard column is map-side; the write shuffles once on shard
+(256-way); the manifest aggregate is a shard-count-sized result.  Restart
+safety: the manifest is written LAST — its presence marks a complete
+export (same commit-point doctrine as streaming/manifest_snapshot.py).
+"""
+
+from __future__ import annotations
+
+import json
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from tulflow_spark import fsio
+
+# 2^63 exceeds the Long literal range: carry it as a DECIMAL literal
+_MOD = str(1 << 63)
+
+
+def _shard_col(id_col: str, seed: str):
+    key = F.md5(
+        F.concat(F.col(id_col).cast("string"), F.lit(":" + seed))
+    )
+    return F.substring(key, 1, 2)
+
+
+def _checksum_col(id_col: str, seed: str):
+    """Order-insensitive per-shard id checksum: sum of 60-bit md5 prefixes
+    (15 hex chars) mod 2^63 — engine-portable, reader-recomputable."""
+    key = F.md5(
+        F.concat(F.col(id_col).cast("string"), F.lit(":" + seed))
+    )
+    return F.conv(F.substring(key, 1, 15), 16, 10).cast("decimal(30,0)")
+
+
+def write_training_shards(
+    df: DataFrame,
+    path: str,
+    id_col: str,
+    token_count_col: str | None = None,
+    seed: str = "epoch-0",
+) -> dict:
+    """Write the export + manifest; returns the manifest dict."""
+    out = df.withColumn("shard", _shard_col(id_col, seed))
+    out.write.mode("overwrite").partitionBy("shard").parquet(
+        f"{path}/data"
+    )
+    spark = df.sparkSession
+    written = spark.read.parquet(f"{path}/data")
+    toks = (
+        F.sum(F.col(token_count_col).cast("long"))
+        if token_count_col
+        else F.lit(None).cast("long")
+    )
+    per_shard = (
+        written.groupBy("shard")
+        .agg(
+            F.count(F.lit(1)).alias("rows"),
+            toks.alias("tokens"),
+            (F.sum(_checksum_col(id_col, seed))
+             % F.lit(_MOD).cast("decimal(30,0)"))
+            .cast("long")
+            .alias("id_checksum"),
+        )
+        .collect()
+    )
+    manifest = {
+        "seed": seed,
+        "id_col": id_col,
+        "n_shards": len(per_shard),
+        "total_rows": int(sum(r["rows"] for r in per_shard)),
+        "total_tokens": (
+            int(sum(r["tokens"] for r in per_shard))
+            if token_count_col
+            else None
+        ),
+        "shards": {
+            r["shard"]: {
+                "rows": int(r["rows"]),
+                "tokens": int(r["tokens"]) if token_count_col else None,
+                "id_checksum": str(r["id_checksum"]),
+            }
+            for r in per_shard
+        },
+    }
+    fs, p = fsio.resolve(f"{path}/manifest.json")
+    with fs.open_output_stream(p) as stream:
+        stream.write(json.dumps(manifest, sort_keys=True).encode("utf-8"))
+    return manifest
+
+
+def verify_training_shards(spark: SparkSession, path: str) -> dict:
+    """Reader-side audit: recompute every manifest figure from the data
+    and return {"ok": bool, "mismatches": [...]} — the check a trainer
+    runs before an epoch."""
+    fs, p = fsio.resolve(f"{path}/manifest.json")
+    with fs.open_input_stream(p) as stream:
+        manifest = json.loads(stream.read().decode("utf-8"))
+    written = spark.read.parquet(f"{path}/data")
+    id_col = manifest["id_col"]
+    got = {
+        r["shard"]: (int(r["rows"]), str(r["chk"]))
+        for r in written.groupBy("shard")
+        .agg(
+            F.count(F.lit(1)).alias("rows"),
+            (F.sum(_checksum_col(id_col, manifest["seed"]))
+             % F.lit(_MOD).cast("decimal(30,0)"))
+            .cast("long")
+            .alias("chk"),
+        )
+        .collect()
+    }
+    mismatches = []
+    for shard, meta in manifest["shards"].items():
+        g = got.get(shard)
+        if g is None:
+            mismatches.append(f"{shard}: missing on disk")
+        elif g != (meta["rows"], meta["id_checksum"]):
+            mismatches.append(
+                f"{shard}: manifest {meta['rows']}/{meta['id_checksum']} "
+                f"!= disk {g[0]}/{g[1]}"
+            )
+    for shard in set(got) - set(manifest["shards"]):
+        mismatches.append(f"{shard}: on disk but not in manifest")
+    return {"ok": not mismatches, "mismatches": mismatches}
+
+
+__all__ = ["write_training_shards", "verify_training_shards"]
