@@ -78,6 +78,7 @@ def test_r6_rotation_promotes_never_adjudicated_pairs():
         "cdc3_scd2_history",
         "zo2_zorder3_layout",
         "mm7_png16_roundtrip",
+        "cur6_training_mix",
     }
     never -= added_post_rotation
     assert never <= set(QUERIES), (

@@ -1976,3 +1976,71 @@ def cdc3_scd2_history(spark: SparkSession, sf_dir: str) -> DataFrame:
         log, keys=["cust_bucket"], order_by=["seq"],
         payload=["prio"], op_col="op",
     )
+
+
+@register(
+    "cur6_training_mix",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id, source, len({_TOKS}) AS n_tok FROM documents
+    ), st AS (
+      SELECT source, COUNT(*) AS n_docs,
+             CAST(SUM(n_tok) AS BIGINT) AS tok_d
+      FROM toks GROUP BY source
+    ), sq AS (
+      SELECT source, tok_d,
+             ROUND(SQRT(CAST(n_docs AS DOUBLE)), 9) AS s9
+      FROM st
+    ), tot AS (
+      SELECT CAST(SUM(CAST(s9 AS DECIMAL(30,9))) AS DOUBLE) AS S FROM sq
+    ), rt AS (
+      SELECT source,
+             LEAST(1.0,
+                   ROUND(((20000.0 * s9) / S) / CAST(tok_d AS DOUBLE), 9))
+               AS rate
+      FROM sq CROSS JOIN tot
+    ), th AS (
+      SELECT source,
+             CASE WHEN rate >= 1.0 THEN 'g'
+                  ELSE lpad(lower(to_hex(CAST(FLOOR(rate * 4294967296.0)
+                                              AS BIGINT))), 8, '0')
+             END AS thr
+      FROM rt
+    ), sel AS (
+      SELECT t.doc_id, CAST(t.n_tok AS BIGINT) AS n_tokens
+      FROM toks t JOIN th USING (source)
+      WHERE substr({_OK}, 1, 8) < thr
+    ), c AS (
+      SELECT doc_id, n_tokens,
+             CAST(SUM(n_tokens) OVER (
+               ORDER BY {_OK}, doc_id) AS BIGINT) - n_tokens AS strt
+      FROM sel
+    )
+    SELECT doc_id, n_tokens,
+           strt // 512 AS seq_id,
+           strt % 512 AS seq_offset
+    FROM c
+    """,
+)
+def cur6_training_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end training-mix composition of the round-6 mixing stack:
+    temperature-scaled domain selection (mx8's rates + deterministic
+    md5-threshold sampling) feeding greedy sequence packing (mx2's
+    grouped-prefix-sum layout, seq_len=512) — the query that actually
+    builds an epoch's mix.  Every stage is the production operator; the
+    oracle re-derives rates, the exact sample, AND the packing
+    independently.  Scale: rate derivation is a #domains-row job,
+    selection is map-only, packing is the 256-bucket grouped prefix sum
+    (no single-partition window)."""
+    from tulflow_spark.ext.mixing import pack_sequences, temperature_mix
+
+    docs = table(spark, sf_dir, "documents").select(
+        "doc_id",
+        "source",
+        "text",
+        F.size(F.split(F.trim(F.col("text")), r"\s+")).alias("n_tok"),
+    )
+    picked = temperature_mix(
+        docs, "doc_id", "source", "n_tok", budget_tokens=20000.0
+    )
+    return pack_sequences(picked, "doc_id", "text", seq_len=512)
