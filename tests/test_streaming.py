@@ -490,3 +490,64 @@ def test_stream_minhash_neardup_ttl_query_runs_live(
     finally:
         q.stop()
     assert spark.table("ttl_live_pairs").count() == 0  # one doc: no pairs
+
+
+def test_stream_scd2_closed_versions_match_batch(spark, tmp_path_factory):
+    """Streaming SCD2 across micro-batches must emit exactly the CLOSED
+    versions the batch operator derives from the same change log —
+    including a cross-batch no-op coalesce, a delete closing without
+    opening, and a re-insert after delete."""
+    import os as _os
+    import time as _time
+
+    from pyspark.sql import functions as F
+
+    from tulflow_spark.operators.cdc import scd2_history
+    from tulflow_spark.streaming.scd2 import stream_scd2
+
+    b0 = [("A", 1, "x", "I"), ("B", 2, "q", "I"), ("A", 3, "y", "U")]
+    b1 = [("A", 4, "y", "U"),   # cross-batch no-op: same payload as open
+          ("A", 5, "z", "U"),   # real change: closes y
+          ("B", 6, "q", "D")]   # delete: closes q, opens nothing
+    b2 = [("B", 7, "r", "I")]   # re-insert after delete
+
+    d = tmp_path_factory.mktemp("scd2_src")
+    for i, rows in enumerate([b0, b1, b2]):
+        spark.createDataFrame(
+            rows, "k string, seq long, v string, op string"
+        ).coalesce(1).write.parquet(str(d / f"b{i}"))
+    flat = tmp_path_factory.mktemp("scd2_flat")
+    i = 0
+    for sub in sorted(_os.listdir(d)):
+        for f in sorted(_os.listdir(d / sub)):
+            if f.endswith(".parquet"):
+                _os.link(d / sub / f, flat / f"{i:03d}.parquet")
+                _os.utime(flat / f"{i:03d}.parquet",
+                          (_time.time() + i * 10, _time.time() + i * 10))
+                i += 1
+
+    stream = spark.readStream.schema(
+        "k string, seq long, v string, op string"
+    ).option("maxFilesPerTrigger", 1).parquet(str(flat))
+    got = _run_to_memory(
+        spark,
+        stream_scd2(stream, ["k"], "seq", ["v"], op_col="op"),
+        "scd2_closed",
+        "append",
+    ).collect()
+    closed = {(r.k, r.v, r.valid_from, r.valid_to) for r in got}
+
+    log = spark.createDataFrame(
+        b0 + b1 + b2, "k string, seq long, v string, op string"
+    )
+    batch_closed = {
+        (r.k, r.v, r.valid_from, r.valid_to)
+        for r in scd2_history(log, ["k"], ["seq"], ["v"], op_col="op")
+        .filter(F.col("valid_to").isNotNull())
+        .collect()
+    }
+    assert closed == batch_closed
+    # the still-open versions (A@5 'z', B@7 'r') live in state, not output
+    assert all(vt is not None for (_, _, _, vt) in closed)
+    assert ("A", "x", 1, 3) in closed and ("A", "y", 3, 5) in closed
+    assert ("B", "q", 2, 6) in closed
