@@ -45,10 +45,15 @@ def main() -> None:
             f"read_parquet('{sf_dir}/{t}.parquet')"
         )
     bad = []
-    # gated queries by default; explicit names may come from EXTRA too
+    # gated queries by default; explicit names may come from EXTRA too;
+    # "--all" runs the ENTIRE registry (gated + local-parity pairs)
     pool = dict(QUERIES)
     oracles = dict(ORACLE)
-    if only:
+    if only == {"--all"}:
+        only = set()
+        pool.update(EXTRA_QUERIES)
+        oracles.update(EXTRA_ORACLE)
+    elif only:
         pool.update({n: EXTRA_QUERIES[n] for n in only if n in EXTRA_QUERIES})
         oracles.update(
             {n: EXTRA_ORACLE[n] for n in only if n in EXTRA_ORACLE}
