@@ -79,6 +79,7 @@ def test_r6_rotation_promotes_never_adjudicated_pairs():
         "zo2_zorder3_layout",
         "mm7_png16_roundtrip",
         "cur6_training_mix",
+        "a13_grouping_sets",
     }
     never -= added_post_rotation
     assert never <= set(QUERIES), (

@@ -495,6 +495,45 @@ def a12_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "a13_grouping_sets",
+    oracle=f"""
+    SELECT COALESCE(l_returnflag, 'ALL') AS returnflag,
+           COALESCE(CAST(l_linestatus AS VARCHAR), 'ALL') AS linestatus,
+           CAST(GROUPING(l_returnflag) AS INT) AS g_flag,
+           CAST(GROUPING(l_linestatus) AS INT) AS g_status2,
+           COUNT(*) AS n_rows,
+           {dsum_sql('l_quantity')} AS sum_qty
+    FROM lineitem
+    GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus))
+    """,
+)
+def a13_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit GROUPING SETS — two independent single-column groupings in
+    ONE scan/Expand pass (the non-hierarchical case CUBE (a10) and ROLLUP
+    (a12) can't express without extra sets): per-returnflag totals and
+    per-linestatus totals side by side, disambiguated by GROUPING bits."""
+    li = table(spark, sf_dir, "lineitem")
+    return (
+        li.groupingSets(
+            [["l_returnflag"], ["l_linestatus"]],
+            "l_returnflag", "l_linestatus",
+        )
+        .agg(
+            F.grouping("l_returnflag").cast("int").alias("g_flag"),
+            F.grouping("l_linestatus").cast("int").alias("g_status2"),
+            F.count(F.lit(1)).alias("n_rows"),
+            dsum("l_quantity", "sum_qty"),
+        )
+        .select(
+            F.coalesce("l_returnflag", F.lit("ALL")).alias("returnflag"),
+            F.coalesce(F.col("l_linestatus").cast("string"), F.lit("ALL"))
+            .alias("linestatus"),
+            "g_flag", "g_status2", "n_rows", "sum_qty",
+        )
+    )
+
+
+@register(
     "w5_month_delta",
     oracle=f"""
     WITH monthly AS (
