@@ -134,3 +134,36 @@ def test_ivfpq_save_load_search_exact(spark, sf_dir, tmp_path):
     # cluster directories), not a post-scan row filter
     assert "PartitionFilters" in plan
     assert plan.count("PartitionFilters: []") == 0, plan
+
+
+def test_ivfpq_append_searchable_without_retrain(spark, sf_dir, tmp_path):
+    """A vector appended after save must be findable: append its codes via
+    the stored centroids/codebook (no retrain), reload, search with the
+    vector itself as the query — it must rank first (self-similarity
+    survives residual quantization + exact knowledge of its own codes)."""
+    from pyspark.sql import functions as F
+
+    from tulflow_spark.ext.ann_store import (
+        append_to_ivfpq,
+        load_ivfpq,
+        save_ivfpq,
+    )
+    from tulflow_spark.ext.ivfpq import build_ivfpq, ivfpq_topk
+    from tulflow_spark.io import table
+
+    emb = table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    base = emb.filter(F.col("vec_id") < 400)
+    newbie = emb.filter(F.col("vec_id") == 450).withColumn(
+        "vec_id", F.lit(999_999).cast("long")
+    )
+    idx = build_ivfpq(base, n_clusters=8, dim=64, m=8, ksub=16, max_iter=2,
+                      keep_vectors=False)
+    save_ivfpq(idx, str(tmp_path / "ivfpq"))
+    n = append_to_ivfpq(spark, str(tmp_path / "ivfpq"), newbie)
+    assert n == 1
+
+    loaded = load_ivfpq(spark, str(tmp_path / "ivfpq"))
+    assert loaded.encoded.count() == base.count() + 1
+    q = [float(x) for x in newbie.head()["embedding"]]
+    top = ivfpq_topk(loaded, q, k=3, n_probes=8).collect()
+    assert top[0]["vec_id"] == 999_999

@@ -59,3 +59,30 @@ def test_verify_detects_tampering(spark, tmp_path):
     got = verify_training_shards(spark, str(tmp_path / "v"))
     assert not got["ok"]
     assert any("missing on disk" in m for m in got["mismatches"])
+
+
+def test_append_versions_manifest_and_extends_shards(spark, tmp_path):
+    from tulflow_spark.sinks.training_export import append_training_shards
+
+    df = _corpus(spark, 200)
+    m1 = write_training_shards(
+        df, str(tmp_path / "inc"), "doc_id", token_count_col="n_tok"
+    )
+    assert m1["version"] == 1
+    new = spark.createDataFrame(
+        [(i, f"new doc {i}", 4) for i in range(1000, 1100)],
+        "doc_id long, text string, n_tok int",
+    )
+    m2 = append_training_shards(spark, str(tmp_path / "inc"), new)
+    assert m2["version"] == 2
+    assert m2["total_rows"] == 300
+    assert m2["total_tokens"] == m1["total_tokens"] + 400
+    # the superseded manifest is archived verbatim
+    archived = json.loads(
+        (tmp_path / "inc" / "manifest-v00001.json").read_text()
+    )
+    assert archived == json.loads(json.dumps(m1, sort_keys=True))
+    # post-append audit passes; all 300 ids present
+    assert verify_training_shards(spark, str(tmp_path / "inc"))["ok"]
+    back = spark.read.parquet(str(tmp_path / "inc" / "data"))
+    assert back.count() == 300

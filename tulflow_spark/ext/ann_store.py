@@ -168,3 +168,53 @@ def load_ivfpq(spark: SparkSession, path: str):
         id_col=meta["id_col"],
         vec_col=meta["vec_col"],
     )
+
+
+def append_to_ivfpq(
+    spark: SparkSession,
+    path: str,
+    new_df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> int:
+    """Incremental IVF-PQ maintenance: assign NEW vectors to the saved
+    coarse centroids (max-cosine, the index's assignment metric), encode
+    their residuals with the EXISTING codebook, and append the m-byte
+    codes into the cluster-partitioned layout — no retrain, no shuffle of
+    existing codes.  Returns the number of appended rows.
+
+    Same operating mode as :func:`append_to_ivf_index`: quantizers retrain
+    rarely (drift), ingest appends daily; appended vectors are immediately
+    searchable because :func:`ivfpq_topk` only reads (cluster, codes)."""
+    from pyspark.sql import functions as F
+
+    from tulflow_spark.ext.kmeans import assign_clusters
+    from tulflow_spark.ext.pq import pq_encode
+
+    fs, p = fsio.resolve(f"{path}/meta.json")
+    with fs.open_input_stream(p) as stream:
+        meta = json.loads(stream.read().decode("utf-8"))
+    centroids = np.asarray(meta["centroids"])
+    codebook = np.asarray(meta["codebook"])
+    assigned = assign_clusters(
+        new_df.select(id_col, vec_col), centroids.tolist(), vec_col=vec_col
+    )
+    cent_lit = F.array(
+        *[F.array(*[F.lit(float(x)) for x in row]) for row in centroids]
+    )
+    with_res = assigned.withColumn(
+        "_residual",
+        F.zip_with(
+            F.col(vec_col).cast("array<double>"),
+            F.element_at(cent_lit, F.col("cluster") + 1),
+            lambda x, c: x - c,
+        ),
+    )
+    encoded = pq_encode(with_res, codebook, vec_col="_residual").select(
+        id_col, "cluster", "pq_codes"
+    )
+    n = encoded.count()
+    encoded.write.mode("append").partitionBy("cluster").parquet(
+        f"{path}/codes"
+    )
+    return n

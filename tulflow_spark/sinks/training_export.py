@@ -83,8 +83,10 @@ def write_training_shards(
         .collect()
     )
     manifest = {
+        "version": 1,
         "seed": seed,
         "id_col": id_col,
+        "token_count_col": token_count_col,
         "n_shards": len(per_shard),
         "total_rows": int(sum(r["rows"] for r in per_shard)),
         "total_tokens": (
@@ -143,4 +145,73 @@ def verify_training_shards(spark: SparkSession, path: str) -> dict:
     return {"ok": not mismatches, "mismatches": mismatches}
 
 
-__all__ = ["write_training_shards", "verify_training_shards"]
+def append_training_shards(
+    spark: SparkSession, path: str, new_df: DataFrame
+) -> dict:
+    """Incremental export: shard NEW rows with the export's stored seed
+    (same permutation keying), append them into the data layout, archive
+    the current manifest as ``manifest-v{N}.json``, and write a fresh
+    manifest (version N+1) recomputed from the data on disk.  Appended ids
+    must be new (the id checksum makes duplicates visible to
+    :func:`verify_training_shards` consumers that track deltas, but
+    uniqueness is the caller's contract, as in any append-only log)."""
+    fs, p = fsio.resolve(f"{path}/manifest.json")
+    with fs.open_input_stream(p) as stream:
+        old = json.loads(stream.read().decode("utf-8"))
+    seed, id_col = old["seed"], old["id_col"]
+    token_count_col = old.get("token_count_col")
+    out = new_df.withColumn("shard", _shard_col(id_col, seed))
+    out.write.mode("append").partitionBy("shard").parquet(f"{path}/data")
+    # archive the superseded manifest, then recompute over ALL data
+    fs2, arch = fsio.resolve(f"{path}/manifest-v{old['version']:05d}.json")
+    with fs2.open_output_stream(arch) as stream:
+        stream.write(json.dumps(old, sort_keys=True).encode("utf-8"))
+    written = spark.read.parquet(f"{path}/data")
+    toks = (
+        F.sum(F.col(token_count_col).cast("long"))
+        if token_count_col
+        else F.lit(None).cast("long")
+    )
+    per_shard = (
+        written.groupBy("shard")
+        .agg(
+            F.count(F.lit(1)).alias("rows"),
+            toks.alias("tokens"),
+            (F.sum(_checksum_col(id_col, seed))
+             % F.lit(_MOD).cast("decimal(30,0)"))
+            .cast("long")
+            .alias("id_checksum"),
+        )
+        .collect()
+    )
+    manifest = {
+        "version": old["version"] + 1,
+        "seed": seed,
+        "id_col": id_col,
+        "token_count_col": token_count_col,
+        "n_shards": len(per_shard),
+        "total_rows": int(sum(r["rows"] for r in per_shard)),
+        "total_tokens": (
+            int(sum(r["tokens"] for r in per_shard))
+            if token_count_col
+            else None
+        ),
+        "shards": {
+            r["shard"]: {
+                "rows": int(r["rows"]),
+                "tokens": int(r["tokens"]) if token_count_col else None,
+                "id_checksum": str(r["id_checksum"]),
+            }
+            for r in per_shard
+        },
+    }
+    with fs.open_output_stream(p) as stream:
+        stream.write(json.dumps(manifest, sort_keys=True).encode("utf-8"))
+    return manifest
+
+
+__all__ = [
+    "write_training_shards",
+    "verify_training_shards",
+    "append_training_shards",
+]
