@@ -551,3 +551,92 @@ def test_stream_scd2_closed_versions_match_batch(spark, tmp_path_factory):
     assert all(vt is not None for (_, _, _, vt) in closed)
     assert ("A", "x", 1, 3) in closed and ("A", "y", 3, 5) in closed
     assert ("B", "q", 2, 6) in closed
+
+
+def test_stream_score_sample_bottom_k_invariant(spark, tmp_path_factory):
+    """The streaming sample must equal the k-smallest-hash set a BATCH
+    pass over the same data derives — regardless of how the stream was
+    micro-batched (the exchangeability property the thresholds rest on);
+    state is bounded at shards x per_shard."""
+    import os as _os
+    import time as _time
+
+    from pyspark.sql import functions as F
+
+    from tulflow_spark.streaming.quality import (
+        stream_score_sample,
+        thresholds_from_sample,
+    )
+
+    rows = [(i, float((i * 37) % 101)) for i in range(600)]
+    d = tmp_path_factory.mktemp("qs_src")
+    for b in range(3):
+        spark.createDataFrame(
+            rows[b * 200 : (b + 1) * 200], "doc_id long, score double"
+        ).coalesce(1).write.parquet(str(d / f"b{b}"))
+    flat = tmp_path_factory.mktemp("qs_flat")
+    i = 0
+    for sub in sorted(_os.listdir(d)):
+        for f in sorted(_os.listdir(d / sub)):
+            if f.endswith(".parquet"):
+                _os.link(d / sub / f, flat / f"{i:03d}.parquet")
+                _os.utime(flat / f"{i:03d}.parquet",
+                          (_time.time() + i * 10, _time.time() + i * 10))
+                i += 1
+
+    stream = spark.readStream.schema("doc_id long, score double").option(
+        "maxFilesPerTrigger", 1
+    ).parquet(str(flat))
+    out = _run_to_memory(
+        spark,
+        stream_score_sample(stream, "doc_id", "score",
+                            shards=4, per_shard=16),
+        "qsample",
+        "update",
+    )
+    # latest emission per (shard, ok) is the live sample; earlier update
+    # rows for the same shard are superseded — reconstruct per shard from
+    # the final emission set: collect all rows, keep per shard the 16
+    # smallest oks among the LAST batch's rows for that shard.  Memory
+    # sink appends update rows, so recompute the expected set instead.
+    batch = spark.createDataFrame(rows, "doc_id long, score double")
+    key = F.md5(F.concat(F.col("doc_id").cast("string"), F.lit(":qsample")))
+    from pyspark.sql import Window
+
+    expected = (
+        batch.select(
+            F.pmod(F.xxhash64("doc_id"), F.lit(4)).cast("int").alias("shard"),
+            F.col("score"),
+            F.substring(key, 1, 16).alias("ok"),
+        )
+        .withColumn(
+            "rk",
+            F.row_number().over(
+                Window.partitionBy("shard").orderBy("ok")
+            ),
+        )
+        .filter(F.col("rk") <= 16)
+        .select("shard", "score", "ok")
+    )
+    exp = {(r.shard, r.ok, r.score) for r in expected.collect()}
+    # the streaming emissions contain every expected sample row (the
+    # final state), and nothing with a smaller key than the expected max
+    got = {(r.shard, r.ok, r.score) for r in out.collect()}
+    assert exp <= got
+    # per-shard: the BEST 16 keys ever emitted == the expected set
+    best = {}
+    for shard, ok, score in got:
+        best.setdefault(shard, []).append((ok, score))
+    final = {
+        (shard, ok, score)
+        for shard, pairs in best.items()
+        for ok, score in sorted(pairs)[:16]
+    }
+    assert final == exp
+
+    # thresholds over the sample are computable and ordered
+    sample_df = spark.createDataFrame(
+        [(s, sc, ok) for (s, ok, sc) in exp], "shard int, score double, ok string"
+    )
+    t = thresholds_from_sample(sample_df, [0.25, 0.5, 0.75])
+    assert t[0] <= t[1] <= t[2]
