@@ -86,3 +86,32 @@ def test_append_versions_manifest_and_extends_shards(spark, tmp_path):
     assert verify_training_shards(spark, str(tmp_path / "inc"))["ok"]
     back = spark.read.parquet(str(tmp_path / "inc" / "data"))
     assert back.count() == 300
+
+
+def test_compact_one_file_per_shard_manifest_commit(spark, tmp_path):
+    from tulflow_spark.sinks.training_export import (
+        append_training_shards,
+        compact_training_shards,
+    )
+
+    df = _corpus(spark, 150)
+    write_training_shards(
+        df, str(tmp_path / "c"), "doc_id", token_count_col="n_tok"
+    )
+    new = spark.createDataFrame(
+        [(i, f"n{i}", 3) for i in range(500, 560)],
+        "doc_id long, text string, n_tok int",
+    )
+    m2 = append_training_shards(spark, str(tmp_path / "c"), new)
+    m3 = compact_training_shards(spark, str(tmp_path / "c"))
+    assert m3["version"] == 3 and m3["data_dir"] == "data-v00003"
+    # one parquet file per shard directory in the compacted layout
+    for sd in (tmp_path / "c" / "data-v00003").glob("shard=*"):
+        files = [f for f in sd.iterdir() if f.suffix == ".parquet"]
+        assert len(files) == 1, sd
+    # audit (resolving data_dir from the manifest) still green, counts kept
+    got = verify_training_shards(spark, str(tmp_path / "c"))
+    assert got["ok"], got
+    back = spark.read.parquet(str(tmp_path / "c" / "data-v00003"))
+    assert back.count() == 210
+    assert m3["shards"] == m2["shards"]  # stats unchanged by compaction

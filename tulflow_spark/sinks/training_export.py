@@ -65,6 +65,7 @@ def write_training_shards(
     )
     spark = df.sparkSession
     written = spark.read.parquet(f"{path}/data")
+    data_dir = "data"
     toks = (
         F.sum(F.col(token_count_col).cast("long"))
         if token_count_col
@@ -84,6 +85,7 @@ def write_training_shards(
     )
     manifest = {
         "version": 1,
+        "data_dir": data_dir,
         "seed": seed,
         "id_col": id_col,
         "token_count_col": token_count_col,
@@ -116,7 +118,9 @@ def verify_training_shards(spark: SparkSession, path: str) -> dict:
     fs, p = fsio.resolve(f"{path}/manifest.json")
     with fs.open_input_stream(p) as stream:
         manifest = json.loads(stream.read().decode("utf-8"))
-    written = spark.read.parquet(f"{path}/data")
+    written = spark.read.parquet(
+        f"{path}/{manifest.get('data_dir', 'data')}"
+    )
     id_col = manifest["id_col"]
     got = {
         r["shard"]: (int(r["rows"]), str(r["chk"]))
@@ -160,13 +164,16 @@ def append_training_shards(
         old = json.loads(stream.read().decode("utf-8"))
     seed, id_col = old["seed"], old["id_col"]
     token_count_col = old.get("token_count_col")
+    data_dir = old.get("data_dir", "data")
     out = new_df.withColumn("shard", _shard_col(id_col, seed))
-    out.write.mode("append").partitionBy("shard").parquet(f"{path}/data")
+    out.write.mode("append").partitionBy("shard").parquet(
+        f"{path}/{data_dir}"
+    )
     # archive the superseded manifest, then recompute over ALL data
     fs2, arch = fsio.resolve(f"{path}/manifest-v{old['version']:05d}.json")
     with fs2.open_output_stream(arch) as stream:
         stream.write(json.dumps(old, sort_keys=True).encode("utf-8"))
-    written = spark.read.parquet(f"{path}/data")
+    written = spark.read.parquet(f"{path}/{data_dir}")
     toks = (
         F.sum(F.col(token_count_col).cast("long"))
         if token_count_col
@@ -186,6 +193,7 @@ def append_training_shards(
     )
     manifest = {
         "version": old["version"] + 1,
+        "data_dir": data_dir,
         "seed": seed,
         "id_col": id_col,
         "token_count_col": token_count_col,
@@ -210,8 +218,37 @@ def append_training_shards(
     return manifest
 
 
+def compact_training_shards(spark: SparkSession, path: str) -> dict:
+    """Compaction: many small appended files per shard → ONE file per
+    shard, written to a NEW versioned data directory and committed by the
+    manifest swap (readers resolve ``data_dir`` from the manifest, so the
+    switch is atomic at the manifest write — the same commit-point
+    doctrine as streaming/manifest_snapshot.py; the superseded directory
+    stays until :func:`vacuum_training_export`)."""
+    fs, p = fsio.resolve(f"{path}/manifest.json")
+    with fs.open_input_stream(p) as stream:
+        old = json.loads(stream.read().decode("utf-8"))
+    src = f"{path}/{old.get('data_dir', 'data')}"
+    new_dir = f"data-v{old['version'] + 1:05d}"
+    # one task per shard -> one file per shard
+    spark.read.parquet(src).repartition("shard").write.mode(
+        "overwrite"
+    ).partitionBy("shard").parquet(f"{path}/{new_dir}")
+    fs2, arch = fsio.resolve(f"{path}/manifest-v{old['version']:05d}.json")
+    with fs2.open_output_stream(arch) as stream:
+        stream.write(json.dumps(old, sort_keys=True).encode("utf-8"))
+    manifest = dict(old)
+    manifest["version"] = old["version"] + 1
+    manifest["data_dir"] = new_dir
+    manifest["compacted_from"] = old.get("data_dir", "data")
+    with fs.open_output_stream(p) as stream:
+        stream.write(json.dumps(manifest, sort_keys=True).encode("utf-8"))
+    return manifest
+
+
 __all__ = [
     "write_training_shards",
     "verify_training_shards",
     "append_training_shards",
+    "compact_training_shards",
 ]
