@@ -115,3 +115,20 @@ def test_compact_one_file_per_shard_manifest_commit(spark, tmp_path):
     back = spark.read.parquet(str(tmp_path / "c" / "data-v00003"))
     assert back.count() == 210
     assert m3["shards"] == m2["shards"]  # stats unchanged by compaction
+
+
+def test_vacuum_removes_only_superseded_dirs(spark, tmp_path):
+    from tulflow_spark.sinks.training_export import (
+        compact_training_shards,
+        vacuum_training_export,
+    )
+
+    df = _corpus(spark, 80)
+    write_training_shards(df, str(tmp_path / "v2"), "doc_id")
+    compact_training_shards(spark, str(tmp_path / "v2"))
+    assert (tmp_path / "v2" / "data").exists()
+    deleted = vacuum_training_export(str(tmp_path / "v2"))
+    assert deleted == ["data"]
+    assert not (tmp_path / "v2" / "data").exists()
+    assert (tmp_path / "v2" / "data-v00002").exists()
+    assert verify_training_shards(spark, str(tmp_path / "v2"))["ok"]

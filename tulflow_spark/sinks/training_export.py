@@ -246,9 +246,36 @@ def compact_training_shards(spark: SparkSession, path: str) -> dict:
     return manifest
 
 
+def vacuum_training_export(path: str) -> list[str]:
+    """Delete data directories no longer referenced by the CURRENT
+    manifest (superseded by compaction).  Safe because readers resolve
+    ``data_dir`` from the manifest: anything else under ``data*`` is
+    unreachable.  Returns the deleted directory names."""
+    fs, p = fsio.resolve(f"{path}/manifest.json")
+    with fs.open_input_stream(p) as stream:
+        live = json.loads(stream.read().decode("utf-8")).get(
+            "data_dir", "data"
+        )
+    import pyarrow.fs as pafs
+
+    fs2, root = fsio.resolve(path)
+    deleted = []
+    for info in fs2.get_file_info(pafs.FileSelector(root)):
+        name = info.path.rsplit("/", 1)[-1]
+        if (
+            info.type == pafs.FileType.Directory
+            and (name == "data" or name.startswith("data-v"))
+            and name != live
+        ):
+            fs2.delete_dir(info.path)
+            deleted.append(name)
+    return sorted(deleted)
+
+
 __all__ = [
     "write_training_shards",
     "verify_training_shards",
     "append_training_shards",
     "compact_training_shards",
+    "vacuum_training_export",
 ]
