@@ -850,6 +850,46 @@ class MicroXSLT:
         for n in v:
             _deep_copy_into(n, out)
 
+    def _i_evaluate(self, instr, ctx, out, vars_):
+        """XSLT 3.0 ``xsl:evaluate`` (spec §10.4, practical subset): the
+        ``xpath=`` attribute is ITSELF an XPath expression whose string
+        value is the expression to evaluate dynamically — the instruction
+        real pipelines use when the XPath lives in DATA (rule tables,
+        per-record extraction paths), not in the stylesheet.
+
+        Subset semantics: ``context-item=`` selects the dynamic context
+        node (default: the current node; an empty selection evaluates
+        nothing, matching the spec's absent-context error downgraded to
+        empty); ``xsl:with-param`` children bind variables visible inside
+        the dynamic expression; node-sequence results deep-copy into the
+        output (``xsl:copy-of`` semantics) and atomic results emit their
+        string value.  Static typing/``as=``/``namespace-context=`` are
+        out of scope (this engine is untyped XPath 1.0 throughout)."""
+        xp_attr = _attr(instr, "xpath")
+        if xp_attr is None:
+            raise UnsupportedFeature("xsl:evaluate needs xpath=")
+        ectx = self._ctx(ctx, instr, vars_)
+        expr_text = compile_expr(xp_attr).string(ectx)
+        params = self._with_params(instr, ectx, vars_)
+        ci_attr = _attr(instr, "context-item")
+        if ci_attr is not None:
+            nodes = compile_expr(ci_attr).nodeset(ectx)
+            if not nodes:
+                return
+            cnode = nodes[0]
+        else:
+            cnode = ctx.node
+        dvars = dict(vars_)
+        dvars.update(params)
+        dctx = Context(cnode, 1, 1, dvars, instr.nsmap or {}, ctx.current)
+        v = compile_expr(expr_text).evaluate(dctx)
+        if isinstance(v, list):
+            for n in v:
+                _deep_copy_into(n, out)
+        else:
+            from tulflow_spark.transform.xpath1 import _str
+            _emit_text(out, _str(v))
+
     def _i_variable(self, instr, ctx, out, vars_):
         name = _attr(instr, "name")
         sel = _attr(instr, "select")
