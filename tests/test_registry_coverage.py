@@ -80,6 +80,7 @@ def test_r6_rotation_promotes_never_adjudicated_pairs():
         "mm7_png16_roundtrip",
         "cur6_training_mix",
         "a13_grouping_sets",
+        "x6_dynamic_xpath",
     }
     never -= added_post_rotation
     assert never <= set(QUERIES), (

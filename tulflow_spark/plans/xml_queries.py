@@ -375,3 +375,58 @@ def x5_byte_serialize(spark: SparkSession, sf_dir: str) -> DataFrame:
         src, _X5_XSL, order_col="forder", deleted_col=None
     )
     return out.select("nation_key", "xml")
+
+
+@register(
+    "x6_dynamic_xpath",
+    oracle="""
+    SELECT doc_id,
+           CASE WHEN doc_id % 2 = 0 THEN '3'
+                ELSE CAST(doc_id AS VARCHAR) END AS extracted
+    FROM documents
+    """,
+)
+def x6_dynamic_xpath(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """XSLT 3.0 ``xsl:evaluate`` under oracle check (the r5 verdict's
+    dynamic-evaluation wall, closed in r6): each record CARRIES the XPath
+    to run in a ``rule/@path`` attribute — even ids count the record's
+    children, odd ids extract the id element — and one stylesheet
+    evaluates whatever arrives.  The production micro-engine runs per
+    partition over Arrow batches (compiled once per executor batch
+    iterator); the oracle predicts both branches analytically."""
+    from collections.abc import Iterator
+
+    import pandas as pd
+
+    docs = table(spark, sf_dir, "documents").select("doc_id")
+
+    xsl = """<xsl:stylesheet version="3.0"
+        xmlns:xsl="http://www.w3.org/1999/XSL/Transform">
+      <xsl:output method="text"/>
+      <xsl:template match="/r">
+        <xsl:evaluate xpath="rule/@path"/>
+      </xsl:template>
+    </xsl:stylesheet>"""
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from tulflow_spark.transform.microxslt import MicroXSLT
+
+        eng = MicroXSLT(xsl)
+        for pdf in batches:
+            rows = []
+            for doc_id in pdf["doc_id"]:
+                d = int(doc_id)
+                path = "count(/r/*)" if d % 2 == 0 else "string(/r/n)"
+                xml = (
+                    f"<r><rule path='{path}'/><a>w</a><n>{d}</n></r>"
+                )
+                out = eng(xml)
+                if out.startswith("<?xml"):
+                    out = out.split("?>", 1)[1].lstrip("\n")
+                # count() renders as an XPath number ("3"); keep integers
+                if out.endswith(".0"):
+                    out = out[:-2]
+                rows.append({"doc_id": d, "extracted": out})
+            yield pd.DataFrame(rows)
+
+    return docs.mapInPandas(gen, schema="doc_id bigint, extracted string")
