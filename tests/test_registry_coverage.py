@@ -81,6 +81,7 @@ def test_r6_rotation_promotes_never_adjudicated_pairs():
         "cur6_training_mix",
         "a13_grouping_sets",
         "x6_dynamic_xpath",
+        "dd12_cluster_stats",
     }
     never -= added_post_rotation
     assert never <= set(QUERIES), (

@@ -2044,3 +2044,65 @@ def cur6_training_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
         docs, "doc_id", "source", "n_tok", budget_tokens=20000.0
     )
     return pack_sequences(picked, "doc_id", "text", seq_len=512)
+
+
+@register(
+    "dd12_cluster_stats",
+    oracle=f"""
+    WITH RECURSIVE {_GRAMS_CTE},
+    sizes AS (SELECT doc_id, COUNT(*) AS n FROM dg GROUP BY doc_id),
+    inter AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS i
+      FROM dg a JOIN dg b USING (g)
+      WHERE a.doc_id < b.doc_id
+      GROUP BY 1, 2
+    ),
+    pairs AS (
+      SELECT id_a, id_b
+      FROM inter
+        JOIN sizes sa ON id_a = sa.doc_id
+        JOIN sizes sb ON id_b = sb.doc_id
+      WHERE i / (sa.n + sb.n - i) >= 0.1
+    ),
+    sym AS (
+      SELECT id_a AS u, id_b AS v FROM pairs
+      UNION SELECT id_b, id_a FROM pairs
+    ),
+    reach AS (
+      SELECT u, v FROM sym
+      UNION
+      SELECT r.u, s.v FROM reach r JOIN sym s ON r.v = s.u WHERE s.v <> r.u
+    ),
+    comp AS (
+      SELECT u AS node, LEAST(u, MIN(v)) AS component FROM reach GROUP BY u
+    ),
+    asg AS (
+      SELECT d.doc_id, COALESCE(c.component, d.doc_id) AS component
+      FROM documents d LEFT JOIN comp c ON d.doc_id = c.node
+    ),
+    sz AS (
+      SELECT component, COUNT(*) AS cluster_size FROM asg GROUP BY component
+    )
+    SELECT CAST(cluster_size AS BIGINT) AS cluster_size,
+           COUNT(*) AS n_clusters,
+           CAST(MIN(component) AS BIGINT) AS example_component
+    FROM sz GROUP BY cluster_size
+    """,
+)
+def dd12_cluster_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dedup observability: the cluster-size histogram of dd8's exact
+    duplicate components — the report a dedup pass publishes (how many
+    singletons, how big is the largest clique) before choosing caps and
+    keep policies.  Pure composition: dd8's assignment → two tiny
+    aggregates (component-count rows, then histogram-size rows); the
+    shuffle volume beyond dd8 itself is component-count rows."""
+    asg = dd8_components(spark, sf_dir)
+    return (
+        asg.groupBy("component")
+        .agg(F.count(F.lit(1)).alias("cluster_size"))
+        .groupBy("cluster_size")
+        .agg(
+            F.count(F.lit(1)).alias("n_clusters"),
+            F.min("component").alias("example_component"),
+        )
+    )
