@@ -35,7 +35,14 @@ TABLES = (
 def main() -> None:
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
     only = set(sys.argv[2:])
-    spark = get_spark(app_name="gate-sim")
+    if os.environ.get("GATE_SIM_VANILLA"):
+        # the driver builds its own untuned session (default 200 shuffle
+        # partitions, none of session.py's confs) — the strictest mirror
+        from pyspark.sql import SparkSession
+
+        spark = SparkSession.builder.master("local[8]").getOrCreate()
+    else:
+        spark = get_spark(app_name="gate-sim")
     spark.sparkContext.setLogLevel("ERROR")
     load_all()
     con = duckdb.connect()
