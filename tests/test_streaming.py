@@ -640,3 +640,78 @@ def test_stream_score_sample_bottom_k_invariant(spark, tmp_path_factory):
     )
     t = thresholds_from_sample(sample_df, [0.25, 0.5, 0.75])
     assert t[0] <= t[1] <= t[2]
+    # scores are (i*37)%101 = near-uniform over 0..100; the deterministic
+    # 64-point sample's median must sit near the true median (sampling
+    # error bound, no flake risk: the md5 sample is a fixed set)
+    assert 25 <= t[1] <= 75
+
+
+def test_stream_temperature_stats_match_batch(spark, tmp_path_factory):
+    """Streaming per-domain counters after the last micro-batch must equal
+    a batch groupBy over the same data, and the rates derived from them
+    must be bit-identical to the batch temperature_rates — the contract
+    that lets a streaming mixer hand off to (or backfill from) the batch
+    recipe."""
+    import os as _os
+    import time as _time
+
+    from pyspark.sql import functions as F
+
+    from tulflow_spark.ext.mixing import rates_from_stats, temperature_rates
+    from tulflow_spark.streaming.temperature import (
+        latest_stats,
+        stream_domain_stats,
+    )
+
+    rows = [
+        (i, ["web", "code", "books"][i % 3], 50 + (i * 13) % 200)
+        for i in range(600)
+    ]
+    schema = "doc_id long, domain string, n_tokens long"
+    d = tmp_path_factory.mktemp("tm_src")
+    for b in range(3):
+        spark.createDataFrame(
+            rows[b * 200 : (b + 1) * 200], schema
+        ).coalesce(1).write.parquet(str(d / f"b{b}"))
+    flat = tmp_path_factory.mktemp("tm_flat")
+    i = 0
+    for sub in sorted(_os.listdir(d)):
+        for f in sorted(_os.listdir(d / sub)):
+            if f.endswith(".parquet"):
+                _os.link(d / sub / f, flat / f"{i:03d}.parquet")
+                _os.utime(flat / f"{i:03d}.parquet",
+                          (_time.time() + i * 10, _time.time() + i * 10))
+                i += 1
+
+    stream = spark.readStream.schema(schema).option(
+        "maxFilesPerTrigger", 1
+    ).parquet(str(flat))
+    out = _run_to_memory(
+        spark,
+        stream_domain_stats(stream, "domain", "n_tokens"),
+        "tmix_stats",
+        "update",
+    )
+    # the memory sink accumulates update rows across batches; latest_stats
+    # reduces them to the final counters (monotone-max contract)
+    live = latest_stats(out)
+    batch = spark.createDataFrame(rows, schema)
+    expected = batch.groupBy("domain").agg(
+        F.count(F.lit(1)).alias("_n"),
+        F.sum(F.col("n_tokens").cast("long")).alias("_tok"),
+    )
+    got = {(r.domain, r._n, r._tok) for r in live.collect()}
+    exp = {(r.domain, r._n, r._tok) for r in expected.collect()}
+    assert got == exp
+    # each domain emitted once per micro-batch it appeared in (3 batches,
+    # every domain in every batch) — intermediate emissions are the
+    # running prefix totals
+    assert out.count() == 9
+    # rates from the streaming counters == batch temperature_rates
+    r_stream = rates_from_stats(live, "domain", budget_tokens=30_000.0)
+    r_batch = temperature_rates(
+        batch, "domain", "n_tokens", budget_tokens=30_000.0
+    )
+    assert r_stream == r_batch
+    assert set(r_stream) == {"web", "code", "books"}
+    assert all(0.0 < v <= 1.0 for v in r_stream.values())

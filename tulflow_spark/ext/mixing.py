@@ -356,12 +356,27 @@ def temperature_rates(
     exactly; the returned dict is a model-sized driver value feeding
     :func:`hash_sample`.  The default T=2 makes the power a correctly-
     rounded IEEE sqrt on every engine."""
-    if temperature <= 0:
-        raise ValueError(f"temperature must be > 0, got {temperature}")
     st = scored.groupBy(group_col).agg(
         F.count(F.lit(1)).alias("_n"),
         F.sum(F.col(token_col).cast("long")).alias("_tok"),
     )
+    return rates_from_stats(st, group_col, budget_tokens, temperature)
+
+
+def rates_from_stats(
+    stats: DataFrame,
+    group_col: str,
+    budget_tokens: float,
+    temperature: float = 2.0,
+) -> dict[str, float]:
+    """The rate arithmetic of :func:`temperature_rates` over a
+    PRE-AGGREGATED stats frame (group_col, _n, _tok) — shared with the
+    streaming face (streaming/temperature.py), whose stateful counters
+    produce exactly this shape, so batch and streaming derive
+    bit-identical rates from identical counts."""
+    if temperature <= 0:
+        raise ValueError(f"temperature must be > 0, got {temperature}")
+    st = stats
     if temperature == 2.0:  # sqrt is correctly rounded IEEE; pow is not
         s9 = F.round(F.sqrt(F.col("_n").cast("double")), 9)
     else:
