@@ -1,0 +1,102 @@
+"""Benchmark decontamination (ext/decontam.py): hand-checked semantics,
+edge cases, and the map-only plan contract."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from tulflow_spark.ext.decontam import (
+    benchmark_gram_set,
+    contamination,
+    decontaminate,
+)
+
+BENCH = [
+    (100, "the quick brown fox jumps over the lazy dog"),
+    (101, "pack my box with five dozen liquor jugs"),
+]
+DOCS = [
+    # shares the 5-gram "quick brown fox jumps over" with bench 100
+    (1, "she saw the quick brown fox jumps over a fence today"),
+    # shares two distinct bench 5-grams (one from each bench doc)
+    (2, "quick brown fox jumps over and pack my box with five dozen"),
+    # same words, different order — no shared 5-gram
+    (3, "fox brown quick the jumps dog lazy the over"),
+    # shorter than 5 tokens — clean by definition
+    (4, "quick brown fox jumps"),
+    # empty text
+    (5, ""),
+]
+SCHEMA = "doc_id long, text string"
+
+
+def test_contamination_flags_and_counts(spark):
+    docs = spark.createDataFrame(DOCS, SCHEMA)
+    bench = spark.createDataFrame(BENCH, SCHEMA)
+    rep = {
+        r.doc_id: (r.n_grams, r.n_hit, r.contaminated)
+        for r in contamination(docs, bench, "doc_id", "text", n=5).collect()
+    }
+    # doc 1 contains "the quick brown fox jumps over": two overlapping
+    # bench 5-grams
+    assert rep[1] == (7, 2, True)
+    # doc 2: hits "quick brown fox jumps over" + "pack my box with five"
+    # + "my box with five dozen"
+    assert rep[2][2] is True and rep[2][1] == 3
+    assert rep[3] == (5, 0, False)
+    assert rep[4] == (0, 0, False)  # < n tokens: no grams
+    assert rep[5] == (0, 0, False)  # empty text
+
+
+def test_decontaminate_drops_and_keeps_columns(spark):
+    docs = spark.createDataFrame(DOCS, SCHEMA)
+    bench = spark.createDataFrame(BENCH, SCHEMA)
+    kept = decontaminate(docs, bench, "doc_id", "text", n=5)
+    assert set(kept.columns) == {"doc_id", "text"}
+    assert {r.doc_id for r in kept.collect()} == {3, 4, 5}
+    # max_hits tolerance: doc 1 (2 hits) tolerated, doc 2 (3 hits) not
+    loose = decontaminate(docs, bench, "doc_id", "text", n=5, max_hits=2)
+    assert {r.doc_id for r in loose.collect()} == {1, 3, 4, 5}
+
+
+def test_empty_benchmark_keeps_everything(spark):
+    docs = spark.createDataFrame(DOCS, SCHEMA)
+    bench = spark.createDataFrame([], SCHEMA)
+    assert decontaminate(docs, bench, "doc_id", "text", n=5).count() == len(
+        DOCS
+    )
+    rep = contamination(docs, bench, "doc_id", "text", n=5)
+    assert rep.filter(F.col("contaminated")).count() == 0
+
+
+def test_bench_gram_set_is_one_sorted_row(spark):
+    bench = spark.createDataFrame(BENCH, SCHEMA)
+    rows = benchmark_gram_set(bench, "text", n=5).collect()
+    assert len(rows) == 1
+    grams = rows[0]["_bench"]
+    # 9 tokens -> 5 grams, 8 tokens -> 4 grams, all distinct across docs
+    assert len(grams) == 9
+    assert grams == sorted(grams)
+    assert all(len(g) == 16 for g in grams)
+
+
+def test_corpus_side_is_map_only(spark, sf_dir):
+    """The decontamination filter must not shuffle or explode the corpus:
+    the only exchange in the plan is the broadcast of the benchmark gram
+    set, and no Python worker appears anywhere."""
+    from tulflow_spark.io import table
+
+    docs = table(spark, sf_dir, "documents")
+    bench = docs.filter(F.col("doc_id") % 37 == 0)
+    corpus = docs.filter(F.col("doc_id") % 37 != 0)
+    plan = decontaminate(
+        corpus, bench, "doc_id", "text", n=5
+    )._jdf.queryExecution().executedPlan().toString()
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan
+    # exactly ONE explode (the benchmark's gram flattening) — the corpus
+    # probes its gram array in place, it is never exploded
+    assert plan.count("Generate explode") == 1, plan
+    # the only hash exchange is the benchmark distinct; corpus rows never
+    # move (a corpus-side shuffle or exploded-join would add more)
+    assert plan.count("Exchange hashpartitioning") <= 1, plan

@@ -82,6 +82,7 @@ def test_r6_rotation_promotes_never_adjudicated_pairs():
         "a13_grouping_sets",
         "x6_dynamic_xpath",
         "dd12_cluster_stats",
+        "dc1_decontaminate",
     }
     never -= added_post_rotation
     assert never <= set(QUERIES), (

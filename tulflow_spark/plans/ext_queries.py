@@ -2106,3 +2106,60 @@ def dd12_cluster_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.min("component").alias("example_component"),
         )
     )
+
+
+@register(
+    "dc1_decontaminate",
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id, string_split_regex(trim(text), '\\s+') AS t FROM documents
+    ), flat AS (
+      SELECT doc_id, unnest(t) AS tok, generate_subscripts(t, 1) AS i FROM toks
+    ), grams AS (
+      SELECT doc_id,
+             tok || ' ' || lead(tok) OVER w || ' ' || lead(tok, 2) OVER w
+                 || ' ' || lead(tok, 3) OVER w || ' ' || lead(tok, 4) OVER w
+               AS g
+      FROM flat WINDOW w AS (PARTITION BY doc_id ORDER BY i)
+    ), dg AS (
+      SELECT DISTINCT doc_id, substring(md5(g), 1, 16) AS gh
+      FROM grams WHERE g IS NOT NULL
+    ), bench AS (
+      SELECT DISTINCT gh FROM dg WHERE doc_id % 37 = 0
+    ), sizes AS (
+      SELECT doc_id, COUNT(*) AS n_grams FROM dg GROUP BY 1
+    ), hits AS (
+      SELECT dg.doc_id, COUNT(*) AS n_hit
+      FROM dg JOIN bench USING (gh)
+      WHERE dg.doc_id % 37 <> 0 GROUP BY 1
+    )
+    SELECT d.doc_id,
+           COALESCE(s.n_grams, 0) AS n_grams,
+           COALESCE(h.n_hit, 0) AS n_hit,
+           COALESCE(h.n_hit, 0) > 0 AS contaminated
+    FROM documents d
+      LEFT JOIN sizes s USING (doc_id)
+      LEFT JOIN hits h USING (doc_id)
+    WHERE d.doc_id % 37 <> 0
+    """,
+)
+def dc1_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination report (ext/decontam.py): docs with
+    doc_id % 37 == 0 stand in for the held-out eval set; every other
+    document reports how many distinct benchmark 5-grams it contains.
+    The corpus side is map-only against the broadcast benchmark gram-hash
+    set (the oracle's exploded join is the semantics, not the plan).
+    n=5 chosen for the gate data: discriminative (a few true positives,
+    hundreds of true negatives) where n=3 flags most of the corpus."""
+    from tulflow_spark.ext import decontam
+
+    docs = table(spark, sf_dir, "documents")
+    bench = docs.filter(F.col("doc_id") % 37 == 0)
+    corpus = docs.filter(F.col("doc_id") % 37 != 0)
+    rep = decontam.contamination(corpus, bench, "doc_id", "text", n=5)
+    return rep.select(
+        "doc_id",
+        F.col("n_grams").cast("long").alias("n_grams"),
+        F.col("n_hit").cast("long").alias("n_hit"),
+        "contaminated",
+    )
