@@ -167,3 +167,42 @@ def test_ivfpq_append_searchable_without_retrain(spark, sf_dir, tmp_path):
     q = [float(x) for x in newbie.head()["embedding"]]
     top = ivfpq_topk(loaded, q, k=3, n_probes=8).collect()
     assert top[0]["vec_id"] == 999_999
+
+
+def test_ivfpq_drift_retrain_trigger(spark, sf_dir, tmp_path):
+    """The retrain policy must stay quiet for same-distribution ingest and
+    fire for concentrated traffic: a batch drawn from the same corpus
+    scores PSI well under the 0.25 action level, while a batch of copies
+    of one vector (everything lands in a single cluster) scores far over
+    it.  The per-cluster table carries the full k-bucket spine."""
+    from pyspark.sql import functions as F
+
+    from tulflow_spark.ext.ann_store import (
+        ivfpq_assignment_drift,
+        save_ivfpq,
+    )
+    from tulflow_spark.ext.ivfpq import build_ivfpq
+    from tulflow_spark.io import table
+
+    emb = table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    base = emb.filter(F.col("vec_id") < 400)
+    idx = build_ivfpq(base, n_clusters=8, dim=64, m=8, ksub=16, max_iter=2,
+                      keep_vectors=False)
+    save_ivfpq(idx, str(tmp_path / "ivfpq"))
+
+    same = emb.filter(F.col("vec_id") >= 400)
+    psi, retrain, tbl = ivfpq_assignment_drift(
+        spark, str(tmp_path / "ivfpq"), same
+    )
+    assert retrain is False and psi < 0.1, psi
+    assert tbl.count() == 8  # full spine even if a cluster saw nothing
+
+    one = emb.filter(F.col("vec_id") == 450)
+    skew = one
+    for _ in range(5):
+        skew = skew.unionByName(one)
+    skew = skew.withColumn("vec_id", F.monotonically_increasing_id())
+    psi2, retrain2, _ = ivfpq_assignment_drift(
+        spark, str(tmp_path / "ivfpq"), skew
+    )
+    assert retrain2 is True and psi2 > 0.25, psi2

@@ -218,3 +218,51 @@ def append_to_ivfpq(
         f"{path}/codes"
     )
     return n
+
+
+def ivfpq_assignment_drift(
+    spark: SparkSession,
+    path: str,
+    new_df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    threshold: float = 0.25,
+) -> tuple[float, bool, DataFrame]:
+    """Retrain-trigger policy for :func:`append_to_ivfpq`: PSI between the
+    stored index's cluster-size distribution and a candidate batch's
+    assignment distribution (same max-cosine metric the index assigns
+    with).  Returns ``(psi, should_retrain, per_cluster_table)`` — retrain
+    the coarse quantizer when appended traffic concentrates into clusters
+    the index wasn't balanced for (the standard PSI > 0.25 action level;
+    0.1-0.25 is "watch").
+
+    Cost shape: the stored side reads ONLY the ``cluster`` partition
+    column of the codes layout (no code bytes touched) and both sides
+    partial-aggregate to k rows before the shuffle; the PSI arithmetic is
+    ext.monitor.psi_table's engine-exact ROUND(…,9) form.
+    """
+    from tulflow_spark.ext.kmeans import assign_clusters
+    from tulflow_spark.ext.monitor import psi_table
+
+    fs, p = fsio.resolve(f"{path}/meta.json")
+    with fs.open_input_stream(p) as stream:
+        meta = json.loads(stream.read().decode("utf-8"))
+    centroids = np.asarray(meta["centroids"])
+    stored = spark.read.parquet(f"{path}/codes").select(
+        F.lit(0).alias("_split"), F.col("cluster")
+    )
+    new = assign_clusters(
+        new_df.select(id_col, vec_col), centroids.tolist(), vec_col=vec_col
+    ).select(F.lit(1).alias("_split"), "cluster")
+    tbl = psi_table(
+        stored.unionByName(new), "_split", "cluster",
+        n_buckets=len(centroids),
+    )
+    psi = float(
+        tbl.agg(
+            F.round(
+                F.sum(F.col("term").cast("decimal(30,9)")).cast("double"), 9
+            )
+        ).head()[0]
+    )
+    return psi, psi > threshold, tbl
