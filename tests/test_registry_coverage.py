@@ -83,6 +83,7 @@ def test_r6_rotation_promotes_never_adjudicated_pairs():
         "x6_dynamic_xpath",
         "dd12_cluster_stats",
         "dc1_decontaminate",
+        "rr1_rerank_topk",
     }
     never -= added_post_rotation
     assert never <= set(QUERIES), (

@@ -2163,3 +2163,78 @@ def dc1_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n_hit").cast("long").alias("n_hit"),
         "contaminated",
     )
+
+
+@register(
+    "rr1_rerank_topk",
+    oracle="""
+    WITH q AS (
+      SELECT doc_id AS query_id, text AS q_text
+      FROM documents WHERE doc_id % 97 = 0
+    ), cand AS (
+      SELECT q.query_id, d.doc_id, q.q_text, d.text AS d_text
+      FROM q JOIN documents d
+        ON d.doc_id % 7 = q.query_id % 7 AND d.doc_id <> q.query_id
+    ), toked AS (
+      SELECT query_id, doc_id,
+             CASE WHEN trim(q_text) = '' THEN CAST([] AS VARCHAR[])
+                  ELSE list_distinct(string_split_regex(trim(q_text), '\\s+'))
+             END AS tq,
+             CASE WHEN trim(d_text) = '' THEN CAST([] AS VARCHAR[])
+                  ELSE list_distinct(string_split_regex(trim(d_text), '\\s+'))
+             END AS td
+      FROM cand
+    ), scored AS (
+      SELECT query_id, doc_id,
+             CASE WHEN len(list_distinct(list_concat(tq, td))) = 0 THEN 0.0
+                  ELSE len(list_intersect(tq, td))
+                       / len(list_distinct(list_concat(tq, td)))
+             END AS score
+      FROM toked
+    ), ranked AS (
+      SELECT query_id, doc_id, score,
+             row_number() OVER (
+               PARTITION BY query_id ORDER BY score DESC, doc_id
+             ) AS rank
+      FROM scored
+    )
+    SELECT query_id, doc_id, score, rank FROM ranked WHERE rank <= 5
+    """,
+)
+def rr1_rerank_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-stage retrieval re-rank (ext/rerank.py): docs with
+    doc_id % 97 == 0 act as queries; candidate generation is a
+    deterministic modulo block (doc_id % 7 == query_id % 7, the stand-in
+    for an ANN candidate list); the pairwise stage runs the REAL
+    Arrow-batched scorer plumbing with the lexical token-Jaccard default,
+    and the window keeps top-5 per query with (score desc, doc_id) ties.
+    The oracle re-derives the same token sets and ranks in SQL."""
+    from tulflow_spark.ext.rerank import rerank_topk
+
+    docs = table(spark, sf_dir, "documents")
+    queries = docs.filter(F.col("doc_id") % 97 == 0).select(
+        F.col("doc_id").alias("query_id"), "text"
+    )
+    cands = docs.withColumn("_b", F.col("doc_id") % 7).join(
+        F.broadcast(
+            queries.select(
+                "query_id", (F.col("query_id") % 7).alias("_b")
+            )
+        ),
+        "_b",
+    ).filter(F.col("doc_id") != F.col("query_id")).select(
+        "query_id", "doc_id"
+    )
+    out = rerank_topk(
+        cands,
+        queries.select("query_id", F.col("text")),
+        docs.select("doc_id", "text"),
+        "query_id",
+        "doc_id",
+        "text",
+        "text",
+        k=5,
+    )
+    return out.select(
+        "query_id", "doc_id", "score", F.col("rank").cast("long").alias("rank")
+    )
