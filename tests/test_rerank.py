@@ -88,3 +88,32 @@ def test_rerank_plan_broadcasts_queries_no_single_partition(spark, sf_dir):
     )
     assert "BroadcastExchange" in plan
     assert "SinglePartition" not in plan
+
+
+def test_lexical_jvm_path_equals_python_path(spark, sf_dir):
+    """lexical_rerank_topk must reproduce rerank_topk's default-scorer
+    output bit for bit (same token sets, same IEEE division, same ties)
+    — and stay pure JVM (no Python workers in its plan)."""
+    from tulflow_spark.ext.rerank import lexical_rerank_topk
+    from tulflow_spark.io import table
+
+    docs = table(spark, sf_dir, "documents")
+    queries = docs.filter(F.col("doc_id") % 97 == 0).select(
+        F.col("doc_id").alias("query_id"), "text"
+    )
+    cands = docs.withColumn("_b", F.col("doc_id") % 7).join(
+        F.broadcast(
+            queries.select("query_id", (F.col("query_id") % 7).alias("_b"))
+        ),
+        "_b",
+    ).filter(F.col("doc_id") != F.col("query_id")).select(
+        "query_id", "doc_id"
+    )
+    args = (cands, queries.select("query_id", "text"),
+            docs.select("doc_id", "text"),
+            "query_id", "doc_id", "text", "text")
+    jvm = lexical_rerank_topk(*args, k=5)
+    py = rerank_topk(*args, k=5)
+    assert sorted(map(tuple, jvm.collect())) == sorted(map(tuple, py.collect()))
+    plan = jvm._jdf.queryExecution().executedPlan().toString()
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
