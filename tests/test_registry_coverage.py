@@ -84,6 +84,7 @@ def test_r6_rotation_promotes_never_adjudicated_pairs():
         "dd12_cluster_stats",
         "dc1_decontaminate",
         "rr1_rerank_topk",
+        "cur7_clean_corpus",
     }
     never -= added_post_rotation
     assert never <= set(QUERIES), (

@@ -2238,3 +2238,76 @@ def rr1_rerank_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select(
         "query_id", "doc_id", "score", F.col("rank").cast("long").alias("rank")
     )
+
+
+@register(
+    "cur7_clean_corpus",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id, string_split_regex(trim(text), '\\s+') AS t FROM documents
+    ), flat AS (
+      SELECT doc_id, unnest(t) AS tok, generate_subscripts(t, 1) AS i FROM toks
+    ), grams AS (
+      SELECT doc_id,
+             tok || ' ' || lead(tok) OVER w || ' ' || lead(tok, 2) OVER w
+                 || ' ' || lead(tok, 3) OVER w || ' ' || lead(tok, 4) OVER w
+               AS g
+      FROM flat WINDOW w AS (PARTITION BY doc_id ORDER BY i)
+    ), dg AS (
+      SELECT DISTINCT doc_id, substring(md5(g), 1, 16) AS gh
+      FROM grams WHERE g IS NOT NULL
+    ), bench AS (
+      SELECT DISTINCT gh FROM dg WHERE doc_id % 37 = 0
+    ), hits AS (
+      SELECT dg.doc_id, COUNT(*) AS n_hit
+      FROM dg JOIN bench USING (gh)
+      WHERE dg.doc_id % 37 <> 0 GROUP BY 1
+    ), clean AS (
+      SELECT d.* FROM documents d LEFT JOIN hits h USING (doc_id)
+      WHERE d.doc_id % 37 <> 0 AND COALESCE(h.n_hit, 0) = 0
+    ), scored AS (
+      SELECT doc_id, source, text,
+             (least(length(text) / 500.0, 1.0)
+              + least((len(list_filter({_TOKS}, x -> lower(x) IN {_STOPS}))
+                       / len({_TOKS})) * 4, 1.0)
+              + (1.0 - least(((length(text)
+                   - length(regexp_replace(text, '[^\\w\\s]', '', 'g')))
+                   / length(text)) * 5, 1.0))) / 3 AS quality
+      FROM clean
+    ), gated AS (
+      SELECT * FROM scored WHERE quality >= 0.5
+    ), keep AS (
+      SELECT MIN(doc_id) AS doc_id FROM gated GROUP BY md5(text)
+    )
+    SELECT g.doc_id, g.source, g.quality,
+           CASE WHEN trim(g.text) = '' THEN 0
+                ELSE CAST(len(string_split_regex(trim(g.text), '\\s+'))
+                          AS BIGINT) END AS n_tokens
+    FROM gated g JOIN keep USING (doc_id)
+    """,
+)
+def cur7_clean_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ingest hygiene end to end: benchmark decontamination
+    (ext/decontam.py, map-only broadcast probe) → quality gate
+    (ext.text.quality_score) → exact-duplicate keeper (md5 groupBy MIN) —
+    one declarative DAG; the decontamination filter and quality score
+    pipeline into the same scan, and the only corpus shuffles are the
+    dedup keeper's two small aggregates."""
+    from tulflow_spark.ext import decontam
+
+    docs = table(spark, sf_dir, "documents")
+    bench = docs.filter(F.col("doc_id") % 37 == 0)
+    corpus = docs.filter(F.col("doc_id") % 37 != 0)
+    clean = decontam.decontaminate(corpus, bench, "doc_id", "text", n=5)
+    gated = clean.withColumn("quality", T.quality_score("text")).filter(
+        F.col("quality") >= 0.5
+    )
+    keep = gated.groupBy(F.md5("text")).agg(
+        F.min("doc_id").alias("doc_id")
+    )
+    return gated.join(keep.select("doc_id"), "doc_id").select(
+        "doc_id",
+        "source",
+        "quality",
+        T.token_count("text").cast("long").alias("n_tokens"),
+    )
