@@ -85,6 +85,7 @@ def test_r6_rotation_promotes_never_adjudicated_pairs():
         "dc1_decontaminate",
         "rr1_rerank_topk",
         "cur7_clean_corpus",
+        "pack1_token_sequences",
     }
     never -= added_post_rotation
     assert never <= set(QUERIES), (

@@ -2311,3 +2311,64 @@ def cur7_clean_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
         "quality",
         T.token_count("text").cast("long").alias("n_tokens"),
     )
+
+
+@register(
+    "pack1_token_sequences",
+    oracle="""
+    WITH ids_tbl AS (
+      SELECT doc_id,
+             list_transform(string_split_regex(trim(text), '\\s+'),
+                            t -> CAST(length(t) AS BIGINT)) AS ids
+      FROM documents WHERE trim(text) <> ''
+    ), ord AS (
+      SELECT doc_id, ids, CAST(len(ids) AS BIGINT) AS n,
+             md5(CAST(doc_id AS VARCHAR)) AS ok
+      FROM ids_tbl WHERE len(ids) > 0
+    ), off AS (
+      SELECT doc_id, ids, n, ok,
+             CAST(SUM(n) OVER (ORDER BY ok, doc_id
+                               ROWS UNBOUNDED PRECEDING) - n AS BIGINT)
+               AS strt
+      FROM ord
+    ), pieces AS (
+      SELECT t.seq_id, strt,
+             ids[CAST(greatest(t.seq_id * 512, strt) - strt + 1 AS BIGINT) :
+                 CAST(least((t.seq_id + 1) * 512, strt + n) - strt AS BIGINT)]
+               AS piece
+      FROM off, UNNEST(generate_series(strt // 512, (strt + n - 1) // 512))
+           AS t(seq_id)
+    )
+    SELECT seq_id,
+           array_to_string(flatten(list(piece ORDER BY strt)), ' ') AS ids,
+           CAST(len(flatten(list(piece ORDER BY strt))) AS BIGINT)
+             AS n_tokens,
+           COUNT(*) AS n_docs
+    FROM pieces GROUP BY seq_id
+    """,
+)
+def pack1_token_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GPT-style concat-and-chunk packing (ext/packing.py): token ids
+    (opaque longs — here each token's length, derivable identically by
+    any engine) laid end-to-end in md5-of-id order and cut into 512-token
+    sequences, documents split across boundaries.  The oracle re-derives
+    the same layout with a naive global window; the Spark side uses the
+    256-bucket grouped prefix sum (no single-partition window).  The ids
+    array is emitted space-joined so the value hash is engine-neutral."""
+    from tulflow_spark.ext.packing import pack_token_ids
+
+    docs = table(spark, sf_dir, "documents")
+    with_ids = docs.filter(F.trim(F.col("text")) != "").select(
+        "doc_id",
+        F.transform(
+            F.split(F.trim(F.col("text")), r"\s+"),
+            lambda t: F.length(t).cast("long"),
+        ).alias("ids"),
+    )
+    out = pack_token_ids(with_ids, "doc_id", "ids", seq_len=512)
+    return out.select(
+        "seq_id",
+        F.array_join(F.col("ids"), " ").alias("ids"),
+        "n_tokens",
+        "n_docs",
+    )
