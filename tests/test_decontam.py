@@ -100,3 +100,34 @@ def test_corpus_side_is_map_only(spark, sf_dir):
     # the only hash exchange is the benchmark distinct; corpus rows never
     # move (a corpus-side shuffle or exploded-join would add more)
     assert plan.count("Exchange hashpartitioning") <= 1, plan
+
+
+def test_decontaminate_works_on_streams(spark, tmp_path):
+    """The operator is a stateless map over a broadcast set, so the SAME
+    code runs on a readStream frame (stream-static broadcast join) —
+    streaming ingest gets decontamination for free, with batch-identical
+    survivors."""
+    docs = spark.read.parquet(
+        "/root/testdata/sf0.001/documents.parquet"
+    ).select("doc_id", "text")
+    bench = docs.filter(F.col("doc_id") % 37 == 0)
+    corpus = docs.filter(F.col("doc_id") % 37 != 0)
+    corpus.coalesce(2).write.parquet(str(tmp_path / "src"))
+    stream = spark.readStream.schema("doc_id long, text string").option(
+        "maxFilesPerTrigger", 1
+    ).parquet(str(tmp_path / "src"))
+    q = (
+        decontaminate(stream, bench, "doc_id", "text", n=5)
+        .writeStream.format("memory")
+        .queryName("dc_stream")
+        .outputMode("append")
+        .start()
+    )
+    q.processAllAvailable()
+    q.stop()
+    got = {r.doc_id for r in spark.table("dc_stream").collect()}
+    exp = {
+        r.doc_id
+        for r in decontaminate(corpus, bench, "doc_id", "text", n=5).collect()
+    }
+    assert got == exp
