@@ -206,3 +206,58 @@ def test_compaction_rewrites_fat_buckets_atomically(spark, tmp_path):
     # pre-compaction version still time-travelable
     old = ms.read(spark, version=ms.versions()[-2])
     assert {(r.id, r.v) for r in old.collect()} == pre_rows
+
+
+def test_delete_where_rewrites_only_touched_buckets(spark, tmp_path):
+    """Targeted deletion: matching rows vanish from the live version;
+    untouched buckets carry over by reference (identical file paths); the
+    pre-delete version still holds the rows (time travel) until vacuum;
+    a full-bucket delete drops the bucket from the manifest; a no-match
+    predicate is a no-op returning (None, 0)."""
+    from pyspark.sql import functions as F
+
+    from tulflow_spark.streaming.manifest_snapshot import (
+        ManifestSnapshot,
+        delete_where,
+    )
+
+    ms = ManifestSnapshot(str(tmp_path / "dw"))
+
+    def bucketed(rows):
+        return spark.createDataFrame(rows, "id bigint, v string").withColumn(
+            "_bucket", (F.col("id") % 4).cast("int")
+        )
+
+    v1 = ms.commit(
+        bucketed([(0, "a"), (1, "b"), (2, "c"), (3, "d"), (5, "e")]),
+        [0, 1, 2, 3],
+        "b1",
+    )
+    before = ms.buckets()
+
+    # delete id=1 (bucket 1 keeps id=5) and id=2 (bucket 2 empties)
+    v2, n = delete_where(
+        ms, spark, (F.col("id") == 1) | (F.col("id") == 2)
+    )
+    assert v2 == v1 + 1 and n == 2
+    live = {r.id: r.v for r in ms.read(spark).collect()}
+    assert live == {0: "a", 3: "d", 5: "e"}
+    after = ms.buckets()
+    # untouched buckets 0 and 3: same files by reference
+    assert after["0"] == before["0"] and after["3"] == before["3"]
+    # bucket 2 emptied -> gone from the manifest
+    assert "2" not in after and "1" in after
+    # time travel still sees the deleted rows
+    old = {r.id for r in ms.read(spark, version=v1).collect()}
+    assert old == {0, 1, 2, 3, 5}
+
+    # no-match predicate: no new version
+    assert delete_where(ms, spark, F.col("id") == 999) == (None, 0)
+    assert ms.latest_version() == v2
+
+    # NULL predicate rows are kept (only definite TRUE deletes)
+    v3, n3 = delete_where(
+        ms, spark, F.when(F.col("id") == 0, True).otherwise(F.lit(None))
+    )
+    assert n3 == 1
+    assert {r.id for r in ms.read(spark).collect()} == {3, 5}

@@ -268,3 +268,52 @@ def compact(
     for p_ in parts[1:]:
         merged = merged.unionByName(p_)
     return snapshot.commit(merged, [int(b) for b in fat], batch_id)
+
+
+def delete_where(
+    snapshot: ManifestSnapshot,
+    spark: SparkSession,
+    predicate,
+    batch_id: str = "delete",
+) -> tuple[int | None, int]:
+    """Targeted deletion (the GDPR/right-to-be-forgotten pass): remove
+    every live row matching ``predicate`` (a boolean Column over the
+    table's columns) by rewriting ONLY the buckets that contain matches,
+    published as a normal versioned commit — readers see either the old
+    or the new complete version, untouched buckets carry by reference
+    without rewriting a byte, and a bucket whose every row matched drops
+    from the manifest entirely.  Deleted rows remain reachable via time
+    travel until :meth:`ManifestSnapshot.vacuum` reclaims their files
+    (run vacuum after the legal retention window, not before).
+
+    Returns ``(new_version, n_deleted)`` — ``(None, 0)`` when nothing
+    matched.  Rows where the predicate evaluates NULL are kept (three-
+    valued logic: only a definite TRUE deletes).
+
+    Cost shape: one column-pruned scan of the live table to find matches
+    (the bucket id is recovered from each file's ``_bucket=N`` path
+    segment, so no extra column is stored), then a rewrite of the touched
+    buckets only — O(touched buckets), same as any commit."""
+    buckets = snapshot.buckets()
+    if not buckets:
+        return None, 0
+    files = [f for fs in buckets.values() for f in fs]
+    df = spark.read.parquet(*files).withColumn(
+        "_bucket",
+        F.regexp_extract(F.input_file_name(), r"_bucket=(\d+)", 1).cast(
+            "int"
+        ),
+    )
+    hit = F.coalesce(predicate, F.lit(False))
+    matches = df.filter(hit)
+    touched = sorted(
+        r["_bucket"] for r in matches.select("_bucket").distinct().collect()
+    )
+    if not touched:
+        return None, 0
+    n_deleted = matches.count()
+    keep = df.filter(F.col("_bucket").isin([int(b) for b in touched])).filter(
+        ~hit
+    )
+    version = snapshot.commit(keep, [int(b) for b in touched], batch_id)
+    return version, n_deleted
