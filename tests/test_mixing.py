@@ -271,3 +271,36 @@ def test_quality_mix_approx_tracks_exact_quartiles(spark, sf_dir):
         assert agree >= 0.95, agree
     finally:
         scored.unpersist()
+
+
+def test_hash_split_partitions_and_determinism(spark):
+    """hash_split: exhaustive partition (every row exactly one split),
+    weight-proportional shares, per-row independence (subset stability),
+    salt decorrelation, and input validation."""
+    import pytest
+
+    from tulflow_spark.ext.mixing import hash_split
+
+    df = spark.range(0, 5000).withColumnRenamed("id", "doc_id")
+    w = {"train": 0.8, "valid": 0.1, "test": 0.1}
+    out = hash_split(df, "doc_id", w)
+    counts = {r.split: r.n for r in
+              out.groupBy("split").count().withColumnRenamed("count", "n")
+              .collect()}
+    assert sum(counts.values()) == 5000
+    assert abs(counts["train"] / 5000 - 0.8) < 0.03
+    assert abs(counts["valid"] / 5000 - 0.1) < 0.02
+    assert abs(counts["test"] / 5000 - 0.1) < 0.02
+    # per-row independence: a subset's assignments match the full run's
+    sub = hash_split(df.filter(F.col("doc_id") < 100), "doc_id", w)
+    full = {r.doc_id: r.split for r in out.filter(F.col("doc_id") < 100).collect()}
+    assert {r.doc_id: r.split for r in sub.collect()} == full
+    # salt decorrelates
+    salted = {r.doc_id: r.split
+              for r in hash_split(df, "doc_id", w, salt="v2").collect()}
+    base = {r.doc_id: r.split for r in out.collect()}
+    assert salted != base
+    with pytest.raises(ValueError):
+        hash_split(df, "doc_id", {"a": 0.5, "b": 0.4})
+    with pytest.raises(ValueError):
+        hash_split(df, "doc_id", {"a": 1.5, "b": -0.5})

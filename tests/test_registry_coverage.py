@@ -86,6 +86,7 @@ def test_r6_rotation_promotes_never_adjudicated_pairs():
         "rr1_rerank_topk",
         "cur7_clean_corpus",
         "pack1_token_sequences",
+        "sp1_hash_split",
     }
     never -= added_post_rotation
     assert never <= set(QUERIES), (

@@ -215,6 +215,52 @@ def hash_sample(
     return df.where(key8 < expr)
 
 
+def hash_split(
+    df: DataFrame,
+    id_col: str,
+    weights: dict[str, float],
+    salt: str = "",
+    out_col: str = "split",
+) -> DataFrame:
+    """Deterministic multi-way split (train/valid/test carving): assign
+    each row a split label by where its md5 hex key falls among the
+    cumulative weight thresholds — :func:`hash_sample`'s coin generalized
+    from keep/drop to n-way assignment.  Weights must sum to 1 (±1e-9).
+
+    Same guarantees as the sampler: no RNG, no shuffle (map-only), any
+    engine re-derives the identical assignment, and a row's split never
+    changes as OTHER rows come and go (per-row independence — the
+    property a ROW_NUMBER-based split lacks).  ``salt`` decorrelates
+    independent splits over the same ids.
+    """
+    total = sum(weights.values())
+    if abs(total - 1.0) > 1e-9:
+        raise ValueError(f"weights must sum to 1, got {total}")
+    if any(w < 0 for w in weights.values()):
+        raise ValueError("weights must be non-negative")
+    key_src = (
+        F.concat(F.col(id_col).cast("string"), F.lit(salt))
+        if salt
+        else F.col(id_col).cast("string")
+    )
+    key8 = F.substring(F.md5(key_src), 1, 8)
+    names = sorted(weights)
+    cum = 0.0
+    expr = None
+    for name in names[:-1]:
+        cum += weights[name]
+        t = F.lit(format(int(cum * 16**8), "08x"))
+        branch = key8 < t
+        expr = (
+            F.when(branch, F.lit(name))
+            if expr is None
+            else expr.when(branch, F.lit(name))
+        )
+    last = F.lit(names[-1])
+    out = last if expr is None else expr.otherwise(last)
+    return df.withColumn(out_col, out)
+
+
 def stratified_sample(
     df: DataFrame, id_col: str, group_col: str, k: int
 ) -> DataFrame:

@@ -2372,3 +2372,29 @@ def pack1_token_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_tokens",
         "n_docs",
     )
+
+
+@register(
+    "sp1_hash_split",
+    oracle="""
+    SELECT doc_id,
+           CASE WHEN substring(md5(CAST(doc_id AS VARCHAR)), 1, 8)
+                     < '19999999' THEN 'test'
+                WHEN substring(md5(CAST(doc_id AS VARCHAR)), 1, 8)
+                     < 'e6666666' THEN 'train'
+                ELSE 'valid' END AS split
+    FROM documents
+    """,
+)
+def sp1_hash_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic train/valid/test carving (ext.mixing.hash_split):
+    80/10/10 by each row's own md5 coin — map-only, RNG-free, per-row
+    independent (a row's split never changes as other rows come and go).
+    The oracle embeds the SAME cumulative thresholds (19999999/e6666666 =
+    floor(cum·16^8) over alphabetical split names) the operator derives."""
+    from tulflow_spark.ext.mixing import hash_split
+
+    docs = table(spark, sf_dir, "documents").select("doc_id")
+    return hash_split(
+        docs, "doc_id", {"train": 0.8, "valid": 0.1, "test": 0.1}
+    ).select("doc_id", "split")
