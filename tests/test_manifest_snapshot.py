@@ -261,3 +261,62 @@ def test_delete_where_rewrites_only_touched_buckets(spark, tmp_path):
     )
     assert n3 == 1
     assert {r.id for r in ms.read(spark).collect()} == {3, 5}
+
+
+def test_bucket_stats_and_data_skipping(spark, tmp_path):
+    """Commit-time [min,max] stats become a manifest-level skipping index:
+    prune_buckets excludes only provably-disjoint buckets, untouched
+    buckets keep stats across commits, a touched bucket committed without
+    stat_cols drops its (stale) stats and is always read, and the pruned
+    read equals the full filtered read."""
+    from pyspark.sql import functions as F
+
+    from tulflow_spark.streaming.manifest_snapshot import ManifestSnapshot
+
+    ms = ManifestSnapshot(str(tmp_path / "st"))
+
+    def bucketed(rows):
+        return spark.createDataFrame(rows, "id bigint, v bigint").withColumn(
+            "_bucket", (F.col("id") % 3).cast("int")
+        )
+
+    # bucket 0: v in [10,20]; bucket 1: v in [100,200]; bucket 2: [1000,2000]
+    ms.commit(
+        bucketed([(0, 10), (3, 20), (1, 100), (4, 200), (2, 1000), (5, 2000)]),
+        [0, 1, 2],
+        "b1",
+        stat_cols=["v"],
+    )
+    assert ms.prune_buckets("v", 150, 160) == [1]
+    assert ms.prune_buckets("v", 20, 100) == [0, 1]
+    assert ms.prune_buckets("v", 5000, 6000) == []
+
+    # pruned read == full filtered read
+    pruned = ms.read(spark, bucket_filter=ms.prune_buckets("v", 150, 1500))
+    got = sorted(r.id for r in pruned.filter(F.col("v").between(150, 1500)).collect())
+    full = sorted(
+        r.id for r in ms.read(spark).filter(F.col("v").between(150, 1500)).collect()
+    )
+    assert got == full == [2, 4]
+
+    # commit touching only bucket 0 with stats: bucket 1/2 stats carried
+    ms.commit(bucketed([(0, 50), (3, 60)]), [0], "b2", stat_cols=["v"])
+    st = ms.stats()
+    assert st["0"]["v"] == [50, 60] and st["1"]["v"] == [100, 200]
+    # old version still answers prune with OLD stats (time travel)
+    assert ms.prune_buckets("v", 10, 20, version=1) == [0]
+    assert ms.prune_buckets("v", 10, 20) == []
+
+    # commit WITHOUT stat_cols on bucket 1 -> its stats drop -> always read
+    ms.commit(bucketed([(1, 7)]), [1], "b3")
+    assert "1" not in ms.stats()
+    assert 1 in ms.prune_buckets("v", 99999, 99999)
+
+    # fully-deleted bucket loses its stats entry too
+    ms.commit(
+        spark.createDataFrame([], "id bigint, v bigint, _bucket int"),
+        [2],
+        "b4",
+        stat_cols=["v"],
+    )
+    assert "2" not in ms.stats() and "2" not in ms.buckets()

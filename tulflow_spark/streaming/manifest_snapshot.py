@@ -105,16 +105,34 @@ class ManifestSnapshot:
 
     # -- commit path --------------------------------------------------------
 
+    def stats(self, version: int | None = None) -> dict[str, dict]:
+        """bucket → {col: [min, max]} recorded at commit time (empty when
+        the writer never passed ``stat_cols``)."""
+        v = self.latest_version() if version is None else version
+        if v is None:
+            return {}
+        fs, p = fsio.resolve(f"{self.path}/{_MANIFEST_PREFIX}{v:020d}.json")
+        with fs.open_input_stream(p) as stream:
+            return json.loads(stream.read().decode("utf-8")).get("stats", {})
+
     def commit(
         self,
         merged: DataFrame,
         touched: list[int],
         batch_id: int | str,
+        stat_cols: list[str] | None = None,
     ) -> int:
         """Write ``merged`` (which must carry an int ``_bucket`` column and
         contain exactly the new content of the ``touched`` buckets), then
         publish a new manifest: touched buckets' entries replaced (dropped
         when now empty), untouched buckets carried over by reference.
+
+        ``stat_cols``: record per-bucket [min, max] of these columns in the
+        manifest (one small aggregate over the already-written batch) —
+        the data-skipping index :meth:`prune_buckets` reads.  Untouched
+        buckets keep their previous stats; a touched bucket committed
+        WITHOUT ``stat_cols`` drops its stats (content changed, old bounds
+        are stale — missing stats always mean "must read").
         Returns the committed version."""
         spark = merged.sparkSession
         commit_dir = f"{self.path}/data/commit-{batch_id}-{uuid.uuid4().hex[:8]}"
@@ -130,18 +148,58 @@ class ManifestSnapshot:
                 if f.endswith(".parquet")
             ]
         manifest = dict(self.buckets())
+        old_stats = self.stats()
+        stats = {
+            bk: s for bk, s in old_stats.items()
+            if bk in manifest and int(bk) not in {int(t) for t in touched}
+        }
+        if stat_cols:
+            aggs = []
+            for c in stat_cols:
+                aggs += [F.min(c).alias(f"_mn_{c}"), F.max(c).alias(f"_mx_{c}")]
+            for r in merged.groupBy("_bucket").agg(*aggs).collect():
+                stats[str(r["_bucket"])] = {
+                    c: [r[f"_mn_{c}"], r[f"_mx_{c}"]] for c in stat_cols
+                }
         for bk in touched:
             key = str(bk)
             if key in new_files:
                 manifest[key] = new_files[key]
             else:
                 manifest.pop(key, None)  # every key in the bucket was deleted
+                stats.pop(key, None)
+        stats = {bk: s for bk, s in stats.items() if bk in manifest}
         version = (self.latest_version() or 0) + 1
         fsio.write_text(
             f"{self.path}/{_MANIFEST_PREFIX}{version:020d}.json",
-            json.dumps({"version": version, "buckets": manifest}),
+            json.dumps(
+                {"version": version, "buckets": manifest, "stats": stats},
+                default=str,
+            ),
         )
         return version
+
+    def prune_buckets(
+        self, col: str, lo, hi, version: int | None = None
+    ) -> list[int]:
+        """Bucket ids possibly holding rows with ``col`` in [lo, hi]: a
+        bucket is skipped ONLY when its recorded [min, max] provably
+        excludes the range; buckets without stats (or with a NULL bound)
+        are always kept.  Feed the result to :meth:`read`'s
+        ``bucket_filter`` — the manifest is the skipping index, no file
+        footer is opened for excluded buckets."""
+        out = []
+        st = self.stats(version)
+        for bk in self.buckets(version):
+            s = st.get(bk, {}).get(col)
+            if (
+                s is None
+                or s[0] is None
+                or s[1] is None
+                or not (s[1] < lo or s[0] > hi)
+            ):
+                out.append(int(bk))
+        return sorted(out)
 
     # -- maintenance --------------------------------------------------------
 
