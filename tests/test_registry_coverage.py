@@ -87,6 +87,7 @@ def test_r6_rotation_promotes_never_adjudicated_pairs():
         "cur7_clean_corpus",
         "pack1_token_sequences",
         "sp1_hash_split",
+        "bm1_bm25_search",
     }
     never -= added_post_rotation
     assert never <= set(QUERIES), (

@@ -1,0 +1,149 @@
+"""BM25 lexical search over a persisted inverted index — the classic IR
+baseline beside the embedding-based retrievers (ext.similarity /
+ext.ivfpq), and the candidate generator ext.rerank's second stage
+expects.
+
+Index layout on disk (any pyarrow-reachable filesystem via fsio):
+
+- ``{path}/postings/_pp=XX/*.parquet``  (term, doc id, tf, dl) —
+  PARTITIONED BY the term's 2-hex md5 prefix, so a query touching q
+  terms reads at most q of 256 directories (directory-pruned scan, the
+  on-disk analogue of a term-sharded posting store).  ``dl`` is
+  DENORMALIZED into the posting row — the classic search-engine layout
+  that saves the per-query join against a corpus-sized doc-length table.
+- ``{path}/terms/*.parquet``  (term, df, idf) — vocabulary-sized; a
+  query broadcasts only its own terms' rows.
+- ``{path}/meta.json``  (n_docs, avgdl, k1, b).
+
+Scoring (Robertson/Sparck-Jones BM25, k1=1.2 b=0.75 defaults), kept
+engine-exact the way the LM/PSI operators are: every transcendental is
+rounded to 9 decimals the moment it is produced —
+``idf = round(ln((N - df + 0.5)/(df + 0.5) + 1), 9)`` at build time,
+``contrib = round(idf · tf·(k1+1)/(tf + k1·(1 − b + b·dl/avgdl)), 9)``
+at query time — and per-document scores are DECIMAL(30,9) sums of those
+rounded contributions, so any SQL engine reproduces scores and ranks
+bit for bit.
+
+Tokenization is lowercased whitespace tokens (ext.text.tokens), the same
+contract as the dedup shingles and the oracle's string_split_regex.
+
+No reference-repo analogue; LLM-pipeline extension surface.
+"""
+
+from __future__ import annotations
+
+import json
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from tulflow_spark import fsio
+from tulflow_spark.ext.text import tokens
+
+K1 = 1.2
+B = 0.75
+
+
+def _lower_tokens(text_col: str):
+    return F.transform(tokens(text_col), lambda t: F.lower(t))
+
+
+def build_bm25_index(
+    df: DataFrame, id_col: str, text_col: str, path: str
+) -> dict:
+    """Index a corpus for BM25 search.  One explode + two aggregates;
+    postings land partitioned by term-hash prefix.  Returns the meta
+    dict (n_docs, avgdl, k1, b)."""
+    toked = df.select(
+        F.col(id_col).alias("doc"), _lower_tokens(text_col).alias("_t")
+    )
+    stats = toked.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.size("_t").cast("long")).alias("tot"),
+    ).head()
+    n_docs, total = int(stats["n"]), int(stats["tot"])
+    avgdl = total / n_docs if n_docs else 0.0
+    postings = (
+        toked.select(
+            "doc",
+            F.size("_t").cast("long").alias("dl"),
+            F.explode("_t").alias("term"),
+        )
+        .groupBy("term", "doc", "dl")
+        .agg(F.count(F.lit(1)).cast("long").alias("tf"))
+    )
+    postings.withColumn(
+        "_pp", F.substring(F.md5(F.col("term")), 1, 2)
+    ).write.mode("overwrite").partitionBy("_pp").parquet(f"{path}/postings")
+    spark = df.sparkSession
+    stored = spark.read.parquet(f"{path}/postings")
+    idf = F.round(
+        F.log(
+            (F.lit(float(n_docs)) - F.col("df") + 0.5)
+            / (F.col("df") + 0.5)
+            + 1.0
+        ),
+        9,
+    )
+    stored.groupBy("term").agg(
+        F.count(F.lit(1)).cast("long").alias("df")
+    ).withColumn("idf", idf).write.mode("overwrite").parquet(
+        f"{path}/terms"
+    )
+    meta = {"n_docs": n_docs, "avgdl": avgdl, "k1": K1, "b": B}
+    fsio.write_text(f"{path}/meta.json", json.dumps(meta))
+    return meta
+
+
+def bm25_search(
+    spark: SparkSession, path: str, query_terms: list[str], k: int = 10
+) -> DataFrame:
+    """Top-k documents for a bag of query terms: read ONLY the query
+    terms' posting partitions (directory-pruned via the _pp filter),
+    broadcast their idf rows, score with the rounded-contribution form,
+    rank by (score desc, doc).  Returns (doc, score, rank)."""
+    fs, p = fsio.resolve(f"{path}/meta.json")
+    with fs.open_input_stream(p) as stream:
+        meta = json.loads(stream.read().decode("utf-8"))
+    terms = sorted({t.lower() for t in query_terms})
+    if not terms:
+        raise ValueError("query_terms must be non-empty")
+    import hashlib
+
+    pps = sorted({hashlib.md5(t.encode()).hexdigest()[:2] for t in terms})
+    post = (
+        spark.read.parquet(f"{path}/postings")
+        .filter(F.col("_pp").isin(pps))
+        .filter(F.col("term").isin(terms))
+    )
+    idf = (
+        spark.read.parquet(f"{path}/terms")
+        .filter(F.col("term").isin(terms))
+        .select("term", "idf")
+    )
+    k1, b, avgdl = meta["k1"], meta["b"], meta["avgdl"]
+    sat = (F.col("tf") * (k1 + 1.0)) / (
+        F.col("tf")
+        + k1 * (1.0 - b + b * F.col("dl").cast("double") / F.lit(avgdl))
+    )
+    contrib = F.round(F.col("idf") * sat, 9)
+    scored = (
+        post.join(F.broadcast(idf), "term")
+        .withColumn("_c", contrib)
+        .groupBy("doc")
+        .agg(
+            F.sum(F.col("_c").cast("decimal(30,9)"))
+            .cast("double")
+            .alias("score")
+        )
+    )
+    # global top-k via sort+limit (TakeOrderedAndProject — no full-sort
+    # shuffle); the rank window then runs over k rows only
+    topk = scored.orderBy(F.desc("score"), F.col("doc")).limit(int(k))
+    w = Window.orderBy(F.desc("score"), F.col("doc"))
+    return topk.withColumn(
+        "rank", F.row_number().over(w).cast("long")
+    ).select("doc", "score", "rank")
+
+
+__all__ = ["build_bm25_index", "bm25_search", "K1", "B"]

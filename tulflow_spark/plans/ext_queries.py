@@ -2398,3 +2398,70 @@ def sp1_hash_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     return hash_split(
         docs, "doc_id", {"train": 0.8, "valid": 0.1, "test": 0.1}
     ).select("doc_id", "split")
+
+
+@register(
+    "bm1_bm25_search",
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id,
+             CASE WHEN trim(text) = '' THEN CAST([] AS VARCHAR[])
+                  ELSE list_transform(
+                        string_split_regex(trim(text), '\\s+'),
+                        t -> lower(t))
+             END AS t
+      FROM documents
+    ), corpus AS (
+      SELECT COUNT(*) AS n, SUM(len(t)) AS tot FROM toks
+    ), flat AS (
+      SELECT doc_id, len(t) AS dl, unnest(t) AS term FROM toks
+    ), post AS (
+      SELECT term, doc_id AS doc, dl, COUNT(*) AS tf
+      FROM flat WHERE term IN ('join', 'scan', 'merge')
+      GROUP BY term, doc_id, dl
+    ), dfreq AS (
+      SELECT term,
+             COUNT(*) AS df
+      FROM (SELECT DISTINCT term, doc_id FROM flat
+            WHERE term IN ('join', 'scan', 'merge'))
+      GROUP BY term
+    ), idf AS (
+      SELECT term,
+             round(ln((((SELECT n FROM corpus) - df + 0.5) / (df + 0.5))
+                      + 1.0), 9) AS idf
+      FROM dfreq
+    ), contrib AS (
+      SELECT doc,
+             round(idf * (tf * (1.2 + 1.0))
+                   / (tf + 1.2 * (1.0 - 0.75
+                      + 0.75 * dl / ((SELECT tot FROM corpus)
+                                     / CAST((SELECT n FROM corpus)
+                                            AS DOUBLE)))), 9) AS c
+      FROM post JOIN idf USING (term)
+    ), scored AS (
+      SELECT doc, CAST(SUM(CAST(c AS DECIMAL(30,9))) AS DOUBLE) AS score
+      FROM contrib GROUP BY doc
+    ), ranked AS (
+      SELECT doc, score,
+             row_number() OVER (ORDER BY score DESC, doc) AS rank
+      FROM scored
+    )
+    SELECT doc, score, rank FROM ranked WHERE rank <= 10
+    """,
+)
+def bm1_bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 search THROUGH the persisted inverted index (ext/bm25.py):
+    build the index into a temp dir, then answer the query ['join',
+    'scan', 'merge'] with directory-pruned posting reads and the
+    rounded-contribution scoring; the oracle recomputes postings, idf,
+    and scores from the raw documents table with identical arithmetic —
+    the index is proven EQUAL to the corpus it summarizes."""
+    import tempfile
+
+    from tulflow_spark.ext.bm25 import bm25_search, build_bm25_index
+
+    path = tempfile.mkdtemp(prefix="bm25_") + "/idx"
+    build_bm25_index(
+        table(spark, sf_dir, "documents"), "doc_id", "text", path
+    )
+    return bm25_search(spark, path, ["join", "scan", "merge"], k=10)
