@@ -74,3 +74,30 @@ def test_posting_read_is_partition_pruned(spark, sf_dir, tmp_path):
     pf = post_lines[0].split("PartitionFilters: [", 1)[1].split("]", 1)[0]
     assert "_pp" in pf and "=" in pf  # pruned to the term's partition
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_append_equals_rebuild(spark, sf_dir, tmp_path):
+    """The incremental invariant: building on half the corpus then
+    appending the other half yields search results IDENTICAL to an index
+    built on the whole corpus — postings rows, df counts, and avgdl all
+    add exactly, and idf re-derives from the exact (N, df)."""
+    from tulflow_spark.ext.bm25 import append_to_bm25_index
+    from tulflow_spark.io import table
+
+    docs = table(spark, sf_dir, "documents").select("doc_id", "text")
+    a = docs.filter(F.col("doc_id") % 2 == 0)
+    b = docs.filter(F.col("doc_id") % 2 == 1)
+    inc_path = str(tmp_path / "inc")
+    full_path = str(tmp_path / "full")
+    build_bm25_index(a, "doc_id", "text", inc_path)
+    meta_inc = append_to_bm25_index(spark, inc_path, b, "doc_id", "text")
+    meta_full = build_bm25_index(docs, "doc_id", "text", full_path)
+    assert meta_inc["n_docs"] == meta_full["n_docs"]
+    assert meta_inc["total_tokens"] == meta_full["total_tokens"]
+    assert meta_inc["avgdl"] == meta_full["avgdl"]
+    for q in (["join"], ["join", "scan", "merge"], ["customer"]):
+        inc = [(r.doc, r.score, r.rank)
+               for r in bm25_search(spark, inc_path, q, k=10).collect()]
+        full = [(r.doc, r.score, r.rank)
+                for r in bm25_search(spark, full_path, q, k=10).collect()]
+        assert inc == full, q

@@ -90,7 +90,14 @@ def build_bm25_index(
     ).withColumn("idf", idf).write.mode("overwrite").parquet(
         f"{path}/terms"
     )
-    meta = {"n_docs": n_docs, "avgdl": avgdl, "k1": K1, "b": B}
+    meta = {
+        "n_docs": n_docs,
+        "total_tokens": total,
+        "avgdl": avgdl,
+        "k1": K1,
+        "b": B,
+        "terms_dir": "terms",
+    }
     fsio.write_text(f"{path}/meta.json", json.dumps(meta))
     return meta
 
@@ -117,7 +124,7 @@ def bm25_search(
         .filter(F.col("term").isin(terms))
     )
     idf = (
-        spark.read.parquet(f"{path}/terms")
+        spark.read.parquet(f"{path}/{meta.get('terms_dir', 'terms')}")
         .filter(F.col("term").isin(terms))
         .select("term", "idf")
     )
@@ -146,4 +153,102 @@ def bm25_search(
     ).select("doc", "score", "rank")
 
 
-__all__ = ["build_bm25_index", "bm25_search", "K1", "B"]
+def append_to_bm25_index(
+    spark: SparkSession,
+    path: str,
+    new_df: DataFrame,
+    id_col: str,
+    text_col: str,
+) -> dict:
+    """Incremental index maintenance: add a batch of NEW documents (ids
+    must be disjoint from the indexed corpus).  Postings append into the
+    partitioned layout; the vocabulary sidecar re-derives df by ADDING
+    the batch's per-term document counts (a vocab-sized rewrite, never a
+    postings rescan) and recomputes idf from the exact new (N, df);
+    n_docs/total_tokens update from exact integer counters in meta.
+
+    Invariant (pinned by test): append(half B) onto index(half A) yields
+    an index BYTE-EQUIVALENT in search results to build(A ∪ B) — because
+    postings rows, df counts, and avgdl all add exactly.  Returns the
+    new meta."""
+    fs, p = fsio.resolve(f"{path}/meta.json")
+    with fs.open_input_stream(p) as stream:
+        meta = json.loads(stream.read().decode("utf-8"))
+    toked = new_df.select(
+        F.col(id_col).alias("doc"), _lower_tokens(text_col).alias("_t")
+    )
+    stats = toked.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.coalesce(F.sum(F.size("_t").cast("long")), F.lit(0)).alias("tot"),
+    ).head()
+    batch_n, batch_tot = int(stats["n"]), int(stats["tot"])
+    postings = (
+        toked.select(
+            "doc",
+            F.size("_t").cast("long").alias("dl"),
+            F.explode("_t").alias("term"),
+        )
+        .groupBy("term", "doc", "dl")
+        .agg(F.count(F.lit(1)).cast("long").alias("tf"))
+    )
+    postings.withColumn(
+        "_pp", F.substring(F.md5(F.col("term")), 1, 2)
+    ).write.mode("append").partitionBy("_pp").parquet(f"{path}/postings")
+
+    batch_df = postings.groupBy("term").agg(
+        F.count(F.lit(1)).cast("long").alias("_bdf")
+    )
+    old_dir = meta.get("terms_dir", "terms")
+    old_terms = spark.read.parquet(f"{path}/{old_dir}").select("term", "df")
+    n_docs = int(meta["n_docs"]) + batch_n
+    total = int(meta["total_tokens"]) + batch_tot
+    merged = (
+        old_terms.join(batch_df, "term", "full_outer")
+        .select(
+            "term",
+            (
+                F.coalesce(F.col("df"), F.lit(0))
+                + F.coalesce(F.col("_bdf"), F.lit(0))
+            ).cast("long").alias("df"),
+        )
+        .withColumn(
+            "idf",
+            F.round(
+                F.log(
+                    (F.lit(float(n_docs)) - F.col("df") + 0.5)
+                    / (F.col("df") + 0.5)
+                    + 1.0
+                ),
+                9,
+            ),
+        )
+    )
+    # the old sidecar is an INPUT of this job, so never overwrite it in
+    # place: write a fresh versioned dir and swing the meta pointer (the
+    # meta write is the commit point, same discipline as the manifest
+    # snapshot store); the superseded dir is garbage a later append may
+    # remove
+    new_dir = (
+        f"terms-v2" if old_dir == "terms"
+        else f"terms-v{int(old_dir.rsplit('-v', 1)[1]) + 1}"
+    )
+    merged.write.parquet(f"{path}/{new_dir}")
+    new_meta = {
+        "n_docs": n_docs,
+        "total_tokens": total,
+        "avgdl": total / n_docs if n_docs else 0.0,
+        "k1": meta["k1"],
+        "b": meta["b"],
+        "terms_dir": new_dir,
+    }
+    fsio.write_text(f"{path}/meta.json", json.dumps(new_meta))
+    return new_meta
+
+
+__all__ = [
+    "append_to_bm25_index",
+    "build_bm25_index",
+    "bm25_search",
+    "K1",
+    "B",
+]
