@@ -101,3 +101,47 @@ def test_append_equals_rebuild(spark, sf_dir, tmp_path):
         full = [(r.doc, r.score, r.rank)
                 for r in bm25_search(spark, full_path, q, k=10).collect()]
         assert inc == full, q
+
+
+def test_phrase_search_positions(spark, tmp_path):
+    """Positional phrase matching: consecutive-token semantics, overlap
+    counting, multi-occurrence counting, and the typed wall for
+    non-positional indexes."""
+    from tulflow_spark.ext.bm25 import phrase_search
+
+    docs = [
+        (1, "fast hash join wins"),           # 1 occurrence
+        (2, "hash join hash join"),           # 2 occurrences
+        (3, "hash then join"),                # not consecutive
+        (4, "join hash"),                     # wrong order
+        (5, "a a a"),                         # overlapping "a a" x2
+    ]
+    path = str(tmp_path / "pidx")
+    build_bm25_index(
+        spark.createDataFrame(docs, SCHEMA), "doc_id", "text", path,
+        positions=True,
+    )
+    got = {r.doc: r.n_occurrences
+           for r in phrase_search(spark, path, "hash join").collect()}
+    assert got == {1: 1, 2: 2}
+    over = {r.doc: r.n_occurrences
+            for r in phrase_search(spark, path, ["a", "a"]).collect()}
+    assert over == {5: 2}  # positional intersection counts overlaps
+    # non-positional index -> typed error
+    path2 = str(tmp_path / "npidx")
+    build_bm25_index(spark.createDataFrame(docs, SCHEMA), "doc_id", "text", path2)
+    with pytest.raises(ValueError, match="positions"):
+        phrase_search(spark, path2, "hash join")
+    # positional append keeps phrases searchable over appended docs
+    from tulflow_spark.ext.bm25 import append_to_bm25_index
+
+    append_to_bm25_index(
+        spark,
+        path,
+        spark.createDataFrame([(9, "giant hash join")], SCHEMA),
+        "doc_id",
+        "text",
+    )
+    got2 = {r.doc: r.n_occurrences
+            for r in phrase_search(spark, path, "hash join").collect()}
+    assert got2 == {1: 1, 2: 2, 9: 1}

@@ -88,6 +88,7 @@ def test_r6_rotation_promotes_never_adjudicated_pairs():
         "pack1_token_sequences",
         "sp1_hash_split",
         "bm1_bm25_search",
+        "bm2_phrase_search",
     }
     never -= added_post_rotation
     assert never <= set(QUERIES), (

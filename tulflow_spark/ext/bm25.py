@@ -49,11 +49,18 @@ def _lower_tokens(text_col: str):
 
 
 def build_bm25_index(
-    df: DataFrame, id_col: str, text_col: str, path: str
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    path: str,
+    positions: bool = False,
 ) -> dict:
     """Index a corpus for BM25 search.  One explode + two aggregates;
-    postings land partitioned by term-hash prefix.  Returns the meta
-    dict (n_docs, avgdl, k1, b)."""
+    postings land partitioned by term-hash prefix.  ``positions=True``
+    additionally stores each term's sorted 0-based token positions in
+    the posting row (the positional index :func:`phrase_search` needs —
+    costs one int per token, the standard positional-postings overhead).
+    Returns the meta dict."""
     toked = df.select(
         F.col(id_col).alias("doc"), _lower_tokens(text_col).alias("_t")
     )
@@ -63,15 +70,15 @@ def build_bm25_index(
     ).head()
     n_docs, total = int(stats["n"]), int(stats["tot"])
     avgdl = total / n_docs if n_docs else 0.0
-    postings = (
-        toked.select(
-            "doc",
-            F.size("_t").cast("long").alias("dl"),
-            F.explode("_t").alias("term"),
-        )
-        .groupBy("term", "doc", "dl")
-        .agg(F.count(F.lit(1)).cast("long").alias("tf"))
+    exploded = toked.select(
+        "doc",
+        F.size("_t").cast("long").alias("dl"),
+        F.posexplode("_t").alias("_pos", "term"),
     )
+    aggs = [F.count(F.lit(1)).cast("long").alias("tf")]
+    if positions:
+        aggs.append(F.sort_array(F.collect_list("_pos")).alias("pos"))
+    postings = exploded.groupBy("term", "doc", "dl").agg(*aggs)
     postings.withColumn(
         "_pp", F.substring(F.md5(F.col("term")), 1, 2)
     ).write.mode("overwrite").partitionBy("_pp").parquet(f"{path}/postings")
@@ -97,6 +104,7 @@ def build_bm25_index(
         "k1": K1,
         "b": B,
         "terms_dir": "terms",
+        "positions": bool(positions),
     }
     fsio.write_text(f"{path}/meta.json", json.dumps(meta))
     return meta
@@ -182,15 +190,15 @@ def append_to_bm25_index(
         F.coalesce(F.sum(F.size("_t").cast("long")), F.lit(0)).alias("tot"),
     ).head()
     batch_n, batch_tot = int(stats["n"]), int(stats["tot"])
-    postings = (
-        toked.select(
-            "doc",
-            F.size("_t").cast("long").alias("dl"),
-            F.explode("_t").alias("term"),
-        )
-        .groupBy("term", "doc", "dl")
-        .agg(F.count(F.lit(1)).cast("long").alias("tf"))
+    exploded = toked.select(
+        "doc",
+        F.size("_t").cast("long").alias("dl"),
+        F.posexplode("_t").alias("_pos", "term"),
     )
+    aggs = [F.count(F.lit(1)).cast("long").alias("tf")]
+    if meta.get("positions"):  # keep the positional layout uniform
+        aggs.append(F.sort_array(F.collect_list("_pos")).alias("pos"))
+    postings = exploded.groupBy("term", "doc", "dl").agg(*aggs)
     postings.withColumn(
         "_pp", F.substring(F.md5(F.col("term")), 1, 2)
     ).write.mode("append").partitionBy("_pp").parquet(f"{path}/postings")
@@ -240,13 +248,71 @@ def append_to_bm25_index(
         "k1": meta["k1"],
         "b": meta["b"],
         "terms_dir": new_dir,
+        "positions": bool(meta.get("positions")),
     }
     fsio.write_text(f"{path}/meta.json", json.dumps(new_meta))
     return new_meta
 
 
+def phrase_search(
+    spark: SparkSession, path: str, phrase: list[str] | str
+) -> DataFrame:
+    """Exact phrase matching over a POSITIONAL index (built with
+    ``positions=True``): documents where the phrase's tokens appear
+    consecutively, with the number of (possibly overlapping) occurrences.
+
+    Mechanism: read only the phrase terms' posting partitions, join them
+    by doc (an n-way join for an n-word phrase — n is query-sized), and
+    intersect position arrays SHIFTED by each term's offset in the
+    phrase: ``matches = pos_0 ∩ (pos_1 − 1) ∩ … ∩ (pos_{n-1} − (n−1))``
+    — pure JVM array algebra, no Python, no text rescan.  Returns
+    (doc, n_occurrences) with n_occurrences >= 1."""
+    fs, p = fsio.resolve(f"{path}/meta.json")
+    with fs.open_input_stream(p) as stream:
+        meta = json.loads(stream.read().decode("utf-8"))
+    if not meta.get("positions"):
+        raise ValueError(
+            "index was built without positions=True; rebuild with a "
+            "positional layout to run phrase queries"
+        )
+    terms = (
+        [t.lower() for t in phrase.split()]
+        if isinstance(phrase, str)
+        else [t.lower() for t in phrase]
+    )
+    if not terms:
+        raise ValueError("phrase must be non-empty")
+    import hashlib
+
+    pps = sorted({hashlib.md5(t.encode()).hexdigest()[:2] for t in terms})
+    post = (
+        spark.read.parquet(f"{path}/postings")
+        .filter(F.col("_pp").isin(pps))
+        .filter(F.col("term").isin(sorted(set(terms))))
+        .select("term", "doc", "pos")
+    )
+    acc = None
+    for i, t in enumerate(terms):
+        side = post.filter(F.col("term") == t).select(
+            "doc",
+            F.transform(F.col("pos"), lambda x: x - i).alias(f"_p{i}"),
+        )
+        acc = side if acc is None else acc.join(side, "doc")
+    match_expr = F.col("_p0")
+    for i in range(1, len(terms)):
+        match_expr = F.array_intersect(match_expr, F.col(f"_p{i}"))
+    return (
+        acc.select(
+            "doc",
+            F.size(match_expr).cast("long").alias("n_occurrences"),
+        )
+        .filter(F.col("n_occurrences") > 0)
+    )
+
+
 __all__ = [
     "append_to_bm25_index",
+    "phrase_search",
     "build_bm25_index",
     "bm25_search",
     "K1",

@@ -2465,3 +2465,42 @@ def bm1_bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
         table(spark, sf_dir, "documents"), "doc_id", "text", path
     )
     return bm25_search(spark, path, ["join", "scan", "merge"], k=10)
+
+
+@register(
+    "bm2_phrase_search",
+    oracle="""
+    WITH streams AS (
+      SELECT doc_id,
+             array_to_string(
+               list_transform(string_split_regex(trim(text), '\\s+'),
+                              t -> lower(t)), ' ') AS s
+      FROM documents WHERE trim(text) <> ''
+    ), hits AS (
+      SELECT doc_id,
+             CAST((length(' ' || s || ' ')
+                   - length(replace(' ' || s || ' ', ' hash join ', ' ')))
+                  / length('hash join ') AS BIGINT) AS n_occurrences
+      FROM streams
+    )
+    SELECT doc_id AS doc, n_occurrences FROM hits WHERE n_occurrences > 0
+    """,
+)
+def bm2_phrase_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact phrase matching through the POSITIONAL inverted index
+    (ext/bm25.py::phrase_search): the shifted-position intersection over
+    the phrase terms' pruned postings.  The oracle counts non-overlapping
+    occurrences of ' hash join ' in the space-joined lowercased token
+    stream — equivalent for phrases with distinct tokens (no
+    self-overlap), which 'hash join' is.  Replacing the match with a
+    single space preserves word boundaries for back-to-back phrases."""
+    import tempfile
+
+    from tulflow_spark.ext.bm25 import build_bm25_index, phrase_search
+
+    path = tempfile.mkdtemp(prefix="bm25p_") + "/idx"
+    build_bm25_index(
+        table(spark, sf_dir, "documents"), "doc_id", "text", path,
+        positions=True,
+    )
+    return phrase_search(spark, path, "hash join")
