@@ -304,3 +304,17 @@ def test_hash_split_partitions_and_determinism(spark):
         hash_split(df, "doc_id", {"a": 0.5, "b": 0.4})
     with pytest.raises(ValueError):
         hash_split(df, "doc_id", {"a": 1.5, "b": -0.5})
+
+
+def test_hash_split_zero_weight_trailing_split(spark):
+    """A zero-weight trailing split must receive NOTHING: the cumulative
+    threshold reaches 1.0 mid-chain and must clamp to the 'g' sentinel,
+    not overflow to a 9-hex string that breaks the fixed-width compare."""
+    from tulflow_spark.ext.mixing import hash_split
+
+    df = spark.range(0, 1000).withColumnRenamed("id", "doc_id")
+    out = hash_split(df, "doc_id", {"train": 1.0, "valid": 0.0})
+    counts = {r.split: r.n for r in
+              out.groupBy("split").count().withColumnRenamed("count", "n")
+              .collect()}
+    assert counts == {"train": 1000}

@@ -66,7 +66,7 @@ def build_bm25_index(
     )
     stats = toked.agg(
         F.count(F.lit(1)).alias("n"),
-        F.sum(F.size("_t").cast("long")).alias("tot"),
+        F.coalesce(F.sum(F.size("_t").cast("long")), F.lit(0)).alias("tot"),
     ).head()
     n_docs, total = int(stats["n"]), int(stats["tot"])
     avgdl = total / n_docs if n_docs else 0.0
@@ -175,10 +175,17 @@ def append_to_bm25_index(
     postings rescan) and recomputes idf from the exact new (N, df);
     n_docs/total_tokens update from exact integer counters in meta.
 
-    Invariant (pinned by test): append(half B) onto index(half A) yields
-    an index BYTE-EQUIVALENT in search results to build(A ∪ B) — because
-    postings rows, df counts, and avgdl all add exactly.  Returns the
-    new meta."""
+    Invariant (pinned by test): a SUCCESSFUL append(half B) onto
+    index(half A) yields an index byte-equivalent in search results to
+    build(A ∪ B) — postings rows, df counts, and avgdl all add exactly.
+
+    Crash contract (single-writer): the postings append lands BEFORE the
+    sidecar/meta swing, so a crash in between leaves appended postings
+    scored with the old N/df/avgdl, and blindly re-running the append
+    would double-count the batch's postings.  After a failed append,
+    either rebuild the index or vacuum the partial commit's files before
+    retrying — the meta pointer only makes the SIDECAR swap atomic, not
+    the postings append.  Returns the new meta."""
     fs, p = fsio.resolve(f"{path}/meta.json")
     with fs.open_input_stream(p) as stream:
         meta = json.loads(stream.read().decode("utf-8"))

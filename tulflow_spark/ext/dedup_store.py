@@ -39,6 +39,13 @@ from tulflow_spark.ext.dedup import (
     shingle_hashes,
 )
 
+# Bump when the signature hash family changes (scheme 2 = per-component
+# seeded murmur3 re-hash; scheme 1 was the degenerate affine form).  An
+# index written under another scheme must be rebuilt — its signatures
+# never agree with freshly computed ones, which would silently re-admit
+# every stored near-duplicate.
+SIG_SCHEME = 2
+
 
 def _sig_frame(
     df: DataFrame, id_col: str, text_col: str, n: int, k: int
@@ -84,7 +91,9 @@ def save_minhash_index(
     fs, p = fsio.resolve(f"{path}/meta.json")
     with fs.open_output_stream(p) as stream:
         stream.write(
-            json.dumps({"n": n, "k": k, "bands": bands}).encode("utf-8")
+            json.dumps(
+                {"n": n, "k": k, "bands": bands, "sig_scheme": SIG_SCHEME}
+            ).encode("utf-8")
         )
     return stored_sigs.count()
 
@@ -92,7 +101,15 @@ def save_minhash_index(
 def _load_meta(path: str) -> dict:
     fs, p = fsio.resolve(f"{path}/meta.json")
     with fs.open_input_stream(p) as stream:
-        return json.loads(stream.read().decode("utf-8"))
+        meta = json.loads(stream.read().decode("utf-8"))
+    if meta.get("sig_scheme") != SIG_SCHEME:
+        raise ValueError(
+            f"index at {path} uses signature scheme "
+            f"{meta.get('sig_scheme')}, this build is scheme {SIG_SCHEME}"
+            " — rebuild the index (cross-scheme signatures never agree,"
+            " so matching would silently find nothing)"
+        )
+    return meta
 
 
 def match_against_index(

@@ -249,7 +249,13 @@ def hash_split(
     expr = None
     for name in names[:-1]:
         cum += weights[name]
-        t = F.lit(format(int(cum * 16**8), "08x"))
+        # cum can reach 1.0 early when trailing splits have zero weight;
+        # format() would then produce the 9-char '100000000', which BEATS
+        # every 8-char key lexicographically in the wrong direction — use
+        # hash_sample's 'g' sentinel (> every hex digit) instead
+        t = F.lit(
+            "g" if cum >= 1.0 else format(int(cum * 16**8), "08x")
+        )
         branch = key8 < t
         expr = (
             F.when(branch, F.lit(name))

@@ -32,6 +32,7 @@ ext.similarity and ext.ivfpq.
 
 from __future__ import annotations
 
+import math
 import re
 from collections.abc import Callable, Iterator
 
@@ -42,15 +43,24 @@ from pyspark.sql import functions as F
 _WS = re.compile(r"\s+")
 
 
+def _tokset(v) -> set:
+    # NULL text arrives as None (object dtype) or NaN (float dtype) —
+    # both are the empty token set, NOT the literal tokens 'None'/'nan'
+    # (which would score two null docs 1.0); matches tokens(NULL) → 0.0
+    # on the JVM lexical path
+    if v is None or (isinstance(v, float) and math.isnan(v)):
+        return set()
+    s = str(v).strip()
+    return set(_WS.split(s)) if s else set()
+
+
 def token_jaccard_scorer(q: pd.Series, d: pd.Series) -> list[float]:
     """Deterministic lexical scorer: Jaccard over distinct whitespace
     tokens (tokenization mirrors ext.text.tokens / the oracle's
-    string_split_regex — empty text → empty set, score 0)."""
+    string_split_regex — empty or NULL text → empty set, score 0)."""
     out = []
     for a, b in zip(q, d):
-        sa, sb = str(a).strip(), str(b).strip()
-        ta = set(_WS.split(sa)) if sa else set()
-        tb = set(_WS.split(sb)) if sb else set()
+        ta, tb = _tokset(a), _tokset(b)
         u = len(ta | tb)
         out.append(len(ta & tb) / u if u else 0.0)
     return out

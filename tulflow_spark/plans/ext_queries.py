@@ -2456,11 +2456,15 @@ def bm1_bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     rounded-contribution scoring; the oracle recomputes postings, idf,
     and scores from the raw documents table with identical arithmetic —
     the index is proven EQUAL to the corpus it summarizes."""
+    import atexit
+    import shutil
     import tempfile
 
     from tulflow_spark.ext.bm25 import bm25_search, build_bm25_index
 
-    path = tempfile.mkdtemp(prefix="bm25_") + "/idx"
+    tmp = tempfile.mkdtemp(prefix="bm25_")
+    atexit.register(shutil.rmtree, tmp, ignore_errors=True)
+    path = tmp + "/idx"
     build_bm25_index(
         table(spark, sf_dir, "documents"), "doc_id", "text", path
     )
@@ -2470,35 +2474,36 @@ def bm1_bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "bm2_phrase_search",
     oracle="""
-    WITH streams AS (
+    WITH toks AS (
       SELECT doc_id,
-             array_to_string(
-               list_transform(string_split_regex(trim(text), '\\s+'),
-                              t -> lower(t)), ' ') AS s
+             list_transform(string_split_regex(trim(text), '\\s+'),
+                            t -> lower(t)) AS t
       FROM documents WHERE trim(text) <> ''
-    ), hits AS (
-      SELECT doc_id,
-             CAST((length(' ' || s || ' ')
-                   - length(replace(' ' || s || ' ', ' hash join ', ' ')))
-                  / length('hash join ') AS BIGINT) AS n_occurrences
-      FROM streams
+    ), flat AS (
+      SELECT doc_id, unnest(t) AS tok, generate_subscripts(t, 1) AS i
+      FROM toks
     )
-    SELECT doc_id AS doc, n_occurrences FROM hits WHERE n_occurrences > 0
+    SELECT a.doc_id AS doc, COUNT(*) AS n_occurrences
+    FROM flat a JOIN flat b ON a.doc_id = b.doc_id AND b.i = a.i + 1
+    WHERE a.tok = 'hash' AND b.tok = 'join'
+    GROUP BY a.doc_id
     """,
 )
 def bm2_phrase_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact phrase matching through the POSITIONAL inverted index
     (ext/bm25.py::phrase_search): the shifted-position intersection over
-    the phrase terms' pruned postings.  The oracle counts non-overlapping
-    occurrences of ' hash join ' in the space-joined lowercased token
-    stream — equivalent for phrases with distinct tokens (no
-    self-overlap), which 'hash join' is.  Replacing the match with a
-    single space preserves word boundaries for back-to-back phrases."""
+    the phrase terms' pruned postings.  The oracle counts consecutive
+    (hash, join) token-position pairs directly — exact for back-to-back
+    AND overlapping occurrences, unlike a string replace() count."""
+    import atexit
+    import shutil
     import tempfile
 
     from tulflow_spark.ext.bm25 import build_bm25_index, phrase_search
 
-    path = tempfile.mkdtemp(prefix="bm25p_") + "/idx"
+    tmp = tempfile.mkdtemp(prefix="bm25p_")
+    atexit.register(shutil.rmtree, tmp, ignore_errors=True)
+    path = tmp + "/idx"
     build_bm25_index(
         table(spark, sf_dir, "documents"), "doc_id", "text", path,
         positions=True,

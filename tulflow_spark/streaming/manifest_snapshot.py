@@ -157,9 +157,20 @@ class ManifestSnapshot:
             aggs = []
             for c in stat_cols:
                 aggs += [F.min(c).alias(f"_mn_{c}"), F.max(c).alias(f"_mx_{c}")]
+
+            def _jsonable(v):
+                # Decimal must stay NUMERIC (its str would compare
+                # lexicographically in prune: '9' > '10'); anything else
+                # non-native (dates, timestamps) serializes via default=str
+                # to its ISO form, which compares correctly AS A STRING
+                import decimal
+
+                return float(v) if isinstance(v, decimal.Decimal) else v
+
             for r in merged.groupBy("_bucket").agg(*aggs).collect():
                 stats[str(r["_bucket"])] = {
-                    c: [r[f"_mn_{c}"], r[f"_mx_{c}"]] for c in stat_cols
+                    c: [_jsonable(r[f"_mn_{c}"]), _jsonable(r[f"_mx_{c}"])]
+                    for c in stat_cols
                 }
         for bk in touched:
             key = str(bk)
@@ -348,10 +359,11 @@ def delete_where(
     matched.  Rows where the predicate evaluates NULL are kept (three-
     valued logic: only a definite TRUE deletes).
 
-    Cost shape: one column-pruned scan of the live table to find matches
-    (the bucket id is recovered from each file's ``_bucket=N`` path
-    segment, so no extra column is stored), then a rewrite of the touched
-    buckets only — O(touched buckets), same as any commit."""
+    Cost shape: ONE discovery scan of the live table (column-pruned to
+    the predicate's columns; the bucket id is recovered from each file's
+    ``_bucket=N`` path segment, so no extra column is stored) yields both
+    the touched-bucket list and the deletion count, then the touched
+    buckets alone are re-read for the rewrite — same as any commit."""
     buckets = snapshot.buckets()
     if not buckets:
         return None, 0
@@ -363,15 +375,15 @@ def delete_where(
         ),
     )
     hit = F.coalesce(predicate, F.lit(False))
-    matches = df.filter(hit)
-    touched = sorted(
-        r["_bucket"] for r in matches.select("_bucket").distinct().collect()
-    )
+    # ONE discovery scan yields both the touched-bucket list and the
+    # deletion count; the only other read is the touched-bucket rewrite
+    per_bucket = (
+        df.filter(hit).groupBy("_bucket").agg(F.count(F.lit(1)).alias("_n"))
+    ).collect()
+    touched = sorted(int(r["_bucket"]) for r in per_bucket)
     if not touched:
         return None, 0
-    n_deleted = matches.count()
-    keep = df.filter(F.col("_bucket").isin([int(b) for b in touched])).filter(
-        ~hit
-    )
+    n_deleted = int(sum(r["_n"] for r in per_bucket))
+    keep = df.filter(F.col("_bucket").isin(touched)).filter(~hit)
     version = snapshot.commit(keep, [int(b) for b in touched], batch_id)
     return version, n_deleted

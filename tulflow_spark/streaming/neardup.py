@@ -23,6 +23,12 @@ Shape (same doctrine as the batch path + ``streaming/frequent.py``):
 Overflowing buckets drop the OLDEST entries first (crawl recency bias —
 the cap trades recall for bounded state, the same contract as the batch
 ``max_bucket`` with its overcap observable).
+
+Signature-scheme note: signatures persist in the streaming state store,
+so upgrading the MinHash hash family (ext.dedup.minhash_signature_from_
+hashes — per-component seeded murmur3 since round 6) INVALIDATES old
+checkpoints: restart the query from a fresh checkpoint after such an
+upgrade, or every historical near-duplicate is silently re-admitted.
 """
 
 from __future__ import annotations

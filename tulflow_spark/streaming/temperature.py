@@ -46,7 +46,10 @@ def _update(key: tuple[Any, ...], batches, state: GroupState):
     for pdf in batches:
         if len(pdf):
             n += int(len(pdf))
-            tok += int(pdf["_tok"].sum())
+            # a NULL token count arrives as NaN in the pandas batch;
+            # count it as 0 (matching F.sum's null-skipping in the batch
+            # groupBy this operator is pinned bit-identical to)
+            tok += int(pdf["_tok"].fillna(0).sum())
             changed = True
     if changed:
         state.update((n, tok))
@@ -62,8 +65,11 @@ def stream_domain_stats(
 ) -> DataFrame:
     """Document stream → update-mode rows (domain, n_docs, tokens): each
     updated domain's running totals.  Keyed state is two longs per
-    domain; emissions are one row per updated domain per micro-batch."""
-    keyed = df.select(
+    domain; emissions are one row per updated domain per micro-batch.
+    NULL-domain rows are dropped (a string state key would otherwise
+    coerce them to the literal 'None', diverging from the batch groupBy);
+    NULL token counts count as 0, matching F.sum's null skipping."""
+    keyed = df.filter(F.col(group_col).isNotNull()).select(
         F.col(group_col).cast("string").alias("_domain"),
         F.col(token_col).cast("long").alias("_tok"),
     )
