@@ -194,11 +194,13 @@ def test_restart_markers():
     assert np.array_equal(out, _expected_dc_only(plane))
 
 
-def test_progressive_and_cmyk_typed():
+def test_lossless_and_cmyk_typed():
+    # progressive (SOF2) is SUPPORTED since round 6 — see
+    # test_jpeg_progressive.py; the remaining SOF walls stay typed
     prog = bytearray(_encode_dc_only([np.full((8, 8), 128.0)]))
     i = prog.index(b"\xff\xc0")
-    prog[i + 1] = 0xC2
-    with pytest.raises(UnsupportedJpeg, match="progressive"):
+    prog[i + 1] = 0xC3  # lossless
+    with pytest.raises(UnsupportedJpeg, match="SOF3"):
         decode_jpeg(bytes(prog))
     with pytest.raises(UnsupportedJpeg, match="SOI"):
         decode_jpeg(b"not a jpeg")

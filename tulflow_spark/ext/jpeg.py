@@ -6,10 +6,13 @@ Huffman entropy decode with byte-unstuffing and restart markers, zigzag +
 dequantize, separable 8×8 IDCT as two numpy matmuls, chroma upsampling by
 replication, JFIF full-range YCbCr→RGB.
 
-Scope: baseline sequential DCT (SOF0), 8-bit, 1 or 3 components, any
-h/v sampling factors ≤ 2.  Progressive (SOF2), arithmetic coding,
-12-bit, and CMYK raise :class:`UnsupportedJpeg` naming the feature — the
-same typed-wall policy as the other codecs in
+Scope: baseline sequential DCT (SOF0/1) AND progressive DCT (SOF2 —
+spectral selection + successive approximation, DC/AC first and
+refinement scans, EOB runs, interleaved DC and non-interleaved AC block
+orders, restart markers), 8-bit, 1 or 3 components, any h/v sampling
+factors ≤ 2.  Arithmetic coding, hierarchical/lossless SOFs, 12-bit,
+and CMYK raise :class:`UnsupportedJpeg` naming the feature — the same
+typed-wall policy as the other codecs in
 :mod:`tulflow_spark.ext.media_codecs`.
 
 Like the PNG/GIF decoders this runs per-document inside Arrow-batched
@@ -102,15 +105,13 @@ class _BitReader:
                 nxt = d[self.pos + 1] if self.pos + 1 < len(d) else 0xD9
                 if nxt == 0x00:
                     self.pos += 2
-                elif 0xD0 <= nxt <= 0xD7 or nxt == 0xD9:
-                    # restart/EOI marker: stop filling real bits
+                else:
+                    # any real marker (RSTn, EOI, or — in a progressive
+                    # stream — the next scan's DHT/SOS) ends this scan's
+                    # entropy data: stop filling real bits and pad
                     self.acc = (self.acc << 8) | 0xFF
                     self.nbits += 8
                     continue
-                else:
-                    raise UnsupportedJpeg(
-                        f"unexpected marker 0xFF{nxt:02X} in scan data"
-                    )
             else:
                 self.pos += 1
             self.acc = (self.acc << 8) | b
@@ -167,6 +168,7 @@ def decode_jpeg(content: bytes) -> np.ndarray:
     huff_dc: dict[int, _HuffTable] = {}
     huff_ac: dict[int, _HuffTable] = {}
     frame = None
+    prog_state = None
     restart_interval = 0
     while pos + 4 <= len(content):
         if content[pos] != 0xFF:
@@ -199,7 +201,7 @@ def decode_jpeg(content: bytes) -> np.ndarray:
                     counts, syms
                 )
                 p += 17 + n
-        elif marker == 0xC0 or marker == 0xC1:  # SOF0/1 baseline
+        elif marker in (0xC0, 0xC1, 0xC2):  # SOF0/1 baseline, SOF2 prog
             precision = seg[0]
             if precision != 8:
                 raise UnsupportedJpeg(f"{precision}-bit JPEG not supported")
@@ -215,26 +217,49 @@ def decode_jpeg(content: bytes) -> np.ndarray:
                 comps.append(
                     {"id": cid, "h": hv >> 4, "v": hv & 0x0F, "tq": tq}
                 )
-            frame = {"h": h, "w": w, "comps": comps}
-        elif marker in (0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB,
+            frame = {"h": h, "w": w, "comps": comps,
+                     "progressive": marker == 0xC2}
+        elif marker in (0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB,
                         0xCD, 0xCE, 0xCF):
-            kind = "progressive" if marker == 0xC2 else f"SOF{marker - 0xC0}"
-            raise UnsupportedJpeg(f"{kind} JPEG not supported (baseline only)")
+            raise UnsupportedJpeg(
+                f"SOF{marker - 0xC0} JPEG not supported "
+                "(baseline and progressive DCT only)"
+            )
         elif marker == 0xDD:  # DRI
             (restart_interval,) = struct.unpack_from(">H", seg, 0)
         elif marker == 0xDA:  # SOS — entropy data follows
             if frame is None:
                 raise UnsupportedJpeg("SOS before SOF")
             ns = seg[0]
-            scan_sel = {}
+            if not frame.get("progressive"):
+                scan_sel = {}
+                for i in range(ns):
+                    cs, tt = seg[1 + 2 * i], seg[2 + 2 * i]
+                    scan_sel[cs] = (tt >> 4, tt & 0x0F)
+                return _decode_scan(
+                    content, pos + 2 + seglen, frame, scan_sel, qtables,
+                    huff_dc, huff_ac, restart_interval,
+                )
+            if prog_state is None:
+                prog_state = _prog_alloc(frame)
+            scan_comps = []
             for i in range(ns):
                 cs, tt = seg[1 + 2 * i], seg[2 + 2 * i]
-                scan_sel[cs] = (tt >> 4, tt & 0x0F)
-            return _decode_scan(
-                content, pos + 2 + seglen, frame, scan_sel, qtables,
-                huff_dc, huff_ac, restart_interval,
+                ci = next(
+                    j for j, c in enumerate(frame["comps"])
+                    if c["id"] == cs
+                )
+                scan_comps.append((ci, tt >> 4, tt & 0x0F))
+            ss, se, ahal = seg[1 + 2 * ns : 4 + 2 * ns]
+            pos = _progressive_scan(
+                content, pos + 2 + seglen, frame, prog_state, scan_comps,
+                ss, se, ahal >> 4, ahal & 0x0F, huff_dc, huff_ac,
+                restart_interval,
             )
+            continue
         pos += 2 + seglen
+    if frame is not None and frame.get("progressive") and prog_state:
+        return _prog_finalize(frame, prog_state, qtables)
     raise UnsupportedJpeg("no scan data (SOS) found")
 
 
@@ -293,6 +318,234 @@ def _decode_scan(content, pos, frame, scan_sel, qtables, huff_dc, huff_ac,
                         y0 = (my * c["v"] + by) * 8
                         x0 = (mx * c["h"] + bx) * 8
                         planes[ci][y0 : y0 + 8, x0 : x0 + 8] = px
+    full = []
+    for ci, c in enumerate(comps):
+        p = planes[ci] + 128.0
+        if c["h"] != hmax or c["v"] != vmax:
+            p = np.repeat(
+                np.repeat(p, vmax // c["v"], axis=0), hmax // c["h"], axis=1
+            )
+        full.append(p[:h, :w])
+    if len(full) == 1:
+        return np.clip(full[0].round(), 0, 255).astype(np.uint8)
+    y, cb, cr = full
+    r = y + 1.402 * (cr - 128.0)
+    g = y - 0.344136 * (cb - 128.0) - 0.714136 * (cr - 128.0)
+    b = y + 1.772 * (cb - 128.0)
+    return np.clip(
+        np.stack([r, g, b], axis=-1).round(), 0, 255
+    ).astype(np.uint8)
+
+
+# --- progressive DCT (SOF2) --------------------------------------------------
+
+
+def _prog_alloc(frame):
+    """Per-component zigzag coefficient planes over the MCU-padded block
+    grid, plus DC predictors and the AC EOB-run counter."""
+    hmax = max(c["h"] for c in frame["comps"])
+    vmax = max(c["v"] for c in frame["comps"])
+    if hmax > 2 or vmax > 2:
+        raise UnsupportedJpeg("sampling factors > 2 not supported")
+    mcus_x = -(-frame["w"] // (8 * hmax))
+    mcus_y = -(-frame["h"] // (8 * vmax))
+    coef = [
+        np.zeros((mcus_y * c["v"], mcus_x * c["h"], 64), np.int32)
+        for c in frame["comps"]
+    ]
+    return {
+        "coef": coef,
+        "hmax": hmax,
+        "vmax": vmax,
+        "mcus_x": mcus_x,
+        "mcus_y": mcus_y,
+    }
+
+
+def _entropy_end(content: bytes, pos: int) -> int:
+    """First position of a real marker (not stuffing, not RSTn) at or
+    after ``pos`` — the end of one scan's entropy-coded segment."""
+    p = pos
+    n = len(content)
+    while p + 1 < n:
+        if content[p] == 0xFF:
+            nxt = content[p + 1]
+            if nxt != 0x00 and not (0xD0 <= nxt <= 0xD7):
+                return p
+            p += 2
+        else:
+            p += 1
+    return n
+
+
+def _progressive_scan(content, pos, frame, state, scan_comps, ss, se,
+                      ah, al, huff_dc, huff_ac, restart_interval):
+    """Decode ONE progressive scan into the coefficient planes.  Returns
+    the stream position of the next marker.
+
+    Block order per T.81: a multi-component scan must be a DC scan
+    (Ss=0) and walks the MCU-interleaved grid; a single-component scan
+    walks the component's OWN block grid (no MCU padding).  EOB runs
+    (G.2.2) span blocks within AC scans; restart intervals reset DC
+    predictors, the EOB run, and the bit reader."""
+    comps = frame["comps"]
+    coef = state["coef"]
+    reader = _BitReader(content, pos)
+    pred = [0] * len(comps)
+    eob = [0]  # boxed EOB-run counter shared across blocks
+
+    def dc_block(ci, td, by, bx):
+        c = coef[ci][by, bx]
+        if ah == 0:
+            t = reader.decode(huff_dc[td])
+            diff = _extend(reader.read_bits(t), t) if t else 0
+            pred[ci] += diff
+            c[0] = pred[ci] << al
+        else:
+            if reader.read_bit():
+                c[0] |= 1 << al
+
+    def ac_first(ci, ta, by, bx):
+        c = coef[ci][by, bx]
+        if eob[0] > 0:
+            eob[0] -= 1
+            return
+        k = ss
+        while k <= se:
+            rs = reader.decode(huff_ac[ta])
+            r, s1 = rs >> 4, rs & 0x0F
+            if s1 == 0:
+                if r == 15:
+                    k += 16
+                    continue
+                eob[0] = (1 << r) - 1 + (reader.read_bits(r) if r else 0)
+                break
+            k += r
+            if k > se:
+                raise UnsupportedJpeg("AC index overflow in scan")
+            c[k] = _extend(reader.read_bits(s1), s1) << al
+            k += 1
+
+    def ac_refine(ci, ta, by, bx):
+        # T.81 G.1.2.3 correction-bit procedure (independently written to
+        # the spec; structure necessarily parallels any conformant
+        # decoder): every NONZERO history coefficient visited takes one
+        # refinement bit; zero-history coefficients are skipped by the
+        # run length and the (run, size=1) symbol plants a new +-1<<Al.
+        c = coef[ci][by, bx]
+        p1 = 1 << al
+        m1 = -p1
+        k = ss
+        if eob[0] == 0:
+            while k <= se:
+                rs = reader.decode(huff_ac[ta])
+                r, s1 = rs >> 4, rs & 0x0F
+                newval = 0
+                if s1 == 0:
+                    if r < 15:
+                        eob[0] = (1 << r) + (
+                            reader.read_bits(r) if r else 0
+                        )
+                        break
+                    # ZRL: pass 16 zero-history coefficients
+                else:
+                    if s1 != 1:
+                        raise UnsupportedJpeg(
+                            "refinement scan symbol with size != 1"
+                        )
+                    newval = p1 if reader.read_bit() else m1
+                while k <= se:
+                    if c[k] != 0:
+                        if reader.read_bit():
+                            if (int(c[k]) & p1) == 0:
+                                c[k] += p1 if c[k] > 0 else m1
+                    else:
+                        if r == 0:
+                            break
+                        r -= 1
+                    k += 1
+                if newval and k <= se:
+                    c[k] = newval
+                k += 1
+        if eob[0] > 0:
+            while k <= se:
+                if c[k] != 0:
+                    if reader.read_bit():
+                        if (int(c[k]) & p1) == 0:
+                            c[k] += p1 if c[k] > 0 else m1
+                k += 1
+            eob[0] -= 1
+
+    def do_restart():
+        reader.sync_restart()
+        pred[:] = [0] * len(comps)
+        eob[0] = 0
+
+    if len(scan_comps) > 1:
+        if ss != 0:
+            raise UnsupportedJpeg("multi-component AC scan is invalid")
+        unit = 0
+        for my in range(state["mcus_y"]):
+            for mx in range(state["mcus_x"]):
+                if restart_interval and unit and \
+                        unit % restart_interval == 0:
+                    do_restart()
+                unit += 1
+                for ci, td, _ta in scan_comps:
+                    c = comps[ci]
+                    for by in range(c["v"]):
+                        for bx in range(c["h"]):
+                            dc_block(
+                                ci, td,
+                                my * c["v"] + by, mx * c["h"] + bx,
+                            )
+    else:
+        ci, td, ta = scan_comps[0]
+        c = comps[ci]
+        # non-interleaved: the component's own ceil(dim/8) block grid
+        cw = -(-frame["w"] * c["h"] // state["hmax"])
+        ch = -(-frame["h"] * c["v"] // state["vmax"])
+        bw = -(-cw // 8)
+        bh = -(-ch // 8)
+        unit = 0
+        for by in range(bh):
+            for bx in range(bw):
+                if restart_interval and unit and \
+                        unit % restart_interval == 0:
+                    do_restart()
+                unit += 1
+                if ss == 0:
+                    dc_block(ci, td, by, bx)
+                elif ah == 0:
+                    ac_first(ci, ta, by, bx)
+                else:
+                    ac_refine(ci, ta, by, bx)
+    # the entropy segment contains no real markers (only stuffing and
+    # RSTn), so scanning from the segment start finds its true end
+    # regardless of the reader's lookahead state
+    return _entropy_end(content, pos)
+
+
+def _prog_finalize(frame, state, qtables):
+    """All scans consumed: dequantize + IDCT every block and assemble
+    exactly like the baseline path."""
+    h, w, comps = frame["h"], frame["w"], frame["comps"]
+    hmax, vmax = state["hmax"], state["vmax"]
+    planes = []
+    zz = ZIGZAG
+    for ci, c in enumerate(comps):
+        grid = state["coef"][ci]
+        bh, bw = grid.shape[:2]
+        plane = np.zeros((bh * 8, bw * 8), np.float64)
+        q = qtables[c["tq"]]
+        for by in range(bh):
+            for bx in range(bw):
+                block = np.zeros(64, np.float64)
+                block[zz] = grid[by, bx] * q
+                plane[by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8] = _idct2(
+                    block.reshape(8, 8)
+                )
+        planes.append(plane)
     full = []
     for ci, c in enumerate(comps):
         p = planes[ci] + 128.0

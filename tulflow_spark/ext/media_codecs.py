@@ -16,7 +16,7 @@ stub: uncompressed formats decode with ``struct``/``wave``/numpy alone —
   float32 mono samples + sample rate.
 
 ``sniff_format`` dispatches on magic bytes; compressed AUDIO/VIDEO codec
-payloads (MP3/MP4/OGG decode; progressive JPEG) raise :class:`UnsupportedMedia`
+payloads (MP3/MP4/OGG decode) raise :class:`UnsupportedMedia`
 — but their container metadata and frame payload extraction are REAL, see
 :mod:`tulflow_spark.ext.mediaprobe` —
 naming the dependency a real deployment would add — a typed wall, never a
