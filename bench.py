@@ -81,7 +81,7 @@ def main() -> None:
     # min-of-2 already requires a spike to hit both runs.  Set =1 for a
     # quick smoke pass.
     #
-    # SPARK_GRAFT_BENCH_BUDGET (default 430 s): once cumulative bench time
+    # SPARK_GRAFT_BENCH_BUDGET (default 380 s): once cumulative bench time
     # passes the budget, remaining queries drop to single runs — the
     # driver wraps bench.py in `timeout 580`, and a killed bench emits NO
     # summary at all, which is strictly worse than single-shot tails.

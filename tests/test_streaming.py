@@ -715,3 +715,89 @@ def test_stream_temperature_stats_match_batch(spark, tmp_path_factory):
     assert r_stream == r_batch
     assert set(r_stream) == {"web", "code", "books"}
     assert all(0.0 < v <= 1.0 for v in r_stream.values())
+
+
+def test_stream_scd2_op_transition_same_payload_two_versions(spark,
+                                                             tmp_path_factory):
+    """The no-op signature is payload AND op (batch parity): an I->U
+    transition with identical payload must stay TWO versions, while
+    U->U with identical payload coalesces."""
+    import os as _os
+
+    from pyspark.sql import functions as F
+
+    from tulflow_spark.operators.cdc import scd2_history
+    from tulflow_spark.streaming.scd2 import stream_scd2
+
+    rows = [("C", 1, "v", "I"), ("C", 2, "v", "U"),  # same payload, I->U
+            ("C", 3, "v", "U"),                       # U->U: coalesced
+            ("C", 4, "w", "U")]
+    schema = "k string, seq long, v string, op string"
+    d = tmp_path_factory.mktemp("scd2_op")
+    spark.createDataFrame(rows, schema).coalesce(1).write.parquet(
+        str(d / "b0")
+    )
+    stream = spark.readStream.schema(schema).parquet(str(d / "b0"))
+    got = {
+        (r.k, r.v, r.valid_from, r.valid_to)
+        for r in _run_to_memory(
+            spark,
+            stream_scd2(stream, ["k"], "seq", ["v"], op_col="op"),
+            "scd2_op_tbl",
+            "append",
+        ).collect()
+    }
+    log = spark.createDataFrame(rows, schema)
+    batch = {
+        (r.k, r.v, r.valid_from, r.valid_to)
+        for r in scd2_history(log, ["k"], ["seq"], ["v"], op_col="op")
+        .filter(F.col("valid_to").isNotNull())
+        .collect()
+    }
+    assert got == batch
+    assert ("C", "v", 1, 2) in got and ("C", "v", 2, 4) in got
+
+
+def test_stream_scd2_cross_chunk_sequence_order(spark, tmp_path_factory):
+    """A key's rows arriving as MULTIPLE Arrow chunks (forced via a tiny
+    maxRecordsPerBatch) must still apply in sequence order — the sort
+    happens once over the gathered batch, not per chunk."""
+    from pyspark.sql import functions as F
+
+    from tulflow_spark.operators.cdc import scd2_history
+    from tulflow_spark.streaming.scd2 import stream_scd2
+
+    # out-of-order within the batch so a chunk-local sort would misorder
+    rows = [("K", 5, "e", "U"), ("K", 1, "a", "I"), ("K", 4, "d", "U"),
+            ("K", 2, "b", "U"), ("K", 6, "f", "U"), ("K", 3, "c", "U")]
+    schema = "k string, seq long, v string, op string"
+    d = tmp_path_factory.mktemp("scd2_chunks")
+    spark.createDataFrame(rows, schema).coalesce(1).write.parquet(
+        str(d / "b0")
+    )
+    old = spark.conf.get("spark.sql.execution.arrow.maxRecordsPerBatch")
+    spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", "2")
+    try:
+        stream = spark.readStream.schema(schema).parquet(str(d / "b0"))
+        got = {
+            (r.k, r.v, r.valid_from, r.valid_to)
+            for r in _run_to_memory(
+                spark,
+                stream_scd2(stream, ["k"], "seq", ["v"], op_col="op"),
+                "scd2_chunk_tbl",
+                "append",
+            ).collect()
+        }
+    finally:
+        spark.conf.set(
+            "spark.sql.execution.arrow.maxRecordsPerBatch", old
+        )
+    batch = {
+        (r.k, r.v, r.valid_from, r.valid_to)
+        for r in scd2_history(
+            spark.createDataFrame(rows, schema), ["k"], ["seq"], ["v"],
+            op_col="op",
+        ).filter(F.col("valid_to").isNotNull()).collect()
+    }
+    assert got == batch
+    assert ("K", "a", 1, 2) in got and ("K", "e", 5, 6) in got

@@ -65,6 +65,11 @@ def main() -> None:
         oracles.update(
             {n: EXTRA_ORACLE[n] for n in only if n in EXTRA_ORACLE}
         )
+        # a misspelled name silently matching nothing would print ALL
+        # GREEN — report it as a failure instead
+        for n in sorted(set(only) - set(pool)):
+            print(f"UNKNOWN query name: {n}")
+            bad.append(n)
     for name, fn in pool.items():
         if only and name not in only:
             continue

@@ -199,24 +199,22 @@ def append_to_ivfpq(
     assigned = assign_clusters(
         new_df.select(id_col, vec_col), centroids.tolist(), vec_col=vec_col
     )
-    cent_lit = F.array(
-        *[F.array(*[F.lit(float(x)) for x in row]) for row in centroids]
-    )
-    with_res = assigned.withColumn(
-        "_residual",
-        F.zip_with(
-            F.col(vec_col).cast("array<double>"),
-            F.element_at(cent_lit, F.col("cluster") + 1),
-            lambda x, c: x - c,
-        ),
-    )
+    from tulflow_spark.ext.ivfpq import with_residuals
+
+    with_res = with_residuals(assigned, centroids, vec_col)
     encoded = pq_encode(with_res, codebook, vec_col="_residual").select(
         id_col, "cluster", "pq_codes"
     )
-    n = encoded.count()
-    encoded.write.mode("append").partitionBy("cluster").parquet(
-        f"{path}/codes"
-    )
+    # cache around the two actions: counting must not re-run the
+    # assignment + Arrow-batched pq_encode pipeline the write executes
+    encoded = encoded.cache()
+    try:
+        n = encoded.count()
+        encoded.write.mode("append").partitionBy("cluster").parquet(
+            f"{path}/codes"
+        )
+    finally:
+        encoded.unpersist()
     return n
 
 

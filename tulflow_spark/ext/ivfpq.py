@@ -50,6 +50,29 @@ class IvfPqIndex:
     vec_col: str
 
 
+def with_residuals(
+    assigned: DataFrame, centroids: np.ndarray, vec_col: str
+) -> DataFrame:
+    """Attach the JVM-side residual column (vector minus its assigned
+    centroid) — ONE definition shared by index build and incremental
+    append, so the encode convention cannot drift between them (the
+    byte-for-byte determinism tests rely on that agreement)."""
+    cent_lit = F.array(
+        *[
+            F.array(*[F.lit(float(x)) for x in row])
+            for row in centroids
+        ]
+    )
+    return assigned.withColumn(
+        "_residual",
+        F.zip_with(
+            F.col(vec_col).cast("array<double>"),
+            F.element_at(cent_lit, F.col("cluster") + 1),
+            lambda x, c: x - c,
+        ),
+    )
+
+
 def build_ivfpq(
     df: DataFrame,
     id_col: str = "vec_id",
@@ -82,20 +105,7 @@ def build_ivfpq(
     assigned = assign_clusters(
         df.select(id_col, vec_col), centroids.tolist(), vec_col=vec_col
     )
-    cent_lit = F.array(
-        *[
-            F.array(*[F.lit(float(x)) for x in row])
-            for row in centroids
-        ]
-    )
-    with_res = assigned.withColumn(
-        "_residual",
-        F.zip_with(
-            F.col(vec_col).cast("array<double>"),
-            F.element_at(cent_lit, F.col("cluster") + 1),
-            lambda x, c: x - c,
-        ),
-    )
+    with_res = with_residuals(assigned, centroids, vec_col)
     codebook = pq_train(
         with_res, id_col=id_col, vec_col="_residual",
         dim=dim, m=m, ksub=ksub, max_iter=max_iter,

@@ -107,7 +107,14 @@ def write_zordered(
     ).head()
     need = max(int(mx or 0).bit_length(), int(my or 0).bit_length(), 1)
     if bits is None:
-        bits = min(need, 31)
+        if need > 31:  # 2 dims x 31 bits fills the 62-bit z budget
+            raise ValueError(
+                f"write_zordered: max({x})={mx} / max({y})={my} need "
+                f"{need} bits per dimension — beyond the 31-bit z-curve "
+                "budget; pre-bucket the keys (e.g. key >> k) before "
+                "z-ordering"
+            )
+        bits = need
     elif need > bits:
         raise ValueError(
             f"write_zordered: max({x})={mx} / max({y})={my} need {need} "

@@ -1897,7 +1897,9 @@ def j6_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     every lineitem shipment day joined to the 7-day promo windows opened
     by sampled orders, then per-window counts.  The naive BETWEEN join is
     a BroadcastNestedLoopJoin (O(|P|·|I|)); the bucket rewrite replicates
-    each interval to ceil(7/W)=1 bucket rows and equi-joins — a plain
+    each interval to floor(end/W)-floor(start/W)+1 bucket rows (2 for a
+    7-day window at W=7 unless start is bucket-aligned) and equi-joins
+    — a plain
     hash join, AQE/skew/broadcast eligible (no-nested-loop plan pinned).
     The oracle runs the naive BETWEEN join, proving the rewrite exact."""
     from tulflow_spark.functions import dsum

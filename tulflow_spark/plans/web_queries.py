@@ -315,6 +315,13 @@ def zo2_zorder3_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("l_suppkey").cast("bigint").alias("y"),
         (F.col("l_orderkey") % 256).cast("bigint").alias("w"),
     )
+    mx = li.agg(F.max("x"), F.max("y"), F.max("w")).head()
+    if any(int(v or 0) >= (1 << 16) for v in mx):
+        # zvalue_n's default 16-bit budget: silent truncation would
+        # quietly destroy the clustering this query demonstrates
+        raise ValueError(
+            f"zo2: key maxima {tuple(mx)} exceed the 16-bit z budget"
+        )
     z = zvalue_n(["x", "y", "w"])
     return (
         li.withColumn("zbucket", F.shiftright(z, 24))

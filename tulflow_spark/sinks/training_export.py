@@ -122,11 +122,21 @@ def verify_training_shards(spark: SparkSession, path: str) -> dict:
         f"{path}/{manifest.get('data_dir', 'data')}"
     )
     id_col = manifest["id_col"]
+    tcc = manifest.get("token_count_col")
+    toks = (
+        F.sum(F.col(tcc).cast("long")) if tcc
+        else F.lit(None).cast("long")
+    )
     got = {
-        r["shard"]: (int(r["rows"]), str(r["chk"]))
+        r["shard"]: (
+            int(r["rows"]),
+            int(r["tokens"]) if tcc else None,
+            str(r["chk"]),
+        )
         for r in written.groupBy("shard")
         .agg(
             F.count(F.lit(1)).alias("rows"),
+            toks.alias("tokens"),
             (F.sum(_checksum_col(id_col, manifest["seed"]))
              % F.lit(_MOD).cast("decimal(30,0)"))
             .cast("long")
@@ -139,10 +149,18 @@ def verify_training_shards(spark: SparkSession, path: str) -> dict:
         g = got.get(shard)
         if g is None:
             mismatches.append(f"{shard}: missing on disk")
-        elif g != (meta["rows"], meta["id_checksum"]):
+        elif g != (meta["rows"], meta.get("tokens"), meta["id_checksum"]):
             mismatches.append(
-                f"{shard}: manifest {meta['rows']}/{meta['id_checksum']} "
-                f"!= disk {g[0]}/{g[1]}"
+                f"{shard}: manifest "
+                f"{meta['rows']}/{meta.get('tokens')}/"
+                f"{meta['id_checksum']} != disk {g[0]}/{g[1]}/{g[2]}"
+            )
+    if tcc:
+        disk_total = sum(g[1] for g in got.values())
+        if manifest.get("total_tokens") != disk_total:
+            mismatches.append(
+                f"total_tokens: manifest {manifest.get('total_tokens')} "
+                f"!= disk {disk_total}"
             )
     for shard in set(got) - set(manifest["shards"]):
         mismatches.append(f"{shard}: on disk but not in manifest")

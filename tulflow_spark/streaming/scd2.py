@@ -5,8 +5,11 @@ with its final validity interval) and opens a new one held in state.
 
 Semantics (matching the batch operator):
 
-- an update with a payload identical to the open version is a NO-OP
-  (coalesced away — versions represent real changes);
+- a change whose payload AND op match the previous log row (which,
+  while a version is open, is exactly the row that opened it) is a
+  NO-OP (coalesced away — versions represent real changes; an I->U
+  transition with identical payload stays two versions, matching the
+  batch operator's payload+op no-op signature);
 - op = 'D' closes the open version without opening one;
 - emitted rows are CLOSED versions only (``valid_from``/``valid_to``);
   the open versions are exactly the operator state — a snapshot sink or
@@ -14,8 +17,10 @@ Semantics (matching the batch operator):
 
 State: ONE row per key (the open version: valid_from + payload), bounded
 by live-key cardinality regardless of stream length — same shape as the
-engine's own dedup state.  Within a micro-batch, changes sort by the
-sequence column so out-of-order arrivals inside a batch apply correctly;
+engine's own dedup state (plus the opener's op when ``op_col`` is
+given).  Within a micro-batch, ALL of a key's rows are gathered across
+Arrow chunks and sorted by the sequence column once, so out-of-order
+arrivals inside a batch apply correctly regardless of chunking;
 cross-batch ordering is the source's contract (Kafka per-key ordering /
 CDC log order), as with any stateful CDC consumer.
 """
@@ -28,37 +33,67 @@ import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
-from pyspark.sql.types import LongType, StructField, StructType
+from pyspark.sql.types import (
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+)
 
 
 def _update_factory(n_keys: int, payload: list[str], has_op: bool):
+    np_ = len(payload)
+
     def update(key: tuple[Any, ...], batches, state: GroupState):
         if state.exists:
-            stored = state.get  # (valid_from, *payload) or cleared marker
+            # (valid_from, *payload[, opener_op])
+            stored = state.get
             open_from = stored[0]
-            open_payload = list(stored[1:])
+            open_payload = list(stored[1 : 1 + np_])
+            open_op = stored[1 + np_] if has_op else None
             has_open = open_from is not None
         else:
-            open_from, open_payload, has_open = None, None, False
+            open_from, open_payload, open_op, has_open = (
+                None, None, None, False,
+            )
         out = []
-        for pdf in batches:
-            pdf = pdf.sort_values("_seq", kind="mergesort")
-            for _, r in pdf.iterrows():
-                seq = int(r["_seq"])
-                vals = [r[c] for c in payload]
-                is_delete = has_op and r["_op"] == "D"
-                if has_open:
-                    if not is_delete and list(open_payload) == list(vals):
-                        continue  # no-op update: coalesce
-                    out.append(
-                        tuple(key) + tuple(open_payload)
-                        + (open_from, seq)
-                    )
-                    has_open = False
-                if not is_delete:
-                    open_from, open_payload, has_open = seq, vals, True
+        # applyInPandasWithState may deliver a key's batch rows as SEVERAL
+        # Arrow chunks with no cross-chunk order guarantee — gather them
+        # all, then sort by sequence ONCE
+        chunks = [pdf for pdf in batches if len(pdf)]
+        rows = (
+            pd.concat(chunks).sort_values("_seq", kind="mergesort")
+            if chunks
+            else pd.DataFrame()
+        )
+        for _, r in rows.iterrows():
+            seq = int(r["_seq"])
+            vals = [r[c] for c in payload]
+            op = str(r["_op"]) if has_op else None
+            is_delete = has_op and op == "D"
+            if has_open:
+                # batch parity (operators/cdc.py drop_noop): a change is
+                # a no-op iff payload AND op match the PREVIOUS log row —
+                # which, while a version is open, is exactly its opener
+                if (
+                    not is_delete
+                    and list(open_payload) == list(vals)
+                    and (not has_op or open_op == op)
+                ):
+                    continue
+                out.append(
+                    tuple(key) + tuple(open_payload) + (open_from, seq)
+                )
+                has_open = False
+            if not is_delete:
+                open_from, open_payload, open_op, has_open = (
+                    seq, vals, op, True,
+                )
         if has_open:
-            state.update(tuple([open_from] + list(open_payload)))
+            st = [open_from] + list(open_payload)
+            if has_op:
+                st.append(open_op)
+            state.update(tuple(st))
         elif state.exists:
             state.remove()
         cols = (
@@ -103,6 +138,8 @@ def stream_scd2(
     state_fields = [StructField("valid_from", LongType())] + [
         by_name[c] for c in payload
     ]
+    if op_col:
+        state_fields.append(StructField("_open_op", StringType()))
     out = keyed.groupBy(*keys).applyInPandasWithState(
         _update_factory(len(keys), payload, op_col is not None),
         outputStructType=StructType(out_fields),
