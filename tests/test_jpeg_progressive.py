@@ -367,3 +367,33 @@ def test_non_dct_sofs_stay_typed():
     prog[i + 1] = 0xC3  # lossless
     with pytest.raises(UnsupportedJpeg, match="SOF3"):
         decode_jpeg(bytes(prog))
+
+
+def test_fill_bytes_before_markers_accepted():
+    """T.81 B.1.1.2: any number of 0xFF fill bytes may precede a marker;
+    both the header walk and the entropy-end scan must skip them."""
+    data = bytearray(_encode_progressive(np.asarray(
+        [[[16] + [0] * 63]], np.int64)))
+    # double every marker's leading FF after SOI (crude but spec-legal:
+    # insert ONE fill byte before the first SOS)
+    i = data.index(b"\xff\xda")
+    data[i:i] = b"\xff"
+    out = decode_jpeg(bytes(data))
+    expect = _expected_pixels(np.asarray([[[16] + [0] * 63]], np.int64))
+    assert np.array_equal(out, expect)
+
+
+def test_baseline_corrupt_marker_stays_typed():
+    """The strict baseline reader still raises on a stray non-RST marker
+    inside scan data (the progressive relaxation must not silently turn
+    baseline corruption into 1-bit padding)."""
+    from tests.test_jpeg import _encode_dc_only
+
+    data = bytearray(_encode_dc_only([np.full((8, 16), 128.0)]))
+    sos = data.index(b"\xff\xda")
+    # SOS segment is 12 bytes (marker+len+1-comp header); plant a bogus
+    # DHT marker at the very start of the entropy data so the first DC
+    # decode hits it
+    data[sos + 12 : sos + 12] = b"\xff\xc4"
+    with pytest.raises(UnsupportedJpeg, match="unexpected marker|Huffman"):
+        decode_jpeg(bytes(data))

@@ -722,8 +722,6 @@ def test_stream_scd2_op_transition_same_payload_two_versions(spark,
     """The no-op signature is payload AND op (batch parity): an I->U
     transition with identical payload must stay TWO versions, while
     U->U with identical payload coalesces."""
-    import os as _os
-
     from pyspark.sql import functions as F
 
     from tulflow_spark.operators.cdc import scd2_history
@@ -801,3 +799,38 @@ def test_stream_scd2_cross_chunk_sequence_order(spark, tmp_path_factory):
     }
     assert got == batch
     assert ("K", "a", 1, 2) in got and ("K", "e", 5, 6) in got
+
+
+def test_stream_scd2_null_payload_coalesces(spark, tmp_path_factory):
+    """NULL payload values must compare null-safely (batch eqNullSafe
+    parity): two consecutive NULL-payload updates coalesce instead of
+    churning a spurious version."""
+    from pyspark.sql import functions as F
+
+    from tulflow_spark.operators.cdc import scd2_history
+    from tulflow_spark.streaming.scd2 import stream_scd2
+
+    rows = [("N", 1, None, "U"), ("N", 2, None, "U"), ("N", 3, 5.0, "U")]
+    schema = "k string, seq long, v double, op string"
+    d = tmp_path_factory.mktemp("scd2_null")
+    spark.createDataFrame(rows, schema).coalesce(1).write.parquet(
+        str(d / "b0")
+    )
+    stream = spark.readStream.schema(schema).parquet(str(d / "b0"))
+    got = {
+        (r.k, r.v, r.valid_from, r.valid_to)
+        for r in _run_to_memory(
+            spark,
+            stream_scd2(stream, ["k"], "seq", ["v"], op_col="op"),
+            "scd2_null_tbl",
+            "append",
+        ).collect()
+    }
+    batch = {
+        (r.k, r.v, r.valid_from, r.valid_to)
+        for r in scd2_history(
+            spark.createDataFrame(rows, schema), ["k"], ["seq"], ["v"],
+            op_col="op",
+        ).filter(F.col("valid_to").isNotNull()).collect()
+    }
+    assert got == batch == {("N", None, 1, 3)}

@@ -82,15 +82,22 @@ class _HuffTable:
 
 class _BitReader:
     """MSB-first reader over the entropy-coded segment with 0xFF00
-    unstuffing; restart markers reset via :meth:`sync_restart`."""
+    unstuffing; restart markers reset via :meth:`sync_restart`.
 
-    __slots__ = ("data", "pos", "acc", "nbits")
+    ``strict=True`` (the baseline single-scan mode) raises on a non-RST,
+    non-EOI marker inside scan data — corrupt input stays a typed error.
+    Progressive scans pass ``strict=False``: their entropy segment is
+    legitimately followed by the next scan's DHT/SOS, which must read as
+    end-of-data padding, not an error."""
 
-    def __init__(self, data: bytes, pos: int):
+    __slots__ = ("data", "pos", "acc", "nbits", "strict")
+
+    def __init__(self, data: bytes, pos: int, strict: bool = True):
         self.data = data
         self.pos = pos
         self.acc = 0
         self.nbits = 0
+        self.strict = strict
 
     def _fill(self) -> None:
         d = self.data
@@ -105,13 +112,17 @@ class _BitReader:
                 nxt = d[self.pos + 1] if self.pos + 1 < len(d) else 0xD9
                 if nxt == 0x00:
                     self.pos += 2
-                else:
-                    # any real marker (RSTn, EOI, or — in a progressive
-                    # stream — the next scan's DHT/SOS) ends this scan's
-                    # entropy data: stop filling real bits and pad
+                elif 0xD0 <= nxt <= 0xD7 or nxt == 0xD9 or not self.strict:
+                    # end of this scan's entropy data (RSTn/EOI — or, in
+                    # a progressive stream, the next scan's DHT/SOS):
+                    # stop filling real bits and pad
                     self.acc = (self.acc << 8) | 0xFF
                     self.nbits += 8
                     continue
+                else:
+                    raise UnsupportedJpeg(
+                        f"unexpected marker 0xFF{nxt:02X} in scan data"
+                    )
             else:
                 self.pos += 1
             self.acc = (self.acc << 8) | b
@@ -173,6 +184,9 @@ def decode_jpeg(content: bytes) -> np.ndarray:
     while pos + 4 <= len(content):
         if content[pos] != 0xFF:
             raise UnsupportedJpeg(f"marker expected at {pos}")
+        if content[pos + 1] == 0xFF:
+            pos += 1  # fill byte before a marker (T.81 B.1.1.2)
+            continue
         marker = content[pos + 1]
         if marker == 0xD9:  # EOI
             break
@@ -246,9 +260,16 @@ def decode_jpeg(content: bytes) -> np.ndarray:
             for i in range(ns):
                 cs, tt = seg[1 + 2 * i], seg[2 + 2 * i]
                 ci = next(
-                    j for j, c in enumerate(frame["comps"])
-                    if c["id"] == cs
+                    (
+                        j for j, c in enumerate(frame["comps"])
+                        if c["id"] == cs
+                    ),
+                    None,
                 )
+                if ci is None:
+                    raise UnsupportedJpeg(
+                        f"SOS references undeclared component id {cs}"
+                    )
                 scan_comps.append((ci, tt >> 4, tt & 0x0F))
             ss, se, ahal = seg[1 + 2 * ns : 4 + 2 * ns]
             pos = _progressive_scan(
@@ -277,7 +298,7 @@ def _decode_scan(content, pos, frame, scan_sel, qtables, huff_dc, huff_ac,
         planes.append(
             np.zeros((mcus_y * c["v"] * 8, mcus_x * c["h"] * 8), np.float64)
         )
-    reader = _BitReader(content, pos)
+    reader = _BitReader(content, pos)  # strict: baseline single scan
     pred = [0] * len(comps)
     zz = ZIGZAG
     mcu_count = 0
@@ -370,9 +391,12 @@ def _entropy_end(content: bytes, pos: int) -> int:
     while p + 1 < n:
         if content[p] == 0xFF:
             nxt = content[p + 1]
-            if nxt != 0x00 and not (0xD0 <= nxt <= 0xD7):
+            if nxt == 0xFF:
+                p += 1  # fill byte (T.81 B.1.1.2): marker code follows
+            elif nxt != 0x00 and not (0xD0 <= nxt <= 0xD7):
                 return p
-            p += 2
+            else:
+                p += 2
         else:
             p += 1
     return n
@@ -390,7 +414,7 @@ def _progressive_scan(content, pos, frame, state, scan_comps, ss, se,
     predictors, the EOB run, and the bit reader."""
     comps = frame["comps"]
     coef = state["coef"]
-    reader = _BitReader(content, pos)
+    reader = _BitReader(content, pos, strict=False)
     pred = [0] * len(comps)
     eob = [0]  # boxed EOB-run counter shared across blocks
 

@@ -315,13 +315,24 @@ def zo2_zorder3_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("l_suppkey").cast("bigint").alias("y"),
         (F.col("l_orderkey") % 256).cast("bigint").alias("w"),
     )
-    mx = li.agg(F.max("x"), F.max("y"), F.max("w")).head()
-    if any(int(v or 0) >= (1 << 16) for v in mx):
-        # zvalue_n's default 16-bit budget: silent truncation would
-        # quietly destroy the clustering this query demonstrates
-        raise ValueError(
-            f"zo2: key maxima {tuple(mx)} exceed the 16-bit z budget"
-        )
+    # zvalue_n's default 16-bit budget: silent truncation would quietly
+    # destroy the clustering this query demonstrates — guard IN the
+    # expression (rides the existing scan, no extra eager job); the
+    # oracle mirrors raw values, and the branch is value-neutral when no
+    # key violates the budget
+    def _guarded(c):
+        return F.when(
+            F.col(c) < F.lit(1 << 16), F.col(c)
+        ).otherwise(
+            F.raise_error(
+                F.concat(
+                    F.lit(f"zo2: {c}="), F.col(c).cast("string"),
+                    F.lit(" exceeds the 16-bit z budget"),
+                )
+            ).cast("bigint")
+        ).alias(c)
+
+    li = li.select(_guarded("x"), _guarded("y"), _guarded("w"))
     z = zvalue_n(["x", "y", "w"])
     return (
         li.withColumn("zbucket", F.shiftright(z, 24))

@@ -130,7 +130,9 @@ def verify_training_shards(spark: SparkSession, path: str) -> dict:
     got = {
         r["shard"]: (
             int(r["rows"]),
-            int(r["tokens"]) if tcc else None,
+            (int(r["tokens"]) if r["tokens"] is not None else None)
+            if tcc
+            else None,
             str(r["chk"]),
         )
         for r in written.groupBy("shard")
@@ -155,7 +157,8 @@ def verify_training_shards(spark: SparkSession, path: str) -> dict:
                 f"{meta['rows']}/{meta.get('tokens')}/"
                 f"{meta['id_checksum']} != disk {g[0]}/{g[1]}/{g[2]}"
             )
-    if tcc:
+    if tcc and all(g[1] is not None for g in got.values()):
+        # a shard with NULL tokens is already flagged per-shard above
         disk_total = sum(g[1] for g in got.values())
         if manifest.get("total_tokens") != disk_total:
             mismatches.append(

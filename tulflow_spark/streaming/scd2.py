@@ -27,6 +27,7 @@ CDC log order), as with any stateful CDC consumer.
 
 from __future__ import annotations
 
+import math
 from typing import Any
 
 import pandas as pd
@@ -39,6 +40,15 @@ from pyspark.sql.types import (
     StructField,
     StructType,
 )
+
+
+def _norm(v):
+    """Canonicalize a payload value for null-safe comparison: pandas
+    hands NULL numerics over as NaN while state restores them as None —
+    both must compare equal (the batch operator uses eqNullSafe)."""
+    if v is None or (isinstance(v, float) and math.isnan(v)):
+        return None
+    return v
 
 
 def _update_factory(n_keys: int, payload: list[str], has_op: bool):
@@ -77,7 +87,8 @@ def _update_factory(n_keys: int, payload: list[str], has_op: bool):
                 # which, while a version is open, is exactly its opener
                 if (
                     not is_delete
-                    and list(open_payload) == list(vals)
+                    and [_norm(v) for v in open_payload]
+                    == [_norm(v) for v in vals]
                     and (not has_op or open_op == op)
                 ):
                     continue
