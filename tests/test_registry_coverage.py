@@ -89,6 +89,7 @@ def test_r6_rotation_promotes_never_adjudicated_pairs():
         "sp1_hash_split",
         "bm1_bm25_search",
         "bm2_phrase_search",
+        "rr2_search_rerank",
     }
     never -= added_post_rotation
     assert never <= set(QUERIES), (

@@ -2565,3 +2565,123 @@ def bm2_phrase_search(spark: SparkSession, sf_dir: str) -> DataFrame:
         positions=True,
     )
     return phrase_search(spark, path, "hash join")
+
+
+@register(
+    "rr2_search_rerank",
+    oracle="""
+    WITH q(qid, qtext) AS (VALUES
+      (1, 'hash join strategy'),
+      (2, 'columnar scan filter'),
+      (3, 'sort merge shuffle')
+    ), qterms AS (
+      SELECT DISTINCT qid,
+             unnest(string_split_regex(lower(qtext), ' ')) AS term
+      FROM q
+    ), toks AS (
+      SELECT doc_id,
+             CASE WHEN trim(text) = '' THEN CAST([] AS VARCHAR[])
+                  ELSE list_transform(
+                        string_split_regex(trim(text), '\\s+'),
+                        t -> lower(t))
+             END AS t
+      FROM documents
+    ), corpus AS (
+      SELECT COUNT(*) AS n, SUM(len(t)) AS tot FROM toks
+    ), flat AS (
+      SELECT doc_id, len(t) AS dl, unnest(t) AS term FROM toks
+    ), post AS (
+      SELECT term, doc_id AS doc, dl, COUNT(*) AS tf
+      FROM flat WHERE term IN (SELECT term FROM qterms)
+      GROUP BY term, doc_id, dl
+    ), dfreq AS (
+      SELECT term, COUNT(DISTINCT doc) AS df FROM post GROUP BY term
+    ), idf AS (
+      SELECT term,
+             round(ln((((SELECT n FROM corpus) - df + 0.5) / (df + 0.5))
+                      + 1.0), 9) AS idf
+      FROM dfreq
+    ), contrib AS (
+      SELECT qt.qid, p.doc,
+             round(i.idf * (p.tf * (1.2 + 1.0))
+                   / (p.tf + 1.2 * (1.0 - 0.75
+                      + 0.75 * p.dl / ((SELECT tot FROM corpus)
+                                       / CAST((SELECT n FROM corpus)
+                                              AS DOUBLE)))), 9) AS c
+      FROM post p JOIN idf i USING (term) JOIN qterms qt USING (term)
+    ), scored AS (
+      SELECT qid, doc,
+             CAST(SUM(CAST(c AS DECIMAL(30,9))) AS DOUBLE) AS score
+      FROM contrib GROUP BY qid, doc
+    ), cands AS (
+      SELECT qid, doc FROM (
+        SELECT qid, doc,
+               row_number() OVER (
+                 PARTITION BY qid ORDER BY score DESC, doc) AS r
+        FROM scored
+      ) WHERE r <= 20
+    ), rtoks AS (
+      SELECT c.qid, c.doc,
+             list_distinct(string_split_regex(lower(q.qtext), ' ')) AS tq,
+             list_distinct(t.t) AS td
+      FROM cands c JOIN q USING (qid) JOIN toks t ON t.doc_id = c.doc
+    ), rescored AS (
+      SELECT qid, doc,
+             CASE WHEN len(list_distinct(list_concat(tq, td))) = 0 THEN 0.0
+                  ELSE len(list_intersect(tq, td))
+                       / len(list_distinct(list_concat(tq, td)))
+             END AS score
+      FROM rtoks
+    )
+    SELECT qid AS query_id, doc AS doc_id, score, rank FROM (
+      SELECT qid, doc, score,
+             row_number() OVER (
+               PARTITION BY qid ORDER BY score DESC, doc) AS rank
+      FROM rescored
+    ) WHERE rank <= 5
+    """,
+)
+def rr2_search_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The full two-stage retrieval pipeline, every stage the production
+    operator: BM25 over the persisted inverted index generates 20
+    candidates per query (ext/bm25.py — directory-pruned postings), then
+    the JVM lexical re-ranker re-orders them by whole-query token Jaccard
+    to a final top-5 (ext/rerank.py::lexical_rerank_topk).  The oracle
+    re-derives candidates AND re-ranking from raw documents with
+    identical arithmetic — proving the composed pipeline end to end."""
+    import atexit
+    import shutil
+    import tempfile
+
+    from tulflow_spark.ext.bm25 import bm25_search, build_bm25_index
+    from tulflow_spark.ext.rerank import lexical_rerank_topk
+
+    queries = [
+        (1, "hash join strategy"),
+        (2, "columnar scan filter"),
+        (3, "sort merge shuffle"),
+    ]
+    docs = table(spark, sf_dir, "documents")
+    tmp = tempfile.mkdtemp(prefix="bm25rr2_")
+    atexit.register(shutil.rmtree, tmp, ignore_errors=True)
+    path = tmp + "/idx"
+    build_bm25_index(docs, "doc_id", "text", path)
+    cands = None
+    for qid, qtext in queries:
+        c = bm25_search(spark, path, qtext.split(), k=20).select(
+            F.lit(qid).alias("query_id"), F.col("doc").alias("doc_id")
+        )
+        cands = c if cands is None else cands.unionByName(c)
+    qdf = spark.createDataFrame(queries, "query_id int, qtext string")
+    # case-insensitive re-rank, consistent with the BM25 stage (and with
+    # the oracle's lowercased token stream — the current corpus happens
+    # to be all-lowercase, but the pipeline must not depend on that)
+    out = lexical_rerank_topk(
+        cands,
+        qdf.select("query_id", F.lower("qtext").alias("qtext")),
+        docs.select("doc_id", F.lower("text").alias("text")),
+        "query_id", "doc_id", "qtext", "text", k=5,
+    )
+    return out.select(
+        "query_id", "doc_id", "score", F.col("rank").cast("long").alias("rank")
+    )
