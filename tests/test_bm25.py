@@ -145,3 +145,63 @@ def test_phrase_search_positions(spark, tmp_path):
     got2 = {r.doc: r.n_occurrences
             for r in phrase_search(spark, path, "hash join").collect()}
     assert got2 == {1: 1, 2: 2, 9: 1}
+
+
+def test_streaming_ingest_keeps_index_searchable(spark, tmp_path):
+    """Daily-ingest story for search: a foreachBatch sink appending each
+    micro-batch into the BM25 index via append_to_bm25_index keeps the
+    index searchable after every batch, and the final index equals a
+    batch rebuild (the append==rebuild invariant driven from a stream)."""
+    import os as _os
+
+    from pyspark.sql import functions as F
+
+    from tulflow_spark.ext.bm25 import append_to_bm25_index
+
+    rows = [(i, f"doc number {i} talks about topic{i % 5} extensively")
+            for i in range(60)]
+    schema = "doc_id long, text string"
+    src = tmp_path / "src"
+    for b in range(3):
+        spark.createDataFrame(
+            rows[b * 20 : (b + 1) * 20], schema
+        ).coalesce(1).write.parquet(str(src / f"b{b}"))
+    flat = tmp_path / "flat"
+    _os.makedirs(flat)
+    i = 0
+    for sub in sorted(_os.listdir(src)):
+        for f in sorted(_os.listdir(src / sub)):
+            if f.endswith(".parquet"):
+                _os.link(src / sub / f, flat / f"{i:03d}.parquet")
+                i += 1
+
+    path = str(tmp_path / "idx")
+    # seed the index empty-ish with the first row so append has a base
+    build_bm25_index(
+        spark.createDataFrame(rows[:1], schema), "doc_id", "text", path
+    )
+
+    def ingest(batch_df, batch_id):
+        fresh = batch_df.filter(F.col("doc_id") != 0)
+        if fresh.count():
+            append_to_bm25_index(
+                spark, path, fresh, "doc_id", "text"
+            )
+
+    stream = spark.readStream.schema(schema).option(
+        "maxFilesPerTrigger", 1
+    ).parquet(str(flat))
+    q = stream.writeStream.foreachBatch(ingest).start()
+    q.processAllAvailable()
+    q.stop()
+
+    full_path = str(tmp_path / "full")
+    build_bm25_index(
+        spark.createDataFrame(rows, schema), "doc_id", "text", full_path
+    )
+    inc = [(r.doc, r.score, r.rank)
+           for r in bm25_search(spark, path, ["topic3"], k=10).collect()]
+    full = [(r.doc, r.score, r.rank)
+            for r in bm25_search(spark, full_path, ["topic3"], k=10)
+            .collect()]
+    assert inc == full and len(inc) == 10
