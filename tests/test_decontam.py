@@ -135,3 +135,26 @@ def test_decontaminate_works_on_streams(spark, tmp_path):
         for r in decontaminate(corpus, bench, "doc_id", "text", n=5).collect()
     }
     assert got == exp
+
+
+def test_null_id_and_duplicate_id_semantics(spark):
+    """NULL-id documents still flag and drop (null-safe joins), and a
+    duplicated id counts DISTINCT benchmark grams across its rows."""
+    bench = spark.createDataFrame(BENCH, SCHEMA)
+    docs = spark.createDataFrame(
+        [
+            (None, "she saw the quick brown fox jumps over a fence"),
+            (7, "pack my box with five dozen liquor jugs today"),
+            (7, "pack my box with five dozen liquor jugs today"),
+            (8, "nothing shared at all in this one"),
+        ],
+        SCHEMA,
+    )
+    rep = {r.doc_id: (r.n_hit, r.contaminated)
+           for r in contamination(docs, bench, "doc_id", "text", n=5)
+           .dropDuplicates(["doc_id"]).collect()}
+    assert rep[None][1] is True          # NULL id still reported
+    assert rep[7] == (4, True)           # distinct grams, not 2x4
+    assert rep[8] == (0, False)
+    kept = decontaminate(docs, bench, "doc_id", "text", n=5)
+    assert {r.doc_id for r in kept.collect()} == {8}  # NULL id dropped

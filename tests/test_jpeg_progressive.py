@@ -397,3 +397,17 @@ def test_baseline_corrupt_marker_stays_typed():
     data[sos + 12 : sos + 12] = b"\xff\xc4"
     with pytest.raises(UnsupportedJpeg, match="unexpected marker|Huffman"):
         decode_jpeg(bytes(data))
+
+
+def test_fill_byte_before_eoi_in_baseline_scan():
+    """A fill byte immediately before EOI (…FF FF D9) is spec-legal in
+    BASELINE scan data too — the strict reader must treat it as end
+    padding, not an unexpected marker."""
+    from tests.test_jpeg import _encode_dc_only, _expected_dc_only
+
+    plane = np.full((8, 8), 150.0)
+    data = bytearray(_encode_dc_only([plane]))
+    assert data[-2:] == b"\xff\xd9"
+    data[-2:-2] = b"\xff"  # fill byte before EOI
+    out = decode_jpeg(bytes(data))
+    assert np.array_equal(out, _expected_dc_only(plane))

@@ -71,7 +71,8 @@ def _hit_counts(
 ) -> DataFrame:
     """(id, n_hit) for documents with AT LEAST one benchmark gram: the
     exploded BroadcastHashJoin probe (build the benchmark table once,
-    probe per corpus gram)."""
+    probe per corpus gram).  countDistinct keeps the documented
+    distinct-gram semantics even if an id (incorrectly) spans rows."""
     return (
         docs.select(
             F.col(id_col),
@@ -79,7 +80,7 @@ def _hit_counts(
         )
         .join(F.broadcast(bench), "_gh", "leftsemi")
         .groupBy(id_col)
-        .agg(F.count(F.lit(1)).cast("int").alias("n_hit"))
+        .agg(F.countDistinct("_gh").cast("int").alias("n_hit"))
     )
 
 
@@ -106,10 +107,20 @@ def contamination(
             ),
         )
     bench = benchmark_gram_frame(benchmark, text_col, n)
-    per_doc = docs.select(F.col(id_col), F.size(dg).alias("n_grams"))
-    hits = _hit_counts(docs, bench, id_col, text_col, n)
-    return per_doc.join(hits, id_col, "left").select(
-        id_col,
+    # n_grams needs no md5 (hashing can't change the array size)
+    per_doc = docs.select(
+        F.col(id_col),
+        F.size(F.array_distinct(ngrams(text_col, n))).alias("n_grams"),
+    )
+    hits = _hit_counts(docs, bench, id_col, text_col, n).withColumnRenamed(
+        id_col, "_hid"
+    )
+    # null-safe join: a NULL-id document must still get its report row
+    joined = per_doc.join(
+        hits, per_doc[id_col].eqNullSafe(hits["_hid"]), "left"
+    )
+    return joined.select(
+        per_doc[id_col],
         "n_grams",
         F.coalesce("n_hit", F.lit(0)).alias("n_hit"),
         (F.coalesce("n_hit", F.lit(0)) > 0).alias("contaminated"),
@@ -147,8 +158,13 @@ def decontaminate(
     bench = benchmark_gram_frame(benchmark, text_col, n)
     bad = _hit_counts(docs, bench, id_col, text_col, n).filter(
         F.col("n_hit") > int(max_hits)
+    ).withColumnRenamed(id_col, "_bad_id")
+    # null-safe anti-join: a NULL-id contaminated doc must still drop
+    return docs.join(
+        bad.select("_bad_id"),
+        F.col(id_col).eqNullSafe(F.col("_bad_id")),
+        "left_anti",
     )
-    return docs.join(bad.select(id_col), id_col, "left_anti")
 
 
 __all__ = [

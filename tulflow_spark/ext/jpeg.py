@@ -112,7 +112,12 @@ class _BitReader:
                 nxt = d[self.pos + 1] if self.pos + 1 < len(d) else 0xD9
                 if nxt == 0x00:
                     self.pos += 2
-                elif 0xD0 <= nxt <= 0xD7 or nxt == 0xD9 or not self.strict:
+                elif (
+                    0xD0 <= nxt <= 0xD7
+                    or nxt == 0xD9
+                    or nxt == 0xFF  # fill byte before a marker (B.1.1.2)
+                    or not self.strict
+                ):
                     # end of this scan's entropy data (RSTn/EOI — or, in
                     # a progressive stream, the next scan's DHT/SOS):
                     # stop filling real bits and pad

@@ -23,6 +23,12 @@ Arrow chunks and sorted by the sequence column once, so out-of-order
 arrivals inside a batch apply correctly regardless of chunking;
 cross-batch ordering is the source's contract (Kafka per-key ordering /
 CDC log order), as with any stateful CDC consumer.
+
+State-schema note: with ``op_col`` the state carries the opener's op
+(added in round 6 for batch-parity no-op coalescing).  A checkpoint
+written by the earlier payload-only state schema cannot restart on this
+version — resume from a fresh checkpoint after upgrading, as with any
+applyInPandasWithState schema change.
 """
 
 from __future__ import annotations
