@@ -54,47 +54,53 @@ def test_gate_budget():
     assert all(n not in ORACLE for n in names[n_pairs:])
 
 
-def test_r6_rotation_promotes_never_adjudicated_pairs():
-    """r5 VERDICT #1: every query never adjudicated in CORRECTNESS_r01..r05
-    (31 of them, plus anything registered this round) must hold a
-    driver-gate slot this round."""
+def test_r7_rotation_promotes_never_adjudicated_pairs():
+    """r6 VERDICT #1: every query never adjudicated in CORRECTNESS_r01..r06
+    (20 of them, plus anything registered this round) must hold a
+    driver-gate slot this round, completing cumulative adjudication at
+    140/140 pre-r7 registrations."""
     import json
     import pathlib
 
     root = pathlib.Path(__file__).resolve().parent.parent
     ever: set[str] = set()
-    for p in root.glob("CORRECTNESS_r0[1-5].json"):
+    for p in root.glob("CORRECTNESS_r0[1-6].json"):
         ever |= set(json.loads(p.read_text()))
     never = (set(QUERIES) | set(EXTRA_QUERIES)) - ever
-    # Queries added AFTER the r6 rotation froze can't displace the
-    # promoted set (the gate budget is a hard 50): they run in the local
-    # parity suite this round and queue for the r7 rotation.
-    added_post_rotation = {
-        "ss9_ivfpq_topk",
-        "ss10_int8_quant",
-        "mx8_temperature_mix",
-        "pr2_drift_psi",
-        "j6_range_join",
-        "cdc3_scd2_history",
-        "zo2_zorder3_layout",
-        "mm7_png16_roundtrip",
-        "cur6_training_mix",
-        "a13_grouping_sets",
-        "x6_dynamic_xpath",
-        "dd12_cluster_stats",
-        "dc1_decontaminate",
-        "rr1_rerank_topk",
-        "cur7_clean_corpus",
-        "pack1_token_sequences",
-        "sp1_hash_split",
-        "bm1_bm25_search",
-        "bm2_phrase_search",
-        "rr2_search_rerank",
-    }
+    # Queries added AFTER the r7 rotation froze can't displace the
+    # promoted set (the gate budget is a hard 50) UNLESS they took a slot
+    # in the same commit; names here run in the local parity suite this
+    # round and queue for the r8 rotation.
+    added_post_rotation: set[str] = set()
     never -= added_post_rotation
     assert never <= set(QUERIES), (
         f"never-adjudicated but de-gated: {sorted(never - set(QUERIES))}"
     )
-    # at least the 31 r5-verdict names + mx7 must be newly gated vs r5
-    r5 = set(json.loads((root / "CORRECTNESS_r05.json").read_text()))
-    assert len(set(QUERIES) - r5) >= 32
+    # the 20 r6-verdict names must all be gated this round
+    r6_verdict_queue = {
+        "a13_grouping_sets", "bm1_bm25_search", "bm2_phrase_search",
+        "cdc3_scd2_history", "cur6_training_mix", "cur7_clean_corpus",
+        "dc1_decontaminate", "dd12_cluster_stats", "j6_range_join",
+        "mm7_png16_roundtrip", "mx8_temperature_mix", "pack1_token_sequences",
+        "pr2_drift_psi", "rr1_rerank_topk", "rr2_search_rerank",
+        "sp1_hash_split", "ss9_ivfpq_topk", "ss10_int8_quant",
+        "x6_dynamic_xpath", "zo2_zorder3_layout",
+    }
+    assert r6_verdict_queue <= set(QUERIES)
+
+
+def test_gate_validated_at_import_time():
+    """r6 VERDICT #8: a GATED typo must fail loudly at load_all() time, not
+    silently shrink the driver gate (register() routes unknown names to
+    EXTRA_*)."""
+    import pytest
+
+    import tulflow_spark.plans as plans
+
+    orig = plans.GATED
+    try:
+        plans.GATED = frozenset(orig | {"zz_typo_not_registered"})
+        with pytest.raises(RuntimeError, match="not registered"):
+            plans.load_all()
+    finally:
+        plans.GATED = orig

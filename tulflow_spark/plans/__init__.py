@@ -30,72 +30,70 @@ EXTRA_ORACLE: dict[str, str] = {}
 # the gate each round so every oracle pair eventually gets a hard driver
 # CORRECTNESS row, not just local-parity evidence).
 #
-# Round-6 rotation (r5 VERDICT #1): the 31 oracle pairs the driver has
-# NEVER adjudicated (missed every 50-slot gate since registration) are all
-# promoted — this is the round's whole point, converting the last
-# locally-green-only 26% of the registry into hard driver rows.  All r5
-# gate members rotate OUT to the local parity suite except 18 kept anchors:
-# veterans whose code this round touches (html.py -> cur3/cur4; media
-# probes covered by the promoted mm1-mm6; mixing -> mx6/mx7) plus one
-# flagship per module family so every subsystem keeps a fresh driver row.
+# Round-7 rotation (r6 VERDICT #1): the 20 pairs registered after the r6
+# gate froze (never driver-adjudicated in CORRECTNESS_r01..r06) are all
+# promoted, completing cumulative adjudication at 140/140 registered
+# queries.  All other r6 gate members rotate OUT to the local parity suite
+# except 30 kept anchors: veterans whose code this round touches
+# (operators/zorder.py -> zo1; streaming/manifest_snapshot.py -> cdc2;
+# ext/mixing.py -> mx7) plus one flagship per module family so every
+# subsystem keeps a fresh driver row.
 GATED: frozenset[str] = frozenset(
     {
-        # never-adjudicated oracle pairs, promoted (30)
-        "a12_rollup",
-        "cdc2_merge_upsert",
-        "cur5_web_pipeline",
-        "dd10_repeated_spans",
-        "mm1_media_roundtrip",
-        "mm2_png_roundtrip",
-        "mm3_wav_roundtrip",
-        "mm4_mp3_probe",
-        "mm5_ogg_id3_probe",
-        "mm6_mp4_probe",
-        "mx6_quality_mix",
-        "pg1_pagerank",
-        "pr1_profile_lineitem",
-        "q02_min_acctbal_supplier",
-        "q07_nation_volume",
-        "q08_market_share",
-        "q09_product_profit",
-        "q11_important_parts",
-        "q13_customer_distribution",
-        "q15_top_supplier",
-        "q18_large_volume",
-        "q20_promotable_suppliers",
-        "q21_sole_return_supplier",
-        "q22_dormant_customers",
-        "tr1_train_shuffle",
-        "tx13_html_extract",
-        "url1_canonical_dedup",
-        "w5_month_delta",
-        "w6_moving_avg",
-        "zo1_zorder_layout",
-        # never-adjudicated rows-only query (1): BPE merge table — quality
-        # oracle-gated locally (merge-exact vs independent trainer)
-        "tx12_bpe_merges",
-        # new this round (1): scale variant of quality mixing, driver-gated
-        # so the production path (not just the exact NTILE) gets a hard row
-        "mx7_quality_mix_approx",
-        # kept anchors (18)
+        # never-adjudicated oracle pairs, promoted (19)
+        "a13_grouping_sets",
+        "bm1_bm25_search",
+        "bm2_phrase_search",
+        "cdc3_scd2_history",
+        "cur6_training_mix",
+        "cur7_clean_corpus",
+        "dc1_decontaminate",
+        "dd12_cluster_stats",
+        "j6_range_join",
+        "mm7_png16_roundtrip",
+        "mx8_temperature_mix",
+        "pack1_token_sequences",
+        "pr2_drift_psi",
+        "rr1_rerank_topk",
+        "rr2_search_rerank",
+        "sp1_hash_split",
+        "ss10_int8_quant",
+        "x6_dynamic_xpath",
+        "zo2_zorder3_layout",
+        # never-adjudicated rows-only query (1): IVF-PQ top-k — its recall
+        # floor is ALREADY oracle-gated via vr1's 10th bound
+        "ss9_ivfpq_topk",
+        # kept anchors (30)
         "q01_pricing_summary",
         "q03_top_revenue_orders",
         "q05_region_revenue",
         "q14_promo_revenue",
         "dd1_exact_dedup",
         "dd3_ngram_jaccard",
+        "dd10_repeated_spans",
         "aj1_asof_join",
         "vr1_approx_bounds",
         "x2b_marc_native",
+        "x3_validation_rules",
         "x4_transform_rules",
-        "cur3_strip_boilerplate",
-        "cur4_full_pipeline",
+        "cur5_web_pipeline",
         "ev2_sessionize",
         "w1_topk_per_group",
         "f1_md5_content_keys",
         "j1_broadcast_enrich",
         "tx2_quality_scores",
         "sk1_salted_sum",
+        "zo1_zorder_layout",
+        "cdc2_merge_upsert",
+        "pg1_pagerank",
+        "tx13_html_extract",
+        "mx7_quality_mix_approx",
+        "pr1_profile_lineitem",
+        "a12_rollup",
+        "mm1_media_roundtrip",
+        "url1_canonical_dedup",
+        "tr1_train_shuffle",
+        "a4_latest_version",
     }
 )
 
@@ -123,7 +121,13 @@ def register(name: str, oracle: str | None = None):
 
 
 def load_all() -> None:
-    """Import every plan module so registration side effects run."""
+    """Import every plan module so registration side effects run.
+
+    Validates the gate afterwards (r6 VERDICT #8): a GATED typo would
+    otherwise silently shrink the driver gate — ``register`` routes an
+    unrecognized name to EXTRA_* and nothing would notice until the round's
+    CORRECTNESS artifact came back short.
+    """
     from tulflow_spark.plans import (  # noqa: F401
         ext_queries,
         olap_queries,
@@ -132,6 +136,18 @@ def load_all() -> None:
         web_queries,
         xml_queries,
     )
+
+    dangling = GATED - set(QUERIES)
+    if dangling:
+        raise RuntimeError(
+            f"GATED names not registered (typo in the rotation?): "
+            f"{sorted(dangling)}"
+        )
+    if len(GATED) != 50 or len(QUERIES) != 50:
+        raise RuntimeError(
+            f"driver gate must hold exactly 50 queries, got "
+            f"|GATED|={len(GATED)} |QUERIES|={len(QUERIES)}"
+        )
 
 
 # The driver's correctness gate adjudicates only the first ~50 entries of
