@@ -111,3 +111,26 @@ def test_ivfpq_codes_deterministic_under_repartition(spark, sf_dir):
         for r in b.encoded.collect()
     }
     assert codes_a == codes_b
+
+
+def test_ivfpq_rerank_on_codes_only_index_raises_typed(spark):
+    """ADVICE r6: rerank>0 against an index without raw vectors
+    (keep_vectors=False, or load_ivfpq) must raise a typed ValueError
+    instead of an unresolved-column AnalysisException."""
+    import numpy as np
+    import pytest
+
+    rng = np.random.default_rng(7)
+    df = spark.createDataFrame(
+        [(i, [float(x) for x in rng.normal(size=16)]) for i in range(64)],
+        "vec_id long, embedding array<float>",
+    )
+    idx = build_ivfpq(
+        df, n_clusters=2, dim=16, m=4, ksub=4, max_iter=2,
+        keep_vectors=False,
+    )
+    q = [0.1] * 16
+    with pytest.raises(ValueError, match="no raw vectors"):
+        ivfpq_topk(idx, q, k=5, rerank=20)
+    # rerank=0 still works on the codes-only layout
+    assert ivfpq_topk(idx, q, k=5).count() == 5

@@ -132,3 +132,21 @@ def test_vacuum_removes_only_superseded_dirs(spark, tmp_path):
     assert not (tmp_path / "v2" / "data").exists()
     assert (tmp_path / "v2" / "data-v00002").exists()
     assert verify_training_shards(spark, str(tmp_path / "v2"))["ok"]
+
+
+def test_export_all_null_token_shard_records_null(spark, tmp_path):
+    """ADVICE r6: a shard whose every row has NULL token_count must land
+    in the manifest as tokens=null (not crash on int(None)), stay out of
+    total_tokens, and still verify green."""
+    df = spark.createDataFrame(
+        [(i, f"doc {i}", None if i % 2 else 7) for i in range(40)],
+        "doc_id long, text string, n_tok int",
+    )
+    m = write_training_shards(
+        df, str(tmp_path / "nulls"), "doc_id", token_count_col="n_tok"
+    )
+    # with 40 ids over 256 shards, some shard holds only odd (NULL) ids
+    assert any(s["tokens"] is None for s in m["shards"].values())
+    assert m["total_tokens"] == sum(7 for i in range(40) if i % 2 == 0)
+    audit = verify_training_shards(spark, str(tmp_path / "nulls"))
+    assert audit["ok"], audit["mismatches"]

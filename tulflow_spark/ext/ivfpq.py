@@ -174,6 +174,12 @@ def ivfpq_topk(
             .orderBy(F.col("pq_score").desc(), F.col(index.id_col))
             .limit(k)
         )
+    if index.vec_col not in index.encoded.columns:
+        raise ValueError(
+            "index stores no raw vectors (built with keep_vectors=False "
+            "or loaded via load_ivfpq); rerank against the source table "
+            "or pass rerank=0"
+        )
     from tulflow_spark.ext.similarity import cosine
 
     qcol = F.array(*[F.lit(float(x)) for x in q])

@@ -1,4 +1,4 @@
-"""Scalar (int8) embedding quantization: per-dimension min/max affine
+"""Scalar (uint8) embedding quantization: per-dimension min/max affine
 codes — the storage-tier compression step of an embedding pipeline (4× over
 float32, 8× over float64) that keeps *per-dimension* resolution, in
 contrast to PQ's subspace codebooks (ext/pq.py).  Decode is exact affine
@@ -27,7 +27,9 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-LEVELS = 255  # int8 code range 0..255 (stored in a byte at rest)
+# uint8 code range 0..255 (codes are materialized as INT in the frame;
+# downcast to an UNSIGNED byte at rest — a signed int8 holds only -128..127)
+LEVELS = 255
 
 
 def fit_minmax(

@@ -11,7 +11,7 @@ epoch permutation) plus ``{path}/manifest.json``:
      "shards": {"00": {"rows": n, "tokens": t, "id_checksum": "..."}, ...}}
 
 ``id_checksum`` is an order-insensitive aggregate (sum of each id's
-md5-prefix as a 63-bit int, mod 2^63) so a reader can verify shard
+60-bit md5 prefix — 15 hex chars — mod 2^63) so a reader can verify shard
 completeness without re-listing ids.  All manifest numbers come from ONE
 aggregate over the written data (read back, so the manifest describes what
 is actually on disk, not what the writer intended).
@@ -91,15 +91,24 @@ def write_training_shards(
         "token_count_col": token_count_col,
         "n_shards": len(per_shard),
         "total_rows": int(sum(r["rows"] for r in per_shard)),
+        # a shard whose every row has NULL token_count aggregates to a
+        # NULL sum: record it as null (verify_training_shards already
+        # reads it back that way) instead of crashing on int(None), and
+        # keep it out of the total
         "total_tokens": (
-            int(sum(r["tokens"] for r in per_shard))
+            int(sum(r["tokens"] for r in per_shard
+                    if r["tokens"] is not None))
             if token_count_col
             else None
         ),
         "shards": {
             r["shard"]: {
                 "rows": int(r["rows"]),
-                "tokens": int(r["tokens"]) if token_count_col else None,
+                "tokens": (
+                    int(r["tokens"])
+                    if token_count_col and r["tokens"] is not None
+                    else None
+                ),
                 "id_checksum": str(r["id_checksum"]),
             }
             for r in per_shard
@@ -220,15 +229,24 @@ def append_training_shards(
         "token_count_col": token_count_col,
         "n_shards": len(per_shard),
         "total_rows": int(sum(r["rows"] for r in per_shard)),
+        # a shard whose every row has NULL token_count aggregates to a
+        # NULL sum: record it as null (verify_training_shards already
+        # reads it back that way) instead of crashing on int(None), and
+        # keep it out of the total
         "total_tokens": (
-            int(sum(r["tokens"] for r in per_shard))
+            int(sum(r["tokens"] for r in per_shard
+                    if r["tokens"] is not None))
             if token_count_col
             else None
         ),
         "shards": {
             r["shard"]: {
                 "rows": int(r["rows"]),
-                "tokens": int(r["tokens"]) if token_count_col else None,
+                "tokens": (
+                    int(r["tokens"])
+                    if token_count_col and r["tokens"] is not None
+                    else None
+                ),
                 "id_checksum": str(r["id_checksum"]),
             }
             for r in per_shard
