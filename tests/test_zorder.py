@@ -178,3 +178,37 @@ def test_zvalue_n_validates(spark):
         zvalue_n(["x"])
     with pytest.raises(ValueError, match="63"):
         zvalue_n(["a", "b", "c", "d"], bits=16)
+
+
+def test_write_zordered_default_path_single_pass_and_guarded(spark, tmp_path):
+    """r6 VERDICT perf item: the default (bits=None) write must NOT run a
+    data-max pre-scan job before the write — the overflow guard rides the
+    z expression instead — and a key outside [0, 2**31) still fails the
+    write loudly."""
+    from unittest import mock
+
+    from pyspark.sql import DataFrame
+
+    from tulflow_spark.operators.zorder import write_zordered
+
+    df = spark.range(10000).selectExpr("id AS x", "id % 64 AS y")
+    # structural pin: the pre-scan was df.agg(max, max) — the default
+    # path must never call .agg on the input frame
+    with mock.patch.object(
+        DataFrame, "agg",
+        side_effect=AssertionError("default write ran a pre-scan agg"),
+    ):
+        write_zordered(df, str(tmp_path / "z1"), "x", "y", n_files=4)
+    assert spark.read.parquet(str(tmp_path / "z1")).count() == 10000
+
+    # overflow fails the write loudly (in-expression raise_error)
+    bad = spark.createDataFrame(
+        [(1 << 32, 5)], "x long, y long"
+    )
+    import pytest
+
+    with pytest.raises(Exception, match="z-curve budget"):
+        write_zordered(bad, str(tmp_path / "z2"), "x", "y", n_files=1)
+    neg = spark.createDataFrame([(-3, 5)], "x long, y long")
+    with pytest.raises(Exception, match="z-curve budget"):
+        write_zordered(neg, str(tmp_path / "z3"), "x", "y", n_files=1)

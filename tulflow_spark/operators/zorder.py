@@ -97,30 +97,49 @@ def write_zordered(
     column prunes most files (verified against real footers in
     tests/test_zorder.py).
 
-    ``bits=None`` (default) derives the per-dimension resolution from the
-    keys' actual max (one column-pruned pre-scan — cheap next to the
-    shuffle+write it guards); an explicit ``bits`` raises ``ValueError``
-    if either key exceeds 2**bits, because silent bit truncation quietly
-    destroys the two-dimensional file skipping this writer exists for."""
-    mx, my = df.agg(
-        F.max(F.col(x).cast("bigint")), F.max(F.col(y).cast("bigint"))
-    ).head()
-    need = max(int(mx or 0).bit_length(), int(my or 0).bit_length(), 1)
+    ``bits=None`` (default) uses the full 31-bit-per-dimension curve with
+    an overflow guard folded INTO the z expression (r6 VERDICT perf item:
+    the former data-max pre-scan was a second full pass over the table
+    before the write — at 100 TB that pass IS the cost).  High zero bits
+    do not change the curve's ordering, so the 31-bit layout is
+    bit-identical to one sized to the keys' actual max, and a key outside
+    [0, 2**31) fails the write loudly instead of silently aliasing
+    z-ranges.  An explicit ``bits`` is a validation contract: it keeps the
+    eager column-pruned max pre-scan and raises ``ValueError`` before any
+    write work if either key exceeds 2**bits."""
     if bits is None:
-        if need > 31:  # 2 dims x 31 bits fills the 62-bit z budget
+        bits = 31  # 2 dims x 31 bits fills the 62-bit z budget
+        lim = F.lit(1 << 31).cast("bigint")
+
+        def _guarded(c: str) -> Column:
+            v = F.col(c).cast("bigint")
+            return F.when((v >= F.lit(0)) & (v < lim), v).otherwise(
+                F.raise_error(
+                    F.concat(
+                        F.lit(f"write_zordered: {c}="),
+                        v.cast("string"),
+                        F.lit(
+                            " outside the 31-bit z-curve budget; "
+                            "pre-bucket the keys (e.g. key >> k) "
+                            "before z-ordering"
+                        ),
+                    )
+                ).cast("bigint")
+            )
+
+        z = zvalue(_guarded(x), _guarded(y), bits).alias("_z")
+    else:
+        mx, my = df.agg(
+            F.max(F.col(x).cast("bigint")), F.max(F.col(y).cast("bigint"))
+        ).head()
+        need = max(int(mx or 0).bit_length(), int(my or 0).bit_length(), 1)
+        if need > bits:
             raise ValueError(
                 f"write_zordered: max({x})={mx} / max({y})={my} need "
-                f"{need} bits per dimension — beyond the 31-bit z-curve "
-                "budget; pre-bucket the keys (e.g. key >> k) before "
-                "z-ordering"
+                f"{need} bits but bits={bits}; keys >= 2**bits would "
+                "alias z-ranges"
             )
-        bits = need
-    elif need > bits:
-        raise ValueError(
-            f"write_zordered: max({x})={mx} / max({y})={my} need {need} "
-            f"bits but bits={bits}; keys >= 2**bits would alias z-ranges"
-        )
-    z = zvalue(x, y, bits).alias("_z")
+        z = zvalue(x, y, bits).alias("_z")
     (
         df.withColumn("_z", z)
         .repartitionByRange(n_files, "_z")
