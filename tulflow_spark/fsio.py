@@ -72,3 +72,25 @@ def write_text(path: str, content: str) -> None:
         fs.create_dir(parent, recursive=True)
     with fs.open_output_stream(p) as out:
         out.write(content.encode("utf-8"))
+
+
+def write_text_exclusive(path: str, content: str) -> None:
+    """Create-if-absent (CAS) write: raise ``FileExistsError`` when the
+    object already exists.  Local filesystems get a true atomic
+    ``O_CREAT|O_EXCL`` create; remote filesystems degrade to
+    check-then-write (a narrow TOCTOU window — the same best-effort
+    stores without put-if-absent force on every lake format)."""
+    fs, p = resolve(path)
+    if isinstance(fs, pafs.LocalFileSystem):
+        import os
+
+        parent = os.path.dirname(p)
+        if parent:
+            os.makedirs(parent, exist_ok=True)
+        fd = os.open(p, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
+        with os.fdopen(fd, "wb") as out:
+            out.write(content.encode("utf-8"))
+        return
+    if exists(path):
+        raise FileExistsError(path)
+    write_text(path, content)

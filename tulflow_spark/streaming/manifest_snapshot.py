@@ -39,6 +39,14 @@ from tulflow_spark import fsio
 _MANIFEST_PREFIX = "manifest-"
 
 
+class ConcurrentCommitError(RuntimeError):
+    """Another writer committed between this merge's read and its publish
+    (optimistic concurrency, Delta-style): the loser re-reads the table at
+    its new latest version, recomputes the merge, and retries.  The losing
+    attempt's data files are unreferenced by any manifest and are
+    reclaimed by :meth:`ManifestSnapshot.vacuum`."""
+
+
 class ManifestSnapshot:
     """Handle on a versioned-manifest parquet table rooted at ``path``."""
 
@@ -121,6 +129,7 @@ class ManifestSnapshot:
         touched: list[int],
         batch_id: int | str,
         stat_cols: list[str] | None = None,
+        expect_version: int | None = None,
     ) -> int:
         """Write ``merged`` (which must carry an int ``_bucket`` column and
         contain exactly the new content of the ``touched`` buckets), then
@@ -133,8 +142,23 @@ class ManifestSnapshot:
         buckets keep their previous stats; a touched bucket committed
         WITHOUT ``stat_cols`` drops its stats (content changed, old bounds
         are stale — missing stats always mean "must read").
-        Returns the committed version."""
+
+        ``expect_version``: optimistic-concurrency contract (Delta's OCC
+        analogue).  Pass the version this merge was computed AGAINST; the
+        commit targets ``expect_version + 1`` and the manifest write is a
+        create-if-absent CAS, so a second writer who read the same base
+        raises :class:`ConcurrentCommitError` instead of silently
+        clobbering or stacking a lost-update version.  ``None`` keeps the
+        single-writer behavior (target latest+1 — the CAS still guards a
+        same-instant race).  Returns the committed version."""
         spark = merged.sparkSession
+        if expect_version is not None:
+            latest = self.latest_version() or 0
+            if latest != expect_version:
+                raise ConcurrentCommitError(
+                    f"table is at version {latest}, merge was computed "
+                    f"against {expect_version}: re-read and retry"
+                )
         commit_dir = f"{self.path}/data/commit-{batch_id}-{uuid.uuid4().hex[:8]}"
         merged.write.partitionBy("_bucket").parquet(commit_dir)
         new_files: dict[str, list[str]] = {}
@@ -147,8 +171,16 @@ class ManifestSnapshot:
                 for f in fsio.list_names(f"{commit_dir}/{name}")
                 if f.endswith(".parquet")
             ]
-        manifest = dict(self.buckets())
-        old_stats = self.stats()
+        # carry-over base: the snapshot the merge was computed against
+        # (latest when expect_version is None — single-writer mode)
+        manifest = dict(
+            self.buckets(expect_version)
+            if expect_version
+            else self.buckets()
+        )
+        old_stats = (
+            self.stats(expect_version) if expect_version else self.stats()
+        )
         stats = {
             bk: s for bk, s in old_stats.items()
             if bk in manifest and int(bk) not in {int(t) for t in touched}
@@ -180,14 +212,26 @@ class ManifestSnapshot:
                 manifest.pop(key, None)  # every key in the bucket was deleted
                 stats.pop(key, None)
         stats = {bk: s for bk, s in stats.items() if bk in manifest}
-        version = (self.latest_version() or 0) + 1
-        fsio.write_text(
-            f"{self.path}/{_MANIFEST_PREFIX}{version:020d}.json",
-            json.dumps(
-                {"version": version, "buckets": manifest, "stats": stats},
-                default=str,
-            ),
+        version = (
+            expect_version + 1
+            if expect_version is not None
+            else (self.latest_version() or 0) + 1
         )
+        try:
+            fsio.write_text_exclusive(
+                f"{self.path}/{_MANIFEST_PREFIX}{version:020d}.json",
+                json.dumps(
+                    {"version": version, "buckets": manifest, "stats": stats},
+                    default=str,
+                ),
+            )
+        except FileExistsError:
+            raise ConcurrentCommitError(
+                f"manifest version {version} was committed by another "
+                "writer between this merge's read and its publish: "
+                "re-read and retry (this attempt's data files are "
+                "unreferenced and reclaimed by vacuum)"
+            ) from None
         return version
 
     def prune_buckets(
