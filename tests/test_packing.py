@@ -54,11 +54,11 @@ def test_plan_single_partition_only_for_offsets_frame(spark, sf_dir):
     """Like mx2: the ONLY SinglePartition is the cumulative window over
     the <=256-row per-bucket totals frame; the full-data window
     partitions by bucket and assembly shuffles on seq_id."""
-    from tulflow_spark.plans import EXTRA_QUERIES, load_all
+    from tulflow_spark.plans import EXTRA_QUERIES, QUERIES, load_all
 
     load_all()
     plan = (
-        EXTRA_QUERIES["pack1_token_sequences"](spark, sf_dir)
+        {**QUERIES, **EXTRA_QUERIES}["pack1_token_sequences"](spark, sf_dir)
         ._jdf.queryExecution()
         .executedPlan()
         .toString()

@@ -77,11 +77,11 @@ def test_rerank_topk_orders_and_truncates(spark):
 def test_rerank_plan_broadcasts_queries_no_single_partition(spark, sf_dir):
     """Queries broadcast (never shuffle the corpus against a tiny table)
     and the top-k window partitions by query id — no SinglePartition."""
-    from tulflow_spark.plans import EXTRA_QUERIES, load_all
+    from tulflow_spark.plans import EXTRA_QUERIES, QUERIES, load_all
 
     load_all()
     plan = (
-        EXTRA_QUERIES["rr1_rerank_topk"](spark, sf_dir)
+        {**QUERIES, **EXTRA_QUERIES}["rr1_rerank_topk"](spark, sf_dir)
         ._jdf.queryExecution()
         .executedPlan()
         .toString()

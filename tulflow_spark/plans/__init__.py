@@ -93,7 +93,9 @@ GATED: frozenset[str] = frozenset(
         "mm1_media_roundtrip",
         "url1_canonical_dedup",
         "tr1_train_shuffle",
-        "a4_latest_version",
+        # new this round (r6 VERDICT #4): numeric-model re-rank slot proof
+        # — driver-gated in place of the a4 anchor (driver rows r2 + r6)
+        "rr3_numeric_rerank",
     }
 )
 

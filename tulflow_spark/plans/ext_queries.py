@@ -2685,3 +2685,84 @@ def rr2_search_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select(
         "query_id", "doc_id", "score", F.col("rank").cast("long").alias("rank")
     )
+
+
+from tulflow_spark.ext.numeric_scorer import score_sql_expr as _nsx  # noqa: E402
+
+_RR3_ORACLE = """
+    WITH q AS (
+      SELECT doc_id AS query_id, text AS q_text
+      FROM documents WHERE doc_id % 97 = 0
+    ), cand AS (
+      SELECT q.query_id, d.doc_id, q.q_text, d.text AS d_text
+      FROM q JOIN documents d
+        ON d.doc_id % 7 = q.query_id % 7 AND d.doc_id <> q.query_id
+    ), toked AS (
+      SELECT query_id, doc_id,
+             CASE WHEN trim(q_text) = '' THEN CAST([] AS VARCHAR[])
+                  ELSE list_distinct(string_split_regex(trim(q_text), '\\s+'))
+             END AS tq,
+             CASE WHEN trim(d_text) = '' THEN CAST([] AS VARCHAR[])
+                  ELSE list_distinct(string_split_regex(trim(d_text), '\\s+'))
+             END AS td
+      FROM cand
+    ), scored AS (
+      SELECT query_id, doc_id, {score} AS score
+      FROM toked
+    ), ranked AS (
+      SELECT query_id, doc_id, score,
+             row_number() OVER (
+               PARTITION BY query_id ORDER BY score DESC, doc_id
+             ) AS rank
+      FROM scored
+    )
+    SELECT query_id, doc_id, score, rank FROM ranked WHERE rank <= 5
+""".format(score=_nsx("tq", "td"))
+
+
+@register("rr3_numeric_rerank", oracle=_RR3_ORACLE)
+def rr3_numeric_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """rr1's two-stage re-rank with a REAL numeric model in the scorer
+    slot (r6 VERDICT #4): a logistic forward pass over pairwise lexical
+    features (ext/numeric_scorer.py) whose weights are PERSISTED and
+    loaded back before scoring — proving the save/load/forward contract a
+    production ONNX/torch scorer would use, end to end inside the
+    driver-gated plan.  The oracle re-derives features, z, and sigmoid
+    with the engine-exact ROUND(...,9) recipe."""
+    import tempfile
+
+    from tulflow_spark.ext.numeric_scorer import NumericScorer, load_scorer
+    from tulflow_spark.ext.rerank import rerank_topk
+
+    wdir = tempfile.mkdtemp(prefix="rr3_")
+    NumericScorer().save(f"{wdir}/weights.json")
+    scorer = load_scorer(f"{wdir}/weights.json")
+
+    docs = table(spark, sf_dir, "documents")
+    queries = docs.filter(F.col("doc_id") % 97 == 0).select(
+        F.col("doc_id").alias("query_id"), "text"
+    )
+    cands = docs.withColumn("_b", F.col("doc_id") % 7).join(
+        F.broadcast(
+            queries.select(
+                "query_id", (F.col("query_id") % 7).alias("_b")
+            )
+        ),
+        "_b",
+    ).filter(F.col("doc_id") != F.col("query_id")).select(
+        "query_id", "doc_id"
+    )
+    out = rerank_topk(
+        cands,
+        queries.select("query_id", F.col("text")),
+        docs.select("doc_id", "text"),
+        "query_id",
+        "doc_id",
+        "text",
+        "text",
+        k=5,
+        scorer=scorer,
+    )
+    return out.select(
+        "query_id", "doc_id", "score", F.col("rank").cast("long").alias("rank")
+    )
