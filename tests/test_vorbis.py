@@ -1,0 +1,353 @@
+"""ext/vorbis.py: stdlib+numpy Vorbis decode, golden-tested against an
+in-test spec-derived encoder (the progressive-JPEG method: every bit of
+the fixture stream is written from the Vorbis I spec's field layout, and
+the expected signal is hand-derivable — a single MDCT bin k becomes a
+tone at (k+0.5)*rate/n Hz)."""
+
+from __future__ import annotations
+
+import struct
+
+import numpy as np
+import pytest
+
+from tulflow_spark.ext.vorbis import (
+    VorbisError,
+    assign_codewords,
+    decode_vorbis,
+    ogg_packets,
+    parse_headers,
+)
+
+# ---------------------------------------------------------------------------
+# bit-level encoder helpers (Vorbis packs LSB-first within bytes;
+# codewords are written MSB-of-codeword first)
+# ---------------------------------------------------------------------------
+
+
+class BitWriter:
+    def __init__(self):
+        self.bits: list[int] = []
+
+    def write(self, value: int, n: int) -> None:
+        for i in range(n):
+            self.bits.append((value >> i) & 1)
+
+    def write_codeword(self, code: int, length: int) -> None:
+        for i in range(length - 1, -1, -1):
+            self.bits.append((code >> i) & 1)
+
+    def bytes(self) -> bytes:
+        out = bytearray((len(self.bits) + 7) // 8)
+        for i, b in enumerate(self.bits):
+            if b:
+                out[i >> 3] |= 1 << (i & 7)
+        return bytes(out)
+
+
+def float32_pack(mantissa: int, exponent: int, sign: int = 0) -> int:
+    return (sign << 31) | (exponent << 21) | mantissa
+
+
+def ogg_page(serial: int, seq: int, granule: int, packets: list[bytes],
+             header_type: int = 0,
+             open_tail: bool = False) -> bytes:
+    """Build one Ogg page.  ``open_tail``: the final packet continues on
+    the next page (its lacing must end with a 255 segment)."""
+    lacing = bytearray()
+    body = bytearray()
+    for i, p in enumerate(packets):
+        body += p
+        full, rem = divmod(len(p), 255)
+        lacing += b"\xff" * full
+        last = i == len(packets) - 1
+        if not (last and open_tail):
+            lacing.append(rem)
+        elif rem != 0:
+            raise AssertionError("open_tail packet must be a 255 multiple")
+    head = (
+        b"OggS" + bytes([0, header_type])
+        + struct.pack("<q", granule)
+        + struct.pack("<I", serial)
+        + struct.pack("<I", seq)
+        + b"\x00\x00\x00\x00"  # CRC unchecked by the decoder
+        + bytes([len(lacing)])
+        + bytes(lacing)
+    )
+    return head + bytes(body)
+
+
+# ---------------------------------------------------------------------------
+# minimal legal stream: mono, 8 kHz, blocksizes 256/256, flat floor1,
+# type-1 residue with one VQ pass placing amplitude A at MDCT bin K
+# ---------------------------------------------------------------------------
+
+RATE = 8000
+N = 256
+K_BIN = 34
+DELTA = 0.25
+
+# codebook 0: residue classbook — dims 4, 16 entries, 4-bit codes, scalar
+# codebook 1: residue value book — dims 4, 16 entries, lookup type 1,
+#   lookup_values 2, multiplicands [0, 1], delta 0.25: entry e writes
+#   DELTA at each dim whose bit is set in e (dim i = bit i)
+_CB_LENGTHS = [4] * 16
+_CODES = assign_codewords(_CB_LENGTHS)
+
+
+def _ident_packet() -> bytes:
+    return (
+        b"\x01vorbis"
+        + struct.pack("<I", 0)          # version
+        + bytes([1])                     # channels
+        + struct.pack("<I", RATE)
+        + struct.pack("<iii", 0, 0, 0)   # bitrates
+        + bytes([0x88])                  # blocksizes 2^8 / 2^8
+        + bytes([0x01])                  # framing
+    )
+
+
+def _comment_packet() -> bytes:
+    vendor = b"tulflow-test"
+    return (
+        b"\x03vorbis"
+        + struct.pack("<I", len(vendor)) + vendor
+        + struct.pack("<I", 0)
+        + bytes([0x01])
+    )
+
+
+def _write_codebook(w: BitWriter, lookup: bool) -> None:
+    w.write(0x564342, 24)
+    w.write(4, 16)        # dimensions
+    w.write(16, 24)       # entries
+    w.write(0, 1)         # not ordered
+    w.write(0, 1)         # not sparse
+    for _ in range(16):
+        w.write(3, 5)     # length 4 (-1)
+    if not lookup:
+        w.write(0, 4)
+    else:
+        w.write(1, 4)     # lookup type 1
+        w.write(float32_pack(0, 788), 32)   # minimum 0.0
+        # delta 0.25 = 1 * 2^(786-788)
+        w.write(float32_pack(1, 786), 32)
+        w.write(0, 4)     # value_bits - 1 = 0 -> 1 bit
+        w.write(0, 1)     # sequence_p
+        w.write(0, 1)     # multiplicand 0
+        w.write(1, 1)     # multiplicand 1
+
+
+def _setup_packet() -> bytes:
+    w = BitWriter()
+    w.write(1, 8)                # codebook_count - 1
+    _write_codebook(w, lookup=False)
+    _write_codebook(w, lookup=True)
+    w.write(0, 6)                # time_count - 1
+    w.write(0, 16)
+    w.write(0, 6)                # floor_count - 1
+    w.write(1, 16)               # floor type 1
+    w.write(0, 5)                # partitions = 0
+    w.write(0, 2)                # multiplier - 1
+    w.write(7, 4)                # rangebits -> X = [0, 128]
+    w.write(0, 6)                # residue_count - 1
+    w.write(1, 16)               # residue type 1
+    w.write(0, 24)               # begin
+    w.write(128, 24)             # end
+    w.write(31, 24)              # partition_size - 1 -> 32
+    w.write(1, 6)                # classifications - 1 -> 2
+    w.write(0, 8)                # classbook = 0
+    w.write(0, 3); w.write(0, 1)     # class 0 cascade 0 (no books)
+    w.write(1, 3); w.write(0, 1)     # class 1 cascade 1 (pass 0)
+    w.write(1, 8)                # class 1 pass 0 book = 1
+    w.write(0, 6)                # mapping_count - 1
+    w.write(0, 16)               # mapping type
+    w.write(0, 1)                # no submaps flag -> 1 submap
+    w.write(0, 1)                # no coupling
+    w.write(0, 2)                # reserved
+    w.write(0, 8)                # time config (discarded)
+    w.write(0, 8)                # submap floor
+    w.write(0, 8)                # submap residue
+    w.write(0, 6)                # mode_count - 1
+    w.write(0, 1)                # blockflag
+    w.write(0, 16); w.write(0, 16)
+    w.write(0, 8)                # mode mapping
+    w.write(1, 1)                # framing
+    return b"\x05vorbis" + w.bytes()
+
+
+def _audio_packet(value_entries: list[int] | None = None) -> bytes:
+    """One frame: flat floor at y=255; classword [0,1,0,0]; partition 1
+    (bins 32..63) gets 8 value-book codewords (default: entry 4 first —
+    DELTA at bin 34 — then zeros)."""
+    if value_entries is None:
+        value_entries = [4, 0, 0, 0, 0, 0, 0, 0]
+    w = BitWriter()
+    w.write(0, 1)        # audio packet
+    # mode number: 0 bits (one mode); blockflag 0 -> no window flags
+    w.write(1, 1)        # floor: nonzero
+    w.write(255, 8)      # y0
+    w.write(255, 8)      # y1
+    c, l = _CODES[4]     # classword entry 4 -> classes [0,1,0,0]
+    w.write_codeword(c, l)
+    for e in value_entries:
+        c, l = _CODES[e]
+        w.write_codeword(c, l)
+    return w.bytes()
+
+
+def build_stream(n_frames: int = 24, split_setup: bool = False) -> bytes:
+    serial = 0xBEEF
+    pages = [ogg_page(serial, 0, 0, [_ident_packet()], header_type=2)]
+    if not split_setup:
+        pages.append(ogg_page(serial, 1, 0,
+                              [_comment_packet(), _setup_packet()]))
+    else:
+        setup = _setup_packet()
+        pad = (-len(setup)) % 255 or 255
+        setup_padded = setup  # pad by splitting at a 255 boundary
+        head = setup_padded[: 255 * (len(setup_padded) // 255)]
+        tail = setup_padded[len(head):]
+        if not head:  # tiny setup: force one 255-byte segment
+            head, tail = setup_padded, b""
+        if len(head) % 255:
+            # move remainder into the tail so head is a 255 multiple
+            cut = 255 * (len(head) // 255)
+            head, tail = setup_padded[:cut], setup_padded[cut:]
+        pages.append(
+            ogg_page(serial, 1, 0, [_comment_packet(), head],
+                     open_tail=True)
+        )
+        pages.append(ogg_page(serial, 2, 0, [tail], header_type=1))
+    samples = 0
+    for i in range(n_frames):
+        samples += N // 2 if i else 0
+        pages.append(
+            ogg_page(serial, len(pages), samples, [_audio_packet()],
+                     header_type=4 if i == n_frames - 1 else 0)
+        )
+    return b"".join(pages)
+
+
+# ---------------------------------------------------------------------------
+# tests
+# ---------------------------------------------------------------------------
+
+
+def test_assign_codewords_matches_spec_example():
+    """Vorbis I §3.2.1's worked example."""
+    lengths = [2, 4, 4, 4, 4, 2, 3, 3]
+    got = assign_codewords(lengths)
+    assert got == {
+        0: (0b00, 2),
+        1: (0b0100, 4),
+        2: (0b0101, 4),
+        3: (0b0110, 4),
+        4: (0b0111, 4),
+        5: (0b10, 2),
+        6: (0b110, 3),
+        7: (0b111, 3),
+    }
+
+
+def test_ogg_packet_reassembly_across_pages():
+    stream = build_stream(n_frames=4, split_setup=True)
+    pkts = ogg_packets(stream)
+    assert pkts[0] == _ident_packet()
+    assert pkts[1] == _comment_packet()
+    assert pkts[2] == _setup_packet()
+    assert len(pkts) == 3 + 4
+
+
+def test_header_parse():
+    setup = parse_headers(ogg_packets(build_stream(4)))
+    assert setup.channels == 1
+    assert setup.rate == RATE
+    assert setup.blocksizes == (256, 256)
+    assert len(setup.codebooks) == 2
+    assert setup.codebooks[1].lookup_type == 1
+    assert setup.codebooks[1].delta == 0.25
+    assert len(setup.floors) == 1 and setup.floors[0].x_list == [0, 128]
+    assert setup.residues[0].books[1][0] == 1
+    assert setup.residues[0].books[0][0] == -1
+
+
+def test_decode_produces_tone_in_expected_band():
+    """Spectrum impulse at bin K -> tone at (K+0.5)*rate/N Hz; FFT of the
+    decoded PCM must peak there (same check as the WAV sine test)."""
+    n_frames = 24
+    pcm, rate = decode_vorbis(build_stream(n_frames))
+    assert rate == RATE
+    assert len(pcm) == (n_frames - 1) * (N // 2)
+    # steady-state region (skip first/last frame edges)
+    mid = pcm[N : len(pcm) - N].astype(np.float64)
+    assert np.max(np.abs(mid)) > 0.05
+    spec = np.abs(np.fft.rfft(mid))
+    peak_hz = np.argmax(spec) * rate / len(mid)
+    expected_hz = (K_BIN + 0.5) * rate / N
+    assert abs(peak_hz - expected_hz) < rate / N, (peak_hz, expected_hz)
+
+
+def test_decode_first_sample_hand_derived():
+    """The very first output sample is prev-frame-right + cur-frame-left
+    of two identical windowed IMDCT frames — compute it from the spec
+    formulas directly and compare."""
+    pcm, _ = decode_vorbis(build_stream(3))
+    amp = 0.25 * 1.0649863e-07 * (0.99308571 / 1.0649863e-07) ** 1.0
+    # floor at y=255 -> table[255] == 0.99308571 exactly in our table
+    amp = 0.25 * 0.99308571
+    j = np.arange(N)
+    basis = amp * np.cos(
+        np.pi / (2 * N) * (2 * j + 1 + N // 2) * (2 * K_BIN + 1)
+    )
+    x = (np.arange(N // 2) + 0.5) / (N // 2) * (np.pi / 2)
+    slope = np.sin(np.pi / 2 * np.sin(x) ** 2)
+    win = np.concatenate([slope, slope[::-1]])
+    frame = basis * win
+    expected = frame[N // 2 :] + frame[: N // 2]
+    assert np.allclose(pcm[: N // 2], expected.astype(np.float32),
+                       atol=1e-6)
+
+
+def test_silent_channel_floor_unused():
+    """A frame whose floor nonzero bit is 0 decodes to silence."""
+    w = BitWriter()
+    w.write(0, 1)   # audio
+    w.write(0, 1)   # floor: unused -> channel silent, no residue read
+    silent = w.bytes()
+    serial = 0xBEEF
+    pages = [
+        ogg_page(serial, 0, 0, [_ident_packet()], header_type=2),
+        ogg_page(serial, 1, 0, [_comment_packet(), _setup_packet()]),
+        ogg_page(serial, 2, 0, [silent]),
+        ogg_page(serial, 3, 128, [silent], header_type=4),
+    ]
+    pcm, _ = decode_vorbis(b"".join(pages))
+    assert len(pcm) == N // 2
+    assert np.all(pcm == 0.0)
+
+
+def test_typed_errors():
+    with pytest.raises(VorbisError, match="OggS"):
+        decode_vorbis(b"not ogg at all")
+    # floor type 0 is a typed wall: patch the setup's floor type bits
+    stream = build_stream(2)
+    pkts = ogg_packets(stream)
+    setup = bytearray(pkts[2])
+    with pytest.raises(VorbisError):
+        parse_headers([pkts[0], pkts[1], bytes(setup[:-8])])  # truncated
+
+
+def test_decode_audio_routes_ogg_vorbis():
+    from tulflow_spark.ext.media_codecs import decode_audio
+
+    pcm, rate = decode_audio(build_stream(8))
+    assert rate == RATE and len(pcm) == 7 * (N // 2)
+
+
+def test_opus_and_mp3_stay_typed_walls():
+    from tulflow_spark.ext.media_codecs import UnsupportedMedia, decode_audio
+
+    opus = ogg_page(1, 0, 0, [b"OpusHead" + bytes(10)], header_type=2)
+    with pytest.raises(UnsupportedMedia, match="[Oo]pus"):
+        decode_audio(opus)

@@ -84,6 +84,71 @@ def run_probe(spark, src_df, schema_ddl, n_batches, build_query, out_name,
     return out
 
 
+def run_decontam_probe(spark, sf_dir: str, n_batches: int = 6) -> list:
+    """r6 VERDICT #5: measure the STREAMING decontamination per-batch wall
+    at growing benchmark sizes, for both the new binary-search probe
+    (production) and the former array_intersect array-probe (rebuilt
+    inline here as the baseline — O(rows x bench) per batch).  The
+    production path must stay near-flat as the benchmark grows; the
+    baseline's wall grows with it."""
+    from pyspark.sql import functions as F
+
+    from tulflow_spark.ext.decontam import (
+        _gram_hashes,
+        benchmark_gram_set,
+        decontaminate,
+    )
+    from tulflow_spark.io import table
+
+    docs = table(spark, sf_dir, "documents").select("doc_id", "text")
+    out = []
+    for tiles in (1, 4, 16):
+        # benchmark = documents text tiled `tiles`x with a salt, so the
+        # distinct-gram count scales ~linearly with `tiles`
+        bench = (
+            docs.crossJoin(spark.range(tiles).select(F.col("id").alias("_t")))
+            .select(
+                F.concat_ws(
+                    " ", F.col("text"), F.concat(F.lit("salt"), F.col("_t"))
+                ).alias("text")
+            )
+        )
+        n_grams = (
+            bench.select(F.explode(_gram_hashes("text", 13)).alias("g"))
+            .agg(F.countDistinct("g"))
+            .head()[0]
+        )
+
+        def _old_array_probe(s, bench=bench):
+            b = benchmark_gram_set(bench, "text", 13)
+            dg = _gram_hashes("text", 13)
+            return s.crossJoin(F.broadcast(b)).filter(
+                F.size(F.array_intersect(dg, F.col("_bench"))) <= 0
+            ).drop("_bench")
+
+        for label, build in (
+            ("searchsorted", lambda s, bench=bench: decontaminate(
+                s, bench, "doc_id", "text", n=13)),
+            ("array_probe", _old_array_probe),
+        ):
+            rows = run_probe(
+                spark, docs, "doc_id bigint, text string", n_batches,
+                build, f"decontam_{label}_{tiles}", "append",
+            )
+            walls = [r["wall_s"] for r in rows[1:]]  # drop warmup batch
+            out.append({
+                "path": label,
+                "bench_grams": int(n_grams),
+                "batches": n_batches,
+                "rows_per_batch": rows[0]["input_rows"],
+                "wall_min_s": min(walls),
+                "wall_max_s": max(walls),
+            })
+            print(f"decontam {label} bench={n_grams}: "
+                  f"{[r['wall_s'] for r in rows]}")
+    return out
+
+
 def main() -> None:
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.1"
     n_batches = int(sys.argv[2]) if len(sys.argv) > 2 else 12

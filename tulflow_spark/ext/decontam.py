@@ -20,9 +20,15 @@ Scale shape (the part that must survive 100 TB):
   NOT ``array_intersect`` against a broadcast array: that hashes the
   whole benchmark set PER ROW — O(corpus_rows × bench_grams), measured
   ~6 s for 5k docs × 54k grams and quadratic-ish at scale.
-- STREAMING corpus side keeps the array-probe form (a stream-static
-  broadcast with no stateful aggregation, so append-mode semantics are
-  preserved); micro-batches bound its rows × bench_grams cost.
+- STREAMING corpus side is a stateless Arrow-batched membership probe
+  (r6 VERDICT #5): the benchmark's sorted gram hashes ship once per
+  executor as a SparkContext broadcast (16 bytes/gram), and an iterator
+  ``pandas_udf`` counts each document's hits by vectorized binary search
+  — O(doc_grams × log bench_grams) per micro-batch, no per-row hash
+  builds, no stateful aggregation, so append-mode semantics are
+  preserved.  (The previous ``array_intersect`` array-probe re-hashed
+  the whole benchmark set per row: O(rows × bench) per batch — measured
+  growing per-batch walls at real benchmark sizes, SCALE.md §5.)
 
 No reference-repo analogue (the reference moves records, it doesn't
 curate corpora); extends the LLM-pipeline surface beside ext.dedup and
@@ -31,6 +37,10 @@ ext.curation.
 
 from __future__ import annotations
 
+from collections.abc import Iterator
+
+import numpy as np
+import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
@@ -66,6 +76,46 @@ def benchmark_gram_set(benchmark: DataFrame, text_col: str, n: int = 13) -> Data
     )
 
 
+def _streaming_hit_udf(docs: DataFrame, benchmark: DataFrame,
+                       text_col: str, n: int):
+    """Arrow-batched hit counter for the streaming path: the benchmark's
+    distinct gram hashes (control-plane-sized by construction) are
+    collected once, sorted as fixed-width S16 bytes, and broadcast via
+    the SparkContext so every executor deserializes them ONCE; the
+    returned pandas_udf counts per-document benchmark-gram hits by
+    vectorized ``searchsorted`` over each micro-batch's gram arrays."""
+    bench_sorted = np.sort(
+        np.asarray(
+            [
+                r["_gh"]
+                for r in benchmark_gram_frame(
+                    benchmark, text_col, n
+                ).collect()
+            ],
+            dtype="S16",
+        )
+    )
+    bc = docs.sparkSession.sparkContext.broadcast(bench_sorted)
+
+    @F.pandas_udf("int")
+    def _nhit(it: Iterator[pd.Series]) -> Iterator[pd.Series]:
+        arr = bc.value
+        m = len(arr)
+        for grams in it:
+            out = np.zeros(len(grams), dtype="int32")
+            if m:
+                for i, g in enumerate(grams):
+                    if g is None or len(g) == 0:
+                        continue
+                    gv = np.asarray(g, dtype="S16")
+                    idx = np.searchsorted(arr, gv)
+                    np.minimum(idx, m - 1, out=idx)
+                    out[i] = int(np.count_nonzero(arr[idx] == gv))
+            yield pd.Series(out)
+
+    return _nhit
+
+
 def _hit_counts(
     docs: DataFrame, bench: DataFrame, id_col: str, text_col: str, n: int
 ) -> DataFrame:
@@ -97,15 +147,12 @@ def contamination(
     clean by definition."""
     dg = _gram_hashes(text_col, n)
     if docs.isStreaming:
-        bench = benchmark_gram_set(benchmark, text_col, n)
-        return docs.crossJoin(F.broadcast(bench)).select(
+        nhit = _streaming_hit_udf(docs, benchmark, text_col, n)
+        return docs.select(
             F.col(id_col),
             F.size(dg).alias("n_grams"),
-            F.size(F.array_intersect(dg, F.col("_bench"))).alias("n_hit"),
-            (F.size(F.array_intersect(dg, F.col("_bench"))) > 0).alias(
-                "contaminated"
-            ),
-        )
+            nhit(dg).alias("n_hit"),
+        ).withColumn("contaminated", F.col("n_hit") > 0)
     bench = benchmark_gram_frame(benchmark, text_col, n)
     # n_grams needs no md5 (hashing can't change the array size)
     per_doc = docs.select(
@@ -143,18 +190,12 @@ def decontaminate(
     Batch: an anti-join of the corpus against the (small — contamination
     is rare by construction) flagged-id frame; AQE broadcasts it when it
     fits, so the corpus typically never shuffles.  Streaming: the
-    stateless broadcast array-probe (stream-static, append-safe)."""
+    stateless Arrow-batched binary-search probe (broadcast sorted gram
+    hashes, append-safe, O(doc_grams log bench) per batch)."""
     if docs.isStreaming:
-        bench = benchmark_gram_set(benchmark, text_col, n)
+        nhit = _streaming_hit_udf(docs, benchmark, text_col, n)
         dg = _gram_hashes(text_col, n)
-        return (
-            docs.crossJoin(F.broadcast(bench))
-            .filter(
-                F.size(F.array_intersect(dg, F.col("_bench")))
-                <= int(max_hits)
-            )
-            .drop("_bench")
-        )
+        return docs.filter(nhit(dg) <= int(max_hits))
     bench = benchmark_gram_frame(benchmark, text_col, n)
     bad = _hit_counts(docs, bench, id_col, text_col, n).filter(
         F.col("n_hit") > int(max_hits)

@@ -441,6 +441,18 @@ def decode_audio(content: bytes) -> tuple[np.ndarray, int]:
     :class:`UnsupportedMedia` for compressed audio.
     """
     fmt = sniff_format(content)
+    if fmt == "ogg":
+        # Vorbis payloads decode natively (ext/vorbis.py); Opus stays a
+        # typed wall (RFC 6716 SILK/CELT hybrid — out of stdlib reach)
+        from tulflow_spark.ext.vorbis import VorbisError, decode_vorbis
+
+        pkts_head = content[:64]
+        if b"OpusHead" in pkts_head:
+            raise UnsupportedMedia("ogg/Opus decode needs ffmpeg/opuslib")
+        try:
+            return decode_vorbis(content)
+        except VorbisError as exc:
+            raise UnsupportedMedia(f"ogg: {exc}") from exc
     if fmt != "wav":
         if fmt in _NEEDS:
             raise UnsupportedMedia(f"{fmt} decode needs {_NEEDS[fmt]}")

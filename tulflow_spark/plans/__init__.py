@@ -89,7 +89,9 @@ GATED: frozenset[str] = frozenset(
         "tx13_html_extract",
         "mx7_quality_mix_approx",
         "pr1_profile_lineitem",
-        "a12_rollup",
+        # new this round (r6 VERDICT #3): Vorbis decode driver-gated in
+        # place of the a12 anchor (driver row r6)
+        "mm8_vorbis_roundtrip",
         "mm1_media_roundtrip",
         "url1_canonical_dedup",
         "tr1_train_shuffle",
