@@ -351,3 +351,169 @@ def test_opus_and_mp3_stay_typed_walls():
     opus = ogg_page(1, 0, 0, [b"OpusHead" + bytes(10)], header_type=2)
     with pytest.raises(UnsupportedMedia, match="[Oo]pus"):
         decode_audio(opus)
+
+
+# ---------------------------------------------------------------------------
+# variant streams: stereo + coupling + residue type 2, long/short block
+# transitions, residue type 0 — the decode paths the mono fixture misses
+# ---------------------------------------------------------------------------
+
+
+def _setup_packet2(rtype: int, stereo: bool, two_modes: bool) -> bytes:
+    """Like _setup_packet but parameterized: residue type 0/1/2, optional
+    stereo coupling (magnitude=ch0, angle=ch1), optional second long-block
+    mode (blocksizes then 256/512)."""
+    w = BitWriter()
+    w.write(1, 8)
+    for lookup in (0, 1):
+        w.write(0x564342, 24)
+        w.write(4, 16)
+        w.write(16, 24)
+        w.write(0, 1); w.write(0, 1)
+        for _ in range(16):
+            w.write(3, 5)
+        if not lookup:
+            w.write(0, 4)
+        else:
+            w.write(1, 4)
+            w.write(float32_pack(0, 788), 32)
+            w.write(float32_pack(1, 786), 32)
+            w.write(0, 4); w.write(0, 1)
+            w.write(0, 1); w.write(1, 1)
+    w.write(0, 6); w.write(0, 16)
+    w.write(0, 6); w.write(1, 16)
+    w.write(0, 5); w.write(0, 2); w.write(7, 4)
+    w.write(0, 6); w.write(rtype, 16)
+    w.write(0, 24); w.write(128, 24); w.write(31, 24)
+    w.write(1, 6); w.write(0, 8)
+    w.write(0, 3); w.write(0, 1)
+    w.write(1, 3); w.write(0, 1)
+    w.write(1, 8)
+    w.write(0, 6); w.write(0, 16)
+    w.write(0, 1)                     # 1 submap
+    if stereo:
+        w.write(1, 1)                 # coupling on
+        w.write(0, 8)                 # steps - 1
+        w.write(0, 1)                 # magnitude = ch0 (ilog(1) = 1 bit)
+        w.write(1, 1)                 # angle = ch1
+    else:
+        w.write(0, 1)
+    w.write(0, 2)
+    w.write(0, 8); w.write(0, 8); w.write(0, 8)
+    w.write(1 if two_modes else 0, 6)  # mode_count - 1
+    w.write(0, 1)                      # mode 0: short
+    w.write(0, 16); w.write(0, 16); w.write(0, 8)
+    if two_modes:
+        w.write(1, 1)                  # mode 1: long
+        w.write(0, 16); w.write(0, 16); w.write(0, 8)
+    w.write(1, 1)
+    return b"\x05vorbis" + w.bytes()
+
+
+def _ident2(channels: int, bs_byte: int) -> bytes:
+    return (
+        b"\x01vorbis" + struct.pack("<I", 0) + bytes([channels])
+        + struct.pack("<I", RATE) + struct.pack("<iii", 0, 0, 0)
+        + bytes([bs_byte, 0x01])
+    )
+
+
+def _audio2(classword: int, value_words: list[int], n_floors: int,
+            mode_bits: int = 0, mode: int = 0,
+            window_flags: tuple[int, int] | None = None) -> bytes:
+    w = BitWriter()
+    w.write(0, 1)
+    if mode_bits:
+        w.write(mode, mode_bits)
+    if window_flags is not None:
+        w.write(window_flags[0], 1)
+        w.write(window_flags[1], 1)
+    for _ in range(n_floors):
+        w.write(1, 1)
+        w.write(255, 8)
+        w.write(255, 8)
+    c, l = _CODES[classword]
+    w.write_codeword(c, l)
+    for e in value_words:
+        c, l = _CODES[e]
+        w.write_codeword(c, l)
+    return w.bytes()
+
+
+def test_stereo_coupling_residue_type2():
+    """Stereo, residue type 2 (interleaved), one coupling step: magnitude
+    carries bin 34, angle is zero -> after square-polar decoupling both
+    channels carry the same tone."""
+    # interleaved slot for ch0/bin34 = 68 -> partition 2, word 1, dim 0
+    audio = _audio2(classword=2, value_words=[0, 1, 0, 0, 0, 0, 0, 0],
+                    n_floors=2)
+    serial = 7
+    pages = [
+        ogg_page(serial, 0, 0, [_ident2(2, 0x88)], header_type=2),
+        ogg_page(serial, 1, 0,
+                 [_comment_packet(), _setup_packet2(2, True, False)]),
+    ]
+    n_frames = 16
+    for i in range(n_frames):
+        pages.append(ogg_page(serial, len(pages), i * 128, [audio],
+                              header_type=4 if i == n_frames - 1 else 0))
+    pcm, rate = decode_vorbis(b"".join(pages))
+    assert len(pcm) == (n_frames - 1) * 128
+    mid = pcm[128 : 128 + 1536].astype(np.float64)
+    assert np.max(np.abs(mid)) > 0.05   # mono mean keeps the tone
+    peak = np.argmax(np.abs(np.fft.rfft(mid))) * 256.0 / len(mid)
+    assert abs(peak - 34.5) <= 1.0
+
+
+def test_residue_type0_stride_layout():
+    """Residue type 0 strides values: position off + j + d*(psize/dims);
+    bin 34 needs word j=2 with dim-0 set (entry 1)."""
+    audio = _audio2(classword=4, value_words=[0, 0, 1, 0, 0, 0, 0, 0],
+                    n_floors=1)
+    serial = 8
+    pages = [
+        ogg_page(serial, 0, 0, [_ident2(1, 0x88)], header_type=2),
+        ogg_page(serial, 1, 0,
+                 [_comment_packet(), _setup_packet2(0, False, False)]),
+    ]
+    for i in range(12):
+        pages.append(ogg_page(serial, len(pages), i * 128, [audio],
+                              header_type=4 if i == 11 else 0))
+    pcm, _ = decode_vorbis(b"".join(pages))
+    mid = pcm[128 : 128 + 1024].astype(np.float64)
+    peak = np.argmax(np.abs(np.fft.rfft(mid))) * 256.0 / len(mid)
+    assert abs(peak - 34.5) <= 1.0
+
+
+def test_long_short_block_transitions():
+    """Blocksizes 256/512 with frame sequence S S L L S S: output length
+    follows the center-to-center lapping arithmetic (128, 192, 256, 192,
+    128) and the decode raises nothing across all four transition
+    shapes."""
+    short = _audio2(4, [0, 1, 0, 0, 0, 0, 0, 0], 1, mode_bits=1, mode=0)
+    flags = {"SS": (0, 0)}
+    seq = ["S", "S", "L", "L", "S", "S"]
+
+    def longpkt(prev_long: bool, next_long: bool) -> bytes:
+        return _audio2(4, [0, 1, 0, 0, 0, 0, 0, 0], 1, mode_bits=1,
+                       mode=1, window_flags=(int(prev_long),
+                                             int(next_long)))
+
+    serial = 9
+    pages = [
+        ogg_page(serial, 0, 0, [_ident2(1, 0x98)], header_type=2),
+        ogg_page(serial, 1, 0,
+                 [_comment_packet(), _setup_packet2(1, False, True)]),
+    ]
+    for i, kind in enumerate(seq):
+        if kind == "S":
+            pkt = short
+        else:
+            prev_long = i > 0 and seq[i - 1] == "L"
+            next_long = i + 1 < len(seq) and seq[i + 1] == "L"
+            pkt = longpkt(prev_long, next_long)
+        pages.append(ogg_page(serial, len(pages), 0, [pkt],
+                              header_type=4 if i == len(seq) - 1 else 0))
+    pcm, _ = decode_vorbis(b"".join(pages))
+    assert len(pcm) == 128 + 192 + 256 + 192 + 128
+    assert np.max(np.abs(pcm)) > 0.01
