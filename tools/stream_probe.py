@@ -103,8 +103,9 @@ def run_decontam_probe(spark, sf_dir: str, n_batches: int = 6) -> list:
     docs = table(spark, sf_dir, "documents").select("doc_id", "text")
     out = []
     for tiles in (1, 4, 16):
-        run_baseline = tiles <= 4  # the O(rows x bench) path is measured
-        # only at the two smaller benchmarks (it times out beyond)
+        run_baseline = tiles == 1  # the O(rows x bench) path is measured
+        # only at the smallest benchmark (already minutes per batch at
+        # ~0.5M grams; larger sizes only multiply the same linearity)
         # benchmark = documents text tiled `tiles`x with a salt, so the
         # distinct-gram count scales ~linearly with `tiles`
         bench = (
