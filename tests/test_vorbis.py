@@ -517,3 +517,20 @@ def test_long_short_block_transitions():
     pcm, _ = decode_vorbis(b"".join(pages))
     assert len(pcm) == 128 + 192 + 256 + 192 + 128
     assert np.max(np.abs(pcm)) > 0.01
+
+
+def test_vorbis_feeds_audio_band_energies():
+    """The feature stage composes with Vorbis for free now: band energies
+    of a decoded tone concentrate in the band holding (K+0.5)*rate/256."""
+    from tulflow_spark.ext.media_codecs import (
+        audio_band_energies,
+        decode_audio,
+    )
+    from tulflow_spark.ext.vorbis import encode_test_tone
+
+    pcm, rate = decode_audio(encode_test_tone(34, 17))
+    feats = audio_band_energies(pcm.astype(np.float64), n_bands=16)
+    # tone energy sits on harmonics 34/35 of the 128-bin Nyquist grid ->
+    # band floor(34.5/128*16) = 4, comfortably inside the band
+    assert int(np.argmax(feats)) == 4
+    assert feats[4] > 0.5

@@ -142,11 +142,12 @@ def decode_audio_features(
     n_bands: int = FEATURE_DIM,
 ) -> DataFrame:
     """Audio rows → (media_id, sample_rate, duration_ms, n_samples,
-    features ARRAY<FLOAT>): REAL PCM-WAV decode (stdlib ``wave``) and real
-    FFT band-energy features — one mapInPandas stage, bytes never leave it.
+    features ARRAY<FLOAT>): REAL decode for PCM WAV (stdlib ``wave``) and
+    Ogg/Vorbis (ext/vorbis.py, since r7) plus real FFT band-energy
+    features — one mapInPandas stage, bytes never leave it.
 
     The stub tier fabricates a deterministic sample buffer from the md5 so
-    the same schema flows for non-WAV blobs in shape-only tests.
+    the same schema flows for undecodable blobs in shape-only tests.
     """
     _require_real_decoder(decoder)
 
