@@ -84,3 +84,17 @@ def test_slot_contract_in_rerank_plan(spark):
     # scores are the hand recipe, 9-decimal rounded
     for r in out:
         assert r["score"] == _round9(r["score"])
+
+
+def test_huge_low_overlap_doc_does_not_overflow():
+    """Review finding r7: z < -709 previously raised OverflowError inside
+    math.exp; the +/-50 clamp is value-identical after ROUND(...,9)."""
+    q = pd.Series(["zz"])
+    d = pd.Series([" ".join(f"w{i}" for i in range(20000))])
+    s = NumericScorer()
+    got = s(q, d)[0]
+    assert got == 0.0  # sigmoid of a hugely negative z, 9-dec rounded
+    # and a hugely positive z saturates to exactly 1.0
+    s2 = NumericScorer((1.0, 0.0, 0.0, 0.0), bias=0.0)
+    both = " ".join(f"w{i}" for i in range(2000))
+    assert s2(pd.Series([both]), pd.Series([both]))[0] == 1.0

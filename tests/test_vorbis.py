@@ -534,3 +534,57 @@ def test_vorbis_feeds_audio_band_energies():
     # band floor(34.5/128*16) = 4, comfortably inside the band
     assert int(np.argmax(feats)) == 4
     assert feats[4] > 0.5
+
+
+def test_corrupt_streams_fail_typed_never_hang():
+    """Review findings r7: zero-dimension codebooks, truncated ident
+    headers, and arbitrary bit flips must all surface as VorbisError —
+    never an infinite loop or an anonymous IndexError."""
+    # zero-dimension codebook: patch dims=0 into the setup packet
+    stream = build_stream(2)
+    pkts = ogg_packets(stream)
+    setup = bytearray(pkts[2])
+    # codebook dims field: 7 bytes header + 8 bits count + 24 bits sync,
+    # LSB-first -> dims u16 starts at bit 32 of the bitpack = byte 7+4
+    setup[7 + 4] = 0
+    setup[7 + 5] = 0
+    with pytest.raises(VorbisError):
+        parse_headers([pkts[0], pkts[1], bytes(setup)])
+
+    # truncated identification header
+    with pytest.raises(VorbisError, match="truncated"):
+        parse_headers([b"\x01vorbis" + b"\x00" * 5, pkts[1], pkts[2]])
+
+    # byte-flip fuzz: every single-byte corruption of the setup packet
+    # and of the whole stream yields a typed error or a clean decode,
+    # nothing else (and no hang — each attempt is sub-second)
+    for pos in range(8, len(pkts[2])):
+        mutated = bytearray(pkts[2])
+        mutated[pos] ^= 0xFF
+        try:
+            parse_headers([pkts[0], pkts[1], bytes(mutated)])
+        except VorbisError:
+            pass
+    for pos in range(0, len(stream), 7):
+        mutated = bytearray(stream)
+        mutated[pos] ^= 0xFF
+        try:
+            decode_vorbis(bytes(mutated))
+        except VorbisError:
+            pass
+
+
+def test_decode_vorbis_backstop_wraps_raw_errors():
+    from unittest import mock
+
+    import tulflow_spark.ext.vorbis as V
+
+    with mock.patch.object(V, "_decode_vorbis",
+                           side_effect=IndexError("boom")):
+        with pytest.raises(VorbisError, match="malformed stream"):
+            V.decode_vorbis(b"OggS...")
+
+
+def test_single_entry_codebook_consumes_one_bit():
+    got = assign_codewords([0, 7, 0])
+    assert got == {1: (0, 1)}

@@ -138,7 +138,9 @@ def run_decontam_probe(spark, sf_dir: str, n_batches: int = 6) -> list:
                 spark, docs, "doc_id bigint, text string", n_batches,
                 build, f"decontam_{label}_{tiles}", "append",
             )
-            walls = [r["wall_s"] for r in rows[1:]]  # drop warmup batch
+            # drop the warmup batch when there are follow-ups to measure
+            walls = [r["wall_s"] for r in rows[1:]] or \
+                [rows[0]["wall_s"]]
             out.append({
                 "path": label,
                 "bench_grams": int(n_grams),

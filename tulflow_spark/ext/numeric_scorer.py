@@ -89,6 +89,12 @@ class NumericScorer:
         for j, w in enumerate(self.weights):
             z = z + np.float64(w) * x[:, j]
         z = _round9(z)
+        # clamp before exp: math.exp raises OverflowError past ~709 (a
+        # huge low-overlap doc can push z below -709), while sigmoid is
+        # already exactly 0.0/1.0 at 9 decimals for |z| >= 31 — so the
+        # +/-50 clamp is VALUE-IDENTICAL to the unclamped form (and to
+        # the oracle's exp(), whose inf collapses to the same 0.0/1.0)
+        z = np.clip(z, -50.0, 50.0)
         # libm exp per element (matches DuckDB's exp); batch sizes here
         # are candidate lists, not the corpus
         return [

@@ -153,8 +153,10 @@ def assign_codewords(lengths: list[int]) -> dict[int, tuple[int, int]]:
         if l <= 0:
             continue
         if single:
-            # §3.2.1 special case: a one-entry book uses a single 0 bit
-            out[entry] = (0, l)
+            # single-used-entry special case: decode consumes ONE bit
+            # (codeword 0) regardless of the listed length — the listed
+            # length only matters for multi-entry trees
+            out[entry] = (0, 1)
             continue
         # deepest free subtree with depth <= l among lowest codes
         cand = None
@@ -238,6 +240,10 @@ def read_codebook(br: BitReader) -> Codebook:
         raise VorbisError("codebook sync lost")
     dimensions = br.read(16)
     entries = br.read(24)
+    if dimensions == 0:
+        # a 0-dim book would spin _lookup1_values and the residue VQ
+        # loops forever — corrupt stream, fail loudly
+        raise VorbisError("codebook with zero dimensions")
     ordered = br.read_bit()
     lengths = [0] * entries
     if not ordered:
@@ -253,12 +259,12 @@ def read_codebook(br: BitReader) -> Codebook:
         cur = 0
         while cur < entries:
             num = br.read(ilog(entries - cur))
+            if cur + num > entries:
+                raise VorbisError("ordered codebook overflow")
             for i in range(cur, cur + num):
                 lengths[i] = cur_len
             cur += num
             cur_len += 1
-            if cur > entries:
-                raise VorbisError("ordered codebook overflow")
     lookup_type = br.read(4)
     if lookup_type not in (0, 1, 2):
         raise VorbisError(f"codebook lookup type {lookup_type}")
@@ -273,6 +279,8 @@ def read_codebook(br: BitReader) -> Codebook:
         seq = br.read_bit()
         if lookup_type == 1:
             lookup_values = _lookup1_values(entries, dimensions)
+            if lookup_values == 0:
+                raise VorbisError("type-1 lookup with zero values")
             count = lookup_values
         else:
             count = entries * dimensions
@@ -368,6 +376,10 @@ def _read_floor1(br: BitReader, n_books: int) -> Floor1:
     for b in masters:
         if b >= n_books:
             raise VorbisError("floor1 masterbook out of range")
+    for row in subbooks:
+        for b in row:
+            if b >= n_books:  # -1 (unused) is legal
+                raise VorbisError("floor1 subclass book out of range")
     multiplier = br.read(2) + 1
     rangebits = br.read(4)
     x_list = [0, 1 << rangebits]
@@ -416,6 +428,8 @@ def parse_headers(packets: list[bytes]) -> VorbisSetup:
     if len(packets) < 3:
         raise VorbisError("need 3 header packets")
     ident, _comment, setup = packets[0], packets[1], packets[2]
+    if len(ident) < 30:
+        raise VorbisError("truncated identification header")
     if ident[:7] != b"\x01vorbis":
         raise VorbisError("bad identification header")
     if struct.unpack_from("<I", ident, 7)[0] != 0:
@@ -473,6 +487,8 @@ def parse_headers(packets: list[bytes]) -> VorbisSetup:
             raise VorbisError("mapping reserved bits set")
         mux = [br.read(4) for _ in range(channels)] if submaps > 1 \
             else [0] * channels
+        if any(m >= submaps for m in mux):
+            raise VorbisError("mapping mux out of submap range")
         sf, sr = [], []
         for _ in range(submaps):
             br.read(8)  # unused time config
@@ -571,8 +587,7 @@ def decode_floor1(br: BitReader, fl: Floor1, books: list[Codebook],
     rng = _RANGES[fl.multiplier - 1]
     ybits = ilog(rng - 1)
     y = [br.read(ybits), br.read(ybits)]
-    offset = 2
-    for i, cls in enumerate(fl.partition_class_list):
+    for cls in fl.partition_class_list:
         cdim = fl.class_dimensions[cls]
         cbits = fl.class_subclasses[cls]
         csub = (1 << cbits) - 1
@@ -586,7 +601,6 @@ def decode_floor1(br: BitReader, fl: Floor1, books: list[Codebook],
                 y.append(books[book].decode_scalar(br))
             else:
                 y.append(0)
-        offset += cdim
     # amplitude synthesis (§7.2.4 step 1)
     values = len(fl.x_list)
     final_y = [0] * values
@@ -776,7 +790,23 @@ def vorbis_window(n: int, left: int, right: int) -> np.ndarray:
 
 
 def decode_vorbis(content: bytes) -> tuple[np.ndarray, int]:
-    """Ogg/Vorbis bytes -> (float32 mono samples in [-1, 1], rate)."""
+    """Ogg/Vorbis bytes -> (float32 mono samples in [-1, 1], rate).
+
+    Every malformed-stream failure mode surfaces as :class:`VorbisError`:
+    field validation covers the known corruption shapes, and a backstop
+    converts any residual index/arithmetic/struct error from adversarial
+    bytes — a corrupt blob in a 100 TB corpus must fail TYPED, never hang
+    or kill the task with an anonymous exception."""
+    try:
+        return _decode_vorbis(content)
+    except VorbisError:
+        raise
+    except (IndexError, KeyError, ValueError, ZeroDivisionError,
+            struct.error) as exc:
+        raise VorbisError(f"malformed stream: {exc!r}") from exc
+
+
+def _decode_vorbis(content: bytes) -> tuple[np.ndarray, int]:
     packets = ogg_packets(content)
     setup = parse_headers(packets)
     ch = setup.channels
@@ -795,7 +825,9 @@ def decode_vorbis(content: bytes) -> tuple[np.ndarray, int]:
         n = bs[mode.blockflag]
         long_block = mode.blockflag == 1
         prev_flag = next_flag = 1
-        if long_block and bs[0] != bs[1]:
+        if long_block:
+            # §4.3.1: a long-block mode ALWAYS carries the two window
+            # flags, even when blocksize_0 == blocksize_1
             prev_flag = br.read_bit()
             next_flag = br.read_bit()
         mapping = setup.mappings[mode.mapping]

@@ -112,10 +112,18 @@ def write_zordered(
         lim = F.lit(1 << 31).cast("bigint")
 
         def _guarded(c: str) -> Column:
+            # NULL keys pass through (z becomes NULL, rows sort into the
+            # NULL range partition — the pre-scan path's behavior, since
+            # max() ignored NULLs); only a NON-NULL key outside
+            # [0, 2**31) aborts, with the message built via concat_ws so
+            # it never nulls out
             v = F.col(c).cast("bigint")
-            return F.when((v >= F.lit(0)) & (v < lim), v).otherwise(
+            return F.when(
+                v.isNull() | ((v >= F.lit(0)) & (v < lim)), v
+            ).otherwise(
                 F.raise_error(
-                    F.concat(
+                    F.concat_ws(
+                        "",
                         F.lit(f"write_zordered: {c}="),
                         v.cast("string"),
                         F.lit(
