@@ -588,3 +588,92 @@ def test_decode_vorbis_backstop_wraps_raw_errors():
 def test_single_entry_codebook_consumes_one_bit():
     got = assign_codewords([0, 7, 0])
     assert got == {1: (0, 1)}
+
+
+def test_floor1_partition_classes_hand_derived():
+    """floor1 with a real partition/class config (the path the flat
+    fixtures skip): every intermediate — neighbor choice, render_point
+    prediction, the even/odd residual fold, step2 culling, and both
+    Bresenham segments — is hand-derived in comments."""
+    from tulflow_spark.ext.vorbis import (
+        FLOOR1_INVERSE_DB_TABLE,
+        BitReader,
+        Codebook,
+        Floor1,
+        decode_floor1,
+    )
+
+    book0 = Codebook(dimensions=1, entries=16, lengths=[4] * 16,
+                     lookup_type=0)
+    fl = Floor1(
+        partition_class_list=[0],
+        class_dimensions=[2],
+        class_subclasses=[0],
+        class_masterbooks=[-1],
+        subclass_books=[[0]],      # class 0, subclass 0 -> book 0
+        multiplier=1,
+        x_list=[0, 128, 32, 96],
+    )
+    w = BitWriter()
+    w.write(1, 1)      # nonzero
+    w.write(100, 8)    # y0
+    w.write(100, 8)    # y1
+    # partition 0, class 0, cbits=0 -> no masterbook read; two dims:
+    c, l = _CODES[4]; w.write_codeword(c, l)   # y[2] = 4
+    c, l = _CODES[0]; w.write_codeword(c, l)   # y[3] = 0
+    floor = decode_floor1(BitReader(w.bytes()), fl, [book0], 128)
+    # X=32: neighbors (0,100)/(128,100) -> pred 100; val=4 (even, < room
+    # 2*min(156,100)=200) -> final = 100 + 4//2 = 102, step2 set
+    # X=96: neighbors now (32,102)/(128,100) -> render_point dy=-2,
+    # adx=96, err=2*(96-32)=128, off=1 -> pred 101; val=0 -> step2 UNSET,
+    # point culled from the render
+    # segment (0,100)->(32,102): base 0, ady 2, sy 1: y bumps at x=16
+    # segment (32,102)->(128,100): base 0, ady 2, sy -1: y drops at x=80
+    expect_y = np.empty(128, dtype=np.int64)
+    expect_y[0:16] = 100
+    expect_y[16:32] = 101
+    expect_y[32:80] = 102
+    expect_y[80:128] = 101
+    assert np.array_equal(floor, FLOOR1_INVERSE_DB_TABLE[expect_y])
+
+
+def test_floor1_odd_residual_and_saturation_fold():
+    """The val >= room fold: a post-prediction residual too large for the
+    symmetric window folds one-sidedly (spec step 1's highroom/lowroom
+    asymmetric branch)."""
+    from tulflow_spark.ext.vorbis import (
+        BitReader,
+        Codebook,
+        Floor1,
+        decode_floor1,
+    )
+
+    book0 = Codebook(dimensions=1, entries=16, lengths=[4] * 16,
+                     lookup_type=0)
+    fl = Floor1(
+        partition_class_list=[0],
+        class_dimensions=[1],
+        class_subclasses=[0],
+        class_masterbooks=[-1],
+        subclass_books=[[0]],
+        multiplier=1,
+        x_list=[0, 128, 64],
+    )
+
+    def run(y0, y1, val):
+        w = BitWriter()
+        w.write(1, 1)
+        w.write(y0, 8)
+        w.write(y1, 8)
+        c, l = _CODES[val]
+        w.write_codeword(c, l)
+        return decode_floor1(BitReader(w.bytes()), fl, [book0], 128)
+
+    # pred at 64 between (0,250),(128,250) = 250; highroom 6, lowroom
+    # 250, room 12; val=13 >= room, highroom < lowroom ->
+    # final = pred - val + highroom - 1 = 250 - 13 + 6 - 1 = 242
+    floor = run(250, 250, 13)
+    from tulflow_spark.ext.vorbis import FLOOR1_INVERSE_DB_TABLE as T
+    assert floor[64] == T[242]
+    # odd small residual: val=5 -> pred - (5+1)//2 = 250 - 3 = 247
+    assert run(250, 250, 5)[64] == T[247]
