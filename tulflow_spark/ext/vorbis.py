@@ -87,34 +87,34 @@ def ogg_packets(content: bytes) -> list[bytes]:
 
 
 class BitReader:
-    __slots__ = ("data", "pos")
+    """LSB-first reader backed by ONE little-endian big int: packets are
+    small (tens to a few hundred bytes), so `(val >> pos) & mask` beats
+    per-bit byte indexing ~10x in the Huffman hot loop."""
+
+    __slots__ = ("_val", "_nbits", "pos")
 
     def __init__(self, data: bytes):
-        self.data = data
+        self._val = int.from_bytes(data, "little")
+        self._nbits = 8 * len(data)
         self.pos = 0  # bit position
 
     def read(self, n: int) -> int:
         """n bits, LSB-first (the first bit read is the value's LSB)."""
-        out = 0
-        for i in range(n):
-            byte = self.pos >> 3
-            if byte >= len(self.data):
-                raise VorbisError("bitstream exhausted")
-            bit = (self.data[byte] >> (self.pos & 7)) & 1
-            out |= bit << i
-            self.pos += 1
-        return out
+        pos = self.pos
+        if pos + n > self._nbits:
+            raise VorbisError("bitstream exhausted")
+        self.pos = pos + n
+        return (self._val >> pos) & ((1 << n) - 1)
 
     def read_bit(self) -> int:
-        byte = self.pos >> 3
-        if byte >= len(self.data):
+        pos = self.pos
+        if pos >= self._nbits:
             raise VorbisError("bitstream exhausted")
-        bit = (self.data[byte] >> (self.pos & 7)) & 1
-        self.pos += 1
-        return bit
+        self.pos = pos + 1
+        return (self._val >> pos) & 1
 
     def eof(self) -> bool:
-        return self.pos >= 8 * len(self.data)
+        return self.pos >= self._nbits
 
 
 def ilog(x: int) -> int:

@@ -1059,7 +1059,11 @@ def mm8_vorbis_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     import pandas as pd
 
-    docs = table(spark, sf_dir, "documents").select("doc_id")
+    # the per-row decode is the cost (~3 ms/stream, pure Python); the
+    # input is a single-file id column, so spread it across executor
+    # threads BEFORE the decode stage (shuffles 8-byte ids only)
+    docs = (table(spark, sf_dir, "documents")
+            .select("doc_id").repartition(32))
 
     def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         import numpy as np
