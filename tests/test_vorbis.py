@@ -677,3 +677,39 @@ def test_floor1_odd_residual_and_saturation_fold():
     assert floor[64] == T[242]
     # odd small residual: val=5 -> pred - (5+1)//2 = 250 - 3 = 247
     assert run(250, 250, 5)[64] == T[247]
+
+
+def test_implausible_codebook_size_rejected():
+    """Review finding r7 (medium pass): a 21-byte adversarial packet
+    could demand a multi-GB VQ table via a 24-bit entries field; the
+    entries x dimensions cap converts it to a typed error in
+    microseconds."""
+    from tulflow_spark.ext.vorbis import BitReader, read_codebook
+
+    w = BitWriter()
+    w.write(0x564342, 24)
+    w.write(64, 16)            # dimensions
+    w.write(1 << 18, 24)       # entries -> 16M virtual values
+    w.write(1, 1)              # ordered (shortest length encoding)
+    w.write(0, 5)
+    with pytest.raises(VorbisError, match="implausible codebook size"):
+        read_codebook(BitReader(w.bytes() + b"\x00" * 8))
+
+
+def test_granule_trims_final_block_padding():
+    """Real encoders pad the last block and record the true PCM length in
+    the final page's granule — the decoder must trim to it."""
+    serial = 0xBEEF
+    audio = _audio_packet()
+    pages = [
+        ogg_page(serial, 0, 0, [_ident_packet()], header_type=2),
+        ogg_page(serial, 1, 0, [_comment_packet(), _setup_packet()]),
+    ]
+    n_frames = 6  # synthesized length = 5 * 128 = 640
+    for i in range(n_frames):
+        # final granule says only 600 samples are real
+        g = 600 if i == n_frames - 1 else i * 128
+        pages.append(ogg_page(serial, len(pages), g, [audio],
+                              header_type=4 if i == n_frames - 1 else 0))
+    pcm, _ = decode_vorbis(b"".join(pages))
+    assert len(pcm) == 600

@@ -212,3 +212,17 @@ def test_write_zordered_default_path_single_pass_and_guarded(spark, tmp_path):
     neg = spark.createDataFrame([(-3, 5)], "x long, y long")
     with pytest.raises(Exception, match="z-curve budget"):
         write_zordered(neg, str(tmp_path / "z3"), "x", "y", n_files=1)
+
+
+def test_write_zordered_explicit_bits_rejects_negative_keys(spark, tmp_path):
+    """Review finding r7 (medium pass): shiftright sign-extends negative
+    keys into an all-ones interleave — the explicit-bits validation
+    pre-scan must reject them like the default path's guard does."""
+    import pytest
+
+    from tulflow_spark.operators.zorder import write_zordered
+
+    df = spark.createDataFrame([(-3, 5), (10, 6)], "x long, y long")
+    with pytest.raises(ValueError, match="negative"):
+        write_zordered(df, str(tmp_path / "zn"), "x", "y", n_files=2,
+                       bits=16)

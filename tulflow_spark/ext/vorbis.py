@@ -52,12 +52,19 @@ def ogg_packets(content: bytes) -> list[bytes]:
     """Reassemble the logical packet sequence of the FIRST logical stream:
     lacing values build packets (a segment of 255 continues, < 255 ends);
     the continuation flag carries packets across pages."""
+    return _ogg_parse(content)[0]
+
+
+def _ogg_parse(content: bytes) -> tuple[list[bytes], int]:
+    """(packets, last granule position) — the granule records the true
+    PCM length so decoders can trim the final block's padding."""
     if content[:4] != b"OggS":
         raise VorbisError("not an Ogg stream (no OggS capture)")
     packets: list[bytes] = []
     partial = b""
     pos = 0
     serial = None
+    last_granule = 0
     while pos + 27 <= len(content):
         if content[pos : pos + 4] != b"OggS":
             raise VorbisError(f"ogg: lost page sync at {pos}")
@@ -68,6 +75,9 @@ def ogg_packets(content: bytes) -> list[bytes]:
         if serial is None:
             serial = page_serial
         if page_serial == serial:
+            granule = struct.unpack_from("<q", content, pos + 6)[0]
+            if granule >= 0:
+                last_granule = granule
             off = body
             for lace in seg_table:
                 partial += content[off : off + lace]
@@ -78,7 +88,7 @@ def ogg_packets(content: bytes) -> list[bytes]:
         pos = body + sum(seg_table)
     if partial:
         packets.append(partial)  # unterminated final packet: keep it
-    return packets
+    return packets, last_granule
 
 
 # ---------------------------------------------------------------------------
@@ -244,6 +254,14 @@ def read_codebook(br: BitReader) -> Codebook:
         # a 0-dim book would spin _lookup1_values and the residue VQ
         # loops forever — corrupt stream, fail loudly
         raise VorbisError("codebook with zero dimensions")
+    if entries * dimensions > (1 << 20):
+        # a 21-byte adversarial packet can otherwise demand a multi-GB
+        # VQ table (entries is a raw 24-bit field); real codebooks are
+        # a few thousand entries x <=16 dims, so this cap is generous
+        # while keeping the worst-case parse bounded
+        raise VorbisError(
+            f"implausible codebook size {entries}x{dimensions}"
+        )
     ordered = br.read_bit()
     lengths = [0] * entries
     if not ordered:
@@ -315,6 +333,22 @@ class Floor1:
     subclass_books: list[list[int]]
     multiplier: int
     x_list: list[int]
+
+    def __post_init__(self):
+        # the sort order and low/high neighbors depend only on x_list —
+        # precompute once at setup time instead of per frame per channel
+        # (libvorbis does the same at look-init)
+        self.sort_order = sorted(
+            range(len(self.x_list)), key=lambda i: self.x_list[i]
+        )
+        self.lo_neighbor = [0, 0] + [
+            _low_neighbor(self.x_list, i)
+            for i in range(2, len(self.x_list))
+        ]
+        self.hi_neighbor = [0, 0] + [
+            _high_neighbor(self.x_list, i)
+            for i in range(2, len(self.x_list))
+        ]
 
 
 @dataclass
@@ -609,8 +643,8 @@ def decode_floor1(br: BitReader, fl: Floor1, books: list[Codebook],
     final_y[0] = y[0]
     final_y[1] = y[1]
     for i in range(2, values):
-        lo = _low_neighbor(fl.x_list, i)
-        hi = _high_neighbor(fl.x_list, i)
+        lo = fl.lo_neighbor[i]
+        hi = fl.hi_neighbor[i]
         pred = _render_point(fl.x_list[lo], final_y[lo],
                              fl.x_list[hi], final_y[hi], fl.x_list[i])
         val = y[i]
@@ -635,7 +669,7 @@ def decode_floor1(br: BitReader, fl: Floor1, books: list[Codebook],
             step2[i] = False
             final_y[i] = pred
     # curve synthesis (§7.2.4 step 2): render integers, then table-map
-    order = sorted(range(values), key=lambda i: fl.x_list[i])
+    order = fl.sort_order
     ybuf = np.zeros(n_half, dtype=np.int64)
     lx = 0
     ly = (final_y[order[0]] & 0x7FFF) * fl.multiplier
@@ -807,7 +841,7 @@ def decode_vorbis(content: bytes) -> tuple[np.ndarray, int]:
 
 
 def _decode_vorbis(content: bytes) -> tuple[np.ndarray, int]:
-    packets = ogg_packets(content)
+    packets, last_granule = _ogg_parse(content)
     setup = parse_headers(packets)
     ch = setup.channels
     bs = setup.blocksizes
@@ -909,6 +943,11 @@ def _decode_vorbis(content: bytes) -> tuple[np.ndarray, int]:
         return np.zeros(0, dtype=np.float32), setup.rate
     pcm = np.concatenate(pcm_chunks, axis=1)
     mono = pcm.mean(axis=0) if ch > 1 else pcm[0]
+    # real encoders pad the final block and record the true PCM length in
+    # the last page's granule position — trim the padding (a granule of 0
+    # or beyond the synthesized length means no trim)
+    if 0 < last_granule < len(mono):
+        mono = mono[:last_granule]
     return np.clip(mono, -1.0, 1.0).astype(np.float32), setup.rate
 
 

@@ -24,11 +24,13 @@ BITS = 16  # per-dimension resolution (32-bit z-values)
 def zvalue(x: Column | str, y: Column | str, bits: int = BITS) -> Column:
     """Morton-interleave two non-negative ints (x in even bit positions).
 
-    Range contract: only the low ``bits`` bits of each key participate —
-    keys >= 2**bits alias distant values into the same z-range and the
-    two-dimensional clustering silently degrades.  :func:`write_zordered`
-    enforces this (derives ``bits`` from the data by default); callers
-    composing ``zvalue`` directly own the check."""
+    Range contract: only the low ``bits`` bits of each NON-NEGATIVE key
+    participate — keys >= 2**bits (or < 0, which sign-extend) alias
+    distant values into the same z-range and the two-dimensional
+    clustering silently degrades.  :func:`write_zordered` enforces this
+    (default: a full 31-bit curve with a raise_error guard folded into
+    the expression; explicit ``bits``: an eager min/max validation
+    pre-scan); callers composing ``zvalue`` directly own the check."""
     xc = (F.col(x) if isinstance(x, str) else x).cast("bigint")
     yc = (F.col(y) if isinstance(y, str) else y).cast("bigint")
     # the terms occupy disjoint bit positions, so + realizes the bitwise OR
@@ -137,9 +139,19 @@ def write_zordered(
 
         z = zvalue(_guarded(x), _guarded(y), bits).alias("_z")
     else:
-        mx, my = df.agg(
-            F.max(F.col(x).cast("bigint")), F.max(F.col(y).cast("bigint"))
+        mx, my, mnx, mny = df.agg(
+            F.max(F.col(x).cast("bigint")), F.max(F.col(y).cast("bigint")),
+            F.min(F.col(x).cast("bigint")), F.min(F.col(y).cast("bigint")),
         ).head()
+        if (mnx is not None and mnx < 0) or (mny is not None and mny < 0):
+            # shiftright sign-extends a negative key into an all-ones
+            # interleave — the same silent aliasing the max check exists
+            # to prevent
+            raise ValueError(
+                f"write_zordered: min({x})={mnx} / min({y})={mny} — "
+                "negative keys alias z-ranges; shift keys non-negative "
+                "before z-ordering"
+            )
         need = max(int(mx or 0).bit_length(), int(my or 0).bit_length(), 1)
         if need > bits:
             raise ValueError(
