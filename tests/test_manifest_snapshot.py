@@ -399,3 +399,55 @@ def test_concurrent_commit_stale_base_fails_fast(spark, tmp_path):
     assert not any(
         "b2" in n for n in fsio.list_names(str(tmp_path / "occ2" / "data"))
     )
+
+
+def test_commit_with_retry_wins_after_losing_a_race(spark, tmp_path):
+    """The OCC loser's loop: merge_fn recomputes against the re-read
+    base, so a commit that loses one race retries and lands on top of
+    the interloper's version with BOTH writers' rows live."""
+    from tulflow_spark.streaming.manifest_snapshot import (
+        ConcurrentCommitError,
+        ManifestSnapshot,
+    )
+
+    ms = ManifestSnapshot(str(tmp_path / "retry"))
+    base = spark.createDataFrame(
+        [(i, "base") for i in range(4)], "id long, v string"
+    ).withColumn("_bucket", F.lit(0).cast("int"))
+    ms.commit(base, [0], "b0")
+
+    interloper_fired = {"done": False}
+
+    def merge_fn(snap, version):
+        cur = snap.read(spark).withColumn("_bucket", F.lit(0).cast("int"))
+        if not interloper_fired["done"]:
+            # a second writer lands AFTER this merge read its base —
+            # the first commit attempt must lose the CAS and re-merge
+            other = spark.createDataFrame(
+                [(200, "other")], "id long, v string"
+            ).withColumn("_bucket", F.lit(0).cast("int"))
+            snap.commit(cur.unionByName(other), [0], "interloper",
+                        expect_version=version)
+            interloper_fired["done"] = True
+        mine = spark.createDataFrame(
+            [(100, "mine")], "id long, v string"
+        ).withColumn("_bucket", F.lit(0).cast("int"))
+        return cur.unionByName(mine), [0]
+
+    v = ms.commit_with_retry(merge_fn, "writer")
+    assert v == 3  # base=1, interloper=2, retried commit=3
+    live = {r["id"] for r in ms.read(spark).collect()}
+    assert {100, 200} <= live  # nobody's write was lost
+
+    # exhausted retries surface typed
+    def always_stale(snap, version):
+        df = spark.createDataFrame([(1, "x")], "id long, v string")\
+            .withColumn("_bucket", F.lit(0).cast("int"))
+        # sabotage: bump the table underneath every attempt
+        snap.commit(df, [0], "saboteur")
+        return df, [0]
+
+    import pytest
+
+    with pytest.raises(ConcurrentCommitError, match="lost"):
+        ms.commit_with_retry(always_stale, "doomed", max_retries=1)

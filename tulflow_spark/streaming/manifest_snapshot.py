@@ -234,6 +234,36 @@ class ManifestSnapshot:
             ) from None
         return version
 
+    def commit_with_retry(
+        self,
+        merge_fn,
+        batch_id: int | str,
+        stat_cols: list[str] | None = None,
+        max_retries: int = 3,
+    ) -> int:
+        """OCC loser's loop (the operational face of ``expect_version``):
+        ``merge_fn(snapshot, base_version)`` recomputes
+        ``(merged, touched)`` against the CURRENT state and the commit
+        targets that exact base; on :class:`ConcurrentCommitError` the
+        merge re-reads and retries, up to ``max_retries`` times.  The
+        merge function must be a pure function of the snapshot state at
+        ``base_version`` (it will be re-invoked)."""
+        last: ConcurrentCommitError | None = None
+        for attempt in range(max_retries + 1):
+            base = self.latest_version() or 0
+            merged, touched = merge_fn(self, base)
+            try:
+                return self.commit(
+                    merged, touched, f"{batch_id}-try{attempt}",
+                    stat_cols=stat_cols, expect_version=base,
+                )
+            except ConcurrentCommitError as exc:
+                last = exc
+        raise ConcurrentCommitError(
+            f"commit lost {max_retries + 1} OCC races for "
+            f"batch {batch_id}: {last}"
+        ) from last
+
     def prune_buckets(
         self, col: str, lo, hi, version: int | None = None
     ) -> list[int]:
