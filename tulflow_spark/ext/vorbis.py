@@ -123,9 +123,6 @@ class BitReader:
         self.pos = pos + 1
         return (self._val >> pos) & 1
 
-    def eof(self) -> bool:
-        return self.pos >= self._nbits
-
 
 def ilog(x: int) -> int:
     """§9.2.1: number of bits needed for x (ilog(0)=0, ilog(7)=3)."""
