@@ -86,7 +86,9 @@ GATED: frozenset[str] = frozenset(
         "zo1_zorder_layout",
         "cdc2_merge_upsert",
         "pg1_pagerank",
-        "tx13_html_extract",
+        # new this round: audio feature stage over Vorbis, driver-gated
+        # in place of the tx13 anchor (driver row r6)
+        "mm9_audio_features",
         "mx7_quality_mix_approx",
         "pr1_profile_lineitem",
         # new this round (r6 VERDICT #3): Vorbis decode driver-gated in

@@ -1097,3 +1097,54 @@ def mm8_vorbis_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         schema="doc_id bigint, sample_rate int, n_samples bigint, "
                "tone_in_band boolean",
     )
+
+
+@register(
+    "mm9_audio_features",
+    oracle="""
+    SELECT doc_id,
+           CAST(8000 AS INT) AS sample_rate,
+           CAST((8 + doc_id % 6) * 128 AS BIGINT) AS n_samples,
+           CAST(4 + (doc_id // 6) % 4 AS BIGINT) AS top_band
+    FROM documents
+    """,
+)
+def mm9_audio_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The audio FEATURE stage driver-proven end to end: per-row Vorbis
+    streams -> the production ``decode_audio_features`` mapInPandas stage
+    (real decode + FFT band energies) -> JVM argmax over the feature
+    array.  Tone bins are chosen interior to their band (k%8 in 1..6) so
+    the harmonic straddle of the 128-periodic decoded signal never
+    crosses a band boundary — top_band is then analytic in doc_id."""
+    from collections.abc import Iterator
+
+    import pandas as pd
+
+    from tulflow_spark.ext.multimodal import decode_audio_features
+
+    ids = table(spark, sf_dir, "documents").select("doc_id").repartition(32)
+
+    def make(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from tulflow_spark.ext.vorbis import encode_test_tone
+
+        for pdf in batches:
+            rows = []
+            for doc_id in pdf["doc_id"]:
+                d = int(doc_id)
+                bin_k = 33 + (d % 6) + 8 * ((d // 6) % 4)
+                rows.append({
+                    "media_id": d,
+                    "content": encode_test_tone(bin_k, 9 + d % 6),
+                })
+            yield pd.DataFrame(rows)
+
+    media = ids.mapInPandas(make, schema="media_id bigint, content binary")
+    feats = decode_audio_features(media)
+    return feats.select(
+        F.col("media_id").alias("doc_id"),
+        "sample_rate",
+        "n_samples",
+        (F.array_position(F.col("features"), F.array_max("features")) - 1)
+        .cast("long")
+        .alias("top_band"),
+    )
