@@ -451,3 +451,18 @@ def test_commit_with_retry_wins_after_losing_a_race(spark, tmp_path):
 
     with pytest.raises(ConcurrentCommitError, match="lost"):
         ms.commit_with_retry(always_stale, "doomed", max_retries=1)
+
+
+def test_expect_version_zero_first_commit(spark, tmp_path):
+    """expect_version=0 on an empty table: the carry-over base is the
+    explicit empty manifest (the elif branch — truthiness would have
+    routed through latest-version reads on a table with no manifest)."""
+    from tulflow_spark.streaming.manifest_snapshot import ManifestSnapshot
+
+    ms = ManifestSnapshot(str(tmp_path / "ev0"))
+    df = spark.createDataFrame([(100, "A")], "id long, v string")\
+        .withColumn("_bucket", F.lit(0).cast("int"))
+    assert ms.commit(df, [0], "b0", expect_version=0) == 1
+    assert set(ms.buckets()) == {"0"}
+    assert {r["id"] for r in ms.read(spark).collect()} == {100}
+    assert ms.stats() == {}

@@ -87,3 +87,38 @@ def test_bad_width_rejected(spark):
     pts, iv = _frames(spark)
     with pytest.raises(ValueError, match="bucket_width"):
         interval_join(pts, iv, "t", "s", "e", 0)
+
+
+def test_keys_beyond_double_precision(spark):
+    """Regression: bucketing used to round-trip through double, which
+    collapses adjacent integers past 2^53 — a point one past an interval
+    end could land in (or out of) the wrong bucket.  Integral keys must
+    bucket via exact long arithmetic."""
+    base = 2**60  # far past double's 2^53 integer-exact range
+    pts = spark.createDataFrame(
+        [(i, base + i) for i in range(8)], "pid long, t long"
+    )
+    iv = spark.createDataFrame(
+        [(0, base + 2, base + 5), (1, base - 3, base + 100)],
+        "iid long, s long, e long",
+    )
+    got = sorted(
+        (r["pid"], r["iid"])
+        for r in interval_join(pts, iv, "t", "s", "e", 3).collect()
+    )
+    exp = sorted(
+        [(i, 0) for i in range(2, 5)] + [(i, 1) for i in range(8)]
+    )
+    assert got == exp
+
+
+def test_negative_integral_keys_floor_not_trunc(spark):
+    """Floor-division semantics for negative keys: -1 with width 4 is
+    bucket -1, not 0 (trunc would merge it with [0, 4))."""
+    pts = spark.createDataFrame([(0, -1), (1, 1)], "pid long, t long")
+    iv = spark.createDataFrame([(0, -4, 0), (1, 0, 4)], "iid long, s long, e long")
+    got = sorted(
+        (r["pid"], r["iid"])
+        for r in interval_join(pts, iv, "t", "s", "e", 4).collect()
+    )
+    assert got == [(0, 0), (1, 1)]

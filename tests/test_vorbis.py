@@ -65,16 +65,40 @@ def ogg_page(serial: int, seq: int, granule: int, packets: list[bytes],
             lacing.append(rem)
         elif rem != 0:
             raise AssertionError("open_tail packet must be a 255 multiple")
-    head = (
+    page = bytearray(
         b"OggS" + bytes([0, header_type])
         + struct.pack("<q", granule)
         + struct.pack("<I", serial)
         + struct.pack("<I", seq)
-        + b"\x00\x00\x00\x00"  # CRC unchecked by the decoder
+        + b"\x00\x00\x00\x00"
         + bytes([len(lacing)])
         + bytes(lacing)
-    )
-    return head + bytes(body)
+    ) + body
+    # independent bit-at-a-time RFC 3533 §6 CRC (the production decoder
+    # uses a table; agreement here cross-checks the table generation)
+    page[22:26] = struct.pack("<I", _crc_bitwise(bytes(page)))
+    return bytes(page)
+
+
+def _crc_bitwise(data: bytes) -> int:
+    """CRC-32, poly 0x04c11db7, non-reflected, init 0, no final XOR —
+    one bit at a time, MSB first."""
+    reg = 0
+    for byte in data:
+        for k in range(7, -1, -1):
+            bit = (byte >> k) & 1
+            top = (reg >> 31) & 1
+            reg = ((reg << 1) & 0xFFFFFFFF) | bit
+            if top:
+                reg ^= 0x04C11DB7 & 0xFFFFFFFF
+    # flush 32 zero bits (the register form of appending the message
+    # with 32 zeros, which is what the table-driven form computes)
+    for _ in range(32):
+        top = (reg >> 31) & 1
+        reg = (reg << 1) & 0xFFFFFFFF
+        if top:
+            reg ^= 0x04C11DB7
+    return reg
 
 
 # ---------------------------------------------------------------------------
@@ -733,3 +757,45 @@ def test_vq_sequence_p_accumulates():
                    multiplicands=[1, 2, 3, 4], lookup_values=0)
     # entry 1: v0 = 3*1 + 0.5 = 3.5 ; v1 = 4*1 + 0.5 + 3.5 = 8.0
     assert cb2._vq[1].tolist() == [3.5, 8.0]
+
+
+def test_page_crc_mismatch_typed():
+    """RFC 3533 §6 CRC verification: any in-body byte flip that leaves
+    the page framing intact must fail with the typed CRC error BEFORE
+    packet decode is attempted."""
+    stream = bytearray(build_stream(2))
+    # flip a byte inside the first page's body (past the 27+segs header)
+    n_segs = stream[26]
+    stream[27 + n_segs + 3] ^= 0x01
+    with pytest.raises(VorbisError, match="CRC mismatch"):
+        decode_vorbis(bytes(stream))
+
+
+def test_crc_table_matches_independent_bitwise():
+    from tulflow_spark.ext.vorbis import ogg_crc
+
+    for data in (b"", b"\x00", b"OggS", bytes(range(256)) * 3):
+        assert ogg_crc(data) == _crc_bitwise(data)
+
+
+def test_packet_cap_typed_not_hang():
+    """Adversarial 255-chain lacing reassembling a > MAX_PACKET_BYTES
+    packet fails typed (and fast), never ballooning memory."""
+    import time
+
+    from tulflow_spark.ext.vorbis import MAX_PACKET_BYTES, ogg_packets
+
+    chunk = b"\x00" * 255
+    pages = []
+    # each page carries 255 unterminated segments = 65 KB of one packet
+    per_page = 255 * 255
+    n_pages = MAX_PACKET_BYTES // per_page + 2
+    for seq in range(n_pages):
+        pages.append(
+            ogg_page(7, seq, -1, [chunk * 255],
+                     header_type=(1 if seq else 2), open_tail=True)
+        )
+    t0 = time.perf_counter()
+    with pytest.raises(VorbisError, match="packet exceeds"):
+        ogg_packets(b"".join(pages))
+    assert time.perf_counter() - t0 < 5.0

@@ -53,18 +53,28 @@ def interval_join(
         raise ValueError(f"bucket_width must be > 0, got {bucket_width}")
     on = on or []
     w = F.lit(bucket_width)
+    integral = {"tinyint", "smallint", "int", "bigint"}
 
-    def bucket(c: Column) -> Column:
+    def bucket(df: DataFrame, name: str) -> Column:
+        # Integral keys: exact floor-division in long arithmetic.  A
+        # double round-trip loses integer precision past 2^53 (epoch
+        # nanos, snowflake ids), which could silently skip a bucket.
+        # pmod is non-negative, so (c - pmod) is the floored multiple
+        # of w and the integral `div` is exact for negatives too.
+        c = F.col(name)
+        if dict(df.dtypes)[name] in integral:
+            cl = c.cast("long")
+            return F.call_function("div", cl - F.pmod(cl, w), w)
         return F.floor(c.cast("double") / w).cast("long")
 
-    pb = points.withColumn("_bucket", bucket(F.col(point_col)))
+    pb = points.withColumn("_bucket", bucket(points, point_col))
     ib = (
         intervals.filter(F.col(end_col) >= F.col(start_col))
         .withColumn(
             "_bucket",
             F.explode(
                 F.sequence(
-                    bucket(F.col(start_col)), bucket(F.col(end_col))
+                    bucket(intervals, start_col), bucket(intervals, end_col)
                 )
             ),
         )

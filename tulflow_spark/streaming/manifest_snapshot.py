@@ -150,7 +150,14 @@ class ManifestSnapshot:
         raises :class:`ConcurrentCommitError` instead of silently
         clobbering or stacking a lost-update version.  ``None`` keeps the
         single-writer behavior (target latest+1 — the CAS still guards a
-        same-instant race).  Returns the committed version."""
+        same-instant race).  Returns the committed version.
+
+        CAS strength follows the backing store: local filesystems get a
+        true atomic ``O_CREAT|O_EXCL`` create; object stores degrade to
+        check-then-write (:func:`tulflow_spark.fsio.write_text_exclusive`),
+        leaving a narrow lost-update window under a same-instant race —
+        deploy with a conditional-put (If-None-Match) store or an external
+        lock service when that window matters."""
         spark = merged.sparkSession
         if expect_version is not None:
             latest = self.latest_version() or 0
@@ -172,15 +179,19 @@ class ManifestSnapshot:
                 if f.endswith(".parquet")
             ]
         # carry-over base: the snapshot the merge was computed against
-        # (latest when expect_version is None — single-writer mode)
-        manifest = dict(
-            self.buckets(expect_version)
-            if expect_version
-            else self.buckets()
-        )
-        old_stats = (
-            self.stats(expect_version) if expect_version else self.stats()
-        )
+        # (latest when expect_version is None — single-writer mode).
+        # expect_version == 0 means "computed against the empty table":
+        # the base is explicitly empty, not latest (truthiness here would
+        # silently re-couple to the latest==expect pre-check above).
+        if expect_version is None:
+            manifest = dict(self.buckets())
+            old_stats = self.stats()
+        elif expect_version == 0:
+            manifest = {}
+            old_stats = {}
+        else:
+            manifest = dict(self.buckets(expect_version))
+            old_stats = self.stats(expect_version)
         stats = {
             bk: s for bk, s in old_stats.items()
             if bk in manifest and int(bk) not in {int(t) for t in touched}
