@@ -134,3 +134,62 @@ def test_ivfpq_rerank_on_codes_only_index_raises_typed(spark):
         ivfpq_topk(idx, q, k=5, rerank=20)
     # rerank=0 still works on the codes-only layout
     assert ivfpq_topk(idx, q, k=5).count() == 5
+
+
+def test_seeded_parity_matches_engine_assignment(spark, sf_dir):
+    """ivfpq_topk_seeded bootstraps the residual codebook with a
+    driver-side Python mirror of assign_clusters(exact_parity=True); the
+    two must agree on EVERY corpus vector (exact scaled-int dots + IEEE
+    sqrt/divide are bit-identical in CPython and the JVM)."""
+    import math
+
+    from tulflow_spark.ext.kmeans import assign_clusters, seed_centroids
+    from tulflow_spark.ext.similarity import SCALE
+
+    emb = _emb(spark, sf_dir).filter(F.col("vec_id") != 0)
+    cents = seed_centroids(emb, k=8)
+    engine = {
+        r["vec_id"]: r["cluster"]
+        for r in assign_clusters(emb, cents, exact_parity=True).collect()
+    }
+
+    def idot(a, b):
+        return sum(
+            math.floor(float(x) * float(y) * float(SCALE))
+            for x, y in zip(a, b)
+        )
+
+    for row in emb.collect():
+        v = [float(x) for x in row["embedding"]]
+        vn = math.sqrt(float(idot(v, v))) or 1.0
+        best, best_cos = 0, None
+        for j, c in enumerate(cents):
+            cn = math.sqrt(float(idot(c, c))) or 1.0
+            cos = float(idot(v, c)) / (vn * cn)
+            if best_cos is None or cos > best_cos:
+                best, best_cos = j, cos
+        assert engine[row["vec_id"]] == best
+
+
+def test_seeded_overlap_vs_brute_force(spark, sf_dir):
+    """The seeded (zero-Lloyd) gate variant is still a working ANN: with
+    6/8 probes and 50-candidate exact re-rank it recovers at least half
+    of the brute-force top-10."""
+    from tulflow_spark.ext.ivfpq import ivfpq_topk_seeded
+    from tulflow_spark.ext.similarity import brute_force_topk, query_vector
+
+    emb = _emb(spark, sf_dir)
+    q = query_vector(emb, "vec_id", "embedding", 0)
+    corpus = emb.filter(F.col("vec_id") != 0)
+    got = {
+        r["vec_id"]
+        for r in ivfpq_topk_seeded(
+            corpus, q, n_clusters=8, m=8, ksub=16, k=10, n_probes=6,
+            rerank=50,
+        ).collect()
+    }
+    exact = {
+        r["vec_id"]
+        for r in brute_force_topk(corpus, q, k=10).collect()
+    }
+    assert len(got & exact) >= 5

@@ -195,4 +195,193 @@ def ivfpq_topk(
     )
 
 
-__all__ = ["IvfPqIndex", "build_ivfpq", "ivfpq_topk"]
+def ivfpq_topk_seeded(
+    df: DataFrame,
+    query: Sequence[float],
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_clusters: int = 8,
+    m: int = 8,
+    ksub: int = 16,
+    k: int = 10,
+    n_probes: int = 4,
+    rerank: int = 0,
+) -> DataFrame:
+    """Oracle-expressible IVFADC (the parity variant of build_ivfpq +
+    ivfpq_topk, same pipeline shape): seeded coarse quantizer (vectors of
+    the ``n_clusters`` smallest ids — ext.kmeans.seed_centroids), parity
+    assignment (scaled-int cosine argmax, ties → smallest index), residual
+    codebook seeded from the ``ksub`` smallest ids' residuals (zero Lloyd
+    iterations), scaled-int ADC with the same q·centroid + Σ LUT[s][code]
+    decomposition, exact scaled-int cosine re-rank.
+
+    Every float op is either exact integer algebra (floor(x·y·1e12) summed
+    as BIGINT — the ss1/ss5 recipe) or IEEE-deterministic (sqrt, divide),
+    so the full index AND scores are hash-reproducible in DuckDB SQL from
+    the raw table — this is what makes the driver's gate row for ss9
+    rows+schema+hash green instead of rows-only.  The ITERATIVE production
+    fit stays :func:`build_ivfpq` (recall floor gated in vr1, determinism
+    pinned in tests/test_ivfpq.py).  Returns (id, adc_s BIGINT scaled ADC
+    score, cosine_sim rounded 9)."""
+    import math
+
+    from tulflow_spark.ext.kmeans import (
+        _lit_vec,
+        assign_clusters,
+        seed_centroids,
+    )
+    from tulflow_spark.ext.similarity import SCALE, cosine_scaled
+
+    q = [float(x) for x in query]
+    dim = len(q)
+    if dim % m:
+        raise ValueError(f"dim={dim} not divisible by m={m}")
+    dsub = dim // m
+    cents = seed_centroids(df, id_col, vec_col, k=n_clusters)
+    assigned = assign_clusters(
+        df.select(id_col, vec_col), cents, vec_col=vec_col,
+        exact_parity=True,
+    )
+    cent_lit = F.array(*[_lit_vec(c) for c in cents])
+    assigned = assigned.withColumn(
+        "_res",
+        F.zip_with(
+            F.col(vec_col).cast("array<double>"),
+            F.element_at(cent_lit, F.col("cluster") + 1),
+            lambda x, c: x - c,
+        ),
+    )
+    def _idot(a: Sequence[float], b: Sequence[float]) -> int:
+        return sum(
+            math.floor(float(x) * float(y) * float(SCALE))
+            for x, y in zip(a, b)
+        )
+
+    def _assign_py(v: Sequence[float]) -> int:
+        # bit-identical mirror of assign_clusters(exact_parity=True):
+        # exact scaled-int dots, then IEEE sqrt/divide/compare — every op
+        # is correctly-rounded in both CPython and the JVM, so the
+        # driver-side bootstrap cannot disagree with the engine column
+        # (pinned by tests/test_ivfpq.py::test_seeded_parity_matches_engine)
+        vn = math.sqrt(float(_idot(v, v))) or 1.0
+        best, best_cos = 0, None
+        for j, c in enumerate(cents):
+            cn = math.sqrt(float(_idot(c, c))) or 1.0
+            cos = float(_idot(v, c)) / (vn * cn)
+            if best_cos is None or cos > best_cos:
+                best, best_cos = j, cos
+        return best
+
+    # residual codebook seeds: ksub smallest ids (driver-side model
+    # bootstrap — ksub rows off the RAW frame; re-running the parity
+    # assignment plan just for them would pay a second Catalyst compile)
+    seed_rows = df.select(id_col, vec_col).orderBy(id_col).head(ksub)
+    if len(seed_rows) < ksub:
+        raise ValueError(f"need >= ksub={ksub} rows to seed the codebook")
+    cb: list[list[list[float]]] = [[] for _ in range(m)]
+    for row in seed_rows:
+        v = [float(x) for x in row[1]]
+        c = cents[_assign_py(v)]
+        r = [v[i] - float(c[i]) for i in range(dim)]
+        for s in range(m):
+            cb[s].append(r[s * dsub:(s + 1) * dsub])
+
+    # encode: ONE nested higher-order-function expression against a 3-D
+    # codebook literal (m × ksub × dsub) instead of m·ksub separate
+    # aggregate subtrees — Catalyst analysis/codegen cost is the actual
+    # bottleneck at gate scale (the first formulation spent ~15 s
+    # compiling, ~0.5 s executing); per-element math is identical:
+    # d2 = Σ_i floor((r_i − c_i)² · 1e12) as exact BIGINT, ties → min code
+    cb_lit = F.array(
+        *[
+            F.array(*[_lit_vec(cb[s][c]) for c in range(ksub)])
+            for s in range(m)
+        ]
+    )
+
+    def _d2_scaled(s, c):  # lambda-var columns s, c
+        cw = F.element_at(F.element_at(cb_lit, s + 1), c + 1)
+
+        def term(acc, i):
+            diff = (
+                F.element_at(F.col("_res"), s * dsub + i + 1)
+                - F.element_at(cw, i + 1)
+            )
+            return acc + F.floor(diff * diff * F.lit(float(SCALE))).cast(
+                "long"
+            )
+
+        return F.aggregate(
+            F.sequence(F.lit(0), F.lit(dsub - 1)),
+            F.lit(0).cast("long"),
+            term,
+        )
+
+    codes_col = F.transform(
+        F.sequence(F.lit(0), F.lit(m - 1)),
+        lambda s: F.array_min(
+            F.transform(
+                F.sequence(F.lit(0), F.lit(ksub - 1)),
+                lambda c: F.struct(
+                    _d2_scaled(s, c).alias("d2"), c.alias("c")
+                ),
+            )
+        ).getField("c"),
+    )
+    assigned = assigned.withColumn("_codes", codes_col)
+
+    # ADC model: LUT + per-cluster offsets, exact ints (mirrored in SQL
+    # from the same data-derived codebook)
+    lut = [
+        [_idot(q[s * dsub:(s + 1) * dsub], cb[s][c]) for c in range(ksub)]
+        for s in range(m)
+    ]
+    offsets = [_idot(q, c) for c in cents]
+    qn = math.sqrt(float(_idot(q, q))) or 1.0
+    probe_cos = []
+    for j, c in enumerate(cents):
+        cn = math.sqrt(float(_idot(c, c))) or 1.0
+        probe_cos.append(float(offsets[j]) / (qn * cn))
+    probes = [
+        j for j, _ in sorted(
+            enumerate(probe_cos), key=lambda t: (-t[1], t[0])
+        )[:n_probes]
+    ]
+    lut_lit = F.array(
+        *[F.array(*[F.lit(v).cast("long") for v in row]) for row in lut]
+    )
+    off_lit = F.array(*[F.lit(o).cast("long") for o in offsets])
+    scored = assigned.filter(F.col("cluster").isin(probes)).withColumn(
+        "adc_s",
+        F.element_at(off_lit, F.col("cluster") + 1)
+        + F.aggregate(
+            F.sequence(F.lit(0), F.lit(m - 1)),
+            F.lit(0).cast("long"),
+            lambda acc, s: acc
+            + F.element_at(
+                F.element_at(lut_lit, s + 1),
+                F.element_at(F.col("_codes"), s + 1) + 1,
+            ),
+        ),
+    )
+    if not rerank:
+        return (
+            scored.select(id_col, "adc_s")
+            .orderBy(F.col("adc_s").desc(), F.col(id_col))
+            .limit(k)
+        )
+    qlit = _lit_vec(q)
+    return (
+        scored.orderBy(F.col("adc_s").desc(), F.col(id_col))
+        .limit(rerank)
+        .withColumn(
+            "cosine_sim",
+            F.round(cosine_scaled(F.col(vec_col), qlit), 9),
+        )
+        .select(id_col, "adc_s", "cosine_sim")
+        .orderBy(F.col("cosine_sim").desc(), F.col(id_col))
+        .limit(k)
+    )
+
+
+__all__ = ["IvfPqIndex", "build_ivfpq", "ivfpq_topk", "ivfpq_topk_seeded"]

@@ -482,27 +482,172 @@ def ss8_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _pq.pq_topk(enc, cb, vec, k=10, rerank=50)
 
 
-@register("ss9_ivfpq_topk")  # lossy quantization → rows-only;
-# overlap@10 >= 0.5 (6/8 probes, 50-candidate exact re-rank) is pinned by
-# tests/test_ivfpq.py::test_ivfpq_overlap_vs_brute_force; probe pruning,
-# the IP-ADC offset decomposition, and byte-for-byte index determinism
-# under repartition are pinned by the other three tests there
+@register(
+    "ss9_ivfpq_topk",
+    # the r7 VERDICT #1 ask: the one rows-only gate row becomes hash-green
+    # — the whole IVFADC pipeline (coarse assignment, residual codebook,
+    # encode, ADC score, re-rank) re-derived in SQL from the raw table via
+    # the scaled-int ss1/ss5 recipe; the ITERATIVE production fit stays
+    # build_ivfpq (recall floor in vr1, determinism in tests/test_ivfpq.py)
+    oracle=f"""
+    WITH corpus AS (
+      SELECT vec_id, embedding FROM embeddings WHERE vec_id <> 0
+    ),
+    q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0),
+    cent AS (
+      SELECT ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS cid, embedding AS ce
+      FROM (SELECT vec_id, embedding FROM corpus ORDER BY vec_id LIMIT 8)
+    ),
+    vnorm AS (
+      SELECT e.vec_id, {_DOT.format(a='e.embedding', b='e.embedding')} AS nn
+      FROM corpus e CROSS JOIN generate_series(1, 64) g(i)
+      GROUP BY e.vec_id
+    ),
+    cnorm AS (
+      SELECT c.cid, {_DOT.format(a='c.ce', b='c.ce')} AS nn
+      FROM cent c CROSS JOIN generate_series(1, 64) g(i)
+      GROUP BY c.cid
+    ),
+    qn AS (
+      SELECT {_DOT.format(a='q.qe', b='q.qe')} AS nn
+      FROM q CROSS JOIN generate_series(1, 64) g(i)
+    ),
+    adot AS (
+      SELECT e.vec_id, c.cid, {_DOT.format(a='e.embedding', b='c.ce')} AS ds
+      FROM corpus e CROSS JOIN cent c CROSS JOIN generate_series(1, 64) g(i)
+      GROUP BY e.vec_id, c.cid
+    ),
+    asg AS (
+      SELECT vec_id, cid AS cluster FROM (
+        SELECT a.vec_id, a.cid,
+               ROW_NUMBER() OVER (
+                 PARTITION BY a.vec_id
+                 ORDER BY CAST(a.ds AS DOUBLE) /
+                   ((CASE WHEN v.nn = 0 THEN 1.0
+                          ELSE sqrt(CAST(v.nn AS DOUBLE)) END)
+                    * (CASE WHEN c.nn = 0 THEN 1.0
+                            ELSE sqrt(CAST(c.nn AS DOUBLE)) END)) DESC,
+                   a.cid
+               ) AS rn
+        FROM adot a JOIN vnorm v USING (vec_id) JOIN cnorm c ON c.cid = a.cid
+      ) WHERE rn = 1
+    ),
+    res AS (
+      SELECT e.vec_id, a.cluster, g.i AS pos,
+             CAST(e.embedding[g.i] AS DOUBLE) - CAST(c.ce[g.i] AS DOUBLE) AS r
+      FROM corpus e JOIN asg a USING (vec_id) JOIN cent c ON c.cid = a.cluster
+      CROSS JOIN generate_series(1, 64) g(i)
+    ),
+    sd AS (
+      SELECT vec_id, ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS code
+      FROM (SELECT vec_id FROM corpus ORDER BY vec_id LIMIT 16)
+    ),
+    cb AS (
+      SELECT (r.pos - 1) // 8 AS sub, s.code, (r.pos - 1) % 8 AS spos,
+             r.r AS cv
+      FROM sd s JOIN res r USING (vec_id)
+    ),
+    codes AS (
+      SELECT vec_id, sub, code FROM (
+        SELECT e.vec_id, e.sub, e.code,
+               ROW_NUMBER() OVER (
+                 PARTITION BY e.vec_id, e.sub ORDER BY e.d2 ASC, e.code ASC
+               ) AS rn
+        FROM (
+          SELECT r.vec_id, b.sub, b.code,
+                 SUM(CAST(FLOOR((r.r - b.cv) * (r.r - b.cv) * 1e12)
+                          AS BIGINT)) AS d2
+          FROM res r
+          JOIN cb b ON b.sub = (r.pos - 1) // 8 AND b.spos = (r.pos - 1) % 8
+          GROUP BY r.vec_id, b.sub, b.code
+        ) e
+      ) WHERE rn = 1
+    ),
+    lut AS (
+      SELECT b.sub, b.code,
+             SUM(CAST(FLOOR(CAST(q.qe[b.sub * 8 + b.spos + 1] AS DOUBLE)
+                            * b.cv * 1e12) AS BIGINT)) AS pd
+      FROM cb b CROSS JOIN q
+      GROUP BY b.sub, b.code
+    ),
+    off AS (
+      SELECT c.cid, {_DOT.format(a='q.qe', b='c.ce')} AS ov
+      FROM cent c CROSS JOIN q CROSS JOIN generate_series(1, 64) g(i)
+      GROUP BY c.cid
+    ),
+    probes AS (
+      SELECT cid FROM (
+        SELECT o.cid,
+               ROW_NUMBER() OVER (
+                 ORDER BY CAST(o.ov AS DOUBLE) /
+                   ((CASE WHEN qn.nn = 0 THEN 1.0
+                          ELSE sqrt(CAST(qn.nn AS DOUBLE)) END)
+                    * (CASE WHEN cn.nn = 0 THEN 1.0
+                            ELSE sqrt(CAST(cn.nn AS DOUBLE)) END)) DESC,
+                   o.cid ASC
+               ) AS rn
+        FROM off o JOIN cnorm cn ON cn.cid = o.cid CROSS JOIN qn
+      ) WHERE rn <= 6
+    ),
+    cand AS (
+      SELECT vec_id, adc FROM (
+        SELECT s.vec_id, s.adc,
+               ROW_NUMBER() OVER (ORDER BY s.adc DESC, s.vec_id ASC) AS rn
+        FROM (
+          SELECT a.vec_id, o.ov + sm.s AS adc
+          FROM asg a
+          JOIN (
+            SELECT c.vec_id, SUM(l.pd) AS s
+            FROM codes c JOIN lut l ON l.sub = c.sub AND l.code = c.code
+            GROUP BY c.vec_id
+          ) sm ON sm.vec_id = a.vec_id
+          JOIN off o ON o.cid = a.cluster
+          WHERE a.cluster IN (SELECT cid FROM probes)
+        ) s
+      ) WHERE rn <= 50
+    ),
+    qdot AS (
+      SELECT e.vec_id, {_DOT.format(a='e.embedding', b='q.qe')} AS ds
+      FROM corpus e CROSS JOIN q CROSS JOIN generate_series(1, 64) g(i)
+      WHERE e.vec_id IN (SELECT vec_id FROM cand)
+      GROUP BY e.vec_id
+    )
+    SELECT vec_id, adc_s, cosine_sim FROM (
+      SELECT c.vec_id, CAST(c.adc AS BIGINT) AS adc_s,
+             ROUND(CAST(d.ds AS DOUBLE) /
+                   (sqrt(CAST(v.nn AS DOUBLE))
+                    * sqrt(CAST(qn.nn AS DOUBLE))), 9) AS cosine_sim,
+             ROW_NUMBER() OVER (
+               ORDER BY ROUND(CAST(d.ds AS DOUBLE) /
+                        (sqrt(CAST(v.nn AS DOUBLE))
+                         * sqrt(CAST(qn.nn AS DOUBLE))), 9) DESC,
+                        c.vec_id ASC
+             ) AS rn
+      FROM cand c JOIN qdot d USING (vec_id) JOIN vnorm v USING (vec_id)
+      CROSS JOIN qn
+    ) WHERE rn <= 10
+    """,
+)
 def ss9_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """IVF-PQ / IVFADC (Jégou et al. 2011 §V): deterministic coarse
-    quantizer (ext.kmeans) prunes the corpus to 6 of 8 probed clusters,
-    a residual PQ codebook scores candidates from 8-byte codes via one
-    shared ADC LUT + per-cluster q·centroid offsets (pure JVM aggregate),
-    exact re-rank of the top 50 — the billion-scale ANN composition of
-    ss4's partition pruning and ss8's scan compression."""
-    from tulflow_spark.ext.ivfpq import build_ivfpq, ivfpq_topk
+    """IVF-PQ / IVFADC (Jégou et al. 2011 §V), oracle-paired parity
+    variant: seeded coarse quantizer (8 smallest ids) prunes the corpus to
+    6 of 8 probed clusters, a seeded residual codebook (16 smallest ids'
+    residuals, zero Lloyd iterations) scores candidates from codes via one
+    shared scaled-int ADC LUT + per-cluster q·centroid offsets (pure JVM
+    aggregate), exact scaled-int cosine re-rank of the top 50 — the
+    billion-scale ANN composition of ss4's partition pruning and ss8's
+    scan compression, with every arithmetic step hash-reproducible in the
+    DuckDB oracle.  The iterative production fit (build_ivfpq/ivfpq_topk)
+    keeps its recall floor in vr1 and determinism pins in
+    tests/test_ivfpq.py."""
+    from tulflow_spark.ext.ivfpq import ivfpq_topk_seeded
 
     emb = table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
     vec = similarity.query_vector(emb, "vec_id", "embedding", 0)
-    idx = build_ivfpq(
-        emb.filter(F.col("vec_id") != 0),
-        n_clusters=8, dim=64, m=8, ksub=16, max_iter=3,
+    return ivfpq_topk_seeded(
+        emb.filter(F.col("vec_id") != 0), vec,
+        n_clusters=8, m=8, ksub=16, k=10, n_probes=6, rerank=50,
     )
-    return ivfpq_topk(idx, vec, k=10, n_probes=6, rerank=50)
 
 
 @register("ss7_kmeans_fit")  # iterative model fit → rows-only;
