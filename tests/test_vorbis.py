@@ -799,3 +799,31 @@ def test_packet_cap_typed_not_hang():
     with pytest.raises(VorbisError, match="packet exceeds"):
         ogg_packets(b"".join(pages))
     assert time.perf_counter() - t0 < 5.0
+
+
+def test_imdct_fast_matches_slow_form():
+    """Production IMDCT (FFT-based DCT-IV) vs the §A.2 O(n^2) matrix
+    definition: agreement to ~1e-12 relative on random spectra across
+    every Vorbis block size, and the full fixture decode is unchanged."""
+    import numpy as np
+
+    from tulflow_spark.ext.vorbis import imdct, imdct_slow
+
+    rng = np.random.default_rng(42)
+    for n2 in (32, 64, 128, 256, 512, 1024, 2048):
+        x = rng.normal(size=n2) * 10
+        fast, slow = imdct(x), imdct_slow(x)
+        assert fast.shape == (2 * n2,)
+        scale = max(1.0, float(np.max(np.abs(slow))))
+        assert np.max(np.abs(fast - slow)) < 1e-10 * scale
+    # fixture decode: same PCM through either path (the decoded fixture
+    # expectations in the rest of this file all run the fast path)
+    from unittest import mock
+
+    import tulflow_spark.ext.vorbis as V
+
+    stream = build_stream(5)
+    fast_pcm, _ = decode_vorbis(stream)
+    with mock.patch.object(V, "imdct", V.imdct_slow):
+        slow_pcm, _ = decode_vorbis(stream)
+    assert np.allclose(fast_pcm, slow_pcm, atol=1e-12)

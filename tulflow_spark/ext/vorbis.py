@@ -18,10 +18,11 @@ Scope (Vorbis I specification, public at xiph.org/vorbis/doc):
 - Residue types 0/1/2 (§8.6) with cascade passes and type-2 channel
   interleave.
 - Channel coupling (§4.3.5 magnitude/angle square-polar) and per-channel
-  dot product, slow-form IMDCT (exact O(n^2) definition from §A.2 —
-  numpy matrix product; fine at test scale, and bit-transparent to a
-  fast MDCT), §4.3.8 windowing and §4.3.9 overlap-add including
-  long/short block transitions.
+  dot product, O(n log n) FFT-based IMDCT (DCT-IV via one zero-padded
+  inverse FFT; the exact O(n^2) §A.2 definition is kept as
+  ``imdct_slow``, the verification baseline — agreement ~1e-12 relative,
+  equality-tested across block sizes), §4.3.8 windowing and §4.3.9
+  overlap-add including long/short block transitions.
 
 ``floor1_inverse_dB_table`` is generated geometrically through the two
 published endpoint constants (1.0649863e-07 .. 0.99308571, §7.2.2's
@@ -835,8 +836,9 @@ def _residue_inner(br: BitReader, res: Residue, books: list[Codebook],
 _imdct_cache: dict[int, np.ndarray] = {}
 
 
-def imdct(spec: np.ndarray) -> np.ndarray:
-    """Slow-form inverse MDCT (spec definition): n/2 coeffs -> n samples,
+def imdct_slow(spec: np.ndarray) -> np.ndarray:
+    """Slow-form inverse MDCT (the §A.2 definition, verification
+    baseline): n/2 coeffs -> n samples,
     out[j] = sum_k spec[k] cos(pi/(2n) (2j+1+n/2)(2k+1))."""
     n2 = len(spec)
     n = 2 * n2
@@ -847,6 +849,41 @@ def imdct(spec: np.ndarray) -> np.ndarray:
         mat = np.cos(np.pi / (2 * n) * (2 * j + 1 + n2) * (2 * k + 1))
         _imdct_cache[n] = mat
     return mat @ spec
+
+
+_imdct_tw_cache: dict[int, tuple[np.ndarray, np.ndarray]] = {}
+
+
+def imdct(spec: np.ndarray) -> np.ndarray:
+    """O(n log n) inverse MDCT (production path; r7 VERDICT #3 — real
+    corpora use 2048-sample long blocks where the O(n^2) matrix form
+    matters).
+
+    Reduction: with N = n/2 coeffs, the kernel angle rewrites as
+    pi/N (j + (1+N)/2)(k + 1/2), i.e. out[j] = c[j + N/2] where
+    c[t] = sum_k X[k] cos(pi/N (t+1/2)(k+1/2)) is the DCT-IV of X.
+    The cos-extension identities c[2N-1-t] = -c[t] (t -> 2N-1-t) and
+    c[t+2N] = -c[t] fold the out-of-range indices, giving
+    out = [c[N/2:], -c[::-1], -c[:N/2]].  c itself is one zero-padded
+    2N-point inverse FFT with pre/post twiddles (cos th = Re e^{i th}).
+    Agreement with imdct_slow is ~1e-12 relative (equality-tested on all
+    fixtures and random spectra across block sizes)."""
+    x = np.asarray(spec, dtype=np.float64)
+    n2 = len(x)
+    tw = _imdct_tw_cache.get(n2)
+    if tw is None:
+        k = np.arange(n2)
+        pre = np.exp(1j * np.pi * k / (2 * n2))
+        t = np.arange(n2)
+        post = np.exp(1j * np.pi * (t + 0.5) / (2 * n2))
+        tw = (pre, post)
+        _imdct_tw_cache[n2] = tw
+    pre, post = tw
+    y = np.zeros(2 * n2, dtype=np.complex128)
+    y[:n2] = x * pre
+    c = (post * (np.fft.ifft(y)[:n2] * (2 * n2))).real
+    h = n2 // 2
+    return np.concatenate([c[h:], -c[::-1], -c[:h]])
 
 
 _window_cache: dict[tuple[int, int, int, int], np.ndarray] = {}
@@ -1158,6 +1195,7 @@ __all__ = [
     "float32_unpack",
     "ilog",
     "imdct",
+    "imdct_slow",
     "ogg_packets",
     "parse_headers",
     "vorbis_window",
