@@ -1,0 +1,269 @@
+"""ext/mp3.py: stdlib+numpy MPEG-1 Layer III decode, golden-tested
+against the in-repo spec-derived fixture encoder (the ext/vorbis.py
+method: every bit of the fixture stream is written from the spec's field
+layout, and the expected signal is analytic — a single spectral line k
+becomes a tone near (k+0.5)*rate/1152 Hz)."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+
+from tulflow_spark.ext.mp3 import (
+    BitReaderMSB,
+    Mp3Error,
+    decode_mp3,
+    encode_test_tone_mp3,
+)
+
+RATE = 48000
+
+
+# ---------------------------------------------------------------------------
+# bit-level plumbing
+# ---------------------------------------------------------------------------
+
+
+def test_bitreader_msb_order():
+    br = BitReaderMSB(bytes([0b10110001, 0b01000000]))
+    assert br.read(1) == 1
+    assert br.read(3) == 0b011
+    assert br.read(4) == 0b0001
+    assert br.read(2) == 0b01
+    assert br.pos == 10
+    with pytest.raises(Mp3Error, match="exhausted"):
+        br.read(7)
+
+
+def test_frame_header_fields():
+    from tulflow_spark.ext.mp3 import FrameHeader
+
+    h = FrameHeader(bytes([0xFF, 0xFB, 0x14, 0xC0]), 0)
+    assert (h.bitrate, h.rate, h.channels) == (32000, 48000, 1)
+    assert h.frame_size == 96 and not h.protection
+    with pytest.raises(Mp3Error, match="MPEG-1"):
+        FrameHeader(bytes([0xFF, 0xE3, 0x14, 0xC0]), 0)  # MPEG-2.5
+    with pytest.raises(Mp3Error, match="layer III"):
+        FrameHeader(bytes([0xFF, 0xFD, 0x14, 0xC0]), 0)  # layer II
+    with pytest.raises(Mp3Error, match="free-format"):
+        FrameHeader(bytes([0xFF, 0xFB, 0x04, 0xC0]), 0)
+
+
+def test_side_info_hand_derived():
+    """17-byte mono side info written field-by-field from §2.4.1.7 and
+    read back — main_data_begin, granule lengths, table selects."""
+    from tulflow_spark.ext.mp3 import _parse_side_info
+
+    bits = []
+
+    def w(v, n):
+        for i in range(n - 1, -1, -1):
+            bits.append((v >> i) & 1)
+
+    w(37, 9)   # main_data_begin
+    w(0, 5)    # private
+    w(0b1010, 4)  # scfsi
+    for gr_vals in ((123, 40, 200, 5), (99, 17, 180, 2)):
+        p23, bv, gg, sfc = gr_vals
+        w(p23, 12); w(bv, 9); w(gg, 8); w(sfc, 4)
+        w(0, 1)          # no window switching
+        w(1, 5); w(2, 5); w(3, 5)
+        w(6, 4); w(5, 3)
+        w(1, 1); w(0, 1); w(1, 1)
+    raw = bytearray((len(bits) + 7) // 8)
+    for i, b in enumerate(bits):
+        if b:
+            raw[i >> 3] |= 1 << (7 - (i & 7))
+    begin, scfsi, grs = _parse_side_info(BitReaderMSB(bytes(raw)), 1)
+    assert begin == 37
+    assert scfsi == [[1, 0, 1, 0]]
+    g0 = grs[0][0]
+    assert (g0.part2_3_length, g0.big_values, g0.global_gain,
+            g0.scalefac_compress) == (123, 40, 200, 5)
+    assert g0.table_select == [1, 2, 3]
+    assert (g0.region0_count, g0.region1_count) == (6, 5)
+    assert (g0.preflag, g0.scalefac_scale, g0.count1table_select) == (1, 0, 1)
+    g1 = grs[1][0]
+    assert (g1.part2_3_length, g1.big_values) == (99, 17)
+
+
+def test_huffman_table1_hand_derived():
+    """ISO table 1 codes: (0,0)='1', (1,0)='01', (0,1)='001',
+    (1,1)='000' — decode a hand-packed sequence with signs."""
+    from tulflow_spark.ext.mp3 import BIG_VALUE_TABLES, _huff_decode
+
+    _, tab = BIG_VALUE_TABLES[1]
+    # bits: 1 | 01 1(neg) | 001 0(pos) | 000 0(pos) 1(neg)
+    raw = int("1" "011" "0010" "00001" + "000", 2).to_bytes(2, "big")
+    br = BitReaderMSB(raw)
+    assert _huff_decode(br, tab) == (0, 0)
+    assert _huff_decode(br, tab) == (1, 0)
+    assert br.read_bit() == 1  # sign: negative
+    assert _huff_decode(br, tab) == (0, 1)
+    assert br.read_bit() == 0
+    assert _huff_decode(br, tab) == (1, 1)
+    assert br.read(2) == 0b01  # signs for x then y
+
+
+def test_count1_table_b_is_ones_complement():
+    from tulflow_spark.ext.mp3 import COUNT1_TABLES, _huff_decode
+
+    tab = COUNT1_TABLES[1]
+    for v in range(16):
+        raw = bytes([((~v & 0xF) << 4)])
+        got = _huff_decode(BitReaderMSB(raw), tab, max_len=4)
+        assert got == ((v >> 3) & 1, (v >> 2) & 1, (v >> 1) & 1, v & 1)
+
+
+# ---------------------------------------------------------------------------
+# end-to-end fixture decode (analytic tone expectations)
+# ---------------------------------------------------------------------------
+
+
+def _peak_freq(pcm: np.ndarray, rate: int) -> float:
+    mid = pcm[1152:1152 + 2304]
+    return float(np.argmax(np.abs(np.fft.rfft(mid)))) * rate / len(mid)
+
+
+@pytest.mark.parametrize("line_k", [5, 33, 100, 301, 500])
+def test_tone_lands_on_expected_line(line_k):
+    pcm, rate = decode_mp3(encode_test_tone_mp3(line_k, 4))
+    assert rate == RATE
+    assert len(pcm) == 4 * 1152
+    expect = (line_k + 0.5) * rate / 1152
+    bin_hz = rate / 2304
+    assert abs(_peak_freq(pcm, rate) - expect) <= 1.5 * bin_hz
+    assert np.max(np.abs(pcm)) > 1e-3  # non-degenerate amplitude
+
+
+def test_global_gain_scales_amplitude():
+    """global_gain steps of 4 scale the requantized line by 2x — the
+    §2.4.3.4 power law surfaces directly in the decoded amplitude."""
+    a, _ = decode_mp3(encode_test_tone_mp3(40, 3, global_gain=210))
+    b, _ = decode_mp3(encode_test_tone_mp3(40, 3, global_gain=214))
+    ra = np.max(np.abs(a[1152:2304]))
+    rb = np.max(np.abs(b[1152:2304]))
+    assert rb / ra == pytest.approx(2.0, rel=1e-6)
+
+
+def test_bit_reservoir_roundtrip():
+    """main_data_begin back-pointers: the same granules split across the
+    previous frame's tail must decode to the identical PCM."""
+    plain, _ = decode_mp3(encode_test_tone_mp3(301, 4))
+    moved, _ = decode_mp3(encode_test_tone_mp3(301, 4, reservoir_bytes=30))
+    assert np.array_equal(plain, moved)
+
+
+def test_reservoir_startup_skips_orphan_frame():
+    """A stream cut mid-reservoir: the first frame's main_data_begin
+    points at history we never saw — its audio is skipped (spec startup
+    rule), later frames decode."""
+    full = encode_test_tone_mp3(40, 4, reservoir_bytes=8)
+    cut = full[96:]  # drop frame 0; frame 1's begin=8 now dangles
+    pcm, rate = decode_mp3(cut)
+    assert rate == RATE
+    assert len(pcm) == 2 * 1152  # frames 2..3 decoded, frame 1 skipped
+
+
+def test_id3v2_prefix_skipped():
+    s = encode_test_tone_mp3(40, 2)
+    id3 = b"ID3\x03\x00\x00" + bytes([0, 0, 0, 10]) + b"\x00" * 10
+    assert np.array_equal(decode_mp3(id3 + s)[0], decode_mp3(s)[0])
+
+
+def test_truncated_final_frame_stops_cleanly():
+    s = encode_test_tone_mp3(40, 3)
+    pcm, _ = decode_mp3(s[:-40])  # last frame incomplete
+    assert len(pcm) == 2 * 1152
+
+
+def test_byte_flip_fuzz_typed_or_clean():
+    """Every single-byte corruption of the stream yields a typed
+    Mp3Error or a clean decode — no anonymous exceptions, no hang."""
+    stream = bytearray(encode_test_tone_mp3(40, 2))
+    for pos in range(len(stream)):
+        mutated = bytearray(stream)
+        mutated[pos] ^= 0xFF
+        try:
+            decode_mp3(bytes(mutated))
+        except Mp3Error:
+            pass
+
+
+def test_unregistered_huffman_table_typed():
+    """A stream selecting a non-transcribed Huffman table fails with the
+    typed registry error naming the extension point."""
+    stream = bytearray(encode_test_tone_mp3(40, 1))
+    # table_select[0] is 5 bits starting at bit 47 of the side info
+    # (9+5+4+12+9+8+4+1 = 52 bits in; side info starts at byte 4)
+    bit_off = 52
+    byte_i = 4 + bit_off // 8
+    # overwrite the 5-bit field (value 1 -> 24) spanning two bytes
+    cur = int.from_bytes(stream[byte_i:byte_i + 2], "big")
+    shift = 16 - (bit_off % 8) - 5
+    cur = (cur & ~(0x1F << shift)) | (24 << shift)
+    stream[byte_i:byte_i + 2] = cur.to_bytes(2, "big")
+    with pytest.raises(Mp3Error, match="table 24 not in the registry"):
+        decode_mp3(bytes(stream))
+
+
+def test_decode_audio_routes_mp3():
+    from tulflow_spark.ext.media_codecs import (
+        UnsupportedMedia,
+        decode_audio,
+        sniff_format,
+    )
+
+    s = encode_test_tone_mp3(33, 2)
+    assert sniff_format(s) == "mp3"
+    pcm, rate = decode_audio(s)
+    assert rate == RATE and len(pcm) == 2 * 1152
+    with pytest.raises(UnsupportedMedia, match="mp3"):
+        decode_audio(bytes([0xFF, 0xFB, 0xF4, 0xC0]) + b"\x00" * 16)
+
+
+def test_stereo_ms_decode():
+    """A stereo MS frame hand-assembled from two mono granule payloads:
+    mid-only content must decode to the same tone in the downmix."""
+    # reuse the mono fixture's granule bits as the MID channel and an
+    # all-zero granule (table 0, part2_3_length 0) as SIDE
+    from tulflow_spark.ext.mp3 import _granule_main_bits
+
+    line_k = 40
+    g = _granule_main_bits(line_k, 210)
+    p23 = len(g.bits)
+
+    bits: list[int] = []
+
+    def w(v, n):
+        for i in range(n - 1, -1, -1):
+            bits.append((v >> i) & 1)
+
+    # header: MPEG1 L3, 48 kHz, 64 kbps (index 5 -> 192-byte frames),
+    # joint stereo with MS on (mode_ext bit 1)
+    header = bytes([0xFF, 0xFB, 0x54, 0x60])
+    w(0, 9); w(0, 3)       # main_data_begin, private (stereo: 3)
+    w(0, 4); w(0, 4)       # scfsi both channels
+    for _gr in range(2):
+        for ch_p23, ch_bv in ((p23, line_k // 2 + 1), (0, 0)):
+            w(ch_p23, 12); w(ch_bv, 9); w(210, 8); w(0, 4)
+            w(0, 1)                    # no window switching
+            for _ in range(3):
+                w(1, 5)
+            w(7, 4); w(7, 3)
+            w(0, 1); w(0, 1); w(1, 1)
+    side = bytearray((len(bits) + 7) // 8)
+    for i, b in enumerate(bits):
+        if b:
+            side[i >> 3] |= 1 << (7 - (i & 7))
+    assert len(side) == 32
+    main_bits = g.bits + [] + g.bits + []  # gr0: mid, side(0 bits); gr1
+    main = bytearray((len(main_bits) + 7) // 8)
+    for i, b in enumerate(main_bits):
+        if b:
+            main[i >> 3] |= 1 << (7 - (i & 7))
+    frame = header + bytes(side) + bytes(main)
+    frame = frame + b"\x00" * (192 - len(frame))
+    pcm, rate = decode_mp3(frame * 3)
+    expect = (line_k + 0.5) * rate / 1152
+    assert abs(_peak_freq(pcm, rate) - expect) <= 1.5 * rate / 2304

@@ -60,11 +60,16 @@ def sniff_format(content: bytes) -> str:
     for magic, name in _MAGIC:
         if content[: len(magic)] == magic:
             return name
+    # bare MPEG audio frame sync (11 set bits) — checked AFTER the magic
+    # table so JPEG's FF D8 FF wins (its second byte fails the sync mask
+    # anyway: 0xD8 & 0xE0 != 0xE0)
+    if len(content) >= 2 and content[0] == 0xFF \
+            and (content[1] & 0xE0) == 0xE0:
+        return "mp3"
     return "unknown"
 
 
 _NEEDS = {
-    "mp3": "ffmpeg/audioread",
     "ogg": "ffmpeg/audioread",
     "mp4": "ffmpeg (container demux + codec)",
 }
@@ -435,10 +440,11 @@ def _decode_pnm(content: bytes) -> np.ndarray:
 
 
 def decode_audio(content: bytes) -> tuple[np.ndarray, int]:
-    """Audio bytes → (float32 mono samples in [-1, 1], sample_rate).
+    """Audio bytes → (float mono samples in [-1, 1], sample_rate).
 
-    Real decode for PCM WAV via the stdlib ``wave`` module; typed
-    :class:`UnsupportedMedia` for compressed audio.
+    Real decode for PCM WAV (stdlib ``wave``), Ogg/Vorbis
+    (``ext/vorbis.py``) and MPEG-1 Layer III (``ext/mp3.py``); typed
+    :class:`UnsupportedMedia` for the rest (Opus, MP4 containers).
     """
     fmt = sniff_format(content)
     if fmt == "ogg":
@@ -453,6 +459,15 @@ def decode_audio(content: bytes) -> tuple[np.ndarray, int]:
             return decode_vorbis(content)
         except VorbisError as exc:
             raise UnsupportedMedia(f"ogg: {exc}") from exc
+    if fmt == "mp3":
+        # MPEG-1 Layer III decodes natively (ext/mp3.py, the r7 VERDICT
+        # #2 wall closed the ext/vorbis.py way)
+        from tulflow_spark.ext.mp3 import Mp3Error, decode_mp3
+
+        try:
+            return decode_mp3(content)
+        except Mp3Error as exc:
+            raise UnsupportedMedia(f"mp3: {exc}") from exc
     if fmt != "wav":
         if fmt in _NEEDS:
             raise UnsupportedMedia(f"{fmt} decode needs {_NEEDS[fmt]}")

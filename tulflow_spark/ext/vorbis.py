@@ -30,8 +30,8 @@ published endpoint constants (1.0649863e-07 .. 0.99308571, §7.2.2's
 spec's literal table to ~1e-5 relative — inaudible scaling, and exact
 for this repo's golden fixtures which decode with the same table.
 
-MP3 and Opus payload decode remain typed walls (entropy coders with
-large static tables; `ext/mediaprobe.py` still probes their headers).
+MP3 now decodes natively too (`ext/mp3.py`, built on this module's
+strategy); Opus remains a typed wall (RFC 6716 SILK/CELT hybrid).
 """
 
 from __future__ import annotations

@@ -63,11 +63,14 @@ GATED: frozenset[str] = frozenset(
         # never-adjudicated rows-only query (1): IVF-PQ top-k — its recall
         # floor is ALREADY oracle-gated via vr1's 10th bound
         "ss9_ivfpq_topk",
-        # kept anchors (30)
+        # kept anchors
         "q01_pricing_summary",
         "q03_top_revenue_orders",
         "q05_region_revenue",
-        "q14_promo_revenue",
+        # r8: q14_promo_revenue rotated out (TPC-H keeps three anchors;
+        # q14 stays in the local parity suite) to budget the slot for
+        # the new MP3 decode pair
+        "mm10_mp3_roundtrip",
         "dd1_exact_dedup",
         "dd3_ngram_jaccard",
         "dd10_repeated_spans",

@@ -1148,3 +1148,66 @@ def mm9_audio_features(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("top_band"),
     )
+
+
+@register(
+    "mm10_mp3_roundtrip",
+    oracle="""
+    SELECT doc_id,
+           CAST(48000 AS INT) AS sample_rate,
+           CAST((3 + doc_id % 4) * 1152 AS BIGINT) AS n_samples,
+           TRUE AS tone_in_band
+    FROM documents
+    """,
+)
+def mm10_mp3_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MP3 decode path oracle-checked (r7 VERDICT #2, the Vorbis strategy
+    of mm8): per-row minimal MPEG-1 Layer III streams
+    (ext/mp3.py::encode_test_tone_mp3 — side info, table-1 Huffman
+    big-values, a single spectral line) run through the PRODUCTION
+    decode_audio; every third stream routes its main data through the
+    bit reservoir (main_data_begin back-pointers), so the reservoir path
+    is driver-proven too.  Sample counts are analytic and the decoded
+    tone must land within 1.5 DFT bins of (line_k + 0.5) * rate / 1152."""
+    from collections.abc import Iterator
+
+    import pandas as pd
+
+    docs = (table(spark, sf_dir, "documents")
+            .select("doc_id").repartition(32))
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        from tulflow_spark.ext.media_codecs import decode_audio
+        from tulflow_spark.ext.mp3 import encode_test_tone_mp3
+
+        for pdf in batches:
+            rows = []
+            for doc_id in pdf["doc_id"]:
+                d = int(doc_id)
+                # line_k <= 416 keeps worst-case main data (53 B) plus
+                # the 20 B reservoir shift inside the 75 B frame payload
+                line_k = 20 + (d % 100) * 4
+                n_frames = 3 + d % 4
+                pcm, rate = decode_audio(encode_test_tone_mp3(
+                    line_k, n_frames, reservoir_bytes=(d % 3) * 10
+                ))
+                mid = pcm[1152:1152 + 2304].astype(np.float64)
+                peak = int(np.argmax(np.abs(np.fft.rfft(mid))))
+                expect = (line_k + 0.5) / 1152 * len(mid)
+                rows.append(
+                    {
+                        "doc_id": d,
+                        "sample_rate": rate,
+                        "n_samples": len(pcm),
+                        "tone_in_band": abs(peak - expect) <= 1.5,
+                    }
+                )
+            yield pd.DataFrame(rows)
+
+    return docs.mapInPandas(
+        gen,
+        schema="doc_id bigint, sample_rate int, n_samples bigint, "
+               "tone_in_band boolean",
+    )
