@@ -206,6 +206,7 @@ def ivfpq_topk_seeded(
     k: int = 10,
     n_probes: int = 4,
     rerank: int = 0,
+    coarse: bool = True,
 ) -> DataFrame:
     """Oracle-expressible IVFADC (the parity variant of build_ivfpq +
     ivfpq_topk, same pipeline shape): seeded coarse quantizer (vectors of
@@ -237,11 +238,19 @@ def ivfpq_topk_seeded(
     if dim % m:
         raise ValueError(f"dim={dim} not divisible by m={m}")
     dsub = dim // m
-    cents = seed_centroids(df, id_col, vec_col, k=n_clusters)
-    assigned = assign_clusters(
-        df.select(id_col, vec_col), cents, vec_col=vec_col,
-        exact_parity=True,
-    )
+    if coarse:
+        cents = seed_centroids(df, id_col, vec_col, k=n_clusters)
+        assigned = assign_clusters(
+            df.select(id_col, vec_col), cents, vec_col=vec_col,
+            exact_parity=True,
+        )
+    else:
+        # flat PQ (no coarse quantizer): one zero centroid — residuals
+        # ARE the raw vectors, offsets are 0, the single cell is probed
+        cents = [[0.0] * dim]
+        assigned = df.select(id_col, vec_col).withColumn(
+            "cluster", F.lit(0)
+        )
     cent_lit = F.array(*[_lit_vec(c) for c in cents])
     assigned = assigned.withColumn(
         "_res",
@@ -251,6 +260,7 @@ def ivfpq_topk_seeded(
             lambda x, c: x - c,
         ),
     )
+
     def _idot(a: Sequence[float], b: Sequence[float]) -> int:
         return sum(
             math.floor(float(x) * float(y) * float(SCALE))

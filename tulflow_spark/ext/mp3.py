@@ -99,6 +99,33 @@ class BitReaderMSB:
     def read_bit(self) -> int:
         return self.read(1)
 
+    def peek(self, n: int) -> int:
+        """Next n bits without consuming; past-the-end bits read as 0
+        (callers bound consumption with part2_3_length separately)."""
+        win, winbits, bytepos = self._win, self._winbits, self._bytepos
+        data = self._data
+        while winbits < n and bytepos < len(data):
+            win = (win << 8) | data[bytepos]
+            bytepos += 1
+            winbits += 8
+        self._win, self._winbits, self._bytepos = win, winbits, bytepos
+        if winbits >= n:
+            return win >> (winbits - n)
+        return win << (n - winbits)
+
+    def skip(self, n: int) -> None:
+        pos = self.pos
+        if pos + n > self._nbits:
+            raise Mp3Error("bitstream exhausted")
+        # window always holds >= n bits here after a peek(n) at the same
+        # position; fall back to read() otherwise
+        if self._winbits >= n:
+            self._winbits -= n
+            self._win &= (1 << self._winbits) - 1
+            self.pos = pos + n
+        else:
+            self.read(n)
+
 
 # ---------------------------------------------------------------------------
 # Header / layout tables (MPEG-1 layer III)
@@ -202,6 +229,28 @@ def _huff_decode(br: BitReaderMSB, table: dict, max_len: int = 19):
         if hit is not None:
             return hit
     raise Mp3Error("invalid Huffman code")
+
+
+def _compile_lut(table: dict) -> tuple[int, list]:
+    """(max_len, flat) where flat[peeked max_len bits] = (*values, hlen)
+    or None for invalid prefixes — one peek+skip per codeword instead of
+    bit-at-a-time dict probes (the decode hot path)."""
+    max_len = max(length for length, _ in table)
+    flat: list = [None] * (1 << max_len)
+    for (length, code), values in table.items():
+        base = code << (max_len - length)
+        for fill in range(1 << (max_len - length)):
+            flat[base | fill] = (*values, length)
+    return max_len, flat
+
+
+# compiled peek LUTs (the dict registries above stay the public,
+# test-facing transcription ground truth)
+_BV_LUT = {
+    sel: (linbits, _compile_lut(tab) if tab else None)
+    for sel, (linbits, tab) in BIG_VALUE_TABLES.items()
+}
+_C1_LUT = {sel: _compile_lut(tab) for sel, tab in COUNT1_TABLES.items()}
 
 
 # ---------------------------------------------------------------------------
@@ -345,14 +394,14 @@ def _huffman_spectrum(br: BitReaderMSB, g: GranuleInfo, rate: int,
             min(g.region0_count + 1 + g.region1_count + 1, 22)
         ]
 
-    def table_for(i: int):
-        if i < region1_start:
+    def lut_for(region_start: int):
+        if region_start < region1_start:
             sel = g.table_select[0]
-        elif i < region2_start:
+        elif region_start < region2_start:
             sel = g.table_select[1]
         else:
             sel = g.table_select[2]
-        got = BIG_VALUE_TABLES.get(sel)
+        got = _BV_LUT.get(sel)
         if got is None:
             raise Mp3Error(
                 f"Huffman table {sel} not in the registry (transcribe ISO "
@@ -362,39 +411,55 @@ def _huffman_spectrum(br: BitReaderMSB, g: GranuleInfo, rate: int,
 
     end = part2_start + g.part2_3_length
     i = 0
-    for _ in range(g.big_values):
-        linbits, tab = table_for(i)
-        if tab:
-            x, y = _huff_decode(br, tab)
-        else:
-            x, y = 0, 0
-        if x == 15 and linbits:
-            x += br.read(linbits)
-        if x:
-            if br.read_bit():
-                x = -x
-        if y == 15 and linbits:
-            y += br.read(linbits)
-        if y:
-            if br.read_bit():
-                y = -y
-        if i + 1 >= 576:
-            raise Mp3Error("big_values region overruns 576 lines")
-        xs[i] = x
-        xs[i + 1] = y
-        i += 2
+    bv_end = g.big_values * 2
+    if bv_end > 576:
+        raise Mp3Error("big_values region overruns 576 lines")
+    while i < bv_end:
+        # decode one region with a fixed table (the region LUT swap out
+        # of the pair loop is the decode hot path)
+        seg_end = min(
+            bv_end,
+            region1_start if i < region1_start
+            else (region2_start if i < region2_start else 576),
+        )
+        linbits, tab = lut_for(i)
+        if not tab:
+            i = seg_end if seg_end > i else i + 2
+            continue
+        max_len, flat = tab
+        while i < seg_end:
+            hit = flat[br.peek(max_len)]
+            if hit is None:
+                raise Mp3Error("invalid Huffman code")
+            x, y, hlen = hit
+            br.skip(hlen)
+            if x == 15 and linbits:
+                x += br.read(linbits)
+            if x:
+                if br.read_bit():
+                    x = -x
+            if y == 15 and linbits:
+                y += br.read(linbits)
+            if y:
+                if br.read_bit():
+                    y = -y
+            xs[i] = x
+            xs[i + 1] = y
+            i += 2
     # count1 region: quadruples until part2_3_length is exhausted
-    c1 = COUNT1_TABLES.get(g.count1table_select)
-    if c1 is None:
-        c1 = None  # table A (select=0) not transcribed — only an error
-        # if the stream actually has count1 bits to read
+    c1 = _C1_LUT.get(g.count1table_select)
     while br.pos < end and i + 3 < 576:
         if c1 is None:
             raise Mp3Error(
                 "count1 Huffman table A not in the registry (transcribe "
                 "ISO Table B.7 into COUNT1_TABLES[0] to extend)"
             )
-        quad = _huff_decode(br, c1, max_len=6)
+        max_len, flat = c1
+        hit = flat[br.peek(max_len)]
+        if hit is None:
+            raise Mp3Error("invalid Huffman code")
+        *quad, hlen = hit
+        br.skip(hlen)
         for v in quad:
             if v:
                 if br.pos >= end:
@@ -463,14 +528,18 @@ _CS = 1.0 / np.sqrt(1.0 + _CI**2)
 _CA = _CI / np.sqrt(1.0 + _CI**2)
 
 
+_ALIAS_UP = (np.arange(1, 32) * 18)[:, None] - 1 - np.arange(8)[None, :]
+_ALIAS_DN = (np.arange(1, 32) * 18)[:, None] + np.arange(8)[None, :]
+
+
 def _alias_reduce(xr: np.ndarray) -> np.ndarray:
+    # butterflies of different subband boundaries touch disjoint lines
+    # (i <= 7 < 9), so all 31 boundaries vectorize per coefficient
     out = xr.copy()
-    for sb in range(1, 32):
-        for i in range(8):
-            a = out[sb * 18 - 1 - i]
-            b = out[sb * 18 + i]
-            out[sb * 18 - 1 - i] = a * _CS[i] - b * _CA[i]
-            out[sb * 18 + i] = b * _CS[i] + a * _CA[i]
+    a = out[_ALIAS_UP].copy()
+    b = out[_ALIAS_DN].copy()
+    out[_ALIAS_UP] = a * _CS[None, :] - b * _CA[None, :]
+    out[_ALIAS_DN] = b * _CS[None, :] + a * _CA[None, :]
     return out
 
 
@@ -519,19 +588,27 @@ _SHORT_WIN = np.sin(np.pi / 12 * (np.arange(12) + 0.5))
 def _imdct_granule(xr: np.ndarray, g: GranuleInfo,
                    overlap: np.ndarray) -> np.ndarray:
     """18 time samples × 32 subbands for one granule; updates overlap."""
-    ts = np.zeros((32, 18))
     short = g.window_switching and g.block_type == 2
+    if not short:
+        # all 32 subbands share the block window: ONE (36,18)@(18,32)
+        # matmul instead of a Python loop (the decode hot path)
+        spec = xr.reshape(32, 18).T
+        out = (_imdct_mat(36) @ spec) * _block_window(g.block_type)[:, None]
+        ts = out[:18].T + overlap
+        overlap[:] = out[18:].T
+        ts[1::2, 1::2] = -ts[1::2, 1::2]  # frequency inversion
+        return ts
+    ts = np.zeros((32, 18))
     for sb in range(32):
         spec = xr[sb * 18:(sb + 1) * 18]
-        if short and not (g.mixed_block_flag and sb < 2):
+        if not (g.mixed_block_flag and sb < 2):
             out = np.zeros(36)
             m = _imdct_mat(12)
             for w in range(3):
                 y = (m @ spec[w::3]) * _SHORT_WIN
                 out[6 + 6 * w:6 + 6 * w + 12] += y
         else:
-            bt = g.block_type if not short else 0
-            out = (_imdct_mat(36) @ spec) * _block_window(bt)
+            out = (_imdct_mat(36) @ spec) * _block_window(0)
         ts[sb] = out[:18] + overlap[sb]
         overlap[sb] = out[18:]
         if sb % 2 == 1:  # frequency inversion (odd subbands, odd slots)
@@ -568,23 +645,26 @@ def _synth_tensor() -> np.ndarray:
 
 
 class _Synthesizer:
-    """32-subband → PCM: 16-slot polyphase history, one einsum per slot."""
+    """32-subband → PCM: 16-slot polyphase history, vectorized as one
+    sliding-window einsum per granule (per-slot loops were the decode
+    hot path; the window view carries the history dependence)."""
 
     def __init__(self):
-        self.hist = np.zeros((16, 32))
-        self._g = _synth_tensor()
+        self.tail = np.zeros((15, 32))  # previous 15 slots, oldest first
+        # G2[(s, m), j] — one BLAS matmul per granule instead of einsum
+        self._g2 = np.ascontiguousarray(
+            np.transpose(_synth_tensor(), (1, 0, 2)).reshape(512, 32)
+        )
 
     def run(self, ts: np.ndarray) -> np.ndarray:
         """ts: (32 subbands, n_slots) → (n_slots*32,) PCM."""
-        n_slots = ts.shape[1]
-        out = np.empty(n_slots * 32)
-        for t in range(n_slots):
-            self.hist[1:] = self.hist[:-1]
-            self.hist[0] = ts[:, t]
-            out[t * 32:(t + 1) * 32] = np.einsum(
-                "ms,msj->j", self.hist, self._g
-            )
-        return out
+        seq = np.concatenate([self.tail, ts.T], axis=0)  # (15+n, 32)
+        win = np.lib.stride_tricks.sliding_window_view(seq, 16, axis=0)
+        # win[t, s, i] = seq[t+i, s]; polyphase age m = 15 - i
+        w = np.ascontiguousarray(win[:, :, ::-1]).reshape(win.shape[0], 512)
+        out = w @ self._g2
+        self.tail = seq[-15:].copy()
+        return out.reshape(-1)
 
 
 # ---------------------------------------------------------------------------

@@ -462,24 +462,112 @@ def ss6_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("vec_id", "cluster")
 
 
-@register("ss8_pq_topk")  # lossy quantization → rows-only;
-# overlap@10 >= 0.5 (with 50-candidate exact re-rank) is pinned by
-# tests/test_pq.py::test_pq_overlap_vs_brute_force, and exact-recovery
-# semantics by ::test_pq_reconstructs_exactly_when_codebook_covers_data
+@register(
+    "ss8_pq_topk",
+    # r7 VERDICT #7 opportunistic oracle upgrade (the ss9 recipe, minus
+    # the coarse quantizer): seeded flat-PQ codebook + scaled-int ADC,
+    # the whole index re-derived in SQL.  The ITERATIVE production
+    # pq_train/pq_topk keep their recall floor in vr1 and pins in
+    # tests/test_pq.py.
+    oracle=f"""
+    WITH corpus AS (
+      SELECT vec_id, embedding FROM embeddings WHERE vec_id <> 0
+    ),
+    q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0),
+    vnorm AS (
+      SELECT e.vec_id, {_DOT.format(a='e.embedding', b='e.embedding')} AS nn
+      FROM corpus e CROSS JOIN generate_series(1, 64) g(i)
+      GROUP BY e.vec_id
+    ),
+    qn AS (
+      SELECT {_DOT.format(a='q.qe', b='q.qe')} AS nn
+      FROM q CROSS JOIN generate_series(1, 64) g(i)
+    ),
+    sd AS (
+      SELECT vec_id, ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS code
+      FROM (SELECT vec_id FROM corpus ORDER BY vec_id LIMIT 16)
+    ),
+    cb AS (
+      SELECT (g.i - 1) // 8 AS sub, s.code, (g.i - 1) % 8 AS spos,
+             CAST(e.embedding[g.i] AS DOUBLE) AS cv
+      FROM sd s JOIN corpus e USING (vec_id)
+      CROSS JOIN generate_series(1, 64) g(i)
+    ),
+    codes AS (
+      SELECT vec_id, sub, code FROM (
+        SELECT e.vec_id, e.sub, e.code,
+               ROW_NUMBER() OVER (
+                 PARTITION BY e.vec_id, e.sub ORDER BY e.d2 ASC, e.code ASC
+               ) AS rn
+        FROM (
+          SELECT r.vec_id, b.sub, b.code,
+                 SUM(CAST(FLOOR((CAST(r.embedding[g.i] AS DOUBLE) - b.cv)
+                                * (CAST(r.embedding[g.i] AS DOUBLE) - b.cv)
+                                * 1e12) AS BIGINT)) AS d2
+          FROM corpus r CROSS JOIN generate_series(1, 64) g(i)
+          JOIN cb b ON b.sub = (g.i - 1) // 8 AND b.spos = (g.i - 1) % 8
+          GROUP BY r.vec_id, b.sub, b.code
+        ) e
+      ) WHERE rn = 1
+    ),
+    lut AS (
+      SELECT b.sub, b.code,
+             SUM(CAST(FLOOR(CAST(q.qe[b.sub * 8 + b.spos + 1] AS DOUBLE)
+                            * b.cv * 1e12) AS BIGINT)) AS pd
+      FROM cb b CROSS JOIN q
+      GROUP BY b.sub, b.code
+    ),
+    cand AS (
+      SELECT vec_id, adc FROM (
+        SELECT s.vec_id, s.adc,
+               ROW_NUMBER() OVER (ORDER BY s.adc DESC, s.vec_id ASC) AS rn
+        FROM (
+          SELECT c.vec_id, SUM(l.pd) AS adc
+          FROM codes c JOIN lut l ON l.sub = c.sub AND l.code = c.code
+          GROUP BY c.vec_id
+        ) s
+      ) WHERE rn <= 50
+    ),
+    qdot AS (
+      SELECT e.vec_id, {_DOT.format(a='e.embedding', b='q.qe')} AS ds
+      FROM corpus e CROSS JOIN q CROSS JOIN generate_series(1, 64) g(i)
+      WHERE e.vec_id IN (SELECT vec_id FROM cand)
+      GROUP BY e.vec_id
+    )
+    SELECT vec_id, adc_s, cosine_sim FROM (
+      SELECT c.vec_id, CAST(c.adc AS BIGINT) AS adc_s,
+             ROUND(CAST(d.ds AS DOUBLE) /
+                   (sqrt(CAST(v.nn AS DOUBLE))
+                    * sqrt(CAST(qn.nn AS DOUBLE))), 9) AS cosine_sim,
+             ROW_NUMBER() OVER (
+               ORDER BY ROUND(CAST(d.ds AS DOUBLE) /
+                        (sqrt(CAST(v.nn AS DOUBLE))
+                         * sqrt(CAST(qn.nn AS DOUBLE))), 9) DESC,
+                        c.vec_id ASC
+             ) AS rn
+      FROM cand c JOIN qdot d USING (vec_id) JOIN vnorm v USING (vec_id)
+      CROSS JOIN qn
+    ) WHERE rn <= 10
+    """,
+)
 def ss8_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Product-quantization ANN (Jégou et al. 2011): 8×16 codebook trained
-    in-corpus (all subspaces per pass, vectors never shuffle), vectors
-    stored as 8-byte codes (32× scan compression), query scored by a pure
-    JVM ADC lookup-table aggregate over the codes column, exact re-rank of
-    the top 50 only — the storable-index scale path beside sign-LSH (ss3)
-    and IVF (ss4)."""
-    from tulflow_spark.ext import pq as _pq
+    """Product-quantization ANN (Jégou et al. 2011), oracle-paired parity
+    variant: seeded 8×16 codebook (subvectors of the 16 smallest ids,
+    zero Lloyd iterations), vectors stored as 8-byte codes (32× scan
+    compression), query scored by a pure JVM scaled-int ADC lookup-table
+    aggregate over the codes, exact scaled-int cosine re-rank of the top
+    50 — the storable-index scale path beside sign-LSH (ss3) and IVF
+    (ss4), hash-reproducible in the DuckDB oracle.  The iterative
+    production fit (pq_train/pq_topk) keeps its recall floor in vr1 and
+    pins in tests/test_pq.py."""
+    from tulflow_spark.ext.ivfpq import ivfpq_topk_seeded
 
     emb = table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
     vec = similarity.query_vector(emb, "vec_id", "embedding", 0)
-    cb = _pq.pq_train(emb, dim=64, m=8, ksub=16, max_iter=3)
-    enc = _pq.pq_encode(emb.filter(F.col("vec_id") != 0), cb)
-    return _pq.pq_topk(enc, cb, vec, k=10, rerank=50)
+    return ivfpq_topk_seeded(
+        emb.filter(F.col("vec_id") != 0), vec,
+        m=8, ksub=16, k=10, n_probes=1, rerank=50, coarse=False,
+    )
 
 
 @register(
@@ -651,7 +739,14 @@ def ss9_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register("ss7_kmeans_fit")  # iterative model fit → rows-only;
-# production-vs-parity assignment agreement is pinned by tests/test_kmeans.py
+# production-vs-parity assignment agreement is pinned by tests/test_kmeans.py.
+# NOT convertible to a hash oracle without changing production semantics
+# (r7 VERDICT #7 disposition): each Lloyd iteration's centroid means are
+# float AVG over partition-ordered doubles — order-dependent in any
+# parallel engine — and the next iteration's assignment amplifies any ULP
+# difference into a different argmax; the decimal-sum trick would have to
+# replace the production mean inside kmeans_fit itself.  The seeded
+# (zero-iteration) surface IS hash-gated via ss5/ss6/ss9.
 def ss7_kmeans_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Full Lloyd's fit (5 iterations, numpy production path) + assignment —
     the model-training query SQL cannot express; per-iteration shuffle is
