@@ -267,3 +267,31 @@ def test_stereo_ms_decode():
     pcm, rate = decode_mp3(frame * 3)
     expect = (line_k + 0.5) * rate / 1152
     assert abs(_peak_freq(pcm, rate) - expect) <= 1.5 * rate / 2304
+
+
+def test_mixed_block_decode():
+    """Mixed blocks (window switching, block_type 2, mixed_block_flag):
+    a tone in the long lower-two-subband region decodes through the
+    long-window IMDCT path of a mixed granule at the same analytic
+    frequency, and the short-region machinery (reorder from sfb 3,
+    single-boundary alias reduction) leaves it intact."""
+    for line_k in (5, 20, 33):
+        pcm, rate = decode_mp3(
+            encode_test_tone_mp3(line_k, 4, mixed_block=True)
+        )
+        assert len(pcm) == 4 * 1152
+        expect = (line_k + 0.5) * rate / 1152
+        assert abs(_peak_freq(pcm, rate) - expect) <= 1.5 * rate / 2304
+    with pytest.raises(ValueError, match="line_k < 36"):
+        encode_test_tone_mp3(40, 2, mixed_block=True)
+
+
+def test_mixed_block_fuzz():
+    stream = bytearray(encode_test_tone_mp3(20, 2, mixed_block=True))
+    for pos in range(len(stream)):
+        mutated = bytearray(stream)
+        mutated[pos] ^= 0xFF
+        try:
+            decode_mp3(bytes(mutated))
+        except Mp3Error:
+            pass

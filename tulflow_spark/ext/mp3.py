@@ -493,7 +493,23 @@ def _requantize(xs: np.ndarray, g: GranuleInfo, long_sf, short_sf,
                 )
         return out * gains
     if g.window_switching and g.block_type == 2 and g.mixed_block_flag:
-        raise Mp3Error("mixed blocks not supported yet (typed wall)")
+        # mixed: lines 0..35 are long scalefactor bands 0..7 (every
+        # MPEG-1 rate has SFB_LONG[8] == 36), lines 36.. are short
+        # bands 3..12 (SFB_SHORT[3] == 12, 12*3 == 36)
+        gains = np.ones(576)
+        lbands = SFB_LONG[rate]
+        for sfb in range(8):
+            sf = long_sf[sfb] + (PRETAB[sfb] if g.preflag else 0)
+            gains[lbands[sfb]:lbands[sfb + 1]] = base * 2.0 ** (-mult * sf)
+        sbands = SFB_SHORT[rate]
+        for sfb in range(3, 13):
+            width = sbands[sfb + 1] - sbands[sfb]
+            for w in range(3):
+                lo = sbands[sfb] * 3 + width * w
+                gains[lo:lo + width] = base * 2.0 ** (
+                    -2.0 * g.subblock_gain[w] - mult * short_sf[w][sfb]
+                )
+        return out * gains
     bands = SFB_LONG[rate]
     gains = np.ones(576)
     for sfb in range(21):
@@ -503,12 +519,14 @@ def _requantize(xs: np.ndarray, g: GranuleInfo, long_sf, short_sf,
     return out * gains
 
 
-def _reorder_short(xr: np.ndarray, rate: int) -> np.ndarray:
+def _reorder_short(xr: np.ndarray, rate: int,
+                   mixed: bool = False) -> np.ndarray:
     """§2.4.3.4: short-block lines arrive per (sfb, window); the hybrid
-    filterbank wants per (window-slot) interleave inside each band."""
+    filterbank wants per (window-slot) interleave inside each band.
+    Mixed blocks keep lines 0..35 (the long part) in place."""
     bands = SFB_SHORT[rate]
     out = xr.copy()
-    for sfb in range(13):
+    for sfb in range(3 if mixed else 0, 13):
         width = bands[sfb + 1] - bands[sfb]
         start = bands[sfb] * 3
         block = xr[start:start + 3 * width]
@@ -532,14 +550,17 @@ _ALIAS_UP = (np.arange(1, 32) * 18)[:, None] - 1 - np.arange(8)[None, :]
 _ALIAS_DN = (np.arange(1, 32) * 18)[:, None] + np.arange(8)[None, :]
 
 
-def _alias_reduce(xr: np.ndarray) -> np.ndarray:
+def _alias_reduce(xr: np.ndarray, boundaries: int = 31) -> np.ndarray:
     # butterflies of different subband boundaries touch disjoint lines
-    # (i <= 7 < 9), so all 31 boundaries vectorize per coefficient
+    # (i <= 7 < 9), so all boundaries vectorize per coefficient; mixed
+    # blocks pass boundaries=1 (only the long lower two subbands)
     out = xr.copy()
-    a = out[_ALIAS_UP].copy()
-    b = out[_ALIAS_DN].copy()
-    out[_ALIAS_UP] = a * _CS[None, :] - b * _CA[None, :]
-    out[_ALIAS_DN] = b * _CS[None, :] + a * _CA[None, :]
+    up = _ALIAS_UP[:boundaries]
+    dn = _ALIAS_DN[:boundaries]
+    a = out[up].copy()
+    b = out[dn].copy()
+    out[up] = a * _CS[None, :] - b * _CA[None, :]
+    out[dn] = b * _CS[None, :] + a * _CA[None, :]
     return out
 
 
@@ -766,7 +787,10 @@ def _decode_mp3(content: bytes) -> tuple[np.ndarray, int]:
                 g = granules[gr][ch]
                 xr = xr_ch[ch]
                 if g.window_switching and g.block_type == 2:
-                    xr = _reorder_short(xr, rate)
+                    xr = _reorder_short(xr, rate,
+                                        mixed=bool(g.mixed_block_flag))
+                    if g.mixed_block_flag:
+                        xr = _alias_reduce(xr, boundaries=1)
                 else:
                     xr = _alias_reduce(xr)
                 ts = _imdct_granule(xr, g, overlap[ch])
@@ -823,7 +847,8 @@ def _granule_main_bits(line_k: int, global_gain: int) -> _BW:
 
 def encode_test_tone_mp3(line_k: int, n_frames: int,
                          global_gain: int = 210,
-                         reservoir_bytes: int = 0) -> bytes:
+                         reservoir_bytes: int = 0,
+                         mixed_block: bool = False) -> bytes:
     """Minimal legal MPEG-1 Layer III mono stream (48 kHz, 32 kbit/s —
     exactly 96-byte frames), every granule carrying a single positive
     spectral line at ``line_k`` with amplitude 2^((global_gain-210)/4).
@@ -831,9 +856,14 @@ def encode_test_tone_mp3(line_k: int, n_frames: int,
 
     ``reservoir_bytes`` > 0 exercises the bit reservoir: each frame's
     main data starts that many bytes back inside the previous frame
-    (main_data_begin set accordingly)."""
+    (main_data_begin set accordingly).  ``mixed_block`` writes
+    window-switching granules (block_type 2, mixed_block_flag 1) whose
+    tone line must sit in the long lower-two-subband region
+    (line_k < 36)."""
     if not 0 <= line_k < 576:
         raise ValueError("line_k must be in [0, 576)")
+    if mixed_block and line_k >= 36:
+        raise ValueError("mixed_block fixtures need line_k < 36")
     if n_frames < 1:
         raise ValueError("need at least one frame")
     header = bytes([0xFF, 0xFB, 0x14, 0xC0])
@@ -856,11 +886,19 @@ def encode_test_tone_mp3(line_k: int, n_frames: int,
             s.w(line_k // 2 + 1, 9)   # big_values
             s.w(global_gain, 8)
             s.w(0, 4)          # scalefac_compress
-            s.w(0, 1)          # window_switching
-            for _ in range(3):
-                s.w(1, 5)      # table_select = 1 everywhere
-            s.w(7, 4)          # region0_count
-            s.w(7, 3)          # region1_count
+            if mixed_block:
+                s.w(1, 1)      # window_switching
+                s.w(2, 2)      # block_type: short
+                s.w(1, 1)      # mixed_block_flag
+                s.w(1, 5); s.w(1, 5)  # table_select x2
+                for _ in range(3):
+                    s.w(0, 3)  # subblock_gain
+            else:
+                s.w(0, 1)      # window_switching
+                for _ in range(3):
+                    s.w(1, 5)  # table_select = 1 everywhere
+                s.w(7, 4)      # region0_count
+                s.w(7, 3)      # region1_count
             s.w(0, 1)          # preflag
             s.w(0, 1)          # scalefac_scale
             s.w(1, 1)          # count1table_select = B
