@@ -408,10 +408,15 @@ class TestAudio:
         assert feats[4] > 0.9
 
     def test_compressed_audio_typed(self):
-        with pytest.raises(UnsupportedMedia, match="ffmpeg"):
+        # ID3-prefixed bytes route to the native MP3 decoder (r8); junk
+        # after the tag is a typed mp3 error, not an ffmpeg wall
+        with pytest.raises(UnsupportedMedia, match="mp3"):
             decode_audio(b"ID3\x04\x00....")
         with pytest.raises(UnsupportedMedia):
             decode_audio(b"not-audio")
+        # Opus/MP4 remain typed walls naming the dependency
+        with pytest.raises(UnsupportedMedia, match="ffmpeg"):
+            decode_audio(b"\x00\x00\x00\x18ftypisom" + b"\x00" * 16)
 
 
 class TestSparkPipeline:

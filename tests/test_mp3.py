@@ -218,8 +218,13 @@ def test_decode_audio_routes_mp3():
     assert sniff_format(s) == "mp3"
     pcm, rate = decode_audio(s)
     assert rate == RATE and len(pcm) == 2 * 1152
+    # plausible header but no complete frame -> typed mp3 error
     with pytest.raises(UnsupportedMedia, match="mp3"):
-        decode_audio(bytes([0xFF, 0xFB, 0xF4, 0xC0]) + b"\x00" * 16)
+        decode_audio(bytes([0xFF, 0xFB, 0x14, 0xC0]) + b"\x00" * 16)
+    # reserved bitrate index is not even sniffed as mp3 (r8 review:
+    # sync-shaped non-audio bytes like the UTF-16LE BOM stay unknown)
+    assert sniff_format(bytes([0xFF, 0xFB, 0xF4, 0xC0])) == "unknown"
+    assert sniff_format(b"\xff\xfeH\x00i\x00") == "unknown"
 
 
 def test_stereo_ms_decode():
@@ -295,3 +300,50 @@ def test_mixed_block_fuzz():
             decode_mp3(bytes(mutated))
         except Mp3Error:
             pass
+
+
+def test_id3v1_trailer_does_not_abort():
+    """r8 review: trailing non-frame bytes (the ID3v1 'TAG' trailer on
+    most real files, APE tags, padding) end the decode at the last good
+    frame instead of discarding everything."""
+    s = encode_test_tone_mp3(40, 3)
+    tagged = s + b"TAG" + b"\x00" * 125
+    assert np.array_equal(decode_mp3(tagged)[0], decode_mp3(s)[0])
+    # but a stream with NO decodable frame still fails typed
+    with pytest.raises(Mp3Error):
+        decode_mp3(b"TAG" + b"\x00" * 125)
+
+
+def test_count1_straddle_discards_partial_quad():
+    """r8 review (ISO reference-decoder rule): a count1 code whose bits
+    straddle part2_3_length is discarded, not an error — real encoders
+    legally emit such granules."""
+    from tulflow_spark.ext.mp3 import GranuleInfo, _huffman_spectrum
+
+    g = GranuleInfo()
+    g.part2_3_length = 10
+    g.big_values = 0
+    g.global_gain = 210
+    g.scalefac_compress = 0
+    g.window_switching = 0
+    g.block_type = 0
+    g.mixed_block_flag = 0
+    g.table_select = [0, 0, 0]
+    g.subblock_gain = [0, 0, 0]
+    g.region0_count = 7
+    g.region1_count = 7
+    g.preflag = 0
+    g.scalefac_scale = 0
+    g.count1table_select = 1
+    # bits: '0000' (quad 1,1,1,1) + signs '0101' -> values (1,-1,1,-1);
+    # then 2 bits left before the boundary — the next peeked code '00..'
+    # would need 4 bits, so it must be discarded
+    br = BitReaderMSB(bytes([0b00000101, 0b00000000]))
+    xs = _huffman_spectrum(br, g, 48000, part2_start=0)
+    assert list(xs[:6]) == [1, -1, 1, -1, 0, 0]
+    assert br.pos == 10  # stuffing consumed exactly to the boundary
+
+
+def test_output_clipped_to_unit_range():
+    pcm, _ = decode_mp3(encode_test_tone_mp3(40, 3, global_gain=240))
+    assert np.max(np.abs(pcm)) <= 1.0

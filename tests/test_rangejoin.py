@@ -122,3 +122,23 @@ def test_negative_integral_keys_floor_not_trunc(spark):
         for r in interval_join(pts, iv, "t", "s", "e", 4).collect()
     )
     assert got == [(0, 0), (1, 1)]
+
+
+def test_case_insensitive_column_resolution(spark):
+    """r8 review: dtype lookup must mirror Spark's case-insensitive
+    column resolution (F.col('T') finds column 't')."""
+    pts = spark.createDataFrame([(1, 5)], "pid long, t long")
+    iv = spark.createDataFrame([(0, 0, 10)], "iid long, s long, e long")
+    got = interval_join(pts, iv, "T", "S", "E", 4).collect()
+    assert [(r["pid"], r["iid"]) for r in got] == [(1, 0)]
+
+
+def test_fractional_bucket_width(spark):
+    """r8 review: a float width on integral keys must keep the double
+    floor path (the integral `div` rejects DOUBLE operands)."""
+    pts = spark.createDataFrame([(i, i) for i in range(6)], "pid long, t long")
+    iv = spark.createDataFrame([(0, 1, 4)], "iid long, s long, e long")
+    got = sorted(
+        r["pid"] for r in interval_join(pts, iv, "t", "s", "e", 0.5).collect()
+    )
+    assert got == [1, 2, 3]

@@ -223,7 +223,8 @@ def ivfpq_topk_seeded(
     rows+schema+hash green instead of rows-only.  The ITERATIVE production
     fit stays :func:`build_ivfpq` (recall floor gated in vr1, determinism
     pinned in tests/test_ivfpq.py).  Returns (id, adc_s BIGINT scaled ADC
-    score, cosine_sim rounded 9)."""
+    score, cosine_sim rounded 9) with ``rerank > 0``; with ``rerank=0``
+    the re-rank stage is skipped and the frame is (id, adc_s) only."""
     import math
 
     from tulflow_spark.ext.kmeans import (

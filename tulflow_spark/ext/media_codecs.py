@@ -60,11 +60,19 @@ def sniff_format(content: bytes) -> str:
     for magic, name in _MAGIC:
         if content[: len(magic)] == magic:
             return name
-    # bare MPEG audio frame sync (11 set bits) — checked AFTER the magic
-    # table so JPEG's FF D8 FF wins (its second byte fails the sync mask
-    # anyway: 0xD8 & 0xE0 != 0xE0)
-    if len(content) >= 2 and content[0] == 0xFF \
-            and (content[1] & 0xE0) == 0xE0:
+    # bare MPEG Layer III frame sync — checked AFTER the magic table so
+    # JPEG's FF D8 FF wins.  Requires a PLAUSIBLE full header (layer III,
+    # non-reserved bitrate/sample-rate) so sync-shaped non-audio bytes
+    # (e.g. the UTF-16LE BOM FF FE, which is a valid Layer I sync) stay
+    # "unknown".
+    if (
+        len(content) >= 4
+        and content[0] == 0xFF
+        and (content[1] & 0xE0) == 0xE0      # 11-bit sync
+        and (content[1] >> 1) & 0x3 == 0x1   # layer III
+        and (content[2] >> 4) not in (0, 15)  # bitrate not free/reserved
+        and (content[2] >> 2) & 0x3 != 0x3   # sample rate not reserved
+    ):
         return "mp3"
     return "unknown"
 

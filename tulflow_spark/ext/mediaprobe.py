@@ -444,12 +444,9 @@ def probe_media_bytes(content: bytes) -> dict:
     (irrelevant fields None).  Reads only headers — O(bytes-of-metadata),
     never O(payload) except the MP3 frame walk (header-hop, no payload
     reads) — so it is safe as the first pass over 100 TB of blobs."""
+    # sniff_format recognizes bare MPEG frame sync directly (r8), so no
+    # local fallback is needed — one sniff rule, one place
     fmt = sniff_format(content)
-    if fmt == "unknown" and len(content) >= 4:
-        # bare MPEG frame sync (no ID3 prefix)
-        hdr = struct.unpack_from(">I", content, 0)[0]
-        if (hdr >> 21) & 0x7FF == 0x7FF:
-            fmt = "mp3"
     meta: dict = {
         "format": fmt,
         "width": None,

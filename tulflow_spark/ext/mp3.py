@@ -42,10 +42,18 @@ MPEG-1 audio overview literature):
   formula); this module uses an analytically generated near-equivalent
   (Blackman-windowed sinc low-pass prototype at the same pi/64 cutoff,
   unit passband gain).  Tone positions, band mapping, and the whole
-  upstream bit-exact chain are unaffected; third-party files decode with
-  a small amplitude-ripple deviation from conformant decoders (same
-  contract as the documented floor1_inverse_dB_table approximation in
-  ext/vorbis.py).  Swap in the literal table for conformance parity.
+  upstream bit-exact chain are unaffected; a stream whose tables ARE in
+  the registry decodes with a small amplitude-ripple deviation from
+  conformant decoders (same contract as the documented
+  floor1_inverse_dB_table approximation in ext/vorbis.py).  Swap in the
+  literal table for conformance parity.
+
+Real-world compatibility, stated plainly: most third-party MP3s select
+Huffman tables outside the transcribed subset and will raise the typed
+registry error — the LIMITING factor for real files is the table
+registry, not the window approximation.  The decode PIPELINE (reservoir,
+scalefactors, stereo, hybrid filterbank) is complete; per-table data
+entry is the only gap.
 
 Opus and H.264 remain typed walls (`ext/multimodal.py`);
 `ext/mediaprobe.py` still frame-walks MP3 headers without decoding.
@@ -459,13 +467,23 @@ def _huffman_spectrum(br: BitReaderMSB, g: GranuleInfo, rate: int,
         if hit is None:
             raise Mp3Error("invalid Huffman code")
         *quad, hlen = hit
+        if br.pos + hlen > end:
+            break  # partial quad straddles the granule boundary:
+            # discard it (the ISO reference decoder's rule) — the peeked
+            # bits belong to the next granule
         br.skip(hlen)
+        vals = []
         for v in quad:
             if v:
                 if br.pos >= end:
+                    vals = None  # sign bits straddle: discard the quad
                     break
                 if br.read_bit():
                     v = -v
+            vals.append(v)
+        if vals is None:
+            break
+        for v in vals:
             xs[i] = v
             i += 1
     if br.pos > end:
@@ -732,13 +750,25 @@ def _decode_mp3(content: bytes) -> tuple[np.ndarray, int]:
     pcm_parts: list[np.ndarray] = []
     frames = 0
     while pos + 4 <= len(content):
-        hdr = FrameHeader(content, pos)
+        try:
+            hdr = FrameHeader(content, pos)
+        except Mp3Error:
+            if frames:
+                # trailing non-frame bytes after a decoded stream (ID3v1
+                # 'TAG' trailer, APE tags, padding): end cleanly at the
+                # last good frame instead of discarding decoded audio
+                break
+            raise
         if rate is None:
             rate, channels = hdr.rate, hdr.channels
             overlap = [np.zeros((32, 18)) for _ in range(channels)]
             synth = [_Synthesizer() for _ in range(channels)]
         elif hdr.rate != rate or hdr.channels != channels:
-            raise Mp3Error("mid-stream rate/channel change")
+            # trailer bytes can parse as a sync-valid header with other
+            # parameters (0xFF padding, tag data); after at least one
+            # decoded frame, stop at the last good frame instead of
+            # discarding the stream (same rule as the sync-loss break)
+            break
         frames += 1
         if frames > MAX_FRAMES:
             raise Mp3Error("frame count exceeds MAX_FRAMES")
@@ -802,7 +832,10 @@ def _decode_mp3(content: bytes) -> tuple[np.ndarray, int]:
         pos += hdr.frame_size
     if not pcm_parts:
         raise Mp3Error("no decodable MP3 frames")
-    return np.concatenate(pcm_parts), rate
+    # decode_audio's contract is samples in [-1, 1]; an over-unity
+    # global_gain can push the synthesis output past it (conformant
+    # decoders clamp at the 16-bit output stage)
+    return np.clip(np.concatenate(pcm_parts), -1.0, 1.0), rate
 
 
 # ---------------------------------------------------------------------------

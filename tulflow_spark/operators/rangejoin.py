@@ -36,7 +36,7 @@ def interval_join(
     point_col: str,
     start_col: str,
     end_col: str,
-    bucket_width: int,
+    bucket_width: int | float,
     on: list[str] | None = None,
     end_inclusive: bool = False,
 ) -> DataFrame:
@@ -54,15 +54,19 @@ def interval_join(
     on = on or []
     w = F.lit(bucket_width)
     integral = {"tinyint", "smallint", "int", "bigint"}
+    exact_width = isinstance(bucket_width, int)
 
     def bucket(df: DataFrame, name: str) -> Column:
-        # Integral keys: exact floor-division in long arithmetic.  A
-        # double round-trip loses integer precision past 2^53 (epoch
-        # nanos, snowflake ids), which could silently skip a bucket.
-        # pmod is non-negative, so (c - pmod) is the floored multiple
-        # of w and the integral `div` is exact for negatives too.
+        # Integral keys (and an integral width): exact floor-division in
+        # long arithmetic.  A double round-trip loses integer precision
+        # past 2^53 (epoch nanos, snowflake ids), which could silently
+        # skip a bucket.  pmod is non-negative, so (c - pmod) is the
+        # floored multiple of w and the integral `div` is exact for
+        # negatives too.  Column lookup mirrors Spark's case-insensitive
+        # resolution (F.col("T") finds column "t").
         c = F.col(name)
-        if dict(df.dtypes)[name] in integral:
+        types = {k.lower(): v for k, v in df.dtypes}
+        if exact_width and types.get(name.lower()) in integral:
             cl = c.cast("long")
             return F.call_function("div", cl - F.pmod(cl, w), w)
         return F.floor(c.cast("double") / w).cast("long")

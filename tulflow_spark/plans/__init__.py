@@ -30,17 +30,16 @@ EXTRA_ORACLE: dict[str, str] = {}
 # the gate each round so every oracle pair eventually gets a hard driver
 # CORRECTNESS row, not just local-parity evidence).
 #
-# Round-7 rotation (r6 VERDICT #1): the 20 pairs registered after the r6
-# gate froze (never driver-adjudicated in CORRECTNESS_r01..r06) are all
-# promoted, completing cumulative adjudication at 140/140 registered
-# queries.  All other r6 gate members rotate OUT to the local parity suite
-# except 30 kept anchors: veterans whose code this round touches
-# (operators/zorder.py -> zo1; streaming/manifest_snapshot.py -> cdc2;
-# ext/mixing.py -> mx7) plus one flagship per module family so every
-# subsystem keeps a fresh driver row.
+# Round-8 rotation: r7 completed cumulative adjudication (every
+# registered query has a driver row in some round), so r8 keeps the r7
+# gate except one swap — q14_promo_revenue (driver rows r1/r6; TPC-H
+# keeps the q01/q03/q05 anchors) rotates out for the new
+# mm10_mp3_roundtrip pair.  ss9_ivfpq_topk, rows-only through r7, now
+# carries a full DuckDB oracle (seeded-parity IVFADC) and sorts into the
+# oracle-pair prefix — the gate is 50/50 hash-checkable.
 GATED: frozenset[str] = frozenset(
     {
-        # never-adjudicated oracle pairs, promoted (19)
+        # r7-promoted oracle pairs, kept (19)
         "a13_grouping_sets",
         "bm1_bm25_search",
         "bm2_phrase_search",
@@ -60,8 +59,8 @@ GATED: frozenset[str] = frozenset(
         "ss10_int8_quant",
         "x6_dynamic_xpath",
         "zo2_zorder3_layout",
-        # never-adjudicated rows-only query (1): IVF-PQ top-k — its recall
-        # floor is ALREADY oracle-gated via vr1's 10th bound
+        # oracle-paired since r8 (seeded-parity IVFADC; the production
+        # iterative fit keeps its recall floor in vr1)
         "ss9_ivfpq_topk",
         # kept anchors
         "q01_pricing_summary",

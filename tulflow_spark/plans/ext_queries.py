@@ -462,18 +462,13 @@ def ss6_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("vec_id", "cluster")
 
 
-@register(
-    "ss8_pq_topk",
-    # r7 VERDICT #7 opportunistic oracle upgrade (the ss9 recipe, minus
-    # the coarse quantizer): seeded flat-PQ codebook + scaled-int ADC,
-    # the whole index re-derived in SQL.  The ITERATIVE production
-    # pq_train/pq_topk keep their recall floor in vr1 and pins in
-    # tests/test_pq.py.
-    oracle=f"""
-    WITH corpus AS (
-      SELECT vec_id, embedding FROM embeddings WHERE vec_id <> 0
-    ),
-    q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0),
+# shared scaled-int PQ oracle fragments (ss8 flat PQ / ss9 IVFADC — r8
+# review: one copy of the codebook/encode/LUT/re-rank arithmetic, so the
+# two gate rows cannot silently desynchronize).  Both queries define a
+# `res(vec_id, pos, r)` CTE (raw values for flat PQ, coarse residuals
+# for IVFADC) plus corpus/q/vnorm/qn; `cand(vec_id, adc)` differs (the
+# IVFADC adds the q·centroid offset and the probe filter).
+_PQ_BASE_CTES = f"""
     vnorm AS (
       SELECT e.vec_id, {_DOT.format(a='e.embedding', b='e.embedding')} AS nn
       FROM corpus e CROSS JOIN generate_series(1, 64) g(i)
@@ -482,16 +477,17 @@ def ss6_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     qn AS (
       SELECT {_DOT.format(a='q.qe', b='q.qe')} AS nn
       FROM q CROSS JOIN generate_series(1, 64) g(i)
-    ),
+    )
+"""
+_PQ_CODE_CTES = """
     sd AS (
       SELECT vec_id, ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS code
       FROM (SELECT vec_id FROM corpus ORDER BY vec_id LIMIT 16)
     ),
     cb AS (
-      SELECT (g.i - 1) // 8 AS sub, s.code, (g.i - 1) % 8 AS spos,
-             CAST(e.embedding[g.i] AS DOUBLE) AS cv
-      FROM sd s JOIN corpus e USING (vec_id)
-      CROSS JOIN generate_series(1, 64) g(i)
+      SELECT (r.pos - 1) // 8 AS sub, s.code, (r.pos - 1) % 8 AS spos,
+             r.r AS cv
+      FROM sd s JOIN res r USING (vec_id)
     ),
     codes AS (
       SELECT vec_id, sub, code FROM (
@@ -501,11 +497,10 @@ def ss6_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
                ) AS rn
         FROM (
           SELECT r.vec_id, b.sub, b.code,
-                 SUM(CAST(FLOOR((CAST(r.embedding[g.i] AS DOUBLE) - b.cv)
-                                * (CAST(r.embedding[g.i] AS DOUBLE) - b.cv)
-                                * 1e12) AS BIGINT)) AS d2
-          FROM corpus r CROSS JOIN generate_series(1, 64) g(i)
-          JOIN cb b ON b.sub = (g.i - 1) // 8 AND b.spos = (g.i - 1) % 8
+                 SUM(CAST(FLOOR((r.r - b.cv) * (r.r - b.cv) * 1e12)
+                          AS BIGINT)) AS d2
+          FROM res r
+          JOIN cb b ON b.sub = (r.pos - 1) // 8 AND b.spos = (r.pos - 1) % 8
           GROUP BY r.vec_id, b.sub, b.code
         ) e
       ) WHERE rn = 1
@@ -516,18 +511,9 @@ def ss6_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
                             * b.cv * 1e12) AS BIGINT)) AS pd
       FROM cb b CROSS JOIN q
       GROUP BY b.sub, b.code
-    ),
-    cand AS (
-      SELECT vec_id, adc FROM (
-        SELECT s.vec_id, s.adc,
-               ROW_NUMBER() OVER (ORDER BY s.adc DESC, s.vec_id ASC) AS rn
-        FROM (
-          SELECT c.vec_id, SUM(l.pd) AS adc
-          FROM codes c JOIN lut l ON l.sub = c.sub AND l.code = c.code
-          GROUP BY c.vec_id
-        ) s
-      ) WHERE rn <= 50
-    ),
+    )
+"""
+_PQ_RERANK_TAIL = f"""
     qdot AS (
       SELECT e.vec_id, {_DOT.format(a='e.embedding', b='q.qe')} AS ds
       FROM corpus e CROSS JOIN q CROSS JOIN generate_series(1, 64) g(i)
@@ -548,6 +534,40 @@ def ss6_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM cand c JOIN qdot d USING (vec_id) JOIN vnorm v USING (vec_id)
       CROSS JOIN qn
     ) WHERE rn <= 10
+"""
+
+
+@register(
+    "ss8_pq_topk",
+    # r7 VERDICT #7 opportunistic oracle upgrade (the ss9 recipe, minus
+    # the coarse quantizer): seeded flat-PQ codebook + scaled-int ADC,
+    # the whole index re-derived in SQL.  The ITERATIVE production
+    # pq_train/pq_topk keep their recall floor in vr1 and pins in
+    # tests/test_pq.py.
+    oracle=f"""
+    WITH corpus AS (
+      SELECT vec_id, embedding FROM embeddings WHERE vec_id <> 0
+    ),
+    q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0),
+    {_PQ_BASE_CTES},
+    res AS (
+      SELECT e.vec_id, g.i AS pos,
+             CAST(e.embedding[g.i] AS DOUBLE) AS r
+      FROM corpus e CROSS JOIN generate_series(1, 64) g(i)
+    ),
+    {_PQ_CODE_CTES},
+    cand AS (
+      SELECT vec_id, adc FROM (
+        SELECT s.vec_id, s.adc,
+               ROW_NUMBER() OVER (ORDER BY s.adc DESC, s.vec_id ASC) AS rn
+        FROM (
+          SELECT c.vec_id, SUM(l.pd) AS adc
+          FROM codes c JOIN lut l ON l.sub = c.sub AND l.code = c.code
+          GROUP BY c.vec_id
+        ) s
+      ) WHERE rn <= 50
+    ),
+    {_PQ_RERANK_TAIL}
     """,
 )
 def ss8_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -586,19 +606,11 @@ def ss8_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
       SELECT ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS cid, embedding AS ce
       FROM (SELECT vec_id, embedding FROM corpus ORDER BY vec_id LIMIT 8)
     ),
-    vnorm AS (
-      SELECT e.vec_id, {_DOT.format(a='e.embedding', b='e.embedding')} AS nn
-      FROM corpus e CROSS JOIN generate_series(1, 64) g(i)
-      GROUP BY e.vec_id
-    ),
+    {_PQ_BASE_CTES},
     cnorm AS (
       SELECT c.cid, {_DOT.format(a='c.ce', b='c.ce')} AS nn
       FROM cent c CROSS JOIN generate_series(1, 64) g(i)
       GROUP BY c.cid
-    ),
-    qn AS (
-      SELECT {_DOT.format(a='q.qe', b='q.qe')} AS nn
-      FROM q CROSS JOIN generate_series(1, 64) g(i)
     ),
     adot AS (
       SELECT e.vec_id, c.cid, {_DOT.format(a='e.embedding', b='c.ce')} AS ds
@@ -626,38 +638,7 @@ def ss8_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM corpus e JOIN asg a USING (vec_id) JOIN cent c ON c.cid = a.cluster
       CROSS JOIN generate_series(1, 64) g(i)
     ),
-    sd AS (
-      SELECT vec_id, ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS code
-      FROM (SELECT vec_id FROM corpus ORDER BY vec_id LIMIT 16)
-    ),
-    cb AS (
-      SELECT (r.pos - 1) // 8 AS sub, s.code, (r.pos - 1) % 8 AS spos,
-             r.r AS cv
-      FROM sd s JOIN res r USING (vec_id)
-    ),
-    codes AS (
-      SELECT vec_id, sub, code FROM (
-        SELECT e.vec_id, e.sub, e.code,
-               ROW_NUMBER() OVER (
-                 PARTITION BY e.vec_id, e.sub ORDER BY e.d2 ASC, e.code ASC
-               ) AS rn
-        FROM (
-          SELECT r.vec_id, b.sub, b.code,
-                 SUM(CAST(FLOOR((r.r - b.cv) * (r.r - b.cv) * 1e12)
-                          AS BIGINT)) AS d2
-          FROM res r
-          JOIN cb b ON b.sub = (r.pos - 1) // 8 AND b.spos = (r.pos - 1) % 8
-          GROUP BY r.vec_id, b.sub, b.code
-        ) e
-      ) WHERE rn = 1
-    ),
-    lut AS (
-      SELECT b.sub, b.code,
-             SUM(CAST(FLOOR(CAST(q.qe[b.sub * 8 + b.spos + 1] AS DOUBLE)
-                            * b.cv * 1e12) AS BIGINT)) AS pd
-      FROM cb b CROSS JOIN q
-      GROUP BY b.sub, b.code
-    ),
+    {_PQ_CODE_CTES},
     off AS (
       SELECT c.cid, {_DOT.format(a='q.qe', b='c.ce')} AS ov
       FROM cent c CROSS JOIN q CROSS JOIN generate_series(1, 64) g(i)
@@ -694,26 +675,7 @@ def ss8_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         ) s
       ) WHERE rn <= 50
     ),
-    qdot AS (
-      SELECT e.vec_id, {_DOT.format(a='e.embedding', b='q.qe')} AS ds
-      FROM corpus e CROSS JOIN q CROSS JOIN generate_series(1, 64) g(i)
-      WHERE e.vec_id IN (SELECT vec_id FROM cand)
-      GROUP BY e.vec_id
-    )
-    SELECT vec_id, adc_s, cosine_sim FROM (
-      SELECT c.vec_id, CAST(c.adc AS BIGINT) AS adc_s,
-             ROUND(CAST(d.ds AS DOUBLE) /
-                   (sqrt(CAST(v.nn AS DOUBLE))
-                    * sqrt(CAST(qn.nn AS DOUBLE))), 9) AS cosine_sim,
-             ROW_NUMBER() OVER (
-               ORDER BY ROUND(CAST(d.ds AS DOUBLE) /
-                        (sqrt(CAST(v.nn AS DOUBLE))
-                         * sqrt(CAST(qn.nn AS DOUBLE))), 9) DESC,
-                        c.vec_id ASC
-             ) AS rn
-      FROM cand c JOIN qdot d USING (vec_id) JOIN vnorm v USING (vec_id)
-      CROSS JOIN qn
-    ) WHERE rn <= 10
+    {_PQ_RERANK_TAIL}
     """,
 )
 def ss9_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
