@@ -33,8 +33,10 @@ from __future__ import annotations
 
 from collections.abc import Sequence
 from dataclasses import dataclass
+from typing import Iterator
 
 import numpy as np
+import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
@@ -195,6 +197,29 @@ def ivfpq_topk(
     )
 
 
+def _codes_exact_udf(cb: list):
+    """(m, ksub, dsub) nested float lists → UDF mapping a residual
+    array<double> column to the per-subspace argmin codes, using ONLY
+    engine-reproducible arithmetic (see the call site in
+    ivfpq_topk_seeded): IEEE float64 multiply + floor, exact int64 sums,
+    first-min tie-break."""
+    from pyspark.sql.functions import pandas_udf
+
+    mat = np.asarray(cb, dtype=np.float64)  # (m, ksub, dsub)
+    m, ksub, dsub = mat.shape
+
+    @pandas_udf("array<int>")
+    def encode(batches: Iterator[pd.Series]) -> Iterator[pd.Series]:
+        for v in batches:
+            res = np.vstack(v.to_numpy()).astype(np.float64)  # (b, d)
+            sub = res.reshape(len(res), m, dsub)
+            diff = sub[:, :, None, :] - mat[None, :, :, :]
+            d2 = np.floor(diff * diff * 1e12).astype(np.int64).sum(axis=3)
+            yield pd.Series(list(d2.argmin(axis=2).astype(np.int32)))
+
+    return encode
+
+
 def ivfpq_topk_seeded(
     df: DataFrame,
     query: Sequence[float],
@@ -297,49 +322,19 @@ def ivfpq_topk_seeded(
         for s in range(m):
             cb[s].append(r[s * dsub:(s + 1) * dsub])
 
-    # encode: ONE nested higher-order-function expression against a 3-D
-    # codebook literal (m × ksub × dsub) instead of m·ksub separate
-    # aggregate subtrees — Catalyst analysis/codegen cost is the actual
-    # bottleneck at gate scale (the first formulation spent ~15 s
-    # compiling, ~0.5 s executing); per-element math is identical:
-    # d2 = Σ_i floor((r_i − c_i)² · 1e12) as exact BIGINT, ties → min code
-    cb_lit = F.array(
-        *[
-            F.array(*[_lit_vec(cb[s][c]) for c in range(ksub)])
-            for s in range(m)
-        ]
+    # encode: vectorized Arrow-batched numpy with EXACT arithmetic — the
+    # same ops the DuckDB oracle runs, element for element:
+    # d2 = Σ_i floor((r_i − c_i)² · 1e12) summed as int64 (float64
+    # multiply/floor are IEEE-identical across numpy/JVM/DuckDB; int64
+    # sums are exact), ties → first (= smallest) code via argmin.  This
+    # is the index BUILD stage, Python by the same precedent as the
+    # production pq_encode; the ADC query scan below stays pure JVM.  (A
+    # higher-order-function formulation was tried first: interpreted
+    # lambda evaluation made encode the bench bottleneck — 2M lambda
+    # terms ≈ 5 s at 2k vectors vs milliseconds here.)
+    assigned = assigned.withColumn(
+        "_codes", _codes_exact_udf(cb)(F.col("_res"))
     )
-
-    def _d2_scaled(s, c):  # lambda-var columns s, c
-        cw = F.element_at(F.element_at(cb_lit, s + 1), c + 1)
-
-        def term(acc, i):
-            diff = (
-                F.element_at(F.col("_res"), s * dsub + i + 1)
-                - F.element_at(cw, i + 1)
-            )
-            return acc + F.floor(diff * diff * F.lit(float(SCALE))).cast(
-                "long"
-            )
-
-        return F.aggregate(
-            F.sequence(F.lit(0), F.lit(dsub - 1)),
-            F.lit(0).cast("long"),
-            term,
-        )
-
-    codes_col = F.transform(
-        F.sequence(F.lit(0), F.lit(m - 1)),
-        lambda s: F.array_min(
-            F.transform(
-                F.sequence(F.lit(0), F.lit(ksub - 1)),
-                lambda c: F.struct(
-                    _d2_scaled(s, c).alias("d2"), c.alias("c")
-                ),
-            )
-        ).getField("c"),
-    )
-    assigned = assigned.withColumn("_codes", codes_col)
 
     # ADC model: LUT + per-cluster offsets, exact ints (mirrored in SQL
     # from the same data-derived codebook)
