@@ -347,3 +347,53 @@ def test_count1_straddle_discards_partial_quad():
 def test_output_clipped_to_unit_range():
     pcm, _ = decode_mp3(encode_test_tone_mp3(40, 3, global_gain=240))
     assert np.max(np.abs(pcm)) <= 1.0
+
+
+# ---------------------------------------------------------------------------
+# property tests (hypothesis) — MSB bit reader invariants
+# ---------------------------------------------------------------------------
+
+from hypothesis import given, settings  # noqa: E402
+from hypothesis import strategies as st  # noqa: E402
+
+
+@given(st.lists(st.tuples(st.integers(0, (1 << 24) - 1),
+                          st.integers(1, 24)),
+                min_size=1, max_size=40))
+@settings(max_examples=60, deadline=None)
+def test_msb_bitreader_roundtrips_msb_writer(fields):
+    """Any (value, width) sequence written MSB-first reads back exactly."""
+    bits: list[int] = []
+    for v, n in fields:
+        v &= (1 << n) - 1
+        for i in range(n - 1, -1, -1):
+            bits.append((v >> i) & 1)
+    data = bytearray((len(bits) + 7) // 8)
+    for i, b in enumerate(bits):
+        if b:
+            data[i >> 3] |= 1 << (7 - (i & 7))
+    br = BitReaderMSB(bytes(data))
+    for v, n in fields:
+        assert br.read(n) == (v & ((1 << n) - 1))
+
+
+@given(st.binary(min_size=0, max_size=24),
+       st.lists(st.integers(1, 20), min_size=1, max_size=30))
+@settings(max_examples=80, deadline=None)
+def test_msb_peek_skip_equals_read(data, widths):
+    """peek(n) then skip(n) must consume exactly what read(n) returns,
+    from any interleaving and at any position — including peeks past the
+    end (zero-padded) so long as consumption stays in bounds."""
+    a, b = BitReaderMSB(data), BitReaderMSB(data)
+    for n in widths:
+        peeked = a.peek(n)
+        if a.pos + n > 8 * len(data):
+            with pytest.raises(Mp3Error):
+                a.skip(n)
+            with pytest.raises(Mp3Error):
+                b.read(n)
+            break
+        want = b.read(n)
+        assert peeked == want
+        a.skip(n)
+        assert a.pos == b.pos

@@ -1186,12 +1186,18 @@ def mm10_mp3_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
             rows = []
             for doc_id in pdf["doc_id"]:
                 d = int(doc_id)
-                # line_k <= 416 keeps worst-case main data (53 B) plus
-                # the 20 B reservoir shift inside the 75 B frame payload
-                line_k = 20 + (d % 100) * 4
+                # every fifth stream uses mixed blocks (window switching,
+                # tone in the long lower-two-subband region) so that
+                # decode path is driver-proven too; the rest: line_k <=
+                # 416 keeps worst-case main data (53 B) plus the 20 B
+                # reservoir shift inside the 75 B frame payload
+                mixed = d % 5 == 0
+                line_k = 5 + (d % 30) if mixed else 20 + (d % 100) * 4
                 n_frames = 3 + d % 4
                 pcm, rate = decode_audio(encode_test_tone_mp3(
-                    line_k, n_frames, reservoir_bytes=(d % 3) * 10
+                    line_k, n_frames,
+                    reservoir_bytes=0 if mixed else (d % 3) * 10,
+                    mixed_block=mixed,
                 ))
                 mid = pcm[1152:1152 + 2304].astype(np.float64)
                 peak = int(np.argmax(np.abs(np.fft.rfft(mid))))
