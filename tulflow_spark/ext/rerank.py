@@ -69,11 +69,16 @@ def token_jaccard_scorer(q: pd.Series, d: pd.Series) -> list[float]:
 def model_cross_encoder(*_args, **_kwargs):
     """The production scorer slot: a cross-encoder forward pass over
     (query, doc) text batches.  Requires torch + transformers, which this
-    container does not ship — typed wall, not a silent fallback."""
+    container does not ship — typed wall, not a silent fallback.  The
+    same slot hosts working dependency-free models today:
+    ext/numeric_scorer (JSON weights, logistic) and ext/onnx_mini
+    (real .onnx files through a stdlib protobuf walker + numpy op
+    registry — rr4's driver-gated path)."""
     raise NotImplementedError(
         "cross-encoder scoring requires torch/transformers; pass a "
         "scorer= callable (batch: pd.Series, pd.Series -> list[float]) "
-        "wrapping your model"
+        "wrapping your model — e.g. ext.onnx_mini.load_onnx_scorer(path) "
+        "for a small ONNX MLP"
     )
 
 

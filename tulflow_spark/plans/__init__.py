@@ -97,7 +97,10 @@ GATED: frozenset[str] = frozenset(
         # place of the a12 anchor (driver row r6)
         "mm8_vorbis_roundtrip",
         "mm1_media_roundtrip",
-        "url1_canonical_dedup",
+        # r8: url1_canonical_dedup rotated out (driver row r7; the dedup
+        # family keeps dd1/dd3/dd10/dd12) to budget the slot for the new
+        # ONNX scorer-slot pair
+        "rr4_onnx_rerank",
         "tr1_train_shuffle",
         # new this round (r6 VERDICT #4): numeric-model re-rank slot proof
         # — driver-gated in place of the a4 anchor (driver rows r2 + r6)
