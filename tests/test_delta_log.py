@@ -1,0 +1,174 @@
+"""ext/delta_log.py: the public Delta Lake transaction-log protocol on
+plain parquet + JSON — replay, time travel, checkpoints, OCC.
+
+Golden strategy: beside writer/reader roundtrips, a THIRD-PARTY-shaped
+log is hand-written JSON-line by JSON-line (independent of write_delta)
+and must replay correctly — pinning the reader against the protocol,
+not against our writer."""
+
+from __future__ import annotations
+
+import json
+
+import pytest
+
+import tulflow_spark.fsio as fsio
+from tulflow_spark.ext.delta_log import (
+    DeltaConcurrentCommit,
+    DeltaProtocolError,
+    latest_version,
+    read_delta,
+    write_checkpoint,
+    write_delta,
+)
+
+
+def _df(spark, lo, hi, tag="x"):
+    return spark.createDataFrame(
+        [(i, f"{tag}{i}") for i in range(lo, hi)], "id long, v string"
+    )
+
+
+def _ids(df):
+    return sorted(r["id"] for r in df.collect())
+
+
+def test_roundtrip_append_overwrite_timetravel(spark, tmp_path):
+    t = str(tmp_path / "tbl")
+    assert write_delta(_df(spark, 0, 10), t) == 0
+    assert write_delta(_df(spark, 10, 15), t, mode="append") == 1
+    assert write_delta(_df(spark, 99, 100), t, mode="overwrite") == 2
+    assert latest_version(t) == 2
+    assert _ids(read_delta(spark, t)) == [99]
+    assert _ids(read_delta(spark, t, version=0)) == list(range(10))
+    assert _ids(read_delta(spark, t, version=1)) == list(range(15))
+
+
+def test_mode_error_on_existing_table(spark, tmp_path):
+    t = str(tmp_path / "tbl")
+    write_delta(_df(spark, 0, 3), t)
+    with pytest.raises(DeltaProtocolError, match="already exists"):
+        write_delta(_df(spark, 0, 3), t)
+
+
+def test_occ_stale_base_and_cas(spark, tmp_path):
+    t = str(tmp_path / "tbl")
+    write_delta(_df(spark, 0, 3), t)
+    write_delta(_df(spark, 3, 6), t, mode="append")  # v1
+    with pytest.raises(DeltaConcurrentCommit, match="at version 1"):
+        write_delta(_df(spark, 9, 10), t, mode="append", expect_version=0)
+    # same-instant race: pin the loser's view of latest at 0 so only the
+    # version-file CAS stands between it and a lost update
+    from unittest import mock
+
+    import tulflow_spark.ext.delta_log as dl
+
+    with mock.patch.object(dl, "latest_version", return_value=0):
+        with pytest.raises(DeltaConcurrentCommit, match="another writer"):
+            write_delta(_df(spark, 9, 10), t, mode="append")
+    # table state is exactly the first two commits
+    assert _ids(read_delta(spark, t)) == list(range(6))
+
+
+def test_third_party_log_replays(spark, tmp_path):
+    """A log written BY HAND in the protocol's JSON shape (as another
+    Delta implementation would emit it) must replay: protocol + metaData
+    + adds in v0, a remove + add in v1."""
+    t = str(tmp_path / "tbl")
+    _df(spark, 0, 4).coalesce(1).write.parquet(f"{t}/d0")
+    _df(spark, 4, 8).coalesce(1).write.parquet(f"{t}/d1")
+    f0 = [n for n in fsio.list_names(f"{t}/d0") if n.endswith(".parquet")][0]
+    f1 = [n for n in fsio.list_names(f"{t}/d1") if n.endswith(".parquet")][0]
+    schema = _df(spark, 0, 1).schema.json()
+    v0 = "\n".join([
+        json.dumps({"protocol": {"minReaderVersion": 1,
+                                 "minWriterVersion": 2}}),
+        json.dumps({"metaData": {"id": "abc", "format":
+                    {"provider": "parquet", "options": {}},
+                    "schemaString": schema, "partitionColumns": [],
+                    "configuration": {}}}),
+        json.dumps({"add": {"path": f"d0/{f0}", "partitionValues": {},
+                    "size": 1, "modificationTime": 0,
+                    "dataChange": True}}),
+        # third-party logs carry commitInfo lines; readers must skip them
+        json.dumps({"commitInfo": {"operation": "WRITE"}}),
+    ])
+    v1 = "\n".join([
+        json.dumps({"remove": {"path": f"d0/{f0}", "dataChange": True,
+                    "deletionTimestamp": 1}}),
+        json.dumps({"add": {"path": f"d1/{f1}", "partitionValues": {},
+                    "size": 1, "modificationTime": 0,
+                    "dataChange": True}}),
+    ])
+    fsio.write_text(f"{t}/_delta_log/00000000000000000000.json", v0)
+    fsio.write_text(f"{t}/_delta_log/00000000000000000001.json", v1)
+    assert _ids(read_delta(spark, t, version=0)) == [0, 1, 2, 3]
+    assert _ids(read_delta(spark, t)) == [4, 5, 6, 7]
+
+
+def test_checkpoint_covers_cleaned_log(spark, tmp_path):
+    t = str(tmp_path / "tbl")
+    write_delta(_df(spark, 0, 5), t)
+    write_delta(_df(spark, 5, 8), t, mode="append")
+    write_delta(_df(spark, 8, 9), t, mode="append")
+    assert write_checkpoint(spark, t) == 2
+    # age out every checkpointed JSON commit (Delta's log cleanup)
+    for v in (0, 1, 2):
+        fsio.delete(f"{t}/_delta_log/{v:020d}.json")
+    assert _ids(read_delta(spark, t)) == list(range(9))
+    # the log keeps working past the checkpoint
+    write_delta(_df(spark, 9, 11), t, mode="append")
+    assert _ids(read_delta(spark, t)) == list(range(11))
+    # but time travel BELOW the cleaned commits fails typed
+    with pytest.raises(DeltaProtocolError, match="gaps"):
+        read_delta(spark, t, version=1)
+
+
+def test_empty_snapshot_keeps_schema(spark, tmp_path):
+    t = str(tmp_path / "tbl")
+    write_delta(_df(spark, 0, 3), t)
+    write_delta(_df(spark, 0, 0), t, mode="overwrite")  # empty table
+    out = read_delta(spark, t)
+    assert out.count() == 0
+    assert out.columns == ["id", "v"]
+    # previous version still readable
+    assert _ids(read_delta(spark, t, version=0)) == [0, 1, 2]
+
+
+def test_typed_errors(spark, tmp_path):
+    t = str(tmp_path / "none")
+    with pytest.raises(DeltaProtocolError, match="no delta log"):
+        read_delta(spark, t)
+    t2 = str(tmp_path / "tbl")
+    write_delta(_df(spark, 0, 2), t2)
+    with pytest.raises(DeltaProtocolError, match="out of range"):
+        read_delta(spark, t2, version=7)
+    # malformed action line
+    fsio.write_text(f"{t2}/_delta_log/00000000000000000001.json",
+                    "{not json")
+    with pytest.raises(DeltaProtocolError, match="malformed action"):
+        read_delta(spark, t2)
+    # reader-version wall
+    fsio.write_text(
+        f"{t2}/_delta_log/00000000000000000001.json",
+        json.dumps({"protocol": {"minReaderVersion": 3,
+                                 "minWriterVersion": 7}}),
+    )
+    with pytest.raises(DeltaProtocolError, match="reader version 3"):
+        read_delta(spark, t2)
+
+
+def test_losers_staged_files_unreferenced(spark, tmp_path):
+    """A losing commit leaves only staged files no snapshot references —
+    the table's live content is unaffected at every version."""
+    from unittest import mock
+
+    import tulflow_spark.ext.delta_log as dl
+
+    t = str(tmp_path / "tbl")
+    write_delta(_df(spark, 0, 3), t)
+    with mock.patch.object(dl, "latest_version", return_value=-1):
+        with pytest.raises(DeltaConcurrentCommit):
+            write_delta(_df(spark, 50, 60), t, mode="append",
+                        expect_version=-1)
+    assert _ids(read_delta(spark, t)) == [0, 1, 2]

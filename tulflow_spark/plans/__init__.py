@@ -96,7 +96,10 @@ GATED: frozenset[str] = frozenset(
         # new this round (r6 VERDICT #3): Vorbis decode driver-gated in
         # place of the a12 anchor (driver row r6)
         "mm8_vorbis_roundtrip",
-        "mm1_media_roundtrip",
+        # r8: mm1_media_roundtrip rotated out (driver rows r4/r7; the
+        # media family keeps mm7/mm8/mm9/mm10) to budget the slot for
+        # the new Delta-log-protocol pair
+        "dl1_delta_timetravel",
         # r8: url1_canonical_dedup rotated out (driver row r7; the dedup
         # family keeps dd1/dd3/dd10/dd12) to budget the slot for the new
         # ONNX scorer-slot pair

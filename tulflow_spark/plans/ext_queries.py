@@ -2970,6 +2970,66 @@ def rr3_numeric_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "dl1_delta_timetravel",
+    oracle="""
+    WITH v0 AS (SELECT doc_id, text FROM documents WHERE doc_id % 3 = 0),
+    v1 AS (SELECT doc_id, text FROM documents WHERE doc_id % 3 <= 1),
+    v2 AS (SELECT doc_id, text FROM documents WHERE doc_id % 5 = 0)
+    SELECT * FROM (
+      SELECT CAST(0 AS INT) AS version, COUNT(*) AS n_docs,
+             CAST(SUM(doc_id) AS BIGINT) AS sum_doc_id,
+             CAST(SUM(length(text)) AS BIGINT) AS total_chars
+      FROM v0
+      UNION ALL
+      SELECT CAST(1 AS INT), COUNT(*), CAST(SUM(doc_id) AS BIGINT),
+             CAST(SUM(length(text)) AS BIGINT)
+      FROM v1
+      UNION ALL
+      SELECT CAST(2 AS INT), COUNT(*), CAST(SUM(doc_id) AS BIGINT),
+             CAST(SUM(length(text)) AS BIGINT)
+      FROM v2
+    )
+    """,
+)
+def dl1_delta_timetravel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The PUBLIC Delta Lake log protocol end to end (r7 missing-item #4,
+    closed dependency-free by ext/delta_log.py): three commits against a
+    fresh table — write (doc_id%3=0), append (%3=1), overwrite (%5=0) —
+    then a protocol checkpoint, then snapshot reads of ALL THREE versions
+    via time travel (latest resolves through the checkpoint, older
+    versions replay the JSON commits).  The oracle recomputes each
+    version's expected content from the raw table, so a replay bug —
+    wrong tombstones, wrong add set, checkpoint drift — hash-fails."""
+    import tempfile
+
+    from tulflow_spark.ext.delta_log import (
+        read_delta,
+        write_checkpoint,
+        write_delta,
+    )
+
+    docs = table(spark, sf_dir, "documents").select("doc_id", "text")
+    t = tempfile.mkdtemp(prefix="dl1_") + "/tbl"
+    write_delta(docs.filter(F.col("doc_id") % 3 == 0), t)
+    write_delta(docs.filter(F.col("doc_id") % 3 == 1), t, mode="append")
+    write_delta(docs.filter(F.col("doc_id") % 5 == 0), t, mode="overwrite")
+    write_checkpoint(spark, t)
+    outs = []
+    for v in (0, 1, 2):
+        outs.append(
+            read_delta(spark, t, version=v)
+            .agg(
+                F.count(F.lit(1)).alias("n_docs"),
+                F.sum("doc_id").cast("bigint").alias("sum_doc_id"),
+                F.sum(F.length("text")).cast("bigint").alias("total_chars"),
+            )
+            .withColumn("version", F.lit(v).cast("int"))
+        )
+    out = outs[0].unionAll(outs[1]).unionAll(outs[2])
+    return out.select("version", "n_docs", "sum_doc_id", "total_chars")
+
+
 from tulflow_spark.ext.onnx_mini import mlp_score_sql_expr as _mlpx  # noqa: E402
 
 _RR4_ORACLE = """
