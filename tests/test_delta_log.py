@@ -172,3 +172,128 @@ def test_losers_staged_files_unreferenced(spark, tmp_path):
             write_delta(_df(spark, 50, 60), t, mode="append",
                         expect_version=-1)
     assert _ids(read_delta(spark, t)) == [0, 1, 2]
+
+
+def test_append_schema_enforced(spark, tmp_path):
+    """r8 review: schema-divergent appends must be rejected (the
+    protocol's writer duty) — silent column drift under a sampled
+    parquet footer was the failure mode."""
+    t = str(tmp_path / "tbl")
+    write_delta(_df(spark, 0, 3), t)
+    bad = spark.createDataFrame([(1, "a", 9)], "id long, v string, extra long")
+    with pytest.raises(DeltaProtocolError, match="schema mismatch"):
+        write_delta(bad, t, mode="append")
+    # overwrite MAY change the schema — recorded in a fresh metaData
+    write_delta(bad, t, mode="overwrite")
+    out = read_delta(spark, t)
+    assert out.columns == ["id", "v", "extra"]
+    # and the old version still reads with the OLD schema
+    assert read_delta(spark, t, version=0).columns == ["id", "v"]
+
+
+def test_structurally_malformed_actions_typed(spark, tmp_path):
+    t = str(tmp_path / "tbl")
+    write_delta(_df(spark, 0, 2), t)
+    for payload in (
+        json.dumps({"add": {}}),          # missing add.path
+        "5",                               # valid JSON, not an action
+        json.dumps({"remove": None}),      # null action body
+    ):
+        fsio.write_text(f"{t}/_delta_log/00000000000000000001.json", payload)
+        with pytest.raises(DeltaProtocolError, match="malformed action"):
+            read_delta(spark, t)
+        fsio.delete(f"{t}/_delta_log/00000000000000000001.json")
+    fsio.write_text(f"{t}/_delta_log/_last_checkpoint",
+                    json.dumps({"version": None}))
+    with pytest.raises(DeltaProtocolError, match="_last_checkpoint"):
+        read_delta(spark, t)
+
+
+def test_writer_duties_on_third_party_tables(spark, tmp_path):
+    """minWriterVersion wall + delta.appendOnly honored on write."""
+    t = str(tmp_path / "tbl")
+    write_delta(_df(spark, 0, 2), t)
+    schema = _df(spark, 0, 1).schema.json()
+    fsio.write_text(
+        f"{t}/_delta_log/00000000000000000001.json",
+        json.dumps({"protocol": {"minReaderVersion": 1,
+                                 "minWriterVersion": 7}}),
+    )
+    with pytest.raises(DeltaProtocolError, match="writer version 7"):
+        write_delta(_df(spark, 5, 6), t, mode="append")
+    fsio.write_text(
+        f"{t}/_delta_log/00000000000000000001.json",
+        json.dumps({"metaData": {"id": "x", "schemaString": schema,
+                    "partitionColumns": [],
+                    "configuration": {"delta.appendOnly": "true"}}}),
+    )
+    with pytest.raises(DeltaProtocolError, match="appendOnly"):
+        write_delta(_df(spark, 5, 6), t, mode="overwrite")
+    write_delta(_df(spark, 5, 6), t, mode="append")  # appends still fine
+    assert _ids(read_delta(spark, t)) == [0, 1, 5]
+
+
+def test_url_encoded_add_paths(spark, tmp_path):
+    """add.path is URL-encoded per PROTOCOL.md: a third-party log
+    referencing 'part 0.parquet' stores 'part%200.parquet'."""
+    t = str(tmp_path / "tbl")
+    _df(spark, 0, 3).coalesce(1).write.parquet(f"{t}/stage")
+    f = [n for n in fsio.list_names(f"{t}/stage") if n.endswith(".parquet")][0]
+    import shutil
+
+    shutil.move(f"{t}/stage/{f}", f"{t}/stage/part 0.parquet")
+    schema = _df(spark, 0, 1).schema.json()
+    fsio.write_text(
+        f"{t}/_delta_log/00000000000000000000.json",
+        "\n".join([
+            json.dumps({"protocol": {"minReaderVersion": 1,
+                                     "minWriterVersion": 2}}),
+            json.dumps({"metaData": {"id": "x", "format":
+                        {"provider": "parquet", "options": {}},
+                        "schemaString": schema, "partitionColumns": [],
+                        "configuration": {}}}),
+            json.dumps({"add": {"path": "stage/part%200.parquet",
+                        "partitionValues": {}, "size": 1,
+                        "modificationTime": 0, "dataChange": True}}),
+        ]),
+    )
+    assert _ids(read_delta(spark, t)) == [0, 1, 2]
+
+
+def test_multipart_checkpoint(spark, tmp_path):
+    """_last_checkpoint with parts=N names the protocol's multi-part
+    layout; the reader must assemble all parts."""
+    import pyarrow.parquet as pq
+
+    t = str(tmp_path / "tbl")
+    write_delta(_df(spark, 0, 4), t)
+    write_delta(_df(spark, 4, 8), t, mode="append")
+    # build a 2-part checkpoint by splitting our single-file one
+    write_checkpoint(spark, t)
+    single = f"{t}/_delta_log/{1:020d}.checkpoint.parquet"
+    tbl = pq.read_table(single)
+    part1 = tbl.slice(0, 2)
+    part2 = tbl.slice(2)
+    pq.write_table(
+        part1, f"{t}/_delta_log/{1:020d}.checkpoint.0000000001.0000000002.parquet")
+    pq.write_table(
+        part2, f"{t}/_delta_log/{1:020d}.checkpoint.0000000002.0000000002.parquet")
+    fsio.delete(single)
+    fsio.write_text(f"{t}/_delta_log/_last_checkpoint",
+                    json.dumps({"version": 1, "size": tbl.num_rows,
+                                "parts": 2}))
+    for v in (0, 1):
+        fsio.delete(f"{t}/_delta_log/{v:020d}.json")
+    assert _ids(read_delta(spark, t)) == list(range(8))
+
+
+def test_missing_checkpoint_falls_back_to_json(spark, tmp_path):
+    """_last_checkpoint pointing at a deleted parquet must fall back to
+    full JSON replay when the commits survive (not an anonymous Spark
+    error)."""
+    t = str(tmp_path / "tbl")
+    write_delta(_df(spark, 0, 3), t)
+    write_delta(_df(spark, 3, 5), t, mode="append")
+    write_checkpoint(spark, t)
+    fsio.delete(f"{t}/_delta_log/{1:020d}.checkpoint.parquet")
+    assert _ids(read_delta(spark, t)) == list(range(5))

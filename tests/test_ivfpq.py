@@ -193,3 +193,22 @@ def test_seeded_overlap_vs_brute_force(spark, sf_dir):
         for r in brute_force_topk(corpus, q, k=10).collect()
     }
     assert len(got & exact) >= 5
+
+
+def test_seeded_null_vector_yields_null_codes(spark):
+    """r8 review: a NULL embedding must flow through the exact-numpy
+    encode as NULL codes (and never crash the Arrow batch)."""
+    import pandas as pd
+
+    from tulflow_spark.ext.ivfpq import _codes_exact_udf
+
+    cb = [[[0.0] * 2 for _ in range(2)] for _ in range(2)]  # m=2,k=2,d=2
+    enc = _codes_exact_udf(cb)
+    df = spark.createDataFrame(
+        [(1, [0.1, 0.2, 0.3, 0.4]), (2, None), (3, [1.0, 1.0, 0.0, 0.0])],
+        "id long, _res array<double>",
+    )
+    rows = {r["id"]: r["c"] for r in
+            df.select("id", enc(F.col("_res")).alias("c")).collect()}
+    assert rows[2] is None
+    assert rows[1] is not None and len(rows[1]) == 2

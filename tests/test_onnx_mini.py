@@ -219,3 +219,16 @@ def test_load_onnx_scorer_from_path(tmp_path):
     sc = load_onnx_scorer(str(p))
     direct = OnnxScorer(parse_model(build_mlp_onnx()))
     assert sc(_Q, _D) == direct(_Q, _D)
+
+
+def test_negative_int_attribute_roundtrips():
+    """r8 review: protobuf encodes negative int64 as 10-byte two's
+    complement — the writer must terminate and the reader must decode
+    the sign (the naive varint loop hung forever)."""
+    from tulflow_spark.ext.onnx_mini import _n_node, _parse_attr, _fields
+
+    node_bytes = _n_node("Gemm", ["a"], ["y"], {"transA": -1})
+    attrs = [v for f, _w, v in _fields(node_bytes) if f == 5]
+    assert len(attrs) == 1
+    name, val = _parse_attr(attrs[0])
+    assert (name, val) == ("transA", -1)

@@ -46,6 +46,7 @@ from __future__ import annotations
 
 import json
 import uuid
+from dataclasses import dataclass, field
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql.types import StructType
@@ -92,8 +93,8 @@ def latest_version(path: str) -> int | None:
     versions = _list_log_versions(path)
     newest = versions[-1] if versions else None
     ckpt = _read_last_checkpoint(path)
-    if ckpt is not None and (newest is None or ckpt > newest):
-        return ckpt
+    if ckpt is not None and (newest is None or ckpt[0] > newest):
+        return ckpt[0]
     return newest
 
 
@@ -134,6 +135,31 @@ def write_delta(
             f"{expect_version}: re-read and retry"
         )
     version = 0 if latest is None else latest + 1
+    prior = None
+    if version > 0:
+        # writer-side protocol duties (PROTOCOL.md): refuse tables whose
+        # writer features we do not implement, honor appendOnly, and
+        # enforce the schema on append (no silent evolution)
+        prior = _replay(df.sparkSession, path, latest)
+        if prior.min_writer > 2:
+            raise DeltaProtocolError(
+                f"table requires writer version {prior.min_writer} "
+                "(constraints / generated columns / deletion vectors "
+                "not implemented)"
+            )
+        if (prior.configuration.get("delta.appendOnly") == "true"
+                and mode == "overwrite"):
+            raise DeltaProtocolError(
+                "table is delta.appendOnly=true: overwrite forbidden"
+            )
+        if mode == "append" and prior.schema_str is not None:
+            want = StructType.fromJson(json.loads(prior.schema_str))
+            if df.schema != want:
+                raise DeltaProtocolError(
+                    "append schema mismatch (no schema evolution): "
+                    f"table={want.simpleString()} "
+                    f"df={df.schema.simpleString()}"
+                )
     stage = f"commit-{uuid.uuid4().hex[:12]}"
     df.write.parquet(f"{path}/{stage}")
     fs, _p = fsio.resolve(path)
@@ -159,12 +185,17 @@ def write_delta(
         })
         actions.append(_metadata_action(df.schema))
     if mode == "overwrite" and version > 0:
-        live, _schema, _ckpt = _replay(df.sparkSession, path, latest)
-        for p in sorted(live):
+        for p in sorted(prior.live):
             actions.append({
                 "remove": {"path": p, "dataChange": True,
                            "deletionTimestamp": 0}
             })
+        if prior.schema_str is not None and df.schema != StructType.fromJson(
+            json.loads(prior.schema_str)
+        ):
+            # overwrite MAY replace the schema: record it in a fresh
+            # metaData action (Delta's overwriteSchema semantics)
+            actions.append(_metadata_action(df.schema))
     actions += adds
     body = "\n".join(json.dumps(a, separators=(",", ":")) for a in actions)
     try:
@@ -197,23 +228,41 @@ def _metadata_action(schema: StructType) -> dict:
 # ---------------------------------------------------------------------------
 
 
-def _read_last_checkpoint(path: str) -> int | None:
+def _read_last_checkpoint(path: str) -> tuple[int, int] | None:
+    """(version, parts) from _last_checkpoint, or None."""
     lc = f"{_log_dir(path)}/_last_checkpoint"
     if not fsio.exists(lc):
         return None
     fs, p = fsio.resolve(lc)
     with fs.open_input_stream(p) as stream:
         try:
-            return int(json.loads(stream.read())["version"])
-        except (ValueError, KeyError) as exc:
-            raise DeltaProtocolError(f"malformed _last_checkpoint: {exc!r}")
+            d = json.loads(stream.read())
+            return int(d["version"]), int(d.get("parts") or 1)
+        except (ValueError, KeyError, TypeError) as exc:
+            raise DeltaProtocolError(
+                f"malformed _last_checkpoint: {exc!r}"
+            ) from None
+
+
+def _checkpoint_files(path: str, version: int, parts: int) -> list[str]:
+    """Single-file or multi-part checkpoint file names (the protocol's
+    two layouts); [] when any part is missing (triggers JSON fallback)."""
+    if parts <= 1:
+        files = [f"{_log_dir(path)}/{_checkpoint_name(version)}"]
+    else:
+        files = [
+            f"{_log_dir(path)}/{version:020d}.checkpoint."
+            f"{i:010d}.{parts:010d}.parquet"
+            for i in range(1, parts + 1)
+        ]
+    return files if all(fsio.exists(f) for f in files) else []
 
 
 def _load_checkpoint(
-    spark: SparkSession, path: str, version: int
+    spark: SparkSession, files: list[str]
 ) -> tuple[dict[str, dict], str | None]:
-    """Checkpoint parquet → (live adds by path, schemaString)."""
-    cp = spark.read.parquet(f"{_log_dir(path)}/{_checkpoint_name(version)}")
+    """Checkpoint parquet part(s) → (live adds by path, schemaString)."""
+    cp = spark.read.parquet(*files)
     live: dict[str, dict] = {}
     schema_str = None
     cols = cp.columns
@@ -235,28 +284,44 @@ def _load_checkpoint(
     return live, schema_str
 
 
+@dataclass
+class Snapshot:
+    """Resolved log state at a version."""
+
+    live: dict[str, dict]          # add actions by raw add.path
+    schema_str: str | None
+    version: int
+    min_writer: int = 2
+    configuration: dict = field(default_factory=dict)
+
+
 def _replay(
     spark: SparkSession, path: str, version: int | None
-) -> tuple[dict[str, dict], str | None, int]:
-    """Replay the log up to ``version`` (latest when None) →
-    (live adds by relative path, schemaString, resolved version)."""
+) -> Snapshot:
+    """Replay the log up to ``version`` (latest when None).  Resumes from
+    the newest covering checkpoint when its parquet part(s) exist; falls
+    back to full JSON replay otherwise; typed errors for gaps, future
+    versions, and structurally malformed actions."""
     versions = _list_log_versions(path)
     ckpt = _read_last_checkpoint(path)
-    if not versions and ckpt is None:
+    ckpt_v = ckpt[0] if ckpt else None
+    if not versions and ckpt_v is None:
         raise DeltaProtocolError(f"no delta log at {path}")
     newest = max(versions[-1] if versions else -1,
-                 ckpt if ckpt is not None else -1)
+                 ckpt_v if ckpt_v is not None else -1)
     target = newest if version is None else version
     if target > newest or target < 0:
         raise DeltaProtocolError(
             f"version {target} out of range (latest is {newest})"
         )
-    live: dict[str, dict] = {}
-    schema_str: str | None = None
+    snap = Snapshot({}, None, target)
     start = 0
-    if ckpt is not None and ckpt <= target:
-        live, schema_str = _load_checkpoint(spark, path, ckpt)
-        start = ckpt + 1
+    if ckpt is not None and ckpt[0] <= target:
+        files = _checkpoint_files(path, ckpt[0], ckpt[1])
+        if files:
+            snap.live, snap.schema_str = _load_checkpoint(spark, files)
+            start = ckpt[0] + 1
+        # else: checkpoint files gone — fall back to full JSON replay
     replay = [v for v in versions if start <= v <= target]
     expected = list(range(start, target + 1))
     if replay != expected:
@@ -275,38 +340,72 @@ def _replay(
                 continue
             try:
                 action = json.loads(line)
-            except ValueError as exc:
+                _apply_action(snap, action)
+            except DeltaProtocolError:
+                raise
+            except (ValueError, KeyError, TypeError, AttributeError) as exc:
+                # valid JSON but structurally wrong (missing add.path, a
+                # bare scalar line, non-dict action bodies) must still be
+                # the typed error the module contract promises
                 raise DeltaProtocolError(
-                    f"malformed action line in commit {v}: {exc}"
+                    f"malformed action line in commit {v}: {exc!r}"
                 ) from None
-            if "add" in action:
-                live[action["add"]["path"]] = action["add"]
-            elif "remove" in action:
-                live.pop(action["remove"]["path"], None)
-            elif "metaData" in action:
-                schema_str = action["metaData"].get("schemaString")
-            elif "protocol" in action:
-                if (action["protocol"].get("minReaderVersion") or 1) > 1:
-                    raise DeltaProtocolError(
-                        "table requires reader version "
-                        f"{action['protocol']['minReaderVersion']}"
-                    )
-    return live, schema_str, target
+    return snap
+
+
+def _apply_action(snap: Snapshot, action: dict) -> None:
+    if "add" in action:
+        snap.live[action["add"]["path"]] = action["add"]
+    elif "remove" in action:
+        snap.live.pop(action["remove"]["path"], None)
+    elif "metaData" in action:
+        snap.schema_str = action["metaData"].get("schemaString")
+        snap.configuration = action["metaData"].get("configuration") or {}
+    elif "protocol" in action:
+        proto = action["protocol"]
+        if (proto.get("minReaderVersion") or 1) > 1:
+            raise DeltaProtocolError(
+                "table requires reader version "
+                f"{proto['minReaderVersion']}"
+            )
+        snap.min_writer = int(proto.get("minWriterVersion") or 2)
+    # commitInfo / txn / cdc / domainMetadata lines: skipped (reader-
+    # irrelevant at protocol version 1)
+
+
+def _scan_path(table_path: str, add_path: str) -> str:
+    """add.path is a URL-encoded RELATIVE path or an absolute URI
+    (PROTOCOL.md) — decode and resolve against the table root."""
+    from urllib.parse import unquote
+
+    p = unquote(add_path)
+    if "://" in p or p.startswith("/"):
+        return p
+    return f"{table_path}/{p}"
 
 
 def read_delta(
     spark: SparkSession, path: str, version: int | None = None
 ) -> DataFrame:
     """Snapshot read at ``version`` (latest when None) — log replay, then
-    one parquet scan over exactly the live files.  An empty snapshot
-    returns an empty frame with the metaData schema."""
-    live, schema_str, _v = _replay(spark, path, version)
-    if not live:
-        if schema_str is None:
+    one parquet scan over exactly the live files, with the metaData
+    schema applied (files from different commits cannot silently widen or
+    narrow the snapshot's columns).  An empty snapshot returns an empty
+    frame with that schema."""
+    snap = _replay(spark, path, version)
+    schema = None
+    if snap.schema_str is not None:
+        schema = StructType.fromJson(json.loads(snap.schema_str))
+    if not snap.live:
+        if schema is None:
             raise DeltaProtocolError("empty snapshot and no metaData schema")
-        schema = StructType.fromJson(json.loads(schema_str))
         return spark.createDataFrame([], schema)
-    return spark.read.parquet(*[f"{path}/{p}" for p in sorted(live)])
+    reader = spark.read
+    if schema is not None:
+        reader = reader.schema(schema)
+    return reader.parquet(
+        *[_scan_path(path, p) for p in sorted(snap.live)]
+    )
 
 
 # ---------------------------------------------------------------------------
@@ -321,7 +420,8 @@ def write_checkpoint(spark: SparkSession, path: str) -> int:
     import pyarrow as pa
     import pyarrow.parquet as pq
 
-    live, schema_str, v = _replay(spark, path, None)
+    snap = _replay(spark, path, None)
+    live, schema_str, v = snap.live, snap.schema_str, snap.version
     if schema_str is None:
         raise DeltaProtocolError("cannot checkpoint: no metaData in log")
     add_rows = [

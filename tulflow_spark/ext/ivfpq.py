@@ -211,11 +211,22 @@ def _codes_exact_udf(cb: list):
     @pandas_udf("array<int>")
     def encode(batches: Iterator[pd.Series]) -> Iterator[pd.Series]:
         for v in batches:
-            res = np.vstack(v.to_numpy()).astype(np.float64)  # (b, d)
-            sub = res.reshape(len(res), m, dsub)
-            diff = sub[:, :, None, :] - mat[None, :, :, :]
-            d2 = np.floor(diff * diff * 1e12).astype(np.int64).sum(axis=3)
-            yield pd.Series(list(d2.argmin(axis=2).astype(np.int32)))
+            vals = v.to_numpy()
+            # NULL residuals (a NULL vector upstream) must yield NULL
+            # codes, not crash the Arrow batch (r8 review)
+            mask = np.array([x is not None for x in vals], dtype=bool)
+            out = np.empty(len(vals), dtype=object)
+            out[~mask] = None
+            if mask.any():
+                res = np.vstack(vals[mask]).astype(np.float64)  # (b, d)
+                sub = res.reshape(len(res), m, dsub)
+                diff = sub[:, :, None, :] - mat[None, :, :, :]
+                d2 = np.floor(diff * diff * 1e12).astype(np.int64) \
+                    .sum(axis=3)
+                codes = d2.argmin(axis=2).astype(np.int32)
+                for idx, row in zip(np.nonzero(mask)[0], codes):
+                    out[idx] = row
+            yield pd.Series(list(out))
 
     return encode
 

@@ -374,6 +374,11 @@ def _run_model(
 
 
 def _w_varint(n: int) -> bytes:
+    if n < 0:
+        # protobuf encodes negative int64 as 10-byte two's complement
+        # (the symmetric form _parse_attr decodes); the naive loop would
+        # never terminate on Python's arithmetic right shift
+        n += 1 << 64
     out = bytearray()
     while True:
         b = n & 0x7F

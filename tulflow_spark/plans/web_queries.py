@@ -1165,9 +1165,10 @@ def mm10_mp3_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     of mm8): per-row minimal MPEG-1 Layer III streams
     (ext/mp3.py::encode_test_tone_mp3 — side info, table-1 Huffman
     big-values, a single spectral line) run through the PRODUCTION
-    decode_audio; every third stream routes its main data through the
-    bit reservoir (main_data_begin back-pointers), so the reservoir path
-    is driver-proven too.  Sample counts are analytic and the decoded
+    decode_audio; every fifth stream uses window-switching MIXED blocks,
+    and of the rest, those with doc_id % 3 != 0 route their main data
+    through the bit reservoir (main_data_begin back-pointers) — both
+    paths driver-proven.  Sample counts are analytic and the decoded
     tone must land within 1.5 DFT bins of (line_k + 0.5) * rate / 1152."""
     from collections.abc import Iterator
 
