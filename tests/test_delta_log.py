@@ -297,3 +297,46 @@ def test_missing_checkpoint_falls_back_to_json(spark, tmp_path):
     write_checkpoint(spark, t)
     fsio.delete(f"{t}/_delta_log/{1:020d}.checkpoint.parquet")
     assert _ids(read_delta(spark, t)) == list(range(5))
+
+
+def test_partitioned_write_read_roundtrip(spark, tmp_path):
+    """Hive-partitioned tables: partition values live in the LOG
+    (add.partitionValues), not the data files — the reader must inject
+    them as typed columns (a verbatim scan returns silent NULLs)."""
+    t = str(tmp_path / "tbl")
+    df = spark.createDataFrame(
+        [(i, i % 3, f"x{i}") for i in range(12)],
+        "id long, bucket int, v string",
+    )
+    write_delta(df, t, partition_by=["bucket"])
+    out = read_delta(spark, t)
+    assert sorted(out.columns) == ["bucket", "id", "v"]
+    got = {(r["id"], r["bucket"]) for r in out.collect()}
+    assert got == {(i, i % 3) for i in range(12)}
+    # append must keep the partitioning
+    df2 = spark.createDataFrame([(99, 1, "y")],
+                                "id long, bucket int, v string")
+    with pytest.raises(DeltaProtocolError, match="partitioning mismatch"):
+        write_delta(df2, t, mode="append")
+    write_delta(df2, t, mode="append", partition_by=["bucket"])
+    assert _ids(read_delta(spark, t)) == list(range(12)) + [99]
+    # checkpoint carries partitionColumns; cleaned log still partitioned
+    write_checkpoint(spark, t)
+    for v in (0, 1):
+        fsio.delete(f"{t}/_delta_log/{v:020d}.json")
+    out2 = read_delta(spark, t)
+    assert {(r["id"], r["bucket"]) for r in out2.collect()} == \
+        got | {(99, 1)}
+
+
+def test_partition_null_and_special_values(spark, tmp_path):
+    """NULL partition values (__HIVE_DEFAULT_PARTITION__ dirs) and
+    values Spark hive-escapes round-trip through the log."""
+    t = str(tmp_path / "tbl")
+    df = spark.createDataFrame(
+        [(1, "a b", "x"), (2, None, "y"), (3, "c:d", "z")],
+        "id long, part string, v string",
+    )
+    write_delta(df, t, partition_by=["part"])
+    rows = {r["id"]: r["part"] for r in read_delta(spark, t).collect()}
+    assert rows == {1: "a b", 2: None, 3: "c:d"}

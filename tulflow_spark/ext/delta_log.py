@@ -30,9 +30,11 @@ Protocol surface implemented:
   ``streaming/manifest_snapshot.py``, which remains the richer in-repo
   store with stats-based skipping and z-order layout).
 
-Scope notes (documented, typed where relevant): unpartitioned tables
-(``partitionValues`` written as ``{}``), no deletion vectors / column
-mapping / generated columns (reader fails typed on a table requiring
+Scope notes (documented, typed where relevant): hive-partitioned tables
+supported end to end (``partition_by=`` on write; the reader injects
+``partitionValues`` as typed literal columns — partition values live in
+the LOG, not the data files); no deletion vectors / column mapping /
+generated columns (reader fails typed on a table requiring
 readerVersion > 1), no vacuum (tombstoned files are simply never read).
 
 Scale shape: a commit is O(files added) JSON lines + one CAS write —
@@ -108,6 +110,7 @@ def write_delta(
     path: str,
     mode: str = "error",
     expect_version: int | None = None,
+    partition_by: list[str] | None = None,
 ) -> int:
     """Write ``df`` as a Delta commit; returns the committed version.
 
@@ -118,6 +121,9 @@ def write_delta(
     files.  ``expect_version`` pins the base version this write was
     computed against (fails fast on a stale base); with or without it,
     the version CAS is the commit point — Delta's own concurrency rule.
+    ``partition_by`` hive-partitions the data files and records the
+    protocol's partitionColumns/partitionValues; appends must keep the
+    table's partitioning.
     """
     if mode not in ("error", "append", "overwrite"):
         raise ValueError(f"unknown mode {mode!r}")
@@ -160,19 +166,41 @@ def write_delta(
                     f"table={want.simpleString()} "
                     f"df={df.schema.simpleString()}"
                 )
+        if mode == "append" and list(partition_by or []) != \
+                prior.partition_cols:
+            raise DeltaProtocolError(
+                f"append partitioning mismatch: table is partitioned by "
+                f"{prior.partition_cols}, write used "
+                f"{list(partition_by or [])}"
+            )
+    from urllib.parse import quote, unquote
+
     stage = f"commit-{uuid.uuid4().hex[:12]}"
-    df.write.parquet(f"{path}/{stage}")
+    writer = df.write
+    if partition_by:
+        writer = writer.partitionBy(*partition_by)
+    writer.parquet(f"{path}/{stage}")
     fs, _p = fsio.resolve(path)
     adds = []
-    for name in fsio.list_names(f"{path}/{stage}"):
-        if not name.endswith(".parquet"):
-            continue
-        info = fs.get_file_info(fsio.resolve(f"{path}/{stage}/{name}")[1])
+    for rel in sorted(_walk_parquet(f"{path}/{stage}")):
+        info = fs.get_file_info(fsio.resolve(f"{path}/{stage}/{rel}")[1])
         mtime = int(info.mtime.timestamp() * 1000) if info.mtime else 0
+        pv: dict[str, str | None] = {}
+        for seg in rel.split("/")[:-1]:
+            if "=" in seg:
+                k, v = seg.split("=", 1)
+                # Spark hive-escapes special chars in partition dirs;
+                # the protocol stores the LOGICAL value
+                pv[k] = None if v == "__HIVE_DEFAULT_PARTITION__" \
+                    else unquote(v)
         adds.append({
             "add": {
-                "path": f"{stage}/{name}",
-                "partitionValues": {},
+                # add.path is URL-encoded per the protocol; quoting the
+                # LITERAL on-disk path (incl. any % from Spark's own
+                # hive-escaping, which must become %25) means the
+                # reader's unquote recovers it exactly
+                "path": quote(f"{stage}/{rel}", safe="/="),
+                "partitionValues": pv,
                 "size": int(info.size),
                 "modificationTime": mtime,
                 "dataChange": True,
@@ -183,19 +211,21 @@ def write_delta(
         actions.append({
             "protocol": {"minReaderVersion": 1, "minWriterVersion": 2}
         })
-        actions.append(_metadata_action(df.schema))
+        actions.append(_metadata_action(df.schema, partition_by or []))
     if mode == "overwrite" and version > 0:
         for p in sorted(prior.live):
             actions.append({
                 "remove": {"path": p, "dataChange": True,
                            "deletionTimestamp": 0}
             })
-        if prior.schema_str is not None and df.schema != StructType.fromJson(
-            json.loads(prior.schema_str)
+        if prior.schema_str is not None and (
+            df.schema != StructType.fromJson(json.loads(prior.schema_str))
+            or list(partition_by or []) != prior.partition_cols
         ):
-            # overwrite MAY replace the schema: record it in a fresh
-            # metaData action (Delta's overwriteSchema semantics)
-            actions.append(_metadata_action(df.schema))
+            # overwrite MAY replace the schema/partitioning: record it
+            # in a fresh metaData action (Delta's overwriteSchema
+            # semantics)
+            actions.append(_metadata_action(df.schema, partition_by or []))
     actions += adds
     body = "\n".join(json.dumps(a, separators=(",", ":")) for a in actions)
     try:
@@ -211,16 +241,31 @@ def write_delta(
     return version
 
 
-def _metadata_action(schema: StructType) -> dict:
+def _metadata_action(schema: StructType,
+                     partition_cols: list[str] | None = None) -> dict:
     return {
         "metaData": {
             "id": uuid.uuid4().hex,
             "format": {"provider": "parquet", "options": {}},
             "schemaString": schema.json(),
-            "partitionColumns": [],
+            "partitionColumns": list(partition_cols or []),
             "configuration": {},
         }
     }
+
+
+def _walk_parquet(base: str, rel: str = "") -> list[str]:
+    """Relative paths of every .parquet under ``base`` (hive partition
+    dirs included)."""
+    out: list[str] = []
+    here = f"{base}/{rel}" if rel else base
+    for name in fsio.list_names(here):
+        sub = f"{rel}/{name}" if rel else name
+        if name.endswith(".parquet"):
+            out.append(sub)
+        elif fsio.is_dir(f"{base}/{sub}"):
+            out.extend(_walk_parquet(base, sub))
+    return out
 
 
 # ---------------------------------------------------------------------------
@@ -260,11 +305,13 @@ def _checkpoint_files(path: str, version: int, parts: int) -> list[str]:
 
 def _load_checkpoint(
     spark: SparkSession, files: list[str]
-) -> tuple[dict[str, dict], str | None]:
-    """Checkpoint parquet part(s) → (live adds by path, schemaString)."""
+) -> tuple[dict[str, dict], str | None, list[str]]:
+    """Checkpoint parquet part(s) → (live adds, schemaString,
+    partitionColumns)."""
     cp = spark.read.parquet(*files)
     live: dict[str, dict] = {}
     schema_str = None
+    part_cols: list[str] = []
     cols = cp.columns
     for row in cp.collect():
         d = row.asDict(recursive=True)
@@ -274,6 +321,7 @@ def _load_checkpoint(
         md = d.get("metaData") if "metaData" in cols else None
         if md and md.get("schemaString"):
             schema_str = md["schemaString"]
+            part_cols = list(md.get("partitionColumns") or [])
         proto = d.get("protocol") if "protocol" in cols else None
         if proto and (proto.get("minReaderVersion") or 1) > 1:
             raise DeltaProtocolError(
@@ -281,7 +329,7 @@ def _load_checkpoint(
                 f"{proto['minReaderVersion']} (deletion vectors / column "
                 "mapping not supported)"
             )
-    return live, schema_str
+    return live, schema_str, part_cols
 
 
 @dataclass
@@ -293,6 +341,7 @@ class Snapshot:
     version: int
     min_writer: int = 2
     configuration: dict = field(default_factory=dict)
+    partition_cols: list[str] = field(default_factory=list)
 
 
 def _replay(
@@ -319,7 +368,8 @@ def _replay(
     if ckpt is not None and ckpt[0] <= target:
         files = _checkpoint_files(path, ckpt[0], ckpt[1])
         if files:
-            snap.live, snap.schema_str = _load_checkpoint(spark, files)
+            snap.live, snap.schema_str, snap.partition_cols = \
+                _load_checkpoint(spark, files)
             start = ckpt[0] + 1
         # else: checkpoint files gone — fall back to full JSON replay
     replay = [v for v in versions if start <= v <= target]
@@ -361,6 +411,9 @@ def _apply_action(snap: Snapshot, action: dict) -> None:
     elif "metaData" in action:
         snap.schema_str = action["metaData"].get("schemaString")
         snap.configuration = action["metaData"].get("configuration") or {}
+        snap.partition_cols = list(
+            action["metaData"].get("partitionColumns") or []
+        )
     elif "protocol" in action:
         proto = action["protocol"]
         if (proto.get("minReaderVersion") or 1) > 1:
@@ -400,6 +453,47 @@ def read_delta(
         if schema is None:
             raise DeltaProtocolError("empty snapshot and no metaData schema")
         return spark.createDataFrame([], schema)
+    if snap.partition_cols:
+        # partitioned table: partition-column values live in add
+        # .partitionValues (string-encoded per the protocol), NOT in the
+        # data files — inject them as typed literals, one scan per
+        # distinct partition tuple (a verbatim scan would return the
+        # partition columns as silent NULLs)
+        if schema is None:
+            raise DeltaProtocolError(
+                "partitioned table without metaData schema"
+            )
+        from functools import reduce
+
+        from pyspark.sql import functions as F
+
+        data_schema = StructType(
+            [f for f in schema.fields if f.name not in snap.partition_cols]
+        )
+        types = {f.name: f.dataType for f in schema.fields}
+        groups: dict[tuple, list[str]] = {}
+        for p in sorted(snap.live):
+            pv = snap.live[p].get("partitionValues") or {}
+            key = tuple(
+                (c, pv.get(c)) for c in snap.partition_cols
+            )
+            groups.setdefault(key, []).append(_scan_path(path, p))
+        frames = []
+        # None partition values sort first (tuples with None can't
+        # compare to str)
+        for key, files in sorted(
+            groups.items(),
+            key=lambda kv: tuple(
+                (c, v is not None, v or "") for c, v in kv[0]
+            ),
+        ):
+            df = spark.read.schema(data_schema).parquet(*files)
+            for c, raw in key:
+                df = df.withColumn(
+                    c, F.lit(raw).cast(types[c])
+                )
+            frames.append(df.select([f.name for f in schema.fields]))
+        return reduce(lambda a, b: a.unionAll(b), frames)
     reader = spark.read
     if schema is not None:
         reader = reader.schema(schema)
@@ -458,7 +552,7 @@ def write_checkpoint(spark: SparkSession, path: str) -> int:
     metas: list = [
         None,
         {"id": uuid.uuid4().hex, "schemaString": schema_str,
-         "partitionColumns": []},
+         "partitionColumns": list(snap.partition_cols)},
     ] + [None] * len(add_rows)
     protos: list = [
         {"minReaderVersion": 1, "minWriterVersion": 2},
