@@ -340,3 +340,43 @@ def test_partition_null_and_special_values(spark, tmp_path):
     write_delta(df, t, partition_by=["part"])
     rows = {r["id"]: r["part"] for r in read_delta(spark, t).collect()}
     assert rows == {1: "a b", 2: None, 3: "c:d"}
+
+
+def test_empty_string_partition_value_refused(spark, tmp_path):
+    """r8 review: hive layout maps '' and NULL to the same dir — logging
+    null for '' would silently corrupt the table, so the writer refuses
+    typed."""
+    t = str(tmp_path / "tbl")
+    df = spark.createDataFrame([(1, "", "x")],
+                               "id long, part string, v string")
+    with pytest.raises(DeltaProtocolError, match="empty-string partition"):
+        write_delta(df, t, partition_by=["part"])
+
+
+def test_malformed_partition_state_typed(spark, tmp_path):
+    """Missing partitionValues keys and unparseable values are protocol
+    errors, not silent NULLs."""
+    t = str(tmp_path / "tbl")
+    df = spark.createDataFrame([(1, 2, "x")],
+                               "id long, bucket int, v string")
+    write_delta(df, t, partition_by=["bucket"])
+    # rewrite v0 with a corrupted add: value not parseable as int
+    log = f"{t}/_delta_log/00000000000000000000.json"
+    fs, lp = fsio.resolve(log)
+    with fs.open_input_stream(lp) as stream:
+        lines = stream.read().decode().splitlines()
+    bad = [json.loads(x) for x in lines]
+    for a in bad:
+        if "add" in a:
+            a["add"]["partitionValues"] = {"bucket": "abc"}
+    fsio.delete(log)
+    fsio.write_text(log, "\n".join(json.dumps(a) for a in bad))
+    with pytest.raises(DeltaProtocolError, match="does not parse as int"):
+        read_delta(spark, t).collect()
+    for a in bad:
+        if "add" in a:
+            a["add"]["partitionValues"] = {}
+    fsio.delete(log)
+    fsio.write_text(log, "\n".join(json.dumps(a) for a in bad))
+    with pytest.raises(DeltaProtocolError, match="missing partitionValues"):
+        read_delta(spark, t).collect()

@@ -178,13 +178,32 @@ def write_delta(
     stage = f"commit-{uuid.uuid4().hex[:12]}"
     writer = df.write
     if partition_by:
+        # hive dir layout cannot distinguish an empty-string partition
+        # value from NULL (Spark writes both as
+        # __HIVE_DEFAULT_PARTITION__); conformant Delta writers log the
+        # value from the DATA, so silently logging null here would
+        # corrupt the table for every reader — refuse typed instead
+        from pyspark.sql import functions as F
+        from pyspark.sql.types import StringType
+
+        str_cols = [
+            f.name for f in df.schema.fields
+            if f.name in partition_by and isinstance(f.dataType, StringType)
+        ]
+        if str_cols:
+            bad = df.where(
+                " OR ".join(f"{c} = ''" for c in str_cols)
+            ).limit(1).count()
+            if bad:
+                raise DeltaProtocolError(
+                    "empty-string partition values are indistinguishable "
+                    "from NULL in the hive dir layout: use NULL or a "
+                    "sentinel, or do not partition by this column"
+                )
         writer = writer.partitionBy(*partition_by)
     writer.parquet(f"{path}/{stage}")
-    fs, _p = fsio.resolve(path)
     adds = []
-    for rel in sorted(_walk_parquet(f"{path}/{stage}")):
-        info = fs.get_file_info(fsio.resolve(f"{path}/{stage}/{rel}")[1])
-        mtime = int(info.mtime.timestamp() * 1000) if info.mtime else 0
+    for rel, size, mtime in sorted(_staged_files(f"{path}/{stage}")):
         pv: dict[str, str | None] = {}
         for seg in rel.split("/")[:-1]:
             if "=" in seg:
@@ -201,7 +220,7 @@ def write_delta(
                 # reader's unquote recovers it exactly
                 "path": quote(f"{stage}/{rel}", safe="/="),
                 "partitionValues": pv,
-                "size": int(info.size),
+                "size": size,
                 "modificationTime": mtime,
                 "dataChange": True,
             }
@@ -254,17 +273,25 @@ def _metadata_action(schema: StructType,
     }
 
 
-def _walk_parquet(base: str, rel: str = "") -> list[str]:
-    """Relative paths of every .parquet under ``base`` (hive partition
-    dirs included)."""
-    out: list[str] = []
-    here = f"{base}/{rel}" if rel else base
-    for name in fsio.list_names(here):
-        sub = f"{rel}/{name}" if rel else name
-        if name.endswith(".parquet"):
-            out.append(sub)
-        elif fsio.is_dir(f"{base}/{sub}"):
-            out.extend(_walk_parquet(base, sub))
+def _staged_files(stage_dir: str) -> list[tuple[str, int, int]]:
+    """(relative path, size, mtime_ms) of every .parquet under the stage
+    dir — ONE recursive FileSelector listing (r8 review: a per-directory
+    walk re-resolved each partition dir through FileSystem.from_uri,
+    which percent-decodes URI paths — silently skipping Spark's
+    hive-escaped dirs on object stores — and then re-statted every file;
+    resolving the stage dir once sidesteps both)."""
+    from pyarrow import fs as pafs
+
+    fs, base = fsio.resolve(stage_dir)
+    out = []
+    for info in fs.get_file_info(pafs.FileSelector(base, recursive=True)):
+        if info.type != pafs.FileType.File:
+            continue
+        if not info.path.endswith(".parquet"):
+            continue
+        rel = info.path[len(base):].lstrip("/")
+        mtime = int(info.mtime.timestamp() * 1000) if info.mtime else 0
+        out.append((rel, int(info.size), mtime))
     return out
 
 
@@ -437,6 +464,41 @@ def _scan_path(table_path: str, add_path: str) -> str:
     return f"{table_path}/{p}"
 
 
+def _partition_value(raw: str | None, dtype, col: str):
+    """Parse the protocol's string-encoded partition value into the
+    schema's type DRIVER-SIDE, so an unparseable value is a typed
+    protocol error instead of a silent engine-cast NULL."""
+    if raw is None:
+        return None
+    import datetime
+    import decimal
+
+    from pyspark.sql import types as T
+
+    try:
+        if isinstance(dtype, (T.ByteType, T.ShortType, T.IntegerType,
+                              T.LongType)):
+            return int(raw)
+        if isinstance(dtype, (T.FloatType, T.DoubleType)):
+            return float(raw)
+        if isinstance(dtype, T.DecimalType):
+            return decimal.Decimal(raw)
+        if isinstance(dtype, T.BooleanType):
+            if raw not in ("true", "false"):
+                raise ValueError(raw)
+            return raw == "true"
+        if isinstance(dtype, T.DateType):
+            return datetime.date.fromisoformat(raw)
+        if isinstance(dtype, T.TimestampType):
+            return datetime.datetime.fromisoformat(raw)
+        return raw  # string and exotic types: pass through
+    except (ValueError, decimal.InvalidOperation) as exc:
+        raise DeltaProtocolError(
+            f"partitionValues[{col!r}] = {raw!r} does not parse as "
+            f"{dtype.simpleString()}"
+        ) from exc
+
+
 def read_delta(
     spark: SparkSession, path: str, version: int | None = None
 ) -> DataFrame:
@@ -463,10 +525,17 @@ def read_delta(
             raise DeltaProtocolError(
                 "partitioned table without metaData schema"
             )
-        from functools import reduce
-
         from pyspark.sql import functions as F
 
+        missing_cols = [
+            c for c in snap.partition_cols
+            if c not in {f.name for f in schema.fields}
+        ]
+        if missing_cols:
+            raise DeltaProtocolError(
+                f"partitionColumns {missing_cols} absent from the "
+                "metaData schema"
+            )
         data_schema = StructType(
             [f for f in schema.fields if f.name not in snap.partition_cols]
         )
@@ -474,6 +543,12 @@ def read_delta(
         groups: dict[tuple, list[str]] = {}
         for p in sorted(snap.live):
             pv = snap.live[p].get("partitionValues") or {}
+            for c in snap.partition_cols:
+                if c not in pv:
+                    raise DeltaProtocolError(
+                        f"add action {p!r} is missing partitionValues"
+                        f"[{c!r}] declared in partitionColumns"
+                    )
             key = tuple(
                 (c, pv.get(c)) for c in snap.partition_cols
             )
@@ -490,10 +565,20 @@ def read_delta(
             df = spark.read.schema(data_schema).parquet(*files)
             for c, raw in key:
                 df = df.withColumn(
-                    c, F.lit(raw).cast(types[c])
+                    c, F.lit(_partition_value(raw, types[c], c)).cast(
+                        types[c]
+                    )
                 )
             frames.append(df.select([f.name for f in schema.fields]))
-        return reduce(lambda a, b: a.unionAll(b), frames)
+        # balanced union fold: a left-deep reduce() makes the analyzer
+        # superlinear past a few hundred distinct partition tuples
+        while len(frames) > 1:
+            frames = [
+                frames[i].unionAll(frames[i + 1])
+                if i + 1 < len(frames) else frames[i]
+                for i in range(0, len(frames), 2)
+            ]
+        return frames[0]
     reader = spark.read
     if schema is not None:
         reader = reader.schema(schema)
