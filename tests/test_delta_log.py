@@ -380,3 +380,102 @@ def test_malformed_partition_state_typed(spark, tmp_path):
     fsio.write_text(log, "\n".join(json.dumps(a) for a in bad))
     with pytest.raises(DeltaProtocolError, match="missing partitionValues"):
         read_delta(spark, t).collect()
+
+
+def test_delete_where_copy_on_write(spark, tmp_path):
+    """Delta DELETE: only files containing matches are tombstoned and
+    rewritten; untouched files carry over by reference; time travel to
+    the pre-delete version is intact."""
+    from tulflow_spark.ext.delta_log import delete_where
+
+    t = str(tmp_path / "tbl")
+    # two files with disjoint id ranges (repartition by range)
+    df = spark.createDataFrame([(i, f"x{i}") for i in range(20)],
+                               "id long, v string")
+    write_delta(df.repartition(2, "id"), t)
+    v = delete_where(spark, t, "id % 2 = 0")
+    assert v == 1
+    assert _ids(read_delta(spark, t)) == [i for i in range(20) if i % 2]
+    assert _ids(read_delta(spark, t, version=0)) == list(range(20))
+    # no matches: no-op, version unchanged
+    assert delete_where(spark, t, "id > 1000") == 1
+    # delete everything: empty snapshot keeps the schema
+    assert delete_where(spark, t, "id >= 0") == 2
+    out = read_delta(spark, t)
+    assert out.count() == 0 and out.columns == ["id", "v"]
+
+
+def test_delete_where_walls(spark, tmp_path):
+    from tulflow_spark.ext.delta_log import delete_where
+
+    t = str(tmp_path / "tbl")
+    df = spark.createDataFrame([(1, 2, "x")],
+                               "id long, bucket int, v string")
+    write_delta(df, t, partition_by=["bucket"])
+    with pytest.raises(DeltaProtocolError, match="partitioned"):
+        delete_where(spark, t, "id = 1")
+    with pytest.raises(DeltaProtocolError, match="no delta table"):
+        delete_where(spark, str(tmp_path / "none"), "id = 1")
+
+
+def test_txn_watermark_and_stream_sink_idempotence(spark, tmp_path):
+    """The protocol txn action: replayed micro-batches are skipped, and
+    the watermark survives checkpoint + log cleanup."""
+    from tulflow_spark.ext.delta_log import (
+        delta_stream_sink,
+        last_txn_version,
+    )
+
+    t = str(tmp_path / "tbl")
+    sink = delta_stream_sink(t, "app-1")
+    sink(_df(spark, 0, 5), 0)
+    sink(_df(spark, 5, 8), 1)
+    assert last_txn_version(spark, t, "app-1") == 1
+    assert last_txn_version(spark, t, "other") == -1
+    # restart replays batch 1: must be a no-op
+    sink(_df(spark, 5, 8), 1)
+    assert _ids(read_delta(spark, t)) == list(range(8))
+    assert latest_version(t) == 1
+    # a second app interleaves with its own watermark
+    sink2 = delta_stream_sink(t, "app-2")
+    sink2(_df(spark, 100, 101), 0)
+    assert last_txn_version(spark, t, "app-1") == 1
+    assert last_txn_version(spark, t, "app-2") == 0
+    # watermarks survive checkpoint + JSON cleanup
+    write_checkpoint(spark, t)
+    for v in (0, 1, 2):
+        fsio.delete(f"{t}/_delta_log/{v:020d}.json")
+    assert last_txn_version(spark, t, "app-1") == 1
+    sink(_df(spark, 5, 8), 1)  # still skipped post-cleanup
+    assert latest_version(t) == 2
+    sink(_df(spark, 8, 10), 2)  # next batch appends normally
+    assert _ids(read_delta(spark, t)) == list(range(10)) + [100]
+
+
+def test_structured_stream_into_delta(spark, tmp_path):
+    """Full writeStream.foreachBatch path: a file stream drains into a
+    Delta table one file per trigger; every row lands exactly once and
+    the txn watermark tracks the last batch."""
+    from tulflow_spark.ext.delta_log import (
+        delta_stream_sink,
+        last_txn_version,
+    )
+
+    src = str(tmp_path / "src")
+    t = str(tmp_path / "tbl")
+    _df(spark, 0, 4).coalesce(1).write.parquet(f"{src}/b0")
+    _df(spark, 4, 9).coalesce(1).write.parquet(f"{src}/b1")
+    stream = (
+        spark.readStream.schema("id long, v string")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(f"{src}/*")
+    )
+    q = (
+        stream.writeStream.foreachBatch(delta_stream_sink(t, "stream-app"))
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    assert _ids(read_delta(spark, t)) == list(range(9))
+    assert last_txn_version(spark, t, "stream-app") >= 0

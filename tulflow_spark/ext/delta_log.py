@@ -111,6 +111,7 @@ def write_delta(
     mode: str = "error",
     expect_version: int | None = None,
     partition_by: list[str] | None = None,
+    txn: tuple[str, int] | None = None,
 ) -> int:
     """Write ``df`` as a Delta commit; returns the committed version.
 
@@ -123,7 +124,9 @@ def write_delta(
     the version CAS is the commit point — Delta's own concurrency rule.
     ``partition_by`` hive-partitions the data files and records the
     protocol's partitionColumns/partitionValues; appends must keep the
-    table's partitioning.
+    table's partitioning.  ``txn=(app_id, version)`` records the
+    protocol's ``txn`` action (streaming idempotence watermark — see
+    :func:`last_txn_version` / :func:`delta_stream_sink`).
     """
     if mode not in ("error", "append", "overwrite"):
         raise ValueError(f"unknown mode {mode!r}")
@@ -173,6 +176,42 @@ def write_delta(
                 f"{prior.partition_cols}, write used "
                 f"{list(partition_by or [])}"
             )
+    adds = _stage_adds(df, path, partition_by)
+    actions: list[dict] = []
+    if version == 0:
+        actions.append({
+            "protocol": {"minReaderVersion": 1, "minWriterVersion": 2}
+        })
+        actions.append(_metadata_action(df.schema, partition_by or []))
+    if mode == "overwrite" and version > 0:
+        for p in sorted(prior.live):
+            actions.append({
+                "remove": {"path": p, "dataChange": True,
+                           "deletionTimestamp": 0}
+            })
+        if prior.schema_str is not None and (
+            df.schema != StructType.fromJson(json.loads(prior.schema_str))
+            or list(partition_by or []) != prior.partition_cols
+        ):
+            # overwrite MAY replace the schema/partitioning: record it
+            # in a fresh metaData action (Delta's overwriteSchema
+            # semantics)
+            actions.append(_metadata_action(df.schema, partition_by or []))
+    actions += adds
+    if txn is not None:
+        app_id, txn_version = txn
+        actions.append({
+            "txn": {"appId": str(app_id), "version": int(txn_version),
+                    "lastUpdated": 0}
+        })
+    _publish(path, version, actions)
+    return version
+
+
+def _stage_adds(df: DataFrame, path: str,
+                partition_by: list[str] | None) -> list[dict]:
+    """Stage ``df`` as parquet under a fresh per-commit subdirectory and
+    return the protocol ``add`` actions for the staged files."""
     from urllib.parse import quote, unquote
 
     stage = f"commit-{uuid.uuid4().hex[:12]}"
@@ -183,7 +222,6 @@ def write_delta(
         # __HIVE_DEFAULT_PARTITION__); conformant Delta writers log the
         # value from the DATA, so silently logging null here would
         # corrupt the table for every reader — refuse typed instead
-        from pyspark.sql import functions as F
         from pyspark.sql.types import StringType
 
         str_cols = [
@@ -225,27 +263,11 @@ def write_delta(
                 "dataChange": True,
             }
         })
-    actions: list[dict] = []
-    if version == 0:
-        actions.append({
-            "protocol": {"minReaderVersion": 1, "minWriterVersion": 2}
-        })
-        actions.append(_metadata_action(df.schema, partition_by or []))
-    if mode == "overwrite" and version > 0:
-        for p in sorted(prior.live):
-            actions.append({
-                "remove": {"path": p, "dataChange": True,
-                           "deletionTimestamp": 0}
-            })
-        if prior.schema_str is not None and (
-            df.schema != StructType.fromJson(json.loads(prior.schema_str))
-            or list(partition_by or []) != prior.partition_cols
-        ):
-            # overwrite MAY replace the schema/partitioning: record it
-            # in a fresh metaData action (Delta's overwriteSchema
-            # semantics)
-            actions.append(_metadata_action(df.schema, partition_by or []))
-    actions += adds
+    return adds
+
+
+def _publish(path: str, version: int, actions: list[dict]) -> None:
+    """CAS-publish one commit (the Delta commit point)."""
     body = "\n".join(json.dumps(a, separators=(",", ":")) for a in actions)
     try:
         fsio.write_text_exclusive(
@@ -257,7 +279,6 @@ def write_delta(
             "this write's read and its publish: re-read and retry (this "
             "attempt's staged files are unreferenced)"
         ) from None
-    return version
 
 
 def _metadata_action(schema: StructType,
@@ -332,13 +353,14 @@ def _checkpoint_files(path: str, version: int, parts: int) -> list[str]:
 
 def _load_checkpoint(
     spark: SparkSession, files: list[str]
-) -> tuple[dict[str, dict], str | None, list[str]]:
+) -> tuple[dict[str, dict], str | None, list[str], dict[str, int]]:
     """Checkpoint parquet part(s) → (live adds, schemaString,
-    partitionColumns)."""
+    partitionColumns, txn watermarks)."""
     cp = spark.read.parquet(*files)
     live: dict[str, dict] = {}
     schema_str = None
     part_cols: list[str] = []
+    txns: dict[str, int] = {}
     cols = cp.columns
     for row in cp.collect():
         d = row.asDict(recursive=True)
@@ -349,6 +371,10 @@ def _load_checkpoint(
         if md and md.get("schemaString"):
             schema_str = md["schemaString"]
             part_cols = list(md.get("partitionColumns") or [])
+        t = d.get("txn") if "txn" in cols else None
+        if t and t.get("appId") is not None:
+            app = str(t["appId"])
+            txns[app] = max(int(t["version"]), txns.get(app, -(1 << 62)))
         proto = d.get("protocol") if "protocol" in cols else None
         if proto and (proto.get("minReaderVersion") or 1) > 1:
             raise DeltaProtocolError(
@@ -356,7 +382,7 @@ def _load_checkpoint(
                 f"{proto['minReaderVersion']} (deletion vectors / column "
                 "mapping not supported)"
             )
-    return live, schema_str, part_cols
+    return live, schema_str, part_cols, txns
 
 
 @dataclass
@@ -369,6 +395,7 @@ class Snapshot:
     min_writer: int = 2
     configuration: dict = field(default_factory=dict)
     partition_cols: list[str] = field(default_factory=list)
+    txns: dict[str, int] = field(default_factory=dict)
 
 
 def _replay(
@@ -395,8 +422,8 @@ def _replay(
     if ckpt is not None and ckpt[0] <= target:
         files = _checkpoint_files(path, ckpt[0], ckpt[1])
         if files:
-            snap.live, snap.schema_str, snap.partition_cols = \
-                _load_checkpoint(spark, files)
+            (snap.live, snap.schema_str, snap.partition_cols,
+             snap.txns) = _load_checkpoint(spark, files)
             start = ckpt[0] + 1
         # else: checkpoint files gone — fall back to full JSON replay
     replay = [v for v in versions if start <= v <= target]
@@ -449,7 +476,12 @@ def _apply_action(snap: Snapshot, action: dict) -> None:
                 f"{proto['minReaderVersion']}"
             )
         snap.min_writer = int(proto.get("minWriterVersion") or 2)
-    # commitInfo / txn / cdc / domainMetadata lines: skipped (reader-
+    elif "txn" in action:
+        t = action["txn"]
+        app = str(t["appId"])
+        snap.txns[app] = max(int(t["version"]),
+                             snap.txns.get(app, -(1 << 62)))
+    # commitInfo / cdc / domainMetadata lines: skipped (reader-
     # irrelevant at protocol version 1)
 
 
@@ -629,23 +661,32 @@ def write_checkpoint(spark: SparkSession, path: str) -> int:
         ("minReaderVersion", pa.int32()),
         ("minWriterVersion", pa.int32()),
     ])
-    n = len(add_rows) + 2
+    txn_type = pa.struct([
+        ("appId", pa.string()),
+        ("version", pa.int64()),
+    ])
+    txn_rows = sorted(snap.txns.items())
+    n = len(add_rows) + 2 + len(txn_rows)
     adds: list = [None, None] + [
         {**r, "partitionValues": list(r["partitionValues"].items())}
         for r in add_rows
-    ]
+    ] + [None] * len(txn_rows)
     metas: list = [
         None,
         {"id": uuid.uuid4().hex, "schemaString": schema_str,
          "partitionColumns": list(snap.partition_cols)},
-    ] + [None] * len(add_rows)
+    ] + [None] * (len(add_rows) + len(txn_rows))
     protos: list = [
         {"minReaderVersion": 1, "minWriterVersion": 2},
     ] + [None] * (n - 1)
+    txns_col: list = [None] * (2 + len(add_rows)) + [
+        {"appId": a, "version": v} for a, v in txn_rows
+    ]
     tbl = pa.table({
         "protocol": pa.array(protos, type=proto_type),
         "metaData": pa.array(metas, type=meta_type),
         "add": pa.array(adds, type=add_type),
+        "txn": pa.array(txns_col, type=txn_type),
     })
     fs, cp = fsio.resolve(f"{_log_dir(path)}/{_checkpoint_name(v)}")
     with fs.open_output_stream(cp) as out:
@@ -657,9 +698,121 @@ def write_checkpoint(spark: SparkSession, path: str) -> int:
     return v
 
 
+def last_txn_version(spark: SparkSession, path: str, app_id: str) -> int:
+    """The protocol ``txn`` watermark for ``app_id`` (-1 when the table
+    or the app has no recorded transaction) — the idempotence check a
+    streaming writer runs before committing a micro-batch."""
+    if latest_version(path) is None:
+        return -1
+    return _replay(spark, path, None).txns.get(str(app_id), -1)
+
+
+def delta_stream_sink(path: str, app_id: str,
+                      partition_by: list[str] | None = None):
+    """foreachBatch sink with EXACTLY-ONCE appends via ``txn`` actions:
+    each micro-batch commits with (app_id, batch_id); a replayed batch
+    (restart after a sink-side failure) finds batch_id <= the recorded
+    watermark and is skipped, and a CAS loser re-reads and re-checks —
+    Delta's own idempotent-streaming-writer recipe.
+
+        q = (stream.writeStream.foreachBatch(
+                 delta_stream_sink(path, "my-app"))
+             .option("checkpointLocation", ...).start())
+    """
+    def write_batch(batch_df: DataFrame, batch_id: int) -> None:
+        spark = batch_df.sparkSession
+        while True:
+            if last_txn_version(spark, path, app_id) >= batch_id:
+                return  # replayed micro-batch: already committed
+            mode = "append" if latest_version(path) is not None else "error"
+            try:
+                write_delta(batch_df, path, mode=mode,
+                            partition_by=partition_by,
+                            txn=(app_id, int(batch_id)))
+                return
+            except DeltaConcurrentCommit:
+                continue  # racer won this version: re-check and retry
+
+    return write_batch
+
+
+def delete_where(spark: SparkSession, path: str, condition: str,
+                 expect_version: int | None = None) -> int:
+    """Delta DELETE (copy-on-write): tombstone only the files containing
+    matches and rewrite them without the matching rows — O(matched
+    files), untouched files carry over by reference.  Returns the new
+    version (or the current one when nothing matched).  Partitioned
+    tables are a typed wall for now (filter + overwrite instead)."""
+    from urllib.parse import unquote, urlparse
+
+    latest = latest_version(path)
+    if latest is None:
+        raise DeltaProtocolError(f"no delta table at {path}")
+    if expect_version is not None and latest != expect_version:
+        raise DeltaConcurrentCommit(
+            f"table is at version {latest}, delete was computed against "
+            f"{expect_version}: re-read and retry"
+        )
+    snap = _replay(spark, path, latest)
+    if snap.partition_cols:
+        raise DeltaProtocolError(
+            "delete_where on partitioned tables not supported yet "
+            "(read, filter, and overwrite instead)"
+        )
+    if snap.min_writer > 2:
+        raise DeltaProtocolError(
+            f"table requires writer version {snap.min_writer}"
+        )
+    if snap.configuration.get("delta.appendOnly") == "true":
+        raise DeltaProtocolError(
+            "table is delta.appendOnly=true: delete forbidden"
+        )
+    if snap.schema_str is None:
+        raise DeltaProtocolError("delete_where needs a metaData schema")
+    schema = StructType.fromJson(json.loads(snap.schema_str))
+    if not snap.live:
+        return latest
+
+    def norm(u: str) -> str:
+        pr = urlparse(u)
+        return unquote(pr.path) if pr.scheme else u
+
+    from pyspark.sql import functions as F
+
+    by_scan = {norm(_scan_path(path, p)): p for p in snap.live}
+    scan = spark.read.schema(schema).parquet(*by_scan).withColumn(
+        "_f", F.input_file_name()
+    )
+    matched_scans = {
+        norm(r["_f"])
+        for r in scan.where(condition).select("_f").distinct().collect()
+    }
+    unknown = matched_scans - set(by_scan)
+    if unknown:
+        raise DeltaProtocolError(
+            f"matched files not in the snapshot: {sorted(unknown)[:3]}"
+        )
+    if not matched_scans:
+        return latest
+    keepers = spark.read.schema(schema).parquet(*sorted(matched_scans)) \
+        .where(f"NOT ({condition})")
+    actions: list[dict] = [
+        {"remove": {"path": by_scan[f], "dataChange": True,
+                    "deletionTimestamp": 0}}
+        for f in sorted(matched_scans)
+    ]
+    if keepers.limit(1).count():
+        actions += _stage_adds(keepers, path, None)
+    _publish(path, latest + 1, actions)
+    return latest + 1
+
+
 __all__ = [
     "DeltaConcurrentCommit",
     "DeltaProtocolError",
+    "delete_where",
+    "delta_stream_sink",
+    "last_txn_version",
     "latest_version",
     "read_delta",
     "write_delta",
