@@ -384,23 +384,39 @@ def test_malformed_partition_state_typed(spark, tmp_path):
 
 def test_delete_where_copy_on_write(spark, tmp_path):
     """Delta DELETE: only files containing matches are tombstoned and
-    rewritten; untouched files carry over by reference; time travel to
-    the pre-delete version is intact."""
-    from tulflow_spark.ext.delta_log import delete_where
+    rewritten; untouched files carry over BY REFERENCE (asserted on the
+    surviving add path); time travel to the pre-delete version is
+    intact."""
+    from tulflow_spark.ext.delta_log import _replay, delete_where
 
     t = str(tmp_path / "tbl")
-    # two files with disjoint id ranges (repartition by range)
-    df = spark.createDataFrame([(i, f"x{i}") for i in range(20)],
+    # two files with disjoint id ranges via two commits
+    write_delta(_df(spark, 0, 10).coalesce(1), t)
+    write_delta(_df(spark, 10, 20).coalesce(1), t, mode="append")
+    before = set(_replay(spark, t, None).live)
+    untouched = {p for p in before
+                 if 19 in _ids(spark.read.parquet(f"{t}/{p}"))}
+    assert len(untouched) == 1
+    v = delete_where(spark, t, "id < 5")
+    assert v == 2
+    after = _replay(spark, t, None).live
+    # the file with ids 10..19 contains no matches: its ORIGINAL add
+    # carries over untouched; the matched file was tombstoned+rewritten
+    assert untouched <= set(after)
+    assert not (before - untouched) & set(after)
+    assert _ids(read_delta(spark, t)) == list(range(5, 20))
+    assert _ids(read_delta(spark, t, version=1)) == list(range(20))
+    # NULL-predicate rows are KEPT (DELETE removes only condition=true)
+    t2 = str(tmp_path / "nulls")
+    df = spark.createDataFrame([(1, "x"), (2, None), (3, "x")],
                                "id long, v string")
-    write_delta(df.repartition(2, "id"), t)
-    v = delete_where(spark, t, "id % 2 = 0")
-    assert v == 1
-    assert _ids(read_delta(spark, t)) == [i for i in range(20) if i % 2]
-    assert _ids(read_delta(spark, t, version=0)) == list(range(20))
+    write_delta(df.coalesce(1), t2)
+    delete_where(spark, t2, "v = 'x'")
+    assert _ids(read_delta(spark, t2)) == [2]
     # no matches: no-op, version unchanged
-    assert delete_where(spark, t, "id > 1000") == 1
+    assert delete_where(spark, t, "id > 1000") == 2
     # delete everything: empty snapshot keeps the schema
-    assert delete_where(spark, t, "id >= 0") == 2
+    assert delete_where(spark, t, "id >= 0") == 3
     out = read_delta(spark, t)
     assert out.count() == 0 and out.columns == ["id", "v"]
 

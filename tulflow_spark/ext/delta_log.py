@@ -373,8 +373,8 @@ def _load_checkpoint(
             part_cols = list(md.get("partitionColumns") or [])
         t = d.get("txn") if "txn" in cols else None
         if t and t.get("appId") is not None:
-            app = str(t["appId"])
-            txns[app] = max(int(t["version"]), txns.get(app, -(1 << 62)))
+            # one resolved row per appId in a checkpoint
+            txns[str(t["appId"])] = int(t["version"])
         proto = d.get("protocol") if "protocol" in cols else None
         if proto and (proto.get("minReaderVersion") or 1) > 1:
             raise DeltaProtocolError(
@@ -477,10 +477,12 @@ def _apply_action(snap: Snapshot, action: dict) -> None:
             )
         snap.min_writer = int(proto.get("minWriterVersion") or 2)
     elif "txn" in action:
+        # SetTransaction is LAST-action-wins in log order (delta-spark's
+        # replay REPLACES the entry; a legitimately regressed version —
+        # e.g. a reset checkpoint location — must win, or the sink
+        # silently skips live batches)
         t = action["txn"]
-        app = str(t["appId"])
-        snap.txns[app] = max(int(t["version"]),
-                             snap.txns.get(app, -(1 << 62)))
+        snap.txns[str(t["appId"])] = int(t["version"])
     # commitInfo / cdc / domainMetadata lines: skipped (reader-
     # irrelevant at protocol version 1)
 
@@ -732,6 +734,12 @@ def delta_stream_sink(path: str, app_id: str,
                 return
             except DeltaConcurrentCommit:
                 continue  # racer won this version: re-check and retry
+            except DeltaProtocolError as exc:
+                if mode == "error" and "already exists" in str(exc):
+                    # a racer created version 0 between our existence
+                    # check and the write: re-check and append
+                    continue
+                raise
 
     return write_batch
 
@@ -774,35 +782,55 @@ def delete_where(spark: SparkSession, path: str, condition: str,
         return latest
 
     def norm(u: str) -> str:
+        # matching KEY only (input_file_name returns a URI; _scan_path
+        # may or may not carry a scheme) — never used as a scan path
         pr = urlparse(u)
         return unquote(pr.path) if pr.scheme else u
 
     from pyspark.sql import functions as F
 
-    by_scan = {norm(_scan_path(path, p)): p for p in snap.live}
-    scan = spark.read.schema(schema).parquet(*by_scan).withColumn(
-        "_f", F.input_file_name()
-    )
-    matched_scans = {
-        norm(r["_f"])
-        for r in scan.where(condition).select("_f").distinct().collect()
+    scan_paths = {ap: _scan_path(path, ap) for ap in snap.live}
+    by_norm = {norm(sp): ap for ap, sp in scan_paths.items()}
+    fcol = "_dw_file"
+    while fcol in {f.name for f in schema.fields}:
+        fcol += "_"
+    scan = spark.read.schema(schema).parquet(
+        *sorted(scan_paths.values())
+    ).withColumn(fcol, F.input_file_name())
+    matched_norms = {
+        norm(r[fcol])
+        for r in scan.where(condition).select(fcol).distinct().collect()
     }
-    unknown = matched_scans - set(by_scan)
+    unknown = matched_norms - set(by_norm)
     if unknown:
         raise DeltaProtocolError(
             f"matched files not in the snapshot: {sorted(unknown)[:3]}"
         )
-    if not matched_scans:
+    if not matched_norms:
         return latest
-    keepers = spark.read.schema(schema).parquet(*sorted(matched_scans)) \
-        .where(f"NOT ({condition})")
+    matched_adds = sorted(by_norm[n] for n in matched_norms)
+    # keepers: rows where the predicate is NOT TRUE — false OR NULL
+    # (DELETE removes only rows where the condition IS true; a plain
+    # NOT(cond) would silently drop NULL-predicate rows)
+    keepers = spark.read.schema(schema).parquet(
+        *[scan_paths[ap] for ap in matched_adds]
+    ).where(f"({condition}) IS NOT TRUE")
     actions: list[dict] = [
-        {"remove": {"path": by_scan[f], "dataChange": True,
+        {"remove": {"path": ap, "dataChange": True,
                     "deletionTimestamp": 0}}
-        for f in sorted(matched_scans)
+        for ap in matched_adds
     ]
-    if keepers.limit(1).count():
-        actions += _stage_adds(keepers, path, None)
+    # stage first, then drop empty rewrites from the parquet footers
+    # (cheap driver-side metadata reads — no extra Spark job)
+    import pyarrow.parquet as pq
+
+    for act in _stage_adds(keepers, path, None):
+        from urllib.parse import unquote as _uq
+
+        fs, fp = fsio.resolve(f"{path}/{_uq(act['add']['path'])}")
+        with fs.open_input_file(fp) as handle:
+            if pq.ParquetFile(handle).metadata.num_rows > 0:
+                actions.append(act)
     _publish(path, latest + 1, actions)
     return latest + 1
 
