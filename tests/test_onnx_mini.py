@@ -232,3 +232,33 @@ def test_negative_int_attribute_roundtrips():
     assert len(attrs) == 1
     name, val = _parse_attr(attrs[0])
     assert (name, val) == ("transA", -1)
+
+
+def test_extended_op_registry():
+    """Exp/Log/Sqrt/Softmax/ReduceSum/Concat/Flatten — the remaining ops
+    small exported MLP scorers commonly carry."""
+    x = np.asarray([[1.0, 2.0], [3.0, 4.0]])
+    m = Model(
+        [
+            Node("Exp", ["x"], ["e"]),
+            Node("Log", ["e"], ["l"]),              # == x
+            Node("Sqrt", ["l"], ["sq"]),
+            Node("Softmax", ["sq"], ["sm"], {"axis": -1}),
+            Node("Concat", ["sm", "sm"], ["cc"], {"axis": 1}),
+            Node("ReduceSum", ["cc"], ["rs"], {"keepdims": 1}),
+            Node("Flatten", ["rs"], ["y"], {"axis": 1}),
+        ],
+        {}, ["x"], ["y"],
+    )
+    out = run_model(m, {"x": x})["y"]
+    # softmax rows sum to 1; duplicated and fully reduced -> 2 per row,
+    # 4 total... keepdims+no-axes reduces ALL dims to (1,1)
+    assert out.shape == (1, 1)
+    assert out[0, 0] == pytest.approx(4.0)
+    # ReduceSum with axes as an opset-13 input tensor
+    m2 = Model(
+        [Node("ReduceSum", ["x", "ax"], ["y"], {"keepdims": 0})],
+        {"ax": np.asarray([1])}, ["x"], ["y"],
+    )
+    got = run_model(m2, {"x": x})["y"]
+    assert np.allclose(got, [3.0, 7.0])

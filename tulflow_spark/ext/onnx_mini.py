@@ -14,8 +14,9 @@ Everything here is built from PUBLIC formats:
   AttributeProto.name=1/f=2/i=3; TensorProto.dims=1/data_type=2/
   float_data=4/int64_data=7/name=8/raw_data=9/double_data=10);
 - a numpy executor for the small-MLP op subset a re-rank scorer needs
-  (Gemm, MatMul, Add/Sub/Mul/Div, Relu/Sigmoid/Tanh, Abs/Floor/Sign/
-  Neg/Identity, 3-input Clip).  Unsupported ops raise a typed
+  (Gemm, MatMul, Add/Sub/Mul/Div, Relu/Sigmoid/Tanh/Softmax,
+  Exp/Log/Sqrt, Abs/Floor/Sign/Neg/Identity, ReduceSum, Concat,
+  Flatten, 3-input Clip).  Unsupported ops raise a typed
   :class:`OnnxError` naming the op — the registry pattern of
   ``ext/mp3.py``'s Huffman tables.
 
@@ -355,6 +356,35 @@ def _run_model(
             lo = get(n.inputs[1]) if len(n.inputs) > 1 else None
             hi = get(n.inputs[2]) if len(n.inputs) > 2 else None
             out = np.clip(x, lo, hi)
+        elif t == "Exp":
+            out = np.exp(get(n.inputs[0]))
+        elif t == "Log":
+            out = np.log(get(n.inputs[0]))
+        elif t == "Sqrt":
+            out = np.sqrt(get(n.inputs[0]))
+        elif t == "Softmax":
+            x = get(n.inputs[0])
+            axis = int(n.attrs.get("axis", -1))
+            shifted = x - np.max(x, axis=axis, keepdims=True)
+            e = np.exp(shifted)
+            out = e / np.sum(e, axis=axis, keepdims=True)
+        elif t == "ReduceSum":
+            x = get(n.inputs[0])
+            if len(n.inputs) > 1:  # opset-13 form: axes as an input
+                axes = tuple(int(a) for a in
+                             np.asarray(get(n.inputs[1])).reshape(-1))
+            else:
+                axes = None
+            keep = bool(n.attrs.get("keepdims", 1))
+            out = np.sum(x, axis=axes, keepdims=keep)
+        elif t == "Concat":
+            axis = int(n.attrs.get("axis", 0))
+            out = np.concatenate([get(i) for i in n.inputs], axis=axis)
+        elif t == "Flatten":
+            x = get(n.inputs[0])
+            axis = int(n.attrs.get("axis", 1))
+            lead = int(np.prod(x.shape[:axis])) if axis else 1
+            out = x.reshape(lead, -1)
         else:
             raise OnnxError(
                 f"op {t!r} not in the executor registry (add it to "
