@@ -495,3 +495,82 @@ def test_structured_stream_into_delta(spark, tmp_path):
     q.awaitTermination(120)
     assert _ids(read_delta(spark, t)) == list(range(9))
     assert last_txn_version(spark, t, "stream-app") >= 0
+
+
+def test_checkpoint_preserves_appendonly_configuration(spark, tmp_path):
+    """r8 ADVICE (high): a snapshot resumed from a checkpoint must keep
+    metaData.configuration — delta.appendOnly enforcement survived a
+    full JSON replay but lapsed after write_checkpoint."""
+    t = str(tmp_path / "tbl")
+    write_delta(_df(spark, 0, 2), t)
+    schema = _df(spark, 0, 1).schema.json()
+    fsio.write_text(
+        f"{t}/_delta_log/00000000000000000001.json",
+        json.dumps({"metaData": {"id": "tbl-ao", "schemaString": schema,
+                    "partitionColumns": [],
+                    "configuration": {"delta.appendOnly": "true"}}}),
+    )
+    with pytest.raises(DeltaProtocolError, match="appendOnly"):
+        write_delta(_df(spark, 5, 6), t, mode="overwrite")
+    write_checkpoint(spark, t)
+    for v in (0, 1):
+        fsio.delete(f"{t}/_delta_log/{v:020d}.json")
+    # the wall must still hold when the snapshot replays from the
+    # checkpoint alone (this exact sequence was accepted pre-fix)
+    with pytest.raises(DeltaProtocolError, match="appendOnly"):
+        write_delta(_df(spark, 5, 6), t, mode="overwrite")
+    from tulflow_spark.ext.delta_log import delete_where
+
+    with pytest.raises(DeltaProtocolError, match="appendOnly"):
+        delete_where(spark, t, "id = 0")
+    write_delta(_df(spark, 5, 6), t, mode="append")  # appends still fine
+    assert _ids(read_delta(spark, t)) == [0, 1, 5]
+
+
+def test_checkpoint_preserves_writer_version_and_id(spark, tmp_path):
+    """r8 ADVICE (medium): write_checkpoint must persist the table's
+    RECORDED protocol and metaData id, not hardcode writer version 2."""
+    from tulflow_spark.ext.delta_log import _replay
+
+    t = str(tmp_path / "tbl")
+    write_delta(_df(spark, 0, 2), t)
+    orig_id = _replay(spark, t, None).meta_id
+    assert orig_id  # write path records a metaData id
+    fsio.write_text(
+        f"{t}/_delta_log/00000000000000000001.json",
+        json.dumps({"protocol": {"minReaderVersion": 1,
+                                 "minWriterVersion": 7}}),
+    )
+    write_checkpoint(spark, t)
+    for v in (0, 1):
+        fsio.delete(f"{t}/_delta_log/{v:020d}.json")
+    snap = _replay(spark, t, None)
+    assert snap.min_writer == 7
+    assert snap.meta_id == orig_id  # identity stable across checkpoint
+    with pytest.raises(DeltaProtocolError, match="writer version 7"):
+        write_delta(_df(spark, 5, 6), t, mode="append")
+
+
+def test_stream_sink_zombie_twin_exactly_once(spark, tmp_path, monkeypatch):
+    """r8 ADVICE (medium): a concurrent same-app writer committing the
+    same batch between the sink's watermark check and its CAS must NOT
+    append the batch twice — expect_version forces the conflict."""
+    import tulflow_spark.ext.delta_log as dl
+
+    t = str(tmp_path / "tbl")
+    dl.write_delta(_df(spark, 0, 3), t)
+    real = dl.write_delta
+    fired = {"n": 0}
+
+    def racy(df, path, **kw):
+        if fired["n"] == 0:
+            fired["n"] += 1
+            # the zombie twin lands the SAME (app, batch) first
+            real(_df(spark, 10, 13), path, mode="append", txn=kw.get("txn"))
+        return real(df, path, **kw)
+
+    monkeypatch.setattr(dl, "write_delta", racy)
+    sink = dl.delta_stream_sink(t, "app-z")
+    sink(_df(spark, 10, 13), 0)
+    assert _ids(read_delta(spark, t)) == [0, 1, 2, 10, 11, 12]
+    assert dl.last_txn_version(spark, t, "app-z") == 0

@@ -559,3 +559,93 @@ def test_id3v2_absent_returns_empty():
     from tulflow_spark.ext.mediaprobe import parse_id3v2
 
     assert parse_id3v2(make_mp3_frames(2)) == {}
+
+
+# ---------------------------------------------------------------------------
+# MPEG Layer I/II probe coverage (r8 ADVICE: the strict Layer III sniff
+# narrowed probing; restored via a two-consecutive-header rule)
+# ---------------------------------------------------------------------------
+
+
+def make_mpeg_frames(n, layer, kbps, rate, version=3, mode=3):
+    """Hand-built MPEG1/2 Layer I/II/III frames (header + zero payload)."""
+    from tulflow_spark.ext.media_codecs import _MPEG_KBPS, _MPEG_RATES
+
+    br_idx = _MPEG_KBPS[(version == 3, layer)].index(kbps)
+    sr_idx = _MPEG_RATES[version].index(rate)
+    out = bytearray()
+    for _ in range(n):
+        hdr = (
+            0x7FF << 21
+            | version << 19
+            | (4 - layer) << 17
+            | 0x1 << 16  # no CRC
+            | br_idx << 12
+            | sr_idx << 10
+            | 0 << 9     # no padding
+            | mode << 6
+        )
+        if layer == 1:
+            frame_len = (12 * kbps * 1000 // rate) * 4
+        else:
+            spf = 1152 if (layer == 2 or version == 3) else 576
+            frame_len = spf // 8 * kbps * 1000 // rate
+        out += struct.pack(">I", hdr) + b"\x00" * (frame_len - 4)
+    return bytes(out)
+
+
+def test_layer2_stream_probes():
+    from tulflow_spark.ext.media_codecs import sniff_format
+
+    data = make_mpeg_frames(5, layer=2, kbps=64, rate=44100)
+    assert sniff_format(data) == "mp3"
+    info = probe_mp3(data)
+    assert info.layer == 2 and info.n_frames == 5
+    assert info.sample_rate == 44100 and info.channels == 1
+    assert info.duration_ms == 5 * 1152 * 1000 // 44100
+    meta = probe_media_bytes(data)
+    assert meta["codec"] == "mpeg-L2" and meta["n_frames"] == 5
+
+
+def test_layer1_mpeg2_stream_probes():
+    from tulflow_spark.ext.media_codecs import sniff_format
+
+    data = make_mpeg_frames(4, layer=1, kbps=144, rate=22050, version=2)
+    assert sniff_format(data) == "mp3"
+    info = probe_mp3(data)
+    assert info.layer == 1 and info.n_frames == 4
+    # Layer I: 384 samples per frame regardless of version
+    assert info.duration_ms == 4 * 384 * 1000 // 22050
+
+
+def test_single_layer1_sync_in_text_stays_unknown():
+    """UTF-16LE text starts FF FE — a valid Layer I sync with plausible
+    header bytes; without a second consistent frame header it must not
+    sniff as audio (the r8 false-positive fix, preserved)."""
+    from tulflow_spark.ext.media_codecs import sniff_format
+
+    text = "Hello, world — plain UTF-16 text".encode("utf-16-le")
+    assert sniff_format(b"\xff\xfe" + text) == "unknown"
+
+
+def test_single_layer3_header_still_sniffs():
+    """A lone Layer III frame keeps its r8 single-header rule."""
+    from tulflow_spark.ext.media_codecs import sniff_format
+
+    one = make_mp3_frames(1, kbps=128, rate=44100)
+    assert sniff_format(one) == "mp3"
+
+
+def test_mpeg_audio_header_reserved_fields_rejected():
+    from tulflow_spark.ext.media_codecs import mpeg_audio_header
+
+    good = make_mpeg_frames(1, layer=2, kbps=64, rate=44100)
+    assert mpeg_audio_header(good) is not None
+    bad_ver = bytes([good[0], (good[1] & ~0x18) | 0x08, good[2], good[3]])
+    assert mpeg_audio_header(bad_ver) is None       # reserved version
+    bad_layer = bytes([good[0], good[1] & ~0x06, good[2], good[3]])
+    assert mpeg_audio_header(bad_layer) is None     # reserved layer
+    free = bytes([good[0], good[1], good[2] & 0x0F, good[3]])
+    assert mpeg_audio_header(free) is None          # free-format
+    bad_sr = bytes([good[0], good[1], good[2] | 0x0C, good[3]])
+    assert mpeg_audio_header(bad_sr) is None        # reserved rate

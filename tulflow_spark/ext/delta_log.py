@@ -28,7 +28,14 @@ Protocol surface implemented:
   :class:`DeltaConcurrentCommit`, the loser's staged files are
   unreferenced (Delta's own commit rule; the same contract as
   ``streaming/manifest_snapshot.py``, which remains the richer in-repo
-  store with stats-based skipping and z-order layout).
+  store with stats-based skipping and z-order layout).  CAVEAT (same as
+  ``manifest_snapshot.commit``): ``write_text_exclusive`` is a true
+  atomic create-if-absent on local/HDFS filesystems but DEGRADES to
+  check-then-write on object stores without a conditional-put API,
+  leaving a lost-update window there — exactly why Delta itself requires
+  a LogStore with mutual exclusion on S3.  When that window matters,
+  front the log with a conditional-put store or an external lock; the
+  exactly-once claims of :func:`delta_stream_sink` inherit this caveat.
 
 Scope notes (documented, typed where relevant): hive-partitioned tables
 supported end to end (``partition_by=`` on write; the reader injects
@@ -267,7 +274,9 @@ def _stage_adds(df: DataFrame, path: str,
 
 
 def _publish(path: str, version: int, actions: list[dict]) -> None:
-    """CAS-publish one commit (the Delta commit point)."""
+    """CAS-publish one commit (the Delta commit point).  Atomic on
+    local/HDFS; on object stores without conditional put this degrades
+    to check-then-write (see module docstring)."""
     body = "\n".join(json.dumps(a, separators=(",", ":")) for a in actions)
     try:
         fsio.write_text_exclusive(
@@ -352,37 +361,40 @@ def _checkpoint_files(path: str, version: int, parts: int) -> list[str]:
 
 
 def _load_checkpoint(
-    spark: SparkSession, files: list[str]
-) -> tuple[dict[str, dict], str | None, list[str], dict[str, int]]:
-    """Checkpoint parquet part(s) → (live adds, schemaString,
-    partitionColumns, txn watermarks)."""
+    spark: SparkSession, files: list[str], snap: "Snapshot"
+) -> None:
+    """Replay checkpoint parquet part(s) into ``snap``: live adds,
+    metaData (schemaString / partitionColumns / id / configuration) and
+    the FULL protocol row — a snapshot resumed from a checkpoint must
+    carry the same minWriterVersion and delta.appendOnly state as a full
+    JSON replay, or writer-side protocol duties silently lapse."""
     cp = spark.read.parquet(*files)
-    live: dict[str, dict] = {}
-    schema_str = None
-    part_cols: list[str] = []
-    txns: dict[str, int] = {}
     cols = cp.columns
     for row in cp.collect():
         d = row.asDict(recursive=True)
         add = d.get("add") if "add" in cols else None
         if add and add.get("path"):
-            live[add["path"]] = add
+            snap.live[add["path"]] = add
         md = d.get("metaData") if "metaData" in cols else None
         if md and md.get("schemaString"):
-            schema_str = md["schemaString"]
-            part_cols = list(md.get("partitionColumns") or [])
+            snap.schema_str = md["schemaString"]
+            snap.partition_cols = list(md.get("partitionColumns") or [])
+            snap.configuration = dict(md.get("configuration") or {})
+            if md.get("id"):
+                snap.meta_id = str(md["id"])
         t = d.get("txn") if "txn" in cols else None
         if t and t.get("appId") is not None:
             # one resolved row per appId in a checkpoint
-            txns[str(t["appId"])] = int(t["version"])
+            snap.txns[str(t["appId"])] = int(t["version"])
         proto = d.get("protocol") if "protocol" in cols else None
-        if proto and (proto.get("minReaderVersion") or 1) > 1:
-            raise DeltaProtocolError(
-                f"table requires reader version "
-                f"{proto['minReaderVersion']} (deletion vectors / column "
-                "mapping not supported)"
-            )
-    return live, schema_str, part_cols, txns
+        if proto:
+            if (proto.get("minReaderVersion") or 1) > 1:
+                raise DeltaProtocolError(
+                    f"table requires reader version "
+                    f"{proto['minReaderVersion']} (deletion vectors / "
+                    "column mapping not supported)"
+                )
+            snap.min_writer = int(proto.get("minWriterVersion") or 2)
 
 
 @dataclass
@@ -396,6 +408,7 @@ class Snapshot:
     configuration: dict = field(default_factory=dict)
     partition_cols: list[str] = field(default_factory=list)
     txns: dict[str, int] = field(default_factory=dict)
+    meta_id: str | None = None     # metaData.id — stable table identity
 
 
 def _replay(
@@ -422,8 +435,7 @@ def _replay(
     if ckpt is not None and ckpt[0] <= target:
         files = _checkpoint_files(path, ckpt[0], ckpt[1])
         if files:
-            (snap.live, snap.schema_str, snap.partition_cols,
-             snap.txns) = _load_checkpoint(spark, files)
+            _load_checkpoint(spark, files, snap)
             start = ckpt[0] + 1
         # else: checkpoint files gone — fall back to full JSON replay
     replay = [v for v in versions if start <= v <= target]
@@ -468,6 +480,8 @@ def _apply_action(snap: Snapshot, action: dict) -> None:
         snap.partition_cols = list(
             action["metaData"].get("partitionColumns") or []
         )
+        if action["metaData"].get("id"):
+            snap.meta_id = str(action["metaData"]["id"])
     elif "protocol" in action:
         proto = action["protocol"]
         if (proto.get("minReaderVersion") or 1) > 1:
@@ -656,8 +670,13 @@ def write_checkpoint(spark: SparkSession, path: str) -> int:
     ])
     meta_type = pa.struct([
         ("id", pa.string()),
+        ("format", pa.struct([
+            ("provider", pa.string()),
+            ("options", pa.map_(pa.string(), pa.string())),
+        ])),
         ("schemaString", pa.string()),
         ("partitionColumns", pa.list_(pa.string())),
+        ("configuration", pa.map_(pa.string(), pa.string())),
     ])
     proto_type = pa.struct([
         ("minReaderVersion", pa.int32()),
@@ -675,11 +694,21 @@ def write_checkpoint(spark: SparkSession, path: str) -> int:
     ] + [None] * len(txn_rows)
     metas: list = [
         None,
-        {"id": uuid.uuid4().hex, "schemaString": schema_str,
-         "partitionColumns": list(snap.partition_cols)},
+        # the TABLE's metaData, not a synthetic one: a reader resuming
+        # from this checkpoint must see the same id / configuration
+        # (delta.appendOnly!) as a full JSON replay
+        {"id": snap.meta_id or uuid.uuid4().hex,
+         "format": {"provider": "parquet", "options": []},
+         "schemaString": schema_str,
+         "partitionColumns": list(snap.partition_cols),
+         "configuration": sorted(
+             (str(k), str(v)) for k, v in snap.configuration.items()
+         )},
     ] + [None] * (len(add_rows) + len(txn_rows))
     protos: list = [
-        {"minReaderVersion": 1, "minWriterVersion": 2},
+        # likewise the table's RECORDED protocol — hardcoding writer
+        # version 2 here would downgrade a third-party table's wall
+        {"minReaderVersion": 1, "minWriterVersion": int(snap.min_writer)},
     ] + [None] * (n - 1)
     txns_col: list = [None] * (2 + len(add_rows)) + [
         {"appId": a, "version": v} for a, v in txn_rows
@@ -724,11 +753,23 @@ def delta_stream_sink(path: str, app_id: str,
     def write_batch(batch_df: DataFrame, batch_id: int) -> None:
         spark = batch_df.sparkSession
         while True:
-            if last_txn_version(spark, path, app_id) >= batch_id:
-                return  # replayed micro-batch: already committed
-            mode = "append" if latest_version(path) is not None else "error"
+            # ONE replayed snapshot per attempt: its version and its txn
+            # watermark are read together, and expect_version pins the
+            # commit to that exact version — a concurrent same-app writer
+            # (zombie batch replay) landing in between raises
+            # DeltaConcurrentCommit instead of silently appending the
+            # batch twice on the now-free next version
+            latest = latest_version(path)
+            if latest is None:
+                mode, base = "error", None
+            else:
+                snap = _replay(spark, path, latest)
+                if snap.txns.get(str(app_id), -1) >= batch_id:
+                    return  # replayed micro-batch: already committed
+                mode, base = "append", latest
             try:
                 write_delta(batch_df, path, mode=mode,
+                            expect_version=base,
                             partition_by=partition_by,
                             txn=(app_id, int(batch_id)))
                 return

@@ -52,6 +52,64 @@ _MAGIC = (
 )
 
 
+# ISO 11172-3 §2.4.2.3 / ISO 13818-3 bitrate tables, kbps, indexed by the
+# 4-bit bitrate_index field (0 = free format, 15 = forbidden).  Keyed by
+# (mpeg1?, layer).  MPEG-2 and 2.5 share one table per layer; MPEG-2
+# layers II and III share theirs.
+_MPEG_KBPS = {
+    (True, 1): (0, 32, 64, 96, 128, 160, 192, 224,
+                256, 288, 320, 352, 384, 416, 448, -1),
+    (True, 2): (0, 32, 48, 56, 64, 80, 96, 112,
+                128, 160, 192, 224, 256, 320, 384, -1),
+    (True, 3): (0, 32, 40, 48, 56, 64, 80, 96,
+                112, 128, 160, 192, 224, 256, 320, -1),
+    (False, 1): (0, 32, 48, 56, 64, 80, 96, 112,
+                 128, 144, 160, 176, 192, 224, 256, -1),
+    (False, 2): (0, 8, 16, 24, 32, 40, 48, 56,
+                 64, 80, 96, 112, 128, 144, 160, -1),
+    (False, 3): (0, 8, 16, 24, 32, 40, 48, 56,
+                 64, 80, 96, 112, 128, 144, 160, -1),
+}
+# sample-rate table indexed by the 2-bit version field (3=MPEG1, 2=MPEG2,
+# 0=MPEG2.5; 1 reserved) then the 2-bit samplerate index (3 reserved)
+_MPEG_RATES = {3: (44100, 48000, 32000), 2: (22050, 24000, 16000),
+               0: (11025, 12000, 8000)}
+
+
+def mpeg_audio_header(content: bytes, pos: int = 0):
+    """Parse a 4-byte MPEG audio frame header at ``pos``.
+
+    Returns ``(version, layer, kbps, rate, samples_per_frame,
+    frame_len_bytes)`` — version is the raw 2-bit field (3/2/0), layer is
+    1/2/3 — or ``None`` when the bytes are not a plausible, sizable frame
+    header (no sync, reserved version/layer, free-format or forbidden
+    bitrate, reserved sample rate).  Header-only: never reads payload.
+    """
+    if pos + 4 > len(content):
+        return None
+    b1, b2, b3 = content[pos], content[pos + 1], content[pos + 2]
+    if b1 != 0xFF or (b2 & 0xE0) != 0xE0:
+        return None
+    version = (b2 >> 3) & 0x3
+    layer_bits = (b2 >> 1) & 0x3          # 3=Layer I, 2=Layer II, 1=Layer III
+    if version == 1 or layer_bits == 0:
+        return None
+    layer = 4 - layer_bits
+    br_idx, sr_idx = b3 >> 4, (b3 >> 2) & 0x3
+    if br_idx in (0, 15) or sr_idx == 3:
+        return None
+    kbps = _MPEG_KBPS[(version == 3, layer)][br_idx]
+    rate = _MPEG_RATES[version][sr_idx]
+    padding = (b3 >> 1) & 0x1
+    if layer == 1:
+        spf = 384
+        frame_len = (12 * kbps * 1000 // rate + padding) * 4
+    else:
+        spf = 1152 if (layer == 2 or version == 3) else 576
+        frame_len = spf // 8 * kbps * 1000 // rate + padding
+    return version, layer, kbps, rate, spf, frame_len
+
+
 def sniff_format(content: bytes) -> str:
     if content[:4] == b"RIFF" and content[8:12] == b"WAVE":
         return "wav"
@@ -60,20 +118,22 @@ def sniff_format(content: bytes) -> str:
     for magic, name in _MAGIC:
         if content[: len(magic)] == magic:
             return name
-    # bare MPEG Layer III frame sync — checked AFTER the magic table so
-    # JPEG's FF D8 FF wins.  Requires a PLAUSIBLE full header (layer III,
-    # non-reserved bitrate/sample-rate) so sync-shaped non-audio bytes
-    # (e.g. the UTF-16LE BOM FF FE, which is a valid Layer I sync) stay
-    # "unknown".
-    if (
-        len(content) >= 4
-        and content[0] == 0xFF
-        and (content[1] & 0xE0) == 0xE0      # 11-bit sync
-        and (content[1] >> 1) & 0x3 == 0x1   # layer III
-        and (content[2] >> 4) not in (0, 15)  # bitrate not free/reserved
-        and (content[2] >> 2) & 0x3 != 0x3   # sample rate not reserved
-    ):
-        return "mp3"
+    # bare MPEG audio frame sync — checked AFTER the magic table so
+    # JPEG's FF D8 FF wins.  A single plausible Layer III header is
+    # enough (r8 rule, unchanged).  Layers I/II additionally require a
+    # SECOND consistent header at the computed frame boundary, because
+    # sync-shaped non-audio bytes (e.g. the UTF-16LE BOM FF FE, which is
+    # a valid Layer I sync followed by plausible text bytes) must stay
+    # "unknown" — the r8 false-positive fix, preserved while restoring
+    # the pre-r8 Layer I/II probe coverage (r8 ADVICE item).
+    hdr = mpeg_audio_header(content)
+    if hdr is not None:
+        version, layer, _, _, _, frame_len = hdr
+        if layer == 3:
+            return "mp3"
+        nxt = mpeg_audio_header(content, frame_len)
+        if nxt is not None and nxt[0] == version and nxt[1] == layer:
+            return "mp3"
     return "unknown"
 
 

@@ -310,12 +310,6 @@ def mp4_sample_at(
 # MPEG audio (MP3) frame walk
 # ---------------------------------------------------------------------------
 
-# ISO 11172-3 tables, MPEG1/2 × Layer III (kbps; index 0 = free, 15 = bad)
-_BITRATE_V1_L3 = [0, 32, 40, 48, 56, 64, 80, 96, 112, 128, 160, 192, 224, 256, 320, -1]
-_BITRATE_V2_L3 = [0, 8, 16, 24, 32, 40, 48, 56, 64, 80, 96, 112, 128, 144, 160, -1]
-_SAMPLERATE = {3: [44100, 48000, 32000], 2: [22050, 24000, 16000], 0: [11025, 12000, 8000]}
-
-
 @dataclass
 class Mp3Info:
     sample_rate: int
@@ -324,6 +318,7 @@ class Mp3Info:
     bitrate_kbps: float  # average across frames
     vbr: bool
     channels: int
+    layer: int = 3  # 1 / 2 / 3 (probe walks all; decode is III-only)
 
 
 def _id3v2_size(content: bytes) -> int:
@@ -337,16 +332,22 @@ def _id3v2_size(content: bytes) -> int:
 def probe_mp3(content: bytes) -> Mp3Info:
     """Walk MPEG-audio frame headers to an exact frame count and duration.
 
-    Handles ID3v2 prefix, MPEG1/2/2.5 Layer III, padding bit, mono/stereo;
-    a Xing/Info header in the first frame marks the stream VBR (its frame
-    count is cross-checked against the walk).  Free-format (bitrate index
-    0) raises :class:`UnsupportedMedia` — frame sizes are undefined without
-    a full sync scan.
+    Handles ID3v2 prefix, MPEG1/2/2.5 × Layers I/II/III (shared ISO
+    tables in :func:`media_codecs.mpeg_audio_header`), padding bit,
+    mono/stereo; a Xing/Info header in the first Layer III frame marks
+    the stream VBR (its frame count is cross-checked against the walk).
+    Free-format (bitrate index 0) raises :class:`UnsupportedMedia` —
+    frame sizes are undefined without a full sync scan.  Probe-only
+    coverage: DECODE (``ext/mp3.py``) remains Layer III.
     """
+    from tulflow_spark.ext.media_codecs import _MPEG_KBPS, _MPEG_RATES
+
     pos = _id3v2_size(content)
     n_frames = 0
     total_kbps = 0.0
     sample_rate = 0
+    first_spf = 0
+    layer_out = 3
     channels = 2
     vbr_flag = False
     rates_seen: set[int] = set()
@@ -358,9 +359,10 @@ def probe_mp3(content: bytes) -> Mp3Info:
                 continue
             break  # trailing tag (ID3v1 etc.)
         version = (hdr >> 19) & 0x3  # 3=MPEG1, 2=MPEG2, 0=MPEG2.5
-        layer = (hdr >> 17) & 0x3  # 1 = Layer III
-        if version == 1 or layer != 1:
-            raise UnsupportedMedia("mpeg audio: only Layer III supported")
+        layer_bits = (hdr >> 17) & 0x3  # 3=I, 2=II, 1=III
+        if version == 1 or layer_bits == 0:
+            raise UnsupportedMedia("mpeg audio: reserved version/layer bits")
+        layer = 4 - layer_bits
         br_idx = (hdr >> 12) & 0xF
         sr_idx = (hdr >> 10) & 0x3
         padding = (hdr >> 9) & 0x1
@@ -369,25 +371,32 @@ def probe_mp3(content: bytes) -> Mp3Info:
             raise UnsupportedMedia("mp3: free-format bitrate not supported")
         if br_idx == 15 or sr_idx == 3:
             raise UnsupportedMedia("mp3: invalid bitrate/samplerate index")
-        kbps = (_BITRATE_V1_L3 if version == 3 else _BITRATE_V2_L3)[br_idx]
-        rate = _SAMPLERATE[version][sr_idx]
-        spf = 1152 if version == 3 else 576  # samples per frame, Layer III
-        frame_len = spf // 8 * kbps * 1000 // rate + padding
+        kbps = _MPEG_KBPS[(version == 3, layer)][br_idx]
+        rate = _MPEG_RATES[version][sr_idx]
+        if layer == 1:
+            spf = 384
+            frame_len = (12 * kbps * 1000 // rate + padding) * 4
+        else:
+            spf = 1152 if (layer == 2 or version == 3) else 576
+            frame_len = spf // 8 * kbps * 1000 // rate + padding
         if n_frames == 0:
             sample_rate = rate
+            first_spf = spf
+            layer_out = layer
             channels = 1 if mode == 3 else 2
-            # Xing/Info offset: after side info
-            side = (17 if mode == 3 else 32) if version == 3 else (9 if mode == 3 else 17)
-            tag = content[pos + 4 + side : pos + 4 + side + 4]
-            vbr_flag = tag in (b"Xing", b"Info") and tag == b"Xing"
+            if layer == 3:
+                # Xing/Info offset: after Layer III side info
+                side = (17 if mode == 3 else 32) if version == 3 \
+                    else (9 if mode == 3 else 17)
+                tag = content[pos + 4 + side : pos + 4 + side + 4]
+                vbr_flag = tag in (b"Xing", b"Info") and tag == b"Xing"
         rates_seen.add(kbps)
         total_kbps += kbps
         n_frames += 1
         pos += frame_len
     if n_frames == 0:
         raise UnsupportedMedia("mp3: no MPEG audio frames found")
-    spf = 1152 if sample_rate >= 32000 else 576
-    duration_ms = int(n_frames * spf * 1000 // sample_rate)
+    duration_ms = int(n_frames * first_spf * 1000 // sample_rate)
     return Mp3Info(
         sample_rate=sample_rate,
         n_frames=n_frames,
@@ -395,6 +404,7 @@ def probe_mp3(content: bytes) -> Mp3Info:
         bitrate_kbps=total_kbps / n_frames,
         vbr=vbr_flag or len(rates_seen) > 1,
         channels=channels,
+        layer=layer_out,
     )
 
 
@@ -488,7 +498,7 @@ def probe_media_bytes(content: bytes) -> dict:
             sample_rate=info.sample_rate,
             n_frames=info.n_frames,
             duration_ms=info.duration_ms,
-            codec="mp3",
+            codec="mp3" if info.layer == 3 else f"mpeg-L{info.layer}",
         )
     elif fmt == "ogg":
         og = probe_ogg(content)
