@@ -48,6 +48,7 @@ _MAGIC = (
     (b"\xff\xd8\xff", "jpeg"),
     (b"GIF8", "gif"),
     (b"OggS", "ogg"),
+    (b"fLaC", "flac"),
     (b"ID3", "mp3"),
 )
 
@@ -511,8 +512,9 @@ def decode_audio(content: bytes) -> tuple[np.ndarray, int]:
     """Audio bytes → (float mono samples in [-1, 1], sample_rate).
 
     Real decode for PCM WAV (stdlib ``wave``), Ogg/Vorbis
-    (``ext/vorbis.py``) and MPEG-1 Layer III (``ext/mp3.py``); typed
-    :class:`UnsupportedMedia` for the rest (Opus, MP4 containers).
+    (``ext/vorbis.py``), MPEG-1 Layer III (``ext/mp3.py``) and FLAC
+    (``ext/flac.py``, lossless); typed :class:`UnsupportedMedia` for the
+    rest (Opus, MP4 containers).
     """
     fmt = sniff_format(content)
     if fmt == "ogg":
@@ -536,6 +538,14 @@ def decode_audio(content: bytes) -> tuple[np.ndarray, int]:
             return decode_mp3(content)
         except Mp3Error as exc:
             raise UnsupportedMedia(f"mp3: {exc}") from exc
+    if fmt == "flac":
+        # lossless decode, all subframe types (ext/flac.py)
+        from tulflow_spark.ext.flac import FlacError, decode_flac
+
+        try:
+            return decode_flac(content)
+        except FlacError as exc:
+            raise UnsupportedMedia(f"flac: {exc}") from exc
     if fmt != "wav":
         if fmt in _NEEDS:
             raise UnsupportedMedia(f"{fmt} decode needs {_NEEDS[fmt]}")

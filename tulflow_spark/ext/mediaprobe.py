@@ -500,6 +500,20 @@ def probe_media_bytes(content: bytes) -> dict:
             duration_ms=info.duration_ms,
             codec="mp3" if info.layer == 3 else f"mpeg-L{info.layer}",
         )
+    elif fmt == "flac":
+        from tulflow_spark.ext.flac import FlacError, parse_flac_header
+
+        try:
+            si = parse_flac_header(content)
+        except FlacError as exc:
+            raise UnsupportedMedia(f"flac: {exc}") from exc
+        meta.update(
+            sample_rate=si.sample_rate,
+            n_frames=si.total_samples or None,
+            duration_ms=int(si.total_samples * 1000 // si.sample_rate)
+            if si.total_samples else None,
+            codec="flac",
+        )
     elif fmt == "ogg":
         og = probe_ogg(content)
         meta.update(
