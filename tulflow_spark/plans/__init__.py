@@ -49,7 +49,6 @@ GATED: frozenset[str] = frozenset(
         "dc1_decontaminate",
         "dd12_cluster_stats",
         "j6_range_join",
-        "mm7_png16_roundtrip",
         "mx8_temperature_mix",
         "pack1_token_sequences",
         "pr2_drift_psi",
@@ -96,6 +95,10 @@ GATED: frozenset[str] = frozenset(
         # new this round (r6 VERDICT #3): Vorbis decode driver-gated in
         # place of the a12 anchor (driver row r6)
         "mm8_vorbis_roundtrip",
+        # r9: mm7_png16_roundtrip rotated out (driver rows r7/r8; the
+        # media family keeps mm8/mm9/mm10) to budget the slot for the
+        # new FLAC decode pair
+        "mm11_flac_roundtrip",
         # r8: mm1_media_roundtrip rotated out (driver rows r4/r7; the
         # media family keeps mm7/mm8/mm9/mm10) to budget the slot for
         # the new Delta-log-protocol pair

@@ -1218,3 +1218,74 @@ def mm10_mp3_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         schema="doc_id bigint, sample_rate int, n_samples bigint, "
                "tone_in_band boolean",
     )
+
+
+@register(
+    "mm11_flac_roundtrip",
+    oracle="""
+    SELECT d.doc_id,
+           CAST(16000 AS INT) AS sample_rate,
+           CAST(1024 * (2 + d.doc_id % 3) AS BIGINT) AS n_samples,
+           CAST(SUM((d.doc_id * 7 + g.i * 13) % 997 - 498) AS BIGINT)
+               AS pcm_sum,
+           TRUE AS lossless
+    FROM documents d
+    JOIN generate_series(0, 4095) g(i)
+      ON g.i < 1024 * (2 + d.doc_id % 3)
+    GROUP BY d.doc_id
+    """,
+)
+def mm11_flac_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FLAC decode path oracle-checked (the mm8/mm10 strategy, but
+    LOSSLESS: the oracle recomputes the exact PCM sum in SQL because the
+    decoded integers must equal the encoded ones bit-for-bit).  Per-row
+    deterministic signals s[i] = (doc_id*7 + i*13) % 997 - 498 are
+    encoded with the production ext/flac.py encoder — doc_id % 3 == 0
+    streams use VERBATIM subframes, the rest FIXED order 1/2 with Rice
+    residuals, so both decode arithmetic paths are driver-proven — and
+    decoded through the PRODUCTION decode_audio (CRC-8/CRC-16/MD5 all
+    verified in-path).  `lossless` asserts full array equality, not just
+    the checksum."""
+    from collections.abc import Iterator
+
+    import pandas as pd
+
+    docs = (table(spark, sf_dir, "documents")
+            .select("doc_id").repartition(32))
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        from tulflow_spark.ext.flac import encode_flac
+        from tulflow_spark.ext.media_codecs import decode_audio
+
+        for pdf in batches:
+            rows = []
+            for doc_id in pdf["doc_id"]:
+                d = int(doc_id)
+                n = 1024 * (2 + d % 3)
+                i = np.arange(n, dtype=np.int64)
+                sig = (d * 7 + i * 13) % 997 - 498
+                order = None if d % 3 == 0 else 1 + d % 2
+                blob = encode_flac(sig, 16000, block_size=1024,
+                                   fixed_order=order)
+                pcm, rate = decode_audio(blob)
+                rec = np.rint(pcm.astype(np.float64) * 32768).astype(
+                    np.int64
+                )
+                rows.append(
+                    {
+                        "doc_id": d,
+                        "sample_rate": rate,
+                        "n_samples": len(rec),
+                        "pcm_sum": int(rec.sum()),
+                        "lossless": bool(np.array_equal(rec, sig)),
+                    }
+                )
+            yield pd.DataFrame(rows)
+
+    return docs.mapInPandas(
+        gen,
+        schema="doc_id bigint, sample_rate int, n_samples bigint, "
+               "pcm_sum bigint, lossless boolean",
+    )
