@@ -64,7 +64,7 @@ def test_r7_rotation_promotes_never_adjudicated_pairs():
 
     root = pathlib.Path(__file__).resolve().parent.parent
     ever: set[str] = set()
-    for p in root.glob("CORRECTNESS_r0[1-6].json"):
+    for p in root.glob("CORRECTNESS_r*.json"):
         ever |= set(json.loads(p.read_text()))
     never = (set(QUERIES) | set(EXTRA_QUERIES)) - ever
     # Queries added AFTER the r7 rotation froze can't displace the
