@@ -76,7 +76,9 @@ def test_r7_rotation_promotes_never_adjudicated_pairs():
     assert never <= set(QUERIES), (
         f"never-adjudicated but de-gated: {sorted(never - set(QUERIES))}"
     )
-    # the 20 r6-verdict names must all be gated this round
+    # the 20 r6-verdict names completed cumulative adjudication in r7;
+    # since then the durable invariant is a driver row in SOME round
+    # (they may rotate out of the gate for fresh pairs)
     r6_verdict_queue = {
         "a13_grouping_sets", "bm1_bm25_search", "bm2_phrase_search",
         "cdc3_scd2_history", "cur6_training_mix", "cur7_clean_corpus",
@@ -86,7 +88,7 @@ def test_r7_rotation_promotes_never_adjudicated_pairs():
         "sp1_hash_split", "ss9_ivfpq_topk", "ss10_int8_quant",
         "x6_dynamic_xpath", "zo2_zorder3_layout",
     }
-    assert r6_verdict_queue <= set(QUERIES)
+    assert r6_verdict_queue <= ever
 
 
 def test_gate_validated_at_import_time():
