@@ -574,3 +574,211 @@ def test_stream_sink_zombie_twin_exactly_once(spark, tmp_path, monkeypatch):
     sink(_df(spark, 10, 13), 0)
     assert _ids(read_delta(spark, t)) == [0, 1, 2, 10, 11, 12]
     assert dl.last_txn_version(spark, t, "app-z") == 0
+
+
+def test_add_stats_recorded_and_checkpoint_preserved(spark, tmp_path):
+    """write_delta records footer-derived add.stats; checkpoints carry
+    them (the protocol's data-skipping index survives log cleanup)."""
+    from tulflow_spark.ext.delta_log import _replay
+
+    t = str(tmp_path / "tbl")
+    write_delta(_df(spark, 10, 20), t)
+    snap = _replay(spark, t, None)
+    stats = [json.loads(a["stats"]) for a in snap.live.values()]
+    assert sum(s["numRecords"] for s in stats) == 10
+    assert min(s["minValues"]["id"] for s in stats) == 10
+    assert max(s["maxValues"]["id"] for s in stats) == 19
+    assert all(s["nullCount"]["id"] == 0 for s in stats)
+    write_checkpoint(spark, t)
+    fsio.delete(f"{t}/_delta_log/{0:020d}.json")
+    snap2 = _replay(spark, t, None)
+    assert all(a.get("stats") for a in snap2.live.values())
+
+
+def test_prune_skips_files_by_stats(spark, tmp_path):
+    """read_delta(prune=...) opens only files whose stats admit the
+    range; the surviving superset still filters to the exact answer."""
+    t = str(tmp_path / "tbl")
+    # one file per commit, disjoint id ranges
+    for lo in range(0, 50, 10):
+        write_delta(_df(spark, lo, lo + 10).coalesce(1), t,
+                    mode="append" if lo else "error")
+    pruned = read_delta(spark, t, prune=("id", 23, 41))
+    files = pruned.inputFiles()
+    assert len(files) == 3  # ranges 20-29, 30-39, 40-49
+    assert _ids(pruned.where("id BETWEEN 23 AND 41")) == list(range(23, 42))
+    # full read still sees everything
+    assert len(read_delta(spark, t).inputFiles()) == 5
+    # a range nothing matches: zero files, empty frame, schema kept
+    none = read_delta(spark, t, prune=("id", 1000, 2000))
+    assert none.count() == 0 and none.columns == ["id", "v"]
+
+
+def test_prune_by_partition_values(spark, tmp_path):
+    from pyspark.sql import functions as F
+
+    t = str(tmp_path / "tbl")
+    df = _df(spark, 0, 40).withColumn("bucket", (F.col("id") % 4).cast("int"))
+    write_delta(df, t, partition_by=["bucket"])
+    pruned = read_delta(spark, t, prune=("bucket", 1, 2))
+    got = sorted(r["bucket"] for r in pruned.select("bucket").distinct().collect())
+    assert got == [1, 2]
+    # NULL partition values are provably outside any range
+    df_null = df.withColumn(
+        "bucket", F.when(F.col("id") < 20, F.col("bucket")))
+    write_delta(df_null, t, mode="overwrite", partition_by=["bucket"])
+    pruned2 = read_delta(spark, t, prune=("bucket", 0, 9))
+    assert pruned2.where("bucket IS NULL").count() == 0
+    assert read_delta(spark, t).where("bucket IS NULL").count() == 20
+
+
+def test_optimize_compacts_and_preserves_content(spark, tmp_path):
+    from tulflow_spark.ext.delta_log import _replay, optimize_delta
+
+    t = str(tmp_path / "tbl")
+    for lo in range(0, 40, 10):
+        write_delta(_df(spark, lo, lo + 10).repartition(3), t,
+                    mode="append" if lo else "error")
+    before = _replay(spark, t, None)
+    assert len(before.live) >= 8
+    v = optimize_delta(spark, t)
+    assert v == 4
+    after = _replay(spark, t, None)
+    assert len(after.live) == 1  # bin-packed into one file
+    assert _ids(read_delta(spark, t)) == list(range(40))
+    # layout-only commit: every action is dataChange=false
+    fs, lp = fsio.resolve(f"{t}/_delta_log/{v:020d}.json")
+    with fs.open_input_stream(lp) as s:
+        acts = [json.loads(x) for x in s.read().decode().splitlines() if x]
+    assert all(
+        not (a.get("add") or a.get("remove"))["dataChange"] for a in acts
+    )
+    # pre-optimize versions still time travel
+    assert _ids(read_delta(spark, t, version=0)) == list(range(10))
+    # nothing further to do
+    assert optimize_delta(spark, t) is None
+
+
+def test_optimize_partitioned_and_appendonly(spark, tmp_path):
+    from pyspark.sql import functions as F
+
+    from tulflow_spark.ext.delta_log import _replay, optimize_delta
+
+    t = str(tmp_path / "tbl")
+    df = _df(spark, 0, 30).withColumn("b", (F.col("id") % 2).cast("int"))
+    write_delta(df.repartition(4), t, partition_by=["b"])
+    schema = df.schema.json()
+    fsio.write_text(
+        f"{t}/_delta_log/00000000000000000001.json",
+        json.dumps({"metaData": {"id": "x", "schemaString": schema,
+                    "partitionColumns": ["b"],
+                    "configuration": {"delta.appendOnly": "true"}}}),
+    )
+    v = optimize_delta(spark, t)  # legal on appendOnly: no rows change
+    assert v == 2
+    snap = _replay(spark, t, None)
+    assert len(snap.live) == 2  # one file per partition
+    out = read_delta(spark, t)
+    assert _ids(out) == list(range(30))
+    assert out.where("b = id % 2").count() == 30  # partition values kept
+
+
+def test_optimize_conflicts_with_concurrent_commit(spark, tmp_path,
+                                                   monkeypatch):
+    import tulflow_spark.ext.delta_log as dl
+
+    t = str(tmp_path / "tbl")
+    write_delta(_df(spark, 0, 10).repartition(2), t)
+    real_stage = dl._stage_adds
+
+    def stage_then_race(df, path, partition_by, data_change=True):
+        adds = real_stage(df, path, partition_by, data_change)
+        monkeypatch.setattr(dl, "_stage_adds", real_stage)
+        dl.write_delta(_df(spark, 50, 51), t, mode="append")
+        return adds
+
+    monkeypatch.setattr(dl, "_stage_adds", stage_then_race)
+    with pytest.raises(DeltaConcurrentCommit):
+        dl.optimize_delta(spark, t)
+    assert _ids(read_delta(spark, t)) == list(range(10)) + [50]
+
+
+def test_vacuum_deletes_unreferenced_only(spark, tmp_path):
+    from tulflow_spark.ext.delta_log import optimize_delta, vacuum_delta
+
+    t = str(tmp_path / "tbl")
+    write_delta(_df(spark, 0, 10).repartition(2), t)
+    write_delta(_df(spark, 99, 100), t, mode="overwrite")
+    optimize_delta(spark, t, min_files=1)
+    # an orphan from a losing racer
+    _df(spark, 0, 1).write.parquet(f"{t}/commit-deadbeef0000")
+    deleted = vacuum_delta(spark, t)
+    assert len(deleted) >= 3  # v0 files + pre-optimize v1 file + orphan
+    assert any("deadbeef" in d for d in deleted)
+    assert _ids(read_delta(spark, t)) == [99]  # live snapshot intact
+    with pytest.raises(Exception):
+        read_delta(spark, t, version=0).collect()  # horizon gone
+    # keep_versions widens the window: nothing more to delete
+    assert vacuum_delta(spark, t, keep_versions=5) == []
+
+
+def test_vacuum_keep_versions_preserves_travel(spark, tmp_path):
+    from tulflow_spark.ext.delta_log import vacuum_delta
+
+    t = str(tmp_path / "tbl")
+    write_delta(_df(spark, 0, 5), t)
+    write_delta(_df(spark, 5, 8), t, mode="overwrite")
+    assert vacuum_delta(spark, t, keep_versions=1) == []
+    assert _ids(read_delta(spark, t, version=0)) == list(range(5))
+
+
+def test_write_with_retry_wins_after_races(spark, tmp_path, monkeypatch):
+    """Stages once, revalidates per attempt, lands after the racers."""
+    import tulflow_spark.ext.delta_log as dl
+
+    t = str(tmp_path / "tbl")
+    dl.write_delta(_df(spark, 0, 3), t)
+    real_validate = dl._validate_write
+    races = {"n": 0}
+
+    def contended(df, path, mode, expect_version, partition_by):
+        out = real_validate(df, path, mode, expect_version, partition_by)
+        if races["n"] < 3:
+            races["n"] += 1
+            # another writer lands between validate and publish
+            dl._publish(path, out[0], [])
+        return out
+
+    monkeypatch.setattr(dl, "_validate_write", contended)
+    stage_calls = {"n": 0}
+    real_stage = dl._stage_adds
+
+    def counting_stage(*a, **kw):
+        stage_calls["n"] += 1
+        return real_stage(*a, **kw)
+
+    monkeypatch.setattr(dl, "_stage_adds", counting_stage)
+    v = dl.write_delta_with_retry(_df(spark, 3, 6), t, mode="append")
+    assert v == 4 and races["n"] == 3
+    assert stage_calls["n"] == 1  # data staged exactly once
+    assert _ids(read_delta(spark, t)) == list(range(6))
+
+
+def test_write_with_retry_exhausts_typed(spark, tmp_path, monkeypatch):
+    import tulflow_spark.ext.delta_log as dl
+
+    t = str(tmp_path / "tbl")
+    dl.write_delta(_df(spark, 0, 3), t)
+    real_validate = dl._validate_write
+
+    def always_raced(df, path, mode, expect_version, partition_by):
+        out = real_validate(df, path, mode, expect_version, partition_by)
+        dl._publish(path, out[0], [])
+        return out
+
+    monkeypatch.setattr(dl, "_validate_write", always_raced)
+    with pytest.raises(DeltaConcurrentCommit, match="lost the commit race"):
+        dl.write_delta_with_retry(_df(spark, 3, 6), t, mode="append",
+                                  max_attempts=3)
+    with pytest.raises(ValueError, match="error"):
+        dl.write_delta_with_retry(_df(spark, 0, 1), t, mode="error")

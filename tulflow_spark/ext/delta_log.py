@@ -135,6 +135,19 @@ def write_delta(
     protocol's ``txn`` action (streaming idempotence watermark — see
     :func:`last_txn_version` / :func:`delta_stream_sink`).
     """
+    version, prior = _validate_write(df, path, mode, expect_version,
+                                     partition_by)
+    adds = _stage_adds(df, path, partition_by)
+    return _publish_write(df, path, mode, partition_by, txn, adds,
+                          version, prior)
+
+
+def _validate_write(df: DataFrame, path: str, mode: str,
+                    expect_version: int | None,
+                    partition_by: list[str] | None):
+    """Pre-staging checks of :func:`write_delta` → (version, prior
+    snapshot).  Split out so :func:`write_delta_with_retry` can re-run
+    them against a FRESH snapshot per attempt without re-staging data."""
     if mode not in ("error", "append", "overwrite"):
         raise ValueError(f"unknown mode {mode!r}")
     latest = latest_version(path)
@@ -183,7 +196,13 @@ def write_delta(
                 f"{prior.partition_cols}, write used "
                 f"{list(partition_by or [])}"
             )
-    adds = _stage_adds(df, path, partition_by)
+    return version, prior
+
+
+def _publish_write(df: DataFrame, path: str, mode: str,
+                   partition_by: list[str] | None,
+                   txn: tuple[str, int] | None,
+                   adds: list[dict], version: int, prior) -> int:
     actions: list[dict] = []
     if version == 0:
         actions.append({
@@ -215,10 +234,54 @@ def write_delta(
     return version
 
 
+def write_delta_with_retry(
+    df: DataFrame,
+    path: str,
+    mode: str = "append",
+    partition_by: list[str] | None = None,
+    txn: tuple[str, int] | None = None,
+    max_attempts: int = 8,
+) -> int:
+    """OCC-loser convenience around :func:`write_delta`: data files are
+    staged ONCE, then the validate + commit tail retries against a fresh
+    snapshot on every :class:`DeltaConcurrentCommit` until it wins or
+    ``max_attempts`` is exhausted (the last conflict re-raises).  The
+    protocol duties (appendOnly, writer version, schema/partitioning)
+    re-run per attempt, so a concurrent metadata change still fails
+    typed rather than being committed over.  Appends never need a
+    recompute; overwrite tombstones are re-derived from each fresh prior
+    snapshot, which is exactly Delta's own blind-overwrite semantics."""
+    if mode == "error":
+        raise ValueError(
+            "mode='error' cannot meaningfully retry (a racer creating "
+            "the table makes every retry fail): use write_delta"
+        )
+    adds = None
+    last: DeltaConcurrentCommit | None = None
+    for _ in range(max_attempts):
+        try:
+            version, prior = _validate_write(df, path, mode, None,
+                                             partition_by)
+            if adds is None:
+                adds = _stage_adds(df, path, partition_by)
+            return _publish_write(df, path, mode, partition_by, txn,
+                                  adds, version, prior)
+        except DeltaConcurrentCommit as exc:
+            last = exc
+            continue
+    raise DeltaConcurrentCommit(
+        f"lost the commit race {max_attempts} times at {path}: {last}"
+    )
+
+
 def _stage_adds(df: DataFrame, path: str,
-                partition_by: list[str] | None) -> list[dict]:
+                partition_by: list[str] | None,
+                data_change: bool = True) -> list[dict]:
     """Stage ``df`` as parquet under a fresh per-commit subdirectory and
-    return the protocol ``add`` actions for the staged files."""
+    return the protocol ``add`` actions for the staged files, each
+    carrying footer-derived ``stats`` (the protocol's data-skipping
+    index).  ``data_change=False`` marks layout-only rewrites
+    (OPTIMIZE) so incremental consumers know no rows changed."""
     from urllib.parse import quote, unquote
 
     stage = f"commit-{uuid.uuid4().hex[:12]}"
@@ -248,6 +311,7 @@ def _stage_adds(df: DataFrame, path: str,
         writer = writer.partitionBy(*partition_by)
     writer.parquet(f"{path}/{stage}")
     adds = []
+    stats_fs, stats_base = fsio.resolve(f"{path}/{stage}")
     for rel, size, mtime in sorted(_staged_files(f"{path}/{stage}")):
         pv: dict[str, str | None] = {}
         for seg in rel.split("/")[:-1]:
@@ -257,7 +321,7 @@ def _stage_adds(df: DataFrame, path: str,
                 # the protocol stores the LOGICAL value
                 pv[k] = None if v == "__HIVE_DEFAULT_PARTITION__" \
                     else unquote(v)
-        adds.append({
+        action = {
             "add": {
                 # add.path is URL-encoded per the protocol; quoting the
                 # LITERAL on-disk path (incl. any % from Spark's own
@@ -267,9 +331,13 @@ def _stage_adds(df: DataFrame, path: str,
                 "partitionValues": pv,
                 "size": size,
                 "modificationTime": mtime,
-                "dataChange": True,
+                "dataChange": bool(data_change),
             }
-        })
+        }
+        stats = _file_stats(stats_fs, f"{stats_base}/{rel}")
+        if stats is not None:
+            action["add"]["stats"] = stats
+        adds.append(action)
     return adds
 
 
@@ -301,6 +369,71 @@ def _metadata_action(schema: StructType,
             "configuration": {},
         }
     }
+
+
+def _file_stats(fs, full_path: str) -> str | None:
+    """Protocol ``add.stats`` JSON for one staged parquet file —
+    numRecords plus min/max/nullCount per primitive leaf column, read
+    from the parquet FOOTER only (no data pages).  Columns whose
+    physical min/max do not order like the logical value (none in our
+    staged files) or non-primitive columns are simply omitted — stats
+    are an optimization, absence is always safe."""
+    import datetime
+
+    import pyarrow.parquet as pq
+
+    try:
+        with fs.open_input_file(full_path) as f:
+            md = pq.ParquetFile(f).metadata
+    except OSError:
+        return None
+
+    def _jsonable(v):
+        if isinstance(v, bytes):
+            try:
+                return v.decode("utf-8")
+            except UnicodeDecodeError:
+                return None
+        if isinstance(v, (datetime.date, datetime.datetime)):
+            return v.isoformat()
+        if isinstance(v, float) and (v != v or v in (float("inf"),
+                                                     float("-inf"))):
+            return None  # NaN/inf are not orderable stats in JSON
+        return v
+
+    mins: dict = {}
+    maxs: dict = {}
+    nulls: dict = {}
+    bad: set = set()  # any row group without usable stats poisons the col
+    for rg in range(md.num_row_groups):
+        g = md.row_group(rg)
+        for ci in range(g.num_columns):
+            col = g.column(ci)
+            name = col.path_in_schema
+            if "." in name:
+                continue  # nested leaves: omit
+            st = col.statistics
+            if st is not None and st.has_null_count:
+                nulls[name] = nulls.get(name, 0) + st.null_count
+            if name in bad:
+                continue
+            if st is None or not st.has_min_max:
+                bad.add(name)
+                continue
+            lo, hi = _jsonable(st.min), _jsonable(st.max)
+            if lo is None or hi is None:
+                bad.add(name)
+            elif name not in mins:
+                mins[name], maxs[name] = lo, hi
+            else:
+                mins[name] = min(mins[name], lo)
+                maxs[name] = max(maxs[name], hi)
+    return json.dumps({
+        "numRecords": md.num_rows,
+        "minValues": {k: v for k, v in mins.items() if k not in bad},
+        "maxValues": {k: v for k, v in maxs.items() if k not in bad},
+        "nullCount": nulls,
+    }, separators=(",", ":"))
 
 
 def _staged_files(stage_dir: str) -> list[tuple[str, int, int]]:
@@ -547,15 +680,72 @@ def _partition_value(raw: str | None, dtype, col: str):
         ) from exc
 
 
+def _file_pruned(add: dict, col: str, lo, hi,
+                 part_cols: list[str], types: dict) -> bool:
+    """True when the add's file PROVABLY holds no rows with ``col`` in
+    [lo, hi] — from the log alone: the partitionValues literal for
+    partition columns, the footer-derived ``add.stats`` min/max for data
+    columns.  Unknown or uncomparable bounds always keep the file
+    (skipping is an optimization, never a filter)."""
+    if col in part_cols:
+        pv = add.get("partitionValues") or {}
+        if col not in pv:
+            return False
+        raw = pv[col]
+        if raw is None:
+            return True  # the value IS NULL: outside any [lo, hi] range
+        try:
+            v = _partition_value(raw, types[col], col)
+            return v < lo or v > hi
+        except (TypeError, DeltaProtocolError):
+            return False
+    stats = add.get("stats")
+    if not stats:
+        return False
+    try:
+        s = json.loads(stats)
+        mn = (s.get("minValues") or {}).get(col)
+        mx = (s.get("maxValues") or {}).get(col)
+        if mn is None or mx is None:
+            return False
+        return mx < lo or mn > hi
+    except (ValueError, TypeError):
+        return False
+
+
 def read_delta(
-    spark: SparkSession, path: str, version: int | None = None
+    spark: SparkSession, path: str, version: int | None = None,
+    prune: tuple | None = None,
 ) -> DataFrame:
     """Snapshot read at ``version`` (latest when None) — log replay, then
     one parquet scan over exactly the live files, with the metaData
     schema applied (files from different commits cannot silently widen or
     narrow the snapshot's columns).  An empty snapshot returns an empty
-    frame with that schema."""
+    frame with that schema.
+
+    ``prune=(col, lo, hi)`` is the protocol's data-skipping index: files
+    whose ``add.stats`` min/max (or partitionValues literal) provably
+    exclude ``col`` in [lo, hi] are never opened — at 100 TB this is the
+    difference between a metadata operation and a full scan.  The result
+    is a SUPERSET of the matching rows (whole surviving files); the
+    caller still applies its filter, which Spark then pushes into the
+    pruned scan.  Bounds compare in the stats' JSON domain: numbers for
+    numeric columns, strings (ISO format for date/timestamp) otherwise.
+    """
     snap = _replay(spark, path, version)
+    if prune is not None:
+        col, lo, hi = prune
+        types_all = {}
+        if snap.schema_str is not None:
+            types_all = {
+                f.name: f.dataType
+                for f in StructType.fromJson(json.loads(snap.schema_str))
+            }
+        snap.live = {
+            p: a for p, a in snap.live.items()
+            if not _file_pruned(a, col, lo, hi, snap.partition_cols,
+                                types_all)
+        }
     schema = None
     if snap.schema_str is not None:
         schema = StructType.fromJson(json.loads(snap.schema_str))
@@ -658,6 +848,7 @@ def write_checkpoint(spark: SparkSession, path: str) -> int:
             "size": int(a.get("size") or 0),
             "modificationTime": int(a.get("modificationTime") or 0),
             "dataChange": False,
+            "stats": a.get("stats"),
         }
         for a in (live[p] for p in sorted(live))
     ]
@@ -667,6 +858,7 @@ def write_checkpoint(spark: SparkSession, path: str) -> int:
         ("size", pa.int64()),
         ("modificationTime", pa.int64()),
         ("dataChange", pa.bool_()),
+        ("stats", pa.string()),
     ])
     meta_type = pa.struct([
         ("id", pa.string()),
@@ -876,6 +1068,132 @@ def delete_where(spark: SparkSession, path: str, condition: str,
     return latest + 1
 
 
+def optimize_delta(
+    spark: SparkSession,
+    path: str,
+    target_file_bytes: int = 128 << 20,
+    min_files: int = 2,
+) -> int | None:
+    """Delta OPTIMIZE (bin-packing compaction): partition groups holding
+    at least ``min_files`` live files are rewritten into
+    ``ceil(bytes / target_file_bytes)`` files; the commit removes the
+    olds and adds the news, all with ``dataChange=false`` (incremental
+    consumers see a layout-only commit).  Untouched groups carry over by
+    reference — the commit is O(compacted files), and the rewrite reads
+    only the compacted bytes.  Returns the new version, or ``None`` when
+    no group qualifies.  Pinned to the snapshot it was computed against:
+    a concurrent commit raises :class:`DeltaConcurrentCommit`.
+
+    Legal on ``delta.appendOnly`` tables (no row is added or removed —
+    Delta's own OPTIMIZE rule), but still behind the writer-version wall.
+    """
+    from pyspark.sql import functions as F
+
+    latest = latest_version(path)
+    if latest is None:
+        raise DeltaProtocolError(f"no delta table at {path}")
+    snap = _replay(spark, path, latest)
+    if snap.min_writer > 2:
+        raise DeltaProtocolError(
+            f"table requires writer version {snap.min_writer}"
+        )
+    if snap.schema_str is None:
+        raise DeltaProtocolError("optimize needs a metaData schema")
+    schema = StructType.fromJson(json.loads(snap.schema_str))
+    data_schema = StructType(
+        [f for f in schema.fields if f.name not in snap.partition_cols]
+    )
+    types = {f.name: f.dataType for f in schema.fields}
+    groups: dict[tuple, list[str]] = {}
+    for p in sorted(snap.live):
+        pv = snap.live[p].get("partitionValues") or {}
+        key = tuple((c, pv.get(c)) for c in snap.partition_cols)
+        groups.setdefault(key, []).append(p)
+    victims: list[str] = []
+    frames = []
+    total_bytes = 0
+    for key, paths in groups.items():
+        if len(paths) < min_files:
+            continue
+        victims.extend(paths)
+        total_bytes += sum(
+            int(snap.live[p].get("size") or 0) for p in paths
+        )
+        df = spark.read.schema(data_schema).parquet(
+            *[_scan_path(path, p) for p in paths]
+        )
+        for c, raw in key:
+            df = df.withColumn(
+                c, F.lit(_partition_value(raw, types[c], c)).cast(types[c])
+            )
+        frames.append(df.select([f.name for f in schema.fields]))
+    if not frames:
+        return None
+    while len(frames) > 1:
+        frames = [
+            frames[i].unionAll(frames[i + 1])
+            if i + 1 < len(frames) else frames[i]
+            for i in range(0, len(frames), 2)
+        ]
+    n_out = max(1, -(-total_bytes // max(1, target_file_bytes)))
+    packed = frames[0]
+    if snap.partition_cols:
+        packed = packed.repartition(n_out, *snap.partition_cols)
+    else:
+        packed = packed.repartition(n_out)
+    adds = _stage_adds(packed, path, snap.partition_cols or None,
+                       data_change=False)
+    actions: list[dict] = [
+        {"remove": {"path": p, "dataChange": False,
+                    "deletionTimestamp": 0}}
+        for p in victims
+    ] + adds
+    if latest_version(path) != latest:
+        raise DeltaConcurrentCommit(
+            "table advanced while optimize was rewriting: re-run"
+        )
+    _publish(path, latest + 1, actions)
+    return latest + 1
+
+
+def vacuum_delta(spark: SparkSession, path: str,
+                 keep_versions: int = 0) -> list[str]:
+    """Delete data files under the table root referenced by NONE of the
+    last ``keep_versions + 1`` snapshots (tombstoned by delete/overwrite/
+    optimize, or orphaned by losing OCC racers).  Returns the deleted
+    relative paths.  Time travel below the kept window stops working —
+    the same contract as Delta ``VACUUM`` at retention 0; widen
+    ``keep_versions`` to keep a travel horizon.  The log itself is never
+    touched."""
+    from urllib.parse import unquote
+
+    from pyarrow import fs as pafs
+
+    latest = latest_version(path)
+    if latest is None:
+        raise DeltaProtocolError(f"no delta table at {path}")
+    referenced: set[str] = set()
+    for v in range(max(0, latest - keep_versions), latest + 1):
+        try:
+            snap = _replay(spark, path, v)
+        except DeltaProtocolError:
+            continue  # below the checkpoint horizon: already unreachable
+        referenced |= {unquote(p) for p in snap.live}
+    fs, base = fsio.resolve(path)
+    deleted: list[str] = []
+    for info in fs.get_file_info(pafs.FileSelector(base, recursive=True)):
+        if info.type != pafs.FileType.File:
+            continue
+        rel = info.path[len(base):].lstrip("/")
+        if rel.startswith("_delta_log/") or not rel.endswith(".parquet"):
+            continue
+        if rel in referenced:
+            continue
+        fs.delete_file(info.path)
+        deleted.append(rel)
+    return sorted(deleted)
+
+
 __all__ = [
     "DeltaConcurrentCommit",
     "DeltaProtocolError",
@@ -883,7 +1201,10 @@ __all__ = [
     "delta_stream_sink",
     "last_txn_version",
     "latest_version",
+    "optimize_delta",
     "read_delta",
+    "vacuum_delta",
     "write_delta",
+    "write_delta_with_retry",
     "write_checkpoint",
 ]
