@@ -42,8 +42,13 @@ GATED: frozenset[str] = frozenset(
         # r7-promoted oracle pairs, kept (19)
         "a13_grouping_sets",
         "bm1_bm25_search",
-        "bm2_phrase_search",
         "cdc3_scd2_history",
+        # r9: zo2_zorder3_layout and bm2_phrase_search rotated out
+        # (driver rows r7+r8; zo1/bm1 keep their family anchors) to
+        # budget slots for the new Delta OPTIMIZE and data-skipping
+        # pairs
+        "dl2_delta_optimize",
+        "dl3_delta_skipping",
         "cur6_training_mix",
         "cur7_clean_corpus",
         "dc1_decontaminate",
@@ -57,7 +62,6 @@ GATED: frozenset[str] = frozenset(
         "sp1_hash_split",
         "ss10_int8_quant",
         "x6_dynamic_xpath",
-        "zo2_zorder3_layout",
         # oracle-paired since r8 (seeded-parity IVFADC; the production
         # iterative fit keeps its recall floor in vr1)
         "ss9_ivfpq_topk",

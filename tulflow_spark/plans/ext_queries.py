@@ -3030,6 +3030,102 @@ def dl1_delta_timetravel(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("version", "n_docs", "sum_doc_id", "total_chars")
 
 
+
+@register(
+    "dl2_delta_optimize",
+    oracle="""
+    SELECT CAST(12 AS BIGINT) AS files_before,
+           CAST(1 AS BIGINT) AS files_after,
+           COUNT(*) AS n_docs,
+           CAST(SUM(doc_id) AS BIGINT) AS sum_doc_id,
+           CAST(SUM(length(text)) AS BIGINT) AS total_chars
+    FROM documents
+    """,
+)
+def dl2_delta_optimize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Delta OPTIMIZE end to end: four fragmented appends (3 files
+    each), one bin-packing compaction commit (dataChange=false adds and
+    removes), then a snapshot read — the oracle recomputes the full
+    corpus aggregates from the raw table, so a compaction that loses,
+    duplicates, or mutates a single row hash-fails; the file counts pin
+    that the rewrite actually packed 12 files into 1."""
+    import tempfile
+
+    from tulflow_spark.ext.delta_log import (
+        optimize_delta,
+        read_delta,
+        write_delta,
+    )
+
+    docs = table(spark, sf_dir, "documents").select("doc_id", "text")
+    t = tempfile.mkdtemp(prefix="dl2_") + "/tbl"
+    for k in range(4):
+        write_delta(docs.filter(F.col("doc_id") % 4 == k).repartition(3),
+                    t, mode="append" if k else "error")
+    files_before = len(read_delta(spark, t).inputFiles())
+    optimize_delta(spark, t)
+    compacted = read_delta(spark, t)
+    files_after = len(compacted.inputFiles())
+    return (
+        compacted.agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("doc_id").cast("bigint").alias("sum_doc_id"),
+            F.sum(F.length("text")).cast("bigint").alias("total_chars"),
+        )
+        .withColumn("files_before", F.lit(files_before).cast("bigint"))
+        .withColumn("files_after", F.lit(files_after).cast("bigint"))
+        .select("files_before", "files_after", "n_docs", "sum_doc_id",
+                "total_chars")
+    )
+
+
+@register(
+    "dl3_delta_skipping",
+    oracle="""
+    SELECT CAST(3 AS BIGINT) AS files_scanned,
+           CAST(5 AS BIGINT) AS files_total,
+           COUNT(*) AS n_docs,
+           CAST(SUM(doc_id) AS BIGINT) AS sum_doc_id
+    FROM documents
+    WHERE doc_id % 5 BETWEEN 1 AND 3
+    """,
+)
+def dl3_delta_skipping(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stats-based data skipping over the Delta log: five single-file
+    appends each holding one value of band = doc_id % 5, so every file
+    carries tight footer-derived add.stats on the band column; a pruned
+    read for band in [1, 3] must open EXACTLY the three admissible files
+    (files_scanned pins the skip — at 100 TB this is the difference
+    between a metadata operation and a full scan) and the filtered
+    aggregate over the pruned superset must equal the raw-table answer."""
+    import tempfile
+
+    from tulflow_spark.ext.delta_log import read_delta, write_delta
+
+    docs = (table(spark, sf_dir, "documents")
+            .select("doc_id", (F.col("doc_id") % 5).cast("int").alias("band")))
+    t = tempfile.mkdtemp(prefix="dl3_") + "/tbl"
+    for k in range(5):
+        write_delta(docs.filter(F.col("band") == k).coalesce(1), t,
+                    mode="append" if k else "error")
+    full = read_delta(spark, t)
+    pruned = read_delta(spark, t, prune=("band", 1, 3))
+    return (
+        pruned.where(F.col("band").between(1, 3))
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("doc_id").cast("bigint").alias("sum_doc_id"),
+        )
+        .withColumn(
+            "files_scanned", F.lit(len(pruned.inputFiles())).cast("bigint")
+        )
+        .withColumn(
+            "files_total", F.lit(len(full.inputFiles())).cast("bigint")
+        )
+        .select("files_scanned", "files_total", "n_docs", "sum_doc_id")
+    )
+
+
 from tulflow_spark.ext.onnx_mini import mlp_score_sql_expr as _mlpx  # noqa: E402
 
 _RR4_ORACLE = """
