@@ -782,3 +782,58 @@ def test_write_with_retry_exhausts_typed(spark, tmp_path, monkeypatch):
                                   max_attempts=3)
     with pytest.raises(ValueError, match="error"):
         dl.write_delta_with_retry(_df(spark, 0, 1), t, mode="error")
+
+
+def test_read_delta_changes_incremental(spark, tmp_path):
+    from tulflow_spark.ext.delta_log import (
+        optimize_delta,
+        read_delta_changes,
+    )
+
+    t = str(tmp_path / "tbl")
+    write_delta(_df(spark, 0, 5).repartition(2), t)                 # v0
+    write_delta(_df(spark, 5, 8).repartition(2), t, mode="append")  # v1
+    optimize_delta(spark, t)                                        # v2
+    write_delta(_df(spark, 8, 10), t, mode="append")                # v3
+    assert _ids(read_delta_changes(spark, t, -1)) == list(range(10))
+    assert _ids(read_delta_changes(spark, t, 0)) == list(range(5, 10))
+    # OPTIMIZE is invisible to incremental consumers
+    assert _ids(read_delta_changes(spark, t, 1)) == [8, 9]
+    assert read_delta_changes(spark, t, 1, to_version=2).count() == 0
+    assert read_delta_changes(spark, t, 3).count() == 0  # empty range
+    # schema survives an empty change set
+    assert read_delta_changes(spark, t, 3).columns == ["id", "v"]
+
+
+def test_read_delta_changes_walls(spark, tmp_path):
+    from tulflow_spark.ext.delta_log import read_delta_changes
+
+    t = str(tmp_path / "tbl")
+    write_delta(_df(spark, 0, 5), t)
+    write_delta(_df(spark, 9, 10), t, mode="overwrite")
+    with pytest.raises(DeltaProtocolError, match="not append-only"):
+        read_delta_changes(spark, t, 0)
+    with pytest.raises(DeltaProtocolError, match="out of bounds"):
+        read_delta_changes(spark, t, 5)
+    # aged-out commits below a checkpoint raise typed
+    write_delta(_df(spark, 10, 12), t, mode="append")
+    write_checkpoint(spark, t)
+    for v in (0, 1, 2):
+        fsio.delete(f"{t}/_delta_log/{v:020d}.json")
+    with pytest.raises(DeltaProtocolError, match="aged out"):
+        read_delta_changes(spark, t, 0)
+
+
+def test_read_delta_changes_partitioned(spark, tmp_path):
+    from pyspark.sql import functions as F
+
+    from tulflow_spark.ext.delta_log import read_delta_changes
+
+    t = str(tmp_path / "tbl")
+    df = _df(spark, 0, 10).withColumn("b", (F.col("id") % 2).cast("int"))
+    write_delta(df, t, partition_by=["b"])
+    df2 = _df(spark, 10, 14).withColumn("b", (F.col("id") % 2).cast("int"))
+    write_delta(df2, t, mode="append", partition_by=["b"])
+    out = read_delta_changes(spark, t, 0)
+    assert _ids(out) == [10, 11, 12, 13]
+    assert out.where("b = id % 2").count() == 4

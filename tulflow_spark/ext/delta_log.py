@@ -746,6 +746,13 @@ def read_delta(
             if not _file_pruned(a, col, lo, hi, snap.partition_cols,
                                 types_all)
         }
+    return _build_scan(spark, path, snap)
+
+
+def _build_scan(spark: SparkSession, path: str, snap: Snapshot) -> DataFrame:
+    """One parquet scan over exactly ``snap.live``, with the metaData
+    schema applied and (for partitioned tables) the log's
+    partitionValues injected as typed literals."""
     schema = None
     if snap.schema_str is not None:
         schema = StructType.fromJson(json.loads(snap.schema_str))
@@ -1068,6 +1075,81 @@ def delete_where(spark: SparkSession, path: str, condition: str,
     return latest + 1
 
 
+def _commit_actions(path: str, version: int) -> list[dict]:
+    """The JSON action list of one commit (typed on malformed lines)."""
+    fs, lp = fsio.resolve(f"{_log_dir(path)}/{_commit_name(version)}")
+    with fs.open_input_stream(lp) as stream:
+        text = stream.read().decode("utf-8")
+    out = []
+    for line in text.splitlines():
+        if not line.strip():
+            continue
+        try:
+            out.append(json.loads(line))
+        except ValueError as exc:
+            raise DeltaProtocolError(
+                f"malformed action line in commit {version}: {exc!r}"
+            ) from None
+    return out
+
+
+def read_delta_changes(
+    spark: SparkSession, path: str, from_version: int,
+    to_version: int | None = None,
+) -> DataFrame:
+    """Rows ADDED by commits in (``from_version``, ``to_version``] — the
+    incremental-consumption half of :func:`delta_stream_sink`: a
+    downstream job stores the version it has processed and reads only
+    the delta since, O(new data) instead of O(table).
+
+    Only ``dataChange=true`` adds count: OPTIMIZE's layout-only commits
+    are correctly invisible (no row is delivered twice), which is the
+    protocol reason compaction marks itself ``dataChange=false``.  A
+    ``dataChange=true`` remove inside the range (DELETE / overwrite)
+    raises typed — row-level deletes cannot be expressed as new rows;
+    re-sync from a snapshot read instead.  Commits aged out below a
+    checkpoint raise the same typed gap error as time travel."""
+    latest = latest_version(path)
+    if latest is None:
+        raise DeltaProtocolError(f"no delta table at {path}")
+    to = latest if to_version is None else to_version
+    if not -1 <= from_version <= to <= latest:
+        raise DeltaProtocolError(
+            f"change range ({from_version}, {to}] out of bounds "
+            f"(latest is {latest})"
+        )
+    have = set(_list_log_versions(path))
+    missing = [v for v in range(from_version + 1, to + 1) if v not in have]
+    if missing:
+        raise DeltaProtocolError(
+            f"change range needs commits {missing[:5]} which are aged "
+            "out (below the checkpoint horizon): re-sync from a "
+            "snapshot read"
+        )
+    changed: dict[str, dict] = {}
+    for v in range(from_version + 1, to + 1):
+        for action in _commit_actions(path, v):
+            add = action.get("add")
+            if add and add.get("dataChange"):
+                changed[add["path"]] = add
+            rm = action.get("remove")
+            if rm and rm.get("dataChange"):
+                raise DeltaProtocolError(
+                    f"commit {v} removes data (delete/overwrite): the "
+                    "change set is not append-only — re-sync from a "
+                    "snapshot read"
+                )
+            # dataChange=false removes (OPTIMIZE tombstoning a file that
+            # was added within the range): the original add keeps
+            # delivering the rows — the file outlives its tombstone
+            # until vacuum, and counting the compaction output instead
+            # would double rows added BEFORE the range
+    snap = _replay(spark, path, to)
+    delta_snap = Snapshot(changed, snap.schema_str, to,
+                          partition_cols=snap.partition_cols)
+    return _build_scan(spark, path, delta_snap)
+
+
 def optimize_delta(
     spark: SparkSession,
     path: str,
@@ -1203,6 +1285,7 @@ __all__ = [
     "latest_version",
     "optimize_delta",
     "read_delta",
+    "read_delta_changes",
     "vacuum_delta",
     "write_delta",
     "write_delta_with_retry",

@@ -39,8 +39,10 @@ EXTRA_ORACLE: dict[str, str] = {}
 # oracle-pair prefix — the gate is 50/50 hash-checkable.
 GATED: frozenset[str] = frozenset(
     {
-        # r7-promoted oracle pairs, kept (19)
-        "a13_grouping_sets",
+        # r7-promoted oracle pairs, kept
+        # r9: a13_grouping_sets rotated out (driver rows r7+r8; the OLAP
+        # family keeps q01/q03/q05/sk1) for the Delta change-feed pair
+        "dl4_delta_changes",
         "bm1_bm25_search",
         "cdc3_scd2_history",
         # r9: zo2_zorder3_layout and bm2_phrase_search rotated out

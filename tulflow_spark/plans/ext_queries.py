@@ -3126,6 +3126,44 @@ def dl3_delta_skipping(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+
+@register(
+    "dl4_delta_changes",
+    oracle="""
+    SELECT doc_id, CAST(length(text) AS BIGINT) AS chars
+    FROM documents
+    WHERE doc_id % 3 = 2
+    """,
+)
+def dl4_delta_changes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental consumption off the Delta log (read_delta_changes —
+    the CDF-lite counterpart of the exactly-once stream sink): after
+    write (%3=0), append (%3=1), OPTIMIZE, append (%3=2), the change set
+    since the first append must be EXACTLY the last append's rows — the
+    compaction commit rewrote every earlier file, so a consumer that
+    counted dataChange=false adds would re-deliver the whole table and
+    hash-fail row-for-row here."""
+    import tempfile
+
+    from tulflow_spark.ext.delta_log import (
+        optimize_delta,
+        read_delta_changes,
+        write_delta,
+    )
+
+    docs = table(spark, sf_dir, "documents").select("doc_id", "text")
+    t = tempfile.mkdtemp(prefix="dl4_") + "/tbl"
+    write_delta(docs.filter(F.col("doc_id") % 3 == 0).repartition(2), t)
+    write_delta(docs.filter(F.col("doc_id") % 3 == 1).repartition(2), t,
+                mode="append")
+    optimize_delta(spark, t)
+    write_delta(docs.filter(F.col("doc_id") % 3 == 2), t, mode="append")
+    return (
+        read_delta_changes(spark, t, from_version=1)
+        .select("doc_id", F.length("text").cast("bigint").alias("chars"))
+    )
+
+
 from tulflow_spark.ext.onnx_mini import mlp_score_sql_expr as _mlpx  # noqa: E402
 
 _RR4_ORACLE = """
