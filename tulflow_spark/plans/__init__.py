@@ -58,7 +58,9 @@ GATED: frozenset[str] = frozenset(
         "j6_range_join",
         "mx8_temperature_mix",
         "pack1_token_sequences",
-        "pr2_drift_psi",
+        # r9: pr2_drift_psi rotated out (driver rows r7+r8; pr1 keeps
+        # the profile-family anchor) for the mojibake-repair pair
+        "tx14_mojibake_repair",
         "rr1_rerank_topk",
         "rr2_search_rerank",
         "sp1_hash_split",

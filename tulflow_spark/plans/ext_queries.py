@@ -3164,6 +3164,70 @@ def dl4_delta_changes(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+
+@register(
+    "tx14_mojibake_repair",
+    oracle="""
+    SELECT doc_id,
+           md5(replace(text, 'a', '\u00e9')) AS repaired_md5,
+           TRUE AS fixed,
+           CAST(length(text) - length(replace(text, 'a', ''))
+                AS BIGINT) AS n_bigrams
+    FROM documents
+    """,
+)
+def tx14_mojibake_repair(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Encoding-corruption repair driver-proven (ext/textfix.py, the
+    ftfy-class cleaning stage): every 'a' in the (all-ASCII) corpus is
+    replaced JVM-side with an accented character, the result is mangled
+    the classic way (UTF-8 bytes re-decoded as latin-1, yielding one
+    detector-signature bigram per injected character), and the
+    PRODUCTION detector + repair run in an Arrow-batched stage.  The
+    oracle recomputes the md5 of the clean injected text and the exact
+    signature count, so an off-by-one in the detector ranges or a
+    non-reversible repair hash-fails per row."""
+    from collections.abc import Iterator
+
+    import pandas as pd
+
+    docs = (
+        table(spark, sf_dir, "documents")
+        .select(
+            "doc_id",
+            F.regexp_replace("text", "a", "\u00e9").alias("injected"),
+        )
+        .repartition(32)
+    )
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import hashlib
+
+        from tulflow_spark.ext.textfix import fix_mojibake, mojibake_score
+
+        for pdf in batches:
+            rows = []
+            for doc_id, injected in zip(pdf["doc_id"], pdf["injected"]):
+                corrupted = injected.encode("utf-8").decode("latin-1")
+                repaired = fix_mojibake(corrupted)
+                rows.append(
+                    {
+                        "doc_id": int(doc_id),
+                        "repaired_md5": hashlib.md5(
+                            repaired.encode("utf-8")
+                        ).hexdigest(),
+                        "fixed": repaired == injected,
+                        "n_bigrams": mojibake_score(corrupted),
+                    }
+                )
+            yield pd.DataFrame(rows)
+
+    return docs.mapInPandas(
+        gen,
+        schema="doc_id bigint, repaired_md5 string, fixed boolean, "
+               "n_bigrams bigint",
+    )
+
+
 from tulflow_spark.ext.onnx_mini import mlp_score_sql_expr as _mlpx  # noqa: E402
 
 _RR4_ORACLE = """
