@@ -156,6 +156,107 @@ class _Bits:
         """Byte offset of the next unread bit (only valid when aligned)."""
         return self.pos >> 3
 
+    def seek(self, p: int) -> None:
+        """Reposition to absolute bit ``p`` (used after a numpy fast
+        path consumed a region)."""
+        if p > self.nbits:
+            raise FlacError("bitstream exhausted")
+        self.pos = p
+        byte, rem = p >> 3, p & 7
+        if rem:
+            self._win = self.data[byte] & ((1 << (8 - rem)) - 1)
+            self._winbits = 8 - rem
+            self._bytepos = byte + 1
+        else:
+            self._win = 0
+            self._winbits = 0
+            self._bytepos = byte
+
+
+class _NpBits:
+    """Bit plane of one frame region as numpy arrays — the vectorized
+    hot path for Rice residuals and fixed-width sample runs (the same
+    move as ext/mp3.py's compiled LUTs: per-sample Python falls to a
+    handful of indexed reads).  ``base`` is the absolute bit offset of
+    the region's first bit; all public methods take/return ABSOLUTE bit
+    positions so the :class:`_Bits` reader can be re-synced with
+    ``seek``."""
+
+    __slots__ = ("base", "bits", "cum", "ones", "n")
+
+    def __init__(self, content: bytes, start_byte: int, end_byte: int):
+        self.base = start_byte * 8
+        arr = np.frombuffer(content, np.uint8, count=end_byte - start_byte,
+                            offset=start_byte)
+        self.bits = np.unpackbits(arr)
+        self.n = len(self.bits)
+        self.cum = None   # ones-before cumulative (built lazily)
+        self.ones = None  # positions of 1 bits (built lazily)
+
+    def _index(self) -> None:
+        if self.ones is None:
+            self.ones = np.nonzero(self.bits)[0]
+            self.cum = np.cumsum(self.bits)
+
+    def read_fixed(self, pos: int, count: int, width: int) -> tuple:
+        """``count`` signed ``width``-bit values at absolute bit ``pos``
+        → (int64 array, new absolute position)."""
+        rel = pos - self.base
+        end = rel + count * width
+        if end > self.n:
+            raise FlacError("bitstream exhausted")
+        if count == 0 or width == 0:
+            return np.zeros(count, np.int64), pos
+        mat = self.bits[rel:end].reshape(count, width).astype(np.int64)
+        pow2 = np.int64(1) << np.arange(width - 1, -1, -1, dtype=np.int64)
+        out = mat @ pow2
+        out -= (out >> (width - 1)) << width  # sign extend
+        return out, self.base + end
+
+    def read_rice(self, pos: int, count: int, k: int) -> tuple:
+        """``count`` Rice(k)+zigzag codes at absolute bit ``pos`` →
+        (int64 array, new absolute position).  The sequential scan is a
+        pointer walk over the precomputed ones/cumsum index (two indexed
+        reads per code); quotients and remainders then vectorize."""
+        if count == 0:
+            return np.zeros(0, np.int64), pos
+        self._index()
+        rel = pos - self.base
+        if rel < 0 or rel > self.n:
+            raise FlacError("bitstream exhausted")
+        ones, cum = self.ones, self.cum
+        term = np.empty(count, np.int64)
+        j = cum[rel - 1] if rel else 0
+        p = rel
+        try:
+            for i in range(count):
+                t = ones[j]
+                term[i] = t
+                p = t + 1 + k
+                j = cum[p - 1] if p <= self.n else self._oob()
+        except IndexError:
+            raise FlacError("bitstream exhausted") from None
+        if p > self.n:
+            raise FlacError("bitstream exhausted")
+        starts = np.empty(count, np.int64)
+        starts[0] = rel
+        if count > 1:
+            starts[1:] = term[:-1] + 1 + k
+        q = term - starts
+        if k:
+            idx = term[:, None] + np.arange(1, k + 1, dtype=np.int64)
+            rem = self.bits[idx].astype(np.int64) @ (
+                np.int64(1) << np.arange(k - 1, -1, -1, dtype=np.int64)
+            )
+            v = (q << k) | rem
+        else:
+            v = q
+        return (v >> 1) ^ -(v & 1), self.base + p
+
+    @staticmethod
+    def _oob():
+        raise IndexError
+
 
 # ---------------------------------------------------------------------------
 # STREAMINFO / metadata walk
@@ -267,7 +368,50 @@ def _read_coded_number(bits: _Bits) -> int:
     return val
 
 
-def _decode_residual(bits: _Bits, block_size: int, order: int) -> np.ndarray:
+def _rice_slow(bits: _Bits, count: int, param: int) -> np.ndarray:
+    """Per-sample Rice decode — the exact fallback when the frame's
+    numpy window doesn't cover a pathological (very long unary) run."""
+    out = np.empty(count, np.int64)
+    for i in range(count):
+        q = bits.read_unary()
+        v = (q << param) | bits.read(param) if param else q
+        out[i] = (v >> 1) ^ -(v & 1)  # zigzag
+    return out
+
+
+def _fixed_slow(bits: _Bits, count: int, width: int) -> np.ndarray:
+    out = np.empty(count, np.int64)
+    for i in range(count):
+        out[i] = bits.read_signed(width)
+    return out
+
+
+def _read_rice_run(bits: _Bits, nb, count: int, param: int) -> np.ndarray:
+    if nb is not None:
+        p0 = bits.pos
+        try:
+            vals, newpos = nb.read_rice(p0, count, param)
+            bits.seek(newpos)
+            return vals
+        except FlacError:
+            bits.seek(p0)  # window miss: exact slow path decides
+    return _rice_slow(bits, count, param)
+
+
+def _read_fixed_run(bits: _Bits, nb, count: int, width: int) -> np.ndarray:
+    if nb is not None:
+        p0 = bits.pos
+        try:
+            vals, newpos = nb.read_fixed(p0, count, width)
+            bits.seek(newpos)
+            return vals
+        except FlacError:
+            bits.seek(p0)
+    return _fixed_slow(bits, count, width)
+
+
+def _decode_residual(bits: _Bits, block_size: int, order: int,
+                     nb=None) -> np.ndarray:
     """Rice-partitioned residual (§9.2.7) → int64 array of
     block_size - order values."""
     method = bits.read(2)
@@ -293,13 +437,13 @@ def _decode_residual(bits: _Bits, block_size: int, order: int) -> np.ndarray:
             if raw == 0:
                 out[idx : idx + count] = 0
             else:
-                for i in range(count):
-                    out[idx + i] = bits.read_signed(raw)
+                out[idx : idx + count] = _read_fixed_run(
+                    bits, nb, count, raw
+                )
         else:
-            for i in range(count):
-                q = bits.read_unary()
-                v = (q << param) | bits.read(param) if param else q
-                out[idx + i] = (v >> 1) ^ -(v & 1)  # zigzag
+            out[idx : idx + count] = _read_rice_run(
+                bits, nb, count, param
+            )
         idx += count
     return out
 
@@ -317,7 +461,8 @@ def _undiff(warmup: np.ndarray, resid: np.ndarray, order: int) -> np.ndarray:
     return np.concatenate([warmup, x])
 
 
-def _decode_subframe(bits: _Bits, block_size: int, sbits: int) -> np.ndarray:
+def _decode_subframe(bits: _Bits, block_size: int, sbits: int,
+                     nb=None) -> np.ndarray:
     """One subframe (§9.2) → int64 samples (wasted bits restored)."""
     if bits.read(1):
         raise FlacError("subframe header padding bit set")
@@ -331,19 +476,13 @@ def _decode_subframe(bits: _Bits, block_size: int, sbits: int) -> np.ndarray:
     if stype == 0:  # CONSTANT
         out = np.full(block_size, bits.read_signed(eff), np.int64)
     elif stype == 1:  # VERBATIM
-        out = np.fromiter(
-            (bits.read_signed(eff) for _ in range(block_size)),
-            np.int64, count=block_size,
-        )
+        out = _read_fixed_run(bits, nb, block_size, eff)
     elif 8 <= stype <= 12:  # FIXED, order 0-4
         order = stype - 8
         if order > block_size:
             raise FlacError("fixed order exceeds block size")
-        warmup = np.fromiter(
-            (bits.read_signed(eff) for _ in range(order)),
-            np.int64, count=order,
-        )
-        resid = _decode_residual(bits, block_size, order)
+        warmup = _fixed_slow(bits, order, eff)
+        resid = _decode_residual(bits, block_size, order, nb)
         out = _undiff(warmup, resid, order)
     elif stype >= 32:  # LPC, order 1-32
         order = (stype & 0x1F) + 1
@@ -357,7 +496,7 @@ def _decode_subframe(bits: _Bits, block_size: int, sbits: int) -> np.ndarray:
         if shift < 0:
             raise FlacError("negative LPC shift is invalid")
         coeffs = [bits.read_signed(prec) for _ in range(order)]
-        resid = _decode_residual(bits, block_size, order)
+        resid = _decode_residual(bits, block_size, order, nb)
         samples = list(warmup)
         for r in resid.tolist():
             acc = 0
@@ -433,6 +572,14 @@ def _decode_frame(content: bytes, start: int, info: StreamInfo):
         raise FlacError(f"reserved channel assignment {chan_code}")
     if nchan != info.channels:
         raise FlacError("frame channel count differs from STREAMINFO")
+    # numpy window over this frame's plausible extent (worst legal
+    # verbatim frame + headroom); a pathological unary run past the
+    # window falls back to the exact per-sample reader
+    win_end = min(
+        len(content),
+        bits.bytepos() + 64 + nchan * (block_size * (sbits + 18) // 8 + 128),
+    )
+    nb = _NpBits(content, start, win_end)
     chans = []
     for c in range(nchan):
         ch_bits = sbits
@@ -440,7 +587,7 @@ def _decode_frame(content: bytes, start: int, info: StreamInfo):
         if side == "ls" and c == 1 or side == "rs" and c == 0 \
                 or side == "ms" and c == 1:
             ch_bits += 1
-        chans.append(_decode_subframe(bits, block_size, ch_bits))
+        chans.append(_decode_subframe(bits, block_size, ch_bits, nb))
     bits.align()
     crc_pos = bits.bytepos()
     if crc_pos + 2 > len(content):
@@ -550,6 +697,19 @@ class _BitWriter:
             q -= 32
         self.write(1, q + 1)
 
+    def write_bits(self, arr: np.ndarray) -> None:
+        """Append a 0/1 uint8 array: bit-by-bit to the next byte
+        boundary, then one packbits for the aligned bulk."""
+        head = min(len(arr), (-self._nbits) % 8)
+        for b in arr[:head]:
+            self.write(int(b), 1)
+        rest = arr[head:]
+        cut = len(rest) - (len(rest) % 8)
+        if cut:
+            self.buf += np.packbits(rest[:cut]).tobytes()
+        for b in rest[cut:]:
+            self.write(int(b), 1)
+
     def align(self) -> None:
         if self._nbits:
             self.write(0, 8 - self._nbits)
@@ -577,6 +737,33 @@ def _write_coded_number(w: _BitWriter, v: int) -> None:
     w.write(lead_prefix | (v >> (6 * rest)), 8)
     for i in range(rest - 1, -1, -1):
         w.write(0x80 | ((v >> (6 * i)) & 0x3F), 8)
+
+
+def _fixed_bits(vals: np.ndarray, width: int) -> np.ndarray:
+    """Signed values → flat 0/1 array of ``width``-bit fields."""
+    v = np.asarray(vals, np.int64) & ((1 << width) - 1)
+    shifts = np.arange(width - 1, -1, -1, dtype=np.int64)
+    return ((v[:, None] >> shifts) & 1).astype(np.uint8).ravel()
+
+
+def _rice_bits(resid: np.ndarray, k: int) -> np.ndarray:
+    """Zigzag + Rice(k) encode a residual vector → flat 0/1 array
+    (vectorized: one scatter for the terminators, one for remainders)."""
+    r = np.asarray(resid, np.int64)
+    zz = (np.abs(r) << 1) - (r < 0)
+    q = zz >> k
+    lens = q + 1 + k
+    ends = np.cumsum(lens)
+    out = np.zeros(int(ends[-1]) if len(ends) else 0, np.uint8)
+    term = ends - 1 - k  # terminator 1 of each code
+    out[term] = 1
+    if k:
+        idx = term[:, None] + np.arange(1, k + 1, dtype=np.int64)
+        shifts = np.arange(k - 1, -1, -1, dtype=np.int64)
+        out[idx.ravel()] = ((zz[:, None] >> shifts) & 1).astype(
+            np.uint8
+        ).ravel()
+    return out
 
 
 def _best_rice_param(resid: np.ndarray) -> int:
@@ -651,8 +838,7 @@ def _encode_frame(block: np.ndarray, frame_idx: int,
         w.write(0, 1)
         w.write(1, 6)  # VERBATIM
         w.write(0, 1)  # no wasted bits
-        for v in block.tolist():
-            w.write(int(v), 16)
+        w.write_bits(_fixed_bits(block, 16))
     else:
         w.write(0, 1)
         w.write(8 + order, 6)  # FIXED
@@ -666,11 +852,7 @@ def _encode_frame(block: np.ndarray, frame_idx: int,
         w.write(0, 4)  # partition order 0
         k = _best_rice_param(resid)
         w.write(k, 4)
-        for r in resid.tolist():
-            zz = (abs(r) << 1) - (1 if r < 0 else 0)  # zigzag
-            w.write_unary(zz >> k)
-            if k:
-                w.write(zz & ((1 << k) - 1), k)
+        w.write_bits(_rice_bits(resid, k))
     w.align()
     body = bytes(w.buf)
     return body + struct.pack(">H", crc16(body))
