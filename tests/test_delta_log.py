@@ -559,17 +559,20 @@ def test_stream_sink_zombie_twin_exactly_once(spark, tmp_path, monkeypatch):
 
     t = str(tmp_path / "tbl")
     dl.write_delta(_df(spark, 0, 3), t)
-    real = dl.write_delta
+    real = dl._validate_write
     fired = {"n": 0}
 
-    def racy(df, path, **kw):
+    def racy(df, path, mode, expect_version, partition_by):
+        out = real(df, path, mode, expect_version, partition_by)
         if fired["n"] == 0:
             fired["n"] += 1
-            # the zombie twin lands the SAME (app, batch) first
-            real(_df(spark, 10, 13), path, mode="append", txn=kw.get("txn"))
-        return real(df, path, **kw)
+            # the zombie twin lands the SAME (app, batch) between the
+            # sink's snapshot read and its publish
+            dl.write_delta(_df(spark, 10, 13), path, mode="append",
+                           txn=("app-z", 0))
+        return out
 
-    monkeypatch.setattr(dl, "write_delta", racy)
+    monkeypatch.setattr(dl, "_validate_write", racy)
     sink = dl.delta_stream_sink(t, "app-z")
     sink(_df(spark, 10, 13), 0)
     assert _ids(read_delta(spark, t)) == [0, 1, 2, 10, 11, 12]
@@ -712,14 +715,14 @@ def test_vacuum_deletes_unreferenced_only(spark, tmp_path):
     optimize_delta(spark, t, min_files=1)
     # an orphan from a losing racer
     _df(spark, 0, 1).write.parquet(f"{t}/commit-deadbeef0000")
-    deleted = vacuum_delta(spark, t)
+    deleted = vacuum_delta(spark, t, min_age_seconds=0)
     assert len(deleted) >= 3  # v0 files + pre-optimize v1 file + orphan
     assert any("deadbeef" in d for d in deleted)
     assert _ids(read_delta(spark, t)) == [99]  # live snapshot intact
     with pytest.raises(Exception):
         read_delta(spark, t, version=0).collect()  # horizon gone
     # keep_versions widens the window: nothing more to delete
-    assert vacuum_delta(spark, t, keep_versions=5) == []
+    assert vacuum_delta(spark, t, keep_versions=5, min_age_seconds=0) == []
 
 
 def test_vacuum_keep_versions_preserves_travel(spark, tmp_path):
@@ -728,7 +731,7 @@ def test_vacuum_keep_versions_preserves_travel(spark, tmp_path):
     t = str(tmp_path / "tbl")
     write_delta(_df(spark, 0, 5), t)
     write_delta(_df(spark, 5, 8), t, mode="overwrite")
-    assert vacuum_delta(spark, t, keep_versions=1) == []
+    assert vacuum_delta(spark, t, keep_versions=1, min_age_seconds=0) == []
     assert _ids(read_delta(spark, t, version=0)) == list(range(5))
 
 
@@ -837,3 +840,99 @@ def test_read_delta_changes_partitioned(spark, tmp_path):
     out = read_delta_changes(spark, t, 0)
     assert _ids(out) == [10, 11, 12, 13]
     assert out.where("b = id % 2").count() == 4
+
+
+def test_vacuum_keeps_fresh_inflight_staged_files(spark, tmp_path):
+    """Review r9: a concurrent writer's staged-but-uncommitted files are
+    referenced by no snapshot; the min-age guard must keep them."""
+    from tulflow_spark.ext.delta_log import vacuum_delta
+
+    t = str(tmp_path / "tbl")
+    write_delta(_df(spark, 0, 3), t)
+    # simulate an in-flight writer mid-stage (published nothing yet)
+    _df(spark, 9, 10).write.parquet(f"{t}/commit-inflight0001")
+    assert vacuum_delta(spark, t) == []  # default 1h guard keeps it
+    assert fsio.exists(f"{t}/commit-inflight0001")
+    deleted = vacuum_delta(spark, t, min_age_seconds=0)
+    assert any("inflight" in d for d in deleted)
+
+
+def test_prune_unknown_partition_type_keeps_file(spark, tmp_path):
+    """Review r9: a third-party log with partitionColumns but no schema
+    must keep (not KeyError) under prune — skipping is never a filter."""
+    from tulflow_spark.ext.delta_log import _file_pruned
+
+    add = {"partitionValues": {"day": "2024-01-01"}}
+    assert _file_pruned(add, "day", "2024-02-01", "2024-03-01",
+                        ["day"], {}) is False
+
+
+def test_stats_nullcount_poisoned_not_understated(spark, tmp_path):
+    """Review r9: a row group without null_count must drop the column
+    from nullCount entirely, not publish a partial total as exact."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from tulflow_spark.ext.delta_log import _file_stats
+
+    p = str(tmp_path / "two_groups.parquet")
+    w = pq.ParquetWriter(
+        p, pa.schema([("id", pa.int64())]), write_statistics=False
+    )
+    w.write_table(pa.table({"id": [1, None, 3]}))
+    w.close()
+    import tulflow_spark.fsio as fsio_mod
+
+    fs, base = fsio_mod.resolve(p)
+    stats = __import__("json").loads(_file_stats(fs, base))
+    assert stats["numRecords"] == 3
+    assert "id" not in stats["nullCount"]
+    assert "id" not in stats["minValues"]
+
+
+def test_stream_sink_stages_batch_once_under_contention(
+    spark, tmp_path, monkeypatch
+):
+    """Review r9: OCC retries in the sink must not re-stage the batch."""
+    import tulflow_spark.ext.delta_log as dl
+
+    t = str(tmp_path / "tbl")
+    dl.write_delta(_df(spark, 0, 3), t)
+    real_validate = dl._validate_write
+    races = {"n": 0}
+
+    def contended(df, path, mode, expect_version, partition_by):
+        out = real_validate(df, path, mode, expect_version, partition_by)
+        if races["n"] < 2:
+            races["n"] += 1
+            dl._publish(path, out[0], [])  # other-app writer wins
+        return out
+
+    monkeypatch.setattr(dl, "_validate_write", contended)
+    stage_calls = {"n": 0}
+    real_stage = dl._stage_adds
+
+    def counting_stage(*a, **kw):
+        stage_calls["n"] += 1
+        return real_stage(*a, **kw)
+
+    monkeypatch.setattr(dl, "_stage_adds", counting_stage)
+    dl.delta_stream_sink(t, "app-s")(_df(spark, 3, 5), 0)
+    assert stage_calls["n"] == 1
+    assert _ids(read_delta(spark, t)) == list(range(5))
+
+
+def test_optimize_converges_and_skips_at_target_files(spark, tmp_path):
+    """Review r9: OPTIMIZE must reach a fixed point — files at/over the
+    target size are never rewritten, and a pack that cannot reduce the
+    group's file count is skipped."""
+    from tulflow_spark.ext.delta_log import optimize_delta
+
+    t = str(tmp_path / "tbl")
+    write_delta(_df(spark, 0, 10).repartition(2), t)
+    # every live file is "at target" for a tiny target: nothing to do
+    assert optimize_delta(spark, t, target_file_bytes=1) is None
+    # normal target compacts once, then converges
+    assert optimize_delta(spark, t) == 1
+    assert optimize_delta(spark, t) is None
+    assert _ids(read_delta(spark, t)) == list(range(10))

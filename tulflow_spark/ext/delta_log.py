@@ -404,7 +404,8 @@ def _file_stats(fs, full_path: str) -> str | None:
     mins: dict = {}
     maxs: dict = {}
     nulls: dict = {}
-    bad: set = set()  # any row group without usable stats poisons the col
+    bad: set = set()       # a row group without min/max poisons the col
+    null_bad: set = set()  # a row group without null_count poisons it too
     for rg in range(md.num_row_groups):
         g = md.row_group(rg)
         for ci in range(g.num_columns):
@@ -415,6 +416,10 @@ def _file_stats(fs, full_path: str) -> str | None:
             st = col.statistics
             if st is not None and st.has_null_count:
                 nulls[name] = nulls.get(name, 0) + st.null_count
+            else:
+                # an understated count presented as exact would let a
+                # conformant reader wrongly prune IS NULL queries
+                null_bad.add(name)
             if name in bad:
                 continue
             if st is None or not st.has_min_max:
@@ -432,7 +437,7 @@ def _file_stats(fs, full_path: str) -> str | None:
         "numRecords": md.num_rows,
         "minValues": {k: v for k, v in mins.items() if k not in bad},
         "maxValues": {k: v for k, v in maxs.items() if k not in bad},
-        "nullCount": nulls,
+        "nullCount": {k: v for k, v in nulls.items() if k not in null_bad},
     }, separators=(",", ":"))
 
 
@@ -694,8 +699,12 @@ def _file_pruned(add: dict, col: str, lo, hi,
         raw = pv[col]
         if raw is None:
             return True  # the value IS NULL: outside any [lo, hi] range
+        dtype = types.get(col)
+        if dtype is None:
+            return False  # partition col absent from schema: keep; the
+            #               scan raises the typed schema error downstream
         try:
-            v = _partition_value(raw, types[col], col)
+            v = _partition_value(raw, dtype, col)
             return v < lo or v > hi
         except (TypeError, DeltaProtocolError):
             return False
@@ -951,6 +960,7 @@ def delta_stream_sink(path: str, app_id: str,
     """
     def write_batch(batch_df: DataFrame, batch_id: int) -> None:
         spark = batch_df.sparkSession
+        adds = None  # staged ONCE; retries re-run only validate+publish
         while True:
             # ONE replayed snapshot per attempt: its version and its txn
             # watermark are read together, and expect_version pins the
@@ -967,10 +977,13 @@ def delta_stream_sink(path: str, app_id: str,
                     return  # replayed micro-batch: already committed
                 mode, base = "append", latest
             try:
-                write_delta(batch_df, path, mode=mode,
-                            expect_version=base,
-                            partition_by=partition_by,
-                            txn=(app_id, int(batch_id)))
+                version, prior = _validate_write(batch_df, path, mode,
+                                                 base, partition_by)
+                if adds is None:
+                    adds = _stage_adds(batch_df, path, partition_by)
+                _publish_write(batch_df, path, mode, partition_by,
+                               (app_id, int(batch_id)), adds, version,
+                               prior)
                 return
             except DeltaConcurrentCommit:
                 continue  # racer won this version: re-check and retry
@@ -1195,14 +1208,21 @@ def optimize_delta(
     frames = []
     total_bytes = 0
     for key, paths in groups.items():
-        if len(paths) < min_files:
+        # bin-pack only UNDERSIZED files, and only when packing actually
+        # reduces the group's file count — otherwise a scheduled
+        # OPTIMIZE would rewrite at-target files forever, growing the
+        # log and the vacuum backlog with no layout benefit
+        small = [p for p in paths
+                 if int(snap.live[p].get("size") or 0) < target_file_bytes]
+        if len(small) < min_files:
             continue
-        victims.extend(paths)
-        total_bytes += sum(
-            int(snap.live[p].get("size") or 0) for p in paths
-        )
+        group_bytes = sum(int(snap.live[p].get("size") or 0) for p in small)
+        if -(-group_bytes // max(1, target_file_bytes)) >= len(small):
+            continue  # packing cannot reduce this group's file count
+        victims.extend(small)
+        total_bytes += group_bytes
         df = spark.read.schema(data_schema).parquet(
-            *[_scan_path(path, p) for p in paths]
+            *[_scan_path(path, p) for p in small]
         )
         for c, raw in key:
             df = df.withColumn(
@@ -1239,14 +1259,23 @@ def optimize_delta(
 
 
 def vacuum_delta(spark: SparkSession, path: str,
-                 keep_versions: int = 0) -> list[str]:
+                 keep_versions: int = 0,
+                 min_age_seconds: float = 3600.0) -> list[str]:
     """Delete data files under the table root referenced by NONE of the
     last ``keep_versions + 1`` snapshots (tombstoned by delete/overwrite/
     optimize, or orphaned by losing OCC racers).  Returns the deleted
     relative paths.  Time travel below the kept window stops working —
     the same contract as Delta ``VACUUM`` at retention 0; widen
     ``keep_versions`` to keep a travel horizon.  The log itself is never
-    touched."""
+    touched.
+
+    ``min_age_seconds`` is the in-flight-writer guard (Delta's retention
+    check): a concurrent writer stages ``commit-*`` files BEFORE its CAS
+    publish, and those files are referenced by no snapshot yet — deleting
+    them would corrupt a commit that then succeeds.  Files younger than
+    the threshold are always kept; only set 0 when no writer can be
+    running."""
+    import time
     from urllib.parse import unquote
 
     from pyarrow import fs as pafs
@@ -1262,6 +1291,7 @@ def vacuum_delta(spark: SparkSession, path: str,
             continue  # below the checkpoint horizon: already unreachable
         referenced |= {unquote(p) for p in snap.live}
     fs, base = fsio.resolve(path)
+    cutoff = time.time() - min_age_seconds
     deleted: list[str] = []
     for info in fs.get_file_info(pafs.FileSelector(base, recursive=True)):
         if info.type != pafs.FileType.File:
@@ -1271,6 +1301,8 @@ def vacuum_delta(spark: SparkSession, path: str,
             continue
         if rel in referenced:
             continue
+        if info.mtime is not None and info.mtime.timestamp() > cutoff:
+            continue  # possibly a concurrent writer's staged file
         fs.delete_file(info.path)
         deleted.append(rel)
     return sorted(deleted)

@@ -791,6 +791,10 @@ def encode_flac(samples: np.ndarray, rate: int, block_size: int = 1024,
         raise ValueError("samples exceed 16-bit range")
     if not 0 < rate < (1 << 20):
         raise ValueError("sample rate out of STREAMINFO range")
+    if not 16 <= block_size <= 65535:
+        # 16-bit header fields would silently truncate larger values
+        # into a corrupt stream; 16 is the spec's minimum block size
+        raise ValueError("block_size must be in [16, 65535]")
     if fixed_order is not None and not 0 <= fixed_order <= 4:
         raise ValueError("fixed predictor order must be 0-4")
     md5 = hashlib.md5(_pack_le(s, 2)).digest()

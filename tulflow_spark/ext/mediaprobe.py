@@ -340,7 +340,7 @@ def probe_mp3(content: bytes) -> Mp3Info:
     frame sizes are undefined without a full sync scan.  Probe-only
     coverage: DECODE (``ext/mp3.py``) remains Layer III.
     """
-    from tulflow_spark.ext.media_codecs import _MPEG_KBPS, _MPEG_RATES
+    from tulflow_spark.ext.media_codecs import mpeg_audio_header
 
     pos = _id3v2_size(content)
     n_frames = 0
@@ -358,27 +358,17 @@ def probe_mp3(content: bytes) -> Mp3Info:
                 pos += 1  # scan for first sync
                 continue
             break  # trailing tag (ID3v1 etc.)
-        version = (hdr >> 19) & 0x3  # 3=MPEG1, 2=MPEG2, 0=MPEG2.5
-        layer_bits = (hdr >> 17) & 0x3  # 3=I, 2=II, 1=III
-        if version == 1 or layer_bits == 0:
+        # typed reasons for the cases the shared parser folds into None
+        if (hdr >> 19) & 0x3 == 1 or (hdr >> 17) & 0x3 == 0:
             raise UnsupportedMedia("mpeg audio: reserved version/layer bits")
-        layer = 4 - layer_bits
-        br_idx = (hdr >> 12) & 0xF
-        sr_idx = (hdr >> 10) & 0x3
-        padding = (hdr >> 9) & 0x1
-        mode = (hdr >> 6) & 0x3
-        if br_idx == 0:
+        if (hdr >> 12) & 0xF == 0:
             raise UnsupportedMedia("mp3: free-format bitrate not supported")
-        if br_idx == 15 or sr_idx == 3:
+        if (hdr >> 12) & 0xF == 15 or (hdr >> 10) & 0x3 == 3:
             raise UnsupportedMedia("mp3: invalid bitrate/samplerate index")
-        kbps = _MPEG_KBPS[(version == 3, layer)][br_idx]
-        rate = _MPEG_RATES[version][sr_idx]
-        if layer == 1:
-            spf = 384
-            frame_len = (12 * kbps * 1000 // rate + padding) * 4
-        else:
-            spf = 1152 if (layer == 2 or version == 3) else 576
-            frame_len = spf // 8 * kbps * 1000 // rate + padding
+        parsed = mpeg_audio_header(content, pos)
+        assert parsed is not None  # every None reason raised typed above
+        version, layer, kbps, rate, spf, frame_len = parsed
+        mode = (hdr >> 6) & 0x3
         if n_frames == 0:
             sample_rate = rate
             first_spf = spf

@@ -21,10 +21,15 @@ reversible class of corruption):
   legitimately accented text, whose single accented characters are not
   followed by continuation-class characters) is a fixed point.
 
-Known trade-off (ftfy's own): text that LEGITIMATELY contains a
-lead+continuation bigram (e.g. the literal string ``Ã©`` discussed in a
-document about encodings) is indistinguishable from mojibake and will
-be "repaired".  Score-then-fix lets a pipeline route by confidence.
+Repair is per ENCODABLE SEGMENT (runs of characters that re-encode to a
+single latin-1/cp1252 byte): documents mixing mojibake with legit CJK /
+emoji / non-latin-1 text still get their corrupted spans fixed, because
+mojibake consists only of encodable characters and the split can never
+cut through one.  Known trade-off (ftfy's own): a segment that
+LEGITIMATELY reads as a lead+continuation bigram (the literal string
+``Ã©`` in a document about encodings) is indistinguishable from
+mojibake and will be "repaired" when the whole segment reverses to
+valid UTF-8.  Score-then-fix lets a pipeline route by confidence.
 
 Spark surface: :func:`fix_mojibake_udf` / :func:`mojibake_score_udf`
 are Arrow-batched pandas UDFs (never row-at-a-time) — the stage is
@@ -66,25 +71,47 @@ def mojibake_score(s: str) -> int:
     return len(_SIGNATURE.findall(s))
 
 
+# characters re-encodable into a single byte (latin-1 range or a cp1252
+# remapping) — mojibake consists ONLY of such characters, so splitting a
+# document at non-encodable runs (CJK, emoji, already-clean text beyond
+# latin-1) isolates the repairable segments without ever cutting through
+# a corrupted byte sequence
+_NON_ENCODABLE = re.compile(f"([^\\x00-\\u00ff{_CONT[3:]}]+)")
+
+
+def _reverse(seg: str) -> str | None:
+    for enc in ("latin-1", "cp1252"):
+        try:
+            return seg.encode(enc).decode("utf-8")
+        except (UnicodeEncodeError, UnicodeDecodeError):
+            continue
+    return None
+
+
 def fix_mojibake(s: str, max_passes: int = 3) -> str:
     """Undo UTF-8-decoded-as-latin-1/cp1252 corruption, up to
-    ``max_passes`` layers deep.  Returns the input unchanged when no
-    signature fires or the reverse transform is not valid UTF-8."""
+    ``max_passes`` layers deep.  Repairs per ENCODABLE SEGMENT: a
+    document mixing mojibake with legit non-latin-1 text (CJK, emoji)
+    still gets its corrupted spans fixed — the non-encodable characters
+    split the string and are never touched.  A segment whose reverse
+    transform is not valid UTF-8 is left unchanged."""
     if not s:
         return s
     for _ in range(max_passes):
         if not _SIGNATURE.search(s):
             break
-        fixed = None
-        for enc in ("latin-1", "cp1252"):
-            try:
-                fixed = s.encode(enc).decode("utf-8")
-                break
-            except (UnicodeEncodeError, UnicodeDecodeError):
-                continue
-        if fixed is None or fixed == s:
+        pieces = _NON_ENCODABLE.split(s)  # odd indexes = non-encodable
+        changed = False
+        for i in range(0, len(pieces), 2):
+            seg = pieces[i]
+            if seg and _SIGNATURE.search(seg):
+                fixed = _reverse(seg)
+                if fixed is not None and fixed != seg:
+                    pieces[i] = fixed
+                    changed = True
+        if not changed:
             break
-        s = fixed
+        s = "".join(pieces)
     return s
 
 
