@@ -731,7 +731,9 @@ def test_vacuum_keep_versions_preserves_travel(spark, tmp_path):
     t = str(tmp_path / "tbl")
     write_delta(_df(spark, 0, 5), t)
     write_delta(_df(spark, 5, 8), t, mode="overwrite")
-    assert vacuum_delta(spark, t, keep_versions=1, min_age_seconds=0) == []
+    deleted = vacuum_delta(spark, t, keep_versions=1, min_age_seconds=0)
+    # markers may go, but no DATA file referenced by the kept window
+    assert not any(d.endswith(".parquet") for d in deleted)
     assert _ids(read_delta(spark, t, version=0)) == list(range(5))
 
 
@@ -936,3 +938,89 @@ def test_optimize_converges_and_skips_at_target_files(spark, tmp_path):
     assert optimize_delta(spark, t) == 1
     assert optimize_delta(spark, t) is None
     assert _ids(read_delta(spark, t)) == list(range(10))
+
+
+def test_stats_decimal_columns_omitted_not_crash(spark, tmp_path):
+    """Review r9 (high): decimal stats come back as decimal.Decimal from
+    the parquet footer — writes must succeed with the column omitted
+    from min/max, never a JSON TypeError."""
+    from decimal import Decimal
+
+    from tulflow_spark.ext.delta_log import _replay
+
+    t = str(tmp_path / "tbl")
+    df = spark.createDataFrame(
+        [(1, Decimal("10.50")), (2, Decimal("99.99"))],
+        "id long, price decimal(10,2)",
+    )
+    write_delta(df.coalesce(1), t)
+    snap = _replay(spark, t, None)
+    stats = [json.loads(a["stats"]) for a in snap.live.values()]
+    assert sum(s["numRecords"] for s in stats) == 2
+    st = next(s for s in stats if s["numRecords"])
+    assert "price" not in st["minValues"] and "id" in st["minValues"]
+    got = read_delta(spark, t).collect()
+    assert sorted(r["price"] for r in got) == [Decimal("10.50"),
+                                               Decimal("99.99")]
+
+
+def test_vacuum_raises_when_latest_snapshot_unreadable(spark, tmp_path):
+    """Review r9 (high): a failed replay of the LIVE snapshot must abort
+    vacuum, not silently empty the referenced set and delete the table."""
+    from tulflow_spark.ext.delta_log import vacuum_delta
+
+    t = str(tmp_path / "tbl")
+    write_delta(_df(spark, 0, 5), t)
+    fsio.write_text(f"{t}/_delta_log/00000000000000000001.json", "{bad")
+    with pytest.raises(DeltaProtocolError, match="malformed"):
+        vacuum_delta(spark, t, min_age_seconds=0)
+    assert _ids(read_delta(spark, t, version=0)) == list(range(5))
+
+
+def test_vacuum_reclaims_markers_and_empty_dirs(spark, tmp_path):
+    from tulflow_spark.ext.delta_log import vacuum_delta
+
+    t = str(tmp_path / "tbl")
+    write_delta(_df(spark, 0, 3), t)
+    write_delta(_df(spark, 9, 10), t, mode="overwrite")
+    deleted = vacuum_delta(spark, t, min_age_seconds=0)
+    assert any(d.endswith("_SUCCESS") for d in deleted)
+    # the tombstoned commit's staging dir is gone entirely
+    dirs = [n for n in fsio.list_names(t) if n.startswith("commit-")]
+    assert len(dirs) == 1  # only the live commit's dir remains
+    assert _ids(read_delta(spark, t)) == [9]
+
+
+def test_optimize_partitioned_respects_target_size(spark, tmp_path):
+    """Review r9 (high): per-group bin-packing must honor
+    ceil(bytes/target) per PARTITION GROUP, not collapse each group
+    into a single file."""
+    from pyspark.sql import functions as F
+
+    from tulflow_spark.ext.delta_log import _replay, optimize_delta
+
+    t = str(tmp_path / "tbl")
+    df = _df(spark, 0, 400).withColumn("b", (F.col("id") % 2).cast("int"))
+    for lo in range(0, 400, 100):
+        write_delta(
+            _df(spark, lo, lo + 100)
+            .withColumn("b", (F.col("id") % 2).cast("int"))
+            .repartition(2),
+            t, mode="append" if lo else "error", partition_by=["b"],
+        )
+    before = _replay(spark, t, None)
+    sizes = [int(a["size"]) for a in before.live.values()]
+    # pick a target that forces ~2 output files per partition group
+    target = sum(sizes) // 4
+    v = optimize_delta(spark, t, target_file_bytes=target)
+    assert v is not None
+    after = _replay(spark, t, None)
+    per_group: dict[str, int] = {}
+    for a in after.live.values():
+        g = a["partitionValues"]["b"]
+        per_group[g] = per_group.get(g, 0) + 1
+    # each group packed into >1 file (ceil honored), but fewer than
+    # before (packing reduced counts)
+    assert all(n >= 2 for n in per_group.values()), per_group
+    assert len(after.live) < len(before.live)
+    assert _ids(read_delta(spark, t)) == list(range(400))

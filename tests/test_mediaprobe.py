@@ -649,3 +649,24 @@ def test_mpeg_audio_header_reserved_fields_rejected():
     assert mpeg_audio_header(free) is None          # free-format
     bad_sr = bytes([good[0], good[1], good[2] | 0x0C, good[3]])
     assert mpeg_audio_header(bad_sr) is None        # reserved rate
+
+
+def test_mp3_parameter_change_clean_stop():
+    """Review r9 (high): stitched segments with different version/layer/
+    rate stop the walk at the boundary instead of misstating duration."""
+    head = make_mpeg_frames(3, layer=3, kbps=64, rate=16000, version=2)
+    tail = make_mpeg_frames(3, layer=3, kbps=128, rate=44100, version=3)
+    info = probe_mp3(head + tail)
+    assert info.n_frames == 3 and info.sample_rate == 16000
+    assert info.duration_ms == 3 * 576 * 1000 // 16000
+
+
+def test_flac_probe_giant_total_samples_degrades():
+    """Review r9 (high): a >2^31-sample STREAMINFO must not overflow the
+    int32 n_frames probe column — degrade to None, keep duration."""
+    from tests.test_flac import streaminfo
+
+    blob = streaminfo(rate=44100, total=2**33)
+    meta = probe_media_bytes(blob + b"")
+    assert meta["n_frames"] is None
+    assert meta["duration_ms"] == 2**33 * 1000 // 44100

@@ -388,6 +388,8 @@ def _file_stats(fs, full_path: str) -> str | None:
     except OSError:
         return None
 
+    import decimal
+
     def _jsonable(v):
         if isinstance(v, bytes):
             try:
@@ -396,6 +398,10 @@ def _file_stats(fs, full_path: str) -> str | None:
                 return None
         if isinstance(v, (datetime.date, datetime.datetime)):
             return v.isoformat()
+        if isinstance(v, decimal.Decimal):
+            # a float round-trip could invert a tight bound and let a
+            # reader prune a file that matches — omit, never guess
+            return None
         if isinstance(v, float) and (v != v or v in (float("inf"),
                                                      float("-inf"))):
             return None  # NaN/inf are not orderable stats in JSON
@@ -425,7 +431,13 @@ def _file_stats(fs, full_path: str) -> str | None:
             if st is None or not st.has_min_max:
                 bad.add(name)
                 continue
-            lo, hi = _jsonable(st.min), _jsonable(st.max)
+            try:
+                # pyarrow raises ArrowNotImplementedError on min/max for
+                # some physical types (e.g. FLBA-backed decimals)
+                lo, hi = _jsonable(st.min), _jsonable(st.max)
+            except Exception:
+                bad.add(name)
+                continue
             if lo is None or hi is None:
                 bad.add(name)
             elif name not in mins:
@@ -758,6 +770,33 @@ def read_delta(
     return _build_scan(spark, path, snap)
 
 
+def _union_fold(frames: list[DataFrame]) -> DataFrame:
+    """Balanced union: a left-deep reduce() makes the analyzer
+    superlinear past a few hundred distinct partition tuples."""
+    while len(frames) > 1:
+        frames = [
+            frames[i].unionAll(frames[i + 1])
+            if i + 1 < len(frames) else frames[i]
+            for i in range(0, len(frames), 2)
+        ]
+    return frames[0]
+
+
+def _group_frame(spark: SparkSession, files: list[str], key: tuple,
+                 schema: StructType, data_schema: StructType,
+                 types: dict) -> DataFrame:
+    """Scan one partition group's data files and inject its
+    partitionValues as typed literals, in metaData column order."""
+    from pyspark.sql import functions as F
+
+    df = spark.read.schema(data_schema).parquet(*files)
+    for c, raw in key:
+        df = df.withColumn(
+            c, F.lit(_partition_value(raw, types[c], c)).cast(types[c])
+        )
+    return df.select([f.name for f in schema.fields])
+
+
 def _build_scan(spark: SparkSession, path: str, snap: Snapshot) -> DataFrame:
     """One parquet scan over exactly ``snap.live``, with the metaData
     schema applied and (for partitioned tables) the log's
@@ -807,32 +846,18 @@ def _build_scan(spark: SparkSession, path: str, snap: Snapshot) -> DataFrame:
                 (c, pv.get(c)) for c in snap.partition_cols
             )
             groups.setdefault(key, []).append(_scan_path(path, p))
-        frames = []
         # None partition values sort first (tuples with None can't
         # compare to str)
-        for key, files in sorted(
-            groups.items(),
-            key=lambda kv: tuple(
-                (c, v is not None, v or "") for c, v in kv[0]
-            ),
-        ):
-            df = spark.read.schema(data_schema).parquet(*files)
-            for c, raw in key:
-                df = df.withColumn(
-                    c, F.lit(_partition_value(raw, types[c], c)).cast(
-                        types[c]
-                    )
-                )
-            frames.append(df.select([f.name for f in schema.fields]))
-        # balanced union fold: a left-deep reduce() makes the analyzer
-        # superlinear past a few hundred distinct partition tuples
-        while len(frames) > 1:
-            frames = [
-                frames[i].unionAll(frames[i + 1])
-                if i + 1 < len(frames) else frames[i]
-                for i in range(0, len(frames), 2)
-            ]
-        return frames[0]
+        frames = [
+            _group_frame(spark, files, key, schema, data_schema, types)
+            for key, files in sorted(
+                groups.items(),
+                key=lambda kv: tuple(
+                    (c, v is not None, v or "") for c, v in kv[0]
+                ),
+            )
+        ]
+        return _union_fold(frames)
     reader = spark.read
     if schema is not None:
         reader = reader.schema(schema)
@@ -1182,8 +1207,6 @@ def optimize_delta(
     Legal on ``delta.appendOnly`` tables (no row is added or removed —
     Delta's own OPTIMIZE rule), but still behind the writer-version wall.
     """
-    from pyspark.sql import functions as F
-
     latest = latest_version(path)
     if latest is None:
         raise DeltaProtocolError(f"no delta table at {path}")
@@ -1206,7 +1229,6 @@ def optimize_delta(
         groups.setdefault(key, []).append(p)
     victims: list[str] = []
     frames = []
-    total_bytes = 0
     for key, paths in groups.items():
         # bin-pack only UNDERSIZED files, and only when packing actually
         # reduces the group's file count — otherwise a scheduled
@@ -1217,32 +1239,25 @@ def optimize_delta(
         if len(small) < min_files:
             continue
         group_bytes = sum(int(snap.live[p].get("size") or 0) for p in small)
-        if -(-group_bytes // max(1, target_file_bytes)) >= len(small):
+        n_out = max(1, -(-group_bytes // max(1, target_file_bytes)))
+        if n_out >= len(small):
             continue  # packing cannot reduce this group's file count
         victims.extend(small)
-        total_bytes += group_bytes
-        df = spark.read.schema(data_schema).parquet(
-            *[_scan_path(path, p) for p in small]
+        # repartition PER GROUP before the union: a post-union
+        # repartition keyed on the partition columns would hash each
+        # whole group into one task and one oversized output file
+        frames.append(
+            _group_frame(
+                spark, [_scan_path(path, p) for p in small], key,
+                schema, data_schema, types,
+            ).repartition(n_out)
         )
-        for c, raw in key:
-            df = df.withColumn(
-                c, F.lit(_partition_value(raw, types[c], c)).cast(types[c])
-            )
-        frames.append(df.select([f.name for f in schema.fields]))
     if not frames:
         return None
-    while len(frames) > 1:
-        frames = [
-            frames[i].unionAll(frames[i + 1])
-            if i + 1 < len(frames) else frames[i]
-            for i in range(0, len(frames), 2)
-        ]
-    n_out = max(1, -(-total_bytes // max(1, target_file_bytes)))
-    packed = frames[0]
-    if snap.partition_cols:
-        packed = packed.repartition(n_out, *snap.partition_cols)
-    else:
-        packed = packed.repartition(n_out)
+    # union preserves the children's partitioning, so each group keeps
+    # its own ceil(bytes/target) tasks; the hive writer then emits one
+    # file per (task, partition dir)
+    packed = _union_fold(frames)
     adds = _stage_adds(packed, path, snap.partition_cols or None,
                        data_change=False)
     actions: list[dict] = [
@@ -1288,23 +1303,40 @@ def vacuum_delta(spark: SparkSession, path: str,
         try:
             snap = _replay(spark, path, v)
         except DeltaProtocolError:
-            continue  # below the checkpoint horizon: already unreachable
+            if v == latest:
+                # the LIVE snapshot must replay or the referenced set is
+                # incomplete and vacuum would destroy live data — only
+                # OLDER versions may be below the checkpoint horizon
+                raise
+            continue
         referenced |= {unquote(p) for p in snap.live}
     fs, base = fsio.resolve(path)
     cutoff = time.time() - min_age_seconds
     deleted: list[str] = []
+    dirs: set[str] = set()
     for info in fs.get_file_info(pafs.FileSelector(base, recursive=True)):
-        if info.type != pafs.FileType.File:
-            continue
         rel = info.path[len(base):].lstrip("/")
-        if rel.startswith("_delta_log/") or not rel.endswith(".parquet"):
+        if rel == "_delta_log" or rel.startswith("_delta_log/"):
+            continue
+        if info.type != pafs.FileType.File:
+            dirs.add(info.path)
             continue
         if rel in referenced:
             continue
         if info.mtime is not None and info.mtime.timestamp() > cutoff:
             continue  # possibly a concurrent writer's staged file
+        # any unreferenced, aged-out file outside the log goes — incl.
+        # Spark's _SUCCESS markers, or markers would accumulate forever
         fs.delete_file(info.path)
         deleted.append(rel)
+    # best-effort cleanup of now-empty staging directories (deepest
+    # first so nested empties cascade)
+    for d in sorted(dirs, key=len, reverse=True):
+        try:
+            if not fs.get_file_info(pafs.FileSelector(d)):
+                fs.delete_dir(d)
+        except OSError:
+            pass  # a racer recreated or already removed it
     return sorted(deleted)
 
 

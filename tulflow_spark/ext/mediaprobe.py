@@ -368,6 +368,12 @@ def probe_mp3(content: bytes) -> Mp3Info:
         parsed = mpeg_audio_header(content, pos)
         assert parsed is not None  # every None reason raised typed above
         version, layer, kbps, rate, spf, frame_len = parsed
+        if n_frames and (layer != layer_out or rate != sample_rate):
+            # stitched streams (different encoder segments) change
+            # version/layer/rate mid-file; summing frame counts across
+            # them would misstate the duration — parameter change after
+            # >= 1 good frame is a clean stop (the house decode rule)
+            break
         mode = (hdr >> 6) & 0x3
         if n_frames == 0:
             sample_rate = rate
@@ -499,7 +505,11 @@ def probe_media_bytes(content: bytes) -> dict:
             raise UnsupportedMedia(f"flac: {exc}") from exc
         meta.update(
             sample_rate=si.sample_rate,
-            n_frames=si.total_samples or None,
+            # STREAMINFO total_samples is 36-bit; the probe schema's
+            # n_frames is int32 — degrade to None past 2^31-1 rather
+            # than kill the whole Arrow batch on one long audiobook
+            n_frames=si.total_samples
+            if 0 < si.total_samples <= 0x7FFFFFFF else None,
             duration_ms=int(si.total_samples * 1000 // si.sample_rate)
             if si.total_samples else None,
             codec="flac",
