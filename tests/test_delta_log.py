@@ -1024,3 +1024,65 @@ def test_optimize_partitioned_respects_target_size(spark, tmp_path):
     assert all(n >= 2 for n in per_group.values()), per_group
     assert len(after.live) < len(before.live)
     assert _ids(read_delta(spark, t)) == list(range(400))
+
+
+def test_optimize_zorder_multidim_skipping(spark, tmp_path):
+    """OPTIMIZE ZORDER: after the rewrite, every file's published
+    add.stats bound BOTH z-keys tightly enough that read_delta(prune=)
+    skips files for predicates on EITHER dimension — and the clustered
+    table's content is bit-identical."""
+    from pyspark.sql import functions as F
+
+    from tulflow_spark.ext.delta_log import _replay, optimize_delta
+
+    t = str(tmp_path / "tbl")
+    df = (
+        _df(spark, 0, 4096)
+        .withColumn("x", (F.col("id") % 64).cast("bigint"))
+        .withColumn("y", ((F.col("id") / 64) % 64).cast("bigint"))
+    )
+    # x-sorted layout: y-stats span the full domain in every file
+    write_delta(df.orderBy("x").repartition(8), t)
+    before = _replay(spark, t, None)
+    target = sum(int(a["size"]) for a in before.live.values()) // 8
+    v = optimize_delta(spark, t, target_file_bytes=target,
+                       zorder_by=["x", "y"])
+    assert v == 1
+    after = _replay(spark, t, None)
+    assert len(after.live) >= 2
+    # every file's stats now bound BOTH dims to less than half the domain
+    spans_ok = 0
+    for a in after.live.values():
+        st = json.loads(a["stats"])
+        sx = st["maxValues"]["x"] - st["minValues"]["x"]
+        sy = st["maxValues"]["y"] - st["minValues"]["y"]
+        if sx < 64 and sy < 64 and (sx < 48 or sy < 48):
+            spans_ok += 1
+    assert spans_ok >= len(after.live) // 2, "z-layout boxes not tight"
+    # pruning works on EITHER dim and the filtered answers are exact
+    full = len(read_delta(spark, t).inputFiles())
+    for col in ("x", "y"):
+        pruned = read_delta(spark, t, prune=(col, 0, 7))
+        assert len(pruned.inputFiles()) < full
+        assert pruned.where(f"{col} BETWEEN 0 AND 7").count() == 4096 // 8
+    assert _ids(read_delta(spark, t)) == list(range(4096))
+
+
+def test_optimize_zorder_walls(spark, tmp_path):
+    from tulflow_spark.ext.delta_log import optimize_delta
+
+    t = str(tmp_path / "tbl")
+    write_delta(_df(spark, 0, 10).repartition(2), t)
+    with pytest.raises(ValueError, match=">= 2"):
+        optimize_delta(spark, t, zorder_by=["id"])
+    with pytest.raises(DeltaProtocolError, match="absent"):
+        optimize_delta(spark, t, zorder_by=["id", "nope"])
+    # out-of-budget keys abort loudly, table unchanged
+    from pyspark.sql import functions as F
+
+    big = _df(spark, 0, 10).withColumn("k", F.lit(1 << 40).cast("bigint"))
+    t2 = str(tmp_path / "tbl2")
+    write_delta(big.repartition(2), t2)
+    with pytest.raises(Exception, match="outside"):
+        optimize_delta(spark, t2, zorder_by=["id", "k"])
+    assert latest_version(t2) == 0

@@ -1188,11 +1188,39 @@ def read_delta_changes(
     return _build_scan(spark, path, delta_snap)
 
 
+def _with_zvalue(df: DataFrame, cols: list[str], out: str) -> DataFrame:
+    """Append the Morton z-value of ``cols`` as ``out``, with the
+    key-budget guard folded into the expression (write_zordered's rule:
+    NULL keys pass through, a non-NULL key outside [0, 2^bits) aborts
+    the job loudly instead of silently aliasing z-ranges)."""
+    from pyspark.sql import functions as F
+
+    from tulflow_spark.operators.zorder import zvalue_n
+
+    bits = min(31, 63 // len(cols))
+    lim = F.lit(1 << bits).cast("bigint")
+    guarded = []
+    for c in cols:
+        v = F.col(c).cast("bigint")
+        guarded.append(
+            F.when(v.isNull() | ((v >= F.lit(0)) & (v < lim)), v)
+            .otherwise(
+                F.raise_error(F.concat_ws(
+                    "", F.lit(f"optimize zorder_by: {c}="),
+                    v.cast("string"),
+                    F.lit(f" outside [0, 2**{bits})"),
+                )).cast("bigint")
+            )
+        )
+    return df.withColumn(out, zvalue_n(guarded, bits))
+
+
 def optimize_delta(
     spark: SparkSession,
     path: str,
     target_file_bytes: int = 128 << 20,
     min_files: int = 2,
+    zorder_by: list[str] | None = None,
 ) -> int | None:
     """Delta OPTIMIZE (bin-packing compaction): partition groups holding
     at least ``min_files`` live files are rewritten into
@@ -1203,6 +1231,18 @@ def optimize_delta(
     only the compacted bytes.  Returns the new version, or ``None`` when
     no group qualifies.  Pinned to the snapshot it was computed against:
     a concurrent commit raises :class:`DeltaConcurrentCommit`.
+
+    ``zorder_by=[col, ...]`` is OPTIMIZE ZORDER: each group is rewritten
+    range-partitioned and sorted on the columns' Morton curve
+    (`operators/zorder.py`), so the files' footer min/max — published in
+    ``add.stats`` — bound EVERY z-key, and ``read_delta(prune=)``
+    skips files for predicates on any of them (multi-dimensional data
+    skipping, the Delta OPTIMIZE ZORDER semantics).  A ZORDER pass
+    rewrites ALL files of a qualifying group regardless of size (the
+    layout, not the packing, is the point) and is deliberately NOT
+    idempotent-skippable, exactly like Delta's.  Keys must be
+    non-negative integers under 2^(63 // n_cols) (guarded in the
+    expression, typed failure before any commit).
 
     Legal on ``delta.appendOnly`` tables (no row is added or removed —
     Delta's own OPTIMIZE rule), but still behind the writer-version wall.
@@ -1227,31 +1267,64 @@ def optimize_delta(
         pv = snap.live[p].get("partitionValues") or {}
         key = tuple((c, pv.get(c)) for c in snap.partition_cols)
         groups.setdefault(key, []).append(p)
+    if zorder_by is not None:
+        if len(zorder_by) < 2:
+            raise ValueError("zorder_by needs >= 2 key columns")
+        data_names = {f.name for f in data_schema.fields}
+        missing = [c for c in zorder_by if c not in data_names]
+        if missing:
+            raise DeltaProtocolError(
+                f"zorder_by columns {missing} absent from the data "
+                "schema (partition columns are already pruned by dir)"
+            )
     victims: list[str] = []
     frames = []
     for key, paths in groups.items():
-        # bin-pack only UNDERSIZED files, and only when packing actually
-        # reduces the group's file count — otherwise a scheduled
-        # OPTIMIZE would rewrite at-target files forever, growing the
-        # log and the vacuum backlog with no layout benefit
-        small = [p for p in paths
-                 if int(snap.live[p].get("size") or 0) < target_file_bytes]
-        if len(small) < min_files:
-            continue
-        group_bytes = sum(int(snap.live[p].get("size") or 0) for p in small)
-        n_out = max(1, -(-group_bytes // max(1, target_file_bytes)))
-        if n_out >= len(small):
-            continue  # packing cannot reduce this group's file count
-        victims.extend(small)
+        if zorder_by is not None:
+            # ZORDER rewrites every file of a qualifying group — the
+            # clustering is global per group, size is irrelevant
+            chosen = list(paths)
+            if len(chosen) < min_files:
+                continue
+            group_bytes = sum(
+                int(snap.live[p].get("size") or 0) for p in chosen
+            )
+            n_out = max(1, -(-group_bytes // max(1, target_file_bytes)))
+        else:
+            # bin-pack only UNDERSIZED files, and only when packing
+            # actually reduces the group's file count — otherwise a
+            # scheduled OPTIMIZE would rewrite at-target files forever,
+            # growing the log and the vacuum backlog with no benefit
+            chosen = [
+                p for p in paths
+                if int(snap.live[p].get("size") or 0) < target_file_bytes
+            ]
+            if len(chosen) < min_files:
+                continue
+            group_bytes = sum(
+                int(snap.live[p].get("size") or 0) for p in chosen
+            )
+            n_out = max(1, -(-group_bytes // max(1, target_file_bytes)))
+            if n_out >= len(chosen):
+                continue  # packing cannot reduce this group's file count
+        victims.extend(chosen)
         # repartition PER GROUP before the union: a post-union
         # repartition keyed on the partition columns would hash each
         # whole group into one task and one oversized output file
-        frames.append(
-            _group_frame(
-                spark, [_scan_path(path, p) for p in small], key,
-                schema, data_schema, types,
-            ).repartition(n_out)
+        df = _group_frame(
+            spark, [_scan_path(path, p) for p in chosen], key,
+            schema, data_schema, types,
         )
+        if zorder_by is not None:
+            df = (
+                _with_zvalue(df, zorder_by, "__z")
+                .repartitionByRange(n_out, "__z")
+                .sortWithinPartitions("__z")
+                .drop("__z")
+            )
+        else:
+            df = df.repartition(n_out)
+        frames.append(df)
     if not frames:
         return None
     # union preserves the children's partitioning, so each group keeps
