@@ -1086,3 +1086,55 @@ def test_optimize_zorder_walls(spark, tmp_path):
     with pytest.raises(Exception, match="outside"):
         optimize_delta(spark, t2, zorder_by=["id", "k"])
     assert latest_version(t2) == 0
+
+
+def test_merge_schema_append_evolution(spark, tmp_path):
+    """Append-time schema evolution: added columns widen the metaData
+    under the table's stable id; omitted columns read as NULL from the
+    new files; type changes stay typed errors."""
+    from tulflow_spark.ext.delta_log import _replay
+
+    t = str(tmp_path / "tbl")
+    write_delta(_df(spark, 0, 3), t)
+    orig_id = _replay(spark, t, None).meta_id
+    # add a column
+    wide = spark.createDataFrame([(10, "y", 1.5)],
+                                 "id long, v string, score double")
+    write_delta(wide, t, mode="append", merge_schema=True)
+    out = read_delta(spark, t)
+    assert out.columns == ["id", "v", "score"]
+    assert out.where("score IS NULL").count() == 3  # old files: NULL
+    assert out.where("score = 1.5").count() == 1
+    snap = _replay(spark, t, None)
+    assert snap.meta_id == orig_id  # identity stable across evolution
+    # omit a column: reads as NULL from the new file
+    narrow = spark.createDataFrame([(20,)], "id long")
+    write_delta(narrow, t, mode="append", merge_schema=True)
+    got = read_delta(spark, t).where("id = 20").collect()[0]
+    assert got["v"] is None and got["score"] is None
+    # plain appends now enforce the WIDENED schema
+    with pytest.raises(DeltaProtocolError, match="schema mismatch"):
+        write_delta(_df(spark, 0, 1), t, mode="append")
+    # type evolution is refused
+    retyped = spark.createDataFrame([(1, "a", 2)],
+                                    "id long, v string, score long")
+    with pytest.raises(DeltaProtocolError, match="no type evolution"):
+        write_delta(retyped, t, mode="append", merge_schema=True)
+    assert sorted(r["id"] for r in read_delta(spark, t).collect()) \
+        == [0, 1, 2, 10, 20]
+
+
+def test_merge_schema_respects_appendonly_and_partitioning(spark, tmp_path):
+    from pyspark.sql import functions as F
+
+    t = str(tmp_path / "tbl")
+    df = _df(spark, 0, 4).withColumn("b", (F.col("id") % 2).cast("int"))
+    write_delta(df, t, partition_by=["b"])
+    wide = df.withColumn("extra", F.lit(1).cast("long"))
+    with pytest.raises(DeltaProtocolError, match="partitioning mismatch"):
+        write_delta(wide, t, mode="append", merge_schema=True)
+    write_delta(wide, t, mode="append", partition_by=["b"],
+                merge_schema=True)
+    out = read_delta(spark, t)
+    assert out.where("extra IS NULL").count() == 4
+    assert out.where("b = id % 2").count() == 8

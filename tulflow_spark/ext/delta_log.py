@@ -119,6 +119,7 @@ def write_delta(
     expect_version: int | None = None,
     partition_by: list[str] | None = None,
     txn: tuple[str, int] | None = None,
+    merge_schema: bool = False,
 ) -> int:
     """Write ``df`` as a Delta commit; returns the committed version.
 
@@ -134,12 +135,64 @@ def write_delta(
     table's partitioning.  ``txn=(app_id, version)`` records the
     protocol's ``txn`` action (streaming idempotence watermark — see
     :func:`last_txn_version` / :func:`delta_stream_sink`).
+    ``merge_schema=True`` is Delta's append-time schema evolution: the
+    frame may ADD nullable columns (recorded in a fresh metaData action
+    with the table's stable id) or OMIT existing ones (old columns read
+    as NULL from the new files); a TYPE change on an existing column
+    stays a typed error.
     """
-    version, prior = _validate_write(df, path, mode, expect_version,
-                                     partition_by)
+    new_meta = None
+    if merge_schema and mode == "append" and latest_version(path) is not None:
+        version, prior, new_meta = _validate_merge_append(
+            df, path, expect_version, partition_by
+        )
+    else:
+        version, prior = _validate_write(df, path, mode, expect_version,
+                                         partition_by)
     adds = _stage_adds(df, path, partition_by)
     return _publish_write(df, path, mode, partition_by, txn, adds,
-                          version, prior)
+                          version, prior, new_meta=new_meta)
+
+
+def _validate_merge_append(df: DataFrame, path: str,
+                           expect_version: int | None,
+                           partition_by: list[str] | None):
+    """Append-with-evolution checks → (version, prior, merged schema or
+    None when the table schema already covers the frame)."""
+    latest = latest_version(path)
+    if expect_version is not None and latest != expect_version:
+        raise DeltaConcurrentCommit(
+            f"table is at version {latest}, write was computed against "
+            f"{expect_version}: re-read and retry"
+        )
+    prior = _replay(df.sparkSession, path, latest)
+    if prior.min_writer > 2:
+        raise DeltaProtocolError(
+            f"table requires writer version {prior.min_writer}"
+        )
+    if list(partition_by or []) != prior.partition_cols:
+        raise DeltaProtocolError(
+            f"append partitioning mismatch: table is partitioned by "
+            f"{prior.partition_cols}, write used {list(partition_by or [])}"
+        )
+    if prior.schema_str is None:
+        raise DeltaProtocolError("merge_schema needs a metaData schema")
+    table_schema = StructType.fromJson(json.loads(prior.schema_str))
+    table_fields = {f.name: f for f in table_schema.fields}
+    new_fields = []
+    for f in df.schema.fields:
+        have = table_fields.get(f.name)
+        if have is None:
+            new_fields.append(f)
+        elif have.dataType != f.dataType:
+            raise DeltaProtocolError(
+                f"merge_schema cannot change column {f.name!r} from "
+                f"{have.dataType.simpleString()} to "
+                f"{f.dataType.simpleString()} (no type evolution)"
+            )
+    merged = StructType(list(table_schema.fields) + new_fields) \
+        if new_fields else None
+    return latest + 1, prior, merged
 
 
 def _validate_write(df: DataFrame, path: str, mode: str,
@@ -202,7 +255,8 @@ def _validate_write(df: DataFrame, path: str, mode: str,
 def _publish_write(df: DataFrame, path: str, mode: str,
                    partition_by: list[str] | None,
                    txn: tuple[str, int] | None,
-                   adds: list[dict], version: int, prior) -> int:
+                   adds: list[dict], version: int, prior,
+                   new_meta: StructType | None = None) -> int:
     actions: list[dict] = []
     if version == 0:
         actions.append({
@@ -219,10 +273,20 @@ def _publish_write(df: DataFrame, path: str, mode: str,
             df.schema != StructType.fromJson(json.loads(prior.schema_str))
             or list(partition_by or []) != prior.partition_cols
         ):
-            # overwrite MAY replace the schema/partitioning: record it
-            # in a fresh metaData action (Delta's overwriteSchema
-            # semantics)
-            actions.append(_metadata_action(df.schema, partition_by or []))
+            # overwrite MAY replace the schema/partitioning (Delta's
+            # overwriteSchema semantics) — under the table's stable id
+            # and with its configuration carried forward
+            actions.append(_metadata_action(
+                df.schema, partition_by or [],
+                meta_id=prior.meta_id, configuration=prior.configuration,
+            ))
+    if new_meta is not None and version > 0:
+        # append-time schema evolution (merge_schema): the widened
+        # schema rides the same commit as its first data files
+        actions.append(_metadata_action(
+            new_meta, partition_by or [],
+            meta_id=prior.meta_id, configuration=prior.configuration,
+        ))
     actions += adds
     if txn is not None:
         app_id, txn_version = txn
@@ -359,14 +423,18 @@ def _publish(path: str, version: int, actions: list[dict]) -> None:
 
 
 def _metadata_action(schema: StructType,
-                     partition_cols: list[str] | None = None) -> dict:
+                     partition_cols: list[str] | None = None,
+                     meta_id: str | None = None,
+                     configuration: dict | None = None) -> dict:
     return {
         "metaData": {
-            "id": uuid.uuid4().hex,
+            # metaData.id is the table's STABLE identity: schema changes
+            # re-use it (a fresh uuid only on table creation)
+            "id": meta_id or uuid.uuid4().hex,
             "format": {"provider": "parquet", "options": {}},
             "schemaString": schema.json(),
             "partitionColumns": list(partition_cols or []),
-            "configuration": {},
+            "configuration": dict(configuration or {}),
         }
     }
 
