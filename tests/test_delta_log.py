@@ -1133,8 +1133,64 @@ def test_merge_schema_respects_appendonly_and_partitioning(spark, tmp_path):
     wide = df.withColumn("extra", F.lit(1).cast("long"))
     with pytest.raises(DeltaProtocolError, match="partitioning mismatch"):
         write_delta(wide, t, mode="append", merge_schema=True)
+    # merge appends stay legal on delta.appendOnly tables (evolution
+    # adds, never removes) — inject the config the third-party way
+    schema = df.schema.json()
+    fsio.write_text(
+        f"{t}/_delta_log/00000000000000000001.json",
+        json.dumps({"metaData": {"id": "x", "schemaString": schema,
+                    "partitionColumns": ["b"],
+                    "configuration": {"delta.appendOnly": "true"}}}),
+    )
     write_delta(wide, t, mode="append", partition_by=["b"],
                 merge_schema=True)
     out = read_delta(spark, t)
     assert out.where("extra IS NULL").count() == 4
     assert out.where("b = id % 2").count() == 8
+
+
+def test_merge_schema_case_and_nullability_rules(spark, tmp_path):
+    """Review r9 (final): added columns log as NULLABLE regardless of the
+    frame's flag; case-variant duplicates are refused at write time."""
+    from tulflow_spark.ext.delta_log import _replay
+
+    t = str(tmp_path / "tbl")
+    write_delta(_df(spark, 0, 2), t)
+    from pyspark.sql import functions as F
+
+    wide = _df(spark, 2, 3).withColumn("extra", F.lit(7).cast("long"))
+    assert not wide.schema["extra"].nullable  # F.lit is non-nullable
+    write_delta(wide, t, mode="append", merge_schema=True)
+    from pyspark.sql.types import StructType
+
+    snap = _replay(spark, t, None)
+    logged = StructType.fromJson(json.loads(snap.schema_str))
+    assert logged["extra"].nullable  # forced nullable in the log
+    caseless = spark.createDataFrame([(9, "z", 1)],
+                                     "id long, V string, extra long")
+    with pytest.raises(DeltaProtocolError, match="case"):
+        write_delta(caseless, t, mode="append", merge_schema=True)
+
+
+def test_optimize_zorder_type_wall_and_column_collision(spark, tmp_path):
+    from pyspark.sql import functions as F
+
+    from tulflow_spark.ext.delta_log import optimize_delta
+
+    t = str(tmp_path / "tbl")
+    write_delta(_df(spark, 0, 10).repartition(2), t)
+    with pytest.raises(DeltaProtocolError, match="not integral"):
+        optimize_delta(spark, t, zorder_by=["id", "v"])  # v is string
+    # a real data column named __z survives a zorder rewrite
+    t2 = str(tmp_path / "tbl2")
+    zdf = (
+        _df(spark, 0, 64)
+        .withColumn("__z", (F.col("id") * 3).cast("bigint"))
+        .withColumn("y", (F.col("id") % 8).cast("bigint"))
+    )
+    write_delta(zdf.repartition(4), t2)
+    v = optimize_delta(spark, t2, zorder_by=["__z", "y"],
+                       target_file_bytes=1 << 30)
+    assert v == 1
+    out = read_delta(spark, t2)
+    assert out.where("__z = id * 3").count() == 64  # column intact

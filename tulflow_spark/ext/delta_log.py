@@ -158,32 +158,34 @@ def _validate_merge_append(df: DataFrame, path: str,
                            expect_version: int | None,
                            partition_by: list[str] | None):
     """Append-with-evolution checks → (version, prior, merged schema or
-    None when the table schema already covers the frame)."""
-    latest = latest_version(path)
-    if expect_version is not None and latest != expect_version:
-        raise DeltaConcurrentCommit(
-            f"table is at version {latest}, write was computed against "
-            f"{expect_version}: re-read and retry"
-        )
-    prior = _replay(df.sparkSession, path, latest)
-    if prior.min_writer > 2:
-        raise DeltaProtocolError(
-            f"table requires writer version {prior.min_writer}"
-        )
-    if list(partition_by or []) != prior.partition_cols:
-        raise DeltaProtocolError(
-            f"append partitioning mismatch: table is partitioned by "
-            f"{prior.partition_cols}, write used {list(partition_by or [])}"
-        )
-    if prior.schema_str is None:
+    None when the table schema already covers the frame).  The common
+    writer duties run through :func:`_validate_write` (schema equality
+    excepted — evolution is the point)."""
+    from pyspark.sql.types import StructField
+
+    version, prior = _validate_write(df, path, "append", expect_version,
+                                     partition_by, enforce_schema=False)
+    if prior is None or prior.schema_str is None:
         raise DeltaProtocolError("merge_schema needs a metaData schema")
     table_schema = StructType.fromJson(json.loads(prior.schema_str))
-    table_fields = {f.name: f for f in table_schema.fields}
+    # case-INSENSITIVE matching: Spark resolves columns that way, and a
+    # committed case-variant duplicate ('v' + 'V') makes every later
+    # read raise duplicate-column — reject at write time, like Delta
+    table_fields = {f.name.lower(): f for f in table_schema.fields}
     new_fields = []
     for f in df.schema.fields:
-        have = table_fields.get(f.name)
+        have = table_fields.get(f.name.lower())
         if have is None:
-            new_fields.append(f)
+            # added columns are always nullable: every pre-existing file
+            # lacks them, so logging the frame's non-null flag would be
+            # a protocol-invalid schema for conformant readers
+            new_fields.append(StructField(f.name, f.dataType, True))
+        elif have.name != f.name:
+            raise DeltaProtocolError(
+                f"merge_schema: column {f.name!r} differs only in case "
+                f"from existing {have.name!r} (case-variant duplicates "
+                "make the table unreadable)"
+            )
         elif have.dataType != f.dataType:
             raise DeltaProtocolError(
                 f"merge_schema cannot change column {f.name!r} from "
@@ -192,15 +194,18 @@ def _validate_merge_append(df: DataFrame, path: str,
             )
     merged = StructType(list(table_schema.fields) + new_fields) \
         if new_fields else None
-    return latest + 1, prior, merged
+    return version, prior, merged
 
 
 def _validate_write(df: DataFrame, path: str, mode: str,
                     expect_version: int | None,
-                    partition_by: list[str] | None):
+                    partition_by: list[str] | None, *,
+                    enforce_schema: bool = True):
     """Pre-staging checks of :func:`write_delta` → (version, prior
     snapshot).  Split out so :func:`write_delta_with_retry` can re-run
-    them against a FRESH snapshot per attempt without re-staging data."""
+    them against a FRESH snapshot per attempt without re-staging data.
+    ``enforce_schema=False`` skips only the append schema-equality check
+    (the merge_schema path supplies its own evolution rules)."""
     if mode not in ("error", "append", "overwrite"):
         raise ValueError(f"unknown mode {mode!r}")
     latest = latest_version(path)
@@ -234,11 +239,13 @@ def _validate_write(df: DataFrame, path: str, mode: str,
             raise DeltaProtocolError(
                 "table is delta.appendOnly=true: overwrite forbidden"
             )
-        if mode == "append" and prior.schema_str is not None:
+        if mode == "append" and enforce_schema and \
+                prior.schema_str is not None:
             want = StructType.fromJson(json.loads(prior.schema_str))
             if df.schema != want:
                 raise DeltaProtocolError(
-                    "append schema mismatch (no schema evolution): "
+                    "append schema mismatch (pass merge_schema=True "
+                    "for additive evolution): "
                     f"table={want.simpleString()} "
                     f"df={df.schema.simpleString()}"
                 )
@@ -1257,29 +1264,14 @@ def read_delta_changes(
 
 
 def _with_zvalue(df: DataFrame, cols: list[str], out: str) -> DataFrame:
-    """Append the Morton z-value of ``cols`` as ``out``, with the
-    key-budget guard folded into the expression (write_zordered's rule:
-    NULL keys pass through, a non-NULL key outside [0, 2^bits) aborts
-    the job loudly instead of silently aliasing z-ranges)."""
-    from pyspark.sql import functions as F
-
-    from tulflow_spark.operators.zorder import zvalue_n
+    """Append the Morton z-value of ``cols`` as ``out``, with the shared
+    key-budget guard folded into the expression (NULL keys pass through,
+    a non-NULL key outside [0, 2^bits) aborts the job loudly instead of
+    silently aliasing z-ranges)."""
+    from tulflow_spark.operators.zorder import guarded_zkey, zvalue_n
 
     bits = min(31, 63 // len(cols))
-    lim = F.lit(1 << bits).cast("bigint")
-    guarded = []
-    for c in cols:
-        v = F.col(c).cast("bigint")
-        guarded.append(
-            F.when(v.isNull() | ((v >= F.lit(0)) & (v < lim)), v)
-            .otherwise(
-                F.raise_error(F.concat_ws(
-                    "", F.lit(f"optimize zorder_by: {c}="),
-                    v.cast("string"),
-                    F.lit(f" outside [0, 2**{bits})"),
-                )).cast("bigint")
-            )
-        )
+    guarded = [guarded_zkey(c, bits, "optimize zorder_by") for c in cols]
     return df.withColumn(out, zvalue_n(guarded, bits))
 
 
@@ -1335,16 +1327,37 @@ def optimize_delta(
         pv = snap.live[p].get("partitionValues") or {}
         key = tuple((c, pv.get(c)) for c in snap.partition_cols)
         groups.setdefault(key, []).append(p)
+    zcol = "__z"
     if zorder_by is not None:
+        from pyspark.sql import types as T
+
         if len(zorder_by) < 2:
             raise ValueError("zorder_by needs >= 2 key columns")
-        data_names = {f.name for f in data_schema.fields}
-        missing = [c for c in zorder_by if c not in data_names]
+        data_fields = {f.name: f for f in data_schema.fields}
+        missing = [c for c in zorder_by if c not in data_fields]
         if missing:
             raise DeltaProtocolError(
                 f"zorder_by columns {missing} absent from the data "
                 "schema (partition columns are already pruned by dir)"
             )
+        non_int = [
+            c for c in zorder_by
+            if not isinstance(
+                data_fields[c].dataType,
+                (T.ByteType, T.ShortType, T.IntegerType, T.LongType),
+            )
+        ]
+        if non_int:
+            # fail typed BEFORE any I/O: a mid-job ANSI cast error after
+            # reading the whole group is the wrong failure mode, and a
+            # numeric-looking string would silently z-order by its
+            # parsed value
+            raise DeltaProtocolError(
+                f"zorder_by columns {non_int} are not integral "
+                "(derive integer keys first, e.g. bucket or epoch-day)"
+            )
+        while zcol in {f.name for f in schema.fields}:
+            zcol += "_"  # never clobber a real column named __z
     victims: list[str] = []
     frames = []
     for key, paths in groups.items():
@@ -1385,10 +1398,10 @@ def optimize_delta(
         )
         if zorder_by is not None:
             df = (
-                _with_zvalue(df, zorder_by, "__z")
-                .repartitionByRange(n_out, "__z")
-                .sortWithinPartitions("__z")
-                .drop("__z")
+                _with_zvalue(df, zorder_by, zcol)
+                .repartitionByRange(n_out, zcol)
+                .sortWithinPartitions(zcol)
+                .drop(zcol)
             )
         else:
             df = df.repartition(n_out)

@@ -111,33 +111,11 @@ def write_zordered(
     write work if either key exceeds 2**bits."""
     if bits is None:
         bits = 31  # 2 dims x 31 bits fills the 62-bit z budget
-        lim = F.lit(1 << 31).cast("bigint")
-
-        def _guarded(c: str) -> Column:
-            # NULL keys pass through (z becomes NULL, rows sort into the
-            # NULL range partition — the pre-scan path's behavior, since
-            # max() ignored NULLs); only a NON-NULL key outside
-            # [0, 2**31) aborts, with the message built via concat_ws so
-            # it never nulls out
-            v = F.col(c).cast("bigint")
-            return F.when(
-                v.isNull() | ((v >= F.lit(0)) & (v < lim)), v
-            ).otherwise(
-                F.raise_error(
-                    F.concat_ws(
-                        "",
-                        F.lit(f"write_zordered: {c}="),
-                        v.cast("string"),
-                        F.lit(
-                            " outside the 31-bit z-curve budget; "
-                            "pre-bucket the keys (e.g. key >> k) "
-                            "before z-ordering"
-                        ),
-                    )
-                ).cast("bigint")
-            )
-
-        z = zvalue(_guarded(x), _guarded(y), bits).alias("_z")
+        z = zvalue(
+            guarded_zkey(x, bits, "write_zordered"),
+            guarded_zkey(y, bits, "write_zordered"),
+            bits,
+        ).alias("_z")
     else:
         mx, my, mnx, mny = df.agg(
             F.max(F.col(x).cast("bigint")), F.max(F.col(y).cast("bigint")),
@@ -167,6 +145,35 @@ def write_zordered(
         .drop("_z")
         .write.mode("overwrite")
         .parquet(path)
+    )
+
+
+def guarded_zkey(col: Column | str, bits: int, context: str) -> Column:
+    """A z-key with the budget guard folded INTO the expression: NULL
+    keys pass through (z becomes NULL, rows sort into the NULL range
+    partition — the eager-pre-scan path's behavior, since max() ignored
+    NULLs); a NON-NULL key outside [0, 2**bits) aborts the job loudly
+    instead of silently aliasing z-ranges.  The message is built via
+    concat_ws so it never nulls out.  Shared by :func:`write_zordered`
+    and Delta's ``optimize_delta(zorder_by=)``."""
+    name = col if isinstance(col, str) else "zkey"
+    v = (F.col(col) if isinstance(col, str) else col).cast("bigint")
+    lim = F.lit(1 << bits).cast("bigint")
+    return F.when(
+        v.isNull() | ((v >= F.lit(0)) & (v < lim)), v
+    ).otherwise(
+        F.raise_error(
+            F.concat_ws(
+                "",
+                F.lit(f"{context}: {name}="),
+                v.cast("string"),
+                F.lit(
+                    f" outside the {bits}-bit z-curve budget; "
+                    "pre-bucket the keys (e.g. key >> k) "
+                    "before z-ordering"
+                ),
+            )
+        ).cast("bigint")
     )
 
 
