@@ -65,7 +65,10 @@ GATED: frozenset[str] = frozenset(
         "rr2_search_rerank",
         "sp1_hash_split",
         "ss10_int8_quant",
-        "x6_dynamic_xpath",
+        # r9: x6_dynamic_xpath rotated out (driver rows r7+r8; x2b/x3/x4
+        # keep the XML-family anchors) for the Aho-Corasick blocklist
+        # pair
+        "tx15_blocklist_hits",
         # oracle-paired since r8 (seeded-parity IVFADC; the production
         # iterative fit keeps its recall floor in vr1)
         "ss9_ivfpq_topk",

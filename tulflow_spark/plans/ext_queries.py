@@ -3228,6 +3228,40 @@ def tx14_mojibake_repair(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+
+@register(
+    "tx15_blocklist_hits",
+    oracle="""
+    SELECT doc_id,
+           CAST((length(text) - length(replace(text, 'the', ''))) // 3 + (length(text) - length(replace(text, 'and', ''))) // 3 + (length(text) - length(replace(text, 'data', ''))) // 4 + (length(text) - length(replace(text, 'ing', ''))) // 3 + (length(text) - length(replace(text, 'tion', ''))) // 4 + (length(text) - length(replace(text, 'ment', ''))) // 4 AS BIGINT) AS total_hits,
+           CAST(CASE WHEN position('the' IN text) > 0 THEN 1 ELSE 0 END + CASE WHEN position('and' IN text) > 0 THEN 1 ELSE 0 END + CASE WHEN position('data' IN text) > 0 THEN 1 ELSE 0 END + CASE WHEN position('ing' IN text) > 0 THEN 1 ELSE 0 END + CASE WHEN position('tion' IN text) > 0 THEN 1 ELSE 0 END + CASE WHEN position('ment' IN text) > 0 THEN 1 ELSE 0 END AS INT) AS distinct_patterns
+    FROM documents
+    """,
+)
+def tx15_blocklist_hits(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Aho-Corasick blocklist scan driver-proven (ext/automaton.py):
+    every document is matched against a fixed multi-pattern set in ONE
+    automaton pass (the scale path past regex alternation for 10k-term
+    blocklists); the oracle recomputes each pattern's occurrence count
+    independently via replace-arithmetic — the patterns are borderless
+    (no self-overlap), so non-overlapping SQL counts equal the
+    automaton's every-occurrence semantics exactly, and any failure-link
+    or output-merge bug hash-fails per document."""
+    from tulflow_spark.ext.automaton import blocklist_hits_udf
+
+    pats = ['the', 'and', 'data', 'ing', 'tion', 'ment']
+    docs = table(spark, sf_dir, "documents").select("doc_id", "text")
+    hits = blocklist_hits_udf(pats)
+    return (
+        docs.withColumn("h", hits("text"))
+        .select(
+            "doc_id",
+            F.col("h.total_hits").alias("total_hits"),
+            F.col("h.distinct_patterns").alias("distinct_patterns"),
+        )
+    )
+
+
 from tulflow_spark.ext.onnx_mini import mlp_score_sql_expr as _mlpx  # noqa: E402
 
 _RR4_ORACLE = """
