@@ -56,14 +56,18 @@ GATED: frozenset[str] = frozenset(
         "dc1_decontaminate",
         "dd12_cluster_stats",
         "j6_range_join",
-        "mx8_temperature_mix",
+        # r9: mx8_temperature_mix and sp1_hash_split rotated out (driver
+        # rows r7+r8; mx7/pack1 keep the mixing-family anchors) for the
+        # KMV/theta sketch pairs — cardinality AND set intersection,
+        # estimates hash-checked bit-for-bit
+        "st1_kmv_cardinality",
+        "st2_kmv_intersection",
         "pack1_token_sequences",
         # r9: pr2_drift_psi rotated out (driver rows r7+r8; pr1 keeps
         # the profile-family anchor) for the mojibake-repair pair
         "tx14_mojibake_repair",
         "rr1_rerank_topk",
         "rr2_search_rerank",
-        "sp1_hash_split",
         "ss10_int8_quant",
         # r9: x6_dynamic_xpath rotated out (driver rows r7+r8; x2b/x3/x4
         # keep the XML-family anchors) for the Aho-Corasick blocklist

@@ -3262,6 +3262,160 @@ def tx15_blocklist_hits(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+
+@register(
+    "st1_kmv_cardinality",
+    oracle="""
+    WITH toks AS (
+      SELECT DISTINCT lang,
+             CAST(doc_id AS VARCHAR) || ':' || t.tok AS posting
+      FROM documents,
+           UNNEST(string_split_regex(trim(text), '\s+')) AS t(tok)
+      WHERE trim(text) <> '' AND t.tok <> ''
+    ), hashed AS (
+      SELECT lang, CAST(('0x' || substr(md5(CAST(posting AS VARCHAR)), 1, 15)) AS BIGINT) AS hash FROM toks
+    ), ranked AS (
+      SELECT lang, hash,
+             row_number() OVER (PARTITION BY lang ORDER BY hash) AS rank
+      FROM hashed
+    ), sk AS (
+      SELECT lang, COUNT(*) AS kept,
+             MAX(CASE WHEN rank = 256 THEN hash END) AS hash_k
+      FROM ranked WHERE rank <= 256 GROUP BY lang
+    ), ex AS (
+      SELECT lang, COUNT(*) AS exact_distinct FROM toks GROUP BY lang
+    )
+    SELECT sk.lang,
+           CAST(CASE WHEN kept < 256 THEN kept
+                     ELSE CAST(255 AS HUGEINT) * 1152921504606846976 // (hash_k + 1)
+                END AS BIGINT) AS estimate,
+           CAST(kept AS BIGINT) AS kept,
+           CAST(exact_distinct AS BIGINT) AS exact_distinct
+    FROM sk JOIN ex ON sk.lang = ex.lang
+""",
+)
+def st1_kmv_cardinality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KMV/theta sketch cardinality driver-proven (ext/theta.py): the
+    k=256 minimum-md5-hash sketch of per-language doc-scoped postings,
+    with the ESTIMATE itself hash-checked (not just an error bound) —
+    the md5 hash and the integral floor-division estimator are
+    bit-reproducible in DuckDB, so a rank/threshold/rounding bug in the
+    sketch fails the gate.  exact_distinct rides along to document the
+    error the estimator actually achieved."""
+    from tulflow_spark.ext.theta import kmv_estimate, kmv_sketch
+
+    k = 256
+    docs = table(spark, sf_dir, "documents").select(
+        "lang", "doc_id", "text"
+    )
+    toks = (
+        docs.where(F.trim("text") != "")
+        .select(
+            "lang", "doc_id",
+            F.explode(F.split(F.trim("text"), r"\s+")).alias("tok"),
+        )
+        .where(F.col("tok") != "")
+        .select(
+            "lang",
+            F.concat(F.col("doc_id").cast("string"), F.lit(":"),
+                     F.col("tok")).alias("posting"),
+        )
+    )
+    est = kmv_estimate(kmv_sketch(toks, "lang", "posting", k=k),
+                       "lang", k=k)
+    exact = toks.groupBy("lang").agg(
+        F.countDistinct("posting").alias("exact_distinct")
+    )
+    return est.join(exact, "lang").select(
+        "lang", "estimate", "kept", "exact_distinct"
+    )
+
+
+@register(
+    "st2_kmv_intersection",
+    oracle="""
+    WITH toks AS (
+      SELECT DISTINCT doc_id,
+             CAST(doc_id AS VARCHAR) || ':' || t.tok AS posting,
+             t.tok AS tok
+      FROM documents,
+           UNNEST(string_split_regex(trim(text), '\s+')) AS t(tok)
+      WHERE trim(text) <> '' AND t.tok <> ''
+    ), a AS (
+      SELECT DISTINCT posting AS tok FROM toks WHERE doc_id % 2 = 0
+    ), b AS (
+      SELECT DISTINCT posting AS tok FROM toks WHERE doc_id % 3 = 0
+    ), ha AS (
+      SELECT CAST(('0x' || substr(md5(CAST(tok AS VARCHAR)), 1, 15)) AS BIGINT) AS hash,
+             row_number() OVER (ORDER BY CAST(('0x' || substr(md5(CAST(tok AS VARCHAR)), 1, 15)) AS BIGINT)) AS rank
+      FROM a
+    ), hb AS (
+      SELECT CAST(('0x' || substr(md5(CAST(tok AS VARCHAR)), 1, 15)) AS BIGINT) AS hash,
+             row_number() OVER (ORDER BY CAST(('0x' || substr(md5(CAST(tok AS VARCHAR)), 1, 15)) AS BIGINT)) AS rank
+      FROM b
+    ), thetas AS (
+      SELECT LEAST(
+        COALESCE((SELECT hash + 1 FROM ha WHERE rank = 256), 1152921504606846976),
+        COALESCE((SELECT hash + 1 FROM hb WHERE rank = 256), 1152921504606846976)
+      ) AS theta
+    ), common AS (
+      SELECT COUNT(*) AS n_common
+      FROM (SELECT hash FROM ha WHERE rank <= 256) x
+      JOIN (SELECT hash FROM hb WHERE rank <= 256) y USING (hash)
+      CROSS JOIN thetas
+      WHERE x.hash < thetas.theta
+    ), ex AS (
+      SELECT COUNT(*) AS exact_common
+      FROM (SELECT tok FROM a INTERSECT SELECT tok FROM b)
+    )
+    SELECT CAST(n_common AS BIGINT) AS n_common,
+           CAST(CAST(n_common AS HUGEINT) * 1152921504606846976 // theta AS BIGINT)
+               AS estimate,
+           CAST(exact_common AS BIGINT) AS exact_common
+    FROM common CROSS JOIN thetas CROSS JOIN ex
+""",
+)
+def st2_kmv_intersection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Theta-sketch set INTERSECTION (the estimator HLL cannot provide):
+    sketches of two overlapping posting sets (even vs third documents)
+    combine via theta = min(theta_a, theta_b); matching kept hashes
+    below theta scale by 1/theta.  The whole pipeline — both sketches,
+    the combined threshold, the integral estimate — is bit-mirrored in
+    SQL; exact_common documents the achieved error.  At 100 TB the
+    exact intersection is a full shuffle of both corpora; the sketch
+    path moves k rows per side."""
+    from tulflow_spark.ext.theta import kmv_intersect, kmv_sketch
+
+    k = 256
+    docs = table(spark, sf_dir, "documents").select("doc_id", "text")
+    toks = (
+        docs.where(F.trim("text") != "")
+        .select(
+            "doc_id",
+            F.explode(F.split(F.trim("text"), r"\s+")).alias("tok"),
+        )
+        .where(F.col("tok") != "")
+        .select(
+            "doc_id",
+            F.concat(F.col("doc_id").cast("string"), F.lit(":"),
+                     F.col("tok")).alias("posting"),
+        )
+    )
+    a = toks.where(F.col("doc_id") % 2 == 0).withColumn("g", F.lit("a"))
+    b = toks.where(F.col("doc_id") % 3 == 0).withColumn("g", F.lit("b"))
+    sk_a = kmv_sketch(a, "g", "posting", k=k)
+    sk_b = kmv_sketch(b, "g", "posting", k=k)
+    est = kmv_intersect(sk_a, sk_b, k=k)
+    exact = (
+        a.select("posting").distinct()
+        .join(b.select("posting").distinct(), "posting")
+        .agg(F.count(F.lit(1)).alias("exact_common"))
+    )
+    return est.crossJoin(exact).select(
+        "n_common", "estimate", "exact_common"
+    )
+
+
 from tulflow_spark.ext.onnx_mini import mlp_score_sql_expr as _mlpx  # noqa: E402
 
 _RR4_ORACLE = """
