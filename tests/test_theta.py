@@ -10,7 +10,6 @@ from __future__ import annotations
 import hashlib
 
 import pytest
-from pyspark.sql import functions as F
 
 from tulflow_spark.ext.theta import (
     kmv_estimate,

@@ -180,6 +180,9 @@ def mask_blocklist_udf(patterns: list[str], mask_char: str = "*"):
     from pyspark.sql.functions import pandas_udf
     from pyspark.sql.types import StringType
 
+    if len(mask_char) != 1:
+        # fail on the driver at construction, not per-row inside a job
+        raise ValueError("mask_char must be a single character")
     pats = tuple(patterns)
 
     @pandas_udf(StringType())

@@ -76,12 +76,22 @@ def kmv_sketch(df: DataFrame, group: str, value: str, k: int = 256
     excluded (a set membership question has no NULL member)."""
     if k < 2:
         raise ValueError("kmv needs k >= 2 (theta is the k-th minimum)")
-    w = Window.partitionBy(group).orderBy("hash")
-    return (
+    hashed = (
         df.where(F.col(value).isNotNull())
         .select(F.col(group).alias(group), kmv_hash(value).alias("hash"))
         .distinct()
-        .withColumn("rank", F.row_number().over(w))
+    )
+    # two-stage prune: a direct row_number over the group would funnel
+    # EVERY distinct hash of a group through one task's sort; pruning
+    # per (group, hash-salt) shard first bounds that task's input to
+    # its shard, and only shards x k rows reach the final window
+    shard = F.pmod(F.col("hash"), F.lit(64))
+    w1 = Window.partitionBy(group, shard).orderBy("hash")
+    w2 = Window.partitionBy(group).orderBy("hash")
+    return (
+        hashed.withColumn("rank", F.row_number().over(w1))
+        .where(F.col("rank") <= k)
+        .withColumn("rank", F.row_number().over(w2))
         .where(F.col("rank") <= k)
     )
 
@@ -121,22 +131,33 @@ def kmv_intersect(sk_a: DataFrame, sk_b: DataFrame, k: int = 256
     sketch that kept < k hashes saw its whole set (theta = 1); the
     matching hashes below theta scale by 1/theta.  One row:
     (n_common, estimate).  Exact when both sets fit below k."""
-    def _theta_scaled(sk: DataFrame):
-        # (hash_k + 1) when full, else 2^60 (theta = 1: exhaustive)
-        return sk.agg(
+    # sketches are k-row frames but their LINEAGE is the full corpus
+    # pass — cache so the theta job and the overlap join each read k
+    # rows instead of re-exploding the corpus per job
+    a = sk_a.select("hash", "rank").cache()
+    b = sk_b.select("hash", "rank").cache()
+    try:
+        # both thetas in ONE job: (hash_k + 1) when the sketch is full,
+        # else 2^60 (theta = 1: the sketch saw its whole set)
+        tagged = a.withColumn("side", F.lit("a")).unionAll(
+            b.withColumn("side", F.lit("b"))
+        )
+        trow = tagged.groupBy("side").agg(
             F.coalesce(
                 F.max(F.when(F.col("rank") == k, F.col("hash") + 1)),
                 F.lit(_SCALE),
             ).cast("bigint").alias("theta")
+        ).collect()
+        sides = {r["side"]: int(r["theta"]) for r in trow}
+        theta = min(sides.get("a", _SCALE), sides.get("b", _SCALE))
+        common = (
+            a.select("hash").where(F.col("hash") < theta)
+            .join(b.select("hash").where(F.col("hash") < theta), "hash")
+            .count()
         )
-    ta = _theta_scaled(sk_a).collect()[0]["theta"]
-    tb = _theta_scaled(sk_b).collect()[0]["theta"]
-    theta = min(int(ta), int(tb))
-    common = (
-        sk_a.select("hash").where(F.col("hash") < theta)
-        .join(sk_b.select("hash").where(F.col("hash") < theta), "hash")
-        .count()
-    )
+    finally:
+        a.unpersist()
+        b.unpersist()
     est = common * _SCALE // theta
     return sk_a.sparkSession.createDataFrame(
         [(int(common), int(est))], "n_common bigint, estimate bigint"

@@ -3234,7 +3234,9 @@ def tx14_mojibake_repair(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     SELECT doc_id,
            CAST((length(text) - length(replace(text, 'the', ''))) // 3 + (length(text) - length(replace(text, 'and', ''))) // 3 + (length(text) - length(replace(text, 'data', ''))) // 4 + (length(text) - length(replace(text, 'ing', ''))) // 3 + (length(text) - length(replace(text, 'tion', ''))) // 4 + (length(text) - length(replace(text, 'ment', ''))) // 4 AS BIGINT) AS total_hits,
-           CAST(CASE WHEN position('the' IN text) > 0 THEN 1 ELSE 0 END + CASE WHEN position('and' IN text) > 0 THEN 1 ELSE 0 END + CASE WHEN position('data' IN text) > 0 THEN 1 ELSE 0 END + CASE WHEN position('ing' IN text) > 0 THEN 1 ELSE 0 END + CASE WHEN position('tion' IN text) > 0 THEN 1 ELSE 0 END + CASE WHEN position('ment' IN text) > 0 THEN 1 ELSE 0 END AS INT) AS distinct_patterns
+           CAST(CASE WHEN text IS NULL THEN NULL
+                ELSE CASE WHEN position('the' IN text) > 0 THEN 1 ELSE 0 END + CASE WHEN position('and' IN text) > 0 THEN 1 ELSE 0 END + CASE WHEN position('data' IN text) > 0 THEN 1 ELSE 0 END + CASE WHEN position('ing' IN text) > 0 THEN 1 ELSE 0 END + CASE WHEN position('tion' IN text) > 0 THEN 1 ELSE 0 END + CASE WHEN position('ment' IN text) > 0 THEN 1 ELSE 0 END
+                END AS INT) AS distinct_patterns
     FROM documents
     """,
 )
@@ -3263,36 +3265,92 @@ def tx15_blocklist_hits(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 
-@register(
-    "st1_kmv_cardinality",
-    oracle="""
+
+from tulflow_spark.ext.theta import kmv_hash_sql as _kmv_sql  # noqa: E402
+
+_KMV_K = 256
+_KMV_SCALE = 1 << 60
+# one computed mirror of ext/theta.py's hash + estimator algebra (the
+# _RR4_ORACLE precedent): the Spark side and these strings share
+# kmv_hash_sql, so they cannot silently drift.  DISTINCT is applied on
+# the HASH (not the pre-image) exactly as kmv_sketch does, keeping the
+# algebra identical even under a 60-bit collision.
+_ST1_ORACLE = f"""
     WITH toks AS (
       SELECT DISTINCT lang,
              CAST(doc_id AS VARCHAR) || ':' || t.tok AS posting
       FROM documents,
-           UNNEST(string_split_regex(trim(text), '\s+')) AS t(tok)
+           UNNEST(string_split_regex(trim(text), '\\s+')) AS t(tok)
       WHERE trim(text) <> '' AND t.tok <> ''
     ), hashed AS (
-      SELECT lang, CAST(('0x' || substr(md5(CAST(posting AS VARCHAR)), 1, 15)) AS BIGINT) AS hash FROM toks
+      SELECT DISTINCT lang, {_kmv_sql('posting')} AS hash FROM toks
     ), ranked AS (
       SELECT lang, hash,
              row_number() OVER (PARTITION BY lang ORDER BY hash) AS rank
       FROM hashed
     ), sk AS (
       SELECT lang, COUNT(*) AS kept,
-             MAX(CASE WHEN rank = 256 THEN hash END) AS hash_k
-      FROM ranked WHERE rank <= 256 GROUP BY lang
+             MAX(CASE WHEN rank = {_KMV_K} THEN hash END) AS hash_k
+      FROM ranked WHERE rank <= {_KMV_K} GROUP BY lang
     ), ex AS (
       SELECT lang, COUNT(*) AS exact_distinct FROM toks GROUP BY lang
     )
     SELECT sk.lang,
-           CAST(CASE WHEN kept < 256 THEN kept
-                     ELSE CAST(255 AS HUGEINT) * 1152921504606846976 // (hash_k + 1)
+           CAST(CASE WHEN kept < {_KMV_K} THEN kept
+                     ELSE CAST({_KMV_K - 1} AS HUGEINT) * {_KMV_SCALE}
+                          // (hash_k + 1)
                 END AS BIGINT) AS estimate,
            CAST(kept AS BIGINT) AS kept,
            CAST(exact_distinct AS BIGINT) AS exact_distinct
     FROM sk JOIN ex ON sk.lang = ex.lang
-""",
+"""
+_ST2_ORACLE = f"""
+    WITH toks AS (
+      SELECT DISTINCT doc_id,
+             CAST(doc_id AS VARCHAR) || ':' || t.tok AS posting
+      FROM documents,
+           UNNEST(string_split_regex(trim(text), '\\s+')) AS t(tok)
+      WHERE trim(text) <> '' AND t.tok <> ''
+    ), a AS (
+      SELECT DISTINCT {_kmv_sql('posting')} AS hash
+      FROM toks WHERE doc_id % 2 = 0
+    ), b AS (
+      SELECT DISTINCT {_kmv_sql('posting')} AS hash
+      FROM toks WHERE doc_id % 3 = 0
+    ), ha AS (
+      SELECT hash, row_number() OVER (ORDER BY hash) AS rank FROM a
+    ), hb AS (
+      SELECT hash, row_number() OVER (ORDER BY hash) AS rank FROM b
+    ), thetas AS (
+      SELECT LEAST(
+        COALESCE((SELECT hash + 1 FROM ha WHERE rank = {_KMV_K}),
+                 {_KMV_SCALE}),
+        COALESCE((SELECT hash + 1 FROM hb WHERE rank = {_KMV_K}),
+                 {_KMV_SCALE})
+      ) AS theta
+    ), common AS (
+      SELECT COUNT(*) AS n_common
+      FROM (SELECT hash FROM ha WHERE rank <= {_KMV_K}) x
+      JOIN (SELECT hash FROM hb WHERE rank <= {_KMV_K}) y USING (hash)
+      CROSS JOIN thetas
+      WHERE x.hash < thetas.theta
+    ), ex AS (
+      SELECT COUNT(*) AS exact_common
+      FROM (SELECT DISTINCT posting FROM toks WHERE doc_id % 2 = 0
+            INTERSECT
+            SELECT DISTINCT posting FROM toks WHERE doc_id % 3 = 0)
+    )
+    SELECT CAST(n_common AS BIGINT) AS n_common,
+           CAST(CAST(n_common AS HUGEINT) * {_KMV_SCALE} // theta
+                AS BIGINT) AS estimate,
+           CAST(exact_common AS BIGINT) AS exact_common
+    FROM common CROSS JOIN thetas CROSS JOIN ex
+"""
+
+
+@register(
+    "st1_kmv_cardinality",
+    oracle=_ST1_ORACLE,
 )
 def st1_kmv_cardinality(spark: SparkSession, sf_dir: str) -> DataFrame:
     """KMV/theta sketch cardinality driver-proven (ext/theta.py): the
@@ -3333,47 +3391,7 @@ def st1_kmv_cardinality(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "st2_kmv_intersection",
-    oracle="""
-    WITH toks AS (
-      SELECT DISTINCT doc_id,
-             CAST(doc_id AS VARCHAR) || ':' || t.tok AS posting,
-             t.tok AS tok
-      FROM documents,
-           UNNEST(string_split_regex(trim(text), '\s+')) AS t(tok)
-      WHERE trim(text) <> '' AND t.tok <> ''
-    ), a AS (
-      SELECT DISTINCT posting AS tok FROM toks WHERE doc_id % 2 = 0
-    ), b AS (
-      SELECT DISTINCT posting AS tok FROM toks WHERE doc_id % 3 = 0
-    ), ha AS (
-      SELECT CAST(('0x' || substr(md5(CAST(tok AS VARCHAR)), 1, 15)) AS BIGINT) AS hash,
-             row_number() OVER (ORDER BY CAST(('0x' || substr(md5(CAST(tok AS VARCHAR)), 1, 15)) AS BIGINT)) AS rank
-      FROM a
-    ), hb AS (
-      SELECT CAST(('0x' || substr(md5(CAST(tok AS VARCHAR)), 1, 15)) AS BIGINT) AS hash,
-             row_number() OVER (ORDER BY CAST(('0x' || substr(md5(CAST(tok AS VARCHAR)), 1, 15)) AS BIGINT)) AS rank
-      FROM b
-    ), thetas AS (
-      SELECT LEAST(
-        COALESCE((SELECT hash + 1 FROM ha WHERE rank = 256), 1152921504606846976),
-        COALESCE((SELECT hash + 1 FROM hb WHERE rank = 256), 1152921504606846976)
-      ) AS theta
-    ), common AS (
-      SELECT COUNT(*) AS n_common
-      FROM (SELECT hash FROM ha WHERE rank <= 256) x
-      JOIN (SELECT hash FROM hb WHERE rank <= 256) y USING (hash)
-      CROSS JOIN thetas
-      WHERE x.hash < thetas.theta
-    ), ex AS (
-      SELECT COUNT(*) AS exact_common
-      FROM (SELECT tok FROM a INTERSECT SELECT tok FROM b)
-    )
-    SELECT CAST(n_common AS BIGINT) AS n_common,
-           CAST(CAST(n_common AS HUGEINT) * 1152921504606846976 // theta AS BIGINT)
-               AS estimate,
-           CAST(exact_common AS BIGINT) AS exact_common
-    FROM common CROSS JOIN thetas CROSS JOIN ex
-""",
+    oracle=_ST2_ORACLE,
 )
 def st2_kmv_intersection(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Theta-sketch set INTERSECTION (the estimator HLL cannot provide):
