@@ -337,3 +337,39 @@ def test_q11_threshold_reuses_shipped_exchange(spark, sf_dir):
     assert plan.count("ReusedExchange") >= 1, plan
     assert plan.count("lineitem.parquet") == 1, plan
     assert "BroadcastExchange" in plan
+
+
+def test_tx15_blocklist_is_map_side_only(spark, sf_dir):
+    """The Aho-Corasick scan must be one Arrow-batched map stage: no
+    Exchange anywhere — text never shuffles, the automaton broadcasts
+    implicitly via the UDF closure."""
+    plan = _plan(spark, sf_dir, "tx15_blocklist_hits")
+    assert "Exchange" not in plan
+    assert "ArrowEvalPython" in plan  # Arrow-batched, not row-at-a-time
+    assert "BatchEvalPython" not in plan
+
+
+def test_st1_kmv_windows_never_single_partition(spark, sf_dir):
+    """The KMV sketch's two-stage prune: no window may collapse to a
+    single partition (the (group, shard) stage bounds per-task input),
+    and the whole sketch stays JVM-side."""
+    plan = _plan(spark, sf_dir, "st1_kmv_cardinality")
+    assert "SinglePartition" not in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_tx14_mojibake_repartitions_ids_before_python(spark, sf_dir):
+    """The repair stage is Arrow-batched with a round-robin repartition
+    ahead of it (the mm8 parallelism fix shape)."""
+    plan = _plan(spark, sf_dir, "tx14_mojibake_repair")
+    assert "BatchEvalPython" not in plan
+    assert "RoundRobinPartitioning" in plan
+
+
+def test_mm11_flac_shuffles_ids_only(spark, sf_dir):
+    """FLAC decode parallelizes via an 8-byte-id repartition before the
+    mapInPandas stage — blob bytes are synthesized executor-side and
+    never cross an exchange."""
+    plan = _plan(spark, sf_dir, "mm11_flac_roundtrip")
+    assert "RoundRobinPartitioning" in plan
+    assert "BatchEvalPython" not in plan
