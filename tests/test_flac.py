@@ -315,7 +315,7 @@ def test_encoder_rejects_out_of_range():
     with pytest.raises(ValueError):
         encode_flac(np.array([40000]), 8000)
     with pytest.raises(ValueError):
-        encode_flac(np.zeros((2, 2), np.int64), 8000)
+        encode_flac(np.zeros((2, 2, 2), np.int64), 8000)  # 3-D
 
 
 def test_parse_flac_header_fields():
@@ -362,3 +362,26 @@ def test_single_byte_flip_fuzz_never_hangs():
             decode_flac(mutated)
         except FlacError:
             pass
+
+
+def test_encoder_stereo_left_side_roundtrip():
+    """Stereo encode (left/side decorrelation): decode verifies the
+    STREAMINFO MD5 in-path — exact reconstruction of BOTH channels —
+    and the mono downmix equals (L+R)/2 bit-for-bit."""
+    rng = np.random.default_rng(11)
+    left = rng.integers(-3000, 3000, 1500)
+    right = rng.integers(-3000, 3000, 1500)
+    st = np.stack([left, right], axis=1)
+    for order in (None, 2):
+        blob = encode_flac(st, 22050, block_size=512, fixed_order=order)
+        mono, rate = decode_flac(blob)  # MD5-verified: channels exact
+        assert rate == 22050 and len(mono) == 1500
+        want = (left + right) / 2.0 / 32768.0
+        assert np.allclose(mono.astype(np.float64), want, atol=0)
+    si = parse_flac_header(encode_flac(st, 22050, block_size=512))
+    assert si.channels == 2 and si.total_samples == 1500
+
+
+def test_encoder_stereo_shape_wall():
+    with pytest.raises(ValueError, match="stereo"):
+        encode_flac(np.zeros((10, 3), np.int64), 8000)

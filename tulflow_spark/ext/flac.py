@@ -779,14 +779,18 @@ def _best_rice_param(resid: np.ndarray) -> int:
 
 def encode_flac(samples: np.ndarray, rate: int, block_size: int = 1024,
                 fixed_order: int | None = 2) -> bytes:
-    """Mono 16-bit FLAC encoder: one frame per ``block_size`` block,
+    """16-bit FLAC encoder: one frame per ``block_size`` block,
     FIXED(``fixed_order``)+Rice subframes (``None`` → VERBATIM).
-    Spec-conformant output (CRC-8/CRC-16/MD5 all real) — decodable by
-    any FLAC reader, and exercising the decoder's Rice/predictor paths.
+    ``samples`` is mono ``(n,)`` or stereo ``(n, 2)``; stereo frames use
+    LEFT/SIDE decorrelation (channel assignment 8, the side subframe at
+    17 bits).  Spec-conformant output (CRC-8/CRC-16/MD5 all real) —
+    decodable by any FLAC reader; a successful in-repo decode verifies
+    the STREAMINFO MD5, i.e. exact reconstruction of EVERY channel.
     """
     s = np.asarray(samples, np.int64)
-    if s.ndim != 1:
-        raise ValueError("encode_flac is mono-only")
+    stereo = s.ndim == 2
+    if stereo and s.shape[1] != 2 or s.ndim > 2:
+        raise ValueError("encode_flac takes (n,) mono or (n, 2) stereo")
     if np.any(s > 32767) or np.any(s < -32768):
         raise ValueError("samples exceed 16-bit range")
     if not 0 < rate < (1 << 20):
@@ -797,7 +801,8 @@ def encode_flac(samples: np.ndarray, rate: int, block_size: int = 1024,
         raise ValueError("block_size must be in [16, 65535]")
     if fixed_order is not None and not 0 <= fixed_order <= 4:
         raise ValueError("fixed predictor order must be 0-4")
-    md5 = hashlib.md5(_pack_le(s, 2)).digest()
+    md5 = hashlib.md5(_pack_le(s.reshape(-1), 2)).digest()
+    n = len(s)
     head = _BitWriter()
     head.write(0x80, 8)  # last-metadata-block flag | type 0 (STREAMINFO)
     head.write(34, 24)
@@ -808,33 +813,51 @@ def encode_flac(samples: np.ndarray, rate: int, block_size: int = 1024,
     head.write(0, 24)  # min frame size unknown
     head.write(0, 24)
     head.write(rate, 20)
-    head.write(0, 3)   # channels - 1
+    head.write(1 if stereo else 0, 3)  # channels - 1
     head.write(15, 5)  # bits per sample - 1
-    head.write(len(s), 36)
+    head.write(n, 36)
     out = bytearray(b"fLaC")
     out += head.bytes()
     out += md5
-    for frame_idx, off in enumerate(range(0, len(s), block_size)):
+    for frame_idx, off in enumerate(range(0, n, block_size)):
         block = s[off : off + block_size]
-        out += _encode_frame(block, frame_idx, fixed_order)
+        if stereo:
+            left = block[:, 0]
+            side = block[:, 0] - block[:, 1]  # L/S decorrelation (§9.1.3)
+            subs = [(left, 16), (side, 17)]
+            chan_code = 8
+        else:
+            subs = [(block, 16)]
+            chan_code = 0
+        out += _encode_frame(subs, chan_code, frame_idx, fixed_order)
     return bytes(out)
 
 
-def _encode_frame(block: np.ndarray, frame_idx: int,
-                  fixed_order: int | None) -> bytes:
+def _encode_frame(subs: list[tuple[np.ndarray, int]], chan_code: int,
+                  frame_idx: int, fixed_order: int | None) -> bytes:
+    block_size = len(subs[0][0])
     w = _BitWriter()
-    w.write(0x3FFE, 14)  # sync
-    w.write(0, 1)        # reserved
-    w.write(0, 1)        # fixed-blocksize stream
-    w.write(7, 4)        # block size: 16-bit value follows
-    w.write(0, 4)        # sample rate: from STREAMINFO
-    w.write(0, 4)        # mono
-    w.write(4, 3)        # 16-bit samples
-    w.write(0, 1)        # reserved
+    w.write(0x3FFE, 14)       # sync
+    w.write(0, 1)             # reserved
+    w.write(0, 1)             # fixed-blocksize stream
+    w.write(7, 4)             # block size: 16-bit value follows
+    w.write(0, 4)             # sample rate: from STREAMINFO
+    w.write(chan_code, 4)
+    w.write(4, 3)             # 16-bit samples
+    w.write(0, 1)             # reserved
     _write_coded_number(w, frame_idx)
-    w.write(len(block) - 1, 16)
+    w.write(block_size - 1, 16)
     hdr = bytes(w.buf)
     w.write(crc8(hdr), 8)
+    for block, width in subs:
+        _encode_subframe(w, block, width, fixed_order)
+    w.align()
+    body = bytes(w.buf)
+    return body + struct.pack(">H", crc16(body))
+
+
+def _encode_subframe(w: "_BitWriter", block: np.ndarray, width: int,
+                     fixed_order: int | None) -> None:
     order = fixed_order
     if order is not None and order > len(block) - 1:
         order = None  # block too short for warmup + 1 residual sample
@@ -842,13 +865,13 @@ def _encode_frame(block: np.ndarray, frame_idx: int,
         w.write(0, 1)
         w.write(1, 6)  # VERBATIM
         w.write(0, 1)  # no wasted bits
-        w.write_bits(_fixed_bits(block, 16))
+        w.write_bits(_fixed_bits(block, width))
     else:
         w.write(0, 1)
         w.write(8 + order, 6)  # FIXED
         w.write(0, 1)
         for v in block[:order].tolist():
-            w.write(int(v), 16)
+            w.write(int(v) & ((1 << width) - 1), width)
         resid = block.copy()
         for _ in range(order):
             resid = np.diff(resid)
@@ -857,9 +880,6 @@ def _encode_frame(block: np.ndarray, frame_idx: int,
         k = _best_rice_param(resid)
         w.write(k, 4)
         w.write_bits(_rice_bits(resid, k))
-    w.align()
-    body = bytes(w.buf)
-    return body + struct.pack(">H", crc16(body))
 
 
 __all__ = [
