@@ -1,0 +1,91 @@
+"""robots.txt-aware URL filtering — the crawl-politeness gate a
+web-scale acquisition pipeline runs before fetching (and re-runs over
+already-crawled corpora when takedown/robots changes require honoring
+retroactively).
+
+The parser is the stdlib :class:`urllib.robotparser.RobotFileParser`
+fed from TEXT (the robots bodies live in a table alongside the crawl,
+keyed by registrable domain) — real agent-section resolution,
+``Disallow``/``Allow`` rules and wildcard-agent fallback, not a regex
+approximation.  Policy knobs:
+
+- ``default_allow``: a URL whose domain has NO robots body is allowed
+  (the crawl convention: absent robots.txt means no restrictions);
+  pass ``False`` for a conservative pipeline that only keeps
+  explicitly-permitted URLs.
+- an EMPTY robots body allows everything (the RFC 9309 default).
+
+Spark shape: the domain→body dict broadcasts via the UDF closure
+(robots bodies are KBs per domain); each executor parses every body
+ONCE into a cached parser table, then matching is two dict hops + the
+stdlib rule walk per URL — map-side only, URLs never shuffle.
+
+Reference analog: none (the reference harvests OAI-PMH, not the web);
+north-star crawl surface beside ext/html.py and cur5's pipeline.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator  # noqa: TC003 (pandas_udf resolves)
+from urllib.parse import urlsplit
+from urllib.robotparser import RobotFileParser
+
+import pandas as pd
+
+
+def parse_robots(body: str) -> RobotFileParser:
+    """One robots.txt TEXT → a stdlib parser (no network — the body
+    came from the crawl itself)."""
+    rp = RobotFileParser()
+    rp.parse(body.splitlines())
+    return rp
+
+
+def robots_allowed(url: str, robots_by_domain: dict[str, str],
+                   agent: str = "*", default_allow: bool = True,
+                   _cache: dict | None = None) -> bool | None:
+    """Is ``url`` fetchable for ``agent`` under its domain's robots
+    body?  ``None`` for unparseable URLs (no host) — typed enough to
+    filter on, without killing a 100 TB pass over one junk row."""
+    try:
+        host = urlsplit(url).netloc.lower()
+    except ValueError:
+        return None
+    if not host:
+        return None
+    body = robots_by_domain.get(host)
+    if body is None:
+        return default_allow
+    if _cache is not None:
+        rp = _cache.get(host)
+        if rp is None:
+            rp = _cache[host] = parse_robots(body)
+    else:
+        rp = parse_robots(body)
+    return rp.can_fetch(agent, url)
+
+
+def robots_allowed_udf(robots_by_domain: dict[str, str],
+                       agent: str = "*", default_allow: bool = True):
+    """Arrow-batched UDF factory: ``col(url) -> boolean`` (NULL for
+    NULL/unparseable URLs).  Bodies parse once per executor."""
+    from pyspark.sql.functions import pandas_udf
+    from pyspark.sql.types import BooleanType
+
+    bodies = dict(robots_by_domain)
+
+    @pandas_udf(BooleanType())
+    def _allowed(batches: Iterator[pd.Series]) -> Iterator[pd.Series]:
+        cache: dict = {}
+        for s in batches:
+            yield s.map(
+                lambda u: robots_allowed(
+                    u, bodies, agent=agent, default_allow=default_allow,
+                    _cache=cache,
+                ) if u is not None else None
+            ).astype("boolean")
+
+    return _allowed
+
+
+__all__ = ["parse_robots", "robots_allowed", "robots_allowed_udf"]

@@ -51,7 +51,9 @@ GATED: frozenset[str] = frozenset(
         # pairs
         "dl2_delta_optimize",
         "dl3_delta_skipping",
-        "cur6_training_mix",
+        # r9: cur6_training_mix rotated out (driver rows r7+r8; cur5/
+        # cur7 keep the curation anchors) for the robots.txt filter pair
+        "url2_robots_filter",
         "cur7_clean_corpus",
         "dc1_decontaminate",
         "dd12_cluster_stats",

@@ -3266,6 +3266,44 @@ def tx15_blocklist_hits(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 
+
+@register(
+    "url2_robots_filter",
+    oracle="""
+    SELECT doc_id,
+           'https://d' || CAST(doc_id % 7 AS VARCHAR) ||
+           '.example.com/b' || CAST(doc_id % 5 AS VARCHAR) ||
+           '/p' || CAST(doc_id AS VARCHAR) AS url,
+           (doc_id % 5 <> (doc_id % 7) % 3) AS allowed
+    FROM documents
+    """,
+)
+def url2_robots_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """robots.txt-aware URL filtering driver-proven (ext/robots.py —
+    the stdlib RobotFileParser in an Arrow-batched stage, bodies parsed
+    once per executor): seven synthetic domains each disallow one path
+    prefix, URLs are analytic in doc_id, and the oracle recomputes the
+    allow decision from the same arithmetic — a wrong agent-section
+    walk, prefix rule, or domain lookup hash-fails per row."""
+    from tulflow_spark.ext.robots import robots_allowed_udf
+
+    robots = {
+        f"d{k}.example.com": f"User-agent: *\nDisallow: /b{k % 3}/\n"
+        for k in range(7)
+    }
+    docs = table(spark, sf_dir, "documents").select("doc_id")
+    urls = docs.select(
+        "doc_id",
+        F.concat(
+            F.lit("https://d"), (F.col("doc_id") % 7).cast("string"),
+            F.lit(".example.com/b"), (F.col("doc_id") % 5).cast("string"),
+            F.lit("/p"), F.col("doc_id").cast("string"),
+        ).alias("url"),
+    )
+    allowed = robots_allowed_udf(robots)
+    return urls.select("doc_id", "url", allowed("url").alias("allowed"))
+
+
 from tulflow_spark.ext.theta import kmv_hash_sql as _kmv_sql  # noqa: E402
 
 _KMV_K = 256
