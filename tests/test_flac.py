@@ -385,3 +385,8 @@ def test_encoder_stereo_left_side_roundtrip():
 def test_encoder_stereo_shape_wall():
     with pytest.raises(ValueError, match="stereo"):
         encode_flac(np.zeros((10, 3), np.int64), 8000)
+
+
+def test_encoder_rejects_scalar_input():
+    with pytest.raises(ValueError, match="mono or"):
+        encode_flac(np.int64(5), 8000)

@@ -41,12 +41,23 @@ def test_unparseable_urls_are_none():
     assert robots_allowed("", ROBOTS) is None
 
 
-def test_parser_cache_reused():
-    cache: dict = {}
-    robots_allowed("https://a.example.com/x", ROBOTS, _cache=cache)
-    rp = cache["a.example.com"]
-    robots_allowed("https://a.example.com/y", ROBOTS, _cache=cache)
-    assert cache["a.example.com"] is rp
+def test_parser_cache_is_process_level_keyed_by_body():
+    """Review r9: bodies parse once per EXECUTOR PROCESS (module-level
+    cache, keyed by body text so two jobs with different bodies for one
+    host never collide) — not once per task."""
+    import tulflow_spark.ext.robots as R
+
+    R._CACHE.clear()
+    robots_allowed("https://a.example.com/x", ROBOTS)
+    rp = R._CACHE[ROBOTS["a.example.com"]]
+    robots_allowed("https://a.example.com/y", ROBOTS)
+    assert R._CACHE[ROBOTS["a.example.com"]] is rp
+    # a DIFFERENT body for the same host gets its own parser
+    other = {"a.example.com": "User-agent: *\nDisallow:\n"}
+    assert robots_allowed("https://a.example.com/x", other) is True
+    assert robots_allowed("https://a.example.com/x", ROBOTS) is True
+    assert robots_allowed("https://a.example.com/private/x",
+                          ROBOTS) is False
 
 
 def test_spark_udf(spark):
@@ -63,3 +74,14 @@ def test_spark_udf(spark):
     out = {r["i"]: r["ok"] for r in
            df.select("i", allowed("url").alias("ok")).collect()}
     assert out == {0: False, 1: True, 2: None, 3: True}
+
+
+def test_port_and_userinfo_stripped():
+    """Review r9: lookup is by hostname — a ported or credentialed URL
+    must still hit its domain's robots body."""
+    assert robots_allowed("https://a.example.com:443/private/x",
+                          ROBOTS) is False
+    assert robots_allowed("https://user@a.example.com/private/x",
+                          ROBOTS) is False
+    assert robots_allowed("https://A.EXAMPLE.COM/private/x",
+                          ROBOTS) is False  # hostname lowercases

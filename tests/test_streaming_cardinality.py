@@ -125,3 +125,31 @@ def test_k_wall(spark):
         streaming_cardinality(
             spark.readStream.format("rate").load(), "value", "value", k=1
         )
+
+
+def test_null_group_and_all_null_values_match_batch_semantics():
+    """Review r9: a NULL group stays NULL (not the string 'None'), and
+    an all-NULL-value group emits nothing — exactly the batch sketch."""
+    import pandas as pd
+
+    from tulflow_spark.streaming.cardinality import _update_factory
+
+    class FakeState:
+        exists = False
+
+        def update(self, v):
+            self.value = v
+            self.exists = True
+
+        @property
+        def get(self):
+            return self.value
+
+    update = _update_factory(4)
+    out = list(update((None,), iter([pd.DataFrame({"_value": ["x"]})]),
+                      FakeState()))
+    assert out[0]["group"].iloc[0] is None
+    st = FakeState()
+    out2 = list(update(("g",), iter([pd.DataFrame({"_value": [None]})]),
+                       st))
+    assert out2 == [] and not st.exists  # phantom zero suppressed

@@ -789,7 +789,7 @@ def encode_flac(samples: np.ndarray, rate: int, block_size: int = 1024,
     """
     s = np.asarray(samples, np.int64)
     stereo = s.ndim == 2
-    if stereo and s.shape[1] != 2 or s.ndim > 2:
+    if s.ndim == 0 or s.ndim > 2 or (stereo and s.shape[1] != 2):
         raise ValueError("encode_flac takes (n,) mono or (n, 2) stereo")
     if np.any(s > 32767) or np.any(s < -32768):
         raise ValueError("samples exceed 16-bit range")

@@ -41,14 +41,31 @@ def parse_robots(body: str) -> RobotFileParser:
     return rp
 
 
+# process-level parser cache keyed by BODY text (not host: two jobs
+# may carry different bodies for one host) — the ext/automaton.py
+# bounded-cache pattern, so bodies parse once per executor, not per task
+_CACHE: dict[str, RobotFileParser] = {}
+
+
+def _cached_parser(body: str) -> RobotFileParser:
+    rp = _CACHE.get(body)
+    if rp is None:
+        if len(_CACHE) > 4096:
+            _CACHE.clear()  # bound executor memory across robots sets
+        rp = _CACHE[body] = parse_robots(body)
+    return rp
+
+
 def robots_allowed(url: str, robots_by_domain: dict[str, str],
-                   agent: str = "*", default_allow: bool = True,
-                   _cache: dict | None = None) -> bool | None:
+                   agent: str = "*", default_allow: bool = True) -> \
+        bool | None:
     """Is ``url`` fetchable for ``agent`` under its domain's robots
     body?  ``None`` for unparseable URLs (no host) — typed enough to
-    filter on, without killing a 100 TB pass over one junk row."""
+    filter on, without killing a 100 TB pass over one junk row.
+    Lookup is by HOSTNAME (port and userinfo stripped — a robots body
+    keyed ``a.example.com`` must govern ``a.example.com:443`` too)."""
     try:
-        host = urlsplit(url).netloc.lower()
+        host = urlsplit(url).hostname
     except ValueError:
         return None
     if not host:
@@ -56,13 +73,7 @@ def robots_allowed(url: str, robots_by_domain: dict[str, str],
     body = robots_by_domain.get(host)
     if body is None:
         return default_allow
-    if _cache is not None:
-        rp = _cache.get(host)
-        if rp is None:
-            rp = _cache[host] = parse_robots(body)
-    else:
-        rp = parse_robots(body)
-    return rp.can_fetch(agent, url)
+    return _cached_parser(body).can_fetch(agent, url)
 
 
 def robots_allowed_udf(robots_by_domain: dict[str, str],
@@ -76,12 +87,10 @@ def robots_allowed_udf(robots_by_domain: dict[str, str],
 
     @pandas_udf(BooleanType())
     def _allowed(batches: Iterator[pd.Series]) -> Iterator[pd.Series]:
-        cache: dict = {}
         for s in batches:
             yield s.map(
                 lambda u: robots_allowed(
                     u, bodies, agent=agent, default_allow=default_allow,
-                    _cache=cache,
                 ) if u is not None else None
             ).astype("boolean")
 

@@ -57,10 +57,17 @@ def _update_factory(k: int):
                 if v is not None:
                     kept.add(_kmv_hash_py(str(v)))
         smallest = sorted(kept)[:k]
+        if not smallest:
+            # only NULL values so far: the batch sketch (which filters
+            # NULLs pre-hash) has NO row for this group — emitting a
+            # phantom zero here would break the exact equivalence
+            return
         state.update((smallest,))
         yield pd.DataFrame(
             {
-                "group": [str(key[0])],
+                # a NULL group stays NULL (str(None) would collide with
+                # a real group literally named 'None')
+                "group": [str(key[0]) if key[0] is not None else None],
                 "estimate": [_estimate(smallest, k)],
                 "kept": [len(smallest)],
             }
