@@ -390,3 +390,36 @@ def test_encoder_stereo_shape_wall():
 def test_encoder_rejects_scalar_input():
     with pytest.raises(ValueError, match="mono or"):
         encode_flac(np.int64(5), 8000)
+
+
+def test_flac_tags_vorbis_comment_block():
+    """Hand-built VORBIS_COMMENT block (LE lengths, KEY=value UTF-8)."""
+    def le32(n):
+        return n.to_bytes(4, "little")
+
+    comments = [b"TITLE=S\xc3\xb3ng", b"artist=Someone", b"TITLE=dupe",
+                b"NOVALUE"]
+    body = le32(6) + b"vendor" + le32(len(comments))
+    for c in comments:
+        body += le32(len(c)) + c
+    base = bytearray(encode_flac(np.arange(100, dtype=np.int64), 8000))
+    # un-set the STREAMINFO last-block flag, append the comment block
+    base[4] &= 0x7F
+    blob = bytes(base[:42]) + bytes([0x84]) + len(body).to_bytes(3, "big") \
+        + body + bytes(base[42:])
+    from tulflow_spark.ext.flac import flac_tags
+
+    tags = flac_tags(blob)
+    assert tags["TITLE"] == "Sóng"       # first value wins, key upcased
+    assert tags["ARTIST"] == "Someone"
+    assert tags["NOVALUE"] == ""
+    # the stream still parses and decodes with the extra block
+    assert parse_flac_header(blob).total_samples == 100
+    assert len(decode_flac(blob)[0]) == 100
+    # no comment block -> {}
+    assert flac_tags(encode_flac(np.arange(20, dtype=np.int64), 8000)) == {}
+    # truncated comment block -> typed
+    bad = bytes(base[:42]) + bytes([0x84]) + (len(body)).to_bytes(3, "big") \
+        + body[:-3] + bytes(base[42:])
+    with pytest.raises(FlacError):
+        flac_tags(bad)

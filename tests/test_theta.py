@@ -92,3 +92,22 @@ def test_per_group_sketches(spark):
                         k=256).collect()}
     assert est["a"]["estimate"] == 10
     assert abs(est["b"]["estimate"] - 600) < 150
+
+
+def test_union_sketch_is_exact_sketch_identity(spark):
+    """KMV(A ∪ B) from merged kept sets equals the sketch a single pass
+    over the concatenated data builds — exact, not approximate."""
+    from tulflow_spark.ext.theta import kmv_union
+
+    k = 64
+    a_rows = [f"a{i}" for i in range(300)]
+    b_rows = [f"a{i}" for i in range(150, 450)]  # overlaps A
+    sk_a = kmv_sketch(_vals(spark, a_rows), "g", "v", k=k)
+    sk_b = kmv_sketch(_vals(spark, b_rows), "g", "v", k=k)
+    merged = kmv_union(sk_a, sk_b, "g", k=k)
+    direct = kmv_sketch(_vals(spark, a_rows + b_rows), "g", "v", k=k)
+    got = sorted((r["hash"], r["rank"]) for r in merged.collect())
+    want = sorted((r["hash"], r["rank"]) for r in direct.collect())
+    assert got == want
+    est = kmv_estimate(merged, "g", k=k).collect()[0]["estimate"]
+    assert abs(est - 450) < 450 * 0.5  # k=64: wide but sane envelope

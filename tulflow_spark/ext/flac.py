@@ -263,6 +263,51 @@ class _NpBits:
 # ---------------------------------------------------------------------------
 
 
+def flac_tags(content: bytes) -> dict[str, str]:
+    """VORBIS_COMMENT tags (metadata block type 4, §8.6: LE-length
+    vendor string, LE count, ``KEY=value`` UTF-8 comments) → dict with
+    upper-cased keys, first value wins.  ``{}`` when the stream carries
+    no comment block; malformed blocks raise typed."""
+    if content[:4] != b"fLaC":
+        raise FlacError("not a FLAC stream (no fLaC magic)")
+    pos = 4
+    last = False
+    while not last:
+        if pos + 4 > len(content):
+            raise FlacError("truncated metadata block header")
+        hdr = content[pos]
+        last = bool(hdr & 0x80)
+        btype = hdr & 0x7F
+        length = int.from_bytes(content[pos + 1 : pos + 4], "big")
+        body = pos + 4
+        if body + length > len(content):
+            raise FlacError("metadata block extends past end of stream")
+        if btype == 4:
+            blk = content[body : body + length]
+            try:
+                vlen = int.from_bytes(blk[:4], "little")
+                at = 4 + vlen
+                count = int.from_bytes(blk[at : at + 4], "little")
+                at += 4
+                tags: dict[str, str] = {}
+                for _ in range(count):
+                    clen = int.from_bytes(blk[at : at + 4], "little")
+                    at += 4
+                    if at + clen > len(blk):
+                        raise ValueError("comment past block end")
+                    comment = blk[at : at + clen].decode("utf-8")
+                    at += clen
+                    key, _, val = comment.partition("=")
+                    tags.setdefault(key.upper(), val)
+                return tags
+            except (ValueError, UnicodeDecodeError) as exc:
+                raise FlacError(
+                    f"malformed VORBIS_COMMENT block: {exc!r}"
+                ) from None
+        pos = body + length
+    return {}
+
+
 class StreamInfo:
     __slots__ = ("min_block", "max_block", "sample_rate", "channels",
                  "bits_per_sample", "total_samples", "md5", "audio_start")
@@ -889,5 +934,6 @@ __all__ = [
     "crc16",
     "decode_flac",
     "encode_flac",
+    "flac_tags",
     "parse_flac_header",
 ]

@@ -123,6 +123,27 @@ def kmv_estimate(sk: DataFrame, group: str, k: int = 256) -> DataFrame:
                       F.col("kept").cast("bigint").alias("kept"))
 
 
+def kmv_union(sk_a: DataFrame, sk_b: DataFrame, group: str,
+              k: int = 256) -> DataFrame:
+    """Merged sketch per group: KMV(A ∪ B) — an EXACT sketch identity,
+    not an approximation of one: the k smallest hashes of A ∪ B are all
+    contained in (k smallest of A) ∪ (k smallest of B), so re-ranking
+    the unioned kept sets reproduces the sketch a single pass over the
+    concatenated data would build (pinned by test).  Input frames are
+    k-bounded per group, so the re-rank window sorts ≤ 2k rows per
+    group."""
+    merged = (
+        sk_a.select(group, "hash")
+        .unionAll(sk_b.select(group, "hash"))
+        .distinct()
+    )
+    w = Window.partitionBy(group).orderBy("hash")
+    return (
+        merged.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+    )
+
+
 def kmv_intersect(sk_a: DataFrame, sk_b: DataFrame, k: int = 256
                   ) -> DataFrame:
     """Intersection-cardinality estimate of two single-set sketches
@@ -170,4 +191,5 @@ __all__ = [
     "kmv_hash_sql",
     "kmv_intersect",
     "kmv_sketch",
+    "kmv_union",
 ]
