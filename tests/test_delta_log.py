@@ -1194,3 +1194,39 @@ def test_optimize_zorder_type_wall_and_column_collision(spark, tmp_path):
     assert v == 1
     out = read_delta(spark, t2)
     assert out.where("__z = id * 3").count() == 64  # column intact
+
+
+def test_read_delta_changes_vacuumed_file_raises_typed(spark, tmp_path):
+    """ADVICE r9: an in-range add that was compacted (dataChange=false
+    remove) and then VACUUMED is gone from disk — the change feed must
+    raise the typed re-sync error up front, not an untyped
+    file-not-found mid-scan."""
+    from tulflow_spark.ext.delta_log import (
+        optimize_delta,
+        read_delta_changes,
+        vacuum_delta,
+    )
+
+    t = str(tmp_path / "tbl")
+    write_delta(_df(spark, 0, 5).repartition(2), t)                 # v0
+    write_delta(_df(spark, 5, 8).repartition(2), t, mode="append")  # v1
+    assert optimize_delta(spark, t) == 2                            # v2
+    # before vacuum the tombstoned originals still deliver
+    assert _ids(read_delta_changes(spark, t, 0)) == [5, 6, 7]
+    assert vacuum_delta(spark, t, min_age_seconds=0)
+    with pytest.raises(DeltaProtocolError, match="re-sync"):
+        read_delta_changes(spark, t, 0)
+    # ranges not touching the vacuumed files still work
+    write_delta(_df(spark, 8, 9), t, mode="append")                 # v3
+    assert _ids(read_delta_changes(spark, t, 2)) == [8]
+
+
+def test_merge_schema_frame_internal_case_collision(spark, tmp_path):
+    """ADVICE r9: two NEW columns in one frame that differ only in case
+    must be refused — committing them makes every later read fail."""
+    t = str(tmp_path / "tbl")
+    write_delta(_df(spark, 0, 2), t)
+    bad = spark.createDataFrame([(5, "x", 1, 2)],
+                                "id long, v string, extra long, EXTRA long")
+    with pytest.raises(DeltaProtocolError, match="same frame"):
+        write_delta(bad, t, mode="append", merge_schema=True)

@@ -85,3 +85,13 @@ def test_port_and_userinfo_stripped():
                           ROBOTS) is False
     assert robots_allowed("https://A.EXAMPLE.COM/private/x",
                           ROBOTS) is False  # hostname lowercases
+
+
+def test_mixed_case_dict_keys_normalized():
+    """ADVICE r9: a robots body keyed 'Example.com' must govern
+    example.com URLs — hostname lookups are lowercase, so keys
+    normalize once at entry (both the per-call API and the UDF)."""
+    mixed = {"A.Example.COM": "User-agent: *\nDisallow: /private/\n"}
+    assert robots_allowed("https://a.example.com/private/x",
+                          mixed) is False
+    assert robots_allowed("https://a.example.com/pub/x", mixed) is True

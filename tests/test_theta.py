@@ -111,3 +111,18 @@ def test_union_sketch_is_exact_sketch_identity(spark):
     assert got == want
     est = kmv_estimate(merged, "g", k=k).collect()[0]["estimate"]
     assert abs(est - 450) < 450 * 0.5  # k=64: wide but sane envelope
+
+
+def test_union_k_compat_guard(spark):
+    """ADVICE r9: union k larger than the construction k yields
+    under-filled merged sketches that kmv_estimate misreads as exact
+    counts — kmv_union(built_k=) refuses typed."""
+    from tulflow_spark.ext.theta import kmv_union
+
+    sk = kmv_sketch(_vals(spark, [f"v{i}" for i in range(600)]),
+                    "g", "v", k=16)
+    with pytest.raises(ValueError, match="exceeds the sketch-construction"):
+        kmv_union(sk, sk, "g", k=64, built_k=16)
+    # compatible k passes through unchanged
+    merged = kmv_union(sk, sk, "g", k=16, built_k=16)
+    assert merged.count() == 16

@@ -173,9 +173,23 @@ def _validate_merge_append(df: DataFrame, path: str,
     # read raise duplicate-column — reject at write time, like Delta
     table_fields = {f.name.lower(): f for f in table_schema.fields}
     new_fields = []
+    added_lower: dict[str, str] = {}  # frame-internal collisions too
     for f in df.schema.fields:
         have = table_fields.get(f.name.lower())
         if have is None:
+            first = added_lower.get(f.name.lower())
+            if first is not None:
+                # two NEW columns in one frame colliding (case-variant
+                # or literal duplicate) would commit a schema no
+                # conformant reader can resolve — same failure the
+                # existing-column guard below prevents
+                raise DeltaProtocolError(
+                    f"merge_schema: new column {f.name!r} collides "
+                    f"case-insensitively with new column {first!r} in "
+                    "the same frame (case-variant duplicates make the "
+                    "table unreadable)"
+                )
+            added_lower[f.name.lower()] = f.name
             # added columns are always nullable: every pre-existing file
             # lacks them, so logging the frame's non-null flag would be
             # a protocol-invalid schema for conformant readers
@@ -1258,6 +1272,18 @@ def read_delta_changes(
             # until vacuum, and counting the compaction output instead
             # would double rows added BEFORE the range
     snap = _replay(spark, path, to)
+    # a file added in-range, compacted (dataChange=false remove), and
+    # then VACUUMED is gone from disk — scanning it would die with an
+    # untyped file-not-found mid-job.  Tombstoned paths (not live at
+    # ``to``) are checked for existence up front; the live set needs no
+    # check (vacuum never deletes live files).
+    for raw in changed:
+        if raw not in snap.live and not fsio.exists(_scan_path(path, raw)):
+            raise DeltaProtocolError(
+                f"change range delivers {raw!r}, which was compacted "
+                "and vacuumed: the original rows are no longer "
+                "readable — re-sync from a snapshot read"
+            )
     delta_snap = Snapshot(changed, snap.schema_str, to,
                           partition_cols=snap.partition_cols)
     return _build_scan(spark, path, delta_snap)

@@ -56,6 +56,23 @@ def _cached_parser(body: str) -> RobotFileParser:
     return rp
 
 
+def _allowed_normalized(url: str, bodies: dict[str, str], agent: str,
+                        default_allow: bool) -> bool | None:
+    """Core decision; ``bodies`` keys MUST already be lowercase
+    (``urlsplit().hostname`` lowercases, so a mixed-case key would
+    silently fall through to ``default_allow``)."""
+    try:
+        host = urlsplit(url).hostname
+    except ValueError:
+        return None
+    if not host:
+        return None
+    body = bodies.get(host)
+    if body is None:
+        return default_allow
+    return _cached_parser(body).can_fetch(agent, url)
+
+
 def robots_allowed(url: str, robots_by_domain: dict[str, str],
                    agent: str = "*", default_allow: bool = True) -> \
         bool | None:
@@ -63,17 +80,14 @@ def robots_allowed(url: str, robots_by_domain: dict[str, str],
     body?  ``None`` for unparseable URLs (no host) — typed enough to
     filter on, without killing a 100 TB pass over one junk row.
     Lookup is by HOSTNAME (port and userinfo stripped — a robots body
-    keyed ``a.example.com`` must govern ``a.example.com:443`` too)."""
-    try:
-        host = urlsplit(url).hostname
-    except ValueError:
-        return None
-    if not host:
-        return None
-    body = robots_by_domain.get(host)
-    if body is None:
-        return default_allow
-    return _cached_parser(body).can_fetch(agent, url)
+    keyed ``a.example.com`` must govern ``a.example.com:443`` too);
+    keys are case-normalized here, so ``'Example.com'`` governs
+    ``example.com`` URLs too.  Hot paths (the UDF below) normalize once
+    instead of per call."""
+    return _allowed_normalized(
+        url, {k.lower(): v for k, v in robots_by_domain.items()},
+        agent, default_allow,
+    )
 
 
 def robots_allowed_udf(robots_by_domain: dict[str, str],
@@ -83,14 +97,17 @@ def robots_allowed_udf(robots_by_domain: dict[str, str],
     from pyspark.sql.functions import pandas_udf
     from pyspark.sql.types import BooleanType
 
-    bodies = dict(robots_by_domain)
+    # normalize ONCE: hostname lookups are lowercase (see
+    # _allowed_normalized), and per-row re-normalization in the UDF
+    # would rebuild the dict a billion times
+    bodies = {k.lower(): v for k, v in robots_by_domain.items()}
 
     @pandas_udf(BooleanType())
     def _allowed(batches: Iterator[pd.Series]) -> Iterator[pd.Series]:
         for s in batches:
             yield s.map(
-                lambda u: robots_allowed(
-                    u, bodies, agent=agent, default_allow=default_allow,
+                lambda u: _allowed_normalized(
+                    u, bodies, agent, default_allow,
                 ) if u is not None else None
             ).astype("boolean")
 

@@ -124,14 +124,26 @@ def kmv_estimate(sk: DataFrame, group: str, k: int = 256) -> DataFrame:
 
 
 def kmv_union(sk_a: DataFrame, sk_b: DataFrame, group: str,
-              k: int = 256) -> DataFrame:
+              k: int = 256, *, built_k: int | None = None) -> DataFrame:
     """Merged sketch per group: KMV(A ∪ B) — an EXACT sketch identity,
     not an approximation of one: the k smallest hashes of A ∪ B are all
     contained in (k smallest of A) ∪ (k smallest of B), so re-ranking
     the unioned kept sets reproduces the sketch a single pass over the
     concatenated data would build (pinned by test).  Input frames are
     k-bounded per group, so the re-rank window sorts ≤ 2k rows per
-    group."""
+    group.
+
+    ``k`` must be ≤ the k the input sketches were BUILT with: a larger
+    union k would leave kept < k for groups the inputs truncated, which
+    :func:`kmv_estimate` then reads as an exact count — a silently
+    wrong estimate, not a coarser one.  Pass ``built_k`` (the
+    construction k) to have that checked."""
+    if built_k is not None and k > built_k:
+        raise ValueError(
+            f"kmv_union k={k} exceeds the sketch-construction "
+            f"k={built_k}: merged groups would under-fill and "
+            "kmv_estimate would misread them as exact counts"
+        )
     merged = (
         sk_a.select(group, "hash")
         .unionAll(sk_b.select(group, "hash"))
