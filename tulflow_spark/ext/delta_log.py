@@ -359,6 +359,61 @@ def write_delta_with_retry(
     )
 
 
+def merge_delta_with_retry(
+    spark: SparkSession,
+    df_changes: DataFrame,
+    path: str,
+    keys: list[str],
+    op_col: str = "op",
+    partition_by: list[str] | None = None,
+    txn: tuple[str, int] | None = None,
+    max_attempts: int = 8,
+    backoff_seconds: float = 0.05,
+) -> int:
+    """Read-merge-write OCC loop: MERGE a keyed change set (``op`` ∈
+    I/U/D, :func:`tulflow_spark.operators.cdc.merge_upsert` semantics)
+    into the table and commit as an ``overwrite`` pinned to the base
+    version it was computed against.  Unlike
+    :func:`write_delta_with_retry` — whose staged data is base-
+    independent, so only the commit tail retries — a merge LOSER's
+    output is stale the moment a racer lands: each attempt re-READS the
+    fresh snapshot and re-MERGES before recommitting, which is Delta's
+    own MERGE conflict-resolution loop.  Attempts are bounded
+    (``max_attempts``; the last conflict re-raises typed) and spaced by
+    a linear backoff with full jitter — ``uniform(0, backoff_seconds *
+    attempt)`` — so N symmetric losers don't re-collide in lockstep.
+    The merge itself is pure (anti-join + union), so a re-run against a
+    fresher base is always safe to recompute."""
+    import random
+    import time
+
+    from tulflow_spark.operators.cdc import merge_upsert
+
+    last: DeltaConcurrentCommit | None = None
+    for attempt in range(max_attempts):
+        if attempt:
+            time.sleep(random.uniform(0.0, backoff_seconds * attempt))
+        base = latest_version(path)
+        if base is None:
+            raise DeltaProtocolError(
+                f"no delta table at {path} to merge into: seed it with "
+                "write_delta first"
+            )
+        current = read_delta(spark, path, version=base)
+        merged = merge_upsert(current, df_changes, keys, op_col=op_col)
+        try:
+            return write_delta(merged, path, mode="overwrite",
+                               expect_version=base,
+                               partition_by=partition_by, txn=txn)
+        except DeltaConcurrentCommit as exc:
+            last = exc
+            continue
+    raise DeltaConcurrentCommit(
+        f"merge lost the commit race {max_attempts} times at {path}: "
+        f"{last}"
+    )
+
+
 def _stage_adds(df: DataFrame, path: str,
                 partition_by: list[str] | None,
                 data_change: bool = True) -> list[dict]:
