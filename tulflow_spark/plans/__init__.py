@@ -164,6 +164,7 @@ def load_all() -> None:
     """
     from tulflow_spark.plans import (  # noqa: F401
         ext_queries,
+        ingest_queries,
         olap_queries,
         star_queries,
         tpch_extras,
