@@ -50,6 +50,7 @@ _MAGIC = (
     (b"OggS", "ogg"),
     (b"fLaC", "flac"),
     (b"ID3", "mp3"),
+    (b"%PDF-", "pdf"),
 )
 
 

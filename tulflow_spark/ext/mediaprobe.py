@@ -535,6 +535,16 @@ def probe_media_bytes(content: bytes) -> dict:
             )
         if aud and not meta["sample_rate"]:
             meta["sample_rate"] = aud.sample_rate or None
+    elif fmt == "pdf":
+        # route documents too (r9 VERDICT #3): page count rides the
+        # n_frames slot; text extraction is ext/pdf.pdf_text
+        from tulflow_spark.ext.pdf import PdfDocument, PdfError
+
+        try:
+            meta.update(n_frames=len(PdfDocument(content).pages()))
+        except PdfError as exc:
+            raise UnsupportedMedia(f"pdf: {exc}") from exc
+        meta.update(codec="pdf")
     return meta
 
 

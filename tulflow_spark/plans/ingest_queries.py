@@ -138,6 +138,91 @@ def warc1_warc_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "pdf1_pdf_extract",
+    oracle="""
+    WITH base AS (
+      SELECT doc_id, md5(COALESCE(text, '')) AS h,
+             COALESCE(lang, '') AS lang,
+             1 + doc_id % 3 AS n_pages
+      FROM documents
+    ),
+    built AS (
+      SELECT doc_id, n_pages,
+             string_agg(
+               'Document ' || CAST(doc_id AS VARCHAR) || ' page '
+                 || CAST(p AS VARCHAR) || chr(10) || h || chr(10)
+                 || 'lang ' || lang,
+               chr(12) ORDER BY p) AS full_text
+      FROM base, UNNEST(range(0, n_pages)) AS r(p)
+      GROUP BY doc_id, n_pages
+    )
+    SELECT doc_id,
+           CAST(n_pages AS INT) AS n_pages,
+           CAST(length(full_text) AS BIGINT) AS n_chars,
+           md5(full_text) AS extracted_md5,
+           TRUE AS md5_on_every_page
+    FROM built
+    """,
+)
+def pdf1_pdf_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PDF text extraction oracle-checked end to end (r9 VERDICT #3).
+
+    Per doc, a 1–3-page PDF is built by the production fixture encoder
+    (`ext/pdf.py::encode_pdf` — xref table, Flate-compressed content
+    streams; odd docs emit kerned TJ arrays so both show paths are
+    driver-proven) whose page text is analytic in the doc row:
+    ``Document <id> page <p> / md5(text) / lang <lang>``.  The
+    PRODUCTION parser (object scan, Flate decode, page-tree walk,
+    content-stream interpreter) must recover the page count and the
+    exact text — the oracle rebuilds the full extracted string,
+    form-feeds and all, in pure SQL and hash-compares."""
+    from collections.abc import Iterator
+
+    import pandas as pd
+
+    docs = (table(spark, sf_dir, "documents")
+            .select("doc_id", "text", "lang").repartition(32))
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import hashlib
+
+        from tulflow_spark.ext.pdf import PdfDocument, encode_pdf
+
+        for pdf in batches:
+            rows = []
+            for _, r in pdf.iterrows():
+                d = int(r["doc_id"])
+                h = hashlib.md5((r["text"] or "").encode()).hexdigest()
+                lang = r["lang"] or ""
+                n_pages = 1 + d % 3
+                pages = [
+                    [f"Document {d} page {p}", h, f"lang {lang}"]
+                    for p in range(n_pages)
+                ]
+                blob = encode_pdf(pages, use_tj_arrays=bool(d % 2))
+                doc = PdfDocument(blob)
+                page_objs = doc.pages()
+                extracted = "\f".join(
+                    doc.page_text(p) for p in page_objs)
+                rows.append({
+                    "doc_id": d,
+                    "n_pages": len(page_objs),
+                    "n_chars": len(extracted),
+                    "extracted_md5": hashlib.md5(
+                        extracted.encode()).hexdigest(),
+                    "md5_on_every_page": all(
+                        h in pg for pg in extracted.split("\f")),
+                })
+            yield pd.DataFrame(rows)
+
+    return docs.mapInPandas(
+        gen,
+        schema="doc_id bigint, n_pages int, n_chars bigint, "
+               "extracted_md5 string, md5_on_every_page boolean",
+    )
+
+
+@register(
     "warc2_crawl_pipeline",
     oracle=r"""
     WITH extracted AS (
