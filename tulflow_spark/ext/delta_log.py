@@ -654,6 +654,30 @@ def _checkpoint_files(path: str, version: int, parts: int) -> list[str]:
     return files if all(fsio.exists(f) for f in files) else []
 
 
+def _check_reader_version(proto: dict) -> None:
+    """Reader-feature gate: version 1 always; version 3 when the ONLY
+    reader feature is deletionVectors (r9 VERDICT #4 — modern
+    delta-spark defaults write DV tables; `ext/deletion_vectors.py`
+    replays them).  Version 2 (implicit column mapping) and any other
+    version-3 feature (columnMapping, v2Checkpoint, timestampNtz, ...)
+    stay a typed wall — reading them wrong would be silent."""
+    mrv = int(proto.get("minReaderVersion") or 1)
+    if mrv <= 1:
+        return
+    feats_raw = proto.get("readerFeatures")
+    # version 3 REQUIRES readerFeatures (table-features protocol);
+    # absent is malformed, not "no features"
+    if mrv == 3 and feats_raw is not None \
+            and set(feats_raw) <= {"deletionVectors"}:
+        return
+    feats = sorted(set(feats_raw or []))
+    raise DeltaProtocolError(
+        f"table requires reader version {mrv} with features "
+        f"{feats or ['(implicit column mapping)']}: only "
+        "deletionVectors is supported beyond version 1"
+    )
+
+
 def _load_checkpoint(
     spark: SparkSession, files: list[str], snap: "Snapshot"
 ) -> None:
@@ -682,12 +706,7 @@ def _load_checkpoint(
             snap.txns[str(t["appId"])] = int(t["version"])
         proto = d.get("protocol") if "protocol" in cols else None
         if proto:
-            if (proto.get("minReaderVersion") or 1) > 1:
-                raise DeltaProtocolError(
-                    f"table requires reader version "
-                    f"{proto['minReaderVersion']} (deletion vectors / "
-                    "column mapping not supported)"
-                )
+            _check_reader_version(proto)
             snap.min_writer = int(proto.get("minWriterVersion") or 2)
 
 
@@ -778,11 +797,7 @@ def _apply_action(snap: Snapshot, action: dict) -> None:
             snap.meta_id = str(action["metaData"]["id"])
     elif "protocol" in action:
         proto = action["protocol"]
-        if (proto.get("minReaderVersion") or 1) > 1:
-            raise DeltaProtocolError(
-                "table requires reader version "
-                f"{proto['minReaderVersion']}"
-            )
+        _check_reader_version(proto)
         snap.min_writer = int(proto.get("minWriterVersion") or 2)
     elif "txn" in action:
         # SetTransaction is LAST-action-wins in log order (delta-spark's
@@ -941,10 +956,44 @@ def _group_frame(spark: SparkSession, files: list[str], key: tuple,
     return df.select([f.name for f in schema.fields])
 
 
+def _dv_filtered_scan(spark: SparkSession, table_path: str,
+                      add_path: str, add: dict,
+                      schema: StructType | None) -> DataFrame:
+    """Scan ONE deletion-vector-carrying file minus its deleted rows:
+    the parquet ``_metadata.row_index`` anti-joined against the decoded
+    bitmap.  The deleted set is DV-cardinality-sized (delta writers
+    rewrite files once deletions dominate), so it broadcasts; the scan
+    itself stays a normal pushdown-friendly parquet read."""
+    from pyspark.sql import functions as F
+
+    from tulflow_spark.ext import deletion_vectors as _dv
+
+    try:
+        idx = _dv.read_dv(table_path, add["deletionVector"])
+    except _dv.DvError as exc:
+        raise DeltaProtocolError(
+            f"deletion vector for {add_path!r}: {exc}"
+        ) from None
+    ri = "__dv_row_index"
+    if schema is not None and ri in {f.name for f in schema.fields}:
+        raise DeltaProtocolError(
+            f"table column {ri!r} collides with the DV helper column"
+        )
+    reader = spark.read
+    if schema is not None:
+        reader = reader.schema(schema)
+    df = (reader.parquet(_scan_path(table_path, add_path))
+          .withColumn(ri, F.col("_metadata.row_index")))
+    deleted = spark.createDataFrame(
+        [(int(i),) for i in idx], f"{ri} long")
+    return df.join(F.broadcast(deleted), ri, "left_anti").drop(ri)
+
+
 def _build_scan(spark: SparkSession, path: str, snap: Snapshot) -> DataFrame:
     """One parquet scan over exactly ``snap.live``, with the metaData
     schema applied and (for partitioned tables) the log's
-    partitionValues injected as typed literals."""
+    partitionValues injected as typed literals.  Files carrying a
+    deletion vector scan separately through :func:`_dv_filtered_scan`."""
     schema = None
     if snap.schema_str is not None:
         schema = StructType.fromJson(json.loads(snap.schema_str))
@@ -952,6 +1001,10 @@ def _build_scan(spark: SparkSession, path: str, snap: Snapshot) -> DataFrame:
         if schema is None:
             raise DeltaProtocolError("empty snapshot and no metaData schema")
         return spark.createDataFrame([], schema)
+    if schema is None and any(
+            a.get("deletionVector") for a in snap.live.values()):
+        raise DeltaProtocolError(
+            "deletion-vector table without a metaData schema")
     if snap.partition_cols:
         # partitioned table: partition-column values live in add
         # .partitionValues (string-encoded per the protocol), NOT in the
@@ -978,8 +1031,10 @@ def _build_scan(spark: SparkSession, path: str, snap: Snapshot) -> DataFrame:
         )
         types = {f.name: f.dataType for f in schema.fields}
         groups: dict[tuple, list[str]] = {}
+        dv_frames: list[DataFrame] = []
         for p in sorted(snap.live):
-            pv = snap.live[p].get("partitionValues") or {}
+            add = snap.live[p]
+            pv = add.get("partitionValues") or {}
             for c in snap.partition_cols:
                 if c not in pv:
                     raise DeltaProtocolError(
@@ -989,7 +1044,16 @@ def _build_scan(spark: SparkSession, path: str, snap: Snapshot) -> DataFrame:
             key = tuple(
                 (c, pv.get(c)) for c in snap.partition_cols
             )
-            groups.setdefault(key, []).append(_scan_path(path, p))
+            if add.get("deletionVector"):
+                f0 = _dv_filtered_scan(spark, path, p, add, data_schema)
+                for c, raw in key:
+                    f0 = f0.withColumn(
+                        c, F.lit(_partition_value(
+                            raw, types[c], c)).cast(types[c]))
+                dv_frames.append(
+                    f0.select([f.name for f in schema.fields]))
+            else:
+                groups.setdefault(key, []).append(_scan_path(path, p))
         # None partition values sort first (tuples with None can't
         # compare to str)
         frames = [
@@ -1001,13 +1065,22 @@ def _build_scan(spark: SparkSession, path: str, snap: Snapshot) -> DataFrame:
                 ),
             )
         ]
-        return _union_fold(frames)
-    reader = spark.read
-    if schema is not None:
-        reader = reader.schema(schema)
-    return reader.parquet(
-        *[_scan_path(path, p) for p in sorted(snap.live)]
-    )
+        return _union_fold(frames + dv_frames)
+    dv_paths = {p for p in snap.live
+                if snap.live[p].get("deletionVector")}
+    clean = [p for p in sorted(snap.live) if p not in dv_paths]
+    frames = []
+    if clean:
+        reader = spark.read
+        if schema is not None:
+            reader = reader.schema(schema)
+        frames.append(
+            reader.parquet(*[_scan_path(path, p) for p in clean]))
+    frames += [
+        _dv_filtered_scan(spark, path, p, snap.live[p], schema)
+        for p in sorted(dv_paths)
+    ]
+    return _union_fold(frames)
 
 
 # ---------------------------------------------------------------------------
@@ -1026,6 +1099,14 @@ def write_checkpoint(spark: SparkSession, path: str) -> int:
     live, schema_str, v = snap.live, snap.schema_str, snap.version
     if schema_str is None:
         raise DeltaProtocolError("cannot checkpoint: no metaData in log")
+    if any(a.get("deletionVector") for a in live.values()):
+        # this checkpoint schema has no deletionVector column; writing
+        # one anyway would DROP the DVs and resurrect deleted rows for
+        # every reader that resumes from it
+        raise DeltaProtocolError(
+            "cannot checkpoint a table with live deletion vectors "
+            "(the checkpoint schema would silently drop them)"
+        )
     add_rows = [
         {
             "path": a["path"],
@@ -1253,6 +1334,71 @@ def delete_where(spark: SparkSession, path: str, condition: str,
         with fs.open_input_file(fp) as handle:
             if pq.ParquetFile(handle).metadata.num_rows > 0:
                 actions.append(act)
+    _publish(path, latest + 1, actions)
+    return latest + 1
+
+
+def delete_rows_with_dv(spark: SparkSession, path: str,
+                        deletes: dict[str, list[int]],
+                        expect_version: int | None = None) -> int:
+    """Row-level DELETE via deletion vectors (merge-on-read): for each
+    ``add.path`` → row-index list, write a spec-layout DV ``.bin``
+    (`ext/deletion_vectors.py`), then commit remove+re-add of the SAME
+    data file carrying the descriptor — no data bytes rewritten, the
+    protocol reason DVs exist.  The commit also records the protocol
+    upgrade (reader 3 / writer 7, feature ``deletionVectors``), after
+    which every mutating op in this module refuses typed (writer-
+    version wall) — DV tables are read-only here beyond this function;
+    it merges with a file's EXISTING DV by index union.  Returns the
+    new version."""
+    from tulflow_spark.ext import deletion_vectors as _dv
+
+    latest = latest_version(path)
+    if latest is None:
+        raise DeltaProtocolError(f"no delta table at {path}")
+    if expect_version is not None and latest != expect_version:
+        raise DeltaConcurrentCommit(
+            f"table is at version {latest}, delete was computed "
+            f"against {expect_version}: re-read and retry"
+        )
+    snap = _replay(spark, path, latest)
+    if snap.configuration.get("delta.appendOnly") == "true":
+        raise DeltaProtocolError(
+            "table is delta.appendOnly=true: delete forbidden"
+        )
+    actions: list[dict] = [{
+        "protocol": {
+            "minReaderVersion": 3, "minWriterVersion": 7,
+            "readerFeatures": ["deletionVectors"],
+            "writerFeatures": ["deletionVectors"],
+        }
+    }]
+    for ap, rows in sorted(deletes.items()):
+        add = snap.live.get(ap)
+        if add is None:
+            raise DeltaProtocolError(
+                f"delete target {ap!r} is not a live file"
+            )
+        merged = set(int(i) for i in rows)
+        if not merged:
+            raise DeltaProtocolError(
+                f"empty row-index list for {ap!r}"
+            )
+        old = add.get("deletionVector")
+        if old:
+            try:
+                merged |= set(int(i) for i in _dv.read_dv(path, old))
+            except _dv.DvError as exc:
+                raise DeltaProtocolError(
+                    f"existing deletion vector for {ap!r}: {exc}"
+                ) from None
+        desc = _dv.write_dv_file(path, sorted(merged))
+        new_add = {k: v for k, v in add.items() if v is not None}
+        new_add["deletionVector"] = desc
+        new_add["dataChange"] = True
+        actions.append({"remove": {"path": ap, "dataChange": True,
+                                   "deletionTimestamp": 0}})
+        actions.append({"add": new_add})
     _publish(path, latest + 1, actions)
     return latest + 1
 
@@ -1545,6 +1691,25 @@ def vacuum_delta(spark: SparkSession, path: str,
                 raise
             continue
         referenced |= {unquote(p) for p in snap.live}
+        # live deletion-vector .bin files are referenced too — they are
+        # not add.paths, so without this a vacuum would delete a live
+        # DV and break every later read of its data file
+        from tulflow_spark.ext.deletion_vectors import (
+            DvError,
+            dv_relative_path,
+        )
+
+        for a in snap.live.values():
+            dv = a.get("deletionVector")
+            if dv:
+                try:
+                    rel = dv_relative_path(dv)
+                except DvError as exc:
+                    raise DeltaProtocolError(
+                        f"vacuum: bad deletionVector descriptor: {exc}"
+                    ) from None
+                if rel is not None:
+                    referenced.add(rel)
     fs, base = fsio.resolve(path)
     cutoff = time.time() - min_age_seconds
     deleted: list[str] = []

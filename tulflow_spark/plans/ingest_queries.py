@@ -223,6 +223,64 @@ def pdf1_pdf_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "dl5_deletion_vectors",
+    oracle="""
+    SELECT CAST((SELECT COUNT(*) FROM documents) AS BIGINT) AS n_before,
+           COUNT(*) AS n_after,
+           CAST(SUM(doc_id) AS BIGINT) AS sum_doc_id,
+           CAST(SUM(length(text)) AS BIGINT) AS total_chars,
+           CAST(1 AS BIGINT) AS n_files
+    FROM documents WHERE doc_id % 7 <> 0
+    """,
+)
+def dl5_deletion_vectors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Delta deletion-vector READ path oracle-checked (r9 VERDICT #4):
+    write documents as one doc_id-sorted file (doc_ids are dense, so
+    row_index == doc_id), row-level-DELETE every doc_id % 7 == 0 via a
+    spec-layout DV commit (`delete_rows_with_dv` — remove+re-add of the
+    SAME file carrying the roaring-bitmap descriptor, protocol upgraded
+    to reader 3 / deletionVectors), then snapshot-read.  The oracle
+    recomputes the surviving aggregates from the raw table; ``n_files``
+    pins merge-on-read (the data file was NOT rewritten) and
+    ``n_before`` pins that time travel below the DV commit still sees
+    every row."""
+    from tulflow_spark.ext.delta_log import (
+        _replay,
+        delete_rows_with_dv,
+        read_delta,
+        write_delta,
+    )
+
+    import tempfile
+
+    docs = (table(spark, sf_dir, "documents")
+            .select("doc_id", "text")
+            .coalesce(1).sortWithinPartitions("doc_id"))
+    t = tempfile.mkdtemp(prefix="dl5_") + "/tbl"
+    write_delta(docs, t)                                       # v0
+    snap = _replay(spark, t, None)
+    (add_path,) = snap.live
+    n = read_delta(spark, t).count()
+    delete_rows_with_dv(
+        spark, t, {add_path: [i for i in range(n) if i % 7 == 0]})
+    before = read_delta(spark, t, version=0)
+    after = read_delta(spark, t)
+    return (
+        after.agg(
+            F.count(F.lit(1)).alias("n_after"),
+            F.sum("doc_id").cast("bigint").alias("sum_doc_id"),
+            F.sum(F.length("text")).cast("bigint").alias("total_chars"),
+        )
+        .withColumn("n_before",
+                    F.lit(before.count()).cast("bigint"))
+        .withColumn("n_files",
+                    F.lit(len(after.inputFiles())).cast("bigint"))
+        .select("n_before", "n_after", "sum_doc_id", "total_chars",
+                "n_files")
+    )
+
+
+@register(
     "warc2_crawl_pipeline",
     oracle=r"""
     WITH extracted AS (
