@@ -44,7 +44,9 @@ GATED: frozenset[str] = frozenset(
         # family keeps q01/q03/q05/sk1) for the Delta change-feed pair
         "dl4_delta_changes",
         "bm1_bm25_search",
-        "cdc3_scd2_history",
+        # r10: cdc3_scd2_history rotated out (driver rows r7/r8/r9;
+        # cdc2 keeps the CDC anchor) for the deletion-vector pair
+        "dl5_deletion_vectors",
         # r9: zo2_zorder3_layout and bm2_phrase_search rotated out
         # (driver rows r7+r8; zo1/bm1 keep their family anchors) to
         # budget slots for the new Delta OPTIMIZE and data-skipping
@@ -57,7 +59,11 @@ GATED: frozenset[str] = frozenset(
         "cur7_clean_corpus",
         "dc1_decontaminate",
         "dd12_cluster_stats",
-        "j6_range_join",
+        # r10: j6_range_join rotated out (driver rows r7/r8/r9; j1/aj1
+        # keep the join anchors) for ss8_pq_topk — the ONLY oracle pair
+        # of 146 with no driver row under its r8 seeded oracle (r9
+        # VERDICT #1: closes the last adjudication gap)
+        "ss8_pq_topk",
         # r9: mx8_temperature_mix and sp1_hash_split rotated out (driver
         # rows r7+r8; mx7/pack1 keep the mixing-family anchors) for the
         # KMV/theta sketch pairs — cardinality AND set intersection,
@@ -87,7 +93,9 @@ GATED: frozenset[str] = frozenset(
         # the new MP3 decode pair
         "mm10_mp3_roundtrip",
         "dd1_exact_dedup",
-        "dd3_ngram_jaccard",
+        # r10: dd3_ngram_jaccard rotated out (driver rows r1..r9; dd1/
+        # dd10/dd12 keep the dedup anchors) for the WARC ingest pair
+        "warc1_warc_ingest",
         "dd10_repeated_spans",
         "aj1_asof_join",
         "vr1_approx_bounds",
@@ -109,9 +117,10 @@ GATED: frozenset[str] = frozenset(
         "mm9_audio_features",
         "mx7_quality_mix_approx",
         "pr1_profile_lineitem",
-        # new this round (r6 VERDICT #3): Vorbis decode driver-gated in
-        # place of the a12 anchor (driver row r6)
-        "mm8_vorbis_roundtrip",
+        # r10: mm8_vorbis_roundtrip rotated out (driver rows r6..r9;
+        # mm9/mm10/mm11 keep the media anchors) for the PDF extraction
+        # pair
+        "pdf1_pdf_extract",
         # r9: mm7_png16_roundtrip rotated out (driver rows r7/r8; the
         # media family keeps mm8/mm9/mm10) to budget the slot for the
         # new FLAC decode pair
@@ -125,9 +134,10 @@ GATED: frozenset[str] = frozenset(
         # ONNX scorer-slot pair
         "rr4_onnx_rerank",
         "tr1_train_shuffle",
-        # new this round (r6 VERDICT #4): numeric-model re-rank slot proof
-        # — driver-gated in place of the a4 anchor (driver rows r2 + r6)
-        "rr3_numeric_rerank",
+        # r10: rr3_numeric_rerank rotated out (driver rows r6..r9; rr1/
+        # rr2/rr4 keep the re-rank anchors) for the raw-WARC crawl
+        # composition pair
+        "warc2_crawl_pipeline",
     }
 )
 
