@@ -58,7 +58,7 @@ import uuid
 from dataclasses import dataclass, field
 
 from pyspark.sql import DataFrame, SparkSession
-from pyspark.sql.types import StructType
+from pyspark.sql.types import StructField, StructType
 
 from tulflow_spark import fsio
 
@@ -664,17 +664,21 @@ def _check_reader_version(proto: dict) -> None:
     mrv = int(proto.get("minReaderVersion") or 1)
     if mrv <= 1:
         return
+    if mrv == 2:
+        # reader version 2 = column mapping capability; name mode is
+        # readable (_build_scan), id mode walls typed at scan time
+        return
     feats_raw = proto.get("readerFeatures")
     # version 3 REQUIRES readerFeatures (table-features protocol);
     # absent is malformed, not "no features"
     if mrv == 3 and feats_raw is not None \
-            and set(feats_raw) <= {"deletionVectors"}:
+            and set(feats_raw) <= {"deletionVectors", "columnMapping"}:
         return
     feats = sorted(set(feats_raw or []))
     raise DeltaProtocolError(
         f"table requires reader version {mrv} with features "
-        f"{feats or ['(implicit column mapping)']}: only "
-        "deletionVectors is supported beyond version 1"
+        f"{feats}: only deletionVectors and columnMapping are "
+        "supported beyond version 1"
     )
 
 
@@ -915,16 +919,27 @@ def read_delta(
     snap = _replay(spark, path, version)
     if prune is not None:
         col, lo, hi = prune
-        types_all = {}
-        if snap.schema_str is not None:
+        part_cols = snap.partition_cols
+        if _mapping_mode(snap) == "name":
+            # add.stats and partitionValues live in PHYSICAL name space
+            phys_of = _physical_names(snap)
+            col = phys_of.get(col, col)
             types_all = {
-                f.name: f.dataType
+                phys_of[f.name]: f.dataType
                 for f in StructType.fromJson(json.loads(snap.schema_str))
             }
+            part_cols = [phys_of.get(c, c) for c in part_cols]
+        else:
+            types_all = {}
+            if snap.schema_str is not None:
+                types_all = {
+                    f.name: f.dataType
+                    for f in StructType.fromJson(
+                        json.loads(snap.schema_str))
+                }
         snap.live = {
             p: a for p, a in snap.live.items()
-            if not _file_pruned(a, col, lo, hi, snap.partition_cols,
-                                types_all)
+            if not _file_pruned(a, col, lo, hi, part_cols, types_all)
         }
     return _build_scan(spark, path, snap)
 
@@ -989,11 +1004,64 @@ def _dv_filtered_scan(spark: SparkSession, table_path: str,
     return df.join(F.broadcast(deleted), ri, "left_anti").drop(ri)
 
 
+def _mapping_mode(snap: Snapshot) -> str:
+    return (snap.configuration or {}).get(
+        "delta.columnMapping.mode") or "none"
+
+
+def _physical_names(snap: Snapshot) -> dict[str, str]:
+    """logical → physical column names from the metaData schema's
+    ``delta.columnMapping.physicalName`` field metadata (name mode)."""
+    if snap.schema_str is None:
+        raise DeltaProtocolError(
+            "column-mapped table without a metaData schema")
+    schema = StructType.fromJson(json.loads(snap.schema_str))
+    out: dict[str, str] = {}
+    for f in schema.fields:
+        pn = (f.metadata or {}).get("delta.columnMapping.physicalName")
+        if not pn:
+            raise DeltaProtocolError(
+                f"column mapping mode=name but column {f.name!r} has "
+                "no delta.columnMapping.physicalName"
+            )
+        out[f.name] = str(pn)
+    return out
+
+
 def _build_scan(spark: SparkSession, path: str, snap: Snapshot) -> DataFrame:
     """One parquet scan over exactly ``snap.live``, with the metaData
     schema applied and (for partitioned tables) the log's
     partitionValues injected as typed literals.  Files carrying a
-    deletion vector scan separately through :func:`_dv_filtered_scan`."""
+    deletion vector scan separately through :func:`_dv_filtered_scan`.
+
+    Column-mapping mode ``name`` (the delta-spark default once mapping
+    is enabled) is handled by running the whole scan in PHYSICAL name
+    space — data files, partitionValues and stats all use physical
+    names — and renaming to logical names as the final projection;
+    mode ``id`` (parquet field-id resolution) stays a typed wall."""
+    mode = _mapping_mode(snap)
+    if mode == "name":
+        from pyspark.sql import functions as F
+
+        phys_of = _physical_names(snap)
+        logical = StructType.fromJson(json.loads(snap.schema_str))
+        phys_schema = StructType([
+            StructField(phys_of[f.name], f.dataType, f.nullable)
+            for f in logical.fields
+        ])
+        snap_phys = Snapshot(
+            snap.live, json.dumps(phys_schema.jsonValue()), snap.version,
+            partition_cols=[phys_of[c] for c in snap.partition_cols],
+        )
+        df = _build_scan(spark, path, snap_phys)
+        return df.select([
+            F.col(phys_of[f.name]).alias(f.name) for f in logical.fields
+        ])
+    if mode != "none":
+        raise DeltaProtocolError(
+            f"column mapping mode {mode!r} not supported (only 'name' "
+            "and 'none')"
+        )
     schema = None
     if snap.schema_str is not None:
         schema = StructType.fromJson(json.loads(snap.schema_str))
@@ -1106,6 +1174,14 @@ def write_checkpoint(spark: SparkSession, path: str) -> int:
         raise DeltaProtocolError(
             "cannot checkpoint a table with live deletion vectors "
             "(the checkpoint schema would silently drop them)"
+        )
+    if _mapping_mode(snap) != "none":
+        # the checkpoint protocol row records minReaderVersion 1; for a
+        # mapped table that would downgrade the reader gate and let
+        # mapping-unaware readers misread physical columns
+        raise DeltaProtocolError(
+            "cannot checkpoint a column-mapped table "
+            "(the checkpoint protocol row would drop the reader gate)"
         )
     add_rows = [
         {
@@ -1366,6 +1442,14 @@ def delete_rows_with_dv(spark: SparkSession, path: str,
         raise DeltaProtocolError(
             "table is delta.appendOnly=true: delete forbidden"
         )
+    if _mapping_mode(snap) != "none":
+        # the protocol upgrade this commit records lists ONLY the
+        # deletionVectors feature; on a mapped table it would drop the
+        # columnMapping reader requirement
+        raise DeltaProtocolError(
+            "delete_rows_with_dv on a column-mapped table not "
+            "supported (protocol feature sets would conflict)"
+        )
     actions: list[dict] = [{
         "protocol": {
             "minReaderVersion": 3, "minWriterVersion": 7,
@@ -1401,6 +1485,50 @@ def delete_rows_with_dv(spark: SparkSession, path: str,
         actions.append({"add": new_add})
     _publish(path, latest + 1, actions)
     return latest + 1
+
+
+def write_column_mapped_fixture(spark: SparkSession, df: DataFrame,
+                                path: str,
+                                partition_by: list[str] | None = None,
+                                ) -> int:
+    """FIXTURE writer (the encode_* strategy: tests and oracle pairs
+    build mapped tables with it; an independent hand-authored log in
+    tests guards the shared-bug risk): create a column-mapping
+    ``mode=name`` table — data files and partitionValues carry
+    physical ``col-NNNN`` names, the metaData schema records logical
+    names plus ``delta.columnMapping.id`` / ``physicalName`` field
+    metadata, the protocol records reader 2 / writer 5.  Reads resolve
+    through :func:`_build_scan`'s physical-space path; every mutating
+    op here keeps refusing mapped tables (writer-version wall)."""
+    from pyspark.sql import functions as F
+
+    if latest_version(path) is not None:
+        raise DeltaProtocolError(
+            f"fixture table already exists at {path}")
+    phys_of = {c: f"col-{i:04d}" for i, c in enumerate(df.columns)}
+    phys_df = df.select([F.col(c).alias(phys_of[c]) for c in df.columns])
+    phys_parts = [phys_of[c] for c in (partition_by or [])]
+    adds = _stage_adds(phys_df, path, phys_parts or None)
+    fields = [
+        StructField(f.name, f.dataType, f.nullable, {
+            "delta.columnMapping.id": i + 1,
+            "delta.columnMapping.physicalName": phys_of[f.name],
+        })
+        for i, f in enumerate(df.schema.fields)
+    ]
+    meta = _metadata_action(
+        StructType(fields), list(partition_by or []),
+        configuration={
+            "delta.columnMapping.mode": "name",
+            "delta.columnMapping.maxColumnId": str(len(fields)),
+        },
+    )
+    _publish(path, 0, [
+        {"protocol": {"minReaderVersion": 2, "minWriterVersion": 5}},
+        meta,
+        *adds,
+    ])
+    return 0
 
 
 def _commit_actions(path: str, version: int) -> list[dict]:
