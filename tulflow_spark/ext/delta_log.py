@@ -1049,6 +1049,12 @@ def _build_scan(spark: SparkSession, path: str, snap: Snapshot) -> DataFrame:
             StructField(phys_of[f.name], f.dataType, f.nullable)
             for f in logical.fields
         ])
+        bad_parts = [c for c in snap.partition_cols if c not in phys_of]
+        if bad_parts:
+            raise DeltaProtocolError(
+                f"partitionColumns {bad_parts} absent from the "
+                "metaData schema"
+            )
         snap_phys = Snapshot(
             snap.live, json.dumps(phys_schema.jsonValue()), snap.version,
             partition_cols=[phys_of[c] for c in snap.partition_cols],
@@ -1614,7 +1620,8 @@ def read_delta_changes(
                 "readable — re-sync from a snapshot read"
             )
     delta_snap = Snapshot(changed, snap.schema_str, to,
-                          partition_cols=snap.partition_cols)
+                          partition_cols=snap.partition_cols,
+                          configuration=snap.configuration)
     return _build_scan(spark, path, delta_snap)
 
 

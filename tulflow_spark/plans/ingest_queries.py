@@ -378,3 +378,60 @@ def warc2_crawl_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.md5(F.concat_ws("", F.array_sort(
             F.collect_list(F.md5("text"))))).alias("corpus_md5"),
     )
+
+
+@register(
+    "dl6_column_mapping",
+    oracle="""
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(SUM(doc_id) AS BIGINT) AS sum_doc_id,
+           CAST(SUM(strlen(text)) AS BIGINT) AS total_chars,
+           CAST((SELECT COUNT(*) FROM documents WHERE doc_id % 5 = 2)
+                AS BIGINT) AS n_pruned_rows,
+           TRUE AS physical_names
+    FROM documents
+    """,
+)
+def dl6_column_mapping(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Delta column-mapping (mode=name) READ path oracle-checked: write
+    documents as a bucket-partitioned mapped table (data files and
+    partitionValues carry physical ``col-NNNN`` names; the metaData
+    schema records logical names + ``delta.columnMapping.physicalName``
+    field metadata, protocol reader 2 / writer 5), then read through
+    the mapping layer.  The oracle recomputes every aggregate from the
+    raw table under LOGICAL names — wrong or missed name resolution
+    breaks sum/length immediately.  ``n_pruned_rows`` pins that
+    ``prune=`` accepts the logical partition-column name and still
+    prunes in physical space; ``physical_names`` pins that the data
+    files really carry col-NNNN columns (not a no-op mapping).
+
+    At 100 TB: mapping resolution is a metadata-only rename projection
+    on top of the same grouped scan — no extra shuffle, no Python."""
+    import tempfile
+
+    from tulflow_spark.ext.delta_log import (
+        read_delta,
+        write_column_mapped_fixture,
+    )
+
+    docs = (table(spark, sf_dir, "documents")
+            .select("doc_id", "text")
+            .withColumn("bucket", (F.col("doc_id") % 5).cast("long")))
+    t = tempfile.mkdtemp(prefix="dl6_") + "/tbl"
+    write_column_mapped_fixture(spark, docs, t, partition_by=["bucket"])
+    full = read_delta(spark, t)
+    pruned = read_delta(spark, t, prune=("bucket", 2, 2))
+    raw_cols = spark.read.parquet(full.inputFiles()[0]).columns
+    physical = all(c.startswith("col-") for c in raw_cols)
+    return (
+        full.agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.sum("doc_id").cast("bigint").alias("sum_doc_id"),
+            F.sum(F.length("text")).cast("bigint").alias("total_chars"),
+        )
+        .withColumn("n_pruned_rows",
+                    F.lit(pruned.count()).cast("bigint"))
+        .withColumn("physical_names", F.lit(bool(physical)))
+        .select("n_rows", "sum_doc_id", "total_chars",
+                "n_pruned_rows", "physical_names")
+    )
