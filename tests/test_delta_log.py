@@ -1531,3 +1531,92 @@ def test_column_mapping_walls(spark, tmp_path):
     snap2.schema_str = json.dumps(stripped)
     with pytest.raises(DeltaProtocolError, match="physicalName"):
         _build_scan(spark, t, snap2)
+
+
+# ---------------------------------------------------------------------------
+# table-features protocol preservation (review findings r11)
+# ---------------------------------------------------------------------------
+
+
+def _append_commit(t: str, version: int, actions: list[dict]) -> None:
+    with open(f"{t}/_delta_log/{version:020d}.json", "w") as fh:
+        fh.write("\n".join(json.dumps(a) for a in actions) + "\n")
+
+
+def test_dv_delete_refuses_foreign_writer_features(spark, tmp_path):
+    """A writer-7 table declaring features beyond deletionVectors must
+    not be mutated: the DV commit's protocol action would clobber
+    feature declarations conformant writers depend on."""
+    from tulflow_spark.ext.delta_log import delete_rows_with_dv, _replay
+
+    t = str(tmp_path / "tbl")
+    write_delta(_df(spark, 0, 10).coalesce(1), t)              # v0
+    _append_commit(t, 1, [{"protocol": {
+        "minReaderVersion": 3, "minWriterVersion": 7,
+        "readerFeatures": ["deletionVectors"],
+        "writerFeatures": ["deletionVectors", "checkConstraints"],
+    }}])
+    assert read_delta(spark, t).count() == 10  # still readable
+    snap = _replay(spark, t, None)
+    with pytest.raises(DeltaProtocolError, match="checkConstraints"):
+        delete_rows_with_dv(spark, t, {next(iter(snap.live)): [0]})
+    # legacy writer versions 3-6 (implied features, no lists) refuse too
+    t2 = str(tmp_path / "tbl2")
+    write_delta(_df(spark, 0, 4).coalesce(1), t2)
+    _append_commit(t2, 1, [{"protocol": {
+        "minReaderVersion": 1, "minWriterVersion": 4}}])
+    snap2 = _replay(spark, t2, None)
+    with pytest.raises(DeltaProtocolError, match="writer version 4"):
+        delete_rows_with_dv(spark, t2, {next(iter(snap2.live)): [0]})
+
+
+def test_checkpoint_refuses_feature_table_without_live_dvs(
+        spark, tmp_path):
+    """A reader-3 deletionVectors table whose DVs were rewritten away
+    still must not checkpoint: the checkpoint protocol row carries no
+    feature lists, so it would downgrade the reader gate (and record a
+    spec-invalid bare writer-7)."""
+    t = str(tmp_path / "tbl")
+    write_delta(_df(spark, 0, 6), t)                           # v0
+    _append_commit(t, 1, [{"protocol": {
+        "minReaderVersion": 3, "minWriterVersion": 7,
+        "readerFeatures": ["deletionVectors"],
+        "writerFeatures": ["deletionVectors"],
+    }}])
+    assert read_delta(spark, t).count() == 6
+    with pytest.raises(DeltaProtocolError, match="table-features"):
+        write_checkpoint(spark, t)
+
+
+def test_vacuum_keeps_live_absolute_path_dv(spark, tmp_path):
+    """A live 'p' (absolute-path) deletion vector stored INSIDE the
+    table root must survive vacuum — deleting it would break every
+    later read of its data file."""
+    import pathlib
+
+    from tulflow_spark.ext.delta_log import (
+        delete_rows_with_dv,
+        vacuum_delta,
+    )
+
+    t = str(tmp_path / "tbl")
+    write_delta(_df(spark, 0, 30).coalesce(1).sortWithinPartitions("id"),
+                t)                                             # v0
+    from tulflow_spark.ext.delta_log import _replay
+
+    (ap,) = _replay(spark, t, None).live
+    delete_rows_with_dv(spark, t, {ap: [0, 1, 2]})             # v1
+    (bin_path,) = list(pathlib.Path(t).glob("deletion_vector_*.bin"))
+    # rewrite the v1 commit's descriptor as storageType 'p' (absolute)
+    lines = [json.loads(ln) for ln in
+             open(f"{t}/_delta_log/{1:020d}.json") if ln.strip()]
+    for a in lines:
+        dv = (a.get("add") or {}).get("deletionVector")
+        if dv:
+            dv["storageType"] = "p"
+            dv["pathOrInlineDv"] = str(bin_path)
+    _append_commit(t, 1, lines)  # overwrite in place
+    assert read_delta(spark, t).count() == 27  # 'p' descriptor reads
+    gone = vacuum_delta(spark, t, min_age_seconds=0.0)
+    assert bin_path.exists(), f"vacuum deleted live DV: {gone}"
+    assert read_delta(spark, t).count() == 27

@@ -213,3 +213,46 @@ def test_mediaprobe_routes_pdf():
     assert meta["format"] == "pdf"
     assert meta["n_frames"] == 3
     assert meta["codec"] == "pdf"
+
+
+def test_resources_inherited_from_pages_node():
+    """ISO 32000 §7.7.3.4: /Resources on the /Pages tree node is
+    inherited by kid pages — the composite-font wall must see it."""
+    base = (
+        b"%PDF-1.4\n"
+        b"1 0 obj << /Type /Catalog /Pages 2 0 R >> endobj\n"
+        b"2 0 obj << /Type /Pages /Kids [3 0 R] /Count 1 "
+        b"/Resources << /Font << /F1 5 0 R >> >> >> endobj\n"
+        b"3 0 obj << /Type /Page /Parent 2 0 R /Contents 4 0 R >> "
+        b"endobj\n"
+        b"4 0 obj << /Length 20 >>\nstream\n"
+        b"BT (inherited) Tj ET\nendstream endobj\n"
+        b"5 0 obj FONTDICT endobj\n"
+        b"xref\n0 6\ntrailer\n<< /Size 6 /Root 1 0 R >>\n"
+        b"startxref\n9\n%%EOF\n"
+    )
+    ok = base.replace(b"FONTDICT", b"<< /Type /Font /Subtype /Type1 "
+                                   b"/BaseFont /Helvetica >>")
+    assert pdf_text(ok) == "inherited"
+    composite = base.replace(b"FONTDICT", b"<< /Type /Font /Subtype "
+                                          b"/Type0 /BaseFont /Foo >>")
+    with pytest.raises(PdfError, match="composite"):
+        pdf_text(composite)
+
+
+def test_obj_keyword_inside_stream_body_is_data():
+    """Binary stream bytes matching 'N M obj' must not shadow the real
+    object N (the scan skips matches inside consumed stream extents)."""
+    content = b"BT (real page) Tj ET\n3 0 obj null\n2 0 obj null"
+    assert pdf_text(_minimal_pdf(content)) == "real page"
+
+
+def test_lexer_nesting_bounded_typed():
+    """Deep container nesting raises PdfError, not RecursionError
+    (which would escape the typed-error contract and kill the batch)."""
+    from tulflow_spark.ext.pdf import _Lexer
+
+    with pytest.raises(PdfError, match="nesting too deep"):
+        _Lexer(b"[" * 5000).parse()
+    with pytest.raises(PdfError, match="nesting too deep"):
+        _Lexer(b"<< /A " * 5000).parse()

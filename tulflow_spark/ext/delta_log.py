@@ -712,6 +712,9 @@ def _load_checkpoint(
         if proto:
             _check_reader_version(proto)
             snap.min_writer = int(proto.get("minWriterVersion") or 2)
+            snap.min_reader = int(proto.get("minReaderVersion") or 1)
+            snap.reader_features = sorted(proto.get("readerFeatures") or [])
+            snap.writer_features = sorted(proto.get("writerFeatures") or [])
 
 
 @dataclass
@@ -726,6 +729,9 @@ class Snapshot:
     partition_cols: list[str] = field(default_factory=list)
     txns: dict[str, int] = field(default_factory=dict)
     meta_id: str | None = None     # metaData.id — stable table identity
+    min_reader: int = 1
+    reader_features: list[str] = field(default_factory=list)
+    writer_features: list[str] = field(default_factory=list)
 
 
 def _replay(
@@ -803,6 +809,9 @@ def _apply_action(snap: Snapshot, action: dict) -> None:
         proto = action["protocol"]
         _check_reader_version(proto)
         snap.min_writer = int(proto.get("minWriterVersion") or 2)
+        snap.min_reader = int(proto.get("minReaderVersion") or 1)
+        snap.reader_features = sorted(proto.get("readerFeatures") or [])
+        snap.writer_features = sorted(proto.get("writerFeatures") or [])
     elif "txn" in action:
         # SetTransaction is LAST-action-wins in log order (delta-spark's
         # replay REPLACES the entry; a legitimately regressed version —
@@ -997,10 +1006,16 @@ def _dv_filtered_scan(spark: SparkSession, table_path: str,
     reader = spark.read
     if schema is not None:
         reader = reader.schema(schema)
+    if len(idx) == 0:
+        return reader.parquet(_scan_path(table_path, add_path))
     df = (reader.parquet(_scan_path(table_path, add_path))
           .withColumn(ri, F.col("_metadata.row_index")))
+    # Arrow path: idx is already an int64 numpy array — a large foreign
+    # DV (millions of rows) must not become per-element Python tuples
+    import pandas as pd
+
     deleted = spark.createDataFrame(
-        [(int(i),) for i in idx], f"{ri} long")
+        pd.DataFrame({ri: idx.astype("int64")}))
     return df.join(F.broadcast(deleted), ri, "left_anti").drop(ri)
 
 
@@ -1018,6 +1033,15 @@ def _physical_names(snap: Snapshot) -> dict[str, str]:
     schema = StructType.fromJson(json.loads(snap.schema_str))
     out: dict[str, str] = {}
     for f in schema.fields:
+        if _contains_struct(f.dataType):
+            # nested struct fields carry their OWN physicalName
+            # metadata; renaming only the top level would match the
+            # outer parquet group but resolve no nested field by name —
+            # every nested value would read as a silent NULL
+            raise DeltaProtocolError(
+                f"column mapping on nested column {f.name!r} "
+                f"({f.dataType.simpleString()}) not supported"
+            )
         pn = (f.metadata or {}).get("delta.columnMapping.physicalName")
         if not pn:
             raise DeltaProtocolError(
@@ -1026,6 +1050,18 @@ def _physical_names(snap: Snapshot) -> dict[str, str]:
             )
         out[f.name] = str(pn)
     return out
+
+
+def _contains_struct(dt) -> bool:
+    from pyspark.sql.types import ArrayType, MapType
+
+    if isinstance(dt, StructType):
+        return True
+    if isinstance(dt, ArrayType):
+        return _contains_struct(dt.elementType)
+    if isinstance(dt, MapType):
+        return _contains_struct(dt.keyType) or _contains_struct(dt.valueType)
+    return False
 
 
 def _build_scan(spark: SparkSession, path: str, snap: Snapshot) -> DataFrame:
@@ -1188,6 +1224,21 @@ def write_checkpoint(spark: SparkSession, path: str) -> int:
         raise DeltaProtocolError(
             "cannot checkpoint a column-mapped table "
             "(the checkpoint protocol row would drop the reader gate)"
+        )
+    if (snap.min_reader >= 3 or snap.reader_features
+            or snap.writer_features):
+        # same downgrade hazard for table-features protocols (e.g. a
+        # reader-3 deletionVectors table whose DVs were since
+        # rewritten away): the checkpoint schema carries no feature
+        # list columns, so the reader gate and feature declarations
+        # would be silently dropped.  Bare legacy writer versions
+        # (3-6, or a malformed feature-less 7) carry no lists and are
+        # preserved verbatim in the int column.
+        raise DeltaProtocolError(
+            "cannot checkpoint a table-features table (protocol "
+            f"reader {snap.min_reader} features "
+            f"{snap.reader_features}/{snap.writer_features} would be "
+            "dropped from the checkpoint protocol row)"
         )
     add_rows = [
         {
@@ -1456,11 +1507,26 @@ def delete_rows_with_dv(spark: SparkSession, path: str,
             "delete_rows_with_dv on a column-mapped table not "
             "supported (protocol feature sets would conflict)"
         )
+    # writer wall: legacy writer versions 3-6 imply features
+    # (invariants / checkConstraints / generatedColumns / identity)
+    # with no feature list to preserve; a writer-7 table is mutable
+    # here only when its declared features are ones this module
+    # implements — otherwise the protocol upgrade below would clobber
+    # feature declarations a conformant writer depends on
+    extra = set(snap.writer_features) - {"deletionVectors"}
+    if (2 < snap.min_writer < 7) or extra:
+        raise DeltaProtocolError(
+            f"table requires writer version {snap.min_writer} with "
+            f"features {sorted(extra)}: delete_rows_with_dv supports "
+            "only base tables and deletionVectors-only writer-7 tables"
+        )
     actions: list[dict] = [{
         "protocol": {
             "minReaderVersion": 3, "minWriterVersion": 7,
-            "readerFeatures": ["deletionVectors"],
-            "writerFeatures": ["deletionVectors"],
+            "readerFeatures": sorted(
+                {*snap.reader_features, "deletionVectors"}),
+            "writerFeatures": sorted(
+                {*snap.writer_features, "deletionVectors"}),
         }
     }]
     for ap, rows in sorted(deletes.items()):
@@ -1511,6 +1577,13 @@ def write_column_mapped_fixture(spark: SparkSession, df: DataFrame,
     if latest_version(path) is not None:
         raise DeltaProtocolError(
             f"fixture table already exists at {path}")
+    nested = [f.name for f in df.schema.fields
+              if _contains_struct(f.dataType)]
+    if nested:
+        raise DeltaProtocolError(
+            f"column-mapped fixture with nested columns {nested} not "
+            "supported (the reader walls on nested mapping)"
+        )
     phys_of = {c: f"col-{i:04d}" for i, c in enumerate(df.columns)}
     phys_df = df.select([F.col(c).alias(phys_of[c]) for c in df.columns])
     phys_parts = [phys_of[c] for c in (partition_by or [])]
@@ -1845,6 +1918,16 @@ def vacuum_delta(spark: SparkSession, path: str,
                     ) from None
                 if rel is not None:
                     referenced.add(rel)
+                elif dv.get("storageType") == "p":
+                    # absolute-path descriptor: legal per the protocol,
+                    # and the file may live INSIDE the table root —
+                    # deleting it would destroy live table state
+                    _, p_abs = fsio.resolve(
+                        str(dv.get("pathOrInlineDv") or ""))
+                    _, p_base = fsio.resolve(path)
+                    if p_abs.startswith(p_base.rstrip("/") + "/"):
+                        referenced.add(
+                            p_abs[len(p_base.rstrip("/")) + 1:])
     fs, base = fsio.resolve(path)
     cutoff = time.time() - min_age_seconds
     deleted: list[str] = []

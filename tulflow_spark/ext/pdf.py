@@ -69,6 +69,9 @@ class _Lexer:
     def __init__(self, buf: bytes, pos: int = 0):
         self.buf = buf
         self.pos = pos
+        self._depth = 0  # container nesting; bounded so a crafted
+        # '[[[[...' raises PdfError, not RecursionError (which would
+        # escape the typed-error contract and kill the whole batch)
 
     def _skip_ws(self) -> None:
         buf, n = self.buf, len(self.buf)
@@ -224,22 +227,31 @@ class _Lexer:
             digits += b"0"
         return bytes.fromhex(digits.decode("ascii"))
 
+    def _enter(self) -> None:
+        self._depth += 1
+        if self._depth > 64:
+            raise PdfError("object nesting too deep")
+
     def _array(self) -> list:
         self.pos += 1  # '['
+        self._enter()
         out = []
         while True:
             if self.peek() == 0x5D:
                 self.pos += 1
+                self._depth -= 1
                 return out
             out.append(self.parse())
 
     def _dict(self) -> dict:
         self.pos += 2  # '<<'
+        self._enter()
         out: dict = {}
         while True:
             c = self.peek()
             if self.buf[self.pos:self.pos + 2] == b">>":
                 self.pos += 2
+                self._depth -= 1
                 return out
             if c != 0x2F:
                 raise PdfError(
@@ -270,7 +282,14 @@ class PdfDocument:
 
     def _scan_objects(self) -> None:
         data = self.data
+        consumed = 0  # end of the last parsed object body/stream:
+        # binary stream bytes can contain 'N M obj' — a match starting
+        # inside an already-consumed extent is stream DATA, and parsing
+        # it would shadow the real object N or abort on a phantom
+        # unterminated stream
         for m in _OBJ_RE.finditer(data):
+            if m.start() < consumed:
+                continue
             num, gen = int(m.group(1)), int(m.group(2))
             lex = _Lexer(data, m.end())
             try:
@@ -278,6 +297,7 @@ class PdfDocument:
             except PdfError:
                 continue  # tolerate one junk object; scan goes on
             stream = None
+            end_pos = lex.pos
             if isinstance(value, dict):
                 sm = _STREAM_RE.match(data, self._skip_ws_at(lex.pos))
                 if sm:
@@ -287,6 +307,7 @@ class PdfDocument:
                             and data[start + length:].lstrip(
                                 bytes(_WS)).startswith(b"endstream"):
                         stream = data[start:start + length]
+                        end_pos = start + length
                     else:
                         # indirect/broken /Length: scan to endstream
                         end = data.find(b"endstream", start)
@@ -294,6 +315,8 @@ class PdfDocument:
                             raise PdfError(
                                 f"object {num}: unterminated stream")
                         stream = data[start:end].rstrip(b"\r\n")
+                        end_pos = end
+            consumed = end_pos
             have = self.objects.get(num)
             if have is None or gen >= have[0]:
                 self.objects[num] = (gen, value, stream)
@@ -418,11 +441,18 @@ class PdfDocument:
             raise PdfError("catalog has no /Pages tree")
         out: list[dict] = []
 
-        def walk(node: dict, depth: int) -> None:
+        def walk(node: dict, depth: int, res) -> None:
             if depth > 64:
                 raise PdfError("page tree too deep (loop?)")
+            # /Resources is inheritable (ISO 32000 §7.7.3.4): a page
+            # without its own entry uses the nearest ancestor's — the
+            # composite-font wall must see the EFFECTIVE resources
+            if node.get("Resources") is not None:
+                res = node.get("Resources")
             t = node.get("Type")
             if t == "Page":
+                if "Resources" not in node and res is not None:
+                    node = dict(node, Resources=res)
                 out.append(node)
                 return
             kids = self.resolve(node.get("Kids"))
@@ -432,9 +462,9 @@ class PdfDocument:
                 kid = self.resolve(k)
                 if not isinstance(kid, dict):
                     raise PdfError("bad /Kids entry")
-                walk(kid, depth + 1)
+                walk(kid, depth + 1, res)
 
-        walk(root, 0)
+        walk(root, 0, None)
         return out
 
     # -- text extraction ----------------------------------------------

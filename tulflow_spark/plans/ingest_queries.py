@@ -260,9 +260,15 @@ def dl5_deletion_vectors(spark: SparkSession, sf_dir: str) -> DataFrame:
     write_delta(docs, t)                                       # v0
     snap = _replay(spark, t, None)
     (add_path,) = snap.live
-    n = read_delta(spark, t).count()
+    # row_index i holds the i-th smallest doc_id (file is doc_id-sorted
+    # but NOT necessarily dense — sf1-style fixtures tile doc_id with
+    # large offsets), so target indexes whose doc_id % 7 == 0
+    ids = [r["doc_id"] for r in
+           read_delta(spark, t).select("doc_id").collect()]
     delete_rows_with_dv(
-        spark, t, {add_path: [i for i in range(n) if i % 7 == 0]})
+        spark, t,
+        {add_path: [i for i, doc in enumerate(sorted(ids))
+                    if doc % 7 == 0]})
     before = read_delta(spark, t, version=0)
     after = read_delta(spark, t)
     return (
@@ -385,7 +391,7 @@ def warc2_crawl_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
            CAST(SUM(doc_id) AS BIGINT) AS sum_doc_id,
-           CAST(SUM(strlen(text)) AS BIGINT) AS total_chars,
+           CAST(SUM(length(text)) AS BIGINT) AS total_chars,
            CAST((SELECT COUNT(*) FROM documents WHERE doc_id % 5 = 2)
                 AS BIGINT) AS n_pruned_rows,
            TRUE AS physical_names
