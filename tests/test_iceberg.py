@@ -1,0 +1,238 @@
+"""ext/iceberg.py: Iceberg v1/v2 table reads (snapshots, time travel,
+identity-partition pruning, v2 positional deletes).
+
+Golden strategy: beside fixture-writer roundtrips, a THIRD-PARTY-shaped
+table is hand-authored (metadata JSON + manifests assembled from raw
+spec bytes, independent of the fixture writer's Avro encoder) and must
+read correctly — pinning the reader against the table spec."""
+
+from __future__ import annotations
+
+import json
+
+import pytest
+
+from tulflow_spark.ext.iceberg import (
+    IcebergError,
+    append_iceberg_fixture,
+    delete_positions_iceberg_fixture,
+    iceberg_snapshots,
+    load_table_metadata,
+    read_iceberg,
+    write_iceberg_fixture,
+    _live_files,
+)
+
+
+def _df(spark, lo, hi):
+    return spark.createDataFrame(
+        [(i, f"x{i}", i % 3) for i in range(lo, hi)],
+        "id long, v string, b long",
+    )
+
+
+def _ids(df):
+    return sorted(r["id"] for r in df.collect())
+
+
+def _file_ids(path: str) -> dict[str, list[int]]:
+    """data file_path → its ids in row order (for position deletes)."""
+    import pyarrow.parquet as pq
+
+    meta = load_table_metadata(path)
+    files, _ = _live_files(meta, path, None)
+    return {
+        d["file_path"]: pq.read_table(
+            d["file_path"][7:], columns=["id"]).column("id").to_pylist()
+        for d in files
+    }
+
+
+def test_roundtrip_partitioned_prune_and_snapshots(spark, tmp_path):
+    t = str(tmp_path / "tbl")
+    s1 = write_iceberg_fixture(spark, _df(spark, 0, 30), t,
+                               partition_by=["b"])
+    got = read_iceberg(spark, t)
+    assert got.columns == ["id", "v", "b"]
+    assert _ids(got) == list(range(30))
+    assert {r["id"]: r["v"] for r in got.collect()} == {
+        i: f"x{i}" for i in range(30)}
+    # identity-partition pruning is metadata-only file skipping
+    pruned = read_iceberg(spark, t, prune=("b", 1, 1))
+    assert _ids(pruned) == [i for i in range(30) if i % 3 == 1]
+    assert len(pruned.inputFiles()) < len(got.inputFiles())
+    # append + time travel
+    s2 = append_iceberg_fixture(spark, _df(spark, 30, 40), t)
+    assert _ids(read_iceberg(spark, t)) == list(range(40))
+    assert _ids(read_iceberg(spark, t, snapshot_id=s1)) == list(range(30))
+    snaps = iceberg_snapshots(t)
+    assert [s["snapshot_id"] for s in snaps] == [s1, s2]
+    with pytest.raises(IcebergError, match="not in table"):
+        read_iceberg(spark, t, snapshot_id=999)
+    with pytest.raises(IcebergError, match="already exists"):
+        write_iceberg_fixture(spark, _df(spark, 0, 3), t)
+
+
+def test_positional_deletes_merge_on_read(spark, tmp_path):
+    t = str(tmp_path / "tbl")
+    s1 = write_iceberg_fixture(spark, _df(spark, 0, 40), t,
+                               partition_by=["b"])
+    before = {f for f in read_iceberg(spark, t).inputFiles()}
+    dels = {}
+    for fp, ids in _file_ids(t).items():
+        pos = [i for i, x in enumerate(ids) if x % 5 == 0]
+        if pos:
+            dels[fp] = pos
+    s2 = delete_positions_iceberg_fixture(spark, t, dels)
+    got = read_iceberg(spark, t)
+    assert _ids(got) == [i for i in range(40) if i % 5]
+    # merge-on-read: the same data files still back the table
+    assert before <= set(got.inputFiles())
+    # time travel below the delete sees everything
+    assert len(_ids(read_iceberg(spark, t, snapshot_id=s1))) == 40
+    assert s2 == s1 + 1
+    with pytest.raises(IcebergError, match="not live"):
+        delete_positions_iceberg_fixture(spark, t, {"file:///nope": [0]})
+    with pytest.raises(IcebergError, match="empty position"):
+        delete_positions_iceberg_fixture(
+            spark, t, {next(iter(_file_ids(t))): []})
+
+
+def test_hand_authored_table_reads(spark, tmp_path):
+    """Spec-shaped table written WITHOUT the fixture writer: raw-byte
+    Avro manifests (test_avro_ocf's independent encoder) + metadata
+    JSON with version-hint."""
+    import os
+
+    from tests.test_avro_ocf import _hand_container, _zz
+
+    t = str(tmp_path / "tbl")
+    os.makedirs(f"{t}/metadata")
+    os.makedirs(f"{t}/data")
+    spark.createDataFrame([(1, "a"), (2, "b")], "k long, s string") \
+        .coalesce(1).write.parquet(f"{t}/data/d0")
+    part = [f for f in os.listdir(f"{t}/data/d0")
+            if f.endswith(".parquet")][0]
+    dpath = f"{t}/data/d0/{part}"
+    man_schema = {
+        "type": "record", "name": "manifest_entry", "fields": [
+            {"name": "status", "type": "int"},
+            {"name": "data_file", "type": {
+                "type": "record", "name": "r2", "fields": [
+                    {"name": "content", "type": "int"},
+                    {"name": "file_path", "type": "string"},
+                    {"name": "file_format", "type": "string"},
+                    {"name": "record_count", "type": "long"},
+                ]}},
+        ]}
+    uri = f"file://{dpath}".encode()
+    body = (_zz(1)                                  # status ADDED
+            + _zz(0)                                # content data
+            + _zz(len(uri)) + uri
+            + _zz(7) + b"PARQUET"
+            + _zz(2))                               # record_count
+    man = _hand_container(man_schema, body, 1)
+    with open(f"{t}/metadata/m0.avro", "wb") as fh:
+        fh.write(man)
+    ml_schema = {
+        "type": "record", "name": "manifest_file", "fields": [
+            {"name": "manifest_path", "type": "string"},
+            {"name": "manifest_length", "type": "long"},
+        ]}
+    mp = f"file://{t}/metadata/m0.avro".encode()
+    ml = _hand_container(
+        ml_schema, _zz(len(mp)) + mp + _zz(len(man)), 1)
+    with open(f"{t}/metadata/snap-1.avro", "wb") as fh:
+        fh.write(ml)
+    meta = {
+        "format-version": 2,
+        "table-uuid": "t-1", "location": t,
+        "last-sequence-number": 1, "last-updated-ms": 1,
+        "last-column-id": 2,
+        "schemas": [{"type": "struct", "schema-id": 0, "fields": [
+            {"id": 1, "name": "k", "required": False, "type": "long"},
+            {"id": 2, "name": "s", "required": False,
+             "type": "string"},
+        ]}],
+        "current-schema-id": 0,
+        "partition-specs": [{"spec-id": 0, "fields": []}],
+        "default-spec-id": 0,
+        "current-snapshot-id": 1,
+        "snapshots": [{
+            "snapshot-id": 1, "timestamp-ms": 1,
+            "manifest-list": f"file://{t}/metadata/snap-1.avro",
+            "summary": {"operation": "append"},
+        }],
+    }
+    with open(f"{t}/metadata/v1.metadata.json", "w") as fh:
+        json.dump(meta, fh)
+    with open(f"{t}/metadata/version-hint.text", "w") as fh:
+        fh.write("1")
+    got = read_iceberg(spark, t)
+    assert {r["k"]: r["s"] for r in got.collect()} == {1: "a", 2: "b"}
+
+
+def test_typed_walls(spark, tmp_path):
+    t = str(tmp_path / "tbl")
+    write_iceberg_fixture(spark, _df(spark, 0, 6), t)
+    mdir = f"{t}/metadata"
+    meta = json.load(open(f"{mdir}/v1.metadata.json"))
+
+    # format-version 3 walls
+    bad = dict(meta, **{"format-version": 3})
+    json.dump(bad, open(f"{mdir}/v2.metadata.json", "w"))
+    open(f"{mdir}/version-hint.text", "w").write("2")
+    with pytest.raises(IcebergError, match="format-version 3"):
+        read_iceberg(spark, t)
+
+    # renamed column (field-id resolution) walls, not silent NULLs
+    ren = json.loads(json.dumps(meta))
+    ren["schemas"][0]["fields"][0]["name"] = "renamed_id"
+    json.dump(ren, open(f"{mdir}/v2.metadata.json", "w"))
+    with pytest.raises(IcebergError, match="field-id"):
+        read_iceberg(spark, t)
+
+    # equality deletes wall
+    open(f"{mdir}/version-hint.text", "w").write("1")
+    from tulflow_spark.ext import iceberg as I
+
+    files, _ = _live_files(meta, t, None)
+    rec = dict(files[0], content=2)
+    blob = I.write_ocf(
+        I._manifest_schema([]),
+        [{"status": 1, "snapshot_id": 9, "data_file": rec}])
+    with open(f"{mdir}/eq.avro", "wb") as fh:
+        fh.write(blob)
+    eq = json.loads(json.dumps(meta))
+    ml = I.read_ocf(I._read_bytes(
+        eq["snapshots"][0]["manifest-list"]))
+    ml.append({"manifest_path": f"file://{mdir}/eq.avro",
+               "manifest_length": len(blob), "partition_spec_id": 0,
+               "content": 1, "added_snapshot_id": 9})
+    ml_blob = I.write_ocf(I._MANIFEST_LIST_SCHEMA, ml)
+    with open(f"{mdir}/snap-eq.avro", "wb") as fh:
+        fh.write(ml_blob)
+    eq["snapshots"][0]["manifest-list"] = f"file://{mdir}/snap-eq.avro"
+    json.dump(eq, open(f"{mdir}/v1.metadata.json", "w"))
+    with pytest.raises(IcebergError, match="equality deletes"):
+        read_iceberg(spark, t)
+
+
+def test_metadata_discovery_without_hint(spark, tmp_path):
+    """No version-hint: newest metadata by (last-sequence-number,
+    last-updated-ms) wins."""
+    import os
+
+    t = str(tmp_path / "tbl")
+    write_iceberg_fixture(spark, _df(spark, 0, 5), t)
+    append_iceberg_fixture(spark, _df(spark, 5, 8), t)
+    os.remove(f"{t}/metadata/version-hint.text")
+    assert load_table_metadata(t)["current-snapshot-id"] == 2
+    assert read_iceberg(spark, t).count() == 8
+
+
+def test_unsupported_fixture_type_walls(spark, tmp_path):
+    t = str(tmp_path / "tbl")
+    df = spark.createDataFrame([(1, [1.0])], "id long, emb array<double>")
+    with pytest.raises(IcebergError, match="not supported"):
+        write_iceberg_fixture(spark, df, t)

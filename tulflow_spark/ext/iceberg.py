@@ -1,0 +1,571 @@
+"""Apache Iceberg table READ support on plain parquet + JSON + Avro —
+the lakehouse-sibling of ``ext/delta_log.py``, built from the public
+Iceberg table spec (format versions 1 and 2).
+
+Reference parity: the reference library's job is to make external data
+landable and queryable (tulflow ``harvest.py`` / ``process.py``); at
+100 TB the data increasingly arrives AS Iceberg tables, so reading
+them — snapshots, time travel, partition pruning, v2 positional
+deletes — is the same "first mile" role.
+
+Spark-first design: the metadata layer (JSON table metadata, Avro
+manifest lists and manifests — decoded by ``ext/avro_ocf.py``) is
+walked driver-side because it is METADATA-sized (one JSON + a few KB
+of Avro per snapshot, never data-plane), exactly like the Delta log
+replay.  The data plane stays one declarative parquet scan over
+exactly the snapshot's live files, so Catalyst keeps pushdown and
+column pruning; positional deletes subtract via a broadcast anti-join
+on ``_metadata.file_path``/``row_index`` (merge-on-read — the same
+shape as the Delta deletion-vector scan).
+
+Resolution model and typed walls (never silent):
+
+- columns resolve BY NAME with a footer-vs-schema guard: Iceberg's
+  official resolution is by field-id, which only diverges from names
+  after a rename/drop — the guard detects the divergence on the first
+  data file and refuses typed instead of misreading;
+- v2 equality deletes, format version 3+, and non-parquet data files
+  wall typed;
+- partition pruning applies to ``identity``-transform fields only
+  (other transforms scan everything — correct, just unpruned).
+"""
+
+from __future__ import annotations
+
+import json
+
+from pyspark.sql import DataFrame, SparkSession
+
+from tulflow_spark import fsio
+from tulflow_spark.ext.avro_ocf import AvroError, read_ocf, write_ocf
+
+
+class IcebergError(ValueError):
+    """Typed failure for malformed or unsupported Iceberg tables."""
+
+
+# ---------------------------------------------------------------------------
+# metadata layer (driver-side, metadata-sized)
+# ---------------------------------------------------------------------------
+
+
+def _read_bytes(uri: str) -> bytes:
+    fs, lp = fsio.resolve(uri)
+    try:
+        with fs.open_input_stream(lp) as stream:
+            return stream.read()
+    except OSError as exc:
+        raise IcebergError(f"cannot read {uri!r}: {exc}") from None
+
+
+def _plain_path(uri: str) -> str:
+    """file:-scheme URIs → plain paths (Spark and pyarrow accept both;
+    normalizing lets manifest paths and ``_metadata.file_path`` join)."""
+    if uri.startswith("file:"):
+        rest = uri[5:]
+        return "/" + rest.lstrip("/")
+    return uri
+
+
+def load_table_metadata(path: str) -> dict:
+    """The CURRENT table-metadata JSON: via ``version-hint.text`` when
+    present (HadoopCatalog layout), else the newest
+    ``*.metadata.json`` by (last-sequence-number, last-updated-ms)."""
+    mdir = f"{path}/metadata"
+    hint = f"{mdir}/version-hint.text"
+    if fsio.exists(hint):
+        v = _read_bytes(hint).decode("utf-8").strip()
+        cand = f"{mdir}/v{v}.metadata.json"
+        if not fsio.exists(cand):
+            raise IcebergError(
+                f"version-hint says {v} but {cand!r} is missing")
+        return _parse_metadata(_read_bytes(cand), cand)
+    names = [n for n in fsio.list_names(mdir)
+             if n.endswith(".metadata.json")]
+    if not names:
+        raise IcebergError(f"no Iceberg metadata under {mdir!r}")
+    best = None
+    for n in names:
+        meta = _parse_metadata(_read_bytes(f"{mdir}/{n}"), n)
+        key = (int(meta.get("last-sequence-number") or 0),
+               int(meta.get("last-updated-ms") or 0))
+        if best is None or key > best[0]:
+            best = (key, meta)
+    return best[1]
+
+
+def _parse_metadata(raw: bytes, src: str) -> dict:
+    try:
+        meta = json.loads(raw)
+    except ValueError as exc:
+        raise IcebergError(f"bad metadata JSON {src!r}: {exc}") from None
+    fv = int(meta.get("format-version") or 0)
+    if fv not in (1, 2):
+        raise IcebergError(
+            f"format-version {fv} not supported (1 and 2 are)")
+    return meta
+
+
+def _current_schema(meta: dict) -> dict:
+    if "schemas" in meta:
+        sid = meta.get("current-schema-id")
+        for s in meta["schemas"]:
+            if s.get("schema-id") == sid:
+                return s
+        raise IcebergError(f"current-schema-id {sid} not in schemas")
+    if "schema" in meta:  # v1 legacy single schema
+        return meta["schema"]
+    raise IcebergError("metadata has no schema")
+
+
+def _identity_partition_names(meta: dict) -> dict[str, str]:
+    """partition field name → source column name, identity fields only."""
+    specs = meta.get("partition-specs")
+    if specs is None:
+        fields = meta.get("partition-spec") or []      # v1 legacy
+    else:
+        did = meta.get("default-spec-id", 0)
+        fields = next(
+            (s.get("fields") or [] for s in specs
+             if s.get("spec-id") == did), [])
+    by_id = {f["id"]: f["name"]
+             for f in _current_schema(meta).get("fields", [])}
+    out = {}
+    for f in fields:
+        if f.get("transform") == "identity":
+            src = by_id.get(f.get("source-id"))
+            if src is not None:
+                out[f["name"]] = src
+    return out
+
+
+def iceberg_snapshots(path: str) -> list[dict]:
+    """All snapshots (id, timestamp, summary) — the time-travel index."""
+    meta = load_table_metadata(path)
+    return [
+        {"snapshot_id": s.get("snapshot-id"),
+         "timestamp_ms": s.get("timestamp-ms"),
+         "summary": s.get("summary") or {}}
+        for s in (meta.get("snapshots") or [])
+    ]
+
+
+def _live_files(meta: dict, table_path: str,
+                snapshot_id: int | None) -> tuple[list[dict], list[dict]]:
+    """(data_files, position_delete_files) live at the snapshot — the
+    manifest-list → manifest walk, all metadata-sized."""
+    snaps = meta.get("snapshots") or []
+    if snapshot_id is None:
+        snapshot_id = meta.get("current-snapshot-id")
+        if snapshot_id in (None, -1):
+            return [], []
+    snap = next(
+        (s for s in snaps if s.get("snapshot-id") == snapshot_id), None)
+    if snap is None:
+        have = [s.get("snapshot-id") for s in snaps]
+        raise IcebergError(
+            f"snapshot {snapshot_id} not in table (have {have})")
+    if "manifest-list" in snap:
+        try:
+            manifests = read_ocf(_read_bytes(snap["manifest-list"]))
+        except AvroError as exc:
+            raise IcebergError(f"bad manifest list: {exc}") from None
+    elif "manifests" in snap:                           # v1 inline form
+        manifests = [{"manifest_path": p, "content": 0}
+                     for p in snap["manifests"]]
+    else:
+        raise IcebergError("snapshot has neither manifest-list nor "
+                           "manifests")
+    data_files: list[dict] = []
+    delete_files: list[dict] = []
+    for mf in manifests:
+        mpath = mf.get("manifest_path")
+        if not mpath:
+            raise IcebergError("manifest-list entry without "
+                               "manifest_path")
+        try:
+            entries = read_ocf(_read_bytes(mpath))
+        except AvroError as exc:
+            raise IcebergError(
+                f"bad manifest {mpath!r}: {exc}") from None
+        for e in entries:
+            if e.get("status") == 2:                    # DELETED
+                continue
+            dfile = e.get("data_file")
+            if not isinstance(dfile, dict):
+                raise IcebergError(
+                    f"manifest {mpath!r}: entry without data_file")
+            fmt = str(dfile.get("file_format") or "").upper()
+            if fmt != "PARQUET":
+                raise IcebergError(
+                    f"data file format {fmt!r} not supported (PARQUET)")
+            content = int(dfile.get("content") or 0)
+            if content == 0:
+                data_files.append(dfile)
+            elif content == 1:
+                delete_files.append(dfile)
+            else:
+                raise IcebergError(
+                    "equality deletes (content=2) not supported — "
+                    "rewrite the table or read an older snapshot")
+    return data_files, delete_files
+
+
+def _check_name_resolution(meta: dict, data_files: list[dict]) -> None:
+    """Field-id vs name divergence guard: the first data file's parquet
+    column names must cover the current schema's names (identity holds
+    unless a rename/drop happened, which name-based reads would
+    silently misread)."""
+    import pyarrow.parquet as pq
+
+    want = {f["name"] for f in _current_schema(meta).get("fields", [])}
+    fs, lp = fsio.resolve(_plain_path(data_files[0]["file_path"]))
+    try:
+        with fs.open_input_file(lp) as handle:
+            have = set(pq.ParquetFile(handle).schema_arrow.names)
+    except OSError as exc:
+        raise IcebergError(
+            f"cannot open data file {lp!r}: {exc}") from None
+    missing = want - have
+    if missing:
+        raise IcebergError(
+            f"current schema columns {sorted(missing)} absent from the "
+            "data file — renamed/dropped columns need field-id "
+            "resolution, which is not supported (read an older "
+            "snapshot written under the old schema)"
+        )
+
+
+def read_iceberg(
+    spark: SparkSession,
+    path: str,
+    snapshot_id: int | None = None,
+    prune: tuple[str, object, object] | None = None,
+) -> DataFrame:
+    """Snapshot read of an Iceberg v1/v2 table: one parquet scan over
+    exactly the snapshot's live data files, minus v2 positional
+    deletes (broadcast anti-join on file path + row position).
+
+    ``snapshot_id`` time-travels; ``prune=(col, lo, hi)`` skips data
+    files whose identity-transform partition value falls outside
+    [lo, hi] — a metadata-only operation, like Delta's ``prune=``.
+
+    At 100 TB: the manifest walk touches KBs per snapshot; the scan is
+    declarative (pushdown + column pruning intact); deletes are
+    delete-file-sized and broadcast — data never shuffles to apply
+    them."""
+    from pyspark.sql import functions as F
+
+    meta = load_table_metadata(path)
+    data_files, delete_files = _live_files(meta, path, snapshot_id)
+    if not data_files:
+        raise IcebergError(
+            "empty snapshot (schema-only reads not supported)")
+    _check_name_resolution(meta, data_files)
+    if prune is not None:
+        col, lo, hi = prune
+        ident = _identity_partition_names(meta)
+        part_of = {src: name for name, src in ident.items()}
+        pname = part_of.get(col, col if col in ident else None)
+        if pname is not None:
+            kept = []
+            for dfile in data_files:
+                pv = (dfile.get("partition") or {}).get(pname)
+                if pv is None or lo <= pv <= hi:
+                    kept.append(dfile)
+            data_files = kept
+            if not data_files:
+                raise IcebergError(
+                    f"prune on {col!r} removed every file — empty "
+                    "scans need an explicit filter instead")
+        # non-identity / unknown column: no pruning (correct, unpruned)
+    scan = spark.read.parquet(
+        *[_plain_path(d["file_path"]) for d in data_files])
+    if not delete_files:
+        return scan
+    ri, fp = "__ice_pos", "__ice_path"
+    if {ri, fp} & set(scan.columns):
+        raise IcebergError(
+            f"table columns collide with helper columns {ri}/{fp}")
+    dels = spark.read.parquet(
+        *[_plain_path(d["file_path"]) for d in delete_files])
+    if not {"file_path", "pos"} <= set(dels.columns):
+        raise IcebergError(
+            "position-delete files must have file_path/pos columns")
+    norm = lambda c: F.regexp_replace(c, "^file:/+", "/")  # noqa: E731
+    dels = dels.select(
+        norm(F.col("file_path")).alias(fp),
+        F.col("pos").cast("long").alias(ri),
+    ).distinct()
+    out = (scan
+           .withColumn(fp, norm(F.col("_metadata.file_path")))
+           .withColumn(ri, F.col("_metadata.row_index"))
+           .join(F.broadcast(dels), [fp, ri], "left_anti")
+           .drop(fp, ri))
+    return out
+
+
+# ---------------------------------------------------------------------------
+# fixture writers (the encode_* strategy: tests and oracle pairs build
+# spec-shaped tables with them; a hand-authored table in tests guards
+# the shared-bug risk)
+# ---------------------------------------------------------------------------
+
+
+_MANIFEST_LIST_SCHEMA = {
+    "type": "record", "name": "manifest_file", "fields": [
+        {"name": "manifest_path", "type": "string"},
+        {"name": "manifest_length", "type": "long"},
+        {"name": "partition_spec_id", "type": "int"},
+        {"name": "content", "type": "int"},
+        {"name": "added_snapshot_id", "type": "long"},
+    ],
+}
+
+
+def _manifest_schema(part_fields: list[tuple[str, str]]) -> dict:
+    return {
+        "type": "record", "name": "manifest_entry", "fields": [
+            {"name": "status", "type": "int"},
+            {"name": "snapshot_id", "type": ["null", "long"]},
+            {"name": "data_file", "type": {
+                "type": "record", "name": "r2", "fields": [
+                    {"name": "content", "type": "int"},
+                    {"name": "file_path", "type": "string"},
+                    {"name": "file_format", "type": "string"},
+                    {"name": "partition", "type": {
+                        "type": "record", "name": "r102", "fields": [
+                            {"name": n, "type": ["null", t]}
+                            for n, t in part_fields
+                        ],
+                    }},
+                    {"name": "record_count", "type": "long"},
+                    {"name": "file_size_in_bytes", "type": "long"},
+                ],
+            }},
+        ],
+    }
+
+
+_ICE_TYPES = {
+    "long": "long", "bigint": "long", "int": "int", "integer": "int",
+    "string": "string", "double": "double", "float": "float",
+    "boolean": "boolean", "binary": "binary", "date": "date",
+}
+
+
+def _ice_schema_of(df: DataFrame) -> list[dict]:
+    out = []
+    for i, f in enumerate(df.schema.fields):
+        t = _ICE_TYPES.get(f.dataType.simpleString())
+        if t is None:
+            raise IcebergError(
+                f"fixture type {f.dataType.simpleString()!r} for "
+                f"{f.name!r} not supported")
+        out.append({"id": i + 1, "name": f.name,
+                    "required": False, "type": t})
+    return out
+
+
+def _avro_part_type(spark_type: str) -> str:
+    return {"long": "long", "bigint": "long", "int": "int",
+            "integer": "int", "string": "string"}.get(spark_type, "long")
+
+
+def _stage_data_files(df: DataFrame, path: str, seq: int,
+                      partition_by: list[str]) -> list[dict]:
+    """Write data files (each containing ALL columns — Iceberg data
+    files keep partition source columns) and return manifest
+    data_file records with identity partition values."""
+    import pyarrow.parquet as pq
+
+    files: list[dict] = []
+    if partition_by:
+        vals = [tuple(r[c] for c in partition_by)
+                for r in df.select(*partition_by).distinct().collect()]
+        groups = [
+            (dict(zip(partition_by, v)),
+             df.filter(" AND ".join(
+                 f"{c} = {v[i]!r}" if isinstance(v[i], str)
+                 else f"{c} = {v[i]}"
+                 for i, c in enumerate(partition_by))))
+            for v in sorted(vals, key=lambda t: tuple(map(str, t)))
+        ]
+    else:
+        groups = [({}, df)]
+    for gi, (pvals, gdf) in enumerate(groups):
+        d = f"{path}/data/s{seq}-g{gi}"
+        gdf.coalesce(1).write.parquet(d)
+        fs, base = fsio.resolve(d)
+        import pyarrow.fs as pafs
+
+        for info in fs.get_file_info(pafs.FileSelector(base)):
+            if not info.path.endswith(".parquet"):
+                continue
+            with fs.open_input_file(info.path) as handle:
+                n = pq.ParquetFile(handle).metadata.num_rows
+            files.append({
+                "content": 0,
+                "file_path": f"file://{info.path}",
+                "file_format": "PARQUET",
+                "partition": dict(pvals),
+                "record_count": int(n),
+                "file_size_in_bytes": int(info.size),
+            })
+    return files
+
+
+def _commit_snapshot(path: str, meta: dict | None, df_schema: list[dict],
+                     part_fields: list[dict],
+                     new_manifest_records: list[dict],
+                     manifest_content: int,
+                     part_avro_fields: list[tuple[str, str]]) -> int:
+    """Append one snapshot: write the manifest, a manifest list that
+    carries forward prior manifests, and the next metadata JSON +
+    version hint."""
+    import uuid as _uuid
+
+    version = 1 if meta is None else \
+        int(meta["current-snapshot-id"]) + 1
+    snap_id = version
+    mdir = f"{path}/metadata"
+    manifest_blob = write_ocf(
+        _manifest_schema(part_avro_fields),
+        [{"status": 1, "snapshot_id": snap_id, "data_file": d}
+         for d in new_manifest_records],
+    )
+    mpath = f"{mdir}/manifest-s{snap_id}.avro"
+    _write_bytes(mpath, manifest_blob)
+    prior_entries: list[dict] = []
+    if meta is not None:
+        cur = next(s for s in meta["snapshots"]
+                   if s["snapshot-id"] == meta["current-snapshot-id"])
+        prior_entries = read_ocf(_read_bytes(cur["manifest-list"]))
+    entries = prior_entries + [{
+        "manifest_path": f"file://{fsio.resolve(mpath)[1]}",
+        "manifest_length": len(manifest_blob),
+        "partition_spec_id": 0,
+        "content": manifest_content,
+        "added_snapshot_id": snap_id,
+    }]
+    ml_blob = write_ocf(_MANIFEST_LIST_SCHEMA, entries)
+    ml_path = f"{mdir}/snap-{snap_id}-manifest-list.avro"
+    _write_bytes(ml_path, ml_blob)
+    snapshots = list(meta["snapshots"]) if meta else []
+    snapshots.append({
+        "snapshot-id": snap_id,
+        "timestamp-ms": snap_id,        # deterministic fixture clock
+        "sequence-number": snap_id,
+        "manifest-list": f"file://{fsio.resolve(ml_path)[1]}",
+        "summary": {"operation": "append"},
+    })
+    new_meta = {
+        "format-version": 2,
+        "table-uuid": (meta or {}).get(
+            "table-uuid", str(_uuid.uuid5(_uuid.NAMESPACE_URL, path))),
+        "location": path,
+        "last-sequence-number": snap_id,
+        "last-updated-ms": snap_id,
+        "last-column-id": len(df_schema),
+        "schemas": [{"type": "struct", "schema-id": 0,
+                     "fields": df_schema}],
+        "current-schema-id": 0,
+        "partition-specs": [{"spec-id": 0, "fields": part_fields}],
+        "default-spec-id": 0,
+        "current-snapshot-id": snap_id,
+        "snapshots": snapshots,
+    }
+    _write_bytes(f"{mdir}/v{version}.metadata.json",
+                 json.dumps(new_meta, indent=1).encode("utf-8"))
+    fsio.write_text(f"{mdir}/version-hint.text", str(version))
+    return snap_id
+
+
+def _write_bytes(path: str, data: bytes) -> None:
+    fs, lp = fsio.resolve(path)
+    parent = lp.rsplit("/", 1)[0]
+    fs.create_dir(parent, recursive=True)
+    with fs.open_output_stream(lp) as stream:
+        stream.write(data)
+
+
+def write_iceberg_fixture(spark: SparkSession, df: DataFrame, path: str,
+                          partition_by: list[str] | None = None) -> int:
+    """Create a v2 Iceberg table (snapshot 1) with identity
+    partitioning; returns the snapshot id."""
+    if fsio.exists(f"{path}/metadata/version-hint.text"):
+        raise IcebergError(f"fixture table already exists at {path}")
+    return _append(spark, df, path, list(partition_by or []), None)
+
+
+def append_iceberg_fixture(spark: SparkSession, df: DataFrame,
+                           path: str) -> int:
+    """Append snapshot N+1 (same schema and partitioning)."""
+    meta = load_table_metadata(path)
+    ident = _identity_partition_names(meta)
+    return _append(spark, df, path, list(ident.values()), meta)
+
+
+def _append(spark: SparkSession, df: DataFrame, path: str,
+            partition_by: list[str], meta: dict | None) -> int:
+    by_name = {f.name: f.dataType.simpleString()
+               for f in df.schema.fields}
+    missing = [c for c in partition_by if c not in by_name]
+    if missing:
+        raise IcebergError(f"partition columns {missing} not in frame")
+    schema_fields = _ice_schema_of(df)
+    fid = {f["name"]: f["id"] for f in schema_fields}
+    part_fields = [
+        {"name": c, "transform": "identity",
+         "source-id": fid[c], "field-id": 1000 + i}
+        for i, c in enumerate(partition_by)
+    ]
+    part_avro = [(c, _avro_part_type(by_name[c])) for c in partition_by]
+    seq = 1 if meta is None else int(meta["current-snapshot-id"]) + 1
+    files = _stage_data_files(df, path, seq, partition_by)
+    return _commit_snapshot(path, meta, schema_fields, part_fields,
+                            files, 0, part_avro)
+
+
+def delete_positions_iceberg_fixture(
+        spark: SparkSession, path: str,
+        deletes: dict[str, list[int]]) -> int:
+    """Row-level delete via a v2 POSITION delete file: one parquet of
+    (file_path, pos) rows + a deletes manifest — merge-on-read, no
+    data rewritten (the Iceberg analog of ``delete_rows_with_dv``)."""
+    import pandas as pd
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    meta = load_table_metadata(path)
+    data_files, _ = _live_files(meta, path, None)
+    live = {d["file_path"] for d in data_files}
+    rows = []
+    for fp, poss in sorted(deletes.items()):
+        if fp not in live:
+            raise IcebergError(f"delete target {fp!r} is not live")
+        if not poss:
+            raise IcebergError(f"empty position list for {fp!r}")
+        rows += [(fp, int(p)) for p in sorted(set(poss))]
+    snap_id = int(meta["current-snapshot-id"]) + 1
+    dpath = f"{path}/data/deletes-s{snap_id}.parquet"
+    fs, lp = fsio.resolve(dpath)
+    tbl = pa.Table.from_pandas(pd.DataFrame(
+        {"file_path": [r[0] for r in rows],
+         "pos": pd.array([r[1] for r in rows], dtype="int64")}))
+    with fs.open_output_stream(lp) as stream:
+        pq.write_table(tbl, stream)
+    size = fs.get_file_info([lp])[0].size
+    rec = {
+        "content": 1,
+        "file_path": f"file://{lp}",
+        "file_format": "PARQUET",
+        "partition": {},
+        "record_count": len(rows),
+        "file_size_in_bytes": int(size),
+    }
+    schema_fields = _current_schema(meta)["fields"]
+    specs = meta.get("partition-specs") or [{"spec-id": 0, "fields": []}]
+    return _commit_snapshot(path, meta, schema_fields,
+                            specs[0].get("fields") or [],
+                            [rec], 1, [])

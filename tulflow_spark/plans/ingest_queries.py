@@ -441,3 +441,73 @@ def dl6_column_mapping(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("n_rows", "sum_doc_id", "total_chars",
                 "n_pruned_rows", "physical_names")
     )
+
+
+@register(
+    "ib1_iceberg_read",
+    oracle="""
+    SELECT CAST((SELECT COUNT(*) FROM documents) AS BIGINT) AS n_before,
+           CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(SUM(doc_id) AS BIGINT) AS sum_doc_id,
+           CAST(SUM(length(text)) AS BIGINT) AS total_chars,
+           CAST((SELECT COUNT(*) FROM documents
+                 WHERE doc_id % 4 = 2 AND doc_id % 9 <> 0)
+                AS BIGINT) AS n_pruned_rows
+    FROM documents WHERE doc_id % 9 <> 0
+    """,
+)
+def ib1_iceberg_read(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Apache Iceberg v2 READ path oracle-checked end-to-end: write
+    documents as a bucket-partitioned Iceberg table (JSON metadata +
+    Avro manifest list/manifests via the from-spec `ext/avro_ocf.py`),
+    row-level-delete every doc_id % 9 == 0 via a POSITION delete file
+    (merge-on-read — no data rewritten), then snapshot-read.  The
+    oracle recomputes every aggregate from the raw table.  ``n_before``
+    pins time travel below the delete snapshot; ``n_pruned_rows`` pins
+    identity-partition pruning COMPOSED with the positional-delete
+    anti-join.
+
+    At 100 TB: the manifest walk is metadata-sized; the scan is one
+    declarative parquet read over live files (pushdown intact); the
+    delete set is delete-file-sized and broadcast — data never
+    shuffles to apply deletes."""
+    import tempfile
+
+    import pyarrow.parquet as pq
+
+    from tulflow_spark.ext.iceberg import (
+        _live_files,
+        delete_positions_iceberg_fixture,
+        load_table_metadata,
+        read_iceberg,
+        write_iceberg_fixture,
+    )
+
+    docs = (table(spark, sf_dir, "documents")
+            .select("doc_id", "text")
+            .withColumn("bucket", (F.col("doc_id") % 4).cast("long")))
+    t = tempfile.mkdtemp(prefix="ib1_") + "/tbl"
+    s1 = write_iceberg_fixture(spark, docs, t, partition_by=["bucket"])
+    files, _ = _live_files(load_table_metadata(t), t, None)
+    dels = {}
+    for d in files:
+        ids = pq.read_table(d["file_path"][7:], columns=["doc_id"]
+                            ).column("doc_id").to_pylist()
+        pos = [i for i, x in enumerate(ids) if x % 9 == 0]
+        if pos:
+            dels[d["file_path"]] = pos
+    delete_positions_iceberg_fixture(spark, t, dels)
+    after = read_iceberg(spark, t)
+    before_n = read_iceberg(spark, t, snapshot_id=s1).count()
+    pruned_n = read_iceberg(spark, t, prune=("bucket", 2, 2)).count()
+    return (
+        after.agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.sum("doc_id").cast("bigint").alias("sum_doc_id"),
+            F.sum(F.length("text")).cast("bigint").alias("total_chars"),
+        )
+        .withColumn("n_before", F.lit(before_n).cast("bigint"))
+        .withColumn("n_pruned_rows", F.lit(pruned_n).cast("bigint"))
+        .select("n_before", "n_rows", "sum_doc_id", "total_chars",
+                "n_pruned_rows")
+    )
