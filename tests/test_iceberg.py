@@ -13,6 +13,7 @@ import json
 import pytest
 
 from tulflow_spark.ext.iceberg import (
+    read_iceberg_changes,
     IcebergError,
     append_iceberg_fixture,
     delete_positions_iceberg_fixture,
@@ -236,3 +237,50 @@ def test_unsupported_fixture_type_walls(spark, tmp_path):
     df = spark.createDataFrame([(1, [1.0])], "id long, emb array<double>")
     with pytest.raises(IcebergError, match="not supported"):
         write_iceberg_fixture(spark, df, t)
+
+
+def test_stats_bounds_pruning(spark, tmp_path):
+    """prune= on a NON-partition column skips files via manifest
+    lower/upper bounds (Iceberg single-value serialization)."""
+    t = str(tmp_path / "tbl")
+    write_iceberg_fixture(spark, _df(spark, 0, 10), t)
+    append_iceberg_fixture(spark, _df(spark, 100, 110), t)
+    append_iceberg_fixture(spark, _df(spark, 200, 210), t)
+    full = read_iceberg(spark, t)
+    assert len(full.inputFiles()) == 3
+    mid = read_iceberg(spark, t, prune=("id", 100, 109))
+    assert len(mid.inputFiles()) == 1
+    assert _ids(mid) == list(range(100, 110))
+    # string bounds: lower > hi prunes (here every file's min "x..."
+    # exceeds "b", so the prune empties the scan and walls typed)
+    with pytest.raises(IcebergError, match="removed every file"):
+        read_iceberg(spark, t, prune=("v", "a", "b"))
+    # ...but a range covering the strings keeps everything
+    assert read_iceberg(spark, t, prune=("v", "a", "z")).count() == 30
+    # prune is FILE-level: both straddling files survive whole
+    # (row filtering is the caller's filter, like Delta's prune=)
+    straddle = read_iceberg(spark, t, prune=("id", 5, 105))
+    assert len(straddle.inputFiles()) == 2
+    assert straddle.count() == 20
+
+
+def test_incremental_changes(spark, tmp_path):
+    import pyarrow.parquet as pq
+
+    t = str(tmp_path / "tbl")
+    s1 = write_iceberg_fixture(spark, _df(spark, 0, 10), t)
+    s2 = append_iceberg_fixture(spark, _df(spark, 10, 15), t)
+    s3 = append_iceberg_fixture(spark, _df(spark, 15, 18), t)
+    assert _ids(read_iceberg_changes(spark, t, s1)) == list(range(10, 18))
+    assert _ids(read_iceberg_changes(spark, t, s1, s2)) == \
+        list(range(10, 15))
+    assert _ids(read_iceberg_changes(spark, t, 0, s1)) == list(range(10))
+    with pytest.raises(IcebergError, match="not within"):
+        read_iceberg_changes(spark, t, 99)
+    # a delete snapshot in range is not append-only: typed
+    fp, ids = next(iter(_file_ids(t).items()))
+    delete_positions_iceberg_fixture(spark, t, {fp: [0]})
+    with pytest.raises(IcebergError, match="not append-only"):
+        read_iceberg_changes(spark, t, s3)
+    # ranges that end before the delete still work
+    assert len(_ids(read_iceberg_changes(spark, t, s2, s3))) == 3

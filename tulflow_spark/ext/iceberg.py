@@ -236,6 +236,156 @@ def _check_name_resolution(meta: dict, data_files: list[dict]) -> None:
         )
 
 
+def _field_id_and_type(meta: dict, col: str) -> tuple[int | None, str]:
+    for f in _current_schema(meta).get("fields", []):
+        if f.get("name") == col:
+            t = f.get("type")
+            return int(f["id"]), t if isinstance(t, str) else ""
+    return None, ""
+
+
+def _bound_map(raw) -> dict[int, bytes]:
+    """lower/upper_bounds arrive as an Avro map-logical array of
+    {key, value} records (field-id → single-value bytes); a plain dict
+    (string keys) is accepted too."""
+    if raw is None:
+        return {}
+    if isinstance(raw, dict):
+        out = {}
+        for k, v in raw.items():
+            try:
+                out[int(k)] = bytes(v)
+            except (TypeError, ValueError):
+                return {}
+        return out
+    if isinstance(raw, list):
+        out = {}
+        for kv in raw:
+            if not isinstance(kv, dict) or "key" not in kv:
+                return {}
+            try:
+                out[int(kv["key"])] = bytes(kv.get("value") or b"")
+            except (TypeError, ValueError):
+                return {}
+        return out
+    return {}
+
+
+def _decode_bound(b: bytes, ice_type: str):
+    """Iceberg single-value serialization (Appendix D) for the types
+    the pruner understands; None = unknown (never prune on it)."""
+    import struct as _struct
+
+    try:
+        if ice_type == "int" and len(b) == 4:
+            return _struct.unpack("<i", b)[0]
+        if ice_type == "long" and len(b) == 8:
+            return _struct.unpack("<q", b)[0]
+        if ice_type == "float" and len(b) == 4:
+            return _struct.unpack("<f", b)[0]
+        if ice_type == "double" and len(b) == 8:
+            return _struct.unpack("<d", b)[0]
+        if ice_type == "string":
+            return b.decode("utf-8")
+        if ice_type == "date" and len(b) == 4:
+            return _struct.unpack("<i", b)[0]
+    except (ValueError, UnicodeDecodeError):
+        return None
+    return None
+
+
+def _bounds_pruned(dfile: dict, fid: int | None, ice_type: str,
+                   lo, hi) -> bool:
+    """True iff the file's column stats PROVE no row can match
+    [lo, hi] — missing/undecodable stats never prune (truncated string
+    upper bounds are handled by comparing the PREFIX conservatively:
+    a truncated upper bound is a lower bound on the true maximum, so
+    ``upper < lo`` on the prefix stays sound only for non-string
+    types; string upper bounds therefore never prune on ``< lo``
+    unless untruncated — we accept the miss and only use lower > hi)."""
+    if fid is None:
+        return False
+    lob = _bound_map(dfile.get("lower_bounds")).get(fid)
+    upb = _bound_map(dfile.get("upper_bounds")).get(fid)
+    if lob is not None:
+        lov = _decode_bound(lob, ice_type)
+        try:
+            if lov is not None and lov > hi:
+                return True
+        except TypeError:
+            return False
+    if upb is not None and ice_type != "string":
+        upv = _decode_bound(upb, ice_type)
+        try:
+            if upv is not None and upv < lo:
+                return True
+        except TypeError:
+            return False
+    return False
+
+
+def read_iceberg_changes(
+    spark: SparkSession, path: str, from_snapshot_id: int,
+    to_snapshot_id: int | None = None,
+) -> DataFrame:
+    """Rows ADDED by snapshots in (``from``, ``to``] — incremental
+    consumption off the metadata layer, O(new data) instead of
+    O(table), the Iceberg face of ``read_delta_changes``.
+
+    Walks each in-range snapshot's manifest list and keeps manifest
+    entries with status ADDED and a matching snapshot id.  A position-
+    or equality-delete file added in range raises typed — deletes
+    cannot be expressed as new rows; re-sync from a snapshot read."""
+    meta = load_table_metadata(path)
+    snaps = sorted((s for s in meta.get("snapshots") or []),
+                   key=lambda s: int(s.get("sequence-number")
+                                     or s.get("snapshot-id") or 0))
+    ids = [s["snapshot-id"] for s in snaps]
+    to = to_snapshot_id if to_snapshot_id is not None else \
+        meta.get("current-snapshot-id")
+    if to not in ids or (from_snapshot_id != 0
+                         and from_snapshot_id not in ids):
+        raise IcebergError(
+            f"change range ({from_snapshot_id}, {to}] not within "
+            f"snapshots {ids}")
+    lo_seq = 0 if from_snapshot_id == 0 else \
+        ids.index(from_snapshot_id) + 1
+    in_range = {s["snapshot-id"] for s in snaps[lo_seq:]
+                if ids.index(s["snapshot-id"]) <= ids.index(to)}
+    if not in_range:
+        raise IcebergError("empty change range")
+    added: list[dict] = []
+    seen_manifests: set[str] = set()
+    to_snap = next(s for s in snaps if s["snapshot-id"] == to)
+    manifests = read_ocf(_read_bytes(to_snap["manifest-list"]))
+    for mf in manifests:
+        mpath = mf["manifest_path"]
+        if mpath in seen_manifests:
+            continue
+        seen_manifests.add(mpath)
+        if mf.get("added_snapshot_id") is not None and \
+                mf["added_snapshot_id"] not in in_range:
+            continue
+        for e in read_ocf(_read_bytes(mpath)):
+            if e.get("status") != 1:        # ADDED entries only
+                continue
+            sid = e.get("snapshot_id")
+            if sid is not None and sid not in in_range:
+                continue
+            dfile = e.get("data_file") or {}
+            if int(dfile.get("content") or 0) != 0:
+                raise IcebergError(
+                    "change range adds delete files: the change set "
+                    "is not append-only — re-sync from a snapshot read"
+                )
+            added.append(dfile)
+    if not added:
+        raise IcebergError("no data files added in the change range")
+    _check_name_resolution(meta, added)
+    return spark.read.parquet(
+        *[_plain_path(d["file_path"]) for d in added])
+
+
 def read_iceberg(
     spark: SparkSession,
     path: str,
@@ -267,18 +417,24 @@ def read_iceberg(
         ident = _identity_partition_names(meta)
         part_of = {src: name for name, src in ident.items()}
         pname = part_of.get(col, col if col in ident else None)
-        if pname is not None:
-            kept = []
-            for dfile in data_files:
+        fid, ftype = _field_id_and_type(meta, col)
+        kept = []
+        for dfile in data_files:
+            if pname is not None:
                 pv = (dfile.get("partition") or {}).get(pname)
-                if pv is None or lo <= pv <= hi:
-                    kept.append(dfile)
-            data_files = kept
-            if not data_files:
-                raise IcebergError(
-                    f"prune on {col!r} removed every file — empty "
-                    "scans need an explicit filter instead")
-        # non-identity / unknown column: no pruning (correct, unpruned)
+                if pv is not None and not lo <= pv <= hi:
+                    continue
+            if _bounds_pruned(dfile, fid, ftype, lo, hi):
+                continue
+            kept.append(dfile)
+        data_files = kept
+        if not data_files:
+            raise IcebergError(
+                f"prune on {col!r} removed every file — empty "
+                "scans need an explicit filter instead")
+        # non-identity / unknown column: no partition pruning
+        # (bounds pruning still applies when stats exist — correct
+        # either way, just unpruned without them)
     scan = spark.read.parquet(
         *[_plain_path(d["file_path"]) for d in data_files])
     if not delete_files:
@@ -323,6 +479,15 @@ _MANIFEST_LIST_SCHEMA = {
 }
 
 
+_BOUNDS_AVRO = {
+    "type": "array", "logicalType": "map",
+    "items": {"type": "record", "name": "k126_v127", "fields": [
+        {"name": "key", "type": "int"},
+        {"name": "value", "type": "bytes"},
+    ]},
+}
+
+
 def _manifest_schema(part_fields: list[tuple[str, str]]) -> dict:
     return {
         "type": "record", "name": "manifest_entry", "fields": [
@@ -341,6 +506,12 @@ def _manifest_schema(part_fields: list[tuple[str, str]]) -> dict:
                     }},
                     {"name": "record_count", "type": "long"},
                     {"name": "file_size_in_bytes", "type": "long"},
+                    {"name": "lower_bounds",
+                     "type": ["null", _BOUNDS_AVRO]},
+                    {"name": "upper_bounds",
+                     "type": ["null", {"type": "array",
+                                       "logicalType": "map",
+                                       "items": "k126_v127"}]},
                 ],
             }},
         ],
@@ -393,6 +564,8 @@ def _stage_data_files(df: DataFrame, path: str, seq: int,
         ]
     else:
         groups = [({}, df)]
+    fid_type = {f.name: (i + 1, _ICE_TYPES.get(f.dataType.simpleString()))
+                for i, f in enumerate(df.schema.fields)}
     for gi, (pvals, gdf) in enumerate(groups):
         d = f"{path}/data/s{seq}-g{gi}"
         gdf.coalesce(1).write.parquet(d)
@@ -403,7 +576,9 @@ def _stage_data_files(df: DataFrame, path: str, seq: int,
             if not info.path.endswith(".parquet"):
                 continue
             with fs.open_input_file(info.path) as handle:
-                n = pq.ParquetFile(handle).metadata.num_rows
+                md = pq.ParquetFile(handle).metadata
+                n = md.num_rows
+                lob, upb = _footer_bounds(md, fid_type)
             files.append({
                 "content": 0,
                 "file_path": f"file://{info.path}",
@@ -411,8 +586,72 @@ def _stage_data_files(df: DataFrame, path: str, seq: int,
                 "partition": dict(pvals),
                 "record_count": int(n),
                 "file_size_in_bytes": int(info.size),
+                "lower_bounds": lob or None,
+                "upper_bounds": upb or None,
             })
     return files
+
+
+def _encode_bound(v, ice_type: str) -> bytes | None:
+    import struct as _struct
+
+    try:
+        if ice_type == "int":
+            return _struct.pack("<i", int(v))
+        if ice_type == "long":
+            return _struct.pack("<q", int(v))
+        if ice_type == "float":
+            return _struct.pack("<f", float(v))
+        if ice_type == "double":
+            return _struct.pack("<d", float(v))
+        if ice_type == "string":
+            return str(v).encode("utf-8")
+    except (ValueError, TypeError, _struct.error):
+        return None
+    return None
+
+
+def _footer_bounds(md, fid_type: dict) -> tuple[list, list]:
+    """Manifest lower/upper_bounds (Avro map-logical kv lists) from
+    parquet footer statistics; columns whose stats are absent or raise
+    (pyarrow decimal accessors can) are simply omitted."""
+    mins: dict[str, object] = {}
+    maxs: dict[str, object] = {}
+    dead: set[str] = set()  # any row group without stats poisons the
+    # column — a partial range would prune files that still match
+    for g in range(md.num_row_groups):
+        rg = md.row_group(g)
+        for c in range(rg.num_columns):
+            col = rg.column(c)
+            name = col.path_in_schema
+            if name in dead or name not in fid_type \
+                    or fid_type[name][1] is None:
+                continue
+            try:
+                st = col.statistics
+                if st is None or not st.has_min_max:
+                    dead.add(name)
+                    continue
+                mn, mx = st.min, st.max
+            except (OSError, ValueError, NotImplementedError):
+                dead.add(name)
+                continue
+            if name in mins:
+                mins[name] = min(mins[name], mn)
+                maxs[name] = max(maxs[name], mx)
+            else:
+                mins[name], maxs[name] = mn, mx
+    lob, upb = [], []
+    for name, mn in mins.items():
+        if name in dead:
+            continue
+        fid, t = fid_type[name]
+        lo_b = _encode_bound(mn, t)
+        up_b = _encode_bound(maxs[name], t)
+        if lo_b is not None and up_b is not None:
+            lob.append({"key": fid, "value": lo_b})
+            upb.append({"key": fid, "value": up_b})
+    return lob, upb
 
 
 def _commit_snapshot(path: str, meta: dict | None, df_schema: list[dict],
