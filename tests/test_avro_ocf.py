@@ -136,3 +136,15 @@ def test_typed_walls_and_corruption():
     body = _zz(-2) + _zz(2) + _zz(5) + _zz(6) + _zz(0)
     got = read_ocf(_hand_container(arr_schema, body, 1))
     assert got == [{"xs": [5, 6]}]
+
+
+def test_union_branch_selected_by_type():
+    schema = {"type": "record", "name": "u", "fields": [
+        {"name": "x", "type": ["null", "long", "string"]}]}
+    recs = [{"x": None}, {"x": 5}, {"x": "abc"}]
+    assert read_ocf(write_ocf(schema, recs)) == recs
+    with pytest.raises(AvroError, match="no union branch"):
+        write_ocf(schema, [{"x": b"bytes"}])
+    with pytest.raises(AvroError, match="no union branch"):
+        write_ocf({"type": "record", "name": "n", "fields": [
+            {"name": "y", "type": ["long"]}]}, [{"y": None}])

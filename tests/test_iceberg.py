@@ -41,7 +41,7 @@ def _file_ids(path: str) -> dict[str, list[int]]:
     import pyarrow.parquet as pq
 
     meta = load_table_metadata(path)
-    files, _ = _live_files(meta, path, None)
+    files, _ = _live_files(meta, None)
     return {
         d["file_path"]: pq.read_table(
             d["file_path"][7:], columns=["id"]).column("id").to_pylist()
@@ -197,7 +197,7 @@ def test_typed_walls(spark, tmp_path):
     open(f"{mdir}/version-hint.text", "w").write("1")
     from tulflow_spark.ext import iceberg as I
 
-    files, _ = _live_files(meta, t, None)
+    files, _ = _live_files(meta, None)
     rec = dict(files[0], content=2)
     blob = I.write_ocf(
         I._manifest_schema([]),
@@ -284,3 +284,113 @@ def test_incremental_changes(spark, tmp_path):
         read_iceberg_changes(spark, t, s3)
     # ranges that end before the delete still work
     assert len(_ids(read_iceberg_changes(spark, t, s2, s3))) == 3
+
+
+# ---------------------------------------------------------------------------
+# review-fix regressions (r11)
+# ---------------------------------------------------------------------------
+
+
+def test_time_travel_resolves_snapshot_schema(spark, tmp_path):
+    """A rename after snapshot 1 walls CURRENT reads but must leave
+    snapshot-1 time travel readable under the OLD schema (snapshots
+    carry a schema-id)."""
+    t = str(tmp_path / "tbl")
+    s1 = write_iceberg_fixture(spark, _df(spark, 0, 5), t)
+    mdir = f"{t}/metadata"
+    meta = json.load(open(f"{mdir}/v1.metadata.json"))
+    old_schema = meta["schemas"][0]
+    new_schema = json.loads(json.dumps(old_schema))
+    new_schema["schema-id"] = 1
+    new_schema["fields"][0]["name"] = "renamed_id"
+    meta["schemas"] = [old_schema, new_schema]
+    meta["current-schema-id"] = 1
+    meta["snapshots"][0]["schema-id"] = 0
+    json.dump(meta, open(f"{mdir}/v1.metadata.json", "w"))
+    with pytest.raises(IcebergError, match="field-id"):
+        read_iceberg(spark, t)           # current schema: renamed
+    got = read_iceberg(spark, t, snapshot_id=s1)   # old schema: fine
+    assert _ids(got) == list(range(5))
+
+
+def test_changes_order_by_sequence_not_snapshot_id(spark, tmp_path):
+    """Real snapshot ids are random 64-bit longs: the change range must
+    follow sequence-number order, never id order."""
+    t = str(tmp_path / "tbl")
+    write_iceberg_fixture(spark, _df(spark, 0, 4), t)       # seq 1
+    append_iceberg_fixture(spark, _df(spark, 4, 7), t)      # seq 2
+    append_iceberg_fixture(spark, _df(spark, 7, 9), t)      # seq 3
+    remap = {1: 900, 2: 100, 3: 500}    # id order ≠ commit order
+    mdir = f"{t}/metadata"
+    meta = json.load(open(f"{mdir}/v3.metadata.json"))
+    from tulflow_spark.ext import iceberg as I
+
+    done: set[str] = set()  # manifests are SHARED across manifest
+    # lists (carried forward) — remap each only once
+    for s in meta["snapshots"]:
+        s["snapshot-id"] = remap[s["snapshot-id"]]
+        ml = I.read_ocf(I._read_bytes(s["manifest-list"]))
+        for mf in ml:
+            mf["added_snapshot_id"] = remap[mf["added_snapshot_id"]]
+            mpath = mf["manifest_path"]
+            if mpath in done:
+                continue
+            done.add(mpath)
+            entries = I.read_ocf(I._read_bytes(mpath))
+            for e in entries:
+                e["snapshot_id"] = remap[e["snapshot_id"]]
+            I._write_bytes(mpath[7:], I.write_ocf(
+                I._manifest_schema([]), entries))
+        I._write_bytes(s["manifest-list"][7:],
+                       I.write_ocf(I._MANIFEST_LIST_SCHEMA, ml))
+    meta["current-snapshot-id"] = remap[meta["current-snapshot-id"]]
+    json.dump(meta, open(f"{mdir}/v3.metadata.json", "w"))
+    # changes after the FIRST commit (id 900) = commits 2 and 3
+    got = read_iceberg_changes(spark, t, 900)
+    assert _ids(got) == list(range(4, 9))
+    assert _ids(read_iceberg_changes(spark, t, 900, 100)) == \
+        list(range(4, 7))
+
+
+def test_changes_reject_overwrite_and_rewrite(spark, tmp_path):
+    """A non-append snapshot in range (summary.operation, or a
+    tombstoning manifest) raises typed instead of double-delivering."""
+    t = str(tmp_path / "tbl")
+    s1 = write_iceberg_fixture(spark, _df(spark, 0, 4), t)
+    append_iceberg_fixture(spark, _df(spark, 4, 6), t)
+    mdir = f"{t}/metadata"
+    meta = json.load(open(f"{mdir}/v2.metadata.json"))
+    meta["snapshots"][1]["summary"]["operation"] = "overwrite"
+    json.dump(meta, open(f"{mdir}/v2.metadata.json", "w"))
+    with pytest.raises(IcebergError, match="not append-only"):
+        read_iceberg_changes(spark, t, s1)
+
+
+def test_prune_type_mismatch_never_crashes(spark, tmp_path):
+    t = str(tmp_path / "tbl")
+    write_iceberg_fixture(spark, _df(spark, 0, 9), t,
+                          partition_by=["b"])
+    got = read_iceberg(spark, t, prune=("b", "1", "2"))
+    assert got.count() == 9    # conservative: no pruning, no crash
+
+
+def test_metadata_debris_tolerated(spark, tmp_path):
+    import os
+
+    t = str(tmp_path / "tbl")
+    write_iceberg_fixture(spark, _df(spark, 0, 5), t)
+    with open(f"{t}/metadata/v0.metadata.json", "w") as fh:
+        fh.write('{"truncated": ')     # failed-commit debris
+    os.remove(f"{t}/metadata/version-hint.text")
+    assert read_iceberg(spark, t).count() == 5
+
+
+def test_fixture_handles_null_partition_values(spark, tmp_path):
+    t = str(tmp_path / "tbl")
+    df = spark.createDataFrame(
+        [(1, "a", 0), (2, "b", None), (3, "c", None)],
+        "id long, v string, b long")
+    write_iceberg_fixture(spark, df, t, partition_by=["b"])
+    got = read_iceberg(spark, t)
+    assert _ids(got) == [1, 2, 3]
+    assert got.filter("b IS NULL").count() == 2

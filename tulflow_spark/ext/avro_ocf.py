@@ -272,8 +272,36 @@ class _Writer:
         self.bytes_(s.encode("utf-8"))
 
 
-def _zigzag_long(w: _Writer, v: int) -> None:
-    w.long(v)
+def _branch_accepts(schema, datum, names: dict) -> bool:
+    """Writer-side union branch selection by datum TYPE — encoding a
+    str through a 'long' branch (or vice versa) would silently corrupt
+    the stream or raise an untyped ValueError."""
+    if isinstance(schema, str) and schema in names:
+        schema = names[schema]
+    if isinstance(schema, str):
+        return {
+            "null": datum is None,
+            "boolean": isinstance(datum, bool),
+            "int": isinstance(datum, int) and not isinstance(datum, bool),
+            "long": isinstance(datum, int) and not isinstance(datum, bool),
+            "float": isinstance(datum, float),
+            "double": isinstance(datum, float),
+            "bytes": isinstance(datum, (bytes, bytearray)),
+            "string": isinstance(datum, str),
+        }.get(schema, False)
+    if isinstance(schema, dict):
+        t = schema.get("type")
+        if t in ("record", "map"):
+            return isinstance(datum, dict)
+        if t == "array":
+            return isinstance(datum, list)
+        if t == "enum":
+            return isinstance(datum, str)
+        if t == "fixed":
+            return isinstance(datum, (bytes, bytearray))
+        if isinstance(t, (str, dict, list)):
+            return _branch_accepts(t, datum, names)
+    return False
 
 
 def _encode(w: _Writer, schema, datum, names: dict) -> None:
@@ -297,18 +325,14 @@ def _encode(w: _Writer, schema, datum, names: dict) -> None:
             return w.string(str(datum))
         raise AvroError(f"unknown type {t!r}")
     if isinstance(schema, list):
-        # union: null goes to the null branch, else first matching
-        if datum is None:
-            for i, s in enumerate(schema):
-                if s == "null":
-                    w.long(i)
-                    return None
-            raise AvroError("None datum but union has no null branch")
+        # union: first branch whose TYPE accepts the datum
         for i, s in enumerate(schema):
-            if s != "null":
+            if _branch_accepts(s, datum, names):
                 w.long(i)
                 return _encode(w, s, datum, names)
-        raise AvroError("union with only null branches")
+        raise AvroError(
+            f"no union branch of {schema!r} accepts "
+            f"{type(datum).__name__}")
     t = schema.get("type")
     if t == "record":
         _register(schema, names)

@@ -84,13 +84,25 @@ def load_table_metadata(path: str) -> dict:
              if n.endswith(".metadata.json")]
     if not names:
         raise IcebergError(f"no Iceberg metadata under {mdir!r}")
+    # debris tolerance: a truncated old metadata file (failed commit)
+    # must not make a healthy table unreadable — parse each candidate
+    # individually, keep the newest parseable one, and fail typed only
+    # when NONE parses
     best = None
+    errors: list[str] = []
     for n in names:
-        meta = _parse_metadata(_read_bytes(f"{mdir}/{n}"), n)
+        try:
+            meta = _parse_metadata(_read_bytes(f"{mdir}/{n}"), n)
+        except IcebergError as exc:
+            errors.append(str(exc))
+            continue
         key = (int(meta.get("last-sequence-number") or 0),
                int(meta.get("last-updated-ms") or 0))
         if best is None or key > best[0]:
             best = (key, meta)
+    if best is None:
+        raise IcebergError(
+            f"no readable metadata under {mdir!r}: {errors[:3]}")
     return best[1]
 
 
@@ -118,7 +130,20 @@ def _current_schema(meta: dict) -> dict:
     raise IcebergError("metadata has no schema")
 
 
-def _identity_partition_names(meta: dict) -> dict[str, str]:
+def _schema_for(meta: dict, snap: dict | None) -> dict:
+    """The schema a snapshot was WRITTEN under (snapshots carry a
+    schema-id) — time travel below a rename must resolve with the old
+    names, or the advertised 'read an older snapshot' workaround for
+    the rename wall could never work.  Falls back to current."""
+    if snap is not None and "schema-id" in snap and "schemas" in meta:
+        sid = snap["schema-id"]
+        for s in meta["schemas"]:
+            if s.get("schema-id") == sid:
+                return s
+    return _current_schema(meta)
+
+
+def _identity_partition_names(meta: dict, schema: dict) -> dict[str, str]:
     """partition field name → source column name, identity fields only."""
     specs = meta.get("partition-specs")
     if specs is None:
@@ -128,8 +153,7 @@ def _identity_partition_names(meta: dict) -> dict[str, str]:
         fields = next(
             (s.get("fields") or [] for s in specs
              if s.get("spec-id") == did), [])
-    by_id = {f["id"]: f["name"]
-             for f in _current_schema(meta).get("fields", [])}
+    by_id = {f["id"]: f["name"] for f in schema.get("fields", [])}
     out = {}
     for f in fields:
         if f.get("transform") == "identity":
@@ -150,44 +174,59 @@ def iceberg_snapshots(path: str) -> list[dict]:
     ]
 
 
-def _live_files(meta: dict, table_path: str,
-                snapshot_id: int | None) -> tuple[list[dict], list[dict]]:
-    """(data_files, position_delete_files) live at the snapshot — the
-    manifest-list → manifest walk, all metadata-sized."""
+def _snapshot(meta: dict, snapshot_id: int | None) -> dict | None:
+    """Resolve a snapshot dict (current when snapshot_id is None);
+    None for a table with no current snapshot."""
     snaps = meta.get("snapshots") or []
     if snapshot_id is None:
         snapshot_id = meta.get("current-snapshot-id")
         if snapshot_id in (None, -1):
-            return [], []
+            return None
     snap = next(
         (s for s in snaps if s.get("snapshot-id") == snapshot_id), None)
     if snap is None:
         have = [s.get("snapshot-id") for s in snaps]
         raise IcebergError(
             f"snapshot {snapshot_id} not in table (have {have})")
+    return snap
+
+
+def _manifest_entries(snap: dict) -> list[dict]:
+    """A snapshot's manifest-list rows (v2 Avro list, or the v1 inline
+    ``manifests`` path list), AvroError re-typed."""
     if "manifest-list" in snap:
         try:
-            manifests = read_ocf(_read_bytes(snap["manifest-list"]))
+            return read_ocf(_read_bytes(snap["manifest-list"]))
         except AvroError as exc:
             raise IcebergError(f"bad manifest list: {exc}") from None
-    elif "manifests" in snap:                           # v1 inline form
-        manifests = [{"manifest_path": p, "content": 0}
-                     for p in snap["manifests"]]
-    else:
-        raise IcebergError("snapshot has neither manifest-list nor "
-                           "manifests")
+    if "manifests" in snap:                             # v1 inline form
+        return [{"manifest_path": p, "content": 0}
+                for p in snap["manifests"]]
+    raise IcebergError("snapshot has neither manifest-list nor "
+                       "manifests")
+
+
+def _read_manifest(mf: dict) -> tuple[str, list[dict]]:
+    mpath = mf.get("manifest_path")
+    if not mpath:
+        raise IcebergError("manifest-list entry without manifest_path")
+    try:
+        return mpath, read_ocf(_read_bytes(mpath))
+    except AvroError as exc:
+        raise IcebergError(f"bad manifest {mpath!r}: {exc}") from None
+
+
+def _live_files(meta: dict,
+                snapshot_id: int | None) -> tuple[list[dict], list[dict]]:
+    """(data_files, position_delete_files) live at the snapshot — the
+    manifest-list → manifest walk, all metadata-sized."""
+    snap = _snapshot(meta, snapshot_id)
+    if snap is None:
+        return [], []
     data_files: list[dict] = []
     delete_files: list[dict] = []
-    for mf in manifests:
-        mpath = mf.get("manifest_path")
-        if not mpath:
-            raise IcebergError("manifest-list entry without "
-                               "manifest_path")
-        try:
-            entries = read_ocf(_read_bytes(mpath))
-        except AvroError as exc:
-            raise IcebergError(
-                f"bad manifest {mpath!r}: {exc}") from None
+    for mf in _manifest_entries(snap):
+        mpath, entries = _read_manifest(mf)
         for e in entries:
             if e.get("status") == 2:                    # DELETED
                 continue
@@ -211,14 +250,14 @@ def _live_files(meta: dict, table_path: str,
     return data_files, delete_files
 
 
-def _check_name_resolution(meta: dict, data_files: list[dict]) -> None:
+def _check_name_resolution(schema: dict, data_files: list[dict]) -> None:
     """Field-id vs name divergence guard: the first data file's parquet
-    column names must cover the current schema's names (identity holds
+    column names must cover the snapshot schema's names (identity holds
     unless a rename/drop happened, which name-based reads would
     silently misread)."""
     import pyarrow.parquet as pq
 
-    want = {f["name"] for f in _current_schema(meta).get("fields", [])}
+    want = {f["name"] for f in schema.get("fields", [])}
     fs, lp = fsio.resolve(_plain_path(data_files[0]["file_path"]))
     try:
         with fs.open_input_file(lp) as handle:
@@ -229,15 +268,15 @@ def _check_name_resolution(meta: dict, data_files: list[dict]) -> None:
     missing = want - have
     if missing:
         raise IcebergError(
-            f"current schema columns {sorted(missing)} absent from the "
-            "data file — renamed/dropped columns need field-id "
+            f"snapshot schema columns {sorted(missing)} absent from "
+            "the data file — renamed/dropped columns need field-id "
             "resolution, which is not supported (read an older "
             "snapshot written under the old schema)"
         )
 
 
-def _field_id_and_type(meta: dict, col: str) -> tuple[int | None, str]:
-    for f in _current_schema(meta).get("fields", []):
+def _field_id_and_type(schema: dict, col: str) -> tuple[int | None, str]:
+    for f in schema.get("fields", []):
         if f.get("name") == col:
             t = f.get("type")
             return int(f["id"]), t if isinstance(t, str) else ""
@@ -333,13 +372,20 @@ def read_iceberg_changes(
     O(table), the Iceberg face of ``read_delta_changes``.
 
     Walks each in-range snapshot's manifest list and keeps manifest
-    entries with status ADDED and a matching snapshot id.  A position-
-    or equality-delete file added in range raises typed — deletes
-    cannot be expressed as new rows; re-sync from a snapshot read."""
+    entries with status ADDED and a matching snapshot id.  Any
+    non-append activity in range raises typed — a delete file, a
+    snapshot whose summary.operation is not ``append``, or a rewrite
+    tombstoning files (status DELETED) cannot be expressed as new
+    rows; re-sync from a snapshot read."""
     meta = load_table_metadata(path)
-    snaps = sorted((s for s in meta.get("snapshots") or []),
-                   key=lambda s: int(s.get("sequence-number")
-                                     or s.get("snapshot-id") or 0))
+    # real snapshot ids are random 64-bit longs: order by
+    # sequence-number (v2), falling back to commit timestamp (v1) —
+    # NEVER by id
+    snaps = sorted(
+        (s for s in meta.get("snapshots") or []),
+        key=lambda s: (int(s["sequence-number"])
+                       if s.get("sequence-number") is not None
+                       else int(s.get("timestamp-ms") or 0)))
     ids = [s["snapshot-id"] for s in snaps]
     to = to_snapshot_id if to_snapshot_id is not None else \
         meta.get("current-snapshot-id")
@@ -348,29 +394,39 @@ def read_iceberg_changes(
         raise IcebergError(
             f"change range ({from_snapshot_id}, {to}] not within "
             f"snapshots {ids}")
-    lo_seq = 0 if from_snapshot_id == 0 else \
+    lo_idx = 0 if from_snapshot_id == 0 else \
         ids.index(from_snapshot_id) + 1
-    in_range = {s["snapshot-id"] for s in snaps[lo_seq:]
-                if ids.index(s["snapshot-id"]) <= ids.index(to)}
-    if not in_range:
+    hi_idx = ids.index(to)
+    range_snaps = snaps[lo_idx:hi_idx + 1]
+    if not range_snaps:
         raise IcebergError("empty change range")
+    for s in range_snaps:
+        op = (s.get("summary") or {}).get("operation")
+        if op is not None and op != "append":
+            raise IcebergError(
+                f"snapshot {s['snapshot-id']} is {op!r}: the change "
+                "set is not append-only — re-sync from a snapshot read"
+            )
+    in_range = {s["snapshot-id"] for s in range_snaps}
     added: list[dict] = []
-    seen_manifests: set[str] = set()
     to_snap = next(s for s in snaps if s["snapshot-id"] == to)
-    manifests = read_ocf(_read_bytes(to_snap["manifest-list"]))
-    for mf in manifests:
-        mpath = mf["manifest_path"]
-        if mpath in seen_manifests:
+    for mf in _manifest_entries(to_snap):
+        mf_snap = mf.get("added_snapshot_id")
+        if mf_snap is not None and mf_snap not in in_range:
             continue
-        seen_manifests.add(mpath)
-        if mf.get("added_snapshot_id") is not None and \
-                mf["added_snapshot_id"] not in in_range:
-            continue
-        for e in read_ocf(_read_bytes(mpath)):
-            if e.get("status") != 1:        # ADDED entries only
-                continue
+        mpath, entries = _read_manifest(mf)
+        for e in entries:
             sid = e.get("snapshot_id")
-            if sid is not None and sid not in in_range:
+            own = sid is None or sid in in_range
+            if e.get("status") == 2 and own:
+                # a rewrite/compaction in range re-adds rows its
+                # tombstones already delivered — double delivery
+                raise IcebergError(
+                    f"manifest {mpath!r} tombstones files in the "
+                    "change range (rewrite/overwrite): not "
+                    "append-only — re-sync from a snapshot read"
+                )
+            if e.get("status") != 1 or not own:
                 continue
             dfile = e.get("data_file") or {}
             if int(dfile.get("content") or 0) != 0:
@@ -381,7 +437,7 @@ def read_iceberg_changes(
             added.append(dfile)
     if not added:
         raise IcebergError("no data files added in the change range")
-    _check_name_resolution(meta, added)
+    _check_name_resolution(_schema_for(meta, to_snap), added)
     return spark.read.parquet(
         *[_plain_path(d["file_path"]) for d in added])
 
@@ -407,23 +463,33 @@ def read_iceberg(
     from pyspark.sql import functions as F
 
     meta = load_table_metadata(path)
-    data_files, delete_files = _live_files(meta, path, snapshot_id)
+    # a CURRENT read resolves under the current schema (spec: reads
+    # project the table schema); explicit time travel resolves under
+    # the schema the snapshot was written with (snapshot.schema-id),
+    # which keeps pre-rename snapshots readable after a rename walls
+    # current reads
+    snap_schema = _current_schema(meta) if snapshot_id is None else \
+        _schema_for(meta, _snapshot(meta, snapshot_id))
+    data_files, delete_files = _live_files(meta, snapshot_id)
     if not data_files:
         raise IcebergError(
             "empty snapshot (schema-only reads not supported)")
-    _check_name_resolution(meta, data_files)
+    _check_name_resolution(snap_schema, data_files)
     if prune is not None:
         col, lo, hi = prune
-        ident = _identity_partition_names(meta)
+        ident = _identity_partition_names(meta, snap_schema)
         part_of = {src: name for name, src in ident.items()}
         pname = part_of.get(col, col if col in ident else None)
-        fid, ftype = _field_id_and_type(meta, col)
+        fid, ftype = _field_id_and_type(snap_schema, col)
         kept = []
         for dfile in data_files:
             if pname is not None:
                 pv = (dfile.get("partition") or {}).get(pname)
-                if pv is not None and not lo <= pv <= hi:
-                    continue
+                try:
+                    if pv is not None and not lo <= pv <= hi:
+                        continue
+                except TypeError:
+                    pass    # type-mismatched bounds never prune
             if _bounds_pruned(dfile, fid, ftype, lo, hi):
                 continue
             kept.append(dfile)
@@ -552,14 +618,18 @@ def _stage_data_files(df: DataFrame, path: str, seq: int,
 
     files: list[dict] = []
     if partition_by:
+        from functools import reduce
+
+        from pyspark.sql import functions as F
+
         vals = [tuple(r[c] for c in partition_by)
                 for r in df.select(*partition_by).distinct().collect()]
         groups = [
             (dict(zip(partition_by, v)),
-             df.filter(" AND ".join(
-                 f"{c} = {v[i]!r}" if isinstance(v[i], str)
-                 else f"{c} = {v[i]}"
-                 for i, c in enumerate(partition_by))))
+             df.filter(reduce(
+                 lambda a, b: a & b,
+                 [F.col(c).eqNullSafe(F.lit(v[i]))
+                  for i, c in enumerate(partition_by)])))
             for v in sorted(vals, key=lambda t: tuple(map(str, t)))
         ]
     else:
@@ -741,7 +811,7 @@ def append_iceberg_fixture(spark: SparkSession, df: DataFrame,
                            path: str) -> int:
     """Append snapshot N+1 (same schema and partitioning)."""
     meta = load_table_metadata(path)
-    ident = _identity_partition_names(meta)
+    ident = _identity_partition_names(meta, _current_schema(meta))
     return _append(spark, df, path, list(ident.values()), meta)
 
 
@@ -777,7 +847,7 @@ def delete_positions_iceberg_fixture(
     import pyarrow.parquet as pq
 
     meta = load_table_metadata(path)
-    data_files, _ = _live_files(meta, path, None)
+    data_files, _ = _live_files(meta, None)
     live = {d["file_path"] for d in data_files}
     rows = []
     for fp, poss in sorted(deletes.items()):

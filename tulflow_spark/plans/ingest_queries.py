@@ -488,7 +488,7 @@ def ib1_iceberg_read(spark: SparkSession, sf_dir: str) -> DataFrame:
             .withColumn("bucket", (F.col("doc_id") % 4).cast("long")))
     t = tempfile.mkdtemp(prefix="ib1_") + "/tbl"
     s1 = write_iceberg_fixture(spark, docs, t, partition_by=["bucket"])
-    files, _ = _live_files(load_table_metadata(t), t, None)
+    files, _ = _live_files(load_table_metadata(t), None)
     dels = {}
     for d in files:
         ids = pq.read_table(d["file_path"][7:], columns=["doc_id"]
