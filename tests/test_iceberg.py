@@ -38,15 +38,20 @@ def _ids(df):
 
 def _file_ids(path: str) -> dict[str, list[int]]:
     """data file_path → its ids in row order (for position deletes)."""
+    import pyarrow.orc as po
     import pyarrow.parquet as pq
 
     meta = load_table_metadata(path)
     files, _ = _live_files(meta, None)
-    return {
-        d["file_path"]: pq.read_table(
-            d["file_path"][7:], columns=["id"]).column("id").to_pylist()
-        for d in files
-    }
+    out = {}
+    for d in files:
+        p = d["file_path"][7:]
+        if d["file_format"] == "ORC":
+            tbl = po.read_table(p, columns=["id"])
+        else:
+            tbl = pq.read_table(p, columns=["id"])
+        out[d["file_path"]] = tbl.column("id").to_pylist()
+    return out
 
 
 def test_roundtrip_partitioned_prune_and_snapshots(spark, tmp_path):
@@ -394,3 +399,26 @@ def test_fixture_handles_null_partition_values(spark, tmp_path):
     got = read_iceberg(spark, t)
     assert _ids(got) == [1, 2, 3]
     assert got.filter("b IS NULL").count() == 2
+
+
+def test_orc_data_files(spark, tmp_path):
+    """ORC data files read through spark.read.orc; positional deletes
+    on ORC wall typed (no row_index metadata column)."""
+    t = str(tmp_path / "tbl")
+    write_iceberg_fixture(spark, _df(spark, 0, 12), t,
+                          partition_by=["b"], file_format="orc")
+    got = read_iceberg(spark, t)
+    assert _ids(got) == list(range(12))
+    assert all(f.endswith(".orc") or ".orc" in f
+               for f in got.inputFiles())
+    append_iceberg_fixture(spark, _df(spark, 12, 15), t)  # stays ORC
+    assert read_iceberg(spark, t).count() == 15
+    # identity-partition prune still applies (manifest metadata only)
+    assert read_iceberg(spark, t, prune=("b", 0, 0)).count() == 5
+    fp = next(iter(_file_ids(t)))
+    with pytest.raises(IcebergError, match="ORC"):
+        delete_positions_iceberg_fixture(spark, t, {fp: [0]})
+        read_iceberg(spark, t)
+    with pytest.raises(IcebergError, match="not supported"):
+        write_iceberg_fixture(spark, _df(spark, 0, 2),
+                              str(tmp_path / "t2"), file_format="avro")

@@ -72,7 +72,8 @@ def test_r7_rotation_promotes_never_adjudicated_pairs():
     # in the same commit; names here run in the local parity suite this
     # round and queue for the r8 rotation.
     added_post_rotation: set[str] = {"dl6_column_mapping",
-                                     "ib1_iceberg_read"}
+                                     "ib1_iceberg_read",
+                                     "ib2_iceberg_changes"}
     never -= added_post_rotation
     assert never <= set(QUERIES), (
         f"never-adjudicated but de-gated: {sorted(never - set(QUERIES))}"

@@ -235,9 +235,10 @@ def _live_files(meta: dict,
                 raise IcebergError(
                     f"manifest {mpath!r}: entry without data_file")
             fmt = str(dfile.get("file_format") or "").upper()
-            if fmt != "PARQUET":
+            if fmt not in ("PARQUET", "ORC"):
                 raise IcebergError(
-                    f"data file format {fmt!r} not supported (PARQUET)")
+                    f"data file format {fmt!r} not supported "
+                    "(PARQUET and ORC are)")
             content = int(dfile.get("content") or 0)
             if content == 0:
                 data_files.append(dfile)
@@ -255,13 +256,20 @@ def _check_name_resolution(schema: dict, data_files: list[dict]) -> None:
     column names must cover the snapshot schema's names (identity holds
     unless a rename/drop happened, which name-based reads would
     silently misread)."""
-    import pyarrow.parquet as pq
-
     want = {f["name"] for f in schema.get("fields", [])}
-    fs, lp = fsio.resolve(_plain_path(data_files[0]["file_path"]))
+    dfile = data_files[0]
+    fs, lp = fsio.resolve(_plain_path(dfile["file_path"]))
+    orc = str(dfile.get("file_format") or "").upper() == "ORC"
     try:
         with fs.open_input_file(lp) as handle:
-            have = set(pq.ParquetFile(handle).schema_arrow.names)
+            if orc:
+                import pyarrow.orc as po
+
+                have = set(po.ORCFile(handle).schema.names)
+            else:
+                import pyarrow.parquet as pq
+
+                have = set(pq.ParquetFile(handle).schema_arrow.names)
     except OSError as exc:
         raise IcebergError(
             f"cannot open data file {lp!r}: {exc}") from None
@@ -501,10 +509,30 @@ def read_iceberg(
         # non-identity / unknown column: no partition pruning
         # (bounds pruning still applies when stats exist — correct
         # either way, just unpruned without them)
-    scan = spark.read.parquet(
-        *[_plain_path(d["file_path"]) for d in data_files])
+    pq_paths = [_plain_path(d["file_path"]) for d in data_files
+                if str(d.get("file_format") or "").upper() == "PARQUET"]
+    orc_paths = [_plain_path(d["file_path"]) for d in data_files
+                 if str(d.get("file_format") or "").upper() == "ORC"]
+    frames = []
+    if pq_paths:
+        frames.append(spark.read.parquet(*pq_paths))
+    if orc_paths:
+        # DataFrameReader.orc takes a LIST (varargs would land the
+        # second path in mergeSchema)
+        frames.append(spark.read.orc(orc_paths))
+    scan = frames[0]
+    for f in frames[1:]:
+        scan = scan.unionByName(f)
     if not delete_files:
         return scan
+    if orc_paths:
+        # position deletes subtract via _metadata.row_index, which
+        # Spark exposes for parquet only — applying them to an ORC
+        # scan would silently keep deleted rows
+        raise IcebergError(
+            "positional deletes on ORC data files not supported "
+            "(no row_index metadata column)"
+        )
     ri, fp = "__ice_pos", "__ice_path"
     if {ri, fp} & set(scan.columns):
         raise IcebergError(
@@ -610,7 +638,8 @@ def _avro_part_type(spark_type: str) -> str:
 
 
 def _stage_data_files(df: DataFrame, path: str, seq: int,
-                      partition_by: list[str]) -> list[dict]:
+                      partition_by: list[str],
+                      file_format: str = "parquet") -> list[dict]:
     """Write data files (each containing ALL columns — Iceberg data
     files keep partition source columns) and return manifest
     data_file records with identity partition values."""
@@ -636,23 +665,34 @@ def _stage_data_files(df: DataFrame, path: str, seq: int,
         groups = [({}, df)]
     fid_type = {f.name: (i + 1, _ICE_TYPES.get(f.dataType.simpleString()))
                 for i, f in enumerate(df.schema.fields)}
+    orc = file_format.upper() == "ORC"
     for gi, (pvals, gdf) in enumerate(groups):
         d = f"{path}/data/s{seq}-g{gi}"
-        gdf.coalesce(1).write.parquet(d)
+        if orc:
+            gdf.coalesce(1).write.orc(d)
+        else:
+            gdf.coalesce(1).write.parquet(d)
         fs, base = fsio.resolve(d)
         import pyarrow.fs as pafs
 
         for info in fs.get_file_info(pafs.FileSelector(base)):
-            if not info.path.endswith(".parquet"):
+            if not info.path.endswith(".orc" if orc else ".parquet"):
                 continue
+            lob: list = []
+            upb: list = []
             with fs.open_input_file(info.path) as handle:
-                md = pq.ParquetFile(handle).metadata
-                n = md.num_rows
-                lob, upb = _footer_bounds(md, fid_type)
+                if orc:
+                    import pyarrow.orc as po
+
+                    n = po.ORCFile(handle).nrows
+                else:
+                    md = pq.ParquetFile(handle).metadata
+                    n = md.num_rows
+                    lob, upb = _footer_bounds(md, fid_type)
             files.append({
                 "content": 0,
                 "file_path": f"file://{info.path}",
-                "file_format": "PARQUET",
+                "file_format": "ORC" if orc else "PARQUET",
                 "partition": dict(pvals),
                 "record_count": int(n),
                 "file_size_in_bytes": int(info.size),
@@ -799,12 +839,19 @@ def _write_bytes(path: str, data: bytes) -> None:
 
 
 def write_iceberg_fixture(spark: SparkSession, df: DataFrame, path: str,
-                          partition_by: list[str] | None = None) -> int:
+                          partition_by: list[str] | None = None,
+                          file_format: str = "parquet") -> int:
     """Create a v2 Iceberg table (snapshot 1) with identity
-    partitioning; returns the snapshot id."""
+    partitioning; returns the snapshot id.  ``file_format`` may be
+    ``parquet`` (default) or ``orc`` — ORC tables read through
+    ``spark.read.orc`` but refuse positional deletes (no row_index
+    metadata column)."""
     if fsio.exists(f"{path}/metadata/version-hint.text"):
         raise IcebergError(f"fixture table already exists at {path}")
-    return _append(spark, df, path, list(partition_by or []), None)
+    if file_format.lower() not in ("parquet", "orc"):
+        raise IcebergError(f"file_format {file_format!r} not supported")
+    return _append(spark, df, path, list(partition_by or []), None,
+                   file_format)
 
 
 def append_iceberg_fixture(spark: SparkSession, df: DataFrame,
@@ -812,11 +859,16 @@ def append_iceberg_fixture(spark: SparkSession, df: DataFrame,
     """Append snapshot N+1 (same schema and partitioning)."""
     meta = load_table_metadata(path)
     ident = _identity_partition_names(meta, _current_schema(meta))
-    return _append(spark, df, path, list(ident.values()), meta)
+    fmt = "parquet"
+    files, _ = _live_files(meta, None)
+    if files and str(files[0].get("file_format") or "").upper() == "ORC":
+        fmt = "orc"
+    return _append(spark, df, path, list(ident.values()), meta, fmt)
 
 
 def _append(spark: SparkSession, df: DataFrame, path: str,
-            partition_by: list[str], meta: dict | None) -> int:
+            partition_by: list[str], meta: dict | None,
+            file_format: str = "parquet") -> int:
     by_name = {f.name: f.dataType.simpleString()
                for f in df.schema.fields}
     missing = [c for c in partition_by if c not in by_name]
@@ -831,7 +883,8 @@ def _append(spark: SparkSession, df: DataFrame, path: str,
     ]
     part_avro = [(c, _avro_part_type(by_name[c])) for c in partition_by]
     seq = 1 if meta is None else int(meta["current-snapshot-id"]) + 1
-    files = _stage_data_files(df, path, seq, partition_by)
+    files = _stage_data_files(df, path, seq, partition_by,
+                              file_format)
     return _commit_snapshot(path, meta, schema_fields, part_fields,
                             files, 0, part_avro)
 

@@ -511,3 +511,53 @@ def ib1_iceberg_read(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("n_before", "n_rows", "sum_doc_id", "total_chars",
                 "n_pruned_rows")
     )
+
+
+@register(
+    "ib2_iceberg_changes",
+    oracle="""
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_new,
+           CAST(SUM(doc_id) AS BIGINT) AS sum_new_ids,
+           md5(STRING_AGG(md5(text), '' ORDER BY md5(text)))
+               AS new_corpus_md5,
+           CAST((SELECT COUNT(*) FROM documents) AS BIGINT) AS n_total
+    FROM documents WHERE doc_id % 3 = 0
+    """,
+)
+def ib2_iceberg_changes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Iceberg incremental consumption oracle-checked: documents land
+    in TWO append snapshots (doc_id % 3 != 0, then % 3 == 0);
+    `read_iceberg_changes` after snapshot 1 must deliver EXACTLY the
+    second batch — the oracle recomputes its count, id sum, and an
+    order-insensitive corpus digest, and ``n_total`` pins that the
+    full snapshot read still sees both batches.
+
+    At 100 TB: a downstream job stores the snapshot id it has
+    processed and reads O(new data) per poll instead of O(table) —
+    the manifest walk selects only in-range ADDED files."""
+    import tempfile
+
+    from tulflow_spark.ext.iceberg import (
+        append_iceberg_fixture,
+        read_iceberg,
+        read_iceberg_changes,
+        write_iceberg_fixture,
+    )
+
+    docs = table(spark, sf_dir, "documents").select("doc_id", "text")
+    t = tempfile.mkdtemp(prefix="ib2_") + "/tbl"
+    s1 = write_iceberg_fixture(
+        spark, docs.filter("doc_id % 3 != 0"), t)
+    append_iceberg_fixture(spark, docs.filter("doc_id % 3 = 0"), t)
+    new = read_iceberg_changes(spark, t, from_snapshot_id=s1)
+    total_n = read_iceberg(spark, t).count()
+    return (
+        new.agg(
+            F.count(F.lit(1)).alias("n_new"),
+            F.sum("doc_id").cast("bigint").alias("sum_new_ids"),
+            F.md5(F.concat_ws("", F.array_sort(
+                F.collect_list(F.md5("text"))))).alias("new_corpus_md5"),
+        )
+        .withColumn("n_total", F.lit(total_n).cast("bigint"))
+        .select("n_new", "sum_new_ids", "new_corpus_md5", "n_total")
+    )
