@@ -422,3 +422,44 @@ def test_orc_data_files(spark, tmp_path):
     with pytest.raises(IcebergError, match="not supported"):
         write_iceberg_fixture(spark, _df(spark, 0, 2),
                               str(tmp_path / "t2"), file_format="avro")
+
+
+def test_expire_snapshots(spark, tmp_path):
+    """expire keeps the last N snapshots, deletes unreachable manifest
+    lists/manifests/data files, and never touches files a kept
+    snapshot can still reach."""
+    import os
+
+    t = str(tmp_path / "tbl")
+    s1 = write_iceberg_fixture(spark, _df(spark, 0, 6), t)
+    s2 = append_iceberg_fixture(spark, _df(spark, 6, 9), t)
+    s3 = append_iceberg_fixture(spark, _df(spark, 9, 11), t)
+    from tulflow_spark.ext.iceberg import expire_iceberg_snapshots
+
+    with pytest.raises(IcebergError, match=">= 1"):
+        expire_iceberg_snapshots(spark, t, keep_last=0)
+    # age guard: young files are never deleted
+    assert expire_iceberg_snapshots(
+        spark, t, keep_last=1, min_age_seconds=3600) == []
+    gone = expire_iceberg_snapshots(spark, t, keep_last=1,
+                                    min_age_seconds=0.0)
+    # snapshot-1/2 manifest LISTS die; their manifests and data files
+    # survive (carried forward into snapshot 3's manifest list)
+    assert any("manifest-list" in g or "snap-" in g for g in gone)
+    # no LIVE data file dies (writer markers like _SUCCESS may)
+    assert not any(g.startswith("data/") and g.endswith(".parquet")
+                   for g in gone)
+    got = read_iceberg(spark, t)
+    assert _ids(got) == list(range(11))
+    with pytest.raises(IcebergError, match="not in table"):
+        read_iceberg(spark, t, snapshot_id=s1)
+    assert [s["snapshot_id"] for s in iceberg_snapshots(t)] == [s3]
+    # a rewrite-orphaned data file DOES die: fake one under data/
+    orphan = f"{t}/data/orphan.parquet"
+    with open(orphan, "wb") as fh:
+        fh.write(b"junk")
+    os.utime(orphan, (0, 0))
+    gone2 = expire_iceberg_snapshots(spark, t, keep_last=1,
+                                     min_age_seconds=0.0)
+    assert "data/orphan.parquet" in gone2
+    assert read_iceberg(spark, t).count() == 11

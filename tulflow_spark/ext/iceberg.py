@@ -931,3 +931,112 @@ def delete_positions_iceberg_fixture(
     return _commit_snapshot(path, meta, schema_fields,
                             specs[0].get("fields") or [],
                             [rec], 1, [])
+
+
+def expire_iceberg_snapshots(spark: SparkSession, path: str,
+                             keep_last: int = 1,
+                             min_age_seconds: float = 3600.0,
+                             ) -> list[str]:
+    """Iceberg snapshot expiration (the ``expireSnapshots`` +
+    orphan-file cleanup maintenance op, and the vacuum analog of
+    ``delta_log.vacuum_delta``): drop all but the last ``keep_last``
+    snapshots from the metadata, then delete every file under the
+    table root referenced by NONE of the kept snapshots — old manifest
+    lists, manifests, and data/delete files tombstoned by rewrites.
+    Returns the deleted relative paths.  Time travel below the kept
+    window stops working, same contract as Iceberg's.
+
+    ``min_age_seconds`` is the in-flight-writer guard: files younger
+    than the threshold are always kept (a concurrent writer stages
+    data files BEFORE its metadata commit; deleting them would corrupt
+    a commit that then succeeds).
+
+    At 100 TB this is metadata-walk + unreferenced-file delete — the
+    data plane is never read, only unlinked."""
+    import time
+    from urllib.parse import urlparse
+
+    from pyarrow import fs as pafs
+
+    meta = load_table_metadata(path)
+    snaps = sorted(
+        (s for s in meta.get("snapshots") or []),
+        key=lambda s: (int(s["sequence-number"])
+                       if s.get("sequence-number") is not None
+                       else int(s.get("timestamp-ms") or 0)))
+    if keep_last < 1:
+        raise IcebergError("keep_last must be >= 1")
+    if not snaps:
+        raise IcebergError(f"no snapshots at {path}")
+    cur = meta.get("current-snapshot-id")
+    kept = snaps[-keep_last:]
+    if cur not in {s["snapshot-id"] for s in kept}:
+        raise IcebergError(
+            "keep window would drop the CURRENT snapshot — raise "
+            "keep_last")
+    # referenced set: every manifest list, manifest, and file path any
+    # KEPT snapshot can reach (ALL statuses — an EXISTING entry's file
+    # may predate the window)
+    _, base = fsio.resolve(path)
+    base = base.rstrip("/")
+
+    def rel_of(uri: str) -> str | None:
+        p = _plain_path(uri)
+        p = urlparse(p).path if "://" in p else p
+        _, lp = fsio.resolve(p)
+        return lp[len(base) + 1:] if lp.startswith(base + "/") else None
+
+    referenced: set[str] = set()
+    for s in kept:
+        if "manifest-list" in s:
+            r = rel_of(s["manifest-list"])
+            if r:
+                referenced.add(r)
+        for mf in _manifest_entries(s):
+            r = rel_of(mf["manifest_path"])
+            if r:
+                referenced.add(r)
+            _, entries = _read_manifest(mf)
+            for e in entries:
+                dfile = e.get("data_file") or {}
+                fp = dfile.get("file_path")
+                if fp:
+                    r = rel_of(fp)
+                    if r:
+                        referenced.add(r)
+    # commit the pruned metadata FIRST (a reader landing mid-expire
+    # must never see metadata referencing deleted files)
+    version = int(meta["current-snapshot-id"])
+    hint = f"{path}/metadata/version-hint.text"
+    if not fsio.exists(hint):
+        raise IcebergError(
+            "expire needs the version-hint layout (fixture tables)")
+    v = int(_read_bytes(hint).decode().strip())
+    new_meta = dict(meta)
+    new_meta["snapshots"] = kept
+    new_meta["last-updated-ms"] = version
+    _write_bytes(f"{path}/metadata/v{v + 1}.metadata.json",
+                 json.dumps(new_meta, indent=1).encode("utf-8"))
+    fsio.write_text(hint, str(v + 1))
+    # metadata jsons (old versions) are never deleted here — they are
+    # the audit log, tiny, and the hint pins the live one
+    fs, _ = fsio.resolve(path)
+    cutoff = time.time() - min_age_seconds
+    deleted: list[str] = []
+    for info in fs.get_file_info(
+            pafs.FileSelector(base, recursive=True)):
+        if info.type != pafs.FileType.File:
+            continue
+        rel = info.path[len(base):].lstrip("/")
+        if not (rel.startswith("data/")
+                or (rel.startswith("metadata/")
+                    and rel.endswith(".avro"))):
+            continue        # only data + manifest avros are candidates
+        if rel in referenced:
+            continue
+        mtime = info.mtime.timestamp() if info.mtime else 0.0
+        if mtime > cutoff:
+            continue        # in-flight-writer age guard
+        fs.delete_file(info.path)
+        deleted.append(rel)
+    return sorted(deleted)
