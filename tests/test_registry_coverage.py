@@ -71,9 +71,9 @@ def test_r7_rotation_promotes_never_adjudicated_pairs():
     # promoted set (the gate budget is a hard 50) UNLESS they took a slot
     # in the same commit; names here run in the local parity suite this
     # round and queue for the r8 rotation.
-    added_post_rotation: set[str] = {"dl6_column_mapping",
-                                     "ib1_iceberg_read",
-                                     "ib2_iceberg_changes"}
+    # r11 rotation: dl6/ib1/ib2 promoted into the gate (they are the
+    # only never-adjudicated names and all hold slots this round)
+    added_post_rotation: set[str] = set()
     never -= added_post_rotation
     assert never <= set(QUERIES), (
         f"never-adjudicated but de-gated: {sorted(never - set(QUERIES))}"

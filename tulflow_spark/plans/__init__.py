@@ -51,7 +51,10 @@ GATED: frozenset[str] = frozenset(
         # (driver rows r7+r8; zo1/bm1 keep their family anchors) to
         # budget slots for the new Delta OPTIMIZE and data-skipping
         # pairs
-        "dl2_delta_optimize",
+        # r11: dl2_delta_optimize rotated out (driver rows r9+r10;
+        # dl1/dl3/dl4/dl5 keep the Delta anchors) for the new
+        # column-mapping pair
+        "dl6_column_mapping",
         "dl3_delta_skipping",
         # r9: cur6_training_mix rotated out (driver rows r7+r8; cur5/
         # cur7 keep the curation anchors) for the robots.txt filter pair
@@ -68,12 +71,17 @@ GATED: frozenset[str] = frozenset(
         # rows r7+r8; mx7/pack1 keep the mixing-family anchors) for the
         # KMV/theta sketch pairs — cardinality AND set intersection,
         # estimates hash-checked bit-for-bit
-        "st1_kmv_cardinality",
+        # r11: st1_kmv_cardinality rotated out (driver rows r9+r10; st2
+        # keeps the sketch anchor) for the Iceberg snapshot-read pair
+        "ib1_iceberg_read",
         "st2_kmv_intersection",
         "pack1_token_sequences",
         # r9: pr2_drift_psi rotated out (driver rows r7+r8; pr1 keeps
         # the profile-family anchor) for the mojibake-repair pair
-        "tx14_mojibake_repair",
+        # r11: tx14_mojibake_repair rotated out (driver rows r9+r10;
+        # tx2/tx15 keep the text anchors) for the Iceberg
+        # incremental-changes pair
+        "ib2_iceberg_changes",
         "rr1_rerank_topk",
         "rr2_search_rerank",
         "ss10_int8_quant",
