@@ -1,0 +1,158 @@
+"""sources/lake_stream.py: Structured Streaming source over the Delta
+change feed (Spark 4 Python Data Source API).
+
+Pins: full replay with typed partition-value injection, exactly-once
+incremental delivery across query RESTARTS (Spark's own offset log),
+layout-only commits invisible, non-append commits fail the batch
+typed, and the sparkless (pyarrow) checkpoint replay the planner
+needs."""
+
+from __future__ import annotations
+
+import pytest
+
+from tulflow_spark.ext.delta_log import (
+    delete_where,
+    optimize_delta,
+    write_checkpoint,
+    write_delta,
+)
+from tulflow_spark.sources.lake_stream import (
+    DeltaChangeFeedError,
+    DeltaChangesSource,
+    DeltaChangesStreamReader,
+)
+
+
+def _df(spark, lo, hi):
+    from pyspark.sql import functions as F
+
+    return spark.createDataFrame(
+        [(i, f"x{i}") for i in range(lo, hi)], "id long, v string"
+    ).withColumn("b", (F.col("id") % 2).cast("long"))
+
+
+def _drain(spark, path, out, checkpoint, starting=None):
+    """One availableNow pass into a restart-capable parquet sink;
+    returns ALL ids accumulated in the sink so far."""
+    reader = (spark.readStream.format("tulflow_delta_changes")
+              .option("path", path))
+    if starting is not None:
+        reader = reader.option("startingVersion", str(starting))
+    q = (reader.load().writeStream.format("parquet")
+         .option("path", out)
+         .option("checkpointLocation", checkpoint)
+         .trigger(availableNow=True).start())
+    q.awaitTermination(180)
+    try:
+        return sorted(r["id"] for r in
+                      spark.read.parquet(out).select("id").collect())
+    except Exception:
+        return []    # sink dir still empty: nothing delivered yet
+
+
+@pytest.fixture()
+def registered(spark):
+    spark.dataSource.register(DeltaChangesSource)
+    return spark
+
+
+def test_replay_and_partition_values(registered, tmp_path):
+    spark = registered
+    t = str(tmp_path / "tbl")
+    write_delta(_df(spark, 0, 8), t, partition_by=["b"])
+    got = (spark.readStream.format("tulflow_delta_changes")
+           .option("path", t).option("startingVersion", "-1").load())
+    assert got.schema.simpleString() == \
+        "struct<id:bigint,v:string,b:bigint>"
+    q = (got.writeStream.format("memory").queryName("rp")
+         .trigger(availableNow=True).start())
+    q.awaitTermination(180)
+    rows = spark.sql("select * from rp").collect()
+    assert sorted(r["id"] for r in rows) == list(range(8))
+    # partition column injected from the LOG with the schema's type
+    assert all(r["b"] == r["id"] % 2 for r in rows)
+
+
+def test_exactly_once_across_restarts(registered, tmp_path):
+    """The flagship property: Spark's offset log + our version offsets
+    deliver each commit exactly once across query restarts."""
+    spark = registered
+    t = str(tmp_path / "tbl")
+    ckpt = str(tmp_path / "ckpt")
+    out = str(tmp_path / "out")
+    write_delta(_df(spark, 0, 5), t, partition_by=["b"])      # v0
+    assert _drain(spark, t, out, ckpt, starting=-1) == list(range(5))
+    write_delta(_df(spark, 5, 9), t, mode="append",
+                partition_by=["b"])                           # v1
+    write_delta(_df(spark, 9, 11), t, mode="append",
+                partition_by=["b"])                           # v2
+    # restart from the SAME checkpoint: v1+v2 arrive exactly once
+    assert _drain(spark, t, out, ckpt, starting=-1) == \
+        list(range(11))
+    # a third restart with nothing new delivers nothing new
+    assert _drain(spark, t, out, ckpt, starting=-1) == \
+        list(range(11))
+
+
+def test_optimize_commits_invisible(registered, tmp_path):
+    spark = registered
+    t = str(tmp_path / "tbl")
+    ckpt = str(tmp_path / "ckpt")
+    out = str(tmp_path / "out")
+    write_delta(_df(spark, 0, 4).repartition(4), t)           # v0
+    assert _drain(spark, t, out, ckpt, starting=-1) == list(range(4))
+    assert optimize_delta(spark, t, min_files=2) == 1         # v1
+    # layout-only commit: no new rows delivered, no error
+    assert _drain(spark, t, out, ckpt, starting=-1) == list(range(4))
+
+
+def test_delete_in_range_fails_typed(registered, tmp_path):
+    from pyspark.errors.exceptions.captured import StreamingQueryException
+
+    spark = registered
+    t = str(tmp_path / "tbl")
+    ckpt = str(tmp_path / "ckpt")
+    out = str(tmp_path / "out")
+    write_delta(_df(spark, 0, 6), t)                          # v0
+    assert _drain(spark, t, out, ckpt, starting=-1) == list(range(6))
+    delete_where(spark, t, "id >= 4")                         # v1
+    q = (spark.readStream.format("tulflow_delta_changes")
+         .option("path", t).option("startingVersion", "-1").load()
+         .writeStream.format("parquet").option("path", out)
+         .option("checkpointLocation", ckpt)
+         .trigger(availableNow=True).start())
+    with pytest.raises(StreamingQueryException,
+                       match="not append-only"):
+        q.awaitTermination(180)
+
+
+def test_planner_replays_checkpointed_tables_without_spark(
+        spark, tmp_path):
+    """The data-source planner runs in a sparkless Python worker:
+    _replay(None, ...) must resume from parquet checkpoints via
+    pyarrow and agree with the Spark path field-for-field."""
+    from tulflow_spark.ext.delta_log import _replay
+
+    t = str(tmp_path / "tbl")
+    write_delta(_df(spark, 0, 6), t, partition_by=["b"],
+                txn=("app", 3))
+    write_delta(_df(spark, 6, 8), t, mode="append",
+                partition_by=["b"])
+    write_checkpoint(spark, t)
+    a = _replay(spark, t, None)
+    b = _replay(None, t, None)
+    assert set(a.live) == set(b.live)
+    assert a.schema_str == b.schema_str
+    assert a.partition_cols == b.partition_cols
+    assert a.configuration == b.configuration
+    assert a.txns == b.txns
+    assert (a.min_writer, a.min_reader) == (b.min_writer, b.min_reader)
+
+
+def test_reader_option_walls(tmp_path):
+    with pytest.raises(DeltaChangeFeedError, match="path"):
+        DeltaChangesStreamReader(None, {})
+    r = DeltaChangesStreamReader(None, {"path": str(tmp_path / "no")})
+    with pytest.raises(DeltaChangeFeedError, match="no delta table"):
+        r.initialOffset()

@@ -689,11 +689,19 @@ def _load_checkpoint(
     metaData (schemaString / partitionColumns / id / configuration) and
     the FULL protocol row — a snapshot resumed from a checkpoint must
     carry the same minWriterVersion and delta.appendOnly state as a full
-    JSON replay, or writer-side protocol duties silently lapse."""
-    cp = spark.read.parquet(*files)
-    cols = cp.columns
-    for row in cp.collect():
-        d = row.asDict(recursive=True)
+    JSON replay, or writer-side protocol duties silently lapse.
+
+    ``spark=None`` replays via pyarrow — the streaming data-source
+    planner (`sources/lake_stream.py`) runs in a Python worker with no
+    SparkSession, and a checkpoint is metadata-sized either way."""
+    if spark is None:
+        rows = _checkpoint_rows_pyarrow(files)
+    else:
+        cp = spark.read.parquet(*files)
+        cols = cp.columns
+        rows = [(cols, row.asDict(recursive=True))
+                for row in cp.collect()]
+    for cols, d in rows:
         add = d.get("add") if "add" in cols else None
         if add and add.get("path"):
             snap.live[add["path"]] = add
@@ -715,6 +723,23 @@ def _load_checkpoint(
             snap.min_reader = int(proto.get("minReaderVersion") or 1)
             snap.reader_features = sorted(proto.get("readerFeatures") or [])
             snap.writer_features = sorted(proto.get("writerFeatures") or [])
+
+
+def _checkpoint_rows_pyarrow(files: list[str]) -> list[tuple[list, dict]]:
+    """Checkpoint rows via pyarrow (no SparkSession): same (columns,
+    nested-dict) shape the Spark path produces; arrow maps become
+    key/value tuple lists, which ``dict(...)`` accepts downstream."""
+    import pyarrow.parquet as pq
+
+    out: list[tuple[list, dict]] = []
+    for f in files:
+        fs, lp = fsio.resolve(f)
+        with fs.open_input_file(lp) as handle:
+            tbl = pq.read_table(handle)
+        cols = tbl.column_names
+        for d in tbl.to_pylist():
+            out.append((cols, d))
+    return out
 
 
 @dataclass
