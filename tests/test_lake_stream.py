@@ -156,3 +156,54 @@ def test_reader_option_walls(tmp_path):
     r = DeltaChangesStreamReader(None, {"path": str(tmp_path / "no")})
     with pytest.raises(DeltaChangeFeedError, match="no delta table"):
         r.initialOffset()
+
+
+def test_iceberg_streaming_source(spark, tmp_path):
+    """Iceberg twin: sequence-number offsets, exactly-once across
+    restarts, non-append snapshots fail typed."""
+    from tulflow_spark.ext.iceberg import (
+        append_iceberg_fixture,
+        delete_positions_iceberg_fixture,
+        write_iceberg_fixture,
+    )
+    from tulflow_spark.sources.lake_stream import IcebergChangesSource
+
+    spark.dataSource.register(IcebergChangesSource)
+    t = str(tmp_path / "tbl")
+    ckpt = str(tmp_path / "ckpt")
+    out = str(tmp_path / "out")
+    write_iceberg_fixture(spark, _df(spark, 0, 5), t)
+
+    def drain():
+        q = (spark.readStream.format("tulflow_iceberg_changes")
+             .option("path", t).option("startingSequence", "0").load()
+             .writeStream.format("parquet").option("path", out)
+             .option("checkpointLocation", ckpt)
+             .trigger(availableNow=True).start())
+        q.awaitTermination(180)
+        try:
+            return sorted(r["id"] for r in
+                          spark.read.parquet(out).select("id").collect())
+        except Exception:
+            return []
+
+    assert drain() == list(range(5))
+    append_iceberg_fixture(spark, _df(spark, 5, 8), t)
+    assert drain() == list(range(8))       # only the new batch arrived
+    assert drain() == list(range(8))       # nothing new: no duplicates
+    # a positional-delete snapshot in range fails the batch typed
+    import pyarrow.parquet as pq_
+
+    from tulflow_spark.ext.iceberg import _live_files, load_table_metadata
+
+    files, _ = _live_files(load_table_metadata(t), None)
+    delete_positions_iceberg_fixture(spark, t, {files[0]["file_path"]: [0]})
+    from pyspark.errors.exceptions.captured import StreamingQueryException
+
+    q = (spark.readStream.format("tulflow_iceberg_changes")
+         .option("path", t).option("startingSequence", "0").load()
+         .writeStream.format("parquet").option("path", out)
+         .option("checkpointLocation", ckpt)
+         .trigger(availableNow=True).start())
+    with pytest.raises(StreamingQueryException, match="not append-only"):
+        q.awaitTermination(180)

@@ -211,3 +211,181 @@ class DeltaChangesSource(DataSource):
 
     def streamReader(self, schema: StructType):
         return DeltaChangesStreamReader(schema, dict(self.options))
+
+
+# ---------------------------------------------------------------------------
+# Iceberg variant: offsets are SEQUENCE NUMBERS (snapshot ids are
+# random 64-bit longs and carry no order)
+# ---------------------------------------------------------------------------
+
+
+class IcebergChangesStreamReader(DataSourceStreamReader):
+    def __init__(self, schema: StructType, options: dict):
+        self._path = options.get("path")
+        if not self._path:
+            raise DeltaChangeFeedError(
+                "tulflow_iceberg_changes needs .option('path', <table>)")
+        start = options.get("startingsequence",
+                            options.get("startingSequence"))
+        self._starting = None if start is None else int(start)
+
+    @staticmethod
+    def _ordered_snaps(meta: dict) -> list[dict]:
+        return sorted(
+            (s for s in meta.get("snapshots") or []),
+            key=lambda s: (int(s["sequence-number"])
+                           if s.get("sequence-number") is not None
+                           else int(s.get("timestamp-ms") or 0)))
+
+    def _latest_seq(self) -> int:
+        from tulflow_spark.ext.iceberg import load_table_metadata
+
+        meta = load_table_metadata(self._path)
+        snaps = self._ordered_snaps(meta)
+        if not snaps:
+            return 0
+        last = snaps[-1]
+        return int(last.get("sequence-number")
+                   or last.get("timestamp-ms") or 0)
+
+    def initialOffset(self) -> dict:
+        return {"seq": self._latest_seq() if self._starting is None
+                else max(0, self._starting)}
+
+    def latestOffset(self) -> dict:
+        return {"seq": self._latest_seq()}
+
+    def partitions(self, start: dict, end: dict) -> list[InputPartition]:
+        from tulflow_spark.ext.iceberg import (
+            IcebergError,
+            _manifest_entries,
+            _read_manifest,
+            load_table_metadata,
+        )
+
+        lo, hi = int(start["seq"]), int(end["seq"])
+        if hi <= lo:
+            return []
+        try:
+            meta = load_table_metadata(self._path)
+        except IcebergError as exc:
+            raise DeltaChangeFeedError(str(exc)) from None
+        snaps = self._ordered_snaps(meta)
+
+        def seq_of(s: dict) -> int:
+            return int(s.get("sequence-number")
+                       or s.get("timestamp-ms") or 0)
+
+        in_range = [s for s in snaps if lo < seq_of(s) <= hi]
+        if not in_range:
+            return []
+        for s in in_range:
+            op = (s.get("summary") or {}).get("operation")
+            if op is not None and op != "append":
+                raise DeltaChangeFeedError(
+                    f"snapshot {s['snapshot-id']} is {op!r}: not "
+                    "append-only — re-sync from a snapshot read")
+        ids = {s["snapshot-id"] for s in in_range}
+        out: list[InputPartition] = []
+        try:
+            for mf in _manifest_entries(in_range[-1]):
+                mf_snap = mf.get("added_snapshot_id")
+                if mf_snap is not None and mf_snap not in ids:
+                    continue
+                mpath, entries = _read_manifest(mf)
+                for e in entries:
+                    sid = e.get("snapshot_id")
+                    own = sid is None or sid in ids
+                    if e.get("status") == 2 and own:
+                        raise DeltaChangeFeedError(
+                            f"manifest {mpath!r} tombstones files in "
+                            "range (rewrite): not append-only")
+                    if e.get("status") != 1 or not own:
+                        continue
+                    dfile = e.get("data_file") or {}
+                    if int(dfile.get("content") or 0) != 0:
+                        raise DeltaChangeFeedError(
+                            "delete files in range: not append-only")
+                    out.append(_IceFilePartition(
+                        dfile["file_path"],
+                        str(dfile.get("file_format") or "").upper()))
+        except IcebergError as exc:
+            raise DeltaChangeFeedError(str(exc)) from None
+        return out
+
+    def read(self, partition: "_IceFilePartition"):
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        from tulflow_spark import fsio
+        from tulflow_spark.ext.iceberg import _plain_path
+
+        fs, lp = fsio.resolve(_plain_path(partition.file_path))
+        with fs.open_input_file(lp) as handle:
+            if partition.file_format == "ORC":
+                import pyarrow.orc as po
+
+                yield from po.read_table(handle).to_batches()
+            else:
+                pf = pq.ParquetFile(handle)
+                for batch in pf.iter_batches():
+                    yield from pa.Table.from_batches([batch]).to_batches()
+
+    def commit(self, end: dict) -> None:
+        pass
+
+
+class IcebergChangesSource(DataSource):
+    """``spark.readStream.format("tulflow_iceberg_changes")``."""
+
+    @classmethod
+    def name(cls) -> str:
+        return "tulflow_iceberg_changes"
+
+    def schema(self):
+        from pyspark.sql.types import (
+            BinaryType,
+            BooleanType,
+            DateType,
+            DoubleType,
+            FloatType,
+            IntegerType,
+            LongType,
+            StringType,
+            StructField,
+        )
+        from pyspark.sql.types import StructType as _St
+
+        from tulflow_spark.ext.iceberg import (
+            _current_schema,
+            load_table_metadata,
+        )
+
+        path = self.options.get("path")
+        if not path:
+            raise DeltaChangeFeedError(
+                "tulflow_iceberg_changes needs .option('path', <table>)")
+        spark_of = {"long": LongType(), "int": IntegerType(),
+                    "string": StringType(), "double": DoubleType(),
+                    "float": FloatType(), "boolean": BooleanType(),
+                    "binary": BinaryType(), "date": DateType()}
+        fields = []
+        for f in _current_schema(load_table_metadata(path)).get(
+                "fields", []):
+            t = f.get("type")
+            if not isinstance(t, str) or t not in spark_of:
+                raise DeltaChangeFeedError(
+                    f"column {f.get('name')!r} type {t!r} not "
+                    "supported by the streaming source")
+            fields.append(StructField(f["name"], spark_of[t],
+                                      not f.get("required", False)))
+        return _St(fields)
+
+    def streamReader(self, schema: StructType):
+        return IcebergChangesStreamReader(schema, dict(self.options))
+
+
+class _IceFilePartition(InputPartition):
+    def __init__(self, file_path: str, file_format: str):
+        self.file_path = file_path
+        self.file_format = file_format
