@@ -463,3 +463,34 @@ def test_expire_snapshots(spark, tmp_path):
                                      min_age_seconds=0.0)
     assert "data/orphan.parquet" in gone2
     assert read_iceberg(spark, t).count() == 11
+
+
+def test_changes_read_orc_tables(spark, tmp_path):
+    t = str(tmp_path / "tbl")
+    s1 = write_iceberg_fixture(spark, _df(spark, 0, 5), t,
+                               file_format="orc")
+    append_iceberg_fixture(spark, _df(spark, 5, 8), t)
+    got = read_iceberg_changes(spark, t, from_snapshot_id=s1)
+    assert _ids(got) == [5, 6, 7]
+
+
+def test_append_after_expire_never_overwrites_metadata(spark, tmp_path):
+    """Metadata file versions come from the hint: an append after
+    expire must write a NEW metadata json, not clobber expire's."""
+    import os
+
+    from tulflow_spark.ext.iceberg import expire_iceberg_snapshots
+
+    t = str(tmp_path / "tbl")
+    write_iceberg_fixture(spark, _df(spark, 0, 4), t)         # v1
+    append_iceberg_fixture(spark, _df(spark, 4, 6), t)        # v2
+    expire_iceberg_snapshots(spark, t, keep_last=1,
+                             min_age_seconds=0.0)             # v3
+    before = open(f"{t}/metadata/v3.metadata.json").read()
+    append_iceberg_fixture(spark, _df(spark, 6, 9), t)        # v4
+    assert open(f"{t}/metadata/v3.metadata.json").read() == before
+    assert sorted(os.listdir(f"{t}/metadata"))[-1:] != []
+    assert _ids(read_iceberg(spark, t)) == list(range(9))
+    # no-hint discovery picks the POST-expire lineage
+    os.remove(f"{t}/metadata/version-hint.text")
+    assert len(iceberg_snapshots(t)) == 2   # kept snapshot + new append

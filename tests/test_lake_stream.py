@@ -207,3 +207,66 @@ def test_iceberg_streaming_source(spark, tmp_path):
          .trigger(availableNow=True).start())
     with pytest.raises(StreamingQueryException, match="not append-only"):
         q.awaitTermination(180)
+
+
+def test_delta_stream_int_partition_and_mapped_wall(
+        registered, tmp_path):
+    """Partition values inject with the DECLARED Arrow type (an int32
+    column must not arrive int64); column-mapped tables wall typed."""
+    from pyspark.sql import functions as F
+
+    spark = registered
+    t = str(tmp_path / "tbl")
+    df = (spark.createDataFrame([(i, f"x{i}") for i in range(6)],
+                                "id long, v string")
+          .withColumn("y", (F.col("id") % 2).cast("int")))
+    write_delta(df, t, partition_by=["y"])
+    got = (spark.readStream.format("tulflow_delta_changes")
+           .option("path", t).option("startingVersion", "-1").load())
+    q = (got.writeStream.format("memory").queryName("ip")
+         .trigger(availableNow=True).start())
+    q.awaitTermination(180)
+    rows = spark.sql("select * from ip").collect()
+    assert sorted(r["id"] for r in rows) == list(range(6))
+    assert all(r["y"] == r["id"] % 2 for r in rows)
+    # column-mapped table: typed wall, not an executor KeyError
+    from pyspark.errors.exceptions.captured import StreamingQueryException
+
+    from tulflow_spark.ext.delta_log import write_column_mapped_fixture
+
+    t2 = str(tmp_path / "tbl2")
+    write_column_mapped_fixture(
+        spark, spark.createDataFrame([(1, "a")], "id long, v string"),
+        t2)
+    q2 = (spark.readStream.format("tulflow_delta_changes")
+          .option("path", t2).option("startingVersion", "-1").load()
+          .writeStream.format("memory").queryName("cm")
+          .trigger(availableNow=True).start())
+    with pytest.raises(StreamingQueryException, match="column mapping"):
+        q2.awaitTermination(180)
+
+
+def test_iceberg_stream_expired_range_fails_typed(spark, tmp_path):
+    """Snapshots expired out of a replayed range must fail the batch
+    typed, never commit an empty batch (silent data loss)."""
+    from tulflow_spark.ext.iceberg import (
+        append_iceberg_fixture,
+        expire_iceberg_snapshots,
+        write_iceberg_fixture,
+    )
+    from tulflow_spark.sources.lake_stream import (
+        IcebergChangesStreamReader,
+    )
+
+    t = str(tmp_path / "tbl")
+    write_iceberg_fixture(spark, _df(spark, 0, 4), t)     # seq 1
+    append_iceberg_fixture(spark, _df(spark, 4, 6), t)    # seq 2
+    append_iceberg_fixture(spark, _df(spark, 6, 8), t)    # seq 3
+    expire_iceberg_snapshots(spark, t, keep_last=1,
+                             min_age_seconds=0.0)
+    r = IcebergChangesStreamReader(None, {"path": t})
+    with pytest.raises(DeltaChangeFeedError, match="expired"):
+        r.partitions({"seq": 0}, {"seq": 1})
+    with pytest.raises(DeltaChangeFeedError, match="re-sync"):
+        r.partitions({"seq": 0}, {"seq": 3})   # partial gap (1,2 gone)
+    assert len(r.partitions({"seq": 2}, {"seq": 3})) >= 1  # intact tail

@@ -446,8 +446,27 @@ def read_iceberg_changes(
     if not added:
         raise IcebergError("no data files added in the change range")
     _check_name_resolution(_schema_for(meta, to_snap), added)
-    return spark.read.parquet(
-        *[_plain_path(d["file_path"]) for d in added])
+    return _format_scan(spark, added)
+
+
+def _format_scan(spark: SparkSession, data_files: list[dict]) -> DataFrame:
+    """One scan over data files of possibly mixed formats (parquet +
+    ORC groups unioned by name)."""
+    pq_paths = [_plain_path(d["file_path"]) for d in data_files
+                if str(d.get("file_format") or "").upper() == "PARQUET"]
+    orc_paths = [_plain_path(d["file_path"]) for d in data_files
+                 if str(d.get("file_format") or "").upper() == "ORC"]
+    frames = []
+    if pq_paths:
+        frames.append(spark.read.parquet(*pq_paths))
+    if orc_paths:
+        # DataFrameReader.orc takes a LIST (varargs would land the
+        # second path in mergeSchema)
+        frames.append(spark.read.orc(orc_paths))
+    scan = frames[0]
+    for f in frames[1:]:
+        scan = scan.unionByName(f)
+    return scan
 
 
 def read_iceberg(
@@ -509,23 +528,11 @@ def read_iceberg(
         # non-identity / unknown column: no partition pruning
         # (bounds pruning still applies when stats exist — correct
         # either way, just unpruned without them)
-    pq_paths = [_plain_path(d["file_path"]) for d in data_files
-                if str(d.get("file_format") or "").upper() == "PARQUET"]
-    orc_paths = [_plain_path(d["file_path"]) for d in data_files
-                 if str(d.get("file_format") or "").upper() == "ORC"]
-    frames = []
-    if pq_paths:
-        frames.append(spark.read.parquet(*pq_paths))
-    if orc_paths:
-        # DataFrameReader.orc takes a LIST (varargs would land the
-        # second path in mergeSchema)
-        frames.append(spark.read.orc(orc_paths))
-    scan = frames[0]
-    for f in frames[1:]:
-        scan = scan.unionByName(f)
+    scan = _format_scan(spark, data_files)
     if not delete_files:
         return scan
-    if orc_paths:
+    if any(str(d.get("file_format") or "").upper() == "ORC"
+           for d in data_files):
         # position deletes subtract via _metadata.row_index, which
         # Spark exposes for parquet only — applying them to an ORC
         # scan would silently keep deleted rows
@@ -774,10 +781,15 @@ def _commit_snapshot(path: str, meta: dict | None, df_schema: list[dict],
     version hint."""
     import uuid as _uuid
 
-    version = 1 if meta is None else \
+    snap_id = 1 if meta is None else \
         int(meta["current-snapshot-id"]) + 1
-    snap_id = version
     mdir = f"{path}/metadata"
+    # the metadata FILE version comes from the hint, not the snapshot
+    # id — maintenance ops (expire) write metadata without a snapshot,
+    # and deriving from snapshot ids would overwrite their files
+    hint = f"{mdir}/version-hint.text"
+    version = 1 if meta is None else \
+        int(_read_bytes(hint).decode().strip()) + 1
     manifest_blob = write_ocf(
         _manifest_schema(part_avro_fields),
         [{"status": 1, "snapshot_id": snap_id, "data_file": d}
@@ -1014,7 +1026,9 @@ def expire_iceberg_snapshots(spark: SparkSession, path: str,
     v = int(_read_bytes(hint).decode().strip())
     new_meta = dict(meta)
     new_meta["snapshots"] = kept
-    new_meta["last-updated-ms"] = version
+    # bump the discovery tiebreak past the pre-expire metadata (same
+    # last-sequence-number), so no-hint discovery picks the pruned one
+    new_meta["last-updated-ms"] = int(meta.get("last-updated-ms") or 0) + 1
     _write_bytes(f"{path}/metadata/v{v + 1}.metadata.json",
                  json.dumps(new_meta, indent=1).encode("utf-8"))
     fsio.write_text(hint, str(v + 1))

@@ -56,13 +56,31 @@ class DeltaChangeFeedError(ValueError):
 
 class _AddFilePartition(InputPartition):
     def __init__(self, scan_path: str, part_values: list,
-                 data_cols: list[str], all_cols: list[str],
-                 schema_json: str):
+                 all_cols: list[str]):
         self.scan_path = scan_path
-        self.part_values = part_values      # [(col, python value), ...]
-        self.data_cols = data_cols
+        # [(col, python value, arrow type name), ...]
+        self.part_values = part_values
         self.all_cols = all_cols
-        self.schema_json = schema_json
+
+
+# Spark simpleString → pyarrow factory for partition-value injection:
+# the injected array must carry the DECLARED type (pa.array would
+# infer int64 for an int32 column and fail Arrow→Spark conversion; a
+# null value would infer null type)
+_PA_OF = {
+    "tinyint": "int8", "smallint": "int16", "int": "int32",
+    "bigint": "int64", "float": "float32", "double": "float64",
+    "string": "string", "boolean": "bool_", "date": "date32",
+    "timestamp": "timestamp_us",
+}
+
+
+def _pa_type(name: str):
+    import pyarrow as pa
+
+    if name == "timestamp_us":
+        return pa.timestamp("us")
+    return getattr(pa, name)()
 
 
 class DeltaChangesStreamReader(DataSourceStreamReader):
@@ -85,6 +103,11 @@ class DeltaChangesStreamReader(DataSourceStreamReader):
         if latest is None:
             raise DeltaChangeFeedError(
                 f"no delta table at {self._path}")
+        if self._starting is not None and not \
+                -1 <= self._starting <= latest:
+            raise DeltaChangeFeedError(
+                f"startingVersion {self._starting} out of bounds "
+                f"(latest is {latest})")
         # default: only data committed AFTER the stream starts;
         # startingVersion=-1 replays the whole table as batch one
         return {"version": latest if self._starting is None
@@ -141,11 +164,35 @@ class DeltaChangesStreamReader(DataSourceStreamReader):
             raise DeltaChangeFeedError(str(exc)) from None
         if snap.schema_str is None:
             raise DeltaChangeFeedError("table has no metaData schema")
+        mode = (snap.configuration or {}).get(
+            "delta.columnMapping.mode") or "none"
+        if mode != "none":
+            # data files carry PHYSICAL col-NNNN names; scheduling them
+            # against the logical schema would misread on executors
+            raise DeltaChangeFeedError(
+                f"column mapping mode {mode!r} not supported by the "
+                "streaming source (use read_delta_changes)")
+        # compacted-then-vacuumed guard (the batch API's typed wall):
+        # a tombstoned file in the range may be gone from disk — fail
+        # the batch here, not with an executor IOException mid-job
+        from tulflow_spark import fsio as _fsio
+
+        for raw in changed:
+            if raw not in snap.live and not _fsio.exists(
+                    _scan_path(self._path, raw)):
+                raise DeltaChangeFeedError(
+                    f"change range delivers {raw!r}, which was "
+                    "compacted and vacuumed — re-sync from a snapshot "
+                    "read")
         schema = _St.fromJson(json.loads(snap.schema_str))
         types = {f.name: f.dataType for f in schema.fields}
         part_cols = list(snap.partition_cols)
-        data_cols = [f.name for f in schema.fields
-                     if f.name not in part_cols]
+        unsupported = [c for c in part_cols
+                       if types[c].simpleString() not in _PA_OF]
+        if unsupported:
+            raise DeltaChangeFeedError(
+                f"partition column types {unsupported} not supported "
+                "by the streaming source")
         out: list[InputPartition] = []
         for p in sorted(changed):
             add = changed[p]
@@ -155,10 +202,11 @@ class DeltaChangesStreamReader(DataSourceStreamReader):
                 if c not in pv:
                     raise DeltaChangeFeedError(
                         f"add {p!r} missing partitionValues[{c!r}]")
-                pvals.append((c, _partition_value(pv[c], types[c], c)))
+                pvals.append((c, _partition_value(pv[c], types[c], c),
+                              _PA_OF[types[c].simpleString()]))
             out.append(_AddFilePartition(
-                _scan_path(self._path, p), pvals, data_cols,
-                [f.name for f in schema.fields], snap.schema_str))
+                _scan_path(self._path, p), pvals,
+                [f.name for f in schema.fields]))
         return out
 
     # -- executor-side read (Arrow batches, one file per task) --------
@@ -175,9 +223,9 @@ class DeltaChangesStreamReader(DataSourceStreamReader):
             for batch in pf.iter_batches():
                 tbl = pa.Table.from_batches([batch])
                 n = tbl.num_rows
-                for col, val in partition.part_values:
+                for col, val, pa_name in partition.part_values:
                     tbl = tbl.append_column(
-                        col, pa.array([val] * n))
+                        col, pa.array([val] * n, type=_pa_type(pa_name)))
                 tbl = tbl.select(partition.all_cols)
                 yield from tbl.to_batches()
 
@@ -230,23 +278,25 @@ class IcebergChangesStreamReader(DataSourceStreamReader):
         self._starting = None if start is None else int(start)
 
     @staticmethod
-    def _ordered_snaps(meta: dict) -> list[dict]:
-        return sorted(
-            (s for s in meta.get("snapshots") or []),
-            key=lambda s: (int(s["sequence-number"])
-                           if s.get("sequence-number") is not None
-                           else int(s.get("timestamp-ms") or 0)))
+    def _seq_of(s: dict) -> int:
+        # NOT `or`-chained: sequence-number 0 is a legal spec value
+        # (pre-upgrade v1 snapshots) and must not fall back to the
+        # epoch-millisecond timestamp
+        if s.get("sequence-number") is not None:
+            return int(s["sequence-number"])
+        return int(s.get("timestamp-ms") or 0)
+
+    @classmethod
+    def _ordered_snaps(cls, meta: dict) -> list[dict]:
+        return sorted((s for s in meta.get("snapshots") or []),
+                      key=cls._seq_of)
 
     def _latest_seq(self) -> int:
         from tulflow_spark.ext.iceberg import load_table_metadata
 
         meta = load_table_metadata(self._path)
         snaps = self._ordered_snaps(meta)
-        if not snaps:
-            return 0
-        last = snaps[-1]
-        return int(last.get("sequence-number")
-                   or last.get("timestamp-ms") or 0)
+        return self._seq_of(snaps[-1]) if snaps else 0
 
     def initialOffset(self) -> dict:
         return {"seq": self._latest_seq() if self._starting is None
@@ -271,14 +321,24 @@ class IcebergChangesStreamReader(DataSourceStreamReader):
         except IcebergError as exc:
             raise DeltaChangeFeedError(str(exc)) from None
         snaps = self._ordered_snaps(meta)
-
-        def seq_of(s: dict) -> int:
-            return int(s.get("sequence-number")
-                       or s.get("timestamp-ms") or 0)
-
-        in_range = [s for s in snaps if lo < seq_of(s) <= hi]
+        in_range = [s for s in snaps if lo < self._seq_of(s) <= hi]
         if not in_range:
-            return []
+            # hi > lo means snapshots WERE committed in this range;
+            # their absence from the metadata means expiration removed
+            # them — committing an empty batch would silently drop
+            # their rows forever
+            raise DeltaChangeFeedError(
+                f"snapshots in range ({lo}, {hi}] expired from the "
+                "table metadata — re-sync from a snapshot read")
+        seqs = {self._seq_of(s) for s in in_range
+                if s.get("sequence-number") is not None}
+        if seqs and seqs != set(range(lo + 1, hi + 1)):
+            # v2 sequence numbers increment by one per commit: a gap
+            # means PART of the range was expired
+            raise DeltaChangeFeedError(
+                f"range ({lo}, {hi}] is missing expired snapshots "
+                f"(have sequences {sorted(seqs)}) — re-sync from a "
+                "snapshot read")
         for s in in_range:
             op = (s.get("summary") or {}).get("operation")
             if op is not None and op != "append":
@@ -306,9 +366,13 @@ class IcebergChangesStreamReader(DataSourceStreamReader):
                     if int(dfile.get("content") or 0) != 0:
                         raise DeltaChangeFeedError(
                             "delete files in range: not append-only")
+                    fmt = str(dfile.get("file_format") or "").upper()
+                    if fmt not in ("PARQUET", "ORC"):
+                        raise DeltaChangeFeedError(
+                            f"data file format {fmt!r} not supported "
+                            "(PARQUET and ORC are)")
                     out.append(_IceFilePartition(
-                        dfile["file_path"],
-                        str(dfile.get("file_format") or "").upper()))
+                        dfile["file_path"], fmt))
         except IcebergError as exc:
             raise DeltaChangeFeedError(str(exc)) from None
         return out
