@@ -494,3 +494,60 @@ def test_append_after_expire_never_overwrites_metadata(spark, tmp_path):
     # no-hint discovery picks the POST-expire lineage
     os.remove(f"{t}/metadata/version-hint.text")
     assert len(iceberg_snapshots(t)) == 2   # kept snapshot + new append
+
+
+def test_rewrite_data_files_compacts_and_applies_deletes(
+        spark, tmp_path):
+    """rewrite_data_files: full-state replace snapshot — untouched
+    files carry as EXISTING, compacted groups collapse to one ADDED
+    file, inputs and delete files are tombstoned; deletes are APPLIED
+    so reads stop anti-joining; expire then reclaims the old bytes."""
+    import os
+
+    from tulflow_spark.ext.iceberg import (
+        expire_iceberg_snapshots,
+        rewrite_iceberg_data_files,
+    )
+
+    t = str(tmp_path / "tbl")
+    write_iceberg_fixture(spark, _df(spark, 0, 10), t,
+                          partition_by=["b"])                  # s1
+    append_iceberg_fixture(spark, _df(spark, 10, 20), t)       # s2
+    # positional-delete ids % 7 == 0
+    dels = {}
+    for fp, ids in _file_ids(t).items():
+        pos = [i for i, x in enumerate(ids) if x % 7 == 0]
+        if pos:
+            dels[fp] = pos
+    delete_positions_iceberg_fixture(spark, t, dels)           # s3
+    before_files = len(read_iceberg(spark, t).inputFiles())
+    s4 = rewrite_iceberg_data_files(spark, t)
+    want = [i for i in range(20) if i % 7]
+    got = read_iceberg(spark, t)
+    assert _ids(got) == want
+    # one file per partition group, and no delete anti-join remains
+    assert len(got.inputFiles()) == 3 < before_files
+    files, del_files = _live_files(load_table_metadata(t), None)
+    assert del_files == []
+    # time travel below the rewrite still merge-on-reads
+    assert _ids(read_iceberg(spark, t, snapshot_id=s4 - 1)) == want
+    # incremental consumers refuse to cross the replace snapshot
+    with pytest.raises(IcebergError, match="not append-only"):
+        read_iceberg_changes(spark, t, from_snapshot_id=1)
+    # expire reclaims the rewritten inputs
+    gone = expire_iceberg_snapshots(spark, t, keep_last=1,
+                                    min_age_seconds=0.0)
+    assert any(g.endswith(".parquet") for g in gone)
+    assert _ids(read_iceberg(spark, t)) == want
+    # appends keep working after the rewrite
+    append_iceberg_fixture(spark, _df(spark, 20, 22), t)
+    assert read_iceberg(spark, t).count() == len(want) + 2
+
+
+def test_rewrite_noop_below_min_files(spark, tmp_path):
+    from tulflow_spark.ext.iceberg import rewrite_iceberg_data_files
+
+    t = str(tmp_path / "tbl")
+    write_iceberg_fixture(spark, _df(spark, 0, 6), t)
+    assert rewrite_iceberg_data_files(spark, t, min_files=2) is None
+    assert _ids(read_iceberg(spark, t)) == list(range(6))

@@ -531,6 +531,17 @@ def read_iceberg(
     scan = _format_scan(spark, data_files)
     if not delete_files:
         return scan
+    return _apply_position_deletes(spark, scan, data_files,
+                                   delete_files)
+
+
+def _apply_position_deletes(spark: SparkSession, scan: DataFrame,
+                            data_files: list[dict],
+                            delete_files: list[dict]) -> DataFrame:
+    """Subtract v2 positional deletes from ``scan`` via a broadcast
+    anti-join on normalized file path + row position."""
+    from pyspark.sql import functions as F
+
     if any(str(d.get("file_format") or "").upper() == "ORC"
            for d in data_files):
         # position deletes subtract via _metadata.row_index, which
@@ -775,10 +786,17 @@ def _commit_snapshot(path: str, meta: dict | None, df_schema: list[dict],
                      part_fields: list[dict],
                      new_manifest_records: list[dict],
                      manifest_content: int,
-                     part_avro_fields: list[tuple[str, str]]) -> int:
-    """Append one snapshot: write the manifest, a manifest list that
-    carries forward prior manifests, and the next metadata JSON +
-    version hint."""
+                     part_avro_fields: list[tuple[str, str]],
+                     *,
+                     manifest_entries: list[dict] | None = None,
+                     carry_prior: bool = True,
+                     operation: str = "append") -> int:
+    """Commit one snapshot: write the manifest (ADDED entries from
+    ``new_manifest_records``, or the explicit ``manifest_entries``
+    with their own statuses for rewrites), a manifest list that
+    carries forward prior manifests (unless ``carry_prior=False`` —
+    rewrites publish a FULL-STATE manifest instead), and the next
+    metadata JSON + version hint."""
     import uuid as _uuid
 
     snap_id = 1 if meta is None else \
@@ -790,15 +808,17 @@ def _commit_snapshot(path: str, meta: dict | None, df_schema: list[dict],
     hint = f"{mdir}/version-hint.text"
     version = 1 if meta is None else \
         int(_read_bytes(hint).decode().strip()) + 1
+    if manifest_entries is None:
+        manifest_entries = [
+            {"status": 1, "snapshot_id": snap_id, "data_file": d}
+            for d in new_manifest_records
+        ]
     manifest_blob = write_ocf(
-        _manifest_schema(part_avro_fields),
-        [{"status": 1, "snapshot_id": snap_id, "data_file": d}
-         for d in new_manifest_records],
-    )
+        _manifest_schema(part_avro_fields), manifest_entries)
     mpath = f"{mdir}/manifest-s{snap_id}.avro"
     _write_bytes(mpath, manifest_blob)
     prior_entries: list[dict] = []
-    if meta is not None:
+    if meta is not None and carry_prior:
         cur = next(s for s in meta["snapshots"]
                    if s["snapshot-id"] == meta["current-snapshot-id"])
         prior_entries = read_ocf(_read_bytes(cur["manifest-list"]))
@@ -818,7 +838,7 @@ def _commit_snapshot(path: str, meta: dict | None, df_schema: list[dict],
         "timestamp-ms": snap_id,        # deterministic fixture clock
         "sequence-number": snap_id,
         "manifest-list": f"file://{fsio.resolve(ml_path)[1]}",
-        "summary": {"operation": "append"},
+        "summary": {"operation": operation},
     })
     new_meta = {
         "format-version": 2,
@@ -1010,6 +1030,12 @@ def expire_iceberg_snapshots(spark: SparkSession, path: str,
                 referenced.add(r)
             _, entries = _read_manifest(mf)
             for e in entries:
+                if e.get("status") == 2:
+                    # a DELETED tombstone: no kept snapshot reads the
+                    # file through THIS manifest (an older kept
+                    # snapshot that can still read it references it
+                    # via its own manifest list above)
+                    continue
                 dfile = e.get("data_file") or {}
                 fp = dfile.get("file_path")
                 if fp:
@@ -1054,3 +1080,69 @@ def expire_iceberg_snapshots(spark: SparkSession, path: str,
         fs.delete_file(info.path)
         deleted.append(rel)
     return sorted(deleted)
+
+
+def rewrite_iceberg_data_files(spark: SparkSession, path: str,
+                               min_files: int = 2) -> int | None:
+    """Iceberg compaction (the ``rewrite_data_files`` maintenance op,
+    and the OPTIMIZE analog of ``delta_log.optimize_delta``): bin-pack
+    each partition group holding >= ``min_files`` data files into one
+    file per group, committing a ``replace`` snapshot whose manifest
+    is FULL-STATE — EXISTING entries for untouched files, ADDED for
+    the compacted outputs, DELETED tombstones for the rewritten
+    inputs.  When positional delete files exist, the rewrite APPLIES
+    them (all groups compact, the delete files are tombstoned) — the
+    merge-on-read debt is paid down and reads stop anti-joining.
+
+    Returns the new snapshot id, or None when no group qualifies.
+    Incremental consumers correctly refuse to cross it (operation
+    ``replace``); old files become reclaimable by
+    ``expire_iceberg_snapshots``."""
+    meta = load_table_metadata(path)
+    data_files, delete_files = _live_files(meta, None)
+    if not data_files:
+        raise IcebergError(f"nothing to rewrite at {path}")
+    schema = _current_schema(meta)
+    _check_name_resolution(schema, data_files)
+    ident = _identity_partition_names(meta, schema)
+    partition_by = list(ident.values())
+    groups: dict[tuple, list[dict]] = {}
+    for d in data_files:
+        key = tuple(sorted((d.get("partition") or {}).items(),
+                           key=lambda kv: kv[0]))
+        groups.setdefault(key, []).append(d)
+    if delete_files:
+        qualifying = set(groups)     # applying deletes rewrites all
+    else:
+        qualifying = {k for k, v in groups.items()
+                      if len(v) >= min_files}
+    if not qualifying:
+        return None
+    qual_files = [d for k in qualifying for d in groups[k]]
+    merged = _format_scan(spark, qual_files)
+    if delete_files:
+        merged = _apply_position_deletes(spark, merged, qual_files,
+                                         delete_files)
+    fmt = str(qual_files[0].get("file_format") or "PARQUET").lower()
+    seq = int(meta["current-snapshot-id"]) + 1
+    new_records = _stage_data_files(merged, path, seq, partition_by,
+                                    fmt)
+    entries = (
+        [{"status": 0, "snapshot_id": None, "data_file": d}
+         for k, fs_ in sorted(groups.items()) if k not in qualifying
+         for d in fs_]
+        + [{"status": 1, "snapshot_id": seq, "data_file": d}
+           for d in new_records]
+        + [{"status": 2, "snapshot_id": seq, "data_file": d}
+           for d in qual_files + delete_files]
+    )
+    ice_avro = {"long": "long", "int": "int", "string": "string"}
+    by_name = {f["name"]: f.get("type") for f in schema["fields"]}
+    part_avro = [(c, ice_avro.get(by_name.get(c), "long"))
+                 for c in partition_by]
+    specs = meta.get("partition-specs") or [{"spec-id": 0, "fields": []}]
+    return _commit_snapshot(
+        path, meta, schema["fields"],
+        specs[0].get("fields") or [], [], 0, part_avro,
+        manifest_entries=entries, carry_prior=False,
+        operation="replace")
