@@ -71,9 +71,10 @@ def test_r7_rotation_promotes_never_adjudicated_pairs():
     # promoted set (the gate budget is a hard 50) UNLESS they took a slot
     # in the same commit; names here run in the local parity suite this
     # round and queue for the r8 rotation.
-    # r11 rotation: dl6/ib1/ib2 promoted into the gate (they are the
-    # only never-adjudicated names and all hold slots this round)
-    added_post_rotation: set[str] = set()
+    # r11 rotation: dl6/ib1/ib2 promoted into the gate (they were the
+    # only never-adjudicated names at rotation time); sdc1 registered
+    # after the gate froze and queues for the r12 rotation
+    added_post_rotation: set[str] = {"sdc1_stream_delta_changes"}
     never -= added_post_rotation
     assert never <= set(QUERIES), (
         f"never-adjudicated but de-gated: {sorted(never - set(QUERIES))}"

@@ -561,3 +561,58 @@ def ib2_iceberg_changes(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("n_total", F.lit(total_n).cast("bigint"))
         .select("n_new", "sum_new_ids", "new_corpus_md5", "n_total")
     )
+
+
+@register(
+    "sdc1_stream_delta_changes",
+    oracle="""
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(SUM(doc_id) AS BIGINT) AS sum_doc_id,
+           md5(STRING_AGG(md5(text), '' ORDER BY md5(text)))
+               AS corpus_md5,
+           CAST(COUNT(DISTINCT CASE WHEN doc_id % 2 = 0
+                     THEN doc_id END) AS BIGINT) AS n_even
+    FROM documents
+    """,
+)
+def sdc1_stream_delta_changes(spark: SparkSession,
+                              sf_dir: str) -> DataFrame:
+    """The Structured Streaming Delta change-feed SOURCE driven end to
+    end: documents land in TWO Delta commits (odd doc_ids, then even),
+    a real ``spark.readStream.format("tulflow_delta_changes")`` query
+    drains both with availableNow into a memory sink, and the
+    aggregates of what ARRIVED must equal the DuckDB recomputation
+    over the raw table — streaming delivery == batch content, exactly
+    once.
+
+    At 100 TB: offsets are log versions (Spark's own offset log owns
+    progress), planning replays only new commit JSONs, and each task
+    Arrow-scans one added file — a poll is O(new data)."""
+    import tempfile
+    import uuid
+
+    from tulflow_spark.ext.delta_log import write_delta
+    from tulflow_spark.sources.lake_stream import DeltaChangesSource
+
+    docs = table(spark, sf_dir, "documents").select("doc_id", "text")
+    t = tempfile.mkdtemp(prefix="sdc1_") + "/tbl"
+    write_delta(docs.filter("doc_id % 2 = 1"), t)              # v0
+    write_delta(docs.filter("doc_id % 2 = 0"), t,
+                mode="append")                                 # v1
+    spark.dataSource.register(DeltaChangesSource)
+    sink = f"sdc1_{uuid.uuid4().hex[:8]}"
+    q = (spark.readStream.format("tulflow_delta_changes")
+         .option("path", t).option("startingVersion", "-1").load()
+         .writeStream.format("memory").queryName(sink)
+         .trigger(availableNow=True).start())
+    q.awaitTermination(300)
+    arrived = spark.table(sink)
+    return arrived.agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum("doc_id").cast("bigint").alias("sum_doc_id"),
+        F.md5(F.concat_ws("", F.array_sort(
+            F.collect_list(F.md5("text"))))).alias("corpus_md5"),
+        F.count_distinct(
+            F.when(F.col("doc_id") % 2 == 0, F.col("doc_id"))
+        ).cast("bigint").alias("n_even"),
+    ).select("n_rows", "sum_doc_id", "corpus_md5", "n_even")
