@@ -551,3 +551,22 @@ def test_rewrite_noop_below_min_files(spark, tmp_path):
     write_iceberg_fixture(spark, _df(spark, 0, 6), t)
     assert rewrite_iceberg_data_files(spark, t, min_files=2) is None
     assert _ids(read_iceberg(spark, t)) == list(range(6))
+
+
+def test_concurrent_commit_loses_typed(spark, tmp_path):
+    """The metadata file is the CAS commit point: a racer that derived
+    the same version raises IcebergConcurrentCommit instead of
+    silently overwriting the winner's commit."""
+    from tulflow_spark.ext.iceberg import IcebergConcurrentCommit
+
+    t = str(tmp_path / "tbl")
+    write_iceberg_fixture(spark, _df(spark, 0, 4), t)
+    meta = load_table_metadata(t)    # both racers read version 1
+    append_iceberg_fixture(spark, _df(spark, 4, 6), t)   # racer A wins
+    # racer B commits against the STALE metadata → same file version
+    from tulflow_spark.ext import iceberg as I
+
+    with pytest.raises(IcebergConcurrentCommit, match="retry"):
+        I._append(spark, _df(spark, 6, 8), t, [], meta)
+    # the winner's commit is intact
+    assert _ids(read_iceberg(spark, t)) == list(range(6))

@@ -44,6 +44,12 @@ class IcebergError(ValueError):
     """Typed failure for malformed or unsupported Iceberg tables."""
 
 
+class IcebergConcurrentCommit(IcebergError):
+    """A concurrent committer published the same metadata version
+    first: re-read and retry (the CAS-loser signal, like
+    ``DeltaConcurrentCommit``)."""
+
+
 # ---------------------------------------------------------------------------
 # metadata layer (driver-side, metadata-sized)
 # ---------------------------------------------------------------------------
@@ -683,9 +689,16 @@ def _stage_data_files(df: DataFrame, path: str, seq: int,
         groups = [({}, df)]
     fid_type = {f.name: (i + 1, _ICE_TYPES.get(f.dataType.simpleString()))
                 for i, f in enumerate(df.schema.fields)}
+    import uuid as _uuid
+
     orc = file_format.upper() == "ORC"
+    # unique per ATTEMPT: two racers staging for the same target
+    # version must not collide before the metadata CAS decides the
+    # winner (the loser's staged files are unreferenced orphans,
+    # reclaimable by expire)
+    attempt = _uuid.uuid4().hex[:8]
     for gi, (pvals, gdf) in enumerate(groups):
-        d = f"{path}/data/s{seq}-g{gi}"
+        d = f"{path}/data/s{seq}-{attempt}-g{gi}"
         if orc:
             gdf.coalesce(1).write.orc(d)
         else:
@@ -856,8 +869,20 @@ def _commit_snapshot(path: str, meta: dict | None, df_schema: list[dict],
         "current-snapshot-id": snap_id,
         "snapshots": snapshots,
     }
-    _write_bytes(f"{mdir}/v{version}.metadata.json",
-                 json.dumps(new_meta, indent=1).encode("utf-8"))
+    # CAS publish: the metadata file IS the commit point (create-if-
+    # absent, like the Delta log's commit JSON) — a racing committer
+    # that derived the same version loses typed instead of silently
+    # overwriting; its staged data files are unreferenced and
+    # reclaimable by expire's orphan cleanup
+    try:
+        fsio.write_text_exclusive(
+            f"{mdir}/v{version}.metadata.json",
+            json.dumps(new_meta, indent=1))
+    except FileExistsError:
+        raise IcebergConcurrentCommit(
+            f"metadata v{version} already exists (a concurrent commit "
+            "won): re-read the table and retry"
+        ) from None
     fsio.write_text(f"{mdir}/version-hint.text", str(version))
     return snap_id
 
@@ -1055,8 +1080,15 @@ def expire_iceberg_snapshots(spark: SparkSession, path: str,
     # bump the discovery tiebreak past the pre-expire metadata (same
     # last-sequence-number), so no-hint discovery picks the pruned one
     new_meta["last-updated-ms"] = int(meta.get("last-updated-ms") or 0) + 1
-    _write_bytes(f"{path}/metadata/v{v + 1}.metadata.json",
-                 json.dumps(new_meta, indent=1).encode("utf-8"))
+    try:
+        fsio.write_text_exclusive(
+            f"{path}/metadata/v{v + 1}.metadata.json",
+            json.dumps(new_meta, indent=1))
+    except FileExistsError:
+        raise IcebergConcurrentCommit(
+            f"metadata v{v + 1} already exists (a concurrent commit "
+            "won): re-read the table and retry the expire"
+        ) from None
     fsio.write_text(hint, str(v + 1))
     # metadata jsons (old versions) are never deleted here — they are
     # the audit log, tiny, and the hint pins the live one
