@@ -85,7 +85,12 @@ def load_table_metadata(path: str) -> dict:
         if not fsio.exists(cand):
             raise IcebergError(
                 f"version-hint says {v} but {cand!r} is missing")
-        return _parse_metadata(_read_bytes(cand), cand)
+        meta = _parse_metadata(_read_bytes(cand), cand)
+        # the loaded FILE version pins the commit CAS base: a writer
+        # holding this metadata commits v+1 create-if-absent, so a
+        # stale base loses typed instead of lost-updating
+        meta["__metadata_version"] = int(v)
+        return meta
     names = [n for n in fsio.list_names(mdir)
              if n.endswith(".metadata.json")]
     if not names:
@@ -94,6 +99,8 @@ def load_table_metadata(path: str) -> dict:
     # must not make a healthy table unreadable — parse each candidate
     # individually, keep the newest parseable one, and fail typed only
     # when NONE parses
+    import re
+
     best = None
     errors: list[str] = []
     for n in names:
@@ -102,6 +109,9 @@ def load_table_metadata(path: str) -> dict:
         except IcebergError as exc:
             errors.append(str(exc))
             continue
+        m = re.fullmatch(r"v(\d+)\.metadata\.json", n)
+        if m:
+            meta["__metadata_version"] = int(m.group(1))
         key = (int(meta.get("last-sequence-number") or 0),
                int(meta.get("last-updated-ms") or 0))
         if best is None or key > best[0]:
@@ -819,16 +829,26 @@ def _commit_snapshot(path: str, meta: dict | None, df_schema: list[dict],
     # id — maintenance ops (expire) write metadata without a snapshot,
     # and deriving from snapshot ids would overwrite their files
     hint = f"{mdir}/version-hint.text"
-    version = 1 if meta is None else \
-        int(_read_bytes(hint).decode().strip()) + 1
+    if meta is None:
+        version = 1
+    elif meta.get("__metadata_version") is not None:
+        # the caller's LOADED view pins the CAS base — deriving from
+        # the live hint would let a stale-base commit land as a new
+        # version and silently drop the interleaved commit
+        version = int(meta["__metadata_version"]) + 1
+    else:
+        version = int(_read_bytes(hint).decode().strip()) + 1
     if manifest_entries is None:
         manifest_entries = [
             {"status": 1, "snapshot_id": snap_id, "data_file": d}
             for d in new_manifest_records
         ]
+    # per-ATTEMPT unique names: a CAS loser must never have clobbered
+    # the winner's manifest files before the metadata create decides
+    attempt = _uuid.uuid4().hex[:8]
     manifest_blob = write_ocf(
         _manifest_schema(part_avro_fields), manifest_entries)
-    mpath = f"{mdir}/manifest-s{snap_id}.avro"
+    mpath = f"{mdir}/manifest-s{snap_id}-{attempt}.avro"
     _write_bytes(mpath, manifest_blob)
     prior_entries: list[dict] = []
     if meta is not None and carry_prior:
@@ -843,7 +863,7 @@ def _commit_snapshot(path: str, meta: dict | None, df_schema: list[dict],
         "added_snapshot_id": snap_id,
     }]
     ml_blob = write_ocf(_MANIFEST_LIST_SCHEMA, entries)
-    ml_path = f"{mdir}/snap-{snap_id}-manifest-list.avro"
+    ml_path = f"{mdir}/snap-{snap_id}-{attempt}-manifest-list.avro"
     _write_bytes(ml_path, ml_blob)
     snapshots = list(meta["snapshots"]) if meta else []
     snapshots.append({
@@ -1074,8 +1094,11 @@ def expire_iceberg_snapshots(spark: SparkSession, path: str,
     if not fsio.exists(hint):
         raise IcebergError(
             "expire needs the version-hint layout (fixture tables)")
-    v = int(_read_bytes(hint).decode().strip())
+    v = int(meta["__metadata_version"]) \
+        if meta.get("__metadata_version") is not None \
+        else int(_read_bytes(hint).decode().strip())
     new_meta = dict(meta)
+    new_meta.pop("__metadata_version", None)  # loader-private key
     new_meta["snapshots"] = kept
     # bump the discovery tiebreak past the pre-expire metadata (same
     # last-sequence-number), so no-hint discovery picks the pruned one
