@@ -198,7 +198,7 @@ def test_typed_walls(spark, tmp_path):
     with pytest.raises(IcebergError, match="field-id"):
         read_iceberg(spark, t)
 
-    # equality deletes wall
+    # malformed equality delete (no equality_ids) walls typed
     open(f"{mdir}/version-hint.text", "w").write("1")
     from tulflow_spark.ext import iceberg as I
 
@@ -220,7 +220,7 @@ def test_typed_walls(spark, tmp_path):
         fh.write(ml_blob)
     eq["snapshots"][0]["manifest-list"] = f"file://{mdir}/snap-eq.avro"
     json.dump(eq, open(f"{mdir}/v1.metadata.json", "w"))
-    with pytest.raises(IcebergError, match="equality deletes"):
+    with pytest.raises(IcebergError, match="equality_ids"):
         read_iceberg(spark, t)
 
 
@@ -570,3 +570,60 @@ def test_concurrent_commit_loses_typed(spark, tmp_path):
         I._append(spark, _df(spark, 6, 8), t, [], meta)
     # the winner's commit is intact
     assert _ids(read_iceberg(spark, t)) == list(range(6))
+
+
+def test_equality_deletes_sequence_semantics(spark, tmp_path):
+    """v2 equality deletes: matching rows written BEFORE the delete
+    disappear (null-safe match on equality_ids columns); rows appended
+    AFTER with the same values are untouched; composes with positional
+    deletes; rewrite pays the whole debt down."""
+    from tulflow_spark.ext.iceberg import (
+        delete_equality_iceberg_fixture,
+        rewrite_iceberg_data_files,
+    )
+
+    t = str(tmp_path / "tbl")
+    write_iceberg_fixture(spark, _df(spark, 0, 10), t)          # seq 1
+    # positional-delete id 0 first (composition)
+    fp, ids = next(iter(_file_ids(t).items()))
+    delete_positions_iceberg_fixture(spark, t, {fp: [ids.index(0)]})
+    # equality-delete v values of ids 3 and 4 (by the v column)
+    s_eq = delete_equality_iceberg_fixture(
+        spark, t, [{"v": "x3"}, {"v": "x4"}], ["v"])
+    assert _ids(read_iceberg(spark, t)) == [1, 2, 5, 6, 7, 8, 9]
+    # re-append a row with a DELETED value: it survives (seq order)
+    append_iceberg_fixture(
+        spark, spark.createDataFrame([(100, "x3", 0)],
+                                     "id long, v string, b long"), t)
+    assert _ids(read_iceberg(spark, t)) == [1, 2, 5, 6, 7, 8, 9, 100]
+    # time travel below the equality delete sees the old rows
+    assert len(_ids(read_iceberg(spark, t, snapshot_id=s_eq - 1))) == 9
+    # rewrite applies BOTH delete kinds and clears them
+    rewrite_iceberg_data_files(spark, t)
+    files, dels = _live_files(load_table_metadata(t), None)
+    assert dels == []
+    assert _ids(read_iceberg(spark, t)) == [1, 2, 5, 6, 7, 8, 9, 100]
+
+
+def test_equality_delete_null_safe_and_walls(spark, tmp_path):
+    from tulflow_spark.ext.iceberg import delete_equality_iceberg_fixture
+
+    t = str(tmp_path / "tbl")
+    df = spark.createDataFrame(
+        [(1, "a", 0), (2, None, 0), (3, "c", 1)],
+        "id long, v string, b long")
+    write_iceberg_fixture(spark, df, t)
+    # NULL matches NULL (IS NOT DISTINCT FROM semantics)
+    delete_equality_iceberg_fixture(spark, t, [{"v": None}], ["v"])
+    assert _ids(read_iceberg(spark, t)) == [1, 3]
+    with pytest.raises(IcebergError, match="not in the table"):
+        delete_equality_iceberg_fixture(spark, t, [{"z": 1}], ["z"])
+    with pytest.raises(IcebergError, match="exactly"):
+        delete_equality_iceberg_fixture(spark, t, [{"id": 1, "v": "a"}],
+                                        ["id"])
+    with pytest.raises(IcebergError, match="empty"):
+        delete_equality_iceberg_fixture(spark, t, [], ["v"])
+    # multi-column equality
+    delete_equality_iceberg_fixture(
+        spark, t, [{"id": 3, "v": "c"}], ["id", "v"])
+    assert _ids(read_iceberg(spark, t)) == [1]

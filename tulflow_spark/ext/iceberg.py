@@ -24,8 +24,9 @@ Resolution model and typed walls (never silent):
   official resolution is by field-id, which only diverges from names
   after a rename/drop — the guard detects the divergence on the first
   data file and refuses typed instead of misreading;
-- v2 equality deletes, format version 3+, and non-parquet data files
-  wall typed;
+- v2 EQUALITY deletes apply with sequence-number semantics (per-seq
+  frame groups, null-safe anti-joins on the equality_ids columns);
+  format version 3+ and non-parquet/ORC data files wall typed;
 - partition pruning applies to ``identity``-transform fields only
   (other transforms scan everything — correct, just unpruned).
 """
@@ -234,8 +235,12 @@ def _read_manifest(mf: dict) -> tuple[str, list[dict]]:
 
 def _live_files(meta: dict,
                 snapshot_id: int | None) -> tuple[list[dict], list[dict]]:
-    """(data_files, position_delete_files) live at the snapshot — the
-    manifest-list → manifest walk, all metadata-sized."""
+    """(data_files, delete_files) live at the snapshot — the
+    manifest-list → manifest walk, all metadata-sized.  Delete files
+    cover BOTH v2 kinds (content 1 position / 2 equality); every dict
+    carries ``__seq``, the entry's data sequence number (explicit, or
+    inherited from the entry's snapshot / the manifest's
+    added_snapshot_id), which equality-delete application needs."""
     snap = _snapshot(meta, snapshot_id)
     if snap is None:
         return [], []
@@ -255,15 +260,20 @@ def _live_files(meta: dict,
                 raise IcebergError(
                     f"data file format {fmt!r} not supported "
                     "(PARQUET and ORC are)")
+            seq = e.get("sequence_number")
+            if seq is None:
+                seq = e.get("snapshot_id")
+            if seq is None:
+                seq = mf.get("added_snapshot_id")
+            dfile["__seq"] = None if seq is None else int(seq)
             content = int(dfile.get("content") or 0)
             if content == 0:
                 data_files.append(dfile)
-            elif content == 1:
+            elif content in (1, 2):
                 delete_files.append(dfile)
             else:
                 raise IcebergError(
-                    "equality deletes (content=2) not supported — "
-                    "rewrite the table or read an older snapshot")
+                    f"delete content {content} not supported")
     return data_files, delete_files
 
 
@@ -544,11 +554,79 @@ def read_iceberg(
         # non-identity / unknown column: no partition pruning
         # (bounds pruning still applies when stats exist — correct
         # either way, just unpruned without them)
-    scan = _format_scan(spark, data_files)
     if not delete_files:
-        return scan
-    return _apply_position_deletes(spark, scan, data_files,
-                                   delete_files)
+        return _format_scan(spark, data_files)
+    return _deletes_applied_scan(spark, data_files, delete_files,
+                                 snap_schema)
+
+
+def _deletes_applied_scan(spark: SparkSession, data_files: list[dict],
+                          delete_files: list[dict],
+                          schema: dict) -> DataFrame:
+    """The merge-on-read view: position deletes anti-join on
+    (file path, row index); EQUALITY deletes (content=2, the Flink-CDC
+    write shape) anti-join on their ``equality_ids`` columns with
+    null-safe equality, applying only to data files whose data
+    sequence number is STRICTLY below the delete's (spec §Scan
+    Planning) — so the scan groups data files by sequence number and
+    unions the per-sequence frames."""
+    from pyspark.sql import functions as F
+
+    pos = [d for d in delete_files
+           if int(d.get("content") or 0) == 1]
+    eq = [d for d in delete_files
+          if int(d.get("content") or 0) == 2]
+    if not eq:
+        scan = _format_scan(spark, data_files)
+        return _apply_position_deletes(spark, scan, data_files, pos)
+    by_id = {int(f["id"]): f["name"]
+             for f in schema.get("fields", [])}
+    eq_groups: dict[tuple, list[dict]] = {}
+    for d in eq:
+        if str(d.get("file_format") or "").upper() != "PARQUET":
+            raise IcebergError(
+                "equality delete files must be parquet")
+        seq = d.get("__seq")
+        if seq is None:
+            raise IcebergError(
+                "equality delete file without a sequence number — "
+                "cannot order it against data files")
+        ids = d.get("equality_ids") or []
+        names = tuple(by_id.get(int(i)) for i in ids)
+        if not names or any(n is None for n in names):
+            raise IcebergError(
+                f"equality delete with unknown equality_ids {ids} "
+                f"(schema has {sorted(by_id)})")
+        eq_groups.setdefault((int(seq), names), []).append(d)
+    seq_groups: dict[int, list[dict]] = {}
+    for d in data_files:
+        if d.get("__seq") is None:
+            raise IcebergError(
+                "data file without a sequence number — cannot apply "
+                "equality deletes in order")
+        seq_groups.setdefault(int(d["__seq"]), []).append(d)
+    frames = []
+    for seq, files in sorted(seq_groups.items()):
+        f = _apply_position_deletes(
+            spark, _format_scan(spark, files), files, pos)
+        for (dseq, names), dels_meta in sorted(eq_groups.items()):
+            if dseq <= seq:
+                continue    # the delete predates these rows
+            alias = {c: f"__eqd_{i}" for i, c in enumerate(names)}
+            dels = (spark.read.parquet(
+                *[_plain_path(d["file_path"]) for d in dels_meta])
+                .select([F.col(c).alias(alias[c]) for c in names])
+                .distinct())
+            cond = None
+            for c in names:
+                term = f[c].eqNullSafe(dels[alias[c]])
+                cond = term if cond is None else cond & term
+            f = f.join(F.broadcast(dels), cond, "left_anti")
+        frames.append(f)
+    out = frames[0]
+    for f in frames[1:]:
+        out = out.unionByName(f)
+    return out
 
 
 def _apply_position_deletes(spark: SparkSession, scan: DataFrame,
@@ -558,6 +636,8 @@ def _apply_position_deletes(spark: SparkSession, scan: DataFrame,
     anti-join on normalized file path + row position."""
     from pyspark.sql import functions as F
 
+    if not delete_files:
+        return scan
     if any(str(d.get("file_format") or "").upper() == "ORC"
            for d in data_files):
         # position deletes subtract via _metadata.row_index, which
@@ -640,6 +720,9 @@ def _manifest_schema(part_fields: list[tuple[str, str]]) -> dict:
                      "type": ["null", {"type": "array",
                                        "logicalType": "map",
                                        "items": "k126_v127"}]},
+                    {"name": "equality_ids",
+                     "type": ["null", {"type": "array",
+                                       "items": "int"}]},
                 ],
             }},
         ],
@@ -1174,10 +1257,13 @@ def rewrite_iceberg_data_files(spark: SparkSession, path: str,
     if not qualifying:
         return None
     qual_files = [d for k in qualifying for d in groups[k]]
-    merged = _format_scan(spark, qual_files)
     if delete_files:
-        merged = _apply_position_deletes(spark, merged, qual_files,
-                                         delete_files)
+        # applies BOTH delete kinds (position + equality) — the
+        # rewrite pays down the whole merge-on-read debt
+        merged = _deletes_applied_scan(spark, qual_files,
+                                       delete_files, schema)
+    else:
+        merged = _format_scan(spark, qual_files)
     fmt = str(qual_files[0].get("file_format") or "PARQUET").lower()
     seq = int(meta["current-snapshot-id"]) + 1
     new_records = _stage_data_files(merged, path, seq, partition_by,
@@ -1201,3 +1287,66 @@ def rewrite_iceberg_data_files(spark: SparkSession, path: str,
         specs[0].get("fields") or [], [], 0, part_avro,
         manifest_entries=entries, carry_prior=False,
         operation="replace")
+
+
+def delete_equality_iceberg_fixture(spark: SparkSession, path: str,
+                                    rows: list[dict],
+                                    eq_cols: list[str]) -> int:
+    """Row-level delete via a v2 EQUALITY delete file (the Flink-CDC
+    write shape): one parquet of the ``eq_cols`` values + a deletes
+    manifest whose entry carries ``equality_ids`` — every data row
+    written BEFORE this snapshot whose eq_cols match any delete row
+    (null-safe) disappears from reads; rows appended later are
+    untouched (sequence-number semantics)."""
+    import pandas as pd
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    meta = load_table_metadata(path)
+    schema = _current_schema(meta)
+    by_name = {f["name"]: f for f in schema.get("fields", [])}
+    missing = [c for c in eq_cols if c not in by_name]
+    if missing:
+        raise IcebergError(
+            f"equality columns {missing} not in the table schema")
+    if not rows:
+        raise IcebergError("empty equality-delete row list")
+    bad = [r for r in rows if set(r) != set(eq_cols)]
+    if bad:
+        raise IcebergError(
+            f"delete rows must carry exactly {eq_cols}: {bad[:3]}")
+    pa_of = {"long": pa.int64(), "int": pa.int32(),
+             "string": pa.string(), "double": pa.float64(),
+             "float": pa.float32(), "boolean": pa.bool_()}
+    arrays, fields = [], []
+    for c in eq_cols:
+        t = by_name[c].get("type")
+        if t not in pa_of:
+            raise IcebergError(
+                f"equality column type {t!r} not supported")
+        arrays.append(pa.array([r[c] for r in rows], type=pa_of[t]))
+        fields.append(pa.field(c, pa_of[t]))
+    snap_id = int(meta["current-snapshot-id"]) + 1
+    import uuid as _uuid
+
+    dpath = (f"{path}/data/eqdel-s{snap_id}-"
+             f"{_uuid.uuid4().hex[:8]}.parquet")
+    fs, lp = fsio.resolve(dpath)
+    fs.create_dir(lp.rsplit("/", 1)[0], recursive=True)
+    with fs.open_output_stream(lp) as stream:
+        pq.write_table(pa.Table.from_arrays(arrays, schema=pa.schema(
+            fields)), stream)
+    size = fs.get_file_info([lp])[0].size
+    rec = {
+        "content": 2,
+        "file_path": f"file://{lp}",
+        "file_format": "PARQUET",
+        "partition": {},
+        "record_count": len(rows),
+        "file_size_in_bytes": int(size),
+        "equality_ids": [int(by_name[c]["id"]) for c in eq_cols],
+    }
+    specs = meta.get("partition-specs") or [{"spec-id": 0, "fields": []}]
+    return _commit_snapshot(path, meta, schema["fields"],
+                            specs[0].get("fields") or [],
+                            [rec], 1, [], operation="overwrite")
