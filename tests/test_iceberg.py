@@ -627,3 +627,94 @@ def test_equality_delete_null_safe_and_walls(spark, tmp_path):
     delete_equality_iceberg_fixture(
         spark, t, [{"id": 3, "v": "c"}], ["id", "v"])
     assert _ids(read_iceberg(spark, t)) == [1]
+
+
+def test_murmur3_reference_and_spec_vectors():
+    """Exact murmur3_x86_32: generic reference vectors AND the Iceberg
+    spec's Appendix B bucket-hash values."""
+    import struct
+
+    from tulflow_spark.ext.iceberg import _murmur3_32, bucket_value
+
+    assert _murmur3_32(b"") == 0
+    assert _murmur3_32(b"a") == 0x3C2569B2
+    assert _murmur3_32(b"hello") == 0x248BFA47
+    assert _murmur3_32(b"hello, world") == 0x149BBB7F
+    assert _murmur3_32(b"", 1) == 0x514E28B7
+    # spec Appendix B: hashes are SIGNED in the spec table
+    def signed(x):
+        return x - (1 << 32) if x >= (1 << 31) else x
+    assert signed(_murmur3_32(struct.pack("<q", 34))) == 2017239379
+    assert signed(_murmur3_32(b"iceberg")) == 1210000089
+    # int and long bucket identically (widening-safe)
+    assert bucket_value(34, "int", 16) == bucket_value(34, "long", 16)
+    assert bucket_value(None, "long", 16) is None
+    assert bucket_value(1.5, "double", 16) is None  # unimplemented: no prune
+
+
+def test_bucket_transform_pruning(spark, tmp_path):
+    """Point-lookup prune on a bucket[4]-partitioned table (hand-
+    authored: the fixture writer has no bucket transform) skips every
+    file of other buckets; range prunes never use buckets."""
+    import os
+
+    from tulflow_spark.ext import iceberg as I
+
+    t = str(tmp_path / "tbl")
+    os.makedirs(f"{t}/metadata")
+    rows = [(i, f"x{i}") for i in range(40)]
+    by_bucket: dict[int, list] = {}
+    for i, v in rows:
+        by_bucket.setdefault(I.bucket_value(i, "long", 4), []).append(
+            (i, v))
+    recs = []
+    for b, part_rows in sorted(by_bucket.items()):
+        d = f"{t}/data/b{b}"
+        spark.createDataFrame(part_rows, "id long, v string") \
+            .coalesce(1).write.parquet(d)
+        part = [f for f in os.listdir(d) if f.endswith(".parquet")][0]
+        recs.append({
+            "content": 0, "file_path": f"file://{d}/{part}",
+            "file_format": "PARQUET", "partition": {"id_bucket": b},
+            "record_count": len(part_rows), "file_size_in_bytes": 1,
+        })
+    blob = I.write_ocf(I._manifest_schema([("id_bucket", "int")]),
+                       [{"status": 1, "snapshot_id": 1,
+                         "data_file": r} for r in recs])
+    with open(f"{t}/metadata/m1.avro", "wb") as fh:
+        fh.write(blob)
+    ml = I.write_ocf(I._MANIFEST_LIST_SCHEMA, [{
+        "manifest_path": f"file://{t}/metadata/m1.avro",
+        "manifest_length": len(blob), "partition_spec_id": 0,
+        "content": 0, "added_snapshot_id": 1}])
+    with open(f"{t}/metadata/snap1.avro", "wb") as fh:
+        fh.write(ml)
+    meta = {
+        "format-version": 2, "table-uuid": "b-1", "location": t,
+        "last-sequence-number": 1, "last-updated-ms": 1,
+        "last-column-id": 2,
+        "schemas": [{"type": "struct", "schema-id": 0, "fields": [
+            {"id": 1, "name": "id", "required": False, "type": "long"},
+            {"id": 2, "name": "v", "required": False,
+             "type": "string"}]}],
+        "current-schema-id": 0,
+        "partition-specs": [{"spec-id": 0, "fields": [
+            {"name": "id_bucket", "transform": "bucket[4]",
+             "source-id": 1, "field-id": 1000}]}],
+        "default-spec-id": 0, "current-snapshot-id": 1,
+        "snapshots": [{"snapshot-id": 1, "timestamp-ms": 1,
+                       "sequence-number": 1,
+                       "manifest-list": f"file://{t}/metadata/snap1.avro",
+                       "summary": {"operation": "append"}}],
+    }
+    json.dump(meta, open(f"{t}/metadata/v1.metadata.json", "w"))
+    open(f"{t}/metadata/version-hint.text", "w").write("1")
+    full = read_iceberg(spark, t)
+    assert _ids(full) == list(range(40))
+    pt = read_iceberg(spark, t, prune=("id", 17, 17))
+    assert len(pt.inputFiles()) == 1
+    assert 17 in _ids(pt)
+    # a RANGE never bucket-prunes (values span buckets)
+    rg = read_iceberg(spark, t, prune=("id", 5, 12))
+    assert len(rg.inputFiles()) == len(full.inputFiles())
+    assert {i for i in range(5, 13)} <= set(_ids(rg))

@@ -534,6 +534,17 @@ def read_iceberg(
         part_of = {src: name for name, src in ident.items()}
         pname = part_of.get(col, col if col in ident else None)
         fid, ftype = _field_id_and_type(snap_schema, col)
+        # bucket[n] fields sourced from `col` prune POINT lookups
+        # (lo == hi): the value's murmur3 bucket must equal the file's
+        # partition bucket; ranges span buckets and never prune
+        bucket_of: list[tuple[str, int]] = []
+        if lo == hi:
+            for bf_name, bf_src, bf_n, bf_type in \
+                    _bucket_partition_fields(meta, snap_schema):
+                if bf_src == col:
+                    b = bucket_value(lo, bf_type, bf_n)
+                    if b is not None:
+                        bucket_of.append((bf_name, b))
         kept = []
         for dfile in data_files:
             if pname is not None:
@@ -543,6 +554,11 @@ def read_iceberg(
                         continue
                 except TypeError:
                     pass    # type-mismatched bounds never prune
+            bv = {k: v for k, v in
+                  (dfile.get("partition") or {}).items()}
+            if any(bv.get(bf) is not None and bv[bf] != b
+                   for bf, b in bucket_of):
+                continue
             if _bounds_pruned(dfile, fid, ftype, lo, hi):
                 continue
             kept.append(dfile)
@@ -1350,3 +1366,94 @@ def delete_equality_iceberg_fixture(spark: SparkSession, path: str,
     return _commit_snapshot(path, meta, schema["fields"],
                             specs[0].get("fields") or [],
                             [rec], 1, [], operation="overwrite")
+
+
+# ---------------------------------------------------------------------------
+# bucket transform (spec Appendix B: 32-bit murmur3_x86_32)
+# ---------------------------------------------------------------------------
+
+
+def _murmur3_32(data: bytes, seed: int = 0) -> int:
+    """Exact murmur3_x86_32 — verified against the generic reference
+    vectors ('hello'→0x248bfa47, seed-1 empty→0x514e28b7) AND the
+    Iceberg spec's Appendix B values (long 34→2017239379,
+    'iceberg'→1210000089) in tests."""
+    c1, c2 = 0xCC9E2D51, 0x1B873593
+    h = seed & 0xFFFFFFFF
+    n = len(data)
+    for i in range(n // 4):
+        k = int.from_bytes(data[4 * i:4 * i + 4], "little")
+        k = (k * c1) & 0xFFFFFFFF
+        k = ((k << 15) | (k >> 17)) & 0xFFFFFFFF
+        k = (k * c2) & 0xFFFFFFFF
+        h ^= k
+        h = ((h << 13) | (h >> 19)) & 0xFFFFFFFF
+        h = (h * 5 + 0xE6546B64) & 0xFFFFFFFF
+    tail = data[(n // 4) * 4:]
+    k = 0
+    if len(tail) >= 3:
+        k ^= tail[2] << 16
+    if len(tail) >= 2:
+        k ^= tail[1] << 8
+    if len(tail) >= 1:
+        k ^= tail[0]
+        k = (k * c1) & 0xFFFFFFFF
+        k = ((k << 15) | (k >> 17)) & 0xFFFFFFFF
+        k = (k * c2) & 0xFFFFFFFF
+        h ^= k
+    h ^= n
+    h ^= h >> 16
+    h = (h * 0x85EBCA6B) & 0xFFFFFFFF
+    h ^= h >> 13
+    h = (h * 0xC2B2AE35) & 0xFFFFFFFF
+    h ^= h >> 16
+    return h
+
+
+def bucket_value(value, ice_type: str, n: int) -> int | None:
+    """Iceberg ``bucket[n]`` transform of one value; None when the
+    type's hash form is not implemented (the caller must then NOT
+    prune).  Ints hash as 8-byte little-endian longs (spec: int and
+    long bucket identically so widening is safe); strings hash their
+    UTF-8 bytes."""
+    import struct as _struct
+
+    if value is None:
+        return None
+    if ice_type in ("int", "long"):
+        data = _struct.pack("<q", int(value))
+    elif ice_type == "string":
+        data = str(value).encode("utf-8")
+    elif ice_type == "binary":
+        data = bytes(value)
+    else:
+        return None
+    h = _murmur3_32(data)
+    return (h & 0x7FFFFFFF) % int(n)
+
+
+def _bucket_partition_fields(meta: dict,
+                             schema: dict) -> list[tuple]:
+    """(partition field name, source column, n, source type) for every
+    ``bucket[n]`` field of the default spec."""
+    import re
+
+    specs = meta.get("partition-specs")
+    if specs is None:
+        fields = meta.get("partition-spec") or []
+    else:
+        did = meta.get("default-spec-id", 0)
+        fields = next(
+            (s.get("fields") or [] for s in specs
+             if s.get("spec-id") == did), [])
+    by_id = {f["id"]: f for f in schema.get("fields", [])}
+    out = []
+    for f in fields:
+        m = re.fullmatch(r"bucket\[(\d+)\]",
+                         str(f.get("transform") or ""))
+        src = by_id.get(f.get("source-id"))
+        if m and src is not None:
+            t = src.get("type")
+            out.append((f["name"], src["name"], int(m.group(1)),
+                        t if isinstance(t, str) else ""))
+    return out
