@@ -74,7 +74,8 @@ def test_r7_rotation_promotes_never_adjudicated_pairs():
     # r11 rotation: dl6/ib1/ib2 promoted into the gate (they were the
     # only never-adjudicated names at rotation time); sdc1 registered
     # after the gate froze and queues for the r12 rotation
-    added_post_rotation: set[str] = {"sdc1_stream_delta_changes"}
+    added_post_rotation: set[str] = {"sdc1_stream_delta_changes",
+                                     "ib3_iceberg_eq_deletes"}
     never -= added_post_rotation
     assert never <= set(QUERIES), (
         f"never-adjudicated but de-gated: {sorted(never - set(QUERIES))}"

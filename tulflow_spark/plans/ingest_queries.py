@@ -616,3 +616,67 @@ def sdc1_stream_delta_changes(spark: SparkSession,
             F.when(F.col("doc_id") % 2 == 0, F.col("doc_id"))
         ).cast("bigint").alias("n_even"),
     ).select("n_rows", "sum_doc_id", "corpus_md5", "n_even")
+
+
+@register(
+    "ib3_iceberg_eq_deletes",
+    oracle="""
+    WITH dead AS (SELECT MIN(lang) AS lang FROM documents),
+    alive AS (
+      SELECT d.* FROM documents d, dead
+      WHERE d.lang IS DISTINCT FROM dead.lang
+    )
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(SUM(doc_id) AS BIGINT) AS sum_doc_id,
+           md5(STRING_AGG(md5(text), '' ORDER BY md5(text)))
+               AS corpus_md5,
+           CAST((SELECT COUNT(*) FROM alive) + 1
+                AS BIGINT) AS n_after_reappend
+    FROM alive
+    """,
+)
+def ib3_iceberg_eq_deletes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Iceberg v2 EQUALITY deletes oracle-checked end to end: write
+    documents as an Iceberg table, equality-delete the MIN lang value
+    (the Flink-CDC delete shape — values, not positions), then read.
+    The oracle recomputes the surviving set in SQL.  ``n_after_reappend`` pins the SEQUENCE
+    semantics: one row re-appended AFTER the delete with a deleted
+    lang value must survive, so the post-append count equals the
+    survivor count plus one only if the late row escaped the delete.
+
+    At 100 TB: the delete set is values-only and broadcast; data files
+    group by sequence number (a handful of frames), each anti-joined
+    null-safely — no shuffle of the corpus."""
+    import tempfile
+
+    from tulflow_spark.ext.iceberg import (
+        append_iceberg_fixture,
+        delete_equality_iceberg_fixture,
+        read_iceberg,
+        write_iceberg_fixture,
+    )
+
+    docs = table(spark, sf_dir, "documents").select(
+        "doc_id", "text", "lang")
+    t = tempfile.mkdtemp(prefix="ib3_") + "/tbl"
+    write_iceberg_fixture(spark, docs, t)
+    dead = docs.agg(F.min("lang")).collect()[0][0]
+    delete_equality_iceberg_fixture(spark, t, [{"lang": dead}], ["lang"])
+    alive = read_iceberg(spark, t)
+    agg = alive.agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum("doc_id").cast("bigint").alias("sum_doc_id"),
+        F.md5(F.concat_ws("", F.array_sort(
+            F.collect_list(F.md5("text"))))).alias("corpus_md5"),
+    )
+    # a late append with the DELETED lang survives (sequence semantics)
+    late = spark.createDataFrame(
+        [(10 ** 12, "late row", dead)],
+        "doc_id long, text string, lang string")
+    append_iceberg_fixture(spark, late, t)
+    n_after = read_iceberg(spark, t).count()
+    return (agg
+            .withColumn("n_after_reappend",
+                        F.lit(int(n_after)).cast("bigint"))
+            .select("n_rows", "sum_doc_id", "corpus_md5",
+                    "n_after_reappend"))
