@@ -199,6 +199,10 @@ def test_typed_walls(spark, tmp_path):
         read_iceberg(spark, t)
 
     # malformed equality delete (no equality_ids) walls typed
+    import os
+
+    os.remove(f"{mdir}/v2.metadata.json")  # else the hint-wedge
+    # forward scan resurrects the renamed-schema variant above
     open(f"{mdir}/version-hint.text", "w").write("1")
     from tulflow_spark.ext import iceberg as I
 
@@ -220,7 +224,7 @@ def test_typed_walls(spark, tmp_path):
         fh.write(ml_blob)
     eq["snapshots"][0]["manifest-list"] = f"file://{mdir}/snap-eq.avro"
     json.dump(eq, open(f"{mdir}/v1.metadata.json", "w"))
-    with pytest.raises(IcebergError, match="equality_ids"):
+    with pytest.raises(IcebergError, match="equality delete"):
         read_iceberg(spark, t)
 
 
@@ -718,3 +722,17 @@ def test_bucket_transform_pruning(spark, tmp_path):
     rg = read_iceberg(spark, t, prune=("id", 5, 12))
     assert len(rg.inputFiles()) == len(full.inputFiles())
     assert {i for i in range(5, 13)} <= set(_ids(rg))
+
+
+def test_hint_wedge_recovery(spark, tmp_path):
+    """A writer crash between the metadata CAS create and the hint
+    update must not wedge the table: reads scan forward to the newest
+    committed metadata and the next append derives a fresh version."""
+    t = str(tmp_path / "tbl")
+    write_iceberg_fixture(spark, _df(spark, 0, 4), t)         # v1
+    append_iceberg_fixture(spark, _df(spark, 4, 7), t)        # v2
+    # simulate the crash: roll the hint back below the committed file
+    open(f"{t}/metadata/version-hint.text", "w").write("1")
+    assert _ids(read_iceberg(spark, t)) == list(range(7))     # v2 wins
+    append_iceberg_fixture(spark, _df(spark, 7, 9), t)        # v3, no CAS clash
+    assert _ids(read_iceberg(spark, t)) == list(range(9))

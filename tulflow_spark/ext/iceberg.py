@@ -86,11 +86,27 @@ def load_table_metadata(path: str) -> dict:
         if not fsio.exists(cand):
             raise IcebergError(
                 f"version-hint says {v} but {cand!r} is missing")
-        meta = _parse_metadata(_read_bytes(cand), cand)
+        # hint-wedge recovery: a writer that crashed between the
+        # metadata CAS create and the hint update leaves v{N+1}..
+        # on disk with the hint at N — those files ARE committed (the
+        # create is the commit point), so scan forward to the newest
+        # READABLE one; an unparseable candidate is an in-flight
+        # write and stops the scan
+        vn = int(v)
+        cur = cand
+        while fsio.exists(f"{mdir}/v{vn + 1}.metadata.json"):
+            nxt = f"{mdir}/v{vn + 1}.metadata.json"
+            try:
+                _parse_metadata(_read_bytes(nxt), nxt)
+            except IcebergError:
+                break
+            vn += 1
+            cur = nxt
+        meta = _parse_metadata(_read_bytes(cur), cur)
         # the loaded FILE version pins the commit CAS base: a writer
         # holding this metadata commits v+1 create-if-absent, so a
         # stale base loses typed instead of lost-updating
-        meta["__metadata_version"] = int(v)
+        meta["__metadata_version"] = vn
         return meta
     names = [n for n in fsio.list_names(mdir)
              if n.endswith(".metadata.json")]
@@ -244,6 +260,12 @@ def _live_files(meta: dict,
     snap = _snapshot(meta, snapshot_id)
     if snap is None:
         return [], []
+    # snapshot id → SEQUENCE number: inherited sequence numbers must
+    # resolve through the snapshot table — raw snapshot ids are random
+    # 64-bit longs and carry NO order (using them would silently
+    # mis-order equality deletes on real tables)
+    seq_by_snap = {s.get("snapshot-id"): s.get("sequence-number")
+                   for s in meta.get("snapshots") or []}
     data_files: list[dict] = []
     delete_files: list[dict] = []
     for mf in _manifest_entries(snap):
@@ -262,9 +284,11 @@ def _live_files(meta: dict,
                     "(PARQUET and ORC are)")
             seq = e.get("sequence_number")
             if seq is None:
-                seq = e.get("snapshot_id")
+                seq = seq_by_snap.get(e.get("snapshot_id"))
             if seq is None:
-                seq = mf.get("added_snapshot_id")
+                seq = mf.get("sequence_number")
+            if seq is None:
+                seq = seq_by_snap.get(mf.get("added_snapshot_id"))
             dfile["__seq"] = None if seq is None else int(seq)
             content = int(dfile.get("content") or 0)
             if content == 0:
@@ -554,11 +578,11 @@ def read_iceberg(
                         continue
                 except TypeError:
                     pass    # type-mismatched bounds never prune
-            bv = {k: v for k, v in
-                  (dfile.get("partition") or {}).items()}
-            if any(bv.get(bf) is not None and bv[bf] != b
-                   for bf, b in bucket_of):
-                continue
+            if bucket_of:
+                bv = dfile.get("partition") or {}
+                if any(bv.get(bf) is not None and bv[bf] != b
+                       for bf, b in bucket_of):
+                    continue
             if _bounds_pruned(dfile, fid, ftype, lo, hi):
                 continue
             kept.append(dfile)
@@ -621,18 +645,24 @@ def _deletes_applied_scan(spark: SparkSession, data_files: list[dict],
                 "data file without a sequence number — cannot apply "
                 "equality deletes in order")
         seq_groups.setdefault(int(d["__seq"]), []).append(d)
+    # build each equality group's delete frame ONCE (a Flink-CDC
+    # table has many sequence groups — rebuilding per group would
+    # rescan the same delete parquet S times)
+    eq_frames: dict[tuple, tuple] = {}
+    for (dseq, names), dels_meta in sorted(eq_groups.items()):
+        alias = {c: f"__eqd_{i}" for i, c in enumerate(names)}
+        dels = (spark.read.parquet(
+            *[_plain_path(d["file_path"]) for d in dels_meta])
+            .select([F.col(c).alias(alias[c]) for c in names])
+            .distinct())
+        eq_frames[(dseq, names)] = (alias, dels)
     frames = []
     for seq, files in sorted(seq_groups.items()):
         f = _apply_position_deletes(
             spark, _format_scan(spark, files), files, pos)
-        for (dseq, names), dels_meta in sorted(eq_groups.items()):
+        for (dseq, names), (alias, dels) in sorted(eq_frames.items()):
             if dseq <= seq:
                 continue    # the delete predates these rows
-            alias = {c: f"__eqd_{i}" for i, c in enumerate(names)}
-            dels = (spark.read.parquet(
-                *[_plain_path(d["file_path"]) for d in dels_meta])
-                .select([F.col(c).alias(alias[c]) for c in names])
-                .distinct())
             cond = None
             for c in names:
                 term = f[c].eqNullSafe(dels[alias[c]])
@@ -717,6 +747,7 @@ def _manifest_schema(part_fields: list[tuple[str, str]]) -> dict:
         "type": "record", "name": "manifest_entry", "fields": [
             {"name": "status", "type": "int"},
             {"name": "snapshot_id", "type": ["null", "long"]},
+            {"name": "sequence_number", "type": ["null", "long"]},
             {"name": "data_file", "type": {
                 "type": "record", "name": "r2", "fields": [
                     {"name": "content", "type": "int"},
@@ -1188,7 +1219,6 @@ def expire_iceberg_snapshots(spark: SparkSession, path: str,
                         referenced.add(r)
     # commit the pruned metadata FIRST (a reader landing mid-expire
     # must never see metadata referencing deleted files)
-    version = int(meta["current-snapshot-id"])
     hint = f"{path}/metadata/version-hint.text"
     if not fsio.exists(hint):
         raise IcebergError(
@@ -1285,13 +1315,17 @@ def rewrite_iceberg_data_files(spark: SparkSession, path: str,
     new_records = _stage_data_files(merged, path, seq, partition_by,
                                     fmt)
     entries = (
-        [{"status": 0, "snapshot_id": None, "data_file": d}
+        # EXISTING entries keep their ORIGINAL data sequence number —
+        # inheriting the rewrite's would exempt old rows from equality
+        # deletes that should still apply to them
+        [{"status": 0, "snapshot_id": None,
+          "sequence_number": d.get("__seq"), "data_file": d}
          for k, fs_ in sorted(groups.items()) if k not in qualifying
          for d in fs_]
-        + [{"status": 1, "snapshot_id": seq, "data_file": d}
-           for d in new_records]
-        + [{"status": 2, "snapshot_id": seq, "data_file": d}
-           for d in qual_files + delete_files]
+        + [{"status": 1, "snapshot_id": seq, "sequence_number": seq,
+            "data_file": d} for d in new_records]
+        + [{"status": 2, "snapshot_id": seq, "sequence_number": seq,
+            "data_file": d} for d in qual_files + delete_files]
     )
     ice_avro = {"long": "long", "int": "int", "string": "string"}
     by_name = {f["name"]: f.get("type") for f in schema["fields"]}
@@ -1420,14 +1454,17 @@ def bucket_value(value, ice_type: str, n: int) -> int | None:
 
     if value is None:
         return None
-    if ice_type in ("int", "long"):
-        data = _struct.pack("<q", int(value))
-    elif ice_type == "string":
-        data = str(value).encode("utf-8")
-    elif ice_type == "binary":
-        data = bytes(value)
-    else:
-        return None
+    try:
+        if ice_type in ("int", "long"):
+            data = _struct.pack("<q", int(value))
+        elif ice_type == "string":
+            data = str(value).encode("utf-8")
+        elif ice_type == "binary":
+            data = bytes(value)
+        else:
+            return None
+    except (ValueError, TypeError, _struct.error):
+        return None    # type-mismatched values never prune
     h = _murmur3_32(data)
     return (h & 0x7FFFFFFF) % int(n)
 

@@ -605,7 +605,11 @@ def sdc1_stream_delta_changes(spark: SparkSession,
          .option("path", t).option("startingVersion", "-1").load()
          .writeStream.format("memory").queryName(sink)
          .trigger(availableNow=True).start())
-    q.awaitTermination(300)
+    if not q.awaitTermination(300):
+        q.stop()
+        raise TimeoutError(
+            "sdc1 stream did not drain within 300s — partial sink "
+            "contents would misreport as a correctness failure")
     arrived = spark.table(sink)
     return arrived.agg(
         F.count(F.lit(1)).alias("n_rows"),
