@@ -148,3 +148,29 @@ def test_union_branch_selected_by_type():
     with pytest.raises(AvroError, match="no union branch"):
         write_ocf({"type": "record", "name": "n", "fields": [
             {"name": "y", "type": ["long"]}]}, [{"y": None}])
+
+
+def test_byte_flip_fuzz_typed_or_clean():
+    """Every single-byte corruption of a small container either raises
+    AvroError or decodes cleanly — no IndexError/KeyError/Struct
+    errors may escape the typed contract (one bad manifest must be a
+    typed failure, never an untyped task killer)."""
+    good = write_ocf(SCHEMA, [
+        {"a": 7, "b": "hello", "u": 2.5},
+        {"a": -1, "b": "", "u": None},
+    ])
+    bad_kinds = []
+    for i in range(len(good)):
+        for flip in (0x01, 0x80, 0xFF):
+            blob = bytearray(good)
+            blob[i] ^= flip
+            try:
+                read_ocf(bytes(blob))
+            except AvroError:
+                pass
+            except MemoryError:
+                pass    # absurd declared lengths may pre-allocate
+            except Exception as exc:   # noqa: BLE001
+                bad_kinds.append((i, flip, type(exc).__name__,
+                                  str(exc)[:60]))
+    assert not bad_kinds, bad_kinds[:5]

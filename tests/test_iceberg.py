@@ -736,3 +736,16 @@ def test_hint_wedge_recovery(spark, tmp_path):
     assert _ids(read_iceberg(spark, t)) == list(range(7))     # v2 wins
     append_iceberg_fixture(spark, _df(spark, 7, 9), t)        # v3, no CAS clash
     assert _ids(read_iceberg(spark, t)) == list(range(9))
+
+
+def test_append_schema_mismatch_refuses_typed(spark, tmp_path):
+    t = str(tmp_path / "tbl")
+    write_iceberg_fixture(spark, _df(spark, 0, 4), t)
+    with pytest.raises(IcebergError, match="schema mismatch"):
+        append_iceberg_fixture(
+            spark, spark.createDataFrame([(1,)], "id long"), t)
+    with pytest.raises(IcebergError, match="schema mismatch"):
+        append_iceberg_fixture(
+            spark, spark.createDataFrame(
+                [(1, 2, 3)], "id long, v long, b long"), t)
+    assert read_iceberg(spark, t).count() == 4

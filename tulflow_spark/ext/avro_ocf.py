@@ -82,6 +82,17 @@ class _Reader:
             raise AvroError(f"bad utf-8 in string: {exc}") from None
 
 
+
+def _req(schema: dict, key: str):
+    """Typed access to a required schema key — corrupted embedded
+    schema JSON must raise AvroError, not KeyError (byte-flip fuzz)."""
+    try:
+        return schema[key]
+    except KeyError:
+        raise AvroError(f"schema missing {key!r}: {schema!r}"[:200]) \
+            from None
+
+
 def _decode(r: _Reader, schema, names: dict):
     """One datum of ``schema`` (parsed JSON) from ``r``."""
     if isinstance(schema, str):
@@ -112,19 +123,21 @@ def _decode(r: _Reader, schema, names: dict):
     if t == "record":
         _register(schema, names)
         out = {}
-        for f in schema["fields"]:
-            out[f["name"]] = _decode(r, f["type"], names)
+        for f in _req(schema, "fields"):
+            if not isinstance(f, dict):
+                raise AvroError(f"malformed record field {f!r}"[:120])
+            out[_req(f, "name")] = _decode(r, _req(f, "type"), names)
         return out
     if t == "enum":
         _register(schema, names)
         idx = r.long()
-        syms = schema["symbols"]
+        syms = _req(schema, "symbols")
         if not 0 <= idx < len(syms):
             raise AvroError(f"enum index {idx} of {len(syms)}")
         return syms[idx]
     if t == "fixed":
         _register(schema, names)
-        return r.read(int(schema["size"]))
+        return r.read(int(_req(schema, "size")))
     if t == "array":
         out = []
         while True:
@@ -135,7 +148,7 @@ def _decode(r: _Reader, schema, names: dict):
                 n = -n
                 r.long()
             for _ in range(n):
-                out.append(_decode(r, schema["items"], names))
+                out.append(_decode(r, _req(schema, "items"), names))
     if t == "map":
         out = {}
         while True:
@@ -147,7 +160,7 @@ def _decode(r: _Reader, schema, names: dict):
                 r.long()
             for _ in range(n):
                 k = r.string()
-                out[k] = _decode(r, schema["values"], names)
+                out[k] = _decode(r, _req(schema, "values"), names)
     if isinstance(t, (str, list, dict)):
         # {"type": "long", "logicalType": ...} wrapper — decode the
         # underlying type; logical interpretation is the caller's
@@ -204,7 +217,10 @@ def read_ocf(data: bytes) -> list:
             k = r.string()
             meta[k] = r.bytes_()
     sync = r.read(16)
-    codec = meta.get("avro.codec", b"null").decode("utf-8")
+    try:
+        codec = meta.get("avro.codec", b"null").decode("utf-8")
+    except UnicodeDecodeError as exc:
+        raise AvroError(f"bad codec bytes: {exc}") from None
     if codec not in ("null", "deflate"):
         raise AvroError(f"codec {codec!r} not supported (null/deflate)")
     try:
@@ -336,24 +352,24 @@ def _encode(w: _Writer, schema, datum, names: dict) -> None:
     t = schema.get("type")
     if t == "record":
         _register(schema, names)
-        for f in schema["fields"]:
+        for f in _req(schema, "fields"):
             if f["name"] not in datum and not isinstance(f["type"], list):
                 raise AvroError(f"record missing field {f['name']!r}")
             _encode(w, f["type"], datum.get(f["name"]), names)
         return None
     if t == "enum":
         _register(schema, names)
-        return w.long(schema["symbols"].index(datum))
+        return w.long(_req(schema, "symbols").index(datum))
     if t == "fixed":
         _register(schema, names)
-        if len(datum) != int(schema["size"]):
+        if len(datum) != int(_req(schema, "size")):
             raise AvroError("fixed size mismatch")
         return w.write(bytes(datum))
     if t == "array":
         if datum:
             w.long(len(datum))
             for item in datum:
-                _encode(w, schema["items"], item, names)
+                _encode(w, _req(schema, "items"), item, names)
         w.long(0)
         return None
     if t == "map":
@@ -361,7 +377,7 @@ def _encode(w: _Writer, schema, datum, names: dict) -> None:
             w.long(len(datum))
             for k, v in datum.items():
                 w.string(k)
-                _encode(w, schema["values"], v, names)
+                _encode(w, _req(schema, "values"), v, names)
         w.long(0)
         return None
     if isinstance(t, (str, list, dict)):

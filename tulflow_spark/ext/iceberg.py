@@ -1063,8 +1063,17 @@ def write_iceberg_fixture(spark: SparkSession, df: DataFrame, path: str,
 
 def append_iceberg_fixture(spark: SparkSession, df: DataFrame,
                            path: str) -> int:
-    """Append snapshot N+1 (same schema and partitioning)."""
+    """Append snapshot N+1 (same schema and partitioning; a frame with
+    different columns/types refuses typed — silent drift would wall
+    every later read at the name-resolution guard)."""
     meta = load_table_metadata(path)
+    want = [(f["name"], f["type"])
+            for f in _current_schema(meta).get("fields", [])]
+    have = [(f.name, _ICE_TYPES.get(f.dataType.simpleString()))
+            for f in df.schema.fields]
+    if want != have:
+        raise IcebergError(
+            f"append schema mismatch: table={want} frame={have}")
     ident = _identity_partition_names(meta, _current_schema(meta))
     fmt = "parquet"
     files, _ = _live_files(meta, None)
