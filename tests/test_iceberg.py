@@ -749,3 +749,62 @@ def test_append_schema_mismatch_refuses_typed(spark, tmp_path):
             spark, spark.createDataFrame(
                 [(1, 2, 3)], "id long, v long, b long"), t)
     assert read_iceberg(spark, t).count() == 4
+
+
+def test_truncate_transform_range_pruning(spark, tmp_path):
+    """truncate[10] on a long column is order-preserving: range
+    predicates skip files whose [t, t+w) window misses [lo, hi]."""
+    import os
+
+    from tulflow_spark.ext import iceberg as I
+
+    t = str(tmp_path / "tbl")
+    os.makedirs(f"{t}/metadata")
+    recs = []
+    for tv in (0, 10, 20, 30):
+        d = f"{t}/data/t{tv}"
+        spark.createDataFrame(
+            [(i, f"x{i}") for i in range(tv, tv + 10)],
+            "id long, v string").coalesce(1).write.parquet(d)
+        part = [f for f in os.listdir(d) if f.endswith(".parquet")][0]
+        recs.append({
+            "content": 0, "file_path": f"file://{d}/{part}",
+            "file_format": "PARQUET", "partition": {"id_trunc": tv},
+            "record_count": 10, "file_size_in_bytes": 1})
+    blob = I.write_ocf(I._manifest_schema([("id_trunc", "long")]),
+                       [{"status": 1, "snapshot_id": 1,
+                         "data_file": r} for r in recs])
+    open(f"{t}/metadata/m1.avro", "wb").write(blob)
+    ml = I.write_ocf(I._MANIFEST_LIST_SCHEMA, [{
+        "manifest_path": f"file://{t}/metadata/m1.avro",
+        "manifest_length": len(blob), "partition_spec_id": 0,
+        "content": 0, "added_snapshot_id": 1}])
+    open(f"{t}/metadata/snap1.avro", "wb").write(ml)
+    meta = {
+        "format-version": 2, "table-uuid": "t-1", "location": t,
+        "last-sequence-number": 1, "last-updated-ms": 1,
+        "last-column-id": 2,
+        "schemas": [{"type": "struct", "schema-id": 0, "fields": [
+            {"id": 1, "name": "id", "required": False, "type": "long"},
+            {"id": 2, "name": "v", "required": False,
+             "type": "string"}]}],
+        "current-schema-id": 0,
+        "partition-specs": [{"spec-id": 0, "fields": [
+            {"name": "id_trunc", "transform": "truncate[10]",
+             "source-id": 1, "field-id": 1000}]}],
+        "default-spec-id": 0, "current-snapshot-id": 1,
+        "snapshots": [{"snapshot-id": 1, "timestamp-ms": 1,
+                       "sequence-number": 1,
+                       "manifest-list": f"file://{t}/metadata/snap1.avro",
+                       "summary": {"operation": "append"}}],
+    }
+    json.dump(meta, open(f"{t}/metadata/v1.metadata.json", "w"))
+    open(f"{t}/metadata/version-hint.text", "w").write("1")
+    full = read_iceberg(spark, t)
+    assert full.count() == 40
+    rng = read_iceberg(spark, t, prune=("id", 12, 27))
+    assert len(rng.inputFiles()) == 2       # windows [10,20) and [20,30)
+    assert {i for i in range(12, 28)} <= set(_ids(rng))
+    pt = read_iceberg(spark, t, prune=("id", 35, 35))
+    assert len(pt.inputFiles()) == 1
+    assert 35 in _ids(pt)

@@ -569,6 +569,14 @@ def read_iceberg(
                     b = bucket_value(lo, bf_type, bf_n)
                     if b is not None:
                         bucket_of.append((bf_name, b))
+        # truncate[w] on INTEGER sources is order-preserving, so RANGE
+        # predicates prune: a file with truncated value t holds rows in
+        # [t, t+w) — skip when that window misses [lo, hi]
+        trunc_of: list[tuple[str, int]] = []
+        for tf_name, tf_src, tf_w, tf_type in \
+                _truncate_partition_fields(meta, snap_schema):
+            if tf_src == col and tf_type in ("int", "long"):
+                trunc_of.append((tf_name, tf_w))
         kept = []
         for dfile in data_files:
             if pname is not None:
@@ -582,6 +590,19 @@ def read_iceberg(
                 bv = dfile.get("partition") or {}
                 if any(bv.get(bf) is not None and bv[bf] != b
                        for bf, b in bucket_of):
+                    continue
+            if trunc_of:
+                bv = dfile.get("partition") or {}
+                skip = False
+                for tf, w in trunc_of:
+                    t = bv.get(tf)
+                    try:
+                        if t is not None and (t > hi or t + w <= lo):
+                            skip = True
+                            break
+                    except TypeError:
+                        pass    # mismatched types never prune
+                if skip:
                     continue
             if _bounds_pruned(dfile, fid, ftype, lo, hi):
                 continue
@@ -1476,6 +1497,33 @@ def bucket_value(value, ice_type: str, n: int) -> int | None:
         return None    # type-mismatched values never prune
     h = _murmur3_32(data)
     return (h & 0x7FFFFFFF) % int(n)
+
+
+def _truncate_partition_fields(meta: dict,
+                               schema: dict) -> list[tuple]:
+    """(partition field name, source column, width, source type) for
+    every ``truncate[w]`` field of the default spec."""
+    import re
+
+    specs = meta.get("partition-specs")
+    if specs is None:
+        fields = meta.get("partition-spec") or []
+    else:
+        did = meta.get("default-spec-id", 0)
+        fields = next(
+            (s.get("fields") or [] for s in specs
+             if s.get("spec-id") == did), [])
+    by_id = {f["id"]: f for f in schema.get("fields", [])}
+    out = []
+    for f in fields:
+        m = re.fullmatch(r"truncate\[(\d+)\]",
+                         str(f.get("transform") or ""))
+        src = by_id.get(f.get("source-id"))
+        if m and src is not None and int(m.group(1)) > 0:
+            t = src.get("type")
+            out.append((f["name"], src["name"], int(m.group(1)),
+                        t if isinstance(t, str) else ""))
+    return out
 
 
 def _bucket_partition_fields(meta: dict,
