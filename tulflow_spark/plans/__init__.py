@@ -42,7 +42,11 @@ GATED: frozenset[str] = frozenset(
         # r7-promoted oracle pairs, kept
         # r9: a13_grouping_sets rotated out (driver rows r7+r8; the OLAP
         # family keeps q01/q03/q05/sk1) for the Delta change-feed pair
-        "dl4_delta_changes",
+        # r12: dl4_delta_changes rotated out (driver rows r9/r10/r11;
+        # dl1/dl3/dl5/dl6 keep the Delta anchors) for the Delta
+        # change-feed STREAMING pair — the r11-created source's first
+        # driver adjudication (r11 VERDICT #1)
+        "sdc1_stream_delta_changes",
         "bm1_bm25_search",
         # r10: cdc3_scd2_history rotated out (driver rows r7/r8/r9;
         # cdc2 keeps the CDC anchor) for the deletion-vector pair
@@ -74,7 +78,11 @@ GATED: frozenset[str] = frozenset(
         # r11: st1_kmv_cardinality rotated out (driver rows r9+r10; st2
         # keeps the sketch anchor) for the Iceberg snapshot-read pair
         "ib1_iceberg_read",
-        "st2_kmv_intersection",
+        # r12: st2_kmv_intersection rotated out (driver rows r9..r11 for
+        # the sketch family; st1 r9/r10) for the Iceberg equality-delete
+        # pair — the last oracle pair with no driver hash-green row
+        # (r11 VERDICT #1)
+        "ib3_iceberg_eq_deletes",
         "pack1_token_sequences",
         # r9: pr2_drift_psi rotated out (driver rows r7+r8; pr1 keeps
         # the profile-family anchor) for the mojibake-repair pair
