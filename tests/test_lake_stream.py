@@ -264,9 +264,181 @@ def test_iceberg_stream_expired_range_fails_typed(spark, tmp_path):
     append_iceberg_fixture(spark, _df(spark, 6, 8), t)    # seq 3
     expire_iceberg_snapshots(spark, t, keep_last=1,
                              min_age_seconds=0.0)
-    r = IcebergChangesStreamReader(None, {"path": t})
+    from pyspark.sql.types import StructType
+
+    r = IcebergChangesStreamReader(
+        StructType.fromDDL("id long, v string, b long"), {"path": t})
     with pytest.raises(DeltaChangeFeedError, match="expired"):
         r.partitions({"seq": 0}, {"seq": 1})
     with pytest.raises(DeltaChangeFeedError, match="re-sync"):
         r.partitions({"seq": 0}, {"seq": 3})   # partial gap (1,2 gone)
     assert len(r.partitions({"seq": 2}, {"seq": 3})) >= 1  # intact tail
+
+
+# ---------------------------------------------------------------------------
+# admission control (r11 VERDICT #3): a backlogged table must drain
+# over MULTIPLE capped micro-batches, exactly-once across restarts
+# ---------------------------------------------------------------------------
+
+
+def test_delta_admission_control_drains_capped(registered, tmp_path):
+    """10-commit backlog + maxVersionsPerBatch=3: each availableNow
+    run (a restart mid-drain) delivers exactly one capped batch; the
+    backlog drains over several runs with no duplicates."""
+    import glob
+    import os
+
+    spark = registered
+    t = str(tmp_path / "tbl")
+    ckpt = str(tmp_path / "ckpt")
+    out = str(tmp_path / "out")
+    write_delta(_df(spark, 0, 2), t)                          # v0
+    for k in range(1, 10):                                    # v1..v9
+        write_delta(_df(spark, 2 * k, 2 * k + 2), t, mode="append")
+
+    def run():
+        q = (spark.readStream.format("tulflow_delta_changes")
+             .option("path", t).option("startingVersion", "-1")
+             .option("maxVersionsPerBatch", "3").load()
+             .writeStream.format("parquet").option("path", out)
+             .option("checkpointLocation", ckpt)
+             .trigger(availableNow=True).start())
+        q.awaitTermination(180)
+        ids = sorted(r["id"] for r in
+                     spark.read.parquet(out).select("id").collect())
+        return ids, len(glob.glob(f"{ckpt}/offsets/*"))
+
+    ids, nb = run()
+    assert ids == list(range(6)) and nb == 1     # (-1, 2]: capped
+    ids, nb = run()
+    assert ids == list(range(12)) and nb == 2    # (2, 5]
+    ids, nb = run()
+    assert ids == list(range(18)) and nb == 3    # (5, 8]
+    ids, nb = run()
+    assert ids == list(range(20)) and nb == 4    # (8, 9]: remainder
+    ids, _ = run()
+    assert ids == list(range(20))                # drained: no dupes
+
+
+def test_delta_admission_control_single_run(registered, tmp_path):
+    """Default trigger + processAllAvailable: the capped stream still
+    reaches the head, through >1 micro-batch in ONE query run."""
+    import glob
+
+    spark = registered
+    t = str(tmp_path / "tbl")
+    ckpt = str(tmp_path / "ckpt")
+    out = str(tmp_path / "out")
+    write_delta(_df(spark, 0, 2), t)
+    for k in range(1, 6):                                     # v1..v5
+        write_delta(_df(spark, 2 * k, 2 * k + 2), t, mode="append")
+    q = (spark.readStream.format("tulflow_delta_changes")
+         .option("path", t).option("startingVersion", "-1")
+         .option("maxVersionsPerBatch", "2").load()
+         .writeStream.format("parquet").option("path", out)
+         .option("checkpointLocation", ckpt).start())
+    q.processAllAvailable()
+    q.stop()
+    ids = sorted(r["id"] for r in
+                 spark.read.parquet(out).select("id").collect())
+    assert ids == list(range(12))
+    assert len(glob.glob(f"{ckpt}/offsets/*")) >= 3   # (-1,1](1,3](3,5]
+
+
+def test_admission_control_option_walls(tmp_path):
+    from tulflow_spark.sources.lake_stream import (
+        IcebergChangesStreamReader,
+    )
+
+    with pytest.raises(DeltaChangeFeedError, match=">= 1"):
+        DeltaChangesStreamReader(
+            None, {"path": "x", "maxversionsperbatch": "0"})
+    with pytest.raises(DeltaChangeFeedError, match=">= 1"):
+        IcebergChangesStreamReader(
+            None, {"path": "x", "maxsequencesperbatch": "-2"})
+
+
+def test_iceberg_admission_control_drains_capped(spark, tmp_path):
+    import glob
+
+    from tulflow_spark.ext.iceberg import (
+        append_iceberg_fixture,
+        write_iceberg_fixture,
+    )
+    from tulflow_spark.sources.lake_stream import IcebergChangesSource
+
+    spark.dataSource.register(IcebergChangesSource)
+    t = str(tmp_path / "tbl")
+    ckpt = str(tmp_path / "ckpt")
+    out = str(tmp_path / "out")
+    write_iceberg_fixture(spark, _df(spark, 0, 2), t)         # seq 1
+    for k in range(1, 4):                                     # seq 2..4
+        append_iceberg_fixture(spark, _df(spark, 2 * k, 2 * k + 2), t)
+
+    def run():
+        q = (spark.readStream.format("tulflow_iceberg_changes")
+             .option("path", t).option("startingSequence", "0")
+             .option("maxSequencesPerBatch", "2").load()
+             .writeStream.format("parquet").option("path", out)
+             .option("checkpointLocation", ckpt)
+             .trigger(availableNow=True).start())
+        q.awaitTermination(180)
+        ids = sorted(r["id"] for r in
+                     spark.read.parquet(out).select("id").collect())
+        return ids, len(glob.glob(f"{ckpt}/offsets/*"))
+
+    ids, nb = run()
+    assert ids == list(range(4)) and nb == 1     # seqs 1..2
+    ids, nb = run()
+    assert ids == list(range(8)) and nb == 2     # seqs 3..4
+    ids, _ = run()
+    assert ids == list(range(8))                 # drained, no dupes
+
+
+def test_iceberg_stream_binds_columns_by_name(spark, tmp_path):
+    """A data file whose physical column ORDER differs from the table
+    schema must not silently swap same-typed columns (Spark binds
+    returned Arrow batches positionally); a file MISSING a schema
+    column fails typed."""
+    import pyarrow.parquet as pq_
+
+    from tulflow_spark.ext.iceberg import (
+        _live_files,
+        load_table_metadata,
+        write_iceberg_fixture,
+    )
+    from tulflow_spark.sources.lake_stream import IcebergChangesSource
+
+    spark.dataSource.register(IcebergChangesSource)
+    t = str(tmp_path / "tbl")
+    df = spark.createDataFrame(
+        [(i, f"x{i}", i + 100) for i in range(6)],
+        "id long, v string, b long")
+    write_iceberg_fixture(spark, df, t)
+    files, _ = _live_files(load_table_metadata(t), None)
+    fp = files[0]["file_path"][7:]
+    tbl = pq_.read_table(fp).select(["b", "v", "id"])   # reorder
+    pq_.write_table(tbl, fp)
+
+    def drain(name):
+        q = (spark.readStream.format("tulflow_iceberg_changes")
+             .option("path", t).option("startingSequence", "0").load()
+             .writeStream.format("memory").queryName(name)
+             .trigger(availableNow=True).start())
+        q.awaitTermination(180)
+        return spark.sql(f"select * from {name}").collect()
+
+    rows = drain("bycol")
+    assert sorted(r["id"] for r in rows) == list(range(6))
+    assert all(r["b"] == r["id"] + 100 for r in rows)   # not swapped
+    # drop a column: typed, not silent nulls
+    pq_.write_table(pq_.read_table(fp).select(["v", "id"]), fp)
+    from pyspark.errors.exceptions.captured import StreamingQueryException
+
+    q = (spark.readStream.format("tulflow_iceberg_changes")
+         .option("path", t).option("startingSequence", "0").load()
+         .writeStream.format("memory").queryName("missingcol")
+         .trigger(availableNow=True).start())
+    with pytest.raises(StreamingQueryException,
+                       match="lacks stream schema"):
+        q.awaitTermination(180)

@@ -49,7 +49,6 @@ from pyspark.sql.datasource import (
 )
 from pyspark.sql.types import StructType
 
-
 class DeltaChangeFeedError(ValueError):
     """Typed failure for non-append-only ranges or a missing table."""
 
@@ -83,7 +82,34 @@ def _pa_type(name: str):
     return getattr(pa, name)()
 
 
+def _batch_cap(options: dict, key: str) -> int | None:
+    """Parse an admission-control option (commits per micro-batch)."""
+    raw = options.get(key.lower(), options.get(key))
+    if raw is None:
+        return None
+    cap = int(raw)
+    if cap < 1:
+        raise DeltaChangeFeedError(f"{key} must be >= 1, got {cap}")
+    return cap
+
+
 class DeltaChangesStreamReader(DataSourceStreamReader):
+    """Admission control: ``maxVersionsPerBatch`` caps how many log
+    versions a micro-batch may cover (the role of the Delta source's
+    ``maxFilesPerTrigger`` — without it, a backlogged table lands its
+    ENTIRE backlog in one batch on stream start or recovery).
+
+    The cap base is the last PLANNED batch end, tracked through
+    ``partitions()``: on a fresh stream the first ``latestOffset``
+    arrives before ``initialOffset`` (observed engine order), so it
+    falls back to ``startingVersion``; on restart the engine re-plans
+    the recovered batch range through ``partitions()`` before asking
+    for a new offset, which re-seeds the base — so every batch is
+    capped, across restarts, without touching exactly-once (verified
+    by the restart drain test).  ``latestOffset`` itself never
+    advances the base: Spark may call it several times per trigger
+    and a self-advancing base would run away uncapped."""
+
     def __init__(self, schema: StructType, options: dict):
         self._path = options.get("path")
         if not self._path:
@@ -93,6 +119,8 @@ class DeltaChangesStreamReader(DataSourceStreamReader):
         start = options.get("startingversion",
                             options.get("startingVersion"))
         self._starting = None if start is None else int(start)
+        self._cap = _batch_cap(options, "maxVersionsPerBatch")
+        self._last_end: int | None = None
 
     # -- offsets ------------------------------------------------------
 
@@ -110,8 +138,9 @@ class DeltaChangesStreamReader(DataSourceStreamReader):
                 f"(latest is {latest})")
         # default: only data committed AFTER the stream starts;
         # startingVersion=-1 replays the whole table as batch one
-        return {"version": latest if self._starting is None
-                else self._starting}
+        off = latest if self._starting is None else self._starting
+        self._last_end = off
+        return {"version": off}
 
     def latestOffset(self) -> dict:
         from tulflow_spark.ext.delta_log import latest_version
@@ -120,6 +149,12 @@ class DeltaChangesStreamReader(DataSourceStreamReader):
         if latest is None:
             raise DeltaChangeFeedError(
                 f"delta table vanished at {self._path}")
+        if self._cap is not None:
+            base = self._last_end
+            if base is None and self._starting is not None:
+                base = self._starting
+            if base is not None:
+                latest = min(latest, base + self._cap)
         return {"version": latest}
 
     # -- planning (driver-side, O(new commits)) -----------------------
@@ -137,6 +172,8 @@ class DeltaChangesStreamReader(DataSourceStreamReader):
         )
 
         lo, hi = int(start["version"]), int(end["version"])
+        # a replayed (post-restart) batch re-seeds the cap base
+        self._last_end = max(hi, self._last_end or hi)
         if hi <= lo:
             return []
         have = set(_list_log_versions(self._path))
@@ -268,14 +305,23 @@ class DeltaChangesSource(DataSource):
 
 
 class IcebergChangesStreamReader(DataSourceStreamReader):
+    """Admission control mirrors the Delta reader:
+    ``maxSequencesPerBatch`` caps how many commits (sequence numbers)
+    one micro-batch may cover; the cap base seeds from
+    ``startingSequence`` on a fresh stream and re-seeds from the
+    engine's recovered-batch ``partitions()`` call on restart."""
+
     def __init__(self, schema: StructType, options: dict):
         self._path = options.get("path")
         if not self._path:
             raise DeltaChangeFeedError(
                 "tulflow_iceberg_changes needs .option('path', <table>)")
+        self._schema = schema
         start = options.get("startingsequence",
                             options.get("startingSequence"))
         self._starting = None if start is None else int(start)
+        self._cap = _batch_cap(options, "maxSequencesPerBatch")
+        self._last_end: int | None = None
 
     @staticmethod
     def _seq_of(s: dict) -> int:
@@ -299,11 +345,21 @@ class IcebergChangesStreamReader(DataSourceStreamReader):
         return self._seq_of(snaps[-1]) if snaps else 0
 
     def initialOffset(self) -> dict:
-        return {"seq": self._latest_seq() if self._starting is None
-                else max(0, self._starting)}
+        off = self._latest_seq() if self._starting is None \
+            else max(0, self._starting)
+        self._last_end = off
+        return {"seq": off}
 
     def latestOffset(self) -> dict:
-        return {"seq": self._latest_seq()}
+        latest = self._latest_seq()
+        # cap against the last PLANNED batch end (see the Delta reader)
+        if self._cap is not None:
+            base = self._last_end
+            if base is None and self._starting is not None:
+                base = max(0, self._starting)
+            if base is not None:
+                latest = min(latest, base + self._cap)
+        return {"seq": latest}
 
     def partitions(self, start: dict, end: dict) -> list[InputPartition]:
         from tulflow_spark.ext.iceberg import (
@@ -314,6 +370,8 @@ class IcebergChangesStreamReader(DataSourceStreamReader):
         )
 
         lo, hi = int(start["seq"]), int(end["seq"])
+        # a replayed (post-restart) batch re-seeds the cap base
+        self._last_end = max(hi, self._last_end or hi)
         if hi <= lo:
             return []
         try:
@@ -372,7 +430,8 @@ class IcebergChangesStreamReader(DataSourceStreamReader):
                             f"data file format {fmt!r} not supported "
                             "(PARQUET and ORC are)")
                     out.append(_IceFilePartition(
-                        dfile["file_path"], fmt))
+                        dfile["file_path"], fmt,
+                        [f.name for f in self._schema.fields]))
         except IcebergError as exc:
             raise DeltaChangeFeedError(str(exc)) from None
         return out
@@ -384,16 +443,34 @@ class IcebergChangesStreamReader(DataSourceStreamReader):
         from tulflow_spark import fsio
         from tulflow_spark.ext.iceberg import _plain_path
 
+        # Spark binds returned batches POSITIONALLY: select/reorder to
+        # the declared stream schema, typed on a missing column — a
+        # data file with a different physical column order (legal
+        # after an Iceberg reorder/rename) would otherwise silently
+        # swap column values whenever the types coincide
+        def guard(names: list[str]) -> None:
+            missing = [c for c in partition.all_cols if c not in names]
+            if missing:
+                raise DeltaChangeFeedError(
+                    f"data file {partition.file_path!r} lacks stream "
+                    f"schema columns {missing} (renamed/dropped "
+                    "columns need field-id resolution) — re-sync from "
+                    "a snapshot read")
+
         fs, lp = fsio.resolve(_plain_path(partition.file_path))
         with fs.open_input_file(lp) as handle:
             if partition.file_format == "ORC":
                 import pyarrow.orc as po
 
-                yield from po.read_table(handle).to_batches()
+                tbl = po.read_table(handle)
+                guard(tbl.column_names)
+                yield from tbl.select(partition.all_cols).to_batches()
             else:
                 pf = pq.ParquetFile(handle)
+                guard(pf.schema_arrow.names)
                 for batch in pf.iter_batches():
-                    yield from pa.Table.from_batches([batch]).to_batches()
+                    yield from (pa.Table.from_batches([batch])
+                                .select(partition.all_cols).to_batches())
 
     def commit(self, end: dict) -> None:
         pass
@@ -450,6 +527,8 @@ class IcebergChangesSource(DataSource):
 
 
 class _IceFilePartition(InputPartition):
-    def __init__(self, file_path: str, file_format: str):
+    def __init__(self, file_path: str, file_format: str,
+                 all_cols: list[str]):
         self.file_path = file_path
         self.file_format = file_format
+        self.all_cols = all_cols
