@@ -193,12 +193,15 @@ def test_typed_walls(spark, tmp_path):
     with pytest.raises(IcebergError, match="format-version 3"):
         read_iceberg(spark, t)
 
-    # renamed column (field-id resolution) walls, not silent NULLs
+    # renamed column resolves via parquet field ids (r12) — never
+    # silent NULLs, and no longer a wall
     ren = json.loads(json.dumps(meta))
     ren["schemas"][0]["fields"][0]["name"] = "renamed_id"
     json.dump(ren, open(f"{mdir}/v2.metadata.json", "w"))
-    with pytest.raises(IcebergError, match="field-id"):
-        read_iceberg(spark, t)
+    got = read_iceberg(spark, t)
+    assert got.columns[0] == "renamed_id"
+    assert sorted(r["renamed_id"] for r in got.collect()) == \
+        list(range(6))
 
     # malformed equality delete (no equality_ids) walls typed
     import os
@@ -305,9 +308,10 @@ def test_incremental_changes(spark, tmp_path):
 
 
 def test_time_travel_resolves_snapshot_schema(spark, tmp_path):
-    """A rename after snapshot 1 walls CURRENT reads but must leave
-    snapshot-1 time travel readable under the OLD schema (snapshots
-    carry a schema-id)."""
+    """After a rename, CURRENT reads resolve the renamed column by
+    FIELD ID (r12: data files carry parquet field ids, like every
+    conformant writer) and snapshot-1 time travel still reads under
+    the OLD schema (snapshots carry a schema-id)."""
     t = str(tmp_path / "tbl")
     s1 = write_iceberg_fixture(spark, _df(spark, 0, 5), t)
     mdir = f"{t}/metadata"
@@ -320,9 +324,12 @@ def test_time_travel_resolves_snapshot_schema(spark, tmp_path):
     meta["current-schema-id"] = 1
     meta["snapshots"][0]["schema-id"] = 0
     json.dump(meta, open(f"{mdir}/v1.metadata.json", "w"))
-    with pytest.raises(IcebergError, match="field-id"):
-        read_iceberg(spark, t)           # current schema: renamed
-    got = read_iceberg(spark, t, snapshot_id=s1)   # old schema: fine
+    cur = read_iceberg(spark, t)         # current schema: id-resolved
+    assert cur.columns == ["renamed_id", "v", "b"]
+    assert sorted(r["renamed_id"] for r in cur.collect()) == \
+        list(range(5))
+    got = read_iceberg(spark, t, snapshot_id=s1)   # old schema name
+    assert got.columns == ["id", "v", "b"]
     assert _ids(got) == list(range(5))
 
 
@@ -966,3 +973,103 @@ def test_equality_delete_partition_scope_survives_rewrite(
     files, dels = _live_files(load_table_metadata(t), None)
     assert dels == []
     assert _ids(read_iceberg(spark, t)) == [2, 3]
+
+
+# ---------------------------------------------------------------------------
+# field-id column resolution (r12: VERDICT #4)
+# ---------------------------------------------------------------------------
+
+
+def _rename_current(t, old, new):
+    """Model an Iceberg rename: new schema-id with `old`→`new`, old
+    schema kept in history, snapshots keep their write-time ids."""
+    mdir = f"{t}/metadata"
+    import glob as _g
+
+    v = sorted(_g.glob(f"{mdir}/v*.metadata.json"))[-1]
+    meta = json.load(open(v))
+    cur = next(s for s in meta["schemas"]
+               if s["schema-id"] == meta["current-schema-id"])
+    new_schema = json.loads(json.dumps(cur))
+    new_schema["schema-id"] = cur["schema-id"] + 1
+    for f in new_schema["fields"]:
+        if f["name"] == old:
+            f["name"] = new
+    meta["schemas"].append(new_schema)
+    meta["current-schema-id"] = new_schema["schema-id"]
+    json.dump(meta, open(v, "w"))
+
+
+def test_mixed_vintage_rename_reads_by_field_id(spark, tmp_path):
+    """Files written BEFORE a rename (old physical names) and AFTER it
+    (new names) read together under the current schema — per-file
+    field-id projections, exactly the shape the single-file sampling
+    guard used to miss."""
+    t = str(tmp_path / "tbl")
+    write_iceberg_fixture(spark, _df(spark, 0, 4), t)   # old names
+    _rename_current(t, "id", "doc_id")
+    # append AFTER the rename: the frame carries the NEW name
+    from pyspark.sql import functions as F
+
+    post = _df(spark, 4, 7).withColumnRenamed("id", "doc_id")
+    append_iceberg_fixture(spark, post, t)
+    got = read_iceberg(spark, t)
+    assert got.columns == ["doc_id", "v", "b"]
+    rows = {r["doc_id"]: r["v"] for r in got.collect()}
+    assert rows == {i: f"x{i}" for i in range(7)}
+    # changes across the rename boundary resolve too
+    meta = load_table_metadata(t)
+    first = meta["snapshots"][0]["snapshot-id"]
+    chg = read_iceberg_changes(spark, t, first)
+    assert sorted(r["doc_id"] for r in chg.collect()) == [4, 5, 6]
+    # and rewrite compacts mixed-vintage files correctly
+    from tulflow_spark.ext.iceberg import rewrite_iceberg_data_files
+
+    assert rewrite_iceberg_data_files(spark, t, min_files=2) is not None
+    got2 = read_iceberg(spark, t)
+    assert {r["doc_id"]: r["v"] for r in got2.collect()} == rows
+
+
+def test_added_column_null_fills_old_files(spark, tmp_path):
+    """Add-column evolution: files predating the column read it as
+    NULL (spec), provided they carry field ids."""
+    t = str(tmp_path / "tbl")
+    write_iceberg_fixture(spark, _df(spark, 0, 3), t)
+    mdir = f"{t}/metadata"
+    meta = json.load(open(f"{mdir}/v1.metadata.json"))
+    cur = next(s for s in meta["schemas"]
+               if s["schema-id"] == meta["current-schema-id"])
+    new_schema = json.loads(json.dumps(cur))
+    new_schema["schema-id"] = 1
+    new_schema["fields"].append(
+        {"id": 9, "name": "extra", "required": False, "type": "string"})
+    meta["schemas"].append(new_schema)
+    meta["current-schema-id"] = 1
+    meta["last-column-id"] = 9
+    json.dump(meta, open(f"{mdir}/v1.metadata.json", "w"))
+    got = read_iceberg(spark, t)
+    assert got.columns == ["id", "v", "b", "extra"]
+    assert all(r["extra"] is None for r in got.collect())
+    assert _ids(got) == [0, 1, 2]
+
+
+def test_idless_file_rename_stays_typed(spark, tmp_path):
+    """A renamed schema over files WITHOUT field ids cannot be
+    resolved — typed wall, never silent misreads."""
+    import glob as _g
+
+    import pyarrow.parquet as pq_
+
+    t = str(tmp_path / "tbl")
+    write_iceberg_fixture(spark, _df(spark, 0, 3), t)
+    # strip the field ids from the staged file
+    files, _ = _live_files(load_table_metadata(t), None)
+    fp = files[0]["file_path"][7:]
+    tbl = pq_.read_table(fp)
+    import pyarrow as pa
+
+    stripped = pa.schema([pa.field(f.name, f.type) for f in tbl.schema])
+    pq_.write_table(tbl.cast(stripped), fp)
+    _rename_current(t, "id", "doc_id")
+    with pytest.raises(IcebergError, match="field-id|field ids"):
+        read_iceberg(spark, t).collect()

@@ -301,13 +301,11 @@ def _live_files(meta: dict,
     return data_files, delete_files
 
 
-def _check_name_resolution(schema: dict, data_files: list[dict]) -> None:
-    """Field-id vs name divergence guard: the first data file's parquet
-    column names must cover the snapshot schema's names (identity holds
-    unless a rename/drop happened, which name-based reads would
-    silently misread)."""
-    want = {f["name"] for f in schema.get("fields", [])}
-    dfile = data_files[0]
+def _physical_fields(dfile: dict) -> tuple[list[str], dict[int, str]]:
+    """A data file's physical column names and its field-id → name map
+    (parquet ``PARQUET:field_id`` footer metadata; ORC files expose
+    names only).  A duplicated field id in one footer is typed — id
+    resolution over it would be ambiguous."""
     fs, lp = fsio.resolve(_plain_path(dfile["file_path"]))
     orc = str(dfile.get("file_format") or "").upper() == "ORC"
     try:
@@ -315,22 +313,109 @@ def _check_name_resolution(schema: dict, data_files: list[dict]) -> None:
             if orc:
                 import pyarrow.orc as po
 
-                have = set(po.ORCFile(handle).schema.names)
-            else:
-                import pyarrow.parquet as pq
+                return list(po.ORCFile(handle).schema.names), {}
+            import pyarrow.parquet as pq
 
-                have = set(pq.ParquetFile(handle).schema_arrow.names)
+            sc = pq.ParquetFile(handle).schema_arrow
     except OSError as exc:
         raise IcebergError(
             f"cannot open data file {lp!r}: {exc}") from None
-    missing = want - have
-    if missing:
-        raise IcebergError(
-            f"snapshot schema columns {sorted(missing)} absent from "
-            "the data file — renamed/dropped columns need field-id "
-            "resolution, which is not supported (read an older "
-            "snapshot written under the old schema)"
-        )
+    ids: dict[int, str] = {}
+    for f in sc:
+        raw = (f.metadata or {}).get(b"PARQUET:field_id")
+        if raw is None:
+            continue
+        try:
+            fid = int(raw)
+        except ValueError:
+            continue
+        if fid in ids:
+            raise IcebergError(
+                f"data file {lp!r} carries field id {fid} twice "
+                f"({ids[fid]!r} and {f.name!r}) — ambiguous")
+        ids[fid] = f.name
+    return list(sc.names), ids
+
+
+# Iceberg primitive type → Spark cast target for null-filled columns
+# (spec: a column added after a file was written reads as nulls)
+_SPARK_OF_ICE = {
+    "long": "bigint", "int": "int", "string": "string",
+    "double": "double", "float": "float", "boolean": "boolean",
+    "binary": "binary", "date": "date", "timestamp": "timestamp",
+    "timestamptz": "timestamp",
+}
+
+
+def _projection_for(schema: dict, names: list[str],
+                    ids: dict[int, str], dfile: dict) -> tuple:
+    """Per-file column resolution (spec: by FIELD ID): each snapshot
+    schema field resolves to its physical column by id first, by name
+    when the file carries no ids, and to a null fill when the file has
+    ids but simply predates the column (add-column evolution).  A
+    name-miss on an id-less file stays a typed wall — rename, drop,
+    and add are indistinguishable there and a silent null would
+    misread renamed tables."""
+    out = []
+    nameset = set(names)
+    for f in schema.get("fields", []):
+        fid = f.get("id")
+        phys = ids.get(int(fid)) if fid is not None and ids else None
+        if phys is None and f["name"] in nameset:
+            phys = f["name"]
+        if phys is None:
+            if not ids:
+                raise IcebergError(
+                    f"schema column {f['name']!r} absent from data "
+                    f"file {dfile.get('file_path')!r}, which carries "
+                    "no parquet field ids — renamed/dropped columns "
+                    "need field-id resolution (read an older snapshot "
+                    "written under the old schema)")
+            t = f.get("type")
+            if t not in _SPARK_OF_ICE:
+                raise IcebergError(
+                    f"cannot null-fill column {f['name']!r} of type "
+                    f"{t!r}")
+        out.append((f["name"], phys, f.get("type")))
+    return tuple(out)
+
+
+def _resolved_scan(spark: SparkSession, data_files: list[dict],
+                   schema: dict,
+                   pos_deletes: list[dict] | None = None) -> DataFrame:
+    """One scan over data files grouped by (format, per-file column
+    projection): position deletes apply on the RAW scan (they address
+    physical rows), then each group projects to the snapshot schema —
+    field-id renames, add-column null fills, dropped-column pruning.
+    Files whose physical layout already matches the schema skip the
+    projection entirely (identical plan to a plain scan)."""
+    from pyspark.sql import functions as F
+
+    groups: dict[tuple, list[dict]] = {}
+    for d in data_files:
+        fmt = str(d.get("file_format") or "").upper()
+        names, ids = _physical_fields(d)
+        proj = _projection_for(schema, names, ids, d)
+        identity = [p for _, p, _ in proj] == names and \
+            all(n == p for n, p, _ in proj)
+        groups.setdefault((fmt, proj, identity), []).append(d)
+    frames = []
+    for (fmt, proj, identity), files in sorted(
+            groups.items(), key=lambda kv: str(kv[0])):
+        scan = _format_scan(spark, files)
+        scan = _apply_position_deletes(spark, scan, files,
+                                       pos_deletes or [])
+        if not identity:
+            cols = []
+            for logical, phys, ice_t in proj:
+                if phys is None:
+                    cols.append(F.lit(None).cast(
+                        _SPARK_OF_ICE[ice_t]).alias(logical))
+                else:
+                    cols.append(F.col(phys).alias(logical))
+            scan = scan.select(cols)
+        frames.append(scan)
+    return _union_fold_by_name(frames)
 
 
 def _field_id_and_type(schema: dict, col: str) -> tuple[int | None, str]:
@@ -495,8 +580,7 @@ def read_iceberg_changes(
             added.append(dfile)
     if not added:
         raise IcebergError("no data files added in the change range")
-    _check_name_resolution(_schema_for(meta, to_snap), added)
-    return _format_scan(spark, added)
+    return _resolved_scan(spark, added, _schema_for(meta, to_snap))
 
 
 def _format_scan(spark: SparkSession, data_files: list[dict]) -> DataFrame:
@@ -562,7 +646,6 @@ def read_iceberg(
     if not data_files:
         raise IcebergError(
             "empty snapshot (schema-only reads not supported)")
-    _check_name_resolution(snap_schema, data_files)
     if prune is not None:
         col, lo, hi = prune
         ident = _identity_partition_names(meta, snap_schema)
@@ -627,7 +710,7 @@ def read_iceberg(
         # (bounds pruning still applies when stats exist — correct
         # either way, just unpruned without them)
     if not delete_files:
-        return _format_scan(spark, data_files)
+        return _resolved_scan(spark, data_files, snap_schema)
     return _deletes_applied_scan(spark, data_files, delete_files,
                                  snap_schema)
 
@@ -649,8 +732,7 @@ def _deletes_applied_scan(spark: SparkSession, data_files: list[dict],
     eq = [d for d in delete_files
           if int(d.get("content") or 0) == 2]
     if not eq:
-        scan = _format_scan(spark, data_files)
-        return _apply_position_deletes(spark, scan, data_files, pos)
+        return _resolved_scan(spark, data_files, schema, pos)
     by_id = {int(f["id"]): f["name"]
              for f in schema.get("fields", [])}
 
@@ -705,8 +787,7 @@ def _deletes_applied_scan(spark: SparkSession, data_files: list[dict],
     for (seq, gpk), files in sorted(
             seq_groups.items(),
             key=lambda kv: (kv[0][0], str(kv[0][1]))):
-        f = _apply_position_deletes(
-            spark, _format_scan(spark, files), files, pos)
+        f = _resolved_scan(spark, files, schema, pos)
         gpart = dict(gpk)
         for (dseq, names, pk), (alias, dels) in eq_frames:
             if dseq <= seq:
@@ -851,12 +932,29 @@ def _avro_part_type(spark_type: str) -> str:
 
 def _stage_data_files(df: DataFrame, path: str, seq: int,
                       partition_by: list[str],
-                      file_format: str = "parquet") -> list[dict]:
+                      file_format: str = "parquet",
+                      fid_of: dict[str, int] | None = None) -> list[dict]:
     """Write data files (each containing ALL columns — Iceberg data
     files keep partition source columns) and return manifest
-    data_file records with identity partition values."""
+    data_file records with identity partition values.
+
+    ``fid_of`` maps column name → Iceberg field id; parquet files are
+    stamped with the ids (``parquet.field.id`` alias metadata → real
+    footer field ids, like every conformant writer) so readers can
+    resolve columns by id across renames, and footer stat bounds key
+    on the TABLE's ids rather than positional guesses."""
     import pyarrow.parquet as pq
 
+    from pyspark.sql import functions as _F
+
+    if fid_of is None:
+        fid_of = {f.name: i + 1 for i, f in enumerate(df.schema.fields)}
+    if file_format.upper() != "ORC":
+        df = df.select([
+            _F.col(f.name).alias(
+                f.name, metadata={"parquet.field.id": fid_of[f.name]})
+            for f in df.schema.fields
+        ])
     files: list[dict] = []
     if partition_by:
         from functools import reduce
@@ -875,8 +973,10 @@ def _stage_data_files(df: DataFrame, path: str, seq: int,
         ]
     else:
         groups = [({}, df)]
-    fid_type = {f.name: (i + 1, _ICE_TYPES.get(f.dataType.simpleString()))
-                for i, f in enumerate(df.schema.fields)}
+    fid_type = {
+        f.name: (fid_of[f.name], _ICE_TYPES.get(f.dataType.simpleString()))
+        for f in df.schema.fields
+    }
     import uuid as _uuid
 
     orc = file_format.upper() == "ORC"
@@ -1220,8 +1320,12 @@ def _append(spark: SparkSession, df: DataFrame, path: str,
     missing = [c for c in partition_by if c not in by_name]
     if missing:
         raise IcebergError(f"partition columns {missing} not in frame")
-    schema_fields = _ice_schema_of(df)
-    fid = {f["name"]: f["id"] for f in schema_fields}
+    # appends to an EXISTING table stamp the TABLE's field ids (a
+    # foreign table's ids need not be positional); new tables assign
+    # 1..n
+    schema_fields = _current_schema(meta)["fields"] \
+        if meta is not None else _ice_schema_of(df)
+    fid = {f["name"]: int(f["id"]) for f in schema_fields}
     part_fields = [
         {"name": c, "transform": "identity",
          "source-id": fid[c], "field-id": 1000 + i}
@@ -1230,7 +1334,7 @@ def _append(spark: SparkSession, df: DataFrame, path: str,
     part_avro = [(c, _avro_part_type(by_name[c])) for c in partition_by]
     seq = _next_sequence_number(meta)
     files = _stage_data_files(df, path, seq, partition_by,
-                              file_format)
+                              file_format, fid_of=fid)
     return _commit_snapshot(path, meta, schema_fields, part_fields,
                             files, 0, part_avro)
 
@@ -1429,7 +1533,6 @@ def rewrite_iceberg_data_files(spark: SparkSession, path: str,
     if not data_files:
         raise IcebergError(f"nothing to rewrite at {path}")
     schema = _current_schema(meta)
-    _check_name_resolution(schema, data_files)
     ident = _identity_partition_names(meta, schema)
     partition_by = list(ident.values())
     groups: dict[tuple, list[dict]] = {}
@@ -1451,11 +1554,12 @@ def rewrite_iceberg_data_files(spark: SparkSession, path: str,
         merged = _deletes_applied_scan(spark, qual_files,
                                        delete_files, schema)
     else:
-        merged = _format_scan(spark, qual_files)
+        merged = _resolved_scan(spark, qual_files, schema)
     fmt = str(qual_files[0].get("file_format") or "PARQUET").lower()
     seq = _next_sequence_number(meta)
-    new_records = _stage_data_files(merged, path, seq, partition_by,
-                                    fmt)
+    new_records = _stage_data_files(
+        merged, path, seq, partition_by, fmt,
+        fid_of={f["name"]: int(f["id"]) for f in schema["fields"]})
     entries = (
         # EXISTING entries keep their ORIGINAL data sequence number —
         # inheriting the rewrite's would exempt old rows from equality

@@ -684,3 +684,74 @@ def ib3_iceberg_eq_deletes(spark: SparkSession, sf_dir: str) -> DataFrame:
                         F.lit(int(n_after)).cast("bigint"))
             .select("n_rows", "sum_doc_id", "corpus_md5",
                     "n_after_reappend"))
+
+
+@register(
+    "ib4_iceberg_rename",
+    oracle="""
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(SUM(doc_id) AS BIGINT) AS sum_ids,
+           md5(STRING_AGG(md5(text), '' ORDER BY md5(text)))
+               AS corpus_md5,
+           CAST((SELECT COUNT(*) FROM documents WHERE doc_id % 2 = 1)
+                AS BIGINT) AS n_old_vintage
+    FROM documents
+    """,
+)
+def ib4_iceberg_rename(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Iceberg FIELD-ID column resolution oracle-checked over a
+    mixed-vintage renamed table (r11 VERDICT #4): odd doc_ids land
+    under the ORIGINAL column name, the column is renamed
+    (new schema-id; history kept), even doc_ids land under the NEW
+    name — the current-schema read must stitch both vintages by
+    parquet field id (per-file rename projections), and time travel
+    below the rename must still present the OLD name
+    (``n_old_vintage`` counts through that path, -1 on a wrong
+    column name).
+
+    At 100 TB: resolution costs one footer read per live file
+    (metadata-sized, driver-side) and groups files by projection —
+    identical-layout files stay one untouched declarative scan."""
+    import json as _json
+    import tempfile
+
+    from tulflow_spark.ext.iceberg import (
+        append_iceberg_fixture,
+        read_iceberg,
+        write_iceberg_fixture,
+    )
+
+    docs = table(spark, sf_dir, "documents").select("doc_id", "text")
+    t = tempfile.mkdtemp(prefix="ib4_") + "/tbl"
+    s1 = write_iceberg_fixture(spark, docs.filter("doc_id % 2 = 1"), t)
+    # model the rename commit: new schema-id, old schema in history
+    v = f"{t}/metadata/v1.metadata.json"
+    meta = _json.load(open(v))
+    cur = next(s for s in meta["schemas"]
+               if s["schema-id"] == meta["current-schema-id"])
+    new_schema = _json.loads(_json.dumps(cur))
+    new_schema["schema-id"] = cur["schema-id"] + 1
+    for f in new_schema["fields"]:
+        if f["name"] == "doc_id":
+            f["name"] = "document_id"
+    meta["schemas"].append(new_schema)
+    meta["current-schema-id"] = new_schema["schema-id"]
+    _json.dump(meta, open(v, "w"))
+    append_iceberg_fixture(
+        spark,
+        docs.filter("doc_id % 2 = 0")
+            .withColumnRenamed("doc_id", "document_id"),
+        t)
+    got = read_iceberg(spark, t)
+    old = read_iceberg(spark, t, snapshot_id=s1)
+    n_old = old.count() if old.columns[0] == "doc_id" else -1
+    return (
+        got.agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.sum("document_id").cast("bigint").alias("sum_ids"),
+            F.md5(F.concat_ws("", F.array_sort(
+                F.collect_list(F.md5("text"))))).alias("corpus_md5"),
+        )
+        .withColumn("n_old_vintage", F.lit(int(n_old)).cast("bigint"))
+        .select("n_rows", "sum_ids", "corpus_md5", "n_old_vintage")
+    )
