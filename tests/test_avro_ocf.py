@@ -174,3 +174,39 @@ def test_byte_flip_fuzz_typed_or_clean():
                 bad_kinds.append((i, flip, type(exc).__name__,
                                   str(exc)[:60]))
     assert not bad_kinds, bad_kinds[:5]
+
+
+def test_zero_byte_datum_count_bounded():
+    """A block header claiming a huge record count over a ZERO-byte
+    datum schema (empty record) must raise typed instead of appending
+    until memory exhausts — the truncation check never fires when the
+    datum consumes nothing."""
+    import pytest as _pytest
+
+    from tulflow_spark.ext.avro_ocf import AvroError, read_ocf, write_ocf
+
+    schema = {"type": "record", "name": "empty", "fields": []}
+    blob = write_ocf(schema, [{}])
+    assert read_ocf(blob) == [{}]           # count == 1: legit
+    # craft count = 2^40 over the same empty block
+    evil = write_ocf(schema, [{}])
+    # the single-record block encodes count=1 size=0 after the header;
+    # rewrite that block's count varint (sync is the 16 bytes before)
+    body = bytearray(evil)
+    # locate the final block: ...sync | count | size | block | sync
+    # for one empty record: count=\x02 (zigzag 1), size=\x00
+    idx = len(body) - 16 - 2   # [count][size] before trailing sync
+    assert body[idx] == 0x02 and body[idx + 1] == 0x00
+    big = bytearray()
+    n = (1 << 40) << 1         # zigzag-positive
+    while True:
+        b = n & 0x7F
+        n >>= 7
+        if n:
+            big.append(b | 0x80)
+        else:
+            big.append(b)
+            break
+    body[idx:idx + 1] = big
+    with _pytest.raises(AvroError, match="zero-byte datum"):
+        read_ocf(bytes(body))

@@ -68,3 +68,26 @@ def test_parquet_schema_evolution_mergeschema(spark, tmp_path):
     # without mergeSchema the footer of one file wins — column may be absent
     plain = spark.read.parquet(d)
     assert set(plain.columns) <= {"id", "title", "note", "batch"}
+
+
+def test_write_text_exclusive_atomic_publish(tmp_path):
+    """CAS create publishes atomically via temp-file + link: the loser
+    raises FileExistsError with the winner's content intact, and no
+    half-written target or temp debris survives (a crash mid-write
+    used to leave an empty commit point that wedged the log's forward
+    scan forever)."""
+    import os
+
+    import pytest as _pytest
+
+    from tulflow_spark import fsio
+
+    p = str(tmp_path / "m" / "v2.metadata.json")
+    fsio.write_text_exclusive(p, "winner")
+    with _pytest.raises(FileExistsError):
+        fsio.write_text_exclusive(p, "loser")
+    assert open(p).read() == "winner"
+    # no in-flight debris left behind by either attempt
+    assert os.listdir(str(tmp_path / "m")) == ["v2.metadata.json"]
+    # debris-named files never match metadata discovery suffixes
+    assert not "v2.metadata.json.inflight-x".endswith(".metadata.json")

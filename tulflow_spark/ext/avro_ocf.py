@@ -247,7 +247,17 @@ def read_ocf(data: bytes) -> list:
                 raise AvroError(f"bad deflate block: {exc}") from None
         br = _Reader(block)
         for _ in range(count):
+            before = br.pos
             out.append(_decode(br, schema, names))
+            if br.pos == before and count > max(1, size):
+                # a zero-byte datum (e.g. an empty record) never
+                # advances the reader, so the truncation check can't
+                # bound the loop: trusting a crafted 2^60 count would
+                # append until memory exhausts instead of failing
+                # typed — require count <= block size for such schemas
+                raise AvroError(
+                    f"block count {count} exceeds size {size} with a "
+                    "zero-byte datum schema (malformed block header)")
         if br.pos != len(block):
             raise AvroError(
                 f"block has {len(block) - br.pos} trailing bytes"

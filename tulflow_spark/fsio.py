@@ -76,20 +76,37 @@ def write_text(path: str, content: str) -> None:
 
 def write_text_exclusive(path: str, content: str) -> None:
     """Create-if-absent (CAS) write: raise ``FileExistsError`` when the
-    object already exists.  Local filesystems get a true atomic
-    ``O_CREAT|O_EXCL`` create; remote filesystems degrade to
+    object already exists.  Local filesystems publish ATOMICALLY —
+    content goes to a temp file first, then ``os.link`` creates the
+    target (fails EEXIST, preserving CAS), so a crash mid-write leaves
+    only temp debris, never a half-written commit point that wedges a
+    log's forward scan.  Remote filesystems degrade to
     check-then-write (a narrow TOCTOU window — the same best-effort
     stores without put-if-absent force on every lake format)."""
     fs, p = resolve(path)
     if isinstance(fs, pafs.LocalFileSystem):
         import os
+        import uuid
 
         parent = os.path.dirname(p)
         if parent:
             os.makedirs(parent, exist_ok=True)
-        fd = os.open(p, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
-        with os.fdopen(fd, "wb") as out:
-            out.write(content.encode("utf-8"))
+        tmp = f"{p}.inflight-{os.getpid()}-{uuid.uuid4().hex[:8]}"
+        fd = os.open(tmp, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
+        try:
+            with os.fdopen(fd, "wb") as out:
+                out.write(content.encode("utf-8"))
+                out.flush()
+                os.fsync(out.fileno())
+            try:
+                os.link(tmp, p)     # atomic create-if-absent publish
+            except FileExistsError:
+                raise FileExistsError(p) from None
+        finally:
+            try:
+                os.unlink(tmp)
+            except OSError:
+                pass
         return
     if exists(path):
         raise FileExistsError(path)
