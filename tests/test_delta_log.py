@@ -1518,11 +1518,12 @@ def test_column_mapping_walls(spark, tmp_path):
     snap = _replay(spark, t, None)
     with pytest.raises(DeltaProtocolError, match="column-mapped"):
         delete_rows_with_dv(spark, t, {next(iter(snap.live)): [0]})
-    # mode=id walls at scan time
+    # mode=id over files WITHOUT parquet field ids walls at scan time
+    # (resolving by name would silently misread renamed columns)
     snap.configuration = dict(snap.configuration,
                               **{"delta.columnMapping.mode": "id"})
-    with pytest.raises(DeltaProtocolError, match="'id'"):
-        _build_scan(spark, t, snap)
+    with pytest.raises(DeltaProtocolError, match="field ids"):
+        _build_scan(spark, t, snap).collect()
     # mapped mode with a column missing physicalName is malformed
     snap2 = _replay(spark, t, None)
     stripped = json.loads(snap2.schema_str)
@@ -1620,3 +1621,120 @@ def test_vacuum_keeps_live_absolute_path_dv(spark, tmp_path):
     gone = vacuum_delta(spark, t, min_age_seconds=0.0)
     assert bin_path.exists(), f"vacuum deleted live DV: {gone}"
     assert read_delta(spark, t).count() == 27
+
+
+# ---------------------------------------------------------------------------
+# column mapping mode=id (r12: r11 VERDICT #7)
+# ---------------------------------------------------------------------------
+
+
+def _retag_footer(fp: str, renames: dict[str, str]) -> None:
+    """Rewrite one parquet file with renamed footer columns, KEEPING
+    their field ids — models a file written before a rename on a
+    mode=id table."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    tbl = pq.read_table(fp)
+    fields = [
+        pa.field(renames.get(f.name, f.name), f.type,
+                 metadata=f.metadata)
+        for f in tbl.schema
+    ]
+    pq.write_table(tbl.rename_columns(
+        [renames.get(n, n) for n in tbl.column_names]
+    ).cast(pa.schema(fields)), fp)
+    # drop the stale Hadoop checksum sidecar or Spark refuses the read
+    import os
+
+    crc = os.path.join(os.path.dirname(fp),
+                       f".{os.path.basename(fp)}.crc")
+    if os.path.exists(crc):
+        os.remove(crc)
+
+
+def test_column_mapping_id_roundtrip(spark, tmp_path):
+    """mode=id fixture: data files carry physical names AND footer
+    field ids; reads resolve logical columns by id."""
+    import pyarrow.parquet as pq
+
+    from tulflow_spark.ext.delta_log import write_column_mapped_fixture
+
+    t = str(tmp_path / "tbl")
+    write_column_mapped_fixture(spark, _df(spark, 0, 12), t, mode="id")
+    got = read_delta(spark, t)
+    assert got.columns == ["id", "v"]
+    assert {r["id"]: r["v"] for r in got.collect()} == {
+        i: f"x{i}" for i in range(12)}
+    raw = pq.ParquetFile(got.inputFiles()[0][7:]).schema_arrow
+    assert raw.names == ["col-0000", "col-0001"]
+    assert [int((f.metadata or {})[b"PARQUET:field_id"])
+            for f in raw] == [1, 2]
+
+
+def test_column_mapping_id_resolves_renamed_footers(spark, tmp_path):
+    """The reason mode=id exists: a file whose footer names differ
+    from the current physicalName still binds by field id — and a
+    same-typed column swap in footer NAME order must not swap
+    values."""
+    from tulflow_spark.ext.delta_log import write_column_mapped_fixture
+
+    t = str(tmp_path / "tbl")
+    write_column_mapped_fixture(spark, _df(spark, 0, 9), t, mode="id")
+    fp = read_delta(spark, t).inputFiles()[0][7:]
+    _retag_footer(fp, {"col-0000": "legacy_id", "col-0001": "legacy_v"})
+    got = read_delta(spark, t)
+    assert got.columns == ["id", "v"]
+    assert {r["id"]: r["v"] for r in got.collect()} == {
+        i: f"x{i}" for i in range(9)}
+
+
+def test_column_mapping_id_added_column_null_fills(spark, tmp_path):
+    """A schema column whose id is absent from a file's footer (the
+    file predates the column) reads as NULL for that file."""
+    from tulflow_spark.ext.delta_log import (
+        _replay,
+        write_column_mapped_fixture,
+    )
+
+    t = str(tmp_path / "tbl")
+    write_column_mapped_fixture(spark, _df(spark, 0, 6), t, mode="id")
+    # add a third mapped column to the schema via a metaData commit
+    snap = _replay(spark, t, None)
+    schema = json.loads(snap.schema_str)
+    schema["fields"].append({
+        "name": "extra", "type": "string", "nullable": True,
+        "metadata": {"delta.columnMapping.id": 3,
+                     "delta.columnMapping.physicalName": "col-0002"}})
+    actions = [{"metaData": {
+        "id": snap.meta_id,
+        "format": {"provider": "parquet", "options": {}},
+        "schemaString": json.dumps(schema),
+        "partitionColumns": [],
+        "configuration": dict(snap.configuration),
+    }}]
+    _append_commit(t, 1, actions)
+    got = read_delta(spark, t)
+    assert got.columns == ["id", "v", "extra"]
+    rows = got.collect()
+    assert all(r["extra"] is None for r in rows)
+    assert sorted(r["id"] for r in rows) == list(range(6))
+
+
+def test_column_mapping_id_partitioned_and_prune(spark, tmp_path):
+    from pyspark.sql import functions as F
+
+    from tulflow_spark.ext.delta_log import write_column_mapped_fixture
+
+    t = str(tmp_path / "tbl")
+    df = _df(spark, 0, 40).withColumn(
+        "bucket", (F.col("id") % 4).cast("long"))
+    write_column_mapped_fixture(spark, df, t, partition_by=["bucket"],
+                                mode="id")
+    got = read_delta(spark, t)
+    assert sorted(got.columns) == ["bucket", "id", "v"]
+    assert got.count() == 40
+    assert got.filter("bucket = 2").count() == 10
+    pruned = read_delta(spark, t, prune=("bucket", 1, 1))
+    assert _ids(pruned) == sorted(i for i in range(40) if i % 4 == 1)
+    assert len(pruned.inputFiles()) < len(got.inputFiles())

@@ -954,8 +954,9 @@ def read_delta(
     if prune is not None:
         col, lo, hi = prune
         part_cols = snap.partition_cols
-        if _mapping_mode(snap) == "name":
-            # add.stats and partitionValues live in PHYSICAL name space
+        if _mapping_mode(snap) in ("name", "id"):
+            # add.stats and partitionValues live in PHYSICAL name
+            # space in BOTH mapping modes
             phys_of = _physical_names(snap)
             col = phys_of.get(col, col)
             types_all = {
@@ -1077,6 +1078,59 @@ def _physical_names(snap: Snapshot) -> dict[str, str]:
     return out
 
 
+def _mapping_ids(snap: Snapshot) -> dict[str, int]:
+    """logical column → ``delta.columnMapping.id`` (the protocol
+    REQUIRES both id and physicalName once mapping is enabled; id mode
+    resolves data-file columns by parquet footer field id)."""
+    schema = StructType.fromJson(json.loads(snap.schema_str))
+    out: dict[str, int] = {}
+    for f in schema.fields:
+        cid = (f.metadata or {}).get("delta.columnMapping.id")
+        if cid is None:
+            raise DeltaProtocolError(
+                f"column mapping enabled but column {f.name!r} has "
+                "no delta.columnMapping.id"
+            )
+        out[f.name] = int(cid)
+    return out
+
+
+def _footer_field_ids(table_path: str, rel: str) -> dict[int, str]:
+    """A data file's parquet footer field-id → column-name map; typed
+    when the file carries none (an id-mode table's files MUST be
+    written with field ids) or a duplicated id (ambiguous)."""
+    import pyarrow.parquet as pq
+
+    fs, lp = fsio.resolve(_scan_path(table_path, rel))
+    try:
+        with fs.open_input_file(lp) as handle:
+            sc = pq.ParquetFile(handle).schema_arrow
+    except OSError as exc:
+        raise DeltaProtocolError(
+            f"cannot open data file {lp!r}: {exc}") from None
+    ids: dict[int, str] = {}
+    for f in sc:
+        raw = (f.metadata or {}).get(b"PARQUET:field_id")
+        if raw is None:
+            continue
+        try:
+            fid = int(raw)
+        except ValueError:
+            continue
+        if fid in ids:
+            raise DeltaProtocolError(
+                f"data file {lp!r} carries field id {fid} twice "
+                f"({ids[fid]!r} and {f.name!r}) — ambiguous")
+        ids[fid] = f.name
+    if not ids:
+        raise DeltaProtocolError(
+            f"column mapping mode=id but data file {lp!r} carries no "
+            "parquet field ids — resolving by name would silently "
+            "misread renamed columns"
+        )
+    return ids
+
+
 def _contains_struct(dt) -> bool:
     from pyspark.sql.types import ArrayType, MapType
 
@@ -1099,7 +1153,9 @@ def _build_scan(spark: SparkSession, path: str, snap: Snapshot) -> DataFrame:
     is enabled) is handled by running the whole scan in PHYSICAL name
     space — data files, partitionValues and stats all use physical
     names — and renaming to logical names as the final projection;
-    mode ``id`` (parquet field-id resolution) stays a typed wall."""
+    mode ``id`` resolves each data file's columns by parquet footer
+    FIELD ID (footer names are free to differ per file), grouping
+    files by footer layout."""
     mode = _mapping_mode(snap)
     if mode == "name":
         from pyspark.sql import functions as F
@@ -1124,10 +1180,70 @@ def _build_scan(spark: SparkSession, path: str, snap: Snapshot) -> DataFrame:
         return df.select([
             F.col(phys_of[f.name]).alias(f.name) for f in logical.fields
         ])
+    if mode == "id":
+        # field-id resolution: each data file's footer ids bind its
+        # columns (footer NAMES are free to differ per file — e.g.
+        # files written before a rename).  Partition values still live
+        # in the log under PHYSICAL names.  Files group by their
+        # footer-name layout; each group scans once and renames to
+        # logical names.
+        from pyspark.sql import functions as F
+
+        phys_of = _physical_names(snap)
+        id_of = _mapping_ids(snap)
+        logical = StructType.fromJson(json.loads(snap.schema_str))
+        part_set = set(snap.partition_cols)
+        bad_parts = [c for c in snap.partition_cols
+                     if c not in phys_of]
+        if bad_parts:
+            raise DeltaProtocolError(
+                f"partitionColumns {bad_parts} absent from the "
+                "metaData schema"
+            )
+        data_fields = [f for f in logical.fields
+                       if f.name not in part_set]
+        if not snap.live:
+            return spark.createDataFrame([], logical)
+        groups: dict[tuple, dict] = {}
+        for rel, add in snap.live.items():
+            fids = _footer_field_ids(path, rel)
+            key = []
+            for f in data_fields:
+                # a column the file predates (id absent) reads as
+                # NULL: bind it to a name the file cannot contain
+                key.append(fids.get(id_of[f.name],
+                                    f"__absent_{id_of[f.name]}"))
+            if len(set(key)) != len(key):
+                raise DeltaProtocolError(
+                    f"data file {rel!r} binds two schema columns to "
+                    "one footer column — ambiguous field ids")
+            groups.setdefault(tuple(key), {})[rel] = add
+        frames = []
+        for key, live in sorted(groups.items()):
+            by_footer = dict(zip([f.name for f in data_fields], key))
+            grp_schema = StructType([
+                StructField(
+                    by_footer[f.name] if f.name not in part_set
+                    else phys_of[f.name], f.dataType, f.nullable)
+                for f in logical.fields
+            ])
+            snap_grp = Snapshot(
+                dict(live), json.dumps(grp_schema.jsonValue()),
+                snap.version,
+                partition_cols=[phys_of[c]
+                                for c in snap.partition_cols],
+            )
+            df = _build_scan(spark, path, snap_grp)
+            frames.append(df.select([
+                F.col(by_footer[f.name] if f.name not in part_set
+                      else phys_of[f.name]).alias(f.name)
+                for f in logical.fields
+            ]))
+        return _union_fold(frames)
     if mode != "none":
         raise DeltaProtocolError(
-            f"column mapping mode {mode!r} not supported (only 'name' "
-            "and 'none')"
+            f"column mapping mode {mode!r} not supported (only "
+            "'name', 'id' and 'none')"
         )
     schema = None
     if snap.schema_str is not None:
@@ -1587,21 +1703,26 @@ def delete_rows_with_dv(spark: SparkSession, path: str,
 def write_column_mapped_fixture(spark: SparkSession, df: DataFrame,
                                 path: str,
                                 partition_by: list[str] | None = None,
-                                ) -> int:
+                                mode: str = "name") -> int:
     """FIXTURE writer (the encode_* strategy: tests and oracle pairs
     build mapped tables with it; an independent hand-authored log in
-    tests guards the shared-bug risk): create a column-mapping
-    ``mode=name`` table — data files and partitionValues carry
-    physical ``col-NNNN`` names, the metaData schema records logical
-    names plus ``delta.columnMapping.id`` / ``physicalName`` field
-    metadata, the protocol records reader 2 / writer 5.  Reads resolve
-    through :func:`_build_scan`'s physical-space path; every mutating
-    op here keeps refusing mapped tables (writer-version wall)."""
+    tests guards the shared-bug risk): create a column-mapping table —
+    data files and partitionValues carry physical ``col-NNNN`` names,
+    the metaData schema records logical names plus
+    ``delta.columnMapping.id`` / ``physicalName`` field metadata, the
+    protocol records reader 2 / writer 5.  ``mode="id"`` additionally
+    stamps the mapping ids into the parquet footers as real field ids
+    (the id-mode write contract).  Reads resolve through
+    :func:`_build_scan`'s mapped paths; every mutating op here keeps
+    refusing mapped tables (writer-version wall)."""
     from pyspark.sql import functions as F
 
     if latest_version(path) is not None:
         raise DeltaProtocolError(
             f"fixture table already exists at {path}")
+    if mode not in ("name", "id"):
+        raise DeltaProtocolError(
+            f"column mapping fixture mode {mode!r} not supported")
     nested = [f.name for f in df.schema.fields
               if _contains_struct(f.dataType)]
     if nested:
@@ -1610,7 +1731,14 @@ def write_column_mapped_fixture(spark: SparkSession, df: DataFrame,
             "supported (the reader walls on nested mapping)"
         )
     phys_of = {c: f"col-{i:04d}" for i, c in enumerate(df.columns)}
-    phys_df = df.select([F.col(c).alias(phys_of[c]) for c in df.columns])
+    meta_of = ({c: {"parquet.field.id": i + 1}
+                for i, c in enumerate(df.columns)}
+               if mode == "id" else {c: None for c in df.columns})
+    phys_df = df.select([
+        F.col(c).alias(phys_of[c], metadata=meta_of[c])
+        if meta_of[c] else F.col(c).alias(phys_of[c])
+        for c in df.columns
+    ])
     phys_parts = [phys_of[c] for c in (partition_by or [])]
     adds = _stage_adds(phys_df, path, phys_parts or None)
     fields = [
@@ -1623,7 +1751,7 @@ def write_column_mapped_fixture(spark: SparkSession, df: DataFrame,
     meta = _metadata_action(
         StructType(fields), list(partition_by or []),
         configuration={
-            "delta.columnMapping.mode": "name",
+            "delta.columnMapping.mode": mode,
             "delta.columnMapping.maxColumnId": str(len(fields)),
         },
     )

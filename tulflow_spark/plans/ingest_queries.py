@@ -755,3 +755,73 @@ def ib4_iceberg_rename(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("n_old_vintage", F.lit(int(n_old)).cast("bigint"))
         .select("n_rows", "sum_ids", "corpus_md5", "n_old_vintage")
     )
+
+
+@register(
+    "dl7_column_mapping_id",
+    oracle="""
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(SUM(doc_id) AS BIGINT) AS sum_doc_id,
+           md5(STRING_AGG(md5(text), '' ORDER BY md5(text)))
+               AS corpus_md5,
+           CAST((SELECT COUNT(*) FROM documents WHERE doc_id % 5 = 3)
+                AS BIGINT) AS n_pruned_rows
+    FROM documents
+    """,
+)
+def dl7_column_mapping_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Delta column-mapping mode=id READ path oracle-checked (r11
+    VERDICT #7): write documents as a bucket-partitioned mode=id table
+    (physical ``col-NNNN`` footer names PLUS real parquet field ids),
+    then RENAME one data file's footer columns in place keeping its
+    ids — the read must stitch both footer layouts by FIELD ID under
+    logical names; the oracle recomputes count, id sum and an
+    order-insensitive corpus digest from the raw table, so one swapped
+    or null-filled column fails the hash.  ``n_pruned_rows`` pins
+    logical-name pruning over physical partitionValues.
+
+    At 100 TB: id resolution costs one footer read per live file
+    (driver-side, metadata-sized); files group by footer layout and
+    each group stays one declarative scan."""
+    import os
+    import tempfile
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from tulflow_spark.ext.delta_log import (
+        read_delta,
+        write_column_mapped_fixture,
+    )
+
+    docs = (table(spark, sf_dir, "documents")
+            .select("doc_id", "text")
+            .withColumn("bucket", (F.col("doc_id") % 5).cast("long")))
+    t = tempfile.mkdtemp(prefix="dl7_") + "/tbl"
+    write_column_mapped_fixture(spark, docs, t, partition_by=["bucket"],
+                                mode="id")
+    # age one file: rename its footer columns, keep the field ids
+    fp = sorted(read_delta(spark, t).inputFiles())[0][7:]
+    tbl = pq.read_table(fp)
+    renames = {"col-0000": "legacy_doc_id", "col-0001": "legacy_text"}
+    fields = [pa.field(renames.get(f.name, f.name), f.type,
+                       metadata=f.metadata) for f in tbl.schema]
+    pq.write_table(tbl.rename_columns(
+        [renames.get(n, n) for n in tbl.column_names]
+    ).cast(pa.schema(fields)), fp)
+    crc = os.path.join(os.path.dirname(fp),
+                       f".{os.path.basename(fp)}.crc")
+    if os.path.exists(crc):
+        os.remove(crc)
+    full = read_delta(spark, t)
+    pruned_n = read_delta(spark, t, prune=("bucket", 3, 3)).count()
+    return (
+        full.agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.sum("doc_id").cast("bigint").alias("sum_doc_id"),
+            F.md5(F.concat_ws("", F.array_sort(
+                F.collect_list(F.md5("text"))))).alias("corpus_md5"),
+        )
+        .withColumn("n_pruned_rows", F.lit(int(pruned_n)).cast("bigint"))
+        .select("n_rows", "sum_doc_id", "corpus_md5", "n_pruned_rows")
+    )
