@@ -21,10 +21,17 @@ MPEG-1 audio overview literature):
   region0/region1 scalefactor-band boundaries, linbits escapes, sign
   bits, count1 quadruples, rzero tail.  Code tables live in a REGISTRY
   (`BIG_VALUE_TABLES` / `COUNT1_TABLES`): ISO Table B.7 is a pure data
-  table; the registry ships the entries transcribed here (tables 0-3 and
-  count1 table B) and raises a typed `Mp3Error` naming any table a
-  stream requests that is not transcribed — extending it is mechanical
-  data entry, no code.  In-repo fixtures are SELF-CONSISTENT: the test
+  table; the registry ships the entries transcribed here (tables 0-3,
+  5-9, 12 and count1 table B) and raises a typed `Mp3Error` naming any
+  table a stream requests that is not transcribed — extending it is
+  mechanical data entry, no code.  Transcriptions are ADMITTED only
+  when the first honest transcription passes `_tbl_mat`'s
+  complete-prefix-code gate (pairwise prefix-free + Kraft equality —
+  a corrupted n*n table passing by chance is implausible, while
+  ITERATING a recalled table against the gate until it closes would
+  manufacture a plausible-but-wrong code); tables 10, 11, 13, 15, 16
+  and 24 failed first-transcription validation and remain typed
+  walls.  In-repo fixtures are SELF-CONSISTENT: the test
   encoder writes codes from the same registry, and the golden
   expectations are analytic in the SIGNAL domain (tone frequency), the
   ext/vorbis.py strategy.
@@ -181,6 +188,40 @@ def _tbl(pairs):
     return out
 
 
+def _tbl_mat(hlen, hcod):
+    """hlen/hcod matrices (spec layout: row x, column y) -> lookup
+    dict, VALIDATED as a complete prefix code at import: every ISO
+    B.7 big-value table is a Huffman code (pairwise prefix-free,
+    Kraft sum exactly 1), and an n*n-entry table passing that gate by
+    chance is implausible — the transcription contract is that tables
+    are admitted only when their first honest transcription validates
+    (iterating a recalled table against this check until it closes
+    would manufacture a plausible-but-WRONG code, worse than the
+    typed wall; tables 10/11/13/15/16/24 failed first-transcription
+    validation and stay out)."""
+    from fractions import Fraction
+
+    n = len(hlen)
+    codes: dict = {}
+    for x in range(n):
+        for y in range(n):
+            ln, c = hlen[x][y], hcod[x][y]
+            if not (0 < ln <= 19 and 0 <= c < (1 << ln)) or \
+                    (ln, c) in codes:
+                raise AssertionError(
+                    f"B.7 transcription corrupt at ({x},{y})")
+            codes[(ln, c)] = (x, y)
+    if sum(Fraction(1, 2 ** ln) for (ln, _) in codes) != 1:
+        raise AssertionError("B.7 transcription fails Kraft equality")
+    items = sorted(codes)
+    for i, (l1, c1) in enumerate(items):
+        for (l2, c2) in items[i + 1:]:
+            if l1 <= l2 and (c2 >> (l2 - l1)) == c1:
+                raise AssertionError(
+                    "B.7 transcription not prefix-free")
+    return codes
+
+
 # table 1: 2x2 values
 _T1 = _tbl([
     (0, 0, 1, 0b1),
@@ -213,11 +254,48 @@ _T3 = _tbl([
     (2, 2, 6, 0b000000),
 ])
 
+# tables 5-9 and 12 (r12 data entry; 4x4 / 6x6 / 8x8 value tables,
+# linbits 0) — admitted through _tbl_mat's complete-prefix-code gate
+_T5 = _tbl_mat([[1, 3, 6, 7], [3, 3, 6, 7], [6, 6, 7, 8], [7, 6, 7, 8]],
+               [[1, 2, 6, 5], [3, 1, 4, 4], [7, 5, 7, 1], [6, 1, 1, 0]])
+_T6 = _tbl_mat([[3, 3, 5, 7], [3, 2, 4, 5], [4, 4, 5, 6], [6, 5, 6, 7]],
+               [[7, 3, 5, 1], [6, 2, 3, 2], [5, 4, 4, 1], [3, 3, 2, 0]])
+_T7 = _tbl_mat(
+    [[1, 3, 6, 8, 8, 9], [3, 4, 6, 7, 7, 8], [6, 5, 7, 8, 8, 9],
+     [7, 7, 8, 9, 9, 9], [7, 7, 8, 9, 9, 10], [8, 8, 9, 10, 10, 10]],
+    [[1, 2, 10, 19, 16, 10], [3, 3, 7, 10, 5, 3], [11, 4, 13, 17, 8, 4],
+     [12, 11, 18, 15, 11, 2], [7, 6, 9, 14, 3, 1], [6, 4, 5, 3, 2, 0]])
+_T8 = _tbl_mat(
+    [[2, 3, 6, 8, 8, 9], [3, 2, 4, 8, 8, 8], [6, 4, 6, 8, 8, 9],
+     [8, 8, 8, 9, 9, 10], [8, 7, 8, 9, 10, 10], [9, 8, 9, 9, 11, 11]],
+    [[3, 4, 6, 18, 12, 5], [5, 1, 2, 16, 9, 3], [7, 3, 5, 14, 7, 3],
+     [19, 17, 15, 13, 10, 4], [13, 5, 8, 11, 5, 1], [12, 4, 4, 1, 1, 0]])
+_T9 = _tbl_mat(
+    [[3, 3, 5, 6, 8, 9], [3, 3, 4, 5, 6, 8], [4, 4, 5, 6, 7, 8],
+     [6, 5, 6, 7, 7, 8], [7, 6, 7, 7, 8, 9], [8, 7, 8, 8, 9, 9]],
+    [[7, 5, 9, 14, 15, 7], [6, 4, 5, 5, 6, 7], [7, 6, 8, 8, 8, 5],
+     [15, 6, 9, 10, 5, 1], [11, 7, 9, 6, 4, 1], [14, 4, 6, 2, 6, 0]])
+_T12 = _tbl_mat(
+    [[4, 3, 5, 7, 8, 9, 9, 9], [3, 3, 4, 5, 7, 7, 8, 8],
+     [5, 4, 5, 6, 7, 8, 7, 8], [6, 5, 6, 6, 7, 8, 8, 8],
+     [7, 6, 7, 7, 8, 8, 8, 9], [8, 7, 8, 8, 8, 9, 8, 9],
+     [8, 7, 7, 8, 8, 9, 9, 10], [9, 8, 8, 9, 9, 9, 9, 10]],
+    [[9, 6, 16, 33, 41, 39, 38, 26], [7, 5, 6, 9, 23, 16, 26, 11],
+     [17, 7, 11, 14, 21, 30, 10, 7], [17, 10, 15, 12, 18, 28, 14, 5],
+     [32, 13, 22, 19, 18, 16, 9, 5], [40, 17, 31, 29, 17, 13, 4, 2],
+     [27, 12, 11, 15, 10, 7, 4, 1], [27, 12, 8, 12, 6, 3, 1, 0]])
+
 BIG_VALUE_TABLES: dict[int, tuple[int, dict]] = {
     0: (0, {}),  # table 0: no bits, all zero
     1: (0, _T1),
     2: (0, _T2),
     3: (0, _T3),
+    5: (0, _T5),
+    6: (0, _T6),
+    7: (0, _T7),
+    8: (0, _T8),
+    9: (0, _T9),
+    12: (0, _T12),
 }
 
 # count1 table B (count1table_select=1): every quadruple is its 4-bit
@@ -861,27 +939,31 @@ class _BW:
         return bytes(out)
 
 
-def _granule_main_bits(line_k: int, global_gain: int) -> _BW:
-    """Scalefactors (zero bits at scalefac_compress=0) + Huffman: table-1
-    pairs, all (0,0) except the pair containing ``line_k`` (positive)."""
+def _granule_main_bits(line_k: int, global_gain: int,
+                       table_select: int = 1) -> _BW:
+    """Scalefactors (zero bits at scalefac_compress=0) + Huffman:
+    ``table_select`` pairs, all (0,0) except the pair containing
+    ``line_k`` (positive)."""
+    _, tab = BIG_VALUE_TABLES[table_select]
+    by_xy = {xy: lc for lc, xy in tab.items()}
     w = _BW()
     n_pairs = line_k // 2 + 1
     for p in range(n_pairs):
         if p == line_k // 2:
-            if line_k % 2 == 0:
-                w.w(0b01, 2)   # (1, 0)
-            else:
-                w.w(0b001, 3)  # (0, 1)
+            ln, c = by_xy[(1, 0)] if line_k % 2 == 0 else by_xy[(0, 1)]
+            w.w(c, ln)
             w.w(0, 1)          # sign +
         else:
-            w.w(0b1, 1)        # (0, 0)
+            ln, c = by_xy[(0, 0)]
+            w.w(c, ln)
     return w
 
 
 def encode_test_tone_mp3(line_k: int, n_frames: int,
                          global_gain: int = 210,
                          reservoir_bytes: int = 0,
-                         mixed_block: bool = False) -> bytes:
+                         mixed_block: bool = False,
+                         table_select: int = 1) -> bytes:
     """Minimal legal MPEG-1 Layer III mono stream (48 kHz, 32 kbit/s —
     exactly 96-byte frames), every granule carrying a single positive
     spectral line at ``line_k`` with amplitude 2^((global_gain-210)/4).
@@ -899,8 +981,11 @@ def encode_test_tone_mp3(line_k: int, n_frames: int,
         raise ValueError("mixed_block fixtures need line_k < 36")
     if n_frames < 1:
         raise ValueError("need at least one frame")
+    if not BIG_VALUE_TABLES.get(table_select, (0, None))[1]:
+        raise ValueError(
+            f"table {table_select} not in the transcribed registry")
     header = bytes([0xFF, 0xFB, 0x14, 0xC0])
-    gbits = _granule_main_bits(line_k, global_gain)
+    gbits = _granule_main_bits(line_k, global_gain, table_select)
     p23 = len(gbits.bits)
     main = _BW()
     main.bits = gbits.bits + gbits.bits  # two granules
@@ -923,13 +1008,14 @@ def encode_test_tone_mp3(line_k: int, n_frames: int,
                 s.w(1, 1)      # window_switching
                 s.w(2, 2)      # block_type: short
                 s.w(1, 1)      # mixed_block_flag
-                s.w(1, 5); s.w(1, 5)  # table_select x2
+                s.w(table_select, 5)
+                s.w(table_select, 5)  # table_select x2
                 for _ in range(3):
                     s.w(0, 3)  # subblock_gain
             else:
                 s.w(0, 1)      # window_switching
                 for _ in range(3):
-                    s.w(1, 5)  # table_select = 1 everywhere
+                    s.w(table_select, 5)  # same table everywhere
                 s.w(7, 4)      # region0_count
                 s.w(7, 3)      # region1_count
             s.w(0, 1)          # preflag
