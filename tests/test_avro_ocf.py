@@ -210,3 +210,14 @@ def test_zero_byte_datum_count_bounded():
     body[idx:idx + 1] = big
     with _pytest.raises(AvroError, match="zero-byte datum"):
         read_ocf(bytes(body))
+
+
+def test_many_empty_records_stay_readable():
+    """Review finding (r12): conformant blocks of MANY zero-byte
+    records (count>1, size=0) must still decode — the DoS bound only
+    rejects counts past the 64Ki sanity limit."""
+    from tulflow_spark.ext.avro_ocf import read_ocf, write_ocf
+
+    schema = {"type": "record", "name": "empty", "fields": []}
+    blob = write_ocf(schema, [{}] * 5)
+    assert read_ocf(blob) == [{}] * 5

@@ -1073,3 +1073,88 @@ def test_idless_file_rename_stays_typed(spark, tmp_path):
     _rename_current(t, "id", "doc_id")
     with pytest.raises(IcebergError, match="field-id|field ids"):
         read_iceberg(spark, t).collect()
+
+
+def test_renamed_then_readded_name_does_not_rebind(spark, tmp_path):
+    """Review finding (r12): after rename a->b plus adding a NEW
+    column under the OLD name 'a', the new column must null-fill for
+    old files — the name fallback must never apply to an id-carrying
+    file, or both logical columns would read the old physical
+    values."""
+    t = str(tmp_path / "tbl")
+    df = spark.createDataFrame([(1, "x"), (2, "y")], "a long, v string")
+    write_iceberg_fixture(spark, df, t)
+    mdir = f"{t}/metadata"
+    meta = json.load(open(f"{mdir}/v1.metadata.json"))
+    cur = meta["schemas"][0]
+    new_schema = json.loads(json.dumps(cur))
+    new_schema["schema-id"] = 1
+    new_schema["fields"][0]["name"] = "b"          # rename a -> b
+    new_schema["fields"].append(                   # NEW column, old name
+        {"id": 9, "name": "a", "required": False, "type": "long"})
+    meta["schemas"].append(new_schema)
+    meta["current-schema-id"] = 1
+    json.dump(meta, open(f"{mdir}/v1.metadata.json", "w"))
+    got = read_iceberg(spark, t)
+    assert got.columns == ["b", "v", "a"]
+    rows = {r["b"]: (r["v"], r["a"]) for r in got.collect()}
+    assert rows == {1: ("x", None), 2: ("y", None)}
+
+
+def test_nested_column_foreign_table_reads(spark, tmp_path):
+    """Review finding (r12): a foreign table with a STRUCT column must
+    still read (the projection group key has to stay hashable); the
+    id-less name path covers it."""
+    import os
+
+    t = str(tmp_path / "tbl")
+    os.makedirs(f"{t}/metadata")
+    spark.createDataFrame(
+        [(1, ("a", 2)), (2, ("b", 3))],
+        "k long, s struct<p:string,q:long>",
+    ).coalesce(1).write.parquet(f"{t}/data/d0")
+    part = [f for f in os.listdir(f"{t}/data/d0")
+            if f.endswith(".parquet")][0]
+    from tulflow_spark.ext import iceberg as I
+
+    man = I.write_ocf(I._manifest_schema([]), [{
+        "status": 1, "snapshot_id": 7, "sequence_number": 1,
+        "data_file": {
+            "content": 0, "file_path": f"file://{t}/data/d0/{part}",
+            "file_format": "PARQUET", "partition": {},
+            "record_count": 2, "file_size_in_bytes": 1,
+        }}])
+    with open(f"{t}/metadata/m0.avro", "wb") as fh:
+        fh.write(man)
+    ml = I.write_ocf(I._MANIFEST_LIST_SCHEMA, [{
+        "manifest_path": f"file://{t}/metadata/m0.avro",
+        "manifest_length": len(man), "partition_spec_id": 0,
+        "content": 0, "added_snapshot_id": 7}])
+    with open(f"{t}/metadata/snap-7.avro", "wb") as fh:
+        fh.write(ml)
+    meta = {
+        "format-version": 2, "table-uuid": "t-n", "location": t,
+        "last-sequence-number": 1, "last-updated-ms": 1,
+        "last-column-id": 4,
+        "schemas": [{"type": "struct", "schema-id": 0, "fields": [
+            {"id": 1, "name": "k", "required": False, "type": "long"},
+            {"id": 2, "name": "s", "required": False, "type": {
+                "type": "struct", "fields": [
+                    {"id": 3, "name": "p", "required": False,
+                     "type": "string"},
+                    {"id": 4, "name": "q", "required": False,
+                     "type": "long"}]}},
+        ]}],
+        "current-schema-id": 0,
+        "partition-specs": [{"spec-id": 0, "fields": []}],
+        "default-spec-id": 0, "current-snapshot-id": 7,
+        "snapshots": [{"snapshot-id": 7, "timestamp-ms": 1,
+                       "sequence-number": 1,
+                       "manifest-list": f"file://{t}/metadata/snap-7.avro",
+                       "summary": {"operation": "append"}}],
+    }
+    json.dump(meta, open(f"{t}/metadata/v1.metadata.json", "w"))
+    open(f"{t}/metadata/version-hint.text", "w").write("1")
+    got = read_iceberg(spark, t)
+    assert {r["k"]: (r["s"]["p"], r["s"]["q"])
+            for r in got.collect()} == {1: ("a", 2), 2: ("b", 3)}

@@ -71,11 +71,12 @@ def test_r7_rotation_promotes_never_adjudicated_pairs():
     # promoted set (the gate budget is a hard 50) UNLESS they took a slot
     # in the same commit; names here run in the local parity suite this
     # round and queue for the r8 rotation.
-    # r11 rotation: dl6/ib1/ib2 promoted into the gate (they were the
-    # only never-adjudicated names at rotation time); sdc1 registered
-    # after the gate froze and queues for the r12 rotation
-    added_post_rotation: set[str] = {"sdc1_stream_delta_changes",
-                                     "ib3_iceberg_eq_deletes"}
+    # r12 rotation: sdc1/ib3 promoted into the gate (the only
+    # never-adjudicated names at rotation time); ib4 (field-id rename)
+    # and dl7 (column mapping mode=id) registered after the gate froze
+    # and queue for the r13 rotation
+    added_post_rotation: set[str] = {"ib4_iceberg_rename",
+                                     "dl7_column_mapping_id"}
     never -= added_post_rotation
     assert never <= set(QUERIES), (
         f"never-adjudicated but de-gated: {sorted(never - set(QUERIES))}"

@@ -249,12 +249,13 @@ def read_ocf(data: bytes) -> list:
         for _ in range(count):
             before = br.pos
             out.append(_decode(br, schema, names))
-            if br.pos == before and count > max(1, size):
+            if br.pos == before and count > max(size, 1 << 16):
                 # a zero-byte datum (e.g. an empty record) never
                 # advances the reader, so the truncation check can't
                 # bound the loop: trusting a crafted 2^60 count would
                 # append until memory exhausts instead of failing
-                # typed — require count <= block size for such schemas
+                # typed.  Conformant files with MANY empty records
+                # stay readable below the 64Ki sanity bound.
                 raise AvroError(
                     f"block count {count} exceeds size {size} with a "
                     "zero-byte datum schema (malformed block header)")

@@ -1096,39 +1096,22 @@ def _mapping_ids(snap: Snapshot) -> dict[str, int]:
 
 
 def _footer_field_ids(table_path: str, rel: str) -> dict[int, str]:
-    """A data file's parquet footer field-id → column-name map; typed
-    when the file carries none (an id-mode table's files MUST be
-    written with field ids) or a duplicated id (ambiguous)."""
-    import pyarrow.parquet as pq
-
-    fs, lp = fsio.resolve(_scan_path(table_path, rel))
+    """A data file's parquet footer field-id → column-name map (the
+    shared cached probe in :mod:`tulflow_spark.fsio`); typed when the
+    file carries none (an id-mode table's files MUST be written with
+    field ids) or a duplicated id (ambiguous)."""
+    p = _scan_path(table_path, rel)
     try:
-        with fs.open_input_file(lp) as handle:
-            sc = pq.ParquetFile(handle).schema_arrow
-    except OSError as exc:
-        raise DeltaProtocolError(
-            f"cannot open data file {lp!r}: {exc}") from None
-    ids: dict[int, str] = {}
-    for f in sc:
-        raw = (f.metadata or {}).get(b"PARQUET:field_id")
-        if raw is None:
-            continue
-        try:
-            fid = int(raw)
-        except ValueError:
-            continue
-        if fid in ids:
-            raise DeltaProtocolError(
-                f"data file {lp!r} carries field id {fid} twice "
-                f"({ids[fid]!r} and {f.name!r}) — ambiguous")
-        ids[fid] = f.name
+        _, ids = fsio.parquet_footer_fields(p)
+    except ValueError as exc:
+        raise DeltaProtocolError(str(exc)) from None
     if not ids:
         raise DeltaProtocolError(
-            f"column mapping mode=id but data file {lp!r} carries no "
+            f"column mapping mode=id but data file {p!r} carries no "
             "parquet field ids — resolving by name would silently "
             "misread renamed columns"
         )
-    return ids
+    return dict(ids)
 
 
 def _contains_struct(dt) -> bool:
@@ -1204,6 +1187,8 @@ def _build_scan(spark: SparkSession, path: str, snap: Snapshot) -> DataFrame:
                        if f.name not in part_set]
         if not snap.live:
             return spark.createDataFrame([], logical)
+        fsio.prefetch_parquet_footers(
+            [_scan_path(path, rel) for rel in snap.live])
         groups: dict[tuple, dict] = {}
         for rel, add in snap.live.items():
             fids = _footer_field_ids(path, rel)

@@ -303,38 +303,26 @@ def _live_files(meta: dict,
 
 def _physical_fields(dfile: dict) -> tuple[list[str], dict[int, str]]:
     """A data file's physical column names and its field-id → name map
-    (parquet ``PARQUET:field_id`` footer metadata; ORC files expose
-    names only).  A duplicated field id in one footer is typed — id
+    (parquet ``PARQUET:field_id`` footer metadata via the shared
+    cached probe in :mod:`tulflow_spark.fsio`; ORC files expose names
+    only).  A duplicated field id in one footer is typed — id
     resolution over it would be ambiguous."""
-    fs, lp = fsio.resolve(_plain_path(dfile["file_path"]))
-    orc = str(dfile.get("file_format") or "").upper() == "ORC"
-    try:
-        with fs.open_input_file(lp) as handle:
-            if orc:
+    if str(dfile.get("file_format") or "").upper() == "ORC":
+        fs, lp = fsio.resolve(_plain_path(dfile["file_path"]))
+        try:
+            with fs.open_input_file(lp) as handle:
                 import pyarrow.orc as po
 
                 return list(po.ORCFile(handle).schema.names), {}
-            import pyarrow.parquet as pq
-
-            sc = pq.ParquetFile(handle).schema_arrow
-    except OSError as exc:
-        raise IcebergError(
-            f"cannot open data file {lp!r}: {exc}") from None
-    ids: dict[int, str] = {}
-    for f in sc:
-        raw = (f.metadata or {}).get(b"PARQUET:field_id")
-        if raw is None:
-            continue
-        try:
-            fid = int(raw)
-        except ValueError:
-            continue
-        if fid in ids:
+        except OSError as exc:
             raise IcebergError(
-                f"data file {lp!r} carries field id {fid} twice "
-                f"({ids[fid]!r} and {f.name!r}) — ambiguous")
-        ids[fid] = f.name
-    return list(sc.names), ids
+                f"cannot open data file {lp!r}: {exc}") from None
+    try:
+        names, ids = fsio.parquet_footer_fields(
+            _plain_path(dfile["file_path"]))
+    except ValueError as exc:
+        raise IcebergError(str(exc)) from None
+    return list(names), dict(ids)
 
 
 # Iceberg primitive type → Spark cast target for null-filled columns
@@ -350,19 +338,24 @@ _SPARK_OF_ICE = {
 def _projection_for(schema: dict, names: list[str],
                     ids: dict[int, str], dfile: dict) -> tuple:
     """Per-file column resolution (spec: by FIELD ID): each snapshot
-    schema field resolves to its physical column by id first, by name
-    when the file carries no ids, and to a null fill when the file has
-    ids but simply predates the column (add-column evolution).  A
+    schema field resolves to its physical column by id when the file
+    carries ids, by name ONLY when it carries none, and to a null
+    fill when the file has ids but simply predates the column
+    (add-column evolution).  The name fallback never applies to an
+    id-carrying file — after a rename + re-add of the old name, the
+    new column would silently bind the OLD physical column.  A
     name-miss on an id-less file stays a typed wall — rename, drop,
     and add are indistinguishable there and a silent null would
     misread renamed tables."""
     out = []
     nameset = set(names)
+    bound: dict[str, str] = {}
     for f in schema.get("fields", []):
         fid = f.get("id")
         phys = ids.get(int(fid)) if fid is not None and ids else None
-        if phys is None and f["name"] in nameset:
+        if phys is None and not ids and f["name"] in nameset:
             phys = f["name"]
+        t = f.get("type")
         if phys is None:
             if not ids:
                 raise IcebergError(
@@ -371,12 +364,23 @@ def _projection_for(schema: dict, names: list[str],
                     "no parquet field ids — renamed/dropped columns "
                     "need field-id resolution (read an older snapshot "
                     "written under the old schema)")
-            t = f.get("type")
-            if t not in _SPARK_OF_ICE:
+            if not isinstance(t, str) or t not in _SPARK_OF_ICE:
                 raise IcebergError(
                     f"cannot null-fill column {f['name']!r} of type "
                     f"{t!r}")
-        out.append((f["name"], phys, f.get("type")))
+        else:
+            if phys in bound:
+                raise IcebergError(
+                    f"data file {dfile.get('file_path')!r} binds "
+                    f"schema columns {bound[phys]!r} and "
+                    f"{f['name']!r} to one footer column {phys!r} — "
+                    "ambiguous")
+            bound[phys] = f["name"]
+        # nested types arrive as dicts: keep the projection tuple
+        # hashable (it doubles as the scan-group key); only primitive
+        # types ever reach the null-fill cast above
+        out.append((f["name"], phys,
+                    t if isinstance(t, str) else "<nested>"))
     return tuple(out)
 
 
@@ -391,6 +395,10 @@ def _resolved_scan(spark: SparkSession, data_files: list[dict],
     projection entirely (identical plan to a plain scan)."""
     from pyspark.sql import functions as F
 
+    fsio.prefetch_parquet_footers([
+        _plain_path(d["file_path"]) for d in data_files
+        if str(d.get("file_format") or "").upper() != "ORC"
+    ])
     groups: dict[tuple, list[dict]] = {}
     for d in data_files:
         fmt = str(d.get("file_format") or "").upper()

@@ -19,6 +19,8 @@ here the same helper serves local tests and object-store deployments.
 
 from __future__ import annotations
 
+import functools as _functools
+
 from pyarrow import fs as pafs
 
 
@@ -111,3 +113,71 @@ def write_text_exclusive(path: str, content: str) -> None:
     if exists(path):
         raise FileExistsError(path)
     write_text(path, content)
+
+
+def parquet_footer_fields(path: str) -> tuple[tuple[str, ...],
+                                              tuple[tuple[int, str], ...]]:
+    """One parquet file's footer column names and its
+    ``PARQUET:field_id`` → name pairs — the shared field-id probe for
+    the Iceberg reader and Delta column-mapping mode=id (one
+    implementation so the two lake readers can never diverge).
+
+    Cached by (path, size, mtime): committed data files are immutable
+    in both lake formats, so re-reads of a table never re-open footers
+    they have seen, while an in-place rewrite (fixtures, tests) still
+    invalidates.  Raises ``ValueError`` on an unreadable file or a
+    duplicated field id (ambiguous) — callers re-wrap typed."""
+    fs, lp = resolve(path)
+    info = fs.get_file_info(lp)
+    if info.type != pafs.FileType.File:
+        raise ValueError(f"cannot open data file {lp!r}: not a file")
+    mt = info.mtime_ns if info.mtime_ns is not None else info.mtime
+    return _footer_fields_cached(path, int(info.size or 0), mt)
+
+
+@_functools.lru_cache(maxsize=65536)
+def _footer_fields_cached(path: str, size: int, mtime) -> tuple:
+    import pyarrow.parquet as pq
+
+    fs, lp = resolve(path)
+    try:
+        with fs.open_input_file(lp) as handle:
+            sc = pq.ParquetFile(handle).schema_arrow
+    except OSError as exc:
+        raise ValueError(f"cannot open data file {lp!r}: {exc}") from None
+    ids: dict[int, str] = {}
+    for f in sc:
+        raw = (f.metadata or {}).get(b"PARQUET:field_id")
+        if raw is None:
+            continue
+        try:
+            fid = int(raw)
+        except ValueError:
+            continue
+        if fid in ids:
+            raise ValueError(
+                f"data file {lp!r} carries field id {fid} twice "
+                f"({ids[fid]!r} and {f.name!r}) — ambiguous")
+        ids[fid] = f.name
+    return tuple(sc.names), tuple(sorted(ids.items()))
+
+
+def prefetch_parquet_footers(paths: list[str]) -> None:
+    """Warm :func:`parquet_footer_fields` for many files concurrently —
+    planning over thousands of live files would otherwise pay one
+    SERIAL footer open per file on the driver (painful on object
+    stores).  Errors surface on the caller's own per-file call."""
+    from concurrent.futures import ThreadPoolExecutor
+
+    todo = [p for p in dict.fromkeys(paths)]
+    if len(todo) < 2:
+        return
+
+    def warm(p: str) -> None:
+        try:
+            parquet_footer_fields(p)
+        except ValueError:
+            pass    # re-raised typed by the caller's sequential pass
+
+    with ThreadPoolExecutor(max_workers=min(16, len(todo))) as ex:
+        list(ex.map(warm, todo))
