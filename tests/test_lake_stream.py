@@ -229,7 +229,7 @@ def test_delta_stream_int_partition_and_mapped_wall(
     rows = spark.sql("select * from ip").collect()
     assert sorted(r["id"] for r in rows) == list(range(6))
     assert all(r["y"] == r["id"] % 2 for r in rows)
-    # column-mapped table: typed wall, not an executor KeyError
+    # an UNKNOWN mapping mode stays a typed wall
     from pyspark.errors.exceptions.captured import StreamingQueryException
 
     from tulflow_spark.ext.delta_log import write_column_mapped_fixture
@@ -238,12 +238,66 @@ def test_delta_stream_int_partition_and_mapped_wall(
     write_column_mapped_fixture(
         spark, spark.createDataFrame([(1, "a")], "id long, v string"),
         t2)
+    import json as _json
+
+    commit = f"{t2}/_delta_log/{0:020d}.json"
+    lines = [
+        _json.loads(ln) for ln in open(commit).read().splitlines() if ln
+    ]
+    for a in lines:
+        if "metaData" in a:
+            a["metaData"]["configuration"][
+                "delta.columnMapping.mode"] = "weird"
+    open(commit, "w").write(
+        "\n".join(_json.dumps(a) for a in lines) + "\n")
     q2 = (spark.readStream.format("tulflow_delta_changes")
           .option("path", t2).option("startingVersion", "-1").load()
           .writeStream.format("memory").queryName("cm")
           .trigger(availableNow=True).start())
     with pytest.raises(StreamingQueryException, match="column mapping"):
         q2.awaitTermination(180)
+
+
+def test_delta_stream_reads_column_mapped_tables(registered, tmp_path):
+    """r12: the streaming source resolves column-mapped tables —
+    mode=name via physicalName, mode=id via footer field ids (renamed
+    footers bind correctly; partitionValues key physically)."""
+    from pyspark.sql import functions as F
+
+    from tulflow_spark.ext.delta_log import write_column_mapped_fixture
+
+    spark = registered
+    df = (spark.createDataFrame([(i, f"x{i}") for i in range(8)],
+                                "id long, v string")
+          .withColumn("b", (F.col("id") % 2).cast("long")))
+    # mode=name, partitioned
+    t1 = str(tmp_path / "t1")
+    write_column_mapped_fixture(spark, df, t1, partition_by=["b"])
+    q = (spark.readStream.format("tulflow_delta_changes")
+         .option("path", t1).option("startingVersion", "-1").load()
+         .writeStream.format("memory").queryName("cmn")
+         .trigger(availableNow=True).start())
+    q.awaitTermination(180)
+    rows = spark.sql("select * from cmn").collect()
+    assert sorted(r["id"] for r in rows) == list(range(8))
+    assert all(r["v"] == f"x{r['id']}" and r["b"] == r["id"] % 2
+               for r in rows)
+    # mode=id with a RENAMED footer (values must bind by field id)
+    from tests.test_delta_log import _retag_footer
+    from tulflow_spark.ext.delta_log import read_delta
+
+    t2 = str(tmp_path / "t2")
+    write_column_mapped_fixture(spark, df.drop("b"), t2, mode="id")
+    fp = read_delta(spark, t2).inputFiles()[0][7:]
+    _retag_footer(fp, {"col-0000": "legacy_id", "col-0001": "legacy_v"})
+    q = (spark.readStream.format("tulflow_delta_changes")
+         .option("path", t2).option("startingVersion", "-1").load()
+         .writeStream.format("memory").queryName("cmi")
+         .trigger(availableNow=True).start())
+    q.awaitTermination(180)
+    rows = spark.sql("select * from cmi").collect()
+    assert {r["id"]: r["v"] for r in rows} == {
+        i: f"x{i}" for i in range(8)}
 
 
 def test_iceberg_stream_expired_range_fails_typed(spark, tmp_path):

@@ -20,6 +20,10 @@ Semantics (micro-batch):
 - partitioned tables inject the log's partitionValues driver-side
   (typed parse, then shipped as Python constants inside each
   partition task);
+- column-mapped tables (mode=name AND mode=id) resolve through
+  per-file logical<-physical bindings shipped in the plan — mode=id
+  binds by parquet footer field id, so renamed-footer vintages read
+  correctly; unknown modes stay typed;
 - reads are Arrow-batched per data file on executors (pyarrow scan of
   exactly one add file per InputPartition — the data plane never
   funnels through the driver).
@@ -54,12 +58,13 @@ class DeltaChangeFeedError(ValueError):
 
 
 class _AddFilePartition(InputPartition):
-    def __init__(self, scan_path: str, part_values: list,
-                 all_cols: list[str]):
+    def __init__(self, scan_path: str, columns: list):
         self.scan_path = scan_path
-        # [(col, python value, arrow type name), ...]
-        self.part_values = part_values
-        self.all_cols = all_cols
+        # per-output-column binding, in stream-schema order:
+        #   ("file", logical, physical)  — footer column, renamed
+        #   ("lit", logical, value, pa)  — partition value injected
+        #   ("null", logical, pa)        — column the file predates
+        self.columns = columns
 
 
 # Spark simpleString → pyarrow factory for partition-value injection:
@@ -203,9 +208,7 @@ class DeltaChangesStreamReader(DataSourceStreamReader):
             raise DeltaChangeFeedError("table has no metaData schema")
         mode = (snap.configuration or {}).get(
             "delta.columnMapping.mode") or "none"
-        if mode != "none":
-            # data files carry PHYSICAL col-NNNN names; scheduling them
-            # against the logical schema would misread on executors
+        if mode not in ("none", "name", "id"):
             raise DeltaChangeFeedError(
                 f"column mapping mode {mode!r} not supported by the "
                 "streaming source (use read_delta_changes)")
@@ -230,20 +233,76 @@ class DeltaChangesStreamReader(DataSourceStreamReader):
             raise DeltaChangeFeedError(
                 f"partition column types {unsupported} not supported "
                 "by the streaming source")
+        # column-mapped tables: data files carry PHYSICAL names (and,
+        # in id mode, footer field ids); partitionValues key
+        # physically too.  The plan ships per-file logical<-physical
+        # bindings so executors rename instead of misreading.
+        if mode == "none":
+            phys_of = {f.name: f.name for f in schema.fields}
+            id_of = None
+        else:
+            from tulflow_spark.ext.delta_log import (
+                DeltaProtocolError as _DPE,
+            )
+            from tulflow_spark.ext.delta_log import (
+                _mapping_ids,
+                _physical_names,
+            )
+
+            try:
+                phys_of = _physical_names(snap)
+                id_of = _mapping_ids(snap) if mode == "id" else None
+            except _DPE as exc:
+                raise DeltaChangeFeedError(str(exc)) from None
+        part_set = set(part_cols)
         out: list[InputPartition] = []
         for p in sorted(changed):
             add = changed[p]
             pv = add.get("partitionValues") or {}
-            pvals = []
-            for c in part_cols:
-                if c not in pv:
-                    raise DeltaChangeFeedError(
-                        f"add {p!r} missing partitionValues[{c!r}]")
-                pvals.append((c, _partition_value(pv[c], types[c], c),
-                              _PA_OF[types[c].simpleString()]))
+            fids = None
+            if id_of is not None:
+                from tulflow_spark.ext.delta_log import (
+                    _footer_field_ids,
+                )
+
+                try:
+                    fids = _footer_field_ids(self._path, p)
+                except _DPE as exc:
+                    raise DeltaChangeFeedError(str(exc)) from None
+            columns: list = []
+            bound: set = set()
+            for f in schema.fields:
+                st = types[f.name].simpleString()
+                if f.name in part_set:
+                    key = phys_of[f.name]
+                    if key not in pv:
+                        raise DeltaChangeFeedError(
+                            f"add {p!r} missing partitionValues"
+                            f"[{key!r}]")
+                    columns.append((
+                        "lit", f.name,
+                        _partition_value(pv[key], types[f.name],
+                                         f.name),
+                        _PA_OF[st]))
+                elif fids is not None:
+                    ph = fids.get(id_of[f.name])
+                    if ph is None:
+                        if st not in _PA_OF:
+                            raise DeltaChangeFeedError(
+                                f"cannot null-fill column "
+                                f"{f.name!r} of type {st!r}")
+                        columns.append(("null", f.name, _PA_OF[st]))
+                    else:
+                        if ph in bound:
+                            raise DeltaChangeFeedError(
+                                f"add {p!r} binds two schema columns "
+                                f"to footer column {ph!r} — ambiguous")
+                        bound.add(ph)
+                        columns.append(("file", f.name, ph))
+                else:
+                    columns.append(("file", f.name, phys_of[f.name]))
             out.append(_AddFilePartition(
-                _scan_path(self._path, p), pvals,
-                [f.name for f in schema.fields]))
+                _scan_path(self._path, p), columns))
         return out
 
     # -- executor-side read (Arrow batches, one file per task) --------
@@ -257,14 +316,28 @@ class DeltaChangesStreamReader(DataSourceStreamReader):
         fs, lp = fsio.resolve(partition.scan_path)
         with fs.open_input_file(lp) as handle:
             pf = pq.ParquetFile(handle)
+            have = set(pf.schema_arrow.names)
+            missing = [spec[2] for spec in partition.columns
+                       if spec[0] == "file" and spec[2] not in have]
+            if missing:
+                raise DeltaChangeFeedError(
+                    f"data file {partition.scan_path!r} lacks "
+                    f"columns {missing} — re-sync from a snapshot "
+                    "read")
             for batch in pf.iter_batches():
                 tbl = pa.Table.from_batches([batch])
                 n = tbl.num_rows
-                for col, val, pa_name in partition.part_values:
-                    tbl = tbl.append_column(
-                        col, pa.array([val] * n, type=_pa_type(pa_name)))
-                tbl = tbl.select(partition.all_cols)
-                yield from tbl.to_batches()
+                cols: dict = {}
+                for spec in partition.columns:
+                    if spec[0] == "file":
+                        cols[spec[1]] = tbl.column(spec[2])
+                    elif spec[0] == "lit":
+                        cols[spec[1]] = pa.array(
+                            [spec[2]] * n, type=_pa_type(spec[3]))
+                    else:
+                        cols[spec[1]] = pa.nulls(
+                            n, type=_pa_type(spec[2]))
+                yield from pa.table(cols).to_batches()
 
     def commit(self, end: dict) -> None:
         pass    # Spark's offset/commit logs own the progress state
