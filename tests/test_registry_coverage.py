@@ -76,7 +76,8 @@ def test_r7_rotation_promotes_never_adjudicated_pairs():
     # and dl7 (column mapping mode=id) registered after the gate froze
     # and queue for the r13 rotation
     added_post_rotation: set[str] = {"ib4_iceberg_rename",
-                                     "dl7_column_mapping_id"}
+                                     "dl7_column_mapping_id",
+                                     "sdc2_stream_iceberg_changes"}
     never -= added_post_rotation
     assert never <= set(QUERIES), (
         f"never-adjudicated but de-gated: {sorted(never - set(QUERIES))}"

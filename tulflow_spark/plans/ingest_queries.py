@@ -825,3 +825,72 @@ def dl7_column_mapping_id(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("n_pruned_rows", F.lit(int(pruned_n)).cast("bigint"))
         .select("n_rows", "sum_doc_id", "corpus_md5", "n_pruned_rows")
     )
+
+
+@register(
+    "sdc2_stream_iceberg_changes",
+    oracle="""
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(SUM(doc_id) AS BIGINT) AS sum_doc_id,
+           md5(STRING_AGG(md5(text), '' ORDER BY md5(text)))
+               AS corpus_md5,
+           CAST(COUNT(DISTINCT CASE WHEN doc_id % 2 = 0
+                     THEN doc_id END) AS BIGINT) AS n_even
+    FROM documents
+    """,
+)
+def sdc2_stream_iceberg_changes(spark: SparkSession,
+                                sf_dir: str) -> DataFrame:
+    """The Structured Streaming ICEBERG change-feed SOURCE driven end
+    to end (the sequence-number twin of sdc1): documents land in TWO
+    Iceberg append snapshots (odd doc_ids, then even), a real
+    ``spark.readStream.format("tulflow_iceberg_changes")`` query
+    drains both with availableNow under ``maxSequencesPerBatch=1``
+    admission control into a memory sink, and the aggregates of what
+    ARRIVED must equal the DuckDB recomputation over the raw table —
+    capped streaming delivery == batch content, exactly once.
+
+    At 100 TB: offsets are sequence numbers (snapshot ids are random
+    longs and never ordered), planning walks only in-range manifests,
+    each task Arrow-scans one added file, and the cap bounds what one
+    micro-batch may cover on a backlogged table."""
+    import tempfile
+
+    from tulflow_spark.ext.iceberg import (
+        append_iceberg_fixture,
+        write_iceberg_fixture,
+    )
+    from tulflow_spark.sources.lake_stream import IcebergChangesSource
+
+    docs = table(spark, sf_dir, "documents").select("doc_id", "text")
+    t = tempfile.mkdtemp(prefix="sdc2_") + "/tbl"
+    write_iceberg_fixture(spark, docs.filter("doc_id % 2 = 1"), t)
+    append_iceberg_fixture(spark, docs.filter("doc_id % 2 = 0"), t)
+    spark.dataSource.register(IcebergChangesSource)
+    out = tempfile.mkdtemp(prefix="sdc2out_")
+    ckpt = tempfile.mkdtemp(prefix="sdc2ck_")
+    # two capped availableNow drains: each covers ONE sequence (the
+    # memory sink cannot recover from a checkpoint — parquet can)
+    for _ in range(2):
+        q = (spark.readStream.format("tulflow_iceberg_changes")
+             .option("path", t).option("startingSequence", "0")
+             .option("maxSequencesPerBatch", "1").load()
+             .writeStream.format("parquet").option("path", out)
+             .option("checkpointLocation", ckpt)
+             .trigger(availableNow=True).start())
+        if not q.awaitTermination(300):
+            q.stop()
+            raise TimeoutError(
+                "sdc2 stream did not drain within 300s — partial "
+                "sink contents would misreport as a correctness "
+                "failure")
+    arrived = spark.read.parquet(out)
+    return arrived.agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum("doc_id").cast("bigint").alias("sum_doc_id"),
+        F.md5(F.concat_ws("", F.array_sort(
+            F.collect_list(F.md5("text"))))).alias("corpus_md5"),
+        F.count_distinct(
+            F.when(F.col("doc_id") % 2 == 0, F.col("doc_id"))
+        ).cast("bigint").alias("n_even"),
+    ).select("n_rows", "sum_doc_id", "corpus_md5", "n_even")
