@@ -208,7 +208,7 @@ def test_zero_byte_datum_count_bounded():
             big.append(b)
             break
     body[idx:idx + 1] = big
-    with _pytest.raises(AvroError, match="zero-byte datum"):
+    with _pytest.raises(AvroError, match="zero-byte"):
         read_ocf(bytes(body))
 
 

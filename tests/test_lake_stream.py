@@ -496,3 +496,38 @@ def test_iceberg_stream_binds_columns_by_name(spark, tmp_path):
     with pytest.raises(StreamingQueryException,
                        match="lacks stream schema"):
         q.awaitTermination(180)
+
+
+def test_delta_stream_null_fills_added_columns(registered, tmp_path):
+    """r12 review finding: files that PREDATE a column (add-column
+    evolution) stream with nulls for it — matching the batch reader —
+    instead of killing the query."""
+    import json as _json
+
+    from tulflow_spark.ext.delta_log import _replay, latest_version
+
+    spark = registered
+    t = str(tmp_path / "tbl")
+    write_delta(_df(spark, 0, 4).drop("b"), t)                # v0
+    snap = _replay(spark, t, None)
+    schema = _json.loads(snap.schema_str)
+    schema["fields"].append({"name": "extra", "type": "long",
+                             "nullable": True, "metadata": {}})
+    actions = [{"metaData": {
+        "id": snap.meta_id,
+        "format": {"provider": "parquet", "options": {}},
+        "schemaString": _json.dumps(schema),
+        "partitionColumns": [],
+        "configuration": dict(snap.configuration),
+    }}]
+    v = latest_version(t) + 1
+    with open(f"{t}/_delta_log/{v:020d}.json", "w") as fh:
+        fh.write("\n".join(_json.dumps(a) for a in actions) + "\n")
+    q = (spark.readStream.format("tulflow_delta_changes")
+         .option("path", t).option("startingVersion", "-1").load()
+         .writeStream.format("memory").queryName("nf")
+         .trigger(availableNow=True).start())
+    q.awaitTermination(180)
+    rows = spark.sql("select * from nf").collect()
+    assert sorted(r["id"] for r in rows) == list(range(4))
+    assert all(r["extra"] is None for r in rows)

@@ -72,9 +72,10 @@ def test_r7_rotation_promotes_never_adjudicated_pairs():
     # in the same commit; names here run in the local parity suite this
     # round and queue for the r8 rotation.
     # r12 rotation: sdc1/ib3 promoted into the gate (the only
-    # never-adjudicated names at rotation time); ib4 (field-id rename)
-    # and dl7 (column mapping mode=id) registered after the gate froze
-    # and queue for the r13 rotation
+    # never-adjudicated names at rotation time); ib4 (field-id
+    # rename), dl7 (column mapping mode=id) and sdc2 (Iceberg
+    # streaming source) registered after the gate froze and queue for
+    # the r13 rotation
     added_post_rotation: set[str] = {"ib4_iceberg_rename",
                                      "dl7_column_mapping_id",
                                      "sdc2_stream_iceberg_changes"}

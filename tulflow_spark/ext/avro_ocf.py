@@ -232,6 +232,7 @@ def read_ocf(data: bytes) -> list:
     names: dict = {}
     _collect_names(schema, names)
     out = []
+    zero_advance = 0
     while r.pos < len(r.buf):
         count = r.long()
         size = r.long()
@@ -249,16 +250,20 @@ def read_ocf(data: bytes) -> list:
         for _ in range(count):
             before = br.pos
             out.append(_decode(br, schema, names))
-            if br.pos == before and count > max(size, 1 << 16):
+            if br.pos == before:
                 # a zero-byte datum (e.g. an empty record) never
                 # advances the reader, so the truncation check can't
-                # bound the loop: trusting a crafted 2^60 count would
-                # append until memory exhausts instead of failing
-                # typed.  Conformant files with MANY empty records
-                # stay readable below the 64Ki sanity bound.
-                raise AvroError(
-                    f"block count {count} exceeds size {size} with a "
-                    "zero-byte datum schema (malformed block header)")
+                # bound the loop: trusting crafted counts would append
+                # until memory exhausts instead of failing typed.  The
+                # bound is on the FILE-WIDE total (a per-block bound
+                # re-opens the hole via repeated ~20-byte blocks);
+                # conformant files with many empty records stay
+                # readable below the 64Ki sanity limit.
+                zero_advance += 1
+                if zero_advance > (1 << 16):
+                    raise AvroError(
+                        "more than 65536 zero-byte records "
+                        "(malformed block headers)")
         if br.pos != len(block):
             raise AvroError(
                 f"block has {len(block) - br.pos} trailing bytes"

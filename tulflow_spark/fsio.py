@@ -128,7 +128,11 @@ def parquet_footer_fields(path: str) -> tuple[tuple[str, ...],
     invalidates.  Raises ``ValueError`` on an unreadable file or a
     duplicated field id (ambiguous) — callers re-wrap typed."""
     fs, lp = resolve(path)
-    info = fs.get_file_info(lp)
+    try:
+        info = fs.get_file_info(lp)
+    except OSError as exc:
+        raise ValueError(
+            f"cannot stat data file {lp!r}: {exc}") from None
     if info.type != pafs.FileType.File:
         raise ValueError(f"cannot open data file {lp!r}: not a file")
     mt = info.mtime_ns if info.mtime_ns is not None else info.mtime
@@ -169,7 +173,7 @@ def prefetch_parquet_footers(paths: list[str]) -> None:
     stores).  Errors surface on the caller's own per-file call."""
     from concurrent.futures import ThreadPoolExecutor
 
-    todo = [p for p in dict.fromkeys(paths)]
+    todo = list(dict.fromkeys(paths))
     if len(todo) < 2:
         return
 

@@ -61,7 +61,11 @@ class _AddFilePartition(InputPartition):
     def __init__(self, scan_path: str, columns: list):
         self.scan_path = scan_path
         # per-output-column binding, in stream-schema order:
-        #   ("file", logical, physical)  — footer column, renamed
+        #   ("file", logical, physical, pa|None)  — footer column,
+        #       renamed; null-fills when ABSENT (add-column evolution:
+        #       physical names are rename-stable, so a miss can only
+        #       mean the file predates the column) — pa None means the
+        #       type cannot null-fill and a miss stays typed
         #   ("lit", logical, value, pa)  — partition value injected
         #   ("null", logical, pa)        — column the file predates
         self.columns = columns
@@ -255,6 +259,11 @@ class DeltaChangesStreamReader(DataSourceStreamReader):
             except _DPE as exc:
                 raise DeltaChangeFeedError(str(exc)) from None
         part_set = set(part_cols)
+        if mode == "id" and len(changed) > 1:
+            from tulflow_spark import fsio as _f
+
+            _f.prefetch_parquet_footers(
+                [_scan_path(self._path, p) for p in changed])
         out: list[InputPartition] = []
         for p in sorted(changed):
             add = changed[p]
@@ -298,9 +307,11 @@ class DeltaChangesStreamReader(DataSourceStreamReader):
                                 f"add {p!r} binds two schema columns "
                                 f"to footer column {ph!r} — ambiguous")
                         bound.add(ph)
-                        columns.append(("file", f.name, ph))
+                        columns.append(("file", f.name, ph,
+                                        _PA_OF.get(st)))
                 else:
-                    columns.append(("file", f.name, phys_of[f.name]))
+                    columns.append(("file", f.name, phys_of[f.name],
+                                    _PA_OF.get(st)))
             out.append(_AddFilePartition(
                 _scan_path(self._path, p), columns))
         return out
@@ -317,26 +328,32 @@ class DeltaChangesStreamReader(DataSourceStreamReader):
         with fs.open_input_file(lp) as handle:
             pf = pq.ParquetFile(handle)
             have = set(pf.schema_arrow.names)
-            missing = [spec[2] for spec in partition.columns
-                       if spec[0] == "file" and spec[2] not in have]
-            if missing:
+            # a missing physical column means the file PREDATES the
+            # column (physical names are rename-stable): null-fill,
+            # matching read_delta_changes' batch semantics — typed
+            # only when the type cannot express a null fill
+            hard = [spec[2] for spec in partition.columns
+                    if spec[0] == "file" and spec[2] not in have
+                    and spec[3] is None]
+            if hard:
                 raise DeltaChangeFeedError(
                     f"data file {partition.scan_path!r} lacks "
-                    f"columns {missing} — re-sync from a snapshot "
-                    "read")
+                    f"columns {hard} whose types cannot null-fill — "
+                    "re-sync from a snapshot read")
             for batch in pf.iter_batches():
                 tbl = pa.Table.from_batches([batch])
                 n = tbl.num_rows
                 cols: dict = {}
                 for spec in partition.columns:
-                    if spec[0] == "file":
+                    if spec[0] == "file" and spec[2] in have:
                         cols[spec[1]] = tbl.column(spec[2])
                     elif spec[0] == "lit":
                         cols[spec[1]] = pa.array(
                             [spec[2]] * n, type=_pa_type(spec[3]))
-                    else:
+                    else:       # "null", or an absent file column
                         cols[spec[1]] = pa.nulls(
-                            n, type=_pa_type(spec[2]))
+                            n, type=_pa_type(spec[3] if spec[0] ==
+                                             "file" else spec[2]))
                 yield from pa.table(cols).to_batches()
 
     def commit(self, end: dict) -> None:
