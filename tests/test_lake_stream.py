@@ -485,13 +485,26 @@ def test_iceberg_stream_binds_columns_by_name(spark, tmp_path):
     rows = drain("bycol")
     assert sorted(r["id"] for r in rows) == list(range(6))
     assert all(r["b"] == r["id"] + 100 for r in rows)   # not swapped
-    # drop a column: typed, not silent nulls
+    # a file missing a column's FIELD ID predates it: null-fill (spec
+    # add-column semantics, r12 — ids survive the pyarrow select)
     pq_.write_table(pq_.read_table(fp).select(["v", "id"]), fp)
+    rows = drain("missingcol")
+    assert sorted(r["id"] for r in rows) == list(range(6))
+    assert all(r["b"] is None for r in rows)
+    # an ID-LESS file with a renamed column stays typed, never a
+    # silent misread
+    import pyarrow as pa_
+
+    tbl2 = pq_.read_table(fp)
+    stripped = pa_.schema(
+        [pa_.field("v", pa_.string()), pa_.field("renamed", pa_.int64())])
+    pq_.write_table(tbl2.rename_columns(["v", "renamed"]).cast(stripped),
+                    fp)
     from pyspark.errors.exceptions.captured import StreamingQueryException
 
     q = (spark.readStream.format("tulflow_iceberg_changes")
          .option("path", t).option("startingSequence", "0").load()
-         .writeStream.format("memory").queryName("missingcol")
+         .writeStream.format("memory").queryName("idless")
          .trigger(availableNow=True).start())
     with pytest.raises(StreamingQueryException,
                        match="lacks stream schema"):
@@ -531,3 +544,38 @@ def test_delta_stream_null_fills_added_columns(registered, tmp_path):
     rows = spark.sql("select * from nf").collect()
     assert sorted(r["id"] for r in rows) == list(range(4))
     assert all(r["extra"] is None for r in rows)
+
+
+def test_iceberg_stream_binds_by_field_id(spark, tmp_path):
+    """r12: the Iceberg stream resolves columns by footer FIELD ID —
+    a renamed current schema still streams correctly over old-name
+    files, and an added column null-fills."""
+    import json as _json
+
+    from tulflow_spark.ext.iceberg import write_iceberg_fixture
+    from tulflow_spark.sources.lake_stream import IcebergChangesSource
+
+    spark.dataSource.register(IcebergChangesSource)
+    t = str(tmp_path / "tbl")
+    write_iceberg_fixture(spark, _df(spark, 0, 6), t)
+    # rename id -> doc_id and ADD a column in the current schema
+    mdir = f"{t}/metadata"
+    meta = _json.load(open(f"{mdir}/v1.metadata.json"))
+    cur = meta["schemas"][0]
+    new_schema = _json.loads(_json.dumps(cur))
+    new_schema["schema-id"] = 1
+    new_schema["fields"][0]["name"] = "doc_id"
+    new_schema["fields"].append(
+        {"id": 9, "name": "extra", "required": False, "type": "long"})
+    meta["schemas"].append(new_schema)
+    meta["current-schema-id"] = 1
+    _json.dump(meta, open(f"{mdir}/v1.metadata.json", "w"))
+    q = (spark.readStream.format("tulflow_iceberg_changes")
+         .option("path", t).option("startingSequence", "0").load()
+         .writeStream.format("memory").queryName("ifid")
+         .trigger(availableNow=True).start())
+    q.awaitTermination(180)
+    rows = spark.sql("select * from ifid").collect()
+    assert sorted(r["doc_id"] for r in rows) == list(range(6))
+    assert all(r["v"] == f"x{r['doc_id']}" and r["extra"] is None
+               for r in rows)

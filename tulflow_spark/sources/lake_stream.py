@@ -494,7 +494,7 @@ class IcebergChangesStreamReader(DataSourceStreamReader):
                     f"snapshot {s['snapshot-id']} is {op!r}: not "
                     "append-only — re-sync from a snapshot read")
         ids = {s["snapshot-id"] for s in in_range}
-        out: list[InputPartition] = []
+        added: list[tuple[str, str]] = []
         try:
             for mf in _manifest_entries(in_range[-1]):
                 mf_snap = mf.get("added_snapshot_id")
@@ -519,12 +519,73 @@ class IcebergChangesStreamReader(DataSourceStreamReader):
                         raise DeltaChangeFeedError(
                             f"data file format {fmt!r} not supported "
                             "(PARQUET and ORC are)")
-                    out.append(_IceFilePartition(
-                        dfile["file_path"], fmt,
-                        [f.name for f in self._schema.fields]))
+                    added.append((dfile["file_path"], fmt))
         except IcebergError as exc:
             raise DeltaChangeFeedError(str(exc)) from None
-        return out
+        if len(added) > 1:
+            from tulflow_spark import fsio as _f
+            from tulflow_spark.ext.iceberg import _plain_path as _pp
+
+            _f.prefetch_parquet_footers(
+                [_pp(p) for p, f2 in added if f2 != "ORC"])
+        return [
+            _IceFilePartition(fp, fmt, self._bindings(meta, fp, fmt))
+            for fp, fmt in added
+        ]
+
+    def _bindings(self, meta: dict, file_path: str, fmt: str) -> list:
+        """Per-file logical<-physical column bindings (mirrors the
+        batch reader's field-id resolution): parquet files bind by
+        footer FIELD ID (renamed/reordered vintages read correctly,
+        absent ids null-fill as add-column evolution), id-less files
+        bind by name, ORC stays name-bound; a name-miss on an id-less
+        file is typed — Spark binds returned batches positionally and
+        a silent mismatch would swap same-typed columns."""
+        from tulflow_spark import fsio as _f
+        from tulflow_spark.ext.iceberg import (
+            IcebergError,
+            _current_schema,
+            _plain_path,
+        )
+
+        try:
+            cur = _current_schema(meta)
+        except IcebergError as exc:
+            raise DeltaChangeFeedError(str(exc)) from None
+        id_by_name = {f["name"]: int(f["id"])
+                      for f in cur.get("fields", [])
+                      if f.get("id") is not None}
+        if fmt == "ORC":
+            fmap: dict[int, str] = {}
+        else:
+            try:
+                _, fids = _f.parquet_footer_fields(
+                    _plain_path(file_path))
+            except ValueError as exc:
+                raise DeltaChangeFeedError(str(exc)) from None
+            fmap = dict(fids)
+        cols: list = []
+        bound: set = set()
+        for f in self._schema.fields:
+            st = f.dataType.simpleString()
+            fid = id_by_name.get(f.name)
+            ph = fmap.get(fid) if (fid is not None and fmap) else None
+            if ph is None and not fmap:
+                ph = f.name     # id-less file (or ORC): name-bound
+            if ph is None:
+                if st not in _PA_OF:
+                    raise DeltaChangeFeedError(
+                        f"cannot null-fill column {f.name!r} of "
+                        f"type {st!r}")
+                cols.append(("null", f.name, _PA_OF[st]))
+                continue
+            if ph in bound:
+                raise DeltaChangeFeedError(
+                    f"data file {file_path!r} binds two schema "
+                    f"columns to footer column {ph!r} — ambiguous")
+            bound.add(ph)
+            cols.append(("file", f.name, ph, None))
+        return cols
 
     def read(self, partition: "_IceFilePartition"):
         import pyarrow as pa
@@ -533,34 +594,35 @@ class IcebergChangesStreamReader(DataSourceStreamReader):
         from tulflow_spark import fsio
         from tulflow_spark.ext.iceberg import _plain_path
 
-        # Spark binds returned batches POSITIONALLY: select/reorder to
-        # the declared stream schema, typed on a missing column — a
-        # data file with a different physical column order (legal
-        # after an Iceberg reorder/rename) would otherwise silently
-        # swap column values whenever the types coincide
-        def guard(names: list[str]) -> None:
-            missing = [c for c in partition.all_cols if c not in names]
-            if missing:
+        def emit(tbl):
+            have = set(tbl.column_names)
+            hard = [s[2] for s in partition.columns
+                    if s[0] == "file" and s[2] not in have]
+            if hard:
                 raise DeltaChangeFeedError(
                     f"data file {partition.file_path!r} lacks stream "
-                    f"schema columns {missing} (renamed/dropped "
-                    "columns need field-id resolution) — re-sync from "
-                    "a snapshot read")
+                    f"schema columns {hard} (renamed/dropped columns "
+                    "need field-id resolution) — re-sync from a "
+                    "snapshot read")
+            n = tbl.num_rows
+            cols: dict = {}
+            for spec in partition.columns:
+                if spec[0] == "file":
+                    cols[spec[1]] = tbl.column(spec[2])
+                else:                       # "null": added column
+                    cols[spec[1]] = pa.nulls(n, type=_pa_type(spec[2]))
+            yield from pa.table(cols).to_batches()
 
         fs, lp = fsio.resolve(_plain_path(partition.file_path))
         with fs.open_input_file(lp) as handle:
             if partition.file_format == "ORC":
                 import pyarrow.orc as po
 
-                tbl = po.read_table(handle)
-                guard(tbl.column_names)
-                yield from tbl.select(partition.all_cols).to_batches()
+                yield from emit(po.read_table(handle))
             else:
                 pf = pq.ParquetFile(handle)
-                guard(pf.schema_arrow.names)
                 for batch in pf.iter_batches():
-                    yield from (pa.Table.from_batches([batch])
-                                .select(partition.all_cols).to_batches())
+                    yield from emit(pa.Table.from_batches([batch]))
 
     def commit(self, end: dict) -> None:
         pass
@@ -618,7 +680,8 @@ class IcebergChangesSource(DataSource):
 
 class _IceFilePartition(InputPartition):
     def __init__(self, file_path: str, file_format: str,
-                 all_cols: list[str]):
+                 columns: list):
         self.file_path = file_path
         self.file_format = file_format
-        self.all_cols = all_cols
+        # ("file", logical, physical, None) | ("null", logical, pa)
+        self.columns = columns
