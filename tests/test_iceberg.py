@@ -186,12 +186,16 @@ def test_typed_walls(spark, tmp_path):
     mdir = f"{t}/metadata"
     meta = json.load(open(f"{mdir}/v1.metadata.json"))
 
-    # format-version 3 walls
-    bad = dict(meta, **{"format-version": 3})
+    # format-version 4 walls (3 reads since r12 — test_iceberg_v3.py)
+    bad = dict(meta, **{"format-version": 4})
     json.dump(bad, open(f"{mdir}/v2.metadata.json", "w"))
     open(f"{mdir}/version-hint.text", "w").write("2")
-    with pytest.raises(IcebergError, match="format-version 3"):
+    with pytest.raises(IcebergError, match="format-version 4"):
         read_iceberg(spark, t)
+    ok3 = dict(meta, **{"format-version": 3})
+    json.dump(ok3, open(f"{mdir}/v2.metadata.json", "w"),
+              indent=1)
+    assert read_iceberg(spark, t).count() == 6
 
     # renamed column resolves via parquet field ids (r12) — never
     # silent NULLs, and no longer a wall

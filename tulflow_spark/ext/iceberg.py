@@ -145,9 +145,9 @@ def _parse_metadata(raw: bytes, src: str) -> dict:
     except ValueError as exc:
         raise IcebergError(f"bad metadata JSON {src!r}: {exc}") from None
     fv = int(meta.get("format-version") or 0)
-    if fv not in (1, 2):
+    if fv not in (1, 2, 3):
         raise IcebergError(
-            f"format-version {fv} not supported (1 and 2 are)")
+            f"format-version {fv} not supported (1, 2 and 3 are)")
     return meta
 
 
@@ -260,6 +260,7 @@ def _live_files(meta: dict,
     snap = _snapshot(meta, snapshot_id)
     if snap is None:
         return [], []
+    fv = int(meta.get("format-version") or 1)
     # snapshot id → SEQUENCE number: inherited sequence numbers must
     # resolve through the snapshot table — raw snapshot ids are random
     # 64-bit longs and carry NO order (using them would silently
@@ -278,10 +279,39 @@ def _live_files(meta: dict,
                 raise IcebergError(
                     f"manifest {mpath!r}: entry without data_file")
             fmt = str(dfile.get("file_format") or "").upper()
-            if fmt not in ("PARQUET", "ORC"):
+            content = int(dfile.get("content") or 0)
+            if fmt == "PUFFIN":
+                # format-v3 deletion vector: a position-delete entry
+                # whose file is a Puffin blob span referencing ONE
+                # data file (table-spec v3 "Deletion vectors")
+                if content != 1:
+                    raise IcebergError(
+                        f"Puffin file with content {content} — only "
+                        "position-delete DV entries may be Puffin")
+                if fv < 3:
+                    raise IcebergError(
+                        "deletion vectors require format-version 3 "
+                        f"(table is v{fv})")
+                missing = [k for k in ("referenced_data_file",
+                                       "content_offset",
+                                       "content_size_in_bytes")
+                           if dfile.get(k) is None]
+                if missing:
+                    raise IcebergError(
+                        f"DV manifest entry missing {missing} — "
+                        "cannot locate the blob")
+            elif fmt not in ("PARQUET", "ORC"):
                 raise IcebergError(
                     f"data file format {fmt!r} not supported "
-                    "(PARQUET and ORC are)")
+                    "(PARQUET, ORC and Puffin DVs are)")
+            elif fv >= 3 and content == 1:
+                # spec: v3 forbids position-delete FILES — position
+                # deletes must be deletion vectors.  Reading one as if
+                # valid would hide a non-conformant writer.
+                raise IcebergError(
+                    "v3 table carries a position-delete file "
+                    f"({dfile.get('file_path')!r}) — v3 requires "
+                    "deletion vectors; rewrite before upgrading")
             seq = e.get("sequence_number")
             if seq is None:
                 seq = seq_by_snap.get(e.get("snapshot_id"))
@@ -290,7 +320,6 @@ def _live_files(meta: dict,
             if seq is None:
                 seq = seq_by_snap.get(mf.get("added_snapshot_id"))
             dfile["__seq"] = None if seq is None else int(seq)
-            content = int(dfile.get("content") or 0)
             if content == 0:
                 data_files.append(dfile)
             elif content in (1, 2):
@@ -812,11 +841,58 @@ def _deletes_applied_scan(spark: SparkSession, data_files: list[dict],
     return _union_fold_by_name(frames)
 
 
+def _dv_positions_frame(spark: SparkSession,
+                        dv_files: list[dict]) -> DataFrame:
+    """v3 deletion-vector entries → one (file_path, pos) frame.
+
+    Bitmaps decode DRIVER-side (a DV is cardinality-sized — KBs to
+    MBs; Delta writers and our rewrite compact files once deletions
+    dominate) and ship as ONE Arrow frame, exactly like the Delta
+    reader's ``_dv_filtered_scan``.  At most one DV may reference a
+    given data file (spec: writers must merge) — two is typed."""
+    import pandas as pd
+
+    from tulflow_spark.ext import puffin as _pf
+
+    seen: dict[str, str] = {}
+    paths: list[str] = []
+    poss: list = []
+    for d in sorted(dv_files, key=lambda d: str(d.get("file_path"))):
+        ref = str(d["referenced_data_file"])
+        if ref in seen:
+            raise IcebergError(
+                f"two deletion vectors reference {ref!r} "
+                f"({seen[ref]!r} and {d.get('file_path')!r}) — the "
+                "spec allows at most one; the writer must merge")
+        seen[ref] = str(d.get("file_path"))
+        try:
+            idx = _pf.read_dv(
+                _plain_path(d["file_path"]),
+                int(d["content_offset"]),
+                int(d["content_size_in_bytes"]),
+                cardinality=d.get("record_count"))
+        except _pf.PuffinError as exc:
+            raise IcebergError(
+                f"deletion vector {d.get('file_path')!r}: {exc}"
+            ) from None
+        paths.extend([ref] * len(idx))
+        poss.append(idx.astype("int64"))
+    import numpy as np
+
+    return spark.createDataFrame(pd.DataFrame({
+        "file_path": paths,
+        "pos": np.concatenate(poss) if poss
+        else np.empty(0, np.int64),
+    }))
+
+
 def _apply_position_deletes(spark: SparkSession, scan: DataFrame,
                             data_files: list[dict],
                             delete_files: list[dict]) -> DataFrame:
-    """Subtract v2 positional deletes from ``scan`` via a broadcast
-    anti-join on normalized file path + row position."""
+    """Subtract positional deletes from ``scan`` via a broadcast
+    anti-join on normalized file path + row position — both v2
+    position-delete PARQUET files and v3 Puffin deletion vectors
+    (they address rows identically; only the storage differs)."""
     from pyspark.sql import functions as F
 
     if not delete_files:
@@ -834,13 +910,23 @@ def _apply_position_deletes(spark: SparkSession, scan: DataFrame,
     if {ri, fp} & set(scan.columns):
         raise IcebergError(
             f"table columns collide with helper columns {ri}/{fp}")
-    dels = spark.read.parquet(
-        *[_plain_path(d["file_path"]) for d in delete_files])
-    if not {"file_path", "pos"} <= set(dels.columns):
-        raise IcebergError(
-            "position-delete files must have file_path/pos columns")
+    is_dv = lambda d: str(  # noqa: E731
+        d.get("file_format") or "").upper() == "PUFFIN"
+    dv_files = [d for d in delete_files if is_dv(d)]
+    pq_files = [d for d in delete_files if not is_dv(d)]
+    frames: list[DataFrame] = []
+    if pq_files:
+        dels = spark.read.parquet(
+            *[_plain_path(d["file_path"]) for d in pq_files])
+        if not {"file_path", "pos"} <= set(dels.columns):
+            raise IcebergError(
+                "position-delete files must have file_path/pos columns")
+        frames.append(dels.select("file_path",
+                                  F.col("pos").cast("long").alias("pos")))
+    if dv_files:
+        frames.append(_dv_positions_frame(spark, dv_files))
     norm = lambda c: F.regexp_replace(c, "^file:/+", "/")  # noqa: E731
-    dels = dels.select(
+    dels = _union_fold_by_name(frames).select(
         norm(F.col("file_path")).alias(fp),
         F.col("pos").cast("long").alias(ri),
     ).distinct()
@@ -907,6 +993,14 @@ def _manifest_schema(part_fields: list[tuple[str, str]]) -> dict:
                     {"name": "equality_ids",
                      "type": ["null", {"type": "array",
                                        "items": "int"}]},
+                    # v3 deletion-vector coordinates (spec field ids
+                    # 143/144/145); null on every non-DV entry
+                    {"name": "referenced_data_file",
+                     "type": ["null", "string"]},
+                    {"name": "content_offset",
+                     "type": ["null", "long"]},
+                    {"name": "content_size_in_bytes",
+                     "type": ["null", "long"]},
                 ],
             }},
         ],
@@ -1132,7 +1226,8 @@ def _commit_snapshot(path: str, meta: dict | None, df_schema: list[dict],
                      *,
                      manifest_entries: list[dict] | None = None,
                      carry_prior: bool = True,
-                     operation: str = "append") -> int:
+                     operation: str = "append",
+                     snapshot_id: int | None = None) -> int:
     """Commit one snapshot: write the manifest (ADDED entries from
     ``new_manifest_records``, or the explicit ``manifest_entries``
     with their own statuses for rewrites), a manifest list that
@@ -1150,7 +1245,10 @@ def _commit_snapshot(path: str, meta: dict | None, df_schema: list[dict],
     import uuid as _uuid
 
     seq = _next_sequence_number(meta)
-    snap_id = _fresh_snapshot_id(meta)
+    # v3 DV writers reserve the id upfront (the Puffin footer stamps
+    # it before the manifest exists); everyone else gets a fresh one
+    snap_id = snapshot_id if snapshot_id is not None \
+        else _fresh_snapshot_id(meta)
     mdir = f"{path}/metadata"
     # the metadata FILE version comes from the hint, not the snapshot
     # id — maintenance ops (expire) write metadata without a snapshot,
@@ -1226,6 +1324,18 @@ def _commit_snapshot(path: str, meta: dict | None, df_schema: list[dict],
         snap_rec["schema-id"] = meta["current-schema-id"]
     elif meta is None:
         snap_rec["schema-id"] = 0
+    next_row_id = None
+    if meta is not None and meta.get("next-row-id") is not None:
+        # v3 row lineage: the snapshot claims a row-id range starting
+        # at the table's high-water mark, which advances by the rows
+        # this commit ADDS (spec v3 "Row lineage")
+        added_rows = sum(
+            int((e.get("data_file") or {}).get("record_count") or 0)
+            for e in manifest_entries
+            if e.get("status") == 1
+            and int((e.get("data_file") or {}).get("content") or 0) == 0)
+        snap_rec["first-row-id"] = int(meta["next-row-id"])
+        next_row_id = int(meta["next-row-id"]) + added_rows
     snapshots.append(snap_rec)
     if meta is None:
         new_meta = {
@@ -1257,6 +1367,8 @@ def _commit_snapshot(path: str, meta: dict | None, df_schema: list[dict],
         "current-snapshot-id": snap_id,
         "snapshots": snapshots,
     })
+    if next_row_id is not None:
+        new_meta["next-row-id"] = next_row_id
     # CAS publish: the metadata file IS the commit point (create-if-
     # absent, like the Delta log's commit JSON) — a racing committer
     # that derived the same version loses typed instead of silently
@@ -1358,6 +1470,10 @@ def delete_positions_iceberg_fixture(
     import pyarrow.parquet as pq
 
     meta = load_table_metadata(path)
+    if int(meta.get("format-version") or 1) >= 3:
+        raise IcebergError(
+            "v3 tables forbid position-delete files — use "
+            "delete_positions_iceberg_v3 (deletion vectors)")
     data_files, _ = _live_files(meta, None)
     live = {d["file_path"] for d in data_files}
     rows = []
@@ -1392,6 +1508,198 @@ def delete_positions_iceberg_fixture(
     return _commit_snapshot(path, meta, schema_fields,
                             specs[0].get("fields") or [],
                             [rec], 1, [])
+
+
+def upgrade_iceberg_v3(path: str) -> int:
+    """Upgrade a v1/v2 table to format-version 3 — a metadata-only
+    commit (no snapshot), mirroring Iceberg's table-property upgrade.
+
+    Stamps ``format-version: 3`` plus the v3-required row-lineage
+    high-water mark ``next-row-id`` (0: no row ids were ever assigned
+    below v3) and normalizes the v1 sequence fields the way
+    ``_commit_snapshot`` does on v1→v2.  Refuses typed while live
+    position-delete FILES exist — the spec requires rewriting them to
+    deletion vectors first (``rewrite_iceberg_data_files`` pays that
+    debt down).  Returns the new metadata version."""
+    meta = load_table_metadata(path)
+    fv = int(meta.get("format-version") or 1)
+    if fv >= 3:
+        return int(meta.get("__metadata_version") or 0)
+    _, dels = _live_files(meta, None)
+    pos_files = [
+        d for d in dels
+        if int(d.get("content") or 0) == 1
+        and str(d.get("file_format") or "").upper() != "PUFFIN"
+    ]
+    if pos_files:
+        raise IcebergError(
+            f"{len(pos_files)} live position-delete file(s) — v3 "
+            "forbids them; rewrite_iceberg_data_files first, then "
+            "upgrade")
+    hint = f"{path}/metadata/version-hint.text"
+    if not fsio.exists(hint):
+        raise IcebergError(
+            "upgrade needs the version-hint layout (fixture tables)")
+    v = int(meta["__metadata_version"]) \
+        if meta.get("__metadata_version") is not None \
+        else int(_read_bytes(hint).decode().strip())
+    new_meta = {k: val for k, val in meta.items()
+                if not k.startswith("__")}
+    # v1 → v3 passes through the same normalization as v1 → v2:
+    # pre-upgrade snapshots get sequence number 0 (spec rule)
+    snapshots = [
+        s if s.get("sequence-number") is not None
+        else dict(s, **{"sequence-number": 0})
+        for s in new_meta.get("snapshots") or []
+    ]
+    new_meta["snapshots"] = snapshots
+    if new_meta.get("last-sequence-number") is None:
+        new_meta["last-sequence-number"] = max(
+            [int(s["sequence-number"]) for s in snapshots] + [0])
+    new_meta["format-version"] = 3
+    if new_meta.get("next-row-id") is None:
+        new_meta["next-row-id"] = 0
+    # bump the discovery tiebreak like expire does (same sequence
+    # high-water, newer metadata)
+    new_meta["last-updated-ms"] = \
+        int(meta.get("last-updated-ms") or 0) + 1
+    try:
+        fsio.write_text_exclusive(
+            f"{path}/metadata/v{v + 1}.metadata.json",
+            json.dumps(new_meta, indent=1))
+    except FileExistsError:
+        raise IcebergConcurrentCommit(
+            f"metadata v{v + 1} already exists (a concurrent commit "
+            "won): re-read the table and retry the upgrade"
+        ) from None
+    fsio.write_text(hint, str(v + 1))
+    return v + 1
+
+
+def delete_positions_iceberg_v3(
+        spark: SparkSession, path: str,
+        deletes: dict[str, list[int]]) -> int:
+    """Row-level delete on a format-v3 table via DELETION VECTORS:
+    one Puffin file holding a roaring bitmap per referenced data file,
+    committed as a full-state ``delete`` snapshot (the v3 face of
+    ``delete_positions_iceberg_fixture``; cf. Delta's
+    ``delete_rows_with_dv``).
+
+    Spec invariants enforced here: at most ONE live DV per data file —
+    a re-delete against a file that already carries a DV MERGES the
+    old positions into the new blob and tombstones the old entry; a
+    position past the target file's record count is typed (it can
+    only be writer error); v1/v2 tables refuse typed (DVs are a v3
+    feature — ``upgrade_iceberg_v3`` first).
+
+    At 100 TB: the bitmaps are cardinality-sized and never touch the
+    data plane; reads subtract them with one broadcast anti-join, and
+    ``rewrite_iceberg_data_files`` pays the debt down exactly as for
+    v2 position deletes."""
+    import uuid as _uuid
+
+    import numpy as np
+
+    from tulflow_spark.ext import puffin as _pf
+
+    meta = load_table_metadata(path)
+    fv = int(meta.get("format-version") or 1)
+    if fv < 3:
+        raise IcebergError(
+            f"deletion vectors require format-version 3 (table is "
+            f"v{fv}) — upgrade_iceberg_v3 first")
+    data_files, delete_files = _live_files(meta, None)
+    by_path = {d["file_path"]: d for d in data_files}
+    if not deletes:
+        raise IcebergError("empty delete map")
+    merged: dict[str, np.ndarray] = {}
+    for fp, poss in sorted(deletes.items()):
+        target = by_path.get(fp)
+        if target is None:
+            raise IcebergError(f"delete target {fp!r} is not live")
+        if not poss:
+            raise IcebergError(f"empty position list for {fp!r}")
+        arr = np.unique(np.asarray(list(poss), dtype=np.int64))
+        n = int(target.get("record_count") or 0)
+        if arr[0] < 0 or (n and arr[-1] >= n):
+            raise IcebergError(
+                f"positions for {fp!r} outside [0, {n}) — refusing "
+                "to commit an unreadable deletion vector")
+        merged[fp] = arr
+    dv_old: dict[str, dict] = {}
+    for d in delete_files:
+        if str(d.get("file_format") or "").upper() == "PUFFIN":
+            dv_old[str(d["referenced_data_file"])] = d
+    for fp in list(merged):
+        old = dv_old.get(fp)
+        if old is not None:
+            prior = _pf.read_dv(
+                _plain_path(old["file_path"]),
+                int(old["content_offset"]),
+                int(old["content_size_in_bytes"]),
+                cardinality=old.get("record_count"))
+            merged[fp] = np.union1d(merged[fp], prior)
+    seq = _next_sequence_number(meta)
+    snap_id = _fresh_snapshot_id(meta)
+    attempt = _uuid.uuid4().hex[:8]
+    ppath = f"{path}/data/dv-q{seq}-{attempt}.puffin"
+    coords = _pf.write_dv_file(ppath, merged, snapshot_id=snap_id,
+                               sequence_number=seq)
+    fs, lp = fsio.resolve(ppath)
+    size = fs.get_file_info([lp])[0].size
+    dv_records = [{
+        "content": 1,
+        "file_path": f"file://{lp}",
+        "file_format": "PUFFIN",
+        "partition": {},
+        "record_count": int(coords[ref]["cardinality"]),
+        "file_size_in_bytes": int(size),
+        "referenced_data_file": ref,
+        "content_offset": int(coords[ref]["offset"]),
+        "content_size_in_bytes": int(coords[ref]["length"]),
+    } for ref in sorted(merged)]
+    exist = lambda d: {"status": 0, "snapshot_id": None,  # noqa: E731
+                       "sequence_number": d.get("__seq"),
+                       "data_file": d}
+    entries = (
+        [exist(d) for d in data_files]
+        + [exist(d) for d in delete_files
+           if str(d.get("file_format") or "").upper() != "PUFFIN"
+           or str(d["referenced_data_file"]) not in merged]
+        + [{"status": 2, "snapshot_id": None, "sequence_number": seq,
+            "data_file": d} for d in delete_files
+           if str(d.get("file_format") or "").upper() == "PUFFIN"
+           and str(d["referenced_data_file"]) in merged]
+        + [{"status": 1, "snapshot_id": None, "sequence_number": seq,
+            "data_file": d} for d in dv_records]
+    )
+    schema = _current_schema(meta)
+    ident = _identity_partition_names(meta, schema)
+    by_name = {f["name"]: f.get("type") for f in schema["fields"]}
+    # the full-state manifest re-serializes EXISTING entries' partition
+    # structs verbatim: cover every partition field name any carried
+    # entry uses (a name the Avro record schema lacks would silently
+    # DROP its value, breaking pruning and eq-delete scoping), typing
+    # from the schema where the field is an identity transform and
+    # from the values themselves otherwise (bucket/truncate are ints)
+    pnames = sorted({k for d in data_files + delete_files
+                     for k in (d.get("partition") or {})})
+
+    def _ptype(n: str) -> str:
+        src = ident.get(n, n)
+        if src in by_name:
+            return _avro_part_type(str(by_name[src]))
+        vals = [(d.get("partition") or {}).get(n)
+                for d in data_files + delete_files]
+        return "string" if any(isinstance(v, str) for v in vals) \
+            else "long"
+
+    part_avro = [(n, _ptype(n)) for n in pnames]
+    specs = meta.get("partition-specs") or [{"spec-id": 0, "fields": []}]
+    return _commit_snapshot(
+        path, meta, schema["fields"], specs[0].get("fields") or [],
+        [], 0, part_avro, manifest_entries=entries, carry_prior=False,
+        operation="delete", snapshot_id=snap_id)
 
 
 def expire_iceberg_snapshots(spark: SparkSession, path: str,

@@ -758,6 +758,86 @@ def ib4_iceberg_rename(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "ib5_iceberg_v3_dv",
+    oracle="""
+    WITH alive AS (
+      SELECT * FROM documents
+      WHERE doc_id % 7 <> 0 AND doc_id % 11 <> 0
+    )
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(SUM(doc_id) AS BIGINT) AS sum_doc_id,
+           md5(STRING_AGG(md5(text), '' ORDER BY md5(text)))
+               AS corpus_md5,
+           CAST((SELECT COUNT(*) FROM documents) AS BIGINT) AS n_at_v1
+    FROM alive
+    """,
+)
+def ib5_iceberg_v3_dv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Iceberg FORMAT V3 deletion vectors oracle-checked end to end
+    (r12: `ext/puffin.py` + the v3 read/write paths): write documents
+    as an Iceberg table, upgrade to v3, DV-delete every ``doc_id % 7
+    == 0`` row, then DV-delete every ``doc_id % 11 == 0`` row — the
+    second commit MERGES into the first file-level vectors (spec: at
+    most one DV per data file), so survivors must exclude both sets
+    including the ``% 77`` overlap.  The oracle recomputes the
+    survivor count, id sum, and an order-insensitive corpus digest;
+    ``n_at_v1`` pins time travel below the deletes.
+
+    At 100 TB: DVs are cardinality-sized roaring bitmaps in one
+    Puffin sidecar per commit; the read subtracts them with a single
+    broadcast anti-join on (path, row-position) — the corpus never
+    shuffles, and `rewrite_iceberg_data_files` pays the debt down."""
+    import tempfile
+
+    import pyarrow.parquet as pq
+
+    from tulflow_spark.ext.iceberg import (
+        _live_files,
+        delete_positions_iceberg_v3,
+        load_table_metadata,
+        read_iceberg,
+        upgrade_iceberg_v3,
+        write_iceberg_fixture,
+    )
+
+    docs = table(spark, sf_dir, "documents").select(
+        "doc_id", "text", "lang")
+    t = tempfile.mkdtemp(prefix="ib5_") + "/tbl"
+    s1 = write_iceberg_fixture(spark, docs, t)
+    upgrade_iceberg_v3(t)
+    files, _ = _live_files(load_table_metadata(t), None)
+
+    def positions(mod: int) -> dict[str, list[int]]:
+        # gate-scale FIXTURE construction: reads one int column per
+        # data file driver-side to find the victims' row positions —
+        # not a production operator (a real DV writer knows positions
+        # from the scan that found the rows); keep out of sf1+ probes
+        out: dict[str, list[int]] = {}
+        for d in files:
+            ids = pq.read_table(
+                d["file_path"][7:],
+                columns=["doc_id"]).column("doc_id").to_pylist()
+            pos = [i for i, v in enumerate(ids) if v % mod == 0]
+            if pos:
+                out[d["file_path"]] = pos
+        return out
+
+    for mod in (7, 11):
+        pmap = positions(mod)
+        if pmap:
+            delete_positions_iceberg_v3(spark, t, pmap)
+    alive = read_iceberg(spark, t)
+    n_at_v1 = read_iceberg(spark, t, snapshot_id=s1).count()
+    return (alive.agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum("doc_id").cast("bigint").alias("sum_doc_id"),
+        F.md5(F.concat_ws("", F.array_sort(
+            F.collect_list(F.md5("text"))))).alias("corpus_md5"),
+    ).withColumn("n_at_v1", F.lit(int(n_at_v1)).cast("bigint"))
+     .select("n_rows", "sum_doc_id", "corpus_md5", "n_at_v1"))
+
+
+@register(
     "dl7_column_mapping_id",
     oracle="""
     SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
