@@ -81,12 +81,16 @@ def main() -> None:
     # min-of-2 already requires a spike to hit both runs.  Set =1 for a
     # quick smoke pass.
     #
-    # SPARK_GRAFT_BENCH_BUDGET (default 380 s): once cumulative bench time
+    # SPARK_GRAFT_BENCH_BUDGET (default 300 s): once cumulative bench time
     # passes the budget, remaining queries drop to single runs — the
     # driver wraps bench.py in `timeout 580`, and a killed bench emits NO
     # summary at all, which is strictly worse than single-shot tails.
+    # (r12: default lowered 380 -> 300 — at 168 registered queries an
+    # uncontended repeat=2 wall measured 536 s, leaving only 44 s of
+    # headroom before the driver's kill; 300 restores ~100 s of margin
+    # at the cost of min-of-2 on the alphabetical tail.)
     repeat = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_REPEAT", "2")))
-    budget = float(os.environ.get("SPARK_GRAFT_BENCH_BUDGET", "380"))
+    budget = float(os.environ.get("SPARK_GRAFT_BENCH_BUDGET", "300"))
     bench_t0 = time.perf_counter()
     for name in sorted(all_queries):
         runs: list[float] = []

@@ -300,6 +300,65 @@ def test_dv_on_orc_table_typed(spark, tmp_path):
         read_iceberg(spark, t).collect()
 
 
+def test_time_travel_below_upgrade_keeps_v2_deletes(spark, tmp_path):
+    """r12 review finding 1: upgrading to v3 must NOT wall off valid
+    pre-upgrade history — a snapshot written under v2 with position
+    delete FILES stays readable (and its deletes stay applied) after
+    the upgrade; only the LIVE state forbids them."""
+    t = str(tmp_path / "t")
+    write_iceberg_fixture(spark, _df(spark, 0, 12), t)
+    fids = _file_ids(t)
+    fp = sorted(fids)[0]
+    delete_positions_iceberg_fixture(spark, t, {fp: [0]})
+    want_v2 = sorted(set(range(12)) - {fids[fp][0]})
+    snaps = iceberg_snapshots(t)
+    s_del = snaps[-1]["snapshot_id"]
+    rewrite_iceberg_data_files(spark, t, min_files=1)
+    upgrade_iceberg_v3(t)
+    assert _ids(read_iceberg(spark, t)) == want_v2
+    # the pre-rewrite snapshot still reads, deletes applied
+    assert _ids(read_iceberg(spark, t, snapshot_id=s_del)) == want_v2
+
+
+def test_delete_files_live_in_delete_manifests(spark, tmp_path):
+    """r12 review finding 2: every manifest holding delete entries
+    must be flagged content=1 in the manifest list (conformant
+    readers plan deletes only from delete manifests), and data
+    entries must never appear in one."""
+    from tulflow_spark.ext.iceberg import (
+        _manifest_entries,
+        _read_manifest,
+        _snapshot,
+    )
+
+    t = str(tmp_path / "t")
+    write_iceberg_fixture(spark, _df(spark, 0, 12), t,
+                          partition_by=["b"])
+    upgrade_iceberg_v3(t)
+    fids = _file_ids(t)
+    fp = sorted(fids)[0]
+    delete_positions_iceberg_v3(spark, t, {fp: [0, 1]})
+    meta = load_table_metadata(t)
+    snap = _snapshot(meta, None)
+    seen_delete_manifest = False
+    for mf in _manifest_entries(snap):
+        _, entries = _read_manifest(mf)
+        contents = {int((e.get("data_file") or {}).get("content") or 0)
+                    for e in entries}
+        if int(mf.get("content") or 0) == 1:
+            assert contents <= {1, 2}, "data entry in a delete manifest"
+            seen_delete_manifest = True
+        else:
+            assert contents == {0}, "delete entry in a data manifest"
+    assert seen_delete_manifest
+    # and the DV entry carries its referenced file's partition
+    _, dels = _live_files(meta, None)
+    (dv,) = [d for d in dels if d["file_format"] == "PUFFIN"]
+    ref_part = next(d for d in _live_files(meta, None)[0]
+                    if d["file_path"] == fp)["partition"]
+    assert dv["partition"] == ref_part != {}
+
+
 def test_v3_dv_byte_flip_never_misreads(spark, tmp_path):
     """Corrupting the committed Puffin file must never change the
     READ result silently: every flip is typed or harmless."""

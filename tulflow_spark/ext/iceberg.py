@@ -1,12 +1,12 @@
 """Apache Iceberg table READ support on plain parquet + JSON + Avro —
 the lakehouse-sibling of ``ext/delta_log.py``, built from the public
-Iceberg table spec (format versions 1 and 2).
+Iceberg table spec (format versions 1, 2 and 3).
 
 Reference parity: the reference library's job is to make external data
 landable and queryable (tulflow ``harvest.py`` / ``process.py``); at
 100 TB the data increasingly arrives AS Iceberg tables, so reading
-them — snapshots, time travel, partition pruning, v2 positional
-deletes — is the same "first mile" role.
+them — snapshots, time travel, partition pruning, row-level deletes —
+is the same "first mile" role.
 
 Spark-first design: the metadata layer (JSON table metadata, Avro
 manifest lists and manifests — decoded by ``ext/avro_ocf.py``) is
@@ -14,21 +14,24 @@ walked driver-side because it is METADATA-sized (one JSON + a few KB
 of Avro per snapshot, never data-plane), exactly like the Delta log
 replay.  The data plane stays one declarative parquet scan over
 exactly the snapshot's live files, so Catalyst keeps pushdown and
-column pruning; positional deletes subtract via a broadcast anti-join
+column pruning; row-level deletes subtract via a broadcast anti-join
 on ``_metadata.file_path``/``row_index`` (merge-on-read — the same
 shape as the Delta deletion-vector scan).
 
 Resolution model and typed walls (never silent):
 
-- columns resolve BY NAME with a footer-vs-schema guard: Iceberg's
-  official resolution is by field-id, which only diverges from names
-  after a rename/drop — the guard detects the divergence on the first
-  data file and refuses typed instead of misreading;
+- columns resolve BY FIELD ID from parquet footer metadata (per-file
+  rename projections, add-column null fills, dropped-column pruning);
+  id-less files fall back to names behind a footer-vs-schema guard
+  that refuses typed when names diverged;
 - v2 EQUALITY deletes apply with sequence-number semantics (per-seq
   frame groups, null-safe anti-joins on the equality_ids columns);
-  format version 3+ and non-parquet/ORC data files wall typed;
-- partition pruning applies to ``identity``-transform fields only
-  (other transforms scan everything — correct, just unpruned).
+  v2 POSITION delete files and v3 DELETION VECTORS (Puffin blobs,
+  ``ext/puffin.py``) subtract by (path, row-position);
+  format version 4+ and non-parquet/ORC data files wall typed;
+- partition pruning applies to ``identity``-transform fields (plus
+  ``bucket[n]`` point lookups and integer ``truncate[w]`` ranges —
+  other transforms scan everything: correct, just unpruned).
 """
 
 from __future__ import annotations
@@ -304,12 +307,15 @@ def _live_files(meta: dict,
                 raise IcebergError(
                     f"data file format {fmt!r} not supported "
                     "(PARQUET, ORC and Puffin DVs are)")
-            elif fv >= 3 and content == 1:
-                # spec: v3 forbids position-delete FILES — position
-                # deletes must be deletion vectors.  Reading one as if
-                # valid would hide a non-conformant writer.
+            elif fv >= 3 and content == 1 and snapshot_id is None:
+                # spec: v3 forbids position-delete FILES in the LIVE
+                # state — position deletes must be deletion vectors,
+                # and upgrade_iceberg_v3 refuses while any are live.
+                # Historical snapshots written under v2 keep theirs
+                # (they were valid then); walling them would break
+                # time travel below the upgrade (r12 review finding).
                 raise IcebergError(
-                    "v3 table carries a position-delete file "
+                    "v3 table carries a live position-delete file "
                     f"({dfile.get('file_path')!r}) — v3 requires "
                     "deletion vectors; rewrite before upgrading")
             seq = e.get("sequence_number")
@@ -415,7 +421,8 @@ def _projection_for(schema: dict, names: list[str],
 
 def _resolved_scan(spark: SparkSession, data_files: list[dict],
                    schema: dict,
-                   pos_deletes: list[dict] | None = None) -> DataFrame:
+                   pos_deletes: list[dict] | None = None,
+                   dv_frame: DataFrame | None = None) -> DataFrame:
     """One scan over data files grouped by (format, per-file column
     projection): position deletes apply on the RAW scan (they address
     physical rows), then each group projects to the snapshot schema —
@@ -441,7 +448,7 @@ def _resolved_scan(spark: SparkSession, data_files: list[dict],
             groups.items(), key=lambda kv: str(kv[0])):
         scan = _format_scan(spark, files)
         scan = _apply_position_deletes(spark, scan, files,
-                                       pos_deletes or [])
+                                       pos_deletes or [], dv_frame)
         if not identity:
             cols = []
             for logical, phys, ice_t in proj:
@@ -764,12 +771,20 @@ def _deletes_applied_scan(spark: SparkSession, data_files: list[dict],
     unions the per-sequence frames."""
     from pyspark.sql import functions as F
 
-    pos = [d for d in delete_files
-           if int(d.get("content") or 0) == 1]
+    pos_all = [d for d in delete_files
+               if int(d.get("content") or 0) == 1]
     eq = [d for d in delete_files
           if int(d.get("content") or 0) == 2]
+    # v3 deletion vectors split out and decode ONCE (the frame is
+    # reused across every per-sequence scan group below — rebuilding
+    # per group would re-read the Puffin sidecars S times)
+    is_dv = lambda d: str(  # noqa: E731
+        d.get("file_format") or "").upper() == "PUFFIN"
+    dvs = [d for d in pos_all if is_dv(d)]
+    pos = [d for d in pos_all if not is_dv(d)]
+    dv_frame = _dv_positions_frame(spark, dvs) if dvs else None
     if not eq:
-        return _resolved_scan(spark, data_files, schema, pos)
+        return _resolved_scan(spark, data_files, schema, pos, dv_frame)
     by_id = {int(f["id"]): f["name"]
              for f in schema.get("fields", [])}
 
@@ -824,7 +839,7 @@ def _deletes_applied_scan(spark: SparkSession, data_files: list[dict],
     for (seq, gpk), files in sorted(
             seq_groups.items(),
             key=lambda kv: (kv[0][0], str(kv[0][1]))):
-        f = _resolved_scan(spark, files, schema, pos)
+        f = _resolved_scan(spark, files, schema, pos, dv_frame)
         gpart = dict(gpk)
         for (dseq, names, pk), (alias, dels) in eq_frames:
             if dseq <= seq:
@@ -841,24 +856,23 @@ def _deletes_applied_scan(spark: SparkSession, data_files: list[dict],
     return _union_fold_by_name(frames)
 
 
-def _dv_positions_frame(spark: SparkSession,
-                        dv_files: list[dict]) -> DataFrame:
-    """v3 deletion-vector entries → one (file_path, pos) frame.
+def _read_dv_map(dv_files: list[dict]) -> dict:
+    """v3 deletion-vector entries → ``{referenced_data_file: sorted
+    int64 positions}``.
 
-    Bitmaps decode DRIVER-side (a DV is cardinality-sized — KBs to
-    MBs; Delta writers and our rewrite compact files once deletions
-    dominate) and ship as ONE Arrow frame, exactly like the Delta
-    reader's ``_dv_filtered_scan``.  At most one DV may reference a
-    given data file (spec: writers must merge) — two is typed."""
-    import pandas as pd
-
+    Each Puffin file is read from storage ONCE even when it holds one
+    blob per data file (one commit writes one sidecar for many files —
+    re-reading per blob would multiply IO by the file count, r12
+    review finding).  At most one DV may reference a given data file
+    (spec: writers must merge) — two is typed."""
     from tulflow_spark.ext import puffin as _pf
 
+    raws: dict[str, bytes] = {}
     seen: dict[str, str] = {}
-    paths: list[str] = []
-    poss: list = []
+    out: dict = {}
     for d in sorted(dv_files, key=lambda d: str(d.get("file_path"))):
         ref = str(d["referenced_data_file"])
+        ppath = _plain_path(d["file_path"])
         if ref in seen:
             raise IcebergError(
                 f"two deletion vectors reference {ref!r} "
@@ -866,19 +880,47 @@ def _dv_positions_frame(spark: SparkSession,
                 "spec allows at most one; the writer must merge")
         seen[ref] = str(d.get("file_path"))
         try:
-            idx = _pf.read_dv(
-                _plain_path(d["file_path"]),
-                int(d["content_offset"]),
-                int(d["content_size_in_bytes"]),
-                cardinality=d.get("record_count"))
-        except _pf.PuffinError as exc:
+            if ppath not in raws:
+                fs, lp = fsio.resolve(ppath)
+                with fs.open_input_stream(lp) as stream:
+                    raws[ppath] = stream.read()
+                if raws[ppath][:4] != _pf.MAGIC:
+                    raise _pf.PuffinError(
+                        f"{ppath!r} is not a Puffin file")
+            idx = _pf.decode_dv_blob(
+                raws[ppath], int(d["content_offset"]),
+                int(d["content_size_in_bytes"]))
+            card = d.get("record_count")
+            if card is not None and int(card) != len(idx):
+                raise _pf.PuffinError(
+                    f"DV cardinality {len(idx)} != manifest {card}")
+        except (_pf.PuffinError, OSError) as exc:
             raise IcebergError(
                 f"deletion vector {d.get('file_path')!r}: {exc}"
             ) from None
-        paths.extend([ref] * len(idx))
-        poss.append(idx.astype("int64"))
-    import numpy as np
+        out[ref] = idx
+    return out
 
+
+def _dv_positions_frame(spark: SparkSession,
+                        dv_files: list[dict]) -> DataFrame:
+    """v3 deletion-vector entries → one (file_path, pos) frame.
+
+    Bitmaps decode DRIVER-side (a DV is cardinality-sized — KBs to
+    MBs; Delta writers and our rewrite compact files once deletions
+    dominate) and ship as ONE Arrow frame, exactly like the Delta
+    reader's ``_dv_filtered_scan``.  Callers build this frame ONCE per
+    read and reuse it across per-sequence scan groups."""
+    import numpy as np
+    import pandas as pd
+
+    dv_map = _read_dv_map(dv_files)
+    paths: list[str] = []
+    poss: list = []
+    for ref in sorted(dv_map):
+        idx = dv_map[ref]
+        paths.extend([ref] * len(idx))      # n pointers to ONE str
+        poss.append(idx.astype("int64"))
     return spark.createDataFrame(pd.DataFrame({
         "file_path": paths,
         "pos": np.concatenate(poss) if poss
@@ -888,14 +930,18 @@ def _dv_positions_frame(spark: SparkSession,
 
 def _apply_position_deletes(spark: SparkSession, scan: DataFrame,
                             data_files: list[dict],
-                            delete_files: list[dict]) -> DataFrame:
+                            delete_files: list[dict],
+                            dv_frame: DataFrame | None = None
+                            ) -> DataFrame:
     """Subtract positional deletes from ``scan`` via a broadcast
-    anti-join on normalized file path + row position — both v2
-    position-delete PARQUET files and v3 Puffin deletion vectors
-    (they address rows identically; only the storage differs)."""
+    anti-join on normalized file path + row position — v2
+    position-delete PARQUET files (``delete_files``) and v3 Puffin
+    deletion vectors (``dv_frame``, prebuilt ONCE per read by
+    ``_dv_positions_frame``; they address rows identically, only the
+    storage differs)."""
     from pyspark.sql import functions as F
 
-    if not delete_files:
+    if not delete_files and dv_frame is None:
         return scan
     if any(str(d.get("file_format") or "").upper() == "ORC"
            for d in data_files):
@@ -910,21 +956,17 @@ def _apply_position_deletes(spark: SparkSession, scan: DataFrame,
     if {ri, fp} & set(scan.columns):
         raise IcebergError(
             f"table columns collide with helper columns {ri}/{fp}")
-    is_dv = lambda d: str(  # noqa: E731
-        d.get("file_format") or "").upper() == "PUFFIN"
-    dv_files = [d for d in delete_files if is_dv(d)]
-    pq_files = [d for d in delete_files if not is_dv(d)]
     frames: list[DataFrame] = []
-    if pq_files:
+    if delete_files:
         dels = spark.read.parquet(
-            *[_plain_path(d["file_path"]) for d in pq_files])
+            *[_plain_path(d["file_path"]) for d in delete_files])
         if not {"file_path", "pos"} <= set(dels.columns):
             raise IcebergError(
                 "position-delete files must have file_path/pos columns")
         frames.append(dels.select("file_path",
                                   F.col("pos").cast("long").alias("pos")))
-    if dv_files:
-        frames.append(_dv_positions_frame(spark, dv_files))
+    if dv_frame is not None:
+        frames.append(dv_frame)
     norm = lambda c: F.regexp_replace(c, "^file:/+", "/")  # noqa: E731
     dels = _union_fold_by_name(frames).select(
         norm(F.col("file_path")).alias(fp),
@@ -1227,7 +1269,9 @@ def _commit_snapshot(path: str, meta: dict | None, df_schema: list[dict],
                      manifest_entries: list[dict] | None = None,
                      carry_prior: bool = True,
                      operation: str = "append",
-                     snapshot_id: int | None = None) -> int:
+                     snapshot_id: int | None = None,
+                     delete_manifest_entries: list[dict] | None = None
+                     ) -> int:
     """Commit one snapshot: write the manifest (ADDED entries from
     ``new_manifest_records``, or the explicit ``manifest_entries``
     with their own statuses for rewrites), a manifest list that
@@ -1280,22 +1324,38 @@ def _commit_snapshot(path: str, meta: dict | None, df_schema: list[dict],
     # per-ATTEMPT unique names: a CAS loser must never have clobbered
     # the winner's manifest files before the metadata create decides
     attempt = _uuid.uuid4().hex[:8]
-    manifest_blob = write_ocf(
-        _manifest_schema(part_avro_fields), manifest_entries)
-    mpath = f"{mdir}/manifest-q{seq}-{attempt}.avro"
-    _write_bytes(mpath, manifest_blob)
+    # delete files must live in DELETE manifests (manifest-list
+    # content=1) — a conformant external reader plans deletes only
+    # from those, so mixing them into a data manifest would make it
+    # silently resurrect deleted rows (r12 review finding)
+    new_manifests: list[tuple[str, int, list[dict]]] = []
+    if manifest_entries or not delete_manifest_entries:
+        new_manifests.append(("manifest", manifest_content,
+                              manifest_entries))
+    if delete_manifest_entries:
+        stamped = [
+            dict(e, snapshot_id=snap_id) if e.get("status") != 0 else e
+            for e in delete_manifest_entries
+        ]
+        new_manifests.append(("delmanifest", 1, stamped))
     prior_entries: list[dict] = []
     if meta is not None and carry_prior:
         cur = next(s for s in meta["snapshots"]
                    if s["snapshot-id"] == meta["current-snapshot-id"])
         prior_entries = read_ocf(_read_bytes(cur["manifest-list"]))
-    entries = prior_entries + [{
-        "manifest_path": f"file://{fsio.resolve(mpath)[1]}",
-        "manifest_length": len(manifest_blob),
-        "partition_spec_id": 0,
-        "content": manifest_content,
-        "added_snapshot_id": snap_id,
-    }]
+    entries = list(prior_entries)
+    for tag, content, m_entries in new_manifests:
+        manifest_blob = write_ocf(
+            _manifest_schema(part_avro_fields), m_entries)
+        mpath = f"{mdir}/{tag}-q{seq}-{attempt}.avro"
+        _write_bytes(mpath, manifest_blob)
+        entries.append({
+            "manifest_path": f"file://{fsio.resolve(mpath)[1]}",
+            "manifest_length": len(manifest_blob),
+            "partition_spec_id": 0,
+            "content": content,
+            "added_snapshot_id": snap_id,
+        })
     ml_blob = write_ocf(_MANIFEST_LIST_SCHEMA, entries)
     ml_path = f"{mdir}/snap-q{seq}-{attempt}-manifest-list.avro"
     _write_bytes(ml_path, ml_blob)
@@ -1630,15 +1690,10 @@ def delete_positions_iceberg_v3(
     for d in delete_files:
         if str(d.get("file_format") or "").upper() == "PUFFIN":
             dv_old[str(d["referenced_data_file"])] = d
-    for fp in list(merged):
-        old = dv_old.get(fp)
-        if old is not None:
-            prior = _pf.read_dv(
-                _plain_path(old["file_path"]),
-                int(old["content_offset"]),
-                int(old["content_size_in_bytes"]),
-                cardinality=old.get("record_count"))
-            merged[fp] = np.union1d(merged[fp], prior)
+    superseded = [d for ref, d in dv_old.items() if ref in merged]
+    prior_map = _read_dv_map(superseded)     # one read per sidecar
+    for fp, prior in prior_map.items():
+        merged[fp] = np.union1d(merged[fp], prior)
     seq = _next_sequence_number(meta)
     snap_id = _fresh_snapshot_id(meta)
     attempt = _uuid.uuid4().hex[:8]
@@ -1651,7 +1706,10 @@ def delete_positions_iceberg_v3(
         "content": 1,
         "file_path": f"file://{lp}",
         "file_format": "PUFFIN",
-        "partition": {},
+        # spec: a delete file's partition must match the rows it
+        # deletes — carry the REFERENCED data file's partition, not an
+        # empty struct (r12 review finding)
+        "partition": dict(by_path[ref].get("partition") or {}),
         "record_count": int(coords[ref]["cardinality"]),
         "file_size_in_bytes": int(size),
         "referenced_data_file": ref,
@@ -1661,11 +1719,11 @@ def delete_positions_iceberg_v3(
     exist = lambda d: {"status": 0, "snapshot_id": None,  # noqa: E731
                        "sequence_number": d.get("__seq"),
                        "data_file": d}
-    entries = (
-        [exist(d) for d in data_files]
-        + [exist(d) for d in delete_files
-           if str(d.get("file_format") or "").upper() != "PUFFIN"
-           or str(d["referenced_data_file"]) not in merged]
+    data_entries = [exist(d) for d in data_files]
+    delete_entries = (
+        [exist(d) for d in delete_files
+         if str(d.get("file_format") or "").upper() != "PUFFIN"
+         or str(d["referenced_data_file"]) not in merged]
         + [{"status": 2, "snapshot_id": None, "sequence_number": seq,
             "data_file": d} for d in delete_files
            if str(d.get("file_format") or "").upper() == "PUFFIN"
@@ -1698,7 +1756,8 @@ def delete_positions_iceberg_v3(
     specs = meta.get("partition-specs") or [{"spec-id": 0, "fields": []}]
     return _commit_snapshot(
         path, meta, schema["fields"], specs[0].get("fields") or [],
-        [], 0, part_avro, manifest_entries=entries, carry_prior=False,
+        [], 0, part_avro, manifest_entries=data_entries,
+        delete_manifest_entries=delete_entries, carry_prior=False,
         operation="delete", snapshot_id=snap_id)
 
 
@@ -1888,8 +1947,13 @@ def rewrite_iceberg_data_files(spark: SparkSession, path: str,
         + [{"status": 1, "snapshot_id": None, "sequence_number": seq,
             "data_file": d} for d in new_records]
         + [{"status": 2, "snapshot_id": None, "sequence_number": seq,
-            "data_file": d} for d in qual_files + delete_files]
+            "data_file": d} for d in qual_files]
     )
+    # delete-file tombstones go in a DELETE manifest (content=1) —
+    # conformant readers plan deletes only from those
+    del_entries = [{"status": 2, "snapshot_id": None,
+                    "sequence_number": seq, "data_file": d}
+                   for d in delete_files]
     ice_avro = {"long": "long", "int": "int", "string": "string"}
     by_name = {f["name"]: f.get("type") for f in schema["fields"]}
     part_avro = [(c, ice_avro.get(by_name.get(c), "long"))
@@ -1898,8 +1962,9 @@ def rewrite_iceberg_data_files(spark: SparkSession, path: str,
     return _commit_snapshot(
         path, meta, schema["fields"],
         specs[0].get("fields") or [], [], 0, part_avro,
-        manifest_entries=entries, carry_prior=False,
-        operation="replace")
+        manifest_entries=entries,
+        delete_manifest_entries=del_entries or None,
+        carry_prior=False, operation="replace")
 
 
 def delete_equality_iceberg_fixture(spark: SparkSession, path: str,
