@@ -641,26 +641,54 @@ def _read_last_checkpoint(path: str) -> tuple[int, int] | None:
 
 
 def _checkpoint_files(path: str, version: int, parts: int) -> list[str]:
-    """Single-file or multi-part checkpoint file names (the protocol's
-    two layouts); [] when any part is missing (triggers JSON fallback)."""
+    """Checkpoint file names for ``version`` across the protocol's
+    THREE layouts — classic single-file, multi-part, and UUID-named V2
+    (``{v:020d}.checkpoint.<uuid>.{parquet|json}``, discovered by
+    listing since ``_last_checkpoint`` does not carry the uuid).
+    [] when nothing complete exists (triggers full JSON replay)."""
     if parts <= 1:
-        files = [f"{_log_dir(path)}/{_checkpoint_name(version)}"]
-    else:
-        files = [
-            f"{_log_dir(path)}/{version:020d}.checkpoint."
-            f"{i:010d}.{parts:010d}.parquet"
-            for i in range(1, parts + 1)
-        ]
+        classic = f"{_log_dir(path)}/{_checkpoint_name(version)}"
+        if fsio.exists(classic):
+            return [classic]
+        v2 = _v2_checkpoint_candidates(path, version)
+        # any one uuid-named checkpoint is complete by itself (racing
+        # checkpointers may leave several); newest-sorted for
+        # determinism, correctness identical per the protocol
+        return [v2[-1]] if v2 else []
+    files = [
+        f"{_log_dir(path)}/{version:020d}.checkpoint."
+        f"{i:010d}.{parts:010d}.parquet"
+        for i in range(1, parts + 1)
+    ]
     return files if all(fsio.exists(f) for f in files) else []
 
 
+def _v2_checkpoint_candidates(path: str, version: int) -> list[str]:
+    """UUID-named V2 checkpoint files for ``version``, sorted.  The
+    middle segment must be dot-free and non-numeric so multi-part
+    names (``.checkpoint.iiii.pppp.parquet``) never match."""
+    pre = f"{version:020d}.checkpoint."
+    out = []
+    for name in fsio.list_names(_log_dir(path)):
+        if not name.startswith(pre):
+            continue
+        rest = name[len(pre):]
+        for suf in (".parquet", ".json"):
+            if rest.endswith(suf):
+                mid = rest[:-len(suf)]
+                if mid and "." not in mid and not mid.isdigit():
+                    out.append(f"{_log_dir(path)}/{name}")
+    return sorted(out)
+
+
 def _check_reader_version(proto: dict) -> None:
-    """Reader-feature gate: version 1 always; version 3 when the ONLY
-    reader feature is deletionVectors (r9 VERDICT #4 — modern
-    delta-spark defaults write DV tables; `ext/deletion_vectors.py`
-    replays them).  Version 2 (implicit column mapping) and any other
-    version-3 feature (columnMapping, v2Checkpoint, timestampNtz, ...)
-    stay a typed wall — reading them wrong would be silent."""
+    """Reader-feature gate: version 1 always; version 3 when every
+    reader feature is one this module actually implements —
+    deletionVectors (r9, `ext/deletion_vectors.py`), columnMapping
+    (r11/r12, `_build_scan`) and v2Checkpoint (r12,
+    `_load_checkpoint`).  Version 2 (implicit column mapping) reads
+    too.  Any other version-3 feature (timestampNtz, typeWidening,
+    ...) stays a typed wall — reading it wrong would be silent."""
     mrv = int(proto.get("minReaderVersion") or 1)
     if mrv <= 1:
         return
@@ -672,35 +700,98 @@ def _check_reader_version(proto: dict) -> None:
     # version 3 REQUIRES readerFeatures (table-features protocol);
     # absent is malformed, not "no features"
     if mrv == 3 and feats_raw is not None \
-            and set(feats_raw) <= {"deletionVectors", "columnMapping"}:
+            and set(feats_raw) <= {"deletionVectors", "columnMapping",
+                                   "v2Checkpoint"}:
         return
     feats = sorted(set(feats_raw or []))
     raise DeltaProtocolError(
         f"table requires reader version {mrv} with features "
-        f"{feats}: only deletionVectors and columnMapping are "
-        "supported beyond version 1"
+        f"{feats}: only deletionVectors, columnMapping and "
+        "v2Checkpoint are supported beyond version 1"
     )
 
 
 def _load_checkpoint(
-    spark: SparkSession, files: list[str], snap: "Snapshot"
+    spark: SparkSession, files: list[str], snap: "Snapshot",
+    expect_version: int | None = None,
 ) -> None:
-    """Replay checkpoint parquet part(s) into ``snap``: live adds,
-    metaData (schemaString / partitionColumns / id / configuration) and
-    the FULL protocol row — a snapshot resumed from a checkpoint must
-    carry the same minWriterVersion and delta.appendOnly state as a full
-    JSON replay, or writer-side protocol duties silently lapse.
+    """Replay checkpoint part(s) into ``snap``: live adds, metaData
+    (schemaString / partitionColumns / id / configuration) and the
+    FULL protocol row — a snapshot resumed from a checkpoint must
+    carry the same minWriterVersion and delta.appendOnly state as a
+    full JSON replay, or writer-side protocol duties silently lapse.
 
-    ``spark=None`` replays via pyarrow — the streaming data-source
-    planner (`sources/lake_stream.py`) runs in a Python worker with no
-    SparkSession, and a checkpoint is metadata-sized either way."""
-    if spark is None:
-        rows = _checkpoint_rows_pyarrow(files)
-    else:
-        cp = spark.read.parquet(*files)
-        cols = cp.columns
-        rows = [(cols, row.asDict(recursive=True))
-                for row in cp.collect()]
+    Handles all three layouts: classic/multi-part parquet, and V2
+    checkpoints (parquet OR json) whose ``checkpointMetadata`` version
+    is validated against ``expect_version`` and whose ``sidecar``
+    actions pull the file actions in from
+    ``_delta_log/_sidecars/`` (read via pyarrow — sidecars are
+    metadata-sized and the streaming planner has no SparkSession).
+
+    ``spark=None`` replays everything via pyarrow for the same
+    reason."""
+    pq_files = [f for f in files if not f.endswith(".json")]
+    rows: list[tuple[list, dict]] = []
+    if pq_files:
+        if spark is None:
+            rows += _checkpoint_rows_pyarrow(pq_files)
+        else:
+            cp = spark.read.parquet(*pq_files)
+            cols = cp.columns
+            rows += [(cols, row.asDict(recursive=True))
+                     for row in cp.collect()]
+    for f in files:
+        if not f.endswith(".json"):
+            continue
+        fs, lp = fsio.resolve(f)
+        with fs.open_input_stream(lp) as stream:
+            text = stream.read().decode("utf-8")
+        for line in text.splitlines():
+            if not line.strip():
+                continue
+            try:
+                action = json.loads(line)
+            except ValueError as exc:
+                raise DeltaProtocolError(
+                    f"malformed v2 checkpoint line in {f!r}: {exc}"
+                ) from None
+            if not isinstance(action, dict):
+                raise DeltaProtocolError(
+                    f"non-object action in v2 checkpoint {f!r}")
+            rows.append((list(action), action))
+    cpm = [d["checkpointMetadata"] for cols, d in rows
+           if "checkpointMetadata" in cols
+           and d.get("checkpointMetadata")]
+    if cpm:
+        try:
+            got_v = int(dict(cpm[0]).get("version"))
+        except (TypeError, ValueError):
+            raise DeltaProtocolError(
+                "v2 checkpoint with malformed checkpointMetadata"
+            ) from None
+        if expect_version is not None and got_v != expect_version:
+            raise DeltaProtocolError(
+                f"v2 checkpoint declares version {got_v} but "
+                f"_last_checkpoint points at {expect_version}")
+    sidecars = [dict(d["sidecar"]) for cols, d in rows
+                if "sidecar" in cols and d.get("sidecar")
+                and dict(d["sidecar"]).get("path")]
+    if sidecars:
+        if not cpm:
+            raise DeltaProtocolError(
+                "sidecar actions outside a v2 checkpoint "
+                "(no checkpointMetadata)")
+        log_dir = files[0].rsplit("/", 1)[0]
+        sc_paths = []
+        for sc in sidecars:
+            p = str(sc["path"])
+            full = p if ("://" in p or p.startswith("/")) \
+                else f"{log_dir}/_sidecars/{p}"
+            if not fsio.exists(full):
+                raise DeltaProtocolError(
+                    f"v2 checkpoint sidecar missing: {full!r}")
+            sc_paths.append(full)
+        rows += _checkpoint_rows_pyarrow(sc_paths)
     for cols, d in rows:
         add = d.get("add") if "add" in cols else None
         if add and add.get("path"):
@@ -738,6 +829,16 @@ def _checkpoint_rows_pyarrow(files: list[str]) -> list[tuple[list, dict]]:
             tbl = pq.read_table(handle)
         cols = tbl.column_names
         for d in tbl.to_pylist():
+            # normalize the maps consumers index into (the Spark read
+            # path gets real dicts from Row.asDict; sidecar rows always
+            # arrive through HERE even under a live session, so
+            # tuple-list maps would break _build_scan's `c in pv`)
+            add = d.get("add")
+            if add and isinstance(add.get("partitionValues"), list):
+                add["partitionValues"] = dict(add["partitionValues"])
+            md = d.get("metaData")
+            if md and isinstance(md.get("configuration"), list):
+                md["configuration"] = dict(md["configuration"])
             out.append((cols, d))
     return out
 
@@ -783,7 +884,8 @@ def _replay(
     if ckpt is not None and ckpt[0] <= target:
         files = _checkpoint_files(path, ckpt[0], ckpt[1])
         if files:
-            _load_checkpoint(spark, files, snap)
+            _load_checkpoint(spark, files, snap,
+                             expect_version=ckpt[0])
             start = ckpt[0] + 1
         # else: checkpoint files gone — fall back to full JSON replay
     replay = [v for v in versions if start <= v <= target]
@@ -1446,6 +1548,205 @@ def write_checkpoint(spark: SparkSession, path: str) -> int:
     return v
 
 
+def enable_v2_checkpoints(spark: SparkSession, path: str) -> int:
+    """Commit the protocol upgrade that enables V2 (uuid-named,
+    sidecar-backed) checkpoints: minReaderVersion 3 / minWriterVersion
+    7 with ``v2Checkpoint`` in both feature lists.
+
+    Base tables (reader 1, writer <= 2) migrate their implicit legacy
+    capabilities into ``writerFeatures`` (``appendOnly``,
+    ``invariants``) per the table-features upgrade rule — enforcement
+    is unchanged (``delta.appendOnly`` stays config-driven).  Legacy
+    writer versions 3-6, implicit column mapping (reader 2), and
+    feature tables carrying features this module does not implement
+    refuse typed — upgrading them would clobber declarations a
+    conformant writer depends on.  Returns the committed version."""
+    latest = latest_version(path)
+    if latest is None:
+        raise DeltaProtocolError(f"no delta table at {path}")
+    snap = _replay(spark, path, latest)
+    r = set(snap.reader_features)
+    w = set(snap.writer_features)
+    known_w = {"deletionVectors", "columnMapping", "appendOnly",
+               "invariants", "v2Checkpoint"}
+    if (2 < snap.min_writer < 7) or snap.min_reader == 2 \
+            or (w - known_w):
+        raise DeltaProtocolError(
+            f"cannot enable v2 checkpoints: writer version "
+            f"{snap.min_writer} / reader {snap.min_reader} with "
+            f"features {sorted(w - known_w)} not implemented here")
+    if "v2Checkpoint" in r and "v2Checkpoint" in w:
+        return latest                        # already enabled
+    if snap.min_writer <= 2 and not w:
+        w |= {"appendOnly", "invariants"}    # legacy migration
+    r.add("v2Checkpoint")
+    w |= r
+    _publish(path, latest + 1, [{
+        "protocol": {
+            "minReaderVersion": 3, "minWriterVersion": 7,
+            "readerFeatures": sorted(r),
+            "writerFeatures": sorted(w),
+        }
+    }])
+    return latest + 1
+
+
+def write_checkpoint_v2(spark: SparkSession, path: str,
+                        sidecars: int = 2) -> int:
+    """Materialize the latest snapshot as a V2 CHECKPOINT: a
+    uuid-named ``{v:020d}.checkpoint.<uuid>.parquet`` holding the
+    non-file actions (full protocol row WITH feature lists,
+    checkpointMetadata, metaData, txns) plus ``sidecar`` pointers to
+    file-action parquet(s) under ``_delta_log/_sidecars/``.
+
+    This is the checkpoint form that does NOT lose protocol state —
+    the classic writer refuses table-features tables exactly because
+    its schema would drop the feature lists; the v2 schema carries
+    them, along with live ``deletionVector`` descriptors, so DV and
+    column-mapped tables checkpoint losslessly.  Requires the
+    ``v2Checkpoint`` feature (``enable_v2_checkpoints`` first).
+
+    At 100 TB: sidecars split the file listing into bounded parquet
+    parts readable in parallel and skippable by readers that only
+    need the protocol row; log replay after cleanup starts from the
+    checkpoint, O(new commits)."""
+    import uuid as _uuid
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    snap = _replay(spark, path, None)
+    if "v2Checkpoint" not in snap.reader_features:
+        raise DeltaProtocolError(
+            "v2 checkpoints need the v2Checkpoint table feature "
+            "(enable_v2_checkpoints first)")
+    if snap.schema_str is None:
+        raise DeltaProtocolError("cannot checkpoint: no metaData in log")
+    v = snap.version
+    adds = [snap.live[p] for p in sorted(snap.live)]
+    dv_type = pa.struct([
+        ("storageType", pa.string()),
+        ("pathOrInlineDv", pa.string()),
+        ("offset", pa.int32()),
+        ("sizeInBytes", pa.int32()),
+        ("cardinality", pa.int64()),
+    ])
+    add_type = pa.struct([
+        ("path", pa.string()),
+        ("partitionValues", pa.map_(pa.string(), pa.string())),
+        ("size", pa.int64()),
+        ("modificationTime", pa.int64()),
+        ("dataChange", pa.bool_()),
+        ("stats", pa.string()),
+        ("deletionVector", dv_type),
+    ])
+
+    def _add_row(a: dict) -> dict:
+        dv = a.get("deletionVector")
+        return {
+            "path": a["path"],
+            "partitionValues": sorted(
+                (str(k), None if vv is None else str(vv))
+                for k, vv in (a.get("partitionValues") or {}).items()),
+            "size": int(a.get("size") or 0),
+            "modificationTime": int(a.get("modificationTime") or 0),
+            "dataChange": False,
+            "stats": a.get("stats"),
+            "deletionVector": None if not dv else {
+                "storageType": dv.get("storageType"),
+                "pathOrInlineDv": dv.get("pathOrInlineDv"),
+                "offset": dv.get("offset"),
+                "sizeInBytes": dv.get("sizeInBytes"),
+                "cardinality": dv.get("cardinality"),
+            },
+        }
+
+    n_parts = max(1, min(int(sidecars), len(adds)) or 1)
+    chunks = [adds[i::n_parts] for i in range(n_parts)]
+    sc_dir = f"{_log_dir(path)}/_sidecars"
+    sc_actions: list[dict] = []
+    for chunk in chunks:
+        if not chunk:
+            continue
+        name = f"{_uuid.uuid4().hex}.parquet"
+        tbl = pa.table({"add": pa.array(
+            [_add_row(a) for a in chunk], type=add_type)})
+        fs, lp = fsio.resolve(f"{sc_dir}/{name}")
+        fs.create_dir(lp.rsplit("/", 1)[0], recursive=True)
+        with fs.open_output_stream(lp) as out:
+            pq.write_table(tbl, out)
+        info = fs.get_file_info([lp])[0]
+        sc_actions.append({
+            "path": name,
+            "sizeInBytes": int(info.size),
+            "modificationTime": int(
+                info.mtime.timestamp() * 1000) if info.mtime else 0,
+        })
+    proto_type = pa.struct([
+        ("minReaderVersion", pa.int32()),
+        ("minWriterVersion", pa.int32()),
+        ("readerFeatures", pa.list_(pa.string())),
+        ("writerFeatures", pa.list_(pa.string())),
+    ])
+    meta_type = pa.struct([
+        ("id", pa.string()),
+        ("format", pa.struct([
+            ("provider", pa.string()),
+            ("options", pa.map_(pa.string(), pa.string())),
+        ])),
+        ("schemaString", pa.string()),
+        ("partitionColumns", pa.list_(pa.string())),
+        ("configuration", pa.map_(pa.string(), pa.string())),
+    ])
+    txn_type = pa.struct([("appId", pa.string()),
+                          ("version", pa.int64())])
+    cpm_type = pa.struct([("version", pa.int64()),
+                          ("tags", pa.map_(pa.string(), pa.string()))])
+    sc_type = pa.struct([("path", pa.string()),
+                         ("sizeInBytes", pa.int64()),
+                         ("modificationTime", pa.int64())])
+    txn_rows = sorted(snap.txns.items())
+    n = 3 + len(txn_rows) + len(sc_actions)
+    col = lambda i, val: [None] * i + [val] + \
+        [None] * (n - i - 1)  # noqa: E731
+    protos = col(0, {
+        "minReaderVersion": int(snap.min_reader),
+        "minWriterVersion": int(snap.min_writer),
+        "readerFeatures": list(snap.reader_features),
+        "writerFeatures": list(snap.writer_features),
+    })
+    metas = col(1, {
+        "id": snap.meta_id or _uuid.uuid4().hex,
+        "format": {"provider": "parquet", "options": []},
+        "schemaString": snap.schema_str,
+        "partitionColumns": list(snap.partition_cols),
+        "configuration": sorted(
+            (str(k), str(vv))
+            for k, vv in snap.configuration.items()),
+    })
+    cpms = col(2, {"version": int(v), "tags": []})
+    txns_col: list = [None] * 3 + [
+        {"appId": a, "version": tv} for a, tv in txn_rows
+    ] + [None] * len(sc_actions)
+    scs: list = [None] * (3 + len(txn_rows)) + sc_actions
+    tbl = pa.table({
+        "protocol": pa.array(protos, type=proto_type),
+        "metaData": pa.array(metas, type=meta_type),
+        "checkpointMetadata": pa.array(cpms, type=cpm_type),
+        "txn": pa.array(txns_col, type=txn_type),
+        "sidecar": pa.array(scs, type=sc_type),
+    })
+    name = f"{v:020d}.checkpoint.{_uuid.uuid4().hex}.parquet"
+    fs, cp = fsio.resolve(f"{_log_dir(path)}/{name}")
+    with fs.open_output_stream(cp) as out:
+        pq.write_table(tbl, out)
+    fsio.write_text(
+        f"{_log_dir(path)}/_last_checkpoint",
+        json.dumps({"version": int(v), "size": n}),
+    )
+    return int(v)
+
+
 def last_txn_version(spark: SparkSession, path: str, app_id: str) -> int:
     """The protocol ``txn`` watermark for ``app_id`` (-1 when the table
     or the app has no recorded transaction) — the idempotence check a
@@ -1639,12 +1940,15 @@ def delete_rows_with_dv(spark: SparkSession, path: str,
     # here only when its declared features are ones this module
     # implements — otherwise the protocol upgrade below would clobber
     # feature declarations a conformant writer depends on
-    extra = set(snap.writer_features) - {"deletionVectors"}
+    extra = set(snap.writer_features) - {
+        "deletionVectors", "appendOnly", "invariants", "v2Checkpoint"}
     if (2 < snap.min_writer < 7) or extra:
         raise DeltaProtocolError(
             f"table requires writer version {snap.min_writer} with "
             f"features {sorted(extra)}: delete_rows_with_dv supports "
-            "only base tables and deletionVectors-only writer-7 tables"
+            "only base tables and writer-7 tables whose features are "
+            "implemented here (deletionVectors / v2Checkpoint / "
+            "migrated legacy capabilities)"
         )
     actions: list[dict] = [{
         "protocol": {
@@ -2110,4 +2414,6 @@ __all__ = [
     "write_delta",
     "write_delta_with_retry",
     "write_checkpoint",
+    "write_checkpoint_v2",
+    "enable_v2_checkpoints",
 ]

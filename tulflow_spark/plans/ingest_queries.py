@@ -908,6 +908,89 @@ def dl7_column_mapping_id(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "dl8_v2_checkpoint",
+    oracle="""
+    WITH alive AS (
+      SELECT * FROM documents WHERE doc_id % 5 <> 0
+    )
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(SUM(doc_id) AS BIGINT) AS sum_doc_id,
+           md5(STRING_AGG(md5(text), '' ORDER BY md5(text)))
+               AS corpus_md5,
+           CAST((SELECT COUNT(*) FROM alive
+                 WHERE lang = (SELECT MIN(lang) FROM documents))
+                AS BIGINT) AS n_min_lang
+    FROM alive
+    """,
+)
+def dl8_v2_checkpoint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Delta V2 CHECKPOINTS oracle-checked end to end (r12:
+    uuid-named checkpoint + sidecar file actions + full feature-list
+    protocol row): write documents as a lang-partitioned Delta table,
+    upgrade to the v2Checkpoint feature, DV-delete every ``doc_id % 5
+    == 0`` row, write a V2 checkpoint, then DELETE every covered
+    commit JSON (Delta log cleanup) — the read must resume entirely
+    from the checkpoint: survivors, deletion vectors, partition
+    columns and the reader-feature gate all come from it.
+    ``n_min_lang`` pins partition pruning over the checkpoint state
+    (a prune read of the MIN lang partition).
+
+    At 100 TB: log replay after cleanup is O(commits since
+    checkpoint); sidecars bound the file-listing parquet parts; the
+    protocol row survives, so feature enforcement never lapses."""
+    import glob as _glob
+    import os as _os
+    import tempfile
+
+    import pyarrow.parquet as pq
+
+    from tulflow_spark.ext.delta_log import (
+        _replay,
+        delete_rows_with_dv,
+        enable_v2_checkpoints,
+        read_delta,
+        write_checkpoint_v2,
+        write_delta,
+    )
+
+    docs = table(spark, sf_dir, "documents").select(
+        "doc_id", "text", "lang")
+    t = tempfile.mkdtemp(prefix="dl8_") + "/tbl"
+    write_delta(docs, t, mode="append", partition_by=["lang"])
+    enable_v2_checkpoints(spark, t)
+    snap = _replay(spark, t, None)
+    # gate-scale FIXTURE construction: find the victims' row positions
+    # by reading one int column per file driver-side — not a
+    # production operator; keep out of sf1+ probes
+    deletes: dict[str, list[int]] = {}
+    for ap in sorted(snap.live):
+        ids = pq.read_table(
+            f"{t}/{ap}", columns=["doc_id"]).column("doc_id").to_pylist()
+        pos = [i for i, vv in enumerate(ids) if vv % 5 == 0]
+        if pos:
+            deletes[ap] = pos
+    if deletes:
+        delete_rows_with_dv(spark, t, deletes)
+    cv = write_checkpoint_v2(spark, t, sidecars=2)
+    for f in _glob.glob(f"{t}/_delta_log/*.json"):
+        stem = _os.path.basename(f)[:-5]
+        if stem.isdigit() and int(stem) <= cv:
+            _os.remove(f)
+    alive = read_delta(spark, t)
+    min_lang = docs.agg(F.min("lang")).collect()[0][0]
+    n_min = read_delta(
+        spark, t, prune=("lang", min_lang, min_lang)
+    ).filter(F.col("lang") == min_lang).count()
+    return (alive.agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum("doc_id").cast("bigint").alias("sum_doc_id"),
+        F.md5(F.concat_ws("", F.array_sort(
+            F.collect_list(F.md5("text"))))).alias("corpus_md5"),
+    ).withColumn("n_min_lang", F.lit(int(n_min)).cast("bigint"))
+     .select("n_rows", "sum_doc_id", "corpus_md5", "n_min_lang"))
+
+
+@register(
     "sdc2_stream_iceberg_changes",
     oracle="""
     SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
