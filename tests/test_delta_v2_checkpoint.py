@@ -99,10 +99,10 @@ def test_enable_walls_and_noop(spark, tmp_path):
             "writerFeatures": ["icebergCompatV2"]}}) + "\n")
     with pytest.raises(DeltaProtocolError, match="icebergCompatV2"):
         enable_v2_checkpoints(spark, t3)
-    # v2 checkpoint without the feature refuses
+    # v2 checkpoint without the feature refuses (t2 is the legacy
+    # writer-5 table that never enabled it)
     with pytest.raises(DeltaProtocolError, match="v2Checkpoint"):
-        write_checkpoint_v2(spark, str(tmp_path / "t4") if False
-                            else t2)
+        write_checkpoint_v2(spark, t2)
 
 
 def test_hand_written_json_v2_checkpoint(spark, tmp_path):
@@ -180,7 +180,9 @@ def test_v2_checkpoint_typed_walls(spark, tmp_path):
         read_delta(spark, t)
     os.rename(moved, sc)
     assert read_delta(spark, t).count() == 12
-    # sidecar action without checkpointMetadata → typed
+    # sidecar action without checkpointMetadata → typed (the
+    # uuid-name wall fires first; the orphan-sidecar wall backstops
+    # classic-named files)
     raw = [json.dumps({"sidecar": {"path": os.path.basename(sc),
                                    "sizeInBytes": 1}})]
     bad = f"{log}/{cv + 1:020d}.checkpoint.deadbeefdeadbeef.json"
@@ -188,10 +190,76 @@ def test_v2_checkpoint_typed_walls(spark, tmp_path):
         fh.write("\n".join(raw))
     with open(f"{log}/_last_checkpoint", "w") as fh:
         fh.write(json.dumps({"version": cv + 1}))
-    # (also write the commit so the version exists)
     with pytest.raises(DeltaProtocolError,
-                       match="outside a v2 checkpoint"):
+                       match="without a checkpointMetadata"):
         read_delta(spark, t)
+
+
+def test_uuid_named_checkpoint_requires_checkpoint_metadata(
+        spark, tmp_path):
+    """r12 review finding 2: a uuid-named checkpoint that lost its
+    checkpointMetadata line must refuse typed — accepting it would
+    also skip the version cross-check and let a stale body resume as
+    the wrong version."""
+    t = str(tmp_path / "t")
+    write_delta(_df(spark, 0, 6), t, mode="append")
+    snap = _replay(spark, t, None)
+    log = f"{t}/_delta_log"
+    lines = [{"protocol": {"minReaderVersion": 1,
+                           "minWriterVersion": 2}},
+             {"metaData": {"id": "x",
+                           "format": {"provider": "parquet"},
+                           "schemaString": snap.schema_str,
+                           "partitionColumns": [],
+                           "configuration": {}}}] + [
+        {"add": dict(snap.live[p], dataChange=False)}
+        for p in sorted(snap.live)]
+    with open(f"{log}/{0:020d}.checkpoint.deadbeef00.json", "w") as fh:
+        fh.write("\n".join(json.dumps(a) for a in lines))
+    with open(f"{log}/_last_checkpoint", "w") as fh:
+        fh.write(json.dumps({"version": 0}))
+    with pytest.raises(DeltaProtocolError,
+                       match="without a checkpointMetadata"):
+        read_delta(spark, t)
+
+
+def test_v2_writer_walls_on_unretained_features(spark, tmp_path):
+    """r12 review finding 1: write_checkpoint_v2 refuses feature
+    tables whose per-action state it does not retain (rowTracking,
+    domainMetadata, ...) — a checkpoint that drops the state while
+    declaring the feature corrupts the table at its next log
+    cleanup."""
+    t = str(tmp_path / "t")
+    write_delta(_df(spark, 0, 6), t, mode="append")
+    with open(f"{t}/_delta_log/{1:020d}.json", "w") as fh:
+        fh.write(json.dumps({"protocol": {
+            "minReaderVersion": 3, "minWriterVersion": 7,
+            "readerFeatures": ["v2Checkpoint"],
+            "writerFeatures": ["v2Checkpoint", "rowTracking"]}}) + "\n")
+    with pytest.raises(DeltaProtocolError, match="rowTracking"):
+        write_checkpoint_v2(spark, t)
+
+
+def test_writer1_migration_declares_nothing_extra(spark, tmp_path):
+    """r12 review finding 4: a writer-version-1 table upgrades to
+    writerFeatures [v2Checkpoint] alone — version 1 never implied
+    appendOnly/invariants."""
+    t = str(tmp_path / "t")
+    write_delta(_df(spark, 0, 6), t, mode="append")
+    with open(f"{t}/_delta_log/{1:020d}.json", "w") as fh:
+        fh.write(json.dumps({"protocol": {
+            "minReaderVersion": 1, "minWriterVersion": 1}}) + "\n")
+    enable_v2_checkpoints(spark, t)
+    snap = _replay(spark, t, None)
+    assert snap.writer_features == ["v2Checkpoint"]
+    assert snap.reader_features == ["v2Checkpoint"]
+    # and a writer-2 table DOES migrate its implied capabilities
+    t2 = str(tmp_path / "t2")
+    write_delta(_df(spark, 0, 6), t2, mode="append")
+    enable_v2_checkpoints(spark, t2)
+    snap2 = _replay(spark, t2, None)
+    assert snap2.writer_features == [
+        "appendOnly", "invariants", "v2Checkpoint"]
 
 
 def test_v2_candidates_never_match_multipart(tmp_path):
@@ -204,10 +272,15 @@ def test_v2_candidates_never_match_multipart(tmp_path):
         f"{5:020d}.checkpoint.00c0ffee00c0ffee.parquet",   # v2
         f"{5:020d}.checkpoint.00c0ffee00c0ffee.json",      # v2 json
         f"{6:020d}.checkpoint.aaaaaaaaaaaaaaaa.parquet",   # other v
+        f"{5:020d}.checkpoint.12345678901234567890123456789012"
+        ".parquet",  # ALL-DIGIT uuid4 hex: rare but must be found
     ]
     for n in names:
         (log / n).write_bytes(b"")
     got = [os.path.basename(p)
            for p in _v2_checkpoint_candidates(str(tmp_path / "t"), 5)]
-    assert got == [f"{5:020d}.checkpoint.00c0ffee00c0ffee.json",
-                   f"{5:020d}.checkpoint.00c0ffee00c0ffee.parquet"]
+    assert got == [
+        f"{5:020d}.checkpoint.00c0ffee00c0ffee.json",
+        f"{5:020d}.checkpoint.00c0ffee00c0ffee.parquet",
+        f"{5:020d}.checkpoint.12345678901234567890123456789012"
+        ".parquet"]

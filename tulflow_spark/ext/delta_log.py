@@ -83,11 +83,19 @@ def _checkpoint_name(version: int) -> str:
     return f"{version:020d}.checkpoint.parquet"
 
 
-def _list_log_versions(path: str) -> list[int]:
+def _log_names(path: str) -> list[str]:
+    """One LIST of ``_delta_log`` — callers on the replay hot path
+    thread this through instead of re-listing per helper (object-store
+    metadata round-trips add up)."""
     if not fsio.exists(_log_dir(path)):
         return []
+    return fsio.list_names(_log_dir(path))
+
+
+def _list_log_versions(path: str,
+                       names: list[str] | None = None) -> list[int]:
     out = []
-    for name in fsio.list_names(_log_dir(path)):
+    for name in (_log_names(path) if names is None else names):
         if name.endswith(".json") and len(name) == 25:
             stem = name[:-5]
             if stem.isdigit():
@@ -640,17 +648,22 @@ def _read_last_checkpoint(path: str) -> tuple[int, int] | None:
             ) from None
 
 
-def _checkpoint_files(path: str, version: int, parts: int) -> list[str]:
+def _checkpoint_files(path: str, version: int, parts: int,
+                      names: list[str] | None = None) -> list[str]:
     """Checkpoint file names for ``version`` across the protocol's
     THREE layouts — classic single-file, multi-part, and UUID-named V2
     (``{v:020d}.checkpoint.<uuid>.{parquet|json}``, discovered by
     listing since ``_last_checkpoint`` does not carry the uuid).
-    [] when nothing complete exists (triggers full JSON replay)."""
+    [] when nothing complete exists (triggers full JSON replay).
+    ``names`` reuses the caller's one log listing."""
     if parts <= 1:
         classic = f"{_log_dir(path)}/{_checkpoint_name(version)}"
-        if fsio.exists(classic):
+        if names is not None:
+            if _checkpoint_name(version) in names:
+                return [classic]
+        elif fsio.exists(classic):
             return [classic]
-        v2 = _v2_checkpoint_candidates(path, version)
+        v2 = _v2_checkpoint_candidates(path, version, names)
         # any one uuid-named checkpoint is complete by itself (racing
         # checkpointers may leave several); newest-sorted for
         # determinism, correctness identical per the protocol
@@ -663,22 +676,42 @@ def _checkpoint_files(path: str, version: int, parts: int) -> list[str]:
     return files if all(fsio.exists(f) for f in files) else []
 
 
-def _v2_checkpoint_candidates(path: str, version: int) -> list[str]:
+def _v2_checkpoint_candidates(path: str, version: int,
+                              names: list[str] | None = None
+                              ) -> list[str]:
     """UUID-named V2 checkpoint files for ``version``, sorted.  The
-    middle segment must be dot-free and non-numeric so multi-part
-    names (``.checkpoint.iiii.pppp.parquet``) never match."""
+    middle segment must be dot-free so multi-part names
+    (``.checkpoint.iiii.pppp.parquet``) never match — and ONLY
+    dot-free: an all-digit uuid (uuid4 emits one with p ~ 3e-7) must
+    still be discoverable, or a table whose covered commits were
+    cleaned up would brick behind its own checkpoint."""
     pre = f"{version:020d}.checkpoint."
     out = []
-    for name in fsio.list_names(_log_dir(path)):
+    for name in (_log_names(path) if names is None else names):
         if not name.startswith(pre):
             continue
         rest = name[len(pre):]
         for suf in (".parquet", ".json"):
             if rest.endswith(suf):
                 mid = rest[:-len(suf)]
-                if mid and "." not in mid and not mid.isdigit():
+                if mid and "." not in mid:
                     out.append(f"{_log_dir(path)}/{name}")
     return sorted(out)
+
+
+def _is_v2_checkpoint_name(fname: str) -> bool:
+    """Basename test for the uuid-named V2 layout (dot-free middle
+    segment) — the loader must REQUIRE checkpointMetadata for these."""
+    base = fname.rsplit("/", 1)[-1]
+    parts = base.split(".checkpoint.")
+    if len(parts) != 2 or not parts[0].isdigit():
+        return False
+    rest = parts[1]
+    for suf in (".parquet", ".json"):
+        if rest.endswith(suf):
+            mid = rest[:-len(suf)]
+            return bool(mid) and "." not in mid
+    return False
 
 
 def _check_reader_version(proto: dict) -> None:
@@ -762,6 +795,14 @@ def _load_checkpoint(
     cpm = [d["checkpointMetadata"] for cols, d in rows
            if "checkpointMetadata" in cols
            and d.get("checkpointMetadata")]
+    if any(_is_v2_checkpoint_name(f) for f in files) and not cpm:
+        # the spec requires exactly one checkpointMetadata per v2
+        # checkpoint; accepting a uuid-named file without one would
+        # also skip the version cross-check below (a stale body could
+        # silently resume as the wrong version)
+        raise DeltaProtocolError(
+            "uuid-named v2 checkpoint without a checkpointMetadata "
+            "action")
     if cpm:
         try:
             got_v = int(dict(cpm[0]).get("version"))
@@ -867,7 +908,8 @@ def _replay(
     the newest covering checkpoint when its parquet part(s) exist; falls
     back to full JSON replay otherwise; typed errors for gaps, future
     versions, and structurally malformed actions."""
-    versions = _list_log_versions(path)
+    names = _log_names(path)
+    versions = _list_log_versions(path, names=names)
     ckpt = _read_last_checkpoint(path)
     ckpt_v = ckpt[0] if ckpt else None
     if not versions and ckpt_v is None:
@@ -882,7 +924,7 @@ def _replay(
     snap = Snapshot({}, None, target)
     start = 0
     if ckpt is not None and ckpt[0] <= target:
-        files = _checkpoint_files(path, ckpt[0], ckpt[1])
+        files = _checkpoint_files(path, ckpt[0], ckpt[1], names=names)
         if files:
             _load_checkpoint(spark, files, snap,
                              expect_version=ckpt[0])
@@ -1426,6 +1468,29 @@ def _build_scan(spark: SparkSession, path: str, snap: Snapshot) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 
+def _ckpt_struct_types():
+    """The metaData / txn pyarrow structs shared by BOTH checkpoint
+    writers — one definition so the classic and v2 checkpoint schemas
+    cannot silently diverge when a field is added."""
+    import pyarrow as pa
+
+    meta_type = pa.struct([
+        ("id", pa.string()),
+        ("format", pa.struct([
+            ("provider", pa.string()),
+            ("options", pa.map_(pa.string(), pa.string())),
+        ])),
+        ("schemaString", pa.string()),
+        ("partitionColumns", pa.list_(pa.string())),
+        ("configuration", pa.map_(pa.string(), pa.string())),
+    ])
+    txn_type = pa.struct([
+        ("appId", pa.string()),
+        ("version", pa.int64()),
+    ])
+    return meta_type, txn_type
+
+
 def write_checkpoint(spark: SparkSession, path: str) -> int:
     """Materialize the latest snapshot as a protocol-shaped checkpoint
     parquet + ``_last_checkpoint``; returns the checkpointed version.
@@ -1487,23 +1552,10 @@ def write_checkpoint(spark: SparkSession, path: str) -> int:
         ("dataChange", pa.bool_()),
         ("stats", pa.string()),
     ])
-    meta_type = pa.struct([
-        ("id", pa.string()),
-        ("format", pa.struct([
-            ("provider", pa.string()),
-            ("options", pa.map_(pa.string(), pa.string())),
-        ])),
-        ("schemaString", pa.string()),
-        ("partitionColumns", pa.list_(pa.string())),
-        ("configuration", pa.map_(pa.string(), pa.string())),
-    ])
+    meta_type, txn_type = _ckpt_struct_types()
     proto_type = pa.struct([
         ("minReaderVersion", pa.int32()),
         ("minWriterVersion", pa.int32()),
-    ])
-    txn_type = pa.struct([
-        ("appId", pa.string()),
-        ("version", pa.int64()),
     ])
     txn_rows = sorted(snap.txns.items())
     n = len(add_rows) + 2 + len(txn_rows)
@@ -1577,8 +1629,12 @@ def enable_v2_checkpoints(spark: SparkSession, path: str) -> int:
             f"features {sorted(w - known_w)} not implemented here")
     if "v2Checkpoint" in r and "v2Checkpoint" in w:
         return latest                        # already enabled
-    if snap.min_writer <= 2 and not w:
-        w |= {"appendOnly", "invariants"}    # legacy migration
+    if snap.min_writer == 2 and not w:
+        # legacy migration: writer version 2 implied appendOnly +
+        # invariants; version 1 implied NOTHING — over-declaring would
+        # bind every conformant third-party writer to capabilities the
+        # table never had (r12 review finding)
+        w |= {"appendOnly", "invariants"}
     r.add("v2Checkpoint")
     w |= r
     _publish(path, latest + 1, [{
@@ -1622,6 +1678,21 @@ def write_checkpoint_v2(spark: SparkSession, path: str,
             "(enable_v2_checkpoints first)")
     if snap.schema_str is None:
         raise DeltaProtocolError("cannot checkpoint: no metaData in log")
+    # unknown-feature wall (same duty as the classic writer's refusal):
+    # a foreign table declaring features whose per-action state this
+    # module does not retain (rowTracking's baseRowId, domainMetadata,
+    # ...) must not get a checkpoint that drops that state while still
+    # declaring the feature — after log cleanup a conformant reader
+    # would resume from silently corrupted state
+    known_r = {"deletionVectors", "columnMapping", "v2Checkpoint"}
+    known_w = known_r | {"appendOnly", "invariants"}
+    extra = (set(snap.reader_features) - known_r) \
+        | (set(snap.writer_features) - known_w)
+    if extra:
+        raise DeltaProtocolError(
+            f"cannot checkpoint: features {sorted(extra)} carry "
+            "state this writer does not retain — the checkpoint "
+            "would silently drop it")
     v = snap.version
     adds = [snap.live[p] for p in sorted(snap.live)]
     dv_type = pa.struct([
@@ -1688,18 +1759,7 @@ def write_checkpoint_v2(spark: SparkSession, path: str,
         ("readerFeatures", pa.list_(pa.string())),
         ("writerFeatures", pa.list_(pa.string())),
     ])
-    meta_type = pa.struct([
-        ("id", pa.string()),
-        ("format", pa.struct([
-            ("provider", pa.string()),
-            ("options", pa.map_(pa.string(), pa.string())),
-        ])),
-        ("schemaString", pa.string()),
-        ("partitionColumns", pa.list_(pa.string())),
-        ("configuration", pa.map_(pa.string(), pa.string())),
-    ])
-    txn_type = pa.struct([("appId", pa.string()),
-                          ("version", pa.int64())])
+    meta_type, txn_type = _ckpt_struct_types()
     cpm_type = pa.struct([("version", pa.int64()),
                           ("tags", pa.map_(pa.string(), pa.string()))])
     sc_type = pa.struct([("path", pa.string()),
