@@ -227,6 +227,57 @@ def _snapshot(meta: dict, snapshot_id: int | None) -> dict | None:
     return snap
 
 
+def resolve_iceberg_ref(meta: dict, ref: str) -> int:
+    """Named ref (branch or tag, spec `refs` map) → snapshot id.
+    Unknown names list what exists — never a silent fallback to
+    current."""
+    refs = meta.get("refs") or {}
+    r = refs.get(ref)
+    if not isinstance(r, dict) or r.get("snapshot-id") is None:
+        raise IcebergError(
+            f"ref {ref!r} not in table (have {sorted(refs)})")
+    return int(r["snapshot-id"])
+
+
+def iceberg_refs(path: str) -> dict[str, dict]:
+    """All named refs: ``{name: {"snapshot_id", "type"}}`` — the
+    branch/tag index (spec: `refs`; `main` tracks current)."""
+    meta = load_table_metadata(path)
+    return {
+        name: {"snapshot_id": r.get("snapshot-id"),
+               "type": r.get("type")}
+        for name, r in (meta.get("refs") or {}).items()
+        if isinstance(r, dict)
+    }
+
+
+def snapshot_as_of(meta: dict, as_of_ms: int) -> int:
+    """Timestamp time travel: the snapshot CURRENT at ``as_of_ms``,
+    resolved through the spec's ``snapshot-log`` (falling back to the
+    snapshots' own timestamps when a table carries no log) — the
+    latest entry at-or-before the probe, typed when the probe predates
+    the table."""
+    log = meta.get("snapshot-log") or [
+        {"timestamp-ms": s.get("timestamp-ms"),
+         "snapshot-id": s.get("snapshot-id")}
+        for s in meta.get("snapshots") or []
+    ]
+    best = None
+    for e in log:
+        ts = e.get("timestamp-ms")
+        if ts is None or e.get("snapshot-id") is None:
+            raise IcebergError("malformed snapshot-log entry")
+        if int(ts) <= int(as_of_ms) and \
+                (best is None or int(ts) >= int(best["timestamp-ms"])):
+            best = e
+    if best is None:
+        lo = min((int(e["timestamp-ms"]) for e in log), default=None)
+        raise IcebergError(
+            f"no snapshot at or before {as_of_ms} "
+            f"(table history starts at {lo})")
+    return int(best["snapshot-id"])
+
+
 def _manifest_entries(snap: dict) -> list[dict]:
     """A snapshot's manifest-list rows (v2 Avro list, or the v1 inline
     ``manifests`` path list), AvroError re-typed."""
@@ -663,14 +714,19 @@ def read_iceberg(
     path: str,
     snapshot_id: int | None = None,
     prune: tuple[str, object, object] | None = None,
+    ref: str | None = None,
+    as_of_ms: int | None = None,
 ) -> DataFrame:
-    """Snapshot read of an Iceberg v1/v2 table: one parquet scan over
-    exactly the snapshot's live data files, minus v2 positional
+    """Snapshot read of an Iceberg v1/v2/v3 table: one parquet scan
+    over exactly the snapshot's live data files, minus row-level
     deletes (broadcast anti-join on file path + row position).
 
-    ``snapshot_id`` time-travels; ``prune=(col, lo, hi)`` skips data
-    files whose identity-transform partition value falls outside
-    [lo, hi] — a metadata-only operation, like Delta's ``prune=``.
+    Time travel: ``snapshot_id`` directly, ``ref`` by branch/tag name
+    (spec ``refs``), or ``as_of_ms`` by timestamp through the
+    ``snapshot-log`` — mutually exclusive.  ``prune=(col, lo, hi)``
+    skips data files whose identity-transform partition value falls
+    outside [lo, hi] — a metadata-only operation, like Delta's
+    ``prune=``.
 
     At 100 TB: the manifest walk touches KBs per snapshot; the scan is
     declarative (pushdown + column pruning intact); deletes are
@@ -679,6 +735,14 @@ def read_iceberg(
     from pyspark.sql import functions as F
 
     meta = load_table_metadata(path)
+    picked = [p for p in (snapshot_id, ref, as_of_ms) if p is not None]
+    if len(picked) > 1:
+        raise IcebergError(
+            "snapshot_id / ref / as_of_ms are mutually exclusive")
+    if ref is not None:
+        snapshot_id = resolve_iceberg_ref(meta, ref)
+    elif as_of_ms is not None:
+        snapshot_id = snapshot_as_of(meta, as_of_ms)
     # a CURRENT read resolves under the current schema (spec: reads
     # project the table schema); explicit time travel resolves under
     # the schema the snapshot was written with (snapshot.schema-id),
@@ -1429,6 +1493,15 @@ def _commit_snapshot(path: str, meta: dict | None, df_schema: list[dict],
     })
     if next_row_id is not None:
         new_meta["next-row-id"] = next_row_id
+    # conformant writers maintain the timestamp time-travel log and
+    # the `main` branch ref on every commit; FOREIGN refs (tags, other
+    # branches) carry through verbatim from the metadata copy above
+    slog = list((meta or {}).get("snapshot-log") or [])
+    slog.append({"timestamp-ms": ts, "snapshot-id": snap_id})
+    new_meta["snapshot-log"] = slog
+    refs = dict((meta or {}).get("refs") or {})
+    refs["main"] = {"snapshot-id": snap_id, "type": "branch"}
+    new_meta["refs"] = refs
     # CAS publish: the metadata file IS the commit point (create-if-
     # absent, like the Delta log's commit JSON) — a racing committer
     # that derived the same version loses typed instead of silently
@@ -1636,6 +1709,51 @@ def upgrade_iceberg_v3(path: str) -> int:
     return v + 1
 
 
+def tag_iceberg_snapshot(path: str, name: str,
+                         snapshot_id: int | None = None,
+                         ref_type: str = "tag") -> int:
+    """Create or move a named ref (``tag`` or ``branch``) — a
+    metadata-only CAS commit, the fixture face of Iceberg's
+    ``ALTER TABLE ... CREATE TAG``.  Tags protect their snapshot from
+    ``expire_iceberg_snapshots``.  Returns the new metadata version."""
+    if ref_type not in ("tag", "branch"):
+        raise IcebergError(f"ref type {ref_type!r} not tag/branch")
+    if name == "main" and ref_type == "tag":
+        raise IcebergError("'main' is the writer-maintained branch")
+    meta = load_table_metadata(path)
+    sid = snapshot_id if snapshot_id is not None \
+        else meta.get("current-snapshot-id")
+    snaps = {s.get("snapshot-id") for s in meta.get("snapshots") or []}
+    if sid not in snaps:
+        raise IcebergError(
+            f"snapshot {sid} not in table (have {sorted(snaps)})")
+    hint = f"{path}/metadata/version-hint.text"
+    if not fsio.exists(hint):
+        raise IcebergError(
+            "tagging needs the version-hint layout (fixture tables)")
+    v = int(meta["__metadata_version"]) \
+        if meta.get("__metadata_version") is not None \
+        else int(_read_bytes(hint).decode().strip())
+    new_meta = {k: val for k, val in meta.items()
+                if not k.startswith("__")}
+    refs = dict(new_meta.get("refs") or {})
+    refs[name] = {"snapshot-id": int(sid), "type": ref_type}
+    new_meta["refs"] = refs
+    new_meta["last-updated-ms"] = \
+        int(meta.get("last-updated-ms") or 0) + 1
+    try:
+        fsio.write_text_exclusive(
+            f"{path}/metadata/v{v + 1}.metadata.json",
+            json.dumps(new_meta, indent=1))
+    except FileExistsError:
+        raise IcebergConcurrentCommit(
+            f"metadata v{v + 1} already exists (a concurrent commit "
+            "won): re-read the table and retry the tag"
+        ) from None
+    fsio.write_text(hint, str(v + 1))
+    return v + 1
+
+
 def delete_positions_iceberg_v3(
         spark: SparkSession, path: str,
         deletes: dict[str, list[int]]) -> int:
@@ -1798,7 +1916,18 @@ def expire_iceberg_snapshots(spark: SparkSession, path: str,
         raise IcebergError(f"no snapshots at {path}")
     cur = meta.get("current-snapshot-id")
     kept = snaps[-keep_last:]
-    if cur not in {s["snapshot-id"] for s in kept}:
+    kept_ids = {s["snapshot-id"] for s in kept}
+    # spec: snapshots referenced by a branch or tag are NEVER expired —
+    # a tag pinning an old snapshot protects it past the keep window
+    ref_ids = {int(r["snapshot-id"])
+               for r in (meta.get("refs") or {}).values()
+               if isinstance(r, dict)
+               and r.get("snapshot-id") is not None}
+    if ref_ids - kept_ids:
+        kept = [s for s in snaps
+                if s["snapshot-id"] in (kept_ids | ref_ids)]
+        kept_ids |= ref_ids
+    if cur not in kept_ids:
         raise IcebergError(
             "keep window would drop the CURRENT snapshot — raise "
             "keep_last")
@@ -1850,6 +1979,13 @@ def expire_iceberg_snapshots(spark: SparkSession, path: str,
     new_meta = dict(meta)
     new_meta.pop("__metadata_version", None)  # loader-private key
     new_meta["snapshots"] = kept
+    # timestamp-travel log entries for dropped snapshots dangle; refs
+    # never do (ref'd snapshots joined the keep set above)
+    if meta.get("snapshot-log"):
+        new_meta["snapshot-log"] = [
+            e for e in meta["snapshot-log"]
+            if e.get("snapshot-id") in kept_ids
+        ]
     # bump the discovery tiebreak past the pre-expire metadata (same
     # last-sequence-number), so no-hint discovery picks the pruned one
     new_meta["last-updated-ms"] = int(meta.get("last-updated-ms") or 0) + 1
