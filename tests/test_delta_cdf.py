@@ -1,0 +1,151 @@
+"""Delta Change Data Feed (`ext/delta_log.py::read_delta_cdf`):
+per-version change resolution — cdc files, derived inserts, full-file
+deletes, deletion-vector diffs, and the typed underivable-rewrite
+wall."""
+
+from __future__ import annotations
+
+import glob
+import json
+import os
+
+import pytest
+
+from tulflow_spark.ext.delta_log import (
+    DeltaProtocolError,
+    _replay,
+    delete_rows_with_dv,
+    delete_where,
+    read_delta,
+    read_delta_cdf,
+    write_delta,
+)
+
+
+def _df(spark, lo, hi):
+    return spark.createDataFrame(
+        [(i, f"x{i}") for i in range(lo, hi)], "id long, v string")
+
+
+def _changes(df):
+    return sorted((r["_commit_version"], r["_change_type"], r["id"])
+                  for r in df.collect())
+
+
+def test_cdf_inserts_cdc_deletes_and_windows(spark, tmp_path):
+    t = str(tmp_path / "t")
+    write_delta(_df(spark, 0, 20), t, mode="append",
+                configuration={"delta.enableChangeDataFeed": "true"})
+    write_delta(_df(spark, 20, 40), t, mode="append")
+    delete_where(spark, t, "id % 5 = 0")        # v2: cdc file
+    got = _changes(read_delta_cdf(spark, t, -1))
+    want = sorted(
+        [(0, "insert", i) for i in range(20)]
+        + [(1, "insert", i) for i in range(20, 40)]
+        + [(2, "delete", i) for i in range(0, 40, 5)])
+    assert got == want
+    # cdc file exists under _change_data and is change-sized
+    (cdc,) = glob.glob(f"{t}/_change_data/cdc-*.parquet")
+    assert os.path.getsize(cdc) > 0
+    # windowed read delivers only the window
+    assert _changes(read_delta_cdf(spark, t, 1, 2)) == \
+        [(2, "delete", i) for i in range(0, 40, 5)]
+    # empty window → empty frame with the full CDF schema
+    empty = read_delta_cdf(spark, t, 2, 2)
+    assert empty.count() == 0
+    assert empty.columns == ["id", "v", "_change_type",
+                             "_commit_version"]
+    # the CDF matches the table state: inserts minus deletes == live
+    live = {r["id"] for r in read_delta(spark, t).collect()}
+    ins = {i for v, c, i in got if c == "insert"}
+    dels = {i for v, c, i in got if c == "delete"}
+    assert ins - dels == live
+
+
+def test_cdf_dv_diff_deletes(spark, tmp_path):
+    """DV commits derive per-row deletes from the vector DIFF — and a
+    second DV on the same file delivers only the NEWLY dead rows."""
+    t = str(tmp_path / "t")
+    write_delta(_df(spark, 0, 12).coalesce(1), t, mode="append")
+    (ap,) = _replay(spark, t, None).live
+    delete_rows_with_dv(spark, t, {ap: [0, 1]})        # v1
+    delete_rows_with_dv(spark, t, {ap: [1, 2, 3]})     # v2: new = {2,3}
+    got = _changes(read_delta_cdf(spark, t, 0))
+    by_v = {}
+    for v, c, i in got:
+        assert c == "delete"
+        by_v.setdefault(v, set()).add(i)
+    assert len(by_v[1]) == 2
+    assert len(by_v[2]) == 2 and not (by_v[1] & by_v[2])
+    # full-file remove of a DV'd file delivers only SURVIVORS:
+    # rewrite-without-cdc is typed, so pin via a hand-built commit
+    # that purely removes the file
+    latest = 2
+    with open(f"{t}/_delta_log/{latest + 1:020d}.json", "w") as fh:
+        fh.write(json.dumps({"remove": {
+            "path": ap, "dataChange": True,
+            "deletionTimestamp": 0}}) + "\n")
+    tail = _changes(read_delta_cdf(spark, t, 2))
+    dead = by_v[1] | by_v[2]
+    assert {i for _, _, i in tail} == \
+        {r["id"] for r in read_delta(spark, t, version=2).collect()}
+    assert not ({i for _, _, i in tail} & dead)
+
+
+def test_cdf_typed_walls(spark, tmp_path):
+    t = str(tmp_path / "t")
+    write_delta(_df(spark, 0, 12), t, mode="append")
+    # rewrite without cdc (CDF property off) → typed
+    delete_where(spark, t, "id = 3")
+    with pytest.raises(DeltaProtocolError, match="not derivable"):
+        read_delta_cdf(spark, t, 0).collect()
+    # out-of-bounds window
+    with pytest.raises(DeltaProtocolError, match="out of bounds"):
+        read_delta_cdf(spark, t, 0, 99)
+    # vacuumed cdc file → typed
+    t2 = str(tmp_path / "t2")
+    write_delta(_df(spark, 0, 12), t2, mode="append",
+                configuration={"delta.enableChangeDataFeed": "true"})
+    delete_where(spark, t2, "id = 3")
+    (cdc,) = glob.glob(f"{t2}/_change_data/cdc-*.parquet")
+    os.remove(cdc)
+    with pytest.raises(DeltaProtocolError, match="vacuumed"):
+        read_delta_cdf(spark, t2, -1)
+    # configuration on an existing table → typed
+    with pytest.raises(DeltaProtocolError, match="table creation"):
+        write_delta(_df(spark, 0, 2), t2, mode="append",
+                    configuration={"x": "y"})
+
+
+def test_cdf_partitioned_and_foreign_cdc(spark, tmp_path):
+    """Partition columns come back as typed literals on derived
+    frames, and a FOREIGN cdc file relying on partitionValues
+    injection (partition column absent from the file) reads."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    t = str(tmp_path / "t")
+    df = spark.createDataFrame(
+        [(i, f"x{i}", i % 2) for i in range(10)],
+        "id long, v string, g long")
+    write_delta(df, t, mode="append", partition_by=["g"],
+                configuration={"delta.enableChangeDataFeed": "true"})
+    got = read_delta_cdf(spark, t, -1)
+    assert sorted(r["g"] for r in got.collect()) == [0] * 5 + [1] * 5
+    # hand-built foreign cdc commit: file lacks the partition column
+    os.makedirs(f"{t}/_change_data", exist_ok=True)
+    pq.write_table(pa.table({
+        "id": pa.array([99], pa.int64()),
+        "v": pa.array(["gone"]),
+        "_change_type": pa.array(["delete"]),
+    }), f"{t}/_change_data/cdc-foreign.parquet")
+    sz = os.path.getsize(f"{t}/_change_data/cdc-foreign.parquet")
+    with open(f"{t}/_delta_log/{1:020d}.json", "w") as fh:
+        fh.write(json.dumps({"cdc": {
+            "path": "_change_data/cdc-foreign.parquet",
+            "partitionValues": {"g": "1"}, "size": sz,
+            "dataChange": False}}) + "\n")
+    tail = read_delta_cdf(spark, t, 0).collect()
+    (row,) = tail
+    assert (row["id"], row["g"], row["_change_type"],
+            row["_commit_version"]) == (99, 1, "delete", 1)

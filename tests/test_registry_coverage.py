@@ -80,7 +80,8 @@ def test_r7_rotation_promotes_never_adjudicated_pairs():
                                      "dl7_column_mapping_id",
                                      "sdc2_stream_iceberg_changes",
                                      "ib5_iceberg_v3_dv",
-                                     "dl8_v2_checkpoint"}
+                                     "dl8_v2_checkpoint",
+                                     "dl9_change_feed"}
     never -= added_post_rotation
     assert never <= set(QUERIES), (
         f"never-adjudicated but de-gated: {sorted(never - set(QUERIES))}"

@@ -128,6 +128,7 @@ def write_delta(
     partition_by: list[str] | None = None,
     txn: tuple[str, int] | None = None,
     merge_schema: bool = False,
+    configuration: dict | None = None,
 ) -> int:
     """Write ``df`` as a Delta commit; returns the committed version.
 
@@ -157,9 +158,15 @@ def write_delta(
     else:
         version, prior = _validate_write(df, path, mode, expect_version,
                                          partition_by)
+    if configuration and version > 0:
+        raise DeltaProtocolError(
+            "configuration= applies only at table creation "
+            "(version 0) — later property changes need a metaData "
+            "commit of their own")
     adds = _stage_adds(df, path, partition_by)
     return _publish_write(df, path, mode, partition_by, txn, adds,
-                          version, prior, new_meta=new_meta)
+                          version, prior, new_meta=new_meta,
+                          configuration=configuration)
 
 
 def _validate_merge_append(df: DataFrame, path: str,
@@ -285,13 +292,15 @@ def _publish_write(df: DataFrame, path: str, mode: str,
                    partition_by: list[str] | None,
                    txn: tuple[str, int] | None,
                    adds: list[dict], version: int, prior,
-                   new_meta: StructType | None = None) -> int:
+                   new_meta: StructType | None = None,
+                   configuration: dict | None = None) -> int:
     actions: list[dict] = []
     if version == 0:
         actions.append({
             "protocol": {"minReaderVersion": 1, "minWriterVersion": 2}
         })
-        actions.append(_metadata_action(df.schema, partition_by or []))
+        actions.append(_metadata_action(df.schema, partition_by or [],
+                                        configuration=configuration))
     if mode == "overwrite" and version > 0:
         for p in sorted(prior.live):
             actions.append({
@@ -1867,6 +1876,43 @@ def delta_stream_sink(path: str, app_id: str,
     return write_batch
 
 
+def _stage_cdc(df_rows: DataFrame, path: str,
+               change_type: str) -> dict | None:
+    """Write one CDF parquet (``_change_data/cdc-*.parquet``, table
+    columns + ``_change_type``) and return its ``cdc`` action — the
+    protocol's authoritative per-row change record for commits whose
+    changes are not derivable from file actions.  None when the frame
+    is empty."""
+    import uuid as _uuid
+
+    import pyarrow.fs as pafs
+    import pyarrow.parquet as pq
+
+    from pyspark.sql import functions as F
+
+    tmp = f"{path}/_change_data/stage-{_uuid.uuid4().hex[:8]}"
+    (df_rows.withColumn("_change_type", F.lit(change_type))
+        .coalesce(1).write.parquet(tmp))
+    fs, base = fsio.resolve(tmp)
+    part = [i for i in fs.get_file_info(pafs.FileSelector(base))
+            if i.path.endswith(".parquet")]
+    if len(part) != 1:
+        raise DeltaProtocolError(
+            f"cdc staging produced {len(part)} parquet parts")
+    with fs.open_input_file(part[0].path) as handle:
+        n = pq.ParquetFile(handle).metadata.num_rows
+    if n == 0:
+        fs.delete_dir(base)
+        return None
+    rel = f"_change_data/cdc-{_uuid.uuid4().hex}.parquet"
+    dest = fsio.resolve(f"{path}/{rel}")[1]
+    fs.move(part[0].path, dest)
+    fs.delete_dir(base)
+    size = fs.get_file_info([dest])[0].size
+    return {"cdc": {"path": rel, "partitionValues": {},
+                    "size": int(size), "dataChange": False}}
+
+
 def delete_where(spark: SparkSession, path: str, condition: str,
                  expect_version: int | None = None) -> int:
     """Delta DELETE (copy-on-write): tombstone only the files containing
@@ -1943,6 +1989,15 @@ def delete_where(spark: SparkSession, path: str, condition: str,
                     "deletionTimestamp": 0}}
         for ap in matched_adds
     ]
+    if snap.configuration.get("delta.enableChangeDataFeed") == "true":
+        # CDF duty: a rewrite commit's row-level changes are NOT
+        # derivable from its file actions — record the deleted rows in
+        # a cdc file so read_delta_cdf can deliver them
+        victims = spark.read.schema(schema).parquet(
+            *[scan_paths[ap] for ap in matched_adds]).where(condition)
+        cdc_act = _stage_cdc(victims, path, "delete")
+        if cdc_act is not None:
+            actions.append(cdc_act)
     # stage first, then drop empty rewrites from the parquet footers
     # (cheap driver-side metadata reads — no extra Spark job)
     import pyarrow.parquet as pq
@@ -2198,6 +2253,219 @@ def read_delta_changes(
                           partition_cols=snap.partition_cols,
                           configuration=snap.configuration)
     return _build_scan(spark, path, delta_snap)
+
+
+def _cdf_empty(spark: SparkSession, schema: StructType) -> DataFrame:
+    from pyspark.sql.types import LongType, StringType, StructField
+
+    return spark.createDataFrame([], StructType(
+        list(schema.fields)
+        + [StructField("_change_type", StringType()),
+           StructField("_commit_version", LongType())]))
+
+
+def _cdf_file_frame(spark: SparkSession, path: str, add: dict,
+                    data_schema: StructType, types: dict,
+                    part_cols: list[str], change_type: str,
+                    version: int,
+                    positions=None, exclude: bool = False) -> DataFrame:
+    """One file's contribution to the change feed: the file's rows —
+    restricted to the given row positions (DV-diff deletes), or to
+    everything EXCEPT them (``exclude=True``: survivors of an old DV
+    when the whole file is removed) — with partitionValues injected as
+    typed literals and the CDF metadata columns appended."""
+    from pyspark.sql import functions as F
+
+    sp = _scan_path(path, add["path"])
+    if not fsio.exists(sp):
+        raise DeltaProtocolError(
+            f"change feed needs {add['path']!r}, which was vacuumed: "
+            "the rows are no longer readable — re-sync from a "
+            "snapshot read")
+    f0 = spark.read.schema(data_schema).parquet(sp)
+    if positions:
+        import pandas as pd
+
+        ri = "__cdf_pos"
+        posdf = spark.createDataFrame(pd.DataFrame(
+            {ri: pd.array([int(x) for x in positions],
+                          dtype="int64")}))
+        f0 = (f0.withColumn(ri, F.col("_metadata.row_index"))
+              .join(F.broadcast(posdf), ri,
+                    "left_anti" if exclude else "inner").drop(ri))
+    pv = add.get("partitionValues") or {}
+    for c in part_cols:
+        f0 = f0.withColumn(c, F.lit(_partition_value(
+            pv.get(c), types[c], c)).cast(types[c]))
+    return (f0
+            .withColumn("_change_type", F.lit(change_type))
+            .withColumn("_commit_version",
+                        F.lit(int(version)).cast("long")))
+
+
+def read_delta_cdf(
+    spark: SparkSession, path: str, from_version: int,
+    to_version: int | None = None,
+) -> DataFrame:
+    """Delta CHANGE DATA FEED: every row-level change committed in
+    (``from_version``, ``to_version``] as (table columns,
+    ``_change_type``, ``_commit_version``) — the full-fidelity sibling
+    of :func:`read_delta_changes` (which is append-only and walls on
+    deletes).
+
+    Per-version resolution, following the protocol's CDF rules:
+
+    - ``cdc`` actions present → read EXACTLY those ``_change_data/``
+      files (the writer's authoritative change record; add/remove are
+      ignored for that version);
+    - pure-add commit → each added file's rows as ``insert``;
+    - pure-remove commit (full-file DELETE) → each removed file's
+      rows as ``delete`` (typed when the file was since vacuumed);
+    - deletion-vector commit (every removed path re-added with a DV,
+      the `delete_rows_with_dv` shape) → the DV DIFF: rows at
+      positions in the new vector but not the old are ``delete``;
+    - a rewrite mixing adds and removes WITHOUT cdc files is typed —
+      the per-row change set is not derivable from file actions
+      (enable ``delta.enableChangeDataFeed`` so writers record it);
+    - metadata/protocol-only commits contribute nothing.
+
+    At 100 TB: each version touches only ITS changed files; cdc files
+    are change-sized; DV diffs broadcast row positions — no full-table
+    scan at any point."""
+    from pyspark.sql import functions as F
+
+    from tulflow_spark.ext import deletion_vectors as _dv
+
+    latest = latest_version(path)
+    if latest is None:
+        raise DeltaProtocolError(f"no delta table at {path}")
+    to = latest if to_version is None else to_version
+    if not -1 <= from_version <= to <= latest:
+        raise DeltaProtocolError(
+            f"change range ({from_version}, {to}] out of bounds "
+            f"(latest is {latest})")
+    have = set(_list_log_versions(path))
+    missing = [v for v in range(from_version + 1, to + 1)
+               if v not in have]
+    if missing:
+        raise DeltaProtocolError(
+            f"change range needs commits {missing[:5]} which are aged "
+            "out (below the checkpoint horizon): re-sync from a "
+            "snapshot read")
+    snap_to = _replay(spark, path, to)
+    if _mapping_mode(snap_to) != "none":
+        raise DeltaProtocolError(
+            "change feed on column-mapped tables not supported")
+    if snap_to.schema_str is None:
+        raise DeltaProtocolError("change feed needs a metaData schema")
+    schema = StructType.fromJson(json.loads(snap_to.schema_str))
+    types = {f.name: f.dataType for f in schema.fields}
+    part_cols = list(snap_to.partition_cols)
+    data_schema = StructType(
+        [f for f in schema.fields if f.name not in part_cols])
+
+    def read_dv_idx(desc) -> set:
+        try:
+            return set(int(i) for i in _dv.read_dv(path, desc))
+        except _dv.DvError as exc:
+            raise DeltaProtocolError(
+                f"change feed deletion vector: {exc}") from None
+
+    frames: list[DataFrame] = []
+    prev_cache: dict[int, Snapshot] = {}
+
+    def prev_snap(v: int) -> Snapshot:
+        if v - 1 not in prev_cache:
+            prev_cache[v - 1] = _replay(spark, path, v - 1)
+        return prev_cache[v - 1]
+
+    for v in range(from_version + 1, to + 1):
+        actions = _commit_actions(path, v)
+        cdc = [a["cdc"] for a in actions if a.get("cdc")]
+        adds = {a["add"]["path"]: a["add"] for a in actions
+                if a.get("add") and a["add"].get("dataChange")}
+        rms = {a["remove"]["path"] for a in actions
+               if a.get("remove") and a["remove"].get("dataChange")}
+        if cdc:
+            for c in cdc:
+                sp = _scan_path(path, c["path"])
+                if not fsio.exists(sp):
+                    raise DeltaProtocolError(
+                        f"change feed needs cdc file {c['path']!r}, "
+                        "which was vacuumed — re-sync from a snapshot "
+                        "read")
+                f0 = spark.read.parquet(sp)
+                if "_change_type" not in f0.columns:
+                    raise DeltaProtocolError(
+                        f"cdc file {c['path']!r} has no _change_type "
+                        "column")
+                pv = c.get("partitionValues") or {}
+                for col in part_cols:
+                    if col not in f0.columns:
+                        f0 = f0.withColumn(col, F.lit(_partition_value(
+                            pv.get(col), types[col], col)
+                        ).cast(types[col]))
+                frames.append(f0.withColumn(
+                    "_commit_version", F.lit(int(v)).cast("long")))
+            continue
+        if not adds and not rms:
+            continue
+        dv_shape = bool(rms) and rms <= set(adds) and \
+            all(adds[p].get("deletionVector") for p in rms)
+        if rms and not dv_shape:
+            if adds:
+                raise DeltaProtocolError(
+                    f"commit {v} rewrites files (adds + removes) "
+                    "without cdc files: the row-level change set is "
+                    "not derivable — enable "
+                    "delta.enableChangeDataFeed before such commits")
+            prev = prev_snap(v)
+            for p in sorted(rms):
+                a = prev.live.get(p)
+                if a is None:
+                    raise DeltaProtocolError(
+                        f"commit {v} removes {p!r}, which was not "
+                        "live at {v - 1}")
+                # rows the file's OWN deletion vector had already
+                # killed must not re-deliver as deletes — only the
+                # survivors die with the file
+                dead = read_dv_idx(a["deletionVector"]) \
+                    if a.get("deletionVector") else set()
+                frames.append(_cdf_file_frame(
+                    spark, path, a, data_schema, types, part_cols,
+                    "delete", v,
+                    positions=sorted(dead), exclude=True))
+            continue
+        if dv_shape:
+            prev = prev_snap(v)
+            for p in sorted(rms):
+                a = prev.live.get(p)
+                if a is None:
+                    raise DeltaProtocolError(
+                        f"commit {v} removes {p!r}, which was not "
+                        f"live at {v - 1}")
+                old_idx = read_dv_idx(a["deletionVector"]) \
+                    if a.get("deletionVector") else set()
+                new_idx = read_dv_idx(adds[p]["deletionVector"])
+                newly = sorted(new_idx - old_idx)
+                if newly:
+                    frames.append(_cdf_file_frame(
+                        spark, path, adds[p], data_schema, types,
+                        part_cols, "delete", v, positions=newly))
+            for p in sorted(set(adds) - rms):
+                frames.append(_cdf_file_frame(
+                    spark, path, adds[p], data_schema, types,
+                    part_cols, "insert", v))
+            continue
+        for p in sorted(adds):
+            frames.append(_cdf_file_frame(
+                spark, path, adds[p], data_schema, types, part_cols,
+                "insert", v))
+    if not frames:
+        return _cdf_empty(spark, schema)
+    order = [f.name for f in schema.fields] + [
+        "_change_type", "_commit_version"]
+    return _union_fold([f.select(order) for f in frames])
 
 
 def _with_zvalue(df: DataFrame, cols: list[str], out: str) -> DataFrame:
@@ -2469,6 +2737,7 @@ __all__ = [
     "latest_version",
     "optimize_delta",
     "read_delta",
+    "read_delta_cdf",
     "read_delta_changes",
     "vacuum_delta",
     "write_delta",

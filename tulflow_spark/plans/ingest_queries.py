@@ -991,6 +991,81 @@ def dl8_v2_checkpoint(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "dl9_change_feed",
+    oracle="""
+    WITH changes AS (
+      SELECT doc_id, text, 'insert' AS ct,
+             CASE WHEN doc_id % 2 = 1 THEN 0 ELSE 1 END AS v
+      FROM documents
+      UNION ALL
+      SELECT doc_id, text, 'delete', 2 FROM documents
+      WHERE doc_id % 7 = 0
+      UNION ALL
+      SELECT doc_id, text, 'delete', 3 FROM documents
+      WHERE doc_id % 11 = 0 AND doc_id % 7 <> 0
+    )
+    SELECT CAST(SUM(CASE WHEN ct = 'insert' THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_insert,
+           CAST(SUM(CASE WHEN ct = 'delete' THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_delete,
+           CAST(SUM(CASE WHEN ct = 'delete' THEN doc_id END)
+                AS BIGINT) AS sum_deleted,
+           md5(STRING_AGG(ct || '|' || md5(text) || '|' || v, ''
+               ORDER BY ct || '|' || md5(text) || '|' || v))
+               AS cdf_md5
+    FROM changes
+    """,
+)
+def dl9_change_feed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Delta CHANGE DATA FEED oracle-checked end to end (r12:
+    `read_delta_cdf`): documents land in two insert commits (odd then
+    even doc_ids), then two DELETE commits whose row-level changes are
+    recorded in protocol ``cdc`` files under ``_change_data/``
+    (``delta.enableChangeDataFeed`` duty of ``delete_where``); the
+    feed must deliver every insert AND every delete with its commit
+    version — the oracle reconstructs the exact change stream in SQL
+    and the digest keys on (change_type, text-hash, version), so a
+    missed delete, a double-delivered insert, or a wrong version
+    fails the hash.  Note the second delete's victims exclude rows
+    the first already removed (CDF reflects actual state
+    transitions, not predicates).
+
+    At 100 TB: each version contributes only ITS cdc/add files —
+    never a table scan; deletes ride change-sized cdc parquet."""
+    import tempfile
+
+    from tulflow_spark.ext.delta_log import (
+        delete_where,
+        read_delta_cdf,
+        write_delta,
+    )
+
+    docs = table(spark, sf_dir, "documents").select(
+        "doc_id", "text", "lang")
+    t = tempfile.mkdtemp(prefix="dl9_") + "/tbl"
+    write_delta(docs.filter("doc_id % 2 = 1"), t, mode="append",
+                configuration={"delta.enableChangeDataFeed": "true"})
+    write_delta(docs.filter("doc_id % 2 = 0"), t, mode="append")
+    delete_where(spark, t, "doc_id % 7 = 0")
+    delete_where(spark, t, "doc_id % 11 = 0")
+    cdf = read_delta_cdf(spark, t, -1)
+    key = F.concat_ws(
+        "|", F.col("_change_type"), F.md5("text"),
+        F.col("_commit_version").cast("string"))
+    is_del = F.col("_change_type") == "delete"
+    return cdf.agg(
+        F.sum(F.when(~is_del, 1).otherwise(0))
+         .cast("bigint").alias("n_insert"),
+        F.sum(F.when(is_del, 1).otherwise(0))
+         .cast("bigint").alias("n_delete"),
+        F.sum(F.when(is_del, F.col("doc_id")))
+         .cast("bigint").alias("sum_deleted"),
+        F.md5(F.concat_ws("", F.array_sort(F.collect_list(key))))
+         .alias("cdf_md5"),
+    ).select("n_insert", "n_delete", "sum_deleted", "cdf_md5")
+
+
+@register(
     "sdc2_stream_iceberg_changes",
     oracle="""
     SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
