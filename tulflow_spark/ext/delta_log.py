@@ -1877,12 +1877,14 @@ def delta_stream_sink(path: str, app_id: str,
 
 
 def _stage_cdc(df_rows: DataFrame, path: str,
-               change_type: str) -> dict | None:
-    """Write one CDF parquet (``_change_data/cdc-*.parquet``, table
-    columns + ``_change_type``) and return its ``cdc`` action — the
-    protocol's authoritative per-row change record for commits whose
-    changes are not derivable from file actions.  None when the frame
-    is empty."""
+               change_type: str) -> list[dict]:
+    """Write CDF parquet part(s) (``_change_data/cdc-*.parquet``,
+    table columns + ``_change_type``) and return their ``cdc``
+    actions — the protocol's authoritative per-row change record for
+    commits whose changes are not derivable from file actions.
+    Parallel part files, one action each (a coalesce(1) funnel would
+    serialize a large delete through one task); empty parts are
+    dropped."""
     import uuid as _uuid
 
     import pyarrow.fs as pafs
@@ -1892,25 +1894,26 @@ def _stage_cdc(df_rows: DataFrame, path: str,
 
     tmp = f"{path}/_change_data/stage-{_uuid.uuid4().hex[:8]}"
     (df_rows.withColumn("_change_type", F.lit(change_type))
-        .coalesce(1).write.parquet(tmp))
+        .write.parquet(tmp))
     fs, base = fsio.resolve(tmp)
-    part = [i for i in fs.get_file_info(pafs.FileSelector(base))
-            if i.path.endswith(".parquet")]
-    if len(part) != 1:
-        raise DeltaProtocolError(
-            f"cdc staging produced {len(part)} parquet parts")
-    with fs.open_input_file(part[0].path) as handle:
-        n = pq.ParquetFile(handle).metadata.num_rows
-    if n == 0:
-        fs.delete_dir(base)
-        return None
-    rel = f"_change_data/cdc-{_uuid.uuid4().hex}.parquet"
-    dest = fsio.resolve(f"{path}/{rel}")[1]
-    fs.move(part[0].path, dest)
+    parts = sorted(
+        i.path for i in fs.get_file_info(pafs.FileSelector(base))
+        if i.path.endswith(".parquet"))
+    actions: list[dict] = []
+    for p in parts:
+        with fs.open_input_file(p) as handle:
+            n = pq.ParquetFile(handle).metadata.num_rows
+        if n == 0:
+            continue
+        rel = f"_change_data/cdc-{_uuid.uuid4().hex}.parquet"
+        dest = fsio.resolve(f"{path}/{rel}")[1]
+        fs.move(p, dest)
+        actions.append({"cdc": {
+            "path": rel, "partitionValues": {},
+            "size": int(fs.get_file_info([dest])[0].size),
+            "dataChange": False}})
     fs.delete_dir(base)
-    size = fs.get_file_info([dest])[0].size
-    return {"cdc": {"path": rel, "partitionValues": {},
-                    "size": int(size), "dataChange": False}}
+    return actions
 
 
 def delete_where(spark: SparkSession, path: str, condition: str,
@@ -1992,12 +1995,10 @@ def delete_where(spark: SparkSession, path: str, condition: str,
     if snap.configuration.get("delta.enableChangeDataFeed") == "true":
         # CDF duty: a rewrite commit's row-level changes are NOT
         # derivable from its file actions — record the deleted rows in
-        # a cdc file so read_delta_cdf can deliver them
+        # cdc file(s) so read_delta_cdf can deliver them
         victims = spark.read.schema(schema).parquet(
             *[scan_paths[ap] for ap in matched_adds]).where(condition)
-        cdc_act = _stage_cdc(victims, path, "delete")
-        if cdc_act is not None:
-            actions.append(cdc_act)
+        actions += _stage_cdc(victims, path, "delete")
     # stage first, then drop empty rewrites from the parquet footers
     # (cheap driver-side metadata reads — no extra Spark job)
     import pyarrow.parquet as pq
@@ -2264,6 +2265,21 @@ def _cdf_empty(spark: SparkSession, schema: StructType) -> DataFrame:
            StructField("_commit_version", LongType())]))
 
 
+def _cdf_insert_frame(spark: SparkSession, path: str, add: dict,
+                      data_schema: StructType, types: dict,
+                      part_cols: list[str], version: int,
+                      read_dv_idx) -> DataFrame:
+    """An added file's rows as ``insert`` — MINUS any rows its own
+    deletion vector already marks dead (a RESTORE/CLONE-shaped commit
+    may add a DV-carrying file; delivering dead rows as inserts would
+    desync the feed from the table state)."""
+    dead = sorted(read_dv_idx(add["deletionVector"])) \
+        if add.get("deletionVector") else None
+    return _cdf_file_frame(
+        spark, path, add, data_schema, types, part_cols, "insert",
+        version, positions=dead, exclude=True)
+
+
 def _cdf_file_frame(spark: SparkSession, path: str, add: dict,
                     data_schema: StructType, types: dict,
                     part_cols: list[str], change_type: str,
@@ -2287,6 +2303,8 @@ def _cdf_file_frame(spark: SparkSession, path: str, add: dict,
         import pandas as pd
 
         ri = "__cdf_pos"
+        while ri in {f.name for f in data_schema.fields}:
+            ri += "_"
         posdf = spark.createDataFrame(pd.DataFrame(
             {ri: pd.array([int(x) for x in positions],
                           dtype="int64")}))
@@ -2372,12 +2390,22 @@ def read_delta_cdf(
                 f"change feed deletion vector: {exc}") from None
 
     frames: list[DataFrame] = []
-    prev_cache: dict[int, Snapshot] = {}
+    # rolling prior-state snapshot: ONE replay to the range start,
+    # then incremental action application — a window of V delete
+    # commits costs O(V) log reads, not O(V^2) full replays
+    roll: Snapshot | None = None
+    roll_v = from_version
 
     def prev_snap(v: int) -> Snapshot:
-        if v - 1 not in prev_cache:
-            prev_cache[v - 1] = _replay(spark, path, v - 1)
-        return prev_cache[v - 1]
+        nonlocal roll, roll_v
+        if roll is None:
+            roll = _replay(spark, path, from_version) \
+                if from_version >= 0 else Snapshot({}, None, -1)
+        for u in range(roll_v + 1, v):
+            for action in _commit_actions(path, u):
+                _apply_action(roll, action)
+        roll_v = max(roll_v, v - 1)
+        return roll
 
     for v in range(from_version + 1, to + 1):
         actions = _commit_actions(path, v)
@@ -2387,6 +2415,16 @@ def read_delta_cdf(
         rms = {a["remove"]["path"] for a in actions
                if a.get("remove") and a["remove"].get("dataChange")}
         if cdc:
+            from pyspark.sql.types import StringType, StructField
+
+            # declared TABLE types, never file inference — a foreign
+            # cdc parquet with narrower physical types must not leak
+            # them into the feed (or break the union with derived
+            # frames); partition columns re-inject from the action's
+            # partitionValues like every other read path
+            cdc_schema = StructType(
+                list(data_schema.fields)
+                + [StructField("_change_type", StringType())])
             for c in cdc:
                 sp = _scan_path(path, c["path"])
                 if not fsio.exists(sp):
@@ -2394,17 +2432,29 @@ def read_delta_cdf(
                         f"change feed needs cdc file {c['path']!r}, "
                         "which was vacuumed — re-sync from a snapshot "
                         "read")
-                f0 = spark.read.parquet(sp)
-                if "_change_type" not in f0.columns:
+                import pyarrow.parquet as _pq
+
+                fs_, lp_ = fsio.resolve(sp)
+                with fs_.open_input_file(lp_) as handle:
+                    fnames = set(
+                        _pq.ParquetFile(handle).schema_arrow.names)
+                if "_change_type" not in fnames:
+                    # an explicit-schema read would silently yield
+                    # NULL change types — refuse instead
                     raise DeltaProtocolError(
                         f"cdc file {c['path']!r} has no _change_type "
                         "column")
+                f0 = spark.read.schema(cdc_schema).parquet(sp)
                 pv = c.get("partitionValues") or {}
                 for col in part_cols:
-                    if col not in f0.columns:
-                        f0 = f0.withColumn(col, F.lit(_partition_value(
-                            pv.get(col), types[col], col)
-                        ).cast(types[col]))
+                    if col in fnames:
+                        raise DeltaProtocolError(
+                            f"cdc file {c['path']!r} materializes "
+                            f"partition column {col!r}; expected it "
+                            "in the action's partitionValues")
+                    f0 = f0.withColumn(col, F.lit(_partition_value(
+                        pv.get(col), types[col], col)
+                    ).cast(types[col]))
                 frames.append(f0.withColumn(
                     "_commit_version", F.lit(int(v)).cast("long")))
             continue
@@ -2425,7 +2475,7 @@ def read_delta_cdf(
                 if a is None:
                     raise DeltaProtocolError(
                         f"commit {v} removes {p!r}, which was not "
-                        "live at {v - 1}")
+                        f"live at {v - 1}")
                 # rows the file's OWN deletion vector had already
                 # killed must not re-deliver as deletes — only the
                 # survivors die with the file
@@ -2452,15 +2502,23 @@ def read_delta_cdf(
                     frames.append(_cdf_file_frame(
                         spark, path, adds[p], data_schema, types,
                         part_cols, "delete", v, positions=newly))
+                # a SHRINKING vector restores rows (RESTORE/un-delete
+                # shape): they reappear in the table, so they must
+                # reappear in the feed — as inserts
+                restored = sorted(old_idx - new_idx)
+                if restored:
+                    frames.append(_cdf_file_frame(
+                        spark, path, adds[p], data_schema, types,
+                        part_cols, "insert", v, positions=restored))
             for p in sorted(set(adds) - rms):
-                frames.append(_cdf_file_frame(
+                frames.append(_cdf_insert_frame(
                     spark, path, adds[p], data_schema, types,
-                    part_cols, "insert", v))
+                    part_cols, v, read_dv_idx))
             continue
         for p in sorted(adds):
-            frames.append(_cdf_file_frame(
+            frames.append(_cdf_insert_frame(
                 spark, path, adds[p], data_schema, types, part_cols,
-                "insert", v))
+                v, read_dv_idx))
     if not frames:
         return _cdf_empty(spark, schema)
     order = [f.name for f in schema.fields] + [

@@ -1718,8 +1718,13 @@ def tag_iceberg_snapshot(path: str, name: str,
     ``expire_iceberg_snapshots``.  Returns the new metadata version."""
     if ref_type not in ("tag", "branch"):
         raise IcebergError(f"ref type {ref_type!r} not tag/branch")
-    if name == "main" and ref_type == "tag":
-        raise IcebergError("'main' is the writer-maintained branch")
+    if name == "main":
+        # the spec ties `main` to the table's current state; moving it
+        # here would desync it from current-snapshot-id until the next
+        # commit silently snapped it back (r12 review finding)
+        raise IcebergError(
+            "'main' is the writer-maintained branch — it always "
+            "tracks the current snapshot")
     meta = load_table_metadata(path)
     sid = snapshot_id if snapshot_id is not None \
         else meta.get("current-snapshot-id")
