@@ -149,3 +149,48 @@ def test_cdf_partitioned_and_foreign_cdc(spark, tmp_path):
     (row,) = tail
     assert (row["id"], row["g"], row["_change_type"],
             row["_commit_version"]) == (99, 1, "delete", 1)
+
+
+def test_timestamp_time_travel(spark, tmp_path):
+    """`read_delta(as_of_ms=)`: inCommitTimestamp wins over
+    commitInfo.timestamp wins over file mtime; non-monotone mtimes
+    normalize per the spec rule."""
+    import time
+
+    t = str(tmp_path / "t")
+    write_delta(_df(spark, 0, 10), t, mode="append")          # v0
+    write_delta(_df(spark, 10, 20), t, mode="append")         # v1
+    write_delta(_df(spark, 20, 30), t, mode="append")         # v2
+    # pin explicit commitInfo timestamps by appending to the commits
+    # (protocol: commitInfo may appear anywhere in the commit)
+    for v, ts in ((0, 1000), (1, 2000)):
+        with open(f"{t}/_delta_log/{v:020d}.json", "a") as fh:
+            fh.write("\n" + json.dumps(
+                {"commitInfo": {"timestamp": ts}}))
+    with open(f"{t}/_delta_log/{2:020d}.json", "a") as fh:
+        fh.write("\n" + json.dumps({"commitInfo": {
+            "timestamp": 1,                       # skewed clock
+            "inCommitTimestamp": 3000}}))         # ICT wins
+    from tulflow_spark.ext.delta_log import delta_version_as_of
+
+    assert delta_version_as_of(t, 1000) == 0
+    assert delta_version_as_of(t, 2999) == 1
+    assert delta_version_as_of(t, 3000) == 2
+    assert read_delta(spark, t, as_of_ms=2500).count() == 20
+    with pytest.raises(DeltaProtocolError, match="at or before"):
+        delta_version_as_of(t, 999)
+    with pytest.raises(DeltaProtocolError, match="mutually exclusive"):
+        read_delta(spark, t, version=1, as_of_ms=2500)
+    # file-mtime fallback: strip commitInfo, set mtimes NON-monotone;
+    # the monotone rule makes v1's effective ts max(5000, 4000)=5000
+    for v, mt in ((0, 5.0), (1, 4.0), (2, 6.0)):
+        p = f"{t}/_delta_log/{v:020d}.json"
+        lines = [ln for ln in open(p).read().splitlines()
+                 if ln.strip() and "commitInfo" not in ln]
+        with open(p, "w") as fh:
+            fh.write("\n".join(lines))
+        os.utime(p, (mt, mt))
+    assert delta_version_as_of(t, 5500) == 1
+    assert delta_version_as_of(t, 5000) == 1   # both eff 5000 → newest
+    with pytest.raises(DeltaProtocolError, match="at or before"):
+        delta_version_as_of(t, 4500)           # v0 eff is 5000

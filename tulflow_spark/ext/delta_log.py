@@ -1084,15 +1084,56 @@ def _file_pruned(add: dict, col: str, lo, hi,
         return False
 
 
+def delta_version_as_of(path: str, as_of_ms: int) -> int:
+    """Timestamp time travel: the newest version committed at or
+    before ``as_of_ms`` — Delta's resolution order per commit:
+    ``commitInfo.inCommitTimestamp`` (the ICT writer feature, clock-
+    skew-proof) when present, else ``commitInfo.timestamp``, else the
+    commit file's modification time.  Non-ICT timestamps are
+    normalized monotone non-decreasing in version order (the spec's
+    rule for out-of-order mtimes).  Typed when the probe predates the
+    first available commit."""
+    versions = _list_log_versions(path)
+    if not versions:
+        raise DeltaProtocolError(f"no delta log at {path}")
+    best = None
+    eff = None
+    for v in versions:
+        ts = None
+        for action in _commit_actions(path, v):
+            ci = action.get("commitInfo")
+            if isinstance(ci, dict):
+                ts = ci.get("inCommitTimestamp", ci.get("timestamp"))
+                break
+        if ts is None:
+            fs, lp = fsio.resolve(
+                f"{_log_dir(path)}/{_commit_name(v)}")
+            info = fs.get_file_info([lp])[0]
+            ts = int(info.mtime.timestamp() * 1000) if info.mtime \
+                else 0
+        ts = int(ts)
+        eff = ts if eff is None else max(eff, ts)   # monotone rule
+        if eff <= int(as_of_ms):
+            best = v
+    if best is None:
+        raise DeltaProtocolError(
+            f"no commit at or before {as_of_ms} (history starts "
+            f"after it; earliest surviving version is {versions[0]})")
+    return best
+
+
 def read_delta(
     spark: SparkSession, path: str, version: int | None = None,
     prune: tuple | None = None,
+    as_of_ms: int | None = None,
 ) -> DataFrame:
     """Snapshot read at ``version`` (latest when None) — log replay, then
     one parquet scan over exactly the live files, with the metaData
     schema applied (files from different commits cannot silently widen or
     narrow the snapshot's columns).  An empty snapshot returns an empty
-    frame with that schema.
+    frame with that schema.  ``as_of_ms`` time-travels by TIMESTAMP
+    instead (mutually exclusive with ``version``; see
+    :func:`delta_version_as_of` for the resolution order).
 
     ``prune=(col, lo, hi)`` is the protocol's data-skipping index: files
     whose ``add.stats`` min/max (or partitionValues literal) provably
@@ -1103,6 +1144,11 @@ def read_delta(
     pruned scan.  Bounds compare in the stats' JSON domain: numbers for
     numeric columns, strings (ISO format for date/timestamp) otherwise.
     """
+    if as_of_ms is not None:
+        if version is not None:
+            raise DeltaProtocolError(
+                "version and as_of_ms are mutually exclusive")
+        version = delta_version_as_of(path, as_of_ms)
     snap = _replay(spark, path, version)
     if prune is not None:
         col, lo, hi = prune
@@ -2791,6 +2837,7 @@ __all__ = [
     "DeltaProtocolError",
     "delete_where",
     "delta_stream_sink",
+    "delta_version_as_of",
     "last_txn_version",
     "latest_version",
     "optimize_delta",
