@@ -194,3 +194,48 @@ def test_timestamp_time_travel(spark, tmp_path):
     assert delta_version_as_of(t, 5000) == 1   # both eff 5000 → newest
     with pytest.raises(DeltaProtocolError, match="at or before"):
         delta_version_as_of(t, 4500)           # v0 eff is 5000
+
+
+def test_partitioned_delete_where_with_cdf(spark, tmp_path):
+    """r12: delete_where works on partitioned tables — the predicate
+    may reference partition columns (injected as typed literals),
+    only matched partitions rewrite, cdc files stay hive-shaped
+    (partitionValues in the action, column not materialized), and
+    read_delta_cdf round-trips the whole change stream."""
+    t = str(tmp_path / "t")
+    df = spark.createDataFrame(
+        [(i, f"x{i}", i % 3) for i in range(30)],
+        "id long, v string, g long")
+    write_delta(df, t, mode="append", partition_by=["g"],
+                configuration={"delta.enableChangeDataFeed": "true"})
+    # predicate mixes a partition column and a data column
+    delete_where(spark, t, "g = 1 AND id < 10")
+    live = sorted((r["id"], r["g"])
+                  for r in read_delta(spark, t).collect())
+    want = sorted((i, i % 3) for i in range(30)
+                  if not (i % 3 == 1 and i < 10))
+    assert live == want
+    # untouched partitions carried over BY REFERENCE (no rewrite)
+    snap = _replay(spark, t, None)
+    untouched = [p for p in snap.live if "g=0" in p or "g=2" in p]
+    assert all(p.startswith("commit-") for p in untouched)
+    assert len({p.split("/")[0] for p in untouched}) == 1  # original
+    # partition-only predicate drops the whole partition
+    delete_where(spark, t, "g = 2")
+    assert sorted(r["g"] for r in
+                  read_delta(spark, t).collect()) == \
+        sorted([0] * 10 + [1] * 7)
+    # the feed delivered every change with correct partition values
+    got = read_delta_cdf(spark, t, 0)
+    dels = sorted((r["id"], r["g"], r["_commit_version"])
+                  for r in got.collect()
+                  if r["_change_type"] == "delete")
+    want_d = sorted([(i, 1, 1) for i in range(30)
+                     if i % 3 == 1 and i < 10]
+                    + [(i, 2, 2) for i in range(30) if i % 3 == 2])
+    assert dels == want_d
+    # cdc actions carry partitionValues; files lack the column
+    import pyarrow.parquet as pq
+
+    for cdc in glob.glob(f"{t}/_change_data/cdc-*.parquet"):
+        assert "g" not in pq.read_schema(cdc).names

@@ -425,11 +425,13 @@ def test_delete_where_walls(spark, tmp_path):
     from tulflow_spark.ext.delta_log import delete_where
 
     t = str(tmp_path / "tbl")
-    df = spark.createDataFrame([(1, 2, "x")],
+    df = spark.createDataFrame([(1, 2, "x"), (2, 3, "y")],
                                "id long, bucket int, v string")
     write_delta(df, t, partition_by=["bucket"])
-    with pytest.raises(DeltaProtocolError, match="partitioned"):
-        delete_where(spark, t, "id = 1")
+    # partitioned tables delete since r12 (was a typed wall)
+    delete_where(spark, t, "id = 1")
+    assert [(r["id"], r["bucket"]) for r in
+            read_delta(spark, t).collect()] == [(2, 3)]
     with pytest.raises(DeltaProtocolError, match="no delta table"):
         delete_where(spark, str(tmp_path / "none"), "id = 1")
 

@@ -1922,42 +1922,50 @@ def delta_stream_sink(path: str, app_id: str,
     return write_batch
 
 
-def _stage_cdc(df_rows: DataFrame, path: str,
-               change_type: str) -> list[dict]:
+def _stage_cdc(df_rows: DataFrame, path: str, change_type: str,
+               partition_by: list[str] | None = None) -> list[dict]:
     """Write CDF parquet part(s) (``_change_data/cdc-*.parquet``,
     table columns + ``_change_type``) and return their ``cdc``
     actions — the protocol's authoritative per-row change record for
     commits whose changes are not derivable from file actions.
     Parallel part files, one action each (a coalesce(1) funnel would
     serialize a large delete through one task); empty parts are
-    dropped."""
+    dropped.  Partitioned tables follow the data-file rule: partition
+    columns live in the action's ``partitionValues``, never
+    materialized in the file."""
     import uuid as _uuid
 
-    import pyarrow.fs as pafs
     import pyarrow.parquet as pq
+
+    from urllib.parse import unquote
 
     from pyspark.sql import functions as F
 
     tmp = f"{path}/_change_data/stage-{_uuid.uuid4().hex[:8]}"
-    (df_rows.withColumn("_change_type", F.lit(change_type))
-        .write.parquet(tmp))
+    writer = df_rows.withColumn("_change_type",
+                                F.lit(change_type)).write
+    if partition_by:
+        writer = writer.partitionBy(*partition_by)
+    writer.parquet(tmp)
     fs, base = fsio.resolve(tmp)
-    parts = sorted(
-        i.path for i in fs.get_file_info(pafs.FileSelector(base))
-        if i.path.endswith(".parquet"))
     actions: list[dict] = []
-    for p in parts:
-        with fs.open_input_file(p) as handle:
+    for rel, size, _ in sorted(_staged_files(tmp)):
+        pv: dict[str, str | None] = {}
+        for seg in rel.split("/")[:-1]:
+            if "=" in seg:
+                k, v = seg.split("=", 1)
+                pv[k] = None if v == "__HIVE_DEFAULT_PARTITION__" \
+                    else unquote(v)
+        with fs.open_input_file(f"{base}/{rel}") as handle:
             n = pq.ParquetFile(handle).metadata.num_rows
         if n == 0:
             continue
-        rel = f"_change_data/cdc-{_uuid.uuid4().hex}.parquet"
-        dest = fsio.resolve(f"{path}/{rel}")[1]
-        fs.move(p, dest)
+        dest_rel = f"_change_data/cdc-{_uuid.uuid4().hex}.parquet"
+        dest = fsio.resolve(f"{path}/{dest_rel}")[1]
+        fs.move(f"{base}/{rel}", dest)
         actions.append({"cdc": {
-            "path": rel, "partitionValues": {},
-            "size": int(fs.get_file_info([dest])[0].size),
-            "dataChange": False}})
+            "path": dest_rel, "partitionValues": pv,
+            "size": int(size), "dataChange": False}})
     fs.delete_dir(base)
     return actions
 
@@ -1968,7 +1976,10 @@ def delete_where(spark: SparkSession, path: str, condition: str,
     matches and rewrite them without the matching rows — O(matched
     files), untouched files carry over by reference.  Returns the new
     version (or the current one when nothing matched).  Partitioned
-    tables are a typed wall for now (filter + overwrite instead)."""
+    tables work (r12): partition columns inject as per-group typed
+    literals so the predicate can reference them, the rewrite keeps
+    the hive layout, and a partition-only predicate rewrites nothing
+    outside the matched partitions."""
     from urllib.parse import unquote, urlparse
 
     latest = latest_version(path)
@@ -1980,11 +1991,6 @@ def delete_where(spark: SparkSession, path: str, condition: str,
             f"{expect_version}: re-read and retry"
         )
     snap = _replay(spark, path, latest)
-    if snap.partition_cols:
-        raise DeltaProtocolError(
-            "delete_where on partitioned tables not supported yet "
-            "(read, filter, and overwrite instead)"
-        )
     if snap.min_writer > 2:
         raise DeltaProtocolError(
             f"table requires writer version {snap.min_writer}"
@@ -2007,14 +2013,39 @@ def delete_where(spark: SparkSession, path: str, condition: str,
 
     from pyspark.sql import functions as F
 
+    part_cols = list(snap.partition_cols)
+    types = {f.name: f.dataType for f in schema.fields}
+    data_schema = StructType(
+        [f for f in schema.fields if f.name not in part_cols])
     scan_paths = {ap: _scan_path(path, ap) for ap in snap.live}
     by_norm = {norm(sp): ap for ap, sp in scan_paths.items()}
     fcol = "_dw_file"
     while fcol in {f.name for f in schema.fields}:
         fcol += "_"
-    scan = spark.read.schema(schema).parquet(
-        *sorted(scan_paths.values())
-    ).withColumn(fcol, F.input_file_name())
+
+    def scan_of(adds: list[str]) -> DataFrame:
+        """Injected scan over the given add paths: files of a
+        partitioned table do not contain the partition columns, so the
+        condition can only reference them through per-group typed
+        literals (the `_build_scan` shape)."""
+        groups: dict[tuple, list[str]] = {}
+        for ap in adds:
+            pv = snap.live[ap].get("partitionValues") or {}
+            key = tuple((c, pv.get(c)) for c in part_cols)
+            groups.setdefault(key, []).append(ap)
+        frames = []
+        for key, aps in sorted(groups.items(), key=str):
+            f0 = spark.read.schema(data_schema).parquet(
+                *sorted(scan_paths[ap] for ap in aps)
+            ).withColumn(fcol, F.input_file_name())
+            for c, raw in key:
+                f0 = f0.withColumn(c, F.lit(_partition_value(
+                    raw, types[c], c)).cast(types[c]))
+            frames.append(f0.select(
+                [f.name for f in schema.fields] + [fcol]))
+        return _union_fold(frames)
+
+    scan = scan_of(sorted(snap.live))
     matched_norms = {
         norm(r[fcol])
         for r in scan.where(condition).select(fcol).distinct().collect()
@@ -2027,12 +2058,12 @@ def delete_where(spark: SparkSession, path: str, condition: str,
     if not matched_norms:
         return latest
     matched_adds = sorted(by_norm[n] for n in matched_norms)
+    matched_scan = scan_of(matched_adds)
     # keepers: rows where the predicate is NOT TRUE — false OR NULL
     # (DELETE removes only rows where the condition IS true; a plain
     # NOT(cond) would silently drop NULL-predicate rows)
-    keepers = spark.read.schema(schema).parquet(
-        *[scan_paths[ap] for ap in matched_adds]
-    ).where(f"({condition}) IS NOT TRUE")
+    keepers = matched_scan.where(
+        f"({condition}) IS NOT TRUE").drop(fcol)
     actions: list[dict] = [
         {"remove": {"path": ap, "dataChange": True,
                     "deletionTimestamp": 0}}
@@ -2042,14 +2073,14 @@ def delete_where(spark: SparkSession, path: str, condition: str,
         # CDF duty: a rewrite commit's row-level changes are NOT
         # derivable from its file actions — record the deleted rows in
         # cdc file(s) so read_delta_cdf can deliver them
-        victims = spark.read.schema(schema).parquet(
-            *[scan_paths[ap] for ap in matched_adds]).where(condition)
-        actions += _stage_cdc(victims, path, "delete")
+        victims = matched_scan.where(condition).drop(fcol)
+        actions += _stage_cdc(victims, path, "delete",
+                              partition_by=part_cols or None)
     # stage first, then drop empty rewrites from the parquet footers
     # (cheap driver-side metadata reads — no extra Spark job)
     import pyarrow.parquet as pq
 
-    for act in _stage_adds(keepers, path, None):
+    for act in _stage_adds(keepers, path, part_cols or None):
         from urllib.parse import unquote as _uq
 
         fs, fp = fsio.resolve(f"{path}/{_uq(act['add']['path'])}")
