@@ -17,11 +17,14 @@ Protocol surface implemented:
 - snapshot replay: adds minus removes in version order; ``version=``
   time travel; typed errors for gaps, future versions, and malformed
   action lines.
-- checkpoints: ``{version:020d}.checkpoint.parquet`` (the resolved add/
-  metaData/protocol rows as struct columns) + ``_last_checkpoint``; the
-  reader starts from the newest checkpoint at-or-below the requested
-  version and replays the JSON tail, so aged-out JSON commits behave
-  exactly like Delta's cleaned-up logs.
+- checkpoints, all three layouts: classic
+  ``{version:020d}.checkpoint.parquet``, multi-part, and UUID-named V2
+  checkpoints (``checkpointMetadata`` + ``sidecar`` file actions under
+  ``_delta_log/_sidecars/``, parquet or json form, full feature-list
+  protocol rows) + ``_last_checkpoint``; the reader starts from the
+  newest checkpoint at-or-below the requested version and replays the
+  JSON tail, so aged-out JSON commits behave exactly like Delta's
+  cleaned-up logs.
 - optimistic concurrency: the commit JSON is published with a
   create-if-absent CAS (``fsio.write_text_exclusive``) — two writers
   racing to the same version raise a typed
@@ -40,9 +43,15 @@ Protocol surface implemented:
 Scope notes (documented, typed where relevant): hive-partitioned tables
 supported end to end (``partition_by=`` on write; the reader injects
 ``partitionValues`` as typed literal columns — partition values live in
-the LOG, not the data files); no deletion vectors / column mapping /
-generated columns (reader fails typed on a table requiring
-readerVersion > 1), no vacuum (tombstoned files are simply never read).
+the LOG, not the data files); deletion vectors read AND write
+(``delete_rows_with_dv``, `ext/deletion_vectors.py`); column mapping
+modes name and id read by footer field ids; ``vacuum_delta`` /
+``optimize_delta`` / ``delete_where`` (partitioned too) /
+``write_checkpoint_v2`` maintenance; change feed (``read_delta_cdf``)
+and version/timestamp time travel.  The reader-feature gate accepts
+deletionVectors / columnMapping / v2Checkpoint and fails typed on any
+other version-3 feature (timestampNtz, typeWidening, ...); generated
+columns and writer versions 3-6 stay writer-side walls.
 
 Scale shape: a commit is O(files added) JSON lines + one CAS write —
 table size never replays into memory beyond the action list; checkpoints
