@@ -81,7 +81,8 @@ def test_r7_rotation_promotes_never_adjudicated_pairs():
                                      "sdc2_stream_iceberg_changes",
                                      "ib5_iceberg_v3_dv",
                                      "dl8_v2_checkpoint",
-                                     "dl9_change_feed"}
+                                     "dl9_change_feed",
+                                     "ib6_ref_travel"}
     never -= added_post_rotation
     assert never <= set(QUERIES), (
         f"never-adjudicated but de-gated: {sorted(never - set(QUERIES))}"

@@ -991,6 +991,63 @@ def dl8_v2_checkpoint(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "ib6_ref_travel",
+    oracle="""
+    WITH odd AS (SELECT * FROM documents WHERE doc_id % 2 = 1)
+    SELECT CAST((SELECT COUNT(*) FROM odd) AS BIGINT) AS n_tag,
+           CAST((SELECT SUM(doc_id) FROM odd) AS BIGINT) AS sum_tag,
+           (SELECT md5(STRING_AGG(md5(text), '' ORDER BY md5(text)))
+            FROM odd) AS tag_md5,
+           CAST((SELECT COUNT(*) FROM documents) AS BIGINT) AS n_main,
+           CAST((SELECT COUNT(*) FROM odd) AS BIGINT) AS n_as_of
+    """,
+)
+def ib6_ref_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Iceberg NAMED REFS + timestamp travel oracle-checked (r12):
+    odd doc_ids land in snapshot 1 which gets a TAG, even doc_ids land
+    in snapshot 2; a read by tag name must pin the first snapshot
+    (count, id sum, and an order-insensitive corpus digest — a tag
+    that silently resolved to current would fail all three), the
+    ``main`` branch must track current, and ``as_of_ms`` through the
+    snapshot-log at the first commit's timestamp must land on the same
+    first snapshot.
+
+    At 100 TB: ref and timestamp resolution are metadata-dict lookups;
+    the scan is the same one-declarative-scan as any snapshot read."""
+    import tempfile
+
+    from tulflow_spark.ext.iceberg import (
+        append_iceberg_fixture,
+        load_table_metadata,
+        read_iceberg,
+        tag_iceberg_snapshot,
+        write_iceberg_fixture,
+    )
+
+    docs = table(spark, sf_dir, "documents").select(
+        "doc_id", "text", "lang")
+    t = tempfile.mkdtemp(prefix="ib6_") + "/tbl"
+    write_iceberg_fixture(spark, docs.filter("doc_id % 2 = 1"), t)
+    tag_iceberg_snapshot(t, "v1.0")
+    append_iceberg_fixture(spark, docs.filter("doc_id % 2 = 0"), t)
+    tagged = read_iceberg(spark, t, ref="v1.0")
+    agg = tagged.agg(
+        F.count(F.lit(1)).alias("n_tag"),
+        F.sum("doc_id").cast("bigint").alias("sum_tag"),
+        F.md5(F.concat_ws("", F.array_sort(
+            F.collect_list(F.md5("text"))))).alias("tag_md5"),
+    )
+    n_main = read_iceberg(spark, t, ref="main").count()
+    ts1 = load_table_metadata(t)["snapshot-log"][0]["timestamp-ms"]
+    n_as_of = read_iceberg(spark, t, as_of_ms=ts1).count()
+    return (agg
+            .withColumn("n_main", F.lit(int(n_main)).cast("bigint"))
+            .withColumn("n_as_of", F.lit(int(n_as_of)).cast("bigint"))
+            .select("n_tag", "sum_tag", "tag_md5", "n_main",
+                    "n_as_of"))
+
+
+@register(
     "dl9_change_feed",
     oracle="""
     WITH changes AS (
