@@ -104,33 +104,45 @@ def main() -> None:
         except Exception as exc:  # one bad query must not zero the bench
             failures.append(name)
             print(f"bench: {name} FAILED: {exc}", file=sys.stderr)
+        # emit a SNAPSHOT after every query (r12): the driver wraps
+        # bench.py in `timeout 580` and json-parses the LAST stdout
+        # line — printing only at the end meant a co-tenant-inflated
+        # run that crossed 580 s recorded NOTHING (two near-misses at
+        # 563/536 s measured this round).  With per-query snapshots a
+        # killed run still leaves its newest valid summary as the
+        # last line; "partial" marks how many queries were pending.
+        _emit(timings, failures, sf, repeat,
+              pending=len(all_queries) - len(timings) - len(failures))
+    _emit(timings, failures, sf, repeat, pending=0)
 
-    # Two lines, big one FIRST: the driver captures only a ~2 KB tail of
-    # stdout and json-parses the LAST line.  The full per-query map (~3 KB
-    # at 119 queries) outgrew that tail in r4 AND r5 ("parsed": null), so
-    # the map now goes on its own earlier line and the final line is a
-    # compact summary guaranteed under ~400 bytes at any query count.
+
+def _emit(timings: dict, failures: list, sf, repeat: int,
+          pending: int) -> None:
+    """Two lines, big one FIRST: the driver captures only a ~2 KB tail
+    of stdout and json-parses the LAST line.  The full per-query map
+    (~3 KB at 119 queries) outgrew that tail in r4 AND r5 ("parsed":
+    null), so the map goes on its own earlier line and the final line
+    is a compact summary guaranteed under ~400 bytes at any query
+    count ("queries" there is the 5 slowest only)."""
     per_query = {
         "metric": "per_query_sec",
         "queries": timings,
         "sf": sf,
     }
-    total = round(sum(timings.values()), 2)
-    # "queries" here is the 5 slowest only (schema-compatible name->sec
-    # map); the complete map is the per_query_sec line above.
-    slowest = dict(sorted(timings.items(), key=lambda kv: -kv[1])[:5])
     summary = {
         "metric": "total_query_sec",
-        "value": total,
+        "value": round(sum(timings.values()), 2),
         "unit": "sec",
         "sf": sf,
         "n_queries": len(timings),
         "repeat": repeat,
-        "queries": slowest,
+        "queries": dict(sorted(timings.items(),
+                               key=lambda kv: -kv[1])[:5]),
     }
     if failures:
         summary["failed"] = failures
-    sys.stdout.flush()
+    if pending:
+        summary["partial"] = pending
     print(json.dumps(per_query, separators=(",", ":")))
     print(json.dumps(summary, separators=(",", ":")))
     sys.stdout.flush()
