@@ -239,3 +239,46 @@ def test_partitioned_delete_where_with_cdf(spark, tmp_path):
 
     for cdc in glob.glob(f"{t}/_change_data/cdc-*.parquet"):
         assert "g" not in pq.read_schema(cdc).names
+
+
+def test_cdf_restore_by_dropping_dv_and_checkpoint_window(spark,
+                                                          tmp_path):
+    """r12 review round 2: (a) a same-path re-add WITHOUT a DV (the
+    real RESTORE shape) emits the previously-dead rows as inserts;
+    (b) a CDF window above a checkpoint works after the pre-checkpoint
+    JSON is cleaned up (prev-state resumes from the checkpoint)."""
+    from tulflow_spark.ext.delta_log import (
+        enable_v2_checkpoints,
+        write_checkpoint_v2,
+    )
+
+    t = str(tmp_path / "t")
+    write_delta(_df(spark, 0, 8).coalesce(1), t, mode="append")  # v0
+    (ap,) = _replay(spark, t, None).live
+    delete_rows_with_dv(spark, t, {ap: [0, 2]})                  # v1
+    # v2: hand-built restore — re-add the SAME path without a DV
+    snap = _replay(spark, t, None)
+    add = {k: v for k, v in snap.live[ap].items()
+           if k != "deletionVector" and v is not None}
+    add["dataChange"] = True
+    with open(f"{t}/_delta_log/{2:020d}.json", "w") as fh:
+        fh.write(json.dumps({"remove": {
+            "path": ap, "dataChange": True,
+            "deletionTimestamp": 0}}) + "\n")
+        fh.write(json.dumps({"add": add}) + "\n")
+    got = _changes(read_delta_cdf(spark, t, 1))
+    assert [(v, c) for v, c, _ in got] == [(2, "insert")] * 2
+    assert read_delta(spark, t).count() == 8     # fully restored
+    # (b): V2 checkpoint (the DV table's only checkpoint form), clean
+    # the JSON below it, window above it resumes from the checkpoint
+    enable_v2_checkpoints(spark, t)                              # v3
+    cv = write_checkpoint_v2(spark, t, sidecars=1)
+    delete_rows_with_dv(spark, t, {ap: [5]})                     # v4
+    for v in range(0, cv + 1):
+        os.remove(f"{t}/_delta_log/{v:020d}.json")
+    got = _changes(read_delta_cdf(spark, t, cv))
+    by = {}
+    for v, c, i in got:
+        by.setdefault((v, c), set()).add(i)
+    assert list(by) == [(4, "delete")]
+    assert len(by[(4, "delete")]) == 1

@@ -2407,6 +2407,54 @@ def _cdf_file_frame(spark: SparkSession, path: str, add: dict,
                         F.lit(int(version)).cast("long")))
 
 
+def _cdf_cdc_frames(spark: SparkSession, path: str, cdc: list[dict],
+                    data_schema: StructType, types: dict,
+                    part_cols: list[str], version: int
+                    ) -> list[DataFrame]:
+    """One commit's ``cdc`` actions → change frames, read under the
+    declared TABLE types (never file inference — a foreign cdc parquet
+    with narrower physical types must not leak them into the feed).
+    The action's ``partitionValues`` are authoritative and REQUIRED on
+    cdc actions; a materialized partition column inside the file is
+    protocol-legal and simply ignored by the explicit-schema read."""
+    import pyarrow.parquet as _pq
+
+    from pyspark.sql import functions as F
+    from pyspark.sql.types import StringType, StructField
+
+    cdc_schema = StructType(
+        list(data_schema.fields)
+        + [StructField("_change_type", StringType())])
+    out: list[DataFrame] = []
+    for c in cdc:
+        sp = _scan_path(path, c["path"])
+        if not fsio.exists(sp):
+            raise DeltaProtocolError(
+                f"change feed needs cdc file {c['path']!r}, which "
+                "was vacuumed — re-sync from a snapshot read")
+        fs_, lp_ = fsio.resolve(sp)
+        with fs_.open_input_file(lp_) as handle:
+            fnames = set(_pq.ParquetFile(handle).schema_arrow.names)
+        if "_change_type" not in fnames:
+            # an explicit-schema read would silently yield NULL
+            # change types — refuse instead
+            raise DeltaProtocolError(
+                f"cdc file {c['path']!r} has no _change_type column")
+        f0 = spark.read.schema(cdc_schema).parquet(sp)
+        pv = c.get("partitionValues") or {}
+        for col in part_cols:
+            if col not in pv:
+                raise DeltaProtocolError(
+                    f"cdc action for {c['path']!r} is missing "
+                    f"partitionValues[{col!r}] (required on cdc "
+                    "actions)")
+            f0 = f0.withColumn(col, F.lit(_partition_value(
+                pv[col], types[col], col)).cast(types[col]))
+        out.append(f0.withColumn(
+            "_commit_version", F.lit(int(version)).cast("long")))
+    return out
+
+
 def read_delta_cdf(
     spark: SparkSession, path: str, from_version: int,
     to_version: int | None = None,
@@ -2424,13 +2472,16 @@ def read_delta_cdf(
       ignored for that version);
     - pure-add commit → each added file's rows as ``insert``;
     - pure-remove commit (full-file DELETE) → each removed file's
-      rows as ``delete`` (typed when the file was since vacuumed);
-    - deletion-vector commit (every removed path re-added with a DV,
-      the `delete_rows_with_dv` shape) → the DV DIFF: rows at
-      positions in the new vector but not the old are ``delete``;
-    - a rewrite mixing adds and removes WITHOUT cdc files is typed —
-      the per-row change set is not derivable from file actions
-      (enable ``delta.enableChangeDataFeed`` so writers record it);
+      surviving rows as ``delete`` (typed when the file was since
+      vacuumed);
+    - same-path re-add (the `delete_rows_with_dv` / RESTORE shape) →
+      the DV DIFF: grown vector entries are ``delete``, shrunk
+      entries — including dropping the vector entirely — are
+      ``insert`` (un-deleted rows reappear in the feed);
+    - a rewrite removing files while adding UNRELATED ones without
+      cdc files is typed — the per-row change set is not derivable
+      from file actions (enable ``delta.enableChangeDataFeed`` so
+      writers record it);
     - metadata/protocol-only commits contribute nothing.
 
     At 100 TB: each version touches only ITS changed files; cdc files
@@ -2476,20 +2527,35 @@ def read_delta_cdf(
                 f"change feed deletion vector: {exc}") from None
 
     frames: list[DataFrame] = []
-    # rolling prior-state snapshot: ONE replay to the range start,
-    # then incremental action application — a window of V delete
-    # commits costs O(V) log reads, not O(V^2) full replays
+    # rolling prior-state snapshot: ONE checkpoint-resumed replay to
+    # the first version that needs it, then kept in sync from the
+    # main loop's ALREADY-PARSED actions — a window of V delete
+    # commits costs O(V) log reads (not O(V^2) replays), commits are
+    # never parsed twice, and checkpoint resume still works when the
+    # pre-checkpoint JSON was aged out (r12 review findings)
     roll: Snapshot | None = None
     roll_v = from_version
+
+    def _roll_apply(actions: list[dict], u: int) -> None:
+        for action in actions:
+            try:
+                _apply_action(roll, action)
+            except DeltaProtocolError:
+                raise
+            except (ValueError, KeyError, TypeError,
+                    AttributeError) as exc:
+                raise DeltaProtocolError(
+                    f"malformed action line in commit {u}: {exc!r}"
+                ) from None
 
     def prev_snap(v: int) -> Snapshot:
         nonlocal roll, roll_v
         if roll is None:
-            roll = _replay(spark, path, from_version) \
-                if from_version >= 0 else Snapshot({}, None, -1)
-        for u in range(roll_v + 1, v):
-            for action in _commit_actions(path, u):
-                _apply_action(roll, action)
+            roll = _replay(spark, path, v - 1) if v > 0 \
+                else Snapshot({}, None, -1)
+            roll_v = v - 1
+        for u in range(roll_v + 1, v):     # gap catch-up (rare)
+            _roll_apply(_commit_actions(path, u), u)
         roll_v = max(roll_v, v - 1)
         return roll
 
@@ -2501,62 +2567,23 @@ def read_delta_cdf(
         rms = {a["remove"]["path"] for a in actions
                if a.get("remove") and a["remove"].get("dataChange")}
         if cdc:
-            from pyspark.sql.types import StringType, StructField
-
-            # declared TABLE types, never file inference — a foreign
-            # cdc parquet with narrower physical types must not leak
-            # them into the feed (or break the union with derived
-            # frames); partition columns re-inject from the action's
-            # partitionValues like every other read path
-            cdc_schema = StructType(
-                list(data_schema.fields)
-                + [StructField("_change_type", StringType())])
-            for c in cdc:
-                sp = _scan_path(path, c["path"])
-                if not fsio.exists(sp):
-                    raise DeltaProtocolError(
-                        f"change feed needs cdc file {c['path']!r}, "
-                        "which was vacuumed — re-sync from a snapshot "
-                        "read")
-                import pyarrow.parquet as _pq
-
-                fs_, lp_ = fsio.resolve(sp)
-                with fs_.open_input_file(lp_) as handle:
-                    fnames = set(
-                        _pq.ParquetFile(handle).schema_arrow.names)
-                if "_change_type" not in fnames:
-                    # an explicit-schema read would silently yield
-                    # NULL change types — refuse instead
-                    raise DeltaProtocolError(
-                        f"cdc file {c['path']!r} has no _change_type "
-                        "column")
-                f0 = spark.read.schema(cdc_schema).parquet(sp)
-                pv = c.get("partitionValues") or {}
-                for col in part_cols:
-                    if col in fnames:
-                        raise DeltaProtocolError(
-                            f"cdc file {c['path']!r} materializes "
-                            f"partition column {col!r}; expected it "
-                            "in the action's partitionValues")
-                    f0 = f0.withColumn(col, F.lit(_partition_value(
-                        pv.get(col), types[col], col)
-                    ).cast(types[col]))
-                frames.append(f0.withColumn(
-                    "_commit_version", F.lit(int(v)).cast("long")))
-            continue
-        if not adds and not rms:
-            continue
-        dv_shape = bool(rms) and rms <= set(adds) and \
-            all(adds[p].get("deletionVector") for p in rms)
-        if rms and not dv_shape:
-            if adds:
+            frames += _cdf_cdc_frames(spark, path, cdc, data_schema,
+                                      types, part_cols, v)
+        elif adds or rms:
+            re_added = rms & set(adds)
+            gone = rms - set(adds)
+            fresh = set(adds) - rms
+            if gone and fresh:
+                # files removed AND unrelated files added: a rewrite
+                # (delete_where / overwrite / merge shape) — per-row
+                # changes are not derivable from file actions
                 raise DeltaProtocolError(
                     f"commit {v} rewrites files (adds + removes) "
                     "without cdc files: the row-level change set is "
                     "not derivable — enable "
                     "delta.enableChangeDataFeed before such commits")
-            prev = prev_snap(v)
-            for p in sorted(rms):
+            prev = prev_snap(v) if rms else None
+            for p in sorted(gone):
                 a = prev.live.get(p)
                 if a is None:
                     raise DeltaProtocolError(
@@ -2571,10 +2598,12 @@ def read_delta_cdf(
                     spark, path, a, data_schema, types, part_cols,
                     "delete", v,
                     positions=sorted(dead), exclude=True))
-            continue
-        if dv_shape:
-            prev = prev_snap(v)
-            for p in sorted(rms):
+            for p in sorted(re_added):
+                # same-path re-add: the immutable file's content is
+                # unchanged, so the change is exactly the DV DIFF —
+                # grown entries are deletes, shrunk entries (RESTORE /
+                # un-delete, including dropping the DV entirely) are
+                # inserts
                 a = prev.live.get(p)
                 if a is None:
                     raise DeltaProtocolError(
@@ -2582,29 +2611,27 @@ def read_delta_cdf(
                         f"live at {v - 1}")
                 old_idx = read_dv_idx(a["deletionVector"]) \
                     if a.get("deletionVector") else set()
-                new_idx = read_dv_idx(adds[p]["deletionVector"])
+                new_idx = read_dv_idx(adds[p]["deletionVector"]) \
+                    if adds[p].get("deletionVector") else set()
                 newly = sorted(new_idx - old_idx)
                 if newly:
                     frames.append(_cdf_file_frame(
                         spark, path, adds[p], data_schema, types,
                         part_cols, "delete", v, positions=newly))
-                # a SHRINKING vector restores rows (RESTORE/un-delete
-                # shape): they reappear in the table, so they must
-                # reappear in the feed — as inserts
                 restored = sorted(old_idx - new_idx)
                 if restored:
                     frames.append(_cdf_file_frame(
                         spark, path, adds[p], data_schema, types,
                         part_cols, "insert", v, positions=restored))
-            for p in sorted(set(adds) - rms):
+            for p in sorted(fresh):
                 frames.append(_cdf_insert_frame(
                     spark, path, adds[p], data_schema, types,
                     part_cols, v, read_dv_idx))
-            continue
-        for p in sorted(adds):
-            frames.append(_cdf_insert_frame(
-                spark, path, adds[p], data_schema, types, part_cols,
-                v, read_dv_idx))
+        # keep the rolling prior-state in sync from the actions this
+        # iteration already parsed (no second read of the commit)
+        if roll is not None and roll_v == v - 1:
+            _roll_apply(actions, v)
+            roll_v = v
     if not frames:
         return _cdf_empty(spark, schema)
     order = [f.name for f in schema.fields] + [
