@@ -47,6 +47,14 @@ GATED: frozenset[str] = frozenset(
         # change-feed STREAMING pair — the r11-created source's first
         # driver adjudication (r11 VERDICT #1)
         "sdc1_stream_delta_changes",
+        # r13: promote four of the seven r12-created pairs that have
+        # never had a driver CORRECTNESS row (r12 VERDICT #1 —
+        # judge-verified green via vanilla gate_sim, now adjudicated
+        # for real).  ib4/ib6/dl7 queue for r14.
+        "dl8_v2_checkpoint",
+        "dl9_change_feed",
+        "ib5_iceberg_v3_dv",
+        "sdc2_stream_iceberg_changes",
         "bm1_bm25_search",
         # r10: cdc3_scd2_history rotated out (driver rows r7/r8/r9;
         # cdc2 keeps the CDC anchor) for the deletion-vector pair
@@ -113,18 +121,24 @@ GATED: frozenset[str] = frozenset(
         # dd10/dd12 keep the dedup anchors) for the WARC ingest pair
         "warc1_warc_ingest",
         "dd10_repeated_spans",
-        "aj1_asof_join",
+        # r13: aj1_asof_join rotated out (driver rows r2..r12; j1
+        # keeps the join anchor) for dl9_change_feed
         "vr1_approx_bounds",
         "x2b_marc_native",
         "x3_validation_rules",
         "x4_transform_rules",
         "cur5_web_pipeline",
-        "ev2_sessionize",
+        # r13: ev2_sessionize rotated out (driver rows r2..r12; w1
+        # keeps the window/event anchor) for ib5_iceberg_v3_dv
         "w1_topk_per_group",
-        "f1_md5_content_keys",
+        # r13: f1_md5_content_keys rotated out (driver rows
+        # r1..r12; tx2 keeps the scalar-function anchor) for
+        # sdc2_stream_iceberg_changes
         "j1_broadcast_enrich",
         "tx2_quality_scores",
-        "sk1_salted_sum",
+        # r13: sk1_salted_sum rotated out (driver rows every round
+        # r1..r12 — the most-adjudicated query in the registry; the
+        # local parity suite keeps it covered) for dl8_v2_checkpoint
         "zo1_zorder_layout",
         "cdc2_merge_upsert",
         "pg1_pagerank",
