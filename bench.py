@@ -112,18 +112,24 @@ def main() -> None:
         # killed run still leaves its newest valid summary as the
         # last line; "partial" marks how many queries were pending.
         _emit(timings, failures, sf, repeat,
-              pending=len(all_queries) - len(timings) - len(failures))
+              pending=len(all_queries) - len(timings) - len(failures),
+              with_map=False)
     _emit(timings, failures, sf, repeat, pending=0)
 
 
 def _emit(timings: dict, failures: list, sf, repeat: int,
-          pending: int) -> None:
+          pending: int, with_map: bool = True) -> None:
     """Two lines, big one FIRST: the driver captures only a ~2 KB tail
     of stdout and json-parses the LAST line.  The full per-query map
     (~3 KB at 119 queries) outgrew that tail in r4 AND r5 ("parsed":
     null), so the map goes on its own earlier line and the final line
     is a compact summary guaranteed under ~400 bytes at any query
-    count ("queries" there is the 5 slowest only)."""
+    count ("queries" there is the 5 slowest only).  Per-query
+    SNAPSHOTS print only the compact line (``with_map=False``) — the
+    full map re-printed per query grew stdout O(n²) with query count
+    (~1 MB at 171 queries) for bytes nothing ever parsed (r12
+    ADVICE); only the final emit carries the map, and a timeout-killed
+    run still leaves a parseable compact tail."""
     per_query = {
         "metric": "per_query_sec",
         "queries": timings,
@@ -143,7 +149,8 @@ def _emit(timings: dict, failures: list, sf, repeat: int,
         summary["failed"] = failures
     if pending:
         summary["partial"] = pending
-    print(json.dumps(per_query, separators=(",", ":")))
+    if with_map:
+        print(json.dumps(per_query, separators=(",", ":")))
     print(json.dumps(summary, separators=(",", ":")))
     sys.stdout.flush()
 

@@ -196,6 +196,33 @@ def test_timestamp_time_travel(spark, tmp_path):
         delta_version_as_of(t, 4500)           # v0 eff is 5000
 
 
+def test_ict_transition_resets_monotone_max(spark, tmp_path):
+    """Non-ICT→ICT transition: a skewed (inflated) pre-ICT timestamp
+    must NOT carry into the first ICT commits through the monotone-max
+    rule — ICT is writer-guaranteed monotone and authoritative, so the
+    running max resets at every ICT commit (r12 VERDICT wrong #2)."""
+    from tulflow_spark.ext.delta_log import delta_version_as_of
+
+    t = str(tmp_path / "t")
+    write_delta(_df(spark, 0, 5), t, mode="append")           # v0
+    write_delta(_df(spark, 5, 10), t, mode="append")          # v1
+    write_delta(_df(spark, 10, 15), t, mode="append")         # v2
+    # v0: non-ICT with a badly skewed-forward clock; v1/v2: ICT
+    stamps = (
+        (0, {"timestamp": 9_000}),
+        (1, {"timestamp": 1, "inCommitTimestamp": 2_000}),
+        (2, {"timestamp": 2, "inCommitTimestamp": 3_000}),
+    )
+    for v, ci in stamps:
+        with open(f"{t}/_delta_log/{v:020d}.json", "a") as fh:
+            fh.write("\n" + json.dumps({"commitInfo": ci}))
+    # under the old max-carry rule v1's effective ts would have been
+    # max(9000, 2000) = 9000 and the 2500 probe would miss it
+    assert delta_version_as_of(t, 2500) == 1
+    assert delta_version_as_of(t, 3000) == 2
+    assert delta_version_as_of(t, 9000) == 2   # ICT stays authoritative
+
+
 def test_partitioned_delete_where_with_cdf(spark, tmp_path):
     """r12: delete_where works on partitioned tables — the predicate
     may reference partition columns (injected as typed literals),

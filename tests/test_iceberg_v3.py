@@ -390,3 +390,43 @@ def test_v3_dv_byte_flip_never_misreads(spark, tmp_path):
     with open(ppath, "wb") as fh:
         fh.write(raw)
     assert _ids(read_iceberg(spark, t)) == want
+
+
+def test_v3_pos_delete_wall_is_addressing_independent(spark, tmp_path):
+    """r12 ADVICE 1: the v3 'no live position-delete files' wall fires
+    for the CURRENT state however it is addressed — implicit, explicit
+    snapshot id, ref='main', or a timestamp resolving to the head —
+    while historical snapshots stay readable.  Foreign-table shape: a
+    v2 table with a live position-delete file whose metadata claims
+    format-version 3 (our own upgrade refuses this state)."""
+    t = str(tmp_path / "t")
+    write_iceberg_fixture(spark, _df(spark, 0, 12), t)
+    clean_snap = iceberg_snapshots(t)[-1]["snapshot_id"]
+    fp = sorted(_file_ids(t))[0]
+    delete_positions_iceberg_fixture(spark, t, {fp: [0]})
+    # foreign upgrade: bump format-version in place, leaving the live
+    # position-delete file behind
+    hint = open(f"{t}/metadata/version-hint.text").read().strip()
+    mpath = f"{t}/metadata/v{hint}.metadata.json"
+    meta = json.loads(open(mpath).read())
+    meta["format-version"] = 3
+    with open(mpath, "w") as fh:
+        fh.write(json.dumps(meta))
+    cur = iceberg_snapshots(t)[-1]["snapshot_id"]
+    ts_head = max(s["timestamp_ms"] for s in iceberg_snapshots(t))
+    for kwargs in ({}, {"snapshot_id": cur}, {"ref": "main"},
+                   {"as_of_ms": ts_head}):
+        with pytest.raises(IcebergError, match="position-delete"):
+            read_iceberg(spark, t, **kwargs).collect()
+    # history below the head stays readable
+    assert _ids(read_iceberg(spark, t, snapshot_id=clean_snap)) == \
+        list(range(12))
+
+
+def test_snapshot_as_of_empty_history_message():
+    """r12 ADVICE 4: a table with no snapshots raises a clear typed
+    message, not 'history starts at None'."""
+    from tulflow_spark.ext.iceberg import snapshot_as_of
+
+    with pytest.raises(IcebergError, match="no snapshot history"):
+        snapshot_as_of({"snapshot-log": [], "snapshots": []}, 10)

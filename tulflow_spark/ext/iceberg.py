@@ -271,7 +271,9 @@ def snapshot_as_of(meta: dict, as_of_ms: int) -> int:
                 (best is None or int(ts) >= int(best["timestamp-ms"])):
             best = e
     if best is None:
-        lo = min((int(e["timestamp-ms"]) for e in log), default=None)
+        if not log:
+            raise IcebergError("table has no snapshot history")
+        lo = min(int(e["timestamp-ms"]) for e in log)
         raise IcebergError(
             f"no snapshot at or before {as_of_ms} "
             f"(table history starts at {lo})")
@@ -315,6 +317,14 @@ def _live_files(meta: dict,
     if snap is None:
         return [], []
     fv = int(meta.get("format-version") or 1)
+    # the v3 no-live-position-delete-FILES wall applies to the CURRENT
+    # table state however it is addressed — implicitly, by explicit
+    # snapshot id, via ref='main', or via an as_of that resolves to the
+    # head (r12 ADVICE: the typed contract must not depend on the
+    # addressing mode); historical snapshots stay readable.
+    at_current = snapshot_id is None or (
+        snap.get("snapshot-id") is not None
+        and snap.get("snapshot-id") == meta.get("current-snapshot-id"))
     # snapshot id → SEQUENCE number: inherited sequence numbers must
     # resolve through the snapshot table — raw snapshot ids are random
     # 64-bit longs and carry NO order (using them would silently
@@ -358,7 +368,7 @@ def _live_files(meta: dict,
                 raise IcebergError(
                     f"data file format {fmt!r} not supported "
                     "(PARQUET, ORC and Puffin DVs are)")
-            elif fv >= 3 and content == 1 and snapshot_id is None:
+            elif fv >= 3 and content == 1 and at_current:
                 # spec: v3 forbids position-delete FILES in the LIVE
                 # state — position deletes must be deletion vectors,
                 # and upgrade_iceberg_v3 refuses while any are live.

@@ -55,6 +55,10 @@ GATED: frozenset[str] = frozenset(
         "dl9_change_feed",
         "ib5_iceberg_v3_dv",
         "sdc2_stream_iceberg_changes",
+        # r13: the new Delta MERGE + CDF-images pair (r12 VERDICT #2),
+        # gated in place of x4_transform_rules (driver rows r2..r12;
+        # x2b/x3 keep the XML-family anchors)
+        "dl10_merge_cdf",
         "bm1_bm25_search",
         # r10: cdc3_scd2_history rotated out (driver rows r7/r8/r9;
         # cdc2 keeps the CDC anchor) for the deletion-vector pair
@@ -126,7 +130,6 @@ GATED: frozenset[str] = frozenset(
         "vr1_approx_bounds",
         "x2b_marc_native",
         "x3_validation_rules",
-        "x4_transform_rules",
         "cur5_web_pipeline",
         # r13: ev2_sessionize rotated out (driver rows r2..r12; w1
         # keeps the window/event anchor) for ib5_iceberg_v3_dv

@@ -1123,6 +1123,122 @@ def dl9_change_feed(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "dl10_merge_cdf",
+    oracle="""
+    WITH base AS (SELECT doc_id, text FROM documents),
+    upd AS (SELECT doc_id, text FROM base WHERE doc_id % 5 = 0),
+    del AS (SELECT doc_id, text FROM base
+            WHERE doc_id % 7 = 0 AND doc_id % 5 <> 0),
+    ins AS (SELECT doc_id + 10000000 AS doc_id, 'N:' || text AS text
+            FROM base WHERE doc_id % 13 = 0),
+    feed AS (
+      SELECT doc_id, text, 'insert' AS ct, 0 AS v FROM base
+      UNION ALL SELECT doc_id, text, 'update_preimage', 1 FROM upd
+      UNION ALL SELECT doc_id, 'U:' || text, 'update_postimage', 1
+                FROM upd
+      UNION ALL SELECT doc_id, text, 'delete', 1 FROM del
+      UNION ALL SELECT doc_id, text, 'insert', 1 FROM ins
+    ),
+    state AS (
+      SELECT doc_id,
+             CASE WHEN doc_id % 5 = 0 THEN 'U:' || text
+                  ELSE text END AS text
+      FROM base WHERE NOT (doc_id % 7 = 0 AND doc_id % 5 <> 0)
+      UNION ALL SELECT doc_id, text FROM ins
+    )
+    SELECT
+      CAST((SELECT COUNT(*) FROM feed WHERE ct = 'update_preimage')
+           AS BIGINT) AS n_pre,
+      CAST((SELECT COUNT(*) FROM feed WHERE ct = 'delete')
+           AS BIGINT) AS n_del,
+      CAST((SELECT COUNT(*) FROM feed WHERE ct = 'insert' AND v = 1)
+           AS BIGINT) AS n_ins,
+      (SELECT md5(STRING_AGG(k, '' ORDER BY k)) FROM
+        (SELECT ct || '|' || md5(text) || '|' || v AS k FROM feed))
+        AS feed_md5,
+      CAST((SELECT COUNT(*) FROM state) AS BIGINT) AS n_state,
+      (SELECT md5(STRING_AGG(h, '' ORDER BY h)) FROM
+        (SELECT md5(CAST(doc_id AS VARCHAR) || '|' || text) AS h
+         FROM state)) AS state_md5
+    """,
+)
+def dl10_merge_cdf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Delta MERGE with Change-Data-Feed images oracle-checked (r13:
+    `merge_delta` — r12 VERDICT missing #2): documents seed the table
+    (CDF on), then ONE keyed MERGE commit updates every doc_id%5=0
+    row, deletes doc_id%7=0 (minus the update set — each key carries
+    one op), and inserts fresh doc_id+10M keys.  The feed must carry
+    paired ``update_preimage``/``update_postimage`` rows for the
+    updates, ``delete`` rows for exactly the removed rows, and
+    ``insert`` rows for the new keys, all at the merge's commit
+    version; the final table state is digest-checked too, so a wrong
+    rewrite (dropped keeper, double-applied change) fails even if the
+    feed looks right.  The oracle reconstructs both the change stream
+    and the post-merge state in pure SQL.
+
+    At 100 TB: key-match discovery is a column-pruned key scan with
+    the change keys broadcast; only matched files rewrite; every cdc
+    stage is change-set-sized (SCALE.md §7g)."""
+    import tempfile
+
+    from tulflow_spark.ext.delta_log import (
+        merge_delta,
+        read_delta,
+        read_delta_cdf,
+        write_delta,
+    )
+
+    docs = table(spark, sf_dir, "documents").select("doc_id", "text")
+    t = tempfile.mkdtemp(prefix="dl10_") + "/tbl"
+    write_delta(docs, t, mode="append",
+                configuration={"delta.enableChangeDataFeed": "true"})
+    changes = (
+        docs.filter("doc_id % 5 = 0")
+            .select("doc_id",
+                    F.concat(F.lit("U:"), F.col("text")).alias("text"),
+                    F.lit("U").alias("op"))
+        .unionByName(
+            docs.filter("doc_id % 7 = 0 AND doc_id % 5 <> 0")
+                .select("doc_id", "text", F.lit("D").alias("op")))
+        .unionByName(
+            docs.filter("doc_id % 13 = 0")
+                .select((F.col("doc_id") + 10000000).alias("doc_id"),
+                        F.concat(F.lit("N:"), F.col("text"))
+                         .alias("text"),
+                        F.lit("I").alias("op")))
+    )
+    merge_delta(spark, t, changes, keys=["doc_id"])
+    feed = read_delta_cdf(spark, t, -1)
+    key = F.concat_ws(
+        "|", F.col("_change_type"), F.md5("text"),
+        F.col("_commit_version").cast("string"))
+    ct = F.col("_change_type")
+    agg = feed.agg(
+        F.sum((ct == "update_preimage").cast("long"))
+         .cast("bigint").alias("n_pre"),
+        F.sum((ct == "delete").cast("long"))
+         .cast("bigint").alias("n_del"),
+        F.sum(((ct == "insert") & (F.col("_commit_version") == 1))
+              .cast("long")).cast("bigint").alias("n_ins"),
+        F.md5(F.concat_ws("", F.array_sort(F.collect_list(key))))
+         .alias("feed_md5"),
+    )
+    state = read_delta(spark, t)
+    srow = state.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_state"),
+        F.md5(F.concat_ws("", F.array_sort(F.collect_list(
+            F.md5(F.concat_ws("|", F.col("doc_id").cast("string"),
+                              F.col("text"))))))).alias("state_md5"),
+    ).first()
+    return (agg
+            .withColumn("n_state",
+                        F.lit(int(srow["n_state"])).cast("bigint"))
+            .withColumn("state_md5", F.lit(srow["state_md5"]))
+            .select("n_pre", "n_del", "n_ins", "feed_md5", "n_state",
+                    "state_md5"))
+
+
+@register(
     "sdc2_stream_iceberg_changes",
     oracle="""
     SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
