@@ -309,3 +309,84 @@ def test_cdf_restore_by_dropping_dv_and_checkpoint_window(spark,
         by.setdefault((v, c), set()).add(i)
     assert list(by) == [(4, "delete")]
     assert len(by[(4, "delete")]) == 1
+
+
+def test_cdf_column_mapping_name_mode_across_rename(spark, tmp_path):
+    """r12 VERDICT missing #4: the change feed works on column-mapped
+    (mode=name) tables — resolution runs in physical name space, so a
+    feed crossing a mid-history RENAME delivers every vintage under
+    the current logical names.  History is foreign-shaped (hand-
+    authored commits): mapped tables are read-only to this module's
+    writers."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from tulflow_spark.ext.delta_log import write_column_mapped_fixture
+
+    t = str(tmp_path / "t")
+    df = spark.createDataFrame([(1, "a"), (2, "b")], "id long, v string")
+    write_column_mapped_fixture(spark, df, t)                  # v0
+    # v1: foreign append — data file carries PHYSICAL names
+    fp = f"{t}/part-foreign.parquet"
+    pq.write_table(pa.table({
+        "col-0000": pa.array([3], pa.int64()),
+        "col-0001": pa.array(["c"]),
+    }), fp)
+    with open(f"{t}/_delta_log/{1:020d}.json", "w") as fh:
+        fh.write(json.dumps({"add": {
+            "path": "part-foreign.parquet", "partitionValues": {},
+            "size": os.path.getsize(fp), "modificationTime": 0,
+            "dataChange": True}}) + "\n")
+    # v2: RENAME v -> val (same physicalName) via a fresh metaData
+    v0 = [json.loads(ln) for ln in open(f"{t}/_delta_log/{0:020d}.json")
+          if ln.strip()]
+    meta = next(a["metaData"] for a in v0 if a.get("metaData"))
+    sch = json.loads(meta["schemaString"])
+    assert sch["fields"][1]["name"] == "v"
+    sch["fields"][1]["name"] = "val"
+    meta2 = dict(meta, schemaString=json.dumps(sch))
+    with open(f"{t}/_delta_log/{2:020d}.json", "w") as fh:
+        fh.write(json.dumps({"metaData": meta2}) + "\n")
+    # v3: foreign cdc commit with update images, physical names
+    os.makedirs(f"{t}/_change_data", exist_ok=True)
+    cp = f"{t}/_change_data/cdc-m.parquet"
+    pq.write_table(pa.table({
+        "col-0000": pa.array([2, 2], pa.int64()),
+        "col-0001": pa.array(["b", "B"]),
+        "_change_type": pa.array(["update_preimage",
+                                  "update_postimage"]),
+    }), cp)
+    with open(f"{t}/_delta_log/{3:020d}.json", "w") as fh:
+        fh.write(json.dumps({"cdc": {
+            "path": "_change_data/cdc-m.parquet",
+            "partitionValues": {}, "size": os.path.getsize(cp),
+            "dataChange": False}}) + "\n")
+    feed = read_delta_cdf(spark, t, -1)
+    assert feed.columns == ["id", "val", "_change_type",
+                            "_commit_version"]
+    got = sorted((r["_commit_version"], r["_change_type"], r["id"],
+                  r["val"]) for r in feed.collect())
+    assert got == [
+        (0, "insert", 1, "a"), (0, "insert", 2, "b"),
+        (1, "insert", 3, "c"),
+        (3, "update_postimage", 2, "B"),
+        (3, "update_preimage", 2, "b"),
+    ]
+    # windows resolve under the schema AT to_version: below the
+    # rename the column is still `v`, above it `val`
+    below = read_delta_cdf(spark, t, 0, 1)
+    assert below.columns[:2] == ["id", "v"]
+    assert [r["v"] for r in below.collect()] == ["c"]
+    assert len(read_delta_cdf(spark, t, 1, 2).collect()) == 0
+    assert read_delta_cdf(spark, t, 1, 3).columns[:2] == ["id", "val"]
+
+
+def test_cdf_column_mapping_id_mode_stays_typed(spark, tmp_path):
+    from tulflow_spark.ext.delta_log import write_column_mapped_fixture
+
+    t = str(tmp_path / "t")
+    write_column_mapped_fixture(
+        spark, spark.createDataFrame([(1, "a")], "id long, v string"),
+        t, mode="id")
+    with pytest.raises(DeltaProtocolError, match="mode='id'"):
+        read_delta_cdf(spark, t, -1)

@@ -1239,6 +1239,96 @@ def dl10_merge_cdf(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "dl11_cdf_rename",
+    oracle="""
+    WITH base AS (SELECT doc_id, text FROM documents),
+    feed AS (
+      SELECT text, 'insert' AS ct,
+             CASE WHEN doc_id % 2 = 1 THEN 0 ELSE 1 END AS v
+      FROM base
+      UNION ALL
+      SELECT text, 'update_preimage', 3 FROM base WHERE doc_id % 5 = 0
+      UNION ALL
+      SELECT 'R:' || text, 'update_postimage', 3 FROM base
+      WHERE doc_id % 5 = 0
+    ),
+    keyed AS (SELECT ct || '|' || md5(text) || '|' || v AS k, ct
+              FROM feed)
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(SUM(CASE WHEN ct LIKE 'update%' THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_upd,
+           md5(STRING_AGG(k, '' ORDER BY k)) AS feed_md5
+    FROM keyed
+    """,
+)
+def dl11_cdf_rename(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Change feed over a COLUMN-MAPPED (mode=name) Delta table
+    crossing a mid-history RENAME (r13, r12 VERDICT missing #4):
+    odd docs land at v0 through the mapped fixture writer, even docs
+    via a foreign-shaped physical-named append (v1), a metaData
+    commit renames ``text``→``body`` (v2, contributes nothing to the
+    feed), and a foreign cdc commit records update images for
+    doc_id%5=0 (v3).  `read_delta_cdf` must resolve every vintage in
+    PHYSICAL name space and deliver the whole feed under the current
+    logical name — the oracle reconstructs the change stream in SQL
+    and the digest keys on (change_type, text-hash, version), so a
+    misresolved physical column (silent NULLs) or a dropped vintage
+    fails the hash.
+
+    At 100 TB: identical per-version file-sized reads as dl9; the
+    rename costs one metadata action, never a rewrite."""
+    import tempfile
+
+    from tulflow_spark.ext.delta_log import (
+        _publish,
+        _stage_adds,
+        _stage_cdc,
+        read_delta_cdf,
+        write_column_mapped_fixture,
+    )
+
+    docs = table(spark, sf_dir, "documents").select("doc_id", "text")
+    t = tempfile.mkdtemp(prefix="dl11_") + "/tbl"
+    write_column_mapped_fixture(
+        spark, docs.filter("doc_id % 2 = 1"), t)              # v0
+    phys = docs.filter("doc_id % 2 = 0").select(
+        F.col("doc_id").alias("col-0000"),
+        F.col("text").alias("col-0001"))
+    _publish(t, 1, _stage_adds(phys, t, None))                # v1
+    import json as _json
+
+    v0 = [_json.loads(ln)
+          for ln in open(f"{t}/_delta_log/{0:020d}.json")
+          if ln.strip()]
+    meta = next(a["metaData"] for a in v0 if a.get("metaData"))
+    sch = _json.loads(meta["schemaString"])
+    assert sch["fields"][1]["name"] == "text"
+    sch["fields"][1]["name"] = "body"
+    _publish(t, 2, [{"metaData": dict(
+        meta, schemaString=_json.dumps(sch))}])               # v2
+    upd = docs.filter("doc_id % 5 = 0")
+    pre = upd.select(F.col("doc_id").alias("col-0000"),
+                     F.col("text").alias("col-0001"))
+    post = upd.select(
+        F.col("doc_id").alias("col-0000"),
+        F.concat(F.lit("R:"), F.col("text")).alias("col-0001"))
+    _publish(t, 3,
+             _stage_cdc(pre, t, "update_preimage")
+             + _stage_cdc(post, t, "update_postimage"))       # v3
+    feed = read_delta_cdf(spark, t, -1)
+    key = F.concat_ws(
+        "|", F.col("_change_type"), F.md5("body"),
+        F.col("_commit_version").cast("string"))
+    return feed.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+        F.sum(F.col("_change_type").startswith("update")
+              .cast("long")).cast("bigint").alias("n_upd"),
+        F.md5(F.concat_ws("", F.array_sort(F.collect_list(key))))
+         .alias("feed_md5"),
+    ).select("n_rows", "n_upd", "feed_md5")
+
+
+@register(
     "sdc2_stream_iceberg_changes",
     oracle="""
     SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
