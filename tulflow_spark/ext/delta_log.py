@@ -2628,21 +2628,6 @@ def _cdf_empty(spark: SparkSession, schema: StructType) -> DataFrame:
            StructField("_commit_version", LongType())]))
 
 
-def _cdf_insert_frame(spark: SparkSession, path: str, add: dict,
-                      data_schema: StructType, types: dict,
-                      part_cols: list[str], version: int,
-                      read_dv_idx) -> DataFrame:
-    """An added file's rows as ``insert`` — MINUS any rows its own
-    deletion vector already marks dead (a RESTORE/CLONE-shaped commit
-    may add a DV-carrying file; delivering dead rows as inserts would
-    desync the feed from the table state)."""
-    dead = sorted(read_dv_idx(add["deletionVector"])) \
-        if add.get("deletionVector") else None
-    return _cdf_file_frame(
-        spark, path, add, data_schema, types, part_cols, "insert",
-        version, positions=dead, exclude=True)
-
-
 def _cdf_file_frame(spark: SparkSession, path: str, add: dict,
                     data_schema: StructType, types: dict,
                     part_cols: list[str], change_type: str,
@@ -2732,6 +2717,142 @@ def _cdf_cdc_frames(spark: SparkSession, path: str, cdc: list[dict],
     return out
 
 
+def _cdf_plan(path: str, from_version: int, to: int):
+    """Driver-side CDF planning, shared by :func:`read_delta_cdf` and
+    the ``tulflow_delta_cdf`` streaming source: resolve each commit in
+    (``from_version``, ``to``] to plan records
+
+    - ``("cdc", cdc_action, version)`` — read exactly that
+      ``_change_data/`` file (the writer's authoritative record);
+    - ``("file", add_action, change_type, version, positions,
+      exclude)`` — a data file's rows under a literal change type,
+      restricted to ``positions`` (DV-diff rows) or to everything
+      except them (``exclude=True``).
+
+    Resolution rules (the protocol's CDF semantics): cdc actions win
+    for their version; pure adds are ``insert`` minus the file's own
+    DV-dead rows; pure removes are ``delete`` of the survivors;
+    same-path re-adds deliver the DV DIFF (grown entries delete,
+    shrunk entries — RESTORE — insert); a rewrite without cdc files is
+    typed; metadata-only commits contribute nothing.
+
+    The rolling prior-state snapshot costs ONE checkpoint-resumed
+    replay for the whole window, then stays in sync from the loop's
+    already-parsed actions — a window of V delete commits costs O(V)
+    log reads, not O(V²) replays (r12 review findings)."""
+    from tulflow_spark.ext import deletion_vectors as _dv
+
+    def read_dv_idx(desc) -> set:
+        try:
+            return set(int(i) for i in _dv.read_dv(path, desc))
+        except _dv.DvError as exc:
+            raise DeltaProtocolError(
+                f"change feed deletion vector: {exc}") from None
+
+    out: list[tuple] = []
+    roll: Snapshot | None = None
+    roll_v = from_version
+
+    def _roll_apply(actions: list[dict], u: int) -> None:
+        for action in actions:
+            try:
+                _apply_action(roll, action)
+            except DeltaProtocolError:
+                raise
+            except (ValueError, KeyError, TypeError,
+                    AttributeError) as exc:
+                raise DeltaProtocolError(
+                    f"malformed action line in commit {u}: {exc!r}"
+                ) from None
+
+    def prev_snap(v: int) -> Snapshot:
+        nonlocal roll, roll_v
+        if roll is None:
+            roll = _replay(None, path, v - 1) if v > 0 \
+                else Snapshot({}, None, -1)
+            roll_v = v - 1
+        for u in range(roll_v + 1, v):     # gap catch-up (rare)
+            _roll_apply(_commit_actions(path, u), u)
+        roll_v = max(roll_v, v - 1)
+        return roll
+
+    for v in range(from_version + 1, to + 1):
+        actions = _commit_actions(path, v)
+        cdc = [a["cdc"] for a in actions if a.get("cdc")]
+        adds = {a["add"]["path"]: a["add"] for a in actions
+                if a.get("add") and a["add"].get("dataChange")}
+        rms = {a["remove"]["path"] for a in actions
+               if a.get("remove") and a["remove"].get("dataChange")}
+        if cdc:
+            out += [("cdc", c, v) for c in cdc]
+        elif adds or rms:
+            re_added = rms & set(adds)
+            gone = rms - set(adds)
+            fresh = set(adds) - rms
+            if gone and fresh:
+                # files removed AND unrelated files added: a rewrite
+                # (delete_where / overwrite / merge shape) — per-row
+                # changes are not derivable from file actions
+                raise DeltaProtocolError(
+                    f"commit {v} rewrites files (adds + removes) "
+                    "without cdc files: the row-level change set is "
+                    "not derivable — enable "
+                    "delta.enableChangeDataFeed before such commits")
+            prev = prev_snap(v) if rms else None
+            for p in sorted(gone):
+                a = prev.live.get(p)
+                if a is None:
+                    raise DeltaProtocolError(
+                        f"commit {v} removes {p!r}, which was not "
+                        f"live at {v - 1}")
+                # rows the file's OWN deletion vector had already
+                # killed must not re-deliver as deletes — only the
+                # survivors die with the file
+                dead = read_dv_idx(a["deletionVector"]) \
+                    if a.get("deletionVector") else set()
+                out.append(("file", a, "delete", v,
+                            tuple(sorted(dead)) or None, True))
+            for p in sorted(re_added):
+                # same-path re-add: the immutable file's content is
+                # unchanged, so the change is exactly the DV DIFF —
+                # grown entries are deletes, shrunk entries (RESTORE /
+                # un-delete, including dropping the DV entirely) are
+                # inserts
+                a = prev.live.get(p)
+                if a is None:
+                    raise DeltaProtocolError(
+                        f"commit {v} removes {p!r}, which was not "
+                        f"live at {v - 1}")
+                old_idx = read_dv_idx(a["deletionVector"]) \
+                    if a.get("deletionVector") else set()
+                new_idx = read_dv_idx(adds[p]["deletionVector"]) \
+                    if adds[p].get("deletionVector") else set()
+                newly = tuple(sorted(new_idx - old_idx))
+                if newly:
+                    out.append(("file", adds[p], "delete", v,
+                                newly, False))
+                restored = tuple(sorted(old_idx - new_idx))
+                if restored:
+                    out.append(("file", adds[p], "insert", v,
+                                restored, False))
+            for p in sorted(fresh):
+                # an added file's rows as insert — MINUS any rows its
+                # own deletion vector already marks dead (a RESTORE/
+                # CLONE-shaped commit may add a DV-carrying file;
+                # delivering dead rows as inserts would desync the
+                # feed from the table state)
+                dead = read_dv_idx(adds[p]["deletionVector"]) \
+                    if adds[p].get("deletionVector") else set()
+                out.append(("file", adds[p], "insert", v,
+                            tuple(sorted(dead)) or None, True))
+        # keep the rolling prior-state in sync from the actions this
+        # iteration already parsed (no second read of the commit)
+        if roll is not None and roll_v == v - 1:
+            _roll_apply(actions, v)
+            roll_v = v
+    return out
+
+
 def read_delta_cdf(
     spark: SparkSession, path: str, from_version: int,
     to_version: int | None = None,
@@ -2765,8 +2886,6 @@ def read_delta_cdf(
     are change-sized; DV diffs broadcast row positions — no full-table
     scan at any point."""
     from pyspark.sql import functions as F
-
-    from tulflow_spark.ext import deletion_vectors as _dv
 
     latest = latest_version(path)
     if latest is None:
@@ -2813,119 +2932,17 @@ def read_delta_cdf(
     data_schema = StructType(
         [f for f in schema.fields if f.name not in part_cols])
 
-    def read_dv_idx(desc) -> set:
-        try:
-            return set(int(i) for i in _dv.read_dv(path, desc))
-        except _dv.DvError as exc:
-            raise DeltaProtocolError(
-                f"change feed deletion vector: {exc}") from None
-
     frames: list[DataFrame] = []
-    # rolling prior-state snapshot: ONE checkpoint-resumed replay to
-    # the first version that needs it, then kept in sync from the
-    # main loop's ALREADY-PARSED actions — a window of V delete
-    # commits costs O(V) log reads (not O(V^2) replays), commits are
-    # never parsed twice, and checkpoint resume still works when the
-    # pre-checkpoint JSON was aged out (r12 review findings)
-    roll: Snapshot | None = None
-    roll_v = from_version
-
-    def _roll_apply(actions: list[dict], u: int) -> None:
-        for action in actions:
-            try:
-                _apply_action(roll, action)
-            except DeltaProtocolError:
-                raise
-            except (ValueError, KeyError, TypeError,
-                    AttributeError) as exc:
-                raise DeltaProtocolError(
-                    f"malformed action line in commit {u}: {exc!r}"
-                ) from None
-
-    def prev_snap(v: int) -> Snapshot:
-        nonlocal roll, roll_v
-        if roll is None:
-            roll = _replay(spark, path, v - 1) if v > 0 \
-                else Snapshot({}, None, -1)
-            roll_v = v - 1
-        for u in range(roll_v + 1, v):     # gap catch-up (rare)
-            _roll_apply(_commit_actions(path, u), u)
-        roll_v = max(roll_v, v - 1)
-        return roll
-
-    for v in range(from_version + 1, to + 1):
-        actions = _commit_actions(path, v)
-        cdc = [a["cdc"] for a in actions if a.get("cdc")]
-        adds = {a["add"]["path"]: a["add"] for a in actions
-                if a.get("add") and a["add"].get("dataChange")}
-        rms = {a["remove"]["path"] for a in actions
-               if a.get("remove") and a["remove"].get("dataChange")}
-        if cdc:
-            frames += _cdf_cdc_frames(spark, path, cdc, data_schema,
-                                      types, part_cols, v)
-        elif adds or rms:
-            re_added = rms & set(adds)
-            gone = rms - set(adds)
-            fresh = set(adds) - rms
-            if gone and fresh:
-                # files removed AND unrelated files added: a rewrite
-                # (delete_where / overwrite / merge shape) — per-row
-                # changes are not derivable from file actions
-                raise DeltaProtocolError(
-                    f"commit {v} rewrites files (adds + removes) "
-                    "without cdc files: the row-level change set is "
-                    "not derivable — enable "
-                    "delta.enableChangeDataFeed before such commits")
-            prev = prev_snap(v) if rms else None
-            for p in sorted(gone):
-                a = prev.live.get(p)
-                if a is None:
-                    raise DeltaProtocolError(
-                        f"commit {v} removes {p!r}, which was not "
-                        f"live at {v - 1}")
-                # rows the file's OWN deletion vector had already
-                # killed must not re-deliver as deletes — only the
-                # survivors die with the file
-                dead = read_dv_idx(a["deletionVector"]) \
-                    if a.get("deletionVector") else set()
-                frames.append(_cdf_file_frame(
-                    spark, path, a, data_schema, types, part_cols,
-                    "delete", v,
-                    positions=sorted(dead), exclude=True))
-            for p in sorted(re_added):
-                # same-path re-add: the immutable file's content is
-                # unchanged, so the change is exactly the DV DIFF —
-                # grown entries are deletes, shrunk entries (RESTORE /
-                # un-delete, including dropping the DV entirely) are
-                # inserts
-                a = prev.live.get(p)
-                if a is None:
-                    raise DeltaProtocolError(
-                        f"commit {v} removes {p!r}, which was not "
-                        f"live at {v - 1}")
-                old_idx = read_dv_idx(a["deletionVector"]) \
-                    if a.get("deletionVector") else set()
-                new_idx = read_dv_idx(adds[p]["deletionVector"]) \
-                    if adds[p].get("deletionVector") else set()
-                newly = sorted(new_idx - old_idx)
-                if newly:
-                    frames.append(_cdf_file_frame(
-                        spark, path, adds[p], data_schema, types,
-                        part_cols, "delete", v, positions=newly))
-                restored = sorted(old_idx - new_idx)
-                if restored:
-                    frames.append(_cdf_file_frame(
-                        spark, path, adds[p], data_schema, types,
-                        part_cols, "insert", v, positions=restored))
-            for p in sorted(fresh):
-                frames.append(_cdf_insert_frame(
-                    spark, path, adds[p], data_schema, types,
-                    part_cols, v, read_dv_idx))
-        # keep the rolling prior-state in sync from the actions this
-        # iteration already parsed (no second read of the commit)
-        if roll is not None and roll_v == v - 1:
-            _roll_apply(actions, v)
-            roll_v = v
+    for rec in _cdf_plan(path, from_version, to):
+        if rec[0] == "cdc":
+            frames += _cdf_cdc_frames(spark, path, [rec[1]],
+                                      data_schema, types, part_cols,
+                                      rec[2])
+        else:
+            _, a, ctype, v, positions, exclude = rec
+            frames.append(_cdf_file_frame(
+                spark, path, a, data_schema, types, part_cols, ctype,
+                v, positions=positions, exclude=exclude))
     if not frames:
         return _cdf_empty(spark, logical)
     # final projection: physical → logical rename (no-op when unmapped)

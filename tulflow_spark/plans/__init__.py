@@ -59,6 +59,10 @@ GATED: frozenset[str] = frozenset(
         # gated in place of x4_transform_rules (driver rows r2..r12;
         # x2b/x3 keep the XML-family anchors)
         "dl10_merge_cdf",
+        # r13: the CDF streaming-source pair (r12 VERDICT #3), gated
+        # in place of q05_region_revenue (driver rows r1..r12; TPC-H
+        # keeps the q01/q03 anchors)
+        "sdc3_stream_delta_cdf",
         "bm1_bm25_search",
         # r10: cdc3_scd2_history rotated out (driver rows r7/r8/r9;
         # cdc2 keeps the CDC anchor) for the deletion-vector pair
@@ -115,7 +119,6 @@ GATED: frozenset[str] = frozenset(
         # kept anchors
         "q01_pricing_summary",
         "q03_top_revenue_orders",
-        "q05_region_revenue",
         # r8: q14_promo_revenue rotated out (TPC-H keeps three anchors;
         # q14 stays in the local parity suite) to budget the slot for
         # the new MP3 decode pair

@@ -623,6 +623,122 @@ def sdc1_stream_delta_changes(spark: SparkSession,
 
 
 @register(
+    "sdc3_stream_delta_cdf",
+    oracle="""
+    WITH base AS (SELECT doc_id, text FROM documents),
+    upd AS (SELECT doc_id, text FROM base
+            WHERE doc_id % 5 = 0 AND doc_id % 7 <> 0),
+    del2 AS (SELECT doc_id, text FROM base WHERE doc_id % 7 = 0),
+    del3 AS (SELECT doc_id, text FROM base
+             WHERE doc_id % 11 = 0 AND doc_id % 7 <> 0
+               AND doc_id % 5 <> 0),
+    ins3 AS (SELECT doc_id + 10000000 AS doc_id, 'N:' || text AS text
+             FROM base WHERE doc_id % 13 = 0),
+    feed AS (
+      SELECT text, 'insert' AS ct,
+             CASE WHEN doc_id % 2 = 1 THEN 0 ELSE 1 END AS v
+      FROM base
+      UNION ALL SELECT text, 'delete', 2 FROM del2
+      UNION ALL SELECT text, 'update_preimage', 3 FROM upd
+      UNION ALL SELECT 'M:' || text, 'update_postimage', 3 FROM upd
+      UNION ALL SELECT text, 'delete', 3 FROM del3
+      UNION ALL SELECT text, 'insert', 3 FROM ins3
+    ),
+    keyed AS (SELECT ct || '|' || md5(text) || '|' || v AS k, ct
+              FROM feed)
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(SUM(CASE WHEN ct = 'delete' THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_del,
+           CAST(SUM(CASE WHEN ct = 'update_postimage' THEN 1 ELSE 0
+                END) AS BIGINT) AS n_upd,
+           md5(STRING_AGG(k, '' ORDER BY k)) AS feed_md5
+    FROM keyed
+    """,
+)
+def sdc3_stream_delta_cdf(spark: SparkSession,
+                          sf_dir: str) -> DataFrame:
+    """The Structured Streaming CHANGE-DATA-FEED source driven end to
+    end (r13, r12 VERDICT #3 — the full-fidelity sibling of sdc1,
+    WITH deletes and update images): documents land in two insert
+    commits, a DELETE records cdc files, and a MERGE commits paired
+    update images plus inserts and deletes; a real
+    ``spark.readStream.format("tulflow_delta_cdf")`` query drains all
+    four versions under ``maxVersionsPerBatch=2`` admission control
+    (two capped availableNow runs into a restart-capable parquet
+    sink), and the digest of what ARRIVED — keyed on (change_type,
+    text-hash, commit version) — must equal the DuckDB
+    reconstruction of the exact change stream.  A dropped delete, an
+    unpaired update image, or a re-delivered batch fails the hash.
+
+    At 100 TB: planning parses only the range's commit JSONs; each
+    task Arrow-scans one cdc/data file; the cap bounds a backlogged
+    table's micro-batches; Spark's offset log owns exactly-once."""
+    import tempfile
+
+    from tulflow_spark.ext.delta_log import (
+        delete_where,
+        merge_delta,
+        write_delta,
+    )
+    from tulflow_spark.sources.lake_stream import DeltaCdfSource
+
+    docs = table(spark, sf_dir, "documents").select("doc_id", "text")
+    t = tempfile.mkdtemp(prefix="sdc3_") + "/tbl"
+    write_delta(docs.filter("doc_id % 2 = 1"), t,
+                configuration={"delta.enableChangeDataFeed": "true"})
+    write_delta(docs.filter("doc_id % 2 = 0"), t,
+                mode="append")                                 # v1
+    delete_where(spark, t, "doc_id % 7 = 0")                   # v2
+    changes = (
+        docs.filter("doc_id % 5 = 0 AND doc_id % 7 <> 0")
+            .select("doc_id",
+                    F.concat(F.lit("M:"), F.col("text")).alias("text"),
+                    F.lit("U").alias("op"))
+        .unionByName(
+            docs.filter("doc_id % 11 = 0 AND doc_id % 7 <> 0 "
+                        "AND doc_id % 5 <> 0")
+                .select("doc_id", "text", F.lit("D").alias("op")))
+        .unionByName(
+            docs.filter("doc_id % 13 = 0")
+                .select((F.col("doc_id") + 10000000).alias("doc_id"),
+                        F.concat(F.lit("N:"), F.col("text"))
+                         .alias("text"),
+                        F.lit("I").alias("op")))
+    )
+    merge_delta(spark, t, changes, keys=["doc_id"])            # v3
+    spark.dataSource.register(DeltaCdfSource)
+    out = tempfile.mkdtemp(prefix="sdc3out_")
+    ckpt = tempfile.mkdtemp(prefix="sdc3ck_")
+    for _ in range(2):       # two capped drains cover (−1,1] (1,3]
+        q = (spark.readStream.format("tulflow_delta_cdf")
+             .option("path", t).option("startingVersion", "-1")
+             .option("maxVersionsPerBatch", "2").load()
+             .writeStream.format("parquet").option("path", out)
+             .option("checkpointLocation", ckpt)
+             .trigger(availableNow=True).start())
+        if not q.awaitTermination(300):
+            q.stop()
+            raise TimeoutError(
+                "sdc3 stream did not drain within 300s — partial "
+                "sink contents would misreport as a correctness "
+                "failure")
+    arrived = spark.read.parquet(out)
+    key = F.concat_ws(
+        "|", F.col("_change_type"), F.md5("text"),
+        F.col("_commit_version").cast("string"))
+    ct = F.col("_change_type")
+    return arrived.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+        F.sum((ct == "delete").cast("long")).cast("bigint")
+         .alias("n_del"),
+        F.sum((ct == "update_postimage").cast("long")).cast("bigint")
+         .alias("n_upd"),
+        F.md5(F.concat_ws("", F.array_sort(F.collect_list(key))))
+         .alias("feed_md5"),
+    ).select("n_rows", "n_del", "n_upd", "feed_md5")
+
+
+@register(
     "ib3_iceberg_eq_deletes",
     oracle="""
     WITH dead AS (SELECT MIN(lang) AS lang FROM documents),

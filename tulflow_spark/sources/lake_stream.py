@@ -119,11 +119,13 @@ class DeltaChangesStreamReader(DataSourceStreamReader):
     advances the base: Spark may call it several times per trigger
     and a self-advancing base would run away uncapped."""
 
+    _FMT = "tulflow_delta_changes"
+
     def __init__(self, schema: StructType, options: dict):
         self._path = options.get("path")
         if not self._path:
             raise DeltaChangeFeedError(
-                "tulflow_delta_changes needs .option('path', <table>)")
+                f"{self._FMT} needs .option('path', <table>)")
         self._schema = schema
         start = options.get("startingversion",
                             options.get("startingVersion"))
@@ -386,6 +388,234 @@ class DeltaChangesSource(DataSource):
 
     def streamReader(self, schema: StructType):
         return DeltaChangesStreamReader(schema, dict(self.options))
+
+
+# ---------------------------------------------------------------------------
+# CDF variant: full-fidelity change rows (_change_type-tagged), the
+# streaming face of ext/delta_log.py::read_delta_cdf
+# ---------------------------------------------------------------------------
+
+
+class _CdfFilePartition(InputPartition):
+    def __init__(self, scan_path: str, columns: list,
+                 ctype: str | None, version: int,
+                 positions: tuple | None, exclude: bool):
+        self.scan_path = scan_path
+        self.columns = columns      # table-column bindings, see
+        self.ctype = ctype          # _AddFilePartition; ctype None =
+        self.version = version      # read _change_type from the file
+        self.positions = positions  # row indices (DV diff), or None
+        self.exclude = exclude      # True: deliver all EXCEPT them
+
+
+class DeltaCdfStreamReader(DeltaChangesStreamReader):
+    """Streaming CHANGE DATA FEED source: micro-batches deliver the
+    table's row-level changes — (table columns, ``_change_type``,
+    ``_commit_version``) — for commits ``(start, end]``, resolved by
+    the same driver-side planner as the batch
+    :func:`~tulflow_spark.ext.delta_log.read_delta_cdf` (cdc files
+    win, pure adds are inserts, full-file removes are survivor
+    deletes, DV diffs split delete/insert, underivable rewrites fail
+    the batch typed).  Offsets, admission control
+    (``maxVersionsPerBatch``) and exactly-once recovery are inherited
+    from the append-only reader — only planning and the executor read
+    differ.
+
+    Column-mapped tables resolve mode=name through physical bindings
+    (rename-stable, so feeds crossing a rename deliver correctly);
+    mode=id stays typed, matching the batch reader.
+
+    At 100 TB: planning parses only the range's commit JSONs; each
+    task Arrow-scans ONE cdc/data file; DV-diff row positions ship in
+    the plan (vector-sized); the backlog drains in capped batches."""
+
+    _FMT = "tulflow_delta_cdf"
+
+    def partitions(self, start: dict, end: dict) -> list[InputPartition]:
+        from pyspark.sql.types import StructType as _St
+
+        from tulflow_spark import fsio as _fsio
+        from tulflow_spark.ext.delta_log import (
+            DeltaProtocolError,
+            _cdf_plan,
+            _list_log_versions,
+            _mapping_mode,
+            _partition_value,
+            _physical_names,
+            _replay,
+            _scan_path,
+        )
+
+        lo, hi = int(start["version"]), int(end["version"])
+        # a replayed (post-restart) batch re-seeds the cap base
+        self._last_end = max(hi, self._last_end or hi)
+        if hi <= lo:
+            return []
+        have = set(_list_log_versions(self._path))
+        missing = [v for v in range(lo + 1, hi + 1) if v not in have]
+        if missing:
+            raise DeltaChangeFeedError(
+                f"commits {missing[:5]} aged out below the checkpoint "
+                "horizon: re-sync from a snapshot read")
+        try:
+            plan = _cdf_plan(self._path, lo, hi)
+            snap = _replay(None, self._path, hi)
+        except DeltaProtocolError as exc:
+            raise DeltaChangeFeedError(str(exc)) from None
+        if snap.schema_str is None:
+            raise DeltaChangeFeedError("table has no metaData schema")
+        mode = _mapping_mode(snap)
+        if mode not in ("none", "name"):
+            raise DeltaChangeFeedError(
+                f"change feed on column mapping mode={mode!r} not "
+                "supported (mode='name' and unmapped tables are)")
+        schema = _St.fromJson(json.loads(snap.schema_str))
+        if mode == "name":
+            try:
+                phys_of = _physical_names(snap)
+            except DeltaProtocolError as exc:
+                raise DeltaChangeFeedError(str(exc)) from None
+        else:
+            phys_of = {f.name: f.name for f in schema.fields}
+        types = {f.name: f.dataType for f in schema.fields}
+        part_cols = list(snap.partition_cols)
+        unsupported = [c for c in part_cols
+                       if types[c].simpleString() not in _PA_OF]
+        if unsupported:
+            raise DeltaChangeFeedError(
+                f"partition column types {unsupported} not supported "
+                "by the streaming source")
+        part_set = set(part_cols)
+        import pyarrow.parquet as _pq
+
+        out: list[InputPartition] = []
+        for rec in plan:
+            if rec[0] == "cdc":
+                act, v = rec[1], rec[2]
+                ctype, positions, exclude = None, None, False
+            else:
+                _, act, ctype, v, positions, exclude = rec
+            sp = _scan_path(self._path, act["path"])
+            if not _fsio.exists(sp):
+                raise DeltaChangeFeedError(
+                    f"change feed needs {act['path']!r}, which was "
+                    "vacuumed — re-sync from a snapshot read")
+            if ctype is None:
+                # cdc file: _change_type MUST come from the file — an
+                # absent column would silently null every change type
+                fs_, lp_ = _fsio.resolve(sp)
+                with fs_.open_input_file(lp_) as handle:
+                    fnames = set(
+                        _pq.ParquetFile(handle).schema_arrow.names)
+                if "_change_type" not in fnames:
+                    raise DeltaChangeFeedError(
+                        f"cdc file {act['path']!r} has no "
+                        "_change_type column")
+            pv = act.get("partitionValues") or {}
+            columns: list = []
+            for f in schema.fields:
+                st = types[f.name].simpleString()
+                ph = phys_of[f.name]
+                if f.name in part_set:
+                    if ph not in pv:
+                        raise DeltaChangeFeedError(
+                            f"action for {act['path']!r} is missing "
+                            f"partitionValues[{ph!r}]")
+                    columns.append((
+                        "lit", f.name,
+                        _partition_value(pv[ph], types[f.name],
+                                         f.name), _PA_OF[st]))
+                else:
+                    columns.append(("file", f.name, ph,
+                                    _PA_OF.get(st)))
+            out.append(_CdfFilePartition(sp, columns, ctype, v,
+                                         positions, exclude))
+        return out
+
+    def read(self, partition: _CdfFilePartition):
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        from tulflow_spark import fsio
+
+        pos = None if partition.positions is None \
+            else set(partition.positions)
+        fs, lp = fsio.resolve(partition.scan_path)
+        with fs.open_input_file(lp) as handle:
+            pf = pq.ParquetFile(handle)
+            have = set(pf.schema_arrow.names)
+            hard = [spec[2] for spec in partition.columns
+                    if spec[0] == "file" and spec[2] not in have
+                    and spec[3] is None]
+            if hard:
+                raise DeltaChangeFeedError(
+                    f"data file {partition.scan_path!r} lacks "
+                    f"columns {hard} whose types cannot null-fill — "
+                    "re-sync from a snapshot read")
+            offset = 0
+            for batch in pf.iter_batches():
+                tbl = pa.Table.from_batches([batch])
+                n = tbl.num_rows
+                if pos is not None:
+                    keep = [i for i in range(n)
+                            if ((offset + i) in pos)
+                            != partition.exclude]
+                    if len(keep) != n:
+                        tbl = tbl.take(pa.array(keep, pa.int32()))
+                offset += n
+                m = tbl.num_rows
+                if m == 0:
+                    continue
+                cols: dict = {}
+                for spec in partition.columns:
+                    if spec[0] == "file" and spec[2] in have:
+                        cols[spec[1]] = tbl.column(spec[2])
+                    elif spec[0] == "lit":
+                        cols[spec[1]] = pa.array(
+                            [spec[2]] * m, type=_pa_type(spec[3]))
+                    else:   # file column the vintage predates
+                        cols[spec[1]] = pa.nulls(
+                            m, type=_pa_type(spec[3]))
+                cols["_change_type"] = tbl.column("_change_type") \
+                    if partition.ctype is None else pa.array(
+                        [partition.ctype] * m, type=pa.string())
+                cols["_commit_version"] = pa.array(
+                    [partition.version] * m, type=pa.int64())
+                yield from pa.table(cols).to_batches()
+
+
+class DeltaCdfSource(DataSource):
+    """``spark.readStream.format("tulflow_delta_cdf")`` — the
+    streaming change-data-feed source (append-only tables AND
+    delete/merge/DV commits, delivered as typed change rows)."""
+
+    @classmethod
+    def name(cls) -> str:
+        return "tulflow_delta_cdf"
+
+    def schema(self):
+        from pyspark.sql.types import LongType, StringType, StructField
+        from pyspark.sql.types import StructType as _St
+
+        from tulflow_spark.ext.delta_log import _replay, latest_version
+
+        path = self.options.get("path")
+        if not path:
+            raise DeltaChangeFeedError(
+                "tulflow_delta_cdf needs .option('path', <table>)")
+        latest = latest_version(path)
+        if latest is None:
+            raise DeltaChangeFeedError(f"no delta table at {path}")
+        snap = _replay(None, path, latest)
+        if snap.schema_str is None:
+            raise DeltaChangeFeedError("table has no metaData schema")
+        return _St(
+            list(_St.fromJson(json.loads(snap.schema_str)).fields)
+            + [StructField("_change_type", StringType()),
+               StructField("_commit_version", LongType())])
+
+    def streamReader(self, schema: StructType):
+        return DeltaCdfStreamReader(schema, dict(self.options))
 
 
 # ---------------------------------------------------------------------------
