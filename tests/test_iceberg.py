@@ -424,7 +424,10 @@ def test_fixture_handles_null_partition_values(spark, tmp_path):
 
 def test_orc_data_files(spark, tmp_path):
     """ORC data files read through spark.read.orc; positional deletes
-    on ORC wall typed (no row_index metadata column)."""
+    on ORC apply through the Arrow-indexed scan (r13 — Spark's ORC
+    reader has no row_index metadata column, so referenced files scan
+    one per task with per-stripe row numbering; UNREFERENCED files
+    keep the declarative scan)."""
     t = str(tmp_path / "tbl")
     write_iceberg_fixture(spark, _df(spark, 0, 12), t,
                           partition_by=["b"], file_format="orc")
@@ -436,10 +439,12 @@ def test_orc_data_files(spark, tmp_path):
     assert read_iceberg(spark, t).count() == 15
     # identity-partition prune still applies (manifest metadata only)
     assert read_iceberg(spark, t, prune=("b", 0, 0)).count() == 5
-    fp = next(iter(_file_ids(t)))
-    with pytest.raises(IcebergError, match="ORC"):
-        delete_positions_iceberg_fixture(spark, t, {fp: [0]})
-        read_iceberg(spark, t)
+    fids = _file_ids(t)
+    fp = sorted(fids)[0]
+    delete_positions_iceberg_fixture(spark, t, {fp: [0, 2]})
+    dead = {fids[fp][0], fids[fp][2]}
+    assert _ids(read_iceberg(spark, t)) == \
+        sorted(set(range(15)) - dead)
     with pytest.raises(IcebergError, match="not supported"):
         write_iceberg_fixture(spark, _df(spark, 0, 2),
                               str(tmp_path / "t2"), file_format="avro")
@@ -1162,3 +1167,40 @@ def test_nested_column_foreign_table_reads(spark, tmp_path):
     got = read_iceberg(spark, t)
     assert {r["k"]: (r["s"]["p"], r["s"]["q"])
             for r in got.collect()} == {1: ("a", 2), 2: ("b", 3)}
+
+
+def test_orc_equality_deletes(spark, tmp_path):
+    """r13: ORC data + EQUALITY deletes — the value anti-join is
+    format-agnostic, so the merge-on-read view works without row
+    indices."""
+    from tulflow_spark.ext.iceberg import delete_equality_iceberg_fixture
+
+    t = str(tmp_path / "tbl")
+    write_iceberg_fixture(spark, _df(spark, 0, 12), t,
+                          file_format="orc")
+    delete_equality_iceberg_fixture(spark, t, [{"b": 1}], ["b"])
+    assert _ids(read_iceberg(spark, t)) == \
+        [i for i in range(12) if i % 3 != 1]
+
+
+def test_orc_position_delete_hit_miss_split(spark, tmp_path):
+    """r13: only ORC files REFERENCED by a position delete pay the
+    Arrow-indexed scan; unreferenced files keep the declarative
+    spark.read.orc path (visible through inputFiles, which the
+    mapInPandas path does not report)."""
+    t = str(tmp_path / "tbl")
+    write_iceberg_fixture(spark, _df(spark, 0, 6), t,
+                          file_format="orc")
+    append_iceberg_fixture(spark, _df(spark, 6, 12), t)
+    fids = _file_ids(t)
+    assert len(fids) == 2
+    hit, miss = sorted(fids)
+    delete_positions_iceberg_fixture(spark, t, {hit: [1]})
+    got = read_iceberg(spark, t)
+    assert _ids(got) == sorted(set(range(12)) - {fids[hit][1]})
+    scanned = set(got.inputFiles())
+    assert any(miss.endswith(f.replace("file:", "").lstrip("/"))
+               or f.endswith(miss[7:]) for f in scanned), \
+        "unreferenced ORC file must stay on the declarative scan"
+    assert not any(f.endswith(hit[7:]) for f in scanned), \
+        "referenced ORC file must scan through the indexed path"

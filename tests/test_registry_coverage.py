@@ -71,18 +71,14 @@ def test_r7_rotation_promotes_never_adjudicated_pairs():
     # promoted set (the gate budget is a hard 50) UNLESS they took a slot
     # in the same commit; names here run in the local parity suite this
     # round and queue for the r8 rotation.
-    # r12 rotation: sdc1/ib3 promoted into the gate (the only
-    # never-adjudicated names at rotation time); ib4 (field-id
-    # rename), dl7 (column mapping mode=id) and sdc2 (Iceberg
-    # streaming source) registered after the gate froze and queue for
-    # the r13 rotation
+    # r13 rotation: dl8/dl9/ib5/sdc2 promoted (r12 VERDICT #1) plus
+    # the round's new dl10/sdc3 pairs gated on creation; ib4/dl7/ib6
+    # still queue (r14), and dl11 (CDF × rename) registered after the
+    # r13 gate froze
     added_post_rotation: set[str] = {"ib4_iceberg_rename",
                                      "dl7_column_mapping_id",
-                                     "sdc2_stream_iceberg_changes",
-                                     "ib5_iceberg_v3_dv",
-                                     "dl8_v2_checkpoint",
-                                     "dl9_change_feed",
-                                     "ib6_ref_travel"}
+                                     "ib6_ref_travel",
+                                     "dl11_cdf_rename"}
     never -= added_post_rotation
     assert never <= set(QUERIES), (
         f"never-adjudicated but de-gated: {sorted(never - set(QUERIES))}"

@@ -1002,6 +1002,54 @@ def _dv_positions_frame(spark: SparkSession,
     }))
 
 
+def _orc_indexed_scan(spark: SparkSession, paths: list[str],
+                      fp_col: str, ri_col: str) -> DataFrame:
+    """Distributed ORC scan with physical row positions attached:
+    Spark's ORC reader exposes no ``_metadata.row_index`` (verified on
+    Spark 4 — the ORC metadata struct stops at block offsets), so
+    position deletes on ORC resolve through a one-file-per-task Arrow
+    scan (``pyarrow.orc``) that numbers rows per stripe.  Same task
+    shape as any file scan — no driver funneling; only the files a
+    delete actually references pay this path."""
+    import numpy as np  # noqa: F401  (executor-side dependency)
+
+    from pyspark.sql.types import LongType, StringType, StructField
+    from pyspark.sql.types import StructType as _St
+
+    base = spark.read.orc(sorted(paths)).schema
+    cols = [f.name for f in base.fields]
+    out_schema = _St(list(base.fields) + [
+        StructField(fp_col, StringType(), False),
+        StructField(ri_col, LongType(), False)])
+    files_df = spark.createDataFrame(
+        [(p,) for p in sorted(paths)], "__orc_file string"
+    ).repartition(len(paths), "__orc_file")
+
+    def gen(it):
+        import numpy as _np
+        import pyarrow.orc as po
+
+        from tulflow_spark import fsio as _f
+
+        for pdf in it:
+            for p in pdf["__orc_file"]:
+                fs, lp = _f.resolve(p)
+                with fs.open_input_file(lp) as handle:
+                    orf = po.ORCFile(handle)
+                    off = 0
+                    for s in range(orf.nstripes):
+                        tbl = orf.read_stripe(s)
+                        out = tbl.to_pandas()[cols]
+                        n = len(out)
+                        out[fp_col] = p
+                        out[ri_col] = _np.arange(off, off + n,
+                                                 dtype=_np.int64)
+                        off += n
+                        yield out
+
+    return files_df.mapInPandas(gen, schema=out_schema)
+
+
 def _apply_position_deletes(spark: SparkSession, scan: DataFrame,
                             data_files: list[dict],
                             delete_files: list[dict],
@@ -1012,20 +1060,16 @@ def _apply_position_deletes(spark: SparkSession, scan: DataFrame,
     position-delete PARQUET files (``delete_files``) and v3 Puffin
     deletion vectors (``dv_frame``, prebuilt ONCE per read by
     ``_dv_positions_frame``; they address rows identically, only the
-    storage differs)."""
+    storage differs).  Parquet rows address through
+    ``_metadata.row_index``; ORC (which has no such column, r13) scans
+    the REFERENCED files through :func:`_orc_indexed_scan` while
+    unreferenced ORC files keep the declarative scan."""
+    import re
+
     from pyspark.sql import functions as F
 
     if not delete_files and dv_frame is None:
         return scan
-    if any(str(d.get("file_format") or "").upper() == "ORC"
-           for d in data_files):
-        # position deletes subtract via _metadata.row_index, which
-        # Spark exposes for parquet only — applying them to an ORC
-        # scan would silently keep deleted rows
-        raise IcebergError(
-            "positional deletes on ORC data files not supported "
-            "(no row_index metadata column)"
-        )
     ri, fp = "__ice_pos", "__ice_path"
     if {ri, fp} & set(scan.columns):
         raise IcebergError(
@@ -1046,12 +1090,34 @@ def _apply_position_deletes(spark: SparkSession, scan: DataFrame,
         norm(F.col("file_path")).alias(fp),
         F.col("pos").cast("long").alias(ri),
     ).distinct()
-    out = (scan
-           .withColumn(fp, norm(F.col("_metadata.file_path")))
-           .withColumn(ri, F.col("_metadata.row_index"))
-           .join(F.broadcast(dels), [fp, ri], "left_anti")
-           .drop(fp, ri))
-    return out
+    orc = [d for d in data_files
+           if str(d.get("file_format") or "").upper() == "ORC"]
+    if not orc:
+        return (scan
+                .withColumn(fp, norm(F.col("_metadata.file_path")))
+                .withColumn(ri, F.col("_metadata.row_index"))
+                .join(F.broadcast(dels), [fp, ri], "left_anti")
+                .drop(fp, ri))
+    if len(orc) != len(data_files):
+        raise IcebergError(
+            "internal: mixed-format delete group (groups key on "
+            "format)")
+    # referenced paths: one driver-side distinct over the delete set —
+    # bounded by the table's FILE count, the usual metadata-walk size
+    pnorm = lambda p: re.sub("^file:/+", "/", p)  # noqa: E731
+    ref = {r[fp] for r in dels.select(fp).distinct().collect()}
+    hit = sorted(pnorm(_plain_path(d["file_path"])) for d in orc
+                 if pnorm(_plain_path(d["file_path"])) in ref)
+    miss = [d for d in orc
+            if pnorm(_plain_path(d["file_path"])) not in ref]
+    out = []
+    if hit:
+        out.append(_orc_indexed_scan(spark, hit, fp, ri)
+                   .join(F.broadcast(dels), [fp, ri], "left_anti")
+                   .drop(fp, ri))
+    if miss:
+        out.append(_format_scan(spark, miss))
+    return _union_fold_by_name(out)
 
 
 # ---------------------------------------------------------------------------
