@@ -235,3 +235,91 @@ def test_cdf_stream_partitioned_injection(registered, tmp_path):
                  if r["_commit_version"] == 1)
     assert upd == [("update_postimage", 3, 1),
                    ("update_preimage", 3, 1)]
+
+
+def test_cdf_apply_sink_end_to_end(registered, tmp_path):
+    """The full CDC loop: upstream Delta commits (insert / delete /
+    MERGE) → tulflow_delta_cdf stream → delta_cdf_apply_sink → the
+    downstream table CONVERGES to the upstream state, exactly once
+    across restarts."""
+    from tulflow_spark.ext.delta_log import (
+        _replay,
+        delta_cdf_apply_sink,
+        latest_version,
+        read_delta,
+    )
+
+    spark = registered
+    src = str(tmp_path / "src")
+    dst = str(tmp_path / "dst")
+    ckpt = str(tmp_path / "ckpt")
+
+    def state(t):
+        return sorted((r["id"], r["v"])
+                      for r in read_delta(spark, t).collect())
+
+    def drain():
+        q = (spark.readStream.format("tulflow_delta_cdf")
+             .option("path", src).option("startingVersion", "-1")
+             .load().writeStream
+             .foreachBatch(delta_cdf_apply_sink(dst, "apply", ["id"]))
+             .option("checkpointLocation", ckpt)
+             .trigger(availableNow=True).start())
+        q.awaitTermination(180)
+
+    write_delta(_df(spark, 0, 8), src, mode="append",
+                configuration=CDF)                            # v0
+    drain()
+    assert state(dst) == state(src)
+    # new upstream commits incl. deletes and update images
+    delete_where(spark, src, "id % 3 = 0")                    # v1
+    merge_delta(spark, src, _chg(spark, [
+        (1, "U1", "U"), (50, "n", "I"), (2, None, "D")]),
+        keys=["id"])                                          # v2
+    before = latest_version(dst)
+    drain()
+    assert state(dst) == state(src)
+    # exactly-once: watermark recorded, replays change nothing
+    applied = latest_version(dst)
+    assert applied > before
+    assert _replay(spark, dst, applied).txns["apply"] >= 1
+    drain()
+    assert latest_version(dst) == applied
+    assert state(dst) == state(src)
+
+
+def test_cdf_apply_sink_collapses_within_batch(registered, tmp_path):
+    """One drained batch spanning several versions applies only the
+    FINAL action per key (newest version wins; a surviving image
+    beats same-version deletes from a multi-row collapse)."""
+    from tulflow_spark.ext.delta_log import (
+        delta_cdf_apply_sink,
+        latest_version,
+        read_delta,
+    )
+
+    spark = registered
+    src = str(tmp_path / "src")
+    dst = str(tmp_path / "dst")
+    write_delta(_df(spark, 0, 4), src, mode="append",
+                configuration=CDF)                            # v0
+    merge_delta(spark, src, _chg(spark, [(1, "a1", "U")]),
+                keys=["id"])                                  # v1
+    merge_delta(spark, src, _chg(spark, [(1, None, "D"),
+                                         (2, "b2", "U")]),
+                keys=["id"])                                  # v2
+    merge_delta(spark, src, _chg(spark, [(1, "back", "I")]),
+                keys=["id"])                                  # v3
+    q = (spark.readStream.format("tulflow_delta_cdf")
+         .option("path", src).option("startingVersion", "-1")
+         .load().writeStream
+         .foreachBatch(delta_cdf_apply_sink(dst, "apply2", ["id"]))
+         .option("checkpointLocation", str(tmp_path / "ck2"))
+         .trigger(availableNow=True).start())
+    q.awaitTermination(180)
+    # ONE batch covered all four versions → dst seeded in one commit
+    assert latest_version(dst) == 0
+    assert sorted((r["id"], r["v"])
+                  for r in read_delta(spark, dst).collect()) == \
+        sorted((r["id"], r["v"])
+               for r in read_delta(spark, src).collect())

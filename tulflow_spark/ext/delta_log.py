@@ -409,7 +409,14 @@ def merge_delta_with_retry(
     a linear backoff with full jitter — ``uniform(0, backoff_seconds *
     attempt)`` — so N symmetric losers don't re-collide in lockstep.
     The merge itself is pure (anti-join + union), so a re-run against a
-    fresher base is always safe to recompute."""
+    fresher base is always safe to recompute.
+
+    This loop rewrites the WHOLE table per attempt (blind-overwrite
+    semantics).  For large tables prefer :func:`merge_delta` (r13):
+    copy-on-write of only the matched files, with CDF update images —
+    and retry it by simply calling again on
+    :class:`DeltaConcurrentCommit` (it recomputes against the fresh
+    head internally)."""
     import random
     import time
 
@@ -1982,6 +1989,90 @@ def delta_stream_sink(path: str, app_id: str,
     return write_batch
 
 
+def delta_cdf_apply_sink(path: str, app_id: str, keys: list[str]):
+    """foreachBatch sink APPLYING a change-data-feed stream to a
+    downstream Delta table — the consuming end of the CDC loop
+    (``tulflow_delta_cdf`` readStream → keyed MERGE per micro-batch),
+    with exactly-once via ``txn`` watermarks like
+    :func:`delta_stream_sink`:
+
+        src = (spark.readStream.format("tulflow_delta_cdf")
+               .option("path", upstream).load())
+        q = (src.writeStream.foreachBatch(
+                 delta_cdf_apply_sink(target, "my-app", ["id"]))
+             .option("checkpointLocation", ...).start())
+
+    Each batch's change rows collapse to the FINAL action per key —
+    newest ``_commit_version`` wins; within one version a surviving
+    image (``insert``/``update_postimage``) beats ``delete`` (a merge
+    that collapsed a multi-row key emits both), and ``update_preimage``
+    rows are informational — then apply through :func:`merge_delta`
+    (copy-on-write of only the matched target files; a missing target
+    is seeded from the batch's surviving rows).  A replayed batch
+    finds batch_id <= the recorded watermark and skips; CAS losers
+    re-read and retry.
+
+    At 100 TB: the downstream stays O(new changes) end to end —
+    change-sized batches, key-pruned discovery, matched-file rewrites
+    — never a target-table scan or full rewrite."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    def write_batch(batch_df: DataFrame, batch_id: int) -> None:
+        spark = batch_df.sparkSession
+        need = set(keys) | {"_change_type", "_commit_version"}
+        missing = sorted(need - set(batch_df.columns))
+        if missing:
+            raise DeltaProtocolError(
+                f"cdf apply sink needs columns {missing} (is the "
+                "source a change feed?)")
+        cols = [c for c in batch_df.columns
+                if c not in ("_change_type", "_commit_version")]
+        live = batch_df.where(
+            F.col("_change_type") != "update_preimage")
+        rank = (F.col("_change_type") != "delete").cast("int")
+        w = Window.partitionBy(*keys).orderBy(
+            F.col("_commit_version").desc(), rank.desc())
+        final = (live.withColumn("__rn", F.row_number().over(w))
+                 .where("__rn = 1")
+                 .withColumn("__op", F.when(
+                     F.col("_change_type") == "delete",
+                     F.lit("D")).otherwise(F.lit("U")))
+                 .select(*cols, F.col("__op").alias("op")))
+        final = final.localCheckpoint(eager=True)   # one shot, reused
+        try:
+            if final.isEmpty():
+                return
+            while True:
+                latest = latest_version(path)
+                if latest is None:
+                    seed = final.where("op != 'D'").drop("op")
+                    try:
+                        write_delta(seed, path, mode="error",
+                                    txn=(app_id, int(batch_id)))
+                        return
+                    except DeltaConcurrentCommit:
+                        continue
+                    except DeltaProtocolError as exc:
+                        if "already exists" in str(exc):
+                            continue    # racer seeded it: merge below
+                        raise
+                snap = _replay(spark, path, latest)
+                if snap.txns.get(str(app_id), -1) >= batch_id:
+                    return      # replayed micro-batch: already applied
+                try:
+                    merge_delta(spark, path, final, keys,
+                                expect_version=latest,
+                                txn=(app_id, int(batch_id)))
+                    return
+                except DeltaConcurrentCommit:
+                    continue    # racer won this version: re-check
+        finally:
+            final.unpersist()
+
+    return write_batch
+
+
 def _stage_cdc(df_rows: DataFrame, path: str, change_type: str,
                partition_by: list[str] | None = None) -> list[dict]:
     """Write CDF parquet part(s) (``_change_data/cdc-*.parquet``,
@@ -2184,7 +2275,8 @@ def _stage_nonempty_adds(df: DataFrame, path: str,
 def merge_delta(spark: SparkSession, path: str, changes: DataFrame,
                 keys: list[str], op_col: str = "op",
                 expect_version: int | None = None,
-                broadcast_changes: bool = True) -> int:
+                broadcast_changes: bool = True,
+                txn: tuple[str, int] | None = None) -> int:
     """Delta MERGE (copy-on-write): apply a keyed change set (``op_col``
     ∈ I/U/D, the :func:`tulflow_spark.operators.cdc.merge_upsert`
     semantics — U replaces the full row, I inserts, a U on a missing
@@ -2373,6 +2465,16 @@ def merge_delta(spark: SparkSession, path: str, changes: DataFrame,
         mscan.join(chg_keys, keys, "left_anti").drop(fcol) \
              .unionByName(applied)
     actions += _stage_nonempty_adds(new_data, path, part_cols)
+    if txn is not None:
+        # streaming idempotence watermark (`delta_cdf_apply_sink`):
+        # NOTE the no-op early returns above skip it — a replayed
+        # no-op batch re-merges to the same no-op, so idempotence holds
+        # without the marker
+        app_id, txn_version = txn
+        actions.append({
+            "txn": {"appId": str(app_id), "version": int(txn_version),
+                    "lastUpdated": 0}
+        })
     _publish(path, latest + 1, actions)
     return latest + 1
 

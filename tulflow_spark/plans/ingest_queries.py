@@ -262,7 +262,11 @@ def dl5_deletion_vectors(spark: SparkSession, sf_dir: str) -> DataFrame:
     (add_path,) = snap.live
     # row_index i holds the i-th smallest doc_id (file is doc_id-sorted
     # but NOT necessarily dense — sf1-style fixtures tile doc_id with
-    # large offsets), so target indexes whose doc_id % 7 == 0
+    # large offsets), so target indexes whose doc_id % 7 == 0.
+    # GATE-SCALE ORACLE SCAFFOLDING ONLY (r11/r12 verdict note): this
+    # collect builds the DV fixture's row-index INPUT at sf0.01/0.1 —
+    # it is not part of the DV read/write path and must NOT be copied
+    # into any sf1+ probe; production deletes arrive as positions.
     ids = [r["doc_id"] for r in
            read_delta(spark, t).select("doc_id").collect()]
     delete_rows_with_dv(
