@@ -81,16 +81,22 @@ def main() -> None:
     # min-of-2 already requires a spike to hit both runs.  Set =1 for a
     # quick smoke pass.
     #
-    # SPARK_GRAFT_BENCH_BUDGET (default 300 s): once cumulative bench time
-    # passes the budget, remaining queries drop to single runs — the
-    # driver wraps bench.py in `timeout 580`, and a killed bench emits NO
-    # summary at all, which is strictly worse than single-shot tails.
-    # (r12: default lowered 380 -> 300 — at 168 registered queries an
-    # uncontended repeat=2 wall measured 536 s, leaving only 44 s of
-    # headroom before the driver's kill; 300 restores ~100 s of margin
-    # at the cost of min-of-2 on the alphabetical tail.)
+    # SPARK_GRAFT_BENCH_BUDGET (default 240 s): once WALL time passes the
+    # budget, remaining queries drop to single runs — the driver wraps
+    # bench.py in `timeout 580`, and a killed bench emits only partial
+    # snapshots, which is strictly worse than single-shot tails.
+    # (r12: 380 -> 300 after a 536 s wall at 168 queries; r13: 300 -> 240
+    # AND heavy queries never repeat — at 174 queries on a degraded box a
+    # repeat=2 run crossed 580 with 31 queries pending.)
+    #
+    # SPARK_GRAFT_BENCH_HEAVY (default 3 s): a query whose FIRST run
+    # exceeds this never runs again — min-of-2 exists to kill phantom
+    # sub-second spikes on cheap queries; paying 39 s twice for a
+    # streaming pair buys nothing and is exactly what breaches the
+    # driver's wall.
     repeat = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_REPEAT", "2")))
-    budget = float(os.environ.get("SPARK_GRAFT_BENCH_BUDGET", "300"))
+    budget = float(os.environ.get("SPARK_GRAFT_BENCH_BUDGET", "240"))
+    heavy = float(os.environ.get("SPARK_GRAFT_BENCH_HEAVY", "3"))
     bench_t0 = time.perf_counter()
     for name in sorted(all_queries):
         runs: list[float] = []
@@ -100,10 +106,19 @@ def main() -> None:
                 t0 = time.perf_counter()
                 materialize(all_queries[name](spark, sf_dir))
                 runs.append(time.perf_counter() - t0)
+                if runs[-1] > heavy:
+                    break
             timings[name] = round(min(runs), 2)
         except Exception as exc:  # one bad query must not zero the bench
             failures.append(name)
             print(f"bench: {name} FAILED: {exc}", file=sys.stderr)
+        # queries are independent by contract: drop any cache a query
+        # leaked so 170+ queries in one session don't age the executor
+        # heap (leaked persists showed up as tail-query inflation)
+        try:
+            spark.catalog.clearCache()
+        except Exception:
+            pass
         # emit a SNAPSHOT after every query (r12): the driver wraps
         # bench.py in `timeout 580` and json-parses the LAST stdout
         # line — printing only at the end meant a co-tenant-inflated
