@@ -236,3 +236,107 @@ def test_merge_then_feed_windows_compose(spark, tmp_path):
     full = _feed(read_delta_cdf(spark, t, -1))
     assert full[:2] == [(0, "insert", 1, "a"), (0, "insert", 2, "b")]
     assert len(full) == 6
+
+
+def test_update_where_basic_and_cdf(spark, tmp_path):
+    from tulflow_spark.ext.delta_log import update_where
+
+    t = str(tmp_path / "t")
+    write_delta(_df(spark, [(1, "a"), (2, "b"), (3, "c")]), t,
+                mode="append", configuration=CDF)
+    v = update_where(spark, t, "id >= 2",
+                     {"v": "concat(v, '!')"})
+    assert v == 1
+    assert _state(spark, t) == [(1, "a"), (2, "b!"), (3, "c!")]
+    assert _feed(read_delta_cdf(spark, t, 0)) == [
+        (1, "update_postimage", 2, "b!"),
+        (1, "update_postimage", 3, "c!"),
+        (1, "update_preimage", 2, "b"),
+        (1, "update_preimage", 3, "c"),
+    ]
+
+
+def test_update_where_set_sees_preimage_row(spark, tmp_path):
+    """All SET expressions evaluate against the PRE-update row (SQL
+    UPDATE semantics): an expression referencing another updated
+    column sees its OLD value."""
+    from tulflow_spark.ext.delta_log import update_where
+
+    t = str(tmp_path / "t")
+    write_delta(_df(spark, [(1, "a")]), t, mode="append")
+    update_where(spark, t, "id = 1",
+                 {"id": "id + 100", "v": "concat(v, id)"})
+    assert _state(spark, t) == [(101, "a1")]
+
+
+def test_update_where_partition_column_moves_rows(spark, tmp_path):
+    from tulflow_spark.ext.delta_log import update_where
+
+    t = str(tmp_path / "t")
+    df = spark.createDataFrame(
+        [(i, f"x{i}", i % 2) for i in range(6)],
+        "id long, v string, g long")
+    write_delta(df, t, mode="append", partition_by=["g"],
+                configuration=CDF)
+    v = update_where(spark, t, "id = 4", {"g": "g + 10"})
+    got = sorted((r["id"], r["g"])
+                 for r in read_delta(spark, t).collect())
+    assert got == [(0, 0), (1, 1), (2, 0), (3, 1), (4, 10), (5, 1)]
+    feed = read_delta_cdf(spark, t, v - 1, v)
+    rows = sorted((r["_change_type"], r["id"], r["g"])
+                  for r in feed.collect())
+    assert rows == [("update_postimage", 4, 10),
+                    ("update_preimage", 4, 0)]
+    # the moved row lives under its NEW hive dir
+    import glob as _g
+
+    assert any("g=10" in p for p in
+               _g.glob(f"{t}/commit-*/g=*/*.parquet"))
+
+
+def test_update_where_rewrites_only_matched_files(spark, tmp_path):
+    from tulflow_spark.ext.delta_log import update_where
+
+    t = str(tmp_path / "t")
+    write_delta(_df(spark, [(i, f"x{i}") for i in range(5)]), t,
+                mode="append")
+    write_delta(_df(spark, [(i, f"x{i}") for i in range(5, 10)]), t,
+                mode="append")
+    before = set(_replay(spark, t, 1).live)
+    v = update_where(spark, t, "id = 7", {"v": "'Y'"})
+    after = _replay(spark, t, v)
+    assert any(p in after.live for p in before), \
+        "unmatched files must carry over by reference"
+    acts = [json.loads(ln) for ln in open(
+        f"{t}/_delta_log/{v:020d}.json") if ln.strip()]
+    assert len([a for a in acts if a.get("remove")]) < len(before)
+    assert _state(spark, t) == sorted(
+        [(i, f"x{i}") for i in range(10) if i != 7] + [(7, "Y")])
+
+
+def test_update_where_walls_and_noops(spark, tmp_path):
+    from tulflow_spark.ext.delta_log import update_where
+
+    t = str(tmp_path / "t")
+    write_delta(_df(spark, [(1, "a"), (2, None)]), t, mode="append")
+    # NULL-predicate rows are keepers, not victims
+    update_where(spark, t, "v = 'zzz'", {"v": "'hit'"})
+    assert latest_version(t) == 0                 # nothing matched
+    update_where(spark, t, "length(v) > 90", {"v": "'hit'"})
+    assert latest_version(t) == 0
+    with pytest.raises(DeltaProtocolError, match="unknown columns"):
+        update_where(spark, t, "id = 1", {"nope": "'x'"})
+    with pytest.raises(DeltaProtocolError, match="needs set_exprs"):
+        update_where(spark, t, "id = 1", {})
+    with pytest.raises(DeltaConcurrentCommit, match="re-read"):
+        update_where(spark, t, "id = 1", {"v": "'x'"},
+                     expect_version=9)
+    t2 = str(tmp_path / "t2")
+    write_delta(_df(spark, [(1, "a")]), t2, mode="append",
+                configuration={"delta.appendOnly": "true"})
+    with pytest.raises(DeltaProtocolError, match="appendOnly"):
+        update_where(spark, t2, "id = 1", {"v": "'x'"})
+    # without CDF, the rewrite commit stays underivable for the feed
+    v = update_where(spark, t, "id = 1", {"v": "'A'"})
+    with pytest.raises(DeltaProtocolError, match="rewrites files"):
+        read_delta_cdf(spark, t, v - 1, v).collect()

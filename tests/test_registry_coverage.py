@@ -78,7 +78,8 @@ def test_r7_rotation_promotes_never_adjudicated_pairs():
     added_post_rotation: set[str] = {"ib4_iceberg_rename",
                                      "dl7_column_mapping_id",
                                      "ib6_ref_travel",
-                                     "dl11_cdf_rename"}
+                                     "dl11_cdf_rename",
+                                     "dl12_update_cdf"}
     never -= added_post_rotation
     assert never <= set(QUERIES), (
         f"never-adjudicated but de-gated: {sorted(never - set(QUERIES))}"

@@ -2255,6 +2255,112 @@ def delete_where(spark: SparkSession, path: str, condition: str,
     return latest + 1
 
 
+def update_where(spark: SparkSession, path: str, condition: str,
+                 set_exprs: dict[str, str],
+                 expect_version: int | None = None) -> int:
+    """Delta UPDATE (copy-on-write): rewrite ONLY the files containing
+    rows where ``condition`` IS TRUE, with ``set_exprs`` (column → SQL
+    expression, evaluated against the pre-update row and cast to the
+    column's declared type) applied to the matched rows — the third
+    DML verb beside :func:`delete_where` and :func:`merge_delta`.
+    Returns the new version (the current one when nothing matched).
+
+    With ``delta.enableChangeDataFeed`` set, the commit stages paired
+    ``update_preimage``/``update_postimage`` cdc rows so
+    :func:`read_delta_cdf` resolves it from the writer's record.
+    Updating a partition column is legal — rewritten rows move to
+    their new partition directories (the copy-on-write rewrite
+    re-partitions by the POST-update values).
+
+    At 100 TB: the match scan is declarative (predicate pushdown
+    decides which files even read fully); only matched files rewrite;
+    cdc stages are matched-row-sized; unmatched files carry over by
+    reference."""
+    from urllib.parse import unquote, urlparse
+
+    from pyspark.sql import functions as F
+
+    latest = latest_version(path)
+    if latest is None:
+        raise DeltaProtocolError(f"no delta table at {path}")
+    if expect_version is not None and latest != expect_version:
+        raise DeltaConcurrentCommit(
+            f"table is at version {latest}, update was computed "
+            f"against {expect_version}: re-read and retry")
+    snap = _replay(spark, path, latest)
+    if snap.min_writer > 2:
+        raise DeltaProtocolError(
+            f"table requires writer version {snap.min_writer}")
+    if snap.configuration.get("delta.appendOnly") == "true":
+        raise DeltaProtocolError(
+            "table is delta.appendOnly=true: update forbidden")
+    if snap.schema_str is None:
+        raise DeltaProtocolError("update_where needs a metaData schema")
+    schema = StructType.fromJson(json.loads(snap.schema_str))
+    cols = [f.name for f in schema.fields]
+    types = {f.name: f.dataType for f in schema.fields}
+    if not set_exprs:
+        raise DeltaProtocolError("update_where needs set_exprs")
+    unknown = sorted(set(set_exprs) - set(cols))
+    if unknown:
+        raise DeltaProtocolError(
+            f"set_exprs target unknown columns {unknown}")
+    if not snap.live:
+        return latest
+    part_cols = list(snap.partition_cols)
+    fcol = "_uw_file"
+    while fcol in cols:
+        fcol += "_"
+
+    def norm(u: str) -> str:
+        pr = urlparse(u)
+        return unquote(pr.path) if pr.scheme else u
+
+    by_norm = {norm(_scan_path(path, ap)): ap for ap in snap.live}
+    scan = _file_tagged_scan(spark, path, snap, schema, fcol,
+                             sorted(snap.live))
+    matched_norms = {
+        norm(r[fcol])
+        for r in scan.where(condition).select(fcol).distinct().collect()
+    }
+    bad = matched_norms - set(by_norm)
+    if bad:
+        raise DeltaProtocolError(
+            f"matched files not in the snapshot: {sorted(bad)[:3]}")
+    if not matched_norms:
+        return latest
+    matched_adds = sorted(by_norm[n] for n in matched_norms)
+    mscan = _file_tagged_scan(spark, path, snap, schema, fcol,
+                              matched_adds)
+    # the updated projection: SET expressions see the PRE-update row
+    # (all set_exprs evaluate against the same input, SQL UPDATE
+    # semantics) and cast to the column's declared type — a writer
+    # never commits an implicit schema change
+    updated_cols = [
+        (F.expr(set_exprs[c]).cast(types[c]) if c in set_exprs
+         else F.col(c)).alias(c)
+        for c in cols
+    ]
+    victims = mscan.where(condition)
+    keepers = mscan.where(f"({condition}) IS NOT TRUE").drop(fcol)
+    post = victims.select(updated_cols)
+    actions: list[dict] = [
+        {"remove": {"path": ap, "dataChange": True,
+                    "deletionTimestamp": 0}}
+        for ap in matched_adds
+    ]
+    if snap.configuration.get("delta.enableChangeDataFeed") == "true":
+        actions += _stage_cdc(victims.drop(fcol), path,
+                              "update_preimage",
+                              partition_by=part_cols or None)
+        actions += _stage_cdc(post, path, "update_postimage",
+                              partition_by=part_cols or None)
+    actions += _stage_nonempty_adds(keepers.unionByName(post), path,
+                                    part_cols)
+    _publish(path, latest + 1, actions)
+    return latest + 1
+
+
 def _stage_nonempty_adds(df: DataFrame, path: str,
                          part_cols: list[str]) -> list[dict]:
     """`_stage_adds` minus zero-row parts (footer-count check — cheap

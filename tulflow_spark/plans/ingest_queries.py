@@ -1449,6 +1449,79 @@ def dl11_cdf_rename(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "dl12_update_cdf",
+    oracle="""
+    WITH base AS (SELECT doc_id, text FROM documents),
+    upd AS (SELECT doc_id, text FROM base WHERE doc_id % 5 = 0),
+    feed AS (
+      SELECT text, 'insert' AS ct, 0 AS v FROM base
+      UNION ALL SELECT text, 'update_preimage', 1 FROM upd
+      UNION ALL SELECT 'E:' || text, 'update_postimage', 1 FROM upd
+    ),
+    state AS (
+      SELECT doc_id,
+             CASE WHEN doc_id % 5 = 0 THEN 'E:' || text
+                  ELSE text END AS text
+      FROM base
+    ),
+    keyed AS (SELECT ct || '|' || md5(text) || '|' || v AS k FROM feed)
+    SELECT CAST((SELECT COUNT(*) FROM upd) AS BIGINT) AS n_upd,
+           (SELECT md5(STRING_AGG(k, '' ORDER BY k)) FROM keyed)
+             AS feed_md5,
+           (SELECT md5(STRING_AGG(h, '' ORDER BY h)) FROM
+             (SELECT md5(CAST(doc_id AS VARCHAR) || '|' || text) AS h
+              FROM state)) AS state_md5
+    """,
+)
+def dl12_update_cdf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Delta UPDATE with Change-Data-Feed images oracle-checked (r13:
+    `update_where` — the third DML verb beside delete_where and
+    merge_delta): documents seed the table (CDF on), one UPDATE
+    commit rewrites every doc_id%5=0 row through a SET expression
+    evaluated against the pre-update row; the feed must carry paired
+    ``update_preimage``/``update_postimage`` rows at the commit
+    version and the post-update state is digest-checked too, so a
+    double-applied expression or a dropped keeper fails even if the
+    feed looks right.
+
+    At 100 TB: the match scan is declarative (pushdown decides which
+    files read); only matched files rewrite; cdc stages are
+    matched-row-sized (SCALE.md §7g)."""
+    import tempfile
+
+    from tulflow_spark.ext.delta_log import (
+        read_delta,
+        read_delta_cdf,
+        update_where,
+        write_delta,
+    )
+
+    docs = table(spark, sf_dir, "documents").select("doc_id", "text")
+    t = tempfile.mkdtemp(prefix="dl12_") + "/tbl"
+    write_delta(docs, t, mode="append",
+                configuration={"delta.enableChangeDataFeed": "true"})
+    update_where(spark, t, "doc_id % 5 = 0",
+                 {"text": "concat('E:', text)"})
+    feed = read_delta_cdf(spark, t, -1)
+    key = F.concat_ws(
+        "|", F.col("_change_type"), F.md5("text"),
+        F.col("_commit_version").cast("string"))
+    n_upd = feed.where(
+        "_change_type = 'update_postimage'").count()
+    srow = read_delta(spark, t).agg(
+        F.md5(F.concat_ws("", F.array_sort(F.collect_list(
+            F.md5(F.concat_ws("|", F.col("doc_id").cast("string"),
+                              F.col("text"))))))).alias("state_md5"),
+    ).first()
+    return (feed.agg(
+        F.md5(F.concat_ws("", F.array_sort(F.collect_list(key))))
+         .alias("feed_md5"))
+        .withColumn("n_upd", F.lit(int(n_upd)).cast("bigint"))
+        .withColumn("state_md5", F.lit(srow["state_md5"]))
+        .select("n_upd", "feed_md5", "state_md5"))
+
+
+@register(
     "sdc2_stream_iceberg_changes",
     oracle="""
     SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
