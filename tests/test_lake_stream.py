@@ -579,3 +579,46 @@ def test_iceberg_stream_binds_by_field_id(spark, tmp_path):
     assert sorted(r["doc_id"] for r in rows) == list(range(6))
     assert all(r["v"] == f"x{r['doc_id']}" and r["extra"] is None
                for r in rows)
+
+
+def test_starting_timestamp_resolution(registered, tmp_path):
+    """r13: startingTimestamp resolves to the EARLIEST commit at or
+    after the timestamp (delta-spark semantics) through the same
+    normalized commit-timestamp walk as batch time travel; after the
+    latest commit it fails typed; combined with startingVersion it
+    fails typed."""
+    import json as _json
+
+    spark = registered
+    t = str(tmp_path / "tbl")
+    write_delta(_df(spark, 0, 3), t)                          # v0
+    write_delta(_df(spark, 3, 6), t, mode="append")           # v1
+    write_delta(_df(spark, 6, 9), t, mode="append")           # v2
+    for v, ts in ((0, 1000), (1, 2000), (2, 3000)):
+        with open(f"{t}/_delta_log/{v:020d}.json", "a") as fh:
+            fh.write("\n" + _json.dumps(
+                {"commitInfo": {"timestamp": ts}}))
+
+    def drain(ts):
+        name = f"st_{ts}"
+        q = (spark.readStream.format("tulflow_delta_changes")
+             .option("path", t).option("startingTimestamp", str(ts))
+             .load().writeStream.format("memory").queryName(name)
+             .trigger(availableNow=True).start())
+        q.awaitTermination(180)
+        return sorted(r["id"] for r in
+                      spark.sql(f"select * from {name}").collect())
+
+    assert drain(1500) == list(range(3, 9))    # v1 (eff 2000) first
+    assert drain(500) == list(range(9))        # before history: all
+    assert drain(3000) == list(range(6, 9))    # exactly v2
+    q = (spark.readStream.format("tulflow_delta_changes")
+         .option("path", t).option("startingTimestamp", "99999")
+         .load().writeStream.format("memory").queryName("st_late")
+         .trigger(availableNow=True).start())
+    with pytest.raises(Exception, match="at or after"):
+        q.awaitTermination(180)
+    with pytest.raises(DeltaChangeFeedError, match="mutually"):
+        DeltaChangesStreamReader(None, {
+            "path": t, "startingversion": "0",
+            "startingtimestamp": "1000"})

@@ -1160,10 +1160,28 @@ def delta_version_as_of(path: str, as_of_ms: int) -> int:
     commits resolved under an inflated pre-ICT mtime (r12 VERDICT
     wrong #2).  Typed when the probe predates the first available
     commit."""
+    best = None
+    for v, eff in _effective_commit_ts(path):
+        if eff <= int(as_of_ms):
+            best = v
+    if best is None:
+        raise DeltaProtocolError(
+            f"no commit at or before {as_of_ms} (history starts "
+            f"after it; earliest surviving version is "
+            f"{_list_log_versions(path)[0]})")
+    return best
+
+
+def _effective_commit_ts(path: str) -> list[tuple[int, int]]:
+    """Every surviving commit's EFFECTIVE timestamp, normalized per the
+    spec's resolution rules (ICT > commitInfo.timestamp > file mtime;
+    non-ICT values monotone non-decreasing, ICT resets the running
+    max) — shared by :func:`delta_version_as_of` and
+    :func:`delta_version_at_or_after`."""
     versions = _list_log_versions(path)
     if not versions:
         raise DeltaProtocolError(f"no delta log at {path}")
-    best = None
+    out: list[tuple[int, int]] = []
     eff = None
     for v in versions:
         probe = _commit_info_ts(path, v)
@@ -1180,13 +1198,22 @@ def delta_version_as_of(path: str, as_of_ms: int) -> int:
             eff = ts                                # ICT: authoritative
         else:
             eff = ts if eff is None else max(eff, ts)   # monotone rule
-        if eff <= int(as_of_ms):
-            best = v
-    if best is None:
-        raise DeltaProtocolError(
-            f"no commit at or before {as_of_ms} (history starts "
-            f"after it; earliest surviving version is {versions[0]})")
-    return best
+        out.append((v, eff))
+    return out
+
+
+def delta_version_at_or_after(path: str, ts_ms: int) -> int:
+    """The EARLIEST version committed at or after ``ts_ms`` — the
+    resolution a streaming ``startingTimestamp`` needs (deliver every
+    change committed at-or-after the timestamp), the mirror of
+    :func:`delta_version_as_of`.  Typed when the timestamp is after
+    the last commit (matching delta-spark's error there)."""
+    for v, eff in _effective_commit_ts(path):
+        if eff >= int(ts_ms):
+            return v
+    raise DeltaProtocolError(
+        f"no commit at or after {ts_ms} (it is after the latest "
+        "commit's timestamp)")
 
 
 def read_delta(

@@ -130,13 +130,24 @@ class DeltaChangesStreamReader(DataSourceStreamReader):
         start = options.get("startingversion",
                             options.get("startingVersion"))
         self._starting = None if start is None else int(start)
+        ts = options.get("startingtimestamp",
+                         options.get("startingTimestamp"))
+        self._starting_ts = None if ts is None else int(ts)
+        if self._starting is not None and self._starting_ts is not None:
+            raise DeltaChangeFeedError(
+                "startingVersion and startingTimestamp are mutually "
+                "exclusive")
         self._cap = _batch_cap(options, "maxVersionsPerBatch")
         self._last_end: int | None = None
 
     # -- offsets ------------------------------------------------------
 
     def initialOffset(self) -> dict:
-        from tulflow_spark.ext.delta_log import latest_version
+        from tulflow_spark.ext.delta_log import (
+            DeltaProtocolError,
+            delta_version_at_or_after,
+            latest_version,
+        )
 
         latest = latest_version(self._path)
         if latest is None:
@@ -148,8 +159,19 @@ class DeltaChangesStreamReader(DataSourceStreamReader):
                 f"startingVersion {self._starting} out of bounds "
                 f"(latest is {latest})")
         # default: only data committed AFTER the stream starts;
-        # startingVersion=-1 replays the whole table as batch one
-        off = latest if self._starting is None else self._starting
+        # startingVersion=-1 replays the whole table as batch one;
+        # startingTimestamp resolves to the EARLIEST commit at or
+        # after it (delta-spark semantics) and delivers from there
+        if self._starting_ts is not None:
+            try:
+                off = delta_version_at_or_after(
+                    self._path, self._starting_ts) - 1
+            except DeltaProtocolError as exc:
+                raise DeltaChangeFeedError(str(exc)) from None
+        elif self._starting is not None:
+            off = self._starting
+        else:
+            off = latest
         self._last_end = off
         return {"version": off}
 
