@@ -79,7 +79,8 @@ def test_r7_rotation_promotes_never_adjudicated_pairs():
                                      "dl7_column_mapping_id",
                                      "ib6_ref_travel",
                                      "dl11_cdf_rename",
-                                     "dl12_update_cdf"}
+                                     "dl12_update_cdf",
+                                     "ic1_iceberg_cdf"}
     never -= added_post_rotation
     assert never <= set(QUERIES), (
         f"never-adjudicated but de-gated: {sorted(never - set(QUERIES))}"

@@ -743,6 +743,98 @@ def sdc3_stream_delta_cdf(spark: SparkSession,
 
 
 @register(
+    "ic1_iceberg_cdf",
+    oracle="""
+    WITH base AS (SELECT doc_id, text, lang FROM documents),
+    odd AS (SELECT * FROM base WHERE doc_id % 2 = 1),
+    even AS (SELECT * FROM base WHERE doc_id % 2 = 0),
+    posdel AS (SELECT * FROM odd WHERE doc_id % 7 = 0),
+    dead AS (SELECT MIN(lang) AS lang FROM base),
+    eqdel AS (
+      SELECT b.* FROM base b, dead
+      WHERE b.lang IS NOT DISTINCT FROM dead.lang
+        AND NOT (b.doc_id % 2 = 1 AND b.doc_id % 7 = 0)
+    ),
+    feed AS (
+      SELECT text, 'insert' AS ct, 1 AS sq FROM odd
+      UNION ALL SELECT text, 'insert', 2 FROM even
+      UNION ALL SELECT text, 'delete', 3 FROM posdel
+      UNION ALL SELECT text, 'delete', 4 FROM eqdel
+    ),
+    keyed AS (SELECT ct || '|' || md5(text) || '|' || sq AS k, ct
+              FROM feed)
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(SUM(CASE WHEN ct = 'delete' THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_del,
+           md5(STRING_AGG(k, '' ORDER BY k)) AS feed_md5
+    FROM keyed
+    """,
+)
+def ic1_iceberg_cdf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Iceberg CHANGELOG scan oracle-checked end to end (r13:
+    `read_iceberg_cdf` — the Iceberg face of the Delta change feed):
+    odd docs land at sequence 1, even at 2, a POSITION delete kills
+    the odd doc_id%7=0 rows at sequence 3 (positions derived from the
+    id-sorted fixture file — gate-scale scaffolding, same note as
+    dl5), and an EQUALITY delete kills the MIN lang value at
+    sequence 4.  The feed must deliver both insert waves and both
+    delete kinds — and the equality victims must EXCLUDE the rows the
+    position delete already killed (alive-at-predecessor semantics;
+    double delivery fails the hash).  The digest keys on
+    (change_type, text-hash, sequence).
+
+    At 100 TB: O(range snapshots) manifest walks; position victims
+    are position-fetched from referenced files only; equality victims
+    scan sequence-eligible files once (SCALE.md §7g)."""
+    import tempfile
+
+    from tulflow_spark.ext.iceberg import (
+        _live_files,
+        delete_equality_iceberg_fixture,
+        delete_positions_iceberg_fixture,
+        load_table_metadata,
+        read_iceberg_cdf,
+        write_iceberg_fixture,
+    )
+
+    docs = table(spark, sf_dir, "documents").select(
+        "doc_id", "text", "lang")
+    t = tempfile.mkdtemp(prefix="ic1_") + "/tbl"
+    odd = docs.filter("doc_id % 2 = 1").coalesce(1) \
+        .sortWithinPartitions("doc_id")
+    write_iceberg_fixture(spark, odd, t)                       # seq 1
+    from tulflow_spark.ext.iceberg import append_iceberg_fixture
+
+    append_iceberg_fixture(
+        spark, docs.filter("doc_id % 2 = 0"), t)               # seq 2
+    meta = load_table_metadata(t)
+    files, _ = _live_files(meta, None)
+    first = next(d["file_path"] for d in files
+                 if int(d["__seq"]) == 1)
+    # GATE-SCALE ORACLE SCAFFOLDING ONLY (the dl5 note): positions of
+    # doc_id%7==0 within the id-sorted odd file — input construction
+    # for the fixture, not a data-plane pattern
+    odd_ids = sorted(r["doc_id"] for r in
+                     odd.select("doc_id").collect())
+    pos = [i for i, doc in enumerate(odd_ids) if doc % 7 == 0]
+    delete_positions_iceberg_fixture(spark, t, {first: pos})   # seq 3
+    low = docs.agg(F.min("lang")).first()[0]
+    delete_equality_iceberg_fixture(
+        spark, t, [{"lang": low}], ["lang"])                   # seq 4
+    feed = read_iceberg_cdf(spark, t)
+    key = F.concat_ws(
+        "|", F.col("_change_type"), F.md5("text"),
+        F.col("_commit_seq").cast("string"))
+    return feed.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+        F.sum((F.col("_change_type") == "delete").cast("long"))
+         .cast("bigint").alias("n_del"),
+        F.md5(F.concat_ws("", F.array_sort(F.collect_list(key))))
+         .alias("feed_md5"),
+    ).select("n_rows", "n_del", "feed_md5")
+
+
+@register(
     "ib3_iceberg_eq_deletes",
     oracle="""
     WITH dead AS (SELECT MIN(lang) AS lang FROM documents),
