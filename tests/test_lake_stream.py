@@ -622,3 +622,62 @@ def test_starting_timestamp_resolution(registered, tmp_path):
         DeltaChangesStreamReader(None, {
             "path": t, "startingversion": "0",
             "startingtimestamp": "1000"})
+
+
+def test_iceberg_starting_timestamp(spark, tmp_path):
+    """r13: the Iceberg source's startingTimestamp resolves to the
+    earliest snapshot at or after it (snapshot timestamps), delivering
+    from that sequence on."""
+    import json as _json
+
+    from tulflow_spark.ext.iceberg import (
+        append_iceberg_fixture,
+        load_table_metadata,
+        write_iceberg_fixture,
+    )
+    from tulflow_spark.sources.lake_stream import (
+        IcebergChangesSource,
+        IcebergChangesStreamReader,
+    )
+
+    spark.dataSource.register(IcebergChangesSource)
+    t = str(tmp_path / "tbl")
+    write_iceberg_fixture(spark, _df(spark, 0, 3), t)         # seq 1
+    append_iceberg_fixture(spark, _df(spark, 3, 6), t)        # seq 2
+    append_iceberg_fixture(spark, _df(spark, 6, 9), t)        # seq 3
+    # pin snapshot timestamps deterministically
+    hint = open(f"{t}/metadata/version-hint.text").read().strip()
+    mp = f"{t}/metadata/v{hint}.metadata.json"
+    meta = _json.loads(open(mp).read())
+    for s, ts in zip(sorted(meta["snapshots"],
+                            key=lambda x: x["sequence-number"]),
+                     (1000, 2000, 3000)):
+        s["timestamp-ms"] = ts
+    for e, ts in zip(meta.get("snapshot-log") or [],
+                     (1000, 2000, 3000)):
+        e["timestamp-ms"] = ts
+    with open(mp, "w") as fh:
+        fh.write(_json.dumps(meta))
+
+    def drain(ts):
+        name = f"ist_{ts}"
+        q = (spark.readStream.format("tulflow_iceberg_changes")
+             .option("path", t).option("startingTimestamp", str(ts))
+             .load().writeStream.format("memory").queryName(name)
+             .trigger(availableNow=True).start())
+        q.awaitTermination(180)
+        return sorted(r["id"] for r in
+                      spark.sql(f"select * from {name}").collect())
+
+    assert drain(1500) == list(range(3, 9))
+    assert drain(500) == list(range(9))
+    q = (spark.readStream.format("tulflow_iceberg_changes")
+         .option("path", t).option("startingTimestamp", "99999")
+         .load().writeStream.format("memory").queryName("ist_late")
+         .trigger(availableNow=True).start())
+    with pytest.raises(Exception, match="at or after"):
+        q.awaitTermination(180)
+    with pytest.raises(DeltaChangeFeedError, match="mutually"):
+        IcebergChangesStreamReader(None, {
+            "path": t, "startingsequence": "0",
+            "startingtimestamp": "1000"})

@@ -662,6 +662,13 @@ class IcebergChangesStreamReader(DataSourceStreamReader):
         start = options.get("startingsequence",
                             options.get("startingSequence"))
         self._starting = None if start is None else int(start)
+        ts = options.get("startingtimestamp",
+                         options.get("startingTimestamp"))
+        self._starting_ts = None if ts is None else int(ts)
+        if self._starting is not None and self._starting_ts is not None:
+            raise DeltaChangeFeedError(
+                "startingSequence and startingTimestamp are mutually "
+                "exclusive")
         self._cap = _batch_cap(options, "maxSequencesPerBatch")
         self._last_end: int | None = None
 
@@ -687,8 +694,25 @@ class IcebergChangesStreamReader(DataSourceStreamReader):
         return self._seq_of(snaps[-1]) if snaps else 0
 
     def initialOffset(self) -> dict:
-        off = self._latest_seq() if self._starting is None \
-            else max(0, self._starting)
+        if self._starting_ts is not None:
+            # EARLIEST snapshot committed at or after the timestamp
+            # (the Delta reader's startingTimestamp semantics, through
+            # the snapshots' own timestamps); deliver from it on —
+            # typed when the timestamp is after the whole history
+            from tulflow_spark.ext.iceberg import load_table_metadata
+
+            meta = load_table_metadata(self._path)
+            hit = [s for s in self._ordered_snaps(meta)
+                   if int(s.get("timestamp-ms") or 0)
+                   >= self._starting_ts]
+            if not hit:
+                raise DeltaChangeFeedError(
+                    f"no snapshot at or after {self._starting_ts} "
+                    "(it is after the latest snapshot's timestamp)")
+            off = max(0, self._seq_of(hit[0]) - 1)
+        else:
+            off = self._latest_seq() if self._starting is None \
+                else max(0, self._starting)
         self._last_end = off
         return {"seq": off}
 
