@@ -140,3 +140,77 @@ def test_changelog_orc_position_victims(spark, tmp_path):
     got = _feed(read_iceberg_cdf(spark, t))
     assert [x for x in got if x[1] == "delete"] == \
         [(2, "delete", 1), (2, "delete", 4)]
+
+
+def test_changelog_added_file_with_same_snapshot_dv(spark, tmp_path):
+    """r13 review finding 1: a snapshot that ADDS a file carrying its
+    own DV (CLONE/RESTORE shape) must not deliver the dead-on-arrival
+    positions as deletes — the insert wave already excludes them, so
+    a delete would describe a row that never existed.  Foreign-shaped:
+    collapse an append + DV commit into one snapshot by dropping the
+    intermediate snapshot from the metadata (entries carry explicit
+    sequence numbers, so resolution survives)."""
+    import json
+
+    t = str(tmp_path / "t")
+    write_iceberg_fixture(spark, _df(spark, 0, 4), t)         # s1
+    upgrade_iceberg_v3(t)
+    append_iceberg_fixture(spark, _df(spark, 4, 8), t)        # s2: +B
+    meta = load_table_metadata(t)
+    fb = next(d["file_path"] for d in _live_files(meta, None)[0]
+              if int(d["__seq"]) == 2)
+    delete_positions_iceberg_v3(spark, t, {fb: [0]})          # s3: DV(B)
+    hint = open(f"{t}/metadata/version-hint.text").read().strip()
+    mp = f"{t}/metadata/v{hint}.metadata.json"
+    m = json.loads(open(mp).read())
+    by_seq = {s["sequence-number"]: s for s in m["snapshots"]}
+    s1, s2, s3 = by_seq[1], by_seq[2], by_seq[3]
+    m["snapshots"] = [s1, dict(s3, **{
+        "parent-snapshot-id": s1["snapshot-id"]})]
+    m["snapshot-log"] = [e for e in m["snapshot-log"]
+                         if e["snapshot-id"] != s2["snapshot-id"]]
+    with open(mp, "w") as fh:
+        fh.write(json.dumps(m))
+    got = _feed(read_iceberg_cdf(spark, t))
+    # B arrives with one dead row: 3 inserts at seq 3, NO deletes
+    import pyarrow.orc  # noqa: F401  (keep import-order linters calm)
+
+    ins3 = [i for s, c, i in got if s == 3 and c == "insert"]
+    assert len(ins3) == 3 and set(ins3) <= set(range(4, 8))
+    assert not [x for x in got if x[1] == "delete"]
+    # net-consistency with the table state
+    live = {r["id"] for r in read_iceberg(spark, t).collect()}
+    assert {i for _, c, i in got if c == "insert"} == live
+
+
+def test_changelog_skips_side_branch_snapshots(spark, tmp_path):
+    """r13 review finding 2: the changelog walks the TO snapshot's
+    parent lineage — a snapshot reachable only through a branch ref
+    must not contribute (or displace the diff base of) the main
+    feed."""
+    import json
+
+    t = str(tmp_path / "t")
+    write_iceberg_fixture(spark, _df(spark, 0, 3), t)         # s1
+    append_iceberg_fixture(spark, _df(spark, 3, 6), t)        # s2
+    before = _feed(read_iceberg_cdf(spark, t))
+    hint = open(f"{t}/metadata/version-hint.text").read().strip()
+    mp = f"{t}/metadata/v{hint}.metadata.json"
+    m = json.loads(open(mp).read())
+    s1 = min(m["snapshots"], key=lambda s: s["sequence-number"])
+    s2 = max(m["snapshots"], key=lambda s: s["sequence-number"])
+    # fake branch snapshot off s1, sequence BETWEEN s1 and s2 on the
+    # global sort (the shape that corrupted a list-order walk)
+    branch = dict(s2)
+    branch["snapshot-id"] = 424242
+    branch["sequence-number"] = s2["sequence-number"]
+    branch["parent-snapshot-id"] = s1["snapshot-id"]
+    branch["timestamp-ms"] = s1["timestamp-ms"] + 1
+    m["snapshots"] = [s1, branch, s2]
+    m["refs"]["dev"] = {"snapshot-id": 424242, "type": "branch"}
+    with open(mp, "w") as fh:
+        fh.write(json.dumps(m))
+    assert _feed(read_iceberg_cdf(spark, t)) == before
+    # the branch head reads ITS lineage
+    got = _feed(read_iceberg_cdf(spark, t, to_snapshot_id=424242))
+    assert {i for _, c, i in got if c == "insert"} == set(range(6))

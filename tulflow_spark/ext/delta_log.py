@@ -2067,10 +2067,20 @@ def delta_cdf_apply_sink(path: str, app_id: str, keys: list[str]):
                      F.lit("D")).otherwise(F.lit("U")))
                  .select(*cols, F.col("__op").alias("op")))
         final = final.localCheckpoint(eager=True)   # one shot, reused
+        # bounded attempts with full-jitter backoff — symmetric losers
+        # must not re-collide in lockstep (the merge_delta_with_retry
+        # rule), and sustained contention fails the batch typed
+        # instead of spinning snapshot replays forever
+        import random
+        import time
+
+        max_attempts, last = 16, None
         try:
             if final.isEmpty():
                 return
-            while True:
+            for attempt in range(max_attempts):
+                if attempt:
+                    time.sleep(random.uniform(0.0, 0.05 * attempt))
                 latest = latest_version(path)
                 if latest is None:
                     seed = final.where("op != 'D'").drop("op")
@@ -2078,7 +2088,8 @@ def delta_cdf_apply_sink(path: str, app_id: str, keys: list[str]):
                         write_delta(seed, path, mode="error",
                                     txn=(app_id, int(batch_id)))
                         return
-                    except DeltaConcurrentCommit:
+                    except DeltaConcurrentCommit as exc:
+                        last = exc
                         continue
                     except DeltaProtocolError as exc:
                         if "already exists" in str(exc):
@@ -2092,8 +2103,12 @@ def delta_cdf_apply_sink(path: str, app_id: str, keys: list[str]):
                                 expect_version=latest,
                                 txn=(app_id, int(batch_id)))
                     return
-                except DeltaConcurrentCommit:
+                except DeltaConcurrentCommit as exc:
+                    last = exc
                     continue    # racer won this version: re-check
+            raise DeltaConcurrentCommit(
+                f"cdf apply batch {batch_id} lost the commit race "
+                f"{max_attempts} times at {path}: {last}")
         finally:
             final.unpersist()
 
@@ -2267,17 +2282,7 @@ def delete_where(spark: SparkSession, path: str, condition: str,
         victims = matched_scan.where(condition).drop(fcol)
         actions += _stage_cdc(victims, path, "delete",
                               partition_by=part_cols or None)
-    # stage first, then drop empty rewrites from the parquet footers
-    # (cheap driver-side metadata reads — no extra Spark job)
-    import pyarrow.parquet as pq
-
-    for act in _stage_adds(keepers, path, part_cols or None):
-        from urllib.parse import unquote as _uq
-
-        fs, fp = fsio.resolve(f"{path}/{_uq(act['add']['path'])}")
-        with fs.open_input_file(fp) as handle:
-            if pq.ParquetFile(handle).metadata.num_rows > 0:
-                actions.append(act)
+    actions += _stage_nonempty_adds(keepers, path, part_cols)
     _publish(path, latest + 1, actions)
     return latest + 1
 
@@ -2479,137 +2484,146 @@ def merge_delta(spark: SparkSession, path: str, changes: DataFrame,
         raise DeltaProtocolError(
             f"change-set column types differ from the table on "
             f"{mismatched} (no implicit casts in a writer)")
-    # one validation pass: op domain, NULL keys, key uniqueness (a key
-    # matched by two change rows is the protocol's ambiguous-MERGE
-    # error, not a silent last-writer-wins)
-    null_key = None
-    for k in keys:
-        c = F.col(k).isNull()
-        null_key = c if null_key is None else (null_key | c)
-    stats = changes.agg(
-        F.count(F.lit(1)).alias("n"),
-        F.sum((~F.col(op_col).isin("I", "U", "D")).cast("long"))
-         .alias("bad_op"),
-        F.sum(null_key.cast("long")).alias("null_keys"),
-        F.count_distinct(*[F.col(k) for k in keys]).alias("nk"),
-    ).first()
-    if stats["n"] == 0:
-        return latest
-    if (stats["bad_op"] or 0) > 0:
-        raise DeltaProtocolError(
-            f"op_col {op_col!r} must be one of I/U/D "
-            f"({stats['bad_op']} other values)")
-    if (stats["null_keys"] or 0) > 0:
-        raise DeltaProtocolError(
-            f"{stats['null_keys']} change rows carry NULL merge keys "
-            "(NULL never matches — use a sentinel)")
-    if stats["nk"] != stats["n"]:
-        raise DeltaProtocolError(
-            f"{stats['n'] - stats['nk']} duplicate keys in the change "
-            "set: a MERGE source must match each target key at most "
-            "once")
-    part_cols = list(snap.partition_cols)
-    fcol = "_mg_file"
-    while fcol in cols:
-        fcol += "_"
-
-    def norm(u: str) -> str:
-        pr = urlparse(u)
-        return unquote(pr.path) if pr.scheme else u
-
-    chg_keys = changes.select(*keys)
-    if broadcast_changes:
-        chg_keys = F.broadcast(chg_keys)
-    # discovery: which live files contain a matched key — key columns
-    # only (column-pruned), change keys broadcast, result file-count-
-    # sized
-    matched_adds: list[str] = []
-    if snap.live:
-        disc = _file_tagged_scan(spark, path, snap, schema, fcol,
-                                 sorted(snap.live), columns=list(keys))
-        by_norm = {norm(_scan_path(path, ap)): ap for ap in snap.live}
-        matched_norms = {
-            norm(r[fcol]) for r in
-            disc.join(chg_keys, keys, "left_semi")
-                .select(fcol).distinct().collect()
-        }
-        unknown = matched_norms - set(by_norm)
-        if unknown:
+    # snapshot the change set ONCE (r13 review finding): the body
+    # evaluates it up to seven times (validation agg, discovery join,
+    # four cdc stages, rewrite staging) — a non-deterministic source
+    # could pass unique-key validation on one evaluation and stage a
+    # different set later, desyncing the feed from the data files
+    changes = changes.localCheckpoint(eager=True)
+    try:
+        # one validation pass: op domain, NULL keys, key uniqueness (a key
+        # matched by two change rows is the protocol's ambiguous-MERGE
+        # error, not a silent last-writer-wins)
+        null_key = None
+        for k in keys:
+            c = F.col(k).isNull()
+            null_key = c if null_key is None else (null_key | c)
+        stats = changes.agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum((~F.col(op_col).isin("I", "U", "D")).cast("long"))
+             .alias("bad_op"),
+            F.sum(null_key.cast("long")).alias("null_keys"),
+            F.count_distinct(*[F.col(k) for k in keys]).alias("nk"),
+        ).first()
+        if stats["n"] == 0:
+            return latest
+        if (stats["bad_op"] or 0) > 0:
             raise DeltaProtocolError(
-                f"matched files not in the snapshot: "
-                f"{sorted(unknown)[:3]}")
-        matched_adds = sorted(by_norm[n] for n in matched_norms)
-    applied = changes.filter(F.col(op_col) != "D").select(*cols)
-    if not matched_adds and applied.limit(1).count() == 0:
-        return latest                      # all-D, nothing matched
-    actions: list[dict] = [
-        {"remove": {"path": ap, "dataChange": True,
-                    "deletionTimestamp": 0}}
-        for ap in matched_adds
-    ]
-    mscan = _file_tagged_scan(spark, path, snap, schema, fcol,
-                              matched_adds) if matched_adds else None
-    if snap.configuration.get("delta.enableChangeDataFeed") == "true":
-        chg_ops = changes.select(*keys, op_col)
+                f"op_col {op_col!r} must be one of I/U/D "
+                f"({stats['bad_op']} other values)")
+        if (stats["null_keys"] or 0) > 0:
+            raise DeltaProtocolError(
+                f"{stats['null_keys']} change rows carry NULL merge keys "
+                "(NULL never matches — use a sentinel)")
+        if stats["nk"] != stats["n"]:
+            raise DeltaProtocolError(
+                f"{stats['n'] - stats['nk']} duplicate keys in the change "
+                "set: a MERGE source must match each target key at most "
+                "once")
+        part_cols = list(snap.partition_cols)
+        fcol = "_mg_file"
+        while fcol in cols:
+            fcol += "_"
+
+        def norm(u: str) -> str:
+            pr = urlparse(u)
+            return unquote(pr.path) if pr.scheme else u
+
+        chg_keys = changes.select(*keys)
         if broadcast_changes:
-            chg_ops = F.broadcast(chg_ops)
-        if mscan is not None:
-            # old = the matched base rows, tagged with their change op
-            # and their key's base multiplicity — change-set-sized;
-            # persisted because four cdc stages consume it
-            old = mscan.drop(fcol).join(chg_ops, keys, "inner")
-            kc = old.groupBy(*keys).agg(F.count(F.lit(1)).alias("_n"))
-            old = old.join(F.broadcast(kc), keys, "inner").persist()
-            ex = kc                        # existing keys + multiplicity
-        else:
-            old = None
-            ex = None
-        try:
-            if old is not None:
-                dels = old.where(
-                    (F.col(op_col) == "D") | (F.col("_n") > 1)
-                ).select(*cols)
-                actions += _stage_cdc(dels, path, "delete",
-                                      partition_by=part_cols or None)
-                pre = old.where(
-                    (F.col(op_col) != "D") & (F.col("_n") == 1)
-                ).select(*cols)
-                actions += _stage_cdc(pre, path, "update_preimage",
-                                      partition_by=part_cols or None)
-            app2 = applied if ex is None else applied.join(
-                F.broadcast(ex), keys, "left")
-            if ex is not None:
-                post = app2.where(F.col("_n") == 1).select(*cols)
-                actions += _stage_cdc(post, path, "update_postimage",
-                                      partition_by=part_cols or None)
-                ins = app2.where(
-                    F.col("_n").isNull() | (F.col("_n") > 1)
-                ).select(*cols)
+            chg_keys = F.broadcast(chg_keys)
+        # discovery: which live files contain a matched key — key columns
+        # only (column-pruned), change keys broadcast, result file-count-
+        # sized
+        matched_adds: list[str] = []
+        if snap.live:
+            disc = _file_tagged_scan(spark, path, snap, schema, fcol,
+                                     sorted(snap.live), columns=list(keys))
+            by_norm = {norm(_scan_path(path, ap)): ap for ap in snap.live}
+            matched_norms = {
+                norm(r[fcol]) for r in
+                disc.join(chg_keys, keys, "left_semi")
+                    .select(fcol).distinct().collect()
+            }
+            unknown = matched_norms - set(by_norm)
+            if unknown:
+                raise DeltaProtocolError(
+                    f"matched files not in the snapshot: "
+                    f"{sorted(unknown)[:3]}")
+            matched_adds = sorted(by_norm[n] for n in matched_norms)
+        applied = changes.filter(F.col(op_col) != "D").select(*cols)
+        if not matched_adds and applied.limit(1).count() == 0:
+            return latest                      # all-D, nothing matched
+        actions: list[dict] = [
+            {"remove": {"path": ap, "dataChange": True,
+                        "deletionTimestamp": 0}}
+            for ap in matched_adds
+        ]
+        mscan = _file_tagged_scan(spark, path, snap, schema, fcol,
+                                  matched_adds) if matched_adds else None
+        if snap.configuration.get("delta.enableChangeDataFeed") == "true":
+            chg_ops = changes.select(*keys, op_col)
+            if broadcast_changes:
+                chg_ops = F.broadcast(chg_ops)
+            if mscan is not None:
+                # old = the matched base rows, tagged with their change op
+                # and their key's base multiplicity — change-set-sized;
+                # persisted because four cdc stages consume it
+                old = mscan.drop(fcol).join(chg_ops, keys, "inner")
+                kc = old.groupBy(*keys).agg(F.count(F.lit(1)).alias("_n"))
+                old = old.join(F.broadcast(kc), keys, "inner").persist()
+                ex = kc                        # existing keys + multiplicity
             else:
-                ins = applied
-            actions += _stage_cdc(ins, path, "insert",
-                                  partition_by=part_cols or None)
-        finally:
-            if old is not None:
-                old.unpersist()
-    # rewrite: matched files minus ALL matched keys, plus the applied
-    # change rows (new files carry the merged state)
-    new_data = applied if mscan is None else \
-        mscan.join(chg_keys, keys, "left_anti").drop(fcol) \
-             .unionByName(applied)
-    actions += _stage_nonempty_adds(new_data, path, part_cols)
-    if txn is not None:
-        # streaming idempotence watermark (`delta_cdf_apply_sink`):
-        # NOTE the no-op early returns above skip it — a replayed
-        # no-op batch re-merges to the same no-op, so idempotence holds
-        # without the marker
-        app_id, txn_version = txn
-        actions.append({
-            "txn": {"appId": str(app_id), "version": int(txn_version),
-                    "lastUpdated": 0}
-        })
-    _publish(path, latest + 1, actions)
-    return latest + 1
+                old = None
+                ex = None
+            try:
+                if old is not None:
+                    dels = old.where(
+                        (F.col(op_col) == "D") | (F.col("_n") > 1)
+                    ).select(*cols)
+                    actions += _stage_cdc(dels, path, "delete",
+                                          partition_by=part_cols or None)
+                    pre = old.where(
+                        (F.col(op_col) != "D") & (F.col("_n") == 1)
+                    ).select(*cols)
+                    actions += _stage_cdc(pre, path, "update_preimage",
+                                          partition_by=part_cols or None)
+                app2 = applied if ex is None else applied.join(
+                    F.broadcast(ex), keys, "left")
+                if ex is not None:
+                    post = app2.where(F.col("_n") == 1).select(*cols)
+                    actions += _stage_cdc(post, path, "update_postimage",
+                                          partition_by=part_cols or None)
+                    ins = app2.where(
+                        F.col("_n").isNull() | (F.col("_n") > 1)
+                    ).select(*cols)
+                else:
+                    ins = applied
+                actions += _stage_cdc(ins, path, "insert",
+                                      partition_by=part_cols or None)
+            finally:
+                if old is not None:
+                    old.unpersist()
+        # rewrite: matched files minus ALL matched keys, plus the applied
+        # change rows (new files carry the merged state)
+        new_data = applied if mscan is None else \
+            mscan.join(chg_keys, keys, "left_anti").drop(fcol) \
+                 .unionByName(applied)
+        actions += _stage_nonempty_adds(new_data, path, part_cols)
+        if txn is not None:
+            # streaming idempotence watermark (`delta_cdf_apply_sink`):
+            # NOTE the no-op early returns above skip it — a replayed
+            # no-op batch re-merges to the same no-op, so idempotence holds
+            # without the marker
+            app_id, txn_version = txn
+            actions.append({
+                "txn": {"appId": str(app_id), "version": int(txn_version),
+                        "lastUpdated": 0}
+            })
+        _publish(path, latest + 1, actions)
+        return latest + 1
+    finally:
+        changes.unpersist()
 
 
 def delete_rows_with_dv(spark: SparkSession, path: str,

@@ -732,19 +732,39 @@ def read_iceberg_cdf(
     from pyspark.sql import functions as F
 
     meta = load_table_metadata(path)
-    snaps = sorted(
+    all_snaps = sorted(
         (s for s in meta.get("snapshots") or []),
         key=lambda s: (int(s["sequence-number"])
                        if s.get("sequence-number") is not None
                        else int(s.get("timestamp-ms") or 0)))
-    ids = [s["snapshot-id"] for s in snaps]
     to = to_snapshot_id if to_snapshot_id is not None else \
         meta.get("current-snapshot-id")
+    by_sid = {s["snapshot-id"]: s for s in all_snaps}
+    if to not in by_sid:
+        raise IcebergError(
+            f"change range ({from_snapshot_id}, {to}] not within "
+            f"snapshots {sorted(by_sid)}")
+    # walk the LINEAGE of `to` when parent ids are recorded: the
+    # snapshots list may hold branch/tag-only snapshots, and diffing
+    # consecutive elements of a globally sorted list would deliver a
+    # side branch's changes into this feed (r13 review finding);
+    # parent-id-less tables (old v1 writers) keep the sequence order
+    if by_sid[to].get("parent-snapshot-id") is not None:
+        chain, cur, seen = [], by_sid[to], set()
+        while cur is not None and cur["snapshot-id"] not in seen:
+            seen.add(cur["snapshot-id"])
+            chain.append(cur)
+            pid = cur.get("parent-snapshot-id")
+            cur = by_sid.get(pid) if pid is not None else None
+        snaps = list(reversed(chain))
+    else:
+        snaps = all_snaps
+    ids = [s["snapshot-id"] for s in snaps]
     if to not in ids or (from_snapshot_id != 0
                          and from_snapshot_id not in ids):
         raise IcebergError(
             f"change range ({from_snapshot_id}, {to}] not within "
-            f"snapshots {ids}")
+            f"the lineage of {to}: {ids}")
     lo_idx = 0 if from_snapshot_id == 0 else \
         ids.index(from_snapshot_id) + 1
     hi_idx = ids.index(to)
@@ -855,8 +875,13 @@ def read_iceberg_cdf(
                 # fetch the rows AT the newly-dead positions from the
                 # REFERENCED files only (one file-count-bounded
                 # distinct — an unrestricted inner join would still
-                # scan every live file); rows of files removed in the
-                # same snapshot already delivered above
+                # scan every live file).  Candidates are the files
+                # live at the PREDECESSOR: rows of files removed in
+                # the same snapshot already delivered above, and a
+                # file ADDED in this snapshot carrying its own DV has
+                # its dead rows excluded from the insert wave — also
+                # delivering them as deletes would feed changes for
+                # rows that never existed (r13 review finding)
                 import re as _re
 
                 ref = {r["file_path"] for r in
@@ -864,8 +889,9 @@ def read_iceberg_cdf(
                        .distinct().collect()}
                 pn = lambda p: _re.sub(  # noqa: E731
                     "^file:/+", "/", p)
-                affected = [d for d in data_s
-                            if pn(_plain_path(d["file_path"])) in ref]
+                affected = [d for d in data_prev
+                            if d["file_path"] in dcur
+                            and pn(_plain_path(d["file_path"])) in ref]
                 if affected:
                     frames.append(tag(_resolved_scan(
                         spark, affected, schema, dv_frame=new_pairs,
@@ -1240,9 +1266,10 @@ def _orc_indexed_scan(spark: SparkSession, paths: list[str],
     position deletes on ORC resolve through a one-file-per-task Arrow
     scan (``pyarrow.orc``) that numbers rows per stripe.  Same task
     shape as any file scan — no driver funneling; only the files a
-    delete actually references pay this path."""
-    import numpy as np  # noqa: F401  (executor-side dependency)
-
+    delete actually references pay this path.  Arrow end to end
+    (``mapInArrow``) — a pandas round-trip would turn nullable
+    integer columns into float64 and corrupt large bigints (r13
+    review finding)."""
     from pyspark.sql.types import LongType, StringType, StructField
     from pyspark.sql.types import StructType as _St
 
@@ -1256,28 +1283,37 @@ def _orc_indexed_scan(spark: SparkSession, paths: list[str],
     ).repartition(len(paths), "__orc_file")
 
     def gen(it):
-        import numpy as _np
+        import pyarrow as pa
         import pyarrow.orc as po
+
+        from pyspark.sql.pandas.types import to_arrow_schema
 
         from tulflow_spark import fsio as _f
 
-        for pdf in it:
-            for p in pdf["__orc_file"]:
+        want = to_arrow_schema(out_schema)
+        for pb in it:
+            for p in pb.column(0).to_pylist():
                 fs, lp = _f.resolve(p)
                 with fs.open_input_file(lp) as handle:
                     orf = po.ORCFile(handle)
                     off = 0
                     for s in range(orf.nstripes):
-                        tbl = orf.read_stripe(s)
-                        out = tbl.to_pandas()[cols]
-                        n = len(out)
-                        out[fp_col] = p
-                        out[ri_col] = _np.arange(off, off + n,
-                                                 dtype=_np.int64)
+                        rb = orf.read_stripe(s, columns=cols)
+                        tbl = pa.Table.from_batches([rb]) \
+                            if isinstance(rb, pa.RecordBatch) else rb
+                        tbl = tbl.select(cols)
+                        n = tbl.num_rows
+                        tbl = tbl.append_column(
+                            fp_col, pa.array([p] * n, pa.string()))
+                        tbl = tbl.append_column(
+                            ri_col, pa.array(range(off, off + n),
+                                             pa.int64()))
                         off += n
-                        yield out
+                        # declared-type cast (ORC arrow types may
+                        # differ in width/unit from Spark's schema)
+                        yield from tbl.cast(want).to_batches()
 
-    return files_df.mapInPandas(gen, schema=out_schema)
+    return files_df.mapInArrow(gen, schema=out_schema)
 
 
 def _apply_position_deletes(spark: SparkSession, scan: DataFrame,
@@ -1758,6 +1794,9 @@ def _commit_snapshot(path: str, meta: dict | None, df_schema: list[dict],
         "manifest-list": f"file://{fsio.resolve(ml_path)[1]}",
         "summary": {"operation": operation},
     }
+    if meta is not None and meta.get("current-snapshot-id") is not None:
+        # conformant writers record lineage; changelog scans walk it
+        snap_rec["parent-snapshot-id"] = meta["current-snapshot-id"]
     if meta is not None and meta.get("current-schema-id") is not None:
         # pin the schema this snapshot was written under — time travel
         # resolves through snapshot.schema-id after later evolutions

@@ -139,15 +139,37 @@ class DeltaChangesStreamReader(DataSourceStreamReader):
                 "exclusive")
         self._cap = _batch_cap(options, "maxVersionsPerBatch")
         self._last_end: int | None = None
+        self._start_cache: int | None = None
+
+    def _resolved_start(self) -> int | None:
+        """The configured start offset (startingVersion, or the
+        startingTimestamp resolution, cached) — the admission-control
+        cap base before any batch has been planned.  Without this, a
+        timestamp-configured stream's FIRST latestOffset (which can
+        arrive before initialOffset) would return the uncapped head
+        and land the whole backlog in batch one (r13 review
+        finding)."""
+        if self._starting is not None:
+            return self._starting
+        if self._starting_ts is None:
+            return None
+        if self._start_cache is None:
+            from tulflow_spark.ext.delta_log import (
+                DeltaProtocolError,
+                delta_version_at_or_after,
+            )
+
+            try:
+                self._start_cache = delta_version_at_or_after(
+                    self._path, self._starting_ts) - 1
+            except DeltaProtocolError as exc:
+                raise DeltaChangeFeedError(str(exc)) from None
+        return self._start_cache
 
     # -- offsets ------------------------------------------------------
 
     def initialOffset(self) -> dict:
-        from tulflow_spark.ext.delta_log import (
-            DeltaProtocolError,
-            delta_version_at_or_after,
-            latest_version,
-        )
+        from tulflow_spark.ext.delta_log import latest_version
 
         latest = latest_version(self._path)
         if latest is None:
@@ -163,11 +185,7 @@ class DeltaChangesStreamReader(DataSourceStreamReader):
         # startingTimestamp resolves to the EARLIEST commit at or
         # after it (delta-spark semantics) and delivers from there
         if self._starting_ts is not None:
-            try:
-                off = delta_version_at_or_after(
-                    self._path, self._starting_ts) - 1
-            except DeltaProtocolError as exc:
-                raise DeltaChangeFeedError(str(exc)) from None
+            off = self._resolved_start()
         elif self._starting is not None:
             off = self._starting
         else:
@@ -184,8 +202,8 @@ class DeltaChangesStreamReader(DataSourceStreamReader):
                 f"delta table vanished at {self._path}")
         if self._cap is not None:
             base = self._last_end
-            if base is None and self._starting is not None:
-                base = self._starting
+            if base is None:
+                base = self._resolved_start()
             if base is not None:
                 latest = min(latest, base + self._cap)
         return {"version": latest}
@@ -370,7 +388,15 @@ class DeltaChangesStreamReader(DataSourceStreamReader):
                 cols: dict = {}
                 for spec in partition.columns:
                     if spec[0] == "file" and spec[2] in have:
-                        cols[spec[1]] = tbl.column(spec[2])
+                        # cast to the DECLARED type (the batch
+                        # reader's explicit-schema rule): a foreign
+                        # file storing a narrower physical type must
+                        # not leak it into the stream (r13 review)
+                        col = tbl.column(spec[2])
+                        want = _pa_type(spec[3]) if spec[3] else None
+                        if want is not None and col.type != want:
+                            col = col.cast(want)
+                        cols[spec[1]] = col
                     elif spec[0] == "lit":
                         cols[spec[1]] = pa.array(
                             [spec[2]] * n, type=_pa_type(spec[3]))
@@ -591,15 +617,24 @@ class DeltaCdfStreamReader(DeltaChangesStreamReader):
                 cols: dict = {}
                 for spec in partition.columns:
                     if spec[0] == "file" and spec[2] in have:
-                        cols[spec[1]] = tbl.column(spec[2])
+                        col = tbl.column(spec[2])
+                        want = _pa_type(spec[3]) if spec[3] else None
+                        if want is not None and col.type != want:
+                            col = col.cast(want)
+                        cols[spec[1]] = col
                     elif spec[0] == "lit":
                         cols[spec[1]] = pa.array(
                             [spec[2]] * m, type=_pa_type(spec[3]))
                     else:   # file column the vintage predates
                         cols[spec[1]] = pa.nulls(
                             m, type=_pa_type(spec[3]))
-                cols["_change_type"] = tbl.column("_change_type") \
-                    if partition.ctype is None else pa.array(
+                if partition.ctype is None:
+                    ct = tbl.column("_change_type")
+                    if ct.type != pa.string():
+                        ct = ct.cast(pa.string())
+                    cols["_change_type"] = ct
+                else:
+                    cols["_change_type"] = pa.array(
                         [partition.ctype] * m, type=pa.string())
                 cols["_commit_version"] = pa.array(
                     [partition.version] * m, type=pa.int64())
@@ -671,6 +706,7 @@ class IcebergChangesStreamReader(DataSourceStreamReader):
                 "exclusive")
         self._cap = _batch_cap(options, "maxSequencesPerBatch")
         self._last_end: int | None = None
+        self._start_cache: int | None = None
 
     @staticmethod
     def _seq_of(s: dict) -> int:
@@ -693,12 +729,20 @@ class IcebergChangesStreamReader(DataSourceStreamReader):
         snaps = self._ordered_snaps(meta)
         return self._seq_of(snaps[-1]) if snaps else 0
 
-    def initialOffset(self) -> dict:
-        if self._starting_ts is not None:
+    def _resolved_start(self) -> int | None:
+        """startingSequence, or the cached startingTimestamp
+        resolution — the admission-control cap base before any batch
+        is planned (mirrors the Delta reader, r13 review finding)."""
+        if self._starting is not None:
+            return max(0, self._starting)
+        if self._starting_ts is None:
+            return None
+        if self._start_cache is None:
             # EARLIEST snapshot committed at or after the timestamp
             # (the Delta reader's startingTimestamp semantics, through
-            # the snapshots' own timestamps); deliver from it on —
-            # typed when the timestamp is after the whole history
+            # the snapshots' own timestamps); typed when the timestamp
+            # is after the whole history.  No max(0, ...) clamp: a
+            # pre-upgrade seq-0 snapshot needs offset -1 to deliver
             from tulflow_spark.ext.iceberg import load_table_metadata
 
             meta = load_table_metadata(self._path)
@@ -709,10 +753,12 @@ class IcebergChangesStreamReader(DataSourceStreamReader):
                 raise DeltaChangeFeedError(
                     f"no snapshot at or after {self._starting_ts} "
                     "(it is after the latest snapshot's timestamp)")
-            off = max(0, self._seq_of(hit[0]) - 1)
-        else:
-            off = self._latest_seq() if self._starting is None \
-                else max(0, self._starting)
+            self._start_cache = self._seq_of(hit[0]) - 1
+        return self._start_cache
+
+    def initialOffset(self) -> dict:
+        start = self._resolved_start()
+        off = self._latest_seq() if start is None else start
         self._last_end = off
         return {"seq": off}
 
@@ -721,8 +767,8 @@ class IcebergChangesStreamReader(DataSourceStreamReader):
         # cap against the last PLANNED batch end (see the Delta reader)
         if self._cap is not None:
             base = self._last_end
-            if base is None and self._starting is not None:
-                base = max(0, self._starting)
+            if base is None:
+                base = self._resolved_start()
             if base is not None:
                 latest = min(latest, base + self._cap)
         return {"seq": latest}
