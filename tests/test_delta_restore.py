@@ -1,0 +1,142 @@
+"""ext/delta_log.py::restore_delta — RESTORE as a writer verb: one
+reference-moving commit back to an old version, CDF-exact, typed on
+vacuumed files / schema drift / foreign features."""
+
+from __future__ import annotations
+
+import json
+import os
+
+import pytest
+
+from tulflow_spark.ext.delta_log import (
+    DeltaConcurrentCommit,
+    DeltaProtocolError,
+    _replay,
+    delete_rows_with_dv,
+    delete_where,
+    latest_version,
+    read_delta,
+    read_delta_cdf,
+    restore_delta,
+    write_delta,
+)
+
+CDF = {"delta.enableChangeDataFeed": "true"}
+
+
+def _df(spark, lo, hi):
+    return spark.createDataFrame(
+        [(i, f"x{i}") for i in range(lo, hi)], "id long, v string")
+
+
+def _ids(spark, t, **kw):
+    return sorted(r["id"] for r in read_delta(spark, t, **kw).collect())
+
+
+def test_restore_moves_references_only(spark, tmp_path):
+    t = str(tmp_path / "t")
+    write_delta(_df(spark, 0, 6), t, mode="append")           # v0
+    write_delta(_df(spark, 6, 9), t, mode="append")           # v1
+    delete_where(spark, t, "id < 2")                          # v2
+    v = restore_delta(spark, t, 0)
+    assert v == 3
+    assert _ids(spark, t) == list(range(6))
+    # the restored state is EXACTLY v0's file set (by reference)
+    assert set(_replay(spark, t, v).live) == \
+        set(_replay(spark, t, 0).live)
+    # restoring to the present is a no-op
+    assert restore_delta(spark, t, v) == v
+    assert latest_version(t) == v
+
+
+def test_restore_stages_cdf(spark, tmp_path):
+    t = str(tmp_path / "t")
+    write_delta(_df(spark, 0, 4), t, mode="append",
+                configuration=CDF)                            # v0
+    write_delta(_df(spark, 4, 7), t, mode="append")           # v1
+    v = restore_delta(spark, t, 0)                            # v2
+    feed = read_delta_cdf(spark, t, -1)
+    got = sorted((r["_commit_version"], r["_change_type"], r["id"])
+                 for r in feed.collect())
+    assert got == sorted(
+        [(0, "insert", i) for i in range(4)]
+        + [(1, "insert", i) for i in range(4, 7)]
+        + [(v, "delete", i) for i in range(4, 7)])
+    # net state consistency
+    ins = [i for _, c, i in got if c == "insert"]
+    dels = {i for _, c, i in got if c == "delete"}
+    assert sorted(set(ins) - dels) == _ids(spark, t)
+
+
+def test_restore_dv_table_und_dv_diff_feed(spark, tmp_path):
+    """Restoring across a DV delete re-adds the file under its OLD
+    (absent) descriptor; the feed derives the un-deleted rows as
+    inserts from the DV diff — no cdc needed."""
+    t = str(tmp_path / "t")
+    write_delta(_df(spark, 0, 8).coalesce(1), t, mode="append")
+    (ap,) = _replay(spark, t, None).live
+    delete_rows_with_dv(spark, t, {ap: [1, 3]})               # v1
+    v = restore_delta(spark, t, 0)                            # v2
+    assert _ids(spark, t) == list(range(8))
+    tail = read_delta_cdf(spark, t, 1, v)
+    got = sorted((r["_change_type"], r["id"]) for r in tail.collect())
+    assert got == [("insert", 1), ("insert", 3)]
+
+
+def test_restore_walls(spark, tmp_path):
+    t = str(tmp_path / "t")
+    write_delta(_df(spark, 0, 4), t, mode="append")           # v0
+    write_delta(_df(spark, 4, 6), t, mode="append")           # v1
+    with pytest.raises(DeltaProtocolError, match="out of bounds"):
+        restore_delta(spark, t, 9)
+    with pytest.raises(DeltaConcurrentCommit, match="re-read"):
+        restore_delta(spark, t, 0, expect_version=9)
+    # schema drift between the versions → typed
+    from pyspark.sql import functions as F
+
+    write_delta(_df(spark, 6, 7).withColumn("w", F.lit(1)), t,
+                mode="append", merge_schema=True)             # v2
+    with pytest.raises(DeltaProtocolError, match="schema changed"):
+        restore_delta(spark, t, 0)
+    # appendOnly → typed
+    t2 = str(tmp_path / "t2")
+    write_delta(_df(spark, 0, 2), t2, mode="append",
+                configuration={"delta.appendOnly": "true"})
+    write_delta(_df(spark, 2, 3), t2, mode="append")
+    with pytest.raises(DeltaProtocolError, match="appendOnly"):
+        restore_delta(spark, t2, 0)
+
+
+def test_restore_vacuumed_file_typed(spark, tmp_path):
+    t = str(tmp_path / "t")
+    write_delta(_df(spark, 0, 4), t, mode="append")           # v0
+    delete_where(spark, t, "id >= 0")                         # v1: all
+    # physically delete v0's files (what vacuum would reclaim)
+    for p in _replay(spark, t, 0).live:
+        from urllib.parse import unquote
+
+        os.remove(f"{t}/{unquote(p)}")
+    with pytest.raises(DeltaProtocolError, match="vacuumed"):
+        restore_delta(spark, t, 0)
+
+
+def test_restore_commit_shape_is_protocol_plain(spark, tmp_path):
+    """The restore commit re-adds the OLD add actions verbatim
+    (stats carried) with dataChange=true — a conformant reader
+    replays it with no special casing."""
+    t = str(tmp_path / "t")
+    write_delta(_df(spark, 0, 4), t, mode="append")           # v0
+    write_delta(_df(spark, 4, 6), t, mode="append")           # v1
+    delete_where(spark, t, "id = 0")                          # v2
+    v = restore_delta(spark, t, 0)
+    acts = [json.loads(ln) for ln in open(
+        f"{t}/_delta_log/{v:020d}.json") if ln.strip()]
+    adds = [a["add"] for a in acts if a.get("add")]
+    rms = [a["remove"] for a in acts if a.get("remove")]
+    assert adds and rms
+    assert all(a.get("dataChange") for a in adds)
+    assert all(a.get("stats") for a in adds), \
+        "re-adds must carry the original stats (skipping index)"
+    assert set(a["path"] for a in adds) <= \
+        set(_replay(spark, t, 0).live)

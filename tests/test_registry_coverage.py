@@ -80,7 +80,8 @@ def test_r7_rotation_promotes_never_adjudicated_pairs():
                                      "ib6_ref_travel",
                                      "dl11_cdf_rename",
                                      "dl12_update_cdf",
-                                     "ic1_iceberg_cdf"}
+                                     "ic1_iceberg_cdf",
+                                     "dl13_restore_cdf"}
     never -= added_post_rotation
     assert never <= set(QUERIES), (
         f"never-adjudicated but de-gated: {sorted(never - set(QUERIES))}"

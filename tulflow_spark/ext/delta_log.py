@@ -2626,6 +2626,119 @@ def merge_delta(spark: SparkSession, path: str, changes: DataFrame,
         changes.unpersist()
 
 
+def restore_delta(spark: SparkSession, path: str, version: int,
+                  expect_version: int | None = None) -> int:
+    """Delta RESTORE: one commit returning the table to the state of
+    ``version`` — tombstone every file added since, re-add (by
+    reference, verbatim actions incl. stats and deletion vectors)
+    every file removed since, and re-add files whose DV CHANGED under
+    their old descriptor.  Data files never rewrite; returns the new
+    version (the current one when nothing changed — restoring to the
+    present is a no-op).
+
+    Typed walls: a restored file that was since vacuumed (the rows no
+    longer exist on disk — pick a younger version or re-ingest),
+    writer-version >2 feature tables (DV re-adds excepted: the
+    restore itself only moves references), appendOnly tables, and a
+    metaData schema change between the versions (RESTORE does not
+    time-travel the schema; delta-spark keeps the current one, but a
+    DIFFERENT schema would make re-added files read under the wrong
+    projection — refuse loudly instead).
+
+    With ``delta.enableChangeDataFeed`` set, the commit stages cdc
+    files (removed-since files' surviving rows as ``delete``,
+    re-added files' alive rows as ``insert``) so `read_delta_cdf`
+    resolves the commit exactly; without CDF the mixed add+remove
+    commit stays the feed's documented typed wall.
+
+    At 100 TB: the diff is log-metadata-sized; only the cdc stages
+    touch data (changed files only), and only when CDF is on."""
+    latest = latest_version(path)
+    if latest is None:
+        raise DeltaProtocolError(f"no delta table at {path}")
+    if expect_version is not None and latest != expect_version:
+        raise DeltaConcurrentCommit(
+            f"table is at version {latest}, restore was computed "
+            f"against {expect_version}: re-read and retry")
+    if not 0 <= version <= latest:
+        raise DeltaProtocolError(
+            f"restore target {version} out of bounds (latest is "
+            f"{latest})")
+    cur = _replay(spark, path, latest)
+    old = _replay(spark, path, version)
+    if cur.min_writer > 2:
+        # feature tables: RESTORE only moves file references (no data
+        # mutation), so deletionVectors-only tables are safe — the
+        # same-path re-add under the old descriptor is exactly the
+        # shape the CDF DV-diff rules exist for; any OTHER writer
+        # feature keeps the usual wall (its invariants might not
+        # survive a blind reference move)
+        extra = [f for f in (cur.writer_features or [])
+                 if f not in ("deletionVectors", "appendOnly",
+                              "invariants", "changeDataFeed")]
+        if extra or not cur.writer_features:
+            raise DeltaProtocolError(
+                f"table requires writer version {cur.min_writer} "
+                f"with features {extra or '(legacy, unlisted)'}: "
+                "restore refuses")
+    if cur.configuration.get("delta.appendOnly") == "true":
+        raise DeltaProtocolError(
+            "table is delta.appendOnly=true: restore forbidden")
+    if cur.schema_str != old.schema_str:
+        raise DeltaProtocolError(
+            f"schema changed between version {version} and "
+            f"{latest}: restore would read re-added files under the "
+            "wrong schema — migrate explicitly instead")
+
+    def dv_key(a: dict):
+        dv = a.get("deletionVector")
+        return None if dv is None else json.dumps(dv, sort_keys=True)
+
+    removes = [p for p in cur.live if p not in old.live]
+    re_adds = [p for p in old.live if p not in cur.live]
+    dv_changed = [p for p in old.live
+                  if p in cur.live
+                  and dv_key(old.live[p]) != dv_key(cur.live[p])]
+    if not removes and not re_adds and not dv_changed:
+        return latest
+    for p in re_adds:
+        if not fsio.exists(_scan_path(path, p)):
+            raise DeltaProtocolError(
+                f"restore needs {p!r}, which was vacuumed — the rows "
+                "are no longer on disk; pick a younger version")
+    actions: list[dict] = []
+    for p in sorted(removes):
+        actions.append({"remove": {"path": p, "dataChange": True,
+                                   "deletionTimestamp": 0}})
+    for p in sorted(re_adds):
+        actions.append({"add": dict(old.live[p], dataChange=True)})
+    for p in sorted(dv_changed):
+        # same-path re-add under the OLD descriptor: the feed's
+        # DV-diff rules derive the per-row changes from this shape
+        actions.append({"remove": {"path": p, "dataChange": True,
+                                   "deletionTimestamp": 0}})
+        actions.append({"add": dict(old.live[p], dataChange=True)})
+    if cur.configuration.get("delta.enableChangeDataFeed") == "true" \
+            and (removes or re_adds):
+        schema = StructType.fromJson(json.loads(cur.schema_str))
+        part_cols = list(cur.partition_cols)
+        fcol = "_rs_file"
+        while fcol in {f.name for f in schema.fields}:
+            fcol += "_"
+        if removes:
+            gone = _file_tagged_scan(spark, path, cur, schema, fcol,
+                                     sorted(removes)).drop(fcol)
+            actions += _stage_cdc(gone, path, "delete",
+                                  partition_by=part_cols or None)
+        if re_adds:
+            back = _file_tagged_scan(spark, path, old, schema, fcol,
+                                     sorted(re_adds)).drop(fcol)
+            actions += _stage_cdc(back, path, "insert",
+                                  partition_by=part_cols or None)
+    _publish(path, latest + 1, actions)
+    return latest + 1
+
+
 def delete_rows_with_dv(spark: SparkSession, path: str,
                         deletes: dict[str, list[int]],
                         expect_version: int | None = None) -> int:

@@ -1614,6 +1614,75 @@ def dl12_update_cdf(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "dl13_restore_cdf",
+    oracle="""
+    WITH base AS (SELECT doc_id, text FROM documents),
+    extra AS (SELECT doc_id + 10000000 AS doc_id, 'N:' || text AS text
+              FROM base WHERE doc_id % 13 = 0),
+    feed AS (
+      SELECT text, 'insert' AS ct, 0 AS v FROM base
+      UNION ALL SELECT text, 'insert', 1 FROM extra
+      UNION ALL SELECT text, 'delete', 2 FROM extra
+    ),
+    keyed AS (SELECT ct || '|' || md5(text) || '|' || v AS k FROM feed)
+    SELECT CAST((SELECT COUNT(*) FROM extra) AS BIGINT) AS n_undone,
+           (SELECT md5(STRING_AGG(k, '' ORDER BY k)) FROM keyed)
+             AS feed_md5,
+           (SELECT md5(STRING_AGG(h, '' ORDER BY h)) FROM
+             (SELECT md5(CAST(doc_id AS VARCHAR) || '|' || text) AS h
+              FROM base)) AS state_md5
+    """,
+)
+def dl13_restore_cdf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Delta RESTORE oracle-checked (r13: `restore_delta`): documents
+    seed the table (CDF on), an append lands extra rows, and a RESTORE
+    to version 0 undoes it in ONE reference-moving commit — the feed
+    must record the undone rows as ``delete`` at the restore's
+    version (cdc staged by the writer), and the post-restore state
+    must digest-equal the original corpus (a restore that rewrote or
+    dropped an original file fails the state hash).
+
+    At 100 TB: the restore diff is log-metadata-sized; only the
+    undone files' rows ride cdc parquet."""
+    import tempfile
+
+    from tulflow_spark.ext.delta_log import (
+        read_delta,
+        read_delta_cdf,
+        restore_delta,
+        write_delta,
+    )
+
+    docs = table(spark, sf_dir, "documents").select("doc_id", "text")
+    t = tempfile.mkdtemp(prefix="dl13_") + "/tbl"
+    write_delta(docs, t, mode="append",
+                configuration={"delta.enableChangeDataFeed": "true"})
+    extra = docs.filter("doc_id % 13 = 0").select(
+        (F.col("doc_id") + 10000000).alias("doc_id"),
+        F.concat(F.lit("N:"), F.col("text")).alias("text"))
+    write_delta(extra, t, mode="append")                       # v1
+    v = restore_delta(spark, t, 0)                             # v2
+    feed = read_delta_cdf(spark, t, -1)
+    key = F.concat_ws(
+        "|", F.col("_change_type"), F.md5("text"),
+        F.col("_commit_version").cast("string"))
+    n_undone = feed.where(
+        (F.col("_change_type") == "delete")
+        & (F.col("_commit_version") == v)).count()
+    srow = read_delta(spark, t).agg(
+        F.md5(F.concat_ws("", F.array_sort(F.collect_list(
+            F.md5(F.concat_ws("|", F.col("doc_id").cast("string"),
+                              F.col("text"))))))).alias("state_md5"),
+    ).first()
+    return (feed.agg(
+        F.md5(F.concat_ws("", F.array_sort(F.collect_list(key))))
+         .alias("feed_md5"))
+        .withColumn("n_undone", F.lit(int(n_undone)).cast("bigint"))
+        .withColumn("state_md5", F.lit(srow["state_md5"]))
+        .select("n_undone", "feed_md5", "state_md5"))
+
+
+@register(
     "sdc2_stream_iceberg_changes",
     oracle="""
     SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
