@@ -84,6 +84,76 @@ def test_restore_dv_table_und_dv_diff_feed(spark, tmp_path):
     assert got == [("insert", 1), ("insert", 3)]
 
 
+def test_restore_cdc_includes_dv_diff(spark, tmp_path):
+    """r13 advice (high): a CDF restore that both removes files AND
+    reverts a deletion vector must stage the DV-diff rows in its cdc
+    files — cdc actions are exclusive for the version, so an
+    incomplete staging silently drops the un-deleted rows from the
+    feed (a downstream apply sink would lose them permanently)."""
+    t = str(tmp_path / "t")
+    write_delta(_df(spark, 0, 6).coalesce(1), t, mode="append",
+                configuration=CDF)                            # v0
+    (ap,) = _replay(spark, t, None).live
+    write_delta(_df(spark, 6, 9), t, mode="append")           # v1
+    delete_rows_with_dv(spark, t, {ap: [1, 3]})               # v2
+    v = restore_delta(spark, t, 0)                            # v3
+    assert _ids(spark, t) == list(range(6))
+    feed = read_delta_cdf(spark, t, 2, v)
+    got = sorted((r["_change_type"], r["id"]) for r in feed.collect())
+    # appended rows die AND the DV-dead rows come back
+    assert got == sorted([("delete", i) for i in range(6, 9)]
+                         + [("insert", 1), ("insert", 3)])
+    # the restore commit stages cdc (reader's cdc-wins rule applies)
+    acts = [json.loads(ln) for ln in open(
+        f"{t}/_delta_log/{v:020d}.json") if ln.strip()]
+    assert any(a.get("cdc") for a in acts)
+
+
+def test_restore_cdc_applies_dv_of_removed_file(spark, tmp_path):
+    """r13 advice (medium): a removed file carrying a DV stages only
+    its SURVIVORS as delete — the DV-dead rows already left the feed
+    when the DV was written; re-delivering them double-deletes."""
+    t = str(tmp_path / "t")
+    write_delta(_df(spark, 0, 4).coalesce(1), t, mode="append",
+                configuration=CDF)                            # v0
+    write_delta(_df(spark, 4, 9).coalesce(1), t, mode="append")  # v1
+    snap = _replay(spark, t, None)
+    (bp,) = [p for p in snap.live
+             if p not in _replay(spark, t, 0).live]
+    # kill ids 4 and 6 inside the v1 file (positions 0 and 2)
+    delete_rows_with_dv(spark, t, {bp: [0, 2]})               # v2
+    v = restore_delta(spark, t, 0)                            # v3
+    assert _ids(spark, t) == list(range(4))
+    feed = read_delta_cdf(spark, t, 2, v)
+    got = sorted((r["_change_type"], r["id"]) for r in feed.collect())
+    # only the SURVIVORS of the removed file die: 5, 7, 8
+    assert got == [("delete", 5), ("delete", 7), ("delete", 8)]
+
+
+def test_restore_pure_dv_change_stages_no_cdc(spark, tmp_path):
+    """A restore touching ONLY DV-changed files stages no cdc — the
+    reader's DV-diff rule resolves the same-path re-add exactly, in
+    both directions (un-delete, then re-delete)."""
+    t = str(tmp_path / "t")
+    write_delta(_df(spark, 0, 6).coalesce(1), t, mode="append",
+                configuration=CDF)                            # v0
+    (ap,) = _replay(spark, t, None).live
+    delete_rows_with_dv(spark, t, {ap: [1, 3]})               # v1
+    r1 = restore_delta(spark, t, 0)                           # v2: un-delete
+    r2 = restore_delta(spark, t, 1)                           # v3: re-delete
+    assert _ids(spark, t) == [0, 2, 4, 5]
+    got = sorted((r["_commit_version"], r["_change_type"], r["id"])
+                 for r in read_delta_cdf(spark, t, 1).collect())
+    assert got == sorted(
+        [(r1, "insert", 1), (r1, "insert", 3)]
+        + [(r2, "delete", 1), (r2, "delete", 3)])
+    for rv in (r1, r2):
+        acts = [json.loads(ln) for ln in open(
+            f"{t}/_delta_log/{rv:020d}.json") if ln.strip()]
+        assert not any(a.get("cdc") for a in acts), \
+            "pure DV-changed restore needs no cdc staging"
+
+
 def test_restore_walls(spark, tmp_path):
     t = str(tmp_path / "t")
     write_delta(_df(spark, 0, 4), t, mode="append")           # v0

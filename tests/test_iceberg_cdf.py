@@ -214,3 +214,33 @@ def test_changelog_skips_side_branch_snapshots(spark, tmp_path):
     # the branch head reads ITS lineage
     got = _feed(read_iceberg_cdf(spark, t, to_snapshot_id=424242))
     assert {i for _, c, i in got if c == "insert"} == set(range(6))
+
+
+def test_changelog_empty_range_with_nested_column(spark, tmp_path):
+    """r13 advice (low): an EMPTY change range over a table whose
+    schema carries a nested (struct) column must return an empty
+    typed frame, not crash on the unhashable dict type."""
+    import json
+
+    t = str(tmp_path / "t")
+    write_iceberg_fixture(spark, _df(spark, 0, 3), t)         # s1
+    append_iceberg_fixture(spark, _df(spark, 3, 6), t)        # s2
+    s2 = load_table_metadata(t)["current-snapshot-id"]
+    rewrite_iceberg_data_files(spark, t)                      # s3: replace
+    assert load_table_metadata(t)["current-snapshot-id"] != s2
+    hint = open(f"{t}/metadata/version-hint.text").read().strip()
+    mp = f"{t}/metadata/v{hint}.metadata.json"
+    m = json.loads(open(mp).read())
+    sch = m["schemas"][0] if "schemas" in m else m["schema"]
+    sch["fields"].append({
+        "id": 99, "name": "meta", "required": False,
+        "type": {"type": "struct", "fields": [
+            {"id": 100, "name": "k", "required": False,
+             "type": "string"}]}})
+    with open(mp, "w") as fh:
+        fh.write(json.dumps(m))
+    # (s2, s3] contains only the compaction — contributes nothing
+    out = read_iceberg_cdf(spark, t, from_snapshot_id=s2)
+    assert out.count() == 0
+    assert {"id", "v", "meta", "_change_type", "_commit_seq",
+            "_snapshot_id"} <= set(out.columns)

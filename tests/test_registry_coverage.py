@@ -75,13 +75,10 @@ def test_r7_rotation_promotes_never_adjudicated_pairs():
     # the round's new dl10/sdc3 pairs gated on creation; ib4/dl7/ib6
     # still queue (r14), and dl11 (CDF × rename) registered after the
     # r13 gate froze
-    added_post_rotation: set[str] = {"ib4_iceberg_rename",
-                                     "dl7_column_mapping_id",
-                                     "ib6_ref_travel",
-                                     "dl11_cdf_rename",
-                                     "dl12_update_cdf",
-                                     "ic1_iceberg_cdf",
-                                     "dl13_restore_cdf"}
+    # r14: ib4/dl11/dl12/ic1/dl13 promoted into the gate; dl7/ib6
+    # remain queued for the r15 rotation
+    added_post_rotation: set[str] = {"dl7_column_mapping_id",
+                                     "ib6_ref_travel"}
     never -= added_post_rotation
     assert never <= set(QUERIES), (
         f"never-adjudicated but de-gated: {sorted(never - set(QUERIES))}"

@@ -2376,12 +2376,21 @@ def update_where(spark: SparkSession, path: str, condition: str,
     victims = mscan.where(condition)
     keepers = mscan.where(f"({condition}) IS NOT TRUE").drop(fcol)
     post = victims.select(updated_cols)
+    cdf_on = snap.configuration.get(
+        "delta.enableChangeDataFeed") == "true"
+    if cdf_on:
+        # the post-update projection feeds BOTH the cdc postimage and
+        # the data-file stage; a non-deterministic SET expression
+        # (rand(), current_timestamp()) would otherwise stage a
+        # postimage that differs from the committed rows — snapshot
+        # ONE evaluation (the merge_delta precedent)
+        post = post.localCheckpoint()
     actions: list[dict] = [
         {"remove": {"path": ap, "dataChange": True,
                     "deletionTimestamp": 0}}
         for ap in matched_adds
     ]
-    if snap.configuration.get("delta.enableChangeDataFeed") == "true":
+    if cdf_on:
         actions += _stage_cdc(victims.drop(fcol), path,
                               "update_preimage",
                               partition_by=part_cols or None)
@@ -2646,8 +2655,10 @@ def restore_delta(spark: SparkSession, path: str, version: int,
     projection — refuse loudly instead).
 
     With ``delta.enableChangeDataFeed`` set, the commit stages cdc
-    files (removed-since files' surviving rows as ``delete``,
-    re-added files' alive rows as ``insert``) so `read_delta_cdf`
+    files (removed-since files' surviving rows — their deletion
+    vectors applied — as ``delete``, re-added files' alive rows as
+    ``insert``, and DV-changed files' DV DIFF: newly-dead positions
+    ``delete``, un-deleted positions ``insert``) so `read_delta_cdf`
     resolves the commit exactly; without CDF the mixed add+remove
     commit stays the feed's documented typed wall.
 
@@ -2720,20 +2731,67 @@ def restore_delta(spark: SparkSession, path: str, version: int,
         actions.append({"add": dict(old.live[p], dataChange=True)})
     if cur.configuration.get("delta.enableChangeDataFeed") == "true" \
             and (removes or re_adds):
+        # cdc actions are EXCLUSIVE for their version (the reader's
+        # cdc-wins rule), so the staged files must carry the COMPLETE
+        # row-level change set: removed files' SURVIVORS (minus their
+        # deletion-vector dead rows) as delete, re-added files' ALIVE
+        # rows (minus the old descriptor's DV) as insert, and — when
+        # files also changed only their DV — that file's DV DIFF
+        # (newly-dead positions delete, un-deleted positions insert);
+        # staging only the remove/re-add rows would silently drop the
+        # DV-diff changes from the feed (r13 advice, high).  A restore
+        # touching ONLY DV-changed files stages nothing: the reader's
+        # DV-diff rule resolves the same-path re-add exactly, free.
+        from tulflow_spark.ext import deletion_vectors as _dvmod
+
         schema = StructType.fromJson(json.loads(cur.schema_str))
         part_cols = list(cur.partition_cols)
-        fcol = "_rs_file"
-        while fcol in {f.name for f in schema.fields}:
-            fcol += "_"
-        if removes:
-            gone = _file_tagged_scan(spark, path, cur, schema, fcol,
-                                     sorted(removes)).drop(fcol)
-            actions += _stage_cdc(gone, path, "delete",
+        types = {f.name: f.dataType for f in schema.fields}
+        data_schema = StructType(
+            [f for f in schema.fields if f.name not in part_cols])
+
+        def dv_idx(a: dict) -> set:
+            if not a.get("deletionVector"):
+                return set()
+            try:
+                return {int(i) for i in _dvmod.read_dv(
+                    path, a["deletionVector"])}
+            except _dvmod.DvError as exc:
+                raise DeltaProtocolError(
+                    f"restore cdc deletion vector: {exc}") from None
+
+        def rows_of(a: dict, positions=None,
+                    exclude: bool = False) -> DataFrame:
+            return _cdf_file_frame(
+                spark, path, a, data_schema, types, part_cols,
+                "x", 0, positions=positions, exclude=exclude,
+            ).drop("_change_type", "_commit_version")
+
+        del_frames: list[DataFrame] = []
+        ins_frames: list[DataFrame] = []
+        for p in sorted(removes):
+            a = cur.live[p]
+            del_frames.append(rows_of(
+                a, tuple(sorted(dv_idx(a))) or None, exclude=True))
+        for p in sorted(re_adds):
+            a = old.live[p]
+            ins_frames.append(rows_of(
+                a, tuple(sorted(dv_idx(a))) or None, exclude=True))
+        for p in sorted(dv_changed):
+            before, after = dv_idx(cur.live[p]), dv_idx(old.live[p])
+            newly_dead = tuple(sorted(after - before))
+            if newly_dead:
+                del_frames.append(rows_of(old.live[p], newly_dead))
+            restored = tuple(sorted(before - after))
+            if restored:
+                ins_frames.append(rows_of(old.live[p], restored))
+        if del_frames:
+            actions += _stage_cdc(_union_fold(del_frames), path,
+                                  "delete",
                                   partition_by=part_cols or None)
-        if re_adds:
-            back = _file_tagged_scan(spark, path, old, schema, fcol,
-                                     sorted(re_adds)).drop(fcol)
-            actions += _stage_cdc(back, path, "insert",
+        if ins_frames:
+            actions += _stage_cdc(_union_fold(ins_frames), path,
+                                  "insert",
                                   partition_by=part_cols or None)
     _publish(path, latest + 1, actions)
     return latest + 1

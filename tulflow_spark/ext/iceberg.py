@@ -933,9 +933,16 @@ def read_iceberg_cdf(
     meta_cols = [("_change_type", "string"), ("_commit_seq", "bigint"),
                  ("_snapshot_id", "bigint")]
     if not frames:
+        # nested Iceberg types are dicts (unhashable — dict.get would
+        # raise TypeError); the empty frame only needs column NAMES to
+        # be faithful, so non-scalar types fall back to string the
+        # same way _projection_for guards with isinstance at its wall
+        def _ddl_type(t):
+            return _SPARK_OF_ICE.get(t, "string") \
+                if isinstance(t, str) else "string"
+
         ddl = ", ".join(
-            [f"`{f['name']}` "
-             f"{_SPARK_OF_ICE.get(f.get('type'), 'string')}"
+            [f"`{f['name']}` {_ddl_type(f.get('type'))}"
              for f in schema.get("fields", [])]
             + [f"`{n}` {t}" for n, t in meta_cols])
         return spark.createDataFrame([], ddl)

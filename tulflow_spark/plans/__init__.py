@@ -63,6 +63,20 @@ GATED: frozenset[str] = frozenset(
         # in place of q05_region_revenue (driver rows r1..r12; TPC-H
         # keeps the q01/q03 anchors)
         "sdc3_stream_delta_cdf",
+        # r14 (2026-08-16): promote five of the seven r12/r13-created
+        # pairs with no driver CORRECTNESS row (r13 VERDICT #1 — all
+        # seven judge-verified green via vanilla gate_sim; dl7/ib6
+        # queue for r15).  Rotated out, keeping one anchor per family:
+        # dd1_exact_dedup (13 driver rows; dd10/dd12 keep dedup),
+        # q01_pricing_summary (13; q03 keeps TPC-H), x2b_marc_native
+        # (12; x3 keeps XML), cdc2_merge_upsert (8; zo1 keeps the
+        # manifest-snapshot family), cur5_web_pipeline (8; cur7 keeps
+        # curation).
+        "ic1_iceberg_cdf",
+        "dl12_update_cdf",
+        "dl13_restore_cdf",
+        "dl11_cdf_rename",
+        "ib4_iceberg_rename",
         "bm1_bm25_search",
         # r10: cdc3_scd2_history rotated out (driver rows r7/r8/r9;
         # cdc2 keeps the CDC anchor) for the deletion-vector pair
@@ -117,13 +131,11 @@ GATED: frozenset[str] = frozenset(
         # iterative fit keeps its recall floor in vr1)
         "ss9_ivfpq_topk",
         # kept anchors
-        "q01_pricing_summary",
         "q03_top_revenue_orders",
         # r8: q14_promo_revenue rotated out (TPC-H keeps three anchors;
         # q14 stays in the local parity suite) to budget the slot for
         # the new MP3 decode pair
         "mm10_mp3_roundtrip",
-        "dd1_exact_dedup",
         # r10: dd3_ngram_jaccard rotated out (driver rows r1..r9; dd1/
         # dd10/dd12 keep the dedup anchors) for the WARC ingest pair
         "warc1_warc_ingest",
@@ -131,9 +143,7 @@ GATED: frozenset[str] = frozenset(
         # r13: aj1_asof_join rotated out (driver rows r2..r12; j1
         # keeps the join anchor) for dl9_change_feed
         "vr1_approx_bounds",
-        "x2b_marc_native",
         "x3_validation_rules",
-        "cur5_web_pipeline",
         # r13: ev2_sessionize rotated out (driver rows r2..r12; w1
         # keeps the window/event anchor) for ib5_iceberg_v3_dv
         "w1_topk_per_group",
@@ -146,7 +156,6 @@ GATED: frozenset[str] = frozenset(
         # r1..r12 — the most-adjudicated query in the registry; the
         # local parity suite keeps it covered) for dl8_v2_checkpoint
         "zo1_zorder_layout",
-        "cdc2_merge_upsert",
         "pg1_pagerank",
         # new this round: audio feature stage over Vorbis, driver-gated
         # in place of the tx13 anchor (driver row r6)

@@ -1509,8 +1509,11 @@ def dl11_cdf_rename(spark: SparkSession, sf_dir: str) -> DataFrame:
     _publish(t, 1, _stage_adds(phys, t, None))                # v1
     import json as _json
 
+    from pathlib import Path as _Path
+
     v0 = [_json.loads(ln)
-          for ln in open(f"{t}/_delta_log/{0:020d}.json")
+          for ln in _Path(
+              f"{t}/_delta_log/{0:020d}.json").read_text().splitlines()
           if ln.strip()]
     meta = next(a["metaData"] for a in v0 if a.get("metaData"))
     sch = _json.loads(meta["schemaString"])
