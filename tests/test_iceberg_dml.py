@@ -1,0 +1,347 @@
+"""Iceberg row-level DML writer verbs (`ext/iceberg.py`):
+merge_iceberg (the Flink-CDC equality-delete upsert shape, cf.
+reference harvest.py:196-203 for the downstream deleted-record
+consumer), delete_where_iceberg / update_where_iceberg (merge-on-read
+position deletes), and restore_iceberg (metadata-only rollback) —
+each commit resolvable exactly by read_iceberg_cdf."""
+
+from __future__ import annotations
+
+import pytest
+
+from tulflow_spark.ext.iceberg import (
+    IcebergConcurrentCommit,
+    IcebergError,
+    _live_files,
+    delete_where_iceberg,
+    expire_iceberg_snapshots,
+    iceberg_snapshots,
+    load_table_metadata,
+    merge_iceberg,
+    read_iceberg,
+    read_iceberg_cdf,
+    restore_iceberg,
+    rewrite_iceberg_data_files,
+    update_where_iceberg,
+    upgrade_iceberg_v3,
+    write_iceberg_fixture,
+)
+
+
+def _df(spark, rows, ddl="id long, v string"):
+    return spark.createDataFrame(rows, ddl).coalesce(1) \
+        .sortWithinPartitions("id")
+
+
+def _chg(spark, rows):
+    return spark.createDataFrame(rows, "id long, v string, op string")
+
+
+def _state(spark, t):
+    return sorted((r["id"], r["v"])
+                  for r in read_iceberg(spark, t).collect())
+
+
+def _feed(df):
+    return sorted((r["_commit_seq"], r["_change_type"], r["id"],
+                   r["v"]) for r in df.collect())
+
+
+def _sid_of_seq(t, seq):
+    return next(s["snapshot_id"] for s in iceberg_snapshots(t)
+                if s["sequence_number"] == seq)
+
+
+def test_merge_basic_state_and_changelog(spark, tmp_path):
+    t = str(tmp_path / "t")
+    write_iceberg_fixture(
+        spark, _df(spark, [(1, "a"), (2, "b"), (3, "c")]), t)  # seq 1
+    sid = merge_iceberg(spark, t, _chg(spark, [
+        (2, "B", "U"),          # update existing
+        (4, "d", "I"),          # insert new
+        (3, None, "D"),         # delete existing
+        (9, None, "D"),         # delete missing → no-op
+        (5, "e", "U"),          # upsert on missing key → insert
+    ]), keys=["id"])
+    assert sid == load_table_metadata(t)["current-snapshot-id"]
+    assert _state(spark, t) == [(1, "a"), (2, "B"), (4, "d"), (5, "e")]
+    got = _feed(read_iceberg_cdf(spark, t))
+    assert [x for x in got if x[0] == 2] == sorted([
+        (2, "delete", 2, "b"),
+        (2, "delete", 3, "c"),
+        (2, "insert", 2, "B"),
+        (2, "insert", 4, "d"),
+        (2, "insert", 5, "e"),
+    ])
+    # net-consistency
+    ins = {(i, v) for _, c, i, v in got if c == "insert"}
+    dels = {(i, v) for _, c, i, v in got if c == "delete"}
+    assert sorted(ins - dels) == _state(spark, t)
+    # operation recorded as overwrite (mixed delete+insert)
+    snaps = load_table_metadata(t)["snapshots"]
+    assert next(s for s in snaps if s["snapshot-id"] == sid)[
+        "summary"]["operation"] == "overwrite"
+
+
+def test_merge_pure_insert_and_pure_delete_ops(spark, tmp_path):
+    t = str(tmp_path / "t")
+    write_iceberg_fixture(spark, _df(spark, [(1, "a"), (2, "b")]), t)
+    s2 = merge_iceberg(spark, t, _chg(spark, [(3, "c", "I")]), ["id"])
+    s3 = merge_iceberg(spark, t, _chg(spark, [(1, None, "D")]), ["id"])
+    assert _state(spark, t) == [(2, "b"), (3, "c")]
+    ops = {s["snapshot-id"]: s["summary"]["operation"]
+           for s in load_table_metadata(t)["snapshots"]}
+    assert ops[s2] == "append" and ops[s3] == "delete"
+    got = _feed(read_iceberg_cdf(spark, t))
+    assert [x for x in got if x[0] >= 2] == [
+        (2, "insert", 3, "c"), (3, "delete", 1, "a")]
+
+
+def test_merge_sequence_strict_across_merges(spark, tmp_path):
+    """A second merge's equality delete must not hide rows the FIRST
+    merge inserted at a lower sequence — and must hide its own
+    predecessors."""
+    t = str(tmp_path / "t")
+    write_iceberg_fixture(spark, _df(spark, [(1, "a")]), t)
+    merge_iceberg(spark, t, _chg(spark, [(1, "b", "U")]), ["id"])
+    merge_iceberg(spark, t, _chg(spark, [(1, "c", "U")]), ["id"])
+    assert _state(spark, t) == [(1, "c")]
+    got = _feed(read_iceberg_cdf(spark, t))
+    assert got == [
+        (1, "insert", 1, "a"),
+        (2, "delete", 1, "a"), (2, "insert", 1, "b"),
+        (3, "delete", 1, "b"), (3, "insert", 1, "c"),
+    ]
+
+
+def test_merge_partitioned_table(spark, tmp_path):
+    """Data files keep identity partitioning; the equality delete is
+    GLOBAL (empty partition record in its own manifest schema) and
+    still hides rows in every partition."""
+    t = str(tmp_path / "t")
+    write_iceberg_fixture(
+        spark,
+        _df(spark, [(1, "a", 0), (2, "b", 0), (3, "c", 1)],
+            "id long, v string, g long"),
+        t, partition_by=["g"])
+    sid = merge_iceberg(spark, t, spark.createDataFrame(
+        [(2, "B", 0, "U"), (3, None, None, "D"), (4, "d", 1, "I")],
+        "id long, v string, g long, op string"), keys=["id"])
+    assert sorted((r["id"], r["v"], r["g"])
+                  for r in read_iceberg(spark, t).collect()) == [
+        (1, "a", 0), (2, "B", 0), (4, "d", 1)]
+    # the new data files carry partition values; the delete is global
+    meta = load_table_metadata(t)
+    dfs, dls = _live_files(meta, sid)
+    added = [d for d in dfs if int(d["__seq"]) == 2]
+    assert {tuple(sorted((d.get("partition") or {}).items()))
+            for d in added} == {(("g", 0),), (("g", 1),)}
+    assert all((d.get("partition") or {}) == {} for d in dls)
+    got = _feed(read_iceberg_cdf(spark, t))
+    assert [x for x in got if x[0] == 2] == sorted([
+        (2, "delete", 2, "b"), (2, "delete", 3, "c"),
+        (2, "insert", 2, "B"), (2, "insert", 4, "d")])
+
+
+def test_merge_on_v3_table(spark, tmp_path):
+    t = str(tmp_path / "t")
+    write_iceberg_fixture(spark, _df(spark, [(1, "a"), (2, "b")]), t)
+    upgrade_iceberg_v3(t)
+    merge_iceberg(spark, t, _chg(spark, [(1, "A", "U")]), ["id"])
+    assert _state(spark, t) == [(1, "A"), (2, "b")]
+
+
+def test_merge_validation_walls(spark, tmp_path):
+    t = str(tmp_path / "t")
+    write_iceberg_fixture(spark, _df(spark, [(1, "a")]), t)
+    cur = load_table_metadata(t)["current-snapshot-id"]
+    with pytest.raises(IcebergError, match="missing columns"):
+        merge_iceberg(spark, t, spark.createDataFrame(
+            [(1, "U")], "id long, op string"), ["id"])
+    with pytest.raises(IcebergError, match="merge keys"):
+        merge_iceberg(spark, t, _chg(spark, [(1, "a", "U")]), ["nope"])
+    with pytest.raises(IcebergError, match="one of I/U/D"):
+        merge_iceberg(spark, t, _chg(spark, [(1, "a", "X")]), ["id"])
+    with pytest.raises(IcebergError, match="NULL merge keys"):
+        merge_iceberg(spark, t,
+                      _chg(spark, [(None, "a", "U")]), ["id"])
+    with pytest.raises(IcebergError, match="duplicate keys"):
+        merge_iceberg(spark, t, _chg(
+            spark, [(1, "a", "U"), (1, "b", "D")]), ["id"])
+    with pytest.raises(IcebergError, match="types differ"):
+        merge_iceberg(spark, t, spark.createDataFrame(
+            [(1, 2, "U")], "id long, v long, op string"), ["id"])
+    with pytest.raises(IcebergError, match="collides"):
+        merge_iceberg(spark, t, _chg(spark, [(1, "a", "U")]), ["id"],
+                      op_col="v")
+    with pytest.raises(IcebergConcurrentCommit, match="re-read"):
+        merge_iceberg(spark, t, _chg(spark, [(1, "a", "U")]), ["id"],
+                      expect_snapshot_id=12345)
+    # empty change set → no-op, current id back
+    assert merge_iceberg(
+        spark, t, _chg(spark, []), ["id"]) == cur
+    assert load_table_metadata(t)["current-snapshot-id"] == cur
+
+
+def test_delete_where_position_deletes(spark, tmp_path):
+    t = str(tmp_path / "t")
+    write_iceberg_fixture(
+        spark, _df(spark, [(i, f"x{i}") for i in range(6)]), t)
+    cur = load_table_metadata(t)["current-snapshot-id"]
+    sid = delete_where_iceberg(spark, t, "id in (1, 4)")
+    assert sid != cur
+    assert _state(spark, t) == [
+        (0, "x0"), (2, "x2"), (3, "x3"), (5, "x5")]
+    # no data files rewritten — only a content=1 delete file appears
+    dfs, dls = _live_files(load_table_metadata(t), None)
+    assert all(int(d["__seq"]) == 1 for d in dfs)
+    assert [int(d["content"]) for d in dls] == [1]
+    got = _feed(read_iceberg_cdf(spark, t))
+    assert [x for x in got if x[0] == 2] == [
+        (2, "delete", 1, "x1"), (2, "delete", 4, "x4")]
+    # second delete: already-dead rows never re-deliver
+    delete_where_iceberg(spark, t, "id <= 2")
+    got = _feed(read_iceberg_cdf(spark, t))
+    assert [x for x in got if x[0] == 3] == [
+        (3, "delete", 0, "x0"), (3, "delete", 2, "x2")]
+    # no match → no-op
+    assert delete_where_iceberg(spark, t, "id = 999") == \
+        load_table_metadata(t)["current-snapshot-id"]
+
+
+def test_delete_where_v3_routes_to_dv(spark, tmp_path):
+    t = str(tmp_path / "t")
+    write_iceberg_fixture(
+        spark, _df(spark, [(i, f"x{i}") for i in range(5)]), t)
+    upgrade_iceberg_v3(t)
+    delete_where_iceberg(spark, t, "id = 2")
+    assert sorted(r["id"] for r in read_iceberg(spark, t).collect()) \
+        == [0, 1, 3, 4]
+    _, dls = _live_files(load_table_metadata(t), None)
+    assert all(str(d["file_format"]).upper() == "PUFFIN" for d in dls)
+    got = _feed(read_iceberg_cdf(spark, t))
+    assert [x for x in got if x[1] == "delete"] == [
+        (2, "delete", 2, "x2")]
+
+
+def test_delete_where_walls(spark, tmp_path):
+    t = str(tmp_path / "t")
+    write_iceberg_fixture(spark, _df(spark, [(1, "a"), (2, "b")]), t)
+    merge_iceberg(spark, t, _chg(spark, [(1, "A", "U")]), ["id"])
+    with pytest.raises(IcebergError, match="equality deletes"):
+        delete_where_iceberg(spark, t, "id = 2")
+    with pytest.raises(IcebergError, match="equality deletes"):
+        update_where_iceberg(spark, t, "id = 2", {"v": "'x'"})
+    # rewrite pays the debt down, then the verbs work
+    rewrite_iceberg_data_files(spark, t)
+    delete_where_iceberg(spark, t, "id = 2")
+    assert _state(spark, t) == [(1, "A")]
+    t2 = str(tmp_path / "orc")
+    write_iceberg_fixture(spark, _df(spark, [(1, "a")]), t2,
+                          file_format="orc")
+    with pytest.raises(IcebergError, match="ORC|parquet"):
+        delete_where_iceberg(spark, t2, "id = 1")
+
+
+def test_update_where_one_snapshot_and_feed(spark, tmp_path):
+    t = str(tmp_path / "t")
+    write_iceberg_fixture(
+        spark, _df(spark, [(i, f"x{i}") for i in range(4)]), t)
+    sid = update_where_iceberg(spark, t, "id >= 2",
+                               {"v": "concat(v, '!')"})
+    assert _state(spark, t) == [
+        (0, "x0"), (1, "x1"), (2, "x2!"), (3, "x3!")]
+    # ONE snapshot committed both the position delete and the data
+    snaps = load_table_metadata(t)["snapshots"]
+    assert len(snaps) == 2
+    assert next(s for s in snaps if s["snapshot-id"] == sid)[
+        "summary"]["operation"] == "overwrite"
+    got = _feed(read_iceberg_cdf(spark, t))
+    assert [x for x in got if x[0] == 2] == sorted([
+        (2, "delete", 2, "x2"), (2, "delete", 3, "x3"),
+        (2, "insert", 2, "x2!"), (2, "insert", 3, "x3!")])
+    # SET sees the PRE-update row; casts to the declared type
+    update_where_iceberg(spark, t, "id = 0",
+                         {"id": "id + 10", "v": "cast(id as string)"})
+    assert (10, "0") in _state(spark, t)
+    # walls
+    with pytest.raises(IcebergError, match="set_exprs"):
+        update_where_iceberg(spark, t, "id = 1", {})
+    with pytest.raises(IcebergError, match="unknown columns"):
+        update_where_iceberg(spark, t, "id = 1", {"nope": "'x'"})
+    # no match → no-op
+    cur = load_table_metadata(t)["current-snapshot-id"]
+    assert update_where_iceberg(spark, t, "id = 999",
+                                {"v": "'x'"}) == cur
+
+
+def test_update_where_v3_wall(spark, tmp_path):
+    t = str(tmp_path / "t")
+    write_iceberg_fixture(spark, _df(spark, [(1, "a")]), t)
+    upgrade_iceberg_v3(t)
+    with pytest.raises(IcebergError, match="merge_iceberg"):
+        update_where_iceberg(spark, t, "id = 1", {"v": "'x'"})
+
+
+def test_restore_state_equals_time_travel(spark, tmp_path):
+    t = str(tmp_path / "t")
+    write_iceberg_fixture(
+        spark, _df(spark, [(i, f"x{i}") for i in range(4)]), t)  # s1
+    s1 = load_table_metadata(t)["current-snapshot-id"]
+    merge_iceberg(spark, t, _chg(spark, [
+        (1, "B", "U"), (9, "n", "I")]), ["id"])                 # s2
+    sid = restore_iceberg(t, s1)
+    assert sid == load_table_metadata(t)["current-snapshot-id"]
+    assert _state(spark, t) == sorted(
+        (r["id"], r["v"]) for r in read_iceberg(
+            spark, t, snapshot_id=s1).collect())
+    assert _state(spark, t) == [(i, f"x{i}") for i in range(4)]
+    # restoring to the present is a no-op
+    assert restore_iceberg(t, sid) == sid
+    # feed across the rollback delivers the inverse of the merge
+    got = _feed(read_iceberg_cdf(spark, t))
+    last = max(x[0] for x in got)
+    assert [x for x in got if x[0] == last] == sorted([
+        (last, "delete", 1, "B"), (last, "delete", 9, "n"),
+        (last, "insert", 1, "x1")])
+
+
+def test_restore_resurrects_position_deleted_rows(spark, tmp_path):
+    t = str(tmp_path / "t")
+    write_iceberg_fixture(
+        spark, _df(spark, [(i, f"x{i}") for i in range(5)]), t)  # s1
+    s1 = load_table_metadata(t)["current-snapshot-id"]
+    delete_where_iceberg(spark, t, "id in (1, 3)")               # s2
+    s2 = load_table_metadata(t)["current-snapshot-id"]
+    sid = restore_iceberg(t, s1)                                 # s3
+    assert sorted(r["id"] for r in read_iceberg(spark, t).collect()) \
+        == list(range(5))
+    tail = _feed(read_iceberg_cdf(spark, t, from_snapshot_id=s2))
+    assert tail == [(3, "insert", 1, "x1"), (3, "insert", 3, "x3")]
+    # restore of a restore: roll forward again
+    restore_iceberg(t, s2)
+    assert sorted(r["id"] for r in read_iceberg(spark, t).collect()) \
+        == [0, 2, 4]
+    assert sid  # silence linters
+
+
+def test_restore_walls_and_expire_interop(spark, tmp_path):
+    t = str(tmp_path / "t")
+    write_iceberg_fixture(spark, _df(spark, [(1, "a")]), t)      # s1
+    s1 = load_table_metadata(t)["current-snapshot-id"]
+    merge_iceberg(spark, t, _chg(spark, [(2, "b", "I")]), ["id"])
+    with pytest.raises(IcebergError, match="not in the table"):
+        restore_iceberg(t, 424242)
+    with pytest.raises(IcebergConcurrentCommit, match="re-read"):
+        restore_iceberg(t, s1, expect_snapshot_id=999)
+    sid = restore_iceberg(t, s1)
+    # expire everything but the restore head: the SHARED manifest
+    # list (also referenced by expired s1) must survive, and the
+    # restored state must stay readable
+    expire_iceberg_snapshots(spark, t, keep_last=1,
+                             min_age_seconds=0.0)
+    assert load_table_metadata(t)["current-snapshot-id"] == sid
+    assert _state(spark, t) == [(1, "a")]
+    # a restore to an EXPIRED snapshot refuses typed
+    with pytest.raises(IcebergError, match="not in the table"):
+        restore_iceberg(t, s1)

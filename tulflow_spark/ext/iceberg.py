@@ -828,9 +828,12 @@ def read_iceberg_cdf(
         added = [dcur[p] for p in dcur if p not in dp]
         removed = [dp[p] for p in dp if p not in dcur]
         prev_del_paths = {d["file_path"] for d in dels_prev}
+        cur_del_paths = {d["file_path"] for d in dels_s}
         added_dels = [d for d in dels_s
                       if d["file_path"] not in prev_del_paths]
-        if (removed or added_dels) and op is None:
+        removed_dels = [d for d in dels_prev
+                        if d["file_path"] not in cur_del_paths]
+        if (removed or added_dels or removed_dels) and op is None:
             raise IcebergError(
                 f"changelog: snapshot {sid} removes files or adds "
                 "delete files without a summary.operation — cannot "
@@ -930,6 +933,88 @@ def read_iceberg_cdf(
                 frames.append(tag(
                     alive.join(F.broadcast(vals), cond, "left_semi"),
                     "delete", seq, sid))
+        if removed_dels:
+            # delete files LEAVING the live state resurrect rows (the
+            # restore_iceberg shape): positions dead before and not
+            # dead now come back as inserts, restricted to data files
+            # live in BOTH states (files removed/added in the same
+            # snapshot already delivered above)
+            pos_gone = [d for d in removed_dels
+                        if not is_dv(d)
+                        and int(d.get("content") or 0) == 1]
+            dv_gone = [d for d in removed_dels
+                       if is_dv(d) and int(d.get("content") or 0) == 1]
+            eq_gone = [d for d in removed_dels
+                       if int(d.get("content") or 0) == 2]
+            if eq_gone and (pos_gone or dv_gone):
+                raise IcebergError(
+                    "changelog: a snapshot dropping both equality and "
+                    "position deletes is not derivable (victim "
+                    "overlap) — read the states directly instead")
+            if pos_gone or dv_gone:
+                import re as _re
+
+                res = pairs_of(pos_gone, dv_gone)
+                cur_pos = [d for d in dels_s
+                           if not is_dv(d)
+                           and int(d.get("content") or 0) == 1]
+                cur_dvs = [d for d in dels_s
+                           if is_dv(d)
+                           and int(d.get("content") or 0) == 1]
+                if cur_pos or cur_dvs:
+                    # positions still dead under the surviving delete
+                    # set did not resurrect
+                    res = res.join(pairs_of(cur_pos, cur_dvs),
+                                   ["file_path", "pos"], "left_anti")
+                ref = {r["file_path"] for r in
+                       res.select("file_path").distinct().collect()}
+                pn = lambda p: _re.sub(  # noqa: E731
+                    "^file:/+", "/", p)
+                affected = [d for d in data_s
+                            if d["file_path"] in dp
+                            and pn(_plain_path(d["file_path"])) in ref]
+                if affected:
+                    frames.append(tag(_resolved_scan(
+                        spark, affected, schema, dv_frame=res,
+                        keep_positions=True), "insert", seq, sid))
+            for d in eq_gone:
+                # rows alive NOW that this departed equality delete
+                # had killed: alive-at-current candidates (sequence-
+                # strict, partition-scoped) matching its values
+                ids_ = d.get("equality_ids") or []
+                names = [by_id.get(int(i)) for i in ids_]
+                if not names or any(n is None for n in names):
+                    raise IcebergError(
+                        f"changelog: equality delete with unknown "
+                        f"equality_ids {ids_}")
+                dseq = d.get("__seq")
+                if dseq is None:
+                    raise IcebergError(
+                        "changelog: equality delete without a "
+                        "sequence number")
+                part = d.get("partition") or {}
+                cands = [
+                    c for c in data_s
+                    if c["file_path"] in dp
+                    and c.get("__seq") is not None
+                    and int(c["__seq"]) < int(dseq)
+                    and (not part or (c.get("partition") or {})
+                         == part)
+                ]
+                if not cands:
+                    continue
+                vals = spark.read.parquet(
+                    _plain_path(d["file_path"])).select(
+                        *names).distinct()
+                alive = _deletes_applied_scan(spark, cands,
+                                              dels_s, schema)
+                cond = None
+                for n in names:
+                    c = alive[n].eqNullSafe(vals[n])
+                    cond = c if cond is None else (cond & c)
+                frames.append(tag(
+                    alive.join(F.broadcast(vals), cond, "left_semi"),
+                    "insert", seq, sid))
     meta_cols = [("_change_type", "string"), ("_commit_seq", "bigint"),
                  ("_snapshot_id", "bigint")]
     if not frames:
@@ -1693,7 +1778,9 @@ def _commit_snapshot(path: str, meta: dict | None, df_schema: list[dict],
                      carry_prior: bool = True,
                      operation: str = "append",
                      snapshot_id: int | None = None,
-                     delete_manifest_entries: list[dict] | None = None
+                     delete_manifest_entries: list[dict] | None = None,
+                     delete_part_avro_fields: list[tuple[str, str]]
+                     | None = None,
                      ) -> int:
     """Commit one snapshot: write the manifest (ADDED entries from
     ``new_manifest_records``, or the explicit ``manifest_entries``
@@ -1768,8 +1855,17 @@ def _commit_snapshot(path: str, meta: dict | None, df_schema: list[dict],
         prior_entries = read_ocf(_read_bytes(cur["manifest-list"]))
     entries = list(prior_entries)
     for tag, content, m_entries in new_manifests:
+        # a delete manifest may use its OWN partition-field schema —
+        # a GLOBAL equality/position delete on a partitioned table
+        # writes an empty partition record (the spec's unpartitioned-
+        # spec shape), which must not inherit the data manifest's
+        # partition fields (they would read back as {name: None} and
+        # silently scope the delete to the null partition)
+        avro_fields = part_avro_fields
+        if tag == "delmanifest" and delete_part_avro_fields is not None:
+            avro_fields = delete_part_avro_fields
         manifest_blob = write_ocf(
-            _manifest_schema(part_avro_fields), m_entries)
+            _manifest_schema(avro_fields), m_entries)
         mpath = f"{mdir}/{tag}-q{seq}-{attempt}.avro"
         _write_bytes(mpath, manifest_blob)
         entries.append({
@@ -2548,6 +2644,587 @@ def delete_equality_iceberg_fixture(spark: SparkSession, path: str,
     return _commit_snapshot(path, meta, schema["fields"],
                             specs[0].get("fields") or [],
                             [rec], 1, part_avro, operation="overwrite")
+
+
+# ---------------------------------------------------------------------------
+# row-level DML writer verbs (the Delta merge_delta / update_where /
+# delete_where / restore_delta surface on the Iceberg protocol — the
+# Flink-CDC writer shape the sequence-strict equality-delete READER in
+# this module exists to consume; cf. reference harvest.py:196-203 for
+# the downstream deleted-record consumer shape)
+# ---------------------------------------------------------------------------
+
+
+def _staged_parquet_parts(d: str) -> list[tuple[str, int, int]]:
+    """(abs_path, size, num_rows) for every parquet part under the
+    staging dir ``d`` — footer-only driver reads, no Spark job."""
+    import pyarrow.fs as pafs
+    import pyarrow.parquet as pq
+
+    fs, base = fsio.resolve(d)
+    out = []
+    for info in fs.get_file_info(pafs.FileSelector(base)):
+        if not info.path.endswith(".parquet"):
+            continue
+        with fs.open_input_file(info.path) as handle:
+            n = pq.ParquetFile(handle).metadata.num_rows
+        if n:
+            out.append((info.path, int(info.size), int(n)))
+    return sorted(out)
+
+
+def _stage_eq_delete_files(df_keys: DataFrame, path: str, seq: int,
+                           eq_ids: list[int],
+                           fid_of: dict[str, int]) -> list[dict]:
+    """Write EQUALITY delete parquet part(s) (key columns only,
+    field-id-stamped like every conformant writer) and return their
+    content=2 manifest records — GLOBAL deletes (empty partition, the
+    spec's unpartitioned-spec shape).  Parallel parts, one record
+    each: a large change set never funnels through one task."""
+    import uuid as _uuid
+
+    from pyspark.sql import functions as F
+
+    df = df_keys.select([
+        F.col(f.name).alias(
+            f.name, metadata={"parquet.field.id": fid_of[f.name]})
+        for f in df_keys.schema.fields
+    ])
+    d = f"{path}/data/eqdel-s{seq}-{_uuid.uuid4().hex[:8]}"
+    df.write.parquet(d)
+    return [{
+        "content": 2,
+        "file_path": f"file://{p}",
+        "file_format": "PARQUET",
+        "partition": {},
+        "record_count": n,
+        "file_size_in_bytes": size,
+        "equality_ids": [int(i) for i in eq_ids],
+    } for p, size, n in _staged_parquet_parts(d)]
+
+
+def _stage_pos_delete_files(pairs: DataFrame, path: str,
+                            seq: int) -> list[dict]:
+    """Write v2 POSITION delete parquet part(s) from a
+    ``(file_path, pos)`` frame — distributed (the matched set never
+    collects to the driver), each part sorted by (file_path, pos) as
+    the spec requires, columns stamped with the spec's reserved field
+    ids (2147483546 / 2147483545)."""
+    import uuid as _uuid
+
+    from pyspark.sql import functions as F
+
+    pairs = (pairs
+             .repartition("file_path")
+             .sortWithinPartitions("file_path", "pos")
+             .select(
+                 F.col("file_path").alias(
+                     "file_path",
+                     metadata={"parquet.field.id": 2147483546}),
+                 F.col("pos").cast("long").alias(
+                     "pos", metadata={"parquet.field.id": 2147483545}),
+             ))
+    d = f"{path}/data/posdel-s{seq}-{_uuid.uuid4().hex[:8]}"
+    pairs.write.parquet(d)
+    return [{
+        "content": 1,
+        "file_path": f"file://{p}",
+        "file_format": "PARQUET",
+        "partition": {},
+        "record_count": n,
+        "file_size_in_bytes": size,
+    } for p, size, n in _staged_parquet_parts(d)]
+
+
+def _position_tagged_scan(spark: SparkSession, data_files: list[dict],
+                          delete_files: list[dict], schema: dict,
+                          fcol: str, pcol: str) -> DataFrame:
+    """The ALIVE rows of the given parquet data files with their
+    physical address tagged (``fcol`` = file URI, ``pcol`` = row
+    index) — the row→position mapping the position-delete writer
+    verbs need.  Prior position deletes / DVs subtract first (a dead
+    row must not re-delete); projection groups mirror
+    :func:`_resolved_scan` (field-id renames, null fills)."""
+    from pyspark.sql import functions as F
+
+    pos = [d for d in delete_files
+           if int(d.get("content") or 0) == 1
+           and str(d.get("file_format") or "").upper() != "PUFFIN"]
+    dvs = [d for d in delete_files
+           if int(d.get("content") or 0) == 1
+           and str(d.get("file_format") or "").upper() == "PUFFIN"]
+    dead = None
+    if pos or dvs:
+        frames = []
+        if pos:
+            raw = spark.read.parquet(
+                *[_plain_path(d["file_path"]) for d in pos])
+            frames.append(raw.select("file_path", "pos"))
+        if dvs:
+            frames.append(_dv_positions_frame(spark, dvs))
+        dead = _union_fold_by_name(frames).select(
+            F.regexp_replace(F.col("file_path"), "^file:/+", "/")
+             .alias(fcol),
+            F.col("pos").cast("long").alias(pcol),
+        ).distinct()
+    groups: dict[tuple, list[dict]] = {}
+    for d in data_files:
+        fmt = str(d.get("file_format") or "").upper()
+        if fmt != "PARQUET":
+            raise IcebergError(
+                f"position-delete writer verbs need parquet data "
+                f"files ({d.get('file_path')!r} is {fmt}: ORC has no "
+                "row_index metadata column)")
+        names, ids = _physical_fields(d)
+        proj = _projection_for(schema, names, ids, d)
+        groups.setdefault(tuple(proj), []).append(d)
+    frames = []
+    for proj, files in sorted(groups.items(), key=str):
+        f0 = (spark.read.parquet(
+            *sorted(_plain_path(d["file_path"]) for d in files))
+            .withColumn(fcol, F.col("_metadata.file_path"))
+            .withColumn(pcol, F.col("_metadata.row_index")))
+        cols = []
+        for logical, phys, ice_t in proj:
+            if phys is None:
+                cols.append(F.lit(None).cast(
+                    _SPARK_OF_ICE[ice_t]).alias(logical))
+            else:
+                cols.append(F.col(phys).alias(logical))
+        frames.append(f0.select(cols + [F.col(fcol), F.col(pcol)]))
+    scan = _union_fold_by_name(frames)
+    if dead is not None:
+        nf = "__ipt_norm"
+        scan = (scan
+                .withColumn(nf, F.regexp_replace(
+                    F.col(fcol), "^file:/+", "/"))
+                .join(F.broadcast(dead.withColumnRenamed(fcol, nf)),
+                      [nf, pcol], "left_anti")
+                .drop(nf))
+    return scan
+
+
+def _dml_preamble(path: str, expect_snapshot_id: int | None,
+                  verb: str) -> tuple[dict, dict, list[dict],
+                                      list[dict]]:
+    """Shared writer-verb entry: load metadata, enforce the CAS
+    expectation, and return (meta, schema, data_files, delete_files)
+    of the current snapshot."""
+    meta = load_table_metadata(path)
+    cur = meta.get("current-snapshot-id")
+    if expect_snapshot_id is not None and cur != expect_snapshot_id:
+        raise IcebergConcurrentCommit(
+            f"table is at snapshot {cur}, {verb} was computed "
+            f"against {expect_snapshot_id}: re-read and retry")
+    schema = _current_schema(meta)
+    data_files, delete_files = _live_files(meta, None)
+    return meta, schema, data_files, delete_files
+
+
+def merge_iceberg(spark: SparkSession, path: str, changes: DataFrame,
+                  keys: list[str], op_col: str = "op",
+                  expect_snapshot_id: int | None = None) -> int:
+    """Iceberg MERGE, merge-on-read (the Flink-CDC upsert shape; the
+    Iceberg face of :func:`tulflow_spark.ext.delta_log.merge_delta`):
+    apply a keyed change set (``op_col`` ∈ I/U/D — U replaces the full
+    row, a U on a missing key inserts, a D on a missing key is a
+    no-op) as ONE snapshot committing
+
+    - an EQUALITY delete file over ``keys`` for every U/D row
+      (sequence-strict: it hides matching rows written BEFORE this
+      snapshot and nothing after), and
+    - data file(s) with the I/U rows (same sequence number, so the
+      eq delete never hides them).
+
+    No data file rewrites, no key-match discovery scan — the blind
+    upsert write pattern equality deletes exist for.  Returns the new
+    snapshot id (the current one on an empty change set).
+    :func:`read_iceberg_cdf` resolves the commit exactly: the eq
+    delete delivers the matched alive-at-predecessor rows as
+    ``delete``, the data files deliver I/U rows as ``insert``.
+
+    At 100 TB: the commit is change-set-sized (delete file = U/D keys,
+    data files = I/U rows); the table's files are never read.  Readers
+    pay one broadcast anti-join per sequence group until
+    ``rewrite_iceberg_data_files`` folds the delete debt down."""
+    from pyspark.sql import functions as F
+
+    meta, schema, data_files, _dels = _dml_preamble(
+        path, expect_snapshot_id, "merge")
+    fields = schema.get("fields", [])
+    cols = [f["name"] for f in fields]
+    if op_col in cols:
+        raise IcebergError(
+            f"op_col {op_col!r} collides with a table column")
+    missing = [c for c in cols + [op_col] if c not in changes.columns]
+    if missing:
+        raise IcebergError(
+            f"change set is missing columns {missing} (needs every "
+            f"table column plus {op_col!r})")
+    bad_keys = [k for k in keys if k not in cols]
+    if not keys or bad_keys:
+        raise IcebergError(
+            f"merge keys must be table columns, got {bad_keys or keys}")
+    want = {f["name"]: f.get("type") for f in fields}
+    have = {f.name: _ICE_TYPES.get(f.dataType.simpleString())
+            for f in changes.schema.fields if f.name != op_col}
+    mismatched = [c for c in cols if have.get(c) != want[c]]
+    if mismatched:
+        raise IcebergError(
+            f"change-set column types differ from the table on "
+            f"{mismatched} (no implicit casts in a writer)")
+    # snapshot the change set ONCE (the merge_delta precedent): the
+    # body evaluates it three times (validation agg, delete stage,
+    # data stage) — a non-deterministic source must not pass
+    # validation on one evaluation and stage another
+    changes = changes.localCheckpoint(eager=True)
+    null_key = None
+    for k in keys:
+        c = F.col(k).isNull()
+        null_key = c if null_key is None else (null_key | c)
+    stats = changes.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum((~F.col(op_col).isin("I", "U", "D")).cast("long"))
+         .alias("bad_op"),
+        F.sum(null_key.cast("long")).alias("null_keys"),
+        F.count_distinct(*[F.col(k) for k in keys]).alias("nk"),
+        F.sum(F.col(op_col).isin("I", "U").cast("long")).alias("ins"),
+        F.sum(F.col(op_col).isin("U", "D").cast("long")).alias("dels"),
+    ).first()
+    if stats["n"] == 0:
+        return int(meta["current-snapshot-id"])
+    if (stats["bad_op"] or 0) > 0:
+        raise IcebergError(
+            f"op_col {op_col!r} must be one of I/U/D "
+            f"({stats['bad_op']} other values)")
+    if (stats["null_keys"] or 0) > 0:
+        raise IcebergError(
+            f"{stats['null_keys']} change rows carry NULL merge keys "
+            "(NULL never matches — use a sentinel)")
+    if stats["nk"] != stats["n"]:
+        raise IcebergError(
+            f"{stats['n'] - stats['nk']} duplicate keys in the "
+            "change set: a MERGE source must match each target key "
+            "at most once")
+    fid = {f["name"]: int(f["id"]) for f in fields}
+    seq = _next_sequence_number(meta)
+    ident = _identity_partition_names(meta, schema)
+    part_cols = list(ident.values())
+    fmt = "parquet"
+    if data_files and str(
+            data_files[0].get("file_format") or "").upper() == "ORC":
+        fmt = "orc"
+    data_recs: list[dict] = []
+    if stats["ins"]:
+        data_recs = _stage_data_files(
+            changes.where(F.col(op_col).isin("I", "U")).select(*cols),
+            path, seq, part_cols, fmt, fid_of=fid)
+    del_recs: list[dict] = []
+    if stats["dels"]:
+        del_recs = _stage_eq_delete_files(
+            changes.where(F.col(op_col).isin("U", "D")).select(*keys),
+            path, seq, [fid[k] for k in keys], fid)
+    by_name = {f.name: f.dataType.simpleString()
+               for f in changes.schema.fields}
+    part_avro = [(c, _avro_part_type(by_name[c])) for c in part_cols]
+    specs = meta.get("partition-specs") or [{"spec-id": 0,
+                                             "fields": []}]
+    op = "overwrite" if (data_recs and del_recs) else \
+        ("delete" if del_recs else "append")
+    return _commit_snapshot(
+        path, meta, fields, specs[0].get("fields") or [],
+        data_recs, 0, part_avro,
+        delete_manifest_entries=[
+            {"status": 1, "snapshot_id": None,
+             "sequence_number": seq, "data_file": d}
+            for d in del_recs] or None,
+        delete_part_avro_fields=[], operation=op)
+
+
+def delete_where_iceberg(spark: SparkSession, path: str,
+                         condition: str,
+                         expect_snapshot_id: int | None = None) -> int:
+    """Iceberg DELETE, merge-on-read: position-delete the rows where
+    ``condition`` IS TRUE — a v2 position-delete file (or, on v3
+    tables, deletion vectors via
+    :func:`delete_positions_iceberg_v3`), no data files rewritten.
+    Returns the new snapshot id (the current one when nothing
+    matched).
+
+    Typed walls: live EQUALITY deletes (victim overlap with a new
+    position delete is not derivable — the same wall the changelog
+    enforces; rewrite the delete debt first) and ORC data files (no
+    row_index metadata column to address rows by).
+
+    At 100 TB: the match scan is declarative (predicate pushdown
+    prunes files); the committed delete files are matched-row-sized
+    and written distributed — matched positions never collect to the
+    driver on v2."""
+    from pyspark.sql import functions as F
+
+    meta, schema, data_files, delete_files = _dml_preamble(
+        path, expect_snapshot_id, "delete")
+    if not data_files:
+        return int(meta["current-snapshot-id"])
+    if any(int(d.get("content") or 0) == 2 for d in delete_files):
+        raise IcebergError(
+            "delete_where over live equality deletes not supported "
+            "(position/equality victim overlap is not derivable) — "
+            "rewrite_iceberg_data_files first")
+    fcol, pcol = "_iw_file", "_iw_pos"
+    names = {f["name"] for f in schema.get("fields", [])}
+    while fcol in names:
+        fcol += "_"
+    while pcol in names:
+        pcol += "_"
+    scan = _position_tagged_scan(spark, data_files, delete_files,
+                                 schema, fcol, pcol)
+    matched = scan.where(condition).select(
+        F.col(fcol).alias("file_path"), F.col(pcol).alias("pos"))
+    fv = int(meta.get("format-version") or 1)
+    if fv >= 3:
+        # v3 forbids position-delete FILES: route through the DV
+        # writer (matched-row-bounded driver pass — a production v3
+        # writer would build the bitmaps executor-side)
+        import re as _re
+
+        by_norm = {_re.sub("^file:/+", "/",
+                           _plain_path(d["file_path"])): d["file_path"]
+                   for d in data_files}
+        pairs: dict[str, list[int]] = {}
+        for r in matched.collect():
+            key = by_norm.get(_re.sub("^file:/+", "/", r["file_path"]))
+            if key is None:
+                raise IcebergError(
+                    f"matched file {r['file_path']!r} not in the "
+                    "snapshot")
+            pairs.setdefault(key, []).append(int(r["pos"]))
+        if not pairs:
+            return int(meta["current-snapshot-id"])
+        return delete_positions_iceberg_v3(spark, path, pairs)
+    recs = _stage_pos_delete_files(matched, path,
+                                   _next_sequence_number(meta))
+    if not recs:
+        return int(meta["current-snapshot-id"])
+    specs = meta.get("partition-specs") or [{"spec-id": 0,
+                                             "fields": []}]
+    return _commit_snapshot(
+        path, meta, schema["fields"], specs[0].get("fields") or [],
+        recs, 1, [], operation="delete")
+
+
+def update_where_iceberg(spark: SparkSession, path: str,
+                         condition: str, set_exprs: dict[str, str],
+                         expect_snapshot_id: int | None = None) -> int:
+    """Iceberg UPDATE, merge-on-read: ONE snapshot committing a
+    position delete of the rows where ``condition`` IS TRUE plus data
+    file(s) carrying those rows with ``set_exprs`` (column → SQL
+    expression, evaluated against the pre-update row and cast to the
+    column's declared type) applied — the position delete addresses
+    the OLD files, so the new rows (same sequence number) are never
+    hidden.  Returns the new snapshot id (the current one when
+    nothing matched).
+
+    Typed walls: live equality deletes and ORC files (as
+    :func:`delete_where_iceberg`), and v3 tables (an update needs the
+    DV and the data files in one atomic snapshot; on v3 use
+    :func:`merge_iceberg`, whose equality deletes are v3-legal).
+
+    At 100 TB: matched-row-sized delete + data files, both written
+    distributed; untouched files carry by reference."""
+    from pyspark.sql import functions as F
+
+    meta, schema, data_files, delete_files = _dml_preamble(
+        path, expect_snapshot_id, "update")
+    fields = schema.get("fields", [])
+    cols = [f["name"] for f in fields]
+    if not set_exprs:
+        raise IcebergError("update_where_iceberg needs set_exprs")
+    unknown = sorted(set(set_exprs) - set(cols))
+    if unknown:
+        raise IcebergError(
+            f"set_exprs target unknown columns {unknown}")
+    if int(meta.get("format-version") or 1) >= 3:
+        raise IcebergError(
+            "update_where_iceberg on a v3 table not supported (the "
+            "position deletes it writes are forbidden there) — use "
+            "merge_iceberg, whose equality deletes are v3-legal")
+    if any(int(d.get("content") or 0) == 2 for d in delete_files):
+        raise IcebergError(
+            "update_where over live equality deletes not supported — "
+            "rewrite_iceberg_data_files first")
+    if not data_files:
+        return int(meta["current-snapshot-id"])
+    types = {}
+    for f in fields:
+        t = f.get("type")
+        if not isinstance(t, str) or t not in _SPARK_OF_ICE:
+            raise IcebergError(
+                f"update_where_iceberg cannot cast to column type "
+                f"{t!r} ({f['name']!r})")
+        types[f["name"]] = _SPARK_OF_ICE[t]
+    fcol, pcol = "_iw_file", "_iw_pos"
+    names = set(cols)
+    while fcol in names:
+        fcol += "_"
+    while pcol in names:
+        pcol += "_"
+    scan = _position_tagged_scan(spark, data_files, delete_files,
+                                 schema, fcol, pcol)
+    # snapshot ONE evaluation of the matched scan (the update_where
+    # Delta precedent): it feeds both the position-delete stage and
+    # the post-update data stage
+    matched = scan.where(condition).localCheckpoint()
+    pairs = matched.select(F.col(fcol).alias("file_path"),
+                           F.col(pcol).alias("pos"))
+    seq = _next_sequence_number(meta)
+    del_recs = _stage_pos_delete_files(pairs, path, seq)
+    if not del_recs:
+        return int(meta["current-snapshot-id"])
+    updated = matched.select([
+        (F.expr(set_exprs[c]).cast(types[c]) if c in set_exprs
+         else F.col(c)).alias(c)
+        for c in cols
+    ])
+    fid = {f["name"]: int(f["id"]) for f in fields}
+    ident = _identity_partition_names(meta, schema)
+    part_cols = list(ident.values())
+    by_name = {f.name: f.dataType.simpleString()
+               for f in updated.schema.fields}
+    part_avro = [(c, _avro_part_type(by_name[c])) for c in part_cols]
+    data_recs = _stage_data_files(updated, path, seq, part_cols,
+                                  "parquet", fid_of=fid)
+    specs = meta.get("partition-specs") or [{"spec-id": 0,
+                                             "fields": []}]
+    return _commit_snapshot(
+        path, meta, fields, specs[0].get("fields") or [],
+        data_recs, 0, part_avro,
+        delete_manifest_entries=[
+            {"status": 1, "snapshot_id": None,
+             "sequence_number": seq, "data_file": d}
+            for d in del_recs],
+        delete_part_avro_fields=[], operation="overwrite")
+
+
+def restore_iceberg(path: str, snapshot_id: int,
+                    expect_snapshot_id: int | None = None) -> int:
+    """Iceberg RESTORE (rollback): one metadata-only commit returning
+    the table to the state of ``snapshot_id`` — a NEW snapshot whose
+    manifest list is the target's (verbatim, by reference: entries
+    keep their original sequence numbers, so position/equality delete
+    application is bit-identical to time-traveling there), parented
+    on the current head so history stays linear and
+    :func:`read_iceberg_cdf` can deliver the rollback's diff.
+    Returns the new snapshot id (the current one when restoring to
+    the present).
+
+    Typed walls: an unknown target snapshot, a schema change between
+    the versions (RESTORE does not time-travel the schema — re-adding
+    files under a different current schema would misread them; the
+    restore_delta precedent), and a target whose manifests or files
+    were expired (the rows are gone — pick a younger snapshot).
+
+    At 100 TB: zero data movement — the commit writes one metadata
+    JSON; the expired-file probe is a metadata-sized existence walk."""
+    meta = load_table_metadata(path)
+    cur_sid = meta.get("current-snapshot-id")
+    if expect_snapshot_id is not None and cur_sid != expect_snapshot_id:
+        raise IcebergConcurrentCommit(
+            f"table is at snapshot {cur_sid}, restore was computed "
+            f"against {expect_snapshot_id}: re-read and retry")
+    target = next((s for s in meta.get("snapshots") or []
+                   if s.get("snapshot-id") == snapshot_id), None)
+    if target is None:
+        raise IcebergError(
+            f"restore target snapshot {snapshot_id} not in the table "
+            "metadata (expired snapshots cannot be restored)")
+    if snapshot_id == cur_sid:
+        return int(cur_sid)
+    cur_snap = next(s for s in meta["snapshots"]
+                    if s.get("snapshot-id") == cur_sid)
+    if target.get("schema-id") is not None \
+            and cur_snap.get("schema-id") is not None \
+            and target["schema-id"] != cur_snap["schema-id"]:
+        raise IcebergError(
+            f"schema changed between snapshot {snapshot_id} "
+            f"(schema-id {target['schema-id']}) and the current head "
+            f"(schema-id {cur_snap['schema-id']}): restore would "
+            "read the restored files under the wrong schema — "
+            "migrate explicitly instead")
+    # expired-file probe: every file the restored state references
+    # must still exist (expire's orphan cleanup may have reclaimed
+    # them after the snapshot left the retention window)
+    dfiles, delfiles = _live_files(meta, snapshot_id)
+    if int(meta.get("format-version") or 1) >= 3 and any(
+            int(d.get("content") or 0) == 1
+            and str(d.get("file_format") or "").upper() != "PUFFIN"
+            for d in delfiles):
+        # the target predates the v3 upgrade and carries position-
+        # delete FILES — promoting that state to CURRENT would break
+        # the v3 no-live-position-delete-file invariant at every read
+        raise IcebergError(
+            f"restore target {snapshot_id} carries position-delete "
+            "files, which v3 forbids in the live state — pick a "
+            "post-upgrade snapshot")
+    for d in dfiles + delfiles:
+        p = _plain_path(d["file_path"])
+        if not fsio.exists(p):
+            raise IcebergError(
+                f"restore needs {d['file_path']!r}, which was "
+                "expired — the rows are no longer on disk; pick a "
+                "younger snapshot")
+    seq = _next_sequence_number(meta)
+    snap_id = _fresh_snapshot_id(meta)
+    snapshots = [
+        s if s.get("sequence-number") is not None
+        else dict(s, **{"sequence-number": 0})
+        for s in meta.get("snapshots") or []
+    ]
+    ts = max([int(s.get("timestamp-ms") or 0)
+              for s in snapshots] + [seq - 1]) + 1
+    snap_rec = {
+        "snapshot-id": snap_id,
+        "timestamp-ms": ts,
+        "sequence-number": seq,
+        "manifest-list": target["manifest-list"],
+        "summary": {"operation": "overwrite"},
+        "parent-snapshot-id": cur_sid,
+    }
+    if target.get("schema-id") is not None:
+        snap_rec["schema-id"] = target["schema-id"]
+    snapshots.append(snap_rec)
+    new_meta = {k: v for k, v in meta.items()
+                if not k.startswith("__")}
+    new_meta["format-version"] = max(
+        2, int(meta.get("format-version") or 2))
+    new_meta.update({
+        "last-sequence-number": seq,
+        "last-updated-ms": ts,
+        "current-snapshot-id": snap_id,
+        "snapshots": snapshots,
+    })
+    slog = list(meta.get("snapshot-log") or [])
+    slog.append({"timestamp-ms": ts, "snapshot-id": snap_id})
+    new_meta["snapshot-log"] = slog
+    refs = dict(meta.get("refs") or {})
+    refs["main"] = {"snapshot-id": snap_id, "type": "branch"}
+    new_meta["refs"] = refs
+    version = int(meta["__metadata_version"]) + 1 \
+        if meta.get("__metadata_version") is not None else None
+    mdir = f"{path}/metadata"
+    if version is None:
+        version = int(_read_bytes(
+            f"{mdir}/version-hint.text").decode().strip()) + 1
+    try:
+        fsio.write_text_exclusive(
+            f"{mdir}/v{version}.metadata.json",
+            json.dumps(new_meta, indent=1))
+    except FileExistsError:
+        raise IcebergConcurrentCommit(
+            f"metadata v{version} already exists (a concurrent "
+            "commit won): re-read the table and retry") from None
+    fsio.write_text(f"{mdir}/version-hint.text", str(version))
+    return snap_id
 
 
 # ---------------------------------------------------------------------------

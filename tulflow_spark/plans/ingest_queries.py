@@ -835,6 +835,303 @@ def ic1_iceberg_cdf(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "ic2_merge_iceberg_cdf",
+    oracle="""
+    WITH base AS (SELECT doc_id, text FROM documents),
+    upd AS (SELECT doc_id, text FROM base WHERE doc_id % 5 = 0),
+    del AS (SELECT doc_id, text FROM base
+            WHERE doc_id % 7 = 0 AND doc_id % 5 <> 0),
+    ins AS (SELECT doc_id + 10000000 AS doc_id, 'N:' || text AS text
+            FROM base WHERE doc_id % 13 = 0),
+    feed AS (
+      SELECT text, 'insert' AS ct, 1 AS sq FROM base
+      UNION ALL SELECT text, 'delete', 2 FROM upd
+      UNION ALL SELECT text, 'delete', 2 FROM del
+      UNION ALL SELECT 'U:' || text, 'insert', 2 FROM upd
+      UNION ALL SELECT text, 'insert', 2 FROM ins
+    ),
+    state AS (
+      SELECT doc_id,
+             CASE WHEN doc_id % 5 = 0 THEN 'U:' || text
+                  ELSE text END AS text
+      FROM base WHERE NOT (doc_id % 7 = 0 AND doc_id % 5 <> 0)
+      UNION ALL SELECT doc_id, text FROM ins
+    )
+    SELECT
+      CAST((SELECT COUNT(*) FROM feed
+            WHERE ct = 'delete') AS BIGINT) AS n_del,
+      CAST((SELECT COUNT(*) FROM feed
+            WHERE ct = 'insert' AND sq = 2) AS BIGINT) AS n_ins,
+      (SELECT md5(STRING_AGG(k, '' ORDER BY k)) FROM
+        (SELECT ct || '|' || md5(text) || '|' || sq AS k FROM feed))
+        AS feed_md5,
+      CAST((SELECT COUNT(*) FROM state) AS BIGINT) AS n_state,
+      (SELECT md5(STRING_AGG(h, '' ORDER BY h)) FROM
+        (SELECT md5(CAST(doc_id AS VARCHAR) || '|' || text) AS h
+         FROM state)) AS state_md5
+    """,
+)
+def ic2_merge_iceberg_cdf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Iceberg MERGE writer oracle-checked end to end (r14:
+    `merge_iceberg` — r13 VERDICT missing #2, the dl10 recipe on the
+    second lake format): documents seed the table at sequence 1, then
+    ONE keyed merge commit updates every doc_id%5=0 row, deletes
+    doc_id%7=0 (minus the update set), and inserts fresh doc_id+10M
+    keys — committing an equality-delete file (U/D keys) plus data
+    files (I/U rows) at the SAME sequence, the Flink-CDC upsert
+    shape.  `read_iceberg_cdf` must deliver the matched old rows as
+    ``delete`` and the I/U rows as ``insert`` at the merge's
+    sequence; the post-merge state is digest-checked too, so a
+    sequence-ordering bug (eq delete hiding its own inserts) fails
+    even if the feed looks right.
+
+    At 100 TB: the commit is change-set-sized (no discovery scan, no
+    rewrites); readers pay one broadcast anti-join per sequence group
+    until compaction folds the delete debt (SCALE.md §7g)."""
+    import tempfile
+
+    from tulflow_spark.ext.iceberg import (
+        merge_iceberg,
+        read_iceberg,
+        read_iceberg_cdf,
+        write_iceberg_fixture,
+    )
+
+    docs = table(spark, sf_dir, "documents").select("doc_id", "text")
+    t = tempfile.mkdtemp(prefix="ic2_") + "/tbl"
+    write_iceberg_fixture(spark, docs, t)                      # seq 1
+    changes = (
+        docs.filter("doc_id % 5 = 0")
+            .select("doc_id",
+                    F.concat(F.lit("U:"), F.col("text")).alias("text"),
+                    F.lit("U").alias("op"))
+        .unionByName(
+            docs.filter("doc_id % 7 = 0 AND doc_id % 5 <> 0")
+                .select("doc_id", "text", F.lit("D").alias("op")))
+        .unionByName(
+            docs.filter("doc_id % 13 = 0")
+                .select((F.col("doc_id") + 10000000).alias("doc_id"),
+                        F.concat(F.lit("N:"), F.col("text"))
+                         .alias("text"),
+                        F.lit("I").alias("op")))
+    )
+    merge_iceberg(spark, t, changes, keys=["doc_id"])          # seq 2
+    feed = read_iceberg_cdf(spark, t)
+    key = F.concat_ws(
+        "|", F.col("_change_type"), F.md5("text"),
+        F.col("_commit_seq").cast("string"))
+    ct = F.col("_change_type")
+    agg = feed.agg(
+        F.sum((ct == "delete").cast("long"))
+         .cast("bigint").alias("n_del"),
+        F.sum(((ct == "insert") & (F.col("_commit_seq") == 2))
+              .cast("long")).cast("bigint").alias("n_ins"),
+        F.md5(F.concat_ws("", F.array_sort(F.collect_list(key))))
+         .alias("feed_md5"),
+    )
+    srow = read_iceberg(spark, t).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_state"),
+        F.md5(F.concat_ws("", F.array_sort(F.collect_list(
+            F.md5(F.concat_ws("|", F.col("doc_id").cast("string"),
+                              F.col("text"))))))).alias("state_md5"),
+    ).first()
+    return (agg
+            .withColumn("n_state",
+                        F.lit(int(srow["n_state"])).cast("bigint"))
+            .withColumn("state_md5", F.lit(srow["state_md5"]))
+            .select("n_del", "n_ins", "feed_md5", "n_state",
+                    "state_md5"))
+
+
+@register(
+    "ic3_iceberg_update_cdf",
+    oracle="""
+    WITH base AS (SELECT doc_id, text FROM documents),
+    upd AS (SELECT doc_id, 'U:' || text AS text FROM base
+            WHERE doc_id % 5 = 0),
+    feed AS (
+      SELECT text, 'insert' AS ct, 1 AS sq FROM base
+      UNION ALL SELECT text, 'delete', 2 FROM base
+                WHERE doc_id % 5 = 0
+      UNION ALL SELECT text, 'insert', 2 FROM upd
+      UNION ALL SELECT CASE WHEN doc_id % 5 = 0 THEN 'U:' || text
+                            ELSE text END, 'delete', 3
+                FROM base WHERE doc_id % 7 = 0
+    ),
+    state AS (
+      SELECT doc_id,
+             CASE WHEN doc_id % 5 = 0 THEN 'U:' || text
+                  ELSE text END AS text
+      FROM base WHERE doc_id % 7 <> 0
+    )
+    SELECT
+      CAST((SELECT COUNT(*) FROM feed WHERE ct = 'delete' AND sq = 2)
+           AS BIGINT) AS n_upd,
+      CAST((SELECT COUNT(*) FROM feed WHERE ct = 'delete' AND sq = 3)
+           AS BIGINT) AS n_del,
+      (SELECT md5(STRING_AGG(k, '' ORDER BY k)) FROM
+        (SELECT ct || '|' || md5(text) || '|' || sq AS k FROM feed))
+        AS feed_md5,
+      CAST((SELECT COUNT(*) FROM state) AS BIGINT) AS n_state,
+      (SELECT md5(STRING_AGG(h, '' ORDER BY h)) FROM
+        (SELECT md5(CAST(doc_id AS VARCHAR) || '|' || text) AS h
+         FROM state)) AS state_md5
+    """,
+)
+def ic3_iceberg_update_cdf(spark: SparkSession,
+                           sf_dir: str) -> DataFrame:
+    """Iceberg UPDATE + DELETE writer verbs oracle-checked (r14:
+    `update_where_iceberg` / `delete_where_iceberg`): documents seed
+    at sequence 1; sequence 2 is ONE update snapshot (position delete
+    of the doc_id%5=0 rows plus a data file carrying them with 'U:'
+    prefixed — merge-on-read, no rewrite); sequence 3 position-
+    deletes doc_id%7=0 — which must hit the UPDATED rows in their NEW
+    file for the %35 overlap (a stale-position bug double-delivers or
+    misses).  The changelog must show update-as-delete+insert at 2
+    and the deletes at 3; state digest-checked.
+
+    At 100 TB: matched-row-sized delete + data files, written
+    distributed (positions never collect to the driver on v2);
+    untouched files carry by reference."""
+    import tempfile
+
+    from tulflow_spark.ext.iceberg import (
+        delete_where_iceberg,
+        read_iceberg,
+        read_iceberg_cdf,
+        update_where_iceberg,
+        write_iceberg_fixture,
+    )
+
+    docs = table(spark, sf_dir, "documents").select("doc_id", "text")
+    t = tempfile.mkdtemp(prefix="ic3_") + "/tbl"
+    write_iceberg_fixture(spark, docs, t)                      # seq 1
+    update_where_iceberg(spark, t, "doc_id % 5 = 0",
+                         {"text": "concat('U:', text)"})       # seq 2
+    delete_where_iceberg(spark, t, "doc_id % 7 = 0")           # seq 3
+    feed = read_iceberg_cdf(spark, t)
+    key = F.concat_ws(
+        "|", F.col("_change_type"), F.md5("text"),
+        F.col("_commit_seq").cast("string"))
+    ct = F.col("_change_type")
+    sq = F.col("_commit_seq")
+    agg = feed.agg(
+        F.sum(((ct == "delete") & (sq == 2)).cast("long"))
+         .cast("bigint").alias("n_upd"),
+        F.sum(((ct == "delete") & (sq == 3)).cast("long"))
+         .cast("bigint").alias("n_del"),
+        F.md5(F.concat_ws("", F.array_sort(F.collect_list(key))))
+         .alias("feed_md5"),
+    )
+    srow = read_iceberg(spark, t).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_state"),
+        F.md5(F.concat_ws("", F.array_sort(F.collect_list(
+            F.md5(F.concat_ws("|", F.col("doc_id").cast("string"),
+                              F.col("text"))))))).alias("state_md5"),
+    ).first()
+    return (agg
+            .withColumn("n_state",
+                        F.lit(int(srow["n_state"])).cast("bigint"))
+            .withColumn("state_md5", F.lit(srow["state_md5"]))
+            .select("n_upd", "n_del", "feed_md5", "n_state",
+                    "state_md5"))
+
+
+@register(
+    "ic4_iceberg_restore_cdf",
+    oracle="""
+    WITH base AS (SELECT doc_id, text FROM documents),
+    dels AS (SELECT doc_id, text FROM base WHERE doc_id % 3 = 0),
+    apps AS (SELECT doc_id + 10000000 AS doc_id, 'N:' || text AS text
+             FROM base WHERE doc_id % 11 = 0),
+    feed AS (
+      SELECT text, 'insert' AS ct, 1 AS sq FROM base
+      UNION ALL SELECT text, 'delete', 2 FROM dels
+      UNION ALL SELECT text, 'insert', 3 FROM apps
+      UNION ALL SELECT text, 'delete', 4 FROM apps
+      UNION ALL SELECT text, 'insert', 4 FROM dels
+    )
+    SELECT
+      CAST((SELECT COUNT(*) FROM feed WHERE sq = 4 AND ct = 'insert')
+           AS BIGINT) AS n_resurrected,
+      CAST((SELECT COUNT(*) FROM feed WHERE sq = 4 AND ct = 'delete')
+           AS BIGINT) AS n_unwound,
+      (SELECT md5(STRING_AGG(k, '' ORDER BY k)) FROM
+        (SELECT ct || '|' || md5(text) || '|' || sq AS k FROM feed))
+        AS feed_md5,
+      CAST((SELECT COUNT(*) FROM base) AS BIGINT) AS n_state,
+      (SELECT md5(STRING_AGG(h, '' ORDER BY h)) FROM
+        (SELECT md5(CAST(doc_id AS VARCHAR) || '|' || text) AS h
+         FROM base)) AS state_md5
+    """,
+)
+def ic4_iceberg_restore_cdf(spark: SparkSession,
+                            sf_dir: str) -> DataFrame:
+    """Iceberg RESTORE oracle-checked (r14: `restore_iceberg` — r13
+    VERDICT missing #3, the dl13 recipe on the second format):
+    documents seed at sequence 1, a position delete kills doc_id%3=0
+    at 2, an append lands doc_id%11=0 clones at 3, and sequence 4 is
+    ONE metadata-only rollback commit to the seed snapshot.  The
+    changelog across the rollback must deliver BOTH unwind waves —
+    the appended file's rows as ``delete`` (removed data file) and
+    the position-deleted rows as ``insert`` (removed delete file
+    resurrection); post-restore state must digest-equal the seed
+    (== time-travel read).
+
+    At 100 TB: the restore commit writes one metadata JSON — zero
+    data movement; the feed's unwind stages are diff-sized."""
+    import tempfile
+
+    from tulflow_spark.ext.iceberg import (
+        append_iceberg_fixture,
+        delete_where_iceberg,
+        load_table_metadata,
+        read_iceberg,
+        read_iceberg_cdf,
+        restore_iceberg,
+        write_iceberg_fixture,
+    )
+
+    docs = table(spark, sf_dir, "documents").select("doc_id", "text")
+    t = tempfile.mkdtemp(prefix="ic4_") + "/tbl"
+    write_iceberg_fixture(spark, docs, t)                      # seq 1
+    s1 = load_table_metadata(t)["current-snapshot-id"]
+    delete_where_iceberg(spark, t, "doc_id % 3 = 0")           # seq 2
+    append_iceberg_fixture(
+        spark, docs.filter("doc_id % 11 = 0")
+        .select((F.col("doc_id") + 10000000).alias("doc_id"),
+                F.concat(F.lit("N:"), F.col("text")).alias("text")),
+        t)                                                     # seq 3
+    restore_iceberg(t, s1)                                     # seq 4
+    feed = read_iceberg_cdf(spark, t)
+    key = F.concat_ws(
+        "|", F.col("_change_type"), F.md5("text"),
+        F.col("_commit_seq").cast("string"))
+    ct = F.col("_change_type")
+    sq = F.col("_commit_seq")
+    agg = feed.agg(
+        F.sum(((ct == "insert") & (sq == 4)).cast("long"))
+         .cast("bigint").alias("n_resurrected"),
+        F.sum(((ct == "delete") & (sq == 4)).cast("long"))
+         .cast("bigint").alias("n_unwound"),
+        F.md5(F.concat_ws("", F.array_sort(F.collect_list(key))))
+         .alias("feed_md5"),
+    )
+    srow = read_iceberg(spark, t).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_state"),
+        F.md5(F.concat_ws("", F.array_sort(F.collect_list(
+            F.md5(F.concat_ws("|", F.col("doc_id").cast("string"),
+                              F.col("text"))))))).alias("state_md5"),
+    ).first()
+    return (agg
+            .withColumn("n_state",
+                        F.lit(int(srow["n_state"])).cast("bigint"))
+            .withColumn("state_md5", F.lit(srow["state_md5"]))
+            .select("n_resurrected", "n_unwound", "feed_md5",
+                    "n_state", "state_md5"))
+
+
+@register(
     "ib3_iceberg_eq_deletes",
     oracle="""
     WITH dead AS (SELECT MIN(lang) AS lang FROM documents),
