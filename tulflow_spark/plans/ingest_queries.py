@@ -1748,6 +1748,121 @@ def dl10_merge_cdf(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "dl14_merge_evolve_cdf",
+    oracle="""
+    WITH base AS (SELECT doc_id, text FROM documents),
+    upd AS (SELECT doc_id, text, doc_id * 10 AS score FROM base
+            WHERE doc_id % 5 = 0),
+    ins AS (SELECT doc_id + 10000000 AS doc_id, 'N:' || text AS text,
+                   7 AS score
+            FROM base WHERE doc_id % 13 = 0),
+    feed AS (
+      SELECT doc_id, NULL AS score, 'update_preimage' AS ct FROM upd
+      UNION ALL SELECT doc_id, score, 'update_postimage' FROM upd
+      UNION ALL SELECT doc_id, score, 'insert' FROM ins
+    ),
+    state AS (
+      SELECT b.doc_id,
+             CASE WHEN b.doc_id % 5 = 0 THEN 'U:' || b.text
+                  ELSE b.text END AS text,
+             u.score
+      FROM base b LEFT JOIN upd u ON b.doc_id = u.doc_id
+      UNION ALL SELECT doc_id, text, score FROM ins
+    )
+    SELECT
+      CAST((SELECT COUNT(*) FROM feed WHERE ct = 'update_preimage'
+            AND score IS NULL) AS BIGINT) AS n_pre_null,
+      CAST((SELECT COUNT(*) FROM feed WHERE ct = 'update_postimage')
+           AS BIGINT) AS n_post,
+      (SELECT md5(STRING_AGG(k, '' ORDER BY k)) FROM
+        (SELECT ct || '|' || CAST(doc_id AS VARCHAR) || '|' ||
+                COALESCE(CAST(score AS VARCHAR), '_') AS k
+         FROM feed)) AS feed_md5,
+      CAST((SELECT COUNT(*) FROM state WHERE score IS NULL)
+           AS BIGINT) AS n_null_score,
+      (SELECT md5(STRING_AGG(h, '' ORDER BY h)) FROM
+        (SELECT md5(CAST(doc_id AS VARCHAR) || '|' || text || '|' ||
+                    COALESCE(CAST(score AS VARCHAR), '_')) AS h
+         FROM state)) AS state_md5
+    """,
+)
+def dl14_merge_evolve_cdf(spark: SparkSession,
+                          sf_dir: str) -> DataFrame:
+    """Delta MERGE schema evolution oracle-checked (r14:
+    `merge_delta(evolve_schema=True)` — r13 VERDICT missing #5, the
+    delta-spark withSchemaEvolution() shape): documents seed the
+    table (CDF on), then ONE merge carries a NEW nullable ``score``
+    column — updating every doc_id%5=0 row (score = doc_id*10) and
+    inserting doc_id+10M clones (score = 7) — committing the widened
+    metaData in the same version.  Pre-existing rows must read score
+    as NULL, the feed's preimages must carry NULL score while
+    postimages carry the new values, and the state digest covers the
+    full widened rows.
+
+    At 100 TB: evolution costs one metaData action — no file
+    rewrites beyond the merge's own matched files."""
+    import tempfile
+
+    from tulflow_spark.ext.delta_log import (
+        merge_delta,
+        read_delta,
+        read_delta_cdf,
+        write_delta,
+    )
+
+    docs = table(spark, sf_dir, "documents").select("doc_id", "text")
+    t = tempfile.mkdtemp(prefix="dl14_") + "/tbl"
+    write_delta(docs, t, mode="append",
+                configuration={"delta.enableChangeDataFeed": "true"})
+    changes = (
+        docs.filter("doc_id % 5 = 0")
+            .select("doc_id",
+                    F.concat(F.lit("U:"), F.col("text")).alias("text"),
+                    (F.col("doc_id") * 10).alias("score"),
+                    F.lit("U").alias("op"))
+        .unionByName(
+            docs.filter("doc_id % 13 = 0")
+                .select((F.col("doc_id") + 10000000).alias("doc_id"),
+                        F.concat(F.lit("N:"), F.col("text"))
+                         .alias("text"),
+                        F.lit(7).cast("long").alias("score"),
+                        F.lit("I").alias("op")))
+    )
+    v = merge_delta(spark, t, changes, keys=["doc_id"],
+                    evolve_schema=True)
+    feed = read_delta_cdf(spark, t, v - 1, v)
+    key = F.concat_ws(
+        "|", F.col("_change_type"), F.col("doc_id").cast("string"),
+        F.coalesce(F.col("score").cast("string"), F.lit("_")))
+    ct = F.col("_change_type")
+    agg = feed.agg(
+        F.sum(((ct == "update_preimage") & F.col("score").isNull())
+              .cast("long")).cast("bigint").alias("n_pre_null"),
+        F.sum((ct == "update_postimage").cast("long"))
+         .cast("bigint").alias("n_post"),
+        F.md5(F.concat_ws("", F.array_sort(F.collect_list(key))))
+         .alias("feed_md5"),
+    )
+    state = read_delta(spark, t)
+    srow = state.agg(
+        F.sum(F.col("score").isNull().cast("long"))
+         .cast("bigint").alias("n_null_score"),
+        F.md5(F.concat_ws("", F.array_sort(F.collect_list(
+            F.md5(F.concat_ws(
+                "|", F.col("doc_id").cast("string"), F.col("text"),
+                F.coalesce(F.col("score").cast("string"),
+                           F.lit("_")))))))).alias("state_md5"),
+    ).first()
+    return (agg
+            .withColumn("n_null_score",
+                        F.lit(int(srow["n_null_score"]))
+                        .cast("bigint"))
+            .withColumn("state_md5", F.lit(srow["state_md5"]))
+            .select("n_pre_null", "n_post", "feed_md5",
+                    "n_null_score", "state_md5"))
+
+
+@register(
     "dl11_cdf_rename",
     oracle="""
     WITH base AS (SELECT doc_id, text FROM documents),
