@@ -115,6 +115,73 @@ def test_count1_table_b_is_ones_complement():
         assert got == ((v >> 3) & 1, (v >> 2) & 1, (v >> 1) & 1, v & 1)
 
 
+def test_count1_table_a_hand_derived():
+    """r13 VERDICT missing #4 (r14 data entry): count1 table A — the
+    count1table_select=0 case real encoders emit.  Hand-derived code
+    probes: '1' → 0000, the four weight-1 quads at 4 bits, 1111 at
+    '000001', plus the structural redundancies of the published
+    table (weight → hlen map with 0101 the single weight-2 outlier
+    at 6 bits; three consecutive code blocks)."""
+    from tulflow_spark.ext.mp3 import COUNT1_TABLES, _huff_decode
+
+    tab = COUNT1_TABLES[0]
+    assert len(tab) == 16
+
+    def dec(bits: str):
+        raw = int(bits.ljust(8, "0"), 2).to_bytes(1, "big")
+        return _huff_decode(BitReaderMSB(raw), tab, max_len=6)
+
+    assert dec("1") == (0, 0, 0, 0)
+    assert dec("0101") == (0, 0, 0, 1)
+    assert dec("0100") == (0, 0, 1, 0)
+    assert dec("0110") == (0, 1, 0, 0)
+    assert dec("0111") == (1, 0, 0, 0)
+    assert dec("000001") == (1, 1, 1, 1)
+    # weight → hlen structure of the published table
+    by_quad = {v: ln for (ln, c), v in tab.items()}
+    for v, ln in by_quad.items():
+        w = sum(v)
+        want = {0: 1, 1: 4, 3: 6, 4: 6}.get(w)
+        if w == 2:
+            want = 6 if v == (0, 1, 0, 1) else 5
+        assert ln == want, (v, ln)
+    # code set: three consecutive blocks
+    codes = sorted((ln, c) for (ln, c) in tab)
+    assert [c for ln, c in codes if ln == 4] == [4, 5, 6, 7]
+    assert [c for ln, c in codes if ln == 5] == [3, 4, 5, 6, 7]
+    assert [c for ln, c in codes if ln == 6] == [0, 1, 2, 3, 4, 5]
+
+
+def test_count1_region_decodes_under_both_tables():
+    """Fixture-encoder roundtrip: quads appended after the big-values
+    region land at the right spectral lines with the right signs —
+    identically under table A (select=0) and table B (select=1)."""
+    from tulflow_spark.ext.mp3 import (
+        _huffman_spectrum,
+        _parse_side_info,
+        encode_test_tone_mp3,
+    )
+
+    quads = [(1, 0, -1, 0), (0, 1, 1, -1), (0, 0, 0, 0), (-1, 1, 0, 1)]
+
+    def spectrum(select: int):
+        s = encode_test_tone_mp3(10, 2, count1_quads=quads,
+                                 count1table_select=select)
+        # decode just the first granule's spectrum directly
+        _, _, grs = _parse_side_info(BitReaderMSB(s[4:4 + 17]), 1)
+        g0 = grs[0][0]
+        assert g0.count1table_select == select
+        main = s[4 + 17:96]
+        return _huffman_spectrum(BitReaderMSB(main), g0, 48000, 0)
+
+    xa, xb = spectrum(0), spectrum(1)
+    assert (xa == xb).all()
+    # the tone line plus the quads at lines 12..27
+    assert xa[10] == 1
+    flat = [v for q in quads for v in q]
+    assert list(xa[12:12 + 16]) == flat
+
+
 # ---------------------------------------------------------------------------
 # end-to-end fixture decode (analytic tone expectations)
 # ---------------------------------------------------------------------------

@@ -22,7 +22,8 @@ MPEG-1 audio overview literature):
   bits, count1 quadruples, rzero tail.  Code tables live in a REGISTRY
   (`BIG_VALUE_TABLES` / `COUNT1_TABLES`): ISO Table B.7 is a pure data
   table; the registry ships the entries transcribed here (tables 0-3,
-  5-9, 12 and count1 table B) and raises a typed `Mp3Error` naming any
+  5-9, 12 and count1 tables A and B) and raises a typed `Mp3Error`
+  naming any
   table a stream requests that is not transcribed — extending it is
   mechanical data entry, no code.  Transcriptions are ADMITTED only
   when the first honest transcription passes `_tbl_mat`'s
@@ -304,7 +305,67 @@ _C1B = {
     (4, (~v) & 0xF): ((v >> 3) & 1, (v >> 2) & 1, (v >> 1) & 1, v & 1)
     for v in range(16)
 }
-COUNT1_TABLES: dict[int, dict] = {1: _C1B}
+
+
+def _tbl_quad(entries):
+    """count1 entries ((v, hlen, hcod) with v the packed vwxy nibble)
+    -> lookup dict, VALIDATED as a complete prefix code over exactly
+    the 16 quadruples at import (the `_tbl_mat` gate for the quad
+    shape — admitted only when the first honest transcription
+    closes)."""
+    from fractions import Fraction
+
+    codes: dict = {}
+    seen_v: set = set()
+    for v, ln, c in entries:
+        if not (0 <= v < 16) or v in seen_v or \
+                not (0 < ln <= 19 and 0 <= c < (1 << ln)) or \
+                (ln, c) in codes:
+            raise AssertionError(
+                f"B.7 count1 transcription corrupt at v={v:04b}")
+        seen_v.add(v)
+        codes[(ln, c)] = ((v >> 3) & 1, (v >> 2) & 1,
+                          (v >> 1) & 1, v & 1)
+    if len(codes) != 16:
+        raise AssertionError("B.7 count1 transcription incomplete")
+    if sum(Fraction(1, 2 ** ln) for (ln, _) in codes) != 1:
+        raise AssertionError(
+            "B.7 count1 transcription fails Kraft equality")
+    items = sorted(codes)
+    for i, (l1, c1) in enumerate(items):
+        for (l2, c2) in items[i + 1:]:
+            if l1 <= l2 and (c2 >> (l2 - l1)) == c1:
+                raise AssertionError(
+                    "B.7 count1 transcription not prefix-free")
+    return codes
+
+
+# count1 table A (count1table_select=0 — the COMMON case in real
+# encoders; r14 data entry): first honest transcription passed the
+# structural gate unmodified.  The hlen column carries its own
+# redundancy — weight(vwxy)∈{0,1,2,3,4} → {1,4,5,6,6} bits, with
+# 0101 the single weight-2 outlier at 6 bits — and the code SET is
+# the three consecutive blocks {0100..0111}/{00011..00111}/
+# {000000..000101}, both structures matching the published table.
+_C1A = _tbl_quad([
+    (0b0000, 1, 0b1),
+    (0b0001, 4, 0b0101),
+    (0b0010, 4, 0b0100),
+    (0b0011, 5, 0b00101),
+    (0b0100, 4, 0b0110),
+    (0b0101, 6, 0b000101),
+    (0b0110, 5, 0b00100),
+    (0b0111, 6, 0b000100),
+    (0b1000, 4, 0b0111),
+    (0b1001, 5, 0b00011),
+    (0b1010, 5, 0b00110),
+    (0b1011, 6, 0b000000),
+    (0b1100, 5, 0b00111),
+    (0b1101, 6, 0b000010),
+    (0b1110, 6, 0b000011),
+    (0b1111, 6, 0b000001),
+])
+COUNT1_TABLES: dict[int, dict] = {0: _C1A, 1: _C1B}
 
 
 def _huff_decode(br: BitReaderMSB, table: dict, max_len: int = 19):
@@ -963,7 +1024,9 @@ def encode_test_tone_mp3(line_k: int, n_frames: int,
                          global_gain: int = 210,
                          reservoir_bytes: int = 0,
                          mixed_block: bool = False,
-                         table_select: int = 1) -> bytes:
+                         table_select: int = 1,
+                         count1_quads: list | None = None,
+                         count1table_select: int = 1) -> bytes:
     """Minimal legal MPEG-1 Layer III mono stream (48 kHz, 32 kbit/s —
     exactly 96-byte frames), every granule carrying a single positive
     spectral line at ``line_k`` with amplitude 2^((global_gain-210)/4).
@@ -974,7 +1037,10 @@ def encode_test_tone_mp3(line_k: int, n_frames: int,
     (main_data_begin set accordingly).  ``mixed_block`` writes
     window-switching granules (block_type 2, mixed_block_flag 1) whose
     tone line must sit in the long lower-two-subband region
-    (line_k < 36)."""
+    (line_k < 36).  ``count1_quads`` appends count1-region quadruples
+    (signed ints in {-1, 0, 1}, four lines each) after the big-values
+    region, encoded under ``count1table_select`` (0 = table A,
+    1 = table B)."""
     if not 0 <= line_k < 576:
         raise ValueError("line_k must be in [0, 576)")
     if mixed_block and line_k >= 36:
@@ -984,8 +1050,22 @@ def encode_test_tone_mp3(line_k: int, n_frames: int,
     if not BIG_VALUE_TABLES.get(table_select, (0, None))[1]:
         raise ValueError(
             f"table {table_select} not in the transcribed registry")
-    header = bytes([0xFF, 0xFB, 0x14, 0xC0])
+    if count1table_select not in COUNT1_TABLES:
+        raise ValueError(
+            f"count1 table {count1table_select} not in the registry")
     gbits = _granule_main_bits(line_k, global_gain, table_select)
+    by_quad = {qv: lc for lc, qv in
+               COUNT1_TABLES[count1table_select].items()}
+    for quad in count1_quads or []:
+        if len(quad) != 4 or any(abs(int(q)) > 1 for q in quad):
+            raise ValueError(
+                f"count1 quadruple must be four of -1/0/1: {quad!r}")
+        ln, c = by_quad[tuple(1 if q else 0 for q in quad)]
+        gbits.w(c, ln)
+        for q in quad:
+            if q:
+                gbits.w(1 if q < 0 else 0, 1)   # sign bit
+    header = bytes([0xFF, 0xFB, 0x14, 0xC0])
     p23 = len(gbits.bits)
     main = _BW()
     main.bits = gbits.bits + gbits.bits  # two granules
@@ -1020,7 +1100,7 @@ def encode_test_tone_mp3(line_k: int, n_frames: int,
                 s.w(7, 3)      # region1_count
             s.w(0, 1)          # preflag
             s.w(0, 1)          # scalefac_scale
-            s.w(1, 1)          # count1table_select = B
+            s.w(count1table_select, 1)
         return s.bytes()
 
     # place main data: frame i's data begins `begin` bytes before its
