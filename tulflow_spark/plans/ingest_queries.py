@@ -636,7 +636,7 @@ def sdc1_stream_delta_changes(spark: SparkSession,
     del3 AS (SELECT doc_id, text FROM base
              WHERE doc_id % 11 = 0 AND doc_id % 7 <> 0
                AND doc_id % 5 <> 0),
-    ins3 AS (SELECT doc_id + 10000000 AS doc_id, 'N:' || text AS text
+    ins3 AS (SELECT doc_id + 100000000 AS doc_id, 'N:' || text AS text
              FROM base WHERE doc_id % 13 = 0),
     feed AS (
       SELECT text, 'insert' AS ct,
@@ -704,7 +704,7 @@ def sdc3_stream_delta_cdf(spark: SparkSession,
                 .select("doc_id", "text", F.lit("D").alias("op")))
         .unionByName(
             docs.filter("doc_id % 13 = 0")
-                .select((F.col("doc_id") + 10000000).alias("doc_id"),
+                .select((F.col("doc_id") + 100000000).alias("doc_id"),
                         F.concat(F.lit("N:"), F.col("text"))
                          .alias("text"),
                         F.lit("I").alias("op")))
@@ -841,7 +841,7 @@ def ic1_iceberg_cdf(spark: SparkSession, sf_dir: str) -> DataFrame:
     upd AS (SELECT doc_id, text FROM base WHERE doc_id % 5 = 0),
     del AS (SELECT doc_id, text FROM base
             WHERE doc_id % 7 = 0 AND doc_id % 5 <> 0),
-    ins AS (SELECT doc_id + 10000000 AS doc_id, 'N:' || text AS text
+    ins AS (SELECT doc_id + 100000000 AS doc_id, 'N:' || text AS text
             FROM base WHERE doc_id % 13 = 0),
     feed AS (
       SELECT text, 'insert' AS ct, 1 AS sq FROM base
@@ -910,7 +910,7 @@ def ic2_merge_iceberg_cdf(spark: SparkSession, sf_dir: str) -> DataFrame:
                 .select("doc_id", "text", F.lit("D").alias("op")))
         .unionByName(
             docs.filter("doc_id % 13 = 0")
-                .select((F.col("doc_id") + 10000000).alias("doc_id"),
+                .select((F.col("doc_id") + 100000000).alias("doc_id"),
                         F.concat(F.lit("N:"), F.col("text"))
                          .alias("text"),
                         F.lit("I").alias("op")))
@@ -1042,7 +1042,7 @@ def ic3_iceberg_update_cdf(spark: SparkSession,
     oracle="""
     WITH base AS (SELECT doc_id, text FROM documents),
     dels AS (SELECT doc_id, text FROM base WHERE doc_id % 3 = 0),
-    apps AS (SELECT doc_id + 10000000 AS doc_id, 'N:' || text AS text
+    apps AS (SELECT doc_id + 100000000 AS doc_id, 'N:' || text AS text
              FROM base WHERE doc_id % 11 = 0),
     feed AS (
       SELECT text, 'insert' AS ct, 1 AS sq FROM base
@@ -1099,7 +1099,7 @@ def ic4_iceberg_restore_cdf(spark: SparkSession,
     delete_where_iceberg(spark, t, "doc_id % 3 = 0")           # seq 2
     append_iceberg_fixture(
         spark, docs.filter("doc_id % 11 = 0")
-        .select((F.col("doc_id") + 10000000).alias("doc_id"),
+        .select((F.col("doc_id") + 100000000).alias("doc_id"),
                 F.concat(F.lit("N:"), F.col("text")).alias("text")),
         t)                                                     # seq 3
     restore_iceberg(t, s1)                                     # seq 4
@@ -1638,7 +1638,7 @@ def dl9_change_feed(spark: SparkSession, sf_dir: str) -> DataFrame:
     upd AS (SELECT doc_id, text FROM base WHERE doc_id % 5 = 0),
     del AS (SELECT doc_id, text FROM base
             WHERE doc_id % 7 = 0 AND doc_id % 5 <> 0),
-    ins AS (SELECT doc_id + 10000000 AS doc_id, 'N:' || text AS text
+    ins AS (SELECT doc_id + 100000000 AS doc_id, 'N:' || text AS text
             FROM base WHERE doc_id % 13 = 0),
     feed AS (
       SELECT doc_id, text, 'insert' AS ct, 0 AS v FROM base
@@ -1711,7 +1711,7 @@ def dl10_merge_cdf(spark: SparkSession, sf_dir: str) -> DataFrame:
                 .select("doc_id", "text", F.lit("D").alias("op")))
         .unionByName(
             docs.filter("doc_id % 13 = 0")
-                .select((F.col("doc_id") + 10000000).alias("doc_id"),
+                .select((F.col("doc_id") + 100000000).alias("doc_id"),
                         F.concat(F.lit("N:"), F.col("text"))
                          .alias("text"),
                         F.lit("I").alias("op")))
@@ -1753,7 +1753,7 @@ def dl10_merge_cdf(spark: SparkSession, sf_dir: str) -> DataFrame:
     WITH base AS (SELECT doc_id, text FROM documents),
     upd AS (SELECT doc_id, text, doc_id * 10 AS score FROM base
             WHERE doc_id % 5 = 0),
-    ins AS (SELECT doc_id + 10000000 AS doc_id, 'N:' || text AS text,
+    ins AS (SELECT doc_id + 100000000 AS doc_id, 'N:' || text AS text,
                    7 AS score
             FROM base WHERE doc_id % 13 = 0),
     feed AS (
@@ -1822,7 +1822,7 @@ def dl14_merge_evolve_cdf(spark: SparkSession,
                     F.lit("U").alias("op"))
         .unionByName(
             docs.filter("doc_id % 13 = 0")
-                .select((F.col("doc_id") + 10000000).alias("doc_id"),
+                .select((F.col("doc_id") + 100000000).alias("doc_id"),
                         F.concat(F.lit("N:"), F.col("text"))
                          .alias("text"),
                         F.lit(7).cast("long").alias("score"),
@@ -2032,7 +2032,7 @@ def dl12_update_cdf(spark: SparkSession, sf_dir: str) -> DataFrame:
     "dl13_restore_cdf",
     oracle="""
     WITH base AS (SELECT doc_id, text FROM documents),
-    extra AS (SELECT doc_id + 10000000 AS doc_id, 'N:' || text AS text
+    extra AS (SELECT doc_id + 100000000 AS doc_id, 'N:' || text AS text
               FROM base WHERE doc_id % 13 = 0),
     feed AS (
       SELECT text, 'insert' AS ct, 0 AS v FROM base
@@ -2073,7 +2073,7 @@ def dl13_restore_cdf(spark: SparkSession, sf_dir: str) -> DataFrame:
     write_delta(docs, t, mode="append",
                 configuration={"delta.enableChangeDataFeed": "true"})
     extra = docs.filter("doc_id % 13 = 0").select(
-        (F.col("doc_id") + 10000000).alias("doc_id"),
+        (F.col("doc_id") + 100000000).alias("doc_id"),
         F.concat(F.lit("N:"), F.col("text")).alias("text"))
     write_delta(extra, t, mode="append")                       # v1
     v = restore_delta(spark, t, 0)                             # v2

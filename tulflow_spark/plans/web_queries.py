@@ -213,7 +213,7 @@ from tulflow_spark.operators.profile import profile_sql as _pr_sql  # noqa: E402
       SELECT o_orderkey, 'U', 'U', o_totalprice + 10.0
       FROM orders WHERE o_orderkey % 97 = 0 AND o_orderkey % 101 <> 0
       UNION ALL
-      SELECT o_orderkey + 10000000, 'I', 'N', 1.0
+      SELECT o_orderkey + 100000000, 'I', 'N', 1.0
       FROM orders WHERE o_orderkey % 103 = 0
     ),
     merged AS (
@@ -261,7 +261,7 @@ def cdc2_merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("o_totalprice") + 10.0).alias("o_totalprice"),
     )
     inserts = o.filter(F.col("o_orderkey") % 103 == 0).select(
-        (F.col("o_orderkey") + 10_000_000).alias("o_orderkey"),
+        (F.col("o_orderkey") + 100_000_000).alias("o_orderkey"),
         F.lit("I").alias("op"),
         F.lit("N").alias("o_orderstatus"),
         F.lit(1.0).alias("o_totalprice"),
