@@ -345,3 +345,64 @@ def test_restore_walls_and_expire_interop(spark, tmp_path):
     # a restore to an EXPIRED snapshot refuses typed
     with pytest.raises(IcebergError, match="not in the table"):
         restore_iceberg(t, s1)
+
+
+def test_merge_and_update_wall_on_non_identity_spec(spark, tmp_path):
+    """merge/update stage identity partition values only — on a
+    bucket-partitioned table they refuse typed instead of committing
+    files outside the declared partitioning; delete_where (position
+    deletes, partition-agnostic) still works."""
+    import json
+    import os
+
+    from tulflow_spark.ext import iceberg as I
+
+    t = str(tmp_path / "tbl")
+    os.makedirs(f"{t}/metadata")
+    d = f"{t}/data/b0"
+    spark.createDataFrame([(4, "x4"), (8, "x8")],
+                          "id long, v string") \
+        .coalesce(1).write.parquet(d)
+    part = [f for f in os.listdir(d) if f.endswith(".parquet")][0]
+    rec = {"content": 0, "file_path": f"file://{d}/{part}",
+           "file_format": "PARQUET",
+           "partition": {"id_bucket": I.bucket_value(4, "long", 4)},
+           "record_count": 2, "file_size_in_bytes": 1}
+    blob = I.write_ocf(I._manifest_schema([("id_bucket", "int")]),
+                       [{"status": 1, "snapshot_id": 1,
+                         "data_file": rec}])
+    open(f"{t}/metadata/m1.avro", "wb").write(blob)
+    ml = I.write_ocf(I._MANIFEST_LIST_SCHEMA, [{
+        "manifest_path": f"file://{t}/metadata/m1.avro",
+        "manifest_length": len(blob), "partition_spec_id": 0,
+        "content": 0, "added_snapshot_id": 1}])
+    open(f"{t}/metadata/snap1.avro", "wb").write(ml)
+    meta = {
+        "format-version": 2, "table-uuid": "b-1", "location": t,
+        "last-sequence-number": 1, "last-updated-ms": 1,
+        "last-column-id": 2,
+        "schemas": [{"type": "struct", "schema-id": 0, "fields": [
+            {"id": 1, "name": "id", "required": False,
+             "type": "long"},
+            {"id": 2, "name": "v", "required": False,
+             "type": "string"}]}],
+        "current-schema-id": 0,
+        "partition-specs": [{"spec-id": 0, "fields": [
+            {"name": "id_bucket", "transform": "bucket[4]",
+             "source-id": 1, "field-id": 1000}]}],
+        "default-spec-id": 0, "current-snapshot-id": 1,
+        "snapshots": [{"snapshot-id": 1, "timestamp-ms": 1,
+                       "sequence-number": 1,
+                       "manifest-list":
+                       f"file://{t}/metadata/snap1.avro",
+                       "summary": {"operation": "append"}}],
+    }
+    json.dump(meta, open(f"{t}/metadata/v1.metadata.json", "w"))
+    open(f"{t}/metadata/version-hint.text", "w").write("1")
+    with pytest.raises(IcebergError, match="non-identity"):
+        merge_iceberg(spark, t, _chg(spark, [(4, "X", "U")]), ["id"])
+    with pytest.raises(IcebergError, match="non-identity"):
+        update_where_iceberg(spark, t, "id = 4", {"v": "'X'"})
+    delete_where_iceberg(spark, t, "id = 4")
+    assert sorted(r["id"] for r in read_iceberg(spark, t).collect()) \
+        == [8]

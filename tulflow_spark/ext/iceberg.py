@@ -1585,7 +1585,8 @@ def _avro_part_type(spark_type: str) -> str:
 def _stage_data_files(df: DataFrame, path: str, seq: int,
                       partition_by: list[str],
                       file_format: str = "parquet",
-                      fid_of: dict[str, int] | None = None) -> list[dict]:
+                      fid_of: dict[str, int] | None = None,
+                      single_file: bool = True) -> list[dict]:
     """Write data files (each containing ALL columns — Iceberg data
     files keep partition source columns) and return manifest
     data_file records with identity partition values.
@@ -1639,10 +1640,16 @@ def _stage_data_files(df: DataFrame, path: str, seq: int,
     attempt = _uuid.uuid4().hex[:8]
     for gi, (pvals, gdf) in enumerate(groups):
         d = f"{path}/data/s{seq}-{attempt}-g{gi}"
+        # fixtures keep one file per partition group (tests derive
+        # row positions from "the" file); the DML writer verbs stage
+        # PARALLEL parts — one manifest record each — so a large
+        # change set never funnels through one task
+        if single_file:
+            gdf = gdf.coalesce(1)
         if orc:
-            gdf.coalesce(1).write.orc(d)
+            gdf.write.orc(d)
         else:
-            gdf.coalesce(1).write.parquet(d)
+            gdf.write.parquet(d)
         fs, base = fsio.resolve(d)
         import pyarrow.fs as pafs
 
@@ -1660,6 +1667,8 @@ def _stage_data_files(df: DataFrame, path: str, seq: int,
                     md = pq.ParquetFile(handle).metadata
                     n = md.num_rows
                     lob, upb = _footer_bounds(md, fid_type)
+            if n == 0 and not single_file:
+                continue    # parallel staging drops empty parts
             files.append({
                 "content": 0,
                 "file_path": f"file://{info.path}",
@@ -2809,7 +2818,12 @@ def _dml_preamble(path: str, expect_snapshot_id: int | None,
                                       list[dict]]:
     """Shared writer-verb entry: load metadata, enforce the CAS
     expectation, and return (meta, schema, data_files, delete_files)
-    of the current snapshot."""
+    of the current snapshot.  Tables whose DEFAULT partition spec
+    carries non-identity transforms (bucket/truncate/date) refuse
+    typed: the verbs stage data files with identity partition values
+    only, and committing files outside the declared partitioning
+    would hand a conformant reader an unprunable (or worse,
+    spec-violating) layout."""
     meta = load_table_metadata(path)
     cur = meta.get("current-snapshot-id")
     if expect_snapshot_id is not None and cur != expect_snapshot_id:
@@ -2817,6 +2831,20 @@ def _dml_preamble(path: str, expect_snapshot_id: int | None,
             f"table is at snapshot {cur}, {verb} was computed "
             f"against {expect_snapshot_id}: re-read and retry")
     schema = _current_schema(meta)
+    if verb in ("merge", "update"):
+        specs = meta.get("partition-specs") or []
+        default = next(
+            (s for s in specs
+             if s.get("spec-id") == meta.get("default-spec-id")),
+            specs[0] if specs else None)
+        bad = [f for f in ((default or {}).get("fields") or [])
+               if f.get("transform") not in ("identity", "void")]
+        if bad:
+            raise IcebergError(
+                f"{verb} on a table with non-identity partition "
+                f"transforms ({[f.get('transform') for f in bad]}) "
+                "not supported — the staged data files would not "
+                "carry the spec's partition values")
     data_files, delete_files = _live_files(meta, None)
     return meta, schema, data_files, delete_files
 
@@ -2918,7 +2946,7 @@ def merge_iceberg(spark: SparkSession, path: str, changes: DataFrame,
     if stats["ins"]:
         data_recs = _stage_data_files(
             changes.where(F.col(op_col).isin("I", "U")).select(*cols),
-            path, seq, part_cols, fmt, fid_of=fid)
+            path, seq, part_cols, fmt, fid_of=fid, single_file=False)
     del_recs: list[dict] = []
     if stats["dels"]:
         del_recs = _stage_eq_delete_files(
@@ -3093,7 +3121,8 @@ def update_where_iceberg(spark: SparkSession, path: str,
                for f in updated.schema.fields}
     part_avro = [(c, _avro_part_type(by_name[c])) for c in part_cols]
     data_recs = _stage_data_files(updated, path, seq, part_cols,
-                                  "parquet", fid_of=fid)
+                                  "parquet", fid_of=fid,
+                                  single_file=False)
     specs = meta.get("partition-specs") or [{"spec-id": 0,
                                              "fields": []}]
     return _commit_snapshot(
@@ -3140,6 +3169,12 @@ def restore_iceberg(path: str, snapshot_id: int,
             "metadata (expired snapshots cannot be restored)")
     if snapshot_id == cur_sid:
         return int(cur_sid)
+    if "manifest-list" not in target:
+        # v1 inline `manifests` form: the restore snapshot reuses the
+        # manifest LIST by reference, which the inline form lacks
+        raise IcebergError(
+            "restore target uses the v1 inline manifests form — "
+            "rewrite the table to a manifest-list layout first")
     cur_snap = next(s for s in meta["snapshots"]
                     if s.get("snapshot-id") == cur_sid)
     if target.get("schema-id") is not None \
