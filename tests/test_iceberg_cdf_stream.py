@@ -1,0 +1,169 @@
+"""sources/lake_stream.py: the ``tulflow_iceberg_cdf`` streaming
+source — Iceberg row-level changes (appends, whole-file removals,
+position-delete/DV diffs in BOTH directions) delivered through
+Structured Streaming with exactly-once offsets, matching the batch
+`read_iceberg_cdf` content; equality deletes fail the batch typed."""
+
+from __future__ import annotations
+
+import pytest
+
+from tulflow_spark.ext.iceberg import (
+    append_iceberg_fixture,
+    delete_where_iceberg,
+    load_table_metadata,
+    merge_iceberg,
+    read_iceberg_cdf,
+    restore_iceberg,
+    rewrite_iceberg_data_files,
+    upgrade_iceberg_v3,
+    write_iceberg_fixture,
+)
+from tulflow_spark.sources.lake_stream import IcebergCdfSource
+
+
+def _df(spark, lo, hi):
+    return spark.createDataFrame(
+        [(i, f"x{i}") for i in range(lo, hi)],
+        "id long, v string").coalesce(1).sortWithinPartitions("id")
+
+
+def _rows(it):
+    return sorted((r["_commit_seq"], r["_change_type"], r["id"],
+                   r["v"]) for r in it)
+
+
+@pytest.fixture()
+def registered(spark):
+    spark.dataSource.register(IcebergCdfSource)
+    return spark
+
+
+def _drain(spark, path, ckpt=None, out=None, **opts):
+    reader = (spark.readStream.format("tulflow_iceberg_cdf")
+              .option("path", path).option("startingSequence", "0"))
+    for k, val in opts.items():
+        reader = reader.option(k, val)
+    if ckpt:
+        q = (reader.load().writeStream.format("parquet")
+             .option("path", out).option("checkpointLocation", ckpt)
+             .trigger(availableNow=True).start())
+        assert q.awaitTermination(180)
+        try:
+            return _rows(spark.read.parquet(out).collect())
+        except Exception:
+            return []
+    import uuid
+
+    name = f"ice_cdf_{uuid.uuid4().hex[:8]}"
+    q = (reader.load().writeStream.format("memory")
+         .queryName(name).outputMode("append")
+         .trigger(availableNow=True).start())
+    assert q.awaitTermination(180)
+    return _rows(spark.sql(f"SELECT * FROM {name}").collect())
+
+
+def test_iceberg_cdf_stream_matches_batch(registered, tmp_path):
+    """Appends, a position delete, and a restore (resurrection)
+    stream exactly the batch changelog's content."""
+    spark = registered
+    t = str(tmp_path / "t")
+    write_iceberg_fixture(spark, _df(spark, 0, 6), t)         # seq 1
+    s1 = load_table_metadata(t)["current-snapshot-id"]
+    append_iceberg_fixture(spark, _df(spark, 6, 9), t)        # seq 2
+    delete_where_iceberg(spark, t, "id in (1, 3, 7)")         # seq 3
+    restore_iceberg(t, s1)                                    # seq 4
+    got = _drain(spark, t)
+    want = sorted(
+        (r["_commit_seq"], r["_change_type"], r["id"], r["v"])
+        for r in read_iceberg_cdf(spark, t).collect())
+    assert got == want
+    # spot-check the restore wave: the appended file's SURVIVORS
+    # unwind (7 already died at seq 3 — no double delivery) and the
+    # position-deleted seed rows resurrect
+    last = [x for x in got if x[0] == 4]
+    assert sorted(x[1:3] for x in last) == sorted(
+        [("delete", 6), ("delete", 8),
+         ("insert", 1), ("insert", 3)])
+
+
+def test_iceberg_cdf_stream_exactly_once_restart(registered,
+                                                 tmp_path):
+    """Changes committed between two drains arrive exactly once
+    across a checkpoint restart."""
+    spark = registered
+    t = str(tmp_path / "t")
+    ckpt = str(tmp_path / "ck")
+    out = str(tmp_path / "out")
+    write_iceberg_fixture(spark, _df(spark, 0, 4), t)         # seq 1
+    first = _drain(spark, t, ckpt=ckpt, out=out)
+    assert [x[:3] for x in first] == [
+        (1, "insert", i) for i in range(4)]
+    delete_where_iceberg(spark, t, "id = 2")                  # seq 2
+    append_iceberg_fixture(spark, _df(spark, 4, 6), t)        # seq 3
+    second = _drain(spark, t, ckpt=ckpt, out=out)
+    assert sorted(x[:3] for x in second) == sorted(
+        [(1, "insert", i) for i in range(4)]
+        + [(2, "delete", 2)]
+        + [(3, "insert", 4), (3, "insert", 5)])
+    # a third drain with nothing new adds nothing
+    assert _drain(spark, t, ckpt=ckpt, out=out) == second
+
+
+def test_iceberg_cdf_stream_v3_dv_diff(registered, tmp_path):
+    """v3 deletion-vector growth streams only the NEWLY-dead rows."""
+    spark = registered
+    t = str(tmp_path / "t")
+    write_iceberg_fixture(spark, _df(spark, 0, 6), t)         # seq 1
+    upgrade_iceberg_v3(t)
+    delete_where_iceberg(spark, t, "id = 1")                  # seq 2
+    delete_where_iceberg(spark, t, "id <= 2")                 # seq 3
+    got = _drain(spark, t)
+    assert [x[:3] for x in got if x[0] >= 2] == [
+        (2, "delete", 1), (3, "delete", 0), (3, "delete", 2)]
+
+
+def test_iceberg_cdf_stream_equality_deletes_fail_typed(
+        registered, tmp_path):
+    """A merge (equality deletes) in range fails the BATCH typed —
+    and after compaction pays the debt down, the stream resumes."""
+    from py4j.protocol import Py4JJavaError
+    from pyspark.errors.exceptions.captured import StreamingQueryException
+
+    spark = registered
+    t = str(tmp_path / "t")
+    write_iceberg_fixture(spark, _df(spark, 0, 4), t)         # seq 1
+    merge_iceberg(spark, t, spark.createDataFrame(
+        [(1, "B", "U")], "id long, v string, op string"),
+        ["id"])                                               # seq 2
+    with pytest.raises((StreamingQueryException, Py4JJavaError),
+                       match="EQUALITY|equality"):
+        q = (spark.readStream.format("tulflow_iceberg_cdf")
+             .option("path", t).option("startingSequence", "0")
+             .load().writeStream.format("noop")
+             .trigger(availableNow=True).start())
+        q.awaitTermination(180)
+        q.processAllAvailable()
+    # compaction clears the debt; a stream from the rewrite onward
+    # delivers the post-debt changes
+    rewrite_iceberg_data_files(spark, t)                      # seq 3
+    delete_where_iceberg(spark, t, "id = 0")                  # seq 4
+    got = _drain(spark, t, startingSequence="3")
+    assert [x[:3] for x in got] == [(4, "delete", 0)]
+
+
+def test_iceberg_cdf_stream_admission_control(registered, tmp_path):
+    """maxSequencesPerBatch caps each micro-batch; capped drains
+    still deliver everything exactly once."""
+    spark = registered
+    t = str(tmp_path / "t")
+    ckpt = str(tmp_path / "ck")
+    out = str(tmp_path / "out")
+    write_iceberg_fixture(spark, _df(spark, 0, 2), t)
+    for lo in (2, 4, 6):
+        append_iceberg_fixture(spark, _df(spark, lo, lo + 2), t)
+    for _ in range(4):    # 4 capped drains cover 4 sequences
+        got = _drain(spark, t, ckpt=ckpt, out=out,
+                     maxSequencesPerBatch="1")
+    assert [x[:3] for x in got] == sorted(
+        (i // 2 + 1, "insert", i) for i in range(8))

@@ -76,9 +76,16 @@ def test_r7_rotation_promotes_never_adjudicated_pairs():
     # still queue (r14), and dl11 (CDF × rename) registered after the
     # r13 gate froze
     # r14: ib4/dl11/dl12/ic1/dl13 promoted into the gate; dl7/ib6
-    # remain queued for the r15 rotation
+    # remain queued for the r15 rotation, joined by the five
+    # r14-created pairs (Iceberg DML writers, Delta merge evolution,
+    # the Iceberg CDF streaming source)
     added_post_rotation: set[str] = {"dl7_column_mapping_id",
-                                     "ib6_ref_travel"}
+                                     "ib6_ref_travel",
+                                     "ic2_merge_iceberg_cdf",
+                                     "ic3_iceberg_update_cdf",
+                                     "ic4_iceberg_restore_cdf",
+                                     "dl14_merge_evolve_cdf",
+                                     "sdc4_stream_iceberg_cdf"}
     never -= added_post_rotation
     assert never <= set(QUERIES), (
         f"never-adjudicated but de-gated: {sorted(never - set(QUERIES))}"

@@ -743,6 +743,95 @@ def sdc3_stream_delta_cdf(spark: SparkSession,
 
 
 @register(
+    "sdc4_stream_iceberg_cdf",
+    oracle="""
+    WITH base AS (SELECT doc_id, text FROM documents),
+    odd AS (SELECT * FROM base WHERE doc_id % 2 = 1),
+    even AS (SELECT * FROM base WHERE doc_id % 2 = 0),
+    del3 AS (SELECT * FROM base WHERE doc_id % 7 = 0),
+    del4 AS (SELECT * FROM base
+             WHERE doc_id % 11 = 0 AND doc_id % 7 <> 0),
+    feed AS (
+      SELECT text, 'insert' AS ct, 1 AS sq FROM odd
+      UNION ALL SELECT text, 'insert', 2 FROM even
+      UNION ALL SELECT text, 'delete', 3 FROM del3
+      UNION ALL SELECT text, 'delete', 4 FROM del4
+    ),
+    keyed AS (SELECT ct || '|' || md5(text) || '|' || sq AS k, ct
+              FROM feed)
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(SUM(CASE WHEN ct = 'delete' THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_del,
+           md5(STRING_AGG(k, '' ORDER BY k)) AS feed_md5
+    FROM keyed
+    """,
+)
+def sdc4_stream_iceberg_cdf(spark: SparkSession,
+                            sf_dir: str) -> DataFrame:
+    """The Iceberg CHANGELOG STREAMING source driven end to end (r14
+    — the Iceberg face of sdc3, completing streaming symmetry: both
+    lake formats now stream full-fidelity change rows): odd docs land
+    at sequence 1, even at 2, `delete_where_iceberg` position-deletes
+    doc_id%7=0 at 3 and doc_id%11=0 at 4 (the %77 overlap is already
+    dead — a second delivery fails the hash).  Two capped
+    ``availableNow`` drains (maxSequencesPerBatch=2) cover (0,2] and
+    (2,4] through real readStream machinery with Spark's offset log
+    owning exactly-once; the digest keys on (change_type, text-hash,
+    sequence).
+
+    At 100 TB: planning is O(range snapshots) manifest walks plus
+    vector-sized position-pair reads; each task Arrow-scans ONE data
+    file with its positions shipped in the plan (SCALE.md §7h)."""
+    import tempfile
+
+    from tulflow_spark.ext.iceberg import delete_where_iceberg
+    from tulflow_spark.sources.lake_stream import IcebergCdfSource
+
+    docs = table(spark, sf_dir, "documents").select("doc_id", "text")
+    t = tempfile.mkdtemp(prefix="sdc4_") + "/tbl"
+    from tulflow_spark.ext.iceberg import (
+        append_iceberg_fixture,
+        write_iceberg_fixture,
+    )
+
+    write_iceberg_fixture(
+        spark, docs.filter("doc_id % 2 = 1").coalesce(1)
+        .sortWithinPartitions("doc_id"), t)                   # seq 1
+    append_iceberg_fixture(
+        spark, docs.filter("doc_id % 2 = 0"), t)              # seq 2
+    delete_where_iceberg(spark, t, "doc_id % 7 = 0")          # seq 3
+    delete_where_iceberg(spark, t, "doc_id % 11 = 0")         # seq 4
+    spark.dataSource.register(IcebergCdfSource)
+    out = tempfile.mkdtemp(prefix="sdc4out_")
+    ckpt = tempfile.mkdtemp(prefix="sdc4ck_")
+    for _ in range(2):       # two capped drains cover (0,2] (2,4]
+        q = (spark.readStream.format("tulflow_iceberg_cdf")
+             .option("path", t).option("startingSequence", "0")
+             .option("maxSequencesPerBatch", "2").load()
+             .writeStream.format("parquet").option("path", out)
+             .option("checkpointLocation", ckpt)
+             .trigger(availableNow=True).start())
+        if not q.awaitTermination(300):
+            q.stop()
+            raise TimeoutError(
+                "sdc4 stream did not drain within 300s — partial "
+                "sink contents would misreport as a correctness "
+                "failure")
+    arrived = spark.read.parquet(out)
+    key = F.concat_ws(
+        "|", F.col("_change_type"), F.md5("text"),
+        F.col("_commit_seq").cast("string"))
+    ct = F.col("_change_type")
+    return arrived.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+        F.sum((ct == "delete").cast("long")).cast("bigint")
+         .alias("n_del"),
+        F.md5(F.concat_ws("", F.array_sort(F.collect_list(key))))
+         .alias("feed_md5"),
+    ).select("n_rows", "n_del", "feed_md5")
+
+
+@register(
     "ic1_iceberg_cdf",
     oracle="""
     WITH base AS (SELECT doc_id, text, lang FROM documents),

@@ -1007,3 +1007,304 @@ class _IceFilePartition(InputPartition):
         self.file_format = file_format
         # ("file", logical, physical, None) | ("null", logical, pa)
         self.columns = columns
+
+
+class _IceCdfPartition(InputPartition):
+    def __init__(self, file_path: str, file_format: str,
+                 columns: list, ctype: str, seq: int, sid: int,
+                 positions: tuple | None, exclude: bool):
+        self.file_path = file_path
+        self.file_format = file_format
+        self.columns = columns      # bindings, see _IceFilePartition
+        self.ctype = ctype          # insert | delete
+        self.seq = seq
+        self.sid = sid
+        self.positions = positions  # row indices, or None
+        self.exclude = exclude      # True: deliver all EXCEPT them
+
+
+class IcebergCdfStreamReader(IcebergChangesStreamReader):
+    """Streaming CHANGELOG source: micro-batches deliver the Iceberg
+    table's row-level changes — (table columns, ``_change_type``
+    insert/delete, ``_commit_seq``, ``_snapshot_id``) — for sequence
+    numbers ``(start, end]``, resolved by the batch
+    :func:`~tulflow_spark.ext.iceberg.read_iceberg_cdf` rules
+    restricted to the POSITION-derivable subset: appends deliver
+    added files' alive rows, whole-file removals deliver survivors,
+    position-delete/DV set changes deliver the per-file pair DIFF in
+    both directions (newly-dead delete, resurrected insert — the
+    restore_iceberg shape), ``replace`` compactions contribute
+    nothing.  EQUALITY deletes in range fail the batch typed: their
+    victims need an alive-at-predecessor join no per-partition
+    executor read can compute — consume them through the batch
+    changelog instead.  Offsets / admission control
+    (``maxSequencesPerBatch``) / exactly-once recovery inherit from
+    the append-only reader.
+
+    At 100 TB: planning is O(range snapshots) manifest walks plus
+    pair-set reads of the position-delete/DV files (vector-sized,
+    driver-side — the same frames the batch planner diffs); each
+    task Arrow-scans ONE data file with its positions shipped in the
+    plan; side-branch snapshots never deliver (main-lineage walk)."""
+
+    def partitions(self, start: dict, end: dict) -> list[InputPartition]:
+        import re as _re
+
+        from tulflow_spark import fsio as _f
+        from tulflow_spark.ext.iceberg import (
+            IcebergError,
+            _live_files,
+            _plain_path,
+            _read_dv_map,
+            load_table_metadata,
+        )
+
+        lo, hi = int(start["seq"]), int(end["seq"])
+        self._last_end = max(hi, self._last_end or hi)
+        if hi <= lo:
+            return []
+        try:
+            meta = load_table_metadata(self._path)
+        except IcebergError as exc:
+            raise DeltaChangeFeedError(str(exc)) from None
+        snaps = self._ordered_snaps(meta)
+        in_range = [s for s in snaps if lo < self._seq_of(s) <= hi]
+        if not in_range:
+            raise DeltaChangeFeedError(
+                f"snapshots in range ({lo}, {hi}] expired from the "
+                "table metadata — re-sync from a snapshot read")
+        seqs = {self._seq_of(s) for s in in_range
+                if s.get("sequence-number") is not None}
+        if seqs and seqs != set(range(lo + 1, hi + 1)):
+            raise DeltaChangeFeedError(
+                f"range ({lo}, {hi}] is missing expired snapshots "
+                f"(have sequences {sorted(seqs)}) — re-sync from a "
+                "snapshot read")
+        # main-lineage restriction (the batch reader's side-branch
+        # rule): snapshots reachable only through branch refs must
+        # not deliver into this feed
+        by_sid = {s["snapshot-id"]: s for s in snaps}
+        cur_sid = meta.get("current-snapshot-id")
+        head = by_sid.get(cur_sid)
+        if head is not None and head.get("parent-snapshot-id") \
+                is not None:
+            lineage, cur, seen = set(), head, set()
+            while cur is not None and cur["snapshot-id"] not in seen:
+                seen.add(cur["snapshot-id"])
+                lineage.add(cur["snapshot-id"])
+                pid = cur.get("parent-snapshot-id")
+                cur = by_sid.get(pid) if pid is not None else None
+            in_range = [s for s in in_range
+                        if s["snapshot-id"] in lineage]
+
+        pn = lambda p: _re.sub("^file:/+", "/", p)  # noqa: E731
+
+        def pair_map(dels: list[dict]) -> dict:
+            """normalized data path → set of dead row positions, from
+            position-delete parquet + v3 DV blobs (driver-side,
+            vector-sized)."""
+            import pyarrow.parquet as _pq
+
+            out: dict = {}
+            pos = [d for d in dels
+                   if int(d.get("content") or 0) == 1
+                   and str(d.get("file_format") or "").upper()
+                   != "PUFFIN"]
+            dvs = [d for d in dels
+                   if int(d.get("content") or 0) == 1
+                   and str(d.get("file_format") or "").upper()
+                   == "PUFFIN"]
+            for d in pos:
+                fs_, lp_ = _f.resolve(_plain_path(d["file_path"]))
+                with fs_.open_input_file(lp_) as handle:
+                    t = _pq.read_table(handle,
+                                       columns=["file_path", "pos"])
+                for fp, p in zip(t.column("file_path").to_pylist(),
+                                 t.column("pos").to_pylist()):
+                    out.setdefault(pn(str(fp)), set()).add(int(p))
+            try:
+                for ref, arr in _read_dv_map(dvs).items():
+                    out.setdefault(pn(str(ref)), set()).update(
+                        int(x) for x in arr)
+            except IcebergError as exc:
+                raise DeltaChangeFeedError(str(exc)) from None
+            return out
+
+        parts: list[InputPartition] = []
+        for s in in_range:
+            sid = s["snapshot-id"]
+            seq = self._seq_of(s)
+            op = (s.get("summary") or {}).get("operation")
+            if op == "replace":
+                continue
+            if op not in ("append", "delete", "overwrite", None):
+                raise DeltaChangeFeedError(
+                    f"changelog: snapshot {sid} operation {op!r} "
+                    "not supported")
+            prev_sid = s.get("parent-snapshot-id")
+            try:
+                data_prev, dels_prev = (
+                    _live_files(meta, prev_sid)
+                    if prev_sid is not None else ([], []))
+                data_s, dels_s = _live_files(meta, sid)
+            except IcebergError as exc:
+                raise DeltaChangeFeedError(str(exc)) from None
+            if any(int(d.get("content") or 0) == 2
+                   for d in dels_prev + dels_s):
+                raise DeltaChangeFeedError(
+                    f"snapshot {sid} range carries EQUALITY deletes: "
+                    "their victims need an alive-at-predecessor join "
+                    "— consume this range through the batch "
+                    "read_iceberg_cdf instead")
+            dp = {pn(_plain_path(d["file_path"])): d
+                  for d in data_prev}
+            dc = {pn(_plain_path(d["file_path"])): d for d in data_s}
+            prev_del_paths = {d["file_path"] for d in dels_prev}
+            cur_del_paths = {d["file_path"] for d in dels_s}
+            dels_changed = (
+                any(d["file_path"] not in prev_del_paths
+                    for d in dels_s)
+                or any(d["file_path"] not in cur_del_paths
+                       for d in dels_prev))
+            if op is None and (set(dp) - set(dc) or dels_changed):
+                raise DeltaChangeFeedError(
+                    f"snapshot {sid} removes files or changes delete "
+                    "files without a summary.operation — cannot "
+                    "distinguish compaction from overwrite")
+            prev_pairs = pair_map(dels_prev) if dels_prev else {}
+            cur_pairs = pair_map(dels_s) if dels_s else {}
+
+            def mk(path_key, d, ctype, positions, exclude):
+                fmt = str(d.get("file_format") or "").upper()
+                if fmt not in ("PARQUET", "ORC"):
+                    raise DeltaChangeFeedError(
+                        f"data file format {fmt!r} not supported")
+                parts.append(_IceCdfPartition(
+                    d["file_path"], fmt,
+                    self._bindings(meta, d["file_path"], fmt),
+                    ctype, seq, sid,
+                    tuple(sorted(positions)) if positions else None,
+                    exclude))
+
+            for pkey in sorted(set(dc) - set(dp)):
+                dead = cur_pairs.get(pkey) or set()
+                mk(pkey, dc[pkey], "insert", dead, True)
+            for pkey in sorted(set(dp) - set(dc)):
+                dead = prev_pairs.get(pkey) or set()
+                mk(pkey, dp[pkey], "delete", dead, True)
+            for pkey in sorted(set(dp) & set(dc)):
+                newly = (cur_pairs.get(pkey) or set()) \
+                    - (prev_pairs.get(pkey) or set())
+                if newly:
+                    mk(pkey, dc[pkey], "delete", newly, False)
+                back = (prev_pairs.get(pkey) or set()) \
+                    - (cur_pairs.get(pkey) or set())
+                if back:
+                    mk(pkey, dc[pkey], "insert", back, False)
+        if len(parts) > 1:
+            from tulflow_spark.ext.iceberg import _plain_path as _pp
+
+            _f.prefetch_parquet_footers(
+                [_pp(p.file_path) for p in parts
+                 if p.file_format != "ORC"])
+        return parts
+
+    def _bindings(self, meta: dict, file_path: str, fmt: str) -> list:
+        # the CDF face binds the TABLE columns only — the meta
+        # columns are appended in read()
+        base_schema = self._schema
+        from pyspark.sql.types import StructType as _St
+
+        table_only = _St([f for f in base_schema.fields
+                          if f.name not in ("_change_type",
+                                            "_commit_seq",
+                                            "_snapshot_id")])
+        saved = self._schema
+        try:
+            self._schema = table_only
+            return super()._bindings(meta, file_path, fmt)
+        finally:
+            self._schema = saved
+
+    def read(self, partition: "_IceCdfPartition"):
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        from tulflow_spark import fsio
+        from tulflow_spark.ext.iceberg import _plain_path
+
+        pos = None if partition.positions is None \
+            else set(partition.positions)
+
+        def emit(tbl, offset):
+            n = tbl.num_rows
+            if pos is not None:
+                keep = [i for i in range(n)
+                        if ((offset + i) in pos) != partition.exclude]
+                if len(keep) != n:
+                    tbl = tbl.take(pa.array(keep, pa.int32()))
+            m = tbl.num_rows
+            if m == 0:
+                return
+            have = set(tbl.column_names)
+            hard = [s[2] for s in partition.columns
+                    if s[0] == "file" and s[2] not in have]
+            if hard:
+                raise DeltaChangeFeedError(
+                    f"data file {partition.file_path!r} lacks stream "
+                    f"schema columns {hard} — re-sync from a "
+                    "snapshot read")
+            cols: dict = {}
+            for spec in partition.columns:
+                if spec[0] == "file":
+                    cols[spec[1]] = tbl.column(spec[2])
+                else:
+                    cols[spec[1]] = pa.nulls(m, type=_pa_type(spec[2]))
+            cols["_change_type"] = pa.array(
+                [partition.ctype] * m, type=pa.string())
+            cols["_commit_seq"] = pa.array(
+                [partition.seq] * m, type=pa.int64())
+            cols["_snapshot_id"] = pa.array(
+                [partition.sid] * m, type=pa.int64())
+            yield from pa.table(cols).to_batches()
+
+        fs, lp = fsio.resolve(_plain_path(partition.file_path))
+        with fs.open_input_file(lp) as handle:
+            if partition.file_format == "ORC":
+                import pyarrow.orc as po
+
+                # full-file read: position indexes are global row
+                # order, which the single ORC read preserves
+                yield from emit(po.read_table(handle), 0)
+            else:
+                pf = pq.ParquetFile(handle)
+                offset = 0
+                for batch in pf.iter_batches():
+                    tbl = pa.Table.from_batches([batch])
+                    yield from emit(tbl, offset)
+                    offset += batch.num_rows
+
+
+class IcebergCdfSource(IcebergChangesSource):
+    """``spark.readStream.format("tulflow_iceberg_cdf")`` — the
+    streaming CHANGELOG source (appends, whole-file removals and
+    position-delete/DV changes as typed change rows; equality
+    deletes stay on the batch reader)."""
+
+    @classmethod
+    def name(cls) -> str:
+        return "tulflow_iceberg_cdf"
+
+    def schema(self):
+        from pyspark.sql.types import LongType, StringType, StructField
+        from pyspark.sql.types import StructType as _St
+
+        base = super().schema()
+        return _St(list(base.fields) + [
+            StructField("_change_type", StringType()),
+            StructField("_commit_seq", LongType()),
+            StructField("_snapshot_id", LongType()),
+        ])
+
+    def streamReader(self, schema: StructType):
+        return IcebergCdfStreamReader(schema, dict(self.options))
