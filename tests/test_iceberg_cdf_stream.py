@@ -167,3 +167,99 @@ def test_iceberg_cdf_stream_admission_control(registered, tmp_path):
                      maxSequencesPerBatch="1")
     assert [x[:3] for x in got] == sorted(
         (i // 2 + 1, "insert", i) for i in range(8))
+
+
+def test_iceberg_cdf_apply_sink_end_to_end(registered, tmp_path):
+    """The full Iceberg CDC loop: an upstream table maintained by
+    position-delete writers streams through tulflow_iceberg_cdf into
+    a downstream Iceberg table via iceberg_cdf_apply_sink
+    (merge_iceberg per batch) — converging to the upstream state
+    across restarts, replayed batches skipped by the snapshot-summary
+    watermark."""
+    from tulflow_spark.ext.iceberg import (
+        iceberg_cdf_apply_sink,
+        iceberg_txn_watermark,
+        read_iceberg,
+    )
+
+    spark = registered
+    up = str(tmp_path / "up")
+    down = str(tmp_path / "down")
+    ckpt = str(tmp_path / "ck")
+    write_iceberg_fixture(spark, _df(spark, 0, 6), up)        # seq 1
+    delete_where_iceberg(spark, up, "id in (1, 3)")           # seq 2
+
+    def drain():
+        q = (spark.readStream.format("tulflow_iceberg_cdf")
+             .option("path", up).option("startingSequence", "0")
+             .load().writeStream
+             .foreachBatch(iceberg_cdf_apply_sink(
+                 down, "loop-test", ["id"]))
+             .option("checkpointLocation", ckpt)
+             .trigger(availableNow=True).start())
+        assert q.awaitTermination(180)
+
+    drain()
+    assert sorted(r["id"] for r in
+                  read_iceberg(spark, down).collect()) == [0, 2, 4, 5]
+    # more upstream changes, then a second drain (restart)
+    append_iceberg_fixture(spark, _df(spark, 6, 8), up)       # seq 3
+    delete_where_iceberg(spark, up, "id = 0")                 # seq 4
+    drain()
+    upstream = sorted((r["id"], r["v"]) for r in
+                      read_iceberg(spark, up).collect())
+    downstream = sorted((r["id"], r["v"]) for r in
+                        read_iceberg(spark, down).collect())
+    assert upstream == downstream == [
+        (2, "x2"), (4, "x4"), (5, "x5"), (6, "x6"), (7, "x7")]
+    # watermark recorded; a replayed batch would skip
+    wm = iceberg_txn_watermark(load_table_metadata(down), "loop-test")
+    assert wm >= 0
+    # idempotence: re-applying batch 0 content under an old batch id
+    # is a no-op
+    sink = iceberg_cdf_apply_sink(down, "loop-test", ["id"])
+    batch = read_iceberg_cdf(spark, up)
+    sink(batch, 0)
+    assert sorted((r["id"], r["v"]) for r in
+                  read_iceberg(spark, down).collect()) == downstream
+
+
+def test_iceberg_apply_sink_consumes_delta_feed(registered,
+                                                tmp_path):
+    """Cross-format CDC: a DELTA change feed applies into an Iceberg
+    target (the sink orders by _commit_version when _commit_seq is
+    absent)."""
+    from tulflow_spark.ext.delta_log import (
+        merge_delta,
+        write_delta,
+    )
+    from tulflow_spark.ext.iceberg import (
+        iceberg_cdf_apply_sink,
+        read_iceberg,
+    )
+    from tulflow_spark.sources.lake_stream import DeltaCdfSource
+
+    spark = registered
+    spark.dataSource.register(DeltaCdfSource)
+    up = str(tmp_path / "dup")
+    down = str(tmp_path / "ddown")
+    ckpt = str(tmp_path / "dck")
+    write_delta(
+        spark.createDataFrame([(i, f"x{i}") for i in range(4)],
+                              "id long, v string"),
+        up, mode="append",
+        configuration={"delta.enableChangeDataFeed": "true"})
+    merge_delta(spark, up, spark.createDataFrame(
+        [(1, "B", "U"), (9, "n", "I"), (2, None, "D")],
+        "id long, v string, op string"), keys=["id"])
+    q = (spark.readStream.format("tulflow_delta_cdf")
+         .option("path", up).option("startingVersion", "-1")
+         .load().writeStream
+         .foreachBatch(iceberg_cdf_apply_sink(
+             down, "xfmt", ["id"]))
+         .option("checkpointLocation", ckpt)
+         .trigger(availableNow=True).start())
+    assert q.awaitTermination(180)
+    assert sorted((r["id"], r["v"]) for r in
+                  read_iceberg(spark, down).collect()) == [
+        (0, "x0"), (1, "B"), (3, "x3"), (9, "n")]

@@ -1790,6 +1790,7 @@ def _commit_snapshot(path: str, meta: dict | None, df_schema: list[dict],
                      delete_manifest_entries: list[dict] | None = None,
                      delete_part_avro_fields: list[tuple[str, str]]
                      | None = None,
+                     summary_extra: dict | None = None,
                      ) -> int:
     """Commit one snapshot: write the manifest (ADDED entries from
     ``new_manifest_records``, or the explicit ``manifest_entries``
@@ -1904,7 +1905,11 @@ def _commit_snapshot(path: str, meta: dict | None, df_schema: list[dict],
         "timestamp-ms": ts,
         "sequence-number": seq,
         "manifest-list": f"file://{fsio.resolve(ml_path)[1]}",
-        "summary": {"operation": operation},
+        # summary is a string map (spec): extras carry writer
+        # watermarks (the Flink job-id/checkpoint pattern)
+        "summary": dict({"operation": operation},
+                        **{str(k): str(v) for k, v in
+                           (summary_extra or {}).items()}),
     }
     if meta is not None and meta.get("current-snapshot-id") is not None:
         # conformant writers record lineage; changelog scans walk it
@@ -2034,7 +2039,8 @@ def append_iceberg_fixture(spark: SparkSession, df: DataFrame,
 
 def _append(spark: SparkSession, df: DataFrame, path: str,
             partition_by: list[str], meta: dict | None,
-            file_format: str = "parquet") -> int:
+            file_format: str = "parquet",
+            summary_extra: dict | None = None) -> int:
     by_name = {f.name: f.dataType.simpleString()
                for f in df.schema.fields}
     missing = [c for c in partition_by if c not in by_name]
@@ -2056,7 +2062,8 @@ def _append(spark: SparkSession, df: DataFrame, path: str,
     files = _stage_data_files(df, path, seq, partition_by,
                               file_format, fid_of=fid)
     return _commit_snapshot(path, meta, schema_fields, part_fields,
-                            files, 0, part_avro)
+                            files, 0, part_avro,
+                            summary_extra=summary_extra)
 
 
 def delete_positions_iceberg_fixture(
@@ -2851,7 +2858,8 @@ def _dml_preamble(path: str, expect_snapshot_id: int | None,
 
 def merge_iceberg(spark: SparkSession, path: str, changes: DataFrame,
                   keys: list[str], op_col: str = "op",
-                  expect_snapshot_id: int | None = None) -> int:
+                  expect_snapshot_id: int | None = None,
+                  txn: tuple[str, int] | None = None) -> int:
     """Iceberg MERGE, merge-on-read (the Flink-CDC upsert shape; the
     Iceberg face of :func:`tulflow_spark.ext.delta_log.merge_delta`):
     apply a keyed change set (``op_col`` ∈ I/U/D — U replaces the full
@@ -2959,6 +2967,11 @@ def merge_iceberg(spark: SparkSession, path: str, changes: DataFrame,
                                              "fields": []}]
     op = "overwrite" if (data_recs and del_recs) else \
         ("delete" if del_recs else "append")
+    extra = None
+    if txn is not None:
+        # streaming idempotence watermark (iceberg_cdf_apply_sink):
+        # summary is a string map, the Flink job-id pattern
+        extra = {f"tulflow-txn-{txn[0]}": int(txn[1])}
     return _commit_snapshot(
         path, meta, fields, specs[0].get("fields") or [],
         data_recs, 0, part_avro,
@@ -2966,7 +2979,8 @@ def merge_iceberg(spark: SparkSession, path: str, changes: DataFrame,
             {"status": 1, "snapshot_id": None,
              "sequence_number": seq, "data_file": d}
             for d in del_recs] or None,
-        delete_part_avro_fields=[], operation=op)
+        delete_part_avro_fields=[], operation=op,
+        summary_extra=extra)
 
 
 def delete_where_iceberg(spark: SparkSession, path: str,
@@ -3260,6 +3274,127 @@ def restore_iceberg(path: str, snapshot_id: int,
             "commit won): re-read the table and retry") from None
     fsio.write_text(f"{mdir}/version-hint.text", str(version))
     return snap_id
+
+
+def iceberg_txn_watermark(meta: dict, app_id: str) -> int:
+    """The highest committed batch id recorded for ``app_id`` in any
+    snapshot summary (``tulflow-txn-<app>`` keys — the Flink
+    job-id/checkpoint idempotence pattern; Iceberg has no Delta-style
+    ``txn`` action, so the marker rides the snapshot summary).
+    Returns -1 when none is recorded.  NOTE the retention contract:
+    expiring every marker-carrying snapshot forgets the watermark —
+    keep snapshot retention longer than the longest possible stream
+    restart gap."""
+    key = f"tulflow-txn-{app_id}"
+    best = -1
+    for s in meta.get("snapshots") or []:
+        v = (s.get("summary") or {}).get(key)
+        if v is not None:
+            try:
+                best = max(best, int(v))
+            except ValueError:
+                continue
+        # foreign writers may round-trip summaries through property
+        # maps; only well-formed ints count
+    return best
+
+
+def iceberg_cdf_apply_sink(path: str, app_id: str, keys: list[str]):
+    """foreachBatch sink APPLYING a change-feed stream to a downstream
+    ICEBERG table — the consuming end of the Iceberg CDC loop
+    (``tulflow_iceberg_cdf`` — or ``tulflow_delta_cdf``, the sink is
+    format-agnostic on the SOURCE side — readStream → keyed
+    :func:`merge_iceberg` per micro-batch), exactly-once via snapshot
+    summary watermarks:
+
+        src = (spark.readStream.format("tulflow_iceberg_cdf")
+               .option("path", upstream).load())
+        q = (src.writeStream.foreachBatch(
+                 iceberg_cdf_apply_sink(target, "my-app", ["id"]))
+             .option("checkpointLocation", ...).start())
+
+    Each batch collapses to the FINAL action per key — newest commit
+    (``_commit_seq``, or ``_commit_version`` from a Delta feed) wins;
+    within one commit a surviving image (``insert`` /
+    ``update_postimage``) beats ``delete``; ``update_preimage`` rows
+    are informational — then applies through :func:`merge_iceberg`
+    (equality-delete + data files, no target scan).  A replayed batch
+    finds batch_id <= the recorded watermark and skips; CAS losers
+    re-read and retry with jittered backoff.  A missing target seeds
+    from the batch's surviving rows (marker carried on the seed
+    commit).
+
+    At 100 TB: the downstream stays O(new changes) end to end —
+    change-sized batches, blind merge commits, no table reads."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    def write_batch(batch_df: DataFrame, batch_id: int) -> None:
+        spark = batch_df.sparkSession
+        ord_col = "_commit_seq" if "_commit_seq" in batch_df.columns \
+            else "_commit_version"
+        need = set(keys) | {"_change_type", ord_col}
+        missing = sorted(need - set(batch_df.columns))
+        if missing:
+            raise IcebergError(
+                f"cdf apply sink needs columns {missing} (is the "
+                "source a change feed?)")
+        meta_cols = {"_change_type", "_commit_seq", "_commit_version",
+                     "_snapshot_id"}
+        cols = [c for c in batch_df.columns if c not in meta_cols]
+        live = batch_df.where(
+            F.col("_change_type") != "update_preimage")
+        rank = (F.col("_change_type") != "delete").cast("int")
+        w = Window.partitionBy(*keys).orderBy(
+            F.col(ord_col).desc(), rank.desc())
+        final = (live.withColumn("__rn", F.row_number().over(w))
+                 .where("__rn = 1")
+                 .withColumn("__op", F.when(
+                     F.col("_change_type") == "delete",
+                     F.lit("D")).otherwise(F.lit("U")))
+                 .select(*cols, F.col("__op").alias("op")))
+        final = final.localCheckpoint(eager=True)   # one shot, reused
+        import random
+        import time
+
+        max_attempts, last = 16, None
+        try:
+            if final.isEmpty():
+                return
+            for attempt in range(max_attempts):
+                if attempt:
+                    time.sleep(random.uniform(0.0, 0.05 * attempt))
+                if not fsio.exists(f"{path}/metadata/version-hint.text"):
+                    seed = final.where("op <> 'D'").drop("op")
+                    try:
+                        _append(spark, seed, path, [], None,
+                                summary_extra={
+                                    f"tulflow-txn-{app_id}":
+                                    int(batch_id)})
+                        return
+                    except IcebergConcurrentCommit as exc:
+                        last = exc
+                        continue    # racer seeded it: merge below
+                meta = load_table_metadata(path)
+                if iceberg_txn_watermark(meta, app_id) >= batch_id:
+                    return      # replayed micro-batch: already applied
+                try:
+                    merge_iceberg(
+                        spark, path, final, keys,
+                        expect_snapshot_id=meta.get(
+                            "current-snapshot-id"),
+                        txn=(app_id, int(batch_id)))
+                    return
+                except IcebergConcurrentCommit as exc:
+                    last = exc
+                    continue    # racer won this snapshot: re-check
+            raise IcebergConcurrentCommit(
+                f"cdf apply batch {batch_id} lost the commit race "
+                f"{max_attempts} times at {path}: {last}")
+        finally:
+            final.unpersist()
+
+    return write_batch
 
 
 # ---------------------------------------------------------------------------
