@@ -406,3 +406,51 @@ def test_merge_and_update_wall_on_non_identity_spec(spark, tmp_path):
     delete_where_iceberg(spark, t, "id = 4")
     assert sorted(r["id"] for r in read_iceberg(spark, t).collect()) \
         == [8]
+
+
+def test_merge_evolve_schema_new_column(spark, tmp_path):
+    """merge_iceberg(evolve_schema=True): a change set carrying a NEW
+    column commits a widened schema (fresh field id, new schema-id)
+    in the same metadata as the merge — old files read null, time
+    travel below the merge keeps the old schema, the changelog
+    carries the widened rows."""
+    t = str(tmp_path / "t")
+    write_iceberg_fixture(spark, _df(spark, [(1, "a"), (2, "b")]), t)
+    s1 = load_table_metadata(t)["current-snapshot-id"]
+    chg = spark.createDataFrame(
+        [(2, "B", 7, "U"), (3, "c", 9, "I")],
+        "id long, v string, w long, op string")
+    # default: extra column walls on the missing-columns check? No —
+    # extra columns are simply not table columns; the change set must
+    # carry every TABLE column, which it does, and `w` projects away
+    merge_iceberg(spark, t, chg, ["id"])
+    assert read_iceberg(spark, t).columns == ["id", "v"]
+    # evolved: w lands under a fresh id in a new schema-id
+    chg2 = spark.createDataFrame(
+        [(1, "A", 11, "U"), (4, "d", 13, "I")],
+        "id long, v string, w long, op string")
+    merge_iceberg(spark, t, chg2, ["id"], evolve_schema=True)
+    got = sorted((r["id"], r["v"], r["w"])
+                 for r in read_iceberg(spark, t).collect())
+    assert got == [(1, "A", 11), (2, "B", None), (3, "c", None),
+                   (4, "d", 13)]
+    meta = load_table_metadata(t)
+    assert meta["last-column-id"] == 3
+    assert len(meta["schemas"]) == 2
+    # time travel below the merge keeps the 2-column schema
+    assert read_iceberg(spark, t, snapshot_id=s1).columns == \
+        ["id", "v"]
+    # the changelog's widened wave
+    feed = read_iceberg_cdf(spark, t)
+    last = max(r["_commit_seq"] for r in feed.collect())
+    wave = sorted((r["_change_type"], r["id"], r["w"])
+                  for r in feed.collect()
+                  if r["_commit_seq"] == last)
+    assert wave == [("delete", 1, None), ("insert", 1, 11),
+                    ("insert", 4, 13)]
+    # case-variant new columns refuse
+    bad = spark.createDataFrame(
+        [(1, "x", 1, 2, "U")],
+        "id long, v string, w long, V long, op string")
+    with pytest.raises(IcebergError, match="case"):
+        merge_iceberg(spark, t, bad, ["id"], evolve_schema=True)

@@ -85,7 +85,8 @@ def test_r7_rotation_promotes_never_adjudicated_pairs():
                                      "ic3_iceberg_update_cdf",
                                      "ic4_iceberg_restore_cdf",
                                      "dl14_merge_evolve_cdf",
-                                     "sdc4_stream_iceberg_cdf"}
+                                     "sdc4_stream_iceberg_cdf",
+                                     "ic5_iceberg_merge_evolve"}
     never -= added_post_rotation
     assert never <= set(QUERIES), (
         f"never-adjudicated but de-gated: {sorted(never - set(QUERIES))}"

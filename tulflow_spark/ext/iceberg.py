@@ -2859,7 +2859,8 @@ def _dml_preamble(path: str, expect_snapshot_id: int | None,
 def merge_iceberg(spark: SparkSession, path: str, changes: DataFrame,
                   keys: list[str], op_col: str = "op",
                   expect_snapshot_id: int | None = None,
-                  txn: tuple[str, int] | None = None) -> int:
+                  txn: tuple[str, int] | None = None,
+                  evolve_schema: bool = False) -> int:
     """Iceberg MERGE, merge-on-read (the Flink-CDC upsert shape; the
     Iceberg face of :func:`tulflow_spark.ext.delta_log.merge_delta`):
     apply a keyed change set (``op_col`` ∈ I/U/D — U replaces the full
@@ -2888,6 +2889,59 @@ def merge_iceberg(spark: SparkSession, path: str, changes: DataFrame,
     meta, schema, data_files, _dels = _dml_preamble(
         path, expect_snapshot_id, "merge")
     fields = schema.get("fields", [])
+    if evolve_schema:
+        # MERGE-time schema evolution (the merge_delta precedent on
+        # the Iceberg protocol): change-set columns the table lacks
+        # become NEW optional fields under FRESH ids, committed as a
+        # new schema (schemas list + current-schema-id +
+        # last-column-id) in the same metadata as the merge snapshot
+        # — old files null-fill through field-id projection, older
+        # snapshots keep their own schema-ids
+        exact = {f["name"] for f in fields}
+        have_lower = {f["name"].lower() for f in fields}
+        next_id = int(meta.get("last-column-id")
+                      or max((int(f["id"]) for f in fields),
+                             default=0))
+        new_fields: list[dict] = []
+        for f in changes.schema.fields:
+            if f.name == op_col or f.name in exact:
+                continue
+            if f.name.lower() in have_lower:
+                raise IcebergError(
+                    f"evolve_schema: column {f.name!r} differs only "
+                    "in case from an existing column")
+            t = _ICE_TYPES.get(f.dataType.simpleString())
+            if t is None:
+                raise IcebergError(
+                    f"evolve_schema: change-set type "
+                    f"{f.dataType.simpleString()!r} for {f.name!r} "
+                    "not supported")
+            if f.name.lower() in {n["name"].lower()
+                                  for n in new_fields}:
+                raise IcebergError(
+                    f"evolve_schema: new column {f.name!r} collides "
+                    "case-insensitively within the change set")
+            next_id += 1
+            new_fields.append({"id": next_id, "name": f.name,
+                               "required": False, "type": t})
+        if new_fields:
+            old_ids = [int(sc.get("schema-id") or 0)
+                       for sc in meta.get("schemas") or []]
+            new_sid = max(old_ids, default=0) + 1
+            new_schema = {"type": "struct", "schema-id": new_sid,
+                          "fields": list(fields) + new_fields}
+            schemas = list(meta.get("schemas") or [])
+            if not schemas and meta.get("schema") is not None:
+                schemas = [dict(meta["schema"],
+                                **{"schema-id": 0})]
+            schemas.append(new_schema)
+            meta = dict(meta, **{
+                "schemas": schemas,
+                "current-schema-id": new_sid,
+                "last-column-id": next_id,
+            })
+            schema = new_schema
+            fields = new_schema["fields"]
     cols = [f["name"] for f in fields]
     if op_col in cols:
         raise IcebergError(

@@ -1221,6 +1221,121 @@ def ic4_iceberg_restore_cdf(spark: SparkSession,
 
 
 @register(
+    "ic5_iceberg_merge_evolve",
+    oracle="""
+    WITH base AS (SELECT doc_id, text FROM documents),
+    upd AS (SELECT doc_id, text, doc_id * 10 AS score FROM base
+            WHERE doc_id % 5 = 0),
+    ins AS (SELECT doc_id + 100000000 AS doc_id, 'N:' || text AS text,
+                   7 AS score
+            FROM base WHERE doc_id % 13 = 0),
+    feed AS (
+      SELECT doc_id, CAST(NULL AS BIGINT) AS score, 'delete' AS ct
+      FROM upd
+      UNION ALL SELECT doc_id, score, 'insert' FROM upd
+      UNION ALL SELECT doc_id, score, 'insert' FROM ins
+    ),
+    state AS (
+      SELECT b.doc_id,
+             CASE WHEN b.doc_id % 5 = 0 THEN 'U:' || b.text
+                  ELSE b.text END AS text,
+             u.score
+      FROM base b LEFT JOIN upd u ON b.doc_id = u.doc_id
+      UNION ALL SELECT doc_id, text, score FROM ins
+    )
+    SELECT
+      CAST((SELECT COUNT(*) FROM feed WHERE ct = 'delete'
+            AND score IS NULL) AS BIGINT) AS n_del_null,
+      CAST((SELECT COUNT(*) FROM feed WHERE ct = 'insert')
+           AS BIGINT) AS n_ins,
+      (SELECT md5(STRING_AGG(k, '' ORDER BY k)) FROM
+        (SELECT ct || '|' || CAST(doc_id AS VARCHAR) || '|' ||
+                COALESCE(CAST(score AS VARCHAR), '_') AS k
+         FROM feed)) AS feed_md5,
+      CAST((SELECT COUNT(*) FROM state WHERE score IS NULL)
+           AS BIGINT) AS n_null_score,
+      (SELECT md5(STRING_AGG(h, '' ORDER BY h)) FROM
+        (SELECT md5(CAST(doc_id AS VARCHAR) || '|' || text || '|' ||
+                    COALESCE(CAST(score AS VARCHAR), '_')) AS h
+         FROM state)) AS state_md5
+    """,
+)
+def ic5_iceberg_merge_evolve(spark: SparkSession,
+                             sf_dir: str) -> DataFrame:
+    """Iceberg MERGE schema evolution oracle-checked (r14:
+    `merge_iceberg(evolve_schema=True)` — the dl14 recipe on the
+    second format): documents seed at sequence 1, then ONE merge
+    carries a NEW ``score`` column — updating every doc_id%5=0 row
+    (score = doc_id*10) and inserting doc_id+100M clones (score = 7)
+    — committing the widened schema (fresh field id, new schema-id,
+    bumped last-column-id) in the same metadata as the merge
+    snapshot.  Pre-existing rows must read score as NULL (field-id
+    null-fill), the changelog's deletes of the matched old rows must
+    carry NULL score while the inserts carry values, and the state
+    digest covers the full widened rows.
+
+    At 100 TB: evolution costs one metadata JSON — no rewrites, the
+    commit stays change-set-sized."""
+    import tempfile
+
+    from tulflow_spark.ext.iceberg import (
+        merge_iceberg,
+        read_iceberg,
+        read_iceberg_cdf,
+        write_iceberg_fixture,
+    )
+
+    docs = table(spark, sf_dir, "documents").select("doc_id", "text")
+    t = tempfile.mkdtemp(prefix="ic5_") + "/tbl"
+    write_iceberg_fixture(spark, docs, t)                      # seq 1
+    changes = (
+        docs.filter("doc_id % 5 = 0")
+            .select("doc_id",
+                    F.concat(F.lit("U:"), F.col("text")).alias("text"),
+                    (F.col("doc_id") * 10).alias("score"),
+                    F.lit("U").alias("op"))
+        .unionByName(
+            docs.filter("doc_id % 13 = 0")
+                .select((F.col("doc_id") + 100000000).alias("doc_id"),
+                        F.concat(F.lit("N:"), F.col("text"))
+                         .alias("text"),
+                        F.lit(7).cast("long").alias("score"),
+                        F.lit("I").alias("op")))
+    )
+    merge_iceberg(spark, t, changes, keys=["doc_id"],
+                  evolve_schema=True)                          # seq 2
+    feed = read_iceberg_cdf(spark, t).where("_commit_seq = 2")
+    key = F.concat_ws(
+        "|", F.col("_change_type"), F.col("doc_id").cast("string"),
+        F.coalesce(F.col("score").cast("string"), F.lit("_")))
+    ct = F.col("_change_type")
+    agg = feed.agg(
+        F.sum(((ct == "delete") & F.col("score").isNull())
+              .cast("long")).cast("bigint").alias("n_del_null"),
+        F.sum((ct == "insert").cast("long"))
+         .cast("bigint").alias("n_ins"),
+        F.md5(F.concat_ws("", F.array_sort(F.collect_list(key))))
+         .alias("feed_md5"),
+    )
+    srow = read_iceberg(spark, t).agg(
+        F.sum(F.col("score").isNull().cast("long"))
+         .cast("bigint").alias("n_null_score"),
+        F.md5(F.concat_ws("", F.array_sort(F.collect_list(
+            F.md5(F.concat_ws(
+                "|", F.col("doc_id").cast("string"), F.col("text"),
+                F.coalesce(F.col("score").cast("string"),
+                           F.lit("_")))))))).alias("state_md5"),
+    ).first()
+    return (agg
+            .withColumn("n_null_score",
+                        F.lit(int(srow["n_null_score"]))
+                        .cast("bigint"))
+            .withColumn("state_md5", F.lit(srow["state_md5"]))
+            .select("n_del_null", "n_ins", "feed_md5",
+                    "n_null_score", "state_md5"))
+
+
+@register(
     "ib3_iceberg_eq_deletes",
     oracle="""
     WITH dead AS (SELECT MIN(lang) AS lang FROM documents),
