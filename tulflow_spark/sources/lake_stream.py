@@ -1131,11 +1131,19 @@ class IcebergCdfStreamReader(IcebergChangesStreamReader):
             return out
 
         parts: list[InputPartition] = []
+        # rolling prior state: a batch of V consecutive snapshots
+        # costs O(V) manifest walks + pair reads, not O(2V) — each
+        # iteration's CURRENT state becomes the next one's PREV when
+        # the parent chain is consecutive (the _cdf_plan precedent)
+        roll: tuple | None = None       # (sid, data, dels, pairs)
         for s in in_range:
             sid = s["snapshot-id"]
             seq = self._seq_of(s)
             op = (s.get("summary") or {}).get("operation")
             if op == "replace":
+                # row-preserving by contract — but it may still SWAP
+                # file sets, so the rolling state must not skip it
+                roll = None
                 continue
             if op not in ("append", "delete", "overwrite", None):
                 raise DeltaChangeFeedError(
@@ -1143,9 +1151,13 @@ class IcebergCdfStreamReader(IcebergChangesStreamReader):
                     "not supported")
             prev_sid = s.get("parent-snapshot-id")
             try:
-                data_prev, dels_prev = (
-                    _live_files(meta, prev_sid)
-                    if prev_sid is not None else ([], []))
+                if roll is not None and roll[0] == prev_sid:
+                    data_prev, dels_prev, prev_pairs_c = roll[1:]
+                else:
+                    data_prev, dels_prev = (
+                        _live_files(meta, prev_sid)
+                        if prev_sid is not None else ([], []))
+                    prev_pairs_c = None
                 data_s, dels_s = _live_files(meta, sid)
             except IcebergError as exc:
                 raise DeltaChangeFeedError(str(exc)) from None
@@ -1171,8 +1183,10 @@ class IcebergCdfStreamReader(IcebergChangesStreamReader):
                     f"snapshot {sid} removes files or changes delete "
                     "files without a summary.operation — cannot "
                     "distinguish compaction from overwrite")
-            prev_pairs = pair_map(dels_prev) if dels_prev else {}
+            prev_pairs = prev_pairs_c if prev_pairs_c is not None \
+                else (pair_map(dels_prev) if dels_prev else {})
             cur_pairs = pair_map(dels_s) if dels_s else {}
+            roll = (sid, data_s, dels_s, cur_pairs)
 
             def mk(path_key, d, ctype, positions, exclude):
                 fmt = str(d.get("file_format") or "").upper()
