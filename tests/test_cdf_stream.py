@@ -323,3 +323,22 @@ def test_cdf_apply_sink_collapses_within_batch(registered, tmp_path):
                   for r in read_delta(spark, dst).collect()) == \
         sorted((r["id"], r["v"])
                for r in read_delta(spark, src).collect())
+
+
+def test_cdf_stream_ending_version_bound(registered, tmp_path):
+    """endingVersion bounds a backfill window on the Delta CDF
+    stream: commits past the bound never deliver."""
+    t = str(tmp_path / "t")
+    ckpt = str(tmp_path / "ck2")
+    out = str(tmp_path / "out2")
+    write_delta(_df(registered, 0, 2), t, mode="append",
+                configuration=CDF)                            # v0
+    write_delta(_df(registered, 2, 4), t, mode="append")      # v1
+    write_delta(_df(registered, 4, 6), t, mode="append")      # v2
+    got = _drain(registered, t, "b1", ckpt=ckpt, out=out,
+                 endingVersion="1")
+    assert [x[:3] for x in got] == sorted(
+        (i // 2, "insert", i) for i in range(4))
+    write_delta(_df(registered, 6, 8), t, mode="append")      # v3
+    assert _drain(registered, t, "b2", ckpt=ckpt, out=out,
+                  endingVersion="1") == got

@@ -263,3 +263,22 @@ def test_iceberg_apply_sink_consumes_delta_feed(registered,
     assert sorted((r["id"], r["v"]) for r in
                   read_iceberg(spark, down).collect()) == [
         (0, "x0"), (1, "B"), (3, "x3"), (9, "n")]
+
+
+def test_iceberg_cdf_stream_ending_sequence_bound(registered,
+                                                  tmp_path):
+    """endingSequence bounds a backfill window: the stream delivers
+    (start, end] and stays idle — later commits never arrive."""
+    spark = registered
+    t = str(tmp_path / "t")
+    ckpt = str(tmp_path / "ck")
+    out = str(tmp_path / "out")
+    write_iceberg_fixture(spark, _df(spark, 0, 2), t)         # seq 1
+    append_iceberg_fixture(spark, _df(spark, 2, 4), t)        # seq 2
+    append_iceberg_fixture(spark, _df(spark, 4, 6), t)        # seq 3
+    got = _drain(spark, t, ckpt=ckpt, out=out, endingSequence="2")
+    assert [x[:3] for x in got] == sorted(
+        (i // 2 + 1, "insert", i) for i in range(4))
+    append_iceberg_fixture(spark, _df(spark, 6, 8), t)        # seq 4
+    assert _drain(spark, t, ckpt=ckpt, out=out,
+                  endingSequence="2") == got

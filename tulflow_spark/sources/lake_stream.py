@@ -138,8 +138,42 @@ class DeltaChangesStreamReader(DataSourceStreamReader):
                 "startingVersion and startingTimestamp are mutually "
                 "exclusive")
         self._cap = _batch_cap(options, "maxVersionsPerBatch")
+        end = options.get("endingversion",
+                          options.get("endingVersion"))
+        self._ending = None if end is None else int(end)
+        ets = options.get("endingtimestamp",
+                          options.get("endingTimestamp"))
+        self._ending_ts = None if ets is None else int(ets)
+        if self._ending is not None and self._ending_ts is not None:
+            raise DeltaChangeFeedError(
+                "endingVersion and endingTimestamp are mutually "
+                "exclusive")
         self._last_end: int | None = None
         self._start_cache: int | None = None
+        self._end_cache: int | None = None
+
+    def _resolved_end(self) -> int | None:
+        """endingVersion, or the endingTimestamp resolution (LATEST
+        commit at or before it — the bound is inclusive): a bounded
+        backfill stream delivers (start, end] and then stays idle, so
+        one checkpointed query can replay an exact window through the
+        streaming machinery."""
+        if self._ending is not None:
+            return self._ending
+        if self._ending_ts is None:
+            return None
+        if self._end_cache is None:
+            from tulflow_spark.ext.delta_log import (
+                DeltaProtocolError,
+                delta_version_as_of,
+            )
+
+            try:
+                self._end_cache = delta_version_as_of(
+                    self._path, self._ending_ts)
+            except DeltaProtocolError as exc:
+                raise DeltaChangeFeedError(str(exc)) from None
+        return self._end_cache
 
     def _resolved_start(self) -> int | None:
         """The configured start offset (startingVersion, or the
@@ -206,6 +240,9 @@ class DeltaChangesStreamReader(DataSourceStreamReader):
                 base = self._resolved_start()
             if base is not None:
                 latest = min(latest, base + self._cap)
+        end = self._resolved_end()
+        if end is not None:
+            latest = min(latest, end)
         return {"version": latest}
 
     # -- planning (driver-side, O(new commits)) -----------------------
@@ -705,8 +742,41 @@ class IcebergChangesStreamReader(DataSourceStreamReader):
                 "startingSequence and startingTimestamp are mutually "
                 "exclusive")
         self._cap = _batch_cap(options, "maxSequencesPerBatch")
+        end = options.get("endingsequence",
+                          options.get("endingSequence"))
+        self._ending = None if end is None else int(end)
+        ets = options.get("endingtimestamp",
+                          options.get("endingTimestamp"))
+        self._ending_ts = None if ets is None else int(ets)
+        if self._ending is not None and self._ending_ts is not None:
+            raise DeltaChangeFeedError(
+                "endingSequence and endingTimestamp are mutually "
+                "exclusive")
         self._last_end: int | None = None
         self._start_cache: int | None = None
+        self._end_cache: int | None = None
+
+    def _resolved_end(self) -> int | None:
+        """endingSequence, or the endingTimestamp resolution (the
+        LATEST snapshot at or before it, inclusive) — the bounded-
+        backfill window bound, mirroring the Delta reader."""
+        if self._ending is not None:
+            return self._ending
+        if self._ending_ts is None:
+            return None
+        if self._end_cache is None:
+            from tulflow_spark.ext.iceberg import load_table_metadata
+
+            meta = load_table_metadata(self._path)
+            hit = [s for s in self._ordered_snaps(meta)
+                   if int(s.get("timestamp-ms") or 0)
+                   <= self._ending_ts]
+            if not hit:
+                raise DeltaChangeFeedError(
+                    f"no snapshot at or before {self._ending_ts} "
+                    "(it is before the first snapshot's timestamp)")
+            self._end_cache = self._seq_of(hit[-1])
+        return self._end_cache
 
     @staticmethod
     def _seq_of(s: dict) -> int:
@@ -771,6 +841,9 @@ class IcebergChangesStreamReader(DataSourceStreamReader):
                 base = self._resolved_start()
             if base is not None:
                 latest = min(latest, base + self._cap)
+        end = self._resolved_end()
+        if end is not None:
+            latest = min(latest, end)
         return {"seq": latest}
 
     def partitions(self, start: dict, end: dict) -> list[InputPartition]:
