@@ -282,3 +282,50 @@ def test_iceberg_cdf_stream_ending_sequence_bound(registered,
     append_iceberg_fixture(spark, _df(spark, 6, 8), t)        # seq 4
     assert _drain(spark, t, ckpt=ckpt, out=out,
                   endingSequence="2") == got
+
+
+def test_apply_sink_evolves_target_schema(registered, tmp_path):
+    """evolve_schema=True on the apply sink: a feed carrying a column
+    the target lacks widens the target in the applying commit — the
+    end-to-end CDC schema-evolution story."""
+    from tulflow_spark.ext.delta_log import (
+        merge_delta,
+        read_delta,
+        write_delta,
+    )
+    from tulflow_spark.ext.delta_log import (
+        delta_cdf_apply_sink,
+    )
+    from tulflow_spark.sources.lake_stream import DeltaCdfSource
+
+    spark = registered
+    spark.dataSource.register(DeltaCdfSource)
+    up = str(tmp_path / "up")
+    down = str(tmp_path / "down")
+    ckpt = str(tmp_path / "ck")
+    cdf = {"delta.enableChangeDataFeed": "true"}
+    write_delta(
+        spark.createDataFrame([(1, "a"), (2, "b")], "id long, v string"),
+        up, mode="append", configuration=cdf)
+    # seed the downstream at the ORIGINAL schema
+    write_delta(
+        spark.createDataFrame([(1, "a"), (2, "b")], "id long, v string"),
+        down, mode="append")
+    # upstream evolves: a merge carries a new column
+    merge_delta(spark, up, spark.createDataFrame(
+        [(2, "B", 7, "U"), (3, "c", 9, "I")],
+        "id long, v string, w long, op string"),
+        keys=["id"], evolve_schema=True)
+    # the stream (started AFTER the evolution) carries w; the sink
+    # widens the downstream in the applying commit
+    q = (spark.readStream.format("tulflow_delta_cdf")
+         .option("path", up).option("startingVersion", "0")
+         .load().writeStream
+         .foreachBatch(delta_cdf_apply_sink(
+             down, "evo", ["id"], evolve_schema=True))
+         .option("checkpointLocation", ckpt)
+         .trigger(availableNow=True).start())
+    assert q.awaitTermination(180)
+    got = sorted((r["id"], r["v"], r["w"])
+                 for r in read_delta(spark, down).collect())
+    assert got == [(1, "a", None), (2, "B", 7), (3, "c", 9)]

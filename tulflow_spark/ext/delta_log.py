@@ -2016,7 +2016,8 @@ def delta_stream_sink(path: str, app_id: str,
     return write_batch
 
 
-def delta_cdf_apply_sink(path: str, app_id: str, keys: list[str]):
+def delta_cdf_apply_sink(path: str, app_id: str, keys: list[str],
+                         evolve_schema: bool = False):
     """foreachBatch sink APPLYING a change-data-feed stream to a
     downstream Delta table — the consuming end of the CDC loop
     (``tulflow_delta_cdf`` readStream → keyed MERGE per micro-batch),
@@ -2038,6 +2039,11 @@ def delta_cdf_apply_sink(path: str, app_id: str, keys: list[str]):
     is seeded from the batch's surviving rows).  A replayed batch
     finds batch_id <= the recorded watermark and skips; CAS losers
     re-read and retry.
+
+    ``evolve_schema=True`` forwards to :func:`merge_delta`: a feed
+    whose source table grew a column (visible to streams STARTED
+    after the evolution — a stream's schema is fixed at query start)
+    widens the target in the same commit that applies the batch.
 
     At 100 TB: the downstream stays O(new changes) end to end —
     change-sized batches, key-pruned discovery, matched-file rewrites
@@ -2101,6 +2107,7 @@ def delta_cdf_apply_sink(path: str, app_id: str, keys: list[str]):
                 try:
                     merge_delta(spark, path, final, keys,
                                 expect_version=latest,
+                                evolve_schema=evolve_schema,
                                 txn=(app_id, int(batch_id)))
                     return
                 except DeltaConcurrentCommit as exc:

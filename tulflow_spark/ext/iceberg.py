@@ -3353,7 +3353,8 @@ def iceberg_txn_watermark(meta: dict, app_id: str) -> int:
     return best
 
 
-def iceberg_cdf_apply_sink(path: str, app_id: str, keys: list[str]):
+def iceberg_cdf_apply_sink(path: str, app_id: str, keys: list[str],
+                           evolve_schema: bool = False):
     """foreachBatch sink APPLYING a change-feed stream to a downstream
     ICEBERG table — the consuming end of the Iceberg CDC loop
     (``tulflow_iceberg_cdf`` — or ``tulflow_delta_cdf``, the sink is
@@ -3377,6 +3378,10 @@ def iceberg_cdf_apply_sink(path: str, app_id: str, keys: list[str]):
     re-read and retry with jittered backoff.  A missing target seeds
     from the batch's surviving rows (marker carried on the seed
     commit).
+
+    ``evolve_schema=True`` forwards to :func:`merge_iceberg`: a feed
+    whose source grew a column (visible to streams STARTED after the
+    evolution) widens the target schema in the applying commit.
 
     At 100 TB: the downstream stays O(new changes) end to end —
     change-sized batches, blind merge commits, no table reads."""
@@ -3437,6 +3442,7 @@ def iceberg_cdf_apply_sink(path: str, app_id: str, keys: list[str]):
                         spark, path, final, keys,
                         expect_snapshot_id=meta.get(
                             "current-snapshot-id"),
+                        evolve_schema=evolve_schema,
                         txn=(app_id, int(batch_id)))
                     return
                 except IcebergConcurrentCommit as exc:
