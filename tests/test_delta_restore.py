@@ -210,3 +210,24 @@ def test_restore_commit_shape_is_protocol_plain(spark, tmp_path):
         "re-adds must carry the original stats (skipping index)"
     assert set(a["path"] for a in adds) <= \
         set(_replay(spark, t, 0).live)
+
+
+def test_restore_across_cleaned_log(spark, tmp_path):
+    """Checkpoint-only histories: restoring to a version AT or above
+    the checkpoint replays fine; a version below the surviving-log
+    horizon refuses typed (the file set is not reconstructible — the
+    same class as the vacuumed wall)."""
+    from tulflow_spark.ext.delta_log import write_checkpoint
+
+    t = str(tmp_path / "t")
+    for lo in (0, 2, 4, 6):
+        write_delta(_df(spark, lo, lo + 2), t, mode="append")
+    write_checkpoint(spark, t)                         # at v3
+    for v in (0, 1, 2):
+        os.remove(f"{t}/_delta_log/{v:020d}.json")
+    assert _ids(spark, t) == list(range(8))
+    # at the checkpoint: replay resumes from it
+    assert restore_delta(spark, t, 3) == 3             # no-op (present)
+    with pytest.raises(DeltaProtocolError,
+                       match="gaps|missing commit"):
+        restore_delta(spark, t, 1)
