@@ -79,13 +79,11 @@ def test_r7_rotation_promotes_never_adjudicated_pairs():
     # remain queued for the r15 rotation, joined by the five
     # r14-created pairs (Iceberg DML writers, Delta merge evolution,
     # the Iceberg CDF streaming source)
+    # r15: ic2/ic3/ic4/dl14/sdc4 promoted into the gate (r14 VERDICT
+    # #1); dl7/ib6/ic5 queue for the r16 rotation, joined by any
+    # r15-created pairs registered after the r15 gate froze.
     added_post_rotation: set[str] = {"dl7_column_mapping_id",
                                      "ib6_ref_travel",
-                                     "ic2_merge_iceberg_cdf",
-                                     "ic3_iceberg_update_cdf",
-                                     "ic4_iceberg_restore_cdf",
-                                     "dl14_merge_evolve_cdf",
-                                     "sdc4_stream_iceberg_cdf",
                                      "ic5_iceberg_merge_evolve"}
     never -= added_post_rotation
     assert never <= set(QUERIES), (
