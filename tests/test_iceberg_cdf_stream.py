@@ -329,3 +329,118 @@ def test_apply_sink_evolves_target_schema(registered, tmp_path):
     got = sorted((r["id"], r["v"], r["w"])
                  for r in read_delta(spark, down).collect())
     assert got == [(1, "a", None), (2, "B", 7), (3, "c", 9)]
+
+
+def test_branch_snapshot_cannot_mask_expired_gap(registered, tmp_path):
+    """r14 advice: the sequence-completeness check must run on the
+    MAIN-lineage snapshots — a side-branch snapshot filling a sequence
+    gap must not mask an expired main-lineage snapshot (pre-fix the
+    stream silently delivered only the head and lost the gap's rows)."""
+    import json
+
+    from tulflow_spark.sources.lake_stream import (
+        DeltaChangeFeedError,
+        IcebergCdfStreamReader,
+    )
+
+    spark = registered
+    t = str(tmp_path / "t")
+    write_iceberg_fixture(spark, _df(spark, 0, 2), t)         # seq 1
+    append_iceberg_fixture(spark, _df(spark, 2, 4), t)        # seq 2
+    append_iceberg_fixture(spark, _df(spark, 4, 6), t)        # seq 3
+    hint = open(f"{t}/metadata/version-hint.text").read().strip()
+    mp = f"{t}/metadata/v{hint}.metadata.json"
+    m = json.loads(open(mp).read())
+    s1, s2, s3 = sorted(m["snapshots"],
+                        key=lambda s: s["sequence-number"])
+    # simulate snapshot expiry of s2 with a branch snapshot left at
+    # the SAME sequence number (parented off s1, reachable only via a
+    # branch ref)
+    branch = dict(s2)
+    branch["snapshot-id"] = 424242
+    branch["parent-snapshot-id"] = s1["snapshot-id"]
+    m["snapshots"] = [s1, branch, s3]
+    m.setdefault("refs", {})["dev"] = {
+        "snapshot-id": 424242, "type": "branch"}
+    with open(mp, "w") as fh:
+        fh.write(json.dumps(m))
+    reader = IcebergCdfStreamReader(None, {"path": t,
+                                           "startingSequence": "0"})
+    with pytest.raises(DeltaChangeFeedError, match="missing expired"):
+        reader.partitions({"seq": 0}, {"seq": 3})
+
+
+def test_branch_ahead_of_parentless_head_never_delivers(
+        registered, tmp_path):
+    """r14 advice: a parentless head is a single-node lineage, not 'no
+    filter' — and offsets follow the MAIN branch, so a branch ref ahead
+    of main must not pull branch-only sequences into the range."""
+    import json
+
+    from tulflow_spark.sources.lake_stream import IcebergCdfStreamReader
+
+    spark = registered
+    t = str(tmp_path / "t")
+    write_iceberg_fixture(spark, _df(spark, 0, 3), t)         # seq 1
+    hint = open(f"{t}/metadata/version-hint.text").read().strip()
+    mp = f"{t}/metadata/v{hint}.metadata.json"
+    m = json.loads(open(mp).read())
+    (s1,) = m["snapshots"]
+    assert s1.get("parent-snapshot-id") is None
+    branch = dict(s1)
+    branch["snapshot-id"] = 424242
+    branch["sequence-number"] = s1["sequence-number"] + 1
+    branch["parent-snapshot-id"] = s1["snapshot-id"]
+    m["snapshots"] = [s1, branch]
+    m.setdefault("refs", {})["dev"] = {
+        "snapshot-id": 424242, "type": "branch"}
+    with open(mp, "w") as fh:
+        fh.write(json.dumps(m))
+    reader = IcebergCdfStreamReader(None, {"path": t,
+                                           "startingSequence": "0"})
+    # offsets stop at the main head's sequence, not the branch's
+    assert reader.latestOffset() == {"seq": s1["sequence-number"]}
+    # and the full stream delivers exactly the main-lineage rows
+    got = _drain(spark, t)
+    assert [x[:3] for x in got] == [(1, "insert", 0), (1, "insert", 1),
+                                    (1, "insert", 2)]
+
+
+def test_apply_sink_all_delete_first_batch_seeds_without_data_file(
+        registered, tmp_path):
+    """r14 advice: seeding a missing target from an all-delete first
+    batch must commit an empty-manifest snapshot carrying the txn
+    watermark — not stage a zero-row data file whose manifest entry
+    taxes every future read."""
+    from tulflow_spark.ext.iceberg import (
+        _live_files,
+        iceberg_cdf_apply_sink,
+        iceberg_txn_watermark,
+        read_iceberg,
+    )
+
+    spark = registered
+    down = str(tmp_path / "down")
+    sink = iceberg_cdf_apply_sink(down, "seed-test", ["id"])
+    batch0 = spark.createDataFrame(
+        [(1, "a", "delete", 1, 11)],
+        "id long, v string, _change_type string, _commit_seq long, "
+        "_snapshot_id long")
+    sink(batch0, 0)
+    meta = load_table_metadata(down)
+    # watermark recorded, zero data files referenced, zero rows
+    assert iceberg_txn_watermark(meta, "seed-test") == 0
+    data_files, _ = _live_files(meta, None)
+    assert data_files == []
+    assert read_iceberg(spark, down).collect() == []
+    # a replay of batch 0 skips; the next batch merges normally
+    sink(batch0, 0)
+    assert len(load_table_metadata(down)["snapshots"]) == 1
+    batch1 = spark.createDataFrame(
+        [(2, "b", "insert", 2, 22), (1, "a2", "insert", 2, 22)],
+        "id long, v string, _change_type string, _commit_seq long, "
+        "_snapshot_id long")
+    sink(batch1, 1)
+    assert sorted((r["id"], r["v"]) for r in
+                  read_iceberg(spark, down).collect()) == [
+        (1, "a2"), (2, "b")]

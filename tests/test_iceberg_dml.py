@@ -143,6 +143,65 @@ def test_merge_partitioned_table(spark, tmp_path):
         (2, "insert", 2, "B"), (2, "insert", 4, "d")])
 
 
+def test_global_delete_manifest_gets_unpartitioned_spec(spark,
+                                                        tmp_path):
+    """r14 advice: on a PARTITIONED table, the global (empty-partition)
+    delete manifests that merge/update write must reference a spec
+    whose partition type matches their empty payload — a registered
+    unpartitioned spec, not the table's partitioned spec 0, which a
+    conformant external reader would use to decode (and mis-scope)
+    them.  Data manifests keep the writing spec."""
+    from tulflow_spark.ext.iceberg import _read_bytes, read_ocf
+
+    t = str(tmp_path / "t")
+    write_iceberg_fixture(
+        spark,
+        _df(spark, [(1, "a", 0), (2, "b", 0), (3, "c", 1)],
+            "id long, v string, g long"),
+        t, partition_by=["g"])
+    sid = merge_iceberg(spark, t, spark.createDataFrame(
+        [(2, "B", 0, "U")], "id long, v string, g long, op string"),
+        keys=["id"])
+    meta = load_table_metadata(t)
+    specs = {int(s["spec-id"]): s.get("fields") or []
+             for s in meta["partition-specs"]}
+    default_id = int(meta.get("default-spec-id") or 0)
+    assert specs[default_id], "writing spec should stay partitioned"
+    snap = next(s for s in meta["snapshots"] if s["snapshot-id"] == sid)
+    entries = read_ocf(_read_bytes(snap["manifest-list"]))
+    dele = [e for e in entries if int(e.get("content") or 0) == 1]
+    data = [e for e in entries if int(e.get("content") or 0) == 0]
+    assert dele and data
+    for e in dele:
+        assert specs[int(e["partition_spec_id"])] == []
+    for e in data:
+        assert int(e["partition_spec_id"]) == default_id
+    # a second merge REUSES the registered empty spec; the table
+    # still reads and diffs correctly through the changelog
+    merge_iceberg(spark, t, spark.createDataFrame(
+        [(1, "A", 0, "U")], "id long, v string, g long, op string"),
+        keys=["id"])
+    meta2 = load_table_metadata(t)
+    assert len([s for s in meta2["partition-specs"]
+                if not (s.get("fields") or [])]) == 1
+    assert sorted((r["id"], r["v"]) for r in
+                  read_iceberg(spark, t).collect()) == [
+        (1, "A"), (2, "B"), (3, "c")]
+
+
+def test_unpartitioned_table_registers_no_extra_spec(spark, tmp_path):
+    """An unpartitioned table's global deletes already match spec 0 —
+    no extra spec must appear."""
+    t = str(tmp_path / "t")
+    write_iceberg_fixture(spark, _df(spark, [(1, "a"), (2, "b")]), t)
+    merge_iceberg(spark, t, _chg(spark, [(1, "A", "U")]), ["id"])
+    rewrite_iceberg_data_files(spark, t)    # pay the eq-delete debt
+    update_where_iceberg(spark, t, "id = 2", {"v": "'B'"})
+    meta = load_table_metadata(t)
+    assert len(meta["partition-specs"]) == 1
+    assert _state(spark, t) == [(1, "A"), (2, "B")]
+
+
 def test_merge_on_v3_table(spark, tmp_path):
     t = str(tmp_path / "t")
     write_iceberg_fixture(spark, _df(spark, [(1, "a"), (2, "b")]), t)
@@ -323,6 +382,64 @@ def test_restore_resurrects_position_deleted_rows(spark, tmp_path):
     assert sorted(r["id"] for r in read_iceberg(spark, t).collect()) \
         == [0, 2, 4]
     assert sid  # silence linters
+
+
+def test_restore_across_overlapping_merges_dedupes_resurrection(
+        spark, tmp_path):
+    """restore_iceberg across TWO merge_iceberg commits that updated
+    the SAME key drops two equality-delete files with overlapping
+    victims — the resurrected base row must appear exactly ONCE in the
+    changelog (r14 advice: the per-delete loop delivered it once per
+    departed delete file)."""
+    t = str(tmp_path / "t")
+    write_iceberg_fixture(
+        spark, _df(spark, [(1, "a"), (2, "b")]), t)             # s1
+    s1 = load_table_metadata(t)["current-snapshot-id"]
+    merge_iceberg(spark, t, _chg(spark, [(1, "B", "U")]), ["id"])
+    merge_iceberg(spark, t, _chg(spark, [(1, "C", "U")]), ["id"])
+    s3 = load_table_metadata(t)["current-snapshot-id"]
+    restore_iceberg(t, s1)                                       # s4
+    assert _state(spark, t) == [(1, "a"), (2, "b")]
+    tail = _feed(read_iceberg_cdf(spark, t, from_snapshot_id=s3))
+    last = max(x[0] for x in tail)
+    # delete of the final merged value (the intermediate (1,"B") was
+    # already dead pre-restore), ONE resurrected insert — no duplicate
+    assert tail == sorted([
+        (last, "delete", 1, "C"), (last, "insert", 1, "a")])
+    # the whole feed still nets to the table state
+    full = _feed(read_iceberg_cdf(spark, t))
+    net: dict = {}
+    for _, c, i, v in full:
+        if c == "insert":
+            net[(i, v)] = net.get((i, v), 0) + 1
+        else:
+            net[(i, v)] = net.get((i, v), 0) - 1
+    assert sorted(k for k, n in net.items() if n) == \
+        [(1, "a"), (2, "b")]
+
+
+def test_restore_across_disjoint_merges_keeps_every_victim(
+        spark, tmp_path):
+    """The deduped multi-delete path must not LOSE rows: two merges on
+    different keys, then restore — both base rows resurrect, and a
+    genuinely duplicate base row resurrects TWICE (dedupe is by
+    physical row identity, not value)."""
+    t = str(tmp_path / "t")
+    write_iceberg_fixture(
+        spark, _df(spark, [(1, "a"), (1, "a"), (2, "b"), (3, "c")]),
+        t)                                                       # s1
+    s1 = load_table_metadata(t)["current-snapshot-id"]
+    merge_iceberg(spark, t, _chg(spark, [(1, "B", "U")]), ["id"])
+    merge_iceberg(spark, t, _chg(spark, [(2, "C", "U")]), ["id"])
+    s3 = load_table_metadata(t)["current-snapshot-id"]
+    restore_iceberg(t, s1)                                       # s4
+    assert _state(spark, t) == [(1, "a"), (1, "a"), (2, "b"), (3, "c")]
+    tail = _feed(read_iceberg_cdf(spark, t, from_snapshot_id=s3))
+    last = max(x[0] for x in tail)
+    assert tail == sorted([
+        (last, "delete", 1, "B"), (last, "delete", 2, "C"),
+        (last, "insert", 1, "a"), (last, "insert", 1, "a"),
+        (last, "insert", 2, "b")])
 
 
 def test_restore_walls_and_expire_interop(spark, tmp_path):

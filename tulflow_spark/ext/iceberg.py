@@ -484,13 +484,20 @@ def _resolved_scan(spark: SparkSession, data_files: list[dict],
                    schema: dict,
                    pos_deletes: list[dict] | None = None,
                    dv_frame: DataFrame | None = None,
-                   keep_positions: bool = False) -> DataFrame:
+                   keep_positions: bool = False,
+                   expose_positions: bool = False) -> DataFrame:
     """One scan over data files grouped by (format, per-file column
     projection): position deletes apply on the RAW scan (they address
     physical rows), then each group projects to the snapshot schema —
     field-id renames, add-column null fills, dropped-column pruning.
     Files whose physical layout already matches the schema skip the
-    projection entirely (identical plan to a plain scan)."""
+    projection entirely (identical plan to a plain scan).
+
+    ``expose_positions=True`` carries each row's physical identity
+    through the projection as ``__cdf_path``/``__cdf_pos`` columns (the
+    changelog's way of deduplicating equality-delete victims shared by
+    two delete files — value-level dedupe would wrongly collapse
+    genuinely duplicate data rows)."""
     from pyspark.sql import functions as F
 
     fsio.prefetch_parquet_footers([
@@ -509,6 +516,19 @@ def _resolved_scan(spark: SparkSession, data_files: list[dict],
     for (fmt, proj, identity), files in sorted(
             groups.items(), key=lambda kv: str(kv[0])):
         scan = _format_scan(spark, files)
+        if expose_positions:
+            if fmt == "ORC":
+                # ORC scans have no _metadata.row_index here (see
+                # _apply_position_deletes's indexed-scan detour)
+                raise IcebergError(
+                    "changelog: position-tagged scan over ORC data "
+                    "files is not derivable — read the states "
+                    "directly instead")
+            scan = (scan
+                    .withColumn("__cdf_path", F.regexp_replace(
+                        F.col("_metadata.file_path"), "^file:/+", "/"))
+                    .withColumn("__cdf_pos",
+                                F.col("_metadata.row_index")))
         scan = _apply_position_deletes(spark, scan, files,
                                        pos_deletes or [], dv_frame,
                                        keep_only=keep_positions)
@@ -520,6 +540,8 @@ def _resolved_scan(spark: SparkSession, data_files: list[dict],
                         _SPARK_OF_ICE[ice_t]).alias(logical))
                 else:
                     cols.append(F.col(phys).alias(logical))
+            if expose_positions:
+                cols += [F.col("__cdf_path"), F.col("__cdf_pos")]
             scan = scan.select(cols)
         frames.append(scan)
     return _union_fold_by_name(frames)
@@ -688,6 +710,76 @@ def read_iceberg_changes(
     if not added:
         raise IcebergError("no data files added in the change range")
     return _resolved_scan(spark, added, _schema_for(meta, to_snap))
+
+
+def _eq_victims_deduped(spark: SparkSession, eq_dels: list[dict],
+                        cand_pool: list[dict], dels_pool: list[dict],
+                        schema: dict, by_id: dict) -> DataFrame | None:
+    """Victim rows of TWO OR MORE equality-delete files, deduped by
+    physical row identity.
+
+    Each equality delete independently selects its victims from the
+    alive view; when two delete files in the same snapshot diff share
+    victims (e.g. ``restore_iceberg`` across two ``merge_iceberg``
+    commits that updated the same key), a naive per-delete union
+    delivers the shared rows twice (r14 advice).  This tags candidate
+    rows with their (file, position) identity, unions the per-delete
+    semi-joins, and dedupes on that identity — dedupe by VALUE would
+    wrongly collapse genuinely duplicate data rows, which each need
+    their own change row.  Returns ``None`` when no candidate data
+    file is in any delete's scope.
+    """
+    import re as _re
+
+    from pyspark.sql import functions as F
+
+    pn = lambda p: _re.sub("^file:/+", "/", p)  # noqa: E731
+    per_del: list[tuple[dict, list[str], set[str]]] = []
+    union_cands: dict[str, dict] = {}
+    for d in eq_dels:
+        ids_ = d.get("equality_ids") or []
+        names = [by_id.get(int(i)) for i in ids_]
+        if not names or any(n is None for n in names):
+            raise IcebergError(
+                f"changelog: equality delete with unknown "
+                f"equality_ids {ids_}")
+        dseq = d.get("__seq")
+        if dseq is None:
+            raise IcebergError(
+                "changelog: equality delete without a sequence number")
+        part = d.get("partition") or {}
+        cands = [
+            c for c in cand_pool
+            if c.get("__seq") is not None
+            and int(c["__seq"]) < int(dseq)
+            and (not part or (c.get("partition") or {}) == part)
+        ]
+        if not cands:
+            continue
+        for c in cands:
+            union_cands[c["file_path"]] = c
+        per_del.append(
+            (d, names, {pn(_plain_path(c["file_path"])) for c in cands}))
+    if not per_del:
+        return None
+    alive = _deletes_applied_scan(spark, list(union_cands.values()),
+                                  dels_pool, schema,
+                                  expose_positions=True)
+    all_paths = {p for _, _, ps in per_del for p in ps}
+    frames = []
+    for d, names, paths in per_del:
+        vals = spark.read.parquet(
+            _plain_path(d["file_path"])).select(*names).distinct()
+        scoped = alive if paths == all_paths else \
+            alive.filter(F.col("__cdf_path").isin(sorted(paths)))
+        cond = None
+        for n in names:
+            c = scoped[n].eqNullSafe(vals[n])
+            cond = c if cond is None else (cond & c)
+        frames.append(scoped.join(F.broadcast(vals), cond, "left_semi"))
+    victims = _union_fold_by_name(frames).dropDuplicates(
+        ["__cdf_path", "__cdf_pos"])
+    return victims.drop("__cdf_path", "__cdf_pos")
 
 
 def read_iceberg_cdf(
@@ -899,7 +991,16 @@ def read_iceberg_cdf(
                     frames.append(tag(_resolved_scan(
                         spark, affected, schema, dv_frame=new_pairs,
                         keep_positions=True), "delete", seq, sid))
-            for d in eq_new:
+            if len(eq_new) > 1:
+                # two+ equality deletes arriving in one snapshot can
+                # share victims (same partition, overlapping values) —
+                # the per-delete loop below would deliver shared rows
+                # twice, so route through the position-deduped path
+                v = _eq_victims_deduped(spark, eq_new, data_prev,
+                                        dels_prev, schema, by_id)
+                if v is not None:
+                    frames.append(tag(v, "delete", seq, sid))
+            for d in (eq_new if len(eq_new) == 1 else []):
                 ids_ = d.get("equality_ids") or []
                 names = [by_id.get(int(i)) for i in ids_]
                 if not names or any(n is None for n in names):
@@ -977,7 +1078,18 @@ def read_iceberg_cdf(
                     frames.append(tag(_resolved_scan(
                         spark, affected, schema, dv_frame=res,
                         keep_positions=True), "insert", seq, sid))
-            for d in eq_gone:
+            if len(eq_gone) > 1:
+                # two+ departed equality deletes can share victims
+                # (e.g. restore_iceberg across two merge_iceberg
+                # commits that updated the same key) — a per-delete
+                # union would emit duplicate inserts for the shared
+                # victims (r14 advice), so dedupe by row identity
+                pool = [c for c in data_s if c["file_path"] in dp]
+                v = _eq_victims_deduped(spark, eq_gone, pool,
+                                        dels_s, schema, by_id)
+                if v is not None:
+                    frames.append(tag(v, "insert", seq, sid))
+            for d in (eq_gone if len(eq_gone) == 1 else []):
                 # rows alive NOW that this departed equality delete
                 # had killed: alive-at-current candidates (sequence-
                 # strict, partition-scoped) matching its values
@@ -1110,8 +1222,22 @@ def read_iceberg(
         _schema_for(meta, _snapshot(meta, snapshot_id))
     data_files, delete_files = _live_files(meta, snapshot_id)
     if not data_files:
-        raise IcebergError(
-            "empty snapshot (schema-only reads not supported)")
+        # a snapshot CAN legitimately reference zero data files (the
+        # apply sink's all-delete seed commits an empty manifest;
+        # delete_where can empty a table) — return a schema-faithful
+        # empty frame (nested types fall back to string, the same
+        # compromise as the changelog's empty frame)
+        def _ddl_type(t):
+            return _SPARK_OF_ICE.get(t, "string") \
+                if isinstance(t, str) else "string"
+
+        fields = snap_schema.get("fields", [])
+        if not fields:
+            raise IcebergError(
+                "empty snapshot with no schema fields")
+        return spark.createDataFrame([], ", ".join(
+            f"`{f['name']}` {_ddl_type(f.get('type'))}"
+            for f in fields))
     if prune is not None:
         col, lo, hi = prune
         ident = _identity_partition_names(meta, snap_schema)
@@ -1183,7 +1309,8 @@ def read_iceberg(
 
 def _deletes_applied_scan(spark: SparkSession, data_files: list[dict],
                           delete_files: list[dict],
-                          schema: dict) -> DataFrame:
+                          schema: dict,
+                          expose_positions: bool = False) -> DataFrame:
     """The merge-on-read view: position deletes anti-join on
     (file path, row index); EQUALITY deletes (content=2, the Flink-CDC
     write shape) anti-join on their ``equality_ids`` columns with
@@ -1206,7 +1333,8 @@ def _deletes_applied_scan(spark: SparkSession, data_files: list[dict],
     pos = [d for d in pos_all if not is_dv(d)]
     dv_frame = _dv_positions_frame(spark, dvs) if dvs else None
     if not eq:
-        return _resolved_scan(spark, data_files, schema, pos, dv_frame)
+        return _resolved_scan(spark, data_files, schema, pos, dv_frame,
+                              expose_positions=expose_positions)
     by_id = {int(f["id"]): f["name"]
              for f in schema.get("fields", [])}
 
@@ -1261,7 +1389,8 @@ def _deletes_applied_scan(spark: SparkSession, data_files: list[dict],
     for (seq, gpk), files in sorted(
             seq_groups.items(),
             key=lambda kv: (kv[0][0], str(kv[0][1]))):
-        f = _resolved_scan(spark, files, schema, pos, dv_frame)
+        f = _resolved_scan(spark, files, schema, pos, dv_frame,
+                           expose_positions=expose_positions)
         gpart = dict(gpk)
         for (dseq, names, pk), (alias, dels) in eq_frames:
             if dseq <= seq:
@@ -1863,6 +1992,37 @@ def _commit_snapshot(path: str, meta: dict | None, df_schema: list[dict],
         cur = next(s for s in meta["snapshots"]
                    if s["snapshot-id"] == meta["current-snapshot-id"])
         prior_entries = read_ocf(_read_bytes(cur["manifest-list"]))
+
+    # a manifest written with an EMPTY partition schema on a
+    # PARTITIONED table (the global equality/position delete shape)
+    # must reference an UNPARTITIONED spec (r14 advice): a conformant
+    # external reader resolves the entry's partition_spec_id to decode
+    # the manifest's partition type, so pointing such a manifest at
+    # the table's partitioned spec would misparse or mis-scope the
+    # deletes.  Reuse an existing empty spec or mint one (appended —
+    # positional specs[0] readers keep seeing the writing spec).
+    specs = list((meta or {}).get("partition-specs")
+                 or [{"spec-id": 0, "fields": part_fields}])
+    default_spec_id = int((meta or {}).get("default-spec-id") or 0)
+    extra_specs: list[dict] = []
+
+    def _spec_id_for(avro_fields: list) -> int:
+        if avro_fields:
+            return default_spec_id
+        default_fields = next(
+            (s.get("fields") or [] for s in specs
+             if int(s.get("spec-id") or 0) == default_spec_id),
+            part_fields or [])
+        if not default_fields:
+            return default_spec_id      # table is unpartitioned anyway
+        for s in specs + extra_specs:
+            if not s.get("fields"):
+                return int(s["spec-id"])
+        new_id = max(int(s.get("spec-id") or 0)
+                     for s in specs + extra_specs) + 1
+        extra_specs.append({"spec-id": new_id, "fields": []})
+        return new_id
+
     entries = list(prior_entries)
     for tag, content, m_entries in new_manifests:
         # a delete manifest may use its OWN partition-field schema —
@@ -1881,7 +2041,7 @@ def _commit_snapshot(path: str, meta: dict | None, df_schema: list[dict],
         entries.append({
             "manifest_path": f"file://{fsio.resolve(mpath)[1]}",
             "manifest_length": len(manifest_blob),
-            "partition_spec_id": 0,
+            "partition_spec_id": _spec_id_for(avro_fields),
             "content": content,
             "added_snapshot_id": snap_id,
         })
@@ -1957,6 +2117,9 @@ def _commit_snapshot(path: str, meta: dict | None, df_schema: list[dict],
         # upgrade on first commit (spec-sanctioned v1 -> v2 upgrade)
         new_meta["format-version"] = max(
             2, int(meta.get("format-version") or 2))
+    if extra_specs:
+        new_meta["partition-specs"] = list(
+            new_meta.get("partition-specs") or specs) + extra_specs
     new_meta.update({
         "last-sequence-number": seq,
         "last-updated-ms": ts,
@@ -3426,10 +3589,21 @@ def iceberg_cdf_apply_sink(path: str, app_id: str, keys: list[str],
                 if not fsio.exists(f"{path}/metadata/version-hint.text"):
                     seed = final.where("op <> 'D'").drop("op")
                     try:
-                        _append(spark, seed, path, [], None,
-                                summary_extra={
-                                    f"tulflow-txn-{app_id}":
-                                    int(batch_id)})
+                        marker = {f"tulflow-txn-{app_id}":
+                                  int(batch_id)}
+                        if seed.isEmpty():
+                            # an all-delete first batch must still
+                            # move the txn watermark, but staging a
+                            # zero-row data file just to carry it
+                            # would leave a manifest referencing an
+                            # empty file forever (r14 advice) — seed
+                            # with an empty-manifest snapshot instead
+                            _commit_snapshot(
+                                path, None, _ice_schema_of(seed),
+                                [], [], 0, [], summary_extra=marker)
+                        else:
+                            _append(spark, seed, path, [], None,
+                                    summary_extra=marker)
                         return
                     except IcebergConcurrentCommit as exc:
                         last = exc

@@ -797,7 +797,15 @@ class IcebergChangesStreamReader(DataSourceStreamReader):
 
         meta = load_table_metadata(self._path)
         snaps = self._ordered_snaps(meta)
-        return self._seq_of(snaps[-1]) if snaps else 0
+        if not snaps:
+            return 0
+        # the feed follows the MAIN branch: offsets advance to the
+        # current snapshot's sequence, not the global max — a branch
+        # ref ahead of main must not pull branch-only sequence numbers
+        # into a planned range (r14 advice)
+        cur = meta.get("current-snapshot-id")
+        head = next((s for s in snaps if s["snapshot-id"] == cur), None)
+        return self._seq_of(head if head is not None else snaps[-1])
 
     def _resolved_start(self) -> int | None:
         """startingSequence, or the cached startingTimestamp
@@ -1142,6 +1150,25 @@ class IcebergCdfStreamReader(IcebergChangesStreamReader):
             raise DeltaChangeFeedError(str(exc)) from None
         snaps = self._ordered_snaps(meta)
         in_range = [s for s in snaps if lo < self._seq_of(s) <= hi]
+        # main-lineage restriction FIRST (the batch reader's
+        # side-branch rule, ordered per r14 advice): snapshots
+        # reachable only through branch refs must neither deliver nor
+        # satisfy the completeness check below — a branch snapshot
+        # filling a sequence gap would mask an expired main-lineage
+        # snapshot in that gap.  A parentless head is a single-node
+        # lineage, not "no filter".
+        by_sid = {s["snapshot-id"]: s for s in snaps}
+        cur_sid = meta.get("current-snapshot-id")
+        head = by_sid.get(cur_sid)
+        if head is not None:
+            lineage, cur, seen = set(), head, set()
+            while cur is not None and cur["snapshot-id"] not in seen:
+                seen.add(cur["snapshot-id"])
+                lineage.add(cur["snapshot-id"])
+                pid = cur.get("parent-snapshot-id")
+                cur = by_sid.get(pid) if pid is not None else None
+            in_range = [s for s in in_range
+                        if s["snapshot-id"] in lineage]
         if not in_range:
             raise DeltaChangeFeedError(
                 f"snapshots in range ({lo}, {hi}] expired from the "
@@ -1153,22 +1180,6 @@ class IcebergCdfStreamReader(IcebergChangesStreamReader):
                 f"range ({lo}, {hi}] is missing expired snapshots "
                 f"(have sequences {sorted(seqs)}) — re-sync from a "
                 "snapshot read")
-        # main-lineage restriction (the batch reader's side-branch
-        # rule): snapshots reachable only through branch refs must
-        # not deliver into this feed
-        by_sid = {s["snapshot-id"]: s for s in snaps}
-        cur_sid = meta.get("current-snapshot-id")
-        head = by_sid.get(cur_sid)
-        if head is not None and head.get("parent-snapshot-id") \
-                is not None:
-            lineage, cur, seen = set(), head, set()
-            while cur is not None and cur["snapshot-id"] not in seen:
-                seen.add(cur["snapshot-id"])
-                lineage.add(cur["snapshot-id"])
-                pid = cur.get("parent-snapshot-id")
-                cur = by_sid.get(pid) if pid is not None else None
-            in_range = [s for s in in_range
-                        if s["snapshot-id"] in lineage]
 
         pn = lambda p: _re.sub("^file:/+", "/", p)  # noqa: E731
 
