@@ -123,10 +123,12 @@ def test_iceberg_cdf_stream_v3_dv_diff(registered, tmp_path):
         (2, "delete", 1), (3, "delete", 0), (3, "delete", 2)]
 
 
-def test_iceberg_cdf_stream_equality_deletes_fail_typed(
+def test_iceberg_cdf_stream_equality_deletes_over_threshold_fail_typed(
         registered, tmp_path):
-    """A merge (equality deletes) in range fails the BATCH typed —
-    and after compaction pays the debt down, the stream resumes."""
+    """Equality-delete debt ABOVE maxEqualityDeleteRows fails the
+    batch typed (resolving victims would scan the un-compacted
+    candidate set driver-side) — and after compaction pays the debt
+    down, the stream resumes."""
     from py4j.protocol import Py4JJavaError
     from pyspark.errors.exceptions.captured import StreamingQueryException
 
@@ -140,16 +142,94 @@ def test_iceberg_cdf_stream_equality_deletes_fail_typed(
                        match="EQUALITY|equality"):
         q = (spark.readStream.format("tulflow_iceberg_cdf")
              .option("path", t).option("startingSequence", "0")
+             .option("maxEqualityDeleteRows", "0")
              .load().writeStream.format("noop")
              .trigger(availableNow=True).start())
         q.awaitTermination(180)
         q.processAllAvailable()
     # compaction clears the debt; a stream from the rewrite onward
-    # delivers the post-debt changes
+    # delivers the post-debt changes under the same zero threshold
     rewrite_iceberg_data_files(spark, t)                      # seq 3
     delete_where_iceberg(spark, t, "id = 0")                  # seq 4
-    got = _drain(spark, t, startingSequence="3")
+    got = _drain(spark, t, startingSequence="3",
+                 maxEqualityDeleteRows="0")
     assert [x[:3] for x in got] == [(4, "delete", 0)]
+
+
+def test_iceberg_cdf_stream_merge_feed_matches_batch(registered,
+                                                     tmp_path):
+    """r15 (r14 VERDICT #2): merge_iceberg's OWN equality-delete
+    output streams through tulflow_iceberg_cdf — the planner resolves
+    victims to positions for small delete sets — and the full drained
+    feed equals the batch changelog row for row, including an update
+    that re-kills a key a prior merge already rewrote (overlapping
+    victims) and a same-batch insert+delete."""
+    spark = registered
+    t = str(tmp_path / "t")
+    write_iceberg_fixture(spark, _df(spark, 0, 6), t)         # seq 1
+    merge_iceberg(spark, t, spark.createDataFrame(
+        [(1, "B", "U"), (9, "n", "I")],
+        "id long, v string, op string"), ["id"])              # seq 2
+    merge_iceberg(spark, t, spark.createDataFrame(
+        [(1, "C", "U"), (3, None, "D")],
+        "id long, v string, op string"), ["id"])              # seq 3
+    append_iceberg_fixture(spark, _df(spark, 20, 22), t)      # seq 4
+    got = _drain(spark, t)
+    want = _rows(read_iceberg_cdf(spark, t).collect())
+    assert got == want
+    # state sanity: inserts minus deletes net to the live table
+    net: dict = {}
+    for _, ct, i, v in got:
+        net[(i, v)] = net.get((i, v), 0) + (1 if ct == "insert" else -1)
+    from tulflow_spark.ext.iceberg import read_iceberg
+
+    live = sorted((r["id"], r["v"])
+                  for r in read_iceberg(spark, t).collect())
+    assert sorted(k for k, n in net.items() if n) == live
+
+
+def test_iceberg_cdf_stream_restore_across_merges_matches_batch(
+        registered, tmp_path):
+    """Departed equality deletes (restore_iceberg across two merges
+    touching the same key) resurrect victims through the STREAM too —
+    deduped by the position sets — matching the batch changelog."""
+    spark = registered
+    t = str(tmp_path / "t")
+    write_iceberg_fixture(spark, _df(spark, 0, 4), t)         # seq 1
+    s1 = load_table_metadata(t)["current-snapshot-id"]
+    merge_iceberg(spark, t, spark.createDataFrame(
+        [(1, "B", "U")], "id long, v string, op string"),
+        ["id"])                                               # seq 2
+    merge_iceberg(spark, t, spark.createDataFrame(
+        [(1, "C", "U")], "id long, v string, op string"),
+        ["id"])                                               # seq 3
+    restore_iceberg(t, s1)                                    # seq 4
+    got = _drain(spark, t)
+    want = _rows(read_iceberg_cdf(spark, t).collect())
+    assert got == want
+    last = max(x[0] for x in got)
+    assert [x for x in got if x[0] == last] == sorted([
+        (last, "delete", 1, "C"), (last, "insert", 1, "x1")])
+
+
+def test_iceberg_cdf_stream_partitioned_merge_scopes_eq_deletes(
+        registered, tmp_path):
+    """Partition-scoped candidate selection: a merge on a partitioned
+    table writes GLOBAL equality deletes, and the stream's victim
+    resolution must match the batch on every partition."""
+    spark = registered
+    t = str(tmp_path / "t")
+    df = spark.createDataFrame(
+        [(i, f"x{i}", i % 2) for i in range(6)],
+        "id long, v string, g long").coalesce(1) \
+        .sortWithinPartitions("id")
+    write_iceberg_fixture(spark, df, t, partition_by=["g"])   # seq 1
+    merge_iceberg(spark, t, spark.createDataFrame(
+        [(0, "A", 0, "U"), (1, "B", 1, "U"), (9, "n", 1, "I")],
+        "id long, v string, g long, op string"), ["id"])      # seq 2
+    drained = _drain(spark, t)
+    want = _rows(read_iceberg_cdf(spark, t).collect())
+    assert drained == want
 
 
 def test_iceberg_cdf_stream_admission_control(registered, tmp_path):

@@ -93,6 +93,12 @@ GATED: frozenset[str] = frozenset(
         "ic4_iceberg_restore_cdf",
         "dl14_merge_evolve_cdf",
         "sdc4_stream_iceberg_cdf",
+        # r15: the new equality-delete-aware streaming changelog pair
+        # (r14 VERDICT #2 — merge_iceberg output streaming through
+        # tulflow_iceberg_cdf), gated on creation in place of
+        # tr1_train_shuffle (9 driver rows; pack1 keeps the
+        # training-data-plumbing anchor)
+        "sdc5_stream_merge_cdf",
         "bm1_bm25_search",
         # r10: cdc3_scd2_history rotated out (driver rows r7/r8/r9;
         # cdc2 keeps the CDC anchor) for the deletion-vector pair
@@ -189,7 +195,6 @@ GATED: frozenset[str] = frozenset(
         # family keeps dd1/dd3/dd10/dd12) to budget the slot for the new
         # ONNX scorer-slot pair
         "rr4_onnx_rerank",
-        "tr1_train_shuffle",
         # r10: rr3_numeric_rerank rotated out (driver rows r6..r9; rr1/
         # rr2/rr4 keep the re-rank anchors) for the raw-WARC crawl
         # composition pair

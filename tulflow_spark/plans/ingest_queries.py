@@ -832,6 +832,117 @@ def sdc4_stream_iceberg_cdf(spark: SparkSession,
 
 
 @register(
+    "sdc5_stream_merge_cdf",
+    oracle="""
+    WITH odd AS (SELECT doc_id, text FROM documents
+                 WHERE doc_id % 2 = 1),
+    u1 AS (SELECT * FROM odd WHERE doc_id % 5 = 0),
+    d1 AS (SELECT * FROM odd
+           WHERE doc_id % 7 = 0 AND doc_id % 5 <> 0),
+    i1 AS (SELECT doc_id + 100000000 AS doc_id, 'N:' || text AS text
+           FROM odd WHERE doc_id % 13 = 0),
+    u2 AS (SELECT * FROM odd WHERE doc_id % 15 = 0),
+    feed AS (
+      SELECT text, 'insert' AS ct, 1 AS sq FROM odd
+      UNION ALL SELECT text, 'delete', 2 FROM u1
+      UNION ALL SELECT text, 'delete', 2 FROM d1
+      UNION ALL SELECT 'M:' || text, 'insert', 2 FROM u1
+      UNION ALL SELECT text, 'insert', 2 FROM i1
+      UNION ALL SELECT 'M:' || text, 'delete', 3 FROM u2
+      UNION ALL SELECT 'M2:' || text, 'insert', 3 FROM u2
+    ),
+    keyed AS (SELECT ct || '|' || md5(text) || '|' || sq AS k, ct
+              FROM feed)
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(SUM(CASE WHEN ct = 'delete' THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_del,
+           md5(STRING_AGG(k, '' ORDER BY k)) AS feed_md5
+    FROM keyed
+    """,
+)
+def sdc5_stream_merge_cdf(spark: SparkSession,
+                          sf_dir: str) -> DataFrame:
+    """merge_iceberg's OWN equality-delete output streamed through
+    ``tulflow_iceberg_cdf`` (r15, r14 VERDICT #2 — the last CDC
+    asymmetry closed): odd docs land at sequence 1; a merge at 2
+    updates doc_id%5=0 ('M:' prefix), deletes %7 (non-%5) and inserts
+    fresh %13 keys; a second merge at 3 RE-updates %15 ('M2:') — keys
+    the first merge already rewrote, so its equality delete's victims
+    are the first merge's OWN output rows, and the seq-1 originals
+    (already dead at the predecessor) must NOT re-deliver.  One real
+    ``readStream`` drain resolves all victims to positions in the
+    planner (default ``maxEqualityDeleteRows``); the digest — keyed
+    on (change_type, text-hash, sequence) — must equal the DuckDB
+    reconstruction of the exact change stream.
+
+    At 100 TB: planning stays O(range snapshots); equality resolution
+    reads the delete files (threshold-bounded) plus the equality-key
+    COLUMNS of bounds-pruned candidate files driver-side, memoized
+    across the range; each task still Arrow-scans ONE data file with
+    positions shipped in the plan.  Above the threshold the batch
+    fails typed (compact or fall back to the batch changelog)."""
+    import tempfile
+
+    from tulflow_spark.ext.iceberg import (
+        merge_iceberg,
+        write_iceberg_fixture,
+    )
+    from tulflow_spark.sources.lake_stream import IcebergCdfSource
+
+    docs = table(spark, sf_dir, "documents").select("doc_id", "text")
+    odd = docs.filter("doc_id % 2 = 1")
+    t = tempfile.mkdtemp(prefix="sdc5_") + "/tbl"
+    write_iceberg_fixture(
+        spark, odd.coalesce(1).sortWithinPartitions("doc_id"), t)
+    ch1 = (
+        odd.filter("doc_id % 5 = 0")
+           .select("doc_id",
+                   F.concat(F.lit("M:"), F.col("text")).alias("text"),
+                   F.lit("U").alias("op"))
+        .unionByName(
+            odd.filter("doc_id % 7 = 0 AND doc_id % 5 <> 0")
+               .select("doc_id", "text", F.lit("D").alias("op")))
+        .unionByName(
+            odd.filter("doc_id % 13 = 0")
+               .select((F.col("doc_id") + 100000000).alias("doc_id"),
+                       F.concat(F.lit("N:"), F.col("text"))
+                        .alias("text"),
+                       F.lit("I").alias("op")))
+    )
+    merge_iceberg(spark, t, ch1, keys=["doc_id"])             # seq 2
+    ch2 = odd.filter("doc_id % 15 = 0").select(
+        "doc_id",
+        F.concat(F.lit("M2:"), F.col("text")).alias("text"),
+        F.lit("U").alias("op"))
+    merge_iceberg(spark, t, ch2, keys=["doc_id"])             # seq 3
+    spark.dataSource.register(IcebergCdfSource)
+    out = tempfile.mkdtemp(prefix="sdc5out_")
+    ckpt = tempfile.mkdtemp(prefix="sdc5ck_")
+    q = (spark.readStream.format("tulflow_iceberg_cdf")
+         .option("path", t).option("startingSequence", "0").load()
+         .writeStream.format("parquet").option("path", out)
+         .option("checkpointLocation", ckpt)
+         .trigger(availableNow=True).start())
+    if not q.awaitTermination(300):
+        q.stop()
+        raise TimeoutError(
+            "sdc5 stream did not drain within 300s — partial sink "
+            "contents would misreport as a correctness failure")
+    arrived = spark.read.parquet(out)
+    key = F.concat_ws(
+        "|", F.col("_change_type"), F.md5("text"),
+        F.col("_commit_seq").cast("string"))
+    ct = F.col("_change_type")
+    return arrived.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+        F.sum((ct == "delete").cast("long")).cast("bigint")
+         .alias("n_del"),
+        F.md5(F.concat_ws("", F.array_sort(F.collect_list(key))))
+         .alias("feed_md5"),
+    ).select("n_rows", "n_del", "feed_md5")
+
+
+@register(
     "ic1_iceberg_cdf",
     oracle="""
     WITH base AS (SELECT doc_id, text, lang FROM documents),

@@ -1110,23 +1110,142 @@ class IcebergCdfStreamReader(IcebergChangesStreamReader):
     insert/delete, ``_commit_seq``, ``_snapshot_id``) — for sequence
     numbers ``(start, end]``, resolved by the batch
     :func:`~tulflow_spark.ext.iceberg.read_iceberg_cdf` rules
-    restricted to the POSITION-derivable subset: appends deliver
+    restricted to the POSITION-resolvable subset: appends deliver
     added files' alive rows, whole-file removals deliver survivors,
     position-delete/DV set changes deliver the per-file pair DIFF in
     both directions (newly-dead delete, resurrected insert — the
     restore_iceberg shape), ``replace`` compactions contribute
-    nothing.  EQUALITY deletes in range fail the batch typed: their
-    victims need an alive-at-predecessor join no per-partition
-    executor read can compute — consume them through the batch
-    changelog instead.  Offsets / admission control
-    (``maxSequencesPerBatch``) / exactly-once recovery inherit from
-    the append-only reader.
+    nothing.  EQUALITY deletes (the ``merge_iceberg`` / Flink-CDC
+    write shape) are pre-resolved to positions in the PLANNER for
+    delete sets up to ``maxEqualityDeleteRows`` total rows (r15,
+    closing the last CDC asymmetry — the engine's own merge output
+    now streams through its own changelog source): each state's
+    eq-victims fold into its dead-position map, so arriving deletes
+    surface as newly-dead positions, departing ones (restore) as
+    resurrections, with overlap deduped by the position sets
+    themselves.  Above the threshold the batch fails typed — compact
+    with ``rewrite_iceberg_data_files``, raise the option, or consume
+    the range through the batch changelog.
 
     At 100 TB: planning is O(range snapshots) manifest walks plus
     pair-set reads of the position-delete/DV files (vector-sized,
     driver-side — the same frames the batch planner diffs); each
     task Arrow-scans ONE data file with its positions shipped in the
-    plan; side-branch snapshots never deliver (main-lineage walk)."""
+    plan; side-branch snapshots never deliver (main-lineage walk).
+    Equality resolution reads the delete files (threshold-bounded)
+    plus the EQUALITY-KEY COLUMNS of candidate data files
+    (manifest-bounds-pruned, memoized across the range) on the
+    driver — the typed wall exists precisely because that scan grows
+    with the un-compacted candidate set, not the change set."""
+
+    _EQ_ROWS_DEFAULT = 4096
+
+    def __init__(self, schema, options: dict):
+        super().__init__(schema, options)
+        cap = options.get("maxequalitydeleterows",
+                          options.get("maxEqualityDeleteRows"))
+        self._eq_cap = self._EQ_ROWS_DEFAULT if cap is None \
+            else int(cap)
+
+    def _eq_dead_map(self, meta: dict, snap: dict | None,
+                     eq_dels: list[dict], data_files: list[dict],
+                     memo: dict) -> dict:
+        """Equality-delete victims of ONE state resolved driver-side
+        to {normalized data path → dead row positions}.
+
+        Per delete file: read its key values once (memoized), then
+        scan the equality-key columns of candidate data files —
+        sequence-strict, partition-scoped, manifest-bounds-pruned
+        before any data IO, per-(delete, data-file) victim sets
+        memoized across the range's states so a delete live across V
+        snapshots costs one scan, not V."""
+        import re as _re
+
+        import pyarrow.parquet as _pq
+
+        from tulflow_spark import fsio as _f
+        from tulflow_spark.ext.iceberg import (
+            IcebergError,
+            _bounds_pruned,
+            _plain_path,
+            _schema_for,
+        )
+
+        pn = lambda p: _re.sub("^file:/+", "/", p)  # noqa: E731
+        try:
+            schema = _schema_for(meta, snap)
+        except IcebergError as exc:
+            raise DeltaChangeFeedError(str(exc)) from None
+        by_id = {int(f["id"]): (f["name"], f.get("type"))
+                 for f in schema.get("fields", [])}
+        out: dict = {}
+        for d in sorted(eq_dels, key=lambda d: str(d["file_path"])):
+            ids_ = [int(i) for i in (d.get("equality_ids") or [])]
+            if not ids_ or any(i not in by_id for i in ids_):
+                raise DeltaChangeFeedError(
+                    f"equality delete with unknown equality_ids "
+                    f"{ids_} — consume through batch read_iceberg_cdf")
+            names = [by_id[i][0] for i in ids_]
+            types = [by_id[i][1] for i in ids_]
+            dseq = d.get("__seq")
+            if dseq is None:
+                raise DeltaChangeFeedError(
+                    "equality delete without a sequence number")
+            part = d.get("partition") or {}
+            vkey = ("eqvals", d["file_path"])
+            if vkey not in memo:
+                fs_, lp_ = _f.resolve(_plain_path(d["file_path"]))
+                with fs_.open_input_file(lp_) as h:
+                    vt = _pq.read_table(h, columns=names)
+                cols = [vt.column(n).to_pylist() for n in names]
+                vals = set(zip(*cols)) if vt.num_rows else set()
+                bounds = []
+                for col in cols:
+                    nn = [x for x in col if x is not None]
+                    bounds.append((min(nn), max(nn)) if nn else None)
+                memo[vkey] = (vals, bounds)
+            vals, bounds = memo[vkey]
+            if not vals:
+                continue
+            for c in data_files:
+                if c.get("__seq") is None \
+                        or int(c["__seq"]) >= int(dseq):
+                    continue
+                if part and (c.get("partition") or {}) != part:
+                    continue
+                if any(b is not None and isinstance(t, str)
+                       and _bounds_pruned(c, i, t, b[0], b[1])
+                       for i, t, b in zip(ids_, types, bounds)):
+                    continue
+                ckey = ("eqvict", d["file_path"], c["file_path"])
+                if ckey not in memo:
+                    if str(c.get("file_format") or "").upper() \
+                            != "PARQUET":
+                        raise DeltaChangeFeedError(
+                            "equality deletes over non-parquet data "
+                            "files not supported in the stream — "
+                            "consume through batch read_iceberg_cdf")
+                    fs_, lp_ = _f.resolve(_plain_path(c["file_path"]))
+                    with fs_.open_input_file(lp_) as h:
+                        pf = _pq.ParquetFile(h)
+                        have = set(pf.schema_arrow.names)
+                        if not set(names) <= have:
+                            raise DeltaChangeFeedError(
+                                f"data file {c['file_path']!r} lacks "
+                                f"equality columns "
+                                f"{sorted(set(names) - have)} "
+                                "(schema-evolved physical layout) — "
+                                "consume through batch "
+                                "read_iceberg_cdf")
+                        dt = pf.read(columns=names)
+                    dcols = [dt.column(n).to_pylist() for n in names]
+                    memo[ckey] = {
+                        i for i, tu in enumerate(zip(*dcols))
+                        if tu in vals} if dt.num_rows else set()
+                if memo[ckey]:
+                    out.setdefault(pn(_plain_path(c["file_path"])),
+                                   set()).update(memo[ckey])
+        return out
 
     def partitions(self, start: dict, end: dict) -> list[InputPartition]:
         import re as _re
@@ -1220,6 +1339,10 @@ class IcebergCdfStreamReader(IcebergChangesStreamReader):
         # iteration's CURRENT state becomes the next one's PREV when
         # the parent chain is consecutive (the _cdf_plan precedent)
         roll: tuple | None = None       # (sid, data, dels, pairs)
+        # equality-resolution memo shared across the range's states:
+        # eq value sets and per-(delete, data-file) victim sets
+        eq_memo: dict = {}
+        eq_rows_seen: dict[str, int] = {}
         for s in in_range:
             sid = s["snapshot-id"]
             seq = self._seq_of(s)
@@ -1245,13 +1368,24 @@ class IcebergCdfStreamReader(IcebergChangesStreamReader):
                 data_s, dels_s = _live_files(meta, sid)
             except IcebergError as exc:
                 raise DeltaChangeFeedError(str(exc)) from None
-            if any(int(d.get("content") or 0) == 2
-                   for d in dels_prev + dels_s):
+            eq_prev = [d for d in dels_prev
+                       if int(d.get("content") or 0) == 2]
+            eq_cur = [d for d in dels_s
+                      if int(d.get("content") or 0) == 2]
+            for d in eq_prev + eq_cur:
+                p = str(d["file_path"])
+                if p not in eq_rows_seen:
+                    eq_rows_seen[p] = int(d.get("record_count") or 0)
+            total_eq = sum(eq_rows_seen.values())
+            if total_eq > self._eq_cap:
                 raise DeltaChangeFeedError(
-                    f"snapshot {sid} range carries EQUALITY deletes: "
-                    "their victims need an alive-at-predecessor join "
-                    "— consume this range through the batch "
-                    "read_iceberg_cdf instead")
+                    f"range carries {total_eq} EQUALITY-delete rows "
+                    f"(> maxEqualityDeleteRows={self._eq_cap}): "
+                    "resolving their victims in the planner would "
+                    "scan the un-compacted candidate set driver-side "
+                    "— compact with rewrite_iceberg_data_files, raise "
+                    "the option, or consume this range through the "
+                    "batch read_iceberg_cdf")
             dp = {pn(_plain_path(d["file_path"])): d
                   for d in data_prev}
             dc = {pn(_plain_path(d["file_path"])): d for d in data_s}
@@ -1270,6 +1404,21 @@ class IcebergCdfStreamReader(IcebergChangesStreamReader):
             prev_pairs = prev_pairs_c if prev_pairs_c is not None \
                 else (pair_map(dels_prev) if dels_prev else {})
             cur_pairs = pair_map(dels_s) if dels_s else {}
+            # fold each state's equality-delete victims into its
+            # dead-position map (r15): the position diff below then
+            # delivers arriving-delete victims as newly-dead rows and
+            # departing ones (restore) as resurrections, and a rolled
+            # state already carries its own eq-victims forward
+            if eq_prev and prev_pairs_c is None:
+                prev_snap = by_sid.get(prev_sid) or s
+                for k, v in self._eq_dead_map(
+                        meta, prev_snap, eq_prev, data_prev,
+                        eq_memo).items():
+                    prev_pairs.setdefault(k, set()).update(v)
+            if eq_cur:
+                for k, v in self._eq_dead_map(
+                        meta, s, eq_cur, data_s, eq_memo).items():
+                    cur_pairs.setdefault(k, set()).update(v)
             roll = (sid, data_s, dels_s, cur_pairs)
 
             def mk(path_key, d, ctype, positions, exclude):
@@ -1385,9 +1534,10 @@ class IcebergCdfStreamReader(IcebergChangesStreamReader):
 
 class IcebergCdfSource(IcebergChangesSource):
     """``spark.readStream.format("tulflow_iceberg_cdf")`` — the
-    streaming CHANGELOG source (appends, whole-file removals and
-    position-delete/DV changes as typed change rows; equality
-    deletes stay on the batch reader)."""
+    streaming CHANGELOG source (appends, whole-file removals,
+    position-delete/DV changes, and equality deletes up to
+    ``maxEqualityDeleteRows`` planner-resolved rows as typed change
+    rows; larger equality-delete debt stays on the batch reader)."""
 
     @classmethod
     def name(cls) -> str:
