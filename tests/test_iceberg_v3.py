@@ -438,3 +438,54 @@ def test_snapshot_as_of_empty_history_message():
 
     with pytest.raises(IcebergError, match="no snapshot history"):
         snapshot_as_of({"snapshot-log": [], "snapshots": []}, 10)
+
+
+def test_v3_wide_delete_collects_only_bitmaps(spark, tmp_path,
+                                              monkeypatch):
+    """r14 VERDICT #3: the v3 delete_where path must not collect a row
+    per matched position — a wide DELETE (>=1e5 matched rows across
+    two files) ships one roaring-bitmap row per touched data file to
+    the driver, and the committed state still reads exactly."""
+    try:    # Spark 4: instances are classic.DataFrame, not the ABC
+        from pyspark.sql.classic import dataframe as _psql
+    except ImportError:
+        import pyspark.sql.dataframe as _psql
+
+    from tulflow_spark.ext.iceberg import delete_where_iceberg
+
+    t = str(tmp_path / "t")
+    n = 120_000
+    half = (spark.range(n // 2)
+            .selectExpr("id", "CAST(id AS STRING) AS v")
+            .coalesce(1).sortWithinPartitions("id"))
+    other = (spark.range(n // 2, n)
+             .selectExpr("id", "CAST(id AS STRING) AS v")
+             .coalesce(1).sortWithinPartitions("id"))
+    write_iceberg_fixture(spark, half, t)
+    append_iceberg_fixture(spark, other, t)
+    upgrade_iceberg_v3(t)
+    meta = load_table_metadata(t)
+    n_files = len(_live_files(meta, None)[0])
+    assert n_files >= 2
+    orig = _psql.DataFrame.collect
+    sizes: list[int] = []
+
+    def spy(self):
+        rows = orig(self)
+        sizes.append(len(rows))
+        return rows
+
+    monkeypatch.setattr(_psql.DataFrame, "collect", spy)
+    delete_where_iceberg(spark, t, "id % 3 <> 0")   # kills 2/3 = 80k
+    monkeypatch.setattr(_psql.DataFrame, "collect", orig)
+    # every driver-side collect during the delete is bounded by the
+    # data-file count (bitmap rows + scalar validation aggregates) —
+    # never one row per matched position
+    assert sizes, "expected at least the bitmap collect"
+    assert max(sizes) <= n_files + 4
+    got = sorted(r["id"] for r in read_iceberg(spark, t).collect())
+    assert got == [i for i in range(n) if i % 3 == 0]
+    # the DV survives a further merge-with-prior on the same files
+    delete_where_iceberg(spark, t, "id % 2 = 0 AND id % 3 = 0")
+    got = sorted(r["id"] for r in read_iceberg(spark, t).collect())
+    assert got == [i for i in range(n) if i % 3 == 0 and i % 2]

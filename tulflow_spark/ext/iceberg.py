@@ -2398,7 +2398,10 @@ def tag_iceberg_snapshot(path: str, name: str,
 
 def delete_positions_iceberg_v3(
         spark: SparkSession, path: str,
-        deletes: dict[str, list[int]]) -> int:
+        deletes: dict[str, list[int]],
+        *, meta: dict | None = None,
+        extra_data_records: list[dict] | None = None,
+        operation: str = "delete") -> int:
     """Row-level delete on a format-v3 table via DELETION VECTORS:
     one Puffin file holding a roaring bitmap per referenced data file,
     committed as a full-state ``delete`` snapshot (the v3 face of
@@ -2412,6 +2415,13 @@ def delete_positions_iceberg_v3(
     only be writer error); v1/v2 tables refuse typed (DVs are a v3
     feature — ``upgrade_iceberg_v3`` first).
 
+    ``meta`` pins the caller's loaded view as the CAS base (a racing
+    commit then loses typed instead of landing on a stale sequence);
+    ``extra_data_records`` adds staged data files to the SAME
+    snapshot — the v3 UPDATE shape, where the DV addresses the old
+    files and the update's output (same sequence number) is never
+    hidden by it (r14 VERDICT #6).
+
     At 100 TB: the bitmaps are cardinality-sized and never touch the
     data plane; reads subtract them with one broadcast anti-join, and
     ``rewrite_iceberg_data_files`` pays the debt down exactly as for
@@ -2422,7 +2432,8 @@ def delete_positions_iceberg_v3(
 
     from tulflow_spark.ext import puffin as _pf
 
-    meta = load_table_metadata(path)
+    if meta is None:
+        meta = load_table_metadata(path)
     fv = int(meta.get("format-version") or 1)
     if fv < 3:
         raise IcebergError(
@@ -2432,15 +2443,33 @@ def delete_positions_iceberg_v3(
     by_path = {d["file_path"]: d for d in data_files}
     if not deletes:
         raise IcebergError("empty delete map")
+    # a value is row positions, OR a PRE-ENCODED (roaring vector
+    # bytes, cardinality, max_position) triple from the executor-side
+    # bitmap aggregation (delete_where_iceberg's v3 path) — only
+    # bitmap bytes cross the driver boundary there, so this writer
+    # must not force them back through a position array unless a
+    # prior DV on the same file needs merging
     merged: dict[str, np.ndarray] = {}
+    encoded: dict[str, tuple[bytes, int]] = {}
     for fp, poss in sorted(deletes.items()):
         target = by_path.get(fp)
         if target is None:
             raise IcebergError(f"delete target {fp!r} is not live")
+        n = int(target.get("record_count") or 0)
+        if isinstance(poss, tuple) and len(poss) == 3 \
+                and isinstance(poss[0], (bytes, bytearray)):
+            vec, card, mx = bytes(poss[0]), int(poss[1]), int(poss[2])
+            if card <= 0:
+                raise IcebergError(f"empty position list for {fp!r}")
+            if mx < 0 or (n and mx >= n):
+                raise IcebergError(
+                    f"positions for {fp!r} outside [0, {n}) — "
+                    "refusing to commit an unreadable deletion vector")
+            encoded[fp] = (vec, card)
+            continue
         if not poss:
             raise IcebergError(f"empty position list for {fp!r}")
         arr = np.unique(np.asarray(list(poss), dtype=np.int64))
-        n = int(target.get("record_count") or 0)
         if arr[0] < 0 or (n and arr[-1] >= n):
             raise IcebergError(
                 f"positions for {fp!r} outside [0, {n}) — refusing "
@@ -2450,10 +2479,22 @@ def delete_positions_iceberg_v3(
     for d in delete_files:
         if str(d.get("file_format") or "").upper() == "PUFFIN":
             dv_old[str(d["referenced_data_file"])] = d
-    superseded = [d for ref, d in dv_old.items() if ref in merged]
+    superseded = [d for ref, d in dv_old.items()
+                  if ref in merged or ref in encoded]
     prior_map = _read_dv_map(superseded)     # one read per sidecar
     for fp, prior in prior_map.items():
-        merged[fp] = np.union1d(merged[fp], prior)
+        if fp in encoded:
+            # merge-with-prior is prior-debt-sized: decode only the
+            # vectors whose data file already carries a DV
+            from tulflow_spark.ext.deletion_vectors import (
+                decode_rbm_array,
+            )
+
+            vec, _ = encoded.pop(fp)
+            merged[fp] = np.union1d(decode_rbm_array(vec), prior)
+        else:
+            merged[fp] = np.union1d(merged[fp], prior)
+    merged = {**merged, **encoded}
     seq = _next_sequence_number(meta)
     snap_id = _fresh_snapshot_id(meta)
     attempt = _uuid.uuid4().hex[:8]
@@ -2479,7 +2520,9 @@ def delete_positions_iceberg_v3(
     exist = lambda d: {"status": 0, "snapshot_id": None,  # noqa: E731
                        "sequence_number": d.get("__seq"),
                        "data_file": d}
-    data_entries = [exist(d) for d in data_files]
+    data_entries = [exist(d) for d in data_files] + [
+        {"status": 1, "snapshot_id": None, "sequence_number": seq,
+         "data_file": d} for d in (extra_data_records or [])]
     delete_entries = (
         [exist(d) for d in delete_files
          if str(d.get("file_format") or "").upper() != "PUFFIN"
@@ -2500,15 +2543,15 @@ def delete_positions_iceberg_v3(
     # DROP its value, breaking pruning and eq-delete scoping), typing
     # from the schema where the field is an identity transform and
     # from the values themselves otherwise (bucket/truncate are ints)
-    pnames = sorted({k for d in data_files + delete_files
+    carried = data_files + delete_files + list(extra_data_records or [])
+    pnames = sorted({k for d in carried
                      for k in (d.get("partition") or {})})
 
     def _ptype(n: str) -> str:
         src = ident.get(n, n)
         if src in by_name:
             return _avro_part_type(str(by_name[src]))
-        vals = [(d.get("partition") or {}).get(n)
-                for d in data_files + delete_files]
+        vals = [(d.get("partition") or {}).get(n) for d in carried]
         return "string" if any(isinstance(v, str) for v in vals) \
             else "long"
 
@@ -2518,7 +2561,7 @@ def delete_positions_iceberg_v3(
         path, meta, schema["fields"], specs[0].get("fields") or [],
         [], 0, part_avro, manifest_entries=data_entries,
         delete_manifest_entries=delete_entries, carry_prior=False,
-        operation="delete", snapshot_id=snap_id)
+        operation=operation, snapshot_id=snap_id)
 
 
 def expire_iceberg_snapshots(spark: SparkSession, path: str,
@@ -3200,6 +3243,63 @@ def merge_iceberg(spark: SparkSession, path: str, changes: DataFrame,
         summary_extra=extra)
 
 
+def _position_bitmaps(pairs: DataFrame, data_files: list[dict]
+                      ) -> dict[str, tuple[bytes, int, int]]:
+    """(file_path, pos) frame → ``{table file path: (roaring vector
+    bytes, cardinality, max position)}`` via an executor-side
+    ``groupBy(file).applyInPandas`` aggregation — ONE compressed
+    bitmap row per touched data file reaches the driver, never a row
+    per matched position (r14 VERDICT #3; pinned by
+    ``test_v3_wide_delete_collects_only_bitmaps``)."""
+    import re as _re
+
+    from pyspark.sql.types import (
+        BinaryType,
+        LongType,
+        StringType,
+        StructField,
+        StructType,
+    )
+
+    out_schema = StructType([
+        StructField("file_path", StringType()),
+        StructField("vec", BinaryType()),
+        StructField("cardinality", LongType()),
+        StructField("max_pos", LongType()),
+    ])
+
+    def _bitmap(pdf):
+        import numpy as _np
+        import pandas as _pd
+
+        from tulflow_spark.ext.deletion_vectors import (
+            encode_rbm_array,
+        )
+
+        poss = _np.unique(pdf["pos"].to_numpy(dtype="int64"))
+        return _pd.DataFrame({
+            "file_path": [pdf["file_path"].iloc[0]],
+            "vec": [encode_rbm_array(poss)],
+            "cardinality": [int(poss.size)],
+            "max_pos": [int(poss.max())],
+        })
+
+    by_norm = {_re.sub("^file:/+", "/",
+                       _plain_path(d["file_path"])): d["file_path"]
+               for d in data_files}
+    vecs: dict[str, tuple[bytes, int, int]] = {}
+    for r in pairs.groupBy("file_path").applyInPandas(
+            _bitmap, out_schema).collect():
+        key = by_norm.get(_re.sub("^file:/+", "/", r["file_path"]))
+        if key is None:
+            raise IcebergError(
+                f"matched file {r['file_path']!r} not in the "
+                "snapshot")
+        vecs[key] = (bytes(r["vec"]), int(r["cardinality"]),
+                     int(r["max_pos"]))
+    return vecs
+
+
 def delete_where_iceberg(spark: SparkSession, path: str,
                          condition: str,
                          expect_snapshot_id: int | None = None) -> int:
@@ -3218,7 +3318,9 @@ def delete_where_iceberg(spark: SparkSession, path: str,
     At 100 TB: the match scan is declarative (predicate pushdown
     prunes files); the committed delete files are matched-row-sized
     and written distributed — matched positions never collect to the
-    driver on v2."""
+    driver: v2 stages position-delete parquet distributed, v3 ships
+    one compressed roaring bitmap per touched file (pinned by
+    ``test_v3_wide_delete_collects_only_bitmaps``)."""
     from pyspark.sql import functions as F
 
     meta, schema, data_files, delete_files = _dml_preamble(
@@ -3242,25 +3344,14 @@ def delete_where_iceberg(spark: SparkSession, path: str,
         F.col(fcol).alias("file_path"), F.col(pcol).alias("pos"))
     fv = int(meta.get("format-version") or 1)
     if fv >= 3:
-        # v3 forbids position-delete FILES: route through the DV
-        # writer (matched-row-bounded driver pass — a production v3
-        # writer would build the bitmaps executor-side)
-        import re as _re
-
-        by_norm = {_re.sub("^file:/+", "/",
-                           _plain_path(d["file_path"])): d["file_path"]
-                   for d in data_files}
-        pairs: dict[str, list[int]] = {}
-        for r in matched.collect():
-            key = by_norm.get(_re.sub("^file:/+", "/", r["file_path"]))
-            if key is None:
-                raise IcebergError(
-                    f"matched file {r['file_path']!r} not in the "
-                    "snapshot")
-            pairs.setdefault(key, []).append(int(r["pos"]))
-        if not pairs:
+        # v3 forbids position-delete FILES: route matched positions
+        # through the executor-side bitmap aggregation (r14 VERDICT
+        # #3) into the DV writer
+        vecs = _position_bitmaps(matched, data_files)
+        if not vecs:
             return int(meta["current-snapshot-id"])
-        return delete_positions_iceberg_v3(spark, path, pairs)
+        return delete_positions_iceberg_v3(spark, path, vecs,
+                                           meta=meta)
     recs = _stage_pos_delete_files(matched, path,
                                    _next_sequence_number(meta))
     if not recs:
@@ -3284,13 +3375,20 @@ def update_where_iceberg(spark: SparkSession, path: str,
     hidden.  Returns the new snapshot id (the current one when
     nothing matched).
 
+    On FORMAT-V3 tables the same one-snapshot shape holds with a
+    DELETION VECTOR instead of a position-delete file (r14 VERDICT
+    #6, closing the v3 DML asymmetry): matched positions aggregate to
+    per-file roaring bitmaps executor-side, and the DV entries commit
+    atomically WITH the update's data files — the DV addresses the
+    old files, so the new rows (same sequence number) are never
+    hidden by it.
+
     Typed walls: live equality deletes and ORC files (as
-    :func:`delete_where_iceberg`), and v3 tables (an update needs the
-    DV and the data files in one atomic snapshot; on v3 use
-    :func:`merge_iceberg`, whose equality deletes are v3-legal).
+    :func:`delete_where_iceberg`).
 
     At 100 TB: matched-row-sized delete + data files, both written
-    distributed; untouched files carry by reference."""
+    distributed; untouched files carry by reference; on v3 only
+    per-file bitmap bytes reach the driver."""
     from pyspark.sql import functions as F
 
     meta, schema, data_files, delete_files = _dml_preamble(
@@ -3303,11 +3401,6 @@ def update_where_iceberg(spark: SparkSession, path: str,
     if unknown:
         raise IcebergError(
             f"set_exprs target unknown columns {unknown}")
-    if int(meta.get("format-version") or 1) >= 3:
-        raise IcebergError(
-            "update_where_iceberg on a v3 table not supported (the "
-            "position deletes it writes are forbidden there) — use "
-            "merge_iceberg, whose equality deletes are v3-legal")
     if any(int(d.get("content") or 0) == 2 for d in delete_files):
         raise IcebergError(
             "update_where over live equality deletes not supported — "
@@ -3337,17 +3430,32 @@ def update_where_iceberg(spark: SparkSession, path: str,
     pairs = matched.select(F.col(fcol).alias("file_path"),
                            F.col(pcol).alias("pos"))
     seq = _next_sequence_number(meta)
-    del_recs = _stage_pos_delete_files(pairs, path, seq)
-    if not del_recs:
-        return int(meta["current-snapshot-id"])
-    updated = matched.select([
-        (F.expr(set_exprs[c]).cast(types[c]) if c in set_exprs
-         else F.col(c)).alias(c)
-        for c in cols
-    ])
     fid = {f["name"]: int(f["id"]) for f in fields}
     ident = _identity_partition_names(meta, schema)
     part_cols = list(ident.values())
+
+    def _updated():
+        return matched.select([
+            (F.expr(set_exprs[c]).cast(types[c]) if c in set_exprs
+             else F.col(c)).alias(c)
+            for c in cols
+        ])
+
+    if int(meta.get("format-version") or 1) >= 3:
+        # v3: DV entries + updated data files in ONE snapshot
+        vecs = _position_bitmaps(pairs, data_files)
+        if not vecs:
+            return int(meta["current-snapshot-id"])
+        data_recs = _stage_data_files(_updated(), path, seq,
+                                      part_cols, "parquet",
+                                      fid_of=fid, single_file=False)
+        return delete_positions_iceberg_v3(
+            spark, path, vecs, meta=meta,
+            extra_data_records=data_recs, operation="overwrite")
+    del_recs = _stage_pos_delete_files(pairs, path, seq)
+    if not del_recs:
+        return int(meta["current-snapshot-id"])
+    updated = _updated()
     by_name = {f.name: f.dataType.simpleString()
                for f in updated.schema.fields}
     part_avro = [(c, _avro_part_type(by_name[c])) for c in part_cols]

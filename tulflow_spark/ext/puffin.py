@@ -167,6 +167,12 @@ def write_dv_file(path: str, dvs: dict[str, "np.ndarray | list[int]"],
     """Fixture writer: one Puffin file holding one deletion-vector
     blob per referenced data file.
 
+    A value may be row positions (encoded here) or a PRE-ENCODED
+    ``(roaring_vector_bytes, cardinality)`` tuple — the executor-side
+    bitmap-aggregation path ships vectors, and re-decoding them on the
+    driver just to re-encode would defeat it; the blob CRC is computed
+    here either way.
+
     Returns ``{referenced_data_file: {"offset", "length",
     "cardinality"}}`` — exactly the coordinates a v3 manifest entry
     needs.  Deterministic bytes for fixed input (archived fixtures
@@ -177,9 +183,16 @@ def write_dv_file(path: str, dvs: dict[str, "np.ndarray | list[int]"],
     blobs: list[dict] = []
     coords: dict[str, dict] = {}
     for ref in sorted(dvs):
-        blob = encode_dv_blob(dvs[ref])
-        card = int(len(decode_rbm_array(
-            blob[4:-4])))  # post-dedup cardinality, not len(input)
+        val = dvs[ref]
+        if isinstance(val, tuple) and len(val) == 2 \
+                and isinstance(val[0], (bytes, bytearray)):
+            vec, card = bytes(val[0]), int(val[1])
+            blob = struct.pack(">I", len(vec)) + vec + \
+                struct.pack(">I", zlib.crc32(vec))
+        else:
+            blob = encode_dv_blob(val)
+            card = int(len(decode_rbm_array(
+                blob[4:-4])))  # post-dedup cardinality, not len(input)
         off = len(body)
         body += blob
         blobs.append({

@@ -99,6 +99,11 @@ GATED: frozenset[str] = frozenset(
         # tr1_train_shuffle (9 driver rows; pack1 keeps the
         # training-data-plumbing anchor)
         "sdc5_stream_merge_cdf",
+        # r15: the new v3 UPDATE pair (r14 VERDICT #6 — DV + data in
+        # one atomic snapshot), gated on creation in place of
+        # ss10_int8_quant (8 driver rows; ss8/ss9 keep the quantized-
+        # ANN anchors)
+        "ic6_v3_update_cdf",
         "bm1_bm25_search",
         # r10: cdc3_scd2_history rotated out (driver rows r7/r8/r9;
         # cdc2 keeps the CDC anchor) for the deletion-vector pair
@@ -143,7 +148,6 @@ GATED: frozenset[str] = frozenset(
         # incremental-changes pair
         "ib2_iceberg_changes",
         "rr1_rerank_topk",
-        "ss10_int8_quant",
         # r9: x6_dynamic_xpath rotated out (driver rows r7+r8; x2b/x3/x4
         # keep the XML-family anchors) for the Aho-Corasick blocklist
         # pair
