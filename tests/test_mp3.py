@@ -543,3 +543,34 @@ def test_all_registry_tables_are_complete_prefix_codes():
         for i, (l1, c1) in enumerate(items):
             for (l2, c2) in items[i + 1:]:
                 assert not (l1 <= l2 and (c2 >> (l2 - l1)) == c1), sel
+
+
+def test_esc_alias_registry_wiring():
+    """r15 (r14 VERDICT #4): ESC tables 16-31 are sixteen selectors
+    over TWO code matrices — 17-23 reuse table 16's codes, 25-31 table
+    24's, differing only in linbits.  The linbits list is the spec's
+    ESC column (structural data, admitted without a Huffman
+    transcription); the alias wiring fills all seven siblings the
+    moment a base matrix lands."""
+    from tulflow_spark.ext.mp3 import (
+        BIG_VALUE_TABLES,
+        ESC_LINBITS,
+        _register_esc_aliases,
+    )
+
+    assert ESC_LINBITS == {
+        16: 1, 17: 2, 18: 3, 19: 4, 20: 6, 21: 8, 22: 10, 23: 13,
+        24: 4, 25: 5, 26: 6, 27: 7, 28: 8, 29: 9, 30: 11, 31: 13,
+    }
+    # base matrices have not passed the first-honest-transcription
+    # gate: no ESC selector may be registered today
+    assert not (set(BIG_VALUE_TABLES) & set(ESC_LINBITS))
+    # the wiring itself: an injected base fans out to its siblings
+    # with the right linbits, never touching the other ESC half
+    fake = dict(BIG_VALUE_TABLES)
+    fake[16] = (1, BIG_VALUE_TABLES[7][1])   # any valid code matrix
+    _register_esc_aliases(fake)
+    for sel in range(16, 24):
+        assert fake[sel] == (ESC_LINBITS[sel], fake[16][1])
+    for sel in range(24, 32):
+        assert sel not in fake

@@ -32,7 +32,13 @@ MPEG-1 audio overview literature):
   ITERATING a recalled table against the gate until it closes would
   manufacture a plausible-but-wrong code); tables 10, 11, 13, 15, 16
   and 24 failed first-transcription validation and remain typed
-  walls.  In-repo fixtures are SELF-CONSISTENT: the test
+  walls (r15: re-attempt declined — the 64-/256-entry code matrices
+  exceed reliable recall and the contract forbids iterating against
+  the gate; instead the ESC alias registry (`ESC_LINBITS`) ships the
+  spec's structural 16-31 linbits column, so the outstanding entry
+  is six base matrices covering twenty-two selectors, and the typed
+  wall now names the base matrix a stream needs).  In-repo fixtures
+  are SELF-CONSISTENT: the test
   encoder writes codes from the same registry, and the golden
   expectations are analytic in the SIGNAL domain (tone frequency), the
   ext/vorbis.py strategy.
@@ -299,6 +305,35 @@ BIG_VALUE_TABLES: dict[int, tuple[int, dict]] = {
     12: (0, _T12),
 }
 
+# Outstanding B.7 data entry, per the transcription contract (tables
+# admitted only when the FIRST honest transcription passes the
+# structural gate; 4 and 14 are "not used" by the spec):
+#   10, 11 — 8x8, linbits 0       13, 15 — 16x16, linbits 0
+#   16, 24 — 16x16 ESC base matrices
+# ESC tables 16-31 are SIXTEEN selectors over those TWO base
+# matrices: 17-23 reuse table 16's codes, 25-31 reuse table 24's,
+# differing only in linbits (the spec's ESC list below — structural
+# data, not a Huffman transcription).  The alias registration makes
+# every ESC selector light up the moment its base matrix lands, so
+# the outstanding entry is six matrices for sixteen selectors.
+ESC_LINBITS: dict[int, int] = {
+    16: 1, 17: 2, 18: 3, 19: 4, 20: 6, 21: 8, 22: 10, 23: 13,
+    24: 4, 25: 5, 26: 6, 27: 7, 28: 8, 29: 9, 30: 11, 31: 13,
+}
+
+
+def _register_esc_aliases(registry: dict) -> None:
+    """Fill ESC selectors 17-23 / 25-31 from their base matrices (16 /
+    24) when present — separated from import so tests can drive the
+    wiring against an injected base without a real transcription."""
+    for sel, lb in ESC_LINBITS.items():
+        base = 16 if sel < 24 else 24
+        if base in registry and sel not in registry:
+            registry[sel] = (lb, registry[base][1])
+
+
+_register_esc_aliases(BIG_VALUE_TABLES)
+
 # count1 table B (count1table_select=1): every quadruple is its 4-bit
 # one's complement, length 4
 _C1B = {
@@ -550,9 +585,14 @@ def _huffman_spectrum(br: BitReaderMSB, g: GranuleInfo, rate: int,
             sel = g.table_select[2]
         got = _BV_LUT.get(sel)
         if got is None:
+            base = (16 if 16 <= sel < 24 else
+                    24 if 24 <= sel < 32 else sel)
             raise Mp3Error(
-                f"Huffman table {sel} not in the registry (transcribe ISO "
-                "Table B.7 entries into BIG_VALUE_TABLES to extend)"
+                f"Huffman table {sel} not in the registry — "
+                f"transcribing ISO Table B.7 matrix {base} into "
+                "BIG_VALUE_TABLES extends it"
+                + (f" (and its ESC aliases {base}..{base + 7} with it)"
+                   if base in (16, 24) else "")
             )
         return got
 
