@@ -73,66 +73,48 @@ def main() -> None:
     all_queries = {**QUERIES, **EXTRA_QUERIES}
     timings: dict[str, float] = {}
     failures: list[str] = []
-    # SPARK_GRAFT_BENCH_REPEAT=N (default 2): run each query N times and
-    # report the MIN.  Repeats are the DEFAULT for the official run because
-    # single-shot numbers on this VM carry phantom 3x co-tenant spikes
-    # (x2 19.6 s benched vs 1.1-1.6 s warm, r5 VERDICT); min-of-N is the
-    # right statistic for plan cost (noise is strictly additive) and
-    # min-of-2 already requires a spike to hit both runs.  Set =1 for a
-    # quick smoke pass.
+    # SPARK_GRAFT_BENCH_REPEAT=N (default 2): report the MIN of N runs.
+    # Repeats are the DEFAULT for the official run because single-shot
+    # numbers on this VM carry phantom 3x co-tenant spikes (x2 19.6 s
+    # benched vs 1.1-1.6 s warm, r5 VERDICT); min-of-N is the right
+    # statistic for plan cost (noise is strictly additive) and min-of-2
+    # already requires a spike to hit both runs.  Set =1 for a quick
+    # smoke pass.
     #
-    # SPARK_GRAFT_BENCH_BUDGET (default 240 s): once WALL time passes the
-    # budget, remaining queries drop to single runs — the driver wraps
-    # bench.py in `timeout 580`, and a killed bench emits only partial
-    # snapshots, which is strictly worse than single-shot tails.
-    # (r12: 380 -> 300 after a 536 s wall at 168 queries; r13: 300 -> 240
-    # AND heavy queries never repeat — at 174 queries on a degraded box a
-    # repeat=2 run crossed 580 with 31 queries pending.)
+    # TWO-PHASE schedule (r15, r14 VERDICT #5 — the old alphabetical
+    # repeat-until-budget order spent its repeat budget on whatever
+    # sorted early, so n_single_run grew with the registry, 126/183 by
+    # r14): phase 1 runs EVERY query once; phase 2 spends the
+    # remaining wall on second runs CHEAPEST-FIRST, which buys the
+    # most min-of-2 coverage per second — and the cheap queries are
+    # exactly where phantom spikes fabricate regressions.  Heavy
+    # queries (first run > 4*SPARK_GRAFT_BENCH_HEAVY, default 3 s)
+    # never repeat: paying a 39 s streaming pair twice buys nothing
+    # and is what breaches the driver's `timeout 580` wall.
     #
-    # SPARK_GRAFT_BENCH_HEAVY (default 3 s): a query whose FIRST run
-    # exceeds this never runs again — min-of-2 exists to kill phantom
-    # sub-second spikes on cheap queries; paying 39 s twice for a
-    # streaming pair buys nothing and is exactly what breaches the
-    # driver's wall.
+    # SPARK_GRAFT_BENCH_WALL (default 540 s): phase 2 starts no second
+    # run that would land past this overall wall — a degraded box
+    # whose single pass alone eats the wall degrades to all-single-run
+    # (honestly flagged via n_single_run) instead of getting killed.
+    # 540 leaves 40 s of slack under the driver's `timeout 580`: a
+    # repeat admitted at 539.9 s costs at most 4*heavy = 12 s by the
+    # heavy rule, so the final emit always lands.  (Supersedes
+    # SPARK_GRAFT_BENCH_BUDGET, whose fixed 240 s cutoff is the
+    # coverage erosion the two-phase schedule fixes.)
     repeat = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_REPEAT", "2")))
-    budget = float(os.environ.get("SPARK_GRAFT_BENCH_BUDGET", "240"))
+    wall_cap = float(os.environ.get("SPARK_GRAFT_BENCH_WALL", "540"))
     heavy = float(os.environ.get("SPARK_GRAFT_BENCH_HEAVY", "3"))
     bench_t0 = time.perf_counter()
-    single_run: list[str] = []
-    for name in sorted(all_queries):
-        runs: list[float] = []
-        n_runs = repeat if time.perf_counter() - bench_t0 < budget else 1
-        try:
-            for i in range(n_runs):
-                t0 = time.perf_counter()
-                materialize(all_queries[name](spark, sf_dir))
-                runs.append(time.perf_counter() - t0)
-                if runs[-1] > heavy:
-                    # r13 VERDICT wrong #2: a FIRST run landing in
-                    # (heavy, 4*heavy) with budget remaining still
-                    # gets its min-of-2 — several warm-cheap queries
-                    # cost more than `heavy` cold, and recording the
-                    # cold single-shot fabricated phantom regressions
-                    # (ss5 10.61 s recorded vs 1.0-1.45 s band).
-                    # Anything past 4*heavy is heavy by construction:
-                    # paying it twice is what breaches the driver's
-                    # 580 s wall.
-                    if (i == 0 and n_runs > 1
-                            and runs[-1] <= 4 * heavy
-                            and time.perf_counter() - bench_t0
-                            < budget):
-                        continue
-                    break
-            timings[name] = round(min(runs), 2)
-            if len(runs) == 1 and repeat > 1:
-                # mechanically discountable: this value had no chance
-                # to shed a cold-start/co-tenant spike
-                single_run.append(name)
-        except Exception as exc:  # one bad query must not zero the bench
-            failures.append(name)
-            print(f"bench: {name} FAILED: {exc}", file=sys.stderr)
+    runs_by: dict[str, list[float]] = {}
+
+    def one_run(name: str) -> float:
+        t0 = time.perf_counter()
+        materialize(all_queries[name](spark, sf_dir))
+        return time.perf_counter() - t0
+
+    def settle(pending: int, final: bool = False) -> None:
         # queries are independent by contract: drop any cache a query
-        # leaked so 170+ queries in one session don't age the executor
+        # leaked so 180+ queries in one session don't age the executor
         # heap (leaked persists showed up as tail-query inflation)
         try:
             spark.catalog.clearCache()
@@ -140,16 +122,43 @@ def main() -> None:
             pass
         # emit a SNAPSHOT after every query (r12): the driver wraps
         # bench.py in `timeout 580` and json-parses the LAST stdout
-        # line — printing only at the end meant a co-tenant-inflated
-        # run that crossed 580 s recorded NOTHING (two near-misses at
-        # 563/536 s measured this round).  With per-query snapshots a
-        # killed run still leaves its newest valid summary as the
-        # last line; "partial" marks how many queries were pending.
-        _emit(timings, failures, sf, repeat,
-              pending=len(all_queries) - len(timings) - len(failures),
-              with_map=False, single_run=single_run)
-    _emit(timings, failures, sf, repeat, pending=0,
-          single_run=single_run)
+        # line — with per-query snapshots a killed run still leaves
+        # its newest valid summary as the last line; "partial" marks
+        # how many queries were pending.
+        single = sorted(n for n, rs in runs_by.items()
+                        if len(rs) == 1 and repeat > 1)
+        _emit(timings, failures, sf, repeat, pending=pending,
+              with_map=final, single_run=single)
+
+    for name in sorted(all_queries):
+        try:
+            runs_by[name] = [one_run(name)]
+            timings[name] = round(runs_by[name][0], 2)
+        except Exception as exc:  # one bad query must not zero the bench
+            failures.append(name)
+            print(f"bench: {name} FAILED: {exc}", file=sys.stderr)
+        settle(pending=len(all_queries) - len(timings) - len(failures))
+    if repeat > 1:
+        by_cost = sorted(runs_by, key=lambda n: runs_by[n][0])
+        for name in by_cost:
+            first = runs_by[name][0]
+            if first > 4 * heavy:
+                continue    # heavy by construction: never repeats
+            if time.perf_counter() - bench_t0 + first > wall_cap:
+                break       # wall: the remaining tail stays single-run
+            try:
+                for _ in range(repeat - 1):
+                    runs_by[name].append(one_run(name))
+            except Exception as exc:
+                # a repeat failing after a green phase-1 run is noise
+                # (transient executor state), not a reason to strand
+                # the rest of the min-of-2 tail single-run; the wall
+                # check above still bounds a melting-down box
+                print(f"bench: {name} repeat FAILED: {exc}",
+                      file=sys.stderr)
+            timings[name] = round(min(runs_by[name]), 2)
+            settle(pending=0)
+    settle(pending=0, final=True)
 
 
 def _emit(timings: dict, failures: list, sf, repeat: int,
