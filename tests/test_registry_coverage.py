@@ -84,7 +84,10 @@ def test_r7_rotation_promotes_never_adjudicated_pairs():
     # r15-created pairs registered after the r15 gate froze.
     added_post_rotation: set[str] = {"dl7_column_mapping_id",
                                      "ib6_ref_travel",
-                                     "ic5_iceberg_merge_evolve"}
+                                     "ic5_iceberg_merge_evolve",
+                                     # r15-created after the gate froze
+                                     # (eq→pos delete conversion)
+                                     "ic7_convert_eq_cdf"}
     never -= added_post_rotation
     assert never <= set(QUERIES), (
         f"never-adjudicated but de-gated: {sorted(never - set(QUERIES))}"

@@ -48,6 +48,19 @@ def main() -> None:
     # entry), not just the default bucket-cap five
     probe = sorted(only & set(allq)) if only else [*PROBE, "ss6_autok"]
 
+    # r15 (r14 VERDICT wrong #3): the first measured tier used to carry
+    # the fresh-session first-touch penalty (codegen, worker-pool spawn,
+    # first lake-fixture write paths), which made the sf0.1 column read
+    # 0.18x-0.65x of sf1 — an ordering artifact, not a scale signal.
+    # One untimed warm pass over the probe list at the base tier pays
+    # those fixed costs before any clock starts; disable with
+    # SPARK_GRAFT_PROBE_WARM=0 for a quick smoke.
+    if os.environ.get("SPARK_GRAFT_PROBE_WARM", "1") != "0":
+        for name in probe:
+            allq[name](spark, base).write.mode("overwrite") \
+                .format("noop").save()
+            print(f"# warm {name}", file=sys.stderr)
+
     out: dict[str, dict] = {"metric": "scale_probe"}
     rows: dict[str, dict] = {}
     for sf_name, sf_dir in (("sf0.1", base), ("sf1", big)):

@@ -714,7 +714,9 @@ def read_iceberg_changes(
 
 def _eq_victims_deduped(spark: SparkSession, eq_dels: list[dict],
                         cand_pool: list[dict], dels_pool: list[dict],
-                        schema: dict, by_id: dict) -> DataFrame | None:
+                        schema: dict, by_id: dict,
+                        keep_positions: bool = False
+                        ) -> DataFrame | None:
     """Victim rows of TWO OR MORE equality-delete files, deduped by
     physical row identity.
 
@@ -779,6 +781,10 @@ def _eq_victims_deduped(spark: SparkSession, eq_dels: list[dict],
         frames.append(scoped.join(F.broadcast(vals), cond, "left_semi"))
     victims = _union_fold_by_name(frames).dropDuplicates(
         ["__cdf_path", "__cdf_pos"])
+    if keep_positions:
+        # ``__cdf_path`` is normalized (file:/+ → /); callers staging
+        # position deletes re-prefix to the manifest's file:// form
+        return victims
     return victims.drop("__cdf_path", "__cdf_pos")
 
 
@@ -2401,6 +2407,7 @@ def delete_positions_iceberg_v3(
         deletes: dict[str, list[int]],
         *, meta: dict | None = None,
         extra_data_records: list[dict] | None = None,
+        drop_delete_files: list[dict] | None = None,
         operation: str = "delete") -> int:
     """Row-level delete on a format-v3 table via DELETION VECTORS:
     one Puffin file holding a roaring bitmap per referenced data file,
@@ -2523,27 +2530,47 @@ def delete_positions_iceberg_v3(
     data_entries = [exist(d) for d in data_files] + [
         {"status": 1, "snapshot_id": None, "sequence_number": seq,
          "data_file": d} for d in (extra_data_records or [])]
+    # drop_delete_files: delete files tombstoned by THIS snapshot
+    # beyond the superseded DVs — the eq→pos conversion path
+    # (convert_eq_deletes_iceberg) retires the equality deletes it
+    # just materialized as vectors in the SAME atomic commit
+    drop_paths = {str(d["file_path"])
+                  for d in (drop_delete_files or [])}
+    superseded_dv = lambda d: (  # noqa: E731
+        str(d.get("file_format") or "").upper() == "PUFFIN"
+        and str(d["referenced_data_file"]) in merged)
     delete_entries = (
         [exist(d) for d in delete_files
-         if str(d.get("file_format") or "").upper() != "PUFFIN"
-         or str(d["referenced_data_file"]) not in merged]
+         if not superseded_dv(d)
+         and str(d["file_path"]) not in drop_paths]
         + [{"status": 2, "snapshot_id": None, "sequence_number": seq,
             "data_file": d} for d in delete_files
-           if str(d.get("file_format") or "").upper() == "PUFFIN"
-           and str(d["referenced_data_file"]) in merged]
+           if superseded_dv(d) or str(d["file_path"]) in drop_paths]
         + [{"status": 1, "snapshot_id": None, "sequence_number": seq,
             "data_file": d} for d in dv_records]
     )
     schema = _current_schema(meta)
+    carried = data_files + delete_files + list(extra_data_records or [])
+    part_avro = _part_avro_for(meta, schema, carried)
+    specs = meta.get("partition-specs") or [{"spec-id": 0, "fields": []}]
+    return _commit_snapshot(
+        path, meta, schema["fields"], specs[0].get("fields") or [],
+        [], 0, part_avro, manifest_entries=data_entries,
+        delete_manifest_entries=delete_entries, carry_prior=False,
+        operation=operation, snapshot_id=snap_id)
+
+
+def _part_avro_for(meta: dict, schema: dict,
+                   carried: list[dict]) -> list[tuple[str, str]]:
+    """Avro (name, type) pairs covering every partition field name any
+    carried manifest entry uses — a full-state manifest re-serializes
+    EXISTING entries' partition structs verbatim, and a name the Avro
+    record schema lacks would silently DROP its value, breaking
+    pruning and eq-delete scoping.  Types come from the schema where
+    the field is an identity transform and from the values themselves
+    otherwise (bucket/truncate are ints)."""
     ident = _identity_partition_names(meta, schema)
     by_name = {f["name"]: f.get("type") for f in schema["fields"]}
-    # the full-state manifest re-serializes EXISTING entries' partition
-    # structs verbatim: cover every partition field name any carried
-    # entry uses (a name the Avro record schema lacks would silently
-    # DROP its value, breaking pruning and eq-delete scoping), typing
-    # from the schema where the field is an identity transform and
-    # from the values themselves otherwise (bucket/truncate are ints)
-    carried = data_files + delete_files + list(extra_data_records or [])
     pnames = sorted({k for d in carried
                      for k in (d.get("partition") or {})})
 
@@ -2555,13 +2582,7 @@ def delete_positions_iceberg_v3(
         return "string" if any(isinstance(v, str) for v in vals) \
             else "long"
 
-    part_avro = [(n, _ptype(n)) for n in pnames]
-    specs = meta.get("partition-specs") or [{"spec-id": 0, "fields": []}]
-    return _commit_snapshot(
-        path, meta, schema["fields"], specs[0].get("fields") or [],
-        [], 0, part_avro, manifest_entries=data_entries,
-        delete_manifest_entries=delete_entries, carry_prior=False,
-        operation=operation, snapshot_id=snap_id)
+    return [(n, _ptype(n)) for n in pnames]
 
 
 def expire_iceberg_snapshots(spark: SparkSession, path: str,
@@ -2786,6 +2807,140 @@ def rewrite_iceberg_data_files(spark: SparkSession, path: str,
         manifest_entries=entries,
         delete_manifest_entries=del_entries or None,
         carry_prior=False, operation="replace")
+
+
+def iceberg_delete_debt(path: str) -> dict:
+    """Merge-on-read delete debt at the current snapshot — purely
+    metadata-sized (one manifest-list → manifest walk via
+    :func:`_live_files`, no data reads).  Every un-compacted delete
+    file taxes EVERY subsequent read of its sequence window (position
+    deletes anti-join their target files, equality deletes join per
+    sequence group), so this is the read-amplification signal that
+    :func:`rewrite_iceberg_data_files` pays down.  A steady
+    ``merge_iceberg`` feed (the apply-sink loop) adds one equality
+    delete + one data file per batch: unbounded, reads degrade
+    linearly in batch count until a rewrite clears the debt.
+
+    Returns ``{"delete_files", "delete_rows", "eq_delete_files",
+    "eq_delete_rows", "data_files", "data_rows", "ratio"}`` where
+    ``ratio`` = delete_rows / max(data_rows, 1) — the fraction of
+    live rows a reader must anti-join away, the recommended trigger
+    statistic (files count catches many-tiny-deletes, ratio catches
+    few-huge ones; trigger on either).  The ``eq_*`` split is the
+    trigger signal for :func:`convert_eq_deletes_iceberg`, which
+    retires equality debt but leaves (cheaper) position debt
+    standing."""
+    meta = load_table_metadata(path)
+    data_files, delete_files = _live_files(meta, None)
+    data_rows = sum(int(d.get("record_count") or 0) for d in data_files)
+    del_rows = sum(int(d.get("record_count") or 0) for d in delete_files)
+    eq = [d for d in delete_files if int(d.get("content") or 0) == 2]
+    return {
+        "delete_files": len(delete_files),
+        "delete_rows": del_rows,
+        "eq_delete_files": len(eq),
+        "eq_delete_rows": sum(int(d.get("record_count") or 0)
+                              for d in eq),
+        "data_files": len(data_files),
+        "data_rows": data_rows,
+        "ratio": del_rows / max(data_rows, 1),
+    }
+
+
+def convert_eq_deletes_iceberg(spark: SparkSession, path: str,
+                               expect_snapshot_id: int | None = None
+                               ) -> int | None:
+    """MINOR compaction — materialize every live EQUALITY delete as
+    position deletes (v2) or deletion vectors (v3) WITHOUT rewriting
+    any data file (the lightweight sibling of
+    :func:`rewrite_iceberg_data_files`, which pays the same debt by
+    rewriting whole partitions).  One ``replace`` snapshot: data
+    files untouched (EXISTING entries, original sequence numbers),
+    each eq-delete file's victims resolved to physical (file,
+    position) identity — sequence-strict, partition-scoped,
+    null-safe, deduped across overlapping eq deletes — staged as
+    position-delete parquet (v2) / merged into per-file deletion
+    vectors (v3), and the eq files tombstoned in the SAME commit.
+    An eq delete matching nothing (all victims already dead, or no
+    eligible file) simply retires.
+
+    Why it matters at 100 TB: a ``merge_iceberg`` feed accrues one
+    equality-delete file per batch, and the LIVE eq set taxes
+    everything downstream — every reader re-runs the eq anti-join
+    per sequence group, a later position-delete snapshot walls the
+    batch changelog typed (victim overlap with live eq deletes is
+    not cheaply derivable), and each live eq delete re-enters the
+    streaming planner's resolution work.  Conversion retires that
+    live set at victim cost — the only data-plane work is one
+    position-tagged scan of the eq deletes' candidate files, nothing
+    is rewritten — after which readers pay one position anti-join,
+    position-delete DML changelogs cleanly again, and only each NEW
+    merge's own (batch-sized) eq delta ever needs resolving.
+    Historical merge snapshots are unaffected: a changelog range
+    covering them still resolves their eq deletes as before, and the
+    conversion snapshot itself contributes nothing (``replace`` is
+    row-preserving by contract).
+
+    Returns the new snapshot id, or None when no live equality
+    deletes exist.  Candidate data files must be parquet (position
+    addressing needs ``_metadata.row_index``; ORC-targeting eq
+    deletes keep the batch read path, which serves them directly)."""
+    from pyspark.sql import functions as F
+
+    meta, schema, data_files, delete_files = _dml_preamble(
+        path, expect_snapshot_id, "convert")
+    eq = [d for d in delete_files if int(d.get("content") or 0) == 2]
+    if not eq:
+        return None
+    pos_dels = [d for d in delete_files
+                if int(d.get("content") or 0) == 1]
+    by_id = {int(f["id"]): f["name"] for f in schema["fields"]}
+    victims = _eq_victims_deduped(spark, eq, data_files, pos_dels,
+                                  schema, by_id, keep_positions=True)
+    pairs = None
+    if victims is not None:
+        # one shot: the victim scan must not recompute between the
+        # emptiness probe and staging (the merge_delta precedent)
+        pairs = (victims
+                 .select(F.col("__cdf_path").alias("file_path"),
+                         F.col("__cdf_pos").cast("long").alias("pos"))
+                 .localCheckpoint(eager=True))
+        if pairs.isEmpty():
+            pairs = None
+    fv = int(meta.get("format-version") or 1)
+    if fv >= 3 and pairs is not None:
+        # v3: victims become deletion vectors (position-delete FILES
+        # are not live-writable at current on v3) — executor-side
+        # bitmap aggregation, eq files retired in the same atomic
+        # commit, prior DVs on the same files merged debt-sized
+        bitmaps = _position_bitmaps(pairs, data_files)
+        return delete_positions_iceberg_v3(
+            spark, path, bitmaps, meta=meta,
+            drop_delete_files=eq, operation="replace")
+    seq = _next_sequence_number(meta)
+    new_records = [] if pairs is None else _stage_pos_delete_files(
+        pairs.withColumn("file_path", F.concat(F.lit("file://"),
+                                               F.col("file_path"))),
+        path, seq)
+    exist = lambda d: {"status": 0, "snapshot_id": None,  # noqa: E731
+                       "sequence_number": d.get("__seq"),
+                       "data_file": d}
+    entries = [exist(d) for d in data_files]
+    del_entries = (
+        [exist(d) for d in pos_dels]
+        + [{"status": 1, "snapshot_id": None, "sequence_number": seq,
+            "data_file": d} for d in new_records]
+        + [{"status": 2, "snapshot_id": None, "sequence_number": seq,
+            "data_file": d} for d in eq]
+    )
+    part_avro = _part_avro_for(meta, schema, data_files + delete_files)
+    specs = meta.get("partition-specs") or [{"spec-id": 0,
+                                             "fields": []}]
+    return _commit_snapshot(
+        path, meta, schema["fields"], specs[0].get("fields") or [],
+        [], 0, part_avro, manifest_entries=entries,
+        delete_manifest_entries=del_entries, carry_prior=False,
+        operation="replace")
 
 
 def delete_equality_iceberg_fixture(spark: SparkSession, path: str,
@@ -3331,6 +3486,7 @@ def delete_where_iceberg(spark: SparkSession, path: str,
         raise IcebergError(
             "delete_where over live equality deletes not supported "
             "(position/equality victim overlap is not derivable) — "
+            "convert_eq_deletes_iceberg (victim-sized) or "
             "rewrite_iceberg_data_files first")
     fcol, pcol = "_iw_file", "_iw_pos"
     names = {f["name"] for f in schema.get("fields", [])}
@@ -3404,6 +3560,7 @@ def update_where_iceberg(spark: SparkSession, path: str,
     if any(int(d.get("content") or 0) == 2 for d in delete_files):
         raise IcebergError(
             "update_where over live equality deletes not supported — "
+            "convert_eq_deletes_iceberg (victim-sized) or "
             "rewrite_iceberg_data_files first")
     if not data_files:
         return int(meta["current-snapshot-id"])
@@ -3625,7 +3782,10 @@ def iceberg_txn_watermark(meta: dict, app_id: str) -> int:
 
 
 def iceberg_cdf_apply_sink(path: str, app_id: str, keys: list[str],
-                           evolve_schema: bool = False):
+                           evolve_schema: bool = False,
+                           compact_after_files: int | None = None,
+                           compact_ratio: float | None = None,
+                           compact_mode: str = "rewrite"):
     """foreachBatch sink APPLYING a change-feed stream to a downstream
     ICEBERG table — the consuming end of the Iceberg CDC loop
     (``tulflow_iceberg_cdf`` — or ``tulflow_delta_cdf``, the sink is
@@ -3654,10 +3814,84 @@ def iceberg_cdf_apply_sink(path: str, app_id: str, keys: list[str],
     whose source grew a column (visible to streams STARTED after the
     evolution) widens the target schema in the applying commit.
 
+    **Delete-debt policy** (r15, r14 VERDICT #8): every applied batch
+    is one blind merge — one equality-delete file + one data file —
+    so an un-maintained target accrues merge-on-read debt linearly in
+    batch count, and every reader pays an anti-join per accrued
+    delete file.  ``compact_after_files=N`` / ``compact_ratio=r``
+    arm a trigger checked AFTER each applied batch (one
+    metadata-sized :func:`iceberg_delete_debt` walk): when live
+    delete files >= N or delete_rows/data_rows >= r, the sink runs
+    :func:`rewrite_iceberg_data_files` inline, paying the debt down
+    to zero.  Recommended recipe: ``compact_after_files=16,
+    compact_ratio=0.25`` — files-count catches many tiny batches,
+    ratio catches few huge ones; the rewrite is amortized O(table/N
+    batches).  The compaction is best-effort: a lost CAS race defers
+    to the next batch (debt only shrinks at a rewrite, the trigger
+    re-fires).  CAVEATS: the rewrite commits a ``replace`` snapshot,
+    which incremental/changelog consumers of the TARGET refuse to
+    cross (correctly — compaction is not change data); and the txn
+    watermark survives because :func:`iceberg_txn_watermark` scans
+    ALL retained summaries, not just the head.
+
     At 100 TB: the downstream stays O(new changes) end to end —
-    change-sized batches, blind merge commits, no table reads."""
+    change-sized batches, blind merge commits, no table reads; with
+    the policy armed, read amplification is bounded by the trigger
+    thresholds instead of growing with stream lifetime.
+    ``compact_mode`` picks the maintenance op: ``"rewrite"``
+    (default, :func:`rewrite_iceberg_data_files` — pays the debt by
+    rewriting the touched partitions, also bin-packs small files) or
+    ``"convert"`` (:func:`convert_eq_deletes_iceberg` — victim-sized
+    eq→position/DV conversion, never rewrites data; the cheaper
+    choice for a pure CDC loop where file sizes are already fine)."""
     from pyspark.sql import Window
     from pyspark.sql import functions as F
+
+    if compact_mode not in ("rewrite", "convert"):
+        raise IcebergError(
+            f"compact_mode {compact_mode!r} not in "
+            "('rewrite', 'convert')")
+
+    def _maybe_compact(spark) -> None:
+        # armed delete-debt policy: one metadata walk per applied
+        # batch; rewrite inline when either threshold trips.  Lost
+        # races / transient failures defer — debt persists, so the
+        # trigger simply re-fires on the next batch.
+        if compact_after_files is None and compact_ratio is None:
+            return
+        debt = iceberg_delete_debt(path)
+        # convert mode retires only EQUALITY debt — trigger on the
+        # eq split, or a standing position-debt residue would re-trip
+        # a (victimless) conversion every batch
+        files = debt["eq_delete_files"] if compact_mode == "convert" \
+            else debt["delete_files"]
+        ratio = (debt["eq_delete_rows"] / max(debt["data_rows"], 1)
+                 if compact_mode == "convert" else debt["ratio"])
+        trip = files > 0 and (
+            (compact_after_files is not None
+             and files >= compact_after_files)
+            or (compact_ratio is not None and ratio >= compact_ratio))
+        if trip:
+            try:
+                if compact_mode == "convert":
+                    convert_eq_deletes_iceberg(spark, path)
+                else:
+                    # delete files present => every partition group
+                    # qualifies regardless of min_files (the rewrite
+                    # applies BOTH delete kinds and tombstones them)
+                    rewrite_iceberg_data_files(spark, path)
+            except IcebergConcurrentCommit:
+                pass        # lost the race: debt persists, re-fires
+            except Exception as exc:
+                # maintenance must never fail the DATA path: the
+                # merge already committed, and raising here would
+                # fail the batch once, replay it, and skip it via
+                # the watermark — same table state, one spurious
+                # stream error.  Surface, don't raise.
+                import sys
+                print(f"iceberg_cdf_apply_sink: compaction "
+                      f"({compact_mode}) failed at {path}: {exc}",
+                      file=sys.stderr)
 
     def write_batch(batch_df: DataFrame, batch_id: int) -> None:
         spark = batch_df.sparkSession
@@ -3726,6 +3960,7 @@ def iceberg_cdf_apply_sink(path: str, app_id: str, keys: list[str],
                             "current-snapshot-id"),
                         evolve_schema=evolve_schema,
                         txn=(app_id, int(batch_id)))
+                    _maybe_compact(spark)
                     return
                 except IcebergConcurrentCommit as exc:
                     last = exc

@@ -2575,3 +2575,125 @@ def sdc2_stream_iceberg_changes(spark: SparkSession,
             F.when(F.col("doc_id") % 2 == 0, F.col("doc_id"))
         ).cast("bigint").alias("n_even"),
     ).select("n_rows", "sum_doc_id", "corpus_md5", "n_even")
+
+
+@register(
+    "ic7_convert_eq_cdf",
+    oracle="""
+    WITH base AS (SELECT doc_id, text FROM documents),
+    u1 AS (SELECT doc_id FROM base WHERE doc_id % 5 = 0),
+    d1 AS (SELECT doc_id FROM base
+           WHERE doc_id % 11 = 0 AND doc_id % 5 <> 0),
+    s1 AS (SELECT doc_id,
+                  CASE WHEN doc_id % 5 = 0 THEN 'U:' || text
+                       ELSE text END AS text
+           FROM base
+           WHERE NOT (doc_id % 11 = 0 AND doc_id % 5 <> 0)),
+    u2 AS (SELECT doc_id FROM s1 WHERE doc_id % 7 = 0),
+    s2 AS (SELECT doc_id,
+                  CASE WHEN doc_id % 7 = 0 THEN 'W:' || text
+                       ELSE text END AS text
+           FROM s1),
+    d3 AS (SELECT doc_id, text FROM s2 WHERE doc_id % 3 = 0),
+    s3 AS (SELECT doc_id, text FROM s2 WHERE doc_id % 3 <> 0),
+    feed AS (
+      SELECT text, 'insert' AS ct, 1 AS sq FROM base
+      UNION ALL SELECT b.text, 'delete', 2
+                FROM base b JOIN u1 USING (doc_id)
+      UNION ALL SELECT 'U:' || b.text, 'insert', 2
+                FROM base b JOIN u1 USING (doc_id)
+      UNION ALL SELECT b.text, 'delete', 2
+                FROM base b JOIN d1 USING (doc_id)
+      UNION ALL SELECT s.text, 'delete', 3
+                FROM s1 s JOIN u2 USING (doc_id)
+      UNION ALL SELECT 'W:' || s.text, 'insert', 3
+                FROM s1 s JOIN u2 USING (doc_id)
+      UNION ALL SELECT text, 'delete', 5 FROM d3
+    )
+    SELECT
+      CAST(0 AS BIGINT) AS eq_files_after,
+      CAST((SELECT COUNT(*) FROM feed) AS BIGINT) AS n_feed,
+      (SELECT md5(STRING_AGG(k, '' ORDER BY k)) FROM
+        (SELECT ct || '|' || md5(text) || '|' || sq AS k FROM feed))
+        AS feed_md5,
+      CAST((SELECT COUNT(*) FROM s3) AS BIGINT) AS n_state,
+      (SELECT md5(STRING_AGG(h, '' ORDER BY h)) FROM
+        (SELECT md5(CAST(doc_id AS VARCHAR) || '|' || text) AS h
+         FROM s3)) AS state_md5
+    """,
+)
+def ic7_convert_eq_cdf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equality→position delete CONVERSION oracle-checked (r15 minor
+    compaction): documents seed at sequence 1; two merge_iceberg
+    commits accrue equality-delete debt (seq 2 'U:'-updates doc_id%5
+    and deletes %11, seq 3 'W:'-updates %7 of the then-current
+    state); ``convert_eq_deletes_iceberg`` materializes every victim
+    as position deletes and retires the eq files in ONE ``replace``
+    snapshot (seq 4 — row-preserving, so the changelog must NOT see
+    it, and ``eq_files_after`` must hit the oracle's literal 0); then
+    ``delete_where_iceberg`` removes %3 (seq 5) — position DML that
+    REFUSES typed over live equality deletes, so its presence in the
+    digest proves the conversion actually unblocked it.  Feed and
+    final-state digests must match DuckDB's reconstruction bit for
+    bit.
+
+    At 100 TB: conversion is victim-sized (one position-tagged scan
+    of the eq deletes' candidate files, no data rewrite) — the cheap
+    maintenance step that keeps a merge_iceberg CDC feed readable.
+    Cf. reference `tulflow` (no lake-format surface); Iceberg spec
+    §Row-level deletes."""
+    import tempfile
+
+    from tulflow_spark.ext.iceberg import (
+        convert_eq_deletes_iceberg,
+        delete_where_iceberg,
+        iceberg_delete_debt,
+        merge_iceberg,
+        read_iceberg,
+        read_iceberg_cdf,
+        write_iceberg_fixture,
+    )
+
+    docs = table(spark, sf_dir, "documents").select("doc_id", "text")
+    t = tempfile.mkdtemp(prefix="ic7_") + "/tbl"
+    write_iceberg_fixture(spark, docs, t)                      # seq 1
+    ch1 = (docs.where("doc_id % 5 = 0")
+           .select("doc_id",
+                   F.concat(F.lit("U:"), F.col("text")).alias("text"),
+                   F.lit("U").alias("op"))
+           .unionByName(
+               docs.where("doc_id % 11 = 0 AND doc_id % 5 <> 0")
+               .select("doc_id", "text", F.lit("D").alias("op"))))
+    merge_iceberg(spark, t, ch1, ["doc_id"])                   # seq 2
+    cur = read_iceberg(spark, t)
+    ch2 = (cur.where("doc_id % 7 = 0")
+           .select("doc_id",
+                   F.concat(F.lit("W:"), F.col("text")).alias("text"),
+                   F.lit("U").alias("op")))
+    merge_iceberg(spark, t, ch2, ["doc_id"])                   # seq 3
+    convert_eq_deletes_iceberg(spark, t)             # seq 4, replace
+    eq_after = int(iceberg_delete_debt(t)["eq_delete_files"])
+    delete_where_iceberg(spark, t, "doc_id % 3 = 0")           # seq 5
+    feed = read_iceberg_cdf(spark, t)
+    key = F.concat_ws(
+        "|", F.col("_change_type"), F.md5("text"),
+        F.col("_commit_seq").cast("string"))
+    agg = feed.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_feed"),
+        F.md5(F.concat_ws("", F.array_sort(F.collect_list(key))))
+         .alias("feed_md5"),
+    )
+    srow = read_iceberg(spark, t).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_state"),
+        F.md5(F.concat_ws("", F.array_sort(F.collect_list(
+            F.md5(F.concat_ws("|", F.col("doc_id").cast("string"),
+                              F.col("text"))))))).alias("state_md5"),
+    ).first()
+    return (agg
+            .withColumn("eq_files_after",
+                        F.lit(eq_after).cast("bigint"))
+            .withColumn("n_state",
+                        F.lit(int(srow["n_state"])).cast("bigint"))
+            .withColumn("state_md5", F.lit(srow["state_md5"]))
+            .select("eq_files_after", "n_feed", "feed_md5",
+                    "n_state", "state_md5"))
