@@ -121,10 +121,12 @@ def test_convert_v3_merges_prior_dv(spark, tmp_path):
     assert len(refs) == len(set(refs))
 
 
-def test_convert_partitioned_scopes_victims(spark, tmp_path):
-    """Partition-scoped eq deletes only kill rows in their partition;
-    conversion preserves that scoping by construction (it resolves
-    victims through the same candidate filter as the reader)."""
+def test_convert_partitioned_table_global_deletes(spark, tmp_path):
+    """merge_iceberg stages GLOBAL eq deletes (partition {}) even on
+    a partitioned table; conversion handles the partitioned manifest
+    round-trip (full-state re-serialization must keep every partition
+    struct, or pruning breaks).  Partition-SCOPED deletes are covered
+    by test_convert_partition_scoped_eq_delete below."""
     t = str(tmp_path / "tp")
     _base(spark, t, partition_by=["p"])
     _merge(spark, t, [(1, "u1", 1, "U"), (4, "", 0, "D")])
@@ -135,6 +137,33 @@ def test_convert_partitioned_scopes_victims(spark, tmp_path):
     # partition pruning still works over the full-state manifests
     assert sorted(r["id"] for r in read_iceberg(spark, t)
                   .where("p = 0").collect()) == [0, 2, 6, 8]
+
+
+def test_convert_partition_scoped_eq_delete(spark, tmp_path):
+    """A partition-STAMPED eq delete (the Flink partitioned-writer
+    shape) kills matching rows only in its partition — the same value
+    alive in another partition must survive BOTH the read and the
+    conversion, and the candidate filter must use the scan path's
+    subset semantics (r15 review: exact-dict equality here would miss
+    victims and resurrect them once the eq file is tombstoned)."""
+    from tulflow_spark.ext.iceberg import (
+        delete_equality_iceberg_fixture,
+    )
+
+    t = str(tmp_path / "ts")
+    df = spark.createDataFrame(
+        [(1, "dup", 0), (2, "dup", 1), (3, "x3", 0), (4, "x4", 1)],
+        "id long, v string, p long")
+    write_iceberg_fixture(spark, df, t, partition_by=["p"])
+    delete_equality_iceberg_fixture(
+        spark, t, [{"v": "dup"}], ["v"], partition={"p": 1})
+    before = _content(spark, t)
+    assert (1, "dup", 0) in before          # other partition's twin
+    assert (2, "dup", 1) not in before      # scoped victim is dead
+    assert convert_eq_deletes_iceberg(spark, t) is not None
+    assert _content(spark, t) == before
+    assert _delete_kinds(t) == [(1, "PARQUET")]
+    assert iceberg_delete_debt(t)["delete_rows"] == 1
 
 
 def test_convert_victimless_eq_retires_clean(spark, tmp_path):
@@ -200,3 +229,38 @@ def test_apply_sink_convert_mode_bounds_eq_debt(spark, tmp_path):
     n_plain = len(_live_files(load_table_metadata(plain), None)[0])
     n_conv = len(_live_files(load_table_metadata(conv), None)[0])
     assert n_conv == n_plain
+
+
+def test_apply_sink_rewrite_mode_pure_delete_feed(spark, tmp_path):
+    """r15 review: a pure-delete feed onto an empty-seeded target has
+    ZERO live data files, so rewrite-mode maintenance used to raise
+    'nothing to rewrite' every batch (swallowed, debt unbounded).
+    The policy now routes that state through the conversion, which
+    retires the victimless eq files — debt stays bounded and the
+    policy never disarms."""
+    from tulflow_spark.ext.iceberg import (
+        iceberg_cdf_apply_sink,
+        read_iceberg,
+    )
+
+    t = str(tmp_path / "pd")
+    sink = iceberg_cdf_apply_sink(t, "pdx", ["id"],
+                                  compact_after_files=2)
+
+    def batch(rows, seq):
+        return spark.createDataFrame(
+            [(i, v, ct, seq) for (i, v, ct) in rows],
+            "id long, v string, _change_type string, _commit_seq long"
+        ).coalesce(1)
+
+    debts = []
+    for bid in range(4):
+        sink(batch([(bid, "", "delete"), (100 + bid, "", "delete")],
+                   bid), bid)
+        debts.append(iceberg_delete_debt(t)["eq_delete_files"])
+    # bounded: every observed value is below the threshold (the
+    # trigger converts inside the sink call the moment it trips)
+    assert max(debts) < 2 + 2       # threshold + one batch's parts
+    assert debts[-1] < 4
+    assert iceberg_delete_debt(t)["data_files"] == 0
+    assert read_iceberg(spark, t).collect() == []

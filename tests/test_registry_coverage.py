@@ -86,8 +86,10 @@ def test_r7_rotation_promotes_never_adjudicated_pairs():
                                      "ib6_ref_travel",
                                      "ic5_iceberg_merge_evolve",
                                      # r15-created after the gate froze
-                                     # (eq→pos delete conversion)
-                                     "ic7_convert_eq_cdf"}
+                                     # (eq→pos conversion; pos-delete
+                                     # consolidation)
+                                     "ic7_convert_eq_cdf",
+                                     "ic8_pos_rewrite_cdf"}
     never -= added_post_rotation
     assert never <= set(QUERIES), (
         f"never-adjudicated but de-gated: {sorted(never - set(QUERIES))}"

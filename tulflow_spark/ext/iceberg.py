@@ -712,6 +712,20 @@ def read_iceberg_changes(
     return _resolved_scan(spark, added, _schema_for(meta, to_snap))
 
 
+def _eq_part_applies(delete_part: dict, file_part: dict | None) -> bool:
+    """Whether a partition-stamped equality delete applies to a data
+    file's partition — SUBSET semantics, matching the scan path
+    (``iceberg.py`` seq-group loop: skip only when a delete-partition
+    key is missing or differs on the file; EXTRA file keys, e.g.
+    partition-spec evolution on a foreign-written table, do not
+    exclude it).  Exact-dict equality here would under-select
+    candidates: harmless-looking in the changelog (victims merely
+    under-reported) but destructive in conversion, where a missed
+    victim resurrects when the eq file is tombstoned (r15 review)."""
+    fp = file_part or {}
+    return all(k in fp and fp[k] == v for k, v in delete_part.items())
+
+
 def _eq_victims_deduped(spark: SparkSession, eq_dels: list[dict],
                         cand_pool: list[dict], dels_pool: list[dict],
                         schema: dict, by_id: dict,
@@ -754,7 +768,7 @@ def _eq_victims_deduped(spark: SparkSession, eq_dels: list[dict],
             c for c in cand_pool
             if c.get("__seq") is not None
             and int(c["__seq"]) < int(dseq)
-            and (not part or (c.get("partition") or {}) == part)
+            and _eq_part_applies(part, c.get("partition"))
         ]
         if not cands:
             continue
@@ -1023,8 +1037,7 @@ def read_iceberg_cdf(
                     c for c in data_prev
                     if c.get("__seq") is not None
                     and int(c["__seq"]) < int(dseq)
-                    and (not part or (c.get("partition") or {})
-                         == part)
+                    and _eq_part_applies(part, c.get("partition"))
                 ]
                 if not cands:
                     continue
@@ -1116,8 +1129,7 @@ def read_iceberg_cdf(
                     if c["file_path"] in dp
                     and c.get("__seq") is not None
                     and int(c["__seq"]) < int(dseq)
-                    and (not part or (c.get("partition") or {})
-                         == part)
+                    and _eq_part_applies(part, c.get("partition"))
                 ]
                 if not cands:
                     continue
@@ -2524,9 +2536,7 @@ def delete_positions_iceberg_v3(
         "content_offset": int(coords[ref]["offset"]),
         "content_size_in_bytes": int(coords[ref]["length"]),
     } for ref in sorted(merged)]
-    exist = lambda d: {"status": 0, "snapshot_id": None,  # noqa: E731
-                       "sequence_number": d.get("__seq"),
-                       "data_file": d}
+    exist = _exist_entry
     data_entries = [exist(d) for d in data_files] + [
         {"status": 1, "snapshot_id": None, "sequence_number": seq,
          "data_file": d} for d in (extra_data_records or [])]
@@ -2558,6 +2568,16 @@ def delete_positions_iceberg_v3(
         [], 0, part_avro, manifest_entries=data_entries,
         delete_manifest_entries=delete_entries, carry_prior=False,
         operation=operation, snapshot_id=snap_id)
+
+
+def _exist_entry(d: dict) -> dict:
+    """EXISTING manifest entry carrying the file's ORIGINAL data
+    sequence number — shared by every full-state commit path
+    (rewrite / v3 DV / eq conversion); inheriting the new snapshot's
+    sequence instead would exempt old rows from equality deletes that
+    should still apply to them."""
+    return {"status": 0, "snapshot_id": None,
+            "sequence_number": d.get("__seq"), "data_file": d}
 
 
 def _part_avro_for(meta: dict, schema: dict,
@@ -2782,8 +2802,7 @@ def rewrite_iceberg_data_files(spark: SparkSession, path: str,
         # inheriting the rewrite's would exempt old rows from equality
         # deletes that should still apply to them.  ADDED/DELETED rows
         # get the fresh snapshot id stamped by _commit_snapshot.
-        [{"status": 0, "snapshot_id": None,
-          "sequence_number": d.get("__seq"), "data_file": d}
+        [_exist_entry(d)
          for k, fs_ in sorted(groups.items()) if k not in qualifying
          for d in fs_]
         + [{"status": 1, "snapshot_id": None, "sequence_number": seq,
@@ -2922,9 +2941,7 @@ def convert_eq_deletes_iceberg(spark: SparkSession, path: str,
         pairs.withColumn("file_path", F.concat(F.lit("file://"),
                                                F.col("file_path"))),
         path, seq)
-    exist = lambda d: {"status": 0, "snapshot_id": None,  # noqa: E731
-                       "sequence_number": d.get("__seq"),
-                       "data_file": d}
+    exist = _exist_entry
     entries = [exist(d) for d in data_files]
     del_entries = (
         [exist(d) for d in pos_dels]
@@ -2932,6 +2949,128 @@ def convert_eq_deletes_iceberg(spark: SparkSession, path: str,
             "data_file": d} for d in new_records]
         + [{"status": 2, "snapshot_id": None, "sequence_number": seq,
             "data_file": d} for d in eq]
+    )
+    part_avro = _part_avro_for(meta, schema, data_files + delete_files)
+    specs = meta.get("partition-specs") or [{"spec-id": 0,
+                                             "fields": []}]
+    return _commit_snapshot(
+        path, meta, schema["fields"], specs[0].get("fields") or [],
+        [], 0, part_avro, manifest_entries=entries,
+        delete_manifest_entries=del_entries, carry_prior=False,
+        operation="replace")
+
+
+def rewrite_position_deletes_iceberg(spark: SparkSession, path: str,
+                                     expect_snapshot_id: int | None
+                                     = None) -> int | None:
+    """Position-delete CONSOLIDATION (the
+    ``rewrite_position_delete_files`` maintenance action): fold the
+    live position-delete files into at most one spec-sorted file per
+    targeted data file, deduping pairs and DROPPING dangling entries
+    (pairs whose data file is no longer live — a foreign writer's
+    rewrite may strand them), in one row-preserving ``replace``
+    snapshot.  Data files and equality deletes are untouched.  On v3
+    the position debt lives in Puffin sidecars instead: >= 2 sidecar
+    files consolidate into ONE (per-ref vectors merged through the
+    DV writer), and dangling vectors retire.
+
+    Completes the maintenance triad: `convert_eq_deletes_iceberg`
+    turns eq debt into position debt, THIS op keeps that position
+    debt to O(targeted files), and `rewrite_iceberg_data_files` is
+    the deep clean that rewrites data.  At 100 TB the cost is
+    delete-plane-sized — pairs shuffle once by target file; the data
+    plane is never read.
+
+    Returns the new snapshot id, or None when there is nothing to
+    consolidate (fewer than two files and no dangling/duplicate
+    pairs)."""
+    from pyspark.sql import functions as F
+
+    meta, schema, data_files, delete_files = _dml_preamble(
+        path, expect_snapshot_id, "rewrite_deletes")
+    is_dv = lambda d: str(  # noqa: E731
+        d.get("file_format") or "").upper() == "PUFFIN"
+    pos = [d for d in delete_files
+           if int(d.get("content") or 0) == 1 and not is_dv(d)]
+    dvs = [d for d in delete_files
+           if int(d.get("content") or 0) == 1 and is_dv(d)]
+    keep = [d for d in delete_files if d not in pos]
+    live_paths = {d["file_path"] for d in data_files}
+    if not pos:
+        dangling = [d for d in dvs
+                    if str(d["referenced_data_file"]) not in live_paths]
+        # count sidecar FILES, not DV entries — one consolidated
+        # Puffin file holds one entry per referenced data file; a
+        # single clean sidecar has nothing to consolidate, but a
+        # dangling vector (foreign rewrite stranded it) always does
+        if len({str(d["file_path"]) for d in dvs}) < 2 \
+                and not dangling:
+            return None
+        # v3 sidecar consolidation: merge every live vector into one
+        # Puffin file; vectors referencing dead data files retire
+        dv_map = _read_dv_map(dvs)
+        merged = {ref: arr for ref, arr in dv_map.items()
+                  if ref in live_paths}
+        if not merged:
+            # every vector dangling (foreign writer replaced all
+            # their targets): nothing to write, only retire — reuse
+            # the generic tombstone commit below with pos == []
+            # is not reachable here, so commit directly
+            seq0 = _next_sequence_number(meta)
+            del_entries = (
+                [_exist_entry(d) for d in delete_files
+                 if not is_dv(d)]
+                + [{"status": 2, "snapshot_id": None,
+                    "sequence_number": seq0, "data_file": d}
+                   for d in dvs]
+            )
+            part_avro = _part_avro_for(meta, schema,
+                                       data_files + delete_files)
+            specs = meta.get("partition-specs") or [
+                {"spec-id": 0, "fields": []}]
+            return _commit_snapshot(
+                path, meta, schema["fields"],
+                specs[0].get("fields") or [], [], 0, part_avro,
+                manifest_entries=[_exist_entry(d)
+                                  for d in data_files],
+                delete_manifest_entries=del_entries,
+                carry_prior=False, operation="replace")
+        return delete_positions_iceberg_v3(
+            spark, path, merged, meta=meta,
+            drop_delete_files=dangling, operation="replace")
+    import re as _re
+
+    pn = lambda p: _re.sub(  # noqa: E731
+        "^file:/+", "/", _plain_path(p))
+    live_norm = sorted(pn(p) for p in live_paths)
+    raw = spark.read.parquet(
+        *[_plain_path(d["file_path"]) for d in pos]).select(
+        "file_path", "pos")
+    live_df = spark.createDataFrame([(p,) for p in live_norm],
+                                    "file_path string")
+    pairs = (raw
+             .withColumn("file_path", F.regexp_replace(
+                 F.col("file_path"), "^file:/+", "/"))
+             .join(F.broadcast(live_df), "file_path", "left_semi")
+             .select(F.concat(F.lit("file://"),
+                              F.col("file_path")).alias("file_path"),
+                     F.col("pos").cast("long").alias("pos"))
+             .distinct()
+             .localCheckpoint(eager=True))
+    n_pairs = pairs.count()
+    n_raw = sum(int(d.get("record_count") or 0) for d in pos)
+    if len(pos) < 2 and n_pairs == n_raw:
+        return None     # one clean file: nothing to consolidate
+    seq = _next_sequence_number(meta)
+    new_records = [] if n_pairs == 0 else _stage_pos_delete_files(
+        pairs, path, seq)
+    entries = [_exist_entry(d) for d in data_files]
+    del_entries = (
+        [_exist_entry(d) for d in keep]
+        + [{"status": 1, "snapshot_id": None, "sequence_number": seq,
+            "data_file": d} for d in new_records]
+        + [{"status": 2, "snapshot_id": None, "sequence_number": seq,
+            "data_file": d} for d in pos]
     )
     part_avro = _part_avro_for(meta, schema, data_files + delete_files)
     specs = meta.get("partition-specs") or [{"spec-id": 0,
@@ -3852,6 +3991,12 @@ def iceberg_cdf_apply_sink(path: str, app_id: str, keys: list[str],
             f"compact_mode {compact_mode!r} not in "
             "('rewrite', 'convert')")
 
+    # consecutive maintenance failures (non-CAS): a target that can
+    # never compact (e.g. rewrite refused typed every batch) must not
+    # loop a swallowed error per batch forever — after 3 straight
+    # failures the policy disarms for this sink instance, loudly
+    maint_fails = [0]
+
     def _maybe_compact(spark) -> None:
         # armed delete-debt policy: one metadata walk per applied
         # batch; rewrite inline when either threshold trips.  Lost
@@ -3859,6 +4004,8 @@ def iceberg_cdf_apply_sink(path: str, app_id: str, keys: list[str],
         # trigger simply re-fires on the next batch.
         if compact_after_files is None and compact_ratio is None:
             return
+        if maint_fails[0] >= 3:
+            return      # disarmed after repeated failures
         debt = iceberg_delete_debt(path)
         # convert mode retires only EQUALITY debt — trigger on the
         # eq split, or a standing position-debt residue would re-trip
@@ -3873,13 +4020,19 @@ def iceberg_cdf_apply_sink(path: str, app_id: str, keys: list[str],
             or (compact_ratio is not None and ratio >= compact_ratio))
         if trip:
             try:
-                if compact_mode == "convert":
+                if compact_mode == "convert" or debt["data_files"] == 0:
+                    # zero live data files (pure-delete feed onto an
+                    # empty-seeded target): the rewrite has nothing to
+                    # rewrite and would raise every batch — retiring
+                    # the (victimless) delete files via conversion is
+                    # the only meaningful maintenance there
                     convert_eq_deletes_iceberg(spark, path)
                 else:
                     # delete files present => every partition group
                     # qualifies regardless of min_files (the rewrite
                     # applies BOTH delete kinds and tombstones them)
                     rewrite_iceberg_data_files(spark, path)
+                maint_fails[0] = 0
             except IcebergConcurrentCommit:
                 pass        # lost the race: debt persists, re-fires
             except Exception as exc:
@@ -3889,8 +4042,12 @@ def iceberg_cdf_apply_sink(path: str, app_id: str, keys: list[str],
                 # the watermark — same table state, one spurious
                 # stream error.  Surface, don't raise.
                 import sys
+                maint_fails[0] += 1
+                disarm = " — policy DISARMED for this sink" \
+                    if maint_fails[0] >= 3 else ""
                 print(f"iceberg_cdf_apply_sink: compaction "
-                      f"({compact_mode}) failed at {path}: {exc}",
+                      f"({compact_mode}) failed at {path} "
+                      f"({maint_fails[0]}/3): {exc}{disarm}",
                       file=sys.stderr)
 
     def write_batch(batch_df: DataFrame, batch_id: int) -> None:

@@ -2697,3 +2697,99 @@ def ic7_convert_eq_cdf(spark: SparkSession, sf_dir: str) -> DataFrame:
             .withColumn("state_md5", F.lit(srow["state_md5"]))
             .select("eq_files_after", "n_feed", "feed_md5",
                     "n_state", "state_md5"))
+
+
+@register(
+    "ic8_pos_rewrite_cdf",
+    oracle="""
+    WITH base AS (SELECT doc_id, text FROM documents),
+    d1 AS (SELECT doc_id, text FROM base WHERE doc_id % 7 = 0),
+    d2 AS (SELECT doc_id, text FROM base
+           WHERE doc_id % 7 <> 0 AND doc_id % 11 = 0),
+    d3 AS (SELECT doc_id, text FROM base
+           WHERE doc_id % 7 <> 0 AND doc_id % 11 <> 0
+             AND doc_id % 13 = 0),
+    s AS (SELECT doc_id, text FROM base
+          WHERE doc_id % 7 <> 0 AND doc_id % 11 <> 0
+            AND doc_id % 13 <> 0),
+    feed AS (
+      SELECT text, 'insert' AS ct, 1 AS sq FROM base
+      UNION ALL SELECT text, 'delete', 2 FROM d1
+      UNION ALL SELECT text, 'delete', 3 FROM d2
+      UNION ALL SELECT text, 'delete', 4 FROM d3
+    )
+    SELECT
+      CAST(1 AS BIGINT) AS n_pos_files,
+      CAST((SELECT COUNT(*) FROM d1) +
+           (SELECT COUNT(*) FROM d2) +
+           (SELECT COUNT(*) FROM d3) AS BIGINT) AS n_del_rows,
+      (SELECT md5(STRING_AGG(k, '' ORDER BY k)) FROM
+        (SELECT ct || '|' || md5(text) || '|' || sq AS k FROM feed))
+        AS feed_md5,
+      CAST((SELECT COUNT(*) FROM s) AS BIGINT) AS n_state,
+      (SELECT md5(STRING_AGG(h, '' ORDER BY h)) FROM
+        (SELECT md5(CAST(doc_id AS VARCHAR) || '|' || text) AS h
+         FROM s)) AS state_md5
+    """,
+)
+def ic8_pos_rewrite_cdf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Position-delete CONSOLIDATION oracle-checked (r15, the
+    ``rewrite_position_delete_files`` action analog): documents seed
+    at sequence 1; three ``delete_where_iceberg`` commits (doc_id%7,
+    then %11, then %13 of the survivors) leave three position-delete
+    files; ``rewrite_position_deletes_iceberg`` folds them into ONE
+    (``n_pos_files`` hits the oracle's literal 1, ``n_del_rows``
+    pins the deduped pair count) in a row-preserving ``replace``
+    snapshot the changelog must NOT see — feed and state digests
+    must match DuckDB's reconstruction bit for bit.
+
+    At 100 TB: consolidation is delete-plane-sized (pairs shuffle
+    once by target file, the data plane is never read) — what keeps
+    a long-lived merge-on-read table's per-read anti-join O(targeted
+    files) instead of O(DML history).  Cf. reference `tulflow` (no
+    lake-format surface); Iceberg spec §Position-delete files."""
+    import tempfile
+
+    from tulflow_spark.ext.iceberg import (
+        _live_files,
+        delete_where_iceberg,
+        load_table_metadata,
+        read_iceberg,
+        read_iceberg_cdf,
+        rewrite_position_deletes_iceberg,
+        write_iceberg_fixture,
+    )
+
+    docs = table(spark, sf_dir, "documents").select("doc_id", "text")
+    t = tempfile.mkdtemp(prefix="ic8_") + "/tbl"
+    write_iceberg_fixture(spark, docs, t)                      # seq 1
+    delete_where_iceberg(spark, t, "doc_id % 7 = 0")           # seq 2
+    delete_where_iceberg(spark, t, "doc_id % 11 = 0")          # seq 3
+    delete_where_iceberg(spark, t, "doc_id % 13 = 0")          # seq 4
+    rewrite_position_deletes_iceberg(spark, t)       # seq 5, replace
+    _, dels = _live_files(load_table_metadata(t), None)
+    n_pos = len({str(d["file_path"]) for d in dels
+                 if int(d.get("content") or 0) == 1})
+    n_del_rows = sum(int(d.get("record_count") or 0) for d in dels)
+    feed = read_iceberg_cdf(spark, t)
+    key = F.concat_ws(
+        "|", F.col("_change_type"), F.md5("text"),
+        F.col("_commit_seq").cast("string"))
+    agg = feed.agg(
+        F.md5(F.concat_ws("", F.array_sort(F.collect_list(key))))
+         .alias("feed_md5"))
+    srow = read_iceberg(spark, t).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_state"),
+        F.md5(F.concat_ws("", F.array_sort(F.collect_list(
+            F.md5(F.concat_ws("|", F.col("doc_id").cast("string"),
+                              F.col("text"))))))).alias("state_md5"),
+    ).first()
+    return (agg
+            .withColumn("n_pos_files", F.lit(n_pos).cast("bigint"))
+            .withColumn("n_del_rows",
+                        F.lit(n_del_rows).cast("bigint"))
+            .withColumn("n_state",
+                        F.lit(int(srow["n_state"])).cast("bigint"))
+            .withColumn("state_md5", F.lit(srow["state_md5"]))
+            .select("n_pos_files", "n_del_rows", "feed_md5",
+                    "n_state", "state_md5"))

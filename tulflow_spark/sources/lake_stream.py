@@ -1167,6 +1167,7 @@ class IcebergCdfStreamReader(IcebergChangesStreamReader):
         from tulflow_spark.ext.iceberg import (
             IcebergError,
             _bounds_pruned,
+            _eq_part_applies,
             _plain_path,
             _schema_for,
         )
@@ -1211,7 +1212,10 @@ class IcebergCdfStreamReader(IcebergChangesStreamReader):
                 if c.get("__seq") is None \
                         or int(c["__seq"]) >= int(dseq):
                     continue
-                if part and (c.get("partition") or {}) != part:
+                # subset semantics, matching the batch scan path —
+                # exact-dict equality would drop files whose partition
+                # struct carries extra keys (spec evolution)
+                if not _eq_part_applies(part, c.get("partition")):
                     continue
                 if any(b is not None and isinstance(t, str)
                        and _bounds_pruned(c, i, t, b[0], b[1])
