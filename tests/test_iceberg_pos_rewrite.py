@@ -122,3 +122,51 @@ def test_consolidate_nothing_to_do(spark, tmp_path):
     n_snaps = len(load_table_metadata(t)["snapshots"])
     assert rewrite_position_deletes_iceberg(spark, t) is None
     assert len(load_table_metadata(t)["snapshots"]) == n_snaps
+
+
+def test_consolidate_v3_multi_position_vectors(spark, tmp_path):
+    """r15 review (live-repro'd crash): a deletion vector holding two
+    or more positions flows from _read_dv_map into the v3 writer as a
+    numpy array, whose truthiness is ambiguous — consolidation must
+    handle real (multi-row) vectors, reading each sidecar exactly
+    once."""
+    t = str(tmp_path / "t3m")
+    write_iceberg_fixture(spark, _mk(spark, 0, 10), t)
+    upgrade_iceberg_v3(t)
+    append_iceberg_fixture(spark, _mk(spark, 10, 20), t)
+    delete_where_iceberg(spark, t, "id IN (2, 3, 5)")   # 3-pos DV
+    delete_where_iceberg(spark, t, "id IN (15, 17)")    # 2-pos DV
+    before = _content(spark, t)
+    assert rewrite_position_deletes_iceberg(spark, t) is not None
+    assert _content(spark, t) == before
+    _, dels = _live_files(load_table_metadata(t), None)
+    assert len(_pos_files(t)) == 1
+    assert sum(int(d["record_count"]) for d in dels) == 5
+    assert rewrite_position_deletes_iceberg(spark, t) is None
+
+
+def test_consolidate_converges_across_multiple_targets(spark,
+                                                       tmp_path):
+    """r15 review (live-repro'd loop): when the consolidated output
+    spans several parquet parts (pairs targeting multiple data
+    files), the nothing-to-do rule must recognize the converged state
+    — one pass, then None forever, snapshot count stable."""
+    t = str(tmp_path / "tm")
+    write_iceberg_fixture(spark, _mk(spark, 0, 10), t)
+    append_iceberg_fixture(spark, _mk(spark, 10, 20), t)
+    append_iceberg_fixture(spark, _mk(spark, 20, 30), t)
+    # four commits, each touching MULTIPLE data files
+    for pred in ("id IN (1, 11, 21)", "id IN (3, 13)",
+                 "id IN (5, 25)", "id IN (7, 17, 27)"):
+        delete_where_iceberg(spark, t, pred)
+    before = _content(spark, t)
+    assert len(_pos_files(t)) == 4
+    assert rewrite_position_deletes_iceberg(spark, t) is not None
+    assert _content(spark, t) == before
+    n_files = len(_pos_files(t))
+    assert n_files <= 3     # at most one per targeted data file
+    n_snaps = len(load_table_metadata(t)["snapshots"])
+    for _ in range(3):
+        assert rewrite_position_deletes_iceberg(spark, t) is None
+    assert len(load_table_metadata(t)["snapshots"]) == n_snaps
+    assert len(_pos_files(t)) == n_files

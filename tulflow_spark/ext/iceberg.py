@@ -2268,7 +2268,7 @@ def delete_positions_iceberg_fixture(
     for fp, poss in sorted(deletes.items()):
         if fp not in live:
             raise IcebergError(f"delete target {fp!r} is not live")
-        if not poss:
+        if len(poss) == 0:
             raise IcebergError(f"empty position list for {fp!r}")
         rows += [(fp, int(p)) for p in sorted(set(poss))]
     import uuid as _uuid
@@ -2486,7 +2486,10 @@ def delete_positions_iceberg_v3(
                     "refusing to commit an unreadable deletion vector")
             encoded[fp] = (vec, card)
             continue
-        if not poss:
+        # len(), not truthiness: a multi-element numpy array (the
+        # consolidation path hands _read_dv_map vectors through) is
+        # ambiguous under `not` (r15 review, live-repro'd crash)
+        if len(poss) == 0:
             raise IcebergError(f"empty position list for {fp!r}")
         arr = np.unique(np.asarray(list(poss), dtype=np.int64))
         if arr[0] < 0 or (n and arr[-1] >= n):
@@ -2498,8 +2501,16 @@ def delete_positions_iceberg_v3(
     for d in delete_files:
         if str(d.get("file_format") or "").upper() == "PUFFIN":
             dv_old[str(d["referenced_data_file"])] = d
+    # drop_delete_files doubles as a prior-merge skip: a sidecar the
+    # caller is retiring wholesale has already been accounted for in
+    # the positions it passes (the consolidation path reads every
+    # sidecar exactly once and hands the merged vectors in) — re-
+    # reading it here would double the Puffin IO for a self-union
+    drop_paths = {str(d["file_path"])
+                  for d in (drop_delete_files or [])}
     superseded = [d for ref, d in dv_old.items()
-                  if ref in merged or ref in encoded]
+                  if (ref in merged or ref in encoded)
+                  and str(d["file_path"]) not in drop_paths]
     prior_map = _read_dv_map(superseded)     # one read per sidecar
     for fp, prior in prior_map.items():
         if fp in encoded:
@@ -2540,12 +2551,10 @@ def delete_positions_iceberg_v3(
     data_entries = [exist(d) for d in data_files] + [
         {"status": 1, "snapshot_id": None, "sequence_number": seq,
          "data_file": d} for d in (extra_data_records or [])]
-    # drop_delete_files: delete files tombstoned by THIS snapshot
-    # beyond the superseded DVs — the eq→pos conversion path
-    # (convert_eq_deletes_iceberg) retires the equality deletes it
-    # just materialized as vectors in the SAME atomic commit
-    drop_paths = {str(d["file_path"])
-                  for d in (drop_delete_files or [])}
+    # drop_paths (computed above): delete files tombstoned by THIS
+    # snapshot beyond the superseded DVs — the eq→pos conversion and
+    # consolidation paths retire the files they just re-materialized
+    # in the SAME atomic commit
     superseded_dv = lambda d: (  # noqa: E731
         str(d.get("file_format") or "").upper() == "PUFFIN"
         and str(d["referenced_data_file"]) in merged)
@@ -2994,7 +3003,8 @@ def rewrite_position_deletes_iceberg(spark: SparkSession, path: str,
            if int(d.get("content") or 0) == 1 and not is_dv(d)]
     dvs = [d for d in delete_files
            if int(d.get("content") or 0) == 1 and is_dv(d)]
-    keep = [d for d in delete_files if d not in pos]
+    keep = [d for d in delete_files
+            if int(d.get("content") or 0) != 1 or is_dv(d)]
     live_paths = {d["file_path"] for d in data_files}
     if not pos:
         dangling = [d for d in dvs
@@ -3037,7 +3047,11 @@ def rewrite_position_deletes_iceberg(spark: SparkSession, path: str,
                 carry_prior=False, operation="replace")
         return delete_positions_iceberg_v3(
             spark, path, merged, meta=meta,
-            drop_delete_files=dangling, operation="replace")
+            # retire EVERY old sidecar (not just dangling): their
+            # content is fully carried by `merged`, and listing them
+            # here also skips the writer's prior-merge re-read — each
+            # sidecar is read exactly once per consolidation
+            drop_delete_files=dvs, operation="replace")
     import re as _re
 
     pn = lambda p: _re.sub(  # noqa: E731
@@ -3059,8 +3073,14 @@ def rewrite_position_deletes_iceberg(spark: SparkSession, path: str,
              .localCheckpoint(eager=True))
     n_pairs = pairs.count()
     n_raw = sum(int(d.get("record_count") or 0) for d in pos)
-    if len(pos) < 2 and n_pairs == n_raw:
-        return None     # one clean file: nothing to consolidate
+    # convergence rule (r15 review, live-repro'd loop): the staging
+    # hash-partitions by target file, so one pass yields at most one
+    # part per TARGETED data file — a clean state already at or below
+    # that bound has nothing to gain, and re-staging it would commit
+    # an equivalent delete plane (plus a snapshot) forever
+    n_targets = pairs.select("file_path").distinct().count()
+    if n_pairs == n_raw and len(pos) <= max(n_targets, 1):
+        return None
     seq = _next_sequence_number(meta)
     new_records = [] if n_pairs == 0 else _stage_pos_delete_files(
         pairs, path, seq)
@@ -4019,14 +4039,23 @@ def iceberg_cdf_apply_sink(path: str, app_id: str, keys: list[str],
              and files >= compact_after_files)
             or (compact_ratio is not None and ratio >= compact_ratio))
         if trip:
+            if debt["data_files"] == 0:
+                # zero live data files (pure-delete feed onto an
+                # empty-seeded target, or a foreign rewrite stranded
+                # the delete plane): only delete-plane maintenance is
+                # possible — conversion retires (victimless) eq
+                # debt, consolidation tombstones stranded position
+                # files; the data rewrite would raise every batch
+                op_used = ("convert [data_files=0]"
+                           if debt["eq_delete_files"]
+                           else "consolidate [data_files=0]")
+            else:
+                op_used = compact_mode
             try:
-                if compact_mode == "convert" or debt["data_files"] == 0:
-                    # zero live data files (pure-delete feed onto an
-                    # empty-seeded target): the rewrite has nothing to
-                    # rewrite and would raise every batch — retiring
-                    # the (victimless) delete files via conversion is
-                    # the only meaningful maintenance there
+                if op_used.startswith("convert"):
                     convert_eq_deletes_iceberg(spark, path)
+                elif op_used.startswith("consolidate"):
+                    rewrite_position_deletes_iceberg(spark, path)
                 else:
                     # delete files present => every partition group
                     # qualifies regardless of min_files (the rewrite
@@ -4046,7 +4075,7 @@ def iceberg_cdf_apply_sink(path: str, app_id: str, keys: list[str],
                 disarm = " — policy DISARMED for this sink" \
                     if maint_fails[0] >= 3 else ""
                 print(f"iceberg_cdf_apply_sink: compaction "
-                      f"({compact_mode}) failed at {path} "
+                      f"({op_used}) failed at {path} "
                       f"({maint_fails[0]}/3): {exc}{disarm}",
                       file=sys.stderr)
 
