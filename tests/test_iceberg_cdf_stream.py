@@ -586,3 +586,55 @@ def test_apply_sink_delete_debt_policy_bounds_read_amp(registered,
     assert debt["delete_rows"] > 0 and debt["data_rows"] > 0
     assert debt["ratio"] == pytest.approx(
         debt["delete_rows"] / debt["data_rows"])
+
+
+def test_maintained_target_streams_onward(registered, tmp_path):
+    """Maintenance composes with the CDC relay: a mid table fed by an
+    apply sink with the convert-mode debt policy (replace snapshots
+    interleaved with the merges) must still serve a REAL downstream
+    changelog stream — the conversion snapshots are invisible (row-
+    preserving replace), the merge snapshots' eq deletes resolve
+    through the streaming eq path, and nothing double-delivers."""
+    from tulflow_spark.ext.iceberg import (
+        iceberg_cdf_apply_sink,
+        iceberg_delete_debt,
+        read_iceberg,
+    )
+
+    spark = registered
+    mid = str(tmp_path / "mid")
+    down = str(tmp_path / "down")
+    ckpt = str(tmp_path / "ck")
+    sink = iceberg_cdf_apply_sink(mid, "relay", ["id"],
+                                  compact_after_files=2,
+                                  compact_mode="convert")
+
+    def batch(rows, seq):
+        return spark.createDataFrame(
+            [(i, v, ct, seq) for (i, v, ct) in rows],
+            "id long, v string, _change_type string, _commit_seq long"
+        ).coalesce(1)
+
+    sink(batch([(i, f"x{i}", "insert") for i in range(6)], 0), 0)
+    for b in range(1, 5):
+        sink(batch([(b, f"u{b}", "update_postimage"),
+                    (10 + b, f"n{b}", "insert"),
+                    (5, "", "delete") if b == 3
+                    else (20 + b, f"m{b}", "insert")], b), b)
+    # the policy actually fired: eq debt bounded, replace present
+    assert iceberg_delete_debt(mid)["eq_delete_files"] <= 2
+    assert any((s.get("summary") or {}).get("operation") == "replace"
+               for s in load_table_metadata(mid)["snapshots"])
+    q = (spark.readStream.format("tulflow_iceberg_cdf")
+         .option("path", mid).option("startingSequence", "0").load()
+         .writeStream.foreachBatch(iceberg_cdf_apply_sink(
+             down, "onward", ["id"]))
+         .option("checkpointLocation", ckpt)
+         .trigger(availableNow=True).start())
+    assert q.awaitTermination(180)
+    got_mid = sorted((r["id"], r["v"]) for r in
+                     read_iceberg(spark, mid).collect())
+    got_down = sorted((r["id"], r["v"]) for r in
+                      read_iceberg(spark, down).collect())
+    assert got_mid == got_down
+    assert (5, "x5") not in got_down and (1, "u1") in got_down
