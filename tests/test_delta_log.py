@@ -1740,3 +1740,83 @@ def test_column_mapping_id_partitioned_and_prune(spark, tmp_path):
     pruned = read_delta(spark, t, prune=("bucket", 1, 1))
     assert _ids(pruned) == sorted(i for i in range(40) if i % 4 == 1)
     assert len(pruned.inputFiles()) < len(got.inputFiles())
+
+
+def test_reorg_delta_purge_pays_down_dv_debt(spark, tmp_path):
+    """r15 (Delta face of the maintenance story): REORG APPLY (PURGE)
+    rewrites ONLY the DV-carrying files without their dead rows and
+    drops the descriptors — the one way a writer-7 DV table's
+    merge-on-read debt clears (OPTIMIZE refuses it).  Untouched files
+    carry over by reference, the commit is layout-only
+    (dataChange=false throughout), time travel below it still
+    subtracts the DV, and a second purge finds nothing."""
+    import json as _json
+
+    from tulflow_spark.ext.delta_log import (
+        _replay,
+        delete_rows_with_dv,
+        reorg_delta_purge,
+    )
+
+    t = str(tmp_path / "tbl")
+    write_delta(_df(spark, 0, 50).coalesce(1)
+                .sortWithinPartitions("id"), t)                    # v0
+    write_delta(_df(spark, 50, 60).coalesce(1)
+                .sortWithinPartitions("id"), t, mode="append")     # v1
+    snap = _replay(spark, t, None)
+
+    def _min_id(a):
+        return _json.loads(a["stats"])["minValues"]["id"]
+
+    pa = next(p for p, a in snap.live.items() if _min_id(a) == 0)
+    pb = next(p for p, a in snap.live.items() if _min_id(a) == 50)
+    assert delete_rows_with_dv(spark, t, {pa: [0, 5, 7]}) == 2
+    assert reorg_delta_purge(spark, t) == 3
+    ids = _ids(read_delta(spark, t))
+    assert len(ids) == 57 and not {0, 5, 7} & set(ids)
+    snap3 = _replay(spark, t, None)
+    assert pb in snap3.live and pa not in snap3.live
+    assert not any(a.get("deletionVector")
+                   for a in snap3.live.values())
+    # layout-only commit: every action carries dataChange=false
+    with open(f"{t}/_delta_log/{3:020d}.json") as fh:
+        acts = [_json.loads(ln) for ln in fh.read().splitlines()]
+    for a in acts:
+        if "add" in a:
+            assert a["add"]["dataChange"] is False
+        if "remove" in a:
+            assert a["remove"]["dataChange"] is False
+    # history intact: pre-purge versions still subtract the DV
+    assert read_delta(spark, t, version=2).count() == 57
+    assert read_delta(spark, t, version=1).count() == 60
+    assert reorg_delta_purge(spark, t) is None
+
+
+def test_reorg_delta_purge_all_dead_file_retires(spark, tmp_path):
+    """A file whose DV kills every row purges to a plain remove — no
+    zero-row re-add enters the log."""
+    import json as _json
+
+    from tulflow_spark.ext.delta_log import (
+        _replay,
+        delete_rows_with_dv,
+        reorg_delta_purge,
+    )
+
+    t = str(tmp_path / "tbl")
+    write_delta(_df(spark, 0, 50).coalesce(1)
+                .sortWithinPartitions("id"), t)                    # v0
+    write_delta(_df(spark, 50, 60).coalesce(1)
+                .sortWithinPartitions("id"), t, mode="append")     # v1
+    snap = _replay(spark, t, None)
+    pb = next(p for p, a in snap.live.items()
+              if _json.loads(a["stats"])["minValues"]["id"] == 50)
+    delete_rows_with_dv(spark, t, {pb: list(range(10))})           # v2
+    assert reorg_delta_purge(spark, t) == 3
+    snap3 = _replay(spark, t, None)
+    assert pb not in snap3.live
+    assert len(snap3.live) == 1
+    assert read_delta(spark, t).count() == 50
+    for a in snap3.live.values():
+        n = _json.loads(a["stats"])["numRecords"]
+        assert n > 0

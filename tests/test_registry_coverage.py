@@ -87,9 +87,10 @@ def test_r7_rotation_promotes_never_adjudicated_pairs():
                                      "ic5_iceberg_merge_evolve",
                                      # r15-created after the gate froze
                                      # (eq→pos conversion; pos-delete
-                                     # consolidation)
+                                     # consolidation; Delta DV purge)
                                      "ic7_convert_eq_cdf",
-                                     "ic8_pos_rewrite_cdf"}
+                                     "ic8_pos_rewrite_cdf",
+                                     "dl15_dv_purge_cdf"}
     never -= added_post_rotation
     assert never <= set(QUERIES), (
         f"never-adjudicated but de-gated: {sorted(never - set(QUERIES))}"

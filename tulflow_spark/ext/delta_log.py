@@ -2945,6 +2945,94 @@ def delete_rows_with_dv(spark: SparkSession, path: str,
     return latest + 1
 
 
+def reorg_delta_purge(spark: SparkSession, path: str,
+                      expect_version: int | None = None) -> int | None:
+    """Delta ``REORG TABLE ... APPLY (PURGE)``: rewrite ONLY the
+    deletion-vector-carrying files without their dead rows and drop
+    the descriptors — the maintenance op that pays down DV debt.
+    Every read of a DV file costs a broadcast anti-join until this
+    runs, and ``optimize_delta`` correctly refuses writer-7 tables,
+    so purge is the ONLY way a DV table's merge-on-read debt clears
+    (the Delta face of the Iceberg maintenance triad's rewrite leg,
+    scoped to exactly the indebted files).  Logical content is
+    unchanged, so removes + adds commit with ``dataChange=false`` and
+    incremental consumers see a layout-only commit, like OPTIMIZE.
+    A file whose DV kills every row simply retires (remove, no
+    re-add).  Untouched files carry over by reference — the commit
+    and the rewrite are O(DV-carrying files), never the table.
+
+    Returns the new version, or None when no live file carries a DV.
+    Cf. Delta PROTOCOL.md §Deletion Vectors (delta-spark's REORG
+    PURGE semantics)."""
+    from pyspark.sql import functions as F
+
+    latest = latest_version(path)
+    if latest is None:
+        raise DeltaProtocolError(f"no delta table at {path}")
+    if expect_version is not None and latest != expect_version:
+        raise DeltaConcurrentCommit(
+            f"table is at version {latest}, purge was computed "
+            f"against {expect_version}: re-read and retry"
+        )
+    snap = _replay(spark, path, latest)
+    if _mapping_mode(snap) != "none":
+        raise DeltaProtocolError(
+            "reorg_delta_purge on a column-mapped table not "
+            "supported (physical-name staging not implemented)"
+        )
+    extra = set(snap.writer_features) - {
+        "deletionVectors", "appendOnly", "invariants", "v2Checkpoint"}
+    if (2 < snap.min_writer < 7) or extra:
+        raise DeltaProtocolError(
+            f"table requires writer version {snap.min_writer} with "
+            f"features {sorted(extra)}: purge supports only base "
+            "tables and writer-7 tables whose features are "
+            "implemented here"
+        )
+    if snap.schema_str is None:
+        raise DeltaProtocolError("purge needs a metaData schema")
+    victims = sorted(p for p, a in snap.live.items()
+                     if a.get("deletionVector"))
+    if not victims:
+        return None
+    schema = StructType.fromJson(json.loads(snap.schema_str))
+    data_schema = StructType(
+        [f for f in schema.fields if f.name not in snap.partition_cols]
+    )
+    types = {f.name: f.dataType for f in schema.fields}
+    frames = []
+    for p in victims:
+        add = snap.live[p]
+        df = _dv_filtered_scan(spark, path, p, add, data_schema)
+        pv = add.get("partitionValues") or {}
+        for c in snap.partition_cols:
+            df = df.withColumn(
+                c, F.lit(_partition_value(pv.get(c), types[c], c))
+                .cast(types[c]))
+        frames.append(df.select([f.name for f in schema.fields]))
+    purged = _union_fold(frames)
+    adds = _stage_adds(purged, path, snap.partition_cols or None,
+                       data_change=False)
+    # an entirely-dead victim set stages one schema-preserving empty
+    # part — committing a zero-row file would leave the log
+    # referencing it forever (the r14 empty-seed finding's class);
+    # drop such adds, vacuum reclaims the orphaned staging bytes
+    adds = [a for a in adds
+            if json.loads(a["add"].get("stats") or '{"numRecords":1}')
+            .get("numRecords", 1) != 0]
+    actions: list[dict] = [
+        {"remove": {"path": p, "dataChange": False,
+                    "deletionTimestamp": 0}}
+        for p in victims
+    ] + adds
+    if latest_version(path) != latest:
+        raise DeltaConcurrentCommit(
+            "table advanced while purge was rewriting: re-run"
+        )
+    _publish(path, latest + 1, actions)
+    return latest + 1
+
+
 def write_column_mapped_fixture(spark: SparkSession, df: DataFrame,
                                 path: str,
                                 partition_by: list[str] | None = None,

@@ -2793,3 +2793,101 @@ def ic8_pos_rewrite_cdf(spark: SparkSession, sf_dir: str) -> DataFrame:
             .withColumn("state_md5", F.lit(srow["state_md5"]))
             .select("n_pos_files", "n_del_rows", "feed_md5",
                     "n_state", "state_md5"))
+
+
+@register(
+    "dl15_dv_purge_cdf",
+    oracle="""
+    WITH base AS (SELECT doc_id, text FROM documents),
+    dead AS (SELECT doc_id, text FROM base WHERE doc_id % 7 = 0),
+    s AS (SELECT doc_id, text FROM base WHERE doc_id % 7 <> 0),
+    feed AS (
+      -- read_delta_cdf(from=0) is (0, to]: v0's creation inserts are
+      -- before the window; v1 is the DV delete; v2 (the purge) is
+      -- layout-only and must contribute NOTHING
+      SELECT text, 'delete' AS ct, 1 AS v FROM dead
+    )
+    SELECT
+      CAST(0 AS BIGINT) AS n_dv_after,
+      CAST(1 AS BIGINT) AS n_files_after,
+      (SELECT md5(STRING_AGG(k, '' ORDER BY k)) FROM
+        (SELECT ct || '|' || md5(text) || '|' || v AS k FROM feed))
+        AS feed_md5,
+      CAST((SELECT COUNT(*) FROM s) AS BIGINT) AS n_state,
+      (SELECT md5(STRING_AGG(h, '' ORDER BY h)) FROM
+        (SELECT md5(CAST(doc_id AS VARCHAR) || '|' || text) AS h
+         FROM s)) AS state_md5
+    """,
+)
+def dl15_dv_purge_cdf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Delta REORG APPLY (PURGE) oracle-checked (r15): documents as
+    one doc_id-sorted file (v0), deletion-vector DELETE of doc_id%7
+    (v1, merge-on-read), then ``reorg_delta_purge`` (v2) rewrites the
+    indebted file without its dead rows and drops the descriptor —
+    ``n_dv_after`` pins the debt at the oracle's literal 0,
+    ``n_files_after`` pins the rewrite landed as one file, and the
+    CDF digest pins that the purge commit is LAYOUT-ONLY
+    (dataChange=false: the feed carries v0 inserts and v1 deletes,
+    nothing for v2).  State digest matches DuckDB bit for bit, and
+    time travel below the purge still subtracts the vector.
+
+    At 100 TB: purge cost is O(DV-carrying files), never the table —
+    the only way a writer-7 DV table's read-side anti-join debt
+    clears (OPTIMIZE correctly refuses such tables).  Cf. reference
+    `tulflow` (no lake-format surface); Delta PROTOCOL.md §Deletion
+    Vectors."""
+    import tempfile
+
+    from tulflow_spark.ext.delta_log import (
+        _replay,
+        delete_rows_with_dv,
+        read_delta,
+        read_delta_cdf,
+        reorg_delta_purge,
+        write_delta,
+    )
+
+    docs = (table(spark, sf_dir, "documents")
+            .select("doc_id", "text")
+            .coalesce(1).sortWithinPartitions("doc_id"))
+    t = tempfile.mkdtemp(prefix="dl15_") + "/tbl"
+    write_delta(docs, t)                                       # v0
+    snap = _replay(spark, t, None)
+    (add_path,) = snap.live
+    # GATE-SCALE ORACLE SCAFFOLDING ONLY (the dl5 precedent): this
+    # collect builds the DV fixture's row-index INPUT — production
+    # deletes arrive as positions
+    ids = [r["doc_id"] for r in
+           read_delta(spark, t).select("doc_id").collect()]
+    delete_rows_with_dv(
+        spark, t,
+        {add_path: [i for i, doc in enumerate(sorted(ids))
+                    if doc % 7 == 0]})                         # v1
+    reorg_delta_purge(spark, t)                                # v2
+    after = read_delta(spark, t)
+    snap2 = _replay(spark, t, None)
+    n_dv = sum(1 for a in snap2.live.values()
+               if a.get("deletionVector"))
+    feed = read_delta_cdf(spark, t, 0)
+    key = F.concat_ws(
+        "|", F.col("_change_type"), F.md5("text"),
+        F.col("_commit_version").cast("string"))
+    agg = feed.where("_change_type <> 'update_preimage'").agg(
+        F.md5(F.concat_ws("", F.array_sort(F.collect_list(key))))
+         .alias("feed_md5"))
+    srow = after.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_state"),
+        F.md5(F.concat_ws("", F.array_sort(F.collect_list(
+            F.md5(F.concat_ws("|", F.col("doc_id").cast("string"),
+                              F.col("text"))))))).alias("state_md5"),
+    ).first()
+    return (agg
+            .withColumn("n_dv_after", F.lit(n_dv).cast("bigint"))
+            .withColumn("n_files_after",
+                        F.lit(len(after.inputFiles()))
+                        .cast("bigint"))
+            .withColumn("n_state",
+                        F.lit(int(srow["n_state"])).cast("bigint"))
+            .withColumn("state_md5", F.lit(srow["state_md5"]))
+            .select("n_dv_after", "n_files_after", "feed_md5",
+                    "n_state", "state_md5"))
