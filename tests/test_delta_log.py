@@ -1820,3 +1820,55 @@ def test_reorg_delta_purge_all_dead_file_retires(spark, tmp_path):
     for a in snap3.live.values():
         n = _json.loads(a["stats"])["numRecords"]
         assert n > 0
+
+
+def test_reorg_delta_purge_partitioned_mixed_victims(spark, tmp_path):
+    """Partitioned purge: a partially-dead victim in one partition
+    rewrites to ONE file under its partition dir (partitionValues
+    re-derived from the hive layout); an ALL-dead victim in the other
+    partition retires with no re-add; the untouched partition file
+    carries over by reference."""
+    from pyspark.sql import functions as F
+
+    from tulflow_spark.ext.delta_log import (
+        _replay,
+        delete_rows_with_dv,
+        reorg_delta_purge,
+    )
+
+    t = str(tmp_path / "tbl")
+    df = (_df(spark, 0, 60)
+          .withColumn("b", (F.col("id") % 3).cast("int"))
+          .repartition(1).sortWithinPartitions("b", "id"))
+    write_delta(df.coalesce(1), t, partition_by=["b"])             # v0
+    snap = _replay(spark, t, None)
+
+    def _part(p):
+        return (snap.live[p].get("partitionValues") or {}).get("b")
+
+    p0 = next(p for p in snap.live if _part(p) == "0")
+    p1 = next(p for p in snap.live if _part(p) == "1")
+    p2 = next(p for p in snap.live if _part(p) == "2")
+    delete_rows_with_dv(spark, t, {p0: [0, 3],                     # v1
+                                   p1: list(range(20))})  # all dead
+    assert read_delta(spark, t).count() == 38
+    assert reorg_delta_purge(spark, t) == 2
+    out = read_delta(spark, t)
+    assert out.count() == 38
+    assert out.where("b = 1").count() == 0
+    assert out.where("b = 0").count() == 18
+    assert out.where("b = 2").count() == 20
+    snap2 = _replay(spark, t, None)
+    assert p2 in snap2.live                  # untouched carries over
+    assert p0 not in snap2.live and p1 not in snap2.live
+    assert not any(a.get("deletionVector")
+                   for a in snap2.live.values())
+    # one-in-one-out: exactly one re-added file, under b=0's dir
+    new = [p for p in snap2.live if p != p2]
+    assert len(new) == 1
+    assert (snap2.live[new[0]].get("partitionValues") or {}) \
+        == {"b": "0"}
+    # the b=0 file holds ids 0,3,6,9,... sorted, so positions 0 and 3
+    # are ids 0 and 9 — exactly those are gone
+    ids0 = set(_ids(out.where("b = 0")))
+    assert 0 not in ids0 and 9 not in ids0 and 3 in ids0

@@ -2410,15 +2410,18 @@ def update_where(spark: SparkSession, path: str, condition: str,
 
 
 def _stage_nonempty_adds(df: DataFrame, path: str,
-                         part_cols: list[str]) -> list[dict]:
+                         part_cols: list[str],
+                         data_change: bool = True) -> list[dict]:
     """`_stage_adds` minus zero-row parts (footer-count check — cheap
-    driver-side metadata reads, no extra Spark job)."""
+    driver-side metadata reads, no extra Spark job; robust where an
+    add.stats-based filter would fail open on a stats read error)."""
     import pyarrow.parquet as pq
 
     from urllib.parse import unquote as _uq
 
     out = []
-    for act in _stage_adds(df, path, part_cols or None):
+    for act in _stage_adds(df, path, part_cols or None,
+                           data_change=data_change):
         fs, fp = fsio.resolve(f"{path}/{_uq(act['add']['path'])}")
         with fs.open_input_file(fp) as handle:
             if pq.ParquetFile(handle).metadata.num_rows > 0:
@@ -2890,22 +2893,7 @@ def delete_rows_with_dv(spark: SparkSession, path: str,
             "delete_rows_with_dv on a column-mapped table not "
             "supported (protocol feature sets would conflict)"
         )
-    # writer wall: legacy writer versions 3-6 imply features
-    # (invariants / checkConstraints / generatedColumns / identity)
-    # with no feature list to preserve; a writer-7 table is mutable
-    # here only when its declared features are ones this module
-    # implements — otherwise the protocol upgrade below would clobber
-    # feature declarations a conformant writer depends on
-    extra = set(snap.writer_features) - {
-        "deletionVectors", "appendOnly", "invariants", "v2Checkpoint"}
-    if (2 < snap.min_writer < 7) or extra:
-        raise DeltaProtocolError(
-            f"table requires writer version {snap.min_writer} with "
-            f"features {sorted(extra)}: delete_rows_with_dv supports "
-            "only base tables and writer-7 tables whose features are "
-            "implemented here (deletionVectors / v2Checkpoint / "
-            "migrated legacy capabilities)"
-        )
+    _require_dv_mutable(snap, "delete_rows_with_dv")
     actions: list[dict] = [{
         "protocol": {
             "minReaderVersion": 3, "minWriterVersion": 7,
@@ -2945,6 +2933,27 @@ def delete_rows_with_dv(spark: SparkSession, path: str,
     return latest + 1
 
 
+def _require_dv_mutable(snap, verb: str) -> None:
+    """Writer wall shared by the DV-mutating ops: legacy writer
+    versions 3-6 imply features (invariants / checkConstraints /
+    generatedColumns / identity) with no feature list to preserve;
+    a writer-7 table is mutable here only when its declared features
+    are ones this module implements — otherwise a protocol upgrade
+    would clobber feature declarations a conformant writer depends
+    on.  One definition so the next widened feature set updates
+    every DV verb in lockstep."""
+    extra = set(snap.writer_features) - {
+        "deletionVectors", "appendOnly", "invariants", "v2Checkpoint"}
+    if (2 < snap.min_writer < 7) or extra:
+        raise DeltaProtocolError(
+            f"table requires writer version {snap.min_writer} with "
+            f"features {sorted(extra)}: {verb} supports only base "
+            "tables and writer-7 tables whose features are "
+            "implemented here (deletionVectors / v2Checkpoint / "
+            "migrated legacy capabilities)"
+        )
+
+
 def reorg_delta_purge(spark: SparkSession, path: str,
                       expect_version: int | None = None) -> int | None:
     """Delta ``REORG TABLE ... APPLY (PURGE)``: rewrite ONLY the
@@ -2980,15 +2989,7 @@ def reorg_delta_purge(spark: SparkSession, path: str,
             "reorg_delta_purge on a column-mapped table not "
             "supported (physical-name staging not implemented)"
         )
-    extra = set(snap.writer_features) - {
-        "deletionVectors", "appendOnly", "invariants", "v2Checkpoint"}
-    if (2 < snap.min_writer < 7) or extra:
-        raise DeltaProtocolError(
-            f"table requires writer version {snap.min_writer} with "
-            f"features {sorted(extra)}: purge supports only base "
-            "tables and writer-7 tables whose features are "
-            "implemented here"
-        )
+    _require_dv_mutable(snap, "reorg_delta_purge")
     if snap.schema_str is None:
         raise DeltaProtocolError("purge needs a metaData schema")
     victims = sorted(p for p, a in snap.live.items()
@@ -3009,17 +3010,21 @@ def reorg_delta_purge(spark: SparkSession, path: str,
             df = df.withColumn(
                 c, F.lit(_partition_value(pv.get(c), types[c], c))
                 .cast(types[c]))
-        frames.append(df.select([f.name for f in schema.fields]))
+        # one-in-one-out REORG shape: each victim rewrites to ONE
+        # file however the scan was split (a >128 MB victim would
+        # otherwise land as maxPartitionBytes-many parts and break
+        # the file-count invariant the oracle pins)
+        frames.append(
+            df.select([f.name for f in schema.fields]).coalesce(1))
     purged = _union_fold(frames)
-    adds = _stage_adds(purged, path, snap.partition_cols or None,
-                       data_change=False)
-    # an entirely-dead victim set stages one schema-preserving empty
-    # part — committing a zero-row file would leave the log
-    # referencing it forever (the r14 empty-seed finding's class);
-    # drop such adds, vacuum reclaims the orphaned staging bytes
-    adds = [a for a in adds
-            if json.loads(a["add"].get("stats") or '{"numRecords":1}')
-            .get("numRecords", 1) != 0]
+    # footer-count filter (not add.stats, which fails OPEN when the
+    # stats read errors): an entirely-dead victim stages one schema-
+    # preserving empty part — committing a zero-row file would leave
+    # the log referencing it forever (the r14 empty-seed class);
+    # vacuum reclaims the orphaned staging bytes
+    adds = _stage_nonempty_adds(purged, path,
+                                snap.partition_cols or [],
+                                data_change=False)
     actions: list[dict] = [
         {"remove": {"path": p, "dataChange": False,
                     "deletionTimestamp": 0}}
