@@ -635,6 +635,35 @@ def _bounds_pruned(dfile: dict, fid: int | None, ice_type: str,
     return False
 
 
+def _manifest_value_bounds(dfile: dict, fids: list[int],
+                           ice_types: list) -> list | None:
+    """Decode an EQUALITY-delete manifest entry's own value bounds
+    (the delete parquet's column min/max, recorded at stage time —
+    r15) into ``[(lo, hi) | None]`` aligned with ``fids``.  Returns
+    None when the entry carries no bounds at all (foreign writer or
+    pre-r15 commit) — planners then fall back to reading the delete
+    file's values.  A per-column miss decodes to None (never prunes),
+    the `_bounds_pruned` discipline."""
+    lob = _bound_map(dfile.get("lower_bounds"))
+    upb = _bound_map(dfile.get("upper_bounds"))
+    if not lob or not upb:
+        return None
+    out: list = []
+    for fid, t in zip(fids, ice_types):
+        lo_raw, hi_raw = lob.get(int(fid)), upb.get(int(fid))
+        if lo_raw is None or hi_raw is None \
+                or not isinstance(t, str) or t == "string":
+            # string bounds may be TRUNCATED per the spec (a prefix
+            # upper bound undershoots the true max), which would make
+            # range-side pruning unsound — strings never prune here
+            out.append(None)
+            continue
+        lo_v, hi_v = _decode_bound(lo_raw, t), _decode_bound(hi_raw, t)
+        out.append(None if lo_v is None or hi_v is None
+                   else (lo_v, hi_v))
+    return out
+
+
 def read_iceberg_changes(
     spark: SparkSession, path: str, from_snapshot_id: int,
     to_snapshot_id: int | None = None,
@@ -750,6 +779,8 @@ def _eq_victims_deduped(spark: SparkSession, eq_dels: list[dict],
     from pyspark.sql import functions as F
 
     pn = lambda p: _re.sub("^file:/+", "/", p)  # noqa: E731
+    by_id_types = {int(f["id"]): f.get("type")
+                   for f in schema.get("fields", [])}
     per_del: list[tuple[dict, list[str], set[str]]] = []
     union_cands: dict[str, dict] = {}
     for d in eq_dels:
@@ -770,6 +801,19 @@ def _eq_victims_deduped(spark: SparkSession, eq_dels: list[dict],
             and int(c["__seq"]) < int(dseq)
             and _eq_part_applies(part, c.get("partition"))
         ]
+        # manifest-bounds pre-prune (r15): data files provably
+        # disjoint from the delete VALUES' recorded min/max drop
+        # before any scan enters the union
+        fids = [int(i) for i in ids_]
+        tps = [by_id_types.get(i) for i in fids] \
+            if by_id_types else [None] * len(fids)
+        mvb = _manifest_value_bounds(d, fids, tps)
+        if mvb is not None:
+            cands = [c for c in cands
+                     if not any(b is not None and isinstance(t, str)
+                                and _bounds_pruned(c, i, t,
+                                                   b[0], b[1])
+                                for i, t, b in zip(fids, tps, mvb))]
         if not cands:
             continue
         for c in cands:
@@ -3228,15 +3272,35 @@ def _stage_eq_delete_files(df_keys: DataFrame, path: str, seq: int,
     ])
     d = f"{path}/data/eqdel-s{seq}-{_uuid.uuid4().hex[:8]}"
     df.write.parquet(d)
-    return [{
-        "content": 2,
-        "file_path": f"file://{p}",
-        "file_format": "PARQUET",
-        "partition": {},
-        "record_count": n,
-        "file_size_in_bytes": size,
-        "equality_ids": [int(i) for i in eq_ids],
-    } for p, size, n in _staged_parquet_parts(d)]
+    # record the delete VALUES' column bounds on the manifest entry
+    # (spec: delete files carry lower/upper_bounds like data files) —
+    # planners then prune candidate data files, or skip reading the
+    # delete parquet entirely, from metadata alone (r15)
+    import pyarrow.parquet as pq
+
+    fid_type = {
+        f.name: (fid_of[f.name],
+                 _ICE_TYPES.get(f.dataType.simpleString()))
+        for f in df_keys.schema.fields
+    }
+    out = []
+    for p, size, n in _staged_parquet_parts(d):
+        fs, lp = fsio.resolve(p)
+        with fs.open_input_file(lp) as handle:
+            lob, upb = _footer_bounds(
+                pq.ParquetFile(handle).metadata, fid_type)
+        out.append({
+            "content": 2,
+            "file_path": f"file://{p}",
+            "file_format": "PARQUET",
+            "partition": {},
+            "record_count": n,
+            "file_size_in_bytes": size,
+            "equality_ids": [int(i) for i in eq_ids],
+            "lower_bounds": lob or None,
+            "upper_bounds": upb or None,
+        })
+    return out
 
 
 def _stage_pos_delete_files(pairs: DataFrame, path: str,

@@ -1168,6 +1168,7 @@ class IcebergCdfStreamReader(IcebergChangesStreamReader):
             IcebergError,
             _bounds_pruned,
             _eq_part_applies,
+            _manifest_value_bounds,
             _plain_path,
             _schema_for,
         )
@@ -1193,6 +1194,33 @@ class IcebergCdfStreamReader(IcebergChangesStreamReader):
                 raise DeltaChangeFeedError(
                     "equality delete without a sequence number")
             part = d.get("partition") or {}
+            cands = []
+            for c in data_files:
+                if c.get("__seq") is None \
+                        or int(c["__seq"]) >= int(dseq):
+                    continue
+                # subset semantics, matching the batch scan path —
+                # exact-dict equality would drop files whose partition
+                # struct carries extra keys (spec evolution)
+                if not _eq_part_applies(part, c.get("partition")):
+                    continue
+                cands.append(c)
+            # manifest-bounds pre-prune (r15): our eq-delete writer
+            # records the delete VALUES' min/max on the manifest
+            # entry, so candidates provably disjoint from them drop
+            # here — and when none survive, the delete parquet is
+            # never read at all (planning stays metadata-sized)
+            mvb = _manifest_value_bounds(d, ids_, types)
+            if mvb is not None:
+                cands = [c for c in cands
+                         if not any(b is not None
+                                    and isinstance(t, str)
+                                    and _bounds_pruned(
+                                        c, i, t, b[0], b[1])
+                                    for i, t, b
+                                    in zip(ids_, types, mvb))]
+            if not cands:
+                continue
             vkey = ("eqvals", d["file_path"])
             if vkey not in memo:
                 fs_, lp_ = _f.resolve(_plain_path(d["file_path"]))
@@ -1208,15 +1236,7 @@ class IcebergCdfStreamReader(IcebergChangesStreamReader):
             vals, bounds = memo[vkey]
             if not vals:
                 continue
-            for c in data_files:
-                if c.get("__seq") is None \
-                        or int(c["__seq"]) >= int(dseq):
-                    continue
-                # subset semantics, matching the batch scan path —
-                # exact-dict equality would drop files whose partition
-                # struct carries extra keys (spec evolution)
-                if not _eq_part_applies(part, c.get("partition")):
-                    continue
+            for c in cands:
                 if any(b is not None and isinstance(t, str)
                        and _bounds_pruned(c, i, t, b[0], b[1])
                        for i, t, b in zip(ids_, types, bounds)):
