@@ -62,3 +62,53 @@ def test_eq_delete_manifest_bounds_enable_pruning(spark, tmp_path):
     assert got[1000] == "u1000" and got[1009] == "u1009"
     assert got[0] == "x0" and got[1010] == "x1010"
     assert len(got) == 100
+
+
+def test_null_eq_delete_values_never_pruned(spark, tmp_path):
+    """Soundness (r15): a NULL delete value null-safe-matches file
+    NULLs, which min/max bounds cannot see.  Our own merge writer
+    refuses NULL keys outright, so the hazard is the FOREIGN shape —
+    a Flink-style eq-delete file carrying {NULL, 999}: naive bounds
+    (999, 999) would prune the [0,4]-range file holding the NULL
+    victim and resurrect it at conversion.  The value-bounds path
+    disables a column on any null, and _manifest_value_bounds
+    honors a foreign entry's null_value_counts."""
+    from tulflow_spark.ext.iceberg import (
+        convert_eq_deletes_iceberg,
+        delete_equality_iceberg_fixture,
+    )
+
+    t = str(tmp_path / "t")
+    df = spark.createDataFrame(
+        [(i, f"x{i}") for i in range(5)] + [(None, "nv")],
+        "id long, v string").coalesce(1)
+    write_iceberg_fixture(spark, df, t)
+    delete_equality_iceberg_fixture(
+        spark, t, [{"id": None}, {"id": 999}], ["id"])
+    expect = sorted((i, f"x{i}") for i in range(5))
+    got = sorted((r["id"], r["v"]) for r in
+                 read_iceberg(spark, t).collect())
+    assert got == expect                    # NULL victim is dead
+    # conversion must materialize the NULL victim, not resurrect it
+    assert convert_eq_deletes_iceberg(spark, t) is not None
+    got2 = sorted((r["id"], r["v"]) for r in
+                  read_iceberg(spark, t).collect())
+    assert got2 == expect
+
+
+def test_manifest_value_bounds_null_count_rules():
+    """Unit rules for foreign entries: a reported null disables the
+    column; zero / absent counts leave the bounds usable."""
+    from tulflow_spark.ext.iceberg import _encode_bound
+
+    ent = {
+        "lower_bounds": [{"key": 1, "value": _encode_bound(10,
+                                                           "long")}],
+        "upper_bounds": [{"key": 1, "value": _encode_bound(99,
+                                                           "long")}],
+    }
+    assert _manifest_value_bounds(ent, [1], ["long"]) == [(10, 99)]
+    ent["null_value_counts"] = [{"key": 1, "value": 0}]
+    assert _manifest_value_bounds(ent, [1], ["long"]) == [(10, 99)]
+    ent["null_value_counts"] = [{"key": 1, "value": 3}]
+    assert _manifest_value_bounds(ent, [1], ["long"]) == [None]

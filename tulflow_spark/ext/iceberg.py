@@ -648,9 +648,23 @@ def _manifest_value_bounds(dfile: dict, fids: list[int],
     upb = _bound_map(dfile.get("upper_bounds"))
     if not lob or not upb:
         return None
+    # a NULL delete value null-safe-matches file NULLs, invisible to
+    # min/max — our own stage path never publishes bounds for a
+    # null-carrying column (and merge refuses NULL keys outright);
+    # for foreign entries, consult null_value_counts when recorded
+    # and disable the column on any reported null
+    nvc: dict[int, int] = {}
+    for kv in (dfile.get("null_value_counts") or []):
+        try:
+            nvc[int(kv["key"])] = int(kv["value"])
+        except (KeyError, TypeError, ValueError):
+            continue
     out: list = []
     for fid, t in zip(fids, ice_types):
         lo_raw, hi_raw = lob.get(int(fid)), upb.get(int(fid))
+        if nvc.get(int(fid), 0) > 0:
+            out.append(None)
+            continue
         if lo_raw is None or hi_raw is None \
                 or not isinstance(t, str) or t == "string":
             # string bounds may be TRUNCATED per the spec (a prefix
@@ -3287,8 +3301,25 @@ def _stage_eq_delete_files(df_keys: DataFrame, path: str, seq: int,
     for p, size, n in _staged_parquet_parts(d):
         fs, lp = fsio.resolve(p)
         with fs.open_input_file(lp) as handle:
-            lob, upb = _footer_bounds(
-                pq.ParquetFile(handle).metadata, fid_type)
+            md = pq.ParquetFile(handle).metadata
+            lob, upb = _footer_bounds(md, fid_type)
+            # a NULL delete value null-safe-matches file NULLs, which
+            # min/max bounds say nothing about — a column carrying
+            # any null must not publish bounds, or planners would
+            # prune files still holding its NULL victims
+            nulled: set[str] = set()
+            for g in range(md.num_row_groups):
+                rg = md.row_group(g)
+                for ci in range(rg.num_columns):
+                    col = rg.column(ci)
+                    st = col.statistics
+                    if st is None or st.null_count is None \
+                            or st.null_count > 0:
+                        nulled.add(col.path_in_schema)
+            null_fids = {fid_type[nm][0] for nm in nulled
+                         if nm in fid_type}
+            lob = [kv for kv in lob if kv["key"] not in null_fids]
+            upb = [kv for kv in upb if kv["key"] not in null_fids]
         out.append({
             "content": 2,
             "file_path": f"file://{p}",

@@ -1231,7 +1231,14 @@ class IcebergCdfStreamReader(IcebergChangesStreamReader):
                 bounds = []
                 for col in cols:
                     nn = [x for x in col if x is not None]
-                    bounds.append((min(nn), max(nn)) if nn else None)
+                    # a NULL delete value matches file NULLs, which
+                    # min/max pruning cannot see — any null in the
+                    # column disables its bounds (r15 soundness fix;
+                    # the manifest-bounds writer applies the same
+                    # rule at stage time)
+                    bounds.append((min(nn), max(nn))
+                                  if nn and len(nn) == len(col)
+                                  else None)
                 memo[vkey] = (vals, bounds)
             vals, bounds = memo[vkey]
             if not vals:
