@@ -97,8 +97,11 @@ def test_null_eq_delete_values_never_pruned(spark, tmp_path):
 
 
 def test_manifest_value_bounds_null_count_rules():
-    """Unit rules for foreign entries: a reported null disables the
-    column; zero / absent counts leave the bounds usable."""
+    """Proof-or-no-prune (r15 review): a column prunes ONLY with a
+    recorded zero null count (our stage path writes explicit zeros
+    behind every bound it publishes); absent, positive, or
+    unparseable counts disable it, as do float/double types (NaN is
+    invisible to bounds but TRUE under eqNullSafe)."""
     from tulflow_spark.ext.iceberg import _encode_bound
 
     ent = {
@@ -107,8 +110,23 @@ def test_manifest_value_bounds_null_count_rules():
         "upper_bounds": [{"key": 1, "value": _encode_bound(99,
                                                            "long")}],
     }
-    assert _manifest_value_bounds(ent, [1], ["long"]) == [(10, 99)]
+    # bounds without a recorded count: no proof, never prune
+    assert _manifest_value_bounds(ent, [1], ["long"]) == [None]
     ent["null_value_counts"] = [{"key": 1, "value": 0}]
     assert _manifest_value_bounds(ent, [1], ["long"]) == [(10, 99)]
     ent["null_value_counts"] = [{"key": 1, "value": 3}]
     assert _manifest_value_bounds(ent, [1], ["long"]) == [None]
+    ent["null_value_counts"] = [{"key": 1, "value": None}]
+    assert _manifest_value_bounds(ent, [1], ["long"]) == [None]
+    # dict-shaped maps (the hand-authored-table tolerance) work too
+    ent["null_value_counts"] = {1: 0}
+    assert _manifest_value_bounds(ent, [1], ["long"]) == [(10, 99)]
+    # float/double never prune even with a zero count
+    fent = {
+        "lower_bounds": [{"key": 1, "value": _encode_bound(1.5,
+                                                           "double")}],
+        "upper_bounds": [{"key": 1, "value": _encode_bound(2.5,
+                                                           "double")}],
+        "null_value_counts": [{"key": 1, "value": 0}],
+    }
+    assert _manifest_value_bounds(fent, [1], ["double"]) == [None]

@@ -648,28 +648,40 @@ def _manifest_value_bounds(dfile: dict, fids: list[int],
     upb = _bound_map(dfile.get("upper_bounds"))
     if not lob or not upb:
         return None
-    # a NULL delete value null-safe-matches file NULLs, invisible to
-    # min/max — our own stage path never publishes bounds for a
-    # null-carrying column (and merge refuses NULL keys outright);
-    # for foreign entries, consult null_value_counts when recorded
-    # and disable the column on any reported null
+    # a NULL delete value null-safe-matches file NULLs, and a NaN
+    # (excluded from bounds per the spec, but NaN = NaN is TRUE under
+    # eqNullSafe) matches file NaNs — both invisible to min/max.  The
+    # sound rule is proof-or-no-prune: a column prunes ONLY when the
+    # entry RECORDS null_value_counts = 0 for it (our eq stage path
+    # writes explicit zeros behind every bound it publishes; a
+    # foreign entry with bounds but no recorded count never prunes),
+    # and float/double columns never prune at all (NaN has no count
+    # here).  String bounds may be truncated per the spec (a prefix
+    # upper bound undershoots the true max) — never prune either.
     nvc: dict[int, int] = {}
-    for kv in (dfile.get("null_value_counts") or []):
+    raw_nvc = dfile.get("null_value_counts")
+    items = raw_nvc.items() if isinstance(raw_nvc, dict) else [
+        (kv.get("key") if isinstance(kv, dict) else None,
+         kv.get("value") if isinstance(kv, dict) else None)
+        for kv in (raw_nvc or [])]
+    for k, v in items:
         try:
-            nvc[int(kv["key"])] = int(kv["value"])
-        except (KeyError, TypeError, ValueError):
-            continue
+            nvc[int(k)] = int(v)
+        except (TypeError, ValueError):
+            if k is not None:
+                try:
+                    nvc[int(k)] = -1     # recorded but unusable:
+                except (TypeError, ValueError):  # disable the column
+                    continue
     out: list = []
     for fid, t in zip(fids, ice_types):
         lo_raw, hi_raw = lob.get(int(fid)), upb.get(int(fid))
-        if nvc.get(int(fid), 0) > 0:
-            out.append(None)
+        if nvc.get(int(fid)) != 0:
+            out.append(None)        # no recorded zero-null proof
             continue
         if lo_raw is None or hi_raw is None \
-                or not isinstance(t, str) or t == "string":
-            # string bounds may be TRUNCATED per the spec (a prefix
-            # upper bound undershoots the true max), which would make
-            # range-side pruning unsound — strings never prune here
+                or not isinstance(t, str) \
+                or t in ("string", "float", "double"):
             out.append(None)
             continue
         lo_v, hi_v = _decode_bound(lo_raw, t), _decode_bound(hi_raw, t)
@@ -755,6 +767,23 @@ def read_iceberg_changes(
     return _resolved_scan(spark, added, _schema_for(meta, to_snap))
 
 
+def _prune_eq_candidates(cands: list[dict], fids: list[int],
+                         ice_types: list, bounds: list | None
+                         ) -> list[dict]:
+    """Drop candidate data files provably disjoint from the given
+    per-column [lo, hi] ranges (a None range never prunes; bounds
+    None returns the list untouched) — the ONE prune predicate shared
+    by the changelog resolvers, the conversion path, and the
+    streaming planner, so a soundness rule changes everywhere at
+    once."""
+    if bounds is None:
+        return cands
+    return [c for c in cands
+            if not any(b is not None and isinstance(t, str)
+                       and _bounds_pruned(c, i, t, b[0], b[1])
+                       for i, t, b in zip(fids, ice_types, bounds))]
+
+
 def _eq_part_applies(delete_part: dict, file_part: dict | None) -> bool:
     """Whether a partition-stamped equality delete applies to a data
     file's partition — SUBSET semantics, matching the scan path
@@ -821,13 +850,8 @@ def _eq_victims_deduped(spark: SparkSession, eq_dels: list[dict],
         fids = [int(i) for i in ids_]
         tps = [by_id_types.get(i) for i in fids] \
             if by_id_types else [None] * len(fids)
-        mvb = _manifest_value_bounds(d, fids, tps)
-        if mvb is not None:
-            cands = [c for c in cands
-                     if not any(b is not None and isinstance(t, str)
-                                and _bounds_pruned(c, i, t,
-                                                   b[0], b[1])
-                                for i, t, b in zip(fids, tps, mvb))]
+        cands = _prune_eq_candidates(
+            cands, fids, tps, _manifest_value_bounds(d, fids, tps))
         if not cands:
             continue
         for c in cands:
@@ -1097,6 +1121,13 @@ def read_iceberg_cdf(
                     and int(c["__seq"]) < int(dseq)
                     and _eq_part_applies(part, c.get("partition"))
                 ]
+                fids_ = [int(i) for i in ids_]
+                tof = {int(f["id"]): f.get("type")
+                       for f in schema.get("fields", [])}
+                tls = [tof.get(i) for i in fids_]
+                cands = _prune_eq_candidates(
+                    cands, fids_, tls,
+                    _manifest_value_bounds(d, fids_, tls))
                 if not cands:
                     continue
                 vals = spark.read.parquet(
@@ -1189,6 +1220,13 @@ def read_iceberg_cdf(
                     and int(c["__seq"]) < int(dseq)
                     and _eq_part_applies(part, c.get("partition"))
                 ]
+                fids_ = [int(i) for i in ids_]
+                tof = {int(f["id"]): f.get("type")
+                       for f in schema.get("fields", [])}
+                tls = [tof.get(i) for i in fids_]
+                cands = _prune_eq_candidates(
+                    cands, fids_, tls,
+                    _manifest_value_bounds(d, fids_, tls))
                 if not cands:
                     continue
                 vals = spark.read.parquet(
@@ -1745,6 +1783,20 @@ def _manifest_schema(part_fields: list[tuple[str, str]]) -> dict:
                      "type": ["null", {"type": "array",
                                        "logicalType": "map",
                                        "items": "k126_v127"}]},
+                    # null_value_counts (spec field 110): recorded by
+                    # the eq-delete stage path as the self-certifying
+                    # proof behind its published bounds (a column only
+                    # publishes bounds when its null count is ZERO);
+                    # null on entries that never computed it
+                    {"name": "null_value_counts",
+                     "type": ["null", {
+                         "type": "array", "logicalType": "map",
+                         "items": {
+                             "type": "record", "name": "k121_v122",
+                             "fields": [
+                                 {"name": "key", "type": "int"},
+                                 {"name": "value", "type": "long"},
+                             ]}}]},
                     {"name": "equality_ids",
                      "type": ["null", {"type": "array",
                                        "items": "int"}]},
@@ -3305,21 +3357,29 @@ def _stage_eq_delete_files(df_keys: DataFrame, path: str, seq: int,
             lob, upb = _footer_bounds(md, fid_type)
             # a NULL delete value null-safe-matches file NULLs, which
             # min/max bounds say nothing about — a column carrying
-            # any null must not publish bounds, or planners would
-            # prune files still holding its NULL victims
-            nulled: set[str] = set()
+            # any null (or whose null stats are unknowable) must not
+            # publish bounds, and every published bound is backed by
+            # an EXPLICIT null_value_counts=0 so planners have the
+            # spec-shaped proof, not an absence to guess about
+            nulls: dict[str, int] = {}
             for g in range(md.num_row_groups):
                 rg = md.row_group(g)
                 for ci in range(rg.num_columns):
                     col = rg.column(ci)
                     st = col.statistics
-                    if st is None or st.null_count is None \
-                            or st.null_count > 0:
-                        nulled.add(col.path_in_schema)
-            null_fids = {fid_type[nm][0] for nm in nulled
-                         if nm in fid_type}
-            lob = [kv for kv in lob if kv["key"] not in null_fids]
-            upb = [kv for kv in upb if kv["key"] not in null_fids]
+                    nm = col.path_in_schema
+                    if st is None or st.null_count is None:
+                        nulls[nm] = -1          # unknowable: disable
+                    elif nulls.get(nm, 0) >= 0:
+                        nulls[nm] = nulls.get(nm, 0) + int(
+                            st.null_count)
+            bad_fids = {fid_type[nm][0] for nm, c in nulls.items()
+                        if c != 0 and nm in fid_type}
+            lob = [kv for kv in lob if kv["key"] not in bad_fids]
+            upb = [kv for kv in upb if kv["key"] not in bad_fids]
+            nvc = [{"key": fid_type[nm][0], "value": int(c)}
+                   for nm, c in sorted(nulls.items())
+                   if nm in fid_type and c >= 0]
         out.append({
             "content": 2,
             "file_path": f"file://{p}",
@@ -3330,6 +3390,7 @@ def _stage_eq_delete_files(df_keys: DataFrame, path: str, seq: int,
             "equality_ids": [int(i) for i in eq_ids],
             "lower_bounds": lob or None,
             "upper_bounds": upb or None,
+            "null_value_counts": nvc or None,
         })
     return out
 

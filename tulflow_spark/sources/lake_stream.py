@@ -1166,10 +1166,10 @@ class IcebergCdfStreamReader(IcebergChangesStreamReader):
         from tulflow_spark import fsio as _f
         from tulflow_spark.ext.iceberg import (
             IcebergError,
-            _bounds_pruned,
             _eq_part_applies,
             _manifest_value_bounds,
             _plain_path,
+            _prune_eq_candidates,
             _schema_for,
         )
 
@@ -1210,15 +1210,9 @@ class IcebergCdfStreamReader(IcebergChangesStreamReader):
             # entry, so candidates provably disjoint from them drop
             # here — and when none survive, the delete parquet is
             # never read at all (planning stays metadata-sized)
-            mvb = _manifest_value_bounds(d, ids_, types)
-            if mvb is not None:
-                cands = [c for c in cands
-                         if not any(b is not None
-                                    and isinstance(t, str)
-                                    and _bounds_pruned(
-                                        c, i, t, b[0], b[1])
-                                    for i, t, b
-                                    in zip(ids_, types, mvb))]
+            cands = _prune_eq_candidates(
+                cands, ids_, types,
+                _manifest_value_bounds(d, ids_, types))
             if not cands:
                 continue
             vkey = ("eqvals", d["file_path"])
@@ -1243,11 +1237,7 @@ class IcebergCdfStreamReader(IcebergChangesStreamReader):
             vals, bounds = memo[vkey]
             if not vals:
                 continue
-            for c in cands:
-                if any(b is not None and isinstance(t, str)
-                       and _bounds_pruned(c, i, t, b[0], b[1])
-                       for i, t, b in zip(ids_, types, bounds)):
-                    continue
+            for c in _prune_eq_candidates(cands, ids_, types, bounds):
                 ckey = ("eqvict", d["file_path"], c["file_path"])
                 if ckey not in memo:
                     if str(c.get("file_format") or "").upper() \
