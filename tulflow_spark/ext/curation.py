@@ -143,7 +143,14 @@ def curate_exact(
     text_col: str,
     min_quality: float = 0.5,
 ) -> DataFrame:
-    """Quality gate + exact dedup; returns surviving (id, quality)."""
+    """Quality gate + exact dedup; returns surviving (id, quality).
+
+    Quality scoring (tokenize + stopword/punctuation ratios per document)
+    is the expensive map stage; widen the input so it runs at cluster
+    width (no-op when the scan already splits)."""
+    from tulflow_spark.io import widen
+
+    df = widen(df)
     scored = df.select(
         F.col(id_col), F.col(text_col), quality_score(text_col).alias("quality")
     ).filter(F.col("quality") >= min_quality)

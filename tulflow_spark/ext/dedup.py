@@ -137,8 +137,17 @@ def shingle_frame(
 ) -> DataFrame:
     """(_id, _sh) shingle projection — the shared input of the MinHash and
     exact-Jaccard paths.  Persist it and pass it to both via ``shingles=``
-    when running them over the same corpus (the verification harness does)."""
-    return df.select(
+    when running them over the same corpus (the verification harness does).
+
+    Shingling (split + n zip_with passes + array_distinct per document) is
+    the expensive map stage of every dedup plan, so the input is widened to
+    cluster parallelism first — a no-op whenever the scan already splits
+    (the 100 TB case), one small raw-row exchange when it does not
+    (guide §2.5 input-skew rule: a single-row-group parquet file otherwise
+    pins the whole stage to one core)."""
+    from tulflow_spark.io import widen
+
+    return widen(df).select(
         F.col(id_col).alias("_id"), word_shingles(text_col, n).alias("_sh")
     )
 
@@ -314,7 +323,12 @@ def with_simhash(
     """SimHash via explode + 64 codegen'd aggregates — same signature as
     :func:`simhash64` but an order of magnitude cheaper: the per-bit votes
     become vectorized SUM(CASE…) expressions in a hash aggregate instead of
-    nested interpreted array folds."""
+    nested interpreted array folds.  The tokenize+explode+partial-agg map
+    stage is the expensive part, so the input is widened first (no-op when
+    the scan already splits)."""
+    from tulflow_spark.io import widen
+
+    df = widen(df)
     toks = df.select(
         F.col(id_col).alias("_id"),
         F.explode(F.split(F.trim(F.col(text_col)), r"\s+")).alias("_t"),

@@ -102,6 +102,12 @@ def extract_text(
         f"{id_col} bigint, title string, text string, links array<string>"
     )
     cols = [id_col, html_col] + ([base_url_col] if base_url_col else [])
+    # per-row stdlib parsing is the expensive stage: run it at cluster
+    # width even when the input scan is a single split (widen is a no-op
+    # otherwise), and ship only the columns the parser needs (§4.1)
+    from tulflow_spark.io import widen
+
+    df = widen(df.select(*cols))
 
     def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -119,4 +125,4 @@ def extract_text(
                 )
             yield pd.DataFrame(rows)
 
-    return df.select(*cols).mapInPandas(gen, schema=out_schema)
+    return df.mapInPandas(gen, schema=out_schema)

@@ -63,6 +63,12 @@ def bigrams(col: Column | str) -> Column:
 
 
 def _exploded_bigrams(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    # tokenize + zip_with + explode is the expensive map stage of every
+    # LM plan: run it at cluster width even off a single-split scan
+    # (widen is a no-op when the scan already splits)
+    from tulflow_spark.io import widen
+
+    df = widen(df)
     return df.select(
         id_col, F.explode(bigrams(text_col)).alias("_bg")
     ).select(id_col, F.col("_bg.w1").alias("w1"), F.col("_bg.w2").alias("w2"))

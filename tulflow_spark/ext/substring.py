@@ -31,7 +31,15 @@ from pyspark.sql import functions as F
 def _window_hashes(
     docs: DataFrame, id_col: str, text_col: str, n: int
 ) -> DataFrame:
-    """(doc, pos, window-hash) for every n-token rolling window."""
+    """(doc, pos, window-hash) for every n-token rolling window.
+
+    O(tokens × n) string building + one md5 per window make this the
+    expensive map stage of the span plans; widen the input so it runs at
+    cluster width instead of inheriting a narrow scan (no-op when the
+    scan already splits)."""
+    from tulflow_spark.io import widen
+
+    docs = widen(docs)
     toks = F.split(F.trim(F.col(text_col)), r"\s+")
     wins = F.transform(
         F.sequence(F.lit(0), F.size(toks) - n),
@@ -146,6 +154,12 @@ def cut_spans(
     groupBy (span-count-sized), then token filtering is a JVM ``filter``
     over positions — no Python, text shuffles once for the span join.
     """
+    from tulflow_spark.io import widen
+
+    # the span list is span-count-sized (broadcast side), so the join
+    # keeps the docs side's partitioning — widen it or the per-token
+    # filter below runs at the (possibly single-split) scan width
+    docs = widen(docs)
     agg = spans.groupBy(F.col(id_col)).agg(
         F.collect_list(F.struct("span_start", "span_end")).alias("_spans")
     )

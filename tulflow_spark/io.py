@@ -148,6 +148,10 @@ def widen(df: DataFrame, min_partitions: int | None = None) -> DataFrame:
     only narrow inputs pay one small exchange of the raw rows, which the
     parallel speedup of the following stage repays immediately.
     """
+    if df.isStreaming:
+        # streaming frames cannot answer getNumPartitions (no .rdd);
+        # micro-batch parallelism is the source's concern
+        return df
     target = min_partitions or df.sparkSession.sparkContext.defaultParallelism
     if df.rdd.getNumPartitions() < target:
         return df.repartition(target)
