@@ -990,8 +990,11 @@ def vr1_approx_bounds(spark: SparkSession, sf_dir: str) -> DataFrame:
     base — is persisted ONCE and reused by both sides of each comparison;
     the boolean rows (11 with the dd13 index-estimator bound) are
     materialized eagerly inside the call so every cache is unpersisted
-    before returning (no session-lifetime leak).  The 11-row collect is a
-    verification-harness read, not a data-plane collect.
+    before returning (no session-lifetime leak).  The per-check 1-row
+    collects are verification-harness reads, not data-plane collects;
+    independent checks materialize from a small driver thread pool
+    (optimization-guide §2.6) so their ~160 tiny jobs overlap instead of
+    serializing their fixed scheduling cost.
     """
     from tulflow_spark.ext.curation import curate_exact, curate_near_dup
     from tulflow_spark.ext.ivf import build_ivf_index
@@ -1003,7 +1006,6 @@ def vr1_approx_bounds(spark: SparkSession, sf_dir: str) -> DataFrame:
         pair_set_equality_or_subset_check,
         simhash_bruteforce_pairs,
         topk_overlap_check,
-        union_checks,
     )
 
     docs = (
@@ -1021,164 +1023,192 @@ def vr1_approx_bounds(spark: SparkSession, sf_dir: str) -> DataFrame:
     base = curate_exact(docs, "doc_id", "text", 0.4).persist()
     cached = [docs, emb, shingles, sig, base]
     try:
-        checks: list[DataFrame] = []
-
-        # dd2: MinHash-LSH vs exact n-gram Jaccard at threshold 0.8, both
-        # over the shared shingle frame
-        exact_08 = dedup.ngram_jaccard_pairs(
-            docs, "doc_id", "text", n=3, threshold=0.8, shingles=shingles
-        )
-        approx_08 = dedup.minhash_lsh_pairs(
-            docs, "doc_id", "text", k=32, bands=8, threshold=0.8,
-            shingles=shingles,
-        )
-        checks += pair_set_checks(exact_08, approx_08, "dd2_minhash", 0.9)
-
-        # dd4: banded SimHash vs all-pairs baseline over the shared
-        # signature frame, cap-aware
-        checks.append(
-            pair_set_equality_or_subset_check(
-                simhash_bruteforce_pairs(
-                    docs, "doc_id", "text", max_hamming=3, sig=sig
-                ),
-                dedup.simhash_pairs(
-                    docs, "doc_id", "text", max_hamming=3, sig=sig
-                ),
-                dedup.simhash_overcap_count(sig, max_bucket=1000),
-                "dd4_simhash_equals_bruteforce",
-            )
-        )
-
-        # dd5: banded cosine LSH vs exact all-pairs cosine at threshold 0.3
-        checks += pair_set_checks(
-            cosine_bruteforce_pairs(emb, threshold=0.3),
-            similarity.lsh_banded_pairs(
-                emb, threshold=0.3, bands=16, rows_per_band=6
-            ),
-            "dd5_banded_lsh",
-            0.45,
-            require_subset=False,  # recall is the contract; subset holds too
-            # but float-boundary pairs at exactly 0.3 make strict subset
-            # brittle
-        )
-
-        # ss3/ss4: overlap@10 vs brute force (bf10 is consumed twice)
+        # shared ANN inputs: build sequentially, materialize bf10 once so
+        # the four consumers below hit the cache instead of racing to
+        # compute it
         vec = similarity.query_vector(emb, "vec_id", "embedding", 0)
         rest = emb.filter(F.col("vec_id") != 0)
         bf10 = similarity.brute_force_topk(rest, vec, k=10).persist()
         cached.append(bf10)
-        ss3 = similarity.lsh_topk_banded(
-            rest, vec, k=10, bands=16, rows_per_band=6
-        )
-        checks.append(
-            topk_overlap_check(
-                bf10, ss3, "vec_id", 10, 0.2, "ss3_lsh_overlap10_ge_0.2"
-            )
-        )
-        ivf = build_ivf_index(emb, n_clusters=16).search(vec, k=10, n_probes=6)
-        checks.append(
-            topk_overlap_check(
-                bf10, ivf, "vec_id", 10, 0.5, "ss4_ivf_overlap10_ge_0.5"
-            )
-        )
+        bf10.count()
 
-        # ss8: PQ ADC + 50-candidate exact re-rank vs the same brute-force
-        # top-10 (measured 0.7-0.9 on the slice across SFs)
-        from tulflow_spark.ext import pq as _pq
+        # Each group below is an INDEPENDENT bound check: its
+        # construction (incl. any training collects) and its 1-row
+        # materialization share nothing with the other groups except the
+        # persisted frames above.  Running the groups sequentially left
+        # the 32-core scheduler idle behind ~160 tiny jobs (~0.25 s fixed
+        # cost each); overlapping them from a small driver thread pool
+        # back-fills those bubbles (optimization-guide §2.6) without
+        # changing a single computed row — results are re-assembled in
+        # list order, so the output rows are byte-identical.
 
-        pq_cb = _pq.pq_train(emb, dim=64, m=8, ksub=16, max_iter=3)
-        pq10 = _pq.pq_topk(
-            _pq.pq_encode(rest, pq_cb), pq_cb, vec, k=10, rerank=50
-        )
-        checks.append(
-            topk_overlap_check(
-                bf10, pq10, "vec_id", 10, 0.5, "ss8_pq_overlap10_ge_0.5"
+        def g_dd2() -> list[DataFrame]:
+            # dd2: MinHash-LSH vs exact n-gram Jaccard at threshold 0.8,
+            # both over the shared shingle frame
+            exact_08 = dedup.ngram_jaccard_pairs(
+                docs, "doc_id", "text", n=3, threshold=0.8,
+                shingles=shingles,
             )
-        )
+            approx_08 = dedup.minhash_lsh_pairs(
+                docs, "doc_id", "text", k=32, bands=8, threshold=0.8,
+                shingles=shingles,
+            )
+            return pair_set_checks(exact_08, approx_08, "dd2_minhash", 0.9)
 
-        # ss9: IVF-PQ (coarse-pruned residual ADC) + 100-candidate exact
-        # re-rank at 6/8 probes vs the same brute-force top-10 (measured
-        # 0.8 on the slice at both gate SFs; 50-candidate re-rank measured
-        # 0.4-0.6 — residual codes on a 500-vector slice need the larger
-        # candidate pool, which is still k-row scale)
-        from tulflow_spark.ext.ivfpq import build_ivfpq, ivfpq_topk
-
-        ivfpq = build_ivfpq(
-            rest, n_clusters=8, dim=64, m=8, ksub=16, max_iter=3
-        )
-        checks.append(
-            topk_overlap_check(
-                bf10,
-                ivfpq_topk(ivfpq, vec, k=10, n_probes=6, rerank=100),
-                "vec_id", 10, 0.5, "ss9_ivfpq_overlap10_ge_0.5",
-            )
-        )
-
-        # ss7: Lloyd's fit must improve mean assigned-centroid cosine
-        # over the seed centroids (r4 VERDICT #8 — the fit was the one
-        # approximate path with no quality bound)
-        from tulflow_spark.ext.verify import kmeans_fit_quality_check
-
-        checks.append(
-            kmeans_fit_quality_check(
-                emb, k=8, max_iter=5, min_gain=0.02,
-                name="ss7_kmeans_fit_gain_ge_0.02",
-            )
-        )
-
-        # cur2: pipeline agreement with the exact near-dup stage, both
-        # pipelines sharing the persisted curate_exact base
-        checks.append(
-            id_set_agreement_check(
-                curate_near_dup_exact(
-                    docs, "doc_id", "text", 0.4, 0.8, base=base
-                ),
-                curate_near_dup(docs, "doc_id", "text", 0.4, 0.8, base=base),
-                "doc_id",
-                0.02,
-                "cur2_neardup_agreement_le_2pct",
-            )
-        )
-        # dd13: the persisted MinHash index's signature-agreement
-        # estimator vs EXACT Jaccard on every matched pair (even half
-        # indexed, odd half matched at threshold 0.5): at k=32 the
-        # estimator std is <= 0.09, measured max err 0.04-0.07 / mean
-        # 0.02 at both gate SFs — bounds 0.25/0.10 with margin, and the
-        # pair set must be non-empty (the corpus HAS cross-half
-        # near-dups)
-        import shutil as _shutil
-        import tempfile as _tempfile
-
-        from tulflow_spark.ext import dedup_store as _ds
-
-        _idx_root = _tempfile.mkdtemp(prefix="vr1_mh_")
-        try:
-            _ds.save_minhash_index(
-                docs.filter(F.col("doc_id") % 2 == 0),
-                "doc_id", "text", f"{_idx_root}/idx",
-            )
-            _m = _ds.match_against_index(
-                spark, f"{_idx_root}/idx",
-                docs.filter(F.col("doc_id") % 2 == 1),
-                "doc_id", "text", threshold=0.5,
-            )
-            _sa = shingles.select(
-                F.col("_id").alias("new_id"), F.col("_sh").alias("_sa")
-            )
-            _sb = shingles.select(
-                F.col("_id").alias("match_id"), F.col("_sh").alias("_sb")
-            )
-            _err = (
-                _m.join(_sa, "new_id").join(_sb, "match_id")
-                .select(
-                    F.abs(
-                        F.col("est_jaccard")
-                        - dedup.jaccard(F.col("_sa"), F.col("_sb"))
-                    ).alias("e")
+        def g_dd4() -> list[DataFrame]:
+            # dd4: banded SimHash vs all-pairs baseline over the shared
+            # signature frame, cap-aware
+            return [
+                pair_set_equality_or_subset_check(
+                    simhash_bruteforce_pairs(
+                        docs, "doc_id", "text", max_hamming=3, sig=sig
+                    ),
+                    dedup.simhash_pairs(
+                        docs, "doc_id", "text", max_hamming=3, sig=sig
+                    ),
+                    dedup.simhash_overcap_count(sig, max_bucket=1000),
+                    "dd4_simhash_equals_bruteforce",
                 )
+            ]
+
+        def g_dd5() -> list[DataFrame]:
+            # dd5: banded cosine LSH vs exact all-pairs cosine at 0.3
+            return pair_set_checks(
+                cosine_bruteforce_pairs(emb, threshold=0.3),
+                similarity.lsh_banded_pairs(
+                    emb, threshold=0.3, bands=16, rows_per_band=6
+                ),
+                "dd5_banded_lsh",
+                0.45,
+                require_subset=False,  # recall is the contract; subset
+                # holds too but float-boundary pairs at exactly 0.3 make
+                # strict subset brittle
             )
-            checks.append(
-                _err.agg(
+
+        def g_ss3() -> list[DataFrame]:
+            ss3 = similarity.lsh_topk_banded(
+                rest, vec, k=10, bands=16, rows_per_band=6
+            )
+            return [
+                topk_overlap_check(
+                    bf10, ss3, "vec_id", 10, 0.2, "ss3_lsh_overlap10_ge_0.2"
+                )
+            ]
+
+        def g_ss4() -> list[DataFrame]:
+            ivf = build_ivf_index(emb, n_clusters=16).search(
+                vec, k=10, n_probes=6
+            )
+            return [
+                topk_overlap_check(
+                    bf10, ivf, "vec_id", 10, 0.5, "ss4_ivf_overlap10_ge_0.5"
+                )
+            ]
+
+        def g_ss8() -> list[DataFrame]:
+            # ss8: PQ ADC + 50-candidate exact re-rank vs the same
+            # brute-force top-10 (measured 0.7-0.9 on the slice)
+            from tulflow_spark.ext import pq as _pq
+
+            pq_cb = _pq.pq_train(emb, dim=64, m=8, ksub=16, max_iter=3)
+            pq10 = _pq.pq_topk(
+                _pq.pq_encode(rest, pq_cb), pq_cb, vec, k=10, rerank=50
+            )
+            return [
+                topk_overlap_check(
+                    bf10, pq10, "vec_id", 10, 0.5, "ss8_pq_overlap10_ge_0.5"
+                )
+            ]
+
+        def g_ss9() -> list[DataFrame]:
+            # ss9: IVF-PQ (coarse-pruned residual ADC) + 100-candidate
+            # exact re-rank at 6/8 probes vs the same brute-force top-10
+            # (measured 0.8 on the slice at both gate SFs; 50-candidate
+            # re-rank measured 0.4-0.6 — residual codes on a 500-vector
+            # slice need the larger candidate pool, still k-row scale)
+            from tulflow_spark.ext.ivfpq import build_ivfpq, ivfpq_topk
+
+            ivfpq = build_ivfpq(
+                rest, n_clusters=8, dim=64, m=8, ksub=16, max_iter=3
+            )
+            return [
+                topk_overlap_check(
+                    bf10,
+                    ivfpq_topk(ivfpq, vec, k=10, n_probes=6, rerank=100),
+                    "vec_id", 10, 0.5, "ss9_ivfpq_overlap10_ge_0.5",
+                )
+            ]
+
+        def g_ss7() -> list[DataFrame]:
+            # ss7: Lloyd's fit must improve mean assigned-centroid cosine
+            # over the seed centroids (r4 VERDICT #8)
+            from tulflow_spark.ext.verify import kmeans_fit_quality_check
+
+            return [
+                kmeans_fit_quality_check(
+                    emb, k=8, max_iter=5, min_gain=0.02,
+                    name="ss7_kmeans_fit_gain_ge_0.02",
+                )
+            ]
+
+        def g_cur2() -> list[DataFrame]:
+            # cur2: pipeline agreement with the exact near-dup stage, both
+            # pipelines sharing the persisted curate_exact base
+            return [
+                id_set_agreement_check(
+                    curate_near_dup_exact(
+                        docs, "doc_id", "text", 0.4, 0.8, base=base
+                    ),
+                    curate_near_dup(
+                        docs, "doc_id", "text", 0.4, 0.8, base=base
+                    ),
+                    "doc_id",
+                    0.02,
+                    "cur2_neardup_agreement_le_2pct",
+                )
+            ]
+
+        def run_dd13() -> list:
+            # dd13: the persisted MinHash index's signature-agreement
+            # estimator vs EXACT Jaccard on every matched pair (even half
+            # indexed, odd half matched at threshold 0.5): at k=32 the
+            # estimator std is <= 0.09, measured max err 0.04-0.07 / mean
+            # 0.02 at both gate SFs — bounds 0.25/0.10 with margin, and
+            # the pair set must be non-empty (the corpus HAS cross-half
+            # near-dups).  Owns its tmpdir lifecycle, so it collects
+            # inside instead of returning a lazy frame.
+            import shutil as _shutil
+            import tempfile as _tempfile
+
+            from tulflow_spark.ext import dedup_store as _ds
+
+            _idx_root = _tempfile.mkdtemp(prefix="vr1_mh_")
+            try:
+                _ds.save_minhash_index(
+                    docs.filter(F.col("doc_id") % 2 == 0),
+                    "doc_id", "text", f"{_idx_root}/idx",
+                )
+                _m = _ds.match_against_index(
+                    spark, f"{_idx_root}/idx",
+                    docs.filter(F.col("doc_id") % 2 == 1),
+                    "doc_id", "text", threshold=0.5,
+                )
+                _sa = shingles.select(
+                    F.col("_id").alias("new_id"), F.col("_sh").alias("_sa")
+                )
+                _sb = shingles.select(
+                    F.col("_id").alias("match_id"), F.col("_sh").alias("_sb")
+                )
+                _err = (
+                    _m.join(_sa, "new_id").join(_sb, "match_id")
+                    .select(
+                        F.abs(
+                            F.col("est_jaccard")
+                            - dedup.jaccard(F.col("_sa"), F.col("_sb"))
+                        ).alias("e")
+                    )
+                )
+                return _err.agg(
                     (
                         (F.count(F.lit(1)) >= 1)
                         & (F.max("e") <= 0.25)
@@ -1187,11 +1217,21 @@ def vr1_approx_bounds(spark: SparkSession, sf_dir: str) -> DataFrame:
                 ).select(
                     F.lit("dd13_index_est_err_le_0.25").alias("metric"),
                     "ok",
-                )
-            )
-            rows = union_checks(checks).collect()
-        finally:
-            _shutil.rmtree(_idx_root, ignore_errors=True)
+                ).collect()
+            finally:
+                _shutil.rmtree(_idx_root, ignore_errors=True)
+
+        from concurrent.futures import ThreadPoolExecutor
+
+        def run_group(g) -> list:
+            if g is run_dd13:
+                return g()
+            return [r for c in g() for r in c.collect()]
+
+        groups = [g_dd2, g_dd4, g_dd5, g_ss3, g_ss4, g_ss8, g_ss9,
+                  g_ss7, g_cur2, run_dd13]
+        with ThreadPoolExecutor(max_workers=5) as pool:
+            rows = [r for sub in pool.map(run_group, groups) for r in sub]
     finally:
         for f in cached:
             f.unpersist()
@@ -1943,7 +1983,11 @@ def mx7_quality_mix_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
     accuracy."""
     from tulflow_spark.ext.mixing import quality_mix_approx
 
-    scored = _mx6_scored(spark, sf_dir)
+    # quality_mix_approx is a documented TWO-pass consumer (threshold
+    # sketch head + bucket/select); localCheckpoint the scored frame so
+    # the bigram-LM scoring pipeline runs once, not twice (the operator's
+    # own persist-before-calling contract; blocks are freed with the RDD)
+    scored = _mx6_scored(spark, sf_dir).localCheckpoint()
     picked = quality_mix_approx(
         scored,
         quality_col="quality",
