@@ -61,7 +61,12 @@ def build_bm25_index(
     the posting row (the positional index :func:`phrase_search` needs —
     costs one int per token, the standard positional-postings overhead).
     Returns the meta dict."""
-    toked = df.select(
+    from tulflow_spark.io import widen
+
+    # tokenization is the expensive map stage and feeds BOTH the corpus
+    # stats pass and the explode below: run it at cluster width even off
+    # a single-split scan (widen is a no-op when the scan already splits)
+    toked = widen(df.select(F.col(id_col), F.col(text_col))).select(
         F.col(id_col).alias("doc"), _lower_tokens(text_col).alias("_t")
     )
     stats = toked.agg(
@@ -79,9 +84,17 @@ def build_bm25_index(
     if positions:
         aggs.append(F.sort_array(F.collect_list("_pos")).alias("pos"))
     postings = exploded.groupBy("term", "doc", "dl").agg(*aggs)
+    # cluster by the partition column before the partitioned write: an
+    # unclustered write makes EVERY task open a file per term-hash prefix
+    # it holds (up to 256 × tasks tiny files); hash-distributing first is
+    # the write.distribution-mode=hash recipe (guide §6) — one exchange
+    # of posting rows, each output dir written by one task
+    n_write = df.sparkSession.sparkContext.defaultParallelism
     postings.withColumn(
         "_pp", F.substring(F.md5(F.col("term")), 1, 2)
-    ).write.mode("overwrite").partitionBy("_pp").parquet(f"{path}/postings")
+    ).repartition(n_write, F.col("_pp")).write.mode(
+        "overwrite"
+    ).partitionBy("_pp").parquet(f"{path}/postings")
     spark = df.sparkSession
     stored = spark.read.parquet(f"{path}/postings")
     idf = F.round(
