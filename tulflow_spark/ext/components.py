@@ -145,10 +145,11 @@ def connected_components(
     prev: tuple | None = None
     converged = False
     for _ in range(max_iters):
-        e = _small_star(_large_star(e)).localCheckpoint(eager=True)
-        now = _persistent_ids() - pre_existing
-        _unpersist(own_ids)
-        own_ids = now - own_ids
+        # LAZY checkpoint: the fingerprint aggregate below is the round's
+        # one action — it materializes the checkpoint blocks AND returns
+        # the convergence scalar in the same job, instead of paying a
+        # separate eager-checkpoint job per round
+        e = _small_star(_large_star(e)).localCheckpoint(eager=False)
         # order-insensitive, overflow-free (ANSI mode) edge-set fingerprint:
         # xor over xxhash64 of the (distinct) edges + the edge count
         sig = tuple(
@@ -157,6 +158,9 @@ def connected_components(
                 F.bit_xor(F.xxhash64("u", "v")),
             ).first()
         )
+        now = _persistent_ids() - pre_existing
+        _unpersist(own_ids)
+        own_ids = now - own_ids
         if sig == prev:
             converged = True
             break
