@@ -17,6 +17,22 @@ import os
 
 from pyspark.sql import SparkSession
 
+def cpus() -> int:
+    return int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+
+
+def shuffle_partitions() -> int:
+    """Shuffle parallelism, scale-adaptive instead of a constant:
+    defaults to the session's core count (so the harness's
+    lower-core-count runs get proportionally fewer, larger partitions —
+    guide §2.2) and is overridable via ``SPARK_GRAFT_SHUFFLE_PARTITIONS``
+    for cluster deployments, where the right value is
+    total-cores-to-a-few-times-total-cores with AQE coalescing from
+    there."""
+    return int(os.environ.get("SPARK_GRAFT_SHUFFLE_PARTITIONS", "0")) \
+        or cpus()
+
+
 DEFAULT_CONF: dict[str, str] = {
     "spark.sql.adaptive.enabled": "true",
     "spark.sql.adaptive.coalescePartitions.enabled": "true",
@@ -28,17 +44,18 @@ DEFAULT_CONF: dict[str, str] = {
     # Keep broadcast threshold at default 10MB; dimension tables here are tiny
     # and at 100 TB the fact tables must never be broadcast anyway.
     "spark.sql.autoBroadcastJoinThreshold": "10485760",
-    "spark.sql.shuffle.partitions": "32",
     "spark.driver.memory": "8g",
     # Some driver parquet carries TIMESTAMP(NANOS) columns; set once at build
     # so io.table never has to mutate a live session's conf (io.py only
     # re-asserts it, idempotently, for foreign sessions like the driver's).
     "spark.sql.legacy.parquet.nanosAsLong": "true",
+    # PySpark 4 wraps every DataFrame API call in a Python stack walk to
+    # attach call-site context to errors; on metadata-heavy paths (lake
+    # DML: ~3k wrapped calls per operation) that is ~0.5-1 s of pure
+    # driver CPU per query.  An engine favors throughput over Python
+    # call-site decoration (JVM stacktraces remain intact).
+    "spark.python.sql.dataFrameDebugging.enabled": "false",
 }
-
-
-def cpus() -> int:
-    return int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
 
 
 def get_spark(
@@ -50,6 +67,7 @@ def get_spark(
     builder = SparkSession.builder.appName(app_name)
     builder = builder.master(master or f"local[{cpus()}]")
     conf = dict(DEFAULT_CONF)
+    conf["spark.sql.shuffle.partitions"] = str(shuffle_partitions())
     if extra_conf:
         conf.update(extra_conf)
     for k, v in conf.items():
