@@ -23,6 +23,8 @@ from collections.abc import Iterator
 import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
+
+from tulflow_spark.io import read_parquet as _read_parquet
 from pyspark.sql import functions as F
 
 from tulflow_spark import fsio
@@ -62,7 +64,7 @@ def load_ivf_index(
     fs, p = fsio.resolve(f"{path}/centroids.json")
     with fs.open_input_stream(p) as stream:
         centroids = np.asarray(json.loads(stream.read().decode("utf-8")))
-    assigned = spark.read.parquet(f"{path}/assigned")
+    assigned = _read_parquet(spark, f"{path}/assigned")
     return LoadedIvfIndex(centroids, assigned, vec_col, id_col)
 
 
@@ -78,7 +80,7 @@ def load_pq(spark: SparkSession, path: str) -> tuple[np.ndarray, DataFrame]:
     fs, p = fsio.resolve(f"{path}/codebook.json")
     with fs.open_input_stream(p) as stream:
         codebook = np.asarray(json.loads(stream.read().decode("utf-8")))
-    return codebook, spark.read.parquet(f"{path}/codes")
+    return codebook, _read_parquet(spark, f"{path}/codes")
 
 
 def assign_euclidean(
@@ -160,7 +162,7 @@ def load_ivfpq(spark: SparkSession, path: str):
     fs, p = fsio.resolve(f"{path}/meta.json")
     with fs.open_input_stream(p) as stream:
         meta = json.loads(stream.read().decode("utf-8"))
-    encoded = spark.read.parquet(f"{path}/codes")
+    encoded = _read_parquet(spark, f"{path}/codes")
     return IvfPqIndex(
         centroids=np.asarray(meta["centroids"]),
         codebook=np.asarray(meta["codebook"]),
@@ -246,7 +248,7 @@ def ivfpq_assignment_drift(
     with fs.open_input_stream(p) as stream:
         meta = json.loads(stream.read().decode("utf-8"))
     centroids = np.asarray(meta["centroids"])
-    stored = spark.read.parquet(f"{path}/codes").select(
+    stored = _read_parquet(spark, f"{path}/codes").select(
         F.lit(0).alias("_split"), F.col("cluster")
     )
     new = assign_clusters(

@@ -35,6 +35,8 @@ from __future__ import annotations
 import json
 
 from pyspark.sql import DataFrame, SparkSession, Window
+
+from tulflow_spark.io import read_parquet as _read_parquet
 from pyspark.sql import functions as F
 
 from tulflow_spark import fsio
@@ -96,7 +98,7 @@ def build_bm25_index(
         "overwrite"
     ).partitionBy("_pp").parquet(f"{path}/postings")
     spark = df.sparkSession
-    stored = spark.read.parquet(f"{path}/postings")
+    stored = _read_parquet(spark, f"{path}/postings")
     idf = F.round(
         F.log(
             (F.lit(float(n_docs)) - F.col("df") + 0.5)
@@ -140,12 +142,12 @@ def bm25_search(
 
     pps = sorted({hashlib.md5(t.encode()).hexdigest()[:2] for t in terms})
     post = (
-        spark.read.parquet(f"{path}/postings")
+        _read_parquet(spark, f"{path}/postings")
         .filter(F.col("_pp").isin(pps))
         .filter(F.col("term").isin(terms))
     )
     idf = (
-        spark.read.parquet(f"{path}/{meta.get('terms_dir', 'terms')}")
+        _read_parquet(spark, f"{path}/{meta.get('terms_dir', 'terms')}")
         .filter(F.col("term").isin(terms))
         .select("term", "idf")
     )
@@ -227,7 +229,7 @@ def append_to_bm25_index(
         F.count(F.lit(1)).cast("long").alias("_bdf")
     )
     old_dir = meta.get("terms_dir", "terms")
-    old_terms = spark.read.parquet(f"{path}/{old_dir}").select("term", "df")
+    old_terms = _read_parquet(spark, f"{path}/{old_dir}").select("term", "df")
     n_docs = int(meta["n_docs"]) + batch_n
     total = int(meta["total_tokens"]) + batch_tot
     merged = (
@@ -306,7 +308,7 @@ def phrase_search(
 
     pps = sorted({hashlib.md5(t.encode()).hexdigest()[:2] for t in terms})
     post = (
-        spark.read.parquet(f"{path}/postings")
+        _read_parquet(spark, f"{path}/postings")
         .filter(F.col("_pp").isin(pps))
         .filter(F.col("term").isin(sorted(set(terms))))
         .select("term", "doc", "pos")

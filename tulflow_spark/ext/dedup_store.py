@@ -29,6 +29,8 @@ from __future__ import annotations
 import json
 
 from pyspark.sql import DataFrame, SparkSession
+
+from tulflow_spark.io import read_parquet as _read_parquet
 from pyspark.sql import functions as F
 
 from tulflow_spark import fsio
@@ -82,7 +84,7 @@ def save_minhash_index(
     sigs.select(F.col("_id").alias("id"), "sig").write.mode(
         "overwrite"
     ).parquet(f"{path}/sigs")
-    stored_sigs = df.sparkSession.read.parquet(f"{path}/sigs").select(
+    stored_sigs = _read_parquet(df.sparkSession, f"{path}/sigs").select(
         F.col("id").alias("_id"), "sig"
     )
     _band_frame(stored_sigs, k, bands).select(
@@ -132,7 +134,7 @@ def match_against_index(
     new_bands = _band_frame(new_sigs, k, bands).select(
         F.col("_id").alias("new_id"), "band_idx", "band_key"
     )
-    stored_bands = spark.read.parquet(f"{path}/bands")
+    stored_bands = _read_parquet(spark, f"{path}/bands")
     bucket_sizes = stored_bands.groupBy("band_idx", "band_key").agg(
         F.count(F.lit(1)).alias("_bn")
     )
@@ -145,7 +147,7 @@ def match_against_index(
         .select("new_id", "match_id")
         .dropDuplicates(["new_id", "match_id"])
     )
-    stored_sigs = spark.read.parquet(f"{path}/sigs").select(
+    stored_sigs = _read_parquet(spark, f"{path}/sigs").select(
         F.col("id").alias("match_id"), F.col("sig").alias("_sig_s")
     )
     est = (

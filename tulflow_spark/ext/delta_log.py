@@ -794,7 +794,8 @@ def _load_checkpoint(
         if spark is None:
             rows += _checkpoint_rows_pyarrow(pq_files)
         else:
-            cp = spark.read.parquet(*pq_files)
+            from tulflow_spark.io import read_parquet as _rp
+            cp = _rp(spark, *pq_files)
             cols = cp.columns
             rows += [(cols, row.asDict(recursive=True))
                      for row in cp.collect()]

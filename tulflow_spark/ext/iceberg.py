@@ -866,8 +866,8 @@ def _eq_victims_deduped(spark: SparkSession, eq_dels: list[dict],
     all_paths = {p for _, _, ps in per_del for p in ps}
     frames = []
     for d, names, paths in per_del:
-        vals = spark.read.parquet(
-            _plain_path(d["file_path"])).select(*names).distinct()
+        vals = _read_parquet(
+            spark, _plain_path(d["file_path"])).select(*names).distinct()
         scoped = alive if paths == all_paths else \
             alive.filter(F.col("__cdf_path").isin(sorted(paths)))
         cond = None
@@ -984,8 +984,8 @@ def read_iceberg_cdf(
         decoded DV blobs, paths normalized for diffing."""
         frames = []
         if pos_files:
-            raw = spark.read.parquet(
-                *[_plain_path(d["file_path"]) for d in pos_files])
+            raw = _read_parquet(
+                spark, *[_plain_path(d["file_path"]) for d in pos_files])
             if not {"file_path", "pos"} <= set(raw.columns):
                 raise IcebergError(
                     "position-delete files must have file_path/pos "
@@ -1130,8 +1130,8 @@ def read_iceberg_cdf(
                     _manifest_value_bounds(d, fids_, tls))
                 if not cands:
                     continue
-                vals = spark.read.parquet(
-                    _plain_path(d["file_path"])).select(
+                vals = _read_parquet(
+                    spark, _plain_path(d["file_path"])).select(
                         *names).distinct()
                 alive = _deletes_applied_scan(spark, cands,
                                               dels_prev, schema)
@@ -1229,8 +1229,8 @@ def read_iceberg_cdf(
                     _manifest_value_bounds(d, fids_, tls))
                 if not cands:
                     continue
-                vals = spark.read.parquet(
-                    _plain_path(d["file_path"])).select(
+                vals = _read_parquet(
+                    spark, _plain_path(d["file_path"])).select(
                         *names).distinct()
                 alive = _deletes_applied_scan(spark, cands,
                                               dels_s, schema)
@@ -1262,6 +1262,20 @@ def read_iceberg_cdf(
     return _union_fold_by_name([f.select(cols) for f in frames])
 
 
+def _read_parquet(spark: SparkSession, *paths: str) -> DataFrame:
+    """Parquet scan that passes the first file's cached footer schema
+    explicitly when provable (guide §5: Spark's own inference with
+    mergeSchema=false also reads one footer, but does it JVM-side on
+    EVERY call — ~60-180 ms of pure driver latency that a DML commit's
+    dozens of metadata-sized scans multiply).  Falls back to plain
+    inference whenever the footer carries a type whose coercion the
+    shortcut cannot prove (ns timestamps, unsigned ints)."""
+    schema = fsio.spark_schema_for_parquet(paths[0]) if paths else None
+    reader = spark.read.schema(schema) if schema is not None \
+        else spark.read
+    return reader.parquet(*paths)
+
+
 def _format_scan(spark: SparkSession, data_files: list[dict]) -> DataFrame:
     """One scan over data files of possibly mixed formats (parquet +
     ORC groups unioned by name)."""
@@ -1271,7 +1285,7 @@ def _format_scan(spark: SparkSession, data_files: list[dict]) -> DataFrame:
                  if str(d.get("file_format") or "").upper() == "ORC"]
     frames = []
     if pq_paths:
-        frames.append(spark.read.parquet(*pq_paths))
+        frames.append(_read_parquet(spark, *pq_paths))
     if orc_paths:
         # DataFrameReader.orc takes a LIST (varargs would land the
         # second path in mergeSchema)
@@ -1494,8 +1508,8 @@ def _deletes_applied_scan(spark: SparkSession, data_files: list[dict],
     for (dseq, names, pk), dels_meta in sorted(
             eq_groups.items(), key=sort_k):
         alias = {c: f"__eqd_{i}" for i, c in enumerate(names)}
-        dels = (spark.read.parquet(
-            *[_plain_path(d["file_path"]) for d in dels_meta])
+        dels = (_read_parquet(
+            spark, *[_plain_path(d["file_path"]) for d in dels_meta])
             .select([F.col(c).alias(alias[c]) for c in names])
             .distinct())
         eq_frames.append(((dseq, names, pk), (alias, dels)))
@@ -1684,8 +1698,8 @@ def _apply_position_deletes(spark: SparkSession, scan: DataFrame,
             f"table columns collide with helper columns {ri}/{fp}")
     frames: list[DataFrame] = []
     if delete_files:
-        dels = spark.read.parquet(
-            *[_plain_path(d["file_path"]) for d in delete_files])
+        dels = _read_parquet(
+            spark, *[_plain_path(d["file_path"]) for d in delete_files])
         if not {"file_path", "pos"} <= set(dels.columns):
             raise IcebergError(
                 "position-delete files must have file_path/pos columns")
@@ -3167,8 +3181,8 @@ def rewrite_position_deletes_iceberg(spark: SparkSession, path: str,
     pn = lambda p: _re.sub(  # noqa: E731
         "^file:/+", "/", _plain_path(p))
     live_norm = sorted(pn(p) for p in live_paths)
-    raw = spark.read.parquet(
-        *[_plain_path(d["file_path"]) for d in pos]).select(
+    raw = _read_parquet(
+        spark, *[_plain_path(d["file_path"]) for d in pos]).select(
         "file_path", "pos")
     live_df = spark.createDataFrame([(p,) for p in live_norm],
                                     "file_path string")
@@ -3449,8 +3463,8 @@ def _position_tagged_scan(spark: SparkSession, data_files: list[dict],
     if pos or dvs:
         frames = []
         if pos:
-            raw = spark.read.parquet(
-                *[_plain_path(d["file_path"]) for d in pos])
+            raw = _read_parquet(
+                spark, *[_plain_path(d["file_path"]) for d in pos])
             frames.append(raw.select("file_path", "pos"))
         if dvs:
             frames.append(_dv_positions_frame(spark, dvs))
@@ -3472,8 +3486,8 @@ def _position_tagged_scan(spark: SparkSession, data_files: list[dict],
         groups.setdefault(tuple(proj), []).append(d)
     frames = []
     for proj, files in sorted(groups.items(), key=str):
-        f0 = (spark.read.parquet(
-            *sorted(_plain_path(d["file_path"]) for d in files))
+        f0 = (_read_parquet(
+            spark, *sorted(_plain_path(d["file_path"]) for d in files))
             .withColumn(fcol, F.col("_metadata.file_path"))
             .withColumn(pcol, F.col("_metadata.row_index")))
         cols = []

@@ -140,15 +140,83 @@ def parquet_footer_fields(path: str) -> tuple[tuple[str, ...],
 
 
 @_functools.lru_cache(maxsize=65536)
-def _footer_fields_cached(path: str, size: int, mtime) -> tuple:
+def _footer_schema_cached(path: str, size: int, mtime):
+    """The file's Arrow schema, cached under the same immutability key
+    as :func:`_footer_fields_cached` (committed lake data files never
+    change in place; fixtures that rewrite bump size/mtime)."""
     import pyarrow.parquet as pq
 
     fs, lp = resolve(path)
     try:
         with fs.open_input_file(lp) as handle:
-            sc = pq.ParquetFile(handle).schema_arrow
+            return pq.ParquetFile(handle).schema_arrow
     except OSError as exc:
         raise ValueError(f"cannot open data file {lp!r}: {exc}") from None
+
+
+def parquet_arrow_schema(path: str):
+    """One parquet file's Arrow schema via the immutability-keyed footer
+    cache — the driver-side peek that lets reads pass an EXPLICIT schema
+    to ``spark.read`` instead of paying JVM-side footer inference per
+    call (guide §5: the driver should do almost no data work — ~100 ms
+    of DataSource schema resolution per read adds up across a
+    metadata-heavy DML commit's dozens of scans)."""
+    fs, lp = resolve(path)
+    try:
+        info = fs.get_file_info(lp)
+    except OSError as exc:
+        raise ValueError(
+            f"cannot stat data file {lp!r}: {exc}") from None
+    if info.type != pafs.FileType.File:
+        raise ValueError(f"cannot open data file {lp!r}: not a file")
+    mt = info.mtime_ns if info.mtime_ns is not None else info.mtime
+    return _footer_schema_cached(path, int(info.size or 0), mt)
+
+
+def spark_schema_for_parquet(path: str):
+    """Spark ``StructType`` matching what Spark itself would infer for
+    ``path`` (TIMESTAMP_NTZ for tz-naive stamps, per the 3.4+
+    ``inferTimestampNTZ`` default) — or ``None`` when the file carries a
+    type whose inference this helper cannot prove it reproduces
+    (timestamp[ns] under ``nanosAsLong``, unsigned ints, views).
+    Callers fall back to plain inference on ``None``; passing the
+    result to ``spark.read.schema(...)`` skips the per-call JVM footer
+    job entirely.  A directory path resolves through its first
+    ``*.parquet`` member — the same single-footer peek Spark's own
+    mergeSchema=false inference performs."""
+    try:
+        fs, lp = resolve(path)
+        info = fs.get_file_info(lp)
+        if info.type == pafs.FileType.Directory:
+            members = sorted(
+                n for n in list_names(path)
+                if n.endswith(".parquet") and not n.startswith(("_", ".")))
+            if not members:
+                return None
+            path = f"{path.rstrip('/')}/{members[0]}"
+        sc = parquet_arrow_schema(path)
+    except (ValueError, OSError):
+        return None
+    for f in sc:
+        t = str(f.type)
+        # ns timestamps flip on spark.sql.legacy.parquet.nanosAsLong
+        # (reads as BIGINT); uint/view types coerce non-obviously —
+        # proof-or-no-shortcut, same discipline as bounds pruning
+        if t.startswith("timestamp[ns") or t.startswith("uint") \
+                or "view" in t:
+            return None
+    try:
+        from pyspark.sql.pandas.types import from_arrow_schema
+
+        return from_arrow_schema(sc, prefer_timestamp_ntz=True)
+    except Exception:
+        return None
+
+
+@_functools.lru_cache(maxsize=65536)
+def _footer_fields_cached(path: str, size: int, mtime) -> tuple:
+    sc = _footer_schema_cached(path, size, mtime)
+    lp = path
     ids: dict[int, str] = {}
     for f in sc:
         raw = (f.metadata or {}).get(b"PARQUET:field_id")

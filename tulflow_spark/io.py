@@ -51,7 +51,27 @@ def _nanos_columns(path: str) -> tuple[str, ...]:
 
 
 def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Base-table scan.  Two driver-overhead optimizations (guide §5 —
+    the driver should do almost no work; a bench session issues
+    hundreds of these):
+
+    - the read passes an EXPLICIT schema from the (immutability-keyed)
+      pyarrow footer cache when provably identical to what Spark would
+      infer, skipping the per-call JVM schema-resolution round
+      (~60-180 ms each);
+    - the resulting DataFrame — an immutable logical plan, NOT data —
+      is memoized per session+path, so repeat calls cost a dict hit.
+      Every action over it still scans parquet from disk; nothing
+      row-shaped is cached.
+    """
     path = os.path.join(sf_dir, f"{name}.parquet")
+    cache = getattr(spark, "_tulflow_table_plans", None)
+    if cache is None:
+        cache = {}
+        spark._tulflow_table_plans = cache
+    hit = cache.get(path)
+    if hit is not None:
+        return hit
     ns_cols = _nanos_columns(path)
     # session.get_spark sets this at build; re-assert it here for foreign
     # sessions (the driver's vanilla session).  The set is monotonic — only
@@ -59,14 +79,37 @@ def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     # session cannot race it into an inconsistent state.
     if ns_cols and spark.conf.get(_NANOS_CONF, "false") != "true":
         spark.conf.set(_NANOS_CONF, "true")
-    df = spark.read.parquet(path)
+    if ns_cols:
+        df = spark.read.parquet(path)   # ns→long coercion is conf-driven
+    else:
+        from tulflow_spark import fsio
+
+        schema = fsio.spark_schema_for_parquet(path)
+        reader = spark.read.schema(schema) if schema is not None \
+            else spark.read
+        df = reader.parquet(path)
     for c in ns_cols:
         df = df.withColumn(c, F.timestamp_micros(F.expr(f"`{c}` div 1000")))
+    cache[path] = df
     return df
 
 
 def load_tables(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
     return {name: table(spark, sf_dir, name) for name in TABLES}
+
+
+def read_parquet(spark: SparkSession, *paths: str) -> DataFrame:
+    """Parquet scan with an explicit footer schema when provable —
+    the engine-wide face of ``fsio.spark_schema_for_parquet`` (guide
+    §5: skip the ~60-180 ms JVM schema-resolution round per read; the
+    store/index readers issue several per query).  Falls back to plain
+    inference whenever the shortcut cannot prove equivalence."""
+    from tulflow_spark import fsio
+
+    schema = fsio.spark_schema_for_parquet(paths[0]) if paths else None
+    reader = spark.read.schema(schema) if schema is not None \
+        else spark.read
+    return reader.parquet(*paths)
 
 
 def table_with_time_range(

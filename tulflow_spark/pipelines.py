@@ -76,7 +76,8 @@ def _read_stage(spark: SparkSession, src_dir: str) -> DataFrame:
     yield an empty frame — empty harvests must not fail downstream stages."""
     entries = os.listdir(src_dir) if os.path.isdir(src_dir) else []
     if any(e.endswith(".parquet") for e in entries):
-        return spark.read.parquet(src_dir).withColumn(
+        from tulflow_spark.io import read_parquet as _rp
+        return _rp(spark, src_dir).withColumn(
             "source_file", F.input_file_name()
         )
     return read_oai_collections(spark, src_dir)  # handles missing path

@@ -726,7 +726,8 @@ def sdc3_stream_delta_cdf(spark: SparkSession,
                 "sdc3 stream did not drain within 300s — partial "
                 "sink contents would misreport as a correctness "
                 "failure")
-    arrived = spark.read.parquet(out)
+    from tulflow_spark.io import read_parquet as _rp
+    arrived = _rp(spark, out)
     key = F.concat_ws(
         "|", F.col("_change_type"), F.md5("text"),
         F.col("_commit_version").cast("string"))
@@ -817,7 +818,8 @@ def sdc4_stream_iceberg_cdf(spark: SparkSession,
                 "sdc4 stream did not drain within 300s — partial "
                 "sink contents would misreport as a correctness "
                 "failure")
-    arrived = spark.read.parquet(out)
+    from tulflow_spark.io import read_parquet as _rp
+    arrived = _rp(spark, out)
     key = F.concat_ws(
         "|", F.col("_change_type"), F.md5("text"),
         F.col("_commit_seq").cast("string"))
@@ -928,7 +930,8 @@ def sdc5_stream_merge_cdf(spark: SparkSession,
         raise TimeoutError(
             "sdc5 stream did not drain within 300s — partial sink "
             "contents would misreport as a correctness failure")
-    arrived = spark.read.parquet(out)
+    from tulflow_spark.io import read_parquet as _rp
+    arrived = _rp(spark, out)
     key = F.concat_ws(
         "|", F.col("_change_type"), F.md5("text"),
         F.col("_commit_seq").cast("string"))
@@ -2565,7 +2568,8 @@ def sdc2_stream_iceberg_changes(spark: SparkSession,
                 "sdc2 stream did not drain within 300s — partial "
                 "sink contents would misreport as a correctness "
                 "failure")
-    arrived = spark.read.parquet(out)
+    from tulflow_spark.io import read_parquet as _rp
+    arrived = _rp(spark, out)
     return arrived.agg(
         F.count(F.lit(1)).alias("n_rows"),
         F.sum("doc_id").cast("bigint").alias("sum_doc_id"),

@@ -27,6 +27,8 @@ from __future__ import annotations
 import json
 
 from pyspark.sql import DataFrame, SparkSession
+
+from tulflow_spark.io import read_parquet as _read_parquet
 from pyspark.sql import functions as F
 
 from tulflow_spark import fsio
@@ -64,7 +66,7 @@ def write_training_shards(
         f"{path}/data"
     )
     spark = df.sparkSession
-    written = spark.read.parquet(f"{path}/data")
+    written = _read_parquet(spark, f"{path}/data")
     data_dir = "data"
     toks = (
         F.sum(F.col(token_count_col).cast("long"))
@@ -127,7 +129,7 @@ def verify_training_shards(spark: SparkSession, path: str) -> dict:
     fs, p = fsio.resolve(f"{path}/manifest.json")
     with fs.open_input_stream(p) as stream:
         manifest = json.loads(stream.read().decode("utf-8"))
-    written = spark.read.parquet(
+    written = _read_parquet(spark, 
         f"{path}/{manifest.get('data_dir', 'data')}"
     )
     id_col = manifest["id_col"]
@@ -203,7 +205,7 @@ def append_training_shards(
     fs2, arch = fsio.resolve(f"{path}/manifest-v{old['version']:05d}.json")
     with fs2.open_output_stream(arch) as stream:
         stream.write(json.dumps(old, sort_keys=True).encode("utf-8"))
-    written = spark.read.parquet(f"{path}/{data_dir}")
+    written = _read_parquet(spark, f"{path}/{data_dir}")
     toks = (
         F.sum(F.col(token_count_col).cast("long"))
         if token_count_col
@@ -270,7 +272,7 @@ def compact_training_shards(spark: SparkSession, path: str) -> dict:
     src = f"{path}/{old.get('data_dir', 'data')}"
     new_dir = f"data-v{old['version'] + 1:05d}"
     # one task per shard -> one file per shard
-    spark.read.parquet(src).repartition("shard").write.mode(
+    _read_parquet(spark, src).repartition("shard").write.mode(
         "overwrite"
     ).partitionBy("shard").parquet(f"{path}/{new_dir}")
     fs2, arch = fsio.resolve(f"{path}/manifest-v{old['version']:05d}.json")

@@ -17,6 +17,8 @@ from typing import Any
 
 import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
+
+from tulflow_spark.io import read_parquet as _read_parquet
 from pyspark.sql import functions as F
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
@@ -198,7 +200,7 @@ def cdc_snapshot_sink(
         layout, flat_files = snapshot_layout()
         if layout == "bucketed":
             existing = (
-                spark.read.parquet(path)
+                _read_parquet(spark, path)
                 .filter(F.col("_bucket").isin(touched))  # pruned scan
                 .select(*cols)
             )
@@ -208,7 +210,7 @@ def cdc_snapshot_sink(
             # batch's merge (no bucket pruning possible yet), write it back
             # bucketed, then drop the flat files.  touched widens to every
             # bucket so fully-deleted buckets are still cleaned up below.
-            existing = spark.read.parquet(path).select(*cols)
+            existing = _read_parquet(spark, path).select(*cols)
             union = existing.withColumn("_bucket", bucket_of(existing)).unionByName(b)
             touched = list(range(n_buckets))
         else:

@@ -32,6 +32,8 @@ import json
 import uuid
 
 from pyspark.sql import DataFrame, SparkSession
+
+from tulflow_spark.io import read_parquet as _read_parquet
 from pyspark.sql import functions as F
 
 from tulflow_spark import fsio
@@ -109,7 +111,7 @@ class ManifestSnapshot:
         files = [f for fs in buckets.values() for f in fs]
         if not files:
             return None
-        return spark.read.parquet(*files)
+        return _read_parquet(spark, *files)
 
     # -- commit path --------------------------------------------------------
 
@@ -414,7 +416,7 @@ def compact(
     parts = []
     for bk, fs in fat.items():
         parts.append(
-            spark.read.parquet(*fs)
+            _read_parquet(spark, *fs)
             .withColumn("_bucket", F.lit(int(bk)).cast("int"))
             .coalesce(1)
         )
@@ -453,7 +455,7 @@ def delete_where(
     if not buckets:
         return None, 0
     files = [f for fs in buckets.values() for f in fs]
-    df = spark.read.parquet(*files).withColumn(
+    df = _read_parquet(spark, *files).withColumn(
         "_bucket",
         F.regexp_extract(F.input_file_name(), r"_bucket=(\d+)", 1).cast(
             "int"
