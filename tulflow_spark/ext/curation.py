@@ -274,7 +274,12 @@ def curate_pipeline(
     """
     from tulflow_spark.ext.linedup import dedup_lines, pseudo_lines
     from tulflow_spark.ext.mixing import hash_sample, pack_sequences
+    from tulflow_spark.io import widen
 
+    # quality scoring + line dedup are the expensive map stages; a
+    # single-row-group input would otherwise pin them to one core
+    # (guide §2.5 input skew) — widen is a no-op when the scan splits.
+    df = widen(df)
     scored = df.select(
         F.col(id_col),
         F.col(group_col),

@@ -205,14 +205,43 @@ def minhash_lsh_pairs(
         .dropDuplicates(["id_a", "id_b"])
     )
 
-    # verify candidates with exact Jaccard: rejoin the (cheap, map-side)
-    # shingle projection by id
-    sh_a = base.select(F.col("_id").alias("id_a"), F.col("_sh").alias("_sh_a"))
-    sh_b = base.select(F.col("_id").alias("id_b"), F.col("_sh").alias("_sh_b"))
+    # verify candidates with exact Jaccard.  ONE probe pass over the
+    # shingle projection instead of two side-joins: the old
+    # ``candidates ⋈ sh_a ⋈ sh_b`` form evaluated the expensive shingle
+    # map stage (split + n zip_with + array_distinct over the whole
+    # corpus) once per side — measured as two duplicate full-width
+    # stages in every LSH plan.  Exploding each pair into its member
+    # ids, attaching shingles with a single join, and reassembling by
+    # pair key evaluates that stage once; only CANDIDATE docs' shingle
+    # arrays shuffle, keyed by pair (pair-list-sized, never corpus-
+    # sized).
+    sides = candidates.select(
+        "id_a",
+        "id_b",
+        F.explode(
+            F.array(
+                F.struct(F.col("id_a").alias("_id"), F.lit(0).alias("_side")),
+                F.struct(F.col("id_b").alias("_id"), F.lit(1).alias("_side")),
+            )
+        ).alias("_m"),
+    ).select(
+        "id_a", "id_b", F.col("_m._id").alias("_id"),
+        F.col("_m._side").alias("_side"),
+    )
+    paired = (
+        sides.join(base, "_id")
+        .groupBy("id_a", "id_b")
+        .agg(
+            F.sort_array(
+                F.collect_list(F.struct(F.col("_side"), F.col("_sh")))
+            ).alias("_ss")
+        )
+    )
     return (
-        candidates.join(sh_a, "id_a")
-        .join(sh_b, "id_b")
-        .withColumn("jaccard_sim", jaccard(F.col("_sh_a"), F.col("_sh_b")))
+        paired.withColumn(
+            "jaccard_sim",
+            jaccard(F.col("_ss")[0]["_sh"], F.col("_ss")[1]["_sh"]),
+        )
         .filter(F.col("jaccard_sim") >= threshold)
         .select("id_a", "id_b", "jaccard_sim")
     )
