@@ -23,6 +23,22 @@ from tulflow_spark.ext.dedup import exact_dedup, minhash_lsh_pairs, word_shingle
 from tulflow_spark.ext.text import quality_score
 
 
+def _materialize(df: DataFrame) -> DataFrame:
+    """localCheckpoint a shared pipeline stage so downstream references
+    read its blocks instead of re-deriving the whole upstream subtree.
+
+    Catalyst performs no common-subtree sharing across self-joins: a
+    frame consumed by k branches is COMPUTED k times, so a composed
+    pipeline that gates+dedups once and then fans out (line dedup,
+    metadata join, sampling, packing) re-scans the corpus and re-runs
+    the gate for every branch (the cur4 before-plan carried 48 scans of
+    the documents table).  ``localCheckpoint`` is the sanctioned
+    materialization (ext.components precedent): unlike ``persist`` it
+    needs no caller-side unpersist — blocks are dropped by the
+    ContextCleaner when the returned frame is garbage collected."""
+    return df.localCheckpoint(eager=True)
+
+
 def boilerplate_ngrams(
     df: DataFrame,
     id_col: str,
@@ -180,12 +196,13 @@ def curate_near_dup(
 
     ``base``: optional precomputed :func:`curate_exact` result (id, quality).
     The base is consumed twice (survivor join for pair generation, final
-    anti-join); a caller doing repeated curation should persist it and pass
-    it in, OWNING the cache lifecycle (unpersist after the result
-    materializes).  When omitted, the base lineage is simply evaluated
-    twice — this function never persists on the caller's behalf (an internal
-    persist has no sound unpersist point for a lazily-returned frame and
-    leaks cache for the session; r3 VERDICT)."""
+    anti-join); a caller doing repeated curation should materialize it and
+    pass it in, OWNING the cache lifecycle (``localCheckpoint`` or
+    persist+unpersist after the result materializes).  When omitted, the
+    base lineage is simply evaluated twice — this function never persists
+    on the caller's behalf (an internal persist has no sound unpersist
+    point for a lazily-returned frame and leaks cache for the session;
+    r3 VERDICT, pinned by the no-cached-rdds test)."""
     if base is None:
         base = curate_exact(df, id_col, text_col, min_quality)
     survivors = df.join(base.select(id_col), id_col)
@@ -271,6 +288,18 @@ def curate_pipeline(
     filter; stage 5 is the bucketed grouped prefix sum.  Nothing
     collects, nothing is quadratic, every join key is either broadcast
     or the data's natural id.
+
+    Two stages are ``localCheckpoint``-materialized because the
+    composition fans out from them (Catalyst shares no subtrees across
+    self-joins): ``base`` feeds line dedup AND the metadata join, and
+    the sampled survivors feed packing AND the final projection —
+    un-materialized, the one-DAG plan re-derived the whole gate+dedup
+    upstream for every consumer (48 corpus scans in the cur4
+    before-plan; 2 after).  At 100 TB these are exactly the two points
+    a production pipeline would persist (the curated base and the
+    sampled survivors); block hygiene mirrors ext.components — the
+    base's blocks are dropped as soon as the survivor stage holding
+    every remaining column has materialized.
     """
     from tulflow_spark.ext.linedup import dedup_lines, pseudo_lines
     from tulflow_spark.ext.mixing import hash_sample, pack_sequences
@@ -289,12 +318,30 @@ def curate_pipeline(
     keepers = exact_dedup(scored, id_col, text_col).select(
         F.col("keeper").alias(id_col)
     )
-    base = keepers.join(scored, id_col)
+    sc = df.sparkSession.sparkContext
+
+    def _persistent_ids() -> set:
+        return {
+            int(i) for i in sc._jsc.getPersistentRDDs().keySet().toArray()
+        }
+
+    pre_existing = _persistent_ids()
+    base = _materialize(keepers.join(scored, id_col))
+    base_ids = _persistent_ids() - pre_existing
 
     lined = dedup_lines(base, id_col, pseudo_lines(text_col, words_per_line))
     cur = base.select(id_col, group_col, "quality").join(lined, id_col)
 
-    sampled = hash_sample(cur, id_col, group_col, rates or {}, default_rate)
+    sampled = _materialize(
+        hash_sample(cur, id_col, group_col, rates or {}, default_rate)
+    )
+    # the survivor checkpoint holds every column the tail reads; the
+    # base's blocks are dead weight from here (components hygiene)
+    jmap = sc._jsc.getPersistentRDDs()
+    for rid in base_ids:
+        jrdd = jmap.get(rid)
+        if jrdd is not None:
+            jrdd.unpersist(False)
 
     packed = pack_sequences(sampled, id_col, "text_dedup", seq_len=seq_len)
     return sampled.select(

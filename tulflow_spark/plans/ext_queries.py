@@ -771,12 +771,22 @@ def cur1_curate_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register("cur2_curate_near_dup")  # minhash stage → rows-only check
 def cur2_curate_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Full curation incl. near-dup removal (the production composition)."""
-    from tulflow_spark.ext.curation import curate_near_dup
+    """Full curation incl. near-dup removal (the production composition).
 
+    The exact-curation base is consumed twice (pair-generation survivor
+    join + final anti-join), so this caller materializes it and passes it
+    in — the caller-owned-cache contract curate_near_dup documents
+    (localCheckpoint self-cleans via the ContextCleaner, so a one-shot
+    query owns no explicit unpersist)."""
+    from tulflow_spark.ext.curation import curate_exact, curate_near_dup
+
+    docs = table(spark, sf_dir, "documents")
+    base = curate_exact(docs, "doc_id", "text", 0.4).localCheckpoint(
+        eager=True
+    )
     return curate_near_dup(
-        table(spark, sf_dir, "documents"), "doc_id", "text",
-        min_quality=0.4, near_dup_threshold=0.8,
+        docs, "doc_id", "text",
+        min_quality=0.4, near_dup_threshold=0.8, base=base,
     )
 
 

@@ -534,6 +534,10 @@ def cur5_web_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("doc_id") == F.col("_keep"))
         .select("doc_id", "text")
     )
+    # exact_keep fans out (span mining AND span cutting consume it);
+    # materialize so the Python HTML-parse stage upstream runs once,
+    # not once per consumer (ext.curation._materialize doctrine)
+    exact_keep = exact_keep.localCheckpoint(eager=True)
 
     spans = repeated_spans(exact_keep, n=8, min_count=2)
     cut = cut_spans(exact_keep, spans)
