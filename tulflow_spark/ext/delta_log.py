@@ -2134,17 +2134,32 @@ def _stage_cdc(df_rows: DataFrame, path: str, change_type: str,
     dropped.  Partitioned tables follow the data-file rule: partition
     columns live in the action's ``partitionValues``, never
     materialized in the file."""
+    from pyspark.sql import functions as F
+
+    return _stage_cdc_tagged(
+        df_rows.withColumn("_change_type", F.lit(change_type)), path,
+        partition_by)
+
+
+def _stage_cdc_tagged(df_rows: DataFrame, path: str,
+                      partition_by: list[str] | None = None
+                      ) -> list[dict]:
+    """:func:`_stage_cdc` for a frame that ALREADY carries its
+    ``_change_type`` column — the single-pass form a multi-image
+    commit (MERGE's delete/preimage/postimage/insert, UPDATE's
+    pre/post pair) uses to stage its whole change record as ONE write
+    job instead of one per change type.  Readers take ``_change_type``
+    from the file, so mixed-type cdc parts are protocol-equivalent to
+    per-type parts (guide §1.2: fewer sequential jobs — the staging
+    passes were independent and each paid a full job's latency)."""
     import uuid as _uuid
 
     import pyarrow.parquet as pq
 
     from urllib.parse import unquote
 
-    from pyspark.sql import functions as F
-
     tmp = f"{path}/_change_data/stage-{_uuid.uuid4().hex[:8]}"
-    writer = df_rows.withColumn("_change_type",
-                                F.lit(change_type)).write
+    writer = df_rows.write
     if partition_by:
         writer = writer.partitionBy(*partition_by)
     writer.parquet(tmp)
@@ -2286,11 +2301,22 @@ def delete_where(spark: SparkSession, path: str, condition: str,
     if snap.configuration.get("delta.enableChangeDataFeed") == "true":
         # CDF duty: a rewrite commit's row-level changes are NOT
         # derivable from its file actions — record the deleted rows in
-        # cdc file(s) so read_delta_cdf can deliver them
+        # cdc file(s) so read_delta_cdf can deliver them.  The cdc
+        # stage and the keeper rewrite are independent writes over the
+        # same matched scan — overlap them (guide §2.6); action order
+        # stays deterministic (cdc before adds)
+        from concurrent.futures import ThreadPoolExecutor
+
         victims = matched_scan.where(condition).drop(fcol)
-        actions += _stage_cdc(victims, path, "delete",
-                              partition_by=part_cols or None)
-    actions += _stage_nonempty_adds(keepers, path, part_cols)
+        with ThreadPoolExecutor(max_workers=2) as pool:
+            f_cdc = pool.submit(_stage_cdc, victims, path, "delete",
+                                part_cols or None)
+            f_adds = pool.submit(_stage_nonempty_adds, keepers, path,
+                                 part_cols)
+            actions += f_cdc.result()
+            actions += f_adds.result()
+    else:
+        actions += _stage_nonempty_adds(keepers, path, part_cols)
     _publish(path, latest + 1, actions)
     return latest + 1
 
@@ -2399,11 +2425,15 @@ def update_where(spark: SparkSession, path: str, condition: str,
         for ap in matched_adds
     ]
     if cdf_on:
-        actions += _stage_cdc(victims.drop(fcol), path,
-                              "update_preimage",
-                              partition_by=part_cols or None)
-        actions += _stage_cdc(post, path, "update_postimage",
-                              partition_by=part_cols or None)
+        # pre and post images stage as ONE union write (the
+        # _stage_cdc_tagged single-pass form — two matched-row-sized
+        # jobs become one)
+        actions += _stage_cdc_tagged(
+            victims.drop(fcol).withColumn(
+                "_change_type", F.lit("update_preimage"))
+            .unionByName(post.withColumn(
+                "_change_type", F.lit("update_postimage"))),
+            path, partition_by=part_cols or None)
     actions += _stage_nonempty_adds(keepers.unionByName(post), path,
                                     part_cols)
     _publish(path, latest + 1, actions)
@@ -2647,39 +2677,69 @@ def merge_delta(spark: SparkSession, path: str, changes: DataFrame,
                 old = None
                 ex = None
             try:
+                # all four images stage as ONE union write (readers
+                # take _change_type from the file, so mixed-type cdc
+                # parts are protocol-equivalent; four sequential
+                # change-set-sized jobs each paid full job latency)
+                ct = "_change_type"
+                parts: list[DataFrame] = []
                 if old is not None:
                     dels = old.where(
                         (F.col(op_col) == "D") | (F.col("_n") > 1)
                     ).select(*cols)
-                    actions += _stage_cdc(dels, path, "delete",
-                                          partition_by=part_cols or None)
+                    parts.append(dels.withColumn(ct, F.lit("delete")))
                     pre = old.where(
                         (F.col(op_col) != "D") & (F.col("_n") == 1)
                     ).select(*cols)
-                    actions += _stage_cdc(pre, path, "update_preimage",
-                                          partition_by=part_cols or None)
+                    parts.append(
+                        pre.withColumn(ct, F.lit("update_preimage")))
                 app2 = applied if ex is None else applied.join(
                     F.broadcast(ex), keys, "left")
                 if ex is not None:
                     post = app2.where(F.col("_n") == 1).select(*cols)
-                    actions += _stage_cdc(post, path, "update_postimage",
-                                          partition_by=part_cols or None)
+                    parts.append(
+                        post.withColumn(ct, F.lit("update_postimage")))
                     ins = app2.where(
                         F.col("_n").isNull() | (F.col("_n") > 1)
                     ).select(*cols)
                 else:
                     ins = applied
-                actions += _stage_cdc(ins, path, "insert",
-                                      partition_by=part_cols or None)
+                parts.append(ins.withColumn(ct, F.lit("insert")))
+                cdc_all = parts[0]
+                for p in parts[1:]:
+                    cdc_all = cdc_all.unionByName(p)
+                # the cdc stage and the rewrite stage are independent
+                # writes (the matched scan feeds both through separate
+                # subtrees) — overlap them so the second back-fills
+                # executors freed by the first's tail (guide §2.6);
+                # action order stays deterministic: cdc before adds
+                from concurrent.futures import ThreadPoolExecutor
+
+                new_data = \
+                    mscan.join(chg_keys, keys, "left_anti") \
+                         .drop(fcol).unionByName(applied) \
+                    if mscan is not None else applied
+                with ThreadPoolExecutor(max_workers=2) as pool:
+                    f_cdc = pool.submit(
+                        _stage_cdc_tagged, cdc_all, path,
+                        part_cols or None)
+                    f_adds = pool.submit(
+                        _stage_nonempty_adds, new_data, path,
+                        part_cols)
+                    actions += f_cdc.result()
+                    adds_actions = f_adds.result()
             finally:
                 if old is not None:
                     old.unpersist()
-        # rewrite: matched files minus ALL matched keys, plus the applied
-        # change rows (new files carry the merged state)
-        new_data = applied if mscan is None else \
-            mscan.join(chg_keys, keys, "left_anti").drop(fcol) \
-                 .unionByName(applied)
-        actions += _stage_nonempty_adds(new_data, path, part_cols)
+        else:
+            # rewrite: matched files minus ALL matched keys, plus the
+            # applied change rows (new files carry the merged state)
+            new_data = applied if mscan is None else \
+                mscan.join(chg_keys, keys, "left_anti").drop(fcol) \
+                     .unionByName(applied)
+            adds_actions = _stage_nonempty_adds(new_data, path,
+                                                part_cols)
+        actions += adds_actions
         if txn is not None:
             # streaming idempotence watermark (`delta_cdf_apply_sink`):
             # NOTE the no-op early returns above skip it — a replayed
