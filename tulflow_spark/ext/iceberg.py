@@ -3694,16 +3694,28 @@ def merge_iceberg(spark: SparkSession, path: str, changes: DataFrame,
     if data_files and str(
             data_files[0].get("file_format") or "").upper() == "ORC":
         fmt = "orc"
+    # the data stage and the eq-delete stage are independent writes
+    # over the checkpointed change set — overlap them so the second
+    # back-fills executors freed by the first's tail (guide §2.6)
+    from concurrent.futures import ThreadPoolExecutor
+
     data_recs: list[dict] = []
-    if stats["ins"]:
-        data_recs = _stage_data_files(
-            changes.where(F.col(op_col).isin("I", "U")).select(*cols),
-            path, seq, part_cols, fmt, fid_of=fid, single_file=False)
     del_recs: list[dict] = []
-    if stats["dels"]:
-        del_recs = _stage_eq_delete_files(
+    with ThreadPoolExecutor(max_workers=2) as pool:
+        f_data = pool.submit(
+            _stage_data_files,
+            changes.where(F.col(op_col).isin("I", "U")).select(*cols),
+            path, seq, part_cols, fmt, fid, False,
+        ) if stats["ins"] else None
+        f_dels = pool.submit(
+            _stage_eq_delete_files,
             changes.where(F.col(op_col).isin("U", "D")).select(*keys),
-            path, seq, [fid[k] for k in keys], fid)
+            path, seq, [fid[k] for k in keys], fid,
+        ) if stats["dels"] else None
+        if f_data is not None:
+            data_recs = f_data.result()
+        if f_dels is not None:
+            del_recs = f_dels.result()
     by_name = {f.name: f.dataType.simpleString()
                for f in changes.schema.fields}
     part_avro = [(c, _avro_part_type(by_name[c])) for c in part_cols]
