@@ -241,7 +241,15 @@ def banded_buckets(
         raw = signs @ weights  # (batch, bands)
         return pd.Series(list(raw | band_base))
 
-    return df.withColumn(out_col, buckets(F.col(vec_col)))
+    # nondeterministic marker (guide §4.4): a downstream explode makes
+    # Catalyst infer a `size(col) > 0` filter below the Generate, and
+    # because the column is UDF-computed the inferred filter DUPLICATES
+    # the ArrowEvalPython node — every vector crossed the Python
+    # boundary and paid the matmul twice (two ArrowEvalPython nodes in
+    # the dd5 before-plan, one after).  The function is pure; the
+    # marker only stops the optimizer from copying it.
+    return df.withColumn(out_col,
+                         buckets.asNondeterministic()(F.col(vec_col)))
 
 
 def _query_band_buckets(
