@@ -3470,6 +3470,12 @@ def st1_kmv_cardinality(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.concat(F.col("doc_id").cast("string"), F.lit(":"),
                      F.col("tok")).alias("posting"),
         )
+        # the tokenize+explode map stage feeds BOTH the sketch and the
+        # exact_distinct rider; Catalyst shares no subtrees, so
+        # un-materialized it runs once per consumer (4 documents scans
+        # in the before-plan, 0 after) — localCheckpoint is the
+        # curation-pipeline precedent
+        .localCheckpoint(eager=True)
     )
     est = kmv_estimate(kmv_sketch(toks, "lang", "posting", k=k),
                        "lang", k=k)
@@ -3510,6 +3516,10 @@ def st2_kmv_intersection(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.concat(F.col("doc_id").cast("string"), F.lit(":"),
                      F.col("tok")).alias("posting"),
         )
+        # four consumers (two sketches, two exact-intersection sides)
+        # re-derive the tokenize+explode stage without materialization
+        # (4 documents scans in the before-plan, 0 after)
+        .localCheckpoint(eager=True)
     )
     a = toks.where(F.col("doc_id") % 2 == 0).withColumn("g", F.lit("a"))
     b = toks.where(F.col("doc_id") % 3 == 0).withColumn("g", F.lit("b"))
