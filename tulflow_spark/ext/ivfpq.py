@@ -281,6 +281,16 @@ def ivfpq_topk_seeded(
             df.select(id_col, vec_col), cents, vec_col=vec_col,
             exact_parity=True,
         )
+        # materialize the assignment ONCE: the parity argmax is a large
+        # interpreted higher-order expression (n_clusters × dim lambda
+        # terms), and every downstream reference to `cluster` (the
+        # probe filter, the residual element_at, the ADC offset, the
+        # re-rank) inlines and RE-EVALUATES it per row — the before-
+        # plan's Filter carried the whole 8×64-literal argmax tree.
+        # Checkpointing here is the production shape anyway (the built
+        # coarse index is what ann_store persists); one assignment
+        # evaluation per row, every consumer reads the column.
+        assigned = assigned.localCheckpoint(eager=True)
     else:
         # flat PQ (no coarse quantizer): one zero centroid — residuals
         # ARE the raw vectors, offsets are 0, the single cell is probed
