@@ -1596,10 +1596,16 @@ def ib3_iceberg_eq_deletes(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.md5(F.concat_ws("", F.array_sort(
             F.collect_list(F.md5("text"))))).alias("corpus_md5"),
     )
-    # a late append with the DELETED lang survives (sequence semantics)
-    late = spark.createDataFrame(
-        [(10 ** 12, "late row", dead)],
-        "doc_id long, text string, lang string")
+    # a late append with the DELETED lang survives (sequence semantics).
+    # Built as a JVM literal frame: createDataFrame parallelizes one row
+    # across defaultParallelism Python-served partitions, and the
+    # fixture writer's single-file coalesce(1) then drains all of them
+    # SERIALLY through one task's Python-worker handshakes (~6s for one
+    # row, the whole ib3 hotspot); range(1) stays JVM end to end.
+    late = spark.range(1).select(
+        F.lit(10 ** 12).cast("long").alias("doc_id"),
+        F.lit("late row").alias("text"),
+        F.lit(dead).alias("lang"))
     append_iceberg_fixture(spark, late, t)
     n_after = read_iceberg(spark, t).count()
     return (agg
