@@ -163,7 +163,7 @@ def main() -> None:
         for name in by_cost:
             first = runs_by[name][0]
             if first > 4 * heavy:
-                continue    # heavy by construction: never repeats
+                continue    # heavy: repeats only in the backfill below
             if time.perf_counter() - bench_t0 + first > wall_cap:
                 break       # wall: the remaining tail stays single-run
             try:
@@ -174,6 +174,33 @@ def main() -> None:
                 # (transient executor state), not a reason to strand
                 # the rest of the min-of-2 tail single-run; the wall
                 # check above still bounds a melting-down box
+                print(f"bench: {name} repeat FAILED: {exc}",
+                      file=sys.stderr)
+            timings[name] = round(min(runs_by[name]), 2)
+            settle(pending=0)
+        # Phase 3 (r15): heavy queries USED to never repeat ("paying a
+        # 39 s streaming pair twice buys nothing") — but that locks a
+        # co-tenant spike on a heavy FIRST run into the official number
+        # with no second chance: this round bm1 benched 48 s against a
+        # 2.2 s warm floor, and the alphabetically-first query's
+        # session-cold residue (a2 17.4 s vs ~1 s) lands the same way.
+        # When wall remains after the cheap repeats, spend it on ONE
+        # second run per heavy query, cheapest-first (most coverage
+        # per second), each admitted only with 1.25x its first-run
+        # estimate of headroom so a genuinely heavy query cannot
+        # breach the driver's outer timeout; a spiked first run
+        # re-runs far cheaper than its estimate, freeing wall for the
+        # next one.  Per-query snapshots keep even a killed run
+        # parseable.
+        for name in by_cost:
+            first = runs_by[name][0]
+            if first <= 4 * heavy or len(runs_by[name]) > 1:
+                continue
+            if time.perf_counter() - bench_t0 + 1.25 * first > wall_cap:
+                break
+            try:
+                runs_by[name].append(one_run(name))
+            except Exception as exc:
                 print(f"bench: {name} repeat FAILED: {exc}",
                       file=sys.stderr)
             timings[name] = round(min(runs_by[name]), 2)
