@@ -3291,13 +3291,15 @@ def _cdf_file_frame(spark: SparkSession, path: str, add: dict,
               .join(F.broadcast(posdf), ri,
                     "left_anti" if exclude else "inner").drop(ri))
     pv = add.get("partitionValues") or {}
-    for c in part_cols:
-        f0 = f0.withColumn(c, F.lit(_partition_value(
-            pv.get(c), types[c], c)).cast(types[c]))
-    return (f0
-            .withColumn("_change_type", F.lit(change_type))
-            .withColumn("_commit_version",
-                        F.lit(int(version)).cast("long")))
+    # data_schema excludes part_cols at every call site, so appending
+    # via one select is equivalent to the withColumn chain and saves a
+    # py4j plan round-trip per column per FILE (driver chatter)
+    return f0.select(
+        "*",
+        *[F.lit(_partition_value(pv.get(c), types[c], c))
+          .cast(types[c]).alias(c) for c in part_cols],
+        F.lit(change_type).alias("_change_type"),
+        F.lit(int(version)).cast("long").alias("_commit_version"))
 
 
 def _cdf_cdc_frames(spark: SparkSession, path: str, cdc: list[dict],

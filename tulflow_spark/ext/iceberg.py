@@ -524,11 +524,11 @@ def _resolved_scan(spark: SparkSession, data_files: list[dict],
                     "changelog: position-tagged scan over ORC data "
                     "files is not derivable — read the states "
                     "directly instead")
-            scan = (scan
-                    .withColumn("__cdf_path", F.regexp_replace(
-                        F.col("_metadata.file_path"), "^file:/+", "/"))
-                    .withColumn("__cdf_pos",
-                                F.col("_metadata.row_index")))
+            scan = scan.select(
+                "*",
+                F.regexp_replace(F.col("_metadata.file_path"),
+                                 "^file:/+", "/").alias("__cdf_path"),
+                F.col("_metadata.row_index").alias("__cdf_pos"))
         scan = _apply_position_deletes(spark, scan, files,
                                        pos_deletes or [], dv_frame,
                                        keep_only=keep_positions)
@@ -970,11 +970,15 @@ def read_iceberg_cdf(
              for f in schema.get("fields", [])}
 
     def tag(df: DataFrame, ct: str, seq: int, sid: int) -> DataFrame:
-        return (df.withColumn("_change_type", F.lit(ct))
-                .withColumn("_commit_seq",
-                            F.lit(int(seq)).cast("long"))
-                .withColumn("_snapshot_id",
-                            F.lit(int(sid)).cast("long")))
+        # one select instead of three withColumns: this runs once per
+        # change frame per snapshot, and each withColumn is a full
+        # py4j plan round-trip (driver chatter, guide §7.3)
+        return df.select(
+            "*",
+            F.lit(ct).alias("_change_type"),
+            F.lit(int(seq)).cast("long").alias("_commit_seq"),
+            F.lit(int(sid)).cast("long").alias("_snapshot_id"),
+        )
 
     def is_dv(d: dict) -> bool:
         return str(d.get("file_format") or "").upper() == "PUFFIN"
@@ -1717,8 +1721,9 @@ def _apply_position_deletes(spark: SparkSession, scan: DataFrame,
            if str(d.get("file_format") or "").upper() == "ORC"]
     if not orc:
         return (scan
-                .withColumn(fp, norm(F.col("_metadata.file_path")))
-                .withColumn(ri, F.col("_metadata.row_index"))
+                .select("*",
+                        norm(F.col("_metadata.file_path")).alias(fp),
+                        F.col("_metadata.row_index").alias(ri))
                 .join(F.broadcast(dels), [fp, ri], how)
                 .drop(fp, ri))
     if len(orc) != len(data_files):
@@ -3486,10 +3491,8 @@ def _position_tagged_scan(spark: SparkSession, data_files: list[dict],
         groups.setdefault(tuple(proj), []).append(d)
     frames = []
     for proj, files in sorted(groups.items(), key=str):
-        f0 = (_read_parquet(
+        f0 = _read_parquet(
             spark, *sorted(_plain_path(d["file_path"]) for d in files))
-            .withColumn(fcol, F.col("_metadata.file_path"))
-            .withColumn(pcol, F.col("_metadata.row_index")))
         cols = []
         for logical, phys, ice_t in proj:
             if phys is None:
@@ -3497,7 +3500,9 @@ def _position_tagged_scan(spark: SparkSession, data_files: list[dict],
                     _SPARK_OF_ICE[ice_t]).alias(logical))
             else:
                 cols.append(F.col(phys).alias(logical))
-        frames.append(f0.select(cols + [F.col(fcol), F.col(pcol)]))
+        frames.append(f0.select(cols + [
+            F.col("_metadata.file_path").alias(fcol),
+            F.col("_metadata.row_index").alias(pcol)]))
     scan = _union_fold_by_name(frames)
     if dead is not None:
         nf = "__ipt_norm"
