@@ -48,7 +48,17 @@ from pyspark.sql import functions as F
 
 def _large_star(e: DataFrame) -> DataFrame:
     """(u,v) edges -> for each node, attach strictly-larger neighbors to the
-    minimum of its closed neighborhood."""
+    minimum of its closed neighborhood.
+
+    No internal dropDuplicates (r15): the only consumer is
+    :func:`_small_star`, whose min-aggregate is duplicate-insensitive and
+    whose own terminal dropDuplicates re-canonicalizes the round's edge
+    set — so the round output (and with it the convergence fingerprint
+    and every result row) is identical, one full dedup shuffle per round
+    cheaper.  Duplicate carry-through cannot compound across rounds (each
+    round re-dedups) and cannot blow up within one (output here is at
+    most one row per symmetrized input edge); the duplicates combine
+    map-side in the next min-aggregate."""
     sym = e.union(e.select(F.col("v").alias("u"), F.col("u").alias("v")))
     mins = (
         sym.groupBy("u")
@@ -60,7 +70,6 @@ def _large_star(e: DataFrame) -> DataFrame:
         .filter(F.col("v") > F.col("u"))
         .select(F.col("v").alias("u"), F.col("_m").alias("v"))
         .filter(F.col("u") != F.col("v"))
-        .dropDuplicates()
     )
 
 
