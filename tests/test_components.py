@@ -121,3 +121,31 @@ def test_curate_cc_drops_chained_local_minima(spark):
     }
     assert greedy == {1, 2}
     assert exact == {1}
+
+
+def test_large_star_needs_no_internal_dedup(spark):
+    """r15 optimization pin: _large_star dropped its internal
+    dropDuplicates (one full shuffle per round) because its only
+    consumer, _small_star, is duplicate-insensitive — the min-aggregate
+    ignores multiplicity and the terminal dropDuplicates
+    re-canonicalizes the round.  Assert the per-round edge SET equality
+    directly on an adversarial dense-plus-chain graph (dense components
+    are exactly where the un-deduped output carries duplicates)."""
+    from tulflow_spark.ext.components import _large_star, _small_star
+
+    random.seed(7)
+    edges = [(a, b) for a in range(12) for b in range(a + 1, 12)]  # clique
+    edges += [(i, i + 1) for i in range(20, 40)]                   # chain
+    edges += [(random.randrange(50, 70), random.randrange(50, 70))
+              for _ in range(60)]                                  # random
+    e = (spark.createDataFrame(edges, ["u", "v"])
+         .filter(F.col("u") != F.col("v")).dropDuplicates())
+    for _ in range(3):
+        ls = _large_star(e)
+        # the round output through the UN-deduped large-star equals the
+        # round output through an explicitly deduped one
+        got = {(r["u"], r["v"]) for r in _small_star(ls).collect()}
+        want = {(r["u"], r["v"])
+                for r in _small_star(ls.dropDuplicates()).collect()}
+        assert got == want
+        e = spark.createDataFrame(sorted(got), ["u", "v"])
