@@ -149,6 +149,26 @@ def main() -> None:
                         if len(rs) == 1 and repeat > 1)
         _emit(timings, failures, sf, repeat, pending=pending,
               with_map=final, single_run=single)
+        # r16 (r15 VERDICT #2): the driver captures only ~2 KB of
+        # stdout tail, so the full per-query map was lost whenever the
+        # run grew (PERF_r15 could diff just 2 queries).  Persist the
+        # map to a FILE in the repo alongside stdout — written at
+        # every snapshot so even a timeout-killed run leaves it — and
+        # commit it each round.  Purely additive: the stdout contract
+        # (compact last line) is unchanged.
+        try:
+            import pathlib
+            map_path = os.environ.get(
+                "SPARK_GRAFT_BENCH_MAP",
+                os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                             "bench_perquery_r16.json"))
+            pathlib.Path(map_path).write_text(json.dumps(
+                {"metric": "per_query_sec", "queries": timings,
+                 "sf": sf, "failed": failures, "pending": pending,
+                 "single_run": single},
+                separators=(",", ":"), sort_keys=True) + "\n")
+        except OSError:
+            pass    # a read-only checkout must not fail the bench
 
     for name in sorted(all_queries):
         try:
@@ -196,7 +216,19 @@ def main() -> None:
             first = runs_by[name][0]
             if first <= 4 * heavy or len(runs_by[name]) > 1:
                 continue
-            if time.perf_counter() - bench_t0 + 1.25 * first > wall_cap:
+            # r16 (r15 ADVICE): the first run is exactly the number
+            # suspected of being a co-tenant spike, so gating on
+            # 1.25x the RAW first run let a spiked query (bm1 48 s vs
+            # 2.2 s warm) price its own re-run out of the wall — the
+            # queries most in need of a second look were the least
+            # likely to get one.  Cap the admission estimate at
+            # 8*heavy (24 s by default): a spiked heavy re-runs near
+            # its warm floor, far under the cap; a genuinely heavier
+            # first run (vr1 cold ~30 s) still fits because the cap
+            # admits only with 1.25*cap headroom and its warm second
+            # run lands well inside the driver's timeout slack.
+            if time.perf_counter() - bench_t0 \
+                    + 1.25 * min(first, 8 * heavy) > wall_cap:
                 break
             try:
                 runs_by[name].append(one_run(name))

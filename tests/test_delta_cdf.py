@@ -390,3 +390,34 @@ def test_cdf_column_mapping_id_mode_stays_typed(spark, tmp_path):
         t, mode="id")
     with pytest.raises(DeltaProtocolError, match="mode='id'"):
         read_delta_cdf(spark, t, -1)
+
+
+def test_cdf_file_frame_rejects_unfiltered_schema(spark, tmp_path):
+    """_cdf_file_frame appends partition/CDF metadata columns with one
+    select('*', ...), which is only equivalent to the old withColumn
+    chain because data_schema excludes them — the guard (r15 ADVICE)
+    must fail typed if a caller ever passes an unfiltered schema."""
+    from pyspark.sql.types import LongType, StringType, StructField, StructType
+
+    from tulflow_spark.ext.delta_log import (
+        DeltaProtocolError,
+        _cdf_file_frame,
+        write_delta,
+    )
+
+    t = str(tmp_path / "tbl")
+    write_delta(spark.createDataFrame([(1, "a")], "id long, p string"),
+                t, partition_by=["p"])
+    import json as _json
+    import os as _os
+
+    with open(_os.path.join(t, "_delta_log",
+                            "00000000000000000000.json")) as fh:
+        adds = [_json.loads(ln)["add"] for ln in fh
+                if '"add"' in ln]
+    bad = StructType([StructField("id", LongType()),
+                      StructField("p", StringType())])  # includes part col
+    with pytest.raises(DeltaProtocolError, match="must exclude"):
+        _cdf_file_frame(spark, t, adds[0], bad,
+                        {"id": LongType(), "p": StringType()}, ["p"],
+                        "insert", 0)

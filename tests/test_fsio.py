@@ -91,3 +91,32 @@ def test_write_text_exclusive_atomic_publish(tmp_path):
     assert os.listdir(str(tmp_path / "m")) == ["v2.metadata.json"]
     # debris-named files never match metadata discovery suffixes
     assert not "v2.metadata.json.inflight-x".endswith(".metadata.json")
+
+
+def test_read_parquet_multipath_evolved_falls_back(spark, tmp_path):
+    """io.read_parquet passes an explicit footer schema only when EVERY
+    path's footer agrees (r15 VERDICT: pinning paths[0]'s footer over a
+    schema-evolved set would impose one vintage's schema where Spark's
+    inference picks an arbitrary file).  Two evolved files must take
+    the inference fallback and read exactly like spark.read.parquet."""
+    from tulflow_spark.io import read_parquet
+
+    p1 = str(tmp_path / "v1.parquet")
+    p2 = str(tmp_path / "v2.parquet")
+    spark.createDataFrame([(1, "a")], "id bigint, title string") \
+        .coalesce(1).write.parquet(p1)
+    spark.createDataFrame([(2, "b", "x")],
+                          "id bigint, title string, note string") \
+        .coalesce(1).write.parquet(p2)
+    ours = read_parquet(spark, p1, p2)
+    plain = spark.read.parquet(p1, p2)
+    assert ours.schema == plain.schema
+    assert sorted(map(tuple, ours.collect())) == \
+        sorted(map(tuple, plain.collect()))
+    # homogeneous multi-path still takes the explicit-schema shortcut
+    # and returns identical rows
+    p3 = str(tmp_path / "v1b.parquet")
+    spark.createDataFrame([(3, "c")], "id bigint, title string") \
+        .coalesce(1).write.parquet(p3)
+    both = read_parquet(spark, p1, p3)
+    assert sorted(r.id for r in both.collect()) == [1, 3]

@@ -3293,7 +3293,15 @@ def _cdf_file_frame(spark: SparkSession, path: str, add: dict,
     pv = add.get("partitionValues") or {}
     # data_schema excludes part_cols at every call site, so appending
     # via one select is equivalent to the withColumn chain and saves a
-    # py4j plan round-trip per column per FILE (driver chatter)
+    # py4j plan round-trip per column per FILE (driver chatter).
+    # Guard the exclusion (r15 ADVICE): a caller passing an unfiltered
+    # schema would silently produce duplicate/ambiguous columns.
+    clash = {f.name for f in data_schema.fields} & (
+        set(part_cols) | {"_change_type", "_commit_version"})
+    if clash:
+        raise DeltaProtocolError(
+            f"data_schema must exclude partition/CDF metadata columns, "
+            f"got {sorted(clash)}")
     return f0.select(
         "*",
         *[F.lit(_partition_value(pv.get(c), types[c], c))

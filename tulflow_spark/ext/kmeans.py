@@ -270,6 +270,14 @@ def semantic_dedup(
     (Measured r15: the parity path's interpreted argmax re-evaluated per
     consumer cost ~17% of the query warm — the ss9 shape; the checkpoint
     blocks are assignment-sized, id + vector + cluster.)
+
+    localCheckpoint trade-off (r15 ADVICE, same terms as
+    ``ext.components``): the blocks are NOT lineage-recoverable — an
+    executor loss while the returned frame is still in use fails the job
+    instead of recomputing — and they live until driver GC drops the
+    frame (``catalog.clearCache()`` does not free them).  Callers that
+    manage their own materialization can pass ``centroids`` and build the
+    assignment with :func:`assign_clusters` directly.
     """
     from tulflow_spark.ext.similarity import blocked_near_dup_pairs
 

@@ -103,10 +103,21 @@ def read_parquet(spark: SparkSession, *paths: str) -> DataFrame:
     the engine-wide face of ``fsio.spark_schema_for_parquet`` (guide
     §5: skip the ~60-180 ms JVM schema-resolution round per read; the
     store/index readers issue several per query).  Falls back to plain
-    inference whenever the shortcut cannot prove equivalence."""
+    inference whenever the shortcut cannot prove equivalence.
+
+    Multi-path reads take the shortcut only when EVERY path's footer
+    resolves to the same Spark schema (r15 VERDICT: pinning the first
+    path's footer over a schema-evolved file set would silently impose
+    one vintage's schema where Spark picks an arbitrary file — the
+    per-file proof is type-safety, not cross-file homogeneity)."""
     from tulflow_spark import fsio
 
     schema = fsio.spark_schema_for_parquet(paths[0]) if paths else None
+    if schema is not None and len(paths) > 1:
+        for p in paths[1:]:
+            if fsio.spark_schema_for_parquet(p) != schema:
+                schema = None   # evolved set: let Spark's inference rule
+                break
     reader = spark.read.schema(schema) if schema is not None \
         else spark.read
     return reader.parquet(*paths)

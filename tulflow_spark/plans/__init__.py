@@ -104,6 +104,25 @@ GATED: frozenset[str] = frozenset(
         # ss10_int8_quant (8 driver rows; ss8/ss9 keep the quantized-
         # ANN anchors)
         "ic6_v3_update_cdf",
+        # r16 (2026-08-18): promote ALL six oracle pairs with no driver
+        # CORRECTNESS row in any round (r15 VERDICT #6 — cumulative
+        # adjudication first; every one verified green via vanilla
+        # gate_sim this round), plus rotate vr1_approx_bounds back in
+        # (one of r15's seven rotated-out; its 11 recall/error floors
+        # return to hard driver adjudication).  Rotated out, keeping
+        # one anchor per family: tx2_quality_scores (14 driver rows;
+        # tx15 keeps text), ss9_ivfpq_topk (9; ss8 keeps ANN),
+        # rr1_rerank_topk (9; rr4 keeps re-rank), mm10_mp3_roundtrip
+        # (8; mm11 keeps media), dl1_delta_timetravel (8) and
+        # dl3_delta_skipping (7; dl5/dl6/dl8-dl15 keep Delta),
+        # warc1_warc_ingest (6; warc2 keeps WARC).
+        "ic5_iceberg_merge_evolve",
+        "ic7_convert_eq_cdf",
+        "ic8_pos_rewrite_cdf",
+        "dl7_column_mapping_id",
+        "ib6_ref_travel",
+        "dl15_dv_purge_cdf",
+        "vr1_approx_bounds",
         "bm1_bm25_search",
         # r10: cdc3_scd2_history rotated out (driver rows r7/r8/r9;
         # cdc2 keeps the CDC anchor) for the deletion-vector pair
@@ -116,7 +135,6 @@ GATED: frozenset[str] = frozenset(
         # dl1/dl3/dl4/dl5 keep the Delta anchors) for the new
         # column-mapping pair
         "dl6_column_mapping",
-        "dl3_delta_skipping",
         # r9: cur6_training_mix rotated out (driver rows r7+r8; cur5/
         # cur7 keep the curation anchors) for the robots.txt filter pair
         "url2_robots_filter",
@@ -147,23 +165,19 @@ GATED: frozenset[str] = frozenset(
         # tx2/tx15 keep the text anchors) for the Iceberg
         # incremental-changes pair
         "ib2_iceberg_changes",
-        "rr1_rerank_topk",
         # r9: x6_dynamic_xpath rotated out (driver rows r7+r8; x2b/x3/x4
         # keep the XML-family anchors) for the Aho-Corasick blocklist
         # pair
         "tx15_blocklist_hits",
         # oracle-paired since r8 (seeded-parity IVFADC; the production
         # iterative fit keeps its recall floor in vr1)
-        "ss9_ivfpq_topk",
         # kept anchors
         "q03_top_revenue_orders",
         # r8: q14_promo_revenue rotated out (TPC-H keeps three anchors;
         # q14 stays in the local parity suite) to budget the slot for
         # the new MP3 decode pair
-        "mm10_mp3_roundtrip",
         # r10: dd3_ngram_jaccard rotated out (driver rows r1..r9; dd1/
         # dd10/dd12 keep the dedup anchors) for the WARC ingest pair
-        "warc1_warc_ingest",
         # r13: aj1_asof_join rotated out (driver rows r2..r12; j1
         # keeps the join anchor) for dl9_change_feed
         "x3_validation_rules",
@@ -174,7 +188,6 @@ GATED: frozenset[str] = frozenset(
         # r1..r12; tx2 keeps the scalar-function anchor) for
         # sdc2_stream_iceberg_changes
         "j1_broadcast_enrich",
-        "tx2_quality_scores",
         # r13: sk1_salted_sum rotated out (driver rows every round
         # r1..r12 — the most-adjudicated query in the registry; the
         # local parity suite keeps it covered) for dl8_v2_checkpoint
@@ -194,7 +207,6 @@ GATED: frozenset[str] = frozenset(
         # r8: mm1_media_roundtrip rotated out (driver rows r4/r7; the
         # media family keeps mm7/mm8/mm9/mm10) to budget the slot for
         # the new Delta-log-protocol pair
-        "dl1_delta_timetravel",
         # r8: url1_canonical_dedup rotated out (driver row r7; the dedup
         # family keeps dd1/dd3/dd10/dd12) to budget the slot for the new
         # ONNX scorer-slot pair
