@@ -40,6 +40,13 @@ def pair_set_checks(
       methods that verify candidates with the exact measure (MinHash verifies
       with exact Jaccard, banded-LSH with exact cosine), where any violation
       is a bug, not an approximation.
+
+    Both rows derive from the SAME one-row aggregate inside ONE returned
+    frame (explode of a literal struct array), so the caller's single
+    collect pays the pair pipelines once — collecting two separate frames
+    re-evaluated the full-outer join and both pair pipelines per check
+    (r16, guide §1.2: don't compute things twice).  Row order is the array
+    order: recall first, subset second.
     """
     e = exact.select("id_a", "id_b").withColumn("_e", F.lit(1))
     a = approx.select("id_a", "id_b").withColumn("_a", F.lit(1))
@@ -51,25 +58,19 @@ def pair_set_checks(
         F.sum(F.when(F.col("_e").isNull() & F.col("_a").isNotNull(), 1)
               .otherwise(0)).alias("n_extra"),
     )
-    out = [
-        _one_row(
-            f"{prefix}_recall_ge_{recall_bound}",
-            counts.select(
-                (
-                    (F.col("n_exact") == 0)
-                    | (F.col("n_both") / F.col("n_exact") >= recall_bound)
-                ).alias("ok")
-            ),
-        )
-    ]
+    checks = [(
+        f"{prefix}_recall_ge_{recall_bound}",
+        (F.col("n_exact") == 0)
+        | (F.col("n_both") / F.col("n_exact") >= recall_bound),
+    )]
     if require_subset:
-        out.append(
-            _one_row(
-                f"{prefix}_subset_of_exact",
-                counts.select((F.col("n_extra") == 0).alias("ok")),
-            )
-        )
-    return out
+        checks.append(
+            (f"{prefix}_subset_of_exact", F.col("n_extra") == 0))
+    rows = F.explode(F.array(*[
+        F.struct(F.lit(nm).alias("metric"), ok.alias("ok"))
+        for nm, ok in checks
+    ])).alias("_r")
+    return [counts.select(rows).select("_r.metric", "_r.ok")]
 
 
 def pair_set_equality_check(
