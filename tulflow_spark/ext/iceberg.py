@@ -2298,7 +2298,7 @@ def _commit_snapshot(path: str, meta: dict | None, df_schema: list[dict],
             f"metadata v{version} already exists (a concurrent commit "
             "won): re-read the table and retry"
         ) from None
-    fsio.write_text(f"{mdir}/version-hint.text", str(version))
+    fsio.write_text_atomic(f"{mdir}/version-hint.text", str(version))
     return snap_id
 
 
@@ -2489,7 +2489,7 @@ def upgrade_iceberg_v3(path: str) -> int:
             f"metadata v{v + 1} already exists (a concurrent commit "
             "won): re-read the table and retry the upgrade"
         ) from None
-    fsio.write_text(hint, str(v + 1))
+    fsio.write_text_atomic(hint, str(v + 1))
     return v + 1
 
 
@@ -2539,7 +2539,7 @@ def tag_iceberg_snapshot(path: str, name: str,
             f"metadata v{v + 1} already exists (a concurrent commit "
             "won): re-read the table and retry the tag"
         ) from None
-    fsio.write_text(hint, str(v + 1))
+    fsio.write_text_atomic(hint, str(v + 1))
     return v + 1
 
 
@@ -2862,7 +2862,7 @@ def expire_iceberg_snapshots(spark: SparkSession, path: str,
             f"metadata v{v + 1} already exists (a concurrent commit "
             "won): re-read the table and retry the expire"
         ) from None
-    fsio.write_text(hint, str(v + 1))
+    fsio.write_text_atomic(hint, str(v + 1))
     # metadata jsons (old versions) are never deleted here — they are
     # the audit log, tiny, and the hint pins the live one
     fs, _ = fsio.resolve(path)
@@ -4100,7 +4100,7 @@ def restore_iceberg(path: str, snapshot_id: int,
         raise IcebergConcurrentCommit(
             f"metadata v{version} already exists (a concurrent "
             "commit won): re-read the table and retry") from None
-    fsio.write_text(f"{mdir}/version-hint.text", str(version))
+    fsio.write_text_atomic(f"{mdir}/version-hint.text", str(version))
     return snap_id
 
 

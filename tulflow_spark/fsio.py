@@ -76,6 +76,38 @@ def write_text(path: str, content: str) -> None:
         out.write(content.encode("utf-8"))
 
 
+def write_text_atomic(path: str, content: str) -> None:
+    """Overwrite so that a CONCURRENT reader sees the old content or the
+    new content, never a torn/empty object (r16: streaming lake sources
+    poll ``version-hint.text`` while DML commits land — a plain
+    truncate+write has a window where the hint reads empty).  Local
+    filesystems get temp-file + ``os.replace`` (POSIX-atomic rename);
+    remote stores already overwrite objects atomically, so the plain
+    write is the degradation."""
+    fs, p = resolve(path)
+    if isinstance(fs, pafs.LocalFileSystem):
+        import os
+        import uuid
+
+        parent = os.path.dirname(p)
+        if parent:
+            os.makedirs(parent, exist_ok=True)
+        tmp = f"{p}.inflight-{os.getpid()}-{uuid.uuid4().hex[:8]}"
+        try:
+            with open(tmp, "wb") as out:
+                out.write(content.encode("utf-8"))
+                out.flush()
+                os.fsync(out.fileno())
+            os.replace(tmp, p)      # atomic overwrite publish
+        finally:
+            try:
+                os.unlink(tmp)
+            except OSError:
+                pass
+        return
+    write_text(path, content)
+
+
 def write_text_exclusive(path: str, content: str) -> None:
     """Create-if-absent (CAS) write: raise ``FileExistsError`` when the
     object already exists.  Local filesystems publish ATOMICALLY —

@@ -692,6 +692,36 @@ def sdc3_stream_delta_cdf(spark: SparkSession,
                 configuration={"delta.enableChangeDataFeed": "true"})
     write_delta(docs.filter("doc_id % 2 = 0"), t,
                 mode="append")                                 # v1
+    spark.dataSource.register(DeltaCdfSource)
+    out = tempfile.mkdtemp(prefix="sdc3out_")
+    ckpt = tempfile.mkdtemp(prefix="sdc3ck_")
+
+    def _start():
+        return (spark.readStream.format("tulflow_delta_cdf")
+                .option("path", t).option("startingVersion", "-1")
+                .option("maxVersionsPerBatch", "2").load()
+                .writeStream.format("parquet").option("path", out)
+                .option("checkpointLocation", ckpt)
+                .trigger(availableNow=True).start())
+
+    def _await(q) -> None:
+        if not q.awaitTermination(300):
+            q.stop()
+            raise TimeoutError(
+                "sdc3 stream did not drain within 300s — partial "
+                "sink contents would misreport as a correctness "
+                "failure")
+
+    # Two capped drains cover (−1,1] (1,3] exactly as before — but
+    # drain 0's admission cap pins its end to version
+    # min(latest, −1+2) = 1 whether v2/v3 have landed or not, so the
+    # DELETE and MERGE commits land WHILE drain 0 runs (guide §2.6):
+    # the per-query engine machinery (~1.3 s fixed, measured r16)
+    # overlaps the DML instead of serializing behind it.  Planning for
+    # (−1,1] parses only commits 0..1, so in-flight v2/v3 JSONs are
+    # never read; drain 1 starts only after the merge returned, so its
+    # range (1,3] is stable.  Batch contents are provably identical.
+    q0 = _start()
     delete_where(spark, t, "doc_id % 7 = 0")                   # v2
     changes = (
         docs.filter("doc_id % 5 = 0 AND doc_id % 7 <> 0")
@@ -710,22 +740,8 @@ def sdc3_stream_delta_cdf(spark: SparkSession,
                         F.lit("I").alias("op")))
     )
     merge_delta(spark, t, changes, keys=["doc_id"])            # v3
-    spark.dataSource.register(DeltaCdfSource)
-    out = tempfile.mkdtemp(prefix="sdc3out_")
-    ckpt = tempfile.mkdtemp(prefix="sdc3ck_")
-    for _ in range(2):       # two capped drains cover (−1,1] (1,3]
-        q = (spark.readStream.format("tulflow_delta_cdf")
-             .option("path", t).option("startingVersion", "-1")
-             .option("maxVersionsPerBatch", "2").load()
-             .writeStream.format("parquet").option("path", out)
-             .option("checkpointLocation", ckpt)
-             .trigger(availableNow=True).start())
-        if not q.awaitTermination(300):
-            q.stop()
-            raise TimeoutError(
-                "sdc3 stream did not drain within 300s — partial "
-                "sink contents would misreport as a correctness "
-                "failure")
+    _await(q0)
+    _await(_start())
     from tulflow_spark.io import read_parquet as _rp
     arrived = _rp(spark, out)
     key = F.concat_ws(
@@ -800,24 +816,42 @@ def sdc4_stream_iceberg_cdf(spark: SparkSession,
         .sortWithinPartitions("doc_id"), t)                   # seq 1
     append_iceberg_fixture(
         spark, docs.filter("doc_id % 2 = 0"), t)              # seq 2
-    delete_where_iceberg(spark, t, "doc_id % 7 = 0")          # seq 3
-    delete_where_iceberg(spark, t, "doc_id % 11 = 0")         # seq 4
     spark.dataSource.register(IcebergCdfSource)
     out = tempfile.mkdtemp(prefix="sdc4out_")
     ckpt = tempfile.mkdtemp(prefix="sdc4ck_")
-    for _ in range(2):       # two capped drains cover (0,2] (2,4]
-        q = (spark.readStream.format("tulflow_iceberg_cdf")
-             .option("path", t).option("startingSequence", "0")
-             .option("maxSequencesPerBatch", "2").load()
-             .writeStream.format("parquet").option("path", out)
-             .option("checkpointLocation", ckpt)
-             .trigger(availableNow=True).start())
+
+    def _start():
+        return (spark.readStream.format("tulflow_iceberg_cdf")
+                .option("path", t).option("startingSequence", "0")
+                .option("maxSequencesPerBatch", "2").load()
+                .writeStream.format("parquet").option("path", out)
+                .option("checkpointLocation", ckpt)
+                .trigger(availableNow=True).start())
+
+    def _await(q) -> None:
         if not q.awaitTermination(300):
             q.stop()
             raise TimeoutError(
                 "sdc4 stream did not drain within 300s — partial "
                 "sink contents would misreport as a correctness "
                 "failure")
+
+    # Two capped drains cover (0,2] (2,4] exactly as before — but
+    # drain 0's admission cap pins its end to sequence
+    # min(latest, 0+2) = 2 whether the deletes have landed or not, so
+    # both position-delete commits land WHILE drain 0 runs
+    # (guide §2.6): the per-query engine machinery (~1.3 s fixed,
+    # measured r16) overlaps the DML instead of serializing behind it.
+    # Planning for (0,2] walks only sequence-1/2 manifests (the
+    # version-hint publish is atomic, fsio.write_text_atomic, so a
+    # concurrent hint read is never torn); drain 1 starts only after
+    # both deletes returned, so its range (2,4] is stable.  Batch
+    # contents are provably identical.
+    q0 = _start()
+    delete_where_iceberg(spark, t, "doc_id % 7 = 0")          # seq 3
+    delete_where_iceberg(spark, t, "doc_id % 11 = 0")         # seq 4
+    _await(q0)
+    _await(_start())
     from tulflow_spark.io import read_parquet as _rp
     arrived = _rp(spark, out)
     key = F.concat_ws(
@@ -2555,13 +2589,13 @@ def sdc2_stream_iceberg_changes(spark: SparkSession,
     docs = table(spark, sf_dir, "documents").select("doc_id", "text")
     t = tempfile.mkdtemp(prefix="sdc2_") + "/tbl"
     write_iceberg_fixture(spark, docs.filter("doc_id % 2 = 1"), t)
-    append_iceberg_fixture(spark, docs.filter("doc_id % 2 = 0"), t)
     spark.dataSource.register(IcebergChangesSource)
     out = tempfile.mkdtemp(prefix="sdc2out_")
     ckpt = tempfile.mkdtemp(prefix="sdc2ck_")
+
     # two capped availableNow drains: each covers ONE sequence (the
     # memory sink cannot recover from a checkpoint — parquet can)
-    for _ in range(2):
+    def _drain() -> None:
         q = (spark.readStream.format("tulflow_iceberg_changes")
              .option("path", t).option("startingSequence", "0")
              .option("maxSequencesPerBatch", "1").load()
@@ -2574,6 +2608,29 @@ def sdc2_stream_iceberg_changes(spark: SparkSession,
                 "sdc2 stream did not drain within 300s — partial "
                 "sink contents would misreport as a correctness "
                 "failure")
+
+    # Drain 0's admission cap pins its end offset to sequence
+    # min(latest, 0+1) = 1 whether or not sequence 2 has landed, so
+    # the second append commits WHILE drain 0 runs (guide §2.6): the
+    # per-query engine machinery (query start, Python source-runner
+    # spawn, micro-batch lifecycle — ~1.3 s fixed, measured r16)
+    # overlaps the append instead of serializing behind it.  Batch
+    # contents are provably identical; drain 1 starts only after both
+    # the append and drain 0 have finished, exactly as before.
+    q0 = (spark.readStream.format("tulflow_iceberg_changes")
+          .option("path", t).option("startingSequence", "0")
+          .option("maxSequencesPerBatch", "1").load()
+          .writeStream.format("parquet").option("path", out)
+          .option("checkpointLocation", ckpt)
+          .trigger(availableNow=True).start())
+    append_iceberg_fixture(spark, docs.filter("doc_id % 2 = 0"), t)
+    if not q0.awaitTermination(300):
+        q0.stop()
+        raise TimeoutError(
+            "sdc2 stream did not drain within 300s — partial "
+            "sink contents would misreport as a correctness "
+            "failure")
+    _drain()
     from tulflow_spark.io import read_parquet as _rp
     arrived = _rp(spark, out)
     return arrived.agg(
