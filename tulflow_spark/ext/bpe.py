@@ -101,6 +101,20 @@ def _apply_merge(symdf: DataFrame, left: str, right: str) -> DataFrame:
     return symdf.select("freq", merged.alias("syms"))
 
 
+def _adjacent_pair_pred(left: str, right: str):
+    """Predicate: the symbol array contains ``left`` immediately followed
+    by ``right`` — exactly the words :func:`_apply_merge` would change."""
+    n = F.size("syms")
+    pairs = F.zip_with(
+        F.slice("syms", 1, n - 1),
+        F.slice("syms", 2, n - 1),
+        lambda a, b: F.struct(a.alias("left"), b.alias("right")),
+    )
+    la, ra = F.lit(left), F.lit(right)
+    return F.exists(
+        pairs, lambda p: (p["left"] == la) & (p["right"] == ra))
+
+
 def bpe_train(
     docs: DataFrame,
     num_merges: int,
@@ -113,29 +127,92 @@ def bpe_train(
     Returns the ordered merge list (the model — merge-count-sized, the only
     thing that ever reaches the driver).  Stops early when the best pair
     falls below ``min_freq``.
-    """
-    symdf = _initial_symbols(word_vocab(docs, text_col)).localCheckpoint(
-        eager=True
-    )
+
+    INCREMENTAL pair-count maintenance (r16, r15 VERDICT #5 — the
+    published trainers' standard optimization): only words containing the
+    merged pair change between rounds, so instead of re-exploding the
+    whole vocabulary per round, the pair-count frame is carried forward
+    and updated with the exact integer delta of the affected words
+    (new pairs minus old pairs, same overlap-counting convention), and
+    the symbol frame re-folds only those words.  Merge-for-merge
+    identical to the full recount — the delta is exact arithmetic, the
+    argmax tie-break unchanged — and pinned by ``tests/test_bpe.py``
+    against the independent reference trainer.  Each round is one
+    argmax job; the lazily-checkpointed updated frames materialize
+    inside it, and superseded round blocks are unpersisted as the loop
+    advances (``checkpoint_every`` is retained for call-site
+    compatibility; lineage is now truncated every round by the
+    incremental update itself)."""
+    del checkpoint_every  # superseded by per-round incremental truncation
+    sc = docs.sparkSession.sparkContext
+
+    def _persistent_ids() -> set:
+        return {
+            int(i) for i in sc._jsc.getPersistentRDDs().keySet().toArray()
+        }
+
+    def _unpersist(ids: set) -> None:
+        jmap = sc._jsc.getPersistentRDDs()
+        for rid in ids:
+            jrdd = jmap.get(rid)
+            if jrdd is not None:
+                jrdd.unpersist(False)
+
+    pre_existing = _persistent_ids()
     merges: list[tuple[str, str]] = []
-    for i in range(num_merges):
-        # ONE job per round: the 1-row argmax collect is the only action;
-        # up to checkpoint_every merge folds ride along lazily on top of
-        # the last checkpoint (driver round-trips, not shuffles, dominate
-        # the loop at vocab scale — lineage is re-truncated periodically)
-        top = (
-            _pair_counts(symdf)
-            .orderBy(F.col("n").desc(), F.col("left"), F.col("right"))
-            .limit(1)
-            .collect()
-        )
-        if not top or top[0]["n"] < min_freq:
-            break
-        left, right = top[0]["left"], top[0]["right"]
-        merges.append((left, right))
-        symdf = _apply_merge(symdf, left, right)
-        if (i + 1) % checkpoint_every == 0:
-            symdf = symdf.localCheckpoint(eager=True)
+    try:
+        symdf = _initial_symbols(word_vocab(docs, text_col)) \
+            .localCheckpoint(eager=True)
+        pc = _pair_counts(symdf).localCheckpoint(eager=False)
+        # block hygiene (ext/components.py pattern): each round's lazy
+        # frames materialize one round later and read the PREVIOUS
+        # round's blocks while doing so, so a generation's blocks are
+        # dead only once the argmax two rounds after it has run
+        gens: list[set] = [_persistent_ids() - pre_existing]
+        seen: set = set(gens[0])
+        for _ in range(num_merges):
+            # ONE job per round: the 1-row argmax collect materializes
+            # the lazily-checkpointed updated pair counts (and, through
+            # their lineage, the updated symbol frame) in the same job
+            top = (
+                pc.orderBy(F.col("n").desc(), F.col("left"),
+                           F.col("right"))
+                .limit(1)
+                .collect()
+            )
+            if len(gens) > 2:
+                _unpersist(gens.pop(0))
+            if not top or top[0]["n"] < min_freq:
+                break
+            left, right = top[0]["left"], top[0]["right"]
+            merges.append((left, right))
+            has = _adjacent_pair_pred(left, right)
+            affected = symdf.filter(has)
+            merged = _apply_merge(affected, left, right)
+            delta = (
+                _pair_counts(affected)
+                .withColumn("n", -F.col("n"))
+                .unionByName(_pair_counts(merged))
+            )
+            pc = (
+                pc.unionByName(delta)
+                .groupBy("left", "right")
+                .agg(F.sum("n").alias("n"))
+                .filter(F.col("n") > 0)
+                .localCheckpoint(eager=False)
+            )
+            symdf = (
+                symdf.filter(~has)
+                .unionByName(merged)
+                .localCheckpoint(eager=False)
+            )
+            now = _persistent_ids() - pre_existing
+            gens.append(now - seen)
+            seen = now
+    finally:
+        # nothing lazy escapes this function (the model is a plain
+        # list), so every checkpoint block this call created is dead
+        _unpersist(_persistent_ids() - pre_existing)
     return merges
 
 
